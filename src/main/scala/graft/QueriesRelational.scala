@@ -1,0 +1,331 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+
+/** Relational query corpus: the reference's SELECT surface (scan,
+  * filter operators, projections, order/limit — SURVEY.md §2.1-2.3,
+  * §2.8) plus the aggregation/join/window capability Spark gives for
+  * free (SURVEY.md §2.6: absent in reference; exposed as engine
+  * surface). Each query has a DuckDB oracle in [[SparkEntry.oracleSql]].
+  *
+  * Scale notes (100 TB design intent, verified on .explain):
+  *  - filters/projections reach the parquet scan (PushedFilters);
+  *  - dimension joins (region/nation/supplier/part) are broadcast;
+  *  - aggregates are partial (map-side combine) before the shuffle;
+  *  - every query is fully whole-stage-codegen'd, no UDFs.
+  */
+object QueriesRelational {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- scans / filters (reference WHERE operator set, §2.3) ---
+    "q_filter_like" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "customer")
+        .filter($"c_name".like("%1%") && $"c_mktsegment" === "BUILDING")
+        .select($"c_custkey", $"c_name")
+        .orderBy($"c_custkey")
+    }),
+    "q_filter_in" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .filter($"o_orderstatus".isin("P", "F") && $"o_totalprice" > 200000.0)
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+        .orderBy($"o_orderkey")
+    }),
+    "q_filter_between" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .filter($"l_quantity" >= 10.0 && $"l_quantity" <= 20.0 &&
+          $"l_returnflag" === "R")
+        .groupBy($"l_linestatus")
+        .agg(count(lit(1)).as("n"), round(sum($"l_quantity"), 2).as("qty"))
+        .orderBy($"l_linestatus")
+    }),
+    "q_filter_matches" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "part")
+        .filter($"p_type".rlike("^ECONOMY"))
+        .select($"p_partkey", $"p_type")
+        .orderBy($"p_partkey")
+    }),
+    "q_string_chain" -> ((s, dir) => {
+      // field-method chains of §2.4: toUpperCase / left / length / append
+      import s.implicits._
+      t(s, dir, "part")
+        .select(
+          $"p_partkey",
+          upper($"p_name").as("uname"),
+          substring($"p_name", 1, 5).as("pfx"),
+          length($"p_name").as("nlen"),
+          concat($"p_brand", lit("-"), $"p_type").as("bt"))
+        .orderBy($"p_partkey")
+    }),
+    "q_topk" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .select($"o_orderkey", $"o_totalprice")
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+        .limit(10)
+    }),
+    "q_distinct" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "customer").select($"c_mktsegment").distinct()
+        .orderBy($"c_mktsegment")
+    }),
+
+    // --- aggregation (engine surface beyond reference, §2.6) ---
+    "q1_pricing_summary" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .filter($"l_shipdate" <= lit("1998-09-02"))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          round(sum($"l_quantity"), 2).as("sum_qty"),
+          round(sum($"l_extendedprice"), 2).as("sum_base_price"),
+          round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2)
+            .as("sum_disc_price"),
+          round(avg($"l_quantity"), 4).as("avg_qty"),
+          round(avg($"l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    }),
+    "q6_forecast_revenue" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .filter($"l_shipdate" >= lit("1996-01-01") &&
+          $"l_shipdate" < lit("1997-01-01") &&
+          $"l_discount" >= 0.02 && $"l_discount" <= 0.06 &&
+          $"l_quantity" < 25.0)
+        .agg(
+          round(sum($"l_extendedprice" * $"l_discount"), 2).as("revenue"),
+          count(lit(1)).as("n"))
+    }),
+    "q_count_distinct" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem").agg(
+        countDistinct($"l_partkey").as("n_parts"),
+        countDistinct($"l_suppkey").as("n_supp"),
+        count(lit(1)).as("n"))
+    }),
+    "q_having" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .groupBy($"l_suppkey")
+        .agg(round(sum($"l_quantity"), 2).as("total_qty"))
+        .filter($"total_qty" > 15000.0)
+        .orderBy($"l_suppkey")
+    }),
+    "q_case_bucket" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .withColumn("bucket",
+          when($"o_totalprice" < 100000.0, "low")
+            .when($"o_totalprice" < 250000.0, "mid")
+            .otherwise("high"))
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n"), round(avg($"o_totalprice"), 2).as("avg_price"))
+        .orderBy($"bucket")
+    }),
+    "q_events_daily" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .groupBy($"event_type", date_trunc("day", $"ts").cast("date").as("d"))
+        .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("total"))
+        .orderBy($"event_type", $"d")
+    }),
+
+    // --- joins (link navigation / implicit joins, §2.7) ---
+    "q_link_nav" -> ((s, dir) => {
+      // customer.nation.region.name — the reference's multi-hop link
+      // chain (SQLSelectProjectionsTest.java:95-117) as broadcast joins.
+      import s.implicits._
+      val c = t(s, dir, "customer")
+      val n = broadcast(t(s, dir, "nation"))
+      val r = broadcast(t(s, dir, "region"))
+      c.join(n, c("c_nationkey") === n("n_nationkey"))
+        .join(r, n("n_regionkey") === r("r_regionkey"))
+        .select($"c_custkey", $"n_name", $"r_name")
+        .orderBy($"c_custkey")
+    }),
+    "q3_top_revenue_orders" -> ((s, dir) => {
+      import s.implicits._
+      val c = t(s, dir, "customer").filter($"c_mktsegment" === "BUILDING")
+      val o = t(s, dir, "orders").filter($"o_orderdate" < lit("1998-01-01"))
+      val l = t(s, dir, "lineitem").filter($"l_shipdate" > lit("1997-01-01"))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy($"l_orderkey")
+        .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2)
+          .as("revenue"))
+        .orderBy($"revenue".desc, $"l_orderkey")
+        .limit(10)
+    }),
+    "q5_nation_revenue" -> ((s, dir) => {
+      import s.implicits._
+      val l = t(s, dir, "lineitem")
+      val sup = broadcast(t(s, dir, "supplier"))
+      val n = broadcast(t(s, dir, "nation"))
+      val r = broadcast(t(s, dir, "region"))
+      l.join(sup, l("l_suppkey") === sup("s_suppkey"))
+        .join(n, sup("s_nationkey") === n("n_nationkey"))
+        .join(r, n("n_regionkey") === r("r_regionkey"))
+        .groupBy($"r_name", $"n_name")
+        .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2)
+          .as("revenue"))
+        .orderBy($"r_name", $"n_name")
+    }),
+    "q_semi_join" -> ((s, dir) => {
+      import s.implicits._
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter($"o_totalprice" > 400000.0)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select($"c_custkey", $"c_name")
+        .orderBy($"c_custkey")
+    }),
+    "q_anti_join" -> ((s, dir) => {
+      import s.implicits._
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter($"o_totalprice" > 450000.0)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select($"c_custkey", $"c_name")
+        .orderBy($"c_custkey")
+    }),
+
+    // --- window / set ops ---
+    "q_window_rank" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"c_mktsegment")
+        .orderBy($"c_acctbal".desc, $"c_custkey")
+      t(s, dir, "customer")
+        .withColumn("rnk", row_number().over(w))
+        .filter($"rnk" <= 5)
+        .select($"c_mktsegment", $"c_custkey", $"c_acctbal", $"rnk")
+        .orderBy($"c_mktsegment", $"rnk")
+    }),
+    "q_union_names" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "nation").select($"n_name".as("name"))
+        .union(t(s, dir, "region").select($"r_name".as("name")))
+        .distinct()
+        .orderBy($"name")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_filter_like" ->
+      """SELECT c_custkey, c_name FROM customer
+        | WHERE c_name LIKE '%1%' AND c_mktsegment = 'BUILDING'
+        | ORDER BY c_custkey""".stripMargin,
+    "q_filter_in" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        | WHERE o_orderstatus IN ('P','F') AND o_totalprice > 200000.0
+        | ORDER BY o_orderkey""".stripMargin,
+    "q_filter_between" ->
+      """SELECT l_linestatus, count(*) AS n, round(sum(l_quantity), 2) AS qty
+        | FROM lineitem
+        | WHERE l_quantity >= 10.0 AND l_quantity <= 20.0 AND l_returnflag = 'R'
+        | GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    "q_filter_matches" ->
+      """SELECT p_partkey, p_type FROM part
+        | WHERE regexp_matches(p_type, '^ECONOMY') ORDER BY p_partkey""".stripMargin,
+    "q_string_chain" ->
+      """SELECT p_partkey, upper(p_name) AS uname, substring(p_name, 1, 5) AS pfx,
+        |   length(p_name) AS nlen, p_brand || '-' || p_type AS bt
+        | FROM part ORDER BY p_partkey""".stripMargin,
+    "q_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        | ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q_distinct" ->
+      "SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment",
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |   round(sum(l_quantity), 2) AS sum_qty,
+        |   round(sum(l_extendedprice), 2) AS sum_base_price,
+        |   round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        |   round(avg(l_quantity), 4) AS avg_qty,
+        |   round(avg(l_discount), 4) AS avg_disc,
+        |   count(*) AS count_order
+        | FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        | GROUP BY l_returnflag, l_linestatus
+        | ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q6_forecast_revenue" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+        |   count(*) AS n
+        | FROM lineitem
+        | WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |   AND l_shipdate < TIMESTAMP '1997-01-01'
+        |   AND l_discount >= 0.02 AND l_discount <= 0.06
+        |   AND l_quantity < 25.0""".stripMargin,
+    "q_count_distinct" ->
+      """SELECT count(DISTINCT l_partkey) AS n_parts,
+        |   count(DISTINCT l_suppkey) AS n_supp, count(*) AS n
+        | FROM lineitem""".stripMargin,
+    "q_having" ->
+      """SELECT l_suppkey, round(sum(l_quantity), 2) AS total_qty
+        | FROM lineitem GROUP BY l_suppkey
+        | HAVING round(sum(l_quantity), 2) > 15000.0
+        | ORDER BY l_suppkey""".stripMargin,
+    "q_case_bucket" ->
+      """SELECT CASE WHEN o_totalprice < 100000.0 THEN 'low'
+        |   WHEN o_totalprice < 250000.0 THEN 'mid' ELSE 'high' END AS bucket,
+        |   count(*) AS n, round(avg(o_totalprice), 2) AS avg_price
+        | FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q_events_daily" ->
+      """SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+        |   count(*) AS n, round(sum(value), 2) AS total
+        | FROM events GROUP BY event_type, d
+        | ORDER BY event_type, d""".stripMargin,
+    "q_link_nav" ->
+      """SELECT c_custkey, n_name, r_name FROM customer
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        | ORDER BY c_custkey""".stripMargin,
+    "q3_top_revenue_orders" ->
+      """SELECT l_orderkey,
+        |   round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        | FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | WHERE c_mktsegment = 'BUILDING'
+        |   AND o_orderdate < TIMESTAMP '1998-01-01'
+        |   AND l_shipdate > TIMESTAMP '1997-01-01'
+        | GROUP BY l_orderkey
+        | ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_nation_revenue" ->
+      """SELECT r_name, n_name,
+        |   round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        | FROM lineitem
+        | JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN nation ON s_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        | GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        | WHERE EXISTS (SELECT 1 FROM orders
+        |   WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+        | ORDER BY c_custkey""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        | WHERE NOT EXISTS (SELECT 1 FROM orders
+        |   WHERE o_custkey = c_custkey AND o_totalprice > 450000.0)
+        | ORDER BY c_custkey""".stripMargin,
+    "q_window_rank" ->
+      """SELECT c_mktsegment, c_custkey, c_acctbal, rnk FROM (
+        |   SELECT c_mktsegment, c_custkey, c_acctbal,
+        |     row_number() OVER (PARTITION BY c_mktsegment
+        |       ORDER BY c_acctbal DESC, c_custkey) AS rnk
+        |   FROM customer) WHERE rnk <= 5
+        | ORDER BY c_mktsegment, rnk""".stripMargin,
+    "q_union_names" ->
+      """SELECT DISTINCT name FROM (
+        |   SELECT n_name AS name FROM nation
+        |   UNION ALL SELECT r_name AS name FROM region)
+        | ORDER BY name""".stripMargin
+  )
+}

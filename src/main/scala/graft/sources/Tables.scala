@@ -1,0 +1,32 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-provided deterministic parquet tables
+  * (TESTDATA.md). The engine treats each table as a "class" in the
+  * reference's sense (SURVEY.md §1.1: class → one table; cluster →
+  * partition of the table); a scale-out deployment would point these
+  * at partitioned/bucketed parquet or Delta roots instead of single
+  * files — the API takes a directory, never a hard-coded path.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events") {
+      // events.ts is TIMESTAMP(NANOS) parquet, which Spark refuses by
+      // default; read nanos as long and truncate to micros (same
+      // truncation DuckDB applies when casting ns -> its us timestamps).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    } else spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** Register every table as a temp view so spark.sql(...) works too. */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}
