@@ -1,0 +1,155 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Class registry (SURVEY.md §1.1: OClass → table, single inheritance,
+  * polymorphic scans; LINK fields → FK joins).
+  *
+  * Reference model: `OClass.java:34-46` (superClass, polymorphicClusterIds),
+  * `OProperty` LINK types (`OType.java:64-71`). Our links are declared
+  * FK relationships: `field` on `cls` navigates to rows of `target`
+  * where `cls.srcKey == target.dstKey`. `multi=false` is a LINK
+  * (at most one target row), `multi=true` a LINKLIST/LINKSET
+  * (one-to-many — navigation explodes).
+  *
+  * Scale note: each class is backed by a provider function so a
+  * deployment can point it at a partitioned/bucketed parquet or Delta
+  * root; nothing here assumes single files or collects to the driver.
+  */
+final case class LinkSpec(field: String, target: String, srcKey: String,
+    dstKey: String, multi: Boolean = false)
+
+final case class ClassDef(
+    name: String,
+    provider: SparkSession => DataFrame,
+    superClass: Option[String] = None,
+    links: Seq[LinkSpec] = Nil,
+    /** synthetic cluster id for `_rid` (`#<cluster>:<pos>`) */
+    clusterId: Int = -1,
+    /** column holding a deterministic per-row position for `_rid`;
+      * None → class has no RID surface (RID queries on it fail). */
+    ridPosCol: Option[String] = None)
+
+final class Catalog(spark: SparkSession) {
+  private val classes = scala.collection.mutable.LinkedHashMap[String, ClassDef]()
+
+  def register(defn: ClassDef): Catalog = {
+    classes(defn.name.toLowerCase) = defn; this
+  }
+
+  def get(name: String): ClassDef =
+    classes.getOrElse(name.toLowerCase,
+      throw Parser.ParseException(s"unknown class '$name'"))
+
+  def contains(name: String): Boolean = classes.contains(name.toLowerCase)
+  def all: Seq[ClassDef] = classes.values.toSeq
+
+  def subclassesOf(name: String): Seq[ClassDef] =
+    classes.values.filter(_.superClass.exists(_.equalsIgnoreCase(name))).toSeq
+
+  def byClusterId(id: Int): Option[ClassDef] =
+    classes.values.find(_.clusterId == id)
+
+  /** Raw (non-polymorphic) table of one class, with `_rid` and `_class`
+    * metadata columns attached when the class declares a rid column
+    * (`@rid`/`@class` pseudo-attributes, `OSQLFilterItemRecordAttrib`). */
+  def table(name: String): DataFrame = {
+    val d = get(name)
+    val df = d.provider(spark)
+    d.ridPosCol match {
+      case Some(pc) =>
+        df.withColumn("_rid",
+            struct(lit(d.clusterId).as("clusterId"),
+              col(pc).cast("long").as("pos")))
+          .withColumn("_class", lit(d.name))
+      case None => df.withColumn("_class", lit(d.name))
+    }
+  }
+
+  /** Polymorphic scan: the class plus all transitive subclasses,
+    * unioned by name with nulls for missing columns — the Spark
+    * equivalent of `getPolymorphicClusterIds()` cluster iteration
+    * (`OClass.java`, `ORecordIteratorClass.java:36-77`). */
+  def polymorphicScan(name: String): DataFrame = {
+    val direct = table(name)
+    val subs = subclassesOf(get(name).name)
+    subs.foldLeft(direct) { (acc, sub) =>
+      acc.unionByName(polymorphicScan(sub.name), allowMissingColumns = true)
+    }
+  }
+
+  def linkOf(cls: ClassDef, field: String): Option[LinkSpec] = {
+    cls.links.find(_.field.equalsIgnoreCase(field)).orElse(
+      cls.superClass.flatMap(s => linkOf(get(s), field)))
+  }
+
+  // ---- mutation (DML/DDL surface, §2.9) ---------------------------
+  /** replace a class's backing data (INSERT/UPDATE/DELETE rewrite). */
+  def replaceData(name: String, df: DataFrame): Unit = {
+    val d = get(name)
+    classes(d.name.toLowerCase) = d.copy(provider = _ => df)
+  }
+
+  def addLink(clsName: String, spec: LinkSpec): Unit = {
+    val d = get(clsName)
+    classes(d.name.toLowerCase) =
+      d.copy(links = d.links.filterNot(
+        _.field.equalsIgnoreCase(spec.field)) :+ spec)
+  }
+
+  def drop(name: String): Unit = classes.remove(name.toLowerCase)
+
+  private var nextClusterId = 1000
+
+  def createClass(name: String, superClass: Option[String]): ClassDef = {
+    val schema = org.apache.spark.sql.types.StructType(Nil)
+    nextClusterId += 1
+    val d = ClassDef(name,
+      s => s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema),
+      superClass, Nil, nextClusterId, None)
+    register(d); d
+  }
+
+  // ---- index registry (CREATE/REMOVE INDEX §2.9) ------------------
+  /** (class, field) → kind (UNIQUE | NOTUNIQUE | FULLTEXT). Indexes are
+    * advisory in a columnar engine (Catalyst pushdown replaces the
+    * MVRB-tree); UNIQUE additionally enforces a write-path check. */
+  val indexes = scala.collection.mutable.Map[(String, String), String]()
+}
+
+object Catalog {
+  /** Catalog over the driver testdata (TESTDATA.md): TPC-H-ish star
+    * schema modeled as reference classes with LINK fields following the
+    * foreign keys (customer→nation→region, etc.). */
+  def forTestdata(spark: SparkSession, dir: String): Catalog = {
+    import graft.sources.Tables
+    val cat = new Catalog(spark)
+    def cd(name: String, clusterId: Int, pk: String, links: LinkSpec*) =
+      ClassDef(name, s => Tables.load(s, dir, name), None, links.toSeq,
+        clusterId, Some(pk))
+    cat.register(cd("region", 1, "r_regionkey",
+        LinkSpec("nations", "nation", "r_regionkey", "n_regionkey", multi = true)))
+      .register(cd("nation", 2, "n_nationkey",
+        LinkSpec("region", "region", "n_regionkey", "r_regionkey")))
+      .register(cd("customer", 3, "c_custkey",
+        LinkSpec("nation", "nation", "c_nationkey", "n_nationkey"),
+        LinkSpec("orders", "orders", "c_custkey", "o_custkey", multi = true)))
+      .register(cd("supplier", 4, "s_suppkey",
+        LinkSpec("nation", "nation", "s_nationkey", "n_nationkey")))
+      .register(cd("part", 5, "p_partkey"))
+      .register(cd("orders", 6, "o_orderkey",
+        LinkSpec("customer", "customer", "o_custkey", "c_custkey"),
+        LinkSpec("lineitems", "lineitem", "o_orderkey", "l_orderkey", multi = true)))
+      .register(ClassDef("lineitem", s => Tables.load(s, dir, "lineitem"),
+        None, Seq(
+          LinkSpec("order", "orders", "l_orderkey", "o_orderkey"),
+          LinkSpec("part", "part", "l_partkey", "p_partkey"),
+          LinkSpec("supplier", "supplier", "l_suppkey", "s_suppkey")),
+        7, None)) // lineitem has no single-column pk → no RID surface
+      .register(cd("events", 8, "event_id"))
+      .register(cd("documents", 9, "doc_id"))
+      .register(cd("embeddings", 10, "vec_id"))
+  }
+}

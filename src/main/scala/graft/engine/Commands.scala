@@ -1,0 +1,178 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import scala.jdk.CollectionConverters._
+
+/** DML/DDL execution (SURVEY.md §2.9). The reference rides every write
+  * through the SELECT scan then mutates record-by-record
+  * (`OCommandExecutorSQLUpdate.java:116-124`); here each command is one
+  * declarative DataFrame rewrite of the class's data — the same shape a
+  * Delta `MERGE INTO`/`UPDATE`/`DELETE` takes on a real deployment,
+  * where `Catalog.replaceData` would be a transactional table commit
+  * instead of a provider swap.
+  *
+  * Every command returns a 1-row DataFrame `{count: long}` mirroring
+  * the reference's returned record count.
+  */
+object Commands {
+  import Ast._
+
+  def execute(session: GraftSession, stmt: Stmt): DataFrame = {
+    val spark = session.spark
+    val cat = session.catalog
+    stmt match {
+      case s: InsertStmt => insert(session, s)
+      case s: UpdateStmt => update(session, s)
+      case s: DeleteStmt => delete(session, s)
+      case CreateClassStmt(name, sup) =>
+        cat.createClass(name, sup); one(spark, 1)
+      case CreatePropertyStmt(cls, field, tpe, _) =>
+        val df = cat.table(cls).drop("_rid", "_class")
+        cat.replaceData(cls,
+          if (df.columns.exists(_.equalsIgnoreCase(field))) df
+          else df.withColumn(field, lit(null).cast(oTypeToSpark(tpe))))
+        one(spark, 1)
+      case RemovePropertyStmt(cls, field) =>
+        cat.replaceData(cls, cat.table(cls).drop("_rid", "_class", field))
+        one(spark, 1)
+      case CreateIndexStmt(cls, field, kind) =>
+        if (kind == "UNIQUE") {
+          // write-path uniqueness check replaces the MVRB-tree insert
+          // guard (OPropertyIndexUnique): reject if duplicates exist
+          val dups = cat.table(cls).groupBy(col(field)).count()
+            .filter(col("count") > 1).limit(1).count()
+          if (dups > 0) throw new IllegalStateException(
+            s"cannot create UNIQUE index on $cls.$field: duplicate keys")
+        }
+        cat.indexes((cls.toLowerCase, field.toLowerCase)) = kind
+        one(spark, 1)
+      case RemoveIndexStmt(cls, field) =>
+        cat.indexes.remove((cls.toLowerCase, field.toLowerCase))
+        one(spark, 1)
+      case s: CreateLinkStmt => createLink(session, s)
+      case _: SelectStmt =>
+        throw new IllegalArgumentException("SELECT handled by query()")
+    }
+  }
+
+  private def one(spark: SparkSession, n: Long): DataFrame = {
+    spark.createDataFrame(
+      List(Row(n)).asJava, StructType(Seq(StructField("count", LongType))))
+  }
+
+  /** OType name → Spark type (SURVEY.md §1.3 mapping). */
+  def oTypeToSpark(t: String): DataType = t.toUpperCase match {
+    case "BOOLEAN" => BooleanType
+    case "INTEGER" => IntegerType
+    case "SHORT" => ShortType
+    case "LONG" => LongType
+    case "BYTE" => ByteType
+    case "FLOAT" => FloatType
+    case "DOUBLE" => DoubleType
+    case "DATE" => TimestampType
+    case "STRING" => StringType
+    case "BINARY" => BinaryType
+    case "EMBEDDEDLIST" | "EMBEDDEDSET" | "LINKLIST" | "LINKSET" =>
+      ArrayType(StringType)
+    case "EMBEDDEDMAP" | "LINKMAP" => MapType(StringType, StringType)
+    case "LINK" =>
+      StructType(Seq(StructField("clusterId", IntegerType),
+        StructField("pos", LongType)))
+    case other => throw new IllegalArgumentException(s"unknown type $other")
+  }
+
+  private def litOf(e: SqlExpr): org.apache.spark.sql.Column = e match {
+    case Lit(null) => lit(null)
+    case Lit(v) => lit(v)
+    case RidLit(c, p) => struct(lit(c).as("clusterId"), lit(p).as("pos"))
+    case ListLit(items) => array(items.map(litOf): _*)
+    case other => throw new IllegalArgumentException(s"unsupported value $other")
+  }
+
+  private def insert(session: GraftSession, s: InsertStmt): DataFrame = {
+    val cat = session.catalog
+    val existing = cat.table(s.cls).drop("_rid", "_class")
+    // one-row DataFrame with the provided fields, null-extended to the
+    // class schema (schema-less extras become new columns)
+    var row = session.spark.range(1).select(
+      s.fields.zip(s.values).map { case (f, v) => litOf(v).as(f) }: _*)
+    val allCols = (existing.columns ++
+      row.columns.filterNot(c => existing.columns.contains(c))).toSeq
+    def extend(df: DataFrame): DataFrame =
+      df.select(allCols.map(c =>
+        if (df.columns.contains(c)) col(c) else lit(null).as(c)): _*)
+    val merged =
+      if (existing.isEmpty && existing.columns.isEmpty) row
+      else extend(existing).unionByName(extend(row).select(allCols.map(col): _*))
+    cat.replaceData(s.cls, merged)
+    one(session.spark, 1)
+  }
+
+  private def update(session: GraftSession, s: UpdateStmt): DataFrame = {
+    val cat = session.catalog
+    val cls = cat.get(s.cls)
+    val table = cat.table(s.cls)
+    val hit = s.where
+      .map(w => session.translator.compileCondLenient(table, cls, w))
+      .getOrElse(lit(true))
+    val n = table.filter(hit).count()
+    val updated = s.ops.foldLeft(table.withColumn("__hit", hit)) {
+      case (df, SetField(f, v)) =>
+        df.withColumn(f, when(col("__hit"), litOf(v))
+          .otherwise(if (df.columns.exists(_.equalsIgnoreCase(f))) col(f)
+            else lit(null)))
+      case (df, AddToCollection(f, v)) =>
+        df.withColumn(f, when(col("__hit"),
+          array_union(coalesce(col(f), array()), array(litOf(v))))
+          .otherwise(col(f)))
+      case (df, RemoveFromCollection(f, Some(v))) =>
+        df.withColumn(f, when(col("__hit"), array_remove(col(f), litOf(v)))
+          .otherwise(col(f)))
+      case (df, RemoveFromCollection(f, None)) =>
+        // REMOVE field (no value): null the field (columnar model can't
+        // drop per-record fields — documented deviation)
+        df.withColumn(f, when(col("__hit"), lit(null)).otherwise(col(f)))
+      case (df, PutToMap(f, k, v)) =>
+        df.withColumn(f, when(col("__hit"),
+          map_concat(
+            map_filter(coalesce(col(f), map()), (mk, _) => mk =!= litOf(k)),
+            map(litOf(k), litOf(v))))
+          .otherwise(col(f)))
+    }.drop("__hit", "_rid", "_class")
+    cat.replaceData(s.cls, updated)
+    one(session.spark, n)
+  }
+
+  private def delete(session: GraftSession, s: DeleteStmt): DataFrame = {
+    val cat = session.catalog
+    val cls = cat.get(s.cls)
+    val table = cat.table(s.cls)
+    val hit = s.where
+      .map(w => session.translator.compileCondLenient(table, cls, w))
+      .getOrElse(lit(true))
+    val n = table.filter(hit).count()
+    cat.replaceData(s.cls,
+      table.filter(!coalesce(hit, lit(false))).drop("_rid", "_class"))
+    one(session.spark, n)
+  }
+
+  /** CREATE LINK … FROM c1.f1 TO c2.f2 [INVERSE]
+    * (`OCommandExecutorSQLCreateLink.java:42-159`): the reference
+    * materializes RID references by a one-time value-equality join. In
+    * the FK-link model the equi-join IS the link — we register the
+    * LinkSpec; INVERSE registers the reverse multi-link on the target. */
+  private def createLink(session: GraftSession, s: CreateLinkStmt): DataFrame = {
+    val cat = session.catalog
+    val name = s.name.getOrElse(s.toCls.toLowerCase)
+    cat.addLink(s.fromCls, LinkSpec(name, s.toCls, s.fromField, s.toField))
+    if (s.inverse)
+      cat.addLink(s.toCls,
+        LinkSpec(s.fromCls.toLowerCase + "s", s.fromCls, s.toField,
+          s.fromField, multi = true))
+    val n = cat.table(s.fromCls).join(cat.table(s.toCls).drop("_rid", "_class"),
+      col(s.fromField) === col(s.toField)).count()
+    one(session.spark, n)
+  }
+}

@@ -1,0 +1,140 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed TRAVERSE (`OQueryOperatorTraverse.java:40-176`): true for
+  * a record when some document reachable over link fields within depth
+  * `[start, end]` satisfies the inner condition; cycle-safe via a
+  * visited set; `end = -1` = unbounded.
+  *
+  * The reference recurses per-record on the driver thread with an
+  * in-memory visited set. Here the whole frontier is a DataFrame of
+  * `(origin, node)` id pairs per class — each expansion round is one
+  * distributed join, so a 100 TB graph never funnels through the
+  * driver; the driver only runs the (bounded) loop.
+  *
+  * Depth semantics (documented deviation from the reference's
+  * collection-vs-single-link level quirk): the record itself is depth
+  * 0; following any link costs 1. `fields` (when given) restricts which
+  * link fields are followed at every level; a non-`any()` left field
+  * restricts only the first hop.
+  */
+object Traverse {
+
+  /** @return single-column DataFrame `__origin`: keys of base-class
+    *         rows whose traversal matched. */
+  def matchedOrigins(
+      catalog: Catalog,
+      baseCls: ClassDef,
+      tc: Ast.TraverseCond,
+      maxDepth: Int,
+      compileCond: (DataFrame, ClassDef, Ast.Cond) => Column): DataFrame = {
+
+    val key0 = baseCls.ridPosCol.get
+    val fieldFilter: Option[Set[String]] =
+      if (tc.fields.nonEmpty)
+        Some(tc.fields.map(_.toLowerCase).toSet.filterNot(_ == "any()"))
+          .filter(_.nonEmpty)
+      else None
+    val firstHop: Option[String] = tc.left.segs match {
+      case Ast.FieldSeg(f) :: Nil => Some(f.toLowerCase)
+      case _ => None // any() / all() → all links
+    }
+
+    def links(cls: ClassDef, depth: Int): Seq[LinkSpec] = {
+      val all = cls.links.filter(l => catalog.get(l.target).ridPosCol.isDefined)
+      val byFields = fieldFilter match {
+        case Some(fs) => all.filter(l => fs.contains(l.field.toLowerCase))
+        case None => all
+      }
+      if (depth == 0) firstHop match {
+        case Some(f) => byFields.filter(_.field.toLowerCase == f)
+        case None => byFields
+      } else byFields
+    }
+
+    val end = if (tc.end < 0) maxDepth else math.min(tc.end, maxDepth)
+
+    // per-class frontier/visited of (__origin, __node) pairs
+    var frontier: Map[String, DataFrame] = {
+      val t = catalog.table(baseCls.name)
+      // checkpoint breaks lineage: frontiers re-join the class tables
+      // every round, which Spark otherwise flags as ambiguous self-joins
+      Map(baseCls.name.toLowerCase ->
+        t.select(col(key0).as("__origin"), col(key0).as("__node"))
+          .localCheckpoint(true))
+    }
+    var visited: Map[String, DataFrame] = frontier
+    val matchedParts = scala.collection.mutable.ListBuffer[DataFrame]()
+
+    var depth = 0
+    while (depth <= end && frontier.nonEmpty) {
+      if (depth >= tc.start) {
+        frontier.foreach { case (cn, fdf) =>
+          val cls = catalog.get(cn)
+          val t = catalog.table(cn)
+          val cond = compileCond(t, cls, tc.inner)
+          val hit = t.filter(cond)
+            .select(col(cls.ridPosCol.get).as("__node2"))
+          matchedParts += fdf.join(hit, fdf("__node") === col("__node2"))
+            .select(col("__origin"))
+        }
+      }
+      if (depth < end) {
+        val next = scala.collection.mutable.Map[String, DataFrame]()
+        frontier.foreach { case (cn, fdf) =>
+          val cls = catalog.get(cn)
+          val t = catalog.table(cn)
+          links(cls, depth).foreach { l =>
+            val target = catalog.get(l.target)
+            val tt = catalog.table(l.target)
+            // node → neighbor key via the FK edge (one distributed join;
+            // the visited-minus keeps the frontier monotone shrinking)
+            val edges = t.select(col(cls.ridPosCol.get).as("__node2"),
+                col(l.srcKey).as("__sk"))
+              .join(tt.select(col(l.dstKey).as("__dk"),
+                col(target.ridPosCol.get).as("__tk")),
+                col("__sk") === col("__dk"))
+              .select(col("__node2"), col("__tk"))
+            val stepped = fdf.join(edges, fdf("__node") === col("__node2"))
+              .select(col("__origin"), col("__tk").as("__node"))
+              .distinct()
+            val tn = l.target.toLowerCase
+            next(tn) = next.get(tn) match {
+              case Some(d) => d.unionByName(stepped).distinct()
+              case None => stepped
+            }
+          }
+        }
+        // subtract visited (cycle safety), update visited
+        frontier = next.toMap.flatMap { case (cn, d) =>
+          val unseen = visited.get(cn) match {
+            case Some(v) => d.join(v,
+              d("__origin") === v("__origin") && d("__node") === v("__node"),
+              "left_anti")
+            case None => d
+          }
+          // truncate lineage per round — iterative joins otherwise grow
+          // the plan exponentially (same role as GraphX's checkpointing)
+          val mat = unseen.localCheckpoint(true)
+          if (mat.isEmpty) None else Some(cn -> mat)
+        }
+        visited = (visited.keySet ++ frontier.keySet).map { cn =>
+          (visited.get(cn), frontier.get(cn)) match {
+            case (Some(v), Some(f)) => cn -> v.unionByName(f)
+            case (Some(v), None) => cn -> v
+            case (None, Some(f)) => cn -> f
+            case (None, None) => cn -> frontier(cn) // unreachable
+          }
+        }.toMap
+      }
+      depth += 1
+    }
+
+    if (matchedParts.isEmpty)
+      // empty result with the right schema
+      catalog.table(baseCls.name).select(col(key0).as("__origin")).limit(0)
+    else matchedParts.reduce(_ unionByName _).distinct()
+  }
+}

@@ -1,0 +1,82 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** SQL-function registry mirroring `OSQLEngine.registerFunction`
+  * (reference `OSQLEngine.java:26-49`: functions are pluggable at
+  * runtime; unknown function → parse error). Functions compile to
+  * Catalyst `Column`s — codegen'd, no UDF in the hot path.
+  */
+final class FunctionRegistry {
+  private val fns =
+    scala.collection.mutable.Map[String, Seq[Column] => Column]()
+  BuiltinFunctions.all.foreach { case (n, f) => fns(n) = f }
+
+  def register(name: String, f: Seq[Column] => Column): Unit =
+    fns(name.toLowerCase) = f
+  def lookup(name: String): Option[Seq[Column] => Column] =
+    fns.get(name.toLowerCase)
+  def contains(name: String): Boolean = fns.contains(name.toLowerCase)
+}
+
+object BuiltinFunctions {
+
+  /** Haversine distance in km, exactly the reference formula
+    * (`OSQLFunctionDistance.java:22-59`: Earth radius 6371 km,
+    * atan2 form; null in → null out). Pure builtin composition —
+    * whole-stage-codegen friendly, no UDF. */
+  def distance(args: Seq[Column]): Column = {
+    val Seq(lat1d, lon1d, lat2d, lon2d) = args.take(4).map(radians)
+    val dLat = lat2d - lat1d
+    val dLon = lon2d - lon1d
+    val a = pow(sin(dLat / 2), 2) +
+      cos(lat1d) * cos(lat2d) * pow(sin(dLon / 2), 2)
+    lit(2) * atan2(sqrt(a), sqrt(lit(1) - a)) * lit(6371.0)
+  }
+
+  val all: Map[String, Seq[Column] => Column] = Map(
+    "distance" -> distance _,
+    // aggregate surface (reference ships only `max` via the function-
+    // context trick, SURVEY.md §2.5-2.6; we expose the standard set)
+    "max" -> ((as: Seq[Column]) => max(as.head)),
+    "min" -> ((as: Seq[Column]) => min(as.head)),
+    "sum" -> ((as: Seq[Column]) => sum(as.head)),
+    "avg" -> ((as: Seq[Column]) => avg(as.head)),
+    "count" -> ((as: Seq[Column]) =>
+      if (as.isEmpty) count(lit(1)) else count(as.head)),
+    "sysdate" -> ((_: Seq[Column]) => current_timestamp())
+  )
+
+  /** Names treated as aggregates by the SELECT translator (a projection
+    * made only of these collapses the result to one row, like the
+    * reference's context-accumulator functions). */
+  val aggregateNames: Set[String] = Set("max", "min", "sum", "avg", "count")
+}
+
+/** FULLTEXT tokenizer replicating `OPropertyIndexFullText` defaults:
+  * ignore chars `" \r\n\t:;,.|+*÷\\=!?[]()'\""` are stripped, tokens
+  * split on whitespace, lower-cased, stop words dropped
+  * (`OPropertyIndexFullText.java:52-55` DEF_IGNORE_CHARS /
+  * DEF_STOP_WORDS; indexing loop `:163-200`).
+  */
+object FullText {
+  val ignoreChars = ":;,.|+*/\\=!?[]()'\""
+  val stopWords: Seq[String] =
+    ("the in a at as and or for his her him this that what which while " +
+      "up with be was is").split(" ").toSeq
+
+  /** tokenize a string column → array<string> of significant words. */
+  def tokens(c: Column): Column = {
+    val stripped = translate(lower(c), ignoreChars, "")
+    array_except(
+      filter(split(stripped, "\\s+"), t => length(t) > 0),
+      lit(stopWords.toArray))
+  }
+
+  /** CONTAINSTEXT predicate (`OQueryOperatorContainsText.java:34-85`):
+    * true when every significant word of the search text occurs in the
+    * tokenized field. */
+  def containsText(field: Column, text: Column): Column =
+    forall(tokens(text), w => array_contains(tokens(field), w))
+}

@@ -1,0 +1,193 @@
+package graft.engine
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+/** Behavioral tests of the dialect engine on the sf0.001 tables —
+  * ported style of the reference's SQLSelectTest/SQLSelectProjectionsTest
+  * (assert invariants over results, not golden files). */
+class DialectSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private lazy val g =
+    GraftSession.forTestdata(spark, "/root/testdata/sf0.001")
+
+  test("select * with where / order / limit") {
+    val rows = g.query(
+      "select from customer where c_mktsegment = 'BUILDING' " +
+        "order by c_custkey limit 5").collect()
+    assert(rows.length == 5)
+    assert(rows.forall(_.getAs[String]("c_mktsegment") == "BUILDING"))
+    val keys = rows.map(_.getAs[Long]("c_custkey"))
+    assert(keys.sorted.sameElements(keys))
+  }
+
+  test("like is %-only, matches anchors whole string") {
+    val likeRows = g.query(
+      "select c_name from customer where c_name like 'Customer%'").count()
+    assert(likeRows > 0)
+    // `_` must be literal, not a wildcard: impossible literal → 0 rows
+    assert(g.query(
+      "select from customer where c_name like 'Custome_%'").count() == 0)
+    val m = g.query(
+      "select p_type from part where p_type matches 'ECON.*'").collect()
+    assert(m.nonEmpty && m.forall(_.getString(0).startsWith("ECON")))
+    assert(g.query(
+      "select from part where p_type matches 'ECON'").count() == 0)
+  }
+
+  test("projections: chains, aliases, duplicate auto-numbering") {
+    val df = g.query(
+      "select c_name.toUpperCase() as up, c_name.left(3), c_name.left(3), " +
+        "c_name.length() as len from customer order by c_custkey limit 3")
+    assert(df.columns.toSeq == Seq("up", "c_name", "c_name2", "len"))
+    val r = df.collect().head
+    assert(r.getAs[String]("up") == r.getAs[String]("up").toUpperCase)
+    assert(r.getAs[String]("c_name").length == 3)
+  }
+
+  test("chain ops match reference semantics") {
+    val r = g.query(
+      "select c_name.substring(1,4) as sub, c_name.charAt(0) as ch, " +
+        "c_name.indexOf('u') as idx, c_name.append('!') as ap, " +
+        "c_name.right(2) as rt from customer order by c_custkey limit 1")
+      .collect().head
+    val name = g.query(
+      "select c_name from customer order by c_custkey limit 1")
+      .collect().head.getString(0)
+    assert(r.getAs[String]("sub") == name.substring(1, 4))
+    assert(r.getAs[String]("ch") == name.substring(0, 1))
+    assert(r.getAs[Int]("idx") == name.indexOf('u'))
+    assert(r.getAs[String]("ap") == name + "!")
+    assert(r.getAs[String]("rt") == name.substring(
+      math.min(2, name.length - 1)))
+  }
+
+  test("link navigation joins: customer.nation.region") {
+    val rows = g.query(
+      "select c_custkey, nation.n_name as nn, nation.region.r_name as rn " +
+        "from customer where nation.region.r_name = 'ASIA' " +
+        "order by c_custkey limit 10").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[String]("rn") == "ASIA"))
+  }
+
+  test("multi-link: size() and contains(cond)") {
+    val withOrders = g.query(
+      "select c_custkey, orders.size() as n from customer " +
+        "where orders.size() > 0 order by c_custkey").collect()
+    val o = g.catalog.table("orders")
+    val expect = o.select(countDistinct(col("o_custkey"))).collect()(0).getLong(0)
+    assert(withOrders.length == expect)
+
+    val big = g.query(
+      "select c_custkey from customer where orders contains " +
+        "(o_totalprice > 400000) order by c_custkey").collect()
+      .map(_.getLong(0))
+    val expectBig = o.filter(col("o_totalprice") > 400000)
+      .select("o_custkey").distinct().collect().map(_.getLong(0)).sorted
+    assert(big.sameElements(expectBig))
+  }
+
+  test("rid target, @attributes, range") {
+    val r = g.query("select @rid, @class, c_name from 3:7").collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Row]("rid").getLong(1) == 7L)
+    assert(r.head.getAs[String]("class") == "customer")
+
+    val multi = g.query("select from [3:1, 3:2, 2:0]").collect()
+    assert(multi.length == 3)
+
+    val page = g.query(
+      "select c_custkey from customer range 3:10, 3:14 order by c_custkey")
+      .collect().map(_.getLong(0))
+    assert(page.sameElements(Seq(10L, 11L, 12L, 13L, 14L)))
+  }
+
+  test("any() across fields") {
+    val rows = g.query(
+      "select from region where any() = 'ASIA'").collect()
+    assert(rows.length == 1)
+    val rows2 = g.query(
+      "select from nation where any() like 'NATION_2%'").collect()
+    assert(rows2.nonEmpty)
+  }
+
+  test("in / between-style / booleans / parens precedence") {
+    val n = g.query(
+      "select from orders where o_orderstatus in ['P','F'] " +
+        "and (o_totalprice > 300000 or o_totalprice < 1000)").count()
+    val o = g.catalog.table("orders")
+    val expect = o.filter(col("o_orderstatus").isin("P", "F") &&
+      (col("o_totalprice") > 300000 || col("o_totalprice") < 1000)).count()
+    assert(n == expect && n > 0)
+  }
+
+  test("containstext full-text word match") {
+    val hits = g.query(
+      "select doc_id from documents where text containstext 'the'")
+    // 'the' is a stop word → matches everything (vacuous forall)
+    assert(hits.count() == g.catalog.table("documents").count())
+    val specific = g.query(
+      "select doc_id, text from documents where text containstext 'data'")
+      .collect()
+    assert(specific.forall(_.getAs[String]("text").toLowerCase.contains("data")))
+  }
+
+  test("traverse: customers reaching ASIA within 2 hops") {
+    val got = g.query(
+      "select c_custkey from customer where any() traverse(1,2) " +
+        "(r_name = 'ASIA') order by c_custkey").collect().map(_.getLong(0))
+    val c = g.catalog.table("customer")
+    val nat = g.catalog.table("nation")
+    val reg = g.catalog.table("region").filter(col("r_name") === "ASIA")
+    val expect = c.join(nat, col("c_nationkey") === col("n_nationkey"))
+      .join(reg, col("n_regionkey") === col("r_regionkey"))
+      .select("c_custkey").collect().map(_.getLong(0)).sorted
+    assert(got.sameElements(expect))
+    // depth 1 only cannot reach region from customer
+    assert(g.query(
+      "select from customer where any() traverse(1,1) (r_name = 'ASIA')")
+      .count() == 0)
+  }
+
+  test("flatten explodes link collections") {
+    val df = g.query("select flatten(orders) from customer " +
+      "where c_custkey = 1")
+    val expect = g.catalog.table("orders")
+      .filter(col("o_custkey") === 1).count()
+    assert(df.count() == expect)
+    assert(df.columns.contains("o_orderkey"))
+  }
+
+  test("aggregate functions collapse to one row") {
+    val r = g.query(
+      "select max(o_totalprice) as mx, count() as n from orders")
+      .collect().head
+    val o = g.catalog.table("orders")
+    assert(r.getAs[Long]("n") == o.count())
+    assert(r.getAs[Double]("mx") ==
+      o.agg(max("o_totalprice")).collect().head.getDouble(0))
+  }
+
+  test("registered functions: distance + custom") {
+    g.registerFunction("bigger", args => greatest(args: _*))
+    val r = g.query("select bigger(o_totalprice, 100000) as b from orders " +
+      "order by o_orderkey limit 1").collect().head
+    assert(r.getAs[Double]("b") >= 100000.0)
+    // haversine: London->Cambridge ~79km (GEOTest.java uses 52.20472,0.14056)
+    val d = g.query(
+      "select distance(51.5074, -0.1278, 52.20472, 0.14056) as d " +
+        "from region limit 1").collect().head.getAs[Double]("d")
+    assert(d > 70 && d < 90)
+  }
+
+  test("parse errors on malformed queries (WrongQueryTest style)") {
+    intercept[Parser.ParseException](g.query("select from"))
+    intercept[Parser.ParseException](
+      g.query("select from customer where c_name ??? 3"))
+    intercept[Parser.ParseException](
+      g.query("select notafunction(c_name) from customer"))
+  }
+}
