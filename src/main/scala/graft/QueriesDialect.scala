@@ -1,0 +1,162 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.GraftSession
+
+/** Dialect-engine corpus: every query here goes through the FULL
+  * reference-SQL path (Parser → AST → Translator → Catalyst) via
+  * [[GraftSession.query]], and is hash-checked against a DuckDB oracle
+  * expressing the same semantics in ANSI SQL. This puts the parser,
+  * link-join planner, chain compiler, TRAVERSE BFS and full-text
+  * tokenizer under the driver's correctness gate.
+  */
+object QueriesDialect {
+
+  private val sessions =
+    scala.collection.mutable.Map[(SparkSession, String), GraftSession]()
+  private def g(s: SparkSession, dir: String): GraftSession = synchronized {
+    sessions.getOrElseUpdate((s, dir), {
+      val gs = GraftSession.forTestdata(s, dir)
+      // registerFunction surface (OSQLEngine.registerFunction parity)
+      gs.registerFunction("round3", as => round(as.head, 3))
+      gs
+    })
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qd_select_filter_sort" -> ((s, dir) => gq(s, dir,
+      "select c_custkey, c_name, c_acctbal from customer " +
+        "where c_mktsegment = 'BUILDING' and c_acctbal > 1000 " +
+        "order by c_custkey limit 50")),
+    "qd_chains" -> ((s, dir) => gq(s, dir,
+      "select p_partkey, p_name.toUpperCase() as uname, " +
+        "p_name.left(5) as pfx, p_name.length() as nlen, " +
+        "p_name.append('!').prefix('x ') as deco, " +
+        "p_brand.substring(1,4) as subs, p_name.indexOf('a') as idx " +
+        "from part order by p_partkey")),
+    "qd_like_in_parens" -> ((s, dir) => gq(s, dir,
+      "select o_orderkey, o_totalprice from orders " +
+        "where o_orderstatus in ['P','F'] and " +
+        "(o_totalprice > 300000 or o_totalprice < 1000) " +
+        "order by o_orderkey")),
+    "qd_matches" -> ((s, dir) => gq(s, dir,
+      "select p_partkey from part where p_type matches 'ECON.*' " +
+        "and p_name like '%a%' order by p_partkey")),
+    "qd_link_nav" -> ((s, dir) => gq(s, dir,
+      "select c_custkey, nation.n_name as nn, nation.region.r_name as rn " +
+        "from customer where nation.region.r_name = 'ASIA' " +
+        "order by c_custkey")),
+    "qd_multilink_contains" -> ((s, dir) => gq(s, dir,
+      "select c_custkey, c_name from customer where orders contains " +
+        "(o_totalprice > 400000) order by c_custkey")),
+    "qd_multilink_size" -> ((s, dir) => gq(s, dir,
+      "select c_custkey, orders.size() as n_orders from customer " +
+        "where orders.size() > 15 order by c_custkey")),
+    "qd_flatten" -> ((s, dir) => gq(s, dir,
+      "select flatten(orders) from customer where c_custkey < 10")),
+    "qd_traverse" -> ((s, dir) => gq(s, dir,
+      "select c_custkey from customer where any() traverse(1,2) " +
+        "(r_name = 'ASIA') order by c_custkey")),
+    "qd_range_pagination" -> ((s, dir) => gq(s, dir,
+      "select c_custkey, c_name from customer range 3:100, 3:199 " +
+        "order by c_custkey")),
+    "qd_any_field" -> ((s, dir) => gq(s, dir,
+      "select n_nationkey from nation where any() like 'NATION_1%' " +
+        "order by n_nationkey")),
+    "qd_containstext" -> ((s, dir) => gq(s, dir,
+      "select doc_id from documents where text containstext 'spark stream' " +
+        "order by doc_id")),
+    "qd_registered_fn_distance" -> ((s, dir) => gq(s, dir,
+      "select c_custkey, round3(distance(c_acctbal, c_custkey, 50.0, 10.0)) " +
+        "as d from customer order by c_custkey")),
+    "qd_agg_fn" -> ((s, dir) => gq(s, dir,
+      "select max(o_totalprice) as mx, min(o_totalprice) as mn, " +
+        "count() as n from orders"))
+  )
+
+  private def gq(s: SparkSession, dir: String, sql: String): DataFrame =
+    g(s, dir).query(sql)
+
+  /** DuckDB tokenizer mirroring [[graft.functions.FullText]] — used to
+    * oracle CONTAINSTEXT. */
+  private def duckTokens(col: String): String =
+    s"string_split_regex(translate(lower($col), " +
+      """':;,.|+*/\=!?[]()''"', ''), '\s+')"""
+
+  val oracleSql: Map[String, String] = Map(
+    "qd_select_filter_sort" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        | WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 1000
+        | ORDER BY c_custkey LIMIT 50""".stripMargin,
+    "qd_chains" ->
+      """SELECT p_partkey, upper(p_name) AS uname,
+        |  substring(p_name, 1, 5) AS pfx, length(p_name) AS nlen,
+        |  'x ' || p_name || '!' AS deco,
+        |  substring(p_brand, 2, 3) AS subs,
+        |  strpos(p_name, 'a') - 1 AS idx
+        | FROM part ORDER BY p_partkey""".stripMargin,
+    "qd_like_in_parens" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        | WHERE o_orderstatus IN ('P','F')
+        |   AND (o_totalprice > 300000 OR o_totalprice < 1000)
+        | ORDER BY o_orderkey""".stripMargin,
+    "qd_matches" ->
+      """SELECT p_partkey FROM part
+        | WHERE regexp_full_match(p_type, 'ECON.*') AND p_name LIKE '%a%'
+        | ORDER BY p_partkey""".stripMargin,
+    "qd_link_nav" ->
+      """SELECT c_custkey, n_name AS nn, r_name AS rn FROM customer
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        | WHERE r_name = 'ASIA' ORDER BY c_custkey""".stripMargin,
+    "qd_multilink_contains" ->
+      """SELECT c_custkey, c_name FROM customer
+        | WHERE EXISTS (SELECT 1 FROM orders
+        |   WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        | ORDER BY c_custkey""".stripMargin,
+    "qd_multilink_size" ->
+      """SELECT c_custkey, n_orders FROM (
+        |   SELECT c_custkey, (SELECT count(*) FROM orders
+        |     WHERE o_custkey = c_custkey) AS n_orders FROM customer)
+        | WHERE n_orders > 15 ORDER BY c_custkey""".stripMargin,
+    "qd_flatten" ->
+      """SELECT o.* FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        | WHERE c.c_custkey < 10""".stripMargin,
+    "qd_traverse" ->
+      // our documented TRAVERSE semantics: docs within depth [1,2] over
+      // link fields; region is reachable only via nation at depth 2
+      """SELECT c_custkey FROM customer
+        | WHERE EXISTS (SELECT 1 FROM nation JOIN region
+        |   ON n_regionkey = r_regionkey
+        |   WHERE n_nationkey = c_nationkey AND r_name = 'ASIA')
+        | ORDER BY c_custkey""".stripMargin,
+    "qd_range_pagination" ->
+      """SELECT c_custkey, c_name FROM customer
+        | WHERE c_custkey BETWEEN 100 AND 199 ORDER BY c_custkey""".stripMargin,
+    "qd_any_field" ->
+      """SELECT n_nationkey FROM nation
+        | WHERE CAST(n_nationkey AS VARCHAR) LIKE 'NATION\_1%' ESCAPE '\'
+        |    OR n_name LIKE 'NATION\_1%' ESCAPE '\'
+        |    OR CAST(n_regionkey AS VARCHAR) LIKE 'NATION\_1%' ESCAPE '\'
+        | ORDER BY n_nationkey""".stripMargin,
+    "qd_containstext" ->
+      s"""SELECT doc_id FROM documents
+         | WHERE list_contains(${duckTokens("text")}, 'spark')
+         |   AND list_contains(${duckTokens("text")}, 'stream')
+         | ORDER BY doc_id""".stripMargin,
+    "qd_registered_fn_distance" ->
+      """SELECT c_custkey, round(
+        |   2 * atan2(sqrt(pow(sin((radians(50.0) - radians(c_acctbal))/2), 2)
+        |     + cos(radians(c_acctbal)) * cos(radians(50.0))
+        |     * pow(sin((radians(10.0) - radians(c_custkey))/2), 2)),
+        |   sqrt(1 - (pow(sin((radians(50.0) - radians(c_acctbal))/2), 2)
+        |     + cos(radians(c_acctbal)) * cos(radians(50.0))
+        |     * pow(sin((radians(10.0) - radians(c_custkey))/2), 2)))) * 6371,
+        |   3) AS d
+        | FROM customer ORDER BY c_custkey""".stripMargin,
+    "qd_agg_fn" ->
+      """SELECT max(o_totalprice) AS mx, min(o_totalprice) AS mn,
+        |   count(*) AS n FROM orders""".stripMargin
+  )
+}

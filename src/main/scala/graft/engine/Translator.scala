@@ -157,8 +157,9 @@ final class Translator(val catalog: Catalog, val registry: FunctionRegistry) {
       if (spec.multi) {
         // LINKLIST: pre-aggregate the many side to one array per key —
         // partial aggregation happens map-side, the join stays 1:1.
+        val cols = target.columns.filterNot(internalCol)
         val items = target.groupBy(col(spec.dstKey).as(s"${prefix}key"))
-          .agg(collect_list(struct(target.columns.map(col): _*))
+          .agg(collect_list(struct(cols.map(col): _*))
             .as(s"${prefix}items"))
         df = df.join(items, srcCol === col(s"${prefix}key"), "left")
           .drop(s"${prefix}key")
