@@ -1,0 +1,297 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.ops.{Dedup, Similarity, TextOps}
+import graft.ops.TextOps._
+
+/** Training-data pipeline corpus: deduplication (exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard), similarity search (brute-force cosine
+  * top-k, hyperplane-LSH buckets), and text analysis (quality stats,
+  * language-ID heuristic, fingerprinting) over the `documents` and
+  * `embeddings` tables. Every query has a DuckDB oracle generated FROM
+  * THE SAME seeded constants (minhash coefficients, hyperplanes), so
+  * the full numeric pipeline is hash-checked, not just row counts.
+  */
+object QueriesPipeline {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  private val stop = graft.functions.FullText.stopWords
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- dedup -------------------------------------------------------
+    "qp_dedup_exact" -> ((s, dir) => {
+      // corpus ∪ re-crawled slice → exact dup groups by content hash
+      val d = docs(s, dir)
+      Dedup.exactGroups(d.unionByName(d.filter(col("doc_id") < 50)),
+          "doc_id", "text")
+        .orderBy(col("h"))
+    }),
+    "qp_minhash_sig" -> ((s, dir) => {
+      Dedup.withMinhash(docs(s, dir).filter(col("doc_id") < 100), "text")
+        .select(col("doc_id") +:
+          (0 until MinhashK).map(i => col(s"s$i")): _*)
+        .orderBy(col("doc_id"))
+    }),
+    "qp_minhash_pairs" -> ((s, dir) => {
+      Dedup.minhashPairs(docs(s, dir), "doc_id", "text", threshold = 0.8)
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+    "qp_simhash" -> ((s, dir) => {
+      Dedup.withSimhash(docs(s, dir).filter(col("doc_id") < 100), "text")
+        .select(col("doc_id"), col("simhash"))
+        .orderBy(col("doc_id"))
+    }),
+    "qp_simhash_pairs" -> ((s, dir) => {
+      Dedup.simhashPairs(docs(s, dir), "doc_id", "text",
+          blockCols = Seq("lang"), maxDist = 8)
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+    "qp_ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
+          blockCols = Seq("lang"), threshold = 0.8)
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // --- similarity search ------------------------------------------
+    "qp_ann_topk" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 10)
+        .orderBy(col("q_id"), col("rnk"))
+    }),
+    "qp_cosine_pairs" -> ((s, dir) => {
+      Similarity.cosinePairs(embs(s, dir), "vec_id", "embedding",
+          threshold = 0.4)
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+    "qp_lsh_buckets" -> ((s, dir) => {
+      val planes = Similarity.hyperplanes(8, 64)
+      embs(s, dir)
+        .withColumn("bucket",
+          Similarity.lshBucket(col("embedding").cast("array<double>"), planes))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+        .orderBy(col("bucket"))
+    }),
+
+    // --- text analysis ----------------------------------------------
+    "qp_text_stats" -> ((s, dir) => {
+      val stopArr = array(stop.map(lit): _*)
+      docs(s, dir)
+        .withColumn("__tok", tokensWs(col("text")))
+        .withColumn("__bpe", tokensBpe(col("text")))
+        .withColumn("n_ws", size(col("__tok")))
+        .withColumn("n_bpe", size(col("__bpe")))
+        .withColumn("avg_tok_len", round(
+          aggregate(col("__tok"), lit(0L), (a, t) => a + length(t))
+            .cast("double") / col("n_ws"), 6))
+        .withColumn("stop_ratio", round(
+          size(filter(col("__tok"), t => array_contains(stopArr, t)))
+            .cast("double") / col("n_ws"), 6))
+        .withColumn("quality", round(
+          least(col("n_ws").cast("double") / 100.0, lit(1.0)) * 0.5 +
+            (lit(1.0) - least(col("stop_ratio") * 2.0, lit(1.0))) * 0.5, 6))
+        .select("doc_id", "n_ws", "n_bpe", "avg_tok_len", "stop_ratio",
+          "quality")
+        .orderBy("doc_id")
+    }),
+    "qp_text_langid" -> ((s, dir) => {
+      val base = docs(s, dir).withColumn("__tok", tokensWs(col("text")))
+      val scored = langMarkers.foldLeft(base) { case (d, (l, ms)) =>
+        d.withColumn(s"${l}_score", langScore(col("__tok"), ms))
+      }
+      // argmax with deterministic first-wins tiebreak
+      val pred = langMarkers.map(_._1).foldRight(lit("und"): Column) {
+        case (l, els) =>
+          val isMax = langMarkers.map(_._1)
+            .map(o => col(s"${l}_score") >= col(s"${o}_score"))
+            .reduce(_ && _)
+          when(isMax, lit(l)).otherwise(els)
+      }
+      scored.withColumn("pred", pred)
+        .select("doc_id", "lang", "pred", "en_score", "de_score",
+          "fr_score", "es_score", "zh_score")
+        .orderBy("doc_id")
+    }),
+    "qp_text_fingerprint" -> ((s, dir) => {
+      docs(s, dir)
+        .withColumn("fp",
+          TextOps.fingerprint(charShingles(col("text"), 4), 4))
+        .select("doc_id", "fp")
+        .orderBy("doc_id")
+    })
+  )
+
+  // ======================= DuckDB oracle generators ==================
+  // Same constants, same arithmetic, ANSI SQL.
+
+  private def dH60(x: String): String =
+    s"('0x' || substr(md5($x),1,15))::BIGINT"
+  private def dShingles(x: String): String =
+    s"list_distinct(list_transform(range(length($x)-3), i -> substring($x, i+1, 4)))"
+  private def dTokens(x: String): String =
+    s"list_filter(string_split_regex(lower($x), '\\s+'), t -> length(t) > 0)"
+  private val dBpe = // DuckDB string literals keep backslashes verbatim
+    s"regexp_extract_all(lower(text), '${TextOps.bpePattern}')"
+  private def dMinhashSig(i: Int): String = {
+    val (a, b) = minhashCoeffs(i)
+    s"list_min(list_transform(hh, h -> ($a * h + $b) % $MinhashP))"
+  }
+  private val dJaccard =
+    "round(len(list_intersect(a_sh, b_sh))*1.0 / " +
+      "(len(a_sh) + len(b_sh) - len(list_intersect(a_sh, b_sh))), 6)"
+  private def dSimhash(hsExpr: String): String =
+    (0 until 32).map { b =>
+      val d = math.pow(2, b)
+      s"(CASE WHEN list_sum(list_transform($hsExpr, " +
+        s"h -> CASE WHEN CAST(floor(h / $d) AS BIGINT) % 2 = 1 " +
+        s"THEN 1 ELSE -1 END)) > 0 THEN ${1L << b} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+  private def dDot(a: String, b: String): String =
+    s"list_sum(list_transform(range(64), i -> $a[i+1] * $b[i+1]))"
+  private def dCos(a: String, b: String): String =
+    s"(${dDot(a, b)} / (sqrt(${dDot(a, a)}) * sqrt(${dDot(b, b)})))"
+  private val dStopList = stop.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private val sigsCte =
+    s"""sigs AS (
+       |  SELECT doc_id, sh, ${(0 until MinhashK)
+            .map(i => s"${dMinhashSig(i)} AS s$i").mkString(", ")}
+       |  FROM (SELECT doc_id, sh,
+       |          list_transform(sh, x -> ${dH60("x")} % $MinhashP) hh
+       |        FROM (SELECT doc_id, ${dShingles("text")} sh FROM documents))
+       |)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "qp_dedup_exact" ->
+      """SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS keep
+        | FROM (SELECT doc_id, text FROM documents
+        |       UNION ALL SELECT doc_id, text FROM documents WHERE doc_id < 50)
+        | GROUP BY 1 HAVING count(*) > 1 ORDER BY h""".stripMargin,
+    "qp_minhash_sig" ->
+      s"""WITH base AS (SELECT doc_id, ${dShingles("text")} sh
+         |   FROM documents WHERE doc_id < 100),
+         | hashed AS (SELECT doc_id,
+         |   list_transform(sh, x -> ${dH60("x")} % $MinhashP) hh FROM base)
+         | SELECT doc_id, ${(0 until MinhashK)
+              .map(i => s"${dMinhashSig(i)} AS s$i").mkString(", ")}
+         | FROM hashed ORDER BY doc_id""".stripMargin,
+    "qp_minhash_pairs" -> {
+      val bandRows = (0 until 4).map { b =>
+        val ks = (b * 4 until b * 4 + 4).map(i => s"s$i").mkString(", ")
+        s"SELECT doc_id, sh, concat_ws('_', $b, $ks) AS band FROM sigs"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH $sigsCte,
+         | bands AS (
+         |  $bandRows
+         | )
+         | SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+         |   round(len(list_intersect(a.sh, b.sh))*1.0 /
+         |     (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
+         |   AS jac
+         | FROM bands a JOIN bands b
+         |   ON a.band = b.band AND a.doc_id < b.doc_id
+         | WHERE round(len(list_intersect(a.sh, b.sh))*1.0 /
+         |     (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
+         |   >= 0.8
+         | ORDER BY a_id, b_id""".stripMargin
+    },
+    "qp_simhash" ->
+      s"""SELECT doc_id, ${dSimhash("hs")} AS simhash
+         | FROM (SELECT doc_id, list_transform(${dTokens("text")},
+         |         t -> ${dH60("t")} % 4294967296) hs
+         |       FROM documents WHERE doc_id < 100)
+         | ORDER BY doc_id""".stripMargin,
+    "qp_simhash_pairs" ->
+      s"""WITH s AS (
+         |  SELECT doc_id, lang, ${dSimhash("hs")} AS sh
+         |  FROM (SELECT doc_id, lang, list_transform(${dTokens("text")},
+         |          t -> ${dH60("t")} % 4294967296) hs FROM documents))
+         | SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |   bit_count(xor(a.sh, b.sh)) AS dist
+         | FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+         | WHERE bit_count(xor(a.sh, b.sh)) <= 8
+         | ORDER BY a_id, b_id""".stripMargin,
+    "qp_ngram_jaccard" ->
+      s"""WITH t AS (SELECT doc_id, lang, ${dShingles("text")} sh
+         |   FROM documents)
+         | SELECT a_id, b_id, jac FROM (
+         |   SELECT a.doc_id a_id, b.doc_id b_id,
+         |     round(len(list_intersect(a.sh, b.sh))*1.0 /
+         |       (len(a.sh)+len(b.sh)-len(list_intersect(a.sh, b.sh))), 6) jac
+         |   FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+         | WHERE jac >= 0.8 ORDER BY a_id, b_id""".stripMargin,
+    "qp_ann_topk" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+         | q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+         | scored AS (
+         |   SELECT q.q_id, e.vec_id AS n_id, ${dCos("qv", "v")} AS c,
+         |     row_number() OVER (PARTITION BY q.q_id
+         |       ORDER BY ${dCos("qv", "v")} DESC, e.vec_id) AS rnk
+         |   FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id)
+         | SELECT q_id, n_id, round(c, 6) AS cos, rnk FROM scored
+         | WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin,
+    "qp_cosine_pairs" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings)
+         | SELECT a_id, b_id, cos FROM (
+         |   SELECT a.vec_id a_id, b.vec_id b_id,
+         |     round(${dCos("a.v", "b.v")}, 6) cos
+         |   FROM e a JOIN e b ON a.vec_id < b.vec_id)
+         | WHERE cos >= 0.4 ORDER BY a_id, b_id""".stripMargin,
+    "qp_lsh_buckets" -> {
+      val planes = Similarity.hyperplanes(8, 64)
+      val bucket = planes.zipWithIndex.map { case (p, i) =>
+        val arr = p.mkString("[", ", ", "]")
+        s"(CASE WHEN list_sum(list_transform(range(64), " +
+          s"j -> v[j+1] * ($arr)[j+1])) >= 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString("(", " + ", ")")
+      s"""WITH e AS (SELECT embedding::DOUBLE[] v FROM embeddings)
+         | SELECT $bucket AS bucket, count(*) AS n FROM e
+         | GROUP BY 1 ORDER BY bucket""".stripMargin
+    },
+    "qp_text_stats" ->
+      s"""WITH t AS (SELECT doc_id, ${dTokens("text")} tok, $dBpe bpe
+         |   FROM documents),
+         | m AS (SELECT doc_id, len(tok) n_ws, len(bpe) n_bpe,
+         |   round(list_sum(list_transform(tok, x -> length(x)))*1.0
+         |     / len(tok), 6) avg_tok_len,
+         |   round(len(list_filter(tok, x -> list_contains($dStopList, x)))
+         |     * 1.0 / len(tok), 6) stop_ratio
+         |  FROM t)
+         | SELECT doc_id, n_ws, n_bpe, avg_tok_len, stop_ratio,
+         |   round(least(n_ws / 100.0, 1.0) * 0.5 +
+         |     (1.0 - least(stop_ratio * 2.0, 1.0)) * 0.5, 6) AS quality
+         | FROM m ORDER BY doc_id""".stripMargin,
+    "qp_text_langid" -> {
+      val scoreExprs = langMarkers.map { case (l, ms) =>
+        val terms = ms.map(m =>
+          s"len(list_filter(tok, x -> x = '$m'))").mkString(" + ")
+        s"($terms) AS ${l}_score"
+      }.mkString(",\n   ")
+      val langs = langMarkers.map(_._1)
+      val pred = langs.foldRight("'und'") { case (l, els) =>
+        val isMax = langs.map(o => s"${l}_score >= ${o}_score")
+          .mkString(" AND ")
+        s"CASE WHEN $isMax THEN '$l' ELSE $els END"
+      }
+      s"""WITH t AS (SELECT doc_id, lang, ${dTokens("text")} tok
+         |   FROM documents),
+         | s AS (SELECT doc_id, lang,
+         |   $scoreExprs
+         |  FROM t)
+         | SELECT doc_id, lang, $pred AS pred,
+         |   en_score, de_score, fr_score, es_score, zh_score
+         | FROM s ORDER BY doc_id""".stripMargin
+    },
+    "qp_text_fingerprint" ->
+      s"""SELECT doc_id, array_to_string(
+         |   list_sort(list_transform(${dShingles("text")},
+         |     x -> ${dH60("x")}))[1:4], '-') AS fp
+         | FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

@@ -14,11 +14,13 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    QueriesRelational.queries ++ QueriesDialect.queries
+    QueriesRelational.queries ++ QueriesDialect.queries ++
+      QueriesPipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    QueriesRelational.oracleSql ++ QueriesDialect.oracleSql
+    QueriesRelational.oracleSql ++ QueriesDialect.oracleSql ++
+      QueriesPipeline.oracleSql
 }

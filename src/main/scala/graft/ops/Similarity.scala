@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Scale design: brute-force top-k broadcasts the (small) query set and
+  * scans the corpus once — the right plan when queries ≪ corpus; the
+  * LSH variant buckets vectors by random-hyperplane sign bits so
+  * candidate generation shuffles on bucket ids instead of computing
+  * n×m cosines (IVF-style: probe only matching buckets).
+  * Dot products are `zip_with` + `aggregate` — codegen'd, no UDF.
+  */
+object Similarity {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0d), (acc, v) => acc + v * v))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** brute-force top-k cosine neighbors for each query vector.
+    * `queries` must be small (it is broadcast); the corpus is scanned
+    * once and ranked per query id. Returns (q_id, n_id, cos, rnk). */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("q_id"),
+      col(vecCol).cast("array<double>").as("__qv")))
+    val c = corpus.select(col(idCol).as("n_id"),
+      col(vecCol).cast("array<double>").as("__cv"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id"))
+    c.crossJoin(q)
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cos", cosine(col("__qv"), col("__cv")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"), round(col("cos"), 6).as("cos"),
+        col("rnk"))
+  }
+
+  /** seeded random hyperplanes (rounded so literals are identical when
+    * re-generated for the DuckDB oracle). */
+  def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 7L): Seq[Seq[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Seq.fill(nPlanes, dim)(math.rint(rng.nextGaussian() * 1e4) / 1e4)
+  }
+
+  /** LSH bucket id: sign bits of the dot products with the fixed
+    * hyperplanes, packed into an int. Vectors in the same bucket are
+    * cosine-close with high probability. */
+  def lshBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      val d = dot(vec, array(p.map(lit): _*))
+      when(d >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** LSH-bucketed approximate near-dup pairs: compare only within
+    * buckets (the scale path), verify with exact cosine. */
+  def lshCosinePairs(df: DataFrame, idCol: String, vecCol: String,
+      planes: Seq[Seq[Double]], threshold: Double): DataFrame = {
+    val v = df.select(col(idCol).as("__id"),
+      col(vecCol).cast("array<double>").as("__v"))
+      .withColumn("__bucket", lshBucket(col("__v"), planes))
+    val a = v.select(col("__bucket"), col("__id").as("a_id"),
+      col("__v").as("__va"))
+    val b = v.select(col("__bucket"), col("__id").as("b_id"),
+      col("__v").as("__vb"))
+    a.join(b, Seq("__bucket")).filter(col("a_id") < col("b_id"))
+      .withColumn("cos", round(cosine(col("__va"), col("__vb")), 6))
+      .filter(col("cos") >= threshold)
+      .select("a_id", "b_id", "cos")
+  }
+
+  /** exact cosine near-dup pairs (quadratic; for oracle-checkable
+    * baselines and small blocks — the LSH variant is the scale path). */
+  def cosinePairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val v = df.select(col(idCol).as("__id"),
+      col(vecCol).cast("array<double>").as("__v"))
+    val a = v.select(col("__id").as("a_id"), col("__v").as("__va"))
+    val b = v.select(col("__id").as("b_id"), col("__v").as("__vb"))
+    a.crossJoin(b).filter(col("a_id") < col("b_id"))
+      .withColumn("cos", round(cosine(col("__va"), col("__vb")), 6))
+      .filter(col("cos") >= threshold)
+      .select("a_id", "b_id", "cos")
+  }
+}
