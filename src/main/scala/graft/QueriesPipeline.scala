@@ -33,9 +33,8 @@ object QueriesPipeline {
         .orderBy(col("h"))
     }),
     "qp_minhash_sig" -> ((s, dir) => {
-      Dedup.withMinhash(docs(s, dir).filter(col("doc_id") < 100), "text")
-        .select(col("doc_id") +:
-          (0 until MinhashK).map(i => col(s"s$i")): _*)
+      Dedup.minhashSigs(docs(s, dir).filter(col("doc_id") < 100),
+          "doc_id", "text")
         .orderBy(col("doc_id"))
     }),
     "qp_minhash_pairs" -> ((s, dir) => {
@@ -43,18 +42,23 @@ object QueriesPipeline {
         .orderBy(col("a_id"), col("b_id"))
     }),
     "qp_simhash" -> ((s, dir) => {
-      Dedup.withSimhash(docs(s, dir).filter(col("doc_id") < 100), "text")
-        .select(col("doc_id"), col("simhash"))
+      Dedup.simhashSigs(docs(s, dir).filter(col("doc_id") < 100),
+          "doc_id", "text")
         .orderBy(col("doc_id"))
     }),
     "qp_simhash_pairs" -> ((s, dir) => {
       Dedup.simhashPairs(docs(s, dir), "doc_id", "text",
-          blockCols = Seq("lang"), maxDist = 8)
+          blockCols = Seq("lang"), maxDist = 4)
         .orderBy(col("a_id"), col("b_id"))
     }),
     "qp_ngram_jaccard" -> ((s, dir) => {
-      Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
-          blockCols = Seq("lang"), threshold = 0.8)
+      // blocking = (lang, length-band): near-dups have near-equal
+      // length, so the quadratic verify runs inside tiny blocks
+      Dedup.ngramJaccardPairs(
+          docs(s, dir).withColumn("__lb",
+            floor(col("n_chars") / 20).cast("int")),
+          "doc_id", "text",
+          blockCols = Seq("lang", "__lb"), threshold = 0.8)
         .orderBy(col("a_id"), col("b_id"))
     }),
 
@@ -66,8 +70,10 @@ object QueriesPipeline {
         .orderBy(col("q_id"), col("rnk"))
     }),
     "qp_cosine_pairs" -> ((s, dir) => {
+      // blocked by class label: embedding near-dups are same-class;
+      // unblocked ANN goes through qp_lsh_buckets instead
       Similarity.cosinePairs(embs(s, dir), "vec_id", "embedding",
-          threshold = 0.4)
+          blockCols = Seq("label"), threshold = 0.4)
         .orderBy(col("a_id"), col("b_id"))
     }),
     "qp_lsh_buckets" -> ((s, dir) => {
@@ -215,16 +221,20 @@ object QueriesPipeline {
          | SELECT a.doc_id AS a_id, b.doc_id AS b_id,
          |   bit_count(xor(a.sh, b.sh)) AS dist
          | FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
-         | WHERE bit_count(xor(a.sh, b.sh)) <= 8
+         | WHERE bit_count(xor(a.sh, b.sh)) <= 4
          | ORDER BY a_id, b_id""".stripMargin,
     "qp_ngram_jaccard" ->
-      s"""WITH t AS (SELECT doc_id, lang, ${dShingles("text")} sh
+      s"""WITH t AS (SELECT doc_id, lang,
+         |   CAST(floor(n_chars / 20) AS INT) lb,
+         |   list_distinct(list_transform(${dShingles("text")},
+         |     x -> ${dH60("x")})) sh
          |   FROM documents)
          | SELECT a_id, b_id, jac FROM (
          |   SELECT a.doc_id a_id, b.doc_id b_id,
          |     round(len(list_intersect(a.sh, b.sh))*1.0 /
          |       (len(a.sh)+len(b.sh)-len(list_intersect(a.sh, b.sh))), 6) jac
-         |   FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+         |   FROM t a JOIN t b ON a.lang = b.lang AND a.lb = b.lb
+         |     AND a.doc_id < b.doc_id)
          | WHERE jac >= 0.8 ORDER BY a_id, b_id""".stripMargin,
     "qp_ann_topk" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
@@ -237,11 +247,13 @@ object QueriesPipeline {
          | SELECT q_id, n_id, round(c, 6) AS cos, rnk FROM scored
          | WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin,
     "qp_cosine_pairs" ->
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings)
+      s"""WITH e0 AS (SELECT vec_id, label, embedding::DOUBLE[] v
+         |   FROM embeddings),
+         | e AS (SELECT vec_id, label, v, sqrt(${dDot("v", "v")}) n FROM e0)
          | SELECT a_id, b_id, cos FROM (
          |   SELECT a.vec_id a_id, b.vec_id b_id,
-         |     round(${dCos("a.v", "b.v")}, 6) cos
-         |   FROM e a JOIN e b ON a.vec_id < b.vec_id)
+         |     round(${dDot("a.v", "b.v")} / (a.n * b.n), 6) cos
+         |   FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
          | WHERE cos >= 0.4 ORDER BY a_id, b_id""".stripMargin,
     "qp_lsh_buckets" -> {
       val planes = Similarity.hyperplanes(8, 64)

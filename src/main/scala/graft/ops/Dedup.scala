@@ -8,14 +8,18 @@ import TextOps._
   * pure DataFrame transforms designed for the 100 TB regime:
   *
   *  - exact: one hash-shuffle groupBy — the minimum possible cost;
-  *  - MinHash+LSH: shingle → k minhashes → band keys → shuffle ONLY on
-  *    band buckets → exact-Jaccard verify on candidates. Avoids the
-  *    O(n²) cross join entirely; cost is ~(bands × n) shuffled rows
-  *    plus candidate verification;
-  *  - SimHash: one 32-bit signature per doc, pairs compared only inside
-  *    blocking keys (hamming ≤ t);
-  *  - n-gram Jaccard: exact pairwise, restricted by blocking keys —
-  *    the quadratic fallback you run per-bucket, never globally;
+  *  - MinHash+LSH: shingle-explode → codegen'd min-aggregates (partial
+  *    map-side combine) → band keys → shuffle ONLY on band buckets →
+  *    exact-Jaccard verify on candidates. Avoids the O(n²) cross join;
+  *    cost ≈ (bands × n) shuffled small rows + candidate verification.
+  *    Signatures use explode+groupBy, not per-row lambda transforms:
+  *    higher-order functions are interpreted in Spark, hash aggregates
+  *    are whole-stage-codegen'd;
+  *  - SimHash: one 32-bit signature per doc (same explode+agg shape),
+  *    pairs compared only inside blocking keys (hamming ≤ t);
+  *  - n-gram Jaccard: exact pairwise over DISTINCT HASHED shingles
+  *    (long arrays, not strings), restricted by blocking keys —
+  *    the quadratic fallback you run per-block, never globally;
   *  - embedding cosine near-dup lives in [[Similarity]].
   */
 object Dedup {
@@ -27,15 +31,30 @@ object Dedup {
       .agg(count(lit(1)).as("n"), min(col(idCol)).as("keep"))
       .filter(col("n") > 1)
 
-  /** per-document minhash signature columns s0..s{k-1}. */
-  def withMinhash(df: DataFrame, textCol: String,
+  /** Jaccard from a precomputed intersection size (computed ONCE —
+    * inlining it twice doubles the array_intersect work). */
+  private def jacFromInter(inter: Column, a: Column, b: Column): Column =
+    round(inter.cast("double") / (size(a) + size(b) - inter), 6)
+
+  /** minhash signature table (idCol, s0..s{k-1}) via shingle explode +
+    * k codegen'd min-aggregates — one shuffle, map-side partials. */
+  def minhashSigs(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 4): DataFrame = {
-    val withSh = df.withColumn("__sh", charShingles(col(textCol), shingleN))
-      .withColumn("__hh", transform(col("__sh"), x => hashMod(x, MinhashP)))
-    (0 until MinhashK).foldLeft(withSh) { (d, i) =>
-      d.withColumn(s"s$i", minhashSig(col("__hh"), i))
-    }.drop("__hh")
+    val exploded = df.select(col(idCol),
+        explode(charShingles(col(textCol), shingleN)).as("__s"))
+      .withColumn("__h", hashMod(col("__s"), MinhashP))
+    val aggs = minhashCoeffs.zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * col("__h") + lit(b)) % MinhashP).as(s"s$i")
+    }
+    exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** per-document minhash signature columns s0..s{k-1} appended to the
+    * input rows (kept for API/oracle surface; the pair path uses
+    * [[minhashSigs]] directly). */
+  def withMinhash(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 4): DataFrame =
+    df.join(minhashSigs(df, idCol, textCol, shingleN), idCol)
 
   /** MinHash-LSH near-duplicate pairs: candidates from band-bucket
     * collisions, verified by exact shingle Jaccard ≥ `threshold`.
@@ -43,39 +62,61 @@ object Dedup {
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleN: Int = 4, bands: Int = 4): DataFrame = {
     val rowsPerBand = MinhashK / bands
-    val sigs = withMinhash(df, textCol, shingleN)
-      .select((Seq(col(idCol).as("__id"), col("__sh")) ++
-        (0 until MinhashK).map(i => col(s"s$i"))): _*)
+    val sigs = minhashSigs(df, idCol, textCol, shingleN)
+      .withColumnRenamed(idCol, "__id")
     // band key = band index + concatenated sig slice; explode to
-    // (bandKey, id) so the join shuffles on small keys only
+    // (bandKey, id): candidate generation shuffles ONLY small keys
     val bandKeys = (0 until bands).map { b =>
       val ks = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"s$i"))
       concat_ws("_", (lit(b) +: ks): _*)
     }
-    val buckets = sigs.select(col("__id"), col("__sh"),
+    val buckets = sigs.select(col("__id"),
       explode(array(bandKeys: _*)).as("__band"))
-    val a = buckets.select(col("__band"), col("__id").as("a_id"),
-      col("__sh").as("__sha"))
-    val b = buckets.select(col("__band"), col("__id").as("b_id"),
-      col("__sh").as("__shb"))
-    a.join(b, Seq("__band")).filter(col("a_id") < col("b_id"))
+    val candidates = buckets.select(col("__band"), col("__id").as("a_id"))
+      .join(buckets.select(col("__band"), col("__id").as("b_id")),
+        Seq("__band"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    // exact-Jaccard verify: join hashed shingle sets by id — array
+    // payloads move once per candidate side, never through buckets
+    val sh = df.select(col(idCol).as("__id"),
+      array_distinct(transform(charShingles(col(textCol), shingleN),
+        hash60 _)).as("__sh"))
+    candidates
+      .join(sh.select(col("__id").as("a_id"), col("__sh").as("__sha")), "a_id")
+      .join(sh.select(col("__id").as("b_id"), col("__sh").as("__shb")), "b_id")
+      .withColumn("__i", size(array_intersect(col("__sha"), col("__shb"))))
       .select(col("a_id"), col("b_id"),
-        round(jaccard(col("__sha"), col("__shb")), 6).as("jac"))
-      .distinct()
+        jacFromInter(col("__i"), col("__sha"), col("__shb")).as("jac"))
       .filter(col("jac") >= threshold)
   }
 
-  /** per-document simhash (32-bit) from whitespace tokens. */
-  def withSimhash(df: DataFrame, textCol: String): DataFrame =
-    df.withColumn("__hs", transform(tokensWs(col(textCol)), hash32 _))
-      .withColumn("simhash", simhashExpr(col("__hs")))
-      .drop("__hs")
+  /** simhash signature table (idCol, simhash): token explode → 32
+    * codegen'd conditional sums → bit assembly. One shuffle. */
+  def simhashSigs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val exploded = df.select(col(idCol),
+        explode(tokensWs(col(textCol))).as("__t"))
+      .withColumn("__h", hash32(col("__t")))
+    val bitSums = (0 until 32).map { b =>
+      sum(when(pmod(floor(col("__h") / lit(math.pow(2, b))).cast("long"),
+        lit(2L)) === 1L, 1L).otherwise(-1L)).as(s"__b$b")
+    }
+    exploded.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+      .select(col(idCol),
+        (0 until 32).map(b =>
+          when(col(s"__b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+  }
+
+  /** per-document simhash (32-bit) appended to the input rows. */
+  def withSimhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.join(simhashSigs(df, idCol, textCol), idCol)
 
   /** simhash near-dup pairs within blocking keys: hamming ≤ maxDist.
     * Blocking bounds the quadratic comparison to each block. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       blockCols: Seq[String], maxDist: Int): DataFrame = {
-    val s = withSimhash(df, textCol)
+    val s = withSimhash(df, idCol, textCol)
       .select((Seq(col(idCol).as("__id"), col("simhash")) ++
         blockCols.map(col)): _*)
     val a = s.select((Seq(col("__id").as("a_id"),
@@ -93,15 +134,23 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       blockCols: Seq[String], threshold: Double,
       shingleN: Int = 4): DataFrame = {
+    // hash shingles AFTER explode (md5 runs inside whole-stage codegen,
+    // not an interpreted array lambda), collect the distinct set, and
+    // persist — both pair sides reuse one computation
     val s = df.select((Seq(col(idCol).as("__id"),
-      charShingles(col(textCol), shingleN).as("__sh")) ++
-      blockCols.map(col)): _*)
+        explode(charShingles(col(textCol), shingleN)).as("__g")) ++
+        blockCols.map(col)): _*)
+      .withColumn("__h", hash60(col("__g")))
+      .groupBy((col("__id") +: blockCols.map(col)): _*)
+      .agg(collect_set(col("__h")).as("__sh"))
+      .persist()
     val a = s.select((Seq(col("__id").as("a_id"),
       col("__sh").as("__sha")) ++ blockCols.map(col)): _*)
     val b = s.select((Seq(col("__id").as("b_id"),
       col("__sh").as("__shb")) ++ blockCols.map(col)): _*)
     a.join(b, blockCols).filter(col("a_id") < col("b_id"))
-      .withColumn("jac", round(jaccard(col("__sha"), col("__shb")), 6))
+      .withColumn("__i", size(array_intersect(col("__sha"), col("__shb"))))
+      .withColumn("jac", jacFromInter(col("__i"), col("__sha"), col("__shb")))
       .filter(col("jac") >= threshold)
       .select("a_id", "b_id", "jac")
   }

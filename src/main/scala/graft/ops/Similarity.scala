@@ -25,18 +25,23 @@ object Similarity {
 
   /** brute-force top-k cosine neighbors for each query vector.
     * `queries` must be small (it is broadcast); the corpus is scanned
-    * once and ranked per query id. Returns (q_id, n_id, cos, rnk). */
+    * once and ranked per query id. Norms are computed once per side
+    * BEFORE the join — a pair then costs one dot product, not three
+    * array aggregations. Returns (q_id, n_id, cos, rnk). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
     val q = broadcast(queries.select(col(idCol).as("q_id"),
-      col(vecCol).cast("array<double>").as("__qv")))
+      col(vecCol).cast("array<double>").as("__qv"))
+      .withColumn("__qn", norm(col("__qv"))))
     val c = corpus.select(col(idCol).as("n_id"),
       col(vecCol).cast("array<double>").as("__cv"))
+      .withColumn("__cn", norm(col("__cv")))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("n_id"))
     c.crossJoin(q)
       .filter(col("q_id") =!= col("n_id"))
-      .withColumn("cos", cosine(col("__qv"), col("__cv")))
+      .withColumn("cos", dot(col("__qv"), col("__cv")) /
+        (col("__qn") * col("__cn")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("n_id"), round(col("cos"), 6).as("cos"),
@@ -76,16 +81,24 @@ object Similarity {
       .select("a_id", "b_id", "cos")
   }
 
-  /** exact cosine near-dup pairs (quadratic; for oracle-checkable
-    * baselines and small blocks — the LSH variant is the scale path). */
+  /** exact cosine near-dup pairs within blocking keys (quadratic PER
+    * BLOCK — blocking keys bound the pair count; the LSH variant is
+    * the unblocked scale path). Norms precomputed per vector. */
   def cosinePairs(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double): DataFrame = {
-    val v = df.select(col(idCol).as("__id"),
-      col(vecCol).cast("array<double>").as("__v"))
-    val a = v.select(col("__id").as("a_id"), col("__v").as("__va"))
-    val b = v.select(col("__id").as("b_id"), col("__v").as("__vb"))
-    a.crossJoin(b).filter(col("a_id") < col("b_id"))
-      .withColumn("cos", round(cosine(col("__va"), col("__vb")), 6))
+      blockCols: Seq[String], threshold: Double): DataFrame = {
+    val v = df.select((Seq(col(idCol).as("__id"),
+        col(vecCol).cast("array<double>").as("__v")) ++
+        blockCols.map(col)): _*)
+      .withColumn("__n", norm(col("__v")))
+    val a = v.select((Seq(col("__id").as("a_id"), col("__v").as("__va"),
+      col("__n").as("__na")) ++ blockCols.map(col)): _*)
+    val b = v.select((Seq(col("__id").as("b_id"), col("__v").as("__vb"),
+      col("__n").as("__nb")) ++ blockCols.map(col)): _*)
+    val joined = if (blockCols.isEmpty) a.crossJoin(b)
+      else a.join(b, blockCols)
+    joined.filter(col("a_id") < col("b_id"))
+      .withColumn("cos", round(dot(col("__va"), col("__vb")) /
+        (col("__na") * col("__nb")), 6))
       .filter(col("cos") >= threshold)
       .select("a_id", "b_id", "cos")
   }
