@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.graph.{GraphOps, TradeGraph}
+
+/** Graph analytics corpus over the trade graph (customer/supplier
+  * vertices, distinct trading relations as edges — see
+  * [[graft.graph.TradeGraph]]). PageRank and connected components are
+  * oracle-checked against unrolled iterative SQL in DuckDB computing
+  * the same update rules; GraphX variants are invariant-tested in
+  * [[graft.graph]] specs (Pregel float-sum order is partition-
+  * dependent, so exact hashes come from the DataFrame formulation).
+  */
+object QueriesGraph {
+
+  private val Off = TradeGraph.SupplierOffset
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qg_degrees" -> ((s, dir) => {
+      GraphOps.degrees(TradeGraph.vertices(s, dir), TradeGraph.edges(s, dir))
+        .orderBy(col("id"))
+    }),
+    "qg_pagerank" -> ((s, dir) => {
+      GraphOps.pageRankDF(TradeGraph.vertices(s, dir),
+          TradeGraph.edges(s, dir), iters = 3)
+        .select(col("id"), round(col("rank"), 4).as("rank"))
+        .orderBy(col("id"))
+    }),
+    "qg_connected_components" -> ((s, dir) => {
+      GraphOps.connectedComponents(s, TradeGraph.vertices(s, dir),
+          TradeGraph.edges(s, dir))
+        .orderBy(col("id"))
+    }),
+    "qg_common_suppliers" -> ((s, dir) => {
+      // graph pattern: customer pairs trading with ≥20 common suppliers
+      val e = TradeGraph.edges(s, dir)
+      val a = e.select(col("src").as("a_id"), col("dst"))
+      val b = e.select(col("src").as("b_id"), col("dst"))
+      a.join(b, "dst").filter(col("a_id") < col("b_id"))
+        .groupBy("a_id", "b_id").agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= 20)
+        .orderBy(col("a_id"), col("b_id"))
+    })
+  )
+
+  private val edgesCte =
+    s"""e AS MATERIALIZED (SELECT DISTINCT o_custkey AS src,
+       |   l_suppkey + $Off AS dst
+       | FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       | v AS (SELECT c_custkey AS id FROM customer
+       |   UNION ALL SELECT s_suppkey + $Off FROM supplier)""".stripMargin
+
+  /** unrolled GraphX-rule PageRank (rank₀=1; r=0.15+0.85·Σ in/outdeg) */
+  private def pagerankSql(iters: Int): String = {
+    val rounds = (1 to iters).map { t =>
+      s"""m$t AS MATERIALIZED (SELECT e.dst AS id, sum(r${t - 1}.rank / od.outdeg) AS m
+         |  FROM e JOIN od USING (src) JOIN r${t - 1} ON r${t - 1}.id = e.src
+         |  GROUP BY e.dst),
+         | r$t AS MATERIALIZED (SELECT v.id, 0.15 + 0.85 * coalesce(m.m, 0) AS rank
+         |  FROM v LEFT JOIN m$t m ON m.id = v.id)""".stripMargin
+    }.mkString(",\n ")
+    s"""WITH $edgesCte,
+       | od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+       | r0 AS (SELECT id, 1.0 AS rank FROM v),
+       | $rounds
+       | SELECT id, round(rank, 4) AS rank FROM r$iters ORDER BY id""".stripMargin
+  }
+
+  /** unrolled min-label propagation for connected components (the
+    * trade graph's diameter is far below the round count). */
+  private def ccSql(rounds: Int): String = {
+    val undirected =
+      """u AS MATERIALIZED (SELECT src AS a, dst AS b FROM e
+        |   UNION ALL SELECT dst, src FROM e)""".stripMargin
+    val steps = (1 to rounds).map { t =>
+      s"""l$t AS MATERIALIZED (SELECT id, min(lbl) AS lbl FROM (
+         |   SELECT id, lbl FROM l${t - 1}
+         |   UNION ALL
+         |   SELECT u.b AS id, l${t - 1}.lbl FROM u
+         |     JOIN l${t - 1} ON u.a = l${t - 1}.id
+         | ) GROUP BY id)""".stripMargin
+    }.mkString(",\n ")
+    s"""WITH $edgesCte,
+       | $undirected,
+       | l0 AS MATERIALIZED (SELECT id, id AS lbl FROM v),
+       | $steps
+       | SELECT id, lbl AS component FROM l$rounds ORDER BY id""".stripMargin
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "qg_degrees" ->
+      s"""WITH $edgesCte
+         | SELECT v.id,
+         |   coalesce(o.n, 0) AS out_deg, coalesce(i.n, 0) AS in_deg,
+         |   coalesce(o.n, 0) + coalesce(i.n, 0) AS total
+         | FROM v
+         | LEFT JOIN (SELECT src, count(*) n FROM e GROUP BY src) o
+         |   ON o.src = v.id
+         | LEFT JOIN (SELECT dst, count(*) n FROM e GROUP BY dst) i
+         |   ON i.dst = v.id
+         | ORDER BY v.id""".stripMargin,
+    "qg_pagerank" -> pagerankSql(3),
+    "qg_connected_components" -> ccSql(12),
+    "qg_common_suppliers" ->
+      s"""WITH $edgesCte
+         | SELECT a.src AS a_id, b.src AS b_id, count(*) AS shared
+         | FROM e a JOIN e b ON a.dst = b.dst AND a.src < b.src
+         | GROUP BY 1, 2 HAVING count(*) >= 20
+         | ORDER BY a_id, b_id""".stripMargin
+  )
+}

@@ -15,12 +15,12 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     QueriesRelational.queries ++ QueriesDialect.queries ++
-      QueriesPipeline.queries
+      QueriesPipeline.queries ++ QueriesGraph.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
     QueriesRelational.oracleSql ++ QueriesDialect.oracleSql ++
-      QueriesPipeline.oracleSql
+      QueriesPipeline.oracleSql ++ QueriesGraph.oracleSql
 }

@@ -1,0 +1,128 @@
+package graft.graph
+
+import org.apache.spark.graphx.{Edge, Graph, VertexId}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Graph layer (SURVEY.md §2.10: `OGraphVertex`/`OGraphEdge` are
+  * documents with link fields — `db/graph/ODatabaseGraphTx.java:63-141`).
+  * Here a graph is a pair of DataFrames:
+  *   vertices(id: long, …props)   edges(src: long, dst: long, …props)
+  * Traversal-style queries stay in DataFrame joins (TRAVERSE, §2.3);
+  * whole-graph analytics bridge to GraphX (the north-star fit for
+  * iterative algorithms: Pregel keeps state co-partitioned across
+  * supersteps instead of re-shuffling joins).
+  */
+object GraphOps {
+
+  /** DataFrame pair → GraphX graph. Properties are not carried (GraphX
+    * analytics need only the topology; join results back by id). */
+  def toGraphX(vertices: DataFrame, edges: DataFrame): Graph[Unit, Unit] = {
+    val vr: RDD[(VertexId, Unit)] =
+      vertices.select(col("id").cast("long")).rdd.map(r => (r.getLong(0), ()))
+    val er: RDD[Edge[Unit]] =
+      edges.select(col("src").cast("long"), col("dst").cast("long"))
+        .rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
+    Graph(vr, er, (), StorageLevel.MEMORY_AND_DISK, StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** GraphX connected components → (id, component) DataFrame.
+    * Component = min vertex id reachable (integer-exact → oracle-able). */
+  def connectedComponents(spark: SparkSession, vertices: DataFrame,
+      edges: DataFrame): DataFrame = {
+    import spark.implicits._
+    toGraphX(vertices, edges).connectedComponents()
+      .vertices.map { case (id, cc) => (id, cc) }
+      .toDF("id", "component")
+  }
+
+  /** GraphX static PageRank (resetProb 0.15). Float-summation order in
+    * Pregel is partition-dependent, so ranks are validated by invariant
+    * tests; the oracle-checked variant is [[pageRankDF]]. */
+  def pageRankGraphX(spark: SparkSession, vertices: DataFrame,
+      edges: DataFrame, iters: Int): DataFrame = {
+    import spark.implicits._
+    toGraphX(vertices, edges).staticPageRank(iters)
+      .vertices.map { case (id, r) => (id, r) }
+      .toDF("id", "rank")
+  }
+
+  /** DataFrame power-iteration PageRank with EXACTLY the GraphX update
+    * rule (rank₀ = 1; rankₜ = 0.15 + 0.85·Σ_in rankₜ₋₁/outdeg; dangling
+    * mass not redistributed) — same semantics, declarative plan:
+    * each iteration is one broadcast-free equi-join + partial-agg
+    * shuffle on dst. Deterministic enough to oracle at 4 decimals. */
+  def pageRankDF(vertices: DataFrame, edges: DataFrame,
+      iters: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    val outDeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // (src, dst, outdeg) is loop-invariant: compute once, reuse per iter
+    val contrib = e.join(outDeg, "src").persist()
+    var ranks = vertices.select(col("id"), lit(1.0).as("rank"))
+    for (_ <- 1 to iters) {
+      val msgs = contrib.join(ranks, contrib("src") === ranks("id"))
+        .select(col("dst"), (col("rank") / col("outdeg")).as("msg"))
+        .groupBy("dst").agg(sum("msg").as("msgSum"))
+      ranks = vertices.select(col("id"))
+        .join(msgs, col("id") === col("dst"), "left")
+        .select(col("id"),
+          (lit(0.15) + lit(0.85) * coalesce(col("msgSum"), lit(0.0)))
+            .as("rank"))
+    }
+    ranks
+  }
+
+  /** degree table: (id, out_deg, in_deg, total). */
+  def degrees(vertices: DataFrame, edges: DataFrame): DataFrame = {
+    val out = edges.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("out_deg"))
+    val in = edges.groupBy(col("dst").as("id"))
+      .agg(count(lit(1)).as("in_deg"))
+    vertices.select("id").join(out, Seq("id"), "left")
+      .join(in, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+      .withColumn("total", col("out_deg") + col("in_deg"))
+  }
+
+  /** undirected triangle count per vertex via GraphX. */
+  def triangleCounts(spark: SparkSession, vertices: DataFrame,
+      edges: DataFrame): DataFrame = {
+    import spark.implicits._
+    toGraphX(vertices, edges).partitionBy(
+        org.apache.spark.graphx.PartitionStrategy.RandomVertexCut)
+      .triangleCount()
+      .vertices.map { case (id, n) => (id, n) }
+      .toDF("id", "triangles")
+  }
+}
+
+/** The trade-graph fixture over the driver tables: customers and
+  * suppliers as vertices, one edge per DISTINCT (customer, supplier)
+  * trading relation from orders⋈lineitem. Supplier ids are offset to
+  * keep the id space disjoint. */
+object TradeGraph {
+  val SupplierOffset = 10000000L
+
+  def vertices(s: SparkSession, dir: String): DataFrame = {
+    val c = graft.sources.Tables.load(s, dir, "customer")
+      .select(col("c_custkey").cast("long").as("id"),
+        lit("customer").as("kind"))
+    val sup = graft.sources.Tables.load(s, dir, "supplier")
+      .select((col("s_suppkey") + SupplierOffset).cast("long").as("id"),
+        lit("supplier").as("kind"))
+    c.unionByName(sup)
+  }
+
+  def edges(s: SparkSession, dir: String): DataFrame = {
+    val o = graft.sources.Tables.load(s, dir, "orders")
+    val l = graft.sources.Tables.load(s, dir, "lineitem")
+    o.join(l, o("o_orderkey") === l("l_orderkey"))
+      .select(col("o_custkey").cast("long").as("src"),
+        (col("l_suppkey") + SupplierOffset).cast("long").as("dst"))
+      .distinct()
+  }
+}

@@ -1,0 +1,62 @@
+package graft.graph
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+class GraphSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("GraphX pagerank agrees with the DataFrame power iteration") {
+    val v = TradeGraph.vertices(spark, sf)
+    val e = TradeGraph.edges(spark, sf)
+    // GraphX normalizes ranks differently across versions; compare the
+    // normalized distributions (shape), not absolute values
+    def normalized(d: org.apache.spark.sql.DataFrame) = {
+      val total = d.agg(sum("rank")).collect().head.getDouble(0)
+      d.withColumn("p", col("rank") / total).select("id", "p")
+    }
+    val gx = normalized(GraphOps.pageRankGraphX(spark, v, e, iters = 3))
+      .withColumnRenamed("p", "gxp")
+    val df = normalized(GraphOps.pageRankDF(v, e, iters = 3))
+    val maxdiff = gx.join(df, "id")
+      .select(max(abs(col("gxp") - col("p"))).as("maxdiff"))
+      .collect().head.getDouble(0)
+    assert(maxdiff < 1e-3, s"GraphX vs DataFrame pagerank diverged: $maxdiff")
+  }
+
+  test("connected components: isolated customers are their own component") {
+    val v = TradeGraph.vertices(spark, sf)
+    val e = TradeGraph.edges(spark, sf)
+    val cc = GraphOps.connectedComponents(spark, v, e)
+    val withEdges = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    val isolated = v.join(withEdges, Seq("id"), "left_anti")
+    val badIsolated = cc.join(isolated, "id")
+      .filter(col("component") =!= col("id")).count()
+    assert(badIsolated == 0)
+    // the trade graph has one giant component containing all suppliers
+    val supComponents = cc.filter(col("id") >= TradeGraph.SupplierOffset)
+      .select("component").distinct().count()
+    assert(supComponents == 1)
+  }
+
+  test("triangle count on a known graph") {
+    import spark.implicits._
+    // triangle 1-2-3 plus a dangling edge 3-4
+    val v = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("src", "dst")
+    val t = GraphOps.triangleCounts(spark, v, e)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(t == Map(1L -> 1, 2L -> 1, 3L -> 1, 4L -> 0))
+  }
+
+  test("degrees sum equals twice the edge count") {
+    val v = TradeGraph.vertices(spark, sf)
+    val e = TradeGraph.edges(spark, sf)
+    val total = GraphOps.degrees(v, e)
+      .agg(sum("total")).collect().head.getLong(0)
+    assert(total == 2 * e.count())
+  }
+}
