@@ -124,6 +124,16 @@ object QueriesPipeline {
           "fr_score", "es_score", "zh_score")
         .orderBy("doc_id")
     }),
+    // --- multimodal plumbing (binary payload + typed metadata) ------
+    "qp_media_meta" -> ((s, dir) => {
+      // payload bytes + metadata survive the media-table shape intact
+      graft.ops.Multimodal.asMediaTable(docs(s, dir), "doc_id", "text",
+          "image")
+        .select(col("media_id"), col("media_type"),
+          col("meta.n_bytes").as("n_bytes"),
+          md5(col("payload")).as("content_hash"))
+        .orderBy("media_id")
+    }),
     "qp_text_fingerprint" -> ((s, dir) => {
       docs(s, dir)
         .withColumn("fp",
@@ -300,6 +310,11 @@ object QueriesPipeline {
          |   en_score, de_score, fr_score, es_score, zh_score
          | FROM s ORDER BY doc_id""".stripMargin
     },
+    "qp_media_meta" ->
+      """SELECT doc_id AS media_id, 'image' AS media_type,
+        |   octet_length(encode(text)) AS n_bytes,
+        |   md5(text) AS content_hash
+        | FROM documents ORDER BY media_id""".stripMargin,
     "qp_text_fingerprint" ->
       s"""SELECT doc_id, array_to_string(
          |   list_sort(list_transform(${dShingles("text")},

@@ -1,0 +1,121 @@
+package graft.engine
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+/** DML/DDL behavioral tests (reference style: SQLCommandsTest,
+  * SQLInsertTest, SQLUpdateTest, SQLDeleteTest). */
+class CommandsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def freshSession(): GraftSession = {
+    val cat = new Catalog(spark)
+    new GraftSession(spark, cat)
+  }
+
+  test("create class / property, insert, select roundtrip") {
+    val g = freshSession()
+    g.command("create class Profile")
+    g.command("create property Profile.nick STRING")
+    g.command("create property Profile.followers INTEGER")
+    g.command("insert into Profile (nick, followers) values ('neo', 10)")
+    g.command("insert into Profile (nick, followers) values ('trinity', 20)")
+    val rows = g.query("select nick, followers from Profile " +
+      "order by nick").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("neo", "trinity"))
+  }
+
+  test("insert returns count and supports schema-less extra fields") {
+    val g = freshSession()
+    g.command("create class Doc")
+    val n = g.command("insert into Doc (a, b) values (1, 'x')")
+      .collect().head.getLong(0)
+    assert(n == 1)
+    // schema-less: new field on the fly (ODocument semantics)
+    g.command("insert into Doc (a, c) values (2, 3.5)")
+    val rows = g.query("select a, c from Doc order by a").collect()
+    assert(rows.length == 2 && rows(0).isNullAt(1) &&
+      rows(1).getDouble(1) == 3.5)
+  }
+
+  test("update SET with where; delete with where") {
+    val g = freshSession()
+    g.command("create class Acc")
+    g.command("insert into Acc (id, bal) values (1, 100)")
+    g.command("insert into Acc (id, bal) values (2, 200)")
+    g.command("insert into Acc (id, bal) values (3, 300)")
+    val updated = g.command("update Acc set bal = 999 where id >= 2")
+      .collect().head.getLong(0)
+    assert(updated == 2)
+    val after = g.query("select id, bal from Acc order by id").collect()
+    assert(after.map(_.getLong(1)).toSeq == Seq(100L, 999L, 999L))
+    val deleted = g.command("delete from Acc where bal = 999")
+      .collect().head.getLong(0)
+    assert(deleted == 2)
+    assert(g.query("select from Acc").count() == 1)
+  }
+
+  test("update ADD/REMOVE on collections and PUT on maps") {
+    val g = freshSession()
+    g.command("create class C")
+    g.command("create property C.tags EMBEDDEDLIST")
+    g.command("insert into C (id, tags) values (1, ['a'])")
+    g.command("update C add tags = 'b' where id = 1")
+    val tags = g.query("select tags from C").collect()
+      .head.getSeq[String](0)
+    assert(tags == Seq("a", "b"))
+    g.command("update C remove tags = 'a' where id = 1")
+    assert(g.query("select tags from C").collect()
+      .head.getSeq[String](0) == Seq("b"))
+  }
+
+  test("remove property drops the column") {
+    val g = freshSession()
+    g.command("create class P")
+    g.command("insert into P (x, y) values (1, 2)")
+    g.command("remove property P.y")
+    assert(!g.browseClass("P").columns.contains("y"))
+  }
+
+  test("unique index rejects duplicates, accepts clean column") {
+    val g = freshSession()
+    g.command("create class U")
+    g.command("insert into U (k, v) values (1, 'a')")
+    g.command("insert into U (k, v) values (1, 'b')")
+    intercept[IllegalStateException](g.command("create index U.k unique"))
+    g.command("create index U.v unique")
+    assert(g.catalog.indexes(("u", "v")) == "UNIQUE")
+    g.command("remove index U.v")
+    assert(!g.catalog.indexes.contains(("u", "v")))
+  }
+
+  test("create link enables dot navigation and inverse multi-link") {
+    val g = freshSession()
+    g.command("create class City")
+    g.command("create class Person")
+    g.command("insert into City (cid, cname) values (10, 'Rome')")
+    g.command("insert into City (cid, cname) values (20, 'London')")
+    g.command("insert into Person (pid, pname, city_id) values (1, 'anna', 10)")
+    g.command("insert into Person (pid, pname, city_id) values (2, 'bob', 10)")
+    g.command("create link city from Person.city_id to City.cid inverse")
+    val r = g.query("select pname, city.cname as cn from Person " +
+      "where city.cname = 'Rome' order by pname").collect()
+    assert(r.map(_.getString(0)).toSeq == Seq("anna", "bob"))
+    // inverse: City.persons multi-link
+    val sizes = g.query("select cname, persons.size() as n from City " +
+      "order by cname").collect()
+    assert(sizes.find(_.getString(0) == "Rome").get.getInt(1) == 2)
+  }
+
+  test("class inheritance: polymorphic scan unions subclasses") {
+    val g = freshSession()
+    g.command("create class Animal")
+    g.command("create class Dog extends Animal")
+    g.command("insert into Animal (name) values ('generic')")
+    g.command("insert into Dog (name, breed) values ('rex', 'lab')")
+    assert(g.browseClass("Animal").count() == 2)
+    assert(g.browseClass("Animal", polymorphic = false).count() == 1)
+    assert(g.query("select from Animal where name = 'rex'").count() == 1)
+  }
+}

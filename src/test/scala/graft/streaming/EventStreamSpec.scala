@@ -1,0 +1,63 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+import EventStream._
+
+class EventStreamSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def ev(id: Long, minute: Int, user: Long, tpe: String,
+      v: Double): Ev =
+    Ev(id, Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00"), user, tpe, v)
+
+  test("windowed aggregation over a memory stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val agg = windowedAgg(input.toDF(), windowLen = "10 minutes",
+      watermarkDelay = "30 minutes")
+    val q = agg.writeStream.format("memory").queryName("win_agg")
+      .outputMode("complete").start()
+    try {
+      input.addData(ev(1, 1, 1, "click", 1.0), ev(2, 5, 2, "click", 2.0),
+        ev(3, 12, 1, "view", 5.0), ev(4, 14, 3, "click", 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_agg").collect()
+      val clicks0 = rows.find(r => r.getAs[String]("event_type") == "click"
+        && r.getAs[Timestamp]("w_start").toString.contains("10:00")).get
+      assert(clicks0.getAs[Long]("n") == 2 &&
+        clicks0.getAs[Double]("total") == 3.0)
+      val clicks1 = rows.find(r => r.getAs[String]("event_type") == "click"
+        && r.getAs[Timestamp]("w_start").toString.contains("10:10")).get
+      assert(clicks1.getAs[Long]("n") == 1)
+    } finally q.stop()
+  }
+
+  test("sessionization with event-time gap timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val sessions = sessionize(
+      input.toDS().withWatermark("ts", "0 seconds").as[Ev],
+      gapMs = 5 * 60 * 1000)
+    val q = sessions.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      // user 1: events at 10:01,10:03 then a 20-minute gap then 10:23
+      input.addData(ev(1, 1, 1, "c", 1.0), ev(2, 3, 1, "c", 2.0),
+        ev(3, 23, 1, "c", 3.0))
+      q.processAllAvailable()
+      // second batch advances the watermark so the first session times out
+      input.addData(ev(4, 59, 2, "c", 0.5))
+      q.processAllAvailable()
+      val rows = spark.table("sessions").collect()
+      val s1 = rows.filter(_.getAs[Long]("user_id") == 1L)
+      assert(s1.exists(r => r.getAs[Int]("n_events") == 2 &&
+        r.getAs[Double]("total_value") == 3.0))
+    } finally q.stop()
+  }
+}
