@@ -33,9 +33,12 @@ object QueriesGraph {
         .orderBy(col("id"))
     }),
     "qg_common_suppliers" -> ((s, dir) => {
-      // graph pattern: customer pairs trading with ≥20 common suppliers
+      // graph pattern: for 100 focal customers, find co-purchasers with
+      // ≥20 common suppliers. The focal restriction keeps the common-
+      // neighbor join linear in Σ deg(focal) instead of Σ deg(s)² —
+      // the unbounded all-pairs version is quadratic by definition.
       val e = TradeGraph.edges(s, dir)
-      val a = e.select(col("src").as("a_id"), col("dst"))
+      val a = e.filter(col("src") < 100).select(col("src").as("a_id"), col("dst"))
       val b = e.select(col("src").as("b_id"), col("dst"))
       a.join(b, "dst").filter(col("a_id") < col("b_id"))
         .groupBy("a_id", "b_id").agg(count(lit(1)).as("shared"))
@@ -106,6 +109,7 @@ object QueriesGraph {
       s"""WITH $edgesCte
          | SELECT a.src AS a_id, b.src AS b_id, count(*) AS shared
          | FROM e a JOIN e b ON a.dst = b.dst AND a.src < b.src
+         | WHERE a.src < 100
          | GROUP BY 1, 2 HAVING count(*) >= 20
          | ORDER BY a_id, b_id""".stripMargin
   )

@@ -70,8 +70,10 @@ object Dedup {
       val ks = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"s$i"))
       concat_ws("_", (lit(b) +: ks): _*)
     }
+    // (band, id) rows are tiny; persisting them runs the signature
+    // aggregation once instead of once per self-join side
     val buckets = sigs.select(col("__id"),
-      explode(array(bandKeys: _*)).as("__band"))
+      explode(array(bandKeys: _*)).as("__band")).persist()
     val candidates = buckets.select(col("__band"), col("__id").as("a_id"))
       .join(buckets.select(col("__band"), col("__id").as("b_id")),
         Seq("__band"))
