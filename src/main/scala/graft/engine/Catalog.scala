@@ -117,6 +117,21 @@ final class Catalog(spark: SparkSession) {
     * advisory in a columnar engine (Catalyst pushdown replaces the
     * MVRB-tree); UNIQUE additionally enforces a write-path check. */
   val indexes = scala.collection.mutable.Map[(String, String), String]()
+
+  // ---- property metadata (constraints, §1.4) ----------------------
+  val properties = scala.collection.mutable.Map[(String, String), PropertyDef]()
+
+  def setProperty(p: PropertyDef): Unit =
+    properties((p.cls.toLowerCase, p.name.toLowerCase)) = p
+
+  /** declared properties of a class including the superclass chain. */
+  def propsOf(clsName: String): Seq[PropertyDef] = {
+    val cls = get(clsName)
+    val own = properties.collect {
+      case ((c, _), p) if c == cls.name.toLowerCase => p
+    }.toSeq
+    own ++ cls.superClass.map(propsOf).getOrElse(Nil)
+  }
 }
 
 object Catalog {

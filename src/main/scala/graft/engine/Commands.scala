@@ -28,14 +28,17 @@ object Commands {
       case s: DeleteStmt => delete(session, s)
       case CreateClassStmt(name, sup) =>
         cat.createClass(name, sup); one(spark, 1)
-      case CreatePropertyStmt(cls, field, tpe, _) =>
+      case CreatePropertyStmt(cls, field, tpe, linked) =>
         val df = cat.table(cls).drop("_rid", "_class")
         cat.replaceData(cls,
           if (df.columns.exists(_.equalsIgnoreCase(field))) df
           else df.withColumn(field, lit(null).cast(oTypeToSpark(tpe))))
+        cat.setProperty(PropertyDef(cat.get(cls).name, field, tpe,
+          linkedClass = linked))
         one(spark, 1)
       case RemovePropertyStmt(cls, field) =>
         cat.replaceData(cls, cat.table(cls).drop("_rid", "_class", field))
+        cat.properties.remove((cls.toLowerCase, field.toLowerCase))
         one(spark, 1)
       case CreateIndexStmt(cls, field, kind) =>
         if (kind == "UNIQUE") {
@@ -103,10 +106,17 @@ object Commands {
     def extend(df: DataFrame): DataFrame =
       df.select(allCols.map(c =>
         if (df.columns.contains(c)) col(c) else lit(null).as(c)): _*)
+    // BEFORE_CREATE hooks may transform the incoming rows
+    row = session.hooks.fire(Hooks.BeforeCreate, s.cls, row)
+    // constraint validation on the rows AS INSERTED (pre-extension:
+    // `mandatory` means the field was present in the record, reference
+    // `validateField:170-172`) — one batch expression pass
+    Validation.validate(row, cat.propsOf(s.cls))
     val merged =
       if (existing.isEmpty && existing.columns.isEmpty) row
       else extend(existing).unionByName(extend(row).select(allCols.map(col): _*))
     cat.replaceData(s.cls, merged)
+    session.hooks.fire(Hooks.AfterCreate, s.cls, row)
     one(session.spark, 1)
   }
 
@@ -140,8 +150,13 @@ object Commands {
             map_filter(coalesce(col(f), map()), (mk, _) => mk =!= litOf(k)),
             map(litOf(k), litOf(v))))
           .otherwise(col(f)))
-    }.drop("__hit", "_rid", "_class")
-    cat.replaceData(s.cls, updated)
+    }
+    session.hooks.fire(Hooks.BeforeUpdate, s.cls, table.filter(hit))
+    Validation.validate(updated.filter(col("__hit")).drop("__hit"),
+      cat.propsOf(s.cls))
+    cat.replaceData(s.cls, updated.drop("__hit", "_rid", "_class"))
+    session.hooks.fire(Hooks.AfterUpdate, s.cls,
+      updated.filter(col("__hit")).drop("__hit"))
     one(session.spark, n)
   }
 
@@ -153,8 +168,10 @@ object Commands {
       .map(w => session.translator.compileCondLenient(table, cls, w))
       .getOrElse(lit(true))
     val n = table.filter(hit).count()
+    session.hooks.fire(Hooks.BeforeDelete, s.cls, table.filter(hit))
     cat.replaceData(s.cls,
       table.filter(!coalesce(hit, lit(false))).drop("_rid", "_class"))
+    session.hooks.fire(Hooks.AfterDelete, s.cls, table.filter(hit))
     one(session.spark, n)
   }
 

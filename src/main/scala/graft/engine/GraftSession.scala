@@ -12,11 +12,36 @@ import graft.functions.FunctionRegistry
   */
 final class GraftSession(val spark: SparkSession, val catalog: Catalog) {
   val functions = new FunctionRegistry
+  val hooks = new HookRegistry
+  lazy val dictionary = new Dictionary(this)
   private[engine] val translator = new Translator(catalog, functions)
 
-  /** Run a dialect SELECT → DataFrame (lazy; caller triggers actions). */
-  def query(sql: String): DataFrame =
-    translator.select(Parser.parseSelect(sql))
+  /** Run a dialect SELECT → DataFrame (lazy; caller triggers actions).
+    * READ hooks observe/transform the result frame (batch semantics). */
+  def query(sql: String): DataFrame = {
+    val stmt = Parser.parseSelect(sql)
+    val cls = stmt.target match {
+      case Ast.ClassTarget(n) => n
+      case _ => ""
+    }
+    val df = translator.select(stmt)
+    hooks.fire(Hooks.AfterRead, cls,
+      hooks.fire(Hooks.BeforeRead, cls, df))
+  }
+
+  /** fluent native predicate query (`ONativeSynchQuery` parity):
+    * {{{ g.nativeQuery("customer")(f => f("c_acctbal").major(1000)) }}} */
+  def nativeQuery(cls: String)(
+      pred: NativeQuery.Ctx => NativeQuery.Pred): DataFrame =
+    browseClass(cls).filter(pred(new NativeQuery.Ctx).c)
+
+  /** whole-database JSON dump / load (`ODatabaseExport/Import`). */
+  def exportDatabase(dir: String): Unit = JsonTools.exportDatabase(this, dir)
+  def importDatabase(dir: String): Unit = JsonTools.importDatabase(this, dir)
+
+  /** JSON documents with fetch-plan-driven link expansion. */
+  def fetchJson(cls: String, fetchPlan: String = ""): DataFrame =
+    JsonTools.fetchJson(this, cls, fetchPlan)
 
   /** Parse any supported statement; SELECTs return rows, DML/DDL are
     * interpreted by [[Commands]]. */

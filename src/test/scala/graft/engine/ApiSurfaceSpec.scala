@@ -1,0 +1,123 @@
+package graft.engine
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+/** Validation, hooks, dictionary, native DSL, JSON export/import and
+  * fetch plans — the API surface of SURVEY.md §1.4 / §2.10. */
+class ApiSurfaceSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def fresh(): GraftSession = new GraftSession(spark, new Catalog(spark))
+
+  test("property constraints: mandatory/notNull/min/max/regexp") {
+    val g = fresh()
+    g.command("create class V")
+    g.command("create property V.nick STRING")
+    g.command("create property V.age INTEGER")
+    g.catalog.setProperty(PropertyDef("V", "nick", "STRING",
+      notNull = true, min = Some("3"), max = Some("10"),
+      regexp = Some("[a-z]+")))
+    g.catalog.setProperty(PropertyDef("V", "age", "INTEGER",
+      min = Some("0"), max = Some("150")))
+    g.command("insert into V (nick, age) values ('neo', 30)")
+    intercept[ValidationException](
+      g.command("insert into V (nick, age) values ('xy', 30)")) // min chars
+    intercept[ValidationException](
+      g.command("insert into V (nick, age) values ('verylongnickname', 1)"))
+    intercept[ValidationException](
+      g.command("insert into V (nick, age) values ('UPPER', 1)")) // regexp
+    intercept[ValidationException](
+      g.command("insert into V (nick, age) values ('neo', 200)")) // max value
+    intercept[ValidationException](
+      g.command("update V set age = -5 where nick = 'neo'"))
+    assert(g.query("select from V").count() == 1)
+  }
+
+  test("mandatory field must be present in insert") {
+    val g = fresh()
+    g.command("create class M")
+    g.command("create property M.req STRING")
+    g.catalog.setProperty(PropertyDef("M", "req", "STRING", mandatory = true))
+    intercept[ValidationException](g.command("insert into M (other) values (1)"))
+    g.command("insert into M (req) values ('ok')")
+  }
+
+  test("hooks: BEFORE_CREATE transforms, AFTER_DELETE observes") {
+    val g = fresh()
+    g.command("create class H")
+    // BEFORE_CREATE: stamp a field on every inserted row
+    g.hooks.register(Hooks.BeforeCreate,
+      (_, df) => df.withColumn("stamped", lit(true)))
+    var deleted = -1L
+    g.hooks.register(Hooks.AfterDelete, (_, df) => { deleted = df.count(); df })
+    g.command("insert into H (x) values (1)")
+    g.command("insert into H (x) values (2)")
+    assert(g.query("select from H where stamped = true").count() == 2)
+    g.command("delete from H where x = 1")
+    assert(deleted == 1L)
+  }
+
+  test("dictionary put/get/remove and graph roots") {
+    val g = GraftSession.forTestdata(spark, "/root/testdata/sf0.001")
+    g.dictionary.put("first_customer", "customer", 0L)
+    g.dictionary.put("best_nation", "nation", 3L)
+    assert(g.dictionary.keys.toSet == Set("first_customer", "best_nation"))
+    val c = g.dictionary.get("first_customer").get.collect()
+    assert(c.length == 1 && c.head.getAs[Long]("c_custkey") == 0L)
+    g.dictionary.setRoot("graph", "customer", 5L)
+    assert(g.dictionary.getRoot("graph").get.collect()
+      .head.getAs[Long]("c_custkey") == 5L)
+    g.dictionary.remove("best_nation")
+    assert(g.dictionary.keys == Seq("first_customer", "__root_graph"))
+  }
+
+  test("native query DSL compiles to pushed-down predicates") {
+    val g = GraftSession.forTestdata(spark, "/root/testdata/sf0.001")
+    val rows = g.nativeQuery("customer")(f =>
+      f("c_acctbal").major(1000).and(f("c_mktsegment").eq("BUILDING"))
+        .and(f("c_name").like("Customer%")))
+      .collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getAs[Double]("c_acctbal") > 1000 &&
+      r.getAs[String]("c_mktsegment") == "BUILDING"))
+    val cast = g.nativeQuery("customer")(f =>
+      f("c_custkey").toDouble.minorEq(5.0)).count()
+    assert(cast == 6)
+  }
+
+  test("json export/import roundtrip preserves data and links") {
+    val g = GraftSession.forTestdata(spark, "/root/testdata/sf0.001")
+    val dir = "/tmp/graft_export_test"
+    g.exportDatabase(dir)
+    val g2 = new GraftSession(spark, new Catalog(spark))
+    g2.importDatabase(dir)
+    assert(g2.browseClass("customer").count() ==
+      g.browseClass("customer").count())
+    // links survive the manifest → dialect navigation still works
+    val r = g2.query("select c_custkey, nation.n_name as nn from customer " +
+      "order by c_custkey limit 1").collect().head
+    assert(r.getAs[String]("nn").startsWith("NATION_"))
+  }
+
+  test("fetch plans bound link expansion depth") {
+    val g = GraftSession.forTestdata(spark, "/root/testdata/sf0.001")
+    // depth 0: links stay as FK scalars, no nested docs
+    val flat = g.fetchJson("customer").orderBy("key").limit(1)
+      .collect().head.getAs[String]("json")
+    assert(!flat.contains("\"nation\":{"))
+    // nation:1 → nested nation doc without nested region
+    val d1 = g.fetchJson("customer", "nation:1").orderBy("key").limit(1)
+      .collect().head.getAs[String]("json")
+    assert(d1.contains("\"nation\":{") && !d1.contains("\"region\":{"))
+    // *:-1 → full chain customer→nation→region
+    val deep = g.fetchJson("customer", "*:-1").orderBy("key").limit(1)
+      .collect().head.getAs[String]("json")
+    assert(deep.contains("\"nation\":{") && deep.contains("\"region\":{"))
+    // multi-link expansion: customer orders as nested array
+    val withOrders = g.fetchJson("customer", "orders:1")
+      .filter(col("key") === 1L).collect().head.getAs[String]("json")
+    assert(withOrders.contains("\"orders\":[{"))
+  }
+}
