@@ -95,4 +95,9 @@ object Ast {
   final case class CreateLinkStmt(name: Option[String], fromCls: String,
       fromField: String, toCls: String, toField: String, inverse: Boolean)
       extends Stmt
+  /** GRANT/REVOKE <perm> ON <resource> TO <role> (§2.9 — role-based
+    * security accepted into a thin ACL catalog, not enforced on the
+    * analytic path). */
+  final case class GrantStmt(perm: String, resource: String, role: String,
+      revoke: Boolean) extends Stmt
 }

@@ -118,6 +118,10 @@ final class Catalog(spark: SparkSession) {
     * MVRB-tree); UNIQUE additionally enforces a write-path check. */
   val indexes = scala.collection.mutable.Map[(String, String), String]()
 
+  // ---- ACL catalog (GRANT/REVOKE §2.9 — accepted, not enforced) ---
+  /** (role, resource) → permission set. */
+  val acl = scala.collection.mutable.Map[(String, String), Set[String]]()
+
   // ---- property metadata (constraints, §1.4) ----------------------
   val properties = scala.collection.mutable.Map[(String, String), PropertyDef]()
 

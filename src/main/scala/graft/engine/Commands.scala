@@ -55,6 +55,11 @@ object Commands {
         cat.indexes.remove((cls.toLowerCase, field.toLowerCase))
         one(spark, 1)
       case s: CreateLinkStmt => createLink(session, s)
+      case GrantStmt(perm, resource, role, revoke) =>
+        val key = (role.toLowerCase, resource.toLowerCase)
+        val cur = cat.acl.getOrElse(key, Set())
+        if (revoke) cat.acl(key) = cur - perm else cat.acl(key) = cur + perm
+        one(spark, 1)
       case _: SelectStmt =>
         throw new IllegalArgumentException("SELECT handled by query()")
     }

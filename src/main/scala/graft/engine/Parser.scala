@@ -143,6 +143,15 @@ object Parser {
       case t if isKw(t, "update") => updateStmt()
       case t if isKw(t, "delete") => deleteStmt()
       case t if isKw(t, "create") || isKw(t, "remove") => ddlStmt()
+      case t if isKw(t, "grant") || isKw(t, "revoke") =>
+        val revoke = isKw(t, "revoke")
+        pos += 1
+        val perm = ident()
+        eatKw("on")
+        val sb = new StringBuilder(ident())
+        while (tryPunct(".")) { sb.append('.').append(ident()) }
+        eatKw("to")
+        GrantStmt(perm.toUpperCase, sb.toString, ident(), revoke)
       case t => fail(s"unknown statement start $t")
     }
 

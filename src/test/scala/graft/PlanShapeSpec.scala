@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan invariants — the 100 TB design contract: filters reach
+  * the parquet scan, projections prune the read schema, dimension joins
+  * broadcast, aggregates partial-combine map-side, hot paths stay in
+  * whole-stage codegen. A regression here is a scale bug even when
+  * results stay correct. */
+class PlanShapeSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def df(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, sf)
+
+  /** full (untruncated) pushed-filter spec of every parquet scan. */
+  private def pushedFilters(d: DataFrame): String =
+    d.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec => f.metadata.getOrElse("PushedFilters", "")
+    }.mkString(";")
+
+  private def readSchemas(d: DataFrame): Seq[String] =
+    d.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec => f.requiredSchema.fieldNames.mkString(",")
+    }
+
+  /** final plan text after AQE resolution (collect() executes THIS
+    * plan — count() would build a separate query execution). */
+  private def finalPlan(d: DataFrame): String = {
+    d.collect()
+    d.queryExecution.executedPlan.toString
+  }
+
+  test("filters are pushed down to the parquet scan") {
+    assert(pushedFilters(df("q_filter_like"))
+      .contains("EqualTo(c_mktsegment,BUILDING)"))
+    // dialect path pushes down too (parser → Column → Catalyst)
+    val pd = pushedFilters(df("qd_select_filter_sort"))
+    assert(pd.contains("EqualTo(c_mktsegment,BUILDING)") &&
+      pd.contains("GreaterThan(c_acctbal,1000"), pd)
+  }
+
+  test("projection prunes the read schema") {
+    assert(readSchemas(df("q_topk")) == Seq("o_orderkey,o_totalprice"))
+    // dialect chains query reads only the referenced columns
+    val cols = readSchemas(df("qd_chains")).head.split(",").toSet
+    assert(cols == Set("p_partkey", "p_name", "p_brand"))
+  }
+
+  test("dimension joins broadcast (no shuffle join for small dims)") {
+    assert(finalPlan(df("q_link_nav")).contains("BroadcastHashJoin"))
+    val d = finalPlan(df("qd_link_nav"))
+    assert(d.contains("BroadcastHashJoin") && !d.contains("SortMergeJoin"), d)
+  }
+
+  test("aggregations partial-combine before the shuffle") {
+    assert(finalPlan(df("q1_pricing_summary")).contains("partial_sum"))
+  }
+
+  test("hot paths run in whole-stage codegen") {
+    // `*(n)` prefixes mark WholeStageCodegen stages in plan text
+    for (q <- Seq("q1_pricing_summary", "q_filter_like", "qd_chains"))
+      assert(finalPlan(df(q)).contains("*("), q)
+  }
+
+  test("rid/range scans compile to plain key predicates on the scan") {
+    val p = pushedFilters(df("qd_range_pagination"))
+    assert(p.contains("GreaterThanOrEqual(c_custkey,100)") &&
+      p.contains("LessThanOrEqual(c_custkey,199)"), p)
+  }
+}
