@@ -17,8 +17,12 @@ import org.apache.spark.sql.functions._
   * deployment can point it at a partitioned/bucketed parquet or Delta
   * root; nothing here assumes single files or collects to the driver.
   */
+/** @param srcIsArray LINKSET/LINKLIST stored as an array of target
+  *        keys in `srcKey` (the reference's RID-collection fields,
+  *        e.g. Profile.followers) — navigation explodes the array;
+  *        `multi` is implied true. */
 final case class LinkSpec(field: String, target: String, srcKey: String,
-    dstKey: String, multi: Boolean = false)
+    dstKey: String, multi: Boolean = false, srcIsArray: Boolean = false)
 
 final case class ClassDef(
     name: String,

@@ -154,7 +154,27 @@ final class Translator(val catalog: Catalog, val registry: FunctionRegistry) {
       val parentPrefix =
         if (chain.size == 1) "" else chains(chain.dropRight(1))._1
       val srcCol = col(parentPrefix + spec.srcKey)
-      if (spec.multi) {
+      if (spec.srcIsArray) {
+        // RID-collection link (LINKSET as array<key>): explode the key
+        // array on a fresh scan of the source class, join targets,
+        // re-aggregate per source row, then join back 1:1 by pk.
+        val srcCls = if (chain.size == 1) baseCls.get
+          else chains(chain.dropRight(1))._2
+        val pk = srcCls.ridPosCol.getOrElse(throw Parser.ParseException(
+          s"array link ${spec.field} requires a keyed class"))
+        val cols = target.columns.filterNot(internalCol)
+        val src = catalog.table(srcCls.name)
+          .select(col(pk).as(s"${prefix}pk"),
+            explode_outer(col(spec.srcKey)).as(s"${prefix}k"))
+        val items = src
+          .join(target, col(s"${prefix}k") === target(spec.dstKey))
+          .groupBy(col(s"${prefix}pk"))
+          .agg(collect_list(struct(cols.map(col): _*))
+            .as(s"${prefix}items"))
+        df = df.join(items,
+          col(parentPrefix + pk) === col(s"${prefix}pk"), "left")
+          .drop(s"${prefix}pk")
+      } else if (spec.multi) {
         // LINKLIST: pre-aggregate the many side to one array per key —
         // partial aggregation happens map-side, the join stays 1:1.
         val cols = target.columns.filterNot(internalCol)
@@ -168,7 +188,8 @@ final class Translator(val catalog: Catalog, val registry: FunctionRegistry) {
           target.columns.map(c => col(c).as(prefix + c)): _*)
         df = df.join(renamed, srcCol === col(prefix + spec.dstKey), "left")
       }
-      chains(chain) = (prefix, catalog.get(spec.target), spec.multi)
+      chains(chain) =
+        (prefix, catalog.get(spec.target), spec.multi || spec.srcIsArray)
     }
 
     private def prepareTraverse(tc: TraverseCond): Unit = {
@@ -447,7 +468,9 @@ final class Translator(val catalog: Catalog, val registry: FunctionRegistry) {
           case other => throw Parser.ParseException(s"bad arg $other for $op")
         }
         c = op match {
-          case "size" => size(c)
+          // null collection → 0, reference transformValue:130 (explicit
+          // null test: legacy sizeOfNull yields -1, not null, w/o ANSI)
+          case "size" => when(c.isNull, 0).otherwise(size(c))
           case "length" => length(c.cast(StringType))
           case "touppercase" => upper(c.cast(StringType))
           case "tolowercase" => lower(c.cast(StringType))

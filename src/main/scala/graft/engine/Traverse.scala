@@ -90,9 +90,16 @@ object Traverse {
             val target = catalog.get(l.target)
             val tt = catalog.table(l.target)
             // node → neighbor key via the FK edge (one distributed join;
-            // the visited-minus keeps the frontier monotone shrinking)
-            val edges = t.select(col(cls.ridPosCol.get).as("__node2"),
-                col(l.srcKey).as("__sk"))
+            // the visited-minus keeps the frontier monotone shrinking);
+            // RID-collection links explode their key array first
+            val src =
+              if (l.srcIsArray)
+                t.select(col(cls.ridPosCol.get).as("__node2"),
+                  explode(col(l.srcKey)).as("__sk"))
+              else
+                t.select(col(cls.ridPosCol.get).as("__node2"),
+                  col(l.srcKey).as("__sk"))
+            val edges = src
               .join(tt.select(col(l.dstKey).as("__dk"),
                 col(target.ridPosCol.get).as("__tk")),
                 col("__sk") === col("__dk"))
