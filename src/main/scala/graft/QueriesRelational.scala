@@ -214,6 +214,44 @@ object QueriesRelational {
         .union(t(s, dir, "region").select($"r_name".as("name")))
         .distinct()
         .orderBy($"name")
+    }),
+    "q_window_lag" -> ((s, dir) => {
+      // per-user event deltas: lag over event time (beyond-rank window)
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      t(s, dir, "events")
+        .withColumn("prev", lag($"value", 1).over(w))
+        .withColumn("delta", round($"value" - $"prev", 6))
+        .select($"event_id", $"user_id", $"delta")
+        .orderBy($"event_id")
+    }),
+    "q_rollup" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .rollup($"o_orderstatus", $"o_orderpriority")
+        .agg(count(lit(1)).as("n"), round(sum($"o_totalprice"), 2).as("total"))
+        .orderBy($"o_orderstatus", $"o_orderpriority")
+    }),
+    "q_pivot_status" -> ((s, dir) => {
+      // pivot emulated portably with conditional aggregation
+      import s.implicits._
+      t(s, dir, "orders")
+        .groupBy($"o_orderpriority")
+        .agg(
+          count(when($"o_orderstatus" === "F", 1)).as("n_f"),
+          count(when($"o_orderstatus" === "O", 1)).as("n_o"),
+          count(when($"o_orderstatus" === "P", 1)).as("n_p"))
+        .orderBy($"o_orderpriority")
+    }),
+    "q_stats_agg" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          round(stddev_samp($"l_quantity"), 4).as("sd_qty"),
+          round(corr($"l_quantity", $"l_extendedprice"), 4).as("corr_qe"),
+          round(covar_samp($"l_quantity", $"l_discount"), 4).as("cov_qd"))
+        .orderBy($"l_returnflag")
     })
   )
 
@@ -326,6 +364,30 @@ object QueriesRelational {
       """SELECT DISTINCT name FROM (
         |   SELECT n_name AS name FROM nation
         |   UNION ALL SELECT r_name AS name FROM region)
-        | ORDER BY name""".stripMargin
+        | ORDER BY name""".stripMargin,
+    "q_window_lag" ->
+      """SELECT event_id, user_id,
+        |   round(value - lag(value, 1) OVER (PARTITION BY user_id
+        |     ORDER BY ts, event_id), 6) AS delta
+        | FROM events ORDER BY event_id""".stripMargin,
+    "q_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |   round(sum(o_totalprice), 2) AS total
+        | FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        | ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+    "q_pivot_status" ->
+      """SELECT o_orderpriority,
+        |   count(*) FILTER (o_orderstatus = 'F') AS n_f,
+        |   count(*) FILTER (o_orderstatus = 'O') AS n_o,
+        |   count(*) FILTER (o_orderstatus = 'P') AS n_p
+        | FROM orders GROUP BY o_orderpriority
+        | ORDER BY o_orderpriority""".stripMargin,
+    "q_stats_agg" ->
+      """SELECT l_returnflag,
+        |   round(stddev_samp(l_quantity), 4) AS sd_qty,
+        |   round(corr(l_quantity, l_extendedprice), 4) AS corr_qe,
+        |   round(covar_samp(l_quantity, l_discount), 4) AS cov_qd
+        | FROM lineitem GROUP BY l_returnflag
+        | ORDER BY l_returnflag""".stripMargin
   )
 }

@@ -70,6 +70,26 @@ class CommandsSpec extends AnyFunSuite {
       .head.getSeq[String](0) == Seq("b"))
   }
 
+  test("update PUT on maps; containskey/containsvalue filters") {
+    val g = freshSession()
+    g.command("create class M")
+    g.command("create property M.attrs EMBEDDEDMAP")
+    g.command("insert into M (id) values (1)")
+    g.command("insert into M (id) values (2)")
+    g.command("update M put attrs = 'color', 'red' where id = 1")
+    g.command("update M put attrs = 'size', 'xl' where id = 1")
+    g.command("update M put attrs = 'color', 'blue' where id = 2")
+    g.command("update M put attrs = 'color', 'crimson' where id = 1") // overwrite
+    val m1 = g.query("select attrs from M where id = 1").collect()
+      .head.getMap[String, String](0)
+    assert(m1 == Map("color" -> "crimson", "size" -> "xl"))
+    // dialect CONTAINSKEY / CONTAINSVALUE (§2.3)
+    assert(g.query("select from M where attrs containskey 'size'")
+      .count() == 1)
+    assert(g.query("select from M where attrs containsvalue 'blue'")
+      .collect().head.getAs[Long]("id") == 2)
+  }
+
   test("remove property drops the column") {
     val g = freshSession()
     g.command("create class P")
