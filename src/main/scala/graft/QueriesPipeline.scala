@@ -76,6 +76,15 @@ object QueriesPipeline {
           blockCols = Seq("label"), threshold = 0.4)
         .orderBy(col("a_id"), col("b_id"))
     }),
+    "qp_ivf_topk" -> ((s, dir) => {
+      // IVF: cells from 16 fixed centroids, 2-cell probes per query
+      val e = embs(s, dir)
+      Similarity.ivfTopK(e,
+          e.filter(col("vec_id") >= 100 && col("vec_id") < 105),
+          e.filter(col("vec_id") < 16),
+          "vec_id", "embedding", k = 5, nProbe = 2)
+        .orderBy(col("q_id"), col("rnk"))
+    }),
     "qp_lsh_buckets" -> ((s, dir) => {
       val planes = Similarity.hyperplanes(8, 64)
       embs(s, dir)
@@ -265,6 +274,33 @@ object QueriesPipeline {
          |     round(${dDot("a.v", "b.v")} / (a.n * b.n), 6) cos
          |   FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
          | WHERE cos >= 0.4 ORDER BY a_id, b_id""".stripMargin,
+    "qp_ivf_topk" ->
+      s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+         | e AS (SELECT vec_id, v, sqrt(${dDot("v", "v")}) AS nn FROM e0),
+         | cent AS (SELECT vec_id AS cent_id, v AS cv, nn AS cn FROM e
+         |   WHERE vec_id < 16),
+         | cells AS (SELECT vec_id AS n_id, v AS cv2, nn AS cn2, cell FROM (
+         |   SELECT e.vec_id, e.v, e.nn, cent.cent_id AS cell,
+         |     row_number() OVER (PARTITION BY e.vec_id
+         |       ORDER BY ${dDot("e.v", "cent.cv")} / (e.nn * cent.cn) DESC,
+         |         cent.cent_id) AS r
+         |   FROM e CROSS JOIN cent) WHERE r = 1),
+         | q AS (SELECT vec_id AS q_id, v AS qv, nn AS qn FROM e
+         |   WHERE vec_id >= 100 AND vec_id < 105),
+         | probes AS (SELECT q_id, qv, qn, probe FROM (
+         |   SELECT q.q_id, q.qv, q.qn, cent.cent_id AS probe,
+         |     row_number() OVER (PARTITION BY q.q_id
+         |       ORDER BY ${dDot("q.qv", "cent.cv")} / (q.qn * cent.cn) DESC,
+         |         cent.cent_id) AS r
+         |   FROM q CROSS JOIN cent) WHERE r <= 2),
+         | scored AS (
+         |   SELECT q_id, n_id, ${dDot("qv", "cv2")} / (qn * cn2) AS c,
+         |     row_number() OVER (PARTITION BY q_id
+         |       ORDER BY ${dDot("qv", "cv2")} / (qn * cn2) DESC, n_id) AS rnk
+         |   FROM probes JOIN cells ON probe = cell
+         |   WHERE q_id <> n_id)
+         | SELECT q_id, n_id, round(c, 6) AS cos, rnk FROM scored
+         | WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
     "qp_lsh_buckets" -> {
       val planes = Similarity.hyperplanes(8, 64)
       val bucket = planes.zipWithIndex.map { case (p, i) =>

@@ -29,6 +29,15 @@ final class GraftSession(val spark: SparkSession, val catalog: Catalog) {
       hooks.fire(Hooks.BeforeRead, cls, df))
   }
 
+  /** raw Spark SQL over the catalog's classes (each registered as a
+    * temp view) — the escape hatch the reference's COMMAND op never
+    * had; full Catalyst surface. */
+  def sql(sqlText: String): DataFrame = {
+    catalog.all.foreach(c =>
+      c.provider(spark).createOrReplaceTempView(c.name))
+    spark.sql(sqlText)
+  }
+
   /** fluent native predicate query (`ONativeSynchQuery` parity):
     * {{{ g.nativeQuery("customer")(f => f("c_acctbal").major(1000)) }}} */
   def nativeQuery(cls: String)(

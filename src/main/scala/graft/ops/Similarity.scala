@@ -81,6 +81,49 @@ object Similarity {
       .select("a_id", "b_id", "cos")
   }
 
+  /** IVF-style ANN: coarse-quantize the corpus into `centroids.count`
+    * cells (assignment = nearest centroid by cosine), then answer each
+    * query by probing only the `nProbe` nearest cells. The inverted
+    * file is the (cell → vectors) partitioning; at 100 TB the corpus
+    * is written bucketed by cell so a probe reads `nProbe/k` of the
+    * data instead of all of it. Deterministic given fixed centroids. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, k: Int, nProbe: Int): DataFrame = {
+    val cent = broadcast(centroids.select(col(idCol).as("cent_id"),
+      col(vecCol).cast("array<double>").as("__centv"))
+      .withColumn("__centn", norm(col("__centv"))))
+    def assign(df: DataFrame, id: String, vec: String, n: String,
+        outCol: String): DataFrame = {
+      val w = Window.partitionBy(col(id))
+        .orderBy(col("__simc").desc, col("cent_id"))
+      df.crossJoin(cent)
+        .withColumn("__simc", dot(col(vec), col("__centv")) /
+          (col(n) * col("__centn")))
+        .withColumn("__r", row_number().over(w))
+        .filter(col("__r") <= (if (outCol == "cell") 1 else nProbe))
+        .select(col(id), col(vec), col(n), col("cent_id").as(outCol))
+    }
+    val c = corpus.select(col(idCol).as("n_id"),
+        col(vecCol).cast("array<double>").as("__cv"))
+      .withColumn("__cn", norm(col("__cv")))
+    val cells = assign(c, "n_id", "__cv", "__cn", "cell")
+    val q = queries.select(col(idCol).as("q_id"),
+        col(vecCol).cast("array<double>").as("__qv"))
+      .withColumn("__qn", norm(col("__qv")))
+    val probes = assign(q, "q_id", "__qv", "__qn", "probe")
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id"))
+    probes.join(cells, col("probe") === col("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cos", dot(col("__qv"), col("__cv")) /
+        (col("__qn") * col("__cn")))
+      .select(col("q_id"), col("n_id"), col("cos")).distinct()
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"), round(col("cos"), 6).as("cos"),
+        col("rnk"))
+  }
+
   /** exact cosine near-dup pairs within blocking keys (quadratic PER
     * BLOCK — blocking keys bound the pair count; the LSH variant is
     * the unblocked scale path). Norms precomputed per vector. */

@@ -183,6 +183,13 @@ class DialectSpec extends AnyFunSuite {
     assert(d > 70 && d < 90)
   }
 
+  test("raw Spark SQL over catalog classes") {
+    val n = g.sql(
+      "SELECT count(*) FROM customer JOIN nation ON c_nationkey = n_nationkey")
+      .collect().head.getLong(0)
+    assert(n == g.catalog.table("customer").count())
+  }
+
   test("parse errors on malformed queries (WrongQueryTest style)") {
     intercept[Parser.ParseException](g.query("select from"))
     intercept[Parser.ParseException](

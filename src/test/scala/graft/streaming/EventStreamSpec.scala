@@ -37,6 +37,32 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static dimension join and streaming exact dedup") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val users = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    // streaming dedup on event_id (re-delivered events dropped) then
+    // enrich against the static dimension — the streaming face of the
+    // pipeline's exact-dedup + dimension join
+    val out = input.toDF()
+      .dropDuplicates("event_id")
+      .join(users, "user_id")
+    val q = out.writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try {
+      input.addData(ev(1, 1, 1, "click", 1.0), ev(1, 1, 1, "click", 1.0),
+        ev(2, 2, 2, "view", 2.0))
+      q.processAllAvailable()
+      input.addData(ev(1, 1, 1, "click", 1.0)) // late duplicate
+      q.processAllAvailable()
+      val rows = spark.table("enriched").collect()
+      assert(rows.length == 2)
+      assert(rows.find(_.getAs[Long]("event_id") == 1L).get
+        .getAs[String]("tier") == "gold")
+    } finally q.stop()
+  }
+
   test("sessionization with event-time gap timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
