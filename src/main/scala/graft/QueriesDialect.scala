@@ -72,7 +72,17 @@ object QueriesDialect {
         "as d from customer order by c_custkey")),
     "qd_agg_fn" -> ((s, dir) => gq(s, dir,
       "select max(o_totalprice) as mx, min(o_totalprice) as mn, " +
-        "count() as n from orders"))
+        "count() as n from orders")),
+    "qd_date_coercion" -> ((s, dir) => gq(s, dir,
+      // §1.3: string literals coerce against DATE columns on compare
+      "select o_orderkey from orders where o_orderdate >= '1997-06-01' " +
+        "and o_orderdate < '1997-07-01' order by o_orderkey")),
+    "qd_cluster_target" -> ((s, dir) => gq(s, dir,
+      // cluster scan (§2.1): the class's own physical table
+      "select n_nationkey, n_name from cluster:nation order by n_nationkey")),
+    "qd_not_operator" -> ((s, dir) => gq(s, dir,
+      "select c_custkey from customer where not " +
+        "(c_mktsegment = 'BUILDING' or c_acctbal < 0) order by c_custkey"))
   )
 
   private def gq(s: SparkSession, dir: String, sql: String): DataFrame =
@@ -157,6 +167,17 @@ object QueriesDialect {
         | FROM customer ORDER BY c_custkey""".stripMargin,
     "qd_agg_fn" ->
       """SELECT max(o_totalprice) AS mx, min(o_totalprice) AS mn,
-        |   count(*) AS n FROM orders""".stripMargin
+        |   count(*) AS n FROM orders""".stripMargin,
+    "qd_date_coercion" ->
+      """SELECT o_orderkey FROM orders
+        | WHERE o_orderdate >= TIMESTAMP '1997-06-01'
+        |   AND o_orderdate < TIMESTAMP '1997-07-01'
+        | ORDER BY o_orderkey""".stripMargin,
+    "qd_cluster_target" ->
+      "SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey",
+    "qd_not_operator" ->
+      """SELECT c_custkey FROM customer
+        | WHERE NOT (c_mktsegment = 'BUILDING' OR c_acctbal < 0)
+        | ORDER BY c_custkey""".stripMargin
   )
 }
