@@ -1,0 +1,77 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** Spark-native dialect integration: a `SparkSessionExtensions` parser
+  * injection that routes statements the ANSI parser rejects into the
+  * graft dialect engine — `spark.sql("select from customer where
+  * nation.region.r_name = 'ASIA'")` just works once a [[GraftSession]]
+  * is bound. Standard SQL always goes to the delegate first, so
+  * nothing regular breaks; without a bound session the original parse
+  * error is rethrown untouched.
+  *
+  * Activate with `.config("spark.sql.extensions",
+  * "graft.engine.GraftSqlExtension")` at session build, then
+  * `GraftSqlExtension.bind(spark, graftSession)`.
+  */
+class GraftSqlExtension extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectParser((session, delegate) => new GraftParser(session, delegate))
+}
+
+object GraftSqlExtension {
+  private val bound =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, GraftSession]()
+
+  def bind(spark: SparkSession, g: GraftSession): Unit = bound.put(spark, g)
+  def unbind(spark: SparkSession): Unit = bound.remove(spark)
+  private[engine] def boundSession(spark: SparkSession): Option[GraftSession] =
+    Option(bound.get(spark))
+}
+
+final class GraftParser(spark: SparkSession, delegate: ParserInterface)
+    extends ParserInterface {
+
+  /** With a bound session, the dialect gets first crack: if the text
+    * parses AND translates against the bound catalog it is a dialect
+    * query; anything else (ANSI joins, arithmetic, unknown classes)
+    * falls through to the delegate untouched. The ANSI parser cannot
+    * go first — it syntactically "accepts" dialect text like
+    * `select from customer` (as `from AS customer`) and only fails in
+    * analysis. */
+  private def dialectFirst(sqlText: String,
+      fallback: String => LogicalPlan): LogicalPlan =
+    GraftSqlExtension.boundSession(spark) match {
+      case Some(g) =>
+        try g.query(sqlText).queryExecution.logical
+        catch { case _: Throwable => fallback(sqlText) }
+      case None => fallback(sqlText)
+    }
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    dialectFirst(sqlText, delegate.parsePlan)
+
+  // everything else is pure delegation
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    dialectFirst(sqlText, delegate.parseQuery)
+}

@@ -183,6 +183,25 @@ class DialectSpec extends AnyFunSuite {
     assert(d > 70 && d < 90)
   }
 
+  test("dialect reaches spark.sql via SparkSessionExtensions parser") {
+    GraftSqlExtension.bind(spark, g)
+    try {
+      // ANSI-invalid dialect syntax (bare `select from`) routes into
+      // the graft engine; dialect-AND-ANSI-valid text stays with the
+      // delegate (only syntax-level failures fall through)
+      val rows = spark.sql(
+        "select from customer " +
+          "where nation.region.r_name = 'ASIA' order by c_custkey limit 3")
+        .collect()
+      assert(rows.length == 3 &&
+        rows.forall(_.getAs[String]("c_mktsegment").nonEmpty))
+      // standard SQL still goes through the delegate untouched
+      assert(spark.sql("SELECT 1 + 1").collect().head.getInt(0) == 2)
+    } finally GraftSqlExtension.unbind(spark)
+    // unbound: the original ANSI parse error surfaces
+    intercept[Exception](spark.sql("select from customer"))
+  }
+
   test("raw Spark SQL over catalog classes") {
     val n = g.sql(
       "SELECT count(*) FROM customer JOIN nation ON c_nationkey = n_nationkey")
