@@ -74,25 +74,55 @@ final class Catalog(spark: SparkSession) {
   /** Polymorphic scan: the class plus all transitive subclasses,
     * unioned by name with nulls for missing columns — the Spark
     * equivalent of `getPolymorphicClusterIds()` cluster iteration
-    * (`OClass.java`, `ORecordIteratorClass.java:36-77`). */
-  def polymorphicScan(name: String): DataFrame = {
+    * (`OClass.java`, `ORecordIteratorClass.java:36-77`). Cycle-safe:
+    * a malformed inheritance loop scans each class once. */
+  def polymorphicScan(name: String): DataFrame =
+    polymorphicScan(name, Set.empty)
+
+  private def polymorphicScan(name: String,
+      visited: Set[String]): DataFrame = {
+    val key = get(name).name.toLowerCase
     val direct = table(name)
     val subs = subclassesOf(get(name).name)
+      .filterNot(s => visited.contains(s.name.toLowerCase))
     subs.foldLeft(direct) { (acc, sub) =>
-      acc.unionByName(polymorphicScan(sub.name), allowMissingColumns = true)
+      acc.unionByName(polymorphicScan(sub.name, visited + key),
+        allowMissingColumns = true)
     }
   }
 
-  def linkOf(cls: ClassDef, field: String): Option[LinkSpec] = {
-    cls.links.find(_.field.equalsIgnoreCase(field)).orElse(
-      cls.superClass.flatMap(s => linkOf(get(s), field)))
+  /** superclass chain, cycle-safe. */
+  def superChain(clsName: String): Seq[ClassDef] = {
+    val out = scala.collection.mutable.ListBuffer[ClassDef]()
+    val seen = scala.collection.mutable.Set[String]()
+    var cur: Option[ClassDef] = Some(get(clsName))
+    while (cur.isDefined && seen.add(cur.get.name.toLowerCase)) {
+      out += cur.get
+      cur = cur.get.superClass.filter(s => contains(s)).map(get)
+    }
+    out.toSeq
   }
 
+  def linkOf(cls: ClassDef, field: String): Option[LinkSpec] =
+    superChain(cls.name).iterator
+      .flatMap(_.links.find(_.field.equalsIgnoreCase(field)))
+      .nextOption()
+
   // ---- mutation (DML/DDL surface, §2.9) ---------------------------
-  /** replace a class's backing data (INSERT/UPDATE/DELETE rewrite). */
+  private val writeCounts = scala.collection.mutable.Map[String, Int]()
+
+  /** replace a class's backing data (INSERT/UPDATE/DELETE rewrite).
+    * Every 8th write truncates lineage with an eager localCheckpoint —
+    * otherwise each DML layers plan nodes on the previous provider and
+    * repeated writes grow the plan without bound (same fix shape as
+    * the Traverse loop; a Delta-backed deployment commits instead). */
   def replaceData(name: String, df: DataFrame): Unit = {
     val d = get(name)
-    classes(d.name.toLowerCase) = d.copy(provider = _ => df)
+    val key = d.name.toLowerCase
+    val n = writeCounts.getOrElse(key, 0) + 1
+    writeCounts(key) = n
+    val stored = if (n % 8 == 0) df.localCheckpoint(true) else df
+    classes(key) = d.copy(provider = _ => stored)
   }
 
   def addLink(clsName: String, spec: LinkSpec): Unit = {
@@ -107,6 +137,14 @@ final class Catalog(spark: SparkSession) {
   private var nextClusterId = 1000
 
   def createClass(name: String, superClass: Option[String]): ClassDef = {
+    // reject inheritance cycles up front (self-extends included)
+    superClass.foreach { sup =>
+      if (sup.equalsIgnoreCase(name) ||
+          (contains(sup) && superChain(sup).exists(
+            _.name.equalsIgnoreCase(name))))
+        throw new IllegalArgumentException(
+          s"superclass cycle: $name extends $sup")
+    }
     val schema = org.apache.spark.sql.types.StructType(Nil)
     nextClusterId += 1
     val d = ClassDef(name,
@@ -132,14 +170,14 @@ final class Catalog(spark: SparkSession) {
   def setProperty(p: PropertyDef): Unit =
     properties((p.cls.toLowerCase, p.name.toLowerCase)) = p
 
-  /** declared properties of a class including the superclass chain. */
-  def propsOf(clsName: String): Seq[PropertyDef] = {
-    val cls = get(clsName)
-    val own = properties.collect {
-      case ((c, _), p) if c == cls.name.toLowerCase => p
-    }.toSeq
-    own ++ cls.superClass.map(propsOf).getOrElse(Nil)
-  }
+  /** declared properties of a class including the superclass chain
+    * (cycle-safe). */
+  def propsOf(clsName: String): Seq[PropertyDef] =
+    superChain(clsName).flatMap { cls =>
+      properties.collect {
+        case ((c, _), p) if c == cls.name.toLowerCase => p
+      }
+    }
 }
 
 object Catalog {

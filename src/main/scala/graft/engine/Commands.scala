@@ -100,19 +100,24 @@ object Commands {
   }
 
   private def insert(session: GraftSession, s: InsertStmt): DataFrame = {
+    if (s.fields.size != s.values.size)
+      throw new IllegalArgumentException(
+        s"INSERT into ${s.cls}: ${s.fields.size} fields but " +
+          s"${s.values.size} values")
     val cat = session.catalog
     val existing = cat.table(s.cls).drop("_rid", "_class")
     // one-row DataFrame with the provided fields, null-extended to the
     // class schema (schema-less extras become new columns)
     var row = session.spark.range(1).select(
       s.fields.zip(s.values).map { case (f, v) => litOf(v).as(f) }: _*)
+    // BEFORE_CREATE hooks may transform the incoming rows (fired before
+    // the schema union so hook-added columns survive)
+    row = session.hooks.fire(Hooks.BeforeCreate, s.cls, row)
     val allCols = (existing.columns ++
       row.columns.filterNot(c => existing.columns.contains(c))).toSeq
     def extend(df: DataFrame): DataFrame =
       df.select(allCols.map(c =>
         if (df.columns.contains(c)) col(c) else lit(null).as(c)): _*)
-    // BEFORE_CREATE hooks may transform the incoming rows
-    row = session.hooks.fire(Hooks.BeforeCreate, s.cls, row)
     // constraint validation on the rows AS INSERTED (pre-extension:
     // `mandatory` means the field was present in the record, reference
     // `validateField:170-172`) — one batch expression pass

@@ -19,10 +19,16 @@ final class Dictionary(session: GraftSession) {
   private var entries: DataFrame =
     session.spark.createDataFrame(List.empty[Row].asJava, schema)
 
+  private var writes = 0
+
   def put(name: String, cls: String, key: Long): Unit = {
     val row = session.spark.createDataFrame(
       List(Row(name, cls.toLowerCase, key)).asJava, schema)
     entries = entries.filter(col("name") =!= name).unionByName(row)
+    writes += 1
+    // truncate the filter+union lineage periodically (see
+    // Catalog.replaceData for the rationale)
+    if (writes % 16 == 0) entries = entries.localCheckpoint(true)
   }
 
   /** dereference: the registered record as a 1-row DataFrame. */

@@ -52,10 +52,17 @@ final class GraftSession(val spark: SparkSession, val catalog: Catalog) {
   def fetchJson(cls: String, fetchPlan: String = ""): DataFrame =
     JsonTools.fetchJson(this, cls, fetchPlan)
 
-  /** Parse any supported statement; SELECTs return rows, DML/DDL are
-    * interpreted by [[Commands]]. */
+  /** Parse any supported statement; SELECTs return rows (through the
+    * same READ-hook path as [[query]]), DML/DDL are interpreted by
+    * [[Commands]]. */
   def command(sql: String): DataFrame = Parser.parseStatement(sql) match {
-    case s: Ast.SelectStmt => translator.select(s)
+    case s: Ast.SelectStmt =>
+      val cls = s.target match {
+        case Ast.ClassTarget(n) => n
+        case _ => ""
+      }
+      hooks.fire(Hooks.AfterRead, cls,
+        hooks.fire(Hooks.BeforeRead, cls, translator.select(s)))
     case other => Commands.execute(this, other)
   }
 

@@ -9,12 +9,18 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.types.{DataType, StructType}
 
 /** Spark-native dialect integration: a `SparkSessionExtensions` parser
-  * injection that routes statements the ANSI parser rejects into the
-  * graft dialect engine — `spark.sql("select from customer where
+  * injection — `spark.sql("select from customer where
   * nation.region.r_name = 'ASIA'")` just works once a [[GraftSession]]
-  * is bound. Standard SQL always goes to the delegate first, so
-  * nothing regular breaks; without a bound session the original parse
-  * error is rethrown untouched.
+  * is bound.
+  *
+  * Semantics while bound (deliberate, see [[GraftParser.dialectFirst]]):
+  * the DIALECT gets first crack; a statement that parses AND
+  * translates against the bound catalog runs with dialect semantics
+  * (e.g. `_` is a literal in LIKE), everything else — ANSI joins,
+  * arithmetic, unknown tables — falls through to the delegate parser.
+  * Binding is therefore an explicit opt-in to dialect-first handling
+  * of catalog-class queries; unbound, the extension is a pure
+  * pass-through.
   *
   * Activate with `.config("spark.sql.extensions",
   * "graft.engine.GraftSqlExtension")` at session build, then
@@ -50,7 +56,11 @@ final class GraftParser(spark: SparkSession, delegate: ParserInterface)
     GraftSqlExtension.boundSession(spark) match {
       case Some(g) =>
         try g.query(sqlText).queryExecution.logical
-        catch { case _: Throwable => fallback(sqlText) }
+        catch {
+          // NonFatal only: OOM/stack-overflow/interrupts must surface,
+          // not be masked by a delegate re-parse
+          case scala.util.control.NonFatal(_) => fallback(sqlText)
+        }
       case None => fallback(sqlText)
     }
 

@@ -4,11 +4,13 @@ import org.apache.spark.sql.DataFrame
 
 /** Trigger hooks (SURVEY.md §2.10; reference `hook/ORecordHook.java`:
   * BEFORE/AFTER × CREATE/READ/UPDATE/DELETE callbacks fired per
-  * record). Batch deviation (documented): BEFORE hooks receive the
-  * DataFrame of affected rows and may transform it (the returned frame
-  * is what gets written); AFTER hooks observe it. One invocation per
-  * statement, not per record — the per-record loop does not exist in a
-  * vectorized engine.
+  * record). Batch deviation (documented): hooks receive the DataFrame
+  * of affected rows, one invocation per statement, not per record.
+  * BEFORE_CREATE and BEFORE_READ may TRANSFORM the frame (the returned
+  * frame is what gets written / returned); BEFORE_UPDATE and
+  * BEFORE_DELETE are observers that can VETO by throwing (the rewrite
+  * is already planned when they fire — mirroring the reference, where
+  * a hook aborts by exception); AFTER_* observe only.
   */
 object Hooks {
   sealed trait HookType
@@ -28,13 +30,14 @@ final class HookRegistry {
     scala.collection.mutable.Map[HookType, List[(String, DataFrame) => DataFrame]]()
       .withDefaultValue(Nil)
 
-  /** register a hook; BEFORE_* results replace the affected rows,
-    * AFTER_* results are discarded (observation only). */
+  /** register a hook; BEFORE_CREATE/BEFORE_READ results replace the
+    * affected rows, all other hook results are discarded (observe /
+    * veto-by-throwing only). */
   def register(t: HookType, f: (String, DataFrame) => DataFrame): Unit =
     transforms(t) = transforms(t) :+ f
 
   def fire(t: HookType, cls: String, df: DataFrame): DataFrame = t match {
-    case BeforeCreate | BeforeUpdate | BeforeDelete | BeforeRead =>
+    case BeforeCreate | BeforeRead =>
       transforms(t).foldLeft(df)((d, f) => f(cls, d))
     case _ =>
       transforms(t).foreach(f => f(cls, df)); df

@@ -26,13 +26,39 @@ object JsonTools {
       cls.provider(session.spark).write.mode("overwrite")
         .json(s"$dir/${cls.name.toLowerCase}")
     }
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    def jopt(o: Option[String]): String = o.map(jstr).getOrElse("null")
     val manifest = cat.all.map { cls =>
+      val clsKey = cls.name.toLowerCase
       val links = cls.links.map(l =>
-        s"""{"field":"${l.field}","target":"${l.target}","srcKey":"${l.srcKey}","dstKey":"${l.dstKey}","multi":${l.multi}}""")
+        s"""{"field":${jstr(l.field)},"target":${jstr(l.target)},""" +
+          s""""srcKey":${jstr(l.srcKey)},"dstKey":${jstr(l.dstKey)},""" +
+          s""""multi":${l.multi},"srcIsArray":${l.srcIsArray}}""")
         .mkString("[", ",", "]")
-      val props = cat.propsOf(cls.name).map(p =>
-        s"""{"name":"${p.name}","type":"${p.tpe}"}""").mkString("[", ",", "]")
-      s"""{"name":"${cls.name}","superClass":${cls.superClass.map(s => "\"" + s + "\"").getOrElse("null")},"clusterId":${cls.clusterId},"ridPosCol":${cls.ridPosCol.map(s => "\"" + s + "\"").getOrElse("null")},"links":$links,"properties":$props}"""
+      // own properties only (superclass props are exported with the
+      // superclass), full constraint fidelity
+      val props = cat.properties.collect {
+        case ((c, _), p) if c == clsKey =>
+          s"""{"name":${jstr(p.name)},"type":${jstr(p.tpe)},""" +
+            s""""mandatory":${p.mandatory},"notNull":${p.notNull},""" +
+            s""""min":${jopt(p.min)},"max":${jopt(p.max)},""" +
+            s""""regexp":${jopt(p.regexp)},""" +
+            s""""linkedClass":${jopt(p.linkedClass)}}"""
+      }.mkString("[", ",", "]")
+      val idx = cat.indexes.collect {
+        case ((c, f), kind) if c == clsKey =>
+          s"""{"field":${jstr(f)},"kind":${jstr(kind)}}"""
+      }.mkString("[", ",", "]")
+      s"""{"name":${jstr(cls.name)},"superClass":${jopt(cls.superClass)},""" +
+        s""""clusterId":${cls.clusterId},""" +
+        s""""ridPosCol":${jopt(cls.ridPosCol)},"links":$links,""" +
+        s""""properties":$props,"indexes":$idx}"""
     }.mkString("[", ",\n", "]")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$dir/manifest.json"), manifest)
@@ -47,17 +73,35 @@ object JsonTools {
     manifest.collect().foreach { r =>
       val name = r.getAs[String]("name")
       val data = spark.read.json(s"$dir/${name.toLowerCase}")
-      val links = Option(
-          r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("links"))
-        .getOrElse(scala.collection.Seq()).toSeq.map { l =>
-          LinkSpec(l.getAs[String]("field"), l.getAs[String]("target"),
-            l.getAs[String]("srcKey"), l.getAs[String]("dstKey"),
-            l.getAs[Boolean]("multi"))
-        }
+      def rows(field: String): Seq[org.apache.spark.sql.Row] =
+        Option(r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]](field))
+          .getOrElse(scala.collection.Seq()).toSeq
+      val links = rows("links").map { l =>
+        LinkSpec(l.getAs[String]("field"), l.getAs[String]("target"),
+          l.getAs[String]("srcKey"), l.getAs[String]("dstKey"),
+          l.getAs[Boolean]("multi"), l.getAs[Boolean]("srcIsArray"))
+      }
       cat.register(ClassDef(name, _ => data,
         Option(r.getAs[String]("superClass")), links,
         r.getAs[Long]("clusterId").toInt,
         Option(r.getAs[String]("ridPosCol"))))
+      // JSON inference may drop fields that are null in every record —
+      // read optional columns defensively
+      def strOpt(row: org.apache.spark.sql.Row, f: String): Option[String] =
+        if (row.schema.fieldNames.contains(f)) Option(row.getAs[String](f))
+        else None
+      def boolOf(row: org.apache.spark.sql.Row, f: String): Boolean =
+        row.schema.fieldNames.contains(f) && row.getAs[Boolean](f)
+      rows("properties").foreach { p =>
+        cat.setProperty(PropertyDef(name, p.getAs[String]("name"),
+          p.getAs[String]("type"), boolOf(p, "mandatory"),
+          boolOf(p, "notNull"), strOpt(p, "min"), strOpt(p, "max"),
+          strOpt(p, "regexp"), strOpt(p, "linkedClass")))
+      }
+      rows("indexes").foreach { i =>
+        cat.indexes((name.toLowerCase,
+          i.getAs[String]("field").toLowerCase)) = i.getAs[String]("kind")
+      }
     }
   }
 

@@ -243,6 +243,9 @@ final class Translator(val catalog: Catalog, val registry: FunctionRegistry) {
     def traverseFlag(tc: TraverseCond): Column
     def resolveField(name: String): Option[Column]
     def schemaOf(name: String): Option[DataType]
+    /** lenient scopes resolve unknown fields to null (reference:
+      * missing field → null → condition false) instead of erroring */
+    def lenient: Boolean = false
   }
 
   /** scope for lambda elements (CONTAINS inner conditions): fields
@@ -268,10 +271,10 @@ final class Translator(val catalog: Catalog, val registry: FunctionRegistry) {
       def traverseFlag(tc: TraverseCond): Column =
         throw Parser.ParseException("nested TRAVERSE unsupported")
       def resolveField(name: String): Option[Column] =
-        Some(df.columns.find(_.equalsIgnoreCase(name)).map(col)
-          .getOrElse(lit(null)))
+        df.columns.find(_.equalsIgnoreCase(name)).map(col)
       def schemaOf(name: String): Option[DataType] =
         df.schema.fields.find(_.name.equalsIgnoreCase(name)).map(_.dataType)
+      override def lenient: Boolean = true
     }
     compileCond(c, sc)
   }
@@ -396,17 +399,30 @@ final class Translator(val catalog: Catalog, val registry: FunctionRegistry) {
       // plain field (+ optional struct sub-fields)
       it match {
         case FieldSeg(f) :: rest =>
-          var c = scope.resolveField(f).getOrElse(
-            throw Parser.ParseException(s"unknown field '$f'"))
-          var r = rest
-          var go = true
-          while (go) r match {
-            case FieldSeg(sub) :: t => c = c.getField(sub); r = t
-            case MethodSeg("field", Seq(Lit(s: String))) :: t =>
-              c = c.getField(s); r = t
-            case _ => go = false
+          scope.resolveField(f) match {
+            case Some(c0) =>
+              var c = c0
+              var r = rest
+              var go = true
+              while (go) r match {
+                case FieldSeg(sub) :: t => c = c.getField(sub); r = t
+                case MethodSeg("field", Seq(Lit(s: String))) :: t =>
+                  c = c.getField(s); r = t
+                case _ => go = false
+              }
+              (c, r)
+            case None if scope.lenient =>
+              // unknown field → null; swallow any further field hops
+              // (getField on a null literal would fail analysis)
+              val r = rest.dropWhile {
+                case FieldSeg(_) => true
+                case MethodSeg("field", _) => true
+                case _ => false
+              }
+              (lit(null).cast(StringType), r)
+            case None =>
+              throw Parser.ParseException(s"unknown field '$f'")
           }
-          (c, r)
         case _ => throw Parser.ParseException(s"bad path $segs")
       }
     } else {

@@ -89,6 +89,9 @@ class ApiSurfaceSpec extends AnyFunSuite {
 
   test("json export/import roundtrip preserves data and links") {
     val g = GraftSession.forTestdata(spark, "/root/testdata/sf0.001")
+    g.catalog.setProperty(PropertyDef("customer", "c_name", "STRING",
+      notNull = true, min = Some("3")))
+    g.catalog.indexes(("customer", "c_custkey")) = "UNIQUE"
     val dir = "/tmp/graft_export_test"
     g.exportDatabase(dir)
     val g2 = new GraftSession(spark, new Catalog(spark))
@@ -99,6 +102,36 @@ class ApiSurfaceSpec extends AnyFunSuite {
     val r = g2.query("select c_custkey, nation.n_name as nn from customer " +
       "order by c_custkey limit 1").collect().head
     assert(r.getAs[String]("nn").startsWith("NATION_"))
+    // constraints + indexes survive too
+    val p = g2.catalog.propsOf("customer").find(_.name == "c_name").get
+    assert(p.notNull && p.min.contains("3"))
+    assert(g2.catalog.indexes(("customer", "c_custkey")) == "UNIQUE")
+    // srcIsArray links roundtrip (fixture profile followers)
+    val gf = graft.sources.Fixtures.session(spark)
+    gf.exportDatabase("/tmp/graft_export_fix")
+    val gf2 = new GraftSession(spark, new Catalog(spark))
+    gf2.importDatabase("/tmp/graft_export_fix")
+    assert(gf2.query(
+      "select from profile where followings contains (name = 'Giuseppe')")
+      .count() > 0)
+  }
+
+  test("review regressions: insert arity, lenient link paths, cycles") {
+    val g = fresh()
+    g.command("create class R")
+    intercept[IllegalArgumentException](
+      g.command("insert into R (a, b) values (1)"))
+    intercept[IllegalArgumentException](
+      g.command("create class R2 extends R2"))
+    g.command("create class R3 extends R")
+    intercept[IllegalArgumentException](
+      g.command("create class R extends R3")) // would close a cycle
+    // UPDATE with a multi-hop WHERE path over a link: lenient → no rows
+    val gt = GraftSession.forTestdata(spark, "/root/testdata/sf0.001")
+    val n = gt.command(
+      "update customer set c_mktsegment = 'X' where " +
+        "nosuch.deep.field = 'y'").collect().head.getLong(0)
+    assert(n == 0)
   }
 
   test("fetch plans bound link expansion depth") {
