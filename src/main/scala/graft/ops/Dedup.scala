@@ -46,7 +46,10 @@ object Dedup {
     val aggs = minhashCoeffs.zipWithIndex.map { case ((a, b), i) =>
       min((lit(a) * col("__h") + lit(b)) % MinhashP).as(s"s$i")
     }
-    exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    val sigs = exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    // left join keeps shingle-less docs (null signature) — explode
+    // would otherwise silently drop them from the output
+    df.select(col(idCol)).distinct().join(sigs, Seq(idCol), "left")
   }
 
   /** per-document minhash signature columns s0..s{k-1} appended to the
@@ -61,6 +64,8 @@ object Dedup {
     * Returns (a_id, b_id, jac). */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleN: Int = 4, bands: Int = 4): DataFrame = {
+    require(bands > 0 && MinhashK % bands == 0,
+      s"bands must evenly divide MinhashK=$MinhashK, got $bands")
     val rowsPerBand = MinhashK / bands
     val sigs = minhashSigs(df, idCol, textCol, shingleN)
       .withColumnRenamed(idCol, "__id")
@@ -103,11 +108,15 @@ object Dedup {
       sum(when(pmod(floor(col("__h") / lit(math.pow(2, b))).cast("long"),
         lit(2L)) === 1L, 1L).otherwise(-1L)).as(s"__b$b")
     }
-    exploded.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    val sigs = exploded.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
       .select(col(idCol),
         (0 until 32).map(b =>
           when(col(s"__b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
           .reduce(_ + _).as("simhash"))
+    // token-less docs keep a 0 signature (matches the oracle's
+    // list_sum-over-empty semantics) instead of being dropped
+    df.select(col(idCol)).distinct().join(sigs, Seq(idCol), "left")
+      .withColumn("simhash", coalesce(col("simhash"), lit(0L)))
   }
 
   /** per-document simhash (32-bit) appended to the input rows. */

@@ -27,7 +27,9 @@ object Similarity {
     * `queries` must be small (it is broadcast); the corpus is scanned
     * once and ranked per query id. Norms are computed once per side
     * BEFORE the join — a pair then costs one dot product, not three
-    * array aggregations. Returns (q_id, n_id, cos, rnk). */
+    * array aggregations. ASSUMES queries and corpus share one id
+    * space: a corpus row with a query's id is treated as the query
+    * itself and excluded. Returns (q_id, n_id, cos, rnk). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
     val q = broadcast(queries.select(col(idCol).as("q_id"),
@@ -93,31 +95,33 @@ object Similarity {
       col(vecCol).cast("array<double>").as("__centv"))
       .withColumn("__centn", norm(col("__centv"))))
     def assign(df: DataFrame, id: String, vec: String, n: String,
-        outCol: String): DataFrame = {
+        outCol: String, topCells: Int): DataFrame = {
       val w = Window.partitionBy(col(id))
         .orderBy(col("__simc").desc, col("cent_id"))
       df.crossJoin(cent)
         .withColumn("__simc", dot(col(vec), col("__centv")) /
           (col(n) * col("__centn")))
         .withColumn("__r", row_number().over(w))
-        .filter(col("__r") <= (if (outCol == "cell") 1 else nProbe))
+        .filter(col("__r") <= topCells)
         .select(col(id), col(vec), col(n), col("cent_id").as(outCol))
     }
     val c = corpus.select(col(idCol).as("n_id"),
         col(vecCol).cast("array<double>").as("__cv"))
       .withColumn("__cn", norm(col("__cv")))
-    val cells = assign(c, "n_id", "__cv", "__cn", "cell")
+    val cells = assign(c, "n_id", "__cv", "__cn", "cell", topCells = 1)
     val q = queries.select(col(idCol).as("q_id"),
         col(vecCol).cast("array<double>").as("__qv"))
       .withColumn("__qn", norm(col("__qv")))
-    val probes = assign(q, "q_id", "__qv", "__qn", "probe")
+    val probes = assign(q, "q_id", "__qv", "__qn", "probe", topCells = nProbe)
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("n_id"))
+    // pairs are already unique: each corpus vector is in exactly one
+    // cell and a query's probes are distinct cells — no distinct needed
     probes.join(cells, col("probe") === col("cell"))
       .filter(col("q_id") =!= col("n_id"))
       .withColumn("cos", dot(col("__qv"), col("__cv")) /
         (col("__qn") * col("__cn")))
-      .select(col("q_id"), col("n_id"), col("cos")).distinct()
+      .select(col("q_id"), col("n_id"), col("cos"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("n_id"), round(col("cos"), 6).as("cos"),

@@ -20,10 +20,12 @@ object Skew {
     * when right is the smaller side. */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
       saltFactor: Int): DataFrame = {
-    // salt derived from a per-row hash of all left columns: spreads a
-    // hot key's rows uniformly without requiring a row id
+    // per-row id salt: spreads a hot key uniformly even when its rows
+    // are byte-identical (a content hash would send full-row
+    // duplicates to one partition — exactly the skew being fought);
+    // the salt value is arbitrary, the join result is unaffected
     val saltedLeft = left.withColumn("__salt",
-      pmod(hash(left.columns.map(col): _*), lit(saltFactor)))
+      pmod(monotonically_increasing_id(), lit(saltFactor.toLong)))
     val replicatedRight = right.withColumn("__salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))
     saltedLeft.join(replicatedRight, Seq(key, "__salt")).drop("__salt")

@@ -22,11 +22,16 @@ object TextOps {
   /** 32-bit hash for simhash bit sampling. */
   def hash32(c: Column): Column = hash60(c) % 4294967296L
 
-  /** distinct character n-gram shingles of a string column. */
+  /** distinct character n-gram shingles of a string column. Texts
+    * shorter than n yield an empty array (guard required: Spark's
+    * sequence(0, stop) counts DOWN when stop < 0, which would emit
+    * phantom shingles and diverge from the DuckDB oracle's range()). */
   def charShingles(c: Column, n: Int): Column =
-    array_distinct(transform(
-      sequence(lit(0), length(c) - n),
-      i => c.substr(i + lit(1), lit(n))))
+    when(length(c) >= n,
+      array_distinct(transform(
+        sequence(lit(0), length(c) - n),
+        i => c.substr(i + lit(1), lit(n)))))
+      .otherwise(array().cast("array<string>"))
 
   /** whitespace tokens (lower-cased). */
   def tokensWs(c: Column): Column =

@@ -51,10 +51,16 @@ object EventStream {
 
   /** event-time sessionization: per-user sessions closed after
     * `gapMs` of inactivity (custom state machine the reference could
-    * never express — `mapGroupsWithState` surface). */
-  def sessionize(events: Dataset[Ev], gapMs: Long): Dataset[Session] = {
+    * never express — `mapGroupsWithState` surface).
+    *
+    * The watermark EventTimeTimeout requires is applied here
+    * (`watermarkDelay`); out-of-order events within the gap extend the
+    * session without moving its boundaries backwards. */
+  def sessionize(events: Dataset[Ev], gapMs: Long,
+      watermarkDelay: String = "10 minutes"): Dataset[Session] = {
     import events.sparkSession.implicits._
-    events.groupByKey(_.user_id)
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, Session](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, evs: Iterator[Ev], state: GroupState[SessionState]) =>
@@ -71,8 +77,9 @@ object EventStream {
               val t = e.ts.getTime
               cur match {
                 case Some(s) if t - s.last <= gapMs =>
-                  cur = Some(SessionState(s.start, t, s.n + 1,
-                    s.total + e.value))
+                  // late events extend but never shrink the session
+                  cur = Some(SessionState(math.min(s.start, t),
+                    math.max(s.last, t), s.n + 1, s.total + e.value))
                 case Some(s) =>
                   closed ::= Session(userId, new Timestamp(s.start),
                     new Timestamp(s.last), s.n, s.total)
@@ -83,7 +90,10 @@ object EventStream {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.last + gapMs)
+              // clamp: a timeout at/behind the watermark throws and
+              // kills the query (lagging replays land here)
+              val wm = state.getCurrentWatermarkMs()
+              state.setTimeoutTimestamp(math.max(s.last + gapMs, wm + 1))
             }
             closed.reverseIterator
           }

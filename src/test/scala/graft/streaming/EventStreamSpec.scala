@@ -67,9 +67,8 @@ class EventStreamSpec extends AnyFunSuite {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
-    val sessions = sessionize(
-      input.toDS().withWatermark("ts", "0 seconds").as[Ev],
-      gapMs = 5 * 60 * 1000)
+    val sessions = sessionize(input.toDS().as[Ev],
+      gapMs = 5 * 60 * 1000, watermarkDelay = "0 seconds")
     val q = sessions.writeStream.format("memory").queryName("sessions")
       .outputMode("append").start()
     try {
