@@ -1,15 +1,30 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Benchmark harness (BASELINE.md methodology: warm JVM, median of
   * repeated runs — the first execution of each query pays one-time
   * whole-stage-codegen compilation that a long-running cluster never
-  * re-pays, so it is warmed up separately). Prints ONE JSON line. */
+  * re-pays, so it is warmed up separately). Queries are forced through
+  * the `noop` sink: a `count()` would let Catalyst prune the
+  * projection expressions and drop sorts, timing a lighter plan than
+  * the query actually computes. Prints ONE JSON line. */
 object Bench {
+  private def run(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val rounds = sys.env.getOrElse("SPARK_GRAFT_ROUNDS", "3").toInt
+    val rounds = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_ROUNDS", "3").toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -20,22 +35,30 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
     // warmup pass: compiles plans/codegen once, surfaces failures
     val ok = names.filter { n =>
-      try { SparkEntry.queries(n)(spark, sfDir).count(); true }
-      catch { case _: Throwable => false }
+      try { run(SparkEntry.queries(n)(spark, sfDir)); true }
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $n failed: ${e.getMessage}")
+          false
+      }
     }.toSet
     val times = scala.collection.mutable
       .Map[String, Vector[Double]]().withDefaultValue(Vector())
     for (_ <- 1 to rounds; n <- names if ok(n)) {
       val t0 = System.nanoTime()
-      SparkEntry.queries(n)(spark, sfDir).count()
+      run(SparkEntry.queries(n)(spark, sfDir))
       times(n) = times(n) :+ (System.nanoTime() - t0) / 1e9
     }
-    def median(v: Vector[Double]): Double = { val s = v.sorted; s(s.size / 2) }
+    def median(v: Vector[Double]): Double = {
+      val s = v.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
     val med = names.map(n => n -> (if (ok(n)) median(times(n)) else -1.0))
-    val qs = med.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = med.map { case (k, v) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
     val total = med.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${jstr(sfDir)}}""")
     spark.stop()
   }
 }

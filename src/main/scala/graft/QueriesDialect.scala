@@ -13,10 +13,16 @@ import graft.engine.GraftSession
   */
 object QueriesDialect {
 
-  private val sessions =
-    scala.collection.mutable.Map[(SparkSession, String), GraftSession]()
+  // weak keys: a stopped SparkSession must stay collectable — a strong
+  // map key would pin it (and its catalogs) for the JVM lifetime
+  private val sessions = new java.util.WeakHashMap[
+    SparkSession, scala.collection.mutable.Map[String, GraftSession]]()
   private def g(s: SparkSession, dir: String): GraftSession = synchronized {
-    sessions.getOrElseUpdate((s, dir), {
+    val perDir = Option(sessions.get(s)).getOrElse {
+      val m = scala.collection.mutable.Map[String, GraftSession]()
+      sessions.put(s, m); m
+    }
+    perDir.getOrElseUpdate(dir, {
       val gs = GraftSession.forTestdata(s, dir)
       // registerFunction surface (OSQLEngine.registerFunction parity)
       gs.registerFunction("round3", as => round(as.head, 3))

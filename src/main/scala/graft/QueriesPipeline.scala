@@ -144,10 +144,7 @@ object QueriesPipeline {
         .orderBy("media_id")
     }),
     "qp_text_fingerprint" -> ((s, dir) => {
-      docs(s, dir)
-        .withColumn("fp",
-          TextOps.fingerprint(charShingles(col("text"), 4), 4))
-        .select("doc_id", "fp")
+      TextOps.fingerprintTable(docs(s, dir), "doc_id", "text", k = 4)
         .orderBy("doc_id")
     })
   )
@@ -167,9 +164,6 @@ object QueriesPipeline {
     val (a, b) = minhashCoeffs(i)
     s"list_min(list_transform(hh, h -> ($a * h + $b) % $MinhashP))"
   }
-  private val dJaccard =
-    "round(len(list_intersect(a_sh, b_sh))*1.0 / " +
-      "(len(a_sh) + len(b_sh) - len(list_intersect(a_sh, b_sh))), 6)"
   private def dSimhash(hsExpr: String): String =
     (0 until 32).map { b =>
       val d = math.pow(2, b)

@@ -24,6 +24,13 @@ import TextOps._
   */
 object Dedup {
 
+  /** Small single-file inputs arrive as one partition; heavy per-row
+    * stages (shingling, hashing) must first spread rows across cores —
+    * a tiny shuffle that buys full parallelism. At real scale inputs
+    * are already many-partitioned and this is a no-op cost. */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** exact duplicate groups by content hash: (hash, n, keep_id).
     * `keep` = smallest id — the canonical survivor. */
   def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -40,7 +47,7 @@ object Dedup {
     * k codegen'd min-aggregates — one shuffle, map-side partials. */
   def minhashSigs(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 4): DataFrame = {
-    val exploded = df.select(col(idCol),
+    val exploded = spread(df).select(col(idCol),
         explode(charShingles(col(textCol), shingleN)).as("__s"))
       .withColumn("__h", hashMod(col("__s"), MinhashP))
     val aggs = minhashCoeffs.zipWithIndex.map { case ((a, b), i) =>
@@ -86,7 +93,7 @@ object Dedup {
       .select("a_id", "b_id").distinct()
     // exact-Jaccard verify: join hashed shingle sets by id — array
     // payloads move once per candidate side, never through buckets
-    val sh = df.select(col(idCol).as("__id"),
+    val sh = spread(df).select(col(idCol).as("__id"),
       array_distinct(transform(charShingles(col(textCol), shingleN),
         hash60 _)).as("__sh"))
     candidates
@@ -101,7 +108,7 @@ object Dedup {
   /** simhash signature table (idCol, simhash): token explode → 32
     * codegen'd conditional sums → bit assembly. One shuffle. */
   def simhashSigs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val exploded = df.select(col(idCol),
+    val exploded = spread(df).select(col(idCol),
         explode(tokensWs(col(textCol))).as("__t"))
       .withColumn("__h", hash32(col("__t")))
     val bitSums = (0 until 32).map { b =>
@@ -148,7 +155,7 @@ object Dedup {
     // hash shingles AFTER explode (md5 runs inside whole-stage codegen,
     // not an interpreted array lambda), collect the distinct set, and
     // persist — both pair sides reuse one computation
-    val s = df.select((Seq(col(idCol).as("__id"),
+    val s = spread(df).select((Seq(col(idCol).as("__id"),
         explode(charShingles(col(textCol), shingleN)).as("__g")) ++
         blockCols.map(col)): _*)
       .withColumn("__h", hash60(col("__g")))

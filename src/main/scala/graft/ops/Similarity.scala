@@ -133,7 +133,9 @@ object Similarity {
     * the unblocked scale path). Norms precomputed per vector. */
   def cosinePairs(df: DataFrame, idCol: String, vecCol: String,
       blockCols: Seq[String], threshold: Double): DataFrame = {
-    val v = df.select((Seq(col(idCol).as("__id"),
+    val spread = df.repartition(
+      df.sparkSession.sparkContext.defaultParallelism)
+    val v = spread.select((Seq(col(idCol).as("__id"),
         col(vecCol).cast("array<double>").as("__v")) ++
         blockCols.map(col)): _*)
       .withColumn("__n", norm(col("__v")))

@@ -89,9 +89,30 @@ object TextOps {
   // ----------------------------------------------------- fingerprint
   /** bottom-k sketch fingerprint: the k smallest shingle hashes,
     * sorted, joined — a compact, order-insensitive document signature
-    * (winnowing-style). */
+    * (winnowing-style). Expression form; for corpus-scale use
+    * [[fingerprintTable]] (explode + codegen instead of interpreted
+    * per-row array lambdas). */
   def fingerprint(shingles: Column, k: Int): Column =
     concat_ws("-", slice(array_sort(transform(shingles, hash60 _)), 1, k))
+
+  /** (idCol, fp) fingerprint table: shingle explode → codegen'd md5 →
+    * per-doc bottom-k via window → sorted concat. One shuffle, no
+    * interpreted higher-order functions on the hot path. */
+  def fingerprintTable(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, k: Int, shingleN: Int = 4): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__h"))
+    val spread = df.repartition(
+      df.sparkSession.sparkContext.defaultParallelism)
+    val bottomK = spread.select(col(idCol),
+        explode(charShingles(col(textCol), shingleN)).as("__s"))
+      .withColumn("__h", hash60(col("__s")))
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= k)
+      .groupBy(col(idCol))
+      .agg(concat_ws("-", sort_array(collect_list(col("__h")))).as("fp"))
+    df.select(col(idCol)).distinct().join(bottomK, Seq(idCol), "left")
+  }
 
   // ------------------------------------------------------ lang id
   /** tiny per-language marker token lists (n-gram heuristic surface;
