@@ -1,0 +1,27 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed-table layout for co-located joins (SURVEY.md scale notes:
+  * "co-locate joins via bucketing"). Writing both sides of a hot join
+  * bucketed + sorted by the join key lets Spark execute the join with
+  * NO shuffle exchange on either side — at 100 TB this converts the
+  * dominant repeated cost (re-shuffling a fact table for every join)
+  * into a one-time layout cost at ingestion.
+  */
+object Bucketing {
+
+  /** write a DataFrame as a bucketed, sorted managed table. */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** join two same-bucketed tables on their bucket key — planner
+    * produces a shuffle-free sort-merge join. */
+  def bucketedJoin(spark: SparkSession, leftTable: String,
+      rightTable: String, key: String): DataFrame =
+    spark.table(leftTable).join(spark.table(rightTable), key)
+}

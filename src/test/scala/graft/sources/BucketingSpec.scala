@@ -1,0 +1,38 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+class BucketingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("bucketed join runs without a shuffle exchange") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Bucketing.writeBucketed(
+        Tables.load(spark, sf, "orders"), "b_orders", "o_orderkey", 8)
+      Bucketing.writeBucketed(
+        Tables.load(spark, sf, "lineitem")
+          .withColumnRenamed("l_orderkey", "o_orderkey"),
+        "b_lineitem", "o_orderkey", 8)
+      val joined = Bucketing.bucketedJoin(spark, "b_orders", "b_lineitem",
+        "o_orderkey")
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      // both sides read pre-bucketed: no Exchange feeds the join
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange"), plan)
+      // same join unbucketed DOES shuffle — the layout is what saves it
+      val raw = Tables.load(spark, sf, "orders").join(
+        Tables.load(spark, sf, "lineitem")
+          .withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey")
+      raw.collect()
+      assert(raw.queryExecution.executedPlan.toString.contains("Exchange"))
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
+}
