@@ -202,6 +202,38 @@ class DialectSpec extends AnyFunSuite {
     intercept[Exception](spark.sql("select from customer"))
   }
 
+  test("record attributes @size/@type/@version/@fields and column(n)") {
+    val r = g.query(
+      "select @size, @type, @version, @fields from region limit 1")
+      .collect().head
+    assert(r.getAs[Int]("size") > 0) // JSON-size approximation
+    assert(r.getAs[String]("type") == "document")
+    assert(r.getAs[Int]("version") == 0)
+    assert(r.getAs[scala.collection.Seq[String]]("fields")
+      .contains("r_name"))
+    // column(n): positional access (ORecordColumn surface)
+    val c = g.query(
+      "select column(1) as second from region order by column(0)")
+      .collect()
+    assert(c.map(_.getString(0)).contains("ASIA"))
+  }
+
+  test("asDate/asDateTime chains parse strings and epochs") {
+    import spark.implicits._
+    val df = Seq((1L, "2024-03-05"), (2L, "2024-03-05 10:30:00"))
+      .toDF("id", "d")
+    g.catalog.register(ClassDef("dates", _ => df, None, Nil, 95, Some("id")))
+    val rows = g.query(
+      "select id, d.asDate() as ts from dates order by id").collect()
+    assert(rows(0).getAs[java.sql.Timestamp]("ts").toString
+      .startsWith("2024-03-05"))
+    assert(rows(1).getAs[java.sql.Timestamp]("ts").toString
+      .contains("10:30:00"))
+    assert(g.query(
+      "select from dates where d.asDateTime() >= '2024-03-05 00:00:00'")
+      .count() == 2)
+  }
+
   test("raw Spark SQL over catalog classes") {
     val n = g.sql(
       "SELECT count(*) FROM customer JOIN nation ON c_nationkey = n_nationkey")
