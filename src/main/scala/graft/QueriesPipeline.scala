@@ -133,6 +133,28 @@ object QueriesPipeline {
           "fr_score", "es_score", "zh_score")
         .orderBy("doc_id")
     }),
+    "qp_tfidf_top" -> ((s, dir) => {
+      // top-3 TF-IDF terms per doc (DF computed over the WHOLE corpus)
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("term"))
+      TextOps.tfidf(docs(s, dir), "doc_id", "text")
+        .filter(col("doc_id") < 20)
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select("doc_id", "term", "tf", "df", "score", "rnk")
+        .orderBy("doc_id", "rnk")
+    }),
+    "qp_top_bigrams" -> ((s, dir) => {
+      // corpus-wide bigram frequencies, top 20
+      docs(s, dir)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(explode(TextOps.bigrams(tokensWs(col("text"))))
+          .as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram"))
+        .limit(20)
+    }),
     // --- multimodal plumbing (binary payload + typed metadata) ------
     "qp_media_meta" -> ((s, dir) => {
       // payload bytes + metadata survive the media-table shape intact
@@ -340,6 +362,30 @@ object QueriesPipeline {
          |   en_score, de_score, fr_score, es_score, zh_score
          | FROM s ORDER BY doc_id""".stripMargin
     },
+    "qp_tfidf_top" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(${dTokens("text")}) AS term
+         |   FROM documents),
+         | tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+         |   GROUP BY doc_id, term),
+         | dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+         |   GROUP BY term),
+         | n AS (SELECT count(*) AS n FROM documents),
+         | scored AS (SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         |   round(tf.tf * ln((n.n + 1.0) / (dfreq.df + 1.0)), 6) AS score
+         |  FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+         | SELECT doc_id, term, tf, df, score, rnk FROM (
+         |   SELECT *, row_number() OVER (PARTITION BY doc_id
+         |     ORDER BY score DESC, term) AS rnk
+         |   FROM scored WHERE doc_id < 20)
+         | WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+    "qp_top_bigrams" ->
+      s"""WITH t AS (SELECT ${dTokens("text")} AS tok FROM documents),
+         | b AS (SELECT unnest(CASE WHEN len(tok) >= 2 THEN
+         |     list_transform(range(len(tok)-1),
+         |       i -> tok[i+1] || ' ' || tok[i+2])
+         |   ELSE [] END) AS bigram FROM t)
+         | SELECT bigram, count(*) AS n FROM b
+         | GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
     "qp_media_meta" ->
       """SELECT doc_id AS media_id, 'image' AS media_type,
         |   octet_length(encode(text)) AS n_bytes,

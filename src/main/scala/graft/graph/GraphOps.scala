@@ -107,6 +107,21 @@ object GraphOps {
 object TradeGraph {
   val SupplierOffset = 10000000L
 
+  // the edge table is derived by a fact-fact join + distinct; every
+  // graph query needs it, so cache the materialization per (session,
+  // dir) — the moral equivalent of the edge table a deployment would
+  // persist at ingestion. Weak keys keep stopped sessions collectable.
+  private val cache = new java.util.WeakHashMap[
+    SparkSession, scala.collection.mutable.Map[String, DataFrame]]()
+  private def cached(s: SparkSession, key: String)(
+      build: => DataFrame): DataFrame = synchronized {
+    val m = Option(cache.get(s)).getOrElse {
+      val m0 = scala.collection.mutable.Map[String, DataFrame]()
+      cache.put(s, m0); m0
+    }
+    m.getOrElseUpdate(key, build.persist())
+  }
+
   def vertices(s: SparkSession, dir: String): DataFrame = {
     val c = graft.sources.Tables.load(s, dir, "customer")
       .select(col("c_custkey").cast("long").as("id"),
@@ -117,12 +132,13 @@ object TradeGraph {
     c.unionByName(sup)
   }
 
-  def edges(s: SparkSession, dir: String): DataFrame = {
-    val o = graft.sources.Tables.load(s, dir, "orders")
-    val l = graft.sources.Tables.load(s, dir, "lineitem")
-    o.join(l, o("o_orderkey") === l("l_orderkey"))
-      .select(col("o_custkey").cast("long").as("src"),
-        (col("l_suppkey") + SupplierOffset).cast("long").as("dst"))
-      .distinct()
-  }
+  def edges(s: SparkSession, dir: String): DataFrame =
+    cached(s, s"edges:$dir") {
+      val o = graft.sources.Tables.load(s, dir, "orders")
+      val l = graft.sources.Tables.load(s, dir, "lineitem")
+      o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .select(col("o_custkey").cast("long").as("src"),
+          (col("l_suppkey") + SupplierOffset).cast("long").as("dst"))
+        .distinct()
+    }
 }

@@ -114,6 +114,32 @@ object TextOps {
     df.select(col(idCol)).distinct().join(bottomK, Seq(idCol), "left")
   }
 
+  // ------------------------------------------------------ tf-idf
+  /** TF-IDF per (doc, term): tf = in-doc count, idf = ln((N+1)/(df+1)),
+    * computed corpus-wide via one token explode + two aggregations
+    * (DF is a broadcastable per-term table). */
+  def tfidf(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val n = df.count()
+    val toks = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol), explode(tokensWs(col(textCol))).as("term"))
+    val tf = toks.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = toks.select(col(idCol), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), "term")
+      .withColumn("score",
+        round(col("tf") * log((lit(n) + 1.0) / (col("df") + 1.0)), 6))
+  }
+
+  /** word bigrams of a token array (empty when fewer than 2 tokens). */
+  def bigrams(tokens: Column): Column =
+    when(size(tokens) >= 2,
+      transform(sequence(lit(1), size(tokens) - 1),
+        i => concat(element_at(tokens, i), lit(" "),
+          element_at(tokens, i + 1))))
+      .otherwise(array().cast("array<string>"))
+
   // ------------------------------------------------------ lang id
   /** tiny per-language marker token lists (n-gram heuristic surface;
     * scoring = marker-hit count per language, argmax wins). */
