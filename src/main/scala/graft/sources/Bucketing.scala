@@ -24,4 +24,12 @@ object Bucketing {
   def bucketedJoin(spark: SparkSession, leftTable: String,
       rightTable: String, key: String): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), key)
+
+  /** write a DataFrame partitioned by directory columns (e.g. event
+    * date): predicates on those columns prune whole directories at
+    * planning time — the scan never lists, let alone reads, excluded
+    * partitions. The standard layout for time-series fact data. */
+  def writePartitioned(df: DataFrame, dir: String,
+      partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(dir)
 }

@@ -7,6 +7,28 @@ class BucketingSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   private val sf = "/root/testdata/sf0.001"
 
+  test("date-partitioned layout prunes partitions at plan time") {
+    import org.apache.spark.sql.functions._
+    val dir = "/tmp/graft_part_events"
+    Bucketing.writePartitioned(
+      Tables.load(spark, sf, "events")
+        .withColumn("d", date_trunc("day", col("ts")).cast("date")),
+      dir, Seq("d"))
+    val q = spark.read.parquet(dir).filter(col("d") === "2024-01-03")
+    val scan = q.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    // the date predicate lands in PartitionFilters (directory pruning),
+    // leaving no row-level filter on d
+    assert(scan.partitionFilters.nonEmpty)
+    assert(!scan.dataFilters.exists(_.references.exists(_.name == "d")))
+    // and the pruned scan actually reads a subset of partitions
+    assert(scan.selectedPartitions.partitionCount <
+      spark.read.parquet(dir).queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.head.selectedPartitions.partitionCount)
+  }
+
   test("bucketed join runs without a shuffle exchange") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {

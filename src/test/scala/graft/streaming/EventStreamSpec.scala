@@ -63,6 +63,30 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("file-source stream: readEvents over a growing directory") {
+    import spark.implicits._
+    val dir = "/tmp/graft_stream_events"
+    val fs = new java.io.File(dir)
+    org.apache.commons.io.FileUtils.deleteQuietly(fs)
+    Seq(ev(1, 1, 1, "click", 1.0), ev(2, 3, 1, "click", 2.0)).toDF()
+      .write.mode("overwrite").parquet(dir)
+    val agg = windowedAgg(EventStream.readEvents(spark, dir),
+      windowLen = "10 minutes", watermarkDelay = "1 hour")
+    val q = agg.writeStream.format("memory").queryName("file_agg")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("file_agg").collect()
+        .exists(r => r.getAs[Long]("n") == 2))
+      // a new file arriving extends the same windows
+      Seq(ev(3, 4, 2, "click", 1.5)).toDF()
+        .write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      assert(spark.table("file_agg").collect()
+        .exists(r => r.getAs[Long]("n") == 3))
+    } finally q.stop()
+  }
+
   test("sessionization with event-time gap timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
