@@ -32,13 +32,21 @@ class GraftSqlExtension extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftSqlExtension {
-  private val bound =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, GraftSession]()
+  // weak on BOTH sides: a strong value would point back at the key
+  // (GraftSession → SparkSession) and pin stopped sessions forever.
+  // The caller owns the GraftSession's lifetime; if they drop it, the
+  // binding lapses.
+  private val bound = new java.util.WeakHashMap[
+    SparkSession, java.lang.ref.WeakReference[GraftSession]]()
 
-  def bind(spark: SparkSession, g: GraftSession): Unit = bound.put(spark, g)
-  def unbind(spark: SparkSession): Unit = bound.remove(spark)
+  def bind(spark: SparkSession, g: GraftSession): Unit =
+    bound.synchronized {
+      bound.put(spark, new java.lang.ref.WeakReference(g)); ()
+    }
+  def unbind(spark: SparkSession): Unit =
+    bound.synchronized { bound.remove(spark); () }
   private[engine] def boundSession(spark: SparkSession): Option[GraftSession] =
-    Option(bound.get(spark))
+    bound.synchronized { Option(bound.get(spark)).flatMap(r => Option(r.get)) }
 }
 
 final class GraftParser(spark: SparkSession, delegate: ParserInterface)
@@ -55,7 +63,10 @@ final class GraftParser(spark: SparkSession, delegate: ParserInterface)
       fallback: String => LogicalPlan): LogicalPlan =
     GraftSqlExtension.boundSession(spark) match {
       case Some(g) =>
-        try g.query(sqlText).queryExecution.logical
+        // translator directly, NOT g.query: READ hooks must fire on
+        // query execution, not on every parsePlan/EXPLAIN of the text
+        try g.translator.select(Parser.parseSelect(sqlText))
+          .queryExecution.logical
         catch {
           // NonFatal only: OOM/stack-overflow/interrupts must surface,
           // not be masked by a delegate re-parse

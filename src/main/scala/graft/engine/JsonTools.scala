@@ -2,30 +2,37 @@ package graft.engine
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
 
 /** JSON export/import + fetch-plan materialization (SURVEY.md §2.1
   * `ODatabaseExport/Import`, §2.10 `OFetchHelper` fetch plans).
   *
-  * Export writes one JSON dataset per class plus a manifest with the
-  * schema metadata (classes, superclasses, links, properties, indexes)
-  * — the whole-db dump the reference produces as a single JSON file,
-  * reshaped for distributed write (a directory per class).
+  * Export writes one JSON dataset per class plus a manifest carrying
+  * the schema metadata (classes, superclasses, links, properties,
+  * indexes, AND each class's exact Spark schema) — the whole-db dump
+  * the reference produces as a single JSON file, reshaped for
+  * distributed write (a directory per class). Import reads data with
+  * the recorded schema, so all-null columns and empty classes survive
+  * the roundtrip (JSON inference would drop both). The manifest is
+  * written through the Hadoop FileSystem of `dir`, landing beside the
+  * data on whatever store it names.
   *
-  * Fetch plans (`field:depth` pairs, `*:n` wildcard, `-1` unbounded)
-  * control how deep link fields are resolved into nested documents
-  * when materializing JSON — the reference uses them to pre-ship
-  * linked records over the wire (`ONetworkProtocolBinary.java:478-515`);
-  * here they bound the join expansion.
+  * Fetch plans (`field:depth` pairs, `*:n` wildcard, `-1` unbounded
+  * but capped) control how deep link fields are resolved into nested
+  * documents; recursion is bounded by remaining depth, so
+  * self-referential links expand to exactly the requested depth.
   */
 object JsonTools {
 
   // -------------------------------------------------------- export
   def exportDatabase(session: GraftSession, dir: String): Unit = {
     val cat = session.catalog
-    cat.all.foreach { cls =>
-      cls.provider(session.spark).write.mode("overwrite")
-        .json(s"$dir/${cls.name.toLowerCase}")
-    }
+    val schemas = cat.all.map { cls =>
+      val df = cls.provider(session.spark)
+      if (df.schema.nonEmpty)
+        df.write.mode("overwrite").json(s"$dir/${cls.name.toLowerCase}")
+      cls.name.toLowerCase -> df.schema
+    }.toMap
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""
@@ -58,10 +65,16 @@ object JsonTools {
       s"""{"name":${jstr(cls.name)},"superClass":${jopt(cls.superClass)},""" +
         s""""clusterId":${cls.clusterId},""" +
         s""""ridPosCol":${jopt(cls.ridPosCol)},"links":$links,""" +
-        s""""properties":$props,"indexes":$idx}"""
+        s""""properties":$props,"indexes":$idx,""" +
+        s""""schemaJson":${jstr(schemas(clsKey).json)}}"""
     }.mkString("[", ",\n", "]")
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$dir/manifest.json"), manifest)
+    // write through the dir's own FileSystem (hdfs://, s3a://, file:…)
+    // so the manifest lands beside the data, not on the driver disk
+    val path = new org.apache.hadoop.fs.Path(dir, "manifest.json")
+    val fs = path.getFileSystem(
+      session.spark.sessionState.newHadoopConf())
+    val out = fs.create(path, true)
+    try out.write(manifest.getBytes("UTF-8")) finally out.close()
   }
 
   // -------------------------------------------------------- import
@@ -72,7 +85,13 @@ object JsonTools {
       .json(s"$dir/manifest.json")
     manifest.collect().foreach { r =>
       val name = r.getAs[String]("name")
-      val data = spark.read.json(s"$dir/${name.toLowerCase}")
+      val schema = DataType.fromJson(r.getAs[String]("schemaJson"))
+        .asInstanceOf[StructType]
+      // explicit schema: empty classes and all-null columns roundtrip
+      val data =
+        if (schema.isEmpty) spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+        else spark.read.schema(schema).json(s"$dir/${name.toLowerCase}")
       def rows(field: String): Seq[org.apache.spark.sql.Row] =
         Option(r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]](field))
           .getOrElse(scala.collection.Seq()).toSeq
@@ -109,31 +128,39 @@ object JsonTools {
   /** parse "field:depth field2:depth2 *:n" (space- or comma-separated). */
   def parseFetchPlan(plan: String): Map[String, Int] =
     plan.split("[,\\s]+").filter(_.nonEmpty).map { part =>
-      val Array(f, d) = part.split(":")
-      f.trim -> d.trim.toInt
+      part.split(":") match {
+        case Array(f, d) if d.trim.matches("-?\\d+") =>
+          f.trim -> d.trim.toInt
+        case _ => throw new IllegalArgumentException(
+          s"bad fetch plan token '$part' (expected field:depth)")
+      }
     }.toMap
 
-  private val MaxUnbounded = 5 // cap for `-1` plans (cycle safety)
+  private val MaxUnbounded = 3 // cap for `-1` plans (self-links expand per level)
 
   /** materialize a class as JSON documents with link fields expanded to
     * nested objects per the fetch plan. Returns (key, json). */
   def fetchJson(session: GraftSession, clsName: String,
       fetchPlan: String = ""): DataFrame = {
-    val plan = parseFetchPlan(fetchPlan)
+    // normalize unbounded depths up front: recursion is then bounded by
+    // strictly-decreasing depth alone, so self-links expand correctly
+    val plan = parseFetchPlan(fetchPlan).map { case (k, v) =>
+      k -> (if (v == -1) MaxUnbounded else math.min(v, MaxUnbounded))
+    }
     val cat = session.catalog
     val cls = cat.get(clsName)
-    val keyCol = cls.ridPosCol.getOrElse(
+    cls.ridPosCol.getOrElse(
       throw new IllegalStateException(s"class ${cls.name} has no key"))
-    val doc = docFrame(session, cls, plan, Set(cls.name.toLowerCase))
+    val doc = docFrame(session, cls, plan)
     doc.select(col("__key").as("key"), to_json(col("__doc")).as("json"))
   }
 
   /** recursive document struct builder: (row key, __doc struct with
     * links of positive remaining depth expanded). Each expansion level
-    * is one equi-join (aggregated pre-join for multi-links); visited
-    * classes stop cycles. */
+    * is one equi-join (aggregated pre-join for multi-links and
+    * RID-collection links). */
   private def docFrame(session: GraftSession, cls: ClassDef,
-      plan: Map[String, Int], visited: Set[String]): DataFrame = {
+      plan: Map[String, Int]): DataFrame = {
     val cat = session.catalog
     val base = cat.table(cls.name)
     val keyCol = cls.ridPosCol.get
@@ -143,33 +170,37 @@ object JsonTools {
     var df = base
     val nested = scala.collection.mutable.ListBuffer[(String, Column)]()
     cls.links.foreach { l =>
-      val depth = plan.getOrElse(l.field,
-        plan.getOrElse("*", 0)) match {
-        case -1 => MaxUnbounded
-        case d => d
-      }
+      val depth = plan.getOrElse(l.field, plan.getOrElse("*", 0))
       val target = cat.get(l.target)
-      if (depth > 0 && !visited.contains(target.name.toLowerCase) &&
-          target.ridPosCol.isDefined) {
-        val subPlan = plan.map { case (k, v) =>
-          k -> (if (v == -1) -1 else v - 1) }
-        val sub = docFrame(session, target, subPlan,
-          visited + target.name.toLowerCase)
+      if (depth > 0 && target.ridPosCol.isDefined) {
+        val subPlan = plan.map { case (k, v) => k -> (v - 1) }
+        val sub = docFrame(session, target, subPlan)
         val pfx = s"__f_${l.field}_"
-        if (l.multi) {
+        val tKey = cat.table(target.name)
+          .select(col(l.dstKey).as(s"${pfx}k"),
+            col(target.ridPosCol.get).as(s"${pfx}tk"))
+        if (l.srcIsArray) {
+          // RID-collection link: explode the key array on a fresh scan,
+          // aggregate sub-docs per source row, join back by pk
+          val src = cat.table(cls.name)
+            .select(col(keyCol).as(s"${pfx}pk"),
+              explode_outer(col(l.srcKey)).as(s"${pfx}ek"))
+          val items = src
+            .join(tKey, col(s"${pfx}ek") === col(s"${pfx}k"))
+            .join(sub, col(s"${pfx}tk") === sub("__key"))
+            .groupBy(col(s"${pfx}pk"))
+            .agg(collect_list(col("__doc")).as(s"${pfx}docs"))
+          df = df.join(items, col(keyCol) === col(s"${pfx}pk"), "left")
+            .drop(s"${pfx}pk")
+          nested += l.field -> col(s"${pfx}docs")
+        } else if (l.multi) {
           // pre-aggregate the many side BEFORE joining (1:1 join)
-          val tKey = cat.table(target.name)
-            .select(col(l.dstKey).as(s"${pfx}k"),
-              col(target.ridPosCol.get).as(s"${pfx}tk"))
           val items = tKey.join(sub, col(s"${pfx}tk") === sub("__key"))
             .groupBy(col(s"${pfx}k"))
             .agg(collect_list(col("__doc")).as(s"${pfx}docs"))
           df = df.join(items, col(l.srcKey) === col(s"${pfx}k"), "left")
           nested += l.field -> col(s"${pfx}docs")
         } else {
-          val tKey = cat.table(target.name)
-            .select(col(l.dstKey).as(s"${pfx}k"),
-              col(target.ridPosCol.get).as(s"${pfx}tk"))
           val one = tKey.join(sub, col(s"${pfx}tk") === sub("__key"))
             .select(col(s"${pfx}k"), col("__doc").as(s"${pfx}doc"))
           df = df.join(one, col(l.srcKey) === col(s"${pfx}k"), "left")

@@ -20,10 +20,27 @@ object Bucketing {
       .saveAsTable(table)
 
   /** join two same-bucketed tables on their bucket key — planner
-    * produces a shuffle-free sort-merge join. */
+    * produces a shuffle-free sort-merge join. Verifies both tables are
+    * actually bucketed by `key` with equal bucket counts: a silent
+    * mismatch would pay the layout cost AND still shuffle. */
   def bucketedJoin(spark: SparkSession, leftTable: String,
-      rightTable: String, key: String): DataFrame =
+      rightTable: String, key: String): DataFrame = {
+    def spec(t: String) = spark.sessionState.catalog
+      .getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(t)).bucketSpec
+    (spec(leftTable), spec(rightTable)) match {
+      case (Some(l), Some(r)) =>
+        require(l.numBuckets == r.numBuckets,
+          s"bucket counts differ: $leftTable=${l.numBuckets}, " +
+            s"$rightTable=${r.numBuckets}")
+        require(l.bucketColumnNames.contains(key) &&
+          r.bucketColumnNames.contains(key),
+          s"both tables must be bucketed by '$key'")
+      case _ => throw new IllegalArgumentException(
+        s"$leftTable and $rightTable must both be bucketed tables")
+    }
     spark.table(leftTable).join(spark.table(rightTable), key)
+  }
 
   /** write a DataFrame partitioned by directory columns (e.g. event
     * date): predicates on those columns prune whole directories at

@@ -8,8 +8,9 @@ import graft.engine.{Catalog, ClassDef, LinkSpec}
   * `location→city→country` link chain (`domain/whiz/Profile.java:5-15`),
   * `Account` (`domain/business/Account.java:125-135`),
   * `Animal`/`AnimalType` with embedded races, `MapPoint` for GEO.
-  * Deterministic (seed 7), small, with nulls in nullable columns and
-  * schema-less extras on ~10% of Profiles.
+  * Deterministic (seed 7), small, with nulls in nullable columns; the
+  * sparse `photo` field (populated on ~10% of Profiles) stands in for
+  * the reference's ad-hoc extra fields within a fixed schema.
   */
 object Fixtures {
   final case class Country(countryId: Long, cname: String)

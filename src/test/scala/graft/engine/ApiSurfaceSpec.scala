@@ -152,5 +152,15 @@ class ApiSurfaceSpec extends AnyFunSuite {
     val withOrders = g.fetchJson("customer", "orders:1")
       .filter(col("key") === 1L).collect().head.getAs[String]("json")
     assert(withOrders.contains("\"orders\":[{"))
+    // self-links expand to the requested depth (not blocked as cycles)
+    val gf = graft.sources.Fixtures.session(spark)
+    val selfLink = gf.fetchJson("profile", "invitedBy:2")
+      .filter(col("key") === 50L).collect().head.getAs[String]("json")
+    assert(selfLink.contains("\"invitedBy\":{"))
+    // RID-collection links nest as arrays of target docs
+    val arrLink = gf.fetchJson("account", "addresses:1")
+      .orderBy("key").limit(1).collect().head.getAs[String]("json")
+    assert(arrLink.contains("\"addresses\":[{") &&
+      arrLink.contains("\"street\""))
   }
 }
