@@ -66,6 +66,30 @@ final class GraftSession(val spark: SparkSession, val catalog: Catalog) {
     case other => Commands.execute(this, other)
   }
 
+  /** Bulk append — the reference's massive-insert intent
+    * (`OIntentMassiveInsert`, SURVEY.md §4) as one batch operation:
+    * BEFORE_CREATE hooks transform the whole frame, constraints
+    * validate in one pass, and the class data is extended by a single
+    * union (per-record insert loops have no place in a batch engine).
+    * Schema-less extras become new columns, missing columns go null. */
+  def appendData(cls: String, rows: DataFrame): Long = {
+    val hooked = hooks.fire(Hooks.BeforeCreate, cls, rows)
+    Validation.validate(hooked, catalog.propsOf(cls))
+    val existing = catalog.table(cls).drop("_rid", "_class")
+    val allCols = (existing.columns ++
+      hooked.columns.filterNot(c => existing.columns.contains(c))).toSeq
+    def extend(df: DataFrame): DataFrame =
+      df.select(allCols.map(c =>
+        if (df.columns.contains(c)) org.apache.spark.sql.functions.col(c)
+        else org.apache.spark.sql.functions.lit(null).as(c)): _*)
+    val merged =
+      if (existing.columns.isEmpty) hooked
+      else extend(existing).unionByName(extend(hooked))
+    catalog.replaceData(cls, merged)
+    hooks.fire(Hooks.AfterCreate, cls, hooked)
+    rows.count()
+  }
+
   /** `browseClass(name, polymorphic)` — record iteration API. */
   def browseClass(name: String, polymorphic: Boolean = true): DataFrame =
     if (polymorphic) catalog.polymorphicScan(name) else catalog.table(name)

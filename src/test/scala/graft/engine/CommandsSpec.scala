@@ -128,6 +128,27 @@ class CommandsSpec extends AnyFunSuite {
     assert(sizes.find(_.getString(0) == "Rome").get.getInt(1) == 2)
   }
 
+  test("bulk append: massive-insert intent with validation and hooks") {
+    import spark.implicits._
+    val g = freshSession()
+    g.command("create class Bulk")
+    g.catalog.setProperty(PropertyDef("Bulk", "v", "INTEGER",
+      min = Some("0")))
+    g.hooks.register(Hooks.BeforeCreate,
+      (_, df) => df.withColumn("loaded", org.apache.spark.sql.functions.lit(true)))
+    val n = g.appendData("Bulk",
+      (0 until 10000).map(i => (i.toLong, i % 100)).toDF("id", "v"))
+    assert(n == 10000)
+    assert(g.query("select from Bulk where loaded = true").count() == 10000)
+    // constraint violations reject the whole batch
+    intercept[ValidationException](
+      g.appendData("Bulk", Seq((-1L, -5)).toDF("id", "v")))
+    assert(g.browseClass("Bulk").count() == 10000)
+    // second batch with a new column null-extends prior rows
+    g.appendData("Bulk", Seq((10001L, 7, "x")).toDF("id", "v", "extra"))
+    assert(g.query("select from Bulk where extra is null").count() == 10000)
+  }
+
   test("class inheritance: polymorphic scan unions subclasses") {
     val g = freshSession()
     g.command("create class Animal")
