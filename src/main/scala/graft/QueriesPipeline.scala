@@ -62,6 +62,36 @@ object QueriesPipeline {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
+    "qp_pipeline_funnel" -> ((s, dir) => {
+      // END-TO-END curation funnel: raw ∪ recrawl → exact dedup (keep
+      // min id per content hash) → MinHash near-dup removal (drop the
+      // larger id of each pair ≥0.8) → quality gate (stop_ratio ≤ 0.4,
+      // ≥ 20 tokens). One row of stage counts — the whole pipeline
+      // composed from the individual operators, integer-exact.
+      val raw = docs(s, dir)
+      val input = raw.unionByName(raw.filter(col("doc_id") < 50))
+      val exact = input.groupBy(md5(col("text")).as("__h"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .join(raw, "doc_id")
+      val nearDrops = Dedup.minhashPairs(exact, "doc_id", "text",
+          threshold = 0.8)
+        .select(col("b_id").as("doc_id")).distinct()
+      val near = exact.join(nearDrops, Seq("doc_id"), "left_anti")
+      val toks = tokensWs(col("text"))
+      val stopArr = array(stop.map(lit): _*)
+      val quality = near
+        .withColumn("__sr",
+          size(filter(toks, t => array_contains(stopArr, t)))
+            .cast("double") / size(toks))
+        .filter(col("__sr") <= 0.4 && size(toks) >= 20)
+      val s0 = input.count()
+      val s1 = exact.count()
+      val s2 = near.count()
+      val s3 = quality.count()
+      import s.implicits._
+      Seq((s0, s1, s2, s3)).toDF("n_input", "n_exact", "n_near", "n_quality")
+    }),
+
     // --- similarity search ------------------------------------------
     "qp_ann_topk" -> ((s, dir) => {
       val e = embs(s, dir)
@@ -241,6 +271,40 @@ object QueriesPipeline {
          |     (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
          |   >= 0.8
          | ORDER BY a_id, b_id""".stripMargin
+    },
+    "qp_pipeline_funnel" -> {
+      val bandRows = (0 until 4).map { b =>
+        val ks = (b * 4 until b * 4 + 4).map(i => s"s$i").mkString(", ")
+        s"SELECT doc_id, sh, concat_ws('_', $b, $ks) AS band FROM sigs"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH input AS MATERIALIZED (
+         |   SELECT doc_id, text FROM documents
+         |   UNION ALL SELECT doc_id, text FROM documents WHERE doc_id < 50),
+         | exact AS MATERIALIZED (
+         |   SELECT min(doc_id) AS doc_id FROM input GROUP BY md5(text)),
+         | $sigsCte,
+         | bands AS MATERIALIZED (
+         |  $bandRows
+         | ),
+         | drops AS MATERIALIZED (
+         |   SELECT DISTINCT b.doc_id FROM bands a JOIN bands b
+         |     ON a.band = b.band AND a.doc_id < b.doc_id
+         |   WHERE round(len(list_intersect(a.sh, b.sh))*1.0 /
+         |     (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
+         |     >= 0.8),
+         | near AS MATERIALIZED (
+         |   SELECT e.doc_id FROM exact e
+         |   WHERE e.doc_id NOT IN (SELECT doc_id FROM drops)),
+         | quality AS MATERIALIZED (
+         |   SELECT n.doc_id FROM near n JOIN documents d USING (doc_id)
+         |   WHERE len(list_filter(${dTokens("d.text")},
+         |       x -> list_contains($dStopList, x))) * 1.0
+         |     / len(${dTokens("d.text")}) <= 0.4
+         |     AND len(${dTokens("d.text")}) >= 20)
+         | SELECT (SELECT count(*) FROM input) AS n_input,
+         |   (SELECT count(*) FROM exact) AS n_exact,
+         |   (SELECT count(*) FROM near) AS n_near,
+         |   (SELECT count(*) FROM quality) AS n_quality""".stripMargin
     },
     "qp_simhash" ->
       s"""SELECT doc_id, ${dSimhash("hs")} AS simhash
