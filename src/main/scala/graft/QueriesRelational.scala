@@ -243,6 +243,16 @@ object QueriesRelational {
           count(when($"o_orderstatus" === "P", 1)).as("n_p"))
         .orderBy($"o_orderpriority")
     }),
+    "q_json_props" -> ((s, dir) => {
+      // semi-structured column: JSON path extraction inside aggregation
+      import s.implicits._
+      t(s, dir, "events")
+        .withColumn("k", get_json_object($"props", "$.k").cast("long"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), sum($"k").as("k_total"),
+          max($"k").as("k_max"))
+        .orderBy($"event_type")
+    }),
     "q_stats_agg" -> ((s, dir) => {
       import s.implicits._
       t(s, dir, "lineitem")
@@ -382,6 +392,11 @@ object QueriesRelational {
         |   count(*) FILTER (o_orderstatus = 'P') AS n_p
         | FROM orders GROUP BY o_orderpriority
         | ORDER BY o_orderpriority""".stripMargin,
+    "q_json_props" ->
+      """SELECT event_type, count(*) AS n,
+        |   sum(json_extract_string(props, '$.k')::BIGINT) AS k_total,
+        |   max(json_extract_string(props, '$.k')::BIGINT) AS k_max
+        | FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_stats_agg" ->
       """SELECT l_returnflag,
         |   round(stddev_samp(l_quantity), 4) AS sd_qty,
