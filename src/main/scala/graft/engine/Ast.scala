@@ -44,6 +44,10 @@ object Ast {
   final case class ContainsCond(left: Path, inner: Cond, all: Boolean) extends Cond
   /** IS [NOT] NULL */
   final case class IsNull(e: SqlExpr, negated: Boolean) extends Cond
+  /** bare boolean expression used as a condition (`where active`);
+    * kept distinct from an explicit `= true` so CONTAINS can tell a
+    * parenthesized literal from an inner condition */
+  final case class BareBool(e: SqlExpr) extends Cond
   /** `<left> traverse(start,end[,'f1,f2']) (inner)`
     * (OQueryOperatorTraverse.java:40-176) */
   final case class TraverseCond(left: Path, start: Int, end: Int,

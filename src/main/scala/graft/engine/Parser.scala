@@ -137,22 +137,27 @@ object Parser {
       case t => fail(s"expected identifier, got $t")
     }
 
-    def statement(): Stmt = peek match {
-      case t if isKw(t, "select") => selectStmt()
-      case t if isKw(t, "insert") => insertStmt()
-      case t if isKw(t, "update") => updateStmt()
-      case t if isKw(t, "delete") => deleteStmt()
-      case t if isKw(t, "create") || isKw(t, "remove") => ddlStmt()
-      case t if isKw(t, "grant") || isKw(t, "revoke") =>
-        val revoke = isKw(t, "revoke")
-        pos += 1
-        val perm = ident()
-        eatKw("on")
-        val sb = new StringBuilder(ident())
-        while (tryPunct(".")) { sb.append('.').append(ident()) }
-        eatKw("to")
-        GrantStmt(perm.toUpperCase, sb.toString, ident(), revoke)
-      case t => fail(s"unknown statement start $t")
+    def statement(): Stmt = {
+      val st = peek match {
+        case t if isKw(t, "select") => selectStmt()
+        case t if isKw(t, "insert") => insertStmt()
+        case t if isKw(t, "update") => updateStmt()
+        case t if isKw(t, "delete") => deleteStmt()
+        case t if isKw(t, "create") || isKw(t, "remove") => ddlStmt()
+        case t if isKw(t, "grant") || isKw(t, "revoke") =>
+          val revoke = isKw(t, "revoke")
+          pos += 1
+          val perm = ident()
+          eatKw("on")
+          val sb = new StringBuilder(ident())
+          while (tryPunct(".")) { sb.append('.').append(ident()) }
+          eatKw("to")
+          GrantStmt(perm.toUpperCase, sb.toString, ident(), revoke)
+        case t => fail(s"unknown statement start $t")
+      }
+      // every statement must consume its whole input: a typo'd WHERE
+      // must be a parse error, not a silent whole-table UPDATE/DELETE
+      peek match { case TEnd => st; case t => fail(s"trailing input $t") }
     }
 
     def conditionOnly(): Cond = {
@@ -315,14 +320,15 @@ object Parser {
           }
           TraverseCond(lp, start, end, fields, inner)
         case _ =>
-          // bare boolean field: `where active` — treat as = true
-          Cmp(left, "=", Lit(true))
+          // bare boolean field: `where active`
+          BareBool(left)
       }
     }
 
-    /** CONTAINS (inner cond) | CONTAINS <literal>
+    /** CONTAINS (inner cond) | CONTAINS <literal> | CONTAINS (v, v…)
       * (OQueryOperatorContains.java:31-67) */
     private def containsBody(left: SqlExpr, all: Boolean): Cond = {
+      val op = if (all) "containsall" else "contains"
       val lp = left match {
         case p: Path => p
         case _ => fail("CONTAINS needs a field on the left")
@@ -330,17 +336,37 @@ object Parser {
       if (peek == TPunct("(")) {
         val save = pos
         pos += 1
-        // distinguish `(name = 'x')` condition from `('a','b')`-style expr
+        // `(name = 'x')` = inner condition; `('a')` / `('a','b')` =
+        // literal membership (a bare expression parses as BareBool)
         try {
           val inner = cond()
-          eatPunct(")")
-          ContainsCond(lp, inner, all)
+          peek match {
+            case TPunct(",") => // it was a value list after all
+              pos = save
+              Cmp(left, op, parenList())
+            case _ =>
+              eatPunct(")")
+              inner match {
+                case BareBool(e) => Cmp(left, op, e)
+                case c => ContainsCond(lp, c, all)
+              }
+          }
         } catch {
           case _: ParseException =>
             pos = save
-            Cmp(left, if (all) "containsall" else "contains", expr())
+            Cmp(left, op, parenList())
         }
-      } else Cmp(left, if (all) "containsall" else "contains", expr())
+      } else Cmp(left, op, expr())
+    }
+
+    /** `( e [, e…] )` → single expr or ListLit */
+    private def parenList(): SqlExpr = {
+      eatPunct("(")
+      val items = scala.collection.mutable.ListBuffer[SqlExpr]()
+      var more = true
+      while (more) { items += expr(); more = tryPunct(",") }
+      eatPunct(")")
+      if (items.size == 1) items.head else ListLit(items.toList)
     }
 
     // ----------------------------------------------------- expressions

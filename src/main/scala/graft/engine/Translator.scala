@@ -118,6 +118,7 @@ final class Translator(val catalog: Catalog, val registry: FunctionRegistry) {
       case Not(i) => prepareCond(i)
       case Cmp(l, _, r) => prepareExpr(l); prepareExpr(r)
       case IsNull(e, _) => prepareExpr(e)
+      case BareBool(e) => prepareExpr(e)
       case ContainsCond(p, _, _) => prepareSegs(p.segs)
       case tc: TraverseCond => prepareTraverse(tc)
     }
@@ -141,7 +142,8 @@ final class Translator(val catalog: Catalog, val registry: FunctionRegistry) {
             ensureChain(chain, spec)
             cls = catalog.get(spec.target)
             it = rest
-            if (spec.multi) continue = false // no deeper joins past a multi-link
+            // no deeper joins past any to-many link (incl. key arrays)
+            if (spec.multi || spec.srcIsArray) continue = false
           case _ => continue = false
         }
       }
@@ -163,7 +165,7 @@ final class Translator(val catalog: Catalog, val registry: FunctionRegistry) {
         val pk = srcCls.ridPosCol.getOrElse(throw Parser.ParseException(
           s"array link ${spec.field} requires a keyed class"))
         val cols = target.columns.filterNot(internalCol)
-        val src = catalog.table(srcCls.name)
+        val src = catalog.polymorphicScan(srcCls.name)
           .select(col(pk).as(s"${prefix}pk"),
             explode_outer(col(spec.srcKey)).as(s"${prefix}k"))
         val items = src
@@ -225,9 +227,7 @@ final class Translator(val catalog: Catalog, val registry: FunctionRegistry) {
         base.schema.fields.find(_.name.equalsIgnoreCase(name)).map(_.dataType)
     }
 
-    private def internal(c: String): Boolean =
-      c.startsWith("__l_") || c.startsWith("__trav_") ||
-        c == "_rid" || c == "_class"
+    private def internal(c: String): Boolean = internalCol(c)
   }
 
   private def internalCol(c: String): Boolean =
@@ -249,17 +249,24 @@ final class Translator(val catalog: Catalog, val registry: FunctionRegistry) {
   }
 
   /** scope for lambda elements (CONTAINS inner conditions): fields
-    * resolve against the array element struct; unknown → null
-    * (reference: missing field evaluates null → condition false). */
-  private final class ElementScope(elem: Column, outer: Scope) extends Scope {
+    * resolve against the array element struct; when the element's
+    * field names are known, unknown fields resolve to null (reference:
+    * missing field evaluates null → condition false). */
+  private final class ElementScope(elem: Column,
+      elemFields: Option[Seq[String]]) extends Scope {
     def baseClass: Option[ClassDef] = None
-    def baseColumns: Seq[String] = Nil
+    def baseColumns: Seq[String] = elemFields.getOrElse(Nil)
     def chainInfo(chain: List[String]): Option[(String, ClassDef, Boolean)] = None
     def traverseFlag(tc: TraverseCond): Column =
       throw Parser.ParseException("TRAVERSE not allowed inside CONTAINS")
-    def resolveField(name: String): Option[Column] =
-      Some(elem.getField(name))
+    def resolveField(name: String): Option[Column] = elemFields match {
+      case Some(fs) =>
+        if (fs.exists(_.equalsIgnoreCase(name))) Some(elem.getField(name))
+        else None
+      case None => Some(elem.getField(name))
+    }
     def schemaOf(name: String): Option[DataType] = None
+    override def lenient: Boolean = elemFields.isDefined
   }
 
   /** lenient scope over a plain class table: unresolved fields → null */
@@ -535,10 +542,27 @@ final class Translator(val catalog: Catalog, val registry: FunctionRegistry) {
       val col = compileExpr(e, scope)
       if (negated) col.isNotNull else col.isNull
     case tc: TraverseCond => scope.traverseFlag(tc)
+    case BareBool(e) => compileExpr(e, scope) === lit(true)
     case ContainsCond(p, inner, all) =>
       val arr = compileExpr(p, scope)
-      if (all) forall(arr, x => compileCond(inner, new ElementScope(x, scope)))
-      else exists(arr, x => compileCond(inner, new ElementScope(x, scope)))
+      // element field names when derivable: multi-link targets come
+      // from the catalog, embedded struct arrays from the base schema
+      val elemFields: Option[Seq[String]] = p.segs match {
+        case FieldSeg(f) :: Nil =>
+          scope.baseClass.flatMap(c => catalog.linkOf(c, f)) match {
+            case Some(spec) =>
+              Some(catalog.table(spec.target).columns
+                .filterNot(internalCol).toSeq)
+            case None => scope.schemaOf(f) match {
+              case Some(ArrayType(st: StructType, _)) =>
+                Some(st.fieldNames.toSeq)
+              case _ => None
+            }
+          }
+        case _ => None
+      }
+      if (all) forall(arr, x => compileCond(inner, new ElementScope(x, elemFields)))
+      else exists(arr, x => compileCond(inner, new ElementScope(x, elemFields)))
     case Cmp(l, op, r) => compileCmp(l, op, r, scope)
   }
 
@@ -581,25 +605,34 @@ final class Translator(val catalog: Catalog, val registry: FunctionRegistry) {
       // (OQueryHelper.java:20-57) → escape it for Spark
       rExpr match {
         case Lit(s: String) => lc.like(s.replace("_", "\\_"))
-        case _ => lc.like("") // non-literal patterns unsupported
+        case other => throw Parser.ParseException(
+          s"LIKE requires a string literal pattern, got $other")
       }
     case "matches" =>
       // String.matches = whole-string anchor (OQueryOperatorMatches)
       rExpr match {
         case Lit(s: String) => lc.rlike("\\A(?:" + s + ")\\z")
-        case _ => lc.rlike("$^")
+        case other => throw Parser.ParseException(
+          s"MATCHES requires a string literal pattern, got $other")
       }
     case "in" =>
       rExpr match {
-        case ListLit(items) =>
-          lc.isin(items.map { case Lit(v) => v
-            case other => throw Parser.ParseException(s"bad IN item $other")
-          }: _*)
+        case ListLit(items) if items.forall(_.isInstanceOf[Lit]) =>
+          lc.isin(items.collect { case Lit(v) => v }: _*)
+        case ListLit(_) => array_contains(rc, lc) // e.g. RID-list items
         case _ => array_contains(rc, lc) // value IN collectionField
       }
-    case "contains" => array_contains(lc, rc)
+    case "contains" =>
+      rExpr match {
+        // `contains ('a','b')` = all listed values present (superset)
+        case ListLit(_) => forall(rc, x => array_contains(lc, x))
+        case _ => array_contains(lc, rc)
+      }
     case "containsall" =>
-      forall(rc, x => array_contains(lc, x))
+      rExpr match {
+        case ListLit(_) => forall(rc, x => array_contains(lc, x))
+        case _ => array_contains(lc, rc)
+      }
     case "containskey" => map_contains_key(lc, rc)
     case "containsvalue" => array_contains(map_values(lc), rc)
     case "containstext" => FullText.containsText(lc, rc)

@@ -42,6 +42,18 @@ object Traverse {
       case _ => None // any() / all() → all links
     }
 
+    // reject EXPLICITLY-requested links whose target cannot be keyed —
+    // silently skipping them would return wrong (empty) results; links
+    // dropped implicitly under any() are a documented limitation
+    val explicit = fieldFilter.getOrElse(Set()) ++ firstHop.toSet
+    baseCls.links.filter(l => explicit.contains(l.field.toLowerCase))
+      .foreach { l =>
+        if (catalog.get(l.target).ridPosCol.isEmpty)
+          throw new IllegalArgumentException(
+            s"TRAVERSE cannot follow link '${l.field}': target class " +
+              s"'${l.target}' has no key column")
+      }
+
     def links(cls: ClassDef, depth: Int): Seq[LinkSpec] = {
       val all = cls.links.filter(l => catalog.get(l.target).ridPosCol.isDefined)
       val byFields = fieldFilter match {
@@ -54,11 +66,15 @@ object Traverse {
       } else byFields
     }
 
-    val end = if (tc.end < 0) maxDepth else math.min(tc.end, maxDepth)
+    // the iteration cap applies only to unbounded (-1) traversals; an
+    // explicit end is honored as written (the visited set still bounds
+    // the loop by graph size)
+    val end = if (tc.end < 0) maxDepth else tc.end
 
     // per-class frontier/visited of (__origin, __node) pairs
     var frontier: Map[String, DataFrame] = {
-      val t = catalog.table(baseCls.name)
+      // polymorphic: subclass rows participate in traversal
+      val t = catalog.polymorphicScan(baseCls.name)
       // checkpoint breaks lineage: frontiers re-join the class tables
       // every round, which Spark otherwise flags as ambiguous self-joins
       Map(baseCls.name.toLowerCase ->
@@ -73,7 +89,7 @@ object Traverse {
       if (depth >= tc.start) {
         frontier.foreach { case (cn, fdf) =>
           val cls = catalog.get(cn)
-          val t = catalog.table(cn)
+          val t = catalog.polymorphicScan(cn)
           val cond = compileCond(t, cls, tc.inner)
           val hit = t.filter(cond)
             .select(col(cls.ridPosCol.get).as("__node2"))
@@ -85,10 +101,10 @@ object Traverse {
         val next = scala.collection.mutable.Map[String, DataFrame]()
         frontier.foreach { case (cn, fdf) =>
           val cls = catalog.get(cn)
-          val t = catalog.table(cn)
+          val t = catalog.polymorphicScan(cn)
           links(cls, depth).foreach { l =>
             val target = catalog.get(l.target)
-            val tt = catalog.table(l.target)
+            val tt = catalog.polymorphicScan(l.target)
             // node → neighbor key via the FK edge (one distributed join;
             // the visited-minus keeps the frontier monotone shrinking);
             // RID-collection links explode their key array first

@@ -45,6 +45,35 @@ class BehavioralSpec extends AnyFunSuite {
       .forall(_.getString(1) == "Europe")))
   }
 
+  test("contains with parenthesized literal(s) = membership, not cond") {
+    // `races contains ('European')` — single paren literal
+    val one = g.query(
+      "select from animal where races contains (name = 'European')").count()
+    // embedded struct arrays need the field form; scalar arrays take
+    // the literal forms:
+    val acc = g.query(
+      "select accountId from account where addressIds contains (3) " +
+        "order by accountId").collect().map(_.getLong(0))
+    val expect = g.browseClass("account").collect()
+      .filter(_.getAs[scala.collection.Seq[Long]]("addressIds").contains(3L))
+      .map(_.getAs[Long]("accountId")).sorted
+    assert(acc.sameElements(expect) && one > 0)
+    // multi-value list = superset semantics
+    val both = g.query(
+      "select accountId from account where addressIds contains (3, 7)")
+      .collect().map(_.getLong(0))
+    val expectBoth = g.browseClass("account").collect()
+      .filter { r =>
+        val a = r.getAs[scala.collection.Seq[Long]]("addressIds")
+        a.contains(3L) && a.contains(7L)
+      }.map(_.getAs[Long]("accountId")).sorted
+    assert(both.sorted.sameElements(expectBoth))
+    // unknown field inside CONTAINS: lenient null → false, no crash
+    assert(g.query(
+      "select from profile where followings contains (nosuch = 'x')")
+      .count() == 0)
+  }
+
   test("contains over LINKSET with inner condition on target docs") {
     val got = g.query(
       "select profileId from profile where followings contains " +

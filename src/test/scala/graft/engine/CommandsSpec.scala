@@ -128,6 +128,18 @@ class CommandsSpec extends AnyFunSuite {
     assert(sizes.find(_.getString(0) == "Rome").get.getInt(1) == 2)
   }
 
+  test("typo'd WHERE is a parse error, never a whole-table write") {
+    val g = freshSession()
+    g.command("create class T")
+    g.command("insert into T (id) values (1)")
+    g.command("insert into T (id) values (2)")
+    intercept[Parser.ParseException](
+      g.command("delete from T wehre id = 1")) // misspelled WHERE
+    intercept[Parser.ParseException](
+      g.command("update T set id = 9 whre id = 1"))
+    assert(g.browseClass("T").count() == 2) // nothing was touched
+  }
+
   test("bulk append: massive-insert intent with validation and hooks") {
     import spark.implicits._
     val g = freshSession()
