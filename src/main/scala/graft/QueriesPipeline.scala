@@ -115,6 +115,21 @@ object QueriesPipeline {
           "vec_id", "embedding", k = 5, nProbe = 2)
         .orderBy(col("q_id"), col("rnk"))
     }),
+    "qp_quantize_int8" -> ((s, dir) => {
+      // int8 quantization fidelity: per-vector scale + max abs error of
+      // the dequantized cosine-against-self (storage-scale path)
+      val e = embs(s, dir).withColumn("__v",
+        col("embedding").cast("array<double>"))
+      val q = e.withColumn("__q", Similarity.quantizeInt8(col("__v")))
+        .withColumn("__dq", Similarity.dequantize(col("__q")))
+      q.select(col("vec_id"),
+          round(col("__q.scale"), 6).as("scale"),
+          round(aggregate(zip_with(col("__v"), col("__dq"),
+            (a, b) => abs(a - b)), lit(0.0d),
+            (acc, d) => greatest(acc, d)), 6).as("max_err"))
+        .filter(col("vec_id") < 200)
+        .orderBy("vec_id")
+    }),
     "qp_lsh_buckets" -> ((s, dir) => {
       val planes = Similarity.hyperplanes(8, 64)
       embs(s, dir)
@@ -381,6 +396,17 @@ object QueriesPipeline {
          |   WHERE q_id <> n_id)
          | SELECT q_id, n_id, round(c, 6) AS cos, rnk FROM scored
          | WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    "qp_quantize_int8" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings
+        |   WHERE vec_id < 200),
+        | s AS (SELECT vec_id, v,
+        |   list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+        |  FROM e)
+        | SELECT vec_id, round(scale, 6) AS scale,
+        |   round(list_max(list_transform(range(64), i ->
+        |     abs(v[i+1] - round(v[i+1] / scale)::INT * scale))), 6)
+        |   AS max_err
+        | FROM s ORDER BY vec_id""".stripMargin,
     "qp_lsh_buckets" -> {
       val planes = Similarity.hyperplanes(8, 64)
       val bucket = planes.zipWithIndex.map { case (p, i) =>

@@ -105,6 +105,30 @@ object Dedup {
       .filter(col("jac") >= threshold)
   }
 
+  /** full minhash signature as ONE string column — the expression form
+    * (no groupBy), usable on unbounded STREAMING frames where a
+    * stateful aggregation would force update-mode output. */
+  def signatureExpr(textCol: Column, shingleN: Int = 4): Column = {
+    val hashes = transform(charShingles(textCol, shingleN),
+      x => hashMod(x, MinhashP))
+    concat_ws("_", (0 until MinhashK).map(i => minhashSig(hashes, i)): _*)
+  }
+
+  /** Streaming ingestion dedup: drop incoming docs whose FULL minhash
+    * signature already exists in the static corpus (exact dups and
+    * near-identical texts share all 16 minhashes). Stateless per row →
+    * works in append mode as a stream-static anti-join; banded LSH
+    * candidates belong in a foreachBatch stage, where each micro-batch
+    * can run the full [[minhashPairs]] machinery. */
+  def streamingNearDupFilter(stream: DataFrame, corpus: DataFrame,
+      textCol: String): DataFrame = {
+    val seen = corpus.select(signatureExpr(col(textCol)).as("__sig"))
+      .distinct()
+    stream.withColumn("__sig", signatureExpr(col(textCol)))
+      .join(seen, Seq("__sig"), "left_anti")
+      .drop("__sig")
+  }
+
   /** simhash signature table (idCol, simhash): token explode → 32
     * codegen'd conditional sums → bit assembly. One shuffle. */
   def simhashSigs(df: DataFrame, idCol: String, textCol: String): DataFrame = {

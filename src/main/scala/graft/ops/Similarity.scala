@@ -128,6 +128,24 @@ object Similarity {
         col("rnk"))
   }
 
+  /** Symmetric int8 quantization of an embedding column: per-vector
+    * scale = max|x|/127, values round to [-127, 127]. At 100 TB this
+    * is the 4× storage/IO cut that makes the embedding corpus
+    * scannable; the dequantized cosine stays within ~1e-3 of the
+    * float original. Deterministic arithmetic → oracle-able. */
+  def quantizeInt8(vec: Column): Column = {
+    val scale = aggregate(vec, lit(0.0d),
+      (acc, v) => greatest(acc, abs(v))) / 127.0
+    struct(
+      scale.as("scale"),
+      transform(vec, v => round(v / scale, 0).cast("int")).as("q"))
+  }
+
+  /** dequantize back to doubles. */
+  def dequantize(q: Column): Column =
+    transform(q.getField("q"),
+      v => v.cast("double") * q.getField("scale"))
+
   /** exact cosine near-dup pairs within blocking keys (quadratic PER
     * BLOCK — blocking keys bound the pair count; the LSH variant is
     * the unblocked scale path). Norms precomputed per vector. */

@@ -87,6 +87,28 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming near-dup filter drops docs already in the corpus") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = graft.sources.Tables
+      .load(spark, "/root/testdata/sf0.001", "documents")
+    val dupText = corpus.orderBy("doc_id").limit(1)
+      .collect().head.getAs[String]("text")
+    val input = MemoryStream[(Long, String)]
+    val out = graft.ops.Dedup.streamingNearDupFilter(
+      input.toDF().toDF("doc_id", "text"), corpus, "text")
+    val q = out.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      input.addData((9001L, dupText), (9002L, "a genuinely novel document " +
+        "that resembles nothing in the corpus at all"))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream").collect()
+        .map(_.getAs[Long]("doc_id")).toSet
+      assert(ids == Set(9002L)) // the re-crawled duplicate was dropped
+    } finally q.stop()
+  }
+
   test("sessionization with event-time gap timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
