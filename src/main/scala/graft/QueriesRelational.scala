@@ -394,7 +394,7 @@ object QueriesRelational {
         | ORDER BY o_orderpriority""".stripMargin,
     "q_json_props" ->
       """SELECT event_type, count(*) AS n,
-        |   sum(json_extract_string(props, '$.k')::BIGINT) AS k_total,
+        |   sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS k_total,
         |   max(json_extract_string(props, '$.k')::BIGINT) AS k_max
         | FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_stats_agg" ->

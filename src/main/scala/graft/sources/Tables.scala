@@ -22,7 +22,9 @@ object Tables {
       // truncation DuckDB applies when casting ns -> its us timestamps).
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$dir/$name.parquet")
-      raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      // integer division: (col / 1000L) is a double Divide whose 2^53
+      // mantissa can't hold ~1.7e18 ns epochs exactly; `div` stays integral
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
 

@@ -22,6 +22,29 @@ for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
 
 oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
 
+import pyarrow as pa
+
+def type_cat(t):
+    """Coarse category matching the driver's hash fidelity: all ints hash
+    alike, but int vs float/decimal diverges (HUGEINT→float64 '99111.0'
+    vs int64 '99111' was CORRECTNESS_r01's only red row)."""
+    if pa.types.is_integer(t): return "int"
+    if pa.types.is_floating(t) or pa.types.is_decimal(t): return "float"
+    if pa.types.is_boolean(t): return "bool"
+    if pa.types.is_timestamp(t): return "timestamp"
+    if pa.types.is_date(t): return "date"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{type_cat(t.value_type)}>"
+    if pa.types.is_string(t) or pa.types.is_large_string(t): return "str"
+    return str(t)
+
+def type_mismatches(s_schema, d_schema):
+    s_types = {f.name: type_cat(f.type) for f in s_schema}
+    d_types = {f.name: type_cat(f.type) for f in d_schema}
+    return [(c, s_types[c], d_types[c])
+            for c in sorted(set(s_types) & set(d_types))
+            if s_types[c] != d_types[c]]
+
 def canon(cols, rows):
     """columns sorted by name; rows as sorted tuples of repr strings."""
     order = sorted(range(len(cols)), key=lambda i: cols[i])
@@ -51,10 +74,18 @@ for name in names:
     s_rows = [tuple(d[c] for c in s_cols) for d in tb.to_pylist()]
     try:
         res = con.sql(oracle[name])
-        d_cols = list(res.columns)
-        d_rows = res.fetchall()
+        d_tb = res.arrow()
+        d_cols = list(d_tb.column_names)
+        d_rows = [tuple(d[c] for c in d_cols) for d in d_tb.to_pylist()]
     except Exception as e:
         print(f"FAIL {name}: oracle error: {e}")
+        fail += 1
+        continue
+    tmm = type_mismatches(tb.schema, d_tb.schema)
+    if tmm:
+        for c, st, dt in tmm:
+            print(f"FAIL {name}: type mismatch col {c}: spark={st} duck={dt}"
+                  f" — driver hash will diverge (cast the oracle)")
         fail += 1
         continue
     sc, sr = canon(s_cols, s_rows)
