@@ -27,6 +27,14 @@ object QueriesGraph {
         .select(col("id"), round(col("rank"), 4).as("rank"))
         .orderBy(col("id"))
     }),
+    "qg_pagerank10" -> ((s, dir) => {
+      // 10 iterations exercises the per-3-rounds lineage truncation in
+      // pageRankDF beyond a single checkpoint window
+      GraphOps.pageRankDF(TradeGraph.vertices(s, dir),
+          TradeGraph.edges(s, dir), iters = 10)
+        .select(col("id"), round(col("rank"), 4).as("rank"))
+        .orderBy(col("id"))
+    }),
     "qg_connected_components" -> ((s, dir) => {
       GraphOps.connectedComponents(s, TradeGraph.vertices(s, dir),
           TradeGraph.edges(s, dir))
@@ -104,6 +112,7 @@ object QueriesGraph {
          |   ON i.dst = v.id
          | ORDER BY v.id""".stripMargin,
     "qg_pagerank" -> pagerankSql(3),
+    "qg_pagerank10" -> pagerankSql(10),
     "qg_connected_components" -> ccSql(12),
     "qg_common_suppliers" ->
       s"""WITH $edgesCte

@@ -68,15 +68,24 @@ object QueriesPipeline {
       // larger id of each pair ≥0.8) → quality gate (stop_ratio ≤ 0.4,
       // ≥ 20 tokens). One row of stage counts — the whole pipeline
       // composed from the individual operators, integer-exact.
+      // the funnel prefix is persisted per stage: each count action and
+      // the MinHash machinery read the cached frame instead of
+      // re-running union + dedup from the raw scan (at 100 TB the
+      // alternative re-reads the corpus once per stage count)
       val raw = docs(s, dir)
       val input = raw.unionByName(raw.filter(col("doc_id") < 50))
       val exact = input.groupBy(md5(col("text")).as("__h"))
         .agg(min(col("doc_id")).as("doc_id"))
         .join(raw, "doc_id")
+        .persist()
+      val s0 = input.count()
+      val s1 = exact.count() // materializes the cache
       val nearDrops = Dedup.minhashPairs(exact, "doc_id", "text",
           threshold = 0.8)
         .select(col("b_id").as("doc_id")).distinct()
       val near = exact.join(nearDrops, Seq("doc_id"), "left_anti")
+        .persist()
+      val s2 = near.count()
       val toks = tokensWs(col("text"))
       val stopArr = array(stop.map(lit): _*)
       val quality = near
@@ -84,10 +93,9 @@ object QueriesPipeline {
           size(filter(toks, t => array_contains(stopArr, t)))
             .cast("double") / size(toks))
         .filter(col("__sr") <= 0.4 && size(toks) >= 20)
-      val s0 = input.count()
-      val s1 = exact.count()
-      val s2 = near.count()
       val s3 = quality.count()
+      exact.unpersist()
+      near.unpersist()
       import s.implicits._
       Seq((s0, s1, s2, s3)).toDF("n_input", "n_exact", "n_near", "n_quality")
     }),

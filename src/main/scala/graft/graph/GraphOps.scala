@@ -61,7 +61,7 @@ object GraphOps {
     // (src, dst, outdeg) is loop-invariant: compute once, reuse per iter
     val contrib = e.join(outDeg, "src").persist()
     var ranks = vertices.select(col("id"), lit(1.0).as("rank"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val msgs = contrib.join(ranks, contrib("src") === ranks("id"))
         .select(col("dst"), (col("rank") / col("outdeg")).as("msg"))
         .groupBy("dst").agg(sum("msg").as("msgSum"))
@@ -70,8 +70,16 @@ object GraphOps {
         .select(col("id"),
           (lit(0.15) + lit(0.85) * coalesce(col("msgSum"), lit(0.0)))
             .as("rank"))
+      // truncate lineage every 3 rounds (same pattern as Traverse):
+      // the nested join+agg plan otherwise grows linearly with iters,
+      // ballooning planning time and defeating AQE at 20+ iterations
+      if (i % 3 == 0) ranks = ranks.localCheckpoint()
     }
-    ranks
+    // final materialization lets the loop-invariant cache be dropped
+    // here instead of leaking into the session
+    val out = if (iters % 3 == 0) ranks else ranks.localCheckpoint()
+    contrib.unpersist()
+    out
   }
 
   /** degree table: (id, out_deg, in_deg, total). */

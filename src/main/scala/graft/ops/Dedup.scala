@@ -83,7 +83,10 @@ object Dedup {
       concat_ws("_", (lit(b) +: ks): _*)
     }
     // (band, id) rows are tiny; persisting them runs the signature
-    // aggregation once instead of once per self-join side
+    // aggregation once instead of once per self-join side. The cache is
+    // scoped: candidates (small — near-dup rate bounds them) are
+    // eagerly materialized via localCheckpoint, then the bucket cache
+    // is dropped so repeated calls don't accumulate executor storage.
     val buckets = sigs.select(col("__id"),
       explode(array(bandKeys: _*)).as("__band")).persist()
     val candidates = buckets.select(col("__band"), col("__id").as("a_id"))
@@ -91,6 +94,8 @@ object Dedup {
         Seq("__band"))
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
+      .localCheckpoint()
+    buckets.unpersist()
     // exact-Jaccard verify: join hashed shingle sets by id — array
     // payloads move once per candidate side, never through buckets
     val sh = spread(df).select(col(idCol).as("__id"),
@@ -109,9 +114,15 @@ object Dedup {
     * (no groupBy), usable on unbounded STREAMING frames where a
     * stateful aggregation would force update-mode output. */
   def signatureExpr(textCol: Column, shingleN: Int = 4): Column = {
-    val hashes = transform(charShingles(textCol, shingleN),
-      x => hashMod(x, MinhashP))
-    concat_ws("_", (0 until MinhashK).map(i => minhashSig(hashes, i)): _*)
+    val shingles = charShingles(textCol, shingleN)
+    val hashes = transform(shingles, x => hashMod(x, MinhashP))
+    // texts shorter than shingleN have NO shingles: every minhash is
+    // null and concat_ws collapses them all to "" — which would make
+    // all short docs mutual duplicates. Null signature instead; the
+    // anti-join in [[streamingNearDupFilter]] never matches null keys,
+    // so shingle-less docs pass through the dedup filter.
+    when(size(shingles) > 0,
+      concat_ws("_", (0 until MinhashK).map(i => minhashSig(hashes, i)): _*))
   }
 
   /** Streaming ingestion dedup: drop incoming docs whose FULL minhash
@@ -190,10 +201,15 @@ object Dedup {
       col("__sh").as("__sha")) ++ blockCols.map(col)): _*)
     val b = s.select((Seq(col("__id").as("b_id"),
       col("__sh").as("__shb")) ++ blockCols.map(col)): _*)
-    a.join(b, blockCols).filter(col("a_id") < col("b_id"))
+    // materialize the (small, threshold-filtered) pair output eagerly,
+    // then drop the shingle-set cache — scoped, no leak across calls
+    val pairs = a.join(b, blockCols).filter(col("a_id") < col("b_id"))
       .withColumn("__i", size(array_intersect(col("__sha"), col("__shb"))))
       .withColumn("jac", jacFromInter(col("__i"), col("__sha"), col("__shb")))
       .filter(col("jac") >= threshold)
       .select("a_id", "b_id", "jac")
+      .localCheckpoint()
+    s.unpersist()
+    pairs
   }
 }

@@ -136,9 +136,13 @@ object Similarity {
   def quantizeInt8(vec: Column): Column = {
     val scale = aggregate(vec, lit(0.0d),
       (acc, v) => greatest(acc, abs(v))) / 127.0
+    // all-zero vectors have scale 0: dividing by it yields NaN→null
+    // int8s; divide by 1 instead (0/1 = 0, and dequantize × scale=0
+    // restores the zeros exactly)
+    val safe = when(scale === 0.0d, lit(1.0d)).otherwise(scale)
     struct(
       scale.as("scale"),
-      transform(vec, v => round(v / scale, 0).cast("int")).as("q"))
+      transform(vec, v => round(v / safe, 0).cast("int")).as("q"))
   }
 
   /** dequantize back to doubles. */

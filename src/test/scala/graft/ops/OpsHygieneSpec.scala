@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+import graft.sources.Tables
+
+/** Storage-hygiene and edge-case guards for the pipeline operators:
+  * pair generators must not leak cached frames across calls (a
+  * long-lived session would otherwise accumulate executor storage),
+  * and degenerate inputs (all-zero vectors, sub-shingle texts) must
+  * pass through rather than corrupt results.
+  */
+class OpsHygieneSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+  import spark.implicits._
+
+  test("minhashPairs leaves no cached frames behind") {
+    // the session is shared across specs (TradeGraph caches edges);
+    // start from a clean slate so isEmpty is order-independent
+    spark.catalog.clearCache()
+    val d = Tables.load(spark, sf, "documents")
+    Dedup.minhashPairs(d, "doc_id", "text", threshold = 0.8).count()
+    Dedup.minhashPairs(d, "doc_id", "text", threshold = 0.8).count()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "pair generation must unpersist its bucket cache")
+  }
+
+  test("ngramJaccardPairs leaves no cached frames behind") {
+    spark.catalog.clearCache()
+    val d = Tables.load(spark, sf, "documents")
+    Dedup.ngramJaccardPairs(d, "doc_id", "text",
+      blockCols = Seq("lang"), threshold = 0.8).count()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "pair generation must unpersist its shingle-set cache")
+  }
+
+  test("pageRankDF leaves no cached frames behind at 10 iterations") {
+    spark.catalog.clearCache()
+    val v = Seq(1L, 2L, 3L).toDF("id")
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val ranks = graft.graph.GraphOps.pageRankDF(v, e, iters = 10)
+    // symmetric cycle: every vertex converges toward rank 1.0
+    assert(ranks.collect().forall(r => math.abs(r.getDouble(1) - 1.0) < 0.01))
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "pageRankDF must unpersist its loop-invariant contrib cache")
+  }
+
+  test("quantizeInt8 handles all-zero vectors without NaN") {
+    val df = Seq((1L, Seq(0.0, 0.0, 0.0)), (2L, Seq(1.0, -2.0, 0.5)))
+      .toDF("id", "v")
+      .withColumn("q", Similarity.quantizeInt8(col("v")))
+      .withColumn("dq", Similarity.dequantize(col("q")))
+    val rows = df.orderBy("id").collect()
+    val zeroQ = rows(0).getStruct(2)
+    assert(zeroQ.getDouble(0) == 0.0)
+    assert(zeroQ.getSeq[Int](1) == Seq(0, 0, 0))
+    assert(rows(0).getSeq[Double](3) == Seq(0.0, 0.0, 0.0))
+    // non-zero vector still round-trips within scale/2 per element
+    val scale = rows(1).getStruct(2).getDouble(0)
+    rows(1).getSeq[Double](3).zip(Seq(1.0, -2.0, 0.5)).foreach {
+      case (dq, orig) => assert(math.abs(dq - orig) <= scale / 2 + 1e-12)
+    }
+  }
+
+  test("short texts get null minhash signature and survive streaming dedup") {
+    val corpus = Seq((1L, "ab"), (2L, "the corpus document text"))
+      .toDF("doc_id", "text")
+    val incoming = Seq((10L, "xy"), (11L, "zz"),
+      (12L, "the corpus document text"), (13L, "a genuinely new document"))
+      .toDF("doc_id", "text")
+    val sig = corpus.select(Dedup.signatureExpr(col("text")).as("s"))
+      .collect().map(r => Option(r.getString(0)))
+    assert(sig(0).isEmpty, "sub-shingle text must yield null signature")
+    assert(sig(1).nonEmpty)
+    val kept = Dedup.streamingNearDupFilter(incoming, corpus, "text")
+      .select("doc_id").as[Long].collect().sorted
+    // 12 is an exact dup of corpus doc 2; both short docs must survive
+    assert(kept.toSeq == Seq(10L, 11L, 13L))
+  }
+}
