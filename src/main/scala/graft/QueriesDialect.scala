@@ -73,6 +73,16 @@ object QueriesDialect {
     "qd_containstext" -> ((s, dir) => gq(s, dir,
       "select doc_id from documents where text containstext 'spark stream' " +
         "order by doc_id")),
+    "qd_containstext_idx" -> ((s, dir) => {
+      // indexed CONTAINSTEXT: CREATE INDEX builds the word→key posting
+      // table once (idempotent on the cached session); the query then
+      // probes postings via semi-join instead of re-tokenizing the
+      // corpus — must hash-match the scan-path tokenizer semantics
+      val gs = g(s, dir)
+      gs.command("create index documents.text fulltext")
+      gs.query("select doc_id from documents " +
+        "where text containstext 'spark stream' order by doc_id")
+    }),
     "qd_registered_fn_distance" -> ((s, dir) => gq(s, dir,
       "select c_custkey, round3(distance(c_acctbal, c_custkey, 50.0, 10.0)) " +
         "as d from customer order by c_custkey")),
@@ -157,6 +167,11 @@ object QueriesDialect {
         |    OR CAST(n_regionkey AS VARCHAR) LIKE 'NATION\_1%' ESCAPE '\'
         | ORDER BY n_nationkey""".stripMargin,
     "qd_containstext" ->
+      s"""SELECT doc_id FROM documents
+         | WHERE list_contains(${duckTokens("text")}, 'spark')
+         |   AND list_contains(${duckTokens("text")}, 'stream')
+         | ORDER BY doc_id""".stripMargin,
+    "qd_containstext_idx" ->
       s"""SELECT doc_id FROM documents
          | WHERE list_contains(${duckTokens("text")}, 'spark')
          |   AND list_contains(${duckTokens("text")}, 'stream')

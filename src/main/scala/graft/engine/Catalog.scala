@@ -123,6 +123,7 @@ final class Catalog(spark: SparkSession) {
     writeCounts(key) = n
     val stored = if (n % 8 == 0) df.localCheckpoint(true) else df
     classes(key) = d.copy(provider = _ => stored)
+    fulltext.invalidate(key) // postings over the old data are stale
   }
 
   def addLink(clsName: String, spec: LinkSpec): Unit = {
@@ -155,10 +156,18 @@ final class Catalog(spark: SparkSession) {
   }
 
   // ---- index registry (CREATE/REMOVE INDEX §2.9) ------------------
-  /** (class, field) → kind (UNIQUE | NOTUNIQUE | FULLTEXT). Indexes are
-    * advisory in a columnar engine (Catalyst pushdown replaces the
-    * MVRB-tree); UNIQUE additionally enforces a write-path check. */
+  /** (class, field) → kind (UNIQUE | NOTUNIQUE | FULLTEXT). Point/range
+    * indexes are advisory in a columnar engine (Catalyst pushdown
+    * replaces the MVRB-tree); UNIQUE additionally enforces a write-path
+    * check; FULLTEXT builds a real posting table in [[fulltext]]. */
   val indexes = scala.collection.mutable.Map[(String, String), String]()
+
+  /** inverted-index store for FULLTEXT indexes (word → key postings). */
+  val fulltext = new FullTextIndexStore
+
+  def fulltextIndexed(clsName: String, field: String): Boolean =
+    indexes.get((get(clsName).name.toLowerCase, field.toLowerCase))
+      .contains("FULLTEXT")
 
   // ---- ACL catalog (GRANT/REVOKE §2.9 — accepted, not enforced) ---
   /** (role, resource) → permission set. */

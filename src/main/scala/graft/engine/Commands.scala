@@ -50,9 +50,15 @@ object Commands {
             s"cannot create UNIQUE index on $cls.$field: duplicate keys")
         }
         cat.indexes((cls.toLowerCase, field.toLowerCase)) = kind
+        if (kind == "FULLTEXT")
+          // build+materialize the posting table now — index creation
+          // pays the tokenize pass so queries don't (reference builds
+          // its word→RID tree at indexing time, OPropertyIndexFullText)
+          cat.fulltext.postingFor(cat, cls, field)
         one(spark, 1)
       case RemoveIndexStmt(cls, field) =>
         cat.indexes.remove((cls.toLowerCase, field.toLowerCase))
+        cat.fulltext.remove(cls, field)
         one(spark, 1)
       case s: CreateLinkStmt => createLink(session, s)
       case GrantStmt(perm, resource, role, revoke) =>

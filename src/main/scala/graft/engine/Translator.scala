@@ -28,18 +28,23 @@ final class Translator(val catalog: Catalog, val registry: FunctionRegistry) {
   var maxTraverseDepth: Int = 25
 
   def select(stmt: SelectStmt): DataFrame = {
-    val (scan, clsOpt) = scanTarget(stmt.target)
+    val (scan0, clsOpt) = scanTarget(stmt.target)
+    // index access path: answer indexed CONTAINSTEXT conjuncts from the
+    // FULLTEXT posting table BEFORE join planning, so downstream link
+    // joins see the reduced row set
+    val (scan, residualWhere) =
+      applyFulltextIndex(scan0, clsOpt, stmt.where, stmt.target)
     val planner = new JoinPlanner(scan, clsOpt)
 
     // pre-resolve link joins + traverse flags for every path in the stmt
-    stmt.where.foreach(planner.prepareCond)
+    residualWhere.foreach(planner.prepareCond)
     stmt.projections.foreach(p => planner.prepareExpr(p.expr))
     stmt.orderBy.foreach(o => planner.prepareExpr(o.expr))
 
     var df = planner.df
     val scope = planner.scope
 
-    stmt.where.foreach { c => df = df.filter(compileCond(c, scope)) }
+    residualWhere.foreach { c => df = df.filter(compileCond(c, scope)) }
 
     stmt.range.foreach { case (from, to) =>
       // RANGE pushdown (§2.1): keyset pagination on the _rid ordering
@@ -84,6 +89,51 @@ final class Translator(val catalog: Catalog, val registry: FunctionRegistry) {
       val df = parts.map(_._1).reduce(
         (a, b) => a.unionByName(b, allowMissingColumns = true))
       (df, parts.headOption.map(_._2).filter(_ => byCluster.size == 1))
+  }
+
+  /** FULLTEXT index access path (§2.9; reference
+    * `OPropertyIndexFullText.java:92-200` probes word→RID lists instead
+    * of scanning): rewrite top-level AND conjuncts of the form
+    * `field CONTAINSTEXT 'literal'` into posting-table semi-joins when
+    * a FULLTEXT index exists on (class, field). Only for plain class /
+    * cluster targets with no subclasses — the posting table covers
+    * exactly one physical table. Returns the (possibly semi-joined)
+    * scan and the residual WHERE. */
+  private def applyFulltextIndex(scan: DataFrame, clsOpt: Option[ClassDef],
+      where: Option[Cond], target: Target): (DataFrame, Option[Cond]) = {
+    val applicable = target match {
+      case ClassTarget(_) | ClusterTarget(_) => true
+      case _ => false
+    }
+    if (!applicable || where.isEmpty) return (scan, where)
+    val cls = clsOpt match {
+      case Some(c) if c.ridPosCol.isDefined &&
+          catalog.subclassesOf(c.name).isEmpty => c
+      case _ => return (scan, where)
+    }
+    def conjuncts(c: Cond): List[Cond] = c match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => List(other)
+    }
+    var df = scan
+    val residual = conjuncts(where.get).filter {
+      case Cmp(Path(List(FieldSeg(f))), "containstext", Lit(text: String))
+          if catalog.fulltextIndexed(cls.name, f) &&
+            scan.columns.exists(_.equalsIgnoreCase(f)) =>
+        val words = catalog.fulltext.significantWords(text)
+        if (words.nonEmpty) {
+          val keys =
+            catalog.fulltext.matchingKeys(catalog, cls.name, f, words)
+          df = df.join(keys,
+            col(cls.ridPosCol.get).cast("long") === col("__ft_key"),
+            "left_semi")
+        }
+        // empty significant-word set: vacuously true → drop conjunct
+        // (matches forall-over-empty in the scan path)
+        false
+      case _ => true
+    }
+    (df, residual.reduceOption(And(_, _)))
   }
 
   private def ridGte(rid: Column, r: RidLit): Column =

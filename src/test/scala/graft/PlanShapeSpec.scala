@@ -71,4 +71,27 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("GreaterThanOrEqual(c_custkey,100)") &&
       p.contains("LessThanOrEqual(c_custkey,199)"), p)
   }
+
+  test("indexed CONTAINSTEXT probes the posting table, not the corpus") {
+    // fresh sessions: the shared cached dialect session may already
+    // carry the index after EntrySmokeSpec ran qd_containstext_idx
+    val q = "select doc_id from documents " +
+      "where text containstext 'spark stream' order by doc_id"
+    val plainS = graft.engine.GraftSession.forTestdata(spark, sf)
+    val plain = plainS.query(q)
+    // unindexed plan re-tokenizes the text column per row (forall over
+    // tokens); the indexed plan must instead semi-join the posting
+    // table and carry NO per-row tokenizer anywhere
+    assert(plain.queryExecution.optimizedPlan.toString.contains("forall"))
+    val idxS = graft.engine.GraftSession.forTestdata(spark, sf)
+    idxS.command("create index documents.text fulltext")
+    val idx = idxS.query(q)
+    val opt = idx.queryExecution.optimizedPlan.toString
+    assert(opt.contains("LeftSemi"), opt)
+    assert(!opt.contains("forall"), opt)
+    // and both paths agree on the result
+    assert(idx.collect().map(_.getLong(0)).toSeq ==
+      plain.collect().map(_.getLong(0)).toSeq)
+    idxS.command("remove index documents.text") // unpersist the posting
+  }
 }
