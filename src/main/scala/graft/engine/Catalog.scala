@@ -112,18 +112,140 @@ final class Catalog(spark: SparkSession) {
   private val writeCounts = scala.collection.mutable.Map[String, Int]()
 
   /** replace a class's backing data (INSERT/UPDATE/DELETE rewrite).
-    * Every 8th write truncates lineage with an eager localCheckpoint —
-    * otherwise each DML layers plan nodes on the previous provider and
-    * repeated writes grow the plan without bound (same fix shape as
-    * the Traverse loop; a Delta-backed deployment commits instead). */
+    *
+    * In-memory mode, every 8th write truncates lineage with an eager
+    * localCheckpoint — otherwise each DML layers plan nodes on the
+    * previous provider and repeated writes grow the plan without bound
+    * (same fix shape as the Traverse loop).
+    *
+    * Durable mode ([[enableDurability]]) commits each rewrite as a new
+    * parquet version directory + atomically-replaced `_current` marker
+    * (write-new-then-swap: readers of the old version are never
+    * disturbed, a crash mid-write leaves the old version current —
+    * the same commit shape as a table-format transaction log; the
+    * reference's writes go through its storage layer,
+    * `OCommandExecutorSQLUpdate.java:60-208`). Mutations survive a
+    * session restart; lineage is naturally truncated by the write. */
   def replaceData(name: String, df: DataFrame): Unit = {
     val d = get(name)
     val key = d.name.toLowerCase
-    val n = writeCounts.getOrElse(key, 0) + 1
-    writeCounts(key) = n
-    val stored = if (n % 8 == 0) df.localCheckpoint(true) else df
-    classes(key) = d.copy(provider = _ => stored)
+    durableRoot match {
+      case Some(root) =>
+        val v = currentVersion(root, key).getOrElse(0L) + 1
+        val dir = s"$root/$key/v$v"
+        df.write.mode("overwrite").parquet(dir)
+        writeMarker(root, key, v)
+        classes(key) = d.copy(provider = s => s.read.parquet(dir))
+        // GC versions older than the previous one (kept for readers
+        // that captured frames against it earlier in this session)
+        if (v > 2) deleteQuiet(s"$root/$key/v${v - 2}")
+      case None =>
+        val n = writeCounts.getOrElse(key, 0) + 1
+        writeCounts(key) = n
+        val stored = if (n % 8 == 0) df.localCheckpoint(true) else df
+        classes(key) = d.copy(provider = _ => stored)
+    }
     fulltext.invalidate(key) // postings over the old data are stale
+  }
+
+  // ---- durability (parquet-committed DML, §2.9 Delta mapping) -----
+  private var durableRoot: Option[String] = None
+
+  private def hadoopFs(path: String) = new org.apache.hadoop.fs.Path(path)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def currentVersion(root: String, key: String): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/$key/_current")
+    val fs = hadoopFs(root)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+      finally in.close()
+    }
+  }
+
+  private def writeMarker(root: String, key: String, v: Long): Unit = {
+    val fs = hadoopFs(root)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(s"$root/$key/_current"), true)
+    try out.write(v.toString.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def deleteQuiet(path: String): Unit =
+    try hadoopFs(path).delete(new org.apache.hadoop.fs.Path(path), true)
+    catch { case _: java.io.IOException => () }
+
+  /** Turn on parquet-committed durability under `root` and replay any
+    * state a previous session committed there: DDL-created classes are
+    * re-registered from the catalog manifest, and every class with a
+    * committed data version reads from it instead of its original
+    * provider. Call once, right after construction. */
+  def enableDurability(root: String): Unit = {
+    durableRoot = Some(root)
+    val fs = hadoopFs(root)
+    // replay DDL-created classes from the manifest
+    val manifest = new org.apache.hadoop.fs.Path(s"$root/catalog-manifest.json")
+    if (fs.exists(manifest)) {
+      val rows = spark.read.json(s"$root/catalog-manifest.json")
+      val hasLinks = rows.columns.contains("links")
+      rows.collect().foreach { r =>
+        val name = r.getAs[String]("name")
+        if (!contains(name)) {
+          val links: Seq[LinkSpec] =
+            if (!hasLinks || r.isNullAt(r.fieldIndex("links"))) Nil
+            else r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("links"))
+              .map(l => LinkSpec(l.getAs[String]("field"),
+                l.getAs[String]("target"), l.getAs[String]("srcKey"),
+                l.getAs[String]("dstKey"), l.getAs[Boolean]("multi"),
+                l.getAs[Boolean]("srcIsArray")))
+          val schema = org.apache.spark.sql.types.StructType(Nil)
+          register(ClassDef(name,
+            s => s.createDataFrame(
+              new java.util.ArrayList[org.apache.spark.sql.Row](), schema),
+            Option(r.getAs[String]("superClass")), links,
+            r.getAs[Long]("clusterId").toInt, None))
+          nextClusterId = math.max(nextClusterId,
+            r.getAs[Long]("clusterId").toInt)
+        }
+      }
+    }
+    // point every committed class at its latest parquet version
+    classes.keys.toSeq.foreach { key =>
+      currentVersion(root, key).foreach { v =>
+        val dir = s"$root/$key/v$v"
+        classes(key) = classes(key).copy(
+          provider = s => s.read.parquet(dir))
+      }
+    }
+  }
+
+  /** persist the DDL surface (created classes, superclasses, links) so
+    * a reopened session can replay it. One small JSONL file; testdata-
+    * backed classes re-register from code and are skipped. */
+  private def persistManifest(): Unit = durableRoot.foreach { root =>
+    val created = classes.values.filter(_.clusterId > 1000).toSeq
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val lines = created.map { d =>
+      val links = d.links.map(l =>
+        s"""{"field":"${esc(l.field)}","target":"${esc(l.target)}",""" +
+          s""""srcKey":"${esc(l.srcKey)}","dstKey":"${esc(l.dstKey)}",""" +
+          s""""multi":${l.multi},"srcIsArray":${l.srcIsArray}}""")
+        .mkString("[", ",", "]")
+      val sup = d.superClass
+        .map(s => "\"" + esc(s) + "\"").getOrElse("null")
+      s"""{"name":"${esc(d.name)}","superClass":$sup,""" +
+        s""""clusterId":${d.clusterId},"links":$links}"""
+    }
+    val fs = hadoopFs(root)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(s"$root/catalog-manifest.json"), true)
+    try out.write(lines.mkString("\n").getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 
   def addLink(clsName: String, spec: LinkSpec): Unit = {
@@ -131,9 +253,13 @@ final class Catalog(spark: SparkSession) {
     classes(d.name.toLowerCase) =
       d.copy(links = d.links.filterNot(
         _.field.equalsIgnoreCase(spec.field)) :+ spec)
+    persistManifest()
   }
 
-  def drop(name: String): Unit = classes.remove(name.toLowerCase)
+  def drop(name: String): Unit = {
+    classes.remove(name.toLowerCase)
+    persistManifest()
+  }
 
   private var nextClusterId = 1000
 
@@ -152,7 +278,7 @@ final class Catalog(spark: SparkSession) {
       s => s.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), schema),
       superClass, Nil, nextClusterId, None)
-    register(d); d
+    register(d); persistManifest(); d
   }
 
   // ---- index registry (CREATE/REMOVE INDEX §2.9) ------------------

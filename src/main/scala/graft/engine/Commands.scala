@@ -112,10 +112,32 @@ object Commands {
           s"${s.values.size} values")
     val cat = session.catalog
     val existing = cat.table(s.cls).drop("_rid", "_class")
-    // one-row DataFrame with the provided fields, null-extended to the
-    // class schema (schema-less extras become new columns)
+    // Schema-less per-record fields (reference `ODocument.java:54-59`,
+    // SURVEY §1.4): the FIRST insert into an empty class bootstraps the
+    // column schema; afterwards, fields that are neither existing
+    // columns nor declared properties go into the `_extra`
+    // map<string,string> overflow column — one ad-hoc field on one
+    // record must not mint a global column (10M distinct ad-hoc fields
+    // would otherwise mean 10M columns).
+    val bootstrap = existing.columns.isEmpty
+    val declared = cat.propsOf(s.cls).map(_.name.toLowerCase).toSet
+    // a still-empty class (declared properties, no rows yet) also
+    // bootstraps: its column shape is not yet settled by data
+    lazy val noRowsYet = existing.isEmpty
+    def isReal(f: String): Boolean = bootstrap ||
+      existing.columns.exists(_.equalsIgnoreCase(f)) ||
+      declared.contains(f.toLowerCase) || noRowsYet
+    val (realFields, extraFields) =
+      s.fields.zip(s.values).partition { case (f, _) => isReal(f) }
     var row = session.spark.range(1).select(
-      s.fields.zip(s.values).map { case (f, v) => litOf(v).as(f) }: _*)
+      realFields.map { case (f, v) => litOf(v).as(f) }: _*)
+    if (extraFields.nonEmpty)
+      row = row.withColumn("_extra", map(extraFields.flatMap {
+        case (f, v) => Seq(lit(f), litOf(v).cast(StringType))
+      }: _*))
+    // per-record version surface (@version): new records start at 0,
+    // each UPDATE touch increments (reference ORecordAbstract versions)
+    row = row.withColumn("_version", lit(0))
     // BEFORE_CREATE hooks may transform the incoming rows (fired before
     // the schema union so hook-added columns survive)
     row = session.hooks.fire(Hooks.BeforeCreate, s.cls, row)
@@ -144,7 +166,21 @@ object Commands {
       .map(w => session.translator.compileCondLenient(table, cls, w))
       .getOrElse(lit(true))
     val n = table.filter(hit).count()
-    val updated = s.ops.foldLeft(table.withColumn("__hit", hit)) {
+    val declared = cat.propsOf(s.cls).map(_.name.toLowerCase).toSet
+    val updated0 = s.ops.foldLeft(table.withColumn("__hit", hit)) {
+      case (df, SetField(f, v))
+          if !df.columns.exists(_.equalsIgnoreCase(f)) &&
+            !declared.contains(f.toLowerCase) =>
+        // undeclared ad-hoc field → _extra overflow map, same rule as
+        // INSERT (no global column for a per-record field)
+        val extra = if (df.columns.contains("_extra"))
+          coalesce(col("_extra"), map()) else map()
+        df.withColumn("_extra", when(col("__hit"),
+          map_concat(
+            map_filter(extra, (mk, _) => mk =!= lit(f)),
+            map(lit(f), litOf(v).cast(StringType))))
+          .otherwise(if (df.columns.contains("_extra")) col("_extra")
+            else lit(null).cast(MapType(StringType, StringType))))
       case (df, SetField(f, v)) =>
         df.withColumn(f, when(col("__hit"), litOf(v))
           .otherwise(if (df.columns.exists(_.equalsIgnoreCase(f))) col(f)
@@ -167,6 +203,14 @@ object Commands {
             map(litOf(k), litOf(v))))
           .otherwise(col(f)))
     }
+    // touched records bump their version (@version optimistic-tx
+    // surface; reference ORecordAbstract.version)
+    val updated = updated0.withColumn("_version",
+      when(col("__hit"),
+        (if (updated0.columns.contains("_version"))
+          coalesce(col("_version"), lit(0)) else lit(0)) + 1)
+        .otherwise(if (updated0.columns.contains("_version"))
+          col("_version") else lit(0)))
     session.hooks.fire(Hooks.BeforeUpdate, s.cls, table.filter(hit))
     Validation.validate(updated.filter(col("__hit")).drop("__hit"),
       cat.propsOf(s.cls))

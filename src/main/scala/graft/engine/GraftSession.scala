@@ -103,4 +103,24 @@ object GraftSession {
   /** session over the driver-provided testdata tables. */
   def forTestdata(spark: SparkSession, dir: String): GraftSession =
     new GraftSession(spark, Catalog.forTestdata(spark, dir))
+
+  /** Durable session: DML/DDL commit parquet versions (plus a catalog
+    * manifest for created classes) under `root`; reopening over the
+    * same root replays them — a restart loses nothing (§2.9's Delta
+    * mapping; reference durability via its storage layer). `dir` seeds
+    * the testdata classes, whose un-mutated tables still read from
+    * source. */
+  def openDurable(spark: SparkSession, dir: String,
+      root: String): GraftSession = {
+    val cat = Catalog.forTestdata(spark, dir)
+    cat.enableDurability(root)
+    new GraftSession(spark, cat)
+  }
+
+  /** Durable session with no testdata seeding (pure created-class DB). */
+  def openDurable(spark: SparkSession, root: String): GraftSession = {
+    val cat = new Catalog(spark)
+    cat.enableDurability(root)
+    new GraftSession(spark, cat)
+  }
 }

@@ -282,7 +282,7 @@ final class Translator(val catalog: Catalog, val registry: FunctionRegistry) {
 
   private def internalCol(c: String): Boolean =
     c.startsWith("__l_") || c.startsWith("__trav_") ||
-      c == "_rid" || c == "_class"
+      c == "_rid" || c == "_class" || c == "_version" || c == "_extra"
 
   // ========================================================== scopes
   /** name resolution context for expression compilation */
@@ -468,6 +468,11 @@ final class Translator(val catalog: Catalog, val registry: FunctionRegistry) {
                 case _ => go = false
               }
               (c, r)
+            case None if scope.resolveField("_extra").isDefined =>
+              // schema-less overflow: per-record ad-hoc fields live in
+              // the _extra map (string-valued); absent key → null,
+              // matching the reference's missing-field semantics
+              (element_at(scope.resolveField("_extra").get, lit(f)), rest)
             case None if scope.lenient =>
               // unknown field → null; swallow any further field hops
               // (getField on a null literal would fail analysis)
@@ -514,7 +519,12 @@ final class Translator(val catalog: Catalog, val registry: FunctionRegistry) {
   private def attrColumn(a: String, scope: Scope): Column = a match {
     case "rid" => col("_rid")
     case "class" => col("_class")
-    case "version" => lit(0) // analytics engine: no per-record versions
+    case "version" =>
+      // per-record DML touch count (Commands.update bumps `_version`);
+      // records never touched (incl. source-table rows) read as 0
+      scope.resolveField("_version")
+        .map(c => coalesce(c.cast(IntegerType), lit(0)))
+        .getOrElse(lit(0))
     case "size" =>
       // serialized-size approximation (documented deviation: JSON size,
       // not the reference's CSV codec size — SURVEY.md §2.3)

@@ -32,11 +32,61 @@ class CommandsSpec extends AnyFunSuite {
     val n = g.command("insert into Doc (a, b) values (1, 'x')")
       .collect().head.getLong(0)
     assert(n == 1)
-    // schema-less: new field on the fly (ODocument semantics)
+    // schema-less per-record field (ODocument semantics): lands in the
+    // _extra overflow map, NOT a new global column
     g.command("insert into Doc (a, c) values (2, 3.5)")
+    assert(!g.browseClass("Doc").columns.contains("c"),
+      "ad-hoc field must not mint a global column")
     val rows = g.query("select a, c from Doc order by a").collect()
     assert(rows.length == 2 && rows(0).isNullAt(1) &&
-      rows(1).getDouble(1) == 3.5)
+      rows(1).getString(1) == "3.5")
+    // and it filters like a field
+    assert(g.query("select a from Doc where c = '3.5'").collect()
+      .map(_.getLong(0)).toSeq == Seq(2L))
+    // UPDATE SET on an undeclared field routes to _extra too
+    g.command("update Doc set mood = 'calm' where a = 1")
+    assert(!g.browseClass("Doc").columns.contains("mood"))
+    assert(g.query("select mood from Doc where a = 1").collect()
+      .head.getString(0) == "calm")
+  }
+
+  test("@version starts at 0 and increments per UPDATE touch") {
+    val g = freshSession()
+    g.command("create class Vv")
+    g.command("insert into Vv (id, x) values (1, 'a')")
+    g.command("insert into Vv (id, x) values (2, 'b')")
+    def versions = g.query("select id, @version as v from Vv order by id")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(versions == Seq((1L, 0), (2L, 0)))
+    g.command("update Vv set x = 'a2' where id = 1")
+    g.command("update Vv set x = 'a3' where id = 1")
+    assert(versions == Seq((1L, 2), (2L, 0)))
+    // @version is queryable in WHERE
+    assert(g.query("select id from Vv where @version > 1").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L))
+    // _version stays out of SELECT * rows
+    assert(!g.query("select from Vv").columns.contains("_version"))
+  }
+
+  test("durable session: DML/DDL survive a reopen over the same root") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-durable").toString
+    val g1 = GraftSession.openDurable(spark, root)
+    g1.command("create class Note")
+    g1.command("insert into Note (id, body) values (1, 'first')")
+    g1.command("insert into Note (id, body) values (2, 'second')")
+    g1.command("update Note set body = 'edited' where id = 2")
+    g1.command("delete from Note where id = 1")
+    // fresh session over the same root — nothing shared in memory
+    val g2 = GraftSession.openDurable(spark, root)
+    val rows = g2.query("select id, body, @version as v from Note " +
+      "order by id").collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+      .toSeq == Seq((2L, "edited", 1)))
+    // and the reopened class keeps accepting writes
+    g2.command("insert into Note (id, body) values (3, 'third')")
+    val g3 = GraftSession.openDurable(spark, root)
+    assert(g3.query("select from Note").count() == 2)
   }
 
   test("update SET with where; delete with where") {
