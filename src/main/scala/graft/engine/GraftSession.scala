@@ -44,6 +44,24 @@ final class GraftSession(val spark: SparkSession, val catalog: Catalog) {
       pred: NativeQuery.Ctx => NativeQuery.Pred): DataFrame =
     browseClass(cls).filter(pred(new NativeQuery.Ctx).c)
 
+  private def dataColumns(cls: String): Seq[String] =
+    browseClass(cls).columns.filterNot(c =>
+      c.startsWith("_") || c.startsWith("__")).toSeq
+
+  /** positional native query (`OQueryContextNativePositional`):
+    * {{{ g.nativeQueryPositional("customer")(r => r.column(0).minor(10)) }}} */
+  def nativeQueryPositional(cls: String)(
+      pred: NativeQuery.PositionalCtx => NativeQuery.Pred): DataFrame =
+    browseClass(cls).filter(
+      pred(new NativeQuery.PositionalCtx(dataColumns(cls))).c)
+
+  /** schema-checked native query (`OQueryContextNativeSchema`): field
+    * names validate against the class schema at build time. */
+  def nativeQuerySchema(cls: String)(
+      pred: NativeQuery.SchemaCtx => NativeQuery.Pred): DataFrame =
+    browseClass(cls).filter(
+      pred(new NativeQuery.SchemaCtx(cls, dataColumns(cls))).c)
+
   /** whole-database JSON dump / load (`ODatabaseExport/Import`). */
   def exportDatabase(dir: String): Unit = JsonTools.exportDatabase(this, dir)
   def importDatabase(dir: String): Unit = JsonTools.importDatabase(this, dir)

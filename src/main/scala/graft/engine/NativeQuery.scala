@@ -43,4 +43,22 @@ object NativeQuery {
   final class Ctx {
     def apply(field: String): FieldRef = new FieldRef(col(field))
   }
+
+  /** positional variant (`OQueryContextNativePositional.java`): fields
+    * addressed by ordinal within the record's column order. */
+  final class PositionalCtx(columns: Seq[String]) {
+    def column(i: Int): FieldRef = new FieldRef(col(columns(i)))
+  }
+
+  /** schema variant (`OQueryContextNativeSchema.java`): fields resolved
+    * against the class schema — unknown names fail at BUILD time
+    * (the value-based Ctx defers resolution to Catalyst analysis). */
+  final class SchemaCtx(clsName: String, columns: Seq[String]) {
+    def field(name: String): FieldRef =
+      columns.find(_.equalsIgnoreCase(name)) match {
+        case Some(c) => new FieldRef(col(c))
+        case None => throw Parser.ParseException(
+          s"class $clsName has no field '$name'")
+      }
+  }
 }

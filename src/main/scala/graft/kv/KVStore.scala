@@ -17,16 +17,27 @@ final class KVStore(spark: SparkSession) {
     StructField("key", StringType, nullable = false),
     StructField("value", StringType)))
   private val buckets = scala.collection.mutable.Map[String, DataFrame]()
+  private val writeCounts =
+    scala.collection.mutable.Map[String, Int]().withDefaultValue(0)
 
   private def bucket(db: String, name: String): DataFrame =
     buckets.getOrElseUpdate(s"$db/$name",
       spark.createDataFrame(List.empty[Row].asJava, schema))
 
+  /** store a new bucket state; every 8th write truncates lineage with
+    * an eager localCheckpoint — point writes otherwise stack
+    * filter/union plan nodes without bound (the same periodic-
+    * checkpoint treatment as Catalog.replaceData). */
+  private def store(id: String, df: DataFrame): Unit = {
+    val n = writeCounts(id) + 1
+    writeCounts(id) = n
+    buckets(id) = if (n % 8 == 0) df.localCheckpoint(true) else df
+  }
+
   def put(db: String, bucketName: String, key: String, value: String): Unit = {
     val b = bucket(db, bucketName)
     val row = spark.createDataFrame(List(Row(key, value)).asJava, schema)
-    buckets(s"$db/$bucketName") =
-      b.filter(col("key") =!= key).unionByName(row)
+    store(s"$db/$bucketName", b.filter(col("key") =!= key).unionByName(row))
   }
 
   def get(db: String, bucketName: String, key: String): Option[String] =
@@ -36,7 +47,7 @@ final class KVStore(spark: SparkSession) {
   def delete(db: String, bucketName: String, key: String): Boolean = {
     val b = bucket(db, bucketName)
     val hit = b.filter(col("key") === key).limit(1).count() > 0
-    if (hit) buckets(s"$db/$bucketName") = b.filter(col("key") =!= key)
+    if (hit) store(s"$db/$bucketName", b.filter(col("key") =!= key))
     hit
   }
 

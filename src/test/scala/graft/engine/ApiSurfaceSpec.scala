@@ -87,6 +87,24 @@ class ApiSurfaceSpec extends AnyFunSuite {
     assert(cast == 6)
   }
 
+  test("positional and schema native query contexts") {
+    val g = GraftSession.forTestdata(spark, "/root/testdata/sf0.001")
+    // positional: column(0) is c_custkey in the customer table order
+    val pos = g.nativeQueryPositional("customer")(r =>
+      r.column(0).minor(5L)).count()
+    assert(pos == 5)
+    // schema-checked: valid field filters, unknown field fails at
+    // build time (not at Catalyst analysis)
+    val sch = g.nativeQuerySchema("customer")(r =>
+      r.field("C_ACCTBAL").major(0)
+        .and(r.field("c_mktsegment").eq("BUILDING"))).collect()
+    assert(sch.nonEmpty && sch.forall(
+      _.getAs[String]("c_mktsegment") == "BUILDING"))
+    intercept[Parser.ParseException] {
+      g.nativeQuerySchema("customer")(r => r.field("no_such").eq(1))
+    }
+  }
+
   test("json export/import roundtrip preserves data and links") {
     val g = GraftSession.forTestdata(spark, "/root/testdata/sf0.001")
     g.catalog.setProperty(PropertyDef("customer", "c_name", "STRING",

@@ -23,6 +23,24 @@ class KVStoreSpec extends AnyFunSuite {
     assert(kv.get("db", "b1", "k1").contains("v1b"))
   }
 
+  test("many point writes keep the bucket plan bounded") {
+    val kv = new KVStore(spark)
+    for (i <- 1 to 100)
+      kv.put("db", "flat", s"k${i % 20}", s"v$i")
+    // periodic checkpointing truncates the filter/union chain: the
+    // logical plan must stay shallow instead of growing one
+    // filter+union pair per write
+    val plan = kv.asDataFrame("db", "flat").queryExecution.logical
+    def depth(p: org.apache.spark.sql.catalyst.trees.TreeNode[_]): Int =
+      1 + (if (p.children.isEmpty) 0
+        else p.children.map(c =>
+          depth(c.asInstanceOf[org.apache.spark.sql.catalyst.trees.TreeNode[_]])).max)
+    assert(depth(plan) <= 16, s"plan depth ${depth(plan)}")
+    // and the data is still right: 20 live keys, latest values win
+    assert(kv.asDataFrame("db", "flat").count() == 20)
+    assert(kv.get("db", "flat", "k0").contains("v100"))
+  }
+
   test("grant/revoke maintains the ACL catalog") {
     val g = new GraftSession(spark, new Catalog(spark))
     g.command("grant READ on database.class.customer to reader")
