@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.ops.{Dedup, Similarity, TextOps}
+import graft.ops.{Curation, Dedup, Similarity, TextOps}
 import graft.ops.TextOps._
 
 /** Training-data pipeline corpus: deduplication (exact, MinHash+LSH,
@@ -98,6 +98,38 @@ object QueriesPipeline {
       near.unpersist()
       import s.implicits._
       Seq((s0, s1, s2, s3)).toDF("n_input", "n_exact", "n_near", "n_quality")
+    }),
+
+    "qp_dedup_clusters" -> ((s, dir) => {
+      // near-dup pairs → undirected graph → min-label clusters; the
+      // cluster id (min member) is the canonical survivor
+      val d = docs(s, dir).withColumn("__lb",
+        floor(col("n_chars") / 20).cast("int"))
+      val pairs = Dedup.ngramJaccardPairs(d, "doc_id", "text",
+        blockCols = Seq("lang", "__lb"), threshold = 0.8)
+      Dedup.nearDupClusters(pairs, "a_id", "b_id").orderBy("cluster")
+    }),
+    "qp_decontaminate" -> ((s, dir) => {
+      // docs sharing word 3-grams with the eval slice (doc_id < 20)
+      val d = docs(s, dir)
+      Curation.decontaminate(d.filter(col("doc_id") >= 20),
+          d.filter(col("doc_id") < 20), "doc_id", "text", n = 3)
+        .orderBy("doc_id")
+    }),
+    "qp_stratified_sample" -> ((s, dir) => {
+      // deterministic hash sampling sets the training mixture: half
+      // the en docs, a quarter of de, 10% of the rest
+      Curation.stratifiedSample(docs(s, dir), "doc_id", "lang",
+          rates = Map("en" -> 0.5, "de" -> 0.25), defaultRate = 0.1)
+        .groupBy("lang").agg(count(lit(1)).as("kept"))
+        .orderBy("lang")
+    }),
+    "qp_seq_pack" -> ((s, dir) => {
+      // pack the token stream into 512-token bins per lang shard
+      Curation.packBins(
+          docs(s, dir).withColumn("n_tok", size(tokensWs(col("text")))),
+          "lang", "doc_id", "n_tok", budget = 512)
+        .orderBy("lang", "bin")
     }),
 
     // --- similarity search ------------------------------------------
@@ -329,6 +361,63 @@ object QueriesPipeline {
          |   (SELECT count(*) FROM near) AS n_near,
          |   (SELECT count(*) FROM quality) AS n_quality""".stripMargin
     },
+    "qp_dedup_clusters" -> {
+      // pairs identical to qp_ngram_jaccard, then 8 unrolled rounds of
+      // min-label propagation — the same update rule as
+      // Dedup.nearDupClusters (min of own and in-neighbor labels)
+      val rounds = (1 to 8).map { t =>
+        s"""l$t AS MATERIALIZED (SELECT id, min(lbl) AS lbl FROM (
+           |   SELECT id, lbl FROM l${t - 1}
+           |   UNION ALL
+           |   SELECT u.b AS id, l${t - 1}.lbl FROM u
+           |     JOIN l${t - 1} ON u.a = l${t - 1}.id
+           | ) GROUP BY id)""".stripMargin
+      }.mkString(",\n ")
+      s"""WITH t AS (SELECT doc_id, lang,
+         |   CAST(floor(n_chars / 20) AS INT) lb,
+         |   list_distinct(list_transform(${dShingles("text")},
+         |     x -> ${dH60("x")})) sh
+         |   FROM documents),
+         | p AS MATERIALIZED (SELECT a_id AS a, b_id AS b FROM (
+         |   SELECT a.doc_id a_id, b.doc_id b_id,
+         |     round(len(list_intersect(a.sh, b.sh))*1.0 /
+         |       (len(a.sh)+len(b.sh)-len(list_intersect(a.sh, b.sh))), 6) jac
+         |   FROM t a JOIN t b ON a.lang = b.lang AND a.lb = b.lb
+         |     AND a.doc_id < b.doc_id)
+         |   WHERE jac >= 0.8),
+         | u AS MATERIALIZED (SELECT a, b FROM p
+         |   UNION ALL SELECT b, a FROM p),
+         | l0 AS (SELECT DISTINCT a AS id, a AS lbl FROM u),
+         | $rounds
+         | SELECT lbl AS cluster, count(*) AS n_members FROM l8
+         | GROUP BY lbl ORDER BY cluster""".stripMargin
+    },
+    "qp_decontaminate" ->
+      s"""WITH tok AS (SELECT doc_id, ${dTokens("text")} tok
+         |   FROM documents),
+         | g AS (SELECT doc_id, unnest(CASE WHEN len(tok) >= 3 THEN
+         |     list_transform(range(len(tok)-2),
+         |       i -> tok[i+1] || ' ' || tok[i+2] || ' ' || tok[i+3])
+         |   ELSE [] END) AS gram FROM tok),
+         | ev AS (SELECT DISTINCT gram FROM g WHERE doc_id < 20)
+         | SELECT g.doc_id, count(DISTINCT g.gram) AS n_shared
+         | FROM g JOIN ev USING (gram) WHERE g.doc_id >= 20
+         | GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "qp_stratified_sample" ->
+      s"""SELECT lang, count(*) AS kept FROM documents
+         | WHERE ${dH60("lang || ':' || CAST(doc_id AS VARCHAR)")} % 10000
+         |   < (CASE WHEN lang = 'en' THEN 0.5
+         |           WHEN lang = 'de' THEN 0.25 ELSE 0.1 END) * 10000
+         | GROUP BY lang ORDER BY lang""".stripMargin,
+    "qp_seq_pack" ->
+      s"""WITH t AS (SELECT doc_id, lang, len(${dTokens("text")}) nt
+         |   FROM documents),
+         | c AS (SELECT doc_id, lang, nt,
+         |   sum(nt) OVER (PARTITION BY lang ORDER BY doc_id) cum FROM t)
+         | SELECT lang, CAST(floor((cum - nt) / 512.0) AS BIGINT) AS bin,
+         |   count(*) AS n_docs, sum(nt)::BIGINT AS n_tokens,
+         |   min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         | FROM c GROUP BY 1, 2 ORDER BY lang, bin""".stripMargin,
     "qp_simhash" ->
       s"""SELECT doc_id, ${dSimhash("hs")} AS simhash
          | FROM (SELECT doc_id, list_transform(${dTokens("text")},

@@ -262,6 +262,40 @@ object QueriesRelational {
           round(corr($"l_quantity", $"l_extendedprice"), 4).as("corr_qe"),
           round(covar_samp($"l_quantity", $"l_discount"), 4).as("cov_qd"))
         .orderBy($"l_returnflag")
+    }),
+    "q_sessionize" -> ((s, dir) => {
+      // gaps-and-islands sessionization: a session breaks after a
+      // 30-minute silence. Windows partition by user — parallel across
+      // users, no global sort. Ties broken by event_id so both engines
+      // order identically. Microsecond arithmetic (unix_micros) avoids
+      // the sub-second truncation a seconds-based cast would introduce.
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      t(s, dir, "events")
+        .withColumn("__gap",
+          unix_micros($"ts") - unix_micros(lag($"ts", 1).over(w)))
+        .withColumn("__brk",
+          when($"__gap".isNull || $"__gap" > 1800L * 1000000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_no", sum($"__brk").over(w))
+        .groupBy($"user_id", $"session_no")
+        .agg(count(lit(1)).as("n_events"),
+          min($"ts").as("start_ts"),
+          ((max(unix_micros($"ts")) - min(unix_micros($"ts"))) / 1000000L)
+            .cast("long").as("duration_sec"))
+        .orderBy($"user_id", $"session_no")
+    }),
+    "q_percentiles" -> ((s, dir) => {
+      // exact percentiles (continuous interpolation) per order status
+      import s.implicits._
+      t(s, dir, "orders")
+        .groupBy($"o_orderstatus")
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+          round(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"))
+        .orderBy($"o_orderstatus")
     })
   )
 
@@ -403,6 +437,35 @@ object QueriesRelational {
         |   round(corr(l_quantity, l_extendedprice), 4) AS corr_qe,
         |   round(covar_samp(l_quantity, l_discount), 4) AS cov_qd
         | FROM lineitem GROUP BY l_returnflag
-        | ORDER BY l_returnflag""".stripMargin
+        | ORDER BY l_returnflag""".stripMargin,
+    "q_sessionize" ->
+      """WITH g AS (
+        |   SELECT user_id, ts, event_id,
+        |     epoch_us(ts) - lag(epoch_us(ts)) OVER
+        |       (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        |   FROM events),
+        | b AS (
+        |   SELECT user_id, ts, event_id,
+        |     CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1
+        |       ELSE 0 END AS brk
+        |   FROM g),
+        | s AS (
+        |   SELECT user_id, ts,
+        |     sum(brk) OVER (PARTITION BY user_id
+        |       ORDER BY ts, event_id) AS session_no
+        |   FROM b)
+        | SELECT user_id, session_no::BIGINT AS session_no,
+        |   count(*) AS n_events, min(ts) AS start_ts,
+        |   CAST(floor((max(epoch_us(ts)) - min(epoch_us(ts))) / 1000000.0)
+        |     AS BIGINT) AS duration_sec
+        | FROM s GROUP BY user_id, session_no
+        | ORDER BY user_id, session_no""".stripMargin,
+    "q_percentiles" ->
+      """SELECT o_orderstatus,
+        |   round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        |   round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+        |   round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+        | FROM orders GROUP BY o_orderstatus
+        | ORDER BY o_orderstatus""".stripMargin
   )
 }

@@ -58,14 +58,17 @@ object GraphOps {
       iters: Int): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    // (src, dst, outdeg) is loop-invariant: compute once, reuse per iter
+    // (src, dst, outdeg) and the vertex-id set are loop-invariant:
+    // compute once, reuse per iter (the id set would otherwise re-derive
+    // its source scans/joins every round)
     val contrib = e.join(outDeg, "src").persist()
-    var ranks = vertices.select(col("id"), lit(1.0).as("rank"))
+    val ids = vertices.select(col("id")).persist()
+    var ranks = ids.withColumn("rank", lit(1.0))
     for (i <- 1 to iters) {
       val msgs = contrib.join(ranks, contrib("src") === ranks("id"))
         .select(col("dst"), (col("rank") / col("outdeg")).as("msg"))
         .groupBy("dst").agg(sum("msg").as("msgSum"))
-      ranks = vertices.select(col("id"))
+      ranks = ids
         .join(msgs, col("id") === col("dst"), "left")
         .select(col("id"),
           (lit(0.15) + lit(0.85) * coalesce(col("msgSum"), lit(0.0)))
@@ -75,10 +78,11 @@ object GraphOps {
       // ballooning planning time and defeating AQE at 20+ iterations
       if (i % 3 == 0) ranks = ranks.localCheckpoint()
     }
-    // final materialization lets the loop-invariant cache be dropped
+    // final materialization lets the loop-invariant caches be dropped
     // here instead of leaking into the session
     val out = if (iters % 3 == 0) ranks else ranks.localCheckpoint()
     contrib.unpersist()
+    ids.unpersist()
     out
   }
 

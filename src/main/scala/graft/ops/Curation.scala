@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import TextOps._
+
+/** Corpus-curation operators a training-data pipeline runs after
+  * dedup: benchmark decontamination, deterministic stratified
+  * sampling for data mixing, and sequence packing into fixed token
+  * budgets. All pure DataFrame transforms, all deterministic (hash-
+  * based sampling, not rand()), all oracle-able in DuckDB.
+  */
+object Curation {
+
+  /** Benchmark decontamination: for each corpus doc, the number of
+    * distinct word n-grams it shares with the (small) eval set — docs
+    * with n_shared > 0 are contaminated and must be dropped before
+    * training. The eval gram set is broadcast (eval sets are tiny
+    * relative to a 100 TB corpus); the corpus is tokenized in one
+    * explode pass, joined, then per-doc distinct-counted — no
+    * corpus-side pre-distinct (the post-join survivor set is far
+    * smaller than the full gram table). */
+  def decontaminate(corpus: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, n: Int = 3): DataFrame = {
+    val evalGrams = broadcast(eval
+      .select(explode(wordNgrams(tokensWs(col(textCol)), n)).as("__g"))
+      .distinct())
+    val spread = corpus.repartition(
+      corpus.sparkSession.sparkContext.defaultParallelism)
+    spread.select(col(idCol),
+        explode(wordNgrams(tokensWs(col(textCol)), n)).as("__g"))
+      .join(evalGrams, "__g")
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("__g")).as("n_shared"))
+  }
+
+  /** Deterministic stratified sampling for data mixing: keep a row iff
+    * hash(stratum:id) mod 10000 falls under the stratum's rate — the
+    * same row always samples the same way (reproducible corpus builds,
+    * no rand()), and per-stratum rates set the output mixture.
+    * One narrow filter, no shuffle. */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+      rates: Map[String, Double], defaultRate: Double): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultRate): Column) {
+      case (acc, (k, v)) => when(col(strataCol) === k, lit(v)).otherwise(acc)
+    }
+    df.filter(
+      hash60(concat(col(strataCol), lit(":"), col(idCol).cast("string")))
+        % 10000 < rate * 10000)
+  }
+
+  /** Sequence packing: lay the corpus out as a token stream per
+    * partition key (documents may span bin boundaries, GPT-style) and
+    * bin by the document's starting offset — bin = floor(start/budget)
+    * where start is the running token count before the doc. Packing is
+    * per-partition-key (shard), so the window sort parallelizes across
+    * keys instead of forcing one global order. Returns one row per
+    * (key, bin): n_docs, n_tokens, first/last doc id. */
+  def packBins(df: DataFrame, partCol: String, idCol: String,
+      tokenCol: String, budget: Int): DataFrame = {
+    val w = Window.partitionBy(col(partCol)).orderBy(col(idCol))
+    df.withColumn("__cum", sum(col(tokenCol)).over(w))
+      .withColumn("bin",
+        floor((col("__cum") - col(tokenCol)) / budget))
+      .groupBy(col(partCol), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(tokenCol)).as("n_tokens"),
+        min(col(idCol)).as("first_doc"),
+        max(col(idCol)).as("last_doc"))
+  }
+}

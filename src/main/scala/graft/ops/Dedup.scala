@@ -182,6 +182,34 @@ object Dedup {
       .select("a_id", "b_id", "dist")
   }
 
+  /** Near-duplicate CLUSTERS from a pair table: treat pairs as an
+    * undirected graph and run min-label propagation to convergence on
+    * small diameters (near-dup clusters are chains of a few docs —
+    * `rounds` = 8 covers diameter 8; raise for pathological chains).
+    * Returns (cluster, n_members): cluster id = min member id, the
+    * canonical survivor — everything else in the cluster is droppable.
+    * Lineage truncates every 3 rounds (iterative-algorithm rule). */
+  def nearDupClusters(pairs: DataFrame, aCol: String, bCol: String,
+      rounds: Int = 8): DataFrame = {
+    val edges = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
+    val und = edges.unionByName(
+      edges.select(col("b").as("a"), col("a").as("b"))).persist()
+    var labels = und.select(col("a").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+    for (i <- 1 to rounds) {
+      val prop = und.join(labels, und("a") === labels("id"))
+        .select(und("b").as("id"), col("lbl"))
+      labels = prop.unionByName(labels)
+        .groupBy("id").agg(min("lbl").as("lbl"))
+      if (i % 3 == 0) labels = labels.localCheckpoint()
+    }
+    val out = labels.groupBy(col("lbl").as("cluster"))
+      .agg(count(lit(1)).as("n_members"))
+      .localCheckpoint()
+    und.unpersist()
+    out
+  }
+
   /** exact n-gram Jaccard pairs within blocking keys (quadratic per
     * block — use only after blocking/LSH has bounded the block size). */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,

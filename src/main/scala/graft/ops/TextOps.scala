@@ -132,6 +132,16 @@ object TextOps {
         round(col("tf") * log((lit(n) + 1.0) / (col("df") + 1.0)), 6))
   }
 
+  /** word n-grams of a token array, space-joined (empty when fewer
+    * than n tokens) — the decontamination unit (benchmark overlap is
+    * measured in word n-grams, not characters). */
+  def wordNgrams(tokens: Column, n: Int): Column =
+    when(size(tokens) >= n,
+      transform(sequence(lit(0), size(tokens) - n),
+        i => concat_ws(" ",
+          (0 until n).map(j => element_at(tokens, i + j + 1)): _*)))
+      .otherwise(array().cast("array<string>"))
+
   /** word bigrams of a token array (empty when fewer than 2 tokens). */
   def bigrams(tokens: Column): Column =
     when(size(tokens) >= 2,
