@@ -72,6 +72,23 @@ class PlanShapeSpec extends AnyFunSuite {
       p.contains("LessThanOrEqual(c_custkey,199)"), p)
   }
 
+  test("curation operators keep their scale shape") {
+    // decontamination broadcasts the (small) eval gram set — the
+    // corpus side must never shuffle into a sort-merge join
+    val deco = finalPlan(df("qp_decontaminate"))
+    assert(deco.contains("BroadcastHashJoin") &&
+      !deco.contains("SortMergeJoin"), deco)
+    // sequence packing windows per shard (partitioned by lang) — a
+    // window without a partition spec funnels the corpus through one
+    // partition and breaks at 100 TB
+    val pack = df("qp_seq_pack").queryExecution.optimizedPlan.toString
+    assert(pack.contains("windowspecdefinition(lang"), pack)
+    // stratified sampling is a narrow filter: no join, no extra shuffle
+    // beyond its aggregation
+    val samp = finalPlan(df("qp_stratified_sample"))
+    assert(!samp.contains("Join"), samp)
+  }
+
   test("indexed CONTAINSTEXT probes the posting table, not the corpus") {
     // fresh sessions: the shared cached dialect session may already
     // carry the index after EntrySmokeSpec ran qd_containstext_idx

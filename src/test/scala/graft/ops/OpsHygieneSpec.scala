@@ -36,6 +36,19 @@ class OpsHygieneSpec extends AnyFunSuite {
       "pair generation must unpersist its shingle-set cache")
   }
 
+  test("nearDupClusters leaves no cached frames behind") {
+    spark.catalog.clearCache()
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L))
+      .toDF("a_id", "b_id")
+    val clusters = Dedup.nearDupClusters(pairs, "a_id", "b_id")
+      .orderBy("cluster")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // {1,2,3} labels to 1, {10,11} labels to 10
+    assert(clusters == Seq((1L, 3L), (10L, 2L)))
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "nearDupClusters must unpersist its edge cache")
+  }
+
   test("pageRankDF leaves no cached frames behind at 10 iterations") {
     spark.catalog.clearCache()
     val v = Seq(1L, 2L, 3L).toDF("id")
