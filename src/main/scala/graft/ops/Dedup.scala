@@ -83,10 +83,7 @@ object Dedup {
       concat_ws("_", (lit(b) +: ks): _*)
     }
     // (band, id) rows are tiny; persisting them runs the signature
-    // aggregation once instead of once per self-join side. The cache is
-    // scoped: candidates (small — near-dup rate bounds them) are
-    // eagerly materialized via localCheckpoint, then the bucket cache
-    // is dropped so repeated calls don't accumulate executor storage.
+    // aggregation once instead of once per self-join side
     val buckets = sigs.select(col("__id"),
       explode(array(bandKeys: _*)).as("__band")).persist()
     val candidates = buckets.select(col("__band"), col("__id").as("a_id"))
@@ -94,20 +91,24 @@ object Dedup {
         Seq("__band"))
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
-      .localCheckpoint()
-    buckets.unpersist()
     // exact-Jaccard verify: join hashed shingle sets by id — array
     // payloads move once per candidate side, never through buckets
     val sh = spread(df).select(col(idCol).as("__id"),
       array_distinct(transform(charShingles(col(textCol), shingleN),
         hash60 _)).as("__sh"))
-    candidates
+    // one job end-to-end, then eagerly materialize the (small,
+    // threshold-filtered) pair output and drop the bucket cache —
+    // scoped, no storage accumulation across calls
+    val pairs = candidates
       .join(sh.select(col("__id").as("a_id"), col("__sh").as("__sha")), "a_id")
       .join(sh.select(col("__id").as("b_id"), col("__sh").as("__shb")), "b_id")
       .withColumn("__i", size(array_intersect(col("__sha"), col("__shb"))))
       .select(col("a_id"), col("b_id"),
         jacFromInter(col("__i"), col("__sha"), col("__shb")).as("jac"))
       .filter(col("jac") >= threshold)
+      .localCheckpoint()
+    buckets.unpersist()
+    pairs
   }
 
   /** full minhash signature as ONE string column — the expression form
