@@ -286,6 +286,29 @@ object QueriesRelational {
             .cast("long").as("duration_sec"))
         .orderBy($"user_id", $"session_no")
     }),
+    "q_asof_join" -> ((s, dir) => {
+      // point-in-time join: each purchase picks up the user's most
+      // recent click value at-or-before the purchase timestamp.
+      // Union-window shape (ops.AsOf) — one key shuffle, no range join.
+      import s.implicits._
+      val e = t(s, dir, "events")
+      val purchases = e.filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"ts", $"value")
+      // right side unique per (user, ts): deterministic tie resolution
+      val clicks = e.filter($"event_type" === "click")
+        .groupBy($"user_id", $"ts").agg(max($"value").as("cv"))
+      graft.ops.AsOf.asofJoin(purchases, clicks, "user_id", "ts",
+          "cv", "click_value")
+        .orderBy($"event_id")
+    }),
+    "q_cube" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .cube($"o_orderstatus", $"o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          round(sum($"o_totalprice"), 2).as("total"))
+        .orderBy($"o_orderstatus", $"o_orderpriority")
+    }),
     "q_percentiles" -> ((s, dir) => {
       // exact percentiles (continuous interpolation) per order status
       import s.implicits._
@@ -460,6 +483,21 @@ object QueriesRelational {
         |     AS BIGINT) AS duration_sec
         | FROM s GROUP BY user_id, session_no
         | ORDER BY user_id, session_no""".stripMargin,
+    "q_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts, value FROM events
+        |   WHERE event_type = 'purchase'),
+        | c AS (SELECT user_id, ts, max(value) AS cv FROM events
+        |   WHERE event_type = 'click' GROUP BY user_id, ts)
+        | SELECT p.event_id, p.user_id, p.ts, p.value,
+        |   c.cv AS click_value
+        | FROM p ASOF LEFT JOIN c
+        |   ON p.user_id = c.user_id AND p.ts >= c.ts
+        | ORDER BY p.event_id""".stripMargin,
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |   round(sum(o_totalprice), 2) AS total
+        | FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        | ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
     "q_percentiles" ->
       """SELECT o_orderstatus,
         |   round(quantile_cont(o_totalprice, 0.5), 4) AS p50,

@@ -89,6 +89,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!samp.contains("Join"), samp)
   }
 
+  test("as-of join is a window pass, not a range join") {
+    // the union-window formulation must never degenerate into a
+    // nested-loop/cartesian range join (quadratic per key)
+    val p = finalPlan(df("q_asof_join"))
+    assert(p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("indexed CONTAINSTEXT probes the posting table, not the corpus") {
     // fresh sessions: the shared cached dialect session may already
     // carry the index after EntrySmokeSpec ran qd_containstext_idx
