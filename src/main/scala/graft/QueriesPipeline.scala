@@ -155,6 +155,13 @@ object QueriesPipeline {
           "vec_id", "embedding", k = 5, nProbe = 2)
         .orderBy(col("q_id"), col("rnk"))
     }),
+    "qp_kmeans" -> ((s, dir) => {
+      // IVF centroid training: 2 Lloyd rounds from the 16 seed vectors
+      val e = embs(s, dir)
+      Similarity.kmeansCentroids(e, e.filter(col("vec_id") < 16),
+          "vec_id", "embedding", iters = 2)
+        .orderBy("cell", "dim")
+    }),
     "qp_quantize_int8" -> ((s, dir) => {
       // int8 quantization fidelity: per-vector scale + max abs error of
       // the dequantized cosine-against-self (storage-scale path)
@@ -493,6 +500,46 @@ object QueriesPipeline {
          |   WHERE q_id <> n_id)
          | SELECT q_id, n_id, round(c, 6) AS cos, rnk FROM scored
          | WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    "qp_kmeans" -> {
+      // two unrolled Lloyd rounds, identical update rule to
+      // Similarity.kmeansCentroids (round-6 means, max-cosine assign)
+      def assign(cent: String) =
+        s"""SELECT cell, v FROM (
+           |   SELECT e.vec_id, e.v, c.cell,
+           |     row_number() OVER (PARTITION BY e.vec_id
+           |       ORDER BY ${dDot("e.v", "c.cv")} /
+           |         (e.nn * sqrt(${dDot("c.cv", "c.cv")})) DESC, c.cell)
+           |       AS r
+           |   FROM e CROSS JOIN $cent c) WHERE r = 1""".stripMargin
+      s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] v
+         |   FROM embeddings),
+         | e AS (SELECT vec_id, v, sqrt(${dDot("v", "v")}) nn FROM e0),
+         | c0 AS (SELECT CAST(vec_id AS INT) AS cell, v AS cv FROM e0
+         |   WHERE vec_id < 16),
+         | a1 AS MATERIALIZED (${assign("c0")}),
+         | u1 AS (SELECT cell,
+         |   CAST(generate_subscripts(v, 1) - 1 AS INT) AS dim,
+         |   unnest(v) AS x FROM a1),
+         | g1 AS (SELECT cell, dim,
+         |   sum(CAST(round(x * 1e6) AS BIGINT))::BIGINT
+         |     / (count(*) * 1e6) AS m, count(*) AS n
+         |   FROM u1 GROUP BY cell, dim),
+         | c1 AS (SELECT cell, list(m ORDER BY dim) AS cv FROM g1
+         |   GROUP BY cell),
+         | a2 AS MATERIALIZED (${assign("c1")}),
+         | u2 AS (SELECT cell,
+         |   CAST(generate_subscripts(v, 1) - 1 AS INT) AS dim,
+         |   unnest(v) AS x FROM a2),
+         | g2 AS (SELECT cell, dim,
+         |   sum(CAST(round(x * 1e6) AS BIGINT))::BIGINT
+         |     / (count(*) * 1e6) AS m, count(*) AS n
+         |   FROM u2 GROUP BY cell, dim),
+         | sizes AS (SELECT cell, max(n) AS n_members FROM g2
+         |   GROUP BY cell)
+         | SELECT g2.cell, g2.dim, g2.m AS c, sizes.n_members
+         | FROM g2 JOIN sizes USING (cell)
+         | ORDER BY cell, dim""".stripMargin
+    },
     "qp_quantize_int8" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings
         |   WHERE vec_id < 200),

@@ -128,6 +128,72 @@ object Similarity {
         col("rnk"))
   }
 
+  /** Lloyd k-means iterations for IVF centroid TRAINING (ivfTopK
+    * consumes the result): assignment by max cosine (the same metric
+    * the probe path uses), update = dimension-wise per-cell mean,
+    * rounded to 6 decimals each round so both engines iterate on
+    * identical inputs. Deterministic given fixed initial centroids.
+    *
+    * Scale shape per iteration: broadcast the k centroids, one corpus
+    * scan for assignment (no shuffle), then posexplode → partial-agg
+    * shuffle on (cell, dim) — k·dim result rows. Centroids
+    * materialize via localCheckpoint per round (loop rule; also keeps
+    * the broadcast input stable instead of recomputing a
+    * nondeterministic float aggregation). Cells that lose all members
+    * drop out, matching the unrolled oracle.
+    *
+    * Returns (cell, dim, c, n_members) — the trained centroid matrix
+    * in long form plus the final assignment sizes. */
+  def kmeansCentroids(corpus: DataFrame, init: DataFrame, idCol: String,
+      vecCol: String, iters: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = corpus.select(col(idCol).as("__id"),
+        col(vecCol).cast("array<double>").as("__v"))
+      .withColumn("__vn", norm(col("__v")))
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+      .persist()
+    var cent = init.select(col(idCol).cast("int").as("cell"),
+      col(vecCol).cast("array<double>").as("cv"))
+    var result: DataFrame = null
+    for (_ <- 1 to iters) {
+      val b = broadcast(cent.withColumn("__cn", norm(col("cv"))))
+      val w = Window.partitionBy(col("__id"))
+        .orderBy(col("__sim").desc, col("cell"))
+      val assigned = c.crossJoin(b)
+        .withColumn("__sim",
+          dot(col("__v"), col("cv")) / (col("__vn") * col("__cn")))
+        .withColumn("__r", row_number().over(w))
+        .filter(col("__r") === 1)
+        .select(col("cell"), col("__v"))
+      // count(x) per (cell, dim) equals the cell's member count — the
+      // mean and the size come out of one aggregation. The mean is
+      // FIXED-POINT: values quantize to integer micro-units first, so
+      // the sum is exact integer arithmetic — float summation order
+      // (partition-dependent) can never flip a rounding boundary
+      val upd = assigned
+        .select(col("cell"), posexplode(col("__v")).as(Seq("dim", "x")))
+        .groupBy(col("cell"), col("dim"))
+        .agg(sum(round(col("x") * 1e6).cast("long")).as("sx"),
+          count(lit(1)).as("n"))
+        // exact integer sum / exact double division → the quotient is
+        // BIT-IDENTICAL on any engine; no rounding (a round() here
+        // would re-introduce decimal-vs-binary midpoint divergence)
+        .withColumn("m", col("sx") / (col("n") * 1e6))
+      result = upd.groupBy(col("cell"))
+        .agg(transform(
+            array_sort(collect_list(struct(col("dim"), col("m")))),
+            s => s.getField("m")).as("cv"),
+          max(col("n")).as("n_members"))
+        .localCheckpoint()
+      cent = result.select(col("cell"), col("cv"))
+    }
+    c.unpersist()
+    result
+      .select(col("cell"), col("n_members"),
+        posexplode(col("cv")).as(Seq("dim", "c")))
+      .select(col("cell"), col("dim"), col("c"), col("n_members"))
+  }
+
   /** Symmetric int8 quantization of an embedding column: per-vector
     * scale = max|x|/127, values round to [-127, 127]. At 100 TB this
     * is the 4× storage/IO cut that makes the embedding corpus
