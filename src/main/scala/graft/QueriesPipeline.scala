@@ -369,10 +369,10 @@ object QueriesPipeline {
          |   (SELECT count(*) FROM quality) AS n_quality""".stripMargin
     },
     "qp_dedup_clusters" -> {
-      // pairs identical to qp_ngram_jaccard, then 8 unrolled rounds of
+      // pairs identical to qp_ngram_jaccard, then 6 unrolled rounds of
       // min-label propagation — the same update rule as
       // Dedup.nearDupClusters (min of own and in-neighbor labels)
-      val rounds = (1 to 8).map { t =>
+      val rounds = (1 to 6).map { t =>
         s"""l$t AS MATERIALIZED (SELECT id, min(lbl) AS lbl FROM (
            |   SELECT id, lbl FROM l${t - 1}
            |   UNION ALL
@@ -396,7 +396,7 @@ object QueriesPipeline {
          |   UNION ALL SELECT b, a FROM p),
          | l0 AS (SELECT DISTINCT a AS id, a AS lbl FROM u),
          | $rounds
-         | SELECT lbl AS cluster, count(*) AS n_members FROM l8
+         | SELECT lbl AS cluster, count(*) AS n_members FROM l6
          | GROUP BY lbl ORDER BY cluster""".stripMargin
     },
     "qp_decontaminate" ->

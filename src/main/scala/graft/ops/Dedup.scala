@@ -186,12 +186,12 @@ object Dedup {
   /** Near-duplicate CLUSTERS from a pair table: treat pairs as an
     * undirected graph and run min-label propagation to convergence on
     * small diameters (near-dup clusters are chains of a few docs —
-    * `rounds` = 8 covers diameter 8; raise for pathological chains).
+    * `rounds` = 6 covers diameter 6; raise for pathological chains).
     * Returns (cluster, n_members): cluster id = min member id, the
     * canonical survivor — everything else in the cluster is droppable.
-    * Lineage truncates every 3 rounds (iterative-algorithm rule). */
+    * Lineage truncates every 4 rounds (iterative-algorithm rule). */
   def nearDupClusters(pairs: DataFrame, aCol: String, bCol: String,
-      rounds: Int = 8): DataFrame = {
+      rounds: Int = 6): DataFrame = {
     val edges = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
     val und = edges.unionByName(
       edges.select(col("b").as("a"), col("a").as("b"))).persist()
@@ -202,7 +202,7 @@ object Dedup {
         .select(und("b").as("id"), col("lbl"))
       labels = prop.unionByName(labels)
         .groupBy("id").agg(min("lbl").as("lbl"))
-      if (i % 3 == 0) labels = labels.localCheckpoint()
+      if (i % 4 == 0 && i < rounds) labels = labels.localCheckpoint()
     }
     val out = labels.groupBy(col("lbl").as("cluster"))
       .agg(count(lit(1)).as("n_members"))
