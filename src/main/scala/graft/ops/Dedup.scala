@@ -141,6 +141,26 @@ object Dedup {
       .drop("__sig")
   }
 
+  /** foreachBatch stage completing the streaming-ingestion story:
+    * per micro-batch, (1) drop docs whose full minhash signature
+    * already exists in the static corpus (stateless anti-join, exact
+    * and near-identical dups), then (2) run the FULL banded-LSH
+    * [[minhashPairs]] machinery WITHIN the batch and drop the larger
+    * id of each verified near-dup pair. Use as
+    * `stream.writeStream.foreachBatch(Dedup.microBatchNearDup(corpus,
+    * "doc_id", "text")(sink))` — batches are bounded frames, so the
+    * banded candidate join that a stateful stream cannot express runs
+    * per batch at full fidelity. */
+  def microBatchNearDup(corpus: DataFrame, idCol: String,
+      textCol: String, threshold: Double = 0.8)(
+      sink: DataFrame => Unit): (DataFrame, Long) => Unit =
+    (batch, _) => {
+      val vsCorpus = streamingNearDupFilter(batch, corpus, textCol)
+      val intraDrops = minhashPairs(vsCorpus, idCol, textCol, threshold)
+        .select(col("b_id").as(idCol)).distinct()
+      sink(vsCorpus.join(intraDrops, Seq(idCol), "left_anti"))
+    }
+
   /** simhash signature table (idCol, simhash): token explode → 32
     * codegen'd conditional sums → bit assembly. One shuffle. */
   def simhashSigs(df: DataFrame, idCol: String, textCol: String): DataFrame = {

@@ -109,6 +109,35 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("foreachBatch micro-batch LSH dedup: corpus dups and intra-batch near-dups") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = graft.sources.Tables
+      .load(spark, "/root/testdata/sf0.001", "documents")
+    val dupText = corpus.orderBy("doc_id").limit(1)
+      .collect().head.getAs[String]("text")
+    val base = "stream engine query plan shuffle partition broadcast " +
+      "join aggregate window state watermark checkpoint codegen filter"
+    val nearA = base + " alpha"
+    val nearB = base + " omega" // ≈0.9 shingle-jaccard vs nearA
+    val input = MemoryStream[(Long, String)]
+    val kept = scala.collection.mutable.Set[Long]()
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch(graft.ops.Dedup.microBatchNearDup(
+        corpus, "doc_id", "text") { surviving =>
+          kept ++= surviving.collect().map(_.getAs[Long]("doc_id"))
+        })
+      .start()
+    try {
+      input.addData((9001L, dupText), // exact corpus dup → dropped
+        (9002L, nearA), // survives (smaller id of the near pair)
+        (9003L, nearB), // intra-batch near-dup of 9002 → dropped
+        (9004L, "wholly unrelated fresh content about gardening soil"))
+      q.processAllAvailable()
+      assert(kept.toSet == Set(9002L, 9004L))
+    } finally q.stop()
+  }
+
   test("sessionization with event-time gap timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
