@@ -180,23 +180,30 @@ final class Catalog(spark: SparkSession) {
     catch { case _: java.io.IOException => () }
 
   /** Turn on parquet-committed durability under `root` and replay any
-    * state a previous session committed there: DDL-created classes are
-    * re-registered from the catalog manifest, and every class with a
-    * committed data version reads from it instead of its original
-    * provider. Call once, right after construction. */
+    * state a previous session committed there: DDL-created classes,
+    * indexes, property constraints and ACL entries re-register from
+    * the catalog manifest, and every class with a committed data
+    * version reads from it instead of its original provider. Call
+    * once, right after construction. FULLTEXT postings are NOT stored —
+    * they rebuild lazily from the committed data on first indexed
+    * query. */
   def enableDurability(root: String): Unit = {
     durableRoot = Some(root)
     val fs = hadoopFs(root)
-    // replay DDL-created classes from the manifest
     val manifest = new org.apache.hadoop.fs.Path(s"$root/catalog-manifest.json")
     if (fs.exists(manifest)) {
       val rows = spark.read.json(s"$root/catalog-manifest.json")
-      val hasLinks = rows.columns.contains("links")
-      rows.collect().foreach { r =>
+      def str(r: org.apache.spark.sql.Row, f: String): Option[String] =
+        if (!rows.columns.contains(f) || r.isNullAt(r.fieldIndex(f))) None
+        else Some(r.getAs[String](f))
+      val all = rows.collect()
+      // classes first (links/properties/indexes refer to them)
+      all.filter(r => str(r, "kind").contains("class")).foreach { r =>
         val name = r.getAs[String]("name")
         if (!contains(name)) {
           val links: Seq[LinkSpec] =
-            if (!hasLinks || r.isNullAt(r.fieldIndex("links"))) Nil
+            if (!rows.columns.contains("links") ||
+                r.isNullAt(r.fieldIndex("links"))) Nil
             else r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("links"))
               .map(l => LinkSpec(l.getAs[String]("field"),
                 l.getAs[String]("target"), l.getAs[String]("srcKey"),
@@ -206,11 +213,28 @@ final class Catalog(spark: SparkSession) {
           register(ClassDef(name,
             s => s.createDataFrame(
               new java.util.ArrayList[org.apache.spark.sql.Row](), schema),
-            Option(r.getAs[String]("superClass")), links,
+            str(r, "superClass"), links,
             r.getAs[Long]("clusterId").toInt, None))
           nextClusterId = math.max(nextClusterId,
             r.getAs[Long]("clusterId").toInt)
         }
+      }
+      all.filter(r => str(r, "kind").contains("index")).foreach { r =>
+        indexes((r.getAs[String]("cls"), r.getAs[String]("field"))) =
+          r.getAs[String]("idx")
+      }
+      all.filter(r => str(r, "kind").contains("property")).foreach { r =>
+        setPropertyQuiet(PropertyDef(
+          r.getAs[String]("cls"), r.getAs[String]("field"),
+          r.getAs[String]("tpe"),
+          mandatory = r.getAs[Boolean]("mandatory"),
+          notNull = r.getAs[Boolean]("notNull"),
+          min = str(r, "min"), max = str(r, "max"),
+          regexp = str(r, "regexp"), linkedClass = str(r, "linked")))
+      }
+      all.filter(r => str(r, "kind").contains("acl")).foreach { r =>
+        acl((r.getAs[String]("role"), r.getAs[String]("resource"))) =
+          r.getSeq[String](r.fieldIndex("perms")).toSet
       }
     }
     // point every committed class at its latest parquet version
@@ -223,28 +247,44 @@ final class Catalog(spark: SparkSession) {
     }
   }
 
-  /** persist the DDL surface (created classes, superclasses, links) so
-    * a reopened session can replay it. One small JSONL file; testdata-
-    * backed classes re-register from code and are skipped. */
-  private def persistManifest(): Unit = durableRoot.foreach { root =>
-    val created = classes.values.filter(_.clusterId > 1000).toSeq
+  /** persist the DDL surface (created classes + links, indexes,
+    * property constraints, ACL) so a reopened session can replay it.
+    * One small JSONL file, kind-discriminated; testdata-backed classes
+    * re-register from code and are skipped. */
+  private[engine] def persistManifest(): Unit = durableRoot.foreach { root =>
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
-    val lines = created.map { d =>
+    def js(s: String) = "\"" + esc(s) + "\""
+    def jsOpt(o: Option[String]) = o.map(js).getOrElse("null")
+    val classLines = classes.values.filter(_.clusterId > 1000).map { d =>
       val links = d.links.map(l =>
-        s"""{"field":"${esc(l.field)}","target":"${esc(l.target)}",""" +
-          s""""srcKey":"${esc(l.srcKey)}","dstKey":"${esc(l.dstKey)}",""" +
+        s"""{"field":${js(l.field)},"target":${js(l.target)},""" +
+          s""""srcKey":${js(l.srcKey)},"dstKey":${js(l.dstKey)},""" +
           s""""multi":${l.multi},"srcIsArray":${l.srcIsArray}}""")
         .mkString("[", ",", "]")
-      val sup = d.superClass
-        .map(s => "\"" + esc(s) + "\"").getOrElse("null")
-      s"""{"name":"${esc(d.name)}","superClass":$sup,""" +
+      s"""{"kind":"class","name":${js(d.name)},""" +
+        s""""superClass":${jsOpt(d.superClass)},""" +
         s""""clusterId":${d.clusterId},"links":$links}"""
+    }
+    val indexLines = indexes.map { case ((c, f), k) =>
+      s"""{"kind":"index","cls":${js(c)},"field":${js(f)},"idx":${js(k)}}"""
+    }
+    val propLines = properties.values.map { p =>
+      s"""{"kind":"property","cls":${js(p.cls)},"field":${js(p.name)},""" +
+        s""""tpe":${js(p.tpe)},"mandatory":${p.mandatory},""" +
+        s""""notNull":${p.notNull},"min":${jsOpt(p.min)},""" +
+        s""""max":${jsOpt(p.max)},"regexp":${jsOpt(p.regexp)},""" +
+        s""""linked":${jsOpt(p.linkedClass)}}"""
+    }
+    val aclLines = acl.map { case ((role, res), perms) =>
+      s"""{"kind":"acl","role":${js(role)},"resource":${js(res)},""" +
+        perms.toSeq.sorted.map(js).mkString(""""perms":[""", ",", "]}")
     }
     val fs = hadoopFs(root)
     val out = fs.create(
       new org.apache.hadoop.fs.Path(s"$root/catalog-manifest.json"), true)
-    try out.write(lines.mkString("\n").getBytes(
-      java.nio.charset.StandardCharsets.UTF_8))
+    try out.write(
+      (classLines ++ indexLines ++ propLines ++ aclLines)
+        .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
   }
 
@@ -302,7 +342,13 @@ final class Catalog(spark: SparkSession) {
   // ---- property metadata (constraints, §1.4) ----------------------
   val properties = scala.collection.mutable.Map[(String, String), PropertyDef]()
 
-  def setProperty(p: PropertyDef): Unit =
+  def setProperty(p: PropertyDef): Unit = {
+    setPropertyQuiet(p)
+    persistManifest()
+  }
+
+  /** registration without a manifest rewrite (manifest replay path). */
+  private def setPropertyQuiet(p: PropertyDef): Unit =
     properties((p.cls.toLowerCase, p.name.toLowerCase)) = p
 
   /** declared properties of a class including the superclass chain

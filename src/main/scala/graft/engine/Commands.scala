@@ -50,21 +50,26 @@ object Commands {
             s"cannot create UNIQUE index on $cls.$field: duplicate keys")
         }
         cat.indexes((cls.toLowerCase, field.toLowerCase)) = kind
-        if (kind == "FULLTEXT")
+        cat.persistManifest()
+        if (kind == "FULLTEXT" && cat.get(cls).ridPosCol.isDefined)
           // build+materialize the posting table now — index creation
           // pays the tokenize pass so queries don't (reference builds
-          // its word→RID tree at indexing time, OPropertyIndexFullText)
+          // its word→RID tree at indexing time, OPropertyIndexFullText).
+          // Unkeyed classes keep the index advisory: the scan-path
+          // tokenizer still answers CONTAINSTEXT on them.
           cat.fulltext.postingFor(cat, cls, field)
         one(spark, 1)
       case RemoveIndexStmt(cls, field) =>
         cat.indexes.remove((cls.toLowerCase, field.toLowerCase))
         cat.fulltext.remove(cls, field)
+        cat.persistManifest()
         one(spark, 1)
       case s: CreateLinkStmt => createLink(session, s)
       case GrantStmt(perm, resource, role, revoke) =>
         val key = (role.toLowerCase, resource.toLowerCase)
         val cur = cat.acl.getOrElse(key, Set())
         if (revoke) cat.acl(key) = cur - perm else cat.acl(key) = cur + perm
+        cat.persistManifest()
         one(spark, 1)
       case _: SelectStmt =>
         throw new IllegalArgumentException("SELECT handled by query()")

@@ -89,6 +89,38 @@ class CommandsSpec extends AnyFunSuite {
     assert(g3.query("select from Note").count() == 2)
   }
 
+  test("durable session: indexes, constraints and ACL survive reopen") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-durable-ddl").toString
+    val g1 = GraftSession.openDurable(spark, root)
+    g1.command("create class Doc2")
+    g1.command("create property Doc2.score INTEGER")
+    g1.catalog.setProperty(PropertyDef("Doc2", "score", "INTEGER",
+      min = Some("0")))
+    g1.command("insert into Doc2 (id, body, score) " +
+      "values (1, 'spark streams fast queries', 5)")
+    g1.command("insert into Doc2 (id, body, score) " +
+      "values (2, 'unrelated gardening notes', 7)")
+    g1.command("create index Doc2.id unique")
+    g1.command("create index Doc2.body fulltext")
+    g1.command("grant READ on database.class.doc2 to reader")
+
+    val g2 = GraftSession.openDurable(spark, root)
+    // index registry replayed
+    assert(g2.catalog.indexes(("doc2", "id")) == "UNIQUE")
+    assert(g2.catalog.indexes(("doc2", "body")) == "FULLTEXT")
+    // property constraint replayed and enforced
+    intercept[ValidationException](
+      g2.command("insert into Doc2 (id, body, score) values (3, 'x', -1)"))
+    // ACL replayed
+    assert(g2.catalog.acl(("reader", "database.class.doc2")) == Set("READ"))
+    // fulltext posting rebuilds lazily from committed data... but the
+    // created class has no ridPosCol, so the indexed path only engages
+    // for keyed classes — the scan path still answers correctly
+    assert(g2.query("select id from Doc2 where body containstext 'spark'")
+      .collect().map(_.getAs[Long]("id")).toSeq == Seq(1L))
+  }
+
   test("update SET with where; delete with where") {
     val g = freshSession()
     g.command("create class Acc")
