@@ -136,9 +136,10 @@ final class Catalog(spark: SparkSession) {
         df.write.mode("overwrite").parquet(dir)
         writeMarker(root, key, v)
         classes(key) = d.copy(provider = s => s.read.parquet(dir))
-        // GC versions older than the previous one (kept for readers
-        // that captured frames against it earlier in this session)
-        if (v > 2) deleteQuiet(s"$root/$key/v${v - 2}")
+        // retention window: keep the last 8 versions so lazy frames
+        // captured against recent versions stay readable; older
+        // history is a deployment-retention concern
+        if (v > 8) deleteQuiet(s"$root/$key/v${v - 8}")
       case None =>
         val n = writeCounts.getOrElse(key, 0) + 1
         writeCounts(key) = n
@@ -154,25 +155,46 @@ final class Catalog(spark: SparkSession) {
   private def hadoopFs(path: String) = new org.apache.hadoop.fs.Path(path)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** committed version of a class: the marker file, with a fallback
+    * scan over completed version dirs (those parquet left a _SUCCESS
+    * in) — a crash that loses the marker never loses the commit. */
   private def currentVersion(root: String, key: String): Option[Long] = {
-    val p = new org.apache.hadoop.fs.Path(s"$root/$key/_current")
     val fs = hadoopFs(root)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try Some(new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
-      finally in.close()
+    val p = new org.apache.hadoop.fs.Path(s"$root/$key/_current")
+    val fromMarker =
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toLongOption
+        finally in.close()
+      }
+    fromMarker.orElse {
+      val dir = new org.apache.hadoop.fs.Path(s"$root/$key")
+      if (!fs.exists(dir)) None
+      else fs.listStatus(dir).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("v"))
+        .flatMap(s => s.getPath.getName.drop(1).toLongOption
+          .filter(_ => fs.exists(
+            new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS"))))
+        .maxOption
     }
   }
 
+  /** marker update via write-temp-then-rename: the in-place truncate a
+    * plain create(overwrite) does would leave an empty marker if the
+    * process died mid-write. The delete+rename window is covered by
+    * the [[currentVersion]] directory-scan fallback. */
   private def writeMarker(root: String, key: String, v: Long): Unit = {
     val fs = hadoopFs(root)
-    val out = fs.create(
-      new org.apache.hadoop.fs.Path(s"$root/$key/_current"), true)
+    val tmp = new org.apache.hadoop.fs.Path(s"$root/$key/_current.tmp")
+    val dst = new org.apache.hadoop.fs.Path(s"$root/$key/_current")
+    val out = fs.create(tmp, true)
     try out.write(v.toString.getBytes(
       java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    fs.delete(dst, false)
+    fs.rename(tmp, dst)
   }
 
   private def deleteQuiet(path: String): Unit =
@@ -190,9 +212,12 @@ final class Catalog(spark: SparkSession) {
   def enableDurability(root: String): Unit = {
     durableRoot = Some(root)
     val fs = hadoopFs(root)
-    val manifest = new org.apache.hadoop.fs.Path(s"$root/catalog-manifest.json")
-    if (fs.exists(manifest)) {
-      val rows = spark.read.json(s"$root/catalog-manifest.json")
+    // the tmp file covers the delete→rename window of a crashed commit
+    val manifest = Seq(s"$root/catalog-manifest.json",
+        s"$root/catalog-manifest.tmp")
+      .find(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
+    if (manifest.isDefined) {
+      val rows = spark.read.json(manifest.get)
       def str(r: org.apache.spark.sql.Row, f: String): Option[String] =
         if (!rows.columns.contains(f) || r.isNullAt(r.fieldIndex(f))) None
         else Some(r.getAs[String](f))
@@ -280,12 +305,17 @@ final class Catalog(spark: SparkSession) {
         perms.toSeq.sorted.map(js).mkString(""""perms":[""", ",", "]}")
     }
     val fs = hadoopFs(root)
-    val out = fs.create(
-      new org.apache.hadoop.fs.Path(s"$root/catalog-manifest.json"), true)
+    // write-temp-then-rename: never truncate the live manifest in
+    // place (a crash mid-write would silently lose the whole catalog)
+    val tmp = new org.apache.hadoop.fs.Path(s"$root/catalog-manifest.tmp")
+    val dst = new org.apache.hadoop.fs.Path(s"$root/catalog-manifest.json")
+    val out = fs.create(tmp, true)
     try out.write(
       (classLines ++ indexLines ++ propLines ++ aclLines)
         .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    fs.delete(dst, false)
+    fs.rename(tmp, dst)
   }
 
   def addLink(clsName: String, spec: LinkSpec): Unit = {
@@ -299,6 +329,10 @@ final class Catalog(spark: SparkSession) {
   def drop(name: String): Unit = {
     classes.remove(name.toLowerCase)
     persistManifest()
+    // durable mode: remove the committed data too — a stale version
+    // dir + marker would resurrect the dropped class on reopen (and
+    // leak its rows into a later class created under the same name)
+    durableRoot.foreach(root => deleteQuiet(s"$root/${name.toLowerCase}"))
   }
 
   private var nextClusterId = 1000

@@ -471,8 +471,15 @@ final class Translator(val catalog: Catalog, val registry: FunctionRegistry) {
             case None if scope.resolveField("_extra").isDefined =>
               // schema-less overflow: per-record ad-hoc fields live in
               // the _extra map (string-valued); absent key → null,
-              // matching the reference's missing-field semantics
-              (element_at(scope.resolveField("_extra").get, lit(f)), rest)
+              // matching the reference's missing-field semantics.
+              // Trailing field hops are swallowed (string values have
+              // no sub-fields; a getField would fail analysis)
+              val r = rest.dropWhile {
+                case FieldSeg(_) => true
+                case MethodSeg("field", _) => true
+                case _ => false
+              }
+              (element_at(scope.resolveField("_extra").get, lit(f)), r)
             case None if scope.lenient =>
               // unknown field → null; swallow any further field hops
               // (getField on a null literal would fail analysis)

@@ -24,18 +24,26 @@ object AsOf {
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
       tsCol: String, valueCol: String, outCol: String): DataFrame = {
     val leftCols = left.columns.toSeq
+    // the carried payload is a STRUCT wrapping the value: the struct is
+    // non-null for every right row even when its value is null, so the
+    // running last() matches the latest right ROW — a null-valued right
+    // row yields null (ASOF semantics), not a fall-back to an older
+    // non-null value
+    val rvType = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("v",
+        right.schema(valueCol).dataType)))
     val l = left.withColumn("__side", lit(1))
-      .withColumn("__rv", lit(null).cast(
-        right.schema(valueCol).dataType))
+      .withColumn("__rv", lit(null).cast(rvType))
     val r = right.select(col(keyCol), col(tsCol),
-        col(valueCol).as("__rv"))
+        struct(col(valueCol).as("v")).as("__rv"))
       .withColumn("__side", lit(0))
     val unioned = l.unionByName(r, allowMissingColumns = true)
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(tsCol), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned
-      .withColumn(outCol, last(col("__rv"), ignoreNulls = true).over(w))
+      .withColumn(outCol,
+        last(col("__rv"), ignoreNulls = true).over(w).getField("v"))
       .filter(col("__side") === 1)
       .select((leftCols.map(col) :+ col(outCol)): _*)
   }

@@ -155,10 +155,15 @@ object Dedup {
       textCol: String, threshold: Double = 0.8)(
       sink: DataFrame => Unit): (DataFrame, Long) => Unit =
     (batch, _) => {
+      // the corpus anti-join is the expensive stage — cache it so the
+      // pair machinery and the sink join don't probe the corpus twice
       val vsCorpus = streamingNearDupFilter(batch, corpus, textCol)
-      val intraDrops = minhashPairs(vsCorpus, idCol, textCol, threshold)
-        .select(col("b_id").as(idCol)).distinct()
-      sink(vsCorpus.join(intraDrops, Seq(idCol), "left_anti"))
+        .persist()
+      try {
+        val intraDrops = minhashPairs(vsCorpus, idCol, textCol, threshold)
+          .select(col("b_id").as(idCol)).distinct()
+        sink(vsCorpus.join(intraDrops, Seq(idCol), "left_anti"))
+      } finally vsCorpus.unpersist()
     }
 
   /** simhash signature table (idCol, simhash): token explode → 32

@@ -146,6 +146,7 @@ object Similarity {
     * in long form plus the final assignment sizes. */
   def kmeansCentroids(corpus: DataFrame, init: DataFrame, idCol: String,
       vecCol: String, iters: Int): DataFrame = {
+    require(iters >= 1, s"kmeansCentroids needs iters >= 1, got $iters")
     import org.apache.spark.sql.expressions.Window
     val c = corpus.select(col(idCol).as("__id"),
         col(vecCol).cast("array<double>").as("__v"))

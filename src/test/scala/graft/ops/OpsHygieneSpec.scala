@@ -60,6 +60,20 @@ class OpsHygieneSpec extends AnyFunSuite {
       "pageRankDF must unpersist its loop-invariant contrib cache")
   }
 
+  test("asofJoin matches the latest right ROW even when its value is null") {
+    val left = Seq((1L, 100L, "p1"), (1L, 50L, "p0"), (2L, 10L, "p2"))
+      .toDF("k", "ts", "tag")
+    val right = Seq((1L, 20L, Some(5.0)), (1L, 80L, None: Option[Double]))
+      .toDF("k", "ts", "v")
+    val out = AsOf.asofJoin(left, right, "k", "ts", "v", "asof_v")
+      .orderBy("k", "ts").collect()
+    // (1,50) matches the ts=20 row -> 5.0; (1,100) matches the ts=80
+    // row whose value is NULL (no fall-back to 5.0); (2,10) unmatched
+    assert(out.map(r => (r.getLong(0), r.getLong(1),
+      Option(r.get(3)))).toSeq == Seq(
+      (1L, 50L, Some(5.0)), (1L, 100L, None), (2L, 10L, None)))
+  }
+
   test("quantizeInt8 handles all-zero vectors without NaN") {
     val df = Seq((1L, Seq(0.0, 0.0, 0.0)), (2L, Seq(1.0, -2.0, 0.5)))
       .toDF("id", "v")
