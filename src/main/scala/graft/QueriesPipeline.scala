@@ -257,6 +257,18 @@ object QueriesPipeline {
           md5(col("payload")).as("content_hash"))
         .orderBy("media_id")
     }),
+    "qp_text_quality2" -> ((s, dir) => {
+      // cleaning + repetition signals: normalized-text hash (exact
+      // dedup key robust to case/punct noise) and duplicate-bigram
+      // fraction (Gopher-style repetition filter)
+      docs(s, dir)
+        .withColumn("__tok", tokensWs(col("text")))
+        .select(col("doc_id"),
+          md5(TextOps.normalizeText(col("text"))).as("norm_hash"),
+          round(TextOps.repetitionFraction(col("__tok"), 2), 6)
+            .as("dup_bigram_frac"))
+        .orderBy("doc_id")
+    }),
     "qp_text_fingerprint" -> ((s, dir) => {
       TextOps.fingerprintTable(docs(s, dir), "doc_id", "text", k = 4)
         .orderBy("doc_id")
@@ -625,6 +637,21 @@ object QueriesPipeline {
         |   octet_length(encode(text)) AS n_bytes,
         |   md5(text) AS content_hash
         | FROM documents ORDER BY media_id""".stripMargin,
+    "qp_text_quality2" ->
+      s"""WITH t AS (SELECT doc_id, text, ${dTokens("text")} tok
+         |   FROM documents),
+         | g AS (SELECT doc_id, text,
+         |   CASE WHEN len(tok) >= 2 THEN
+         |     list_transform(range(len(tok)-1),
+         |       i -> tok[i+1] || ' ' || tok[i+2])
+         |   ELSE [] END AS grams FROM t)
+         | SELECT doc_id,
+         |   md5(trim(regexp_replace(regexp_replace(lower(text),
+         |     '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS norm_hash,
+         |   round(CASE WHEN len(grams) = 0 THEN 0.0
+         |     ELSE 1.0 - len(list_distinct(grams)) * 1.0 / len(grams)
+         |   END, 6) AS dup_bigram_frac
+         | FROM g ORDER BY doc_id""".stripMargin,
     "qp_text_fingerprint" ->
       s"""SELECT doc_id, array_to_string(
          |   list_sort(list_transform(${dShingles("text")},

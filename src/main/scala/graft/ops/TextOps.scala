@@ -150,6 +150,23 @@ object TextOps {
           element_at(tokens, i + 1))))
       .otherwise(array().cast("array<string>"))
 
+  // ------------------------------------------- cleaning / repetition
+  /** canonical text normalization for exact-dedup keys: lower-case,
+    * strip non-alphanumerics, collapse whitespace. */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(c), "[^a-z0-9\\s]", ""), "\\s+", " "))
+
+  /** duplicate-n-gram fraction (Gopher-style repetition signal):
+    * 1 − distinct/total over word n-grams; highly repetitive docs
+    * score near 1 and get filtered before training. */
+  def repetitionFraction(tokens: Column, n: Int): Column = {
+    val grams = wordNgrams(tokens, n)
+    when(size(grams) === 0, lit(0.0d))
+      .otherwise(lit(1.0d) -
+        size(array_distinct(grams)).cast("double") / size(grams))
+  }
+
   // ------------------------------------------------------ lang id
   /** tiny per-language marker token lists (n-gram heuristic surface;
     * scoring = marker-hit count per language, argmax wins). */
