@@ -162,6 +162,19 @@ object QueriesPipeline {
           "vec_id", "embedding", iters = 2)
         .orderBy("cell", "dim")
     }),
+    "qp_ivf_trained" -> ((s, dir) => {
+      // the full ANN build+probe path: train centroids (2 Lloyd
+      // rounds), then answer queries by probing the trained cells
+      val e = embs(s, dir)
+      val cent = Similarity.kmeansCentroidVectors(e,
+          e.filter(col("vec_id") < 16), "vec_id", "embedding", iters = 2)
+        .select(col("cell").cast("long").as("vec_id"),
+          col("cv").as("embedding"))
+      Similarity.ivfTopK(e,
+          e.filter(col("vec_id") >= 100 && col("vec_id") < 105),
+          cent, "vec_id", "embedding", k = 5, nProbe = 2)
+        .orderBy(col("q_id"), col("rnk"))
+    }),
     "qp_quantize_int8" -> ((s, dir) => {
       // int8 quantization fidelity: per-vector scale + max abs error of
       // the dequantized cosine-against-self (storage-scale path)
@@ -311,6 +324,43 @@ object QueriesPipeline {
        |          list_transform(sh, x -> ${dH60("x")} % $MinhashP) hh
        |        FROM (SELECT doc_id, ${dShingles("text")} sh FROM documents))
        |)""".stripMargin
+
+  /** two unrolled Lloyd rounds, identical update rule to
+    * Similarity.kmeansCentroids (fixed-point exact means, max-cosine
+    * assignment) — shared by qp_kmeans and qp_ivf_trained. */
+  private lazy val dKmeansCtes: String = {
+    def assign(cent: String) =
+      s"""SELECT cell, v FROM (
+         |   SELECT e.vec_id, e.v, c.cell,
+         |     row_number() OVER (PARTITION BY e.vec_id
+         |       ORDER BY ${dDot("e.v", "c.cv")} /
+         |         (e.nn * sqrt(${dDot("c.cv", "c.cv")})) DESC, c.cell)
+         |       AS r
+         |   FROM e CROSS JOIN $cent c) WHERE r = 1""".stripMargin
+    def update(src: String) =
+      s"""SELECT cell,
+         |   CAST(generate_subscripts(v, 1) - 1 AS INT) AS dim,
+         |   unnest(v) AS x FROM $src""".stripMargin
+    s"""e0 AS (SELECT vec_id, embedding::DOUBLE[] v
+       |   FROM embeddings),
+       | e AS (SELECT vec_id, v, sqrt(${dDot("v", "v")}) nn FROM e0),
+       | c0 AS (SELECT CAST(vec_id AS INT) AS cell, v AS cv FROM e0
+       |   WHERE vec_id < 16),
+       | a1 AS MATERIALIZED (${assign("c0")}),
+       | u1 AS (${update("a1")}),
+       | g1 AS (SELECT cell, dim,
+       |   sum(CAST(round(x * 1e6) AS BIGINT))::BIGINT
+       |     / (count(*) * 1e6) AS m, count(*) AS n
+       |   FROM u1 GROUP BY cell, dim),
+       | c1 AS (SELECT cell, list(m ORDER BY dim) AS cv FROM g1
+       |   GROUP BY cell),
+       | a2 AS MATERIALIZED (${assign("c1")}),
+       | u2 AS (${update("a2")}),
+       | g2 AS (SELECT cell, dim,
+       |   sum(CAST(round(x * 1e6) AS BIGINT))::BIGINT
+       |     / (count(*) * 1e6) AS m, count(*) AS n
+       |   FROM u2 GROUP BY cell, dim)""".stripMargin
+  }
 
   val oracleSql: Map[String, String] = Map(
     "qp_dedup_exact" ->
@@ -512,46 +562,43 @@ object QueriesPipeline {
          |   WHERE q_id <> n_id)
          | SELECT q_id, n_id, round(c, 6) AS cos, rnk FROM scored
          | WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
-    "qp_kmeans" -> {
-      // two unrolled Lloyd rounds, identical update rule to
-      // Similarity.kmeansCentroids (round-6 means, max-cosine assign)
-      def assign(cent: String) =
-        s"""SELECT cell, v FROM (
-           |   SELECT e.vec_id, e.v, c.cell,
-           |     row_number() OVER (PARTITION BY e.vec_id
-           |       ORDER BY ${dDot("e.v", "c.cv")} /
-           |         (e.nn * sqrt(${dDot("c.cv", "c.cv")})) DESC, c.cell)
-           |       AS r
-           |   FROM e CROSS JOIN $cent c) WHERE r = 1""".stripMargin
-      s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] v
-         |   FROM embeddings),
-         | e AS (SELECT vec_id, v, sqrt(${dDot("v", "v")}) nn FROM e0),
-         | c0 AS (SELECT CAST(vec_id AS INT) AS cell, v AS cv FROM e0
-         |   WHERE vec_id < 16),
-         | a1 AS MATERIALIZED (${assign("c0")}),
-         | u1 AS (SELECT cell,
-         |   CAST(generate_subscripts(v, 1) - 1 AS INT) AS dim,
-         |   unnest(v) AS x FROM a1),
-         | g1 AS (SELECT cell, dim,
-         |   sum(CAST(round(x * 1e6) AS BIGINT))::BIGINT
-         |     / (count(*) * 1e6) AS m, count(*) AS n
-         |   FROM u1 GROUP BY cell, dim),
-         | c1 AS (SELECT cell, list(m ORDER BY dim) AS cv FROM g1
-         |   GROUP BY cell),
-         | a2 AS MATERIALIZED (${assign("c1")}),
-         | u2 AS (SELECT cell,
-         |   CAST(generate_subscripts(v, 1) - 1 AS INT) AS dim,
-         |   unnest(v) AS x FROM a2),
-         | g2 AS (SELECT cell, dim,
-         |   sum(CAST(round(x * 1e6) AS BIGINT))::BIGINT
-         |     / (count(*) * 1e6) AS m, count(*) AS n
-         |   FROM u2 GROUP BY cell, dim),
+    "qp_kmeans" ->
+      s"""WITH $dKmeansCtes,
          | sizes AS (SELECT cell, max(n) AS n_members FROM g2
          |   GROUP BY cell)
          | SELECT g2.cell, g2.dim, g2.m AS c, sizes.n_members
          | FROM g2 JOIN sizes USING (cell)
-         | ORDER BY cell, dim""".stripMargin
-    },
+         | ORDER BY cell, dim""".stripMargin,
+    "qp_ivf_trained" ->
+      s"""WITH $dKmeansCtes,
+         | c2 AS (SELECT cell, list(m ORDER BY dim) AS cv FROM g2
+         |   GROUP BY cell),
+         | cent AS (SELECT cell AS cent_id, cv AS ccv,
+         |   sqrt(${dDot("cv", "cv")}) AS cn FROM c2),
+         | cells AS (SELECT vec_id AS n_id, v AS cv2, nn AS cn2, cell
+         |   FROM (
+         |   SELECT e.vec_id, e.v, e.nn, cent.cent_id AS cell,
+         |     row_number() OVER (PARTITION BY e.vec_id
+         |       ORDER BY ${dDot("e.v", "cent.ccv")} / (e.nn * cent.cn)
+         |         DESC, cent.cent_id) AS r
+         |   FROM e CROSS JOIN cent) WHERE r = 1),
+         | q AS (SELECT vec_id AS q_id, v AS qv, nn AS qn FROM e
+         |   WHERE vec_id >= 100 AND vec_id < 105),
+         | probes AS (SELECT q_id, qv, qn, probe FROM (
+         |   SELECT q.q_id, q.qv, q.qn, cent.cent_id AS probe,
+         |     row_number() OVER (PARTITION BY q.q_id
+         |       ORDER BY ${dDot("q.qv", "cent.ccv")} / (q.qn * cent.cn)
+         |         DESC, cent.cent_id) AS r
+         |   FROM q CROSS JOIN cent) WHERE r <= 2),
+         | scored AS (
+         |   SELECT q_id, n_id, ${dDot("qv", "cv2")} / (qn * cn2) AS c,
+         |     row_number() OVER (PARTITION BY q_id
+         |       ORDER BY ${dDot("qv", "cv2")} / (qn * cn2) DESC, n_id)
+         |       AS rnk
+         |   FROM probes JOIN cells ON probe = cell
+         |   WHERE q_id <> n_id)
+         | SELECT q_id, n_id, round(c, 6) AS cos, rnk FROM scored
+         | WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
     "qp_quantize_int8" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings
         |   WHERE vec_id < 200),

@@ -145,7 +145,21 @@ object Similarity {
     * Returns (cell, dim, c, n_members) — the trained centroid matrix
     * in long form plus the final assignment sizes. */
   def kmeansCentroids(corpus: DataFrame, init: DataFrame, idCol: String,
-      vecCol: String, iters: Int): DataFrame = {
+      vecCol: String, iters: Int): DataFrame =
+    trainCentroids(corpus, init, idCol, vecCol, iters)
+      .select(col("cell"), col("n_members"),
+        posexplode(col("cv")).as(Seq("dim", "c")))
+      .select(col("cell"), col("dim"), col("c"), col("n_members"))
+
+  /** array-form trained centroids (cell, cv) — feed straight into
+    * [[ivfTopK]] as its centroid table. */
+  def kmeansCentroidVectors(corpus: DataFrame, init: DataFrame,
+      idCol: String, vecCol: String, iters: Int): DataFrame =
+    trainCentroids(corpus, init, idCol, vecCol, iters)
+      .select(col("cell"), col("cv"))
+
+  private def trainCentroids(corpus: DataFrame, init: DataFrame,
+      idCol: String, vecCol: String, iters: Int): DataFrame = {
     require(iters >= 1, s"kmeansCentroids needs iters >= 1, got $iters")
     import org.apache.spark.sql.expressions.Window
     val c = corpus.select(col(idCol).as("__id"),
@@ -190,9 +204,6 @@ object Similarity {
     }
     c.unpersist()
     result
-      .select(col("cell"), col("n_members"),
-        posexplode(col("cv")).as(Seq("dim", "c")))
-      .select(col("cell"), col("dim"), col("c"), col("n_members"))
   }
 
   /** Symmetric int8 quantization of an embedding column: per-vector
