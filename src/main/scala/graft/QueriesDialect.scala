@@ -70,9 +70,15 @@ object QueriesDialect {
     "qd_any_field" -> ((s, dir) => gq(s, dir,
       "select n_nationkey from nation where any() like 'NATION_1%' " +
         "order by n_nationkey")),
-    "qd_containstext" -> ((s, dir) => gq(s, dir,
-      "select doc_id from documents where text containstext 'spark stream' " +
-        "order by doc_id")),
+    "qd_containstext" -> ((s, dir) => {
+      // fresh session: the shared cached session may carry the FULLTEXT
+      // index once qd_containstext_idx has run, which would silently
+      // flip this query onto the indexed path — this one must keep the
+      // scan-path tokenizer under the gate
+      GraftSession.forTestdata(s, dir).query(
+        "select doc_id from documents where text containstext " +
+          "'spark stream' order by doc_id")
+    }),
     "qd_containstext_idx" -> ((s, dir) => {
       // indexed CONTAINSTEXT: CREATE INDEX builds the word→key posting
       // table once (idempotent on the cached session); the query then

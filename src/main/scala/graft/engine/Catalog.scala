@@ -327,12 +327,20 @@ final class Catalog(spark: SparkSession) {
   }
 
   def drop(name: String): Unit = {
-    classes.remove(name.toLowerCase)
+    val key = name.toLowerCase
+    classes.remove(key)
+    // a dropped class takes its metadata with it: stale properties
+    // would reject inserts into a later class of the same name, stale
+    // indexes/postings would replay from the manifest or serve
+    // pre-drop keys
+    properties.keys.filter(_._1 == key).toSeq.foreach(properties.remove)
+    indexes.keys.filter(_._1 == key).toSeq.foreach(indexes.remove)
+    fulltext.invalidate(key)
     persistManifest()
     // durable mode: remove the committed data too — a stale version
     // dir + marker would resurrect the dropped class on reopen (and
     // leak its rows into a later class created under the same name)
-    durableRoot.foreach(root => deleteQuiet(s"$root/${name.toLowerCase}"))
+    durableRoot.foreach(root => deleteQuiet(s"$root/$key"))
   }
 
   private var nextClusterId = 1000

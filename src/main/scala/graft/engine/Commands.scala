@@ -49,15 +49,17 @@ object Commands {
           if (dups > 0) throw new IllegalStateException(
             s"cannot create UNIQUE index on $cls.$field: duplicate keys")
         }
+        if (kind == "FULLTEXT" && cat.get(cls).ridPosCol.isDefined)
+          // build+materialize the posting table FIRST — index creation
+          // pays the tokenize pass so queries don't (reference builds
+          // its word→RID tree at indexing time, OPropertyIndexFullText),
+          // and a failed build must not leave a half-created index
+          // registered (and durably manifested). Unkeyed classes keep
+          // the index advisory: the scan-path tokenizer still answers
+          // CONTAINSTEXT on them.
+          cat.fulltext.postingFor(cat, cls, field)
         cat.indexes((cls.toLowerCase, field.toLowerCase)) = kind
         cat.persistManifest()
-        if (kind == "FULLTEXT" && cat.get(cls).ridPosCol.isDefined)
-          // build+materialize the posting table now — index creation
-          // pays the tokenize pass so queries don't (reference builds
-          // its word→RID tree at indexing time, OPropertyIndexFullText).
-          // Unkeyed classes keep the index advisory: the scan-path
-          // tokenizer still answers CONTAINSTEXT on them.
-          cat.fulltext.postingFor(cat, cls, field)
         one(spark, 1)
       case RemoveIndexStmt(cls, field) =>
         cat.indexes.remove((cls.toLowerCase, field.toLowerCase))
@@ -127,7 +129,8 @@ object Commands {
     val bootstrap = existing.columns.isEmpty
     val declared = cat.propsOf(s.cls).map(_.name.toLowerCase).toSet
     // a still-empty class (declared properties, no rows yet) also
-    // bootstraps: its column shape is not yet settled by data
+    // bootstraps: its column shape is not yet settled by data. One
+    // lazy action, evaluated only when an undeclared field appears.
     lazy val noRowsYet = existing.isEmpty
     def isReal(f: String): Boolean = bootstrap ||
       existing.columns.exists(_.equalsIgnoreCase(f)) ||
@@ -137,8 +140,10 @@ object Commands {
     var row = session.spark.range(1).select(
       realFields.map { case (f, v) => litOf(v).as(f) }: _*)
     if (extraFields.nonEmpty)
+      // keys lower-cased: field resolution is case-insensitive
+      // everywhere else in the engine, so the overflow map must be too
       row = row.withColumn("_extra", map(extraFields.flatMap {
-        case (f, v) => Seq(lit(f), litOf(v).cast(StringType))
+        case (f, v) => Seq(lit(f.toLowerCase), litOf(v).cast(StringType))
       }: _*))
     // per-record version surface (@version): new records start at 0,
     // each UPDATE touch increments (reference ORecordAbstract versions)
@@ -156,7 +161,9 @@ object Commands {
     // `validateField:170-172`) — one batch expression pass
     Validation.validate(row, cat.propsOf(s.cls))
     val merged =
-      if (existing.isEmpty && existing.columns.isEmpty) row
+      // metadata check only — a zero-column table has nothing to union
+      // (running existing.isEmpty here would cost a job per INSERT)
+      if (existing.columns.isEmpty) row
       else extend(existing).unionByName(extend(row).select(allCols.map(col): _*))
     cat.replaceData(s.cls, merged)
     session.hooks.fire(Hooks.AfterCreate, s.cls, row)
@@ -180,10 +187,11 @@ object Commands {
         // INSERT (no global column for a per-record field)
         val extra = if (df.columns.contains("_extra"))
           coalesce(col("_extra"), map()) else map()
+        val key = f.toLowerCase // overflow keys are case-insensitive
         df.withColumn("_extra", when(col("__hit"),
           map_concat(
-            map_filter(extra, (mk, _) => mk =!= lit(f)),
-            map(lit(f), litOf(v).cast(StringType))))
+            map_filter(extra, (mk, _) => mk =!= lit(key)),
+            map(lit(key), litOf(v).cast(StringType))))
           .otherwise(if (df.columns.contains("_extra")) col("_extra")
             else lit(null).cast(MapType(StringType, StringType))))
       case (df, SetField(f, v)) =>

@@ -479,7 +479,8 @@ final class Translator(val catalog: Catalog, val registry: FunctionRegistry) {
                 case MethodSeg("field", _) => true
                 case _ => false
               }
-              (element_at(scope.resolveField("_extra").get, lit(f)), r)
+              (element_at(scope.resolveField("_extra").get,
+                lit(f.toLowerCase)), r)
             case None if scope.lenient =>
               // unknown field → null; swallow any further field hops
               // (getField on a null literal would fail analysis)

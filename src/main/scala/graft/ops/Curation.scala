@@ -26,9 +26,7 @@ object Curation {
     val evalGrams = broadcast(eval
       .select(explode(wordNgrams(tokensWs(col(textCol)), n)).as("__g"))
       .distinct())
-    val spread = corpus.repartition(
-      corpus.sparkSession.sparkContext.defaultParallelism)
-    spread.select(col(idCol),
+    Partitioning.spread(corpus).select(col(idCol),
         explode(wordNgrams(tokensWs(col(textCol)), n)).as("__g"))
       .join(evalGrams, "__g")
       .groupBy(col(idCol))

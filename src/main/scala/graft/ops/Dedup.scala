@@ -24,12 +24,7 @@ import TextOps._
   */
 object Dedup {
 
-  /** Small single-file inputs arrive as one partition; heavy per-row
-    * stages (shingling, hashing) must first spread rows across cores —
-    * a tiny shuffle that buys full parallelism. At real scale inputs
-    * are already many-partitioned and this is a no-op cost. */
-  private def spread(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+  private def spread(df: DataFrame): DataFrame = Partitioning.spread(df)
 
   /** exact duplicate groups by content hash: (hash, n, keep_id).
     * `keep` = smallest id — the canonical survivor. */

@@ -162,10 +162,10 @@ object Similarity {
       idCol: String, vecCol: String, iters: Int): DataFrame = {
     require(iters >= 1, s"kmeansCentroids needs iters >= 1, got $iters")
     import org.apache.spark.sql.expressions.Window
-    val c = corpus.select(col(idCol).as("__id"),
-        col(vecCol).cast("array<double>").as("__v"))
-      .withColumn("__vn", norm(col("__v")))
-      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+    val c = Partitioning.spread(
+      corpus.select(col(idCol).as("__id"),
+          col(vecCol).cast("array<double>").as("__v"))
+        .withColumn("__vn", norm(col("__v"))))
       .persist()
     var cent = init.select(col(idCol).cast("int").as("cell"),
       col(vecCol).cast("array<double>").as("cv"))

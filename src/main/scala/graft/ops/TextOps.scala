@@ -102,9 +102,7 @@ object TextOps {
       textCol: String, k: Int, shingleN: Int = 4): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(idCol)).orderBy(col("__h"))
-    val spread = df.repartition(
-      df.sparkSession.sparkContext.defaultParallelism)
-    val bottomK = spread.select(col(idCol),
+    val bottomK = Partitioning.spread(df).select(col(idCol),
         explode(charShingles(col(textCol), shingleN)).as("__s"))
       .withColumn("__h", hash60(col("__s")))
       .withColumn("__r", row_number().over(w))
@@ -121,7 +119,7 @@ object TextOps {
   def tfidf(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String): org.apache.spark.sql.DataFrame = {
     val n = df.count()
-    val toks = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val toks = Partitioning.spread(df)
       .select(col(idCol), explode(tokensWs(col(textCol))).as("term"))
     val tf = toks.groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
