@@ -90,6 +90,7 @@ object Ast {
   // ---- DDL (§2.9) --------------------------------------------------
   final case class CreateClassStmt(name: String, superClass: Option[String])
       extends Stmt
+  final case class RemoveClassStmt(name: String) extends Stmt
   final case class CreatePropertyStmt(cls: String, field: String,
       tpe: String, linked: Option[String]) extends Stmt
   final case class RemovePropertyStmt(cls: String, field: String) extends Stmt

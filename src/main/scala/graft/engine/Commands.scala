@@ -28,6 +28,9 @@ object Commands {
       case s: DeleteStmt => delete(session, s)
       case CreateClassStmt(name, sup) =>
         cat.createClass(name, sup); one(spark, 1)
+      case RemoveClassStmt(name) =>
+        cat.get(name) // unknown class → error, not a silent no-op
+        cat.drop(name); one(spark, 1)
       case CreatePropertyStmt(cls, field, tpe, linked) =>
         val df = cat.table(cls).drop("_rid", "_class")
         cat.replaceData(cls,

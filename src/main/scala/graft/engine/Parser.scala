@@ -143,7 +143,8 @@ object Parser {
         case t if isKw(t, "insert") => insertStmt()
         case t if isKw(t, "update") => updateStmt()
         case t if isKw(t, "delete") => deleteStmt()
-        case t if isKw(t, "create") || isKw(t, "remove") => ddlStmt()
+        case t if isKw(t, "create") || isKw(t, "remove") ||
+            isKw(t, "drop") => ddlStmt()
         case t if isKw(t, "grant") || isKw(t, "revoke") =>
           val revoke = isKw(t, "revoke")
           pos += 1
@@ -489,11 +490,13 @@ object Parser {
     // CREATE CLASS/PROPERTY/INDEX/LINK, REMOVE PROPERTY/INDEX (§2.9)
     private def ddlStmt(): Stmt = {
       val create = tryKw("create")
-      if (!create) eatKw("remove")
+      if (!create && !tryKw("remove")) eatKw("drop")
       if (tryKw("class")) {
         val name = ident()
-        val sup = if (tryKw("extends")) Some(ident()) else None
-        CreateClassStmt(name, sup)
+        if (create) {
+          val sup = if (tryKw("extends")) Some(ident()) else None
+          CreateClassStmt(name, sup)
+        } else RemoveClassStmt(name)
       } else if (tryKw("property")) {
         val cls = ident(); eatPunct("."); val f = ident()
         if (create) {

@@ -50,6 +50,28 @@ class CommandsSpec extends AnyFunSuite {
       .head.getString(0) == "calm")
   }
 
+  test("remove/drop class deletes the class and its metadata") {
+    val g = freshSession()
+    g.command("create class Tmp")
+    g.command("create property Tmp.v INTEGER")
+    g.catalog.setProperty(PropertyDef("Tmp", "v", "INTEGER",
+      min = Some("0")))
+    g.command("insert into Tmp (id, v) values (1, 5)")
+    g.command("create index Tmp.id unique")
+    g.command("remove class Tmp")
+    intercept[Parser.ParseException](g.query("select from Tmp"))
+    assert(!g.catalog.indexes.contains(("tmp", "id")))
+    // re-creating the name starts clean: the old min-constraint and
+    // index must not haunt the new class
+    g.command("create class Tmp")
+    g.command("insert into Tmp (v) values (-10)") // old min=0 is gone
+    assert(g.query("select v from Tmp").collect()
+      .head.getLong(0) == -10L)
+    // drop is an alias; unknown class errors instead of no-op
+    g.command("drop class Tmp")
+    intercept[Parser.ParseException](g.command("remove class Nope"))
+  }
+
   test("@version starts at 0 and increments per UPDATE touch") {
     val g = freshSession()
     g.command("create class Vv")
