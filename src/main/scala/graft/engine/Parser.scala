@@ -519,6 +519,7 @@ object Parser {
         } else RemoveIndexStmt(cls, f)
       } else if (tryKw("link")) {
         // CREATE LINK [name] FROM c1.f1 TO c2.f2 [INVERSE]
+        if (!create) fail("REMOVE LINK is not supported")
         val name = if (!isKw(peek, "from")) Some(ident()) else None
         eatKw("from")
         val c1 = ident(); eatPunct("."); val f1 = ident()
