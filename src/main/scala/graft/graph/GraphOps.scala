@@ -73,15 +73,16 @@ object GraphOps {
         .select(col("id"),
           (lit(0.15) + lit(0.85) * coalesce(col("msgSum"), lit(0.0)))
             .as("rank"))
-      // truncate lineage every 5 rounds (same pattern as Traverse):
+      // truncate lineage every 3 rounds (same pattern as Traverse):
       // the nested join+agg plan otherwise grows linearly with iters,
       // ballooning planning time and defeating AQE at 20+ iterations.
-      // 5 keeps planning cheap while halving eager materializations
-      if (i % 5 == 0) ranks = ranks.localCheckpoint()
+      // (interval 5 measured slower: deeper nested plans cost more in
+      // planning/AQE than the saved materializations)
+      if (i % 3 == 0) ranks = ranks.localCheckpoint()
     }
     // final materialization lets the loop-invariant caches be dropped
     // here instead of leaking into the session
-    val out = if (iters % 5 == 0) ranks else ranks.localCheckpoint()
+    val out = if (iters % 3 == 0) ranks else ranks.localCheckpoint()
     contrib.unpersist()
     ids.unpersist()
     out
