@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
+import graft.ops.RangeJoin
 
 /** Relational query corpus: the reference's SELECT surface (scan,
   * filter operators, projections, order/limit — SURVEY.md §2.1-2.3,
@@ -301,6 +302,14 @@ object QueriesRelational {
           "cv", "click_value")
         .orderBy($"event_id")
     }),
+    "q_range_join" -> ((s, dir) => {
+      // burst detection: all event pairs of a user within 2 hours —
+      // banded range join (ops.RangeJoin), never a per-key cross
+      // product
+      RangeJoin.pairsWithin(t(s, dir, "events"), "user_id", "ts",
+          "event_id", windowUs = 7200L * 1000000L)
+        .orderBy(col("user_id"), col("a_id"), col("b_id"))
+    }),
     "q_cube" -> ((s, dir) => {
       import s.implicits._
       t(s, dir, "orders")
@@ -493,6 +502,13 @@ object QueriesRelational {
         | FROM p ASOF LEFT JOIN c
         |   ON p.user_id = c.user_id AND p.ts >= c.ts
         | ORDER BY p.event_id""".stripMargin,
+    "q_range_join" ->
+      """SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,
+        |   (epoch_us(b.ts) - epoch_us(a.ts)) // 1000000 AS gap_sec
+        | FROM events a JOIN events b ON a.user_id = b.user_id
+        |   AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 2 HOURS
+        |   AND (b.ts > a.ts OR b.event_id > a.event_id)
+        | ORDER BY a.user_id, a_id, b_id""".stripMargin,
     "q_cube" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
         |   round(sum(o_totalprice), 2) AS total

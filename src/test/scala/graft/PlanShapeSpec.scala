@@ -89,6 +89,12 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!samp.contains("Join"), samp)
   }
 
+  test("banded range join stays an equi-join, never a cross product") {
+    val p = finalPlan(df("q_range_join"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("as-of join is a window pass, not a range join") {
     // the union-window formulation must never degenerate into a
     // nested-loop/cartesian range join (quadratic per key)
