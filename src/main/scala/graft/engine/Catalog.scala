@@ -222,10 +222,13 @@ final class Catalog(spark: SparkSession) {
         if (!rows.columns.contains(f) || r.isNullAt(r.fieldIndex(f))) None
         else Some(r.getAs[String](f))
       val all = rows.collect()
-      // classes first (links/properties/indexes refer to them)
+      // classes first (links/properties/indexes refer to them). A
+      // manifest row ALWAYS wins over a code-seeded registration of
+      // the same name: it can only exist because DDL dropped the seed
+      // and re-created the class, and that DDL state is the truth.
       all.filter(r => str(r, "kind").contains("class")).foreach { r =>
         val name = r.getAs[String]("name")
-        if (!contains(name)) {
+        locally {
           val links: Seq[LinkSpec] =
             if (!rows.columns.contains("links") ||
                 r.isNullAt(r.fieldIndex("links"))) Nil
@@ -260,6 +263,13 @@ final class Catalog(spark: SparkSession) {
       all.filter(r => str(r, "kind").contains("acl")).foreach { r =>
         acl((r.getAs[String]("role"), r.getAs[String]("resource"))) =
           r.getSeq[String](r.fieldIndex("perms")).toSet
+      }
+      // tombstones last: a previous session dropped these — the code
+      // seed may have re-registered them above; remove them again
+      all.filter(r => str(r, "kind").contains("dropped")).foreach { r =>
+        val t = r.getAs[String]("name").toLowerCase
+        tombstones += t
+        classes.remove(t)
       }
     }
     // point every committed class at its latest parquet version
@@ -304,6 +314,8 @@ final class Catalog(spark: SparkSession) {
       s"""{"kind":"acl","role":${js(role)},"resource":${js(res)},""" +
         perms.toSeq.sorted.map(js).mkString(""""perms":[""", ",", "]}")
     }
+    val tombLines = tombstones.toSeq.sorted.map(t =>
+      s"""{"kind":"dropped","name":${js(t)}}""")
     val fs = hadoopFs(root)
     // write-temp-then-rename: never truncate the live manifest in
     // place (a crash mid-write would silently lose the whole catalog)
@@ -311,7 +323,7 @@ final class Catalog(spark: SparkSession) {
     val dst = new org.apache.hadoop.fs.Path(s"$root/catalog-manifest.json")
     val out = fs.create(tmp, true)
     try out.write(
-      (classLines ++ indexLines ++ propLines ++ aclLines)
+      (classLines ++ indexLines ++ propLines ++ aclLines ++ tombLines)
         .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     fs.delete(dst, false)
@@ -326,16 +338,26 @@ final class Catalog(spark: SparkSession) {
     persistManifest()
   }
 
+  /** class names dropped this or a previous durable session — written
+    * to the manifest as tombstones so dropping a CODE-SEEDED class
+    * (testdata tables) survives reopen (the seed re-registers it; the
+    * tombstone removes it again). CREATE CLASS clears the tombstone. */
+  private val tombstones = scala.collection.mutable.Set[String]()
+
   def drop(name: String): Unit = {
     val key = name.toLowerCase
     classes.remove(key)
     // a dropped class takes its metadata with it: stale properties
     // would reject inserts into a later class of the same name, stale
     // indexes/postings would replay from the manifest or serve
-    // pre-drop keys
+    // pre-drop keys, stale ACL grants would apply to an unrelated
+    // future class of the same name
     properties.keys.filter(_._1 == key).toSeq.foreach(properties.remove)
     indexes.keys.filter(_._1 == key).toSeq.foreach(indexes.remove)
+    acl.keys.filter(_._2.split('.').lastOption.exists(
+      _.equalsIgnoreCase(key))).toSeq.foreach(acl.remove)
     fulltext.invalidate(key)
+    tombstones += key
     persistManifest()
     // durable mode: remove the committed data too — a stale version
     // dir + marker would resurrect the dropped class on reopen (and
@@ -346,6 +368,10 @@ final class Catalog(spark: SparkSession) {
   private var nextClusterId = 1000
 
   def createClass(name: String, superClass: Option[String]): ClassDef = {
+    // duplicate create is an error (reference OSchema semantics), not
+    // a silent replacement of the existing class and its data
+    if (contains(name))
+      throw new IllegalArgumentException(s"class '$name' already exists")
     // reject inheritance cycles up front (self-extends included)
     superClass.foreach { sup =>
       if (sup.equalsIgnoreCase(name) ||
@@ -360,6 +386,7 @@ final class Catalog(spark: SparkSession) {
       s => s.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), schema),
       superClass, Nil, nextClusterId, None)
+    tombstones -= name.toLowerCase // re-creation revives the name
     register(d); persistManifest(); d
   }
 

@@ -72,6 +72,25 @@ class CommandsSpec extends AnyFunSuite {
     intercept[Parser.ParseException](g.command("remove class Nope"))
   }
 
+  test("durable drop of a seeded class survives reopen via tombstone") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-durable-drop").toString
+    val g1 = GraftSession.openDurable(spark, "/root/testdata/sf0.001", root)
+    assert(g1.query("select from region").count() == 5)
+    g1.command("remove class region")
+    intercept[Parser.ParseException](g1.query("select from region"))
+    // the code seed re-registers region on reopen; the manifest
+    // tombstone must remove it again
+    val g2 = GraftSession.openDurable(spark, "/root/testdata/sf0.001", root)
+    intercept[Parser.ParseException](g2.query("select from region"))
+    // re-creating the name revives it, empty
+    g2.command("create class region")
+    g2.command("insert into region (r_name) values ('NEW')")
+    val g3 = GraftSession.openDurable(spark, "/root/testdata/sf0.001", root)
+    assert(g3.query("select r_name from region").collect()
+      .map(_.getString(0)).toSeq == Seq("NEW"))
+  }
+
   test("@version starts at 0 and increments per UPDATE touch") {
     val g = freshSession()
     g.command("create class Vv")

@@ -22,8 +22,11 @@ class TextPropertySpec extends AnyFunSuite {
       1 -> Gen.oneOf('.', ',', '!', '-', '\t'),
       1 -> Gen.oneOf('X', 'q', '9'))).map(_.mkString))
 
+  // fixed seed: a failing input must reproduce across runs
   private lazy val rows: Seq[(Long, String)] =
-    Gen.listOfN(400, strGen).sample.get.zipWithIndex
+    Gen.listOfN(400, strGen)
+      .apply(Gen.Parameters.default, org.scalacheck.rng.Seed(42L))
+      .get.zipWithIndex
       .map { case (s, i) => (i.toLong, s) }
   private lazy val df = rows.toDF("id", "s")
 
