@@ -431,10 +431,12 @@ object QueriesPipeline {
          |   (SELECT count(*) FROM quality) AS n_quality""".stripMargin
     },
     "qp_dedup_clusters" -> {
-      // pairs identical to qp_ngram_jaccard, then 6 unrolled rounds of
-      // min-label propagation — the same update rule as
-      // Dedup.nearDupClusters (min of own and in-neighbor labels)
-      val rounds = (1 to 6).map { t =>
+      // pairs identical to qp_ngram_jaccard, then unrolled min-label
+      // propagation — the same update rule as Dedup.nearDupClusters
+      // (min of own and in-neighbor labels). The Spark side iterates
+      // to convergence; 10 unrolled rounds cover the data's diameter
+      // with margin (MATERIALIZED keeps the extra no-op rounds cheap)
+      val rounds = (1 to 10).map { t =>
         s"""l$t AS MATERIALIZED (SELECT id, min(lbl) AS lbl FROM (
            |   SELECT id, lbl FROM l${t - 1}
            |   UNION ALL
@@ -458,7 +460,7 @@ object QueriesPipeline {
          |   UNION ALL SELECT b, a FROM p),
          | l0 AS (SELECT DISTINCT a AS id, a AS lbl FROM u),
          | $rounds
-         | SELECT lbl AS cluster, count(*) AS n_members FROM l6
+         | SELECT lbl AS cluster, count(*) AS n_members FROM l10
          | GROUP BY lbl ORDER BY cluster""".stripMargin
     },
     "qp_decontaminate" ->

@@ -61,15 +61,19 @@ object Dedup {
       shingleN: Int = 4): DataFrame =
     df.join(minhashSigs(df, idCol, textCol, shingleN), idCol)
 
-  /** MinHash-LSH near-duplicate pairs: candidates from band-bucket
-    * collisions, verified by exact shingle Jaccard ≥ `threshold`.
-    * Returns (a_id, b_id, jac). */
-  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double, shingleN: Int = 4, bands: Int = 4): DataFrame = {
-    require(bands > 0 && MinhashK % bands == 0,
-      s"bands must evenly divide MinhashK=$MinhashK, got $bands")
+  /** (band, id) bucket rows for LSH candidate generation. Exposed for
+    * the hot-bucket spec: null-signature docs (text shorter than the
+    * shingle width — empty strings are common in real crawls) can never
+    * verify (their Jaccard nulls out), but `concat_ws` SKIPS nulls, so
+    * keeping them would collapse every shingle-less doc into the same
+    * `bands` degenerate band keys — candidate generation then goes
+    * quadratic in their count (~10¹² pairs at 100 TB). They are
+    * excluded here; bucket rows grow O(bands·n), never O(n²). */
+  private[graft] def bandBuckets(df: DataFrame, idCol: String,
+      textCol: String, shingleN: Int, bands: Int): DataFrame = {
     val rowsPerBand = MinhashK / bands
     val sigs = minhashSigs(df, idCol, textCol, shingleN)
+      .filter(col("s0").isNotNull)
       .withColumnRenamed(idCol, "__id")
     // band key = band index + concatenated sig slice; explode to
     // (bandKey, id): candidate generation shuffles ONLY small keys
@@ -77,10 +81,22 @@ object Dedup {
       val ks = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"s$i"))
       concat_ws("_", (lit(b) +: ks): _*)
     }
-    // (band, id) rows are tiny; persisting them runs the signature
-    // aggregation once instead of once per self-join side
-    val buckets = sigs.select(col("__id"),
-      explode(array(bandKeys: _*)).as("__band")).persist()
+    sigs.select(col("__id"), explode(array(bandKeys: _*)).as("__band"))
+  }
+
+  /** MinHash-LSH near-duplicate pairs: candidates from band-bucket
+    * collisions, verified by exact shingle Jaccard ≥ `threshold`.
+    * Returns (a_id, b_id, jac) LAZILY — one job end-to-end when the
+    * caller acts on it. The bucket self-join and the two shingle-set
+    * probe joins read identical subplans on both sides, so Spark's
+    * exchange reuse computes the signature aggregation and the shingle
+    * sets once — no persist (nothing to leak across calls) and no
+    * eager materialization barrier splitting the pipeline. */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, shingleN: Int = 4, bands: Int = 4): DataFrame = {
+    require(bands > 0 && MinhashK % bands == 0,
+      s"bands must evenly divide MinhashK=$MinhashK, got $bands")
+    val buckets = bandBuckets(df, idCol, textCol, shingleN, bands)
     val candidates = buckets.select(col("__band"), col("__id").as("a_id"))
       .join(buckets.select(col("__band"), col("__id").as("b_id")),
         Seq("__band"))
@@ -91,19 +107,13 @@ object Dedup {
     val sh = spread(df).select(col(idCol).as("__id"),
       array_distinct(transform(charShingles(col(textCol), shingleN),
         hash60 _)).as("__sh"))
-    // one job end-to-end, then eagerly materialize the (small,
-    // threshold-filtered) pair output and drop the bucket cache —
-    // scoped, no storage accumulation across calls
-    val pairs = candidates
+    candidates
       .join(sh.select(col("__id").as("a_id"), col("__sh").as("__sha")), "a_id")
       .join(sh.select(col("__id").as("b_id"), col("__sh").as("__shb")), "b_id")
       .withColumn("__i", size(array_intersect(col("__sha"), col("__shb"))))
       .select(col("a_id"), col("b_id"),
         jacFromInter(col("__i"), col("__sha"), col("__shb")).as("jac"))
       .filter(col("jac") >= threshold)
-      .localCheckpoint()
-    buckets.unpersist()
-    pairs
   }
 
   /** full minhash signature as ONE string column — the expression form
@@ -204,25 +214,38 @@ object Dedup {
   }
 
   /** Near-duplicate CLUSTERS from a pair table: treat pairs as an
-    * undirected graph and run min-label propagation to convergence on
-    * small diameters (near-dup clusters are chains of a few docs —
-    * `rounds` = 6 covers diameter 6; raise for pathological chains).
-    * Returns (cluster, n_members): cluster id = min member id, the
-    * canonical survivor — everything else in the cluster is droppable.
-    * Lineage truncates every 4 rounds (iterative-algorithm rule). */
+    * undirected graph and run min-label propagation TO CONVERGENCE —
+    * the loop stops when no label changed, so a near-dup chain of any
+    * diameter collapses into one cluster (a fixed round count would
+    * silently under-merge long chains, leaving residual duplicates in
+    * the output corpus). `maxRounds` only bounds pathological inputs;
+    * labels travel one hop per round, so it binds at diameter >
+    * maxRounds. Returns (cluster, n_members): cluster id = min member
+    * id, the canonical survivor. Labels materialize per round via
+    * localCheckpoint (one row per node APPEARING IN A PAIR — a tiny
+    * frame even at 100 TB), which truncates lineage and makes the
+    * convergence count a cheap job over two materialized tables. */
   def nearDupClusters(pairs: DataFrame, aCol: String, bCol: String,
-      rounds: Int = 6): DataFrame = {
+      maxRounds: Int = 50): DataFrame = {
     val edges = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
     val und = edges.unionByName(
       edges.select(col("b").as("a"), col("a").as("b"))).persist()
     var labels = und.select(col("a").as("id")).distinct()
-      .withColumn("lbl", col("id"))
-    for (i <- 1 to rounds) {
+      .withColumn("lbl", col("id")).localCheckpoint()
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < maxRounds) {
+      round += 1
       val prop = und.join(labels, und("a") === labels("id"))
         .select(und("b").as("id"), col("lbl"))
-      labels = prop.unionByName(labels)
+      val next = prop.unionByName(labels)
         .groupBy("id").agg(min("lbl").as("lbl"))
-      if (i % 4 == 0 && i < rounds) labels = labels.localCheckpoint()
+        .localCheckpoint()
+      // min-label never increases, so convergence = zero decreases
+      changed = next
+        .join(labels.select(col("id"), col("lbl").as("__prev")), "id")
+        .filter(col("lbl") < col("__prev")).count()
+      labels = next
     }
     val out = labels.groupBy(col("lbl").as("cluster"))
       .agg(count(lit(1)).as("n_members"))
@@ -232,33 +255,29 @@ object Dedup {
   }
 
   /** exact n-gram Jaccard pairs within blocking keys (quadratic per
-    * block — use only after blocking/LSH has bounded the block size). */
+    * block — use only after blocking/LSH has bounded the block size).
+    * Returns LAZILY: the self-join reads the identical shingle-set
+    * aggregation on both sides, so exchange reuse computes it once —
+    * no persist, no eager materialization barrier. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       blockCols: Seq[String], threshold: Double,
       shingleN: Int = 4): DataFrame = {
     // hash shingles AFTER explode (md5 runs inside whole-stage codegen,
-    // not an interpreted array lambda), collect the distinct set, and
-    // persist — both pair sides reuse one computation
+    // not an interpreted array lambda), then collect the distinct set
     val s = spread(df).select((Seq(col(idCol).as("__id"),
         explode(charShingles(col(textCol), shingleN)).as("__g")) ++
         blockCols.map(col)): _*)
       .withColumn("__h", hash60(col("__g")))
       .groupBy((col("__id") +: blockCols.map(col)): _*)
       .agg(collect_set(col("__h")).as("__sh"))
-      .persist()
     val a = s.select((Seq(col("__id").as("a_id"),
       col("__sh").as("__sha")) ++ blockCols.map(col)): _*)
     val b = s.select((Seq(col("__id").as("b_id"),
       col("__sh").as("__shb")) ++ blockCols.map(col)): _*)
-    // materialize the (small, threshold-filtered) pair output eagerly,
-    // then drop the shingle-set cache — scoped, no leak across calls
-    val pairs = a.join(b, blockCols).filter(col("a_id") < col("b_id"))
+    a.join(b, blockCols).filter(col("a_id") < col("b_id"))
       .withColumn("__i", size(array_intersect(col("__sha"), col("__shb"))))
       .withColumn("jac", jacFromInter(col("__i"), col("__sha"), col("__shb")))
       .filter(col("jac") >= threshold)
       .select("a_id", "b_id", "jac")
-      .localCheckpoint()
-    s.unpersist()
-    pairs
   }
 }

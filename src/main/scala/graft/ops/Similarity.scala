@@ -23,31 +23,52 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Two-level exact top-k ranking over a scored (q_id, n_id, cos)
+    * frame: per-(query, input-partition) top-k first — each task keeps
+    * at most k rows per query — then the global top-k over the
+    * ≤ k·numPartitions survivors. A single window over q_id would put
+    * one query's ENTIRE candidate list in one task: invisible at test
+    * scale, a guaranteed straggler/OOM at 100 TB. The local pass is
+    * exact: the global top-k is a subset of the union of per-partition
+    * top-ks, and the (cos desc, n_id) order is total, so the final
+    * ranking is identical to the one-level plan. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val local = Window.partitionBy(col("q_id"), col("__pid"))
+      .orderBy(col("cos").desc, col("n_id"))
+    val global = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id"))
+    scored.withColumn("__pid", spark_partition_id())
+      .withColumn("__lr", row_number().over(local))
+      .filter(col("__lr") <= k)
+      .withColumn("rnk", row_number().over(global))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"), round(col("cos"), 6).as("cos"),
+        col("rnk"))
+  }
+
   /** brute-force top-k cosine neighbors for each query vector.
     * `queries` must be small (it is broadcast); the corpus is scanned
-    * once and ranked per query id. Norms are computed once per side
-    * BEFORE the join — a pair then costs one dot product, not three
-    * array aggregations. ASSUMES queries and corpus share one id
-    * space: a corpus row with a query's id is treated as the query
-    * itself and excluded. Returns (q_id, n_id, cos, rnk). */
+    * once and ranked per query id via the two-level [[rankTopK]].
+    * Norms are computed once per side BEFORE the join — a pair then
+    * costs one dot product, not three array aggregations. ASSUMES
+    * queries and corpus share one id space: a corpus row with a
+    * query's id is treated as the query itself and excluded.
+    * Returns (q_id, n_id, cos, rnk). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
     val q = broadcast(queries.select(col(idCol).as("q_id"),
       col(vecCol).cast("array<double>").as("__qv"))
       .withColumn("__qn", norm(col("__qv"))))
-    val c = corpus.select(col(idCol).as("n_id"),
-      col(vecCol).cast("array<double>").as("__cv"))
+    val c = Partitioning.spread(corpus.select(col(idCol).as("n_id"),
+        col(vecCol).cast("array<double>").as("__cv")))
       .withColumn("__cn", norm(col("__cv")))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("n_id"))
-    c.crossJoin(q)
-      .filter(col("q_id") =!= col("n_id"))
-      .withColumn("cos", dot(col("__qv"), col("__cv")) /
-        (col("__qn") * col("__cn")))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("q_id"), col("n_id"), round(col("cos"), 6).as("cos"),
-        col("rnk"))
+    rankTopK(
+      c.crossJoin(q)
+        .filter(col("q_id") =!= col("n_id"))
+        .withColumn("cos", dot(col("__qv"), col("__cv")) /
+          (col("__qn") * col("__cn")))
+        .select(col("q_id"), col("n_id"), col("cos")),
+      k)
   }
 
   /** seeded random hyperplanes (rounded so literals are identical when
@@ -83,49 +104,82 @@ object Similarity {
       .select("a_id", "b_id", "cos")
   }
 
-  /** IVF-style ANN: coarse-quantize the corpus into `centroids.count`
-    * cells (assignment = nearest centroid by cosine), then answer each
-    * query by probing only the `nProbe` nearest cells. The inverted
-    * file is the (cell → vectors) partitioning; at 100 TB the corpus
-    * is written bucketed by cell so a probe reads `nProbe/k` of the
-    * data instead of all of it. Deterministic given fixed centroids. */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
-      idCol: String, vecCol: String, k: Int, nProbe: Int): DataFrame = {
-    val cent = broadcast(centroids.select(col(idCol).as("cent_id"),
-      col(vecCol).cast("array<double>").as("__centv"))
-      .withColumn("__centn", norm(col("__centv"))))
-    def assign(df: DataFrame, id: String, vec: String, n: String,
-        outCol: String, topCells: Int): DataFrame = {
-      val w = Window.partitionBy(col(id))
-        .orderBy(col("__simc").desc, col("cent_id"))
-      df.crossJoin(cent)
-        .withColumn("__simc", dot(col(vec), col("__centv")) /
-          (col(n) * col("__centn")))
-        .withColumn("__r", row_number().over(w))
-        .filter(col("__r") <= topCells)
-        .select(col(id), col(vec), col(n), col("cent_id").as(outCol))
-    }
-    val c = corpus.select(col(idCol).as("n_id"),
+  /** driver-resident centroid: CONTROL-PLANE metadata (k·dim doubles —
+    * the same payload a broadcast would ship) collected once and
+    * inlined as ONE array literal, so cell assignment is a narrow
+    * per-row expression: no join, no window, no shuffle. The previous
+    * formulation crossJoined every corpus row with all k centroids and
+    * resolved argmax via a row_number window — k× shuffle inflation
+    * per pass (4096× at IVF-realistic k). */
+  case class Centroid(cell: Int, cv: Seq[Double], cn: Double)
+
+  /** collect a (small, bounded-by-k) centroid table driver-side. The
+    * norm uses the same left-fold order as [[norm]], so the doubles
+    * stay bit-identical to a Spark-evaluated norm. */
+  def collectCentroids(centroids: DataFrame, idCol: String,
+      vecCol: String): Seq[Centroid] =
+    centroids.select(col(idCol).cast("int"),
+        col(vecCol).cast("array<double>"))
+      .collect()
+      .map { r =>
+        val cv = r.getSeq[Double](1)
+        Centroid(r.getInt(0), cv,
+          math.sqrt(cv.foldLeft(0.0d)((acc, x) => acc + x * x)))
+      }.toSeq.sortBy(_.cell)
+
+  /** the `topCells` nearest centroid cells by cosine (ties → lower
+    * cell id) as a PURE EXPRESSION over the centroid literal: score
+    * every centroid, sort by (-sim, cell), slice. One array literal
+    * regardless of k — the expression tree stays O(1) in k. */
+  private def nearestCells(vec: Column, nrm: Column,
+      cents: Seq[Centroid], topCells: Int): Column = {
+    val scored = transform(typedlit(cents), c =>
+      struct(
+        (-(dot(vec, c.getField("cv")) / (nrm * c.getField("cn"))))
+          .as("neg"),
+        c.getField("cell").as("cell")))
+    transform(slice(array_sort(scored), 1, topCells),
+      s => s.getField("cell"))
+  }
+
+  /** corpus cell assignment (n_id, __cv, __cn, cell) — one narrow
+    * projection over the scan; PlanShapeSpec pins the no-join/no-
+    * window/no-shuffle shape. */
+  def cellAssignments(corpus: DataFrame, cents: Seq[Centroid],
+      idCol: String, vecCol: String): DataFrame =
+    corpus.select(col(idCol).as("n_id"),
         col(vecCol).cast("array<double>").as("__cv"))
       .withColumn("__cn", norm(col("__cv")))
-    val cells = assign(c, "n_id", "__cv", "__cn", "cell", topCells = 1)
-    val q = queries.select(col(idCol).as("q_id"),
+      .withColumn("cell",
+        element_at(nearestCells(col("__cv"), col("__cn"), cents, 1), 1))
+
+  /** IVF-style ANN: coarse-quantize the corpus into k cells
+    * (assignment = nearest centroid by cosine, computed as a narrow
+    * expression over the centroid literal), then answer each query by
+    * probing only the `nProbe` nearest cells. The inverted file is the
+    * (cell → vectors) partitioning; at 100 TB the corpus is written
+    * bucketed by cell so a probe reads `nProbe/k` of the data instead
+    * of all of it. Deterministic given fixed centroids. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, k: Int, nProbe: Int): DataFrame = {
+    val cents = collectCentroids(centroids, idCol, vecCol)
+    val cells = cellAssignments(corpus, cents, idCol, vecCol)
+    val probes = queries.select(col(idCol).as("q_id"),
         col(vecCol).cast("array<double>").as("__qv"))
       .withColumn("__qn", norm(col("__qv")))
-    val probes = assign(q, "q_id", "__qv", "__qn", "probe", topCells = nProbe)
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("n_id"))
+      .withColumn("probe",
+        explode(nearestCells(col("__qv"), col("__qn"), cents, nProbe)))
     // pairs are already unique: each corpus vector is in exactly one
-    // cell and a query's probes are distinct cells — no distinct needed
-    probes.join(cells, col("probe") === col("cell"))
-      .filter(col("q_id") =!= col("n_id"))
-      .withColumn("cos", dot(col("__qv"), col("__cv")) /
-        (col("__qn") * col("__cn")))
-      .select(col("q_id"), col("n_id"), col("cos"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("q_id"), col("n_id"), round(col("cos"), 6).as("cos"),
-        col("rnk"))
+    // cell and a query's probes are distinct cells — no distinct
+    // needed. Queries are the small side: broadcast the probes and
+    // scan the cells once.
+    rankTopK(
+      cells.join(broadcast(probes), col("probe") === col("cell"))
+        .filter(col("q_id") =!= col("n_id"))
+        .withColumn("cos", dot(col("__qv"), col("__cv")) /
+          (col("__qn") * col("__cn")))
+        .select(col("q_id"), col("n_id"), col("cos")),
+      k)
   }
 
   /** Lloyd k-means iterations for IVF centroid TRAINING (ivfTopK
@@ -158,27 +212,31 @@ object Similarity {
     trainCentroids(corpus, init, idCol, vecCol, iters)
       .select(col("cell"), col("cv"))
 
+  /** Per Lloyd round: assignment is a narrow expression over the
+    * centroid literal (no join, no window, no shuffle — the previous
+    * crossJoin+row_number shuffled k×n rows per round), then ONE
+    * partial-combining (cell, dim) aggregation whose k·dim result
+    * collects driver-side. The collected centroid matrix is
+    * control-plane metadata (what the broadcast shipped anyway); with
+    * it in hand each round's plan starts from literals + the persisted
+    * corpus, so lineage never grows and no checkpoint is needed. The
+    * fixed-point integer sums make the collected doubles bit-identical
+    * regardless of partitioning. */
   private def trainCentroids(corpus: DataFrame, init: DataFrame,
       idCol: String, vecCol: String, iters: Int): DataFrame = {
     require(iters >= 1, s"kmeansCentroids needs iters >= 1, got $iters")
-    import org.apache.spark.sql.expressions.Window
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val c = Partitioning.spread(
       corpus.select(col(idCol).as("__id"),
           col(vecCol).cast("array<double>").as("__v"))
         .withColumn("__vn", norm(col("__v"))))
       .persist()
-    var cent = init.select(col(idCol).cast("int").as("cell"),
-      col(vecCol).cast("array<double>").as("cv"))
-    var result: DataFrame = null
+    var cents = collectCentroids(init, idCol, vecCol)
+    var state: Seq[(Int, Seq[Double], Long)] = Nil
     for (_ <- 1 to iters) {
-      val b = broadcast(cent.withColumn("__cn", norm(col("cv"))))
-      val w = Window.partitionBy(col("__id"))
-        .orderBy(col("__sim").desc, col("cell"))
-      val assigned = c.crossJoin(b)
-        .withColumn("__sim",
-          dot(col("__v"), col("cv")) / (col("__vn") * col("__cn")))
-        .withColumn("__r", row_number().over(w))
-        .filter(col("__r") === 1)
+      val assigned = c.withColumn("cell",
+          element_at(nearestCells(col("__v"), col("__vn"), cents, 1), 1))
         .select(col("cell"), col("__v"))
       // count(x) per (cell, dim) equals the cell's member count — the
       // mean and the size come out of one aggregation. The mean is
@@ -194,16 +252,21 @@ object Similarity {
         // BIT-IDENTICAL on any engine; no rounding (a round() here
         // would re-introduce decimal-vs-binary midpoint divergence)
         .withColumn("m", col("sx") / (col("n") * 1e6))
-      result = upd.groupBy(col("cell"))
+      state = upd.groupBy(col("cell"))
         .agg(transform(
             array_sort(collect_list(struct(col("dim"), col("m")))),
             s => s.getField("m")).as("cv"),
           max(col("n")).as("n_members"))
-        .localCheckpoint()
-      cent = result.select(col("cell"), col("cv"))
+        .collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1), r.getLong(2)))
+        .toSeq.sortBy(_._1)
+      cents = state.map { case (cell, cv, _) =>
+        Centroid(cell, cv,
+          math.sqrt(cv.foldLeft(0.0d)((acc, x) => acc + x * x)))
+      }
     }
     c.unpersist()
-    result
+    state.toDF("cell", "cv", "n_members")
   }
 
   /** Symmetric int8 quantization of an embedding column: per-vector

@@ -104,6 +104,29 @@ class PlanShapeSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("IVF cell assignment is a narrow expression: no join, window, or shuffle") {
+    import graft.ops.Similarity
+    val e = graft.sources.Tables.load(spark, sf, "embeddings")
+    val cents = Similarity.collectCentroids(
+      e.filter(org.apache.spark.sql.functions.col("vec_id") < 16),
+      "vec_id", "embedding")
+    val plan = Similarity.cellAssignments(e, cents, "vec_id", "embedding")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Window") &&
+      !plan.contains("Exchange"), plan)
+  }
+
+  test("ANN ranking is two-level: no task holds one query's full candidates") {
+    // per-(query, input-partition) top-k before the global merge — a
+    // single window over q_id puts a query's entire corpus-sized
+    // candidate list in one task (straggler/OOM at 100 TB)
+    for (q <- Seq("qp_ann_topk", "qp_ivf_topk")) {
+      val p = finalPlan(df(q))
+      assert(p.contains("SPARK_PARTITION_ID"), s"$q: $p")
+      assert("windowspecdefinition".r.findAllIn(p).length >= 2, s"$q: $p")
+    }
+  }
+
   test("indexed CONTAINSTEXT probes the posting table, not the corpus") {
     // fresh sessions: the shared cached dialect session may already
     // carry the index after EntrySmokeSpec ran qd_containstext_idx

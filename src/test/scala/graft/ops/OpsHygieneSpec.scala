@@ -36,6 +36,41 @@ class OpsHygieneSpec extends AnyFunSuite {
       "pair generation must unpersist its shingle-set cache")
   }
 
+  test("shingle-less docs are excluded from minhash band buckets") {
+    // N empty/short docs must contribute ZERO bucket rows — concat_ws
+    // skips null signature slices, so keeping them would collapse all
+    // of them into the same `bands` degenerate keys and candidate
+    // generation would go quadratic in their count on dirty corpora
+    val n = 500
+    val docs = ((1 to n).map(i => (i.toLong, "ab")) ++
+      Seq((9001L, "the corpus document text"),
+        (9002L, "the corpus document text!")))
+      .toDF("doc_id", "text")
+    val buckets = Dedup.bandBuckets(docs, "doc_id", "text",
+      shingleN = 4, bands = 4)
+    // bucket rows grow O(bands × docs-with-signatures), not O(N):
+    // exactly 4 bands × 2 real docs here, nothing from the 500 shorts
+    assert(buckets.count() == 8)
+    assert(buckets.filter(col("__id") <= n).count() == 0)
+    // and the verified pair output is unaffected (the real near-dup
+    // pair survives; shorts produce nothing)
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((9001L, 9002L)))
+  }
+
+  test("nearDupClusters collapses a diameter-10 chain into one cluster") {
+    spark.catalog.clearCache()
+    // a chain 1-2-3-...-10 has diameter 9: a fixed 6-round horizon
+    // silently under-merges it into several "clusters"; convergence
+    // detection must collapse it to ONE with the min id as survivor
+    val chain = (1L to 9L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val out = Dedup.nearDupClusters(chain, "a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 10L)))
+    assert(spark.sharedState.cacheManager.isEmpty)
+  }
+
   test("nearDupClusters leaves no cached frames behind") {
     spark.catalog.clearCache()
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L))
