@@ -33,7 +33,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // optional args = query-name prefixes, for targeted local timing;
+    // the driver passes none and times the full suite
+    val names0 = SparkEntry.queries.keys.toSeq.sorted
+    val names = if (args.isEmpty) names0
+      else names0.filter(n => args.exists(n.startsWith))
     // warmup pass: compiles plans/codegen once, surfaces failures
     val ok = names.filter { n =>
       try { run(SparkEntry.queries(n)(spark, sfDir)); true }

@@ -128,19 +128,14 @@ object Similarity {
       }.toSeq.sortBy(_.cell)
 
   /** the `topCells` nearest centroid cells by cosine (ties → lower
-    * cell id) as a PURE EXPRESSION over the centroid literal: score
-    * every centroid, sort by (-sim, cell), slice. One array literal
-    * regardless of k — the expression tree stays O(1) in k. */
+    * cell id): no join, no window, no shuffle — one narrow call into
+    * the native [[NearestCentroidCells]] expression, whose compiled
+    * primitive-array loop keeps the stage inside whole-stage codegen
+    * at any k (an unrolled expression tree breaks Janino past
+    * k·dim ≈ 16k; a HOF lambda is interpreted per element). */
   private def nearestCells(vec: Column, nrm: Column,
-      cents: Seq[Centroid], topCells: Int): Column = {
-    val scored = transform(typedlit(cents), c =>
-      struct(
-        (-(dot(vec, c.getField("cv")) / (nrm * c.getField("cn"))))
-          .as("neg"),
-        c.getField("cell").as("cell")))
-    transform(slice(array_sort(scored), 1, topCells),
-      s => s.getField("cell"))
-  }
+      cents: Seq[Centroid], topCells: Int): Column =
+    NearestCentroidCells(vec, nrm, cents, topCells)
 
   /** corpus cell assignment (n_id, __cv, __cn, cell) — one narrow
     * projection over the scan; PlanShapeSpec pins the no-join/no-
