@@ -70,58 +70,74 @@ object Dedup {
     * quadratic in their count (~10¹² pairs at 100 TB). They are
     * excluded here; bucket rows grow O(bands·n), never O(n²). */
   private[graft] def bandBuckets(df: DataFrame, idCol: String,
-      textCol: String, shingleN: Int, bands: Int): DataFrame = {
+      textCol: String, shingleN: Int, bands: Int): DataFrame =
+    bandBucketsFromSigs(minhashSigs(df, idCol, textCol, shingleN)
+      .withColumnRenamed(idCol, "__id"), bands)
+
+  /** band-key explode over a signature table (__id, s0..s{k-1}, ...) —
+    * the shared core of [[bandBuckets]] and [[minhashPairs]]. Band key
+    * = band index + concatenated sig slice; explode to (bandKey, id):
+    * candidate generation shuffles ONLY small keys. */
+  private def bandBucketsFromSigs(sigs: DataFrame, bands: Int): DataFrame = {
     val rowsPerBand = MinhashK / bands
-    val sigs = minhashSigs(df, idCol, textCol, shingleN)
-      .filter(col("s0").isNotNull)
-      .withColumnRenamed(idCol, "__id")
-    // band key = band index + concatenated sig slice; explode to
-    // (bandKey, id): candidate generation shuffles ONLY small keys
     val bandKeys = (0 until bands).map { b =>
       val ks = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"s$i"))
       concat_ws("_", (lit(b) +: ks): _*)
     }
-    sigs.select(col("__id"), explode(array(bandKeys: _*)).as("__band"))
+    sigs.filter(col("s0").isNotNull)
+      .select(col("__id"), explode(array(bandKeys: _*)).as("__band"))
   }
 
   /** MinHash-LSH near-duplicate pairs: candidates from band-bucket
     * collisions, verified by exact shingle Jaccard ≥ `threshold`.
     * Returns (a_id, b_id, jac).
     *
-    * The bucket rows and the shingle sets each feed TWO join sides, so
-    * both are persisted for the duration of the call: Spark's exchange
-    * reuse does NOT cover the upstream shingle/signature aggregations
-    * (measured: the lazy form recomputes them per consuming side, 4×
-    * slower end-to-end — a full extra corpus pass per probe side at
-    * scale). The threshold-filtered pair output is tiny; it is
-    * materialized via localCheckpoint so both caches can be released
-    * before returning — scoped, nothing accumulates across calls. */
+    * ONE exploded corpus pass feeds BOTH the signature min-aggregates
+    * and the verify shingle sets — computed separately they each scan
+    * and shingle the whole corpus (two scans, two shuffles); fused
+    * they cost one scan and one partial-combining groupBy. The fused
+    * table feeds four join sides (two bucket, two verify), so it is
+    * persisted for the duration of the call: Spark's exchange reuse
+    * does NOT cover upstream aggregations (measured: the lazy form
+    * recomputes them per consuming side, 4× slower end-to-end — a
+    * full extra corpus pass per probe side at scale). The threshold-
+    * filtered pair output is tiny; it is materialized via
+    * localCheckpoint so the cache can be released before returning —
+    * scoped, nothing accumulates across calls. Docs with no shingles
+    * (text shorter than the shingle width) never enter the fused
+    * aggregation, which matches [[bandBuckets]]' null-signature
+    * exclusion: they can never verify, and their degenerate band keys
+    * would send candidate generation quadratic (~10¹² pairs at
+    * 100 TB). */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleN: Int = 4, bands: Int = 4): DataFrame = {
     require(bands > 0 && MinhashK % bands == 0,
       s"bands must evenly divide MinhashK=$MinhashK, got $bands")
-    val buckets = bandBuckets(df, idCol, textCol, shingleN, bands).persist()
+    val exploded = spread(df).select(col(idCol).as("__id"),
+        explode(charShingles(col(textCol), shingleN)).as("__s"))
+      .withColumn("__h", hashMod(col("__s"), MinhashP))
+    val aggs = minhashCoeffs.zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * col("__h") + lit(b)) % MinhashP).as(s"s$i")
+    } :+ collect_set(hash60(col("__s"))).as("__sh")
+    val base = exploded.groupBy(col("__id")).agg(aggs.head, aggs.tail: _*)
+      .persist()
+    val buckets = bandBucketsFromSigs(base, bands)
     val candidates = buckets.select(col("__band"), col("__id").as("a_id"))
       .join(buckets.select(col("__band"), col("__id").as("b_id")),
         Seq("__band"))
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
-    // exact-Jaccard verify: join hashed shingle sets by id — array
+    // exact-Jaccard verify: join the cached shingle sets by id — array
     // payloads move once per candidate side, never through buckets
-    val sh = spread(df).select(col(idCol).as("__id"),
-      array_distinct(transform(charShingles(col(textCol), shingleN),
-        hash60 _)).as("__sh"))
-      .persist()
     val pairs = candidates
-      .join(sh.select(col("__id").as("a_id"), col("__sh").as("__sha")), "a_id")
-      .join(sh.select(col("__id").as("b_id"), col("__sh").as("__shb")), "b_id")
+      .join(base.select(col("__id").as("a_id"), col("__sh").as("__sha")), "a_id")
+      .join(base.select(col("__id").as("b_id"), col("__sh").as("__shb")), "b_id")
       .withColumn("__i", size(array_intersect(col("__sha"), col("__shb"))))
       .select(col("a_id"), col("b_id"),
         jacFromInter(col("__i"), col("__sha"), col("__shb")).as("jac"))
       .filter(col("jac") >= threshold)
       .localCheckpoint()
-    buckets.unpersist()
-    sh.unpersist()
+    base.unpersist()
     pairs
   }
 
