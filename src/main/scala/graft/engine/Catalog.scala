@@ -130,21 +130,27 @@ final class Catalog(spark: SparkSession) {
     val d = get(name)
     val key = d.name.toLowerCase
     durableRoot match {
-      case Some(root) =>
+      case Some(root) if !txActive =>
         val v = currentVersion(root, key).getOrElse(0L) + 1
-        val dir = s"$root/$key/v$v"
+        val dir = s"${classDir(root, key)}/v$v"
         df.write.mode("overwrite").parquet(dir)
+        writeSentinel(dir)
         writeMarker(root, key, v)
         classes(key) = d.copy(provider = s => s.read.parquet(dir))
         // retention window: keep the last 8 versions so lazy frames
         // captured against recent versions stay readable; older
         // history is a deployment-retention concern
-        if (v > 8) deleteQuiet(s"$root/$key/v${v - 8}")
-      case None =>
+        if (v > 8) deleteQuiet(s"${classDir(root, key)}/v${v - 8}")
+      case _ =>
+        // in-memory mode, and the BUFFERING path of an active durable
+        // transaction: the provider swap makes the write visible to
+        // this session (read-your-writes) while nothing touches disk
+        // until commitTx
         val n = writeCounts.getOrElse(key, 0) + 1
         writeCounts(key) = n
         val stored = if (n % 8 == 0) df.localCheckpoint(true) else df
         classes(key) = d.copy(provider = _ => stored)
+        if (txActive) txPendingData(key) = stored
     }
     fulltext.invalidate(key) // postings over the old data are stale
   }
@@ -155,12 +161,39 @@ final class Catalog(spark: SparkSession) {
   private def hadoopFs(path: String) = new org.apache.hadoop.fs.Path(path)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** class-name → data-directory GENERATION. Re-creating a dropped
+    * name bumps the generation, so the new class's committed data
+    * lands in a FRESH directory: stale pre-drop version dirs (e.g.
+    * left behind by a drop whose data delete failed) can never
+    * resurrect under the re-created class — the old hazard where a
+    * surviving v-dir + `_current` marker leaked pre-drop rows into an
+    * unrelated same-name class. */
+  private val gens = scala.collection.mutable.Map[String, Long]()
+  private def genOf(key: String): Long = gens.getOrElse(key, 0L)
+  private def classDir(root: String, key: String): String =
+    s"$root/$key" + (if (genOf(key) > 0) s"__g${genOf(key)}" else "")
+
+  /** completion sentinel OWNED BY THE ENGINE, written after every
+    * version-dir parquet write. Hadoop's `_SUCCESS` depends on a
+    * committer setting (`mapreduce.fileoutputcommitter.
+    * marksuccessfuljobs`) that deployments routinely disable; crash
+    * recovery must not hinge on someone else's optional marker. The
+    * scan accepts either (ours is always written; `_SUCCESS` covers
+    * dirs from older sessions). */
+  private val Sentinel = "_graft_commit"
+  private def writeSentinel(dir: String): Unit = {
+    val fs = hadoopFs(dir)
+    fs.create(new org.apache.hadoop.fs.Path(s"$dir/$Sentinel"), true).close()
+  }
+
   /** committed version of a class: the marker file, with a fallback
-    * scan over completed version dirs (those parquet left a _SUCCESS
-    * in) — a crash that loses the marker never loses the commit. */
+    * scan over completed version dirs (those carrying a completion
+    * sentinel) — a crash that loses the marker never loses the
+    * commit. Staged transaction dirs (dot-prefixed) never match. */
   private def currentVersion(root: String, key: String): Option[Long] = {
     val fs = hadoopFs(root)
-    val p = new org.apache.hadoop.fs.Path(s"$root/$key/_current")
+    val base = classDir(root, key)
+    val p = new org.apache.hadoop.fs.Path(s"$base/_current")
     val fromMarker =
       if (!fs.exists(p)) None
       else {
@@ -170,13 +203,14 @@ final class Catalog(spark: SparkSession) {
         finally in.close()
       }
     fromMarker.orElse {
-      val dir = new org.apache.hadoop.fs.Path(s"$root/$key")
+      val dir = new org.apache.hadoop.fs.Path(base)
       if (!fs.exists(dir)) None
       else fs.listStatus(dir).toSeq
         .filter(s => s.isDirectory && s.getPath.getName.startsWith("v"))
         .flatMap(s => s.getPath.getName.drop(1).toLongOption
-          .filter(_ => fs.exists(
-            new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS"))))
+          .filter(_ =>
+            fs.exists(new org.apache.hadoop.fs.Path(s.getPath, Sentinel)) ||
+            fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS"))))
         .maxOption
     }
   }
@@ -187,14 +221,131 @@ final class Catalog(spark: SparkSession) {
     * the [[currentVersion]] directory-scan fallback. */
   private def writeMarker(root: String, key: String, v: Long): Unit = {
     val fs = hadoopFs(root)
-    val tmp = new org.apache.hadoop.fs.Path(s"$root/$key/_current.tmp")
-    val dst = new org.apache.hadoop.fs.Path(s"$root/$key/_current")
+    val base = classDir(root, key)
+    val tmp = new org.apache.hadoop.fs.Path(s"$base/_current.tmp")
+    val dst = new org.apache.hadoop.fs.Path(s"$base/_current")
     val out = fs.create(tmp, true)
     try out.write(v.toString.getBytes(
       java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     fs.delete(dst, false)
     fs.rename(tmp, dst)
+  }
+
+  // ---- transactions (atomic multi-statement commit, §2.9) ---------
+  // Reference: optimistic transactions buffer record changes and apply
+  // them as one unit at commit (core tx/OTransactionOptimistic.java);
+  // the remote protocol ships the whole batch in a single COMMIT op.
+  // Graft's analog: between beginTx and commitTx, DML swaps providers
+  // in-session only (read-your-writes) while DDL mutates the in-memory
+  // catalog with the manifest write suppressed; commitTx stages every
+  // touched class's final frame as a HIDDEN version dir, then performs
+  // ONE atomic manifest rename carrying the DDL state + staged data
+  // versions — the commit point — then promotes the staged dirs and
+  // flips markers (all idempotent; recovery replays them from the
+  // manifest if the process dies mid-finalize). A crash before the
+  // manifest rename leaves nothing visible on reopen.
+
+  private var txActive = false
+  private val txPendingData =
+    scala.collection.mutable.LinkedHashMap[String, DataFrame]()
+  /** dropped-class data dirs to purge at commit (path captured at drop
+    * time — a later re-create in the same tx bumps the generation). */
+  private val txPendingDrops =
+    scala.collection.mutable.LinkedHashMap[String, String]()
+  private final case class TxSnapshot(
+      classes: Seq[(String, ClassDef)],
+      properties: Map[(String, String), PropertyDef],
+      indexes: Map[(String, String), String],
+      acl: Map[(String, String), Set[String]],
+      tombstones: Set[String],
+      gens: Map[String, Long],
+      writeCounts: Map[String, Int],
+      nextClusterId: Int)
+  private var txSnapshot: TxSnapshot = null
+  /** test hook: throw right after the commit-point manifest rename,
+    * before any finalize step — recovery must roll the batch forward. */
+  private[engine] var txCrashAfterManifest = false
+  /** test hook: simulate a drop whose durable data delete failed (the
+    * generation bump on re-create makes the stale dir harmless). */
+  private[engine] var failDropDelete = false
+
+  def txInProgress: Boolean = txActive
+
+  def beginTx(): Unit = {
+    require(!txActive, "transaction already active")
+    txSnapshot = TxSnapshot(classes.toSeq, properties.toMap, indexes.toMap,
+      acl.toMap, tombstones.toSet, gens.toMap, writeCounts.toMap,
+      nextClusterId)
+    txActive = true
+  }
+
+  def rollbackTx(): Unit = {
+    require(txActive, "no active transaction")
+    val touched = (txPendingData.keySet ++ txPendingDrops.keySet).toSeq
+    classes.clear(); classes ++= txSnapshot.classes
+    properties.clear(); properties ++= txSnapshot.properties
+    indexes.clear(); indexes ++= txSnapshot.indexes
+    acl.clear(); acl ++= txSnapshot.acl
+    tombstones.clear(); tombstones ++= txSnapshot.tombstones
+    gens.clear(); gens ++= txSnapshot.gens
+    writeCounts.clear(); writeCounts ++= txSnapshot.writeCounts
+    nextClusterId = txSnapshot.nextClusterId
+    // postings built during the tx reflect uncommitted data
+    touched.foreach(fulltext.invalidate)
+    txPendingData.clear(); txPendingDrops.clear()
+    txSnapshot = null; txActive = false
+  }
+
+  def commitTx(): Unit = {
+    require(txActive, "no active transaction")
+    txActive = false
+    durableRoot.foreach { root =>
+      // stage: hidden dirs are invisible to markers, fallback scans
+      // and readers until the commit point below. A class dropped
+      // later in the tx has no entry left in txPendingData.
+      val staged = txPendingData.iterator
+        .filter { case (key, _) => classes.contains(key) }
+        .map { case (key, df) =>
+          val v = currentVersion(root, key).getOrElse(0L) + 1
+          val stage = s"${classDir(root, key)}/.tx-v$v"
+          df.write.mode("overwrite").parquet(stage)
+          writeSentinel(stage)
+          (key, v)
+        }.toSeq
+      // COMMIT POINT: one atomic rename makes DDL + tombstones + data
+      // versions durable together
+      persistManifestNow(staged)
+      if (txCrashAfterManifest) {
+        txCrashAfterManifest = false
+        txPendingData.clear(); txPendingDrops.clear(); txSnapshot = null
+        throw new IllegalStateException("injected crash after tx commit point")
+      }
+      // finalize — idempotent; enableDurability replays it from the
+      // manifest's txdata entries if the process dies here
+      staged.foreach { case (key, v) =>
+        promoteStaged(root, key, v)
+        classes.get(key).foreach { d =>
+          val dir = s"${classDir(root, key)}/v$v"
+          classes(key) = d.copy(provider = s => s.read.parquet(dir))
+        }
+      }
+      txPendingDrops.values.foreach(deleteQuiet)
+      persistManifestNow(Nil) // clears the txdata entries
+    }
+    txPendingData.clear(); txPendingDrops.clear()
+    txSnapshot = null
+  }
+
+  /** promote one staged tx dir to a committed version: rename + marker
+    * flip, both no-ops when already done (crash-replay safe). */
+  private def promoteStaged(root: String, key: String, v: Long): Unit = {
+    val fs = hadoopFs(root)
+    val base = classDir(root, key)
+    val stage = new org.apache.hadoop.fs.Path(s"$base/.tx-v$v")
+    val dst = new org.apache.hadoop.fs.Path(s"$base/v$v")
+    if (fs.exists(stage) && !fs.exists(dst)) { fs.rename(stage, dst); () }
+    if (currentVersion(root, key).forall(_ < v)) writeMarker(root, key, v)
   }
 
   private def deleteQuiet(path: String): Unit =
@@ -221,6 +372,9 @@ final class Catalog(spark: SparkSession) {
       def str(r: org.apache.spark.sql.Row, f: String): Option[String] =
         if (!rows.columns.contains(f) || r.isNullAt(r.fieldIndex(f))) None
         else Some(r.getAs[String](f))
+      def num(r: org.apache.spark.sql.Row, f: String): Option[Long] =
+        if (!rows.columns.contains(f) || r.isNullAt(r.fieldIndex(f))) None
+        else Some(r.getAs[Long](f))
       val all = rows.collect()
       // classes first (links/properties/indexes refer to them). A
       // manifest row ALWAYS wins over a code-seeded registration of
@@ -245,6 +399,8 @@ final class Catalog(spark: SparkSession) {
             r.getAs[Long]("clusterId").toInt, None))
           nextClusterId = math.max(nextClusterId,
             r.getAs[Long]("clusterId").toInt)
+          num(r, "gen").filter(_ > 0)
+            .foreach(g => gens(name.toLowerCase) = g)
         }
       }
       all.filter(r => str(r, "kind").contains("index")).foreach { r =>
@@ -265,17 +421,29 @@ final class Catalog(spark: SparkSession) {
           r.getSeq[String](r.fieldIndex("perms")).toSet
       }
       // tombstones last: a previous session dropped these — the code
-      // seed may have re-registered them above; remove them again
+      // seed may have re-registered them above; remove them again. The
+      // generation travels with the tombstone so a re-create in THIS
+      // session still bumps past the dropped data dirs.
       all.filter(r => str(r, "kind").contains("dropped")).foreach { r =>
         val t = r.getAs[String]("name").toLowerCase
         tombstones += t
         classes.remove(t)
+        num(r, "gen").filter(_ > 0).foreach(g => gens(t) = g)
+      }
+      // txdata entries mean a transaction crashed between its commit
+      // point and finalize: roll the whole batch forward (promote is
+      // idempotent — already-finalized entries are no-ops)
+      all.filter(r => str(r, "kind").contains("txdata")).foreach { r =>
+        val key = r.getAs[String]("name").toLowerCase
+        num(r, "version").foreach { v =>
+          if (classes.contains(key)) promoteStaged(root, key, v)
+        }
       }
     }
     // point every committed class at its latest parquet version
     classes.keys.toSeq.foreach { key =>
       currentVersion(root, key).foreach { v =>
-        val dir = s"$root/$key/v$v"
+        val dir = s"${classDir(root, key)}/v$v"
         classes(key) = classes(key).copy(
           provider = s => s.read.parquet(dir))
       }
@@ -285,9 +453,23 @@ final class Catalog(spark: SparkSession) {
   /** persist the DDL surface (created classes + links, indexes,
     * property constraints, ACL) so a reopened session can replay it.
     * One small JSONL file, kind-discriminated; testdata-backed classes
-    * re-register from code and are skipped. */
-  private[engine] def persistManifest(): Unit = durableRoot.foreach { root =>
-    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    * re-register from code and are skipped. Suppressed while a
+    * transaction is buffering — [[commitTx]] writes it once, as the
+    * commit point. */
+  private[engine] def persistManifest(): Unit =
+    if (!txActive) persistManifestNow(Nil)
+
+  private def persistManifestNow(
+      txData: Seq[(String, Long)]): Unit = durableRoot.foreach { root =>
+    // full JSON string escaping: backslash, quote AND control chars —
+    // a class/property name carrying a newline or tab must round-trip,
+    // not corrupt the JSONL framing
+    def esc(s: String) = s.flatMap {
+      case '\\' => "\\\\"
+      case '"' => "\\\""
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
     def js(s: String) = "\"" + esc(s) + "\""
     def jsOpt(o: Option[String]) = o.map(js).getOrElse("null")
     val classLines = classes.values.filter(_.clusterId > 1000).map { d =>
@@ -298,7 +480,8 @@ final class Catalog(spark: SparkSession) {
         .mkString("[", ",", "]")
       s"""{"kind":"class","name":${js(d.name)},""" +
         s""""superClass":${jsOpt(d.superClass)},""" +
-        s""""clusterId":${d.clusterId},"links":$links}"""
+        s""""clusterId":${d.clusterId},"gen":${genOf(d.name.toLowerCase)},""" +
+        s""""links":$links}"""
     }
     val indexLines = indexes.map { case ((c, f), k) =>
       s"""{"kind":"index","cls":${js(c)},"field":${js(f)},"idx":${js(k)}}"""
@@ -315,7 +498,10 @@ final class Catalog(spark: SparkSession) {
         perms.toSeq.sorted.map(js).mkString(""""perms":[""", ",", "]}")
     }
     val tombLines = tombstones.toSeq.sorted.map(t =>
-      s"""{"kind":"dropped","name":${js(t)}}""")
+      s"""{"kind":"dropped","name":${js(t)},"gen":${genOf(t)}}""")
+    val txLines = txData.map { case (k, v) =>
+      s"""{"kind":"txdata","name":${js(k)},"version":$v}"""
+    }
     val fs = hadoopFs(root)
     // write-temp-then-rename: never truncate the live manifest in
     // place (a crash mid-write would silently lose the whole catalog)
@@ -323,7 +509,8 @@ final class Catalog(spark: SparkSession) {
     val dst = new org.apache.hadoop.fs.Path(s"$root/catalog-manifest.json")
     val out = fs.create(tmp, true)
     try out.write(
-      (classLines ++ indexLines ++ propLines ++ aclLines ++ tombLines)
+      (classLines ++ indexLines ++ propLines ++ aclLines ++ tombLines ++
+        txLines)
         .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     fs.delete(dst, false)
@@ -359,10 +546,18 @@ final class Catalog(spark: SparkSession) {
     fulltext.invalidate(key)
     tombstones += key
     persistManifest()
-    // durable mode: remove the committed data too — a stale version
-    // dir + marker would resurrect the dropped class on reopen (and
-    // leak its rows into a later class created under the same name)
-    durableRoot.foreach(root => deleteQuiet(s"$root/$key"))
+    // durable mode: remove the committed data too. The delete is pure
+    // hygiene, not correctness: if it fails (or the process dies
+    // first), the tombstone still hides the class, and a later
+    // re-create bumps the data-dir GENERATION so the stale dir can
+    // never leak pre-drop rows into the new class. In a transaction
+    // the delete defers to commit (path captured now — the generation
+    // may move on before then).
+    durableRoot.foreach { root =>
+      val dir = classDir(root, key)
+      if (txActive) { txPendingDrops(key) = dir; txPendingData.remove(key); () }
+      else if (!failDropDelete) deleteQuiet(dir)
+    }
   }
 
   private var nextClusterId = 1000
@@ -386,7 +581,11 @@ final class Catalog(spark: SparkSession) {
       s => s.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), schema),
       superClass, Nil, nextClusterId, None)
-    tombstones -= name.toLowerCase // re-creation revives the name
+    // re-creation revives the name under a NEW data generation: any
+    // stale committed versions of the dropped predecessor stay invisible
+    if (tombstones.contains(name.toLowerCase))
+      gens(name.toLowerCase) = genOf(name.toLowerCase) + 1
+    tombstones -= name.toLowerCase
     register(d); persistManifest(); d
   }
 

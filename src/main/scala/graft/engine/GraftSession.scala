@@ -84,6 +84,27 @@ final class GraftSession(val spark: SparkSession, val catalog: Catalog) {
     case other => Commands.execute(this, other)
   }
 
+  /** Begin an atomic multi-statement unit (the reference's optimistic
+    * transaction, `core/.../tx/OTransactionOptimistic.java`; the remote
+    * protocol ships the whole batch in one COMMIT op). Until [[commit]],
+    * DML/DDL effects are visible only to THIS session (read-your-
+    * writes); nothing reaches durable storage. [[commit]] stages all
+    * touched data, then performs ONE atomic manifest rename as the
+    * commit point — a crash before it leaves nothing visible after
+    * reopen, a crash after it rolls the whole batch forward.
+    * [[rollback]] restores the pre-transaction catalog. */
+  def begin(): Unit = catalog.beginTx()
+  def commit(): Unit = catalog.commitTx()
+  def rollback(): Unit = catalog.rollbackTx()
+
+  /** run `stmts` as one atomic unit: all committed, or none (any
+    * failure rolls the batch back and rethrows). */
+  def transaction(stmts: Seq[String]): Unit = {
+    begin()
+    try { stmts.foreach(command); commit() }
+    catch { case e: Throwable => if (catalog.txInProgress) rollback(); throw e }
+  }
+
   /** Bulk append — the reference's massive-insert intent
     * (`OIntentMassiveInsert`, SURVEY.md §4) as one batch operation:
     * BEFORE_CREATE hooks transform the whole frame, constraints

@@ -1,0 +1,132 @@
+package graft.engine
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+/** Atomic multi-statement commit (reference optimistic transactions,
+  * core tx/OTransactionOptimistic.java: changes buffer and apply as one
+  * unit at commit; the remote protocol ships the batch in one COMMIT
+  * op) plus the durable drop/re-create generation fix. */
+class TransactionSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def tmpRoot(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-tx-$tag").toString
+
+  test("committed batch is fully visible after reopen") {
+    val root = tmpRoot("commit")
+    val g1 = GraftSession.openDurable(spark, root)
+    g1.transaction(Seq(
+      "create class Acct",
+      "insert into Acct (id, bal) values (1, 100)",
+      "insert into Acct (id, bal) values (2, 50)",
+      "update Acct set bal = 75 where id = 2"))
+    val g2 = GraftSession.openDurable(spark, root)
+    assert(g2.query("select id, bal from Acct order by id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 100L), (2L, 75L)))
+  }
+
+  test("uncommitted batch leaves nothing visible after reopen") {
+    val root = tmpRoot("nocommit")
+    val g1 = GraftSession.openDurable(spark, root)
+    g1.begin()
+    g1.command("create class Draft")
+    g1.command("insert into Draft (id) values (1)")
+    g1.command("insert into Draft (id) values (2)")
+    // read-your-writes inside the transaction
+    assert(g1.query("select from Draft").count() == 2)
+    // session dies without commit — a reopen over the same root must
+    // see none of it (no class, no data, no manifest entries)
+    val g2 = GraftSession.openDurable(spark, root)
+    intercept[Parser.ParseException](g2.query("select from Draft"))
+  }
+
+  test("rollback restores pre-transaction data and DDL in-session") {
+    val root = tmpRoot("rollback")
+    val g = GraftSession.openDurable(spark, root)
+    g.command("create class Led")
+    g.command("insert into Led (id, v) values (1, 'keep')")
+    g.begin()
+    g.command("insert into Led (id, v) values (2, 'drop-me')")
+    g.command("update Led set v = 'mutated' where id = 1")
+    g.command("create class Side")
+    assert(g.query("select from Led").count() == 2)
+    g.rollback()
+    val rows = g.query("select id, v from Led order by id").collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "keep")))
+    intercept[Parser.ParseException](g.query("select from Side"))
+  }
+
+  test("a failing statement rolls the whole batch back") {
+    val root = tmpRoot("atomic")
+    val g = GraftSession.openDurable(spark, root)
+    g.command("create class Inv")
+    g.command("insert into Inv (id) values (1)")
+    intercept[Exception] {
+      g.transaction(Seq(
+        "insert into Inv (id) values (2)",
+        "this is not a statement"))
+    }
+    assert(g.query("select from Inv").count() == 1)
+    val g2 = GraftSession.openDurable(spark, root)
+    assert(g2.query("select from Inv").count() == 1)
+  }
+
+  test("crash after the commit point rolls the batch forward on reopen") {
+    val root = tmpRoot("rollfwd")
+    val g1 = GraftSession.openDurable(spark, root)
+    g1.command("create class Pay")
+    g1.command("insert into Pay (id, amt) values (1, 10)")
+    g1.begin()
+    g1.command("insert into Pay (id, amt) values (2, 20)")
+    g1.command("insert into Pay (id, amt) values (3, 30)")
+    g1.catalog.txCrashAfterManifest = true
+    intercept[IllegalStateException](g1.commit())
+    // the manifest rename happened (commit point crossed), the staged
+    // dir was never promoted and no marker flipped — recovery must
+    // finish the job
+    val g2 = GraftSession.openDurable(spark, root)
+    assert(g2.query("select from Pay").count() == 3)
+    // and the recovered class keeps accepting writes on the promoted
+    // version chain
+    g2.command("insert into Pay (id, amt) values (4, 40)")
+    val g3 = GraftSession.openDurable(spark, root)
+    assert(g3.query("select from Pay").count() == 4)
+  }
+
+  test("drop with failed data delete cannot resurrect into a re-created class") {
+    val root = tmpRoot("gen")
+    val g1 = GraftSession.openDurable(spark, root)
+    g1.command("create class Ghost")
+    g1.command("insert into Ghost (id, v) values (1, 'old-world')")
+    // simulate the storage failing the drop-time delete: the committed
+    // version dir and _current marker survive on disk
+    g1.catalog.failDropDelete = true
+    g1.command("remove class Ghost")
+    g1.catalog.failDropDelete = false
+    // re-create under the same name: the generation bump points the
+    // new class at a fresh data dir, so the stale versions stay dead
+    g1.command("create class Ghost")
+    assert(g1.query("select from Ghost").count() == 0)
+    g1.command("insert into Ghost (id, v) values (9, 'new-world')")
+    val g2 = GraftSession.openDurable(spark, root)
+    val rows = g2.query("select id, v from Ghost").collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((9L, "new-world")))
+  }
+
+  test("manifest round-trips control characters in persisted strings") {
+    val root = tmpRoot("esc")
+    val g1 = GraftSession.openDurable(spark, root)
+    g1.command("create class Esc")
+    // a regexp constraint carrying tab/newline/quote/backslash — the
+    // JSONL manifest must escape them or the framing corrupts
+    g1.catalog.setProperty(PropertyDef("Esc", "v", "STRING",
+      regexp = Some("a\tb\nc\"d\\e")))
+    val g2 = GraftSession.openDurable(spark, root)
+    assert(g2.catalog.properties(("esc", "v")).regexp
+      .contains("a\tb\nc\"d\\e"))
+  }
+}
