@@ -10,16 +10,78 @@ import graft.functions.FunctionRegistry
   * Instead of a network server, the product API returns DataFrames —
   * the Spark-native equivalent of the remote COMMAND op.
   */
-final class GraftSession(val spark: SparkSession, val catalog: Catalog) {
-  val functions = new FunctionRegistry
-  val hooks = new HookRegistry
+final class GraftSession private (val spark: SparkSession,
+    val catalog: Catalog, val principal: Option[String],
+    shared: Option[(FunctionRegistry, HookRegistry)]) {
+  def this(spark: SparkSession, catalog: Catalog) =
+    this(spark, catalog, None, None)
+  val functions = shared.map(_._1).getOrElse(new FunctionRegistry)
+  val hooks = shared.map(_._2).getOrElse(new HookRegistry)
   lazy val dictionary = new Dictionary(this)
   private[engine] val translator = new Translator(catalog, functions)
+
+  // ---- security enforcement (§2.9 GRANT/REVOKE) -------------------
+  // Reference: every SELECT/DML path consults the security catalog
+  // before touching data — OCommandExecutorSQLSelect.execute:158-165
+  // checks (CLASS, PERMISSION_READ, className) via OSecurity /
+  // ODatabaseSecurityResources. Graft's analog: a session bound to a
+  // principal via [[as]] consults the stored GRANTs (which are
+  // manifest-persisted, so enforcement survives a durable reopen); an
+  // unbound session is the embedded superuser connection and bypasses
+  // the checks, which keeps the library's programmatic surface open.
+
+  /** a facade over the SAME catalog/functions/hooks, bound to a
+    * principal: every query/command now consults the ACL catalog. */
+  def as(role: String): GraftSession =
+    new GraftSession(spark, catalog, Some(role), Some((functions, hooks)))
+
+  /** class-level resource names follow the reference
+    * (`database.class.<name>`); a grant on `database.class.*` covers
+    * every class, and the ALL permission covers every action. */
+  private def checkPermission(resource: String, perm: String): Unit =
+    principal.foreach { role =>
+      val r = role.toLowerCase
+      val res = resource.toLowerCase
+      val wildcard = res.split('.').dropRight(1).mkString(".") + ".*"
+      val perms = catalog.acl.getOrElse((r, res), Set()) ++
+        catalog.acl.getOrElse((r, wildcard), Set())
+      if (!perms.exists(p => p.equalsIgnoreCase(perm) ||
+          p.equalsIgnoreCase("ALL")))
+        throw new SecurityException(
+          s"role '$role' lacks $perm permission on $resource")
+    }
+
+  private def classResource(cls: String): String =
+    if (cls.isEmpty) "database.class.*" else s"database.class.$cls"
+
+  /** the resource+permission a statement needs (reference mapping:
+    * class CRUD on `database.class.<n>`, schema DDL on
+    * `database.schema`, GRANT/REVOKE themselves on
+    * `database.security`). */
+  private def checkStmt(stmt: Ast.Stmt): Unit = stmt match {
+    case s: Ast.SelectStmt =>
+      val cls = s.target match {
+        case Ast.ClassTarget(n) => n
+        case _ => ""
+      }
+      checkPermission(classResource(cls), "READ")
+    case s: Ast.InsertStmt => checkPermission(classResource(s.cls), "CREATE")
+    case s: Ast.UpdateStmt => checkPermission(classResource(s.cls), "UPDATE")
+    case s: Ast.DeleteStmt => checkPermission(classResource(s.cls), "DELETE")
+    case _: Ast.CreateClassStmt | _: Ast.CreatePropertyStmt |
+        _: Ast.CreateIndexStmt | _: Ast.CreateLinkStmt =>
+      checkPermission("database.schema", "CREATE")
+    case _: Ast.RemoveClassStmt | _: Ast.RemovePropertyStmt |
+        _: Ast.RemoveIndexStmt =>
+      checkPermission("database.schema", "DELETE")
+    case _: Ast.GrantStmt => checkPermission("database.security", "UPDATE")
+  }
 
   /** Run a dialect SELECT → DataFrame (lazy; caller triggers actions).
     * READ hooks observe/transform the result frame (batch semantics). */
   def query(sql: String): DataFrame = {
     val stmt = Parser.parseSelect(sql)
+    checkStmt(stmt)
     val cls = stmt.target match {
       case Ast.ClassTarget(n) => n
       case _ => ""
@@ -31,8 +93,10 @@ final class GraftSession(val spark: SparkSession, val catalog: Catalog) {
 
   /** raw Spark SQL over the catalog's classes (each registered as a
     * temp view) — the escape hatch the reference's COMMAND op never
-    * had; full Catalyst surface. */
+    * had; full Catalyst surface. Under a principal it exposes every
+    * class at once, so it requires the wildcard READ grant. */
   def sql(sqlText: String): DataFrame = {
+    checkPermission("database.class.*", "READ")
     catalog.all.foreach(c =>
       c.provider(spark).createOrReplaceTempView(c.name))
     spark.sql(sqlText)
@@ -75,13 +139,16 @@ final class GraftSession(val spark: SparkSession, val catalog: Catalog) {
     * [[Commands]]. */
   def command(sql: String): DataFrame = Parser.parseStatement(sql) match {
     case s: Ast.SelectStmt =>
+      checkStmt(s)
       val cls = s.target match {
         case Ast.ClassTarget(n) => n
         case _ => ""
       }
       hooks.fire(Hooks.AfterRead, cls,
         hooks.fire(Hooks.BeforeRead, cls, translator.select(s)))
-    case other => Commands.execute(this, other)
+    case other =>
+      checkStmt(other)
+      Commands.execute(this, other)
   }
 
   /** Begin an atomic multi-statement unit (the reference's optimistic
@@ -112,6 +179,7 @@ final class GraftSession(val spark: SparkSession, val catalog: Catalog) {
     * union (per-record insert loops have no place in a batch engine).
     * Schema-less extras become new columns, missing columns go null. */
   def appendData(cls: String, rows: DataFrame): Long = {
+    checkPermission(classResource(cls), "CREATE")
     val hooked = hooks.fire(Hooks.BeforeCreate, cls, rows)
     Validation.validate(hooked, catalog.propsOf(cls))
     val existing = catalog.table(cls).drop("_rid", "_class")
@@ -130,8 +198,10 @@ final class GraftSession(val spark: SparkSession, val catalog: Catalog) {
   }
 
   /** `browseClass(name, polymorphic)` — record iteration API. */
-  def browseClass(name: String, polymorphic: Boolean = true): DataFrame =
+  def browseClass(name: String, polymorphic: Boolean = true): DataFrame = {
+    checkPermission(classResource(name), "READ")
     if (polymorphic) catalog.polymorphicScan(name) else catalog.table(name)
+  }
 
   /** runtime-pluggable SQL function (`OSQLEngine.registerFunction`). */
   def registerFunction(name: String, f: Seq[Column] => Column): Unit =

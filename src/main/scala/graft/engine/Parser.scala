@@ -150,9 +150,14 @@ object Parser {
           pos += 1
           val perm = ident()
           eatKw("on")
-          val sb = new StringBuilder(ident())
-          while (tryPunct(".")) { sb.append('.').append(ident()) }
-          eatKw("to")
+          // resource segments are identifiers, except a trailing `*`
+          // wildcard (`database.class.*` covers every class)
+          def seg(): String =
+            if (tryPunct("*")) "*" else ident()
+          val sb = new StringBuilder(seg())
+          while (tryPunct(".")) { sb.append('.').append(seg()) }
+          // GRANT … TO role / REVOKE … FROM role (reference syntax)
+          eatKw(if (revoke) "from" else "to")
           GrantStmt(perm.toUpperCase, sb.toString, ident(), revoke)
         case t => fail(s"unknown statement start $t")
       }

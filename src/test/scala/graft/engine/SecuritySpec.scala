@@ -1,0 +1,88 @@
+package graft.engine
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+/** ACL enforcement (reference: OSecurity consulted by every command
+  * executor — e.g. OCommandExecutorSQLSelect.execute:158-165 checks
+  * (CLASS, PERMISSION_READ, className) before scanning; resources per
+  * ODatabaseSecurityResources). A session without a principal is the
+  * embedded superuser; [[GraftSession.as]] binds one. */
+class SecuritySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def seeded(): GraftSession = {
+    val g = new GraftSession(spark, new Catalog(spark))
+    g.command("create class Doc")
+    g.command("insert into Doc (id, body) values (1, 'hello')")
+    g
+  }
+
+  test("a principal without READ cannot query; GRANT restores; REVOKE removes") {
+    val g = seeded()
+    val reader = g.as("reader")
+    intercept[SecurityException](reader.query("select from Doc"))
+    intercept[SecurityException](reader.browseClass("Doc"))
+    g.command("grant READ on database.class.doc to reader")
+    assert(reader.query("select from Doc").count() == 1)
+    g.command("revoke READ on database.class.doc from reader")
+    intercept[SecurityException](reader.query("select from Doc"))
+  }
+
+  test("CRUD permissions are separate; ALL covers everything") {
+    val g = seeded()
+    val w = g.as("writer")
+    g.command("grant READ on database.class.doc to writer")
+    // READ does not imply CREATE/UPDATE/DELETE
+    intercept[SecurityException](
+      w.command("insert into Doc (id, body) values (2, 'x')"))
+    intercept[SecurityException](
+      w.command("update Doc set body = 'y' where id = 1"))
+    intercept[SecurityException](w.command("delete from Doc where id = 1"))
+    g.command("grant CREATE on database.class.doc to writer")
+    w.command("insert into Doc (id, body) values (2, 'x')")
+    assert(w.query("select from Doc").count() == 2)
+    // ALL unlocks the rest
+    g.command("grant ALL on database.class.doc to writer")
+    w.command("update Doc set body = 'y' where id = 1")
+    w.command("delete from Doc where id = 2")
+    assert(w.query("select from Doc").count() == 1)
+  }
+
+  test("wildcard class grant and schema/security resources") {
+    val g = seeded()
+    g.command("create class Other")
+    val p = g.as("power")
+    g.command("grant READ on database.class.* to power")
+    assert(p.query("select from Doc").count() == 1)
+    assert(p.query("select from Other").count() == 0)
+    // schema DDL needs database.schema, not a class grant
+    intercept[SecurityException](p.command("create class Mine"))
+    g.command("grant CREATE on database.schema to power")
+    p.command("create class Mine")
+    // granting requires database.security
+    intercept[SecurityException](
+      p.command("grant READ on database.class.mine to friend"))
+    g.command("grant UPDATE on database.security to power")
+    p.command("grant READ on database.class.mine to friend")
+    assert(g.as("friend").query("select from Mine").count() == 0)
+  }
+
+  test("enforcement survives a durable reopen") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-acl").toString
+    val g1 = GraftSession.openDurable(spark, root)
+    g1.command("create class Secret")
+    g1.command("insert into Secret (id) values (1)")
+    g1.command("grant READ on database.class.secret to auditor")
+    val g2 = GraftSession.openDurable(spark, root)
+    assert(g2.as("auditor").query("select from Secret").count() == 1)
+    intercept[SecurityException](
+      g2.as("intruder").query("select from Secret"))
+    // the bound facade shares the live catalog: a revoke in the parent
+    // session applies immediately
+    g2.command("revoke READ on database.class.secret from auditor")
+    intercept[SecurityException](
+      g2.as("auditor").query("select from Secret"))
+  }
+}

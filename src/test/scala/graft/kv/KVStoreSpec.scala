@@ -46,7 +46,7 @@ class KVStoreSpec extends AnyFunSuite {
     g.command("grant READ on database.class.customer to reader")
     g.command("grant UPDATE on database.class.customer to writer")
     assert(g.catalog.acl(("reader", "database.class.customer")) == Set("READ"))
-    g.command("revoke READ on database.class.customer to reader")
+    g.command("revoke READ on database.class.customer from reader")
     assert(g.catalog.acl(("reader", "database.class.customer")).isEmpty)
   }
 }
