@@ -33,9 +33,25 @@ object Commands {
         cat.drop(name); one(spark, 1)
       case CreatePropertyStmt(cls, field, tpe, linked) =>
         val df = cat.table(cls).drop("_rid", "_class")
+        val target = oTypeToSpark(tpe)
+        // values previously stored for this field in the `_extra`
+        // overflow map (schema-less inserts, §1.4) PROMOTE into the new
+        // declared column — declaring a property must not null data the
+        // records already carry. Only atomic types promote (the map
+        // stores strings; string→array/map/link casts don't exist).
+        val promotable = target match {
+          case _: ArrayType | _: MapType | _: StructType => false
+          case _ => true
+        }
+        val key = field.toLowerCase // overflow keys are lower-cased
         cat.replaceData(cls,
           if (df.columns.exists(_.equalsIgnoreCase(field))) df
-          else df.withColumn(field, lit(null).cast(oTypeToSpark(tpe))))
+          else if (promotable && df.columns.contains("_extra"))
+            df.withColumn(field,
+                element_at(col("_extra"), key).cast(target))
+              .withColumn("_extra",
+                map_filter(col("_extra"), (mk, _) => mk =!= lit(key)))
+          else df.withColumn(field, lit(null).cast(target)))
         cat.setProperty(PropertyDef(cat.get(cls).name, field, tpe,
           linkedClass = linked))
         one(spark, 1)

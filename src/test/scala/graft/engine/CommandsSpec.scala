@@ -50,6 +50,34 @@ class CommandsSpec extends AnyFunSuite {
       .head.getString(0) == "calm")
   }
 
+  test("create property promotes stored _extra values into the column") {
+    val g = freshSession()
+    g.command("create class Doc")
+    g.command("insert into Doc (a) values (1)")
+    // ad-hoc fields land in _extra (schema-less per-record fields)
+    g.command("insert into Doc (a, score) values (2, 42)")
+    g.command("update Doc set score = 7 where a = 1")
+    // declaring the property afterwards must carry the stored values
+    // into the new typed column, not null them
+    g.command("create property Doc.score INTEGER")
+    val rows = g.query("select a, score from Doc order by a").collect()
+    assert(rows.map(r => (r.getLong(0), r.getInt(1))).toSeq ==
+      Seq((1L, 7), (2L, 42)))
+    // the promoted key leaves the overflow map — no shadow copy that a
+    // later UPDATE of the declared column would desynchronize
+    val extras = g.browseClass("Doc")
+      .select(map_keys(coalesce(col("_extra"),
+        map().cast("map<string,string>"))))
+      .collect().flatMap(_.getSeq[String](0))
+    assert(!extras.contains("score"))
+    // unpromotable (non-atomic) types still add a null column and keep
+    // the raw string in _extra
+    g.command("insert into Doc (a, tags) values (3, 'x')")
+    g.command("create property Doc.tags EMBEDDEDLIST")
+    assert(g.query("select tags from Doc where a = 3").collect()
+      .head.isNullAt(0))
+  }
+
   test("remove/drop class deletes the class and its metadata") {
     val g = freshSession()
     g.command("create class Tmp")
