@@ -435,7 +435,10 @@ object QueriesPipeline {
       // propagation — the same update rule as Dedup.nearDupClusters
       // (min of own and in-neighbor labels). The Spark side iterates
       // to convergence; 10 unrolled rounds cover the data's diameter
-      // with margin (MATERIALIZED keeps the extra no-op rounds cheap)
+      // with margin (MATERIALIZED keeps the extra no-op rounds cheap).
+      // COUPLING: OpsHygieneSpec "oracle horizon covers the gate
+      // corpus" pins effective propagation depth ≤ 10 on the sf0.01
+      // pairs — raise both together if future data grows longer chains
       val rounds = (1 to 10).map { t =>
         s"""l$t AS MATERIALIZED (SELECT id, min(lbl) AS lbl FROM (
            |   SELECT id, lbl FROM l${t - 1}

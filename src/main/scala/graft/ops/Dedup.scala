@@ -251,7 +251,18 @@ object Dedup {
     * frame even at 100 TB), which truncates lineage and makes the
     * convergence count a cheap job over two materialized tables. */
   def nearDupClusters(pairs: DataFrame, aCol: String, bCol: String,
-      maxRounds: Int = 50): DataFrame = {
+      maxRounds: Int = 50): DataFrame =
+    nearDupClustersCounted(pairs, aCol, bCol, maxRounds)._1
+
+  /** [[nearDupClusters]] plus the number of rounds that actually moved
+    * a label — the graph's effective propagation depth. Oracles that
+    * unroll a FIXED horizon (qp_dedup_clusters unrolls 10 rounds of
+    * the same update rule in DuckDB) stay equivalent to the converged
+    * Spark answer only while this depth stays within their unroll
+    * count; `DedupSpec` pins that bound on the gate corpus so the
+    * coupling can never diverge silently. */
+  def nearDupClustersCounted(pairs: DataFrame, aCol: String, bCol: String,
+      maxRounds: Int = 50): (DataFrame, Int) = {
     val edges = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
     val und = edges.unionByName(
       edges.select(col("b").as("a"), col("a").as("b"))).persist()
@@ -259,6 +270,7 @@ object Dedup {
       .withColumn("lbl", col("id")).localCheckpoint()
     var changed = 1L
     var round = 0
+    var effective = 0
     while (changed > 0 && round < maxRounds) {
       round += 1
       val prop = und.join(labels, und("a") === labels("id"))
@@ -270,13 +282,14 @@ object Dedup {
       changed = next
         .join(labels.select(col("id"), col("lbl").as("__prev")), "id")
         .filter(col("lbl") < col("__prev")).count()
+      if (changed > 0) effective += 1
       labels = next
     }
     val out = labels.groupBy(col("lbl").as("cluster"))
       .agg(count(lit(1)).as("n_members"))
       .localCheckpoint()
     und.unpersist()
-    out
+    (out, effective)
   }
 
   /** exact n-gram Jaccard pairs within blocking keys (quadratic per

@@ -71,6 +71,26 @@ class OpsHygieneSpec extends AnyFunSuite {
     assert(spark.sharedState.cacheManager.isEmpty)
   }
 
+  test("qp_dedup_clusters oracle horizon covers the gate corpus") {
+    // the DuckDB oracle unrolls EXACTLY 10 label-propagation rounds
+    // (QueriesPipeline qp_dedup_clusters) while the Spark side runs to
+    // convergence — they agree only while the gate corpus's effective
+    // propagation depth stays ≤ 10. Pin that bound on the same pairs
+    // the oracle builds (sf0.01, the corpus the driver gates on) so a
+    // longer near-dup chain in future data fails HERE, not as a silent
+    // oracle hash mismatch.
+    val d = Tables.load(spark, "/root/testdata/sf0.01", "documents")
+      .withColumn("__lb", floor(col("n_chars") / 20).cast("int"))
+    val pairs = Dedup.ngramJaccardPairs(d, "doc_id", "text",
+      blockCols = Seq("lang", "__lb"), threshold = 0.8)
+    val (_, rounds) =
+      Dedup.nearDupClustersCounted(pairs, "a_id", "b_id")
+    assert(rounds <= 10,
+      s"effective propagation depth $rounds exceeds the oracle's " +
+        "10-round unroll: raise the unroll in QueriesPipeline " +
+        "qp_dedup_clusters alongside this bound")
+  }
+
   test("nearDupClusters leaves no cached frames behind") {
     spark.catalog.clearCache()
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L))
