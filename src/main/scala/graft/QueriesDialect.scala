@@ -64,6 +64,32 @@ object QueriesDialect {
     "qd_traverse" -> ((s, dir) => gq(s, dir,
       "select c_custkey from customer where any() traverse(1,2) " +
         "(r_name = 'ASIA') order by c_custkey")),
+    "qd_traverse_fields" -> ((s, dir) => gq(s, dir,
+      // field-restricted hop set (SQLSelectTest.java:273-325 variants):
+      // the left field restricts the FIRST hop to the `nation` link
+      // (the `orders` multi-link is never followed), the field list
+      // restricts every later hop to {nation, region}. The OR matches
+      // at two different depths/classes: nation name at depth 1,
+      // region name at depth 2
+      "select c_custkey from customer " +
+        "where nation traverse(1,2,'nation,region') " +
+        "(r_name = 'EUROPE' or n_name like 'NATION_2%') " +
+        "order by c_custkey")),
+    "qd_export_import" -> ((s, dir) => {
+      // JSON export → fresh-session import → query the re-imported
+      // classes (reference ODatabaseExport/Import, DbImportExportTest):
+      // rows, schema AND link metadata must survive the roundtrip —
+      // the link-nav projection below only works if the imported
+      // catalog carries the nation→region LinkSpec
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-export").toString
+      engine.JsonTools.exportDatabase(g(s, dir), tmp,
+        includeClasses = Some(Set("nation", "region")))
+      val fresh = new GraftSession(s, new engine.Catalog(s))
+      engine.JsonTools.importDatabase(fresh, tmp)
+      fresh.query("select n_nationkey, n_name, region.r_name as rn " +
+        "from nation order by n_nationkey")
+    }),
     "qd_range_pagination" -> ((s, dir) => gq(s, dir,
       "select c_custkey, c_name from customer range 3:100, 3:199 " +
         "order by c_custkey")),
@@ -163,6 +189,22 @@ object QueriesDialect {
         |   ON n_regionkey = r_regionkey
         |   WHERE n_nationkey = c_nationkey AND r_name = 'ASIA')
         | ORDER BY c_custkey""".stripMargin,
+    "qd_traverse_fields" ->
+      // depth-1 hit: nation name; depth-2 hit over the restricted
+      // {nation,region} hop set: region name. `_` is literal in the
+      // graft dialect's LIKE, hence the ESCAPE
+      """SELECT c_custkey FROM customer
+        | WHERE EXISTS (SELECT 1 FROM nation
+        |   WHERE n_nationkey = c_nationkey
+        |     AND n_name LIKE 'NATION\_2%' ESCAPE '\')
+        |    OR EXISTS (SELECT 1 FROM nation JOIN region
+        |   ON n_regionkey = r_regionkey
+        |   WHERE n_nationkey = c_nationkey AND r_name = 'EUROPE')
+        | ORDER BY c_custkey""".stripMargin,
+    "qd_export_import" ->
+      """SELECT n_nationkey, n_name, r_name AS rn
+        | FROM nation JOIN region ON n_regionkey = r_regionkey
+        | ORDER BY n_nationkey""".stripMargin,
     "qd_range_pagination" ->
       """SELECT c_custkey, c_name FROM customer
         | WHERE c_custkey BETWEEN 100 AND 199 ORDER BY c_custkey""".stripMargin,

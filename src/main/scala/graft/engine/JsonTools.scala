@@ -25,9 +25,16 @@ import org.apache.spark.sql.types.{DataType, StructType}
 object JsonTools {
 
   // -------------------------------------------------------- export
-  def exportDatabase(session: GraftSession, dir: String): Unit = {
+  /** whole-db JSON dump (reference `ODatabaseExport`). `includeClasses`
+    * mirrors the reference exporter's class filter: when given, only
+    * the named classes (case-insensitive) are dumped. */
+  def exportDatabase(session: GraftSession, dir: String,
+      includeClasses: Option[Set[String]] = None): Unit = {
     val cat = session.catalog
-    val schemas = cat.all.map { cls =>
+    val include = includeClasses.map(_.map(_.toLowerCase))
+    val chosen = cat.all.filter(c =>
+      include.forall(_.contains(c.name.toLowerCase)))
+    val schemas = chosen.map { cls =>
       val df = cls.provider(session.spark)
       if (df.schema.nonEmpty)
         df.write.mode("overwrite").json(s"$dir/${cls.name.toLowerCase}")
@@ -41,7 +48,7 @@ object JsonTools {
         case c => c.toString
       } + "\""
     def jopt(o: Option[String]): String = o.map(jstr).getOrElse("null")
-    val manifest = cat.all.map { cls =>
+    val manifest = chosen.map { cls =>
       val clsKey = cls.name.toLowerCase
       val links = cls.links.map(l =>
         s"""{"field":${jstr(l.field)},"target":${jstr(l.target)},""" +
