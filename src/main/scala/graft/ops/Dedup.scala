@@ -268,6 +268,7 @@ object Dedup {
       edges.select(col("b").as("a"), col("a").as("b"))).persist()
     var labels = und.select(col("a").as("id")).distinct()
       .withColumn("lbl", col("id")).localCheckpoint()
+    val lblType = labels.schema("lbl").dataType
     var changed = 1L
     var round = 0
     var effective = 0
@@ -275,15 +276,20 @@ object Dedup {
       round += 1
       val prop = und.join(labels, und("a") === labels("id"))
         .select(und("b").as("id"), col("lbl"))
-      val next = prop.unionByName(labels)
-        .groupBy("id").agg(min("lbl").as("lbl"))
+      // carry the previous label through the SAME aggregation pass
+      // (each id has exactly one labels row, so max ignores the null
+      // neighbor contributions): the convergence count below is then a
+      // filter over the one checkpointed frame instead of a second
+      // join+count job per round
+      val next = prop.withColumn("__prev", lit(null).cast(lblType))
+        .unionByName(labels.select(col("id"), col("lbl"),
+          col("lbl").as("__prev")))
+        .groupBy("id").agg(min("lbl").as("lbl"), max("__prev").as("__prev"))
         .localCheckpoint()
       // min-label never increases, so convergence = zero decreases
-      changed = next
-        .join(labels.select(col("id"), col("lbl").as("__prev")), "id")
-        .filter(col("lbl") < col("__prev")).count()
+      changed = next.filter(col("lbl") < col("__prev")).count()
       if (changed > 0) effective += 1
-      labels = next
+      labels = next.select(col("id"), col("lbl"))
     }
     val out = labels.groupBy(col("lbl").as("cluster"))
       .agg(count(lit(1)).as("n_members"))

@@ -21,24 +21,32 @@ object Scratch {
     val d = sources.Tables.load(spark, "/root/testdata/sf0.1", "documents")
     val dl = d.withColumn("__lb", floor(col("n_chars") / 20).cast("int"))
 
-    // r2-style minhash: persisted buckets + eager localCheckpoint
-    def minhashR2(): DataFrame = {
+    // candidate variant: codegen'd min-agg signatures only (no
+    // collect_set in the groupBy), verify sets computed as per-row
+    // expressions ONLY for docs that appear in a candidate pair
+    def minhashSplit(): DataFrame = {
       val sigs = ops.Dedup.minhashSigs(d, "doc_id", "text", 4)
         .withColumnRenamed("doc_id", "__id")
+        .filter(col("s0").isNotNull)
+        .persist()
       val bandKeys = (0 until 4).map { b =>
         val ks = (b * 4 until (b + 1) * 4).map(i => col(s"s$i"))
         concat_ws("_", (lit(b) +: ks): _*)
       }
       val buckets = sigs.select(col("__id"),
-        explode(array(bandKeys: _*)).as("__band")).persist()
+        explode(array(bandKeys: _*)).as("__band"))
       val candidates = buckets.select(col("__band"), col("__id").as("a_id"))
         .join(buckets.select(col("__band"), col("__id").as("b_id")),
           Seq("__band"))
         .filter(col("a_id") < col("b_id"))
         .select("a_id", "b_id").distinct()
-      val sh = ops.Partitioning.spread(d).select(col("doc_id").as("__id"),
-        array_distinct(transform(charShingles(col("text"), 4),
-          hash60 _)).as("__sh"))
+        .localCheckpoint()
+      val candIds = candidates.select(col("a_id").as("doc_id"))
+        .unionByName(candidates.select(col("b_id").as("doc_id"))).distinct()
+      val sh = d.join(candIds, Seq("doc_id"), "left_semi")
+        .select(col("doc_id").as("__id"),
+          array_distinct(transform(charShingles(col("text"), 4),
+            hash60 _)).as("__sh"))
       val pairs = candidates
         .join(sh.select(col("__id").as("a_id"), col("__sh").as("__sha")), "a_id")
         .join(sh.select(col("__id").as("b_id"), col("__sh").as("__shb")), "b_id")
@@ -48,18 +56,19 @@ object Scratch {
             (size(col("__sha")) + size(col("__shb")) - col("__i")), 6).as("jac"))
         .filter(col("jac") >= 0.8)
         .localCheckpoint()
-      buckets.unpersist()
+      sigs.unpersist()
       pairs
     }
 
-    def ngramR2(): DataFrame = {
+    // ngram variant: per-row expression shingle sets (no explode
+    // groupBy shuffle at all), persisted, block self-join
+    def ngramExpr(): DataFrame = {
       val blockCols = Seq("lang", "__lb")
-      val s = ops.Partitioning.spread(dl).select((Seq(col("doc_id").as("__id"),
-          explode(charShingles(col("text"), 4)).as("__g")) ++
-          blockCols.map(col)): _*)
-        .withColumn("__h", hash60(col("__g")))
-        .groupBy((col("__id") +: blockCols.map(col)): _*)
-        .agg(collect_set(col("__h")).as("__sh"))
+      val s = ops.Partitioning.spread(dl)
+        .select((Seq(col("doc_id").as("__id"),
+          array_distinct(transform(charShingles(col("text"), 4),
+            hash60 _)).as("__sh")) ++ blockCols.map(col)): _*)
+        .filter(size(col("__sh")) > 0)
         .persist()
       val a = s.select((Seq(col("__id").as("a_id"),
         col("__sh").as("__sha")) ++ blockCols.map(col)): _*)
@@ -76,6 +85,34 @@ object Scratch {
       pairs
     }
 
+    // old-style clusters: convergence count via separate join per round
+    def clustersJoin(pairs: DataFrame): DataFrame = {
+      val edges = pairs.select(col("a_id").as("a"), col("b_id").as("b"))
+      val und = edges.unionByName(
+        edges.select(col("b").as("a"), col("a").as("b"))).persist()
+      var labels = und.select(col("a").as("id")).distinct()
+        .withColumn("lbl", col("id")).localCheckpoint()
+      var changed = 1L
+      var round = 0
+      while (changed > 0 && round < 50) {
+        round += 1
+        val prop = und.join(labels, und("a") === labels("id"))
+          .select(und("b").as("id"), col("lbl"))
+        val next = prop.unionByName(labels)
+          .groupBy("id").agg(min("lbl").as("lbl"))
+          .localCheckpoint()
+        changed = next
+          .join(labels.select(col("id"), col("lbl").as("__prev")), "id")
+          .filter(col("lbl") < col("__prev")).count()
+        labels = next
+      }
+      val out = labels.groupBy(col("lbl").as("cluster"))
+        .agg(count(lit(1)).as("n_members"))
+        .localCheckpoint()
+      und.unpersist()
+      out
+    }
+
     def time(name: String, mk: () => DataFrame): Unit = {
       val ts = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
@@ -85,19 +122,28 @@ object Scratch {
       println(f"TIMING $name median=${ts.sorted.apply(1)}%.2f all=${ts.map(t => f"$t%.2f").mkString(",")}")
     }
 
-    // warmup both paths once
-    run(ops.Dedup.minhashPairs(d, "doc_id", "text", 0.8)); run(minhashR2())
-    time("minhash_lazy", () => ops.Dedup.minhashPairs(d, "doc_id", "text", 0.8))
-    time("minhash_r2persist", () => minhashR2())
-    run(ops.Dedup.ngramJaccardPairs(dl, "doc_id", "text", Seq("lang", "__lb"), 0.8)); run(ngramR2())
-    time("ngram_lazy", () => ops.Dedup.ngramJaccardPairs(dl, "doc_id", "text", Seq("lang", "__lb"), 0.8))
-    time("ngram_r2persist", () => ngramR2())
+    run(ops.Dedup.minhashPairs(d, "doc_id", "text", 0.8)); run(minhashSplit())
+    time("minhash_current", () => ops.Dedup.minhashPairs(d, "doc_id", "text", 0.8))
+    time("minhash_split", () => minhashSplit())
+    run(ops.Dedup.ngramJaccardPairs(dl, "doc_id", "text", Seq("lang", "__lb"), 0.8)); run(ngramExpr())
+    time("ngram_current", () => ops.Dedup.ngramJaccardPairs(dl, "doc_id", "text", Seq("lang", "__lb"), 0.8))
+    time("ngram_expr", () => ngramExpr())
 
-    // executed-plan reuse check (collect finalizes THIS df's plan)
-    val p = ops.Dedup.minhashPairs(d, "doc_id", "text", 0.8)
-    p.collect()
-    println("MINHASH_LAZY_REUSED " +
-      "ReusedExchange".r.findAllIn(p.queryExecution.executedPlan.toString).length)
+    val pairs = ops.Dedup.ngramJaccardPairs(dl, "doc_id", "text",
+      Seq("lang", "__lb"), 0.8).localCheckpoint()
+    run(ops.Dedup.nearDupClusters(pairs, "a_id", "b_id")); run(clustersJoin(pairs))
+    time("clusters_fused", () => ops.Dedup.nearDupClusters(pairs, "a_id", "b_id"))
+    time("clusters_join", () => clustersJoin(pairs))
+
+    // sanity: the variants must agree
+    val cur = ops.Dedup.minhashPairs(d, "doc_id", "text", 0.8)
+      .orderBy("a_id", "b_id").collect().toSeq
+    val spl = minhashSplit().orderBy("a_id", "b_id").collect().toSeq
+    println(s"MINHASH_AGREE ${cur == spl} (${cur.size} pairs)")
+    val ncur = ops.Dedup.ngramJaccardPairs(dl, "doc_id", "text",
+      Seq("lang", "__lb"), 0.8).orderBy("a_id", "b_id").collect().toSeq
+    val nexp = ngramExpr().orderBy("a_id", "b_id").collect().toSeq
+    println(s"NGRAM_AGREE ${ncur == nexp} (${ncur.size} pairs)")
     spark.stop()
   }
 }
