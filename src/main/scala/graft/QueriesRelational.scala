@@ -216,6 +216,26 @@ object QueriesRelational {
         .distinct()
         .orderBy($"name")
     }),
+    "q_intersect" -> ((s, dir) => {
+      // INTERSECT (distinct semantics on both engines): brands present
+      // among the smallest parts AND among economy-line parts
+      import s.implicits._
+      val p = t(s, dir, "part")
+      p.filter($"p_size" === 1).select($"p_brand")
+        .intersect(
+          p.filter($"p_type".startsWith("ECONOMY")).select($"p_brand"))
+        .orderBy($"p_brand")
+    }),
+    "q_except" -> ((s, dir) => {
+      // EXCEPT: nations outside the ASIA region, by name
+      import s.implicits._
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region").filter($"r_name" === "ASIA")
+      n.select($"n_name")
+        .except(n.join(r, n("n_regionkey") === r("r_regionkey"))
+          .select($"n_name"))
+        .orderBy($"n_name")
+    }),
     "q_window_lag" -> ((s, dir) => {
       // per-user event deltas: lag over event time (beyond-rank window)
       import s.implicits._
@@ -441,6 +461,17 @@ object QueriesRelational {
         |   SELECT n_name AS name FROM nation
         |   UNION ALL SELECT r_name AS name FROM region)
         | ORDER BY name""".stripMargin,
+    "q_intersect" ->
+      """SELECT p_brand FROM part WHERE p_size = 1
+        | INTERSECT
+        | SELECT p_brand FROM part WHERE p_type LIKE 'ECONOMY%'
+        | ORDER BY p_brand""".stripMargin,
+    "q_except" ->
+      """SELECT n_name FROM nation
+        | EXCEPT
+        | SELECT n_name FROM nation JOIN region
+        |   ON n_regionkey = r_regionkey WHERE r_name = 'ASIA'
+        | ORDER BY n_name""".stripMargin,
     "q_window_lag" ->
       """SELECT event_id, user_id,
         |   round(value - lag(value, 1) OVER (PARTITION BY user_id
