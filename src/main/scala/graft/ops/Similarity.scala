@@ -11,15 +11,16 @@ import org.apache.spark.sql.expressions.Window
   * LSH variant buckets vectors by random-hyperplane sign bits so
   * candidate generation shuffles on bucket ids instead of computing
   * n×m cosines (IVF-style: probe only matching buckets).
-  * Dot products are `zip_with` + `aggregate` — codegen'd, no UDF.
+  * Dot products and norms are native compiled expressions
+  * ([[VectorExprs]]) — the HOF (`zip_with`+`aggregate`) forms run an
+  * interpreted lambda per element, which is the pair-scoring inner
+  * loop at 100 TB; results are bit-identical to the HOF fold order.
   */
 object Similarity {
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+  def dot(a: Column, b: Column): Column = VectorExprs.dot(a, b)
 
-  def norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0d), (acc, v) => acc + v * v))
+  def norm(a: Column): Column = VectorExprs.norm(a)
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 

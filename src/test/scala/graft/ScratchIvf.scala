@@ -43,6 +43,25 @@ object ScratchIvf {
     val plan = mkIvf().queryExecution.executedPlan.toString
     println("CODEGEN_SPANS " + "WholeStageCodegen".r.findAllIn(plan).length)
     println("FALLBACK " + plan.linesIterator.filter(_.contains("Project")).take(6).mkString(" | "))
+
+    // scaling of the expression-based cell assignment in k (the
+    // verdict's ask: IVF-realistic centroid counts, not the oracle's
+    // k=16) — cost should grow ~linearly in k with the stage staying
+    // in codegen
+    for (k <- Seq(16, 256, 1024)) {
+      val cents = ops.Similarity.collectCentroids(
+        e.filter(col("vec_id") < k), "vec_id", "embedding")
+      def assign() = ops.Similarity.cellAssignments(
+        e, cents, "vec_id", "embedding")
+      run(assign()) // warmup
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        run(assign())
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"TIMING assign_k$k median=${ts.sorted.apply(1)}%.2f " +
+        ts.map(t => f"$t%.2f").mkString(","))
+    }
     spark.stop()
   }
 }
