@@ -31,6 +31,13 @@ object Bench {
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // iterative operators truncate lineage via localCheckpoint; the
+      // checkpoint blocks are reclaimed by the ContextCleaner only
+      // after the RDD object is GC'd, and the default periodic-GC
+      // interval (30 min) lets blocks from hundreds of query runs
+      // accumulate in storage memory, squeezing later queries. One
+      // minute is the standard setting for checkpoint-heavy loads.
+      .config("spark.cleaner.periodicGC.interval", "1min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // optional args = query-name prefixes, for targeted local timing;
