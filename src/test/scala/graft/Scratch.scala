@@ -113,6 +113,52 @@ object Scratch {
       out
     }
 
+    // long-form variant: distinct (id, h) rows via codegen groupBy
+    // (no collect_set -> no ObjectHashAggregate, no array payloads);
+    // signatures from a second codegen groupBy over the SAME persisted
+    // exploded table; verify intersection by join + count
+    def minhashLong(): DataFrame = {
+      val eh = ops.Partitioning.spread(d)
+        .select(col("doc_id").as("__id"),
+          explode(charShingles(col("text"), 4)).as("__s"))
+        .select(col("__id"), hashMod(col("__s"), MinhashP).as("__hm"),
+          hash60(col("__s")).as("__h"))
+        .groupBy(col("__id"), col("__hm"), col("__h")).agg(lit(1))
+        .select("__id", "__hm", "__h")
+        .persist()
+      val aggs = minhashCoeffs.zipWithIndex.map { case ((a, b), i) =>
+        min((lit(a) * col("__hm") + lit(b)) % MinhashP).as(s"s$i")
+      } :+ count(lit(1)).as("__n")
+      val sigs = eh.groupBy(col("__id")).agg(aggs.head, aggs.tail: _*)
+      val bandKeys = (0 until 4).map { b =>
+        val ks = (b * 4 until (b + 1) * 4).map(i => col(s"s$i"))
+        concat_ws("_", (lit(b) +: ks): _*)
+      }
+      val buckets = sigs.select(col("__id"), col("__n"),
+        explode(array(bandKeys: _*)).as("__band"))
+      val candidates = buckets
+        .select(col("__band"), col("__id").as("a_id"), col("__n").as("__na"))
+        .join(buckets.select(col("__band"), col("__id").as("b_id"),
+          col("__n").as("__nb")), Seq("__band"))
+        .filter(col("a_id") < col("b_id"))
+        .groupBy("a_id", "b_id").agg(first("__na").as("__na"),
+          first("__nb").as("__nb"))
+      val inter = candidates
+        .join(eh.select(col("__id").as("a_id"), col("__h")), "a_id")
+        .join(eh.select(col("__id").as("b_id"), col("__h")), Seq("b_id", "__h"))
+        .groupBy("a_id", "b_id")
+        .agg(first("__na").as("__na"), first("__nb").as("__nb"),
+          count(lit(1)).as("__i"))
+      val pairs = inter
+        .select(col("a_id"), col("b_id"),
+          round(col("__i").cast("double") /
+            (col("__na") + col("__nb") - col("__i")), 6).as("jac"))
+        .filter(col("jac") >= 0.8)
+        .localCheckpoint()
+      eh.unpersist()
+      pairs
+    }
+
     def time(name: String, mk: () => DataFrame): Unit = {
       val ts = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
@@ -122,9 +168,9 @@ object Scratch {
       println(f"TIMING $name median=${ts.sorted.apply(1)}%.2f all=${ts.map(t => f"$t%.2f").mkString(",")}")
     }
 
-    run(ops.Dedup.minhashPairs(d, "doc_id", "text", 0.8)); run(minhashSplit())
+    run(ops.Dedup.minhashPairs(d, "doc_id", "text", 0.8)); run(minhashLong())
     time("minhash_current", () => ops.Dedup.minhashPairs(d, "doc_id", "text", 0.8))
-    time("minhash_split", () => minhashSplit())
+    time("minhash_long", () => minhashLong())
     run(ops.Dedup.ngramJaccardPairs(dl, "doc_id", "text", Seq("lang", "__lb"), 0.8)); run(ngramExpr())
     time("ngram_current", () => ops.Dedup.ngramJaccardPairs(dl, "doc_id", "text", Seq("lang", "__lb"), 0.8))
     time("ngram_expr", () => ngramExpr())
@@ -138,8 +184,8 @@ object Scratch {
     // sanity: the variants must agree
     val cur = ops.Dedup.minhashPairs(d, "doc_id", "text", 0.8)
       .orderBy("a_id", "b_id").collect().toSeq
-    val spl = minhashSplit().orderBy("a_id", "b_id").collect().toSeq
-    println(s"MINHASH_AGREE ${cur == spl} (${cur.size} pairs)")
+    val lng = minhashLong().orderBy("a_id", "b_id").collect().toSeq
+    println(s"MINHASH_AGREE ${cur == lng} (${cur.size} pairs)")
     val ncur = ops.Dedup.ngramJaccardPairs(dl, "doc_id", "text",
       Seq("lang", "__lb"), 0.8).orderBy("a_id", "b_id").collect().toSeq
     val nexp = ngramExpr().orderBy("a_id", "b_id").collect().toSeq
