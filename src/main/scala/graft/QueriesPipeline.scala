@@ -124,6 +124,14 @@ object QueriesPipeline {
         .groupBy("lang").agg(count(lit(1)).as("kept"))
         .orderBy("lang")
     }),
+    "qp_temperature_mix" -> ((s, dir) => {
+      // alpha=0.5 temperature flattening at a 30% overall budget: the
+      // dominant lang gives up share to the tail langs
+      Curation.temperatureMix(docs(s, dir), "doc_id", "lang",
+          alpha = 0.5, targetFraction = 0.3)
+        .groupBy("lang").agg(count(lit(1)).as("kept"))
+        .orderBy("lang")
+    }),
     "qp_seq_pack" -> ((s, dir) => {
       // pack the token stream into 512-token bins per lang shard
       Curation.packBins(
@@ -483,6 +491,16 @@ object QueriesPipeline {
          |   < (CASE WHEN lang = 'en' THEN 0.5
          |           WHEN lang = 'de' THEN 0.25 ELSE 0.1 END) * 10000
          | GROUP BY lang ORDER BY lang""".stripMargin,
+    "qp_temperature_mix" ->
+      s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+         | t AS (SELECT sum(n) AS tot, sum(pow(n, 0.5)) AS z FROM c),
+         | r AS (SELECT lang, round(least(1.0,
+         |     pow(n, 0.5) / z * 0.3 * tot / n), 6) AS rate FROM c, t)
+         | SELECT d.lang, count(*) AS kept
+         | FROM documents d JOIN r USING (lang)
+         | WHERE ${dH60("d.lang || ':' || CAST(d.doc_id AS VARCHAR)")} % 10000
+         |   < rate * 10000
+         | GROUP BY d.lang ORDER BY d.lang""".stripMargin,
     "qp_seq_pack" ->
       s"""WITH t AS (SELECT doc_id, lang, len(${dTokens("text")}) nt
          |   FROM documents),

@@ -48,6 +48,32 @@ object Curation {
         % 10000 < rate * 10000)
   }
 
+  /** Temperature-scaled mixture sampling — the multinomial temperature
+    * reweighting used to set training-data language/domain mixtures:
+    * stratum weight w_i ∝ n_i^alpha (alpha < 1 flattens the mixture,
+    * upweighting tail strata), per-stratum quota = w_i · (targetFraction
+    * · N), keep-rate = min(1, quota / n_i). Rows keep via the same
+    * deterministic hash-mod rule as [[stratifiedSample]] — reproducible
+    * corpus builds, no rand(). The counts/rates are one small
+    * aggregation broadcast back; the corpus itself sees one narrow
+    * filter, no extra shuffle. Rates round to 6 decimals so the DuckDB
+    * oracle lands on the identical keep boundary. */
+  def temperatureMix(df: DataFrame, idCol: String, strataCol: String,
+      alpha: Double, targetFraction: Double): DataFrame = {
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
+    val tot = counts.agg(sum(col("__n")).as("__tot"),
+      sum(pow(col("__n"), alpha)).as("__z"))
+    val rates = counts.crossJoin(broadcast(tot))
+      .withColumn("__rate", round(
+        least(lit(1.0), pow(col("__n"), alpha) / col("__z") *
+          lit(targetFraction) * col("__tot") / col("__n")), 6))
+      .select(col(strataCol), col("__rate"))
+    df.join(broadcast(rates), Seq(strataCol))
+      .filter(hash60(concat(col(strataCol), lit(":"),
+        col(idCol).cast("string"))) % 10000 < col("__rate") * 10000)
+      .drop("__rate")
+  }
+
   /** Sequence packing: lay the corpus out as a token stream per
     * partition key (documents may span bin boundaries, GPT-style) and
     * bin by the document's starting offset — bin = floor(start/budget)

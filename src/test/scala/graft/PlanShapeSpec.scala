@@ -87,6 +87,12 @@ class PlanShapeSpec extends AnyFunSuite {
     // beyond its aggregation
     val samp = finalPlan(df("qp_stratified_sample"))
     assert(!samp.contains("Join"), samp)
+    // temperature mixing joins the corpus to a per-stratum rate table
+    // that is tiny by construction — it must broadcast, never shuffle
+    // the corpus into a sort-merge join
+    val mix = finalPlan(df("qp_temperature_mix"))
+    assert(mix.contains("BroadcastHashJoin") &&
+      !mix.contains("SortMergeJoin"), mix)
   }
 
   test("banded range join stays an equi-join, never a cross product") {
