@@ -183,6 +183,17 @@ object QueriesPipeline {
           cent, "vec_id", "embedding", k = 5, nProbe = 2)
         .orderBy(col("q_id"), col("rnk"))
     }),
+    "qp_semantic_dedup" -> ((s, dir) => {
+      // SemDeDup: trained k-means cells as blocking keys, within-cell
+      // cosine balls, smallest id survives. Threshold 0.42 because the
+      // synthetic embeddings top out near cosine 0.51 — realistic 0.95+
+      // would make the oracle trivially drop-free
+      val e = embs(s, dir)
+      Similarity.semanticDedup(e, e.filter(col("vec_id") < 16),
+          "vec_id", "embedding", iters = 2, threshold = 0.42)
+        .groupBy("cell").agg(count(lit(1)).as("kept"))
+        .orderBy("cell")
+    }),
     "qp_quantize_int8" -> ((s, dir) => {
       // int8 quantization fidelity: per-vector scale + max abs error of
       // the dequantized cosine-against-self (storage-scale path)
@@ -622,6 +633,24 @@ object QueriesPipeline {
          |   WHERE q_id <> n_id)
          | SELECT q_id, n_id, round(c, 6) AS cos, rnk FROM scored
          | WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    "qp_semantic_dedup" ->
+      s"""WITH $dKmeansCtes,
+         | c2 AS (SELECT cell, list(m ORDER BY dim) AS cv FROM g2
+         |   GROUP BY cell),
+         | cent AS (SELECT cell AS cent_id, cv AS ccv,
+         |   sqrt(${dDot("cv", "cv")}) AS cn FROM c2),
+         | cells AS (SELECT vec_id, v, nn, cell FROM (
+         |   SELECT e.vec_id, e.v, e.nn, cent.cent_id AS cell,
+         |     row_number() OVER (PARTITION BY e.vec_id
+         |       ORDER BY ${dDot("e.v", "cent.ccv")} / (e.nn * cent.cn)
+         |         DESC, cent.cent_id) AS r
+         |   FROM e CROSS JOIN cent) WHERE r = 1),
+         | drops AS (SELECT DISTINCT b.vec_id FROM cells a
+         |   JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |   WHERE round(${dDot("a.v", "b.v")} / (a.nn * b.nn), 6) >= 0.42)
+         | SELECT cell, count(*) AS kept FROM cells
+         | WHERE vec_id NOT IN (SELECT vec_id FROM drops)
+         | GROUP BY cell ORDER BY cell""".stripMargin,
     "qp_quantize_int8" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings
         |   WHERE vec_id < 200),

@@ -265,6 +265,28 @@ object Similarity {
     state.toDF("cell", "cv", "n_members")
   }
 
+  /** SemDeDup-style semantic deduplication: train k-means cells, use
+    * the cells as blocking keys for exact within-cell cosine pairs,
+    * and drop every vector with a near-identical neighbor of smaller
+    * id (the smallest id in each epsilon-ball survives). The cells
+    * bound the quadratic verification — the 100 TB shape: a narrow
+    * assignment pass and per-cell pair generation, never a global
+    * pairwise comparison. Returns the kept corpus rows + their cell. */
+  def semanticDedup(corpus: DataFrame, init: DataFrame, idCol: String,
+      vecCol: String, iters: Int, threshold: Double): DataFrame = {
+    val cents = collectCentroids(
+      kmeansCentroidVectors(corpus, init, idCol, vecCol, iters)
+        .select(col("cell").cast("long").as(idCol), col("cv").as(vecCol)),
+      idCol, vecCol)
+    val cells = cellAssignments(corpus, cents, idCol, vecCol)
+      .select(col("n_id").as(idCol), col("cell"))
+    val withCell = corpus.join(cells, Seq(idCol))
+    val drops = cosinePairs(withCell, idCol, vecCol,
+        blockCols = Seq("cell"), threshold)
+      .select(col("b_id").as(idCol)).distinct()
+    withCell.join(drops, Seq(idCol), "left_anti")
+  }
+
   /** Symmetric int8 quantization of an embedding column: per-vector
     * scale = max|x|/127, values round to [-127, 127]. At 100 TB this
     * is the 4× storage/IO cut that makes the embedding corpus
