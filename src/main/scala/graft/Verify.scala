@@ -13,6 +13,10 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.ui.enabled", "false")
+      // match Bench: keep the shingle-set aggregations in hash mode
+      // (the 128-key default falls back to sort-based aggregation)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        100000)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -170,10 +170,16 @@ object Scratch {
 
     run(ops.Dedup.minhashPairs(d, "doc_id", "text", 0.8)); run(minhashLong())
     time("minhash_current", () => ops.Dedup.minhashPairs(d, "doc_id", "text", 0.8))
-    time("minhash_long", () => minhashLong())
-    run(ops.Dedup.ngramJaccardPairs(dl, "doc_id", "text", Seq("lang", "__lb"), 0.8)); run(ngramExpr())
     time("ngram_current", () => ops.Dedup.ngramJaccardPairs(dl, "doc_id", "text", Seq("lang", "__lb"), 0.8))
-    time("ngram_expr", () => ngramExpr())
+    // collect_set runs in ObjectHashAggregate, which falls back to
+    // SORT-based aggregation at 128 distinct keys per partition —
+    // 5000 docs / 32 partitions is already past the cliff
+    spark.conf.set(
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold", 100000)
+    time("minhash_bigfallback", () => ops.Dedup.minhashPairs(d, "doc_id", "text", 0.8))
+    time("ngram_bigfallback", () => ops.Dedup.ngramJaccardPairs(dl, "doc_id", "text", Seq("lang", "__lb"), 0.8))
+    spark.conf.set(
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold", 128)
 
     val pairs = ops.Dedup.ngramJaccardPairs(dl, "doc_id", "text",
       Seq("lang", "__lb"), 0.8).localCheckpoint()
