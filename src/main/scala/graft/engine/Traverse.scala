@@ -71,15 +71,24 @@ object Traverse {
     // the loop by graph size)
     val end = if (tc.end < 0) maxDepth else tc.end
 
+    // BOUNDED shallow traversals (the common `traverse(1,2)` shape)
+    // compile to one STATIC lazy plan: no per-round materialization,
+    // no frontier-emptiness probe jobs — a handful of joins Catalyst
+    // optimizes as a whole (exchange reuse dedups the repeated scans).
+    // Deep/unbounded traversals keep the checkpointed BFS below, whose
+    // per-round lineage truncation is what survives 10+ rounds.
+    val static = end <= 3
+
     // per-class frontier/visited of (__origin, __node) pairs
     var frontier: Map[String, DataFrame] = {
       // polymorphic: subclass rows participate in traversal
       val t = catalog.polymorphicScan(baseCls.name)
       // checkpoint breaks lineage: frontiers re-join the class tables
       // every round, which Spark otherwise flags as ambiguous self-joins
+      // (each loop round re-scans fresh, so the static path is safe)
+      val f0 = t.select(col(key0).as("__origin"), col(key0).as("__node"))
       Map(baseCls.name.toLowerCase ->
-        t.select(col(key0).as("__origin"), col(key0).as("__node"))
-          .localCheckpoint(true))
+        (if (static) f0 else f0.localCheckpoint(true)))
     }
     var visited: Map[String, DataFrame] = frontier
     val matchedParts = scala.collection.mutable.ListBuffer[DataFrame]()
@@ -138,10 +147,14 @@ object Traverse {
               "left_anti")
             case None => d
           }
-          // truncate lineage per round — iterative joins otherwise grow
-          // the plan exponentially (same role as GraphX's checkpointing)
-          val mat = unseen.localCheckpoint(true)
-          if (mat.isEmpty) None else Some(cn -> mat)
+          if (static) Some(cn -> unseen) // lazy: empties cost nothing
+          else {
+            // truncate lineage per round — iterative joins otherwise
+            // grow the plan exponentially (same role as GraphX's
+            // checkpointing); the emptiness probe prunes dead classes
+            val mat = unseen.localCheckpoint(true)
+            if (mat.isEmpty) None else Some(cn -> mat)
+          }
         }
         visited = (visited.keySet ++ frontier.keySet).map { cn =>
           (visited.get(cn), frontier.get(cn)) match {
