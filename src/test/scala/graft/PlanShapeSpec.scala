@@ -95,6 +95,17 @@ class PlanShapeSpec extends AnyFunSuite {
       !mix.contains("SortMergeJoin"), mix)
   }
 
+  test("bounded shallow TRAVERSE compiles to one static join plan") {
+    // depth <= 3 must not pay the iterative loop's per-round eager
+    // checkpoints: the whole traversal is a lazy join tree over fresh
+    // parquet scans. A LogicalRDD in the plan means a localCheckpoint
+    // materialized mid-build — the static path regressed.
+    val p = df("qd_traverse").queryExecution.optimizedPlan.toString
+    assert(!p.contains("LogicalRDD"),
+      s"bounded traverse must not checkpoint per round:\n$p")
+    assert(p.contains("Join"), p)
+  }
+
   test("banded range join stays an equi-join, never a cross product") {
     val p = finalPlan(df("q_range_join"))
     assert(!p.contains("CartesianProduct") &&
