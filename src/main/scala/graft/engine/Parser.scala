@@ -95,11 +95,21 @@ object Parser {
     var i = i0
     val c0 = i
     while (i < s.length && s(i).isDigit) i += 1
-    val cluster = s.substring(c0, i).toInt
+    // the '#' entry point checks only the first digit — validate the
+    // full digits ':' digits shape here (and numeric range) so inputs
+    // like `#3I` or a 30-digit cluster fail as parse errors, not as
+    // NumberFormatException crashes
+    if (i >= s.length || s(i) != ':')
+      throw ParseException(s"malformed RID literal at $c0")
+    val cluster = s.substring(c0, i).toIntOption.getOrElse(
+      throw ParseException(s"RID cluster out of range at $c0"))
     i += 1 // ':'
     val p0 = i
     while (i < s.length && s(i).isDigit) i += 1
-    (TRid(cluster, s.substring(p0, i).toLong), i)
+    if (i == p0) throw ParseException(s"malformed RID literal at $c0")
+    val p = s.substring(p0, i).toLongOption.getOrElse(
+      throw ParseException(s"RID position out of range at $c0"))
+    (TRid(cluster, p), i)
   }
 
   // --------------------------------------------------------------- parser
@@ -113,8 +123,13 @@ object Parser {
     private var pos = 0
     private def peek: Tok = toks(pos)
     private def next(): Tok = { val t = toks(pos); pos += 1; t }
-    private def fail(msg: String): Nothing =
-      throw ParseException(s"$msg (at token $pos: $peek)")
+    private def fail(msg: String): Nothing = {
+      // `next()` may already have consumed TEnd when the caller
+      // fails — the error report itself must not index past the
+      // token vector
+      val at = if (pos < toks.length) toks(pos).toString else "<end>"
+      throw ParseException(s"$msg (at token $pos: $at)")
+    }
 
     private def isKw(t: Tok, kw: String): Boolean = t match {
       case TIdent(s) => s.equalsIgnoreCase(kw)
@@ -259,7 +274,8 @@ object Parser {
       case t => fail(s"expected RID, got $t")
     }
     private def intLit(): Int = next() match {
-      case TNum(s) => s.toInt
+      case TNum(s) => s.toIntOption.getOrElse(
+        fail(s"integer literal out of range: $s"))
       case t => fail(s"expected integer, got $t")
     }
 
@@ -381,8 +397,10 @@ object Parser {
       case TNum(s) =>
         pos += 1
         if (s.contains('.') || s.contains('e') || s.contains('E'))
-          Lit(s.toDouble)
-        else Lit(s.toLong)
+          Lit(s.toDoubleOption.getOrElse(
+            fail(s"numeric literal out of range: $s")))
+        else Lit(s.toLongOption.getOrElse(
+          fail(s"numeric literal out of range: $s")))
       case TRid(c, p) => pos += 1; RidLit(c, p)
       case TPunct("[") =>
         pos += 1
