@@ -59,6 +59,25 @@ class TransactionSpec extends AnyFunSuite {
     intercept[Parser.ParseException](g.query("select from Side"))
   }
 
+  test("rollback reverts GRANTs; committed GRANTs survive reopen") {
+    val root = tmpRoot("txacl")
+    val g = GraftSession.openDurable(spark, root)
+    g.command("create class Vault")
+    g.command("insert into Vault (id) values (1)")
+    // a grant inside a rolled-back tx must not leave enforcement state
+    g.begin()
+    g.command("grant READ on database.class.vault to auditor")
+    g.rollback()
+    intercept[SecurityException](g.as("auditor").query("select from Vault"))
+    // a committed tx's grant is part of the atomic unit and durable
+    g.begin()
+    g.command("grant READ on database.class.vault to auditor")
+    g.commit()
+    assert(g.as("auditor").query("select from Vault").count() == 1)
+    val g2 = GraftSession.openDurable(spark, root)
+    assert(g2.as("auditor").query("select from Vault").count() == 1)
+  }
+
   test("a failing statement rolls the whole batch back") {
     val root = tmpRoot("atomic")
     val g = GraftSession.openDurable(spark, root)
