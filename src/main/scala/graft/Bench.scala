@@ -64,6 +64,12 @@ object Bench {
     val times = scala.collection.mutable
       .Map[String, Vector[Double]]().withDefaultValue(Vector())
     for (_ <- 1 to rounds; n <- names if ok(n)) {
+      // JMH-style inter-iteration GC, OUTSIDE the timed window: a
+      // query otherwise pays its predecessors' garbage (measured:
+      // qp_minhash_pairs 1.9 s alone vs 3.2 s timed right after the
+      // pagerank/cluster queries in the same round). This measures
+      // each operator, not the round-robin's accumulated debt.
+      System.gc()
       val t0 = System.nanoTime()
       run(SparkEntry.queries(n)(spark, sfDir))
       times(n) = times(n) :+ (System.nanoTime() - t0) / 1e9
