@@ -196,6 +196,39 @@ object Dedup {
       } finally vsCorpus.unpersist()
     }
 
+  /** Cross-batch STATEFUL streaming dedup: drop any (id, text) whose
+    * full minhash signature was already seen in ANY earlier micro-batch
+    * of this stream (and keep only the min-id doc per signature within
+    * a batch). Completes the streaming-ingestion story next to
+    * [[streamingNearDupFilter]] (stream-vs-static) and
+    * [[microBatchNearDup]] (intra-batch LSH): the state store carries
+    * one boolean per distinct signature, hash-partitioned by signature
+    * key — at 100 TB that is the minimal possible dedup state (a set
+    * membership), served by RocksDB state stores; bound retention by
+    * switching the timeout conf if the corpus key-space must be TTL'd.
+    * Shingle-less texts (null signature) always pass through. */
+  def statefulSigDedup(docs: org.apache.spark.sql.Dataset[(Long, String)],
+      shingleN: Int = 4): org.apache.spark.sql.Dataset[(Long, String)] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    docs.toDF("doc_id", "text")
+      .withColumn("__sig", signatureExpr(col("text"), shingleN))
+      .as[(Long, String, String)]
+      .groupByKey(t => Option(t._3).getOrElse(""))
+      .flatMapGroupsWithState[Boolean, (Long, String)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (sig: String, rows: Iterator[(Long, String, String)],
+            state: GroupState[Boolean]) =>
+          if (sig.isEmpty) rows.map(t => (t._1, t._2))
+          else if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            val survivor = rows.minBy(_._1) // deterministic within batch
+            Iterator((survivor._1, survivor._2))
+          }
+      }
+  }
+
   /** simhash signature table (idCol, simhash): token explode → 32
     * codegen'd conditional sums → bit assembly. One shuffle. */
   def simhashSigs(df: DataFrame, idCol: String, textCol: String): DataFrame = {

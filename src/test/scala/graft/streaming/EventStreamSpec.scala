@@ -138,6 +138,33 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateful cross-batch signature dedup") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val textA = "stream engine query plan shuffle partition broadcast " +
+      "join aggregate window state watermark checkpoint codegen filter"
+    val textB = "wholly unrelated fresh content about gardening soil " +
+      "compost seedlings irrigation mulch and perennial root systems"
+    val input = MemoryStream[(Long, String)]
+    val out = graft.ops.Dedup.statefulSigDedup(input.toDS())
+    val q = out.toDF("doc_id", "text").writeStream.format("memory")
+      .queryName("stateful_dedup").outputMode("append").start()
+    try {
+      // batch 1: duplicate signature within the batch → min id wins;
+      // shingle-less text passes through
+      input.addData((11L, textA), (10L, textA), (12L, "ab"))
+      q.processAllAvailable()
+      // batch 2: textA seen in batch 1 → dropped ACROSS batches; new
+      // text passes; a second shingle-less doc still passes
+      input.addData((20L, textA), (21L, textB), (22L, "ab"))
+      q.processAllAvailable()
+      val ids = spark.table("stateful_dedup").collect()
+        .map(_.getAs[Long]("doc_id")).toSet
+      assert(ids == Set(10L, 12L, 21L, 22L),
+        s"cross-batch dedup state must persist between batches: $ids")
+    } finally q.stop()
+  }
+
   test("sessionization with event-time gap timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
