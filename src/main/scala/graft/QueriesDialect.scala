@@ -93,6 +93,17 @@ object QueriesDialect {
     "qd_range_pagination" -> ((s, dir) => gq(s, dir,
       "select c_custkey, c_name from customer range 3:100, 3:199 " +
         "order by c_custkey")),
+    "qd_column_positional" -> ((s, dir) => gq(s, dir,
+      // column-record positional access (§2.3 column(n),
+      // ORecordColumn / OSQLFilterItemColumn): resolved against the
+      // class's column order at plan time
+      "select column(1) as name from nation where column(0) >= 10 " +
+        "order by column(1)")),
+    "qd_record_attrs" -> ((s, dir) => gq(s, dir,
+      // record-attribute pseudo-columns under the gate: @class routes
+      // the synthetic _class column, @type is the record-kind constant
+      "select n_nationkey, @class as cls, @type as rtype from nation " +
+        "where @class = 'nation' order by n_nationkey")),
     "qd_any_field" -> ((s, dir) => gq(s, dir,
       "select n_nationkey from nation where any() like 'NATION_1%' " +
         "order by n_nationkey")),
@@ -244,6 +255,12 @@ object QueriesDialect {
         | ORDER BY o_orderkey""".stripMargin,
     "qd_cluster_target" ->
       "SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey",
+    "qd_column_positional" ->
+      """SELECT n_name AS name FROM nation WHERE n_nationkey >= 10
+        | ORDER BY n_name""".stripMargin,
+    "qd_record_attrs" ->
+      """SELECT n_nationkey, 'nation' AS cls, 'document' AS rtype
+        | FROM nation ORDER BY n_nationkey""".stripMargin,
     "qd_not_operator" ->
       """SELECT c_custkey FROM customer
         | WHERE NOT (c_mktsegment = 'BUILDING' OR c_acctbal < 0)
