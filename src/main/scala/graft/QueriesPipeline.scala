@@ -124,6 +124,12 @@ object QueriesPipeline {
         .groupBy("lang").agg(count(lit(1)).as("kept"))
         .orderBy("lang")
     }),
+    "qp_exact_substring" -> ((s, dir) => {
+      // span-level dedup signal (ExactSubstr-style): distinct 20-token
+      // windows each doc shares verbatim with any other doc
+      Dedup.sharedWindowCounts(docs(s, dir), "doc_id", "text", w = 20)
+        .orderBy("doc_id")
+    }),
     "qp_temperature_mix" -> ((s, dir) => {
       // alpha=0.5 temperature flattening at a 30% overall budget: the
       // dominant lang gives up share to the tail langs
@@ -502,6 +508,17 @@ object QueriesPipeline {
          |   < (CASE WHEN lang = 'en' THEN 0.5
          |           WHEN lang = 'de' THEN 0.25 ELSE 0.1 END) * 10000
          | GROUP BY lang ORDER BY lang""".stripMargin,
+    "qp_exact_substring" ->
+      s"""WITH tok AS (SELECT doc_id, ${dTokens("text")} t FROM documents),
+         | w AS (SELECT DISTINCT doc_id, h FROM (
+         |   SELECT doc_id, unnest(list_transform(range(len(t) - 19),
+         |     i -> ${dH60("array_to_string(list_slice(t, i + 1, i + 20), ' ')")}))
+         |     AS h
+         |   FROM tok WHERE len(t) >= 20)),
+         | s AS (SELECT h FROM (
+         |   SELECT h, count(*) AS nd FROM w GROUP BY h) WHERE nd > 1)
+         | SELECT doc_id, count(*) AS n_shared FROM w JOIN s USING (h)
+         | GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "qp_temperature_mix" ->
       s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
          | t AS (SELECT sum(n) AS tot, sum(pow(n, 0.5)) AS z FROM c),

@@ -196,6 +196,37 @@ object Dedup {
       } finally vsCorpus.unpersist()
     }
 
+  /** Exact-substring (span-level) dedup signal: for every document,
+    * the number of DISTINCT w-token windows it shares verbatim with at
+    * least one other document. The standard span-level dedup for
+    * training corpora (suffix-array ExactSubstr at heart): a doc with
+    * n_shared > 0 carries text copied from elsewhere in the corpus and
+    * is a span-removal candidate. Scale shape: posexplode tokens →
+    * per-doc sliding windows from a bounded window frame (partitioned
+    * BY DOC, so the sort parallelizes across docs and no task sees
+    * more than one doc's tokens) → window-hash groupBy (one shuffle,
+    * partial-combined) → hash-partitioned join back. No suffix array —
+    * fixed-width windows make the problem a plain aggregation. */
+  def sharedWindowCounts(df: DataFrame, idCol: String, textCol: String,
+      w: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = spread(df).select(col(idCol).as("__id"),
+      posexplode(tokensWs(col(textCol))).as(Seq("__p", "__t")))
+    val frame = Window.partitionBy("__id").orderBy("__p")
+      .rowsBetween(Window.currentRow, w - 1)
+    val wins = toks
+      .withColumn("__wt", collect_list(col("__t")).over(frame))
+      .filter(size(col("__wt")) === w) // tail positions have no window
+      .select(col("__id"), hash60(concat_ws(" ", col("__wt"))).as("__wh"))
+      .distinct()
+    val shared = wins.groupBy("__wh")
+      .agg(count(lit(1)).as("__nd")).filter(col("__nd") > 1)
+      .select("__wh")
+    wins.join(shared, "__wh")
+      .groupBy(col("__id").as(idCol))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Cross-batch STATEFUL streaming dedup: drop any (id, text) whose
     * full minhash signature was already seen in ANY earlier micro-batch
     * of this stream (and keep only the min-id doc per signature within
