@@ -509,15 +509,26 @@ object QueriesPipeline {
          |           WHEN lang = 'de' THEN 0.25 ELSE 0.1 END) * 10000
          | GROUP BY lang ORDER BY lang""".stripMargin,
     "qp_exact_substring" ->
-      s"""WITH tok AS (SELECT doc_id, ${dTokens("text")} t FROM documents),
-         | w AS (SELECT DISTINCT doc_id, h FROM (
-         |   SELECT doc_id, unnest(list_transform(range(len(t) - 19),
-         |     i -> ${dH60("array_to_string(list_slice(t, i + 1, i + 20), ' ')")}))
-         |     AS h
-         |   FROM tok WHERE len(t) >= 20)),
-         | s AS (SELECT h FROM (
-         |   SELECT h, count(*) AS nd FROM w GROUP BY h) WHERE nd > 1)
-         | SELECT doc_id, count(*) AS n_shared FROM w JOIN s USING (h)
+      // window key = pair of sums of two independent per-token hashes,
+      // identical construction to Dedup.sharedWindowCounts
+      s"""WITH tok AS (SELECT doc_id,
+         |   list_transform(${dTokens("text")},
+         |     x -> ${dH60("x")} % ${graft.ops.Dedup.WindowHashMod}) h1,
+         |   list_transform(${dTokens("text")},
+         |     x -> ${dH60("x || '#2'")} % ${graft.ops.Dedup.WindowHashMod}) h2
+         |   FROM documents),
+         | w AS (SELECT DISTINCT doc_id, s1, s2 FROM (
+         |   SELECT doc_id,
+         |     unnest(list_transform(range(len(h1) - 19),
+         |       i -> list_sum(list_slice(h1, i + 1, i + 20)))) AS s1,
+         |     unnest(list_transform(range(len(h1) - 19),
+         |       i -> list_sum(list_slice(h2, i + 1, i + 20)))) AS s2
+         |   FROM tok WHERE len(h1) >= 20)),
+         | s AS (SELECT s1, s2 FROM (
+         |   SELECT s1, s2, count(*) AS nd FROM w GROUP BY s1, s2)
+         |   WHERE nd > 1)
+         | SELECT doc_id, count(*) AS n_shared FROM w
+         | JOIN s USING (s1, s2)
          | GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "qp_temperature_mix" ->
       s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),

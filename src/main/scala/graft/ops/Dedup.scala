@@ -196,6 +196,9 @@ object Dedup {
       } finally vsCorpus.unpersist()
     }
 
+  /** per-token hash modulus for [[sharedWindowCounts]] window sums. */
+  val WindowHashMod: Long = 100000000000000000L // 1e17
+
   /** Exact-substring (span-level) dedup signal: for every document,
     * the number of DISTINCT w-token windows it shares verbatim with at
     * least one other document. The standard span-level dedup for
@@ -210,19 +213,35 @@ object Dedup {
   def sharedWindowCounts(df: DataFrame, idCol: String, textCol: String,
       w: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // window key = PAIR of sums of two independent per-token hashes
+    // over the w-token frame: two codegen'd numeric window sums per
+    // position instead of materializing a w-string array + one md5 per
+    // window (an ObjectAggregate inside the window exec — measured
+    // ~2× slower). The pair keeps collisions negligible (two
+    // independent ~60-bit sums); md5 runs once per TOKEN, not per
+    // window.
+    // hashes capped below 1e17 so a w=20 window sum stays inside Long
+    // range on BOTH engines (DuckDB's list_sum promotes to HUGEINT;
+    // Spark's long sum would silently wrap — the cap removes the
+    // divergence instead of papering over it)
     val toks = spread(df).select(col(idCol).as("__id"),
-      posexplode(tokensWs(col(textCol))).as(Seq("__p", "__t")))
+        posexplode(tokensWs(col(textCol))).as(Seq("__p", "__t")))
+      .withColumn("__h1", hash60(col("__t")) % WindowHashMod)
+      .withColumn("__h2",
+        hash60(concat(col("__t"), lit("#2"))) % WindowHashMod)
     val frame = Window.partitionBy("__id").orderBy("__p")
       .rowsBetween(Window.currentRow, w - 1)
     val wins = toks
-      .withColumn("__wt", collect_list(col("__t")).over(frame))
-      .filter(size(col("__wt")) === w) // tail positions have no window
-      .select(col("__id"), hash60(concat_ws(" ", col("__wt"))).as("__wh"))
+      .withColumn("__n", count(lit(1)).over(frame))
+      .withColumn("__s1", sum(col("__h1")).over(frame))
+      .withColumn("__s2", sum(col("__h2")).over(frame))
+      .filter(col("__n") === w) // tail positions have no full window
+      .select(col("__id"), col("__s1"), col("__s2"))
       .distinct()
-    val shared = wins.groupBy("__wh")
+    val shared = wins.groupBy("__s1", "__s2")
       .agg(count(lit(1)).as("__nd")).filter(col("__nd") > 1)
-      .select("__wh")
-    wins.join(shared, "__wh")
+      .select("__s1", "__s2")
+    wins.join(shared, Seq("__s1", "__s2"))
       .groupBy(col("__id").as(idCol))
       .agg(count(lit(1)).as("n_shared"))
   }
