@@ -418,7 +418,11 @@ final class Translator(val catalog: Catalog, val registry: FunctionRegistry) {
       case AttrSeg(a) :: rest =>
         applyChain(attrColumn(a, scope), rest, scope)
       case MethodSeg("column", Seq(Lit(n: Long))) :: rest =>
-        // positional column access for column-records (§2.3 column(n))
+        // positional column access for column-records (§2.3 column(n));
+        // out-of-range positions are query errors, not array crashes
+        if (n < 0 || n >= scope.baseColumns.size)
+          throw Parser.ParseException(
+            s"column($n) out of range 0..${scope.baseColumns.size - 1}")
         applyChain(col(scope.baseColumns(n.toInt)), rest, scope)
       case MethodSeg(fn, args) :: rest if registry.contains(fn) =>
         val f = registry.lookup(fn).get
@@ -548,14 +552,22 @@ final class Translator(val catalog: Catalog, val registry: FunctionRegistry) {
     var c = c0
     segs.foreach {
       case MethodSeg(op, args) =>
-        def argStr(i: Int): String = args(i) match {
+        // missing args and non-numeric numeric-args are QUERY errors
+        // (ParseException), never IndexOutOfBounds/NumberFormat crashes
+        def arg(i: Int): SqlExpr =
+          if (i < args.size) args(i)
+          else throw Parser.ParseException(
+            s"$op() needs at least ${i + 1} argument(s)")
+        def argStr(i: Int): String = arg(i) match {
           case Lit(s: String) => s
           case Lit(v) => String.valueOf(v)
           case other => throw Parser.ParseException(s"bad arg $other for $op")
         }
-        def argInt(i: Int): Int = args(i) match {
+        def argInt(i: Int): Int = arg(i) match {
           case Lit(v: Long) => v.toInt
-          case Lit(s: String) => s.toInt
+          case Lit(s: String) => s.toIntOption.getOrElse(
+            throw Parser.ParseException(
+              s"$op() needs an integer argument, got '$s'"))
           case other => throw Parser.ParseException(s"bad arg $other for $op")
         }
         c = op match {

@@ -248,4 +248,20 @@ class DialectSpec extends AnyFunSuite {
     intercept[Parser.ParseException](
       g.query("select notafunction(c_name) from customer"))
   }
+
+  test("bad chain args and column positions are query errors, not crashes") {
+    // each previously escaped the translator as NumberFormatException
+    // or IndexOutOfBoundsException
+    Seq(
+      "select n_name.left('x') from nation",
+      "select n_name.substring('a','b') from nation",
+      "select n_name.charAt('z') from nation",
+      "select column(99) from nation",
+      "select column(-1) from nation",
+      "select n_name.indexOf() from nation",
+      "select n_name.format() from nation"
+    ).foreach { q =>
+      intercept[Parser.ParseException](g.query(q))
+    }
+  }
 }
