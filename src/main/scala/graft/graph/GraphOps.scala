@@ -59,18 +59,23 @@ object GraphOps {
     val e = edges.select(col("src"), col("dst"))
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     // (src, dst, outdeg) and the vertex-id set are loop-invariant:
-    // compute once, reuse per iter (the id set would otherwise re-derive
-    // its source scans/joins every round)
-    val contrib = e.join(outDeg, "src").persist()
+    // compute once, reuse per iter. The id set rides INSIDE the edge
+    // table as null-outdeg self-rows: their message is null (skipped
+    // by sum, so float terms are bit-identical to the two-join form)
+    // but they force every vertex into the groupBy — one join + one
+    // aggregation per iteration instead of messages-join + a second
+    // dangling-vertex left-join
     val ids = vertices.select(col("id")).persist()
+    val contrib = e.join(outDeg, "src")
+      .unionByName(ids.select(col("id").as("src"), col("id").as("dst"),
+        lit(null).cast("long").as("outdeg")))
+      .persist()
     var ranks = ids.withColumn("rank", lit(1.0))
     for (i <- 1 to iters) {
-      val msgs = contrib.join(ranks, contrib("src") === ranks("id"))
+      ranks = contrib.join(ranks, contrib("src") === ranks("id"))
         .select(col("dst"), (col("rank") / col("outdeg")).as("msg"))
         .groupBy("dst").agg(sum("msg").as("msgSum"))
-      ranks = ids
-        .join(msgs, col("id") === col("dst"), "left")
-        .select(col("id"),
+        .select(col("dst").as("id"),
           (lit(0.15) + lit(0.85) * coalesce(col("msgSum"), lit(0.0)))
             .as("rank"))
       // truncate lineage every 3 rounds (same pattern as Traverse):
