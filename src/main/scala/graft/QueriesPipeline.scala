@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.ops.{Curation, Dedup, Similarity, TextOps}
+import graft.ops.{Curation, Dedup, Pq, Similarity, TextOps}
 import graft.ops.TextOps._
 
 /** Training-data pipeline corpus: deduplication (exact, MinHash+LSH,
@@ -223,6 +223,25 @@ object QueriesPipeline {
         .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
         .orderBy(col("bucket"))
     }),
+    "qp_pq_codes" -> ((s, dir) => {
+      // product quantization: 64-dim → 4 codes of 4 bits each (64×
+      // smaller); one narrow native-expression pass, no shuffle
+      Pq.encode(embs(s, dir), "vec_id", "embedding", pqCb)
+        .select(col("n_id").as("vec_id"),
+          element_at(col("codes"), 1).as("c0"),
+          element_at(col("codes"), 2).as("c1"),
+          element_at(col("codes"), 3).as("c2"),
+          element_at(col("codes"), 4).as("c3"))
+        .orderBy("vec_id")
+    }),
+    "qp_pq_topk" -> ((s, dir) => {
+      // ADC search over the coded corpus: per-query LUT, m lookups per
+      // candidate — no per-pair float multiply
+      val e = embs(s, dir)
+      Pq.adcTopK(e, e.filter(col("vec_id") >= 100 && col("vec_id") < 105),
+          "vec_id", "embedding", pqCb, k = 5)
+        .orderBy(col("q_id"), col("rnk"))
+    }),
 
     // --- text analysis ----------------------------------------------
     "qp_text_stats" -> ((s, dir) => {
@@ -337,6 +356,47 @@ object QueriesPipeline {
     }.mkString("(", " + ", ")")
   private def dDot(a: String, b: String): String =
     s"list_sum(list_transform(range(64), i -> $a[i+1] * $b[i+1]))"
+
+  /** PQ constants shared by the Spark queries and the oracle SQL:
+    * m=4 subspaces × 16 dims, 16 codes each, seeded codebooks. */
+  private lazy val pqCb = Pq.codebooks(m = 4, ksub = 16, subDim = 16)
+
+  /** codebook VALUES rows `(s, j, cv, cn2)` — literals printed from
+    * the SAME Scala arrays the native expressions use (shortest-repr
+    * doubles round-trip exactly through DuckDB's parser). */
+  private lazy val dPqCbValues: String =
+    (0 until pqCb.m).flatMap { s =>
+      (0 until pqCb.ksub).map { j =>
+        val cv = pqCb.entry(s, j).mkString("[", ", ", "]::DOUBLE[]")
+        s"($s, $j, $cv, ${pqCb.cnorm2(s * pqCb.ksub + j)})"
+      }
+    }.mkString(",\n  ")
+
+  /** sub-vector dot against a codebook entry: left-to-right fold over
+    * the subspace dims, matching the compiled loop in [[graft.ops.PqEncode]]
+    * / [[graft.ops.Pq.adcLut]]. `sCol` is the subspace column. */
+  private def dPqDot(v: String, sCol: String, c: String): String =
+    s"list_sum(list_transform(range(${pqCb.subDim}), " +
+      s"i -> $v[$sCol*${pqCb.subDim}+i+1] * $c[i+1]))"
+
+  /** a sub-vector's squared norm (same fold order as `adcLut`). */
+  private def dPqQn2(v: String, sCol: String): String =
+    s"list_sum(list_transform(range(${pqCb.subDim}), " +
+      s"i -> $v[$sCol*${pqCb.subDim}+i+1] * $v[$sCol*${pqCb.subDim}+i+1]))"
+
+  /** shared CTEs: corpus as DOUBLE[], codebook table, per-(vector,
+    * subspace) argmin code — score `cn2 - 2·dot` with ties → lower
+    * code, identical to the native expression. */
+  private lazy val dPqCodesCtes: String =
+    s"""e0 AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+       | cb(s, j, cv, cn2) AS (VALUES
+       |  $dPqCbValues),
+       | sc AS (SELECT e.vec_id, cb.s, cb.j,
+       |   cb.cn2 - 2*${dPqDot("e.v", "cb.s", "cb.cv")} AS score
+       |   FROM e0 e CROSS JOIN cb),
+       | codes AS (SELECT vec_id, s, j AS code FROM (
+       |   SELECT vec_id, s, j, row_number() OVER (PARTITION BY vec_id, s
+       |     ORDER BY score, j) AS r FROM sc) WHERE r = 1)""".stripMargin
   private def dCos(a: String, b: String): String =
     s"(${dDot(a, b)} / (sqrt(${dDot(a, a)}) * sqrt(${dDot(b, b)})))"
   private val dStopList = stop.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -623,6 +683,29 @@ object QueriesPipeline {
          |   FROM probes JOIN cells ON probe = cell
          |   WHERE q_id <> n_id)
          | SELECT q_id, n_id, round(c, 6) AS cos, rnk FROM scored
+         | WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    "qp_pq_codes" ->
+      s"""WITH $dPqCodesCtes
+         | SELECT vec_id,
+         |   max(CASE WHEN s = 0 THEN code END) AS c0,
+         |   max(CASE WHEN s = 1 THEN code END) AS c1,
+         |   max(CASE WHEN s = 2 THEN code END) AS c2,
+         |   max(CASE WHEN s = 3 THEN code END) AS c3
+         | FROM codes GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    "qp_pq_topk" ->
+      s"""WITH $dPqCodesCtes,
+         | q AS (SELECT vec_id AS q_id, v AS qv FROM e0
+         |   WHERE vec_id >= 100 AND vec_id < 105),
+         | terms AS (SELECT q.q_id, c.vec_id AS n_id, c.s,
+         |   ${dPqQn2("q.qv", "c.s")}
+         |     - 2*${dPqDot("q.qv", "c.s", "cb.cv")} + cb.cn2 AS t
+         |   FROM q CROSS JOIN codes c JOIN cb ON cb.s = c.s AND cb.j = c.code
+         |   WHERE q.q_id <> c.vec_id),
+         | dists AS (SELECT q_id, n_id, list_sum(list(t ORDER BY s)) AS dist
+         |   FROM terms GROUP BY q_id, n_id),
+         | ranked AS (SELECT q_id, n_id, dist, row_number() OVER (
+         |   PARTITION BY q_id ORDER BY dist, n_id) AS rnk FROM dists)
+         | SELECT q_id, n_id, round(dist, 6) AS dist, rnk FROM ranked
          | WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
     "qp_kmeans" ->
       s"""WITH $dKmeansCtes,

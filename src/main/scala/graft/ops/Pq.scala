@@ -1,0 +1,244 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.classic.GraftColumnBridge
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
+
+/** Product quantization (PQ) for embedding compression + ANN search
+  * (Jégou, Douze, Schmid, "Product Quantization for Nearest Neighbor
+  * Search", IEEE TPAMI 2011 — public paper; the reference engine has
+  * no vector surface, this is north-star pipeline capability).
+  *
+  * A d-dim vector splits into `m` subvectors of `subDim` dims; each
+  * subvector quantizes to the id of its nearest (squared-L2) codebook
+  * entry among `ksub` per-subspace centroids. A vector becomes `m`
+  * small ints — with m=4, ksub=16 that is 4 bytes instead of 256,
+  * the 64× storage/IO cut that lets a 100 TB embedding corpus live
+  * in memory-adjacent storage. Search is ADC (asymmetric distance):
+  * the QUERY stays exact; per query one m·ksub lookup table (LUT) of
+  * subspace distances is precomputed, and a corpus vector's
+  * approximate distance is m table lookups — no per-pair float math
+  * at all.
+  *
+  * Scale shape: encoding is one narrow projection (a native
+  * expression over the codebook literal — no join/window/shuffle,
+  * same design as [[NearestCentroidCells]]); search broadcasts the
+  * (small) query LUTs against the coded corpus and ranks via the
+  * two-level top-k, so no task ever holds a query's full candidate
+  * list. The codebooks are control-plane metadata (m·ksub·subDim
+  * doubles — what a broadcast would ship anyway).
+  *
+  * Determinism: codebooks are seeded rounded Gaussians (re-generable
+  * for the DuckDB oracle); argmin score is `cn2 - 2·dot` with
+  * left-to-right dot accumulation, ties → lower code; ADC terms are
+  * `qn2 - 2·dot + cn2` summed in subspace order from 0.0 — all
+  * bit-reproducible in ANSI SQL.
+  */
+object Pq {
+
+  /** m per-subspace codebooks, row-major `((s·ksub + j)·subDim + i)`,
+    * plus each entry's squared norm (left-to-right fold — embedded in
+    * oracles as literals so both engines share identical constants). */
+  case class Codebooks(m: Int, ksub: Int, subDim: Int,
+      flat: Array[Double], cnorm2: Array[Double]) {
+    def entry(s: Int, j: Int): Array[Double] = {
+      val off = (s * ksub + j) * subDim
+      java.util.Arrays.copyOfRange(flat, off, off + subDim)
+    }
+  }
+
+  /** seeded codebooks: rounded Gaussians (4 decimals), like
+    * [[Similarity.hyperplanes]], so oracle literals regenerate exactly. */
+  def codebooks(m: Int, ksub: Int, subDim: Int, seed: Long = 11L): Codebooks = {
+    val rng = new scala.util.Random(seed)
+    val flat = Array.fill(m * ksub * subDim)(
+      math.rint(rng.nextGaussian() * 1e4) / 1e4)
+    val cn2 = Array.tabulate(m * ksub) { c =>
+      var s = 0.0d
+      var i = 0
+      while (i < subDim) { s += flat(c * subDim + i) * flat(c * subDim + i); i += 1 }
+      s
+    }
+    Codebooks(m, ksub, subDim, flat, cn2)
+  }
+
+  /** PQ-encode a corpus: (id, codes array<int> of length m). One
+    * narrow projection — no shuffle. */
+  def encode(df: DataFrame, idCol: String, vecCol: String,
+      cb: Codebooks): DataFrame =
+    df.select(col(idCol).as("n_id"),
+      PqEncode.column(col(vecCol).cast("array<double>"), cb).as("codes"))
+
+  /** the ADC distance LUT for one query vector: for each (s, j),
+    * `qn2_s - 2·dot(q_s, c_sj) + cn2_sj`, every fold left-to-right —
+    * the exact arithmetic the oracle SQL re-derives from the
+    * embeddings table. */
+  def adcLut(q: Array[Double], cb: Codebooks): Array[Double] = {
+    val lut = new Array[Double](cb.m * cb.ksub)
+    var s = 0
+    while (s < cb.m) {
+      var qn2 = 0.0d
+      var i = 0
+      while (i < cb.subDim) {
+        val x = q(s * cb.subDim + i); qn2 += x * x; i += 1
+      }
+      var j = 0
+      while (j < cb.ksub) {
+        val off = (s * cb.ksub + j) * cb.subDim
+        var d = 0.0d
+        var k = 0
+        while (k < cb.subDim) { d += q(s * cb.subDim + k) * cb.flat(off + k); k += 1 }
+        lut(s * cb.ksub + j) = qn2 - 2.0d * d + cb.cnorm2(s * cb.ksub + j)
+        j += 1
+      }
+      s += 1
+    }
+    lut
+  }
+
+  /** ADC top-k: PQ-encode the corpus (narrow), collect the SMALL query
+    * set driver-side (control-plane, like [[Similarity.collectCentroids]]
+    * — it is broadcast either way), precompute each query's LUT, and
+    * score every coded corpus row with m lookups via the native
+    * [[PqAdc]] expression. Two-level ascending top-k — identical
+    * straggler-safety argument as the cosine ranker. Returns
+    * (q_id, n_id, dist, rnk), dist = approximate squared L2. */
+  def adcTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, cb: Codebooks, k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qluts = queries
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), adcLut(r.getSeq[Double](1).toArray, cb)))
+      .toSeq.sortBy(_._1)
+    val q = broadcast(qluts.toDF("q_id", "__lut"))
+    val coded = Partitioning.spread(encode(corpus, idCol, vecCol, cb))
+    Similarity.rankTopKBy(
+      coded.crossJoin(q)
+        .filter(col("q_id") =!= col("n_id"))
+        .withColumn("dist",
+          PqAdc.column(col("codes"), col("__lut"), cb.m, cb.ksub))
+        .select(col("q_id"), col("n_id"), col("dist")),
+      k, "dist", ascending = true)
+  }
+}
+
+/** nearest codebook entry per subspace as ONE compiled primitive-array
+  * loop (native expression — whole-stage codegen stays intact; a HOF
+  * form would run an interpreted lambda per codebook entry, the
+  * encode inner loop at 100 TB). Score `cn2 - 2·dot` (squared L2 minus
+  * the per-row-constant ||x||²), ties → lower code id; -0.0 normalized
+  * so cross-engine equality ties agree. */
+case class PqEncode(vec: Expression, m: Int, ksub: Int, subDim: Int,
+    flat: Array[Double], cnorm2: Array[Double]) extends UnaryExpression {
+
+  override def child: Expression = vec
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "pq_encode"
+
+  def compute(v: ArrayData): ArrayData = {
+    val n = v.numElements()
+    if (n < m * subDim) return null
+    var i = 0
+    while (i < n) { if (v.isNullAt(i)) return null; i += 1 }
+    val va = v.toDoubleArray()
+    val out = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      var best = -1
+      var bestScore = 0.0d
+      var j = 0
+      while (j < ksub) {
+        val off = (s * ksub + j) * subDim
+        var d = 0.0d
+        var kk = 0
+        while (kk < subDim) { d += va(s * subDim + kk) * flat(off + kk); kk += 1 }
+        var score = cnorm2(s * ksub + j) - 2.0d * d
+        if (score == 0.0d) score = 0.0d // -0.0 → 0.0
+        if (best < 0 || java.lang.Double.compare(score, bestScore) < 0) {
+          best = j; bestScore = score
+        }
+        j += 1
+      }
+      out(s) = best
+      s += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqenc", this, classOf[PqEncode].getName)
+    nullSafeCodeGen(ctx, ev, v => s"""
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value}_r = $ref.compute($v);
+      if (${ev.value}_r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}_r; }
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(vec = newChild)
+}
+
+object PqEncode {
+  def column(vec: Column, cb: Pq.Codebooks): Column =
+    GraftColumnBridge.column(PqEncode(GraftColumnBridge.expression(vec),
+      cb.m, cb.ksub, cb.subDim, cb.flat, cb.cnorm2))
+}
+
+/** ADC distance = m LUT lookups summed in subspace order from 0.0 —
+  * the per-pair scoring loop with NO float multiply at all (the whole
+  * point of PQ at 100 TB). Compiled loop; any malformed code → null. */
+case class PqAdc(codes: Expression, lut: Expression, m: Int, ksub: Int)
+    extends BinaryExpression {
+
+  override def left: Expression = codes
+  override def right: Expression = lut
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "pq_adc"
+
+  def compute(c: ArrayData, l: ArrayData): java.lang.Double = {
+    if (c.numElements() < m || l.numElements() < m * ksub) return null
+    var d = 0.0d
+    var s = 0
+    while (s < m) {
+      if (c.isNullAt(s)) return null
+      val code = c.getInt(s)
+      if (code < 0 || code >= ksub) return null
+      d += l.getDouble(s * ksub + code)
+      s += 1
+    }
+    java.lang.Double.valueOf(d)
+  }
+
+  override def nullSafeEval(c: Any, l: Any): Any =
+    compute(c.asInstanceOf[ArrayData], l.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqadc", this, classOf[PqAdc].getName)
+    nullSafeCodeGen(ctx, ev, (c, l) => s"""
+      java.lang.Double ${ev.value}_r = $ref.compute($c, $l);
+      if (${ev.value}_r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}_r.doubleValue(); }
+    """)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdc =
+    copy(codes = newLeft, lut = newRight)
+}
+
+object PqAdc {
+  def column(codes: Column, lut: Column, m: Int, ksub: Int): Column =
+    GraftColumnBridge.column(PqAdc(GraftColumnBridge.expression(codes),
+      GraftColumnBridge.expression(lut), m, ksub))
+}

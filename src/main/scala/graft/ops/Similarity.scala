@@ -33,18 +33,26 @@ object Similarity {
     * exact: the global top-k is a subset of the union of per-partition
     * top-ks, and the (cos desc, n_id) order is total, so the final
     * ranking is identical to the one-level plan. */
-  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    rankTopKBy(scored, k, "cos", ascending = false)
+
+  /** generalized two-level ranker: ascending for distances (PQ/ADC),
+    * descending for similarities. Ranks on the UNROUNDED value; the
+    * output value rounds to 6 decimals. */
+  private[ops] def rankTopKBy(scored: DataFrame, k: Int, valCol: String,
+      ascending: Boolean): DataFrame = {
+    val ord = if (ascending) col(valCol).asc else col(valCol).desc
     val local = Window.partitionBy(col("q_id"), col("__pid"))
-      .orderBy(col("cos").desc, col("n_id"))
+      .orderBy(ord, col("n_id"))
     val global = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("n_id"))
+      .orderBy(ord, col("n_id"))
     scored.withColumn("__pid", spark_partition_id())
       .withColumn("__lr", row_number().over(local))
       .filter(col("__lr") <= k)
       .withColumn("rnk", row_number().over(global))
       .filter(col("rnk") <= k)
-      .select(col("q_id"), col("n_id"), round(col("cos"), 6).as("cos"),
-        col("rnk"))
+      .select(col("q_id"), col("n_id"),
+        round(col(valCol), 6).as(valCol), col("rnk"))
   }
 
   /** brute-force top-k cosine neighbors for each query vector.
