@@ -59,6 +59,21 @@ object QueriesDialect {
     "qd_multilink_size" -> ((s, dir) => gq(s, dir,
       "select c_custkey, orders.size() as n_orders from customer " +
         "where orders.size() > 15 order by c_custkey")),
+    "qd_containsall" -> ((s, dir) => gq(s, dir,
+      // ∀ over a multi-link with an inner condition; a customer with
+      // no orders has a null link set → dropped (reference null-field
+      // comparison semantics), so the oracle requires EXISTS too
+      "select c_custkey from customer where orders containsall " +
+        "(o_totalprice < 450000) order by c_custkey")),
+    "qd_chains2" -> ((s, dir) => gq(s, dir,
+      // the chain methods qd_chains leaves out: right (suffix-from-
+      // offset semantics, transformValue:201-203), charAt, trim,
+      // toLowerCase, asInteger
+      "select c_custkey, c_name.right(9).asInteger() as tailnum, " +
+        "c_name.toLowerCase() as lname, c_name.charAt(0) as c0, " +
+        "c_name.trim().length() as tlen, " +
+        "c_mktsegment.left(3).toLowerCase().append('_seg') as seg " +
+        "from customer where c_custkey < 300 order by c_custkey")),
     "qd_flatten" -> ((s, dir) => gq(s, dir,
       "select flatten(orders) from customer where c_custkey < 10")),
     "qd_traverse" -> ((s, dir) => gq(s, dir,
@@ -189,6 +204,23 @@ object QueriesDialect {
         |   SELECT c_custkey, (SELECT count(*) FROM orders
         |     WHERE o_custkey = c_custkey) AS n_orders FROM customer)
         | WHERE n_orders > 15 ORDER BY c_custkey""".stripMargin,
+    "qd_containsall" ->
+      """SELECT c_custkey FROM customer c
+        | WHERE EXISTS (SELECT 1 FROM orders o
+        |     WHERE o.o_custkey = c.c_custkey)
+        |   AND NOT EXISTS (SELECT 1 FROM orders o
+        |     WHERE o.o_custkey = c.c_custkey
+        |       AND o.o_totalprice >= 450000)
+        | ORDER BY c_custkey""".stripMargin,
+    "qd_chains2" ->
+      """SELECT c_custkey,
+        |  CAST(substring(c_name, LEAST(9, length(c_name)-1) + 1)
+        |    AS BIGINT) AS tailnum,
+        |  lower(c_name) AS lname,
+        |  substring(c_name, 1, 1) AS c0,
+        |  length(trim(c_name)) AS tlen,
+        |  lower(substring(c_mktsegment, 1, 3)) || '_seg' AS seg
+        | FROM customer WHERE c_custkey < 300 ORDER BY c_custkey""".stripMargin,
     "qd_flatten" ->
       """SELECT o.* FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         | WHERE c.c_custkey < 10""".stripMargin,

@@ -294,6 +294,11 @@ object QueriesPipeline {
         .select("doc_id", "term", "tf", "df", "score", "rnk")
         .orderBy("doc_id", "rnk")
     }),
+    "qp_lm_perplexity" -> ((s, dir) => {
+      // CCNet-style quality signal: add-k bigram LM perplexity per doc
+      TextOps.lmPerplexity(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
     "qp_top_bigrams" -> ((s, dir) => {
       // corpus-wide bigram frequencies, top 20
       docs(s, dir)
@@ -834,6 +839,33 @@ object QueriesPipeline {
          |     ORDER BY score DESC, term) AS rnk
          |   FROM scored WHERE doc_id < 20)
          | WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+    "qp_lm_perplexity" ->
+      s"""WITH t AS (SELECT doc_id, ${dTokens("text")} AS tok
+         |   FROM documents),
+         | bi AS (SELECT doc_id, split_part(bg, ' ', 1) AS w1,
+         |     split_part(bg, ' ', 2) AS w2
+         |   FROM (SELECT doc_id, unnest(CASE WHEN len(tok) >= 2 THEN
+         |       list_transform(range(len(tok)-1),
+         |         i -> tok[i+1] || ' ' || tok[i+2])
+         |     ELSE [] END) AS bg FROM t)),
+         | docbi AS (SELECT doc_id, w1, w2, count(*) AS occ FROM bi
+         |   GROUP BY doc_id, w1, w2),
+         | pc AS (SELECT w1, w2, CAST(sum(occ) AS BIGINT) AS c12
+         |   FROM docbi GROUP BY w1, w2),
+         | cts AS (SELECT w1, w2, c12,
+         |   CAST(sum(c12) OVER (PARTITION BY w1) AS BIGINT) AS c1 FROM pc),
+         | voc AS (SELECT count(*) AS v FROM
+         |   (SELECT w1 FROM pc UNION SELECT w2 FROM pc)),
+         | terms AS (SELECT d.doc_id, d.occ,
+         |     CAST(round(ln((c.c12 + 0.5) / (c.c1 + 0.5 * voc.v)) * 1e6)
+         |       AS BIGINT) * d.occ AS tt
+         |   FROM docbi d JOIN cts c USING (w1, w2) CROSS JOIN voc),
+         | perdoc AS (SELECT doc_id, CAST(sum(occ) AS BIGINT) AS n_bigrams,
+         |     CAST(sum(tt) AS BIGINT) AS s FROM terms GROUP BY doc_id)
+         | SELECT doc_id, n_bigrams,
+         |   round(-(s / (n_bigrams * 1e6)), 6) AS nll,
+         |   round(exp(-(s / (n_bigrams * 1e6))), 3) AS ppl
+         | FROM perdoc ORDER BY doc_id""".stripMargin,
     "qp_top_bigrams" ->
       s"""WITH t AS (SELECT ${dTokens("text")} AS tok FROM documents),
          | b AS (SELECT unnest(CASE WHEN len(tok) >= 2 THEN

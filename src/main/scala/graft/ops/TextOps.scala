@@ -177,4 +177,58 @@ object TextOps {
 
   def langScore(tokens: Column, markers: Seq[String]): Column =
     markers.map(m => size(filter(tokens, t => t === m))).reduce(_ + _)
+
+  // ------------------------------------------- LM quality scoring
+  /** CCNet-style language-model quality score (Wenzek et al. 2019,
+    * public paper: perplexity of a small LM ranks document quality;
+    * Kneser-Ney KenLM replaced by an add-k bigram model — the same
+    * filtering signal, expressible in ANSI SQL for the oracle):
+    * per-document mean negative log-probability under corpus bigram
+    * statistics, `p(w2|w1) = (c12 + k) / (c1 + k·V)`, plus its
+    * perplexity `exp(nll)`. Low-perplexity documents are fluent /
+    * in-distribution; high-perplexity ones are noise.
+    *
+    * Scale shape: one corpus pass explodes bigrams and pre-aggregates
+    * per (doc, bigram) with map-side combine; the corpus-wide count
+    * table derives from THAT aggregate (never a second corpus read)
+    * and is joined back on the bigram key — a shuffle join by design:
+    * a web-scale bigram table is not broadcastable, and the context
+    * totals come from a window over the count table, not the corpus.
+    * The per-doc sum is FIXED-POINT (log-probs quantized to integer
+    * micro-units, counts weighted exactly), so aggregation order can
+    * never flip a rounding boundary — the kmeans determinism rule.
+    * Returns (id, n_bigrams, nll, ppl). */
+  def lmPerplexity(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, addK: Double = 0.5): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Partitioning.spread(df)
+      .select(col(idCol).as("__id"), tokensWs(col(textCol)).as("__tok"))
+    // tokens are whitespace-split (no inner spaces), so the bigram
+    // string splits back losslessly on its single separator
+    val bi = toks
+      .select(col("__id"), explode(bigrams(col("__tok"))).as("__bg"))
+      .select(col("__id"),
+        substring_index(col("__bg"), " ", 1).as("__w1"),
+        substring_index(col("__bg"), " ", -1).as("__w2"))
+    val docBi = bi.groupBy(col("__id"), col("__w1"), col("__w2"))
+      .agg(count(lit(1)).as("__occ"))
+    val c12 = docBi.groupBy(col("__w1"), col("__w2"))
+      .agg(sum(col("__occ")).as("__c12"))
+    val counts = c12.withColumn("__c1",
+      sum(col("__c12")).over(Window.partitionBy(col("__w1"))))
+    // vocabulary from the count table (not a second corpus pass);
+    // driver scalar = control-plane metadata
+    val vocab = c12.select(col("__w1").as("__w"))
+      .union(c12.select(col("__w2").as("__w"))).distinct().count()
+    val p = (col("__c12") + lit(addK)) / (col("__c1") + lit(addK * vocab))
+    docBi.join(counts, Seq("__w1", "__w2"))
+      .withColumn("__t",
+        round(log(p) * 1e6).cast("long") * col("__occ"))
+      .groupBy(col("__id"))
+      .agg(sum(col("__occ")).as("n_bigrams"), sum(col("__t")).as("__s"))
+      .withColumn("__nll", -(col("__s") / (col("n_bigrams") * lit(1e6))))
+      .select(col("__id").as(idCol), col("n_bigrams"),
+        round(col("__nll"), 6).as("nll"),
+        round(exp(col("__nll")), 3).as("ppl"))
+  }
 }
