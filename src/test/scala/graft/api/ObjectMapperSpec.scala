@@ -1,0 +1,101 @@
+package graft.api
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+import graft.engine.{Catalog, GraftSession}
+
+import scala.annotation.meta.field
+
+/** JPA-lite object mapping (reference `db/object`,
+  * `OObjectSerializerHelper.java`): save/load round-trip, generated
+  * ids, optimistic version locking, cascading link save + eager
+  * one-level load, Option fields, delete. */
+object ObjectMapperSpec {
+  // entities live on the companion so Java reflection sees plain
+  // top-level-style classes (no outer-instance constructor param)
+  case class City(@(Id @field) id: Long, name: String)
+  case class Person(@(Id @field) id: String,
+      name: String,
+      age: Int,
+      nickname: Option[String],
+      city: City,
+      @(Version @field) version: Long)
+  case class Gadget(serial: String, label: String) // no @Id → needs 'id'
+  case class Note(id: Long, text: String, version: Int)
+}
+
+class ObjectMapperSpec extends AnyFunSuite {
+  import ObjectMapperSpec._
+  private lazy val spark = SparkTestSession.spark
+
+  private def fresh(): ObjectMapper =
+    new ObjectMapper(new GraftSession(spark, new Catalog(spark)))
+
+  test("save assigns generated ids and version 0; load round-trips") {
+    val m = fresh()
+    val saved = m.save(Person("", "Ada", 36, Some("al"),
+      City(0L, "London"), 0L))
+    assert(saved.id.nonEmpty, "String id must be UUID-generated")
+    assert(saved.version == 0L)
+    assert(saved.city.id == 1L, "numeric child id must be max+1 generated")
+    val loaded = m.load[Person](saved.id)
+    assert(loaded.contains(saved),
+      s"round-trip mismatch: $loaded vs $saved")
+  }
+
+  test("optimistic version lock: stale save throws, fresh save bumps") {
+    val m = fresh()
+    val v0 = m.save(Person("", "Bob", 40, None, City(0L, "Paris"), 0L))
+    val v1 = m.save(v0.copy(age = 41))
+    assert(v1.version == 1L)
+    // saving the ORIGINAL (version 0) again must fail: the stored
+    // version moved (reference OConcurrentModification semantics)
+    val e = intercept[StaleObjectException] { m.save(v0.copy(age = 99)) }
+    assert(e.getMessage.contains("stale"))
+    // and the stored state is the v1 write, untouched by the stale try
+    assert(m.load[Person](v1.id).exists(_.age == 41))
+  }
+
+  test("numeric ids sequence per class; updates don't re-generate") {
+    val m = fresh()
+    val a = m.save(Note(0L, "first", 0))
+    val b = m.save(Note(0L, "second", 0))
+    assert(a.id == 1L && b.id == 2L)
+    val a2 = m.save(a.copy(text = "first-edited"))
+    assert(a2.id == a.id && a2.version == 1)
+    assert(m.load[Note](2L).exists(_.text == "second"))
+  }
+
+  test("Option fields: None persists as null and loads back as None") {
+    val m = fresh()
+    val p = m.save(Person("", "Eve", 25, None, City(0L, "Rome"), 0L))
+    assert(m.load[Person](p.id).exists(_.nickname.isEmpty))
+    val q = m.save(p.copy(nickname = Some("evie")))
+    assert(m.load[Person](q.id).exists(_.nickname.contains("evie")))
+  }
+
+  test("delete removes the record; load returns None") {
+    val m = fresh()
+    val n = m.save(Note(0L, "temp", 0))
+    assert(m.delete(n))
+    assert(m.load[Note](n.id).isEmpty)
+    assert(!m.delete(n), "second delete must report nothing removed")
+  }
+
+  test("an entity without @Id or an 'id' field is rejected") {
+    val m = fresh()
+    val e = intercept[IllegalArgumentException] {
+      m.save(Gadget("S-1", "widget"))
+    }
+    assert(e.getMessage.contains("no @Id"))
+  }
+
+  test("string values with quotes and backslashes survive the SQL path") {
+    val m = fresh()
+    val tricky = "O'Brien \\ the 2nd"
+    val n = m.save(Note(0L, tricky, 0))
+    val edited = m.save(n.copy(text = tricky + " (v2, 'quoted')"))
+    assert(m.load[Note](n.id).exists(_.text == tricky + " (v2, 'quoted')"))
+    assert(edited.version == 1)
+  }
+}
