@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** round-5 throwaway A/B timing harness (test scope, not library).
+  * Measures the new r5 queries at sf0.1 and A/Bs a scoped persist for
+  * semanticDedup's triple-read of the cell-joined corpus. */
+object ScratchR5 {
+  private def run(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  private def med(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+
+  private def time(label: String, n: Int = 3)(f: () => DataFrame): Unit = {
+    val ts = (1 to n).map { _ =>
+      val t0 = System.nanoTime()
+      run(f())
+      (System.nanoTime() - t0) / 1e9
+    }
+    println(f"[scratch] $label%-28s median ${med(ts)}%.2f s  (${ts.map(t => f"$t%.2f").mkString(", ")})")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.cleaner.periodicGC.interval", "1min")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        100000)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = "/root/testdata/sf0.1"
+    val e = sources.Tables.load(spark, dir, "embeddings")
+
+    // --- current semanticDedup (lazy withCell, read 3x) --------------
+    def semanticCurrent(): DataFrame =
+      ops.Similarity.semanticDedup(e, e.filter(col("vec_id") < 16),
+          "vec_id", "embedding", iters = 2, threshold = 0.42)
+        .groupBy("cell").agg(count(lit(1)).as("kept"))
+        .orderBy("cell")
+
+    // --- persist variant: withCell materialized once ------------------
+    def semanticPersist(): DataFrame = {
+      val cents = ops.Similarity.collectCentroids(
+        ops.Similarity.kmeansCentroidVectors(e,
+            e.filter(col("vec_id") < 16), "vec_id", "embedding", 2)
+          .select(col("cell").cast("long").as("vec_id"),
+            col("cv").as("embedding")),
+        "vec_id", "embedding")
+      val cells = ops.Similarity.cellAssignments(e, cents,
+          "vec_id", "embedding")
+        .select(col("n_id").as("vec_id"), col("cell"))
+      val withCell = e.join(cells, Seq("vec_id")).persist()
+      val drops = ops.Similarity.cosinePairs(withCell, "vec_id",
+          "embedding", blockCols = Seq("cell"), threshold = 0.42)
+        .select(col("b_id").as("vec_id")).distinct()
+      val out = withCell.join(drops, Seq("vec_id"), "left_anti")
+        .groupBy("cell").agg(count(lit(1)).as("kept"))
+        .orderBy("cell")
+        .localCheckpoint()
+      withCell.unpersist()
+      out
+    }
+
+    // --- checkpoint-cells variant: only the (id, cell) frame is
+    // materialized (2 narrow columns — 1e-3 of corpus bytes at scale);
+    // no persist lifecycle, lineage truncated, assignment computed once
+    def semanticCkptCells(): DataFrame = {
+      val cents = ops.Similarity.collectCentroids(
+        ops.Similarity.kmeansCentroidVectors(e,
+            e.filter(col("vec_id") < 16), "vec_id", "embedding", 2)
+          .select(col("cell").cast("long").as("vec_id"),
+            col("cv").as("embedding")),
+        "vec_id", "embedding")
+      val cells = ops.Similarity.cellAssignments(e, cents,
+          "vec_id", "embedding")
+        .select(col("n_id").as("vec_id"), col("cell"))
+        .localCheckpoint()
+      val withCell = e.join(cells, Seq("vec_id"))
+      val drops = ops.Similarity.cosinePairs(withCell, "vec_id",
+          "embedding", blockCols = Seq("cell"), threshold = 0.42)
+        .select(col("b_id").as("vec_id")).distinct()
+      withCell.join(drops, Seq("vec_id"), "left_anti")
+        .groupBy("cell").agg(count(lit(1)).as("kept"))
+        .orderBy("cell")
+    }
+
+    time("semantic_current")(semanticCurrent _)
+    time("semantic_persist")(semanticPersist _)
+    time("semantic_ckpt_cells")(semanticCkptCells _)
+
+    // --- new r5 queries at sf0.1 --------------------------------------
+    time("qp_lm_perplexity")(() =>
+      QueriesPipeline.queries("qp_lm_perplexity")(spark, dir))
+
+    // lm variant: persist the per-(doc,bigram) aggregate — the vocab
+    // scalar and the scoring join both consume it; checkpoint the
+    // (docs-sized) output and release
+    def lmPersist(): DataFrame = {
+      import graft.ops.TextOps._
+      import org.apache.spark.sql.expressions.Window
+      val d = sources.Tables.load(spark, dir, "documents")
+      val toks = ops.Partitioning.spread(d)
+        .select(col("doc_id").as("__id"), tokensWs(col("text")).as("__tok"))
+      val bi = toks
+        .select(col("__id"), explode(bigrams(col("__tok"))).as("__bg"))
+        .select(col("__id"),
+          substring_index(col("__bg"), " ", 1).as("__w1"),
+          substring_index(col("__bg"), " ", -1).as("__w2"))
+      val docBi = bi.groupBy(col("__id"), col("__w1"), col("__w2"))
+        .agg(count(lit(1)).as("__occ"))
+        .persist()
+      val c12 = docBi.groupBy(col("__w1"), col("__w2"))
+        .agg(sum(col("__occ")).as("__c12"))
+      val counts = c12.withColumn("__c1",
+        sum(col("__c12")).over(Window.partitionBy(col("__w1"))))
+      val vocab = c12.select(col("__w1").as("__w"))
+        .union(c12.select(col("__w2").as("__w"))).distinct().count()
+      val p = (col("__c12") + lit(0.5)) / (col("__c1") + lit(0.5 * vocab))
+      val out = docBi.join(counts, Seq("__w1", "__w2"))
+        .withColumn("__t", round(log(p) * 1e6).cast("long") * col("__occ"))
+        .groupBy(col("__id"))
+        .agg(sum(col("__occ")).as("n_bigrams"), sum(col("__t")).as("__s"))
+        .withColumn("__nll", -(col("__s") / (col("n_bigrams") * lit(1e6))))
+        .select(col("__id").as("doc_id"), col("n_bigrams"),
+          round(col("__nll"), 6).as("nll"),
+          round(exp(col("__nll")), 3).as("ppl"))
+        .orderBy("doc_id")
+        .localCheckpoint()
+      docBi.unpersist()
+      out
+    }
+    time("lm_persist")(lmPersist _)
+    time("qp_pq_codes")(() =>
+      QueriesPipeline.queries("qp_pq_codes")(spark, dir))
+    time("qp_pq_topk")(() =>
+      QueriesPipeline.queries("qp_pq_topk")(spark, dir))
+
+    spark.stop()
+  }
+}
