@@ -238,10 +238,16 @@ object Dedup {
       .filter(col("__n") === w) // tail positions have no full window
       .select(col("__id"), col("__s1"), col("__s2"))
       .distinct()
-    val shared = wins.groupBy("__s1", "__s2")
-      .agg(count(lit(1)).as("__nd")).filter(col("__nd") > 1)
-      .select("__s1", "__s2")
-    wins.join(shared, Seq("__s1", "__s2"))
+    // group size via ONE unordered window over the window key instead
+    // of a groupBy + join-back: the join's second consumer re-ran the
+    // whole token/window pipeline (A/B at sf0.1: 2.1 → 1.3 s). A
+    // pathologically shared span (boilerplate at 100 TB) lands one
+    // (s1,s2) partition in one task either way — the join shape
+    // re-shuffled the same skew twice.
+    wins
+      .withColumn("__nd",
+        count(lit(1)).over(Window.partitionBy("__s1", "__s2")))
+      .filter(col("__nd") > 1)
       .groupBy(col("__id").as(idCol))
       .agg(count(lit(1)).as("n_shared"))
   }
@@ -308,9 +314,14 @@ object Dedup {
     * Blocking bounds the quadratic comparison to each block. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       blockCols: Seq[String], maxDist: Int): DataFrame = {
+    // both self-join sides consume the signature table; materialize it
+    // once (a row per doc: id + one long + block keys — the standard
+    // LSH signature table, tiny next to the corpus) so the token
+    // explode + 32-sum aggregation doesn't run twice (A/B: 1.4→0.9 s)
     val s = withSimhash(df, idCol, textCol)
       .select((Seq(col(idCol).as("__id"), col("simhash")) ++
         blockCols.map(col)): _*)
+      .localCheckpoint()
     val a = s.select((Seq(col("__id").as("a_id"),
       col("simhash").as("__sa")) ++ blockCols.map(col)): _*)
     val b = s.select((Seq(col("__id").as("b_id"),

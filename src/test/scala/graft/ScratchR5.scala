@@ -140,6 +140,62 @@ object ScratchR5 {
     time("qp_pq_topk")(() =>
       QueriesPipeline.queries("qp_pq_topk")(spark, dir))
 
+    // --- simhash pairs: current vs checkpointed signature table ------
+    val d = sources.Tables.load(spark, dir, "documents")
+    val dl = d.withColumn("__lb", floor(col("n_chars") / 20).cast("int"))
+    time("simhash_pairs_current")(() =>
+      QueriesPipeline.queries("qp_simhash_pairs")(spark, dir))
+    def simhashCkpt(): DataFrame = {
+      val blockCols = Seq("lang", "__lb")
+      val s = ops.Dedup.withSimhash(dl, "doc_id", "text")
+        .select((Seq(col("doc_id").as("__id"), col("simhash")) ++
+          blockCols.map(col)): _*)
+        .localCheckpoint()
+      val a = s.select((Seq(col("__id").as("a_id"),
+        col("simhash").as("__sa")) ++ blockCols.map(col)): _*)
+      val b = s.select((Seq(col("__id").as("b_id"),
+        col("simhash").as("__sb")) ++ blockCols.map(col)): _*)
+      a.join(b, blockCols).filter(col("a_id") < col("b_id"))
+        .withColumn("dist", ops.TextOps.hamming(col("__sa"), col("__sb")))
+        .filter(col("dist") <= 3)
+        .select("a_id", "b_id", "dist")
+        .orderBy("a_id", "b_id")
+    }
+    time("simhash_pairs_ckpt")(simhashCkpt _)
+
+    // --- exact substring: current vs single-pass window count --------
+    time("exact_substr_current")(() =>
+      QueriesPipeline.queries("qp_exact_substring")(spark, dir))
+    def exactSubstrWindow(): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      import graft.ops.TextOps._
+      val toks = ops.Partitioning.spread(d)
+        .select(col("doc_id").as("__id"),
+          posexplode(tokensWs(col("text"))).as(Seq("__p", "__t")))
+        .withColumn("__h1", hash60(col("__t")) % ops.Dedup.WindowHashMod)
+        .withColumn("__h2",
+          hash60(concat(col("__t"), lit("#2"))) % ops.Dedup.WindowHashMod)
+      val frame = Window.partitionBy("__id").orderBy("__p")
+        .rowsBetween(Window.currentRow, 19)
+      val wins = toks
+        .withColumn("__n", count(lit(1)).over(frame))
+        .withColumn("__s1", sum(col("__h1")).over(frame))
+        .withColumn("__s2", sum(col("__h2")).over(frame))
+        .filter(col("__n") === 20)
+        .select(col("__id"), col("__s1"), col("__s2"))
+        .distinct()
+      // ONE pass: group size via an unordered window over the window
+      // key, no join-back (wins isn't recomputed for a second consumer)
+      wins
+        .withColumn("__nd",
+          count(lit(1)).over(Window.partitionBy("__s1", "__s2")))
+        .filter(col("__nd") > 1)
+        .groupBy(col("__id").as("doc_id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy("doc_id")
+    }
+    time("exact_substr_window")(exactSubstrWindow _)
+
     spark.stop()
   }
 }
