@@ -242,6 +242,16 @@ object QueriesPipeline {
           "vec_id", "embedding", pqCb, k = 5)
         .orderBy(col("q_id"), col("rnk"))
     }),
+    "qp_ivfpq_topk" -> ((s, dir) => {
+      // the composed FAISS-style IVFADC path: probe 2 of 16 IVF cells,
+      // ADC-score only the probed cells' PQ codes
+      val e = embs(s, dir)
+      Pq.ivfPqTopK(e,
+          e.filter(col("vec_id") >= 100 && col("vec_id") < 105),
+          e.filter(col("vec_id") < 16),
+          "vec_id", "embedding", pqCb, k = 5, nProbe = 2)
+        .orderBy(col("q_id"), col("rnk"))
+    }),
 
     // --- text analysis ----------------------------------------------
     "qp_text_stats" -> ((s, dir) => {
@@ -706,6 +716,38 @@ object QueriesPipeline {
          |     - 2*${dPqDot("q.qv", "c.s", "cb.cv")} + cb.cn2 AS t
          |   FROM q CROSS JOIN codes c JOIN cb ON cb.s = c.s AND cb.j = c.code
          |   WHERE q.q_id <> c.vec_id),
+         | dists AS (SELECT q_id, n_id, list_sum(list(t ORDER BY s)) AS dist
+         |   FROM terms GROUP BY q_id, n_id),
+         | ranked AS (SELECT q_id, n_id, dist, row_number() OVER (
+         |   PARTITION BY q_id ORDER BY dist, n_id) AS rnk FROM dists)
+         | SELECT q_id, n_id, round(dist, 6) AS dist, rnk FROM ranked
+         | WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    "qp_ivfpq_topk" ->
+      s"""WITH $dPqCodesCtes,
+         | e AS (SELECT vec_id, v, sqrt(${dDot("v", "v")}) AS nn FROM e0),
+         | cent AS (SELECT vec_id AS cent_id, v AS cv, nn AS cn FROM e
+         |   WHERE vec_id < 16),
+         | cells AS (SELECT vec_id AS n_id, cell FROM (
+         |   SELECT e.vec_id, cent.cent_id AS cell,
+         |     row_number() OVER (PARTITION BY e.vec_id
+         |       ORDER BY ${dDot("e.v", "cent.cv")} / (e.nn * cent.cn) DESC,
+         |         cent.cent_id) AS r
+         |   FROM e CROSS JOIN cent) WHERE r = 1),
+         | q AS (SELECT vec_id AS q_id, v AS qv, nn AS qn FROM e
+         |   WHERE vec_id >= 100 AND vec_id < 105),
+         | probes AS (SELECT q_id, qv, probe FROM (
+         |   SELECT q.q_id, q.qv, cent.cent_id AS probe,
+         |     row_number() OVER (PARTITION BY q.q_id
+         |       ORDER BY ${dDot("q.qv", "cent.cv")} / (q.qn * cent.cn) DESC,
+         |         cent.cent_id) AS r
+         |   FROM q CROSS JOIN cent) WHERE r <= 2),
+         | cand AS (SELECT p.q_id, p.qv, c.n_id FROM probes p JOIN cells c
+         |   ON p.probe = c.cell WHERE p.q_id <> c.n_id),
+         | terms AS (SELECT cand.q_id, cand.n_id, cd.s,
+         |   ${dPqQn2("cand.qv", "cd.s")}
+         |     - 2*${dPqDot("cand.qv", "cd.s", "cb.cv")} + cb.cn2 AS t
+         |   FROM cand JOIN codes cd ON cd.vec_id = cand.n_id
+         |     JOIN cb ON cb.s = cd.s AND cb.j = cd.code),
          | dists AS (SELECT q_id, n_id, list_sum(list(t ORDER BY s)) AS dist
          |   FROM terms GROUP BY q_id, n_id),
          | ranked AS (SELECT q_id, n_id, dist, row_number() OVER (

@@ -100,6 +100,62 @@ object Pq {
     lut
   }
 
+  /** IVF-PQ: the composed 100 TB ANN path (FAISS's IVFADC layout,
+    * from the same public PQ paper §IV): corpus rows coarse-quantize
+    * into IVF cells AND PQ-encode; a query probes only its `nProbe`
+    * nearest cells (by cosine, identical rule to [[Similarity.ivfTopK]])
+    * and ADC-scores just those cells' codes. At scale the corpus is
+    * written bucketed by cell, so a probe reads `nProbe/k` of the
+    * coded table — and the coded table is already 64× smaller than
+    * the raw vectors. Returns (q_id, n_id, dist, rnk). */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame,
+      centroids: DataFrame, idCol: String, vecCol: String,
+      cb: Codebooks, k: Int, nProbe: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = Similarity.collectCentroids(centroids, idCol, vecCol)
+    // one corpus pass: cell id + PQ codes, both narrow expressions
+    val coded = Similarity.cellAssignments(
+        Partitioning.spread(corpus), cents, idCol, vecCol)
+      .select(col("n_id"), col("cell"),
+        PqEncode.column(col("__cv"), cb).as("codes"))
+    // probe selection reuses the NearestCentroidCells selection loop
+    // driver-side — bit-identical scoring/tie rules to the corpus
+    // assignment expression
+    val sorted = cents.sortBy(_.cell)
+    val dim = sorted.head.cv.size
+    val flat = new Array[Double](sorted.size * dim)
+    sorted.zipWithIndex.foreach { case (c, i) =>
+      c.cv.copyToArray(flat, i * dim)
+    }
+    val selector = NearestCentroidCells(
+      org.apache.spark.sql.catalyst.expressions.Literal(null),
+      org.apache.spark.sql.catalyst.expressions.Literal(null),
+      sorted.map(_.cell).toArray, flat, sorted.map(_.cn).toArray,
+      dim, nProbe)
+    val probeRows = queries
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .collect()
+      .flatMap { r =>
+        val qv = r.getSeq[Double](1).toArray
+        val qn = math.sqrt(qv.foldLeft(0.0d)((a, x) => a + x * x))
+        val lut = adcLut(qv, cb)
+        val probes = selector.select(
+          org.apache.spark.sql.catalyst.expressions
+            .UnsafeArrayData.fromPrimitiveArray(qv), qn)
+        (0 until probes.numElements())
+          .map(i => (r.getLong(0), probes.getInt(i), lut))
+      }.toSeq.sortBy(p => (p._1, p._2))
+    val probesDf = broadcast(probeRows.toDF("q_id", "probe", "__lut"))
+    Similarity.rankTopKBy(
+      coded.join(probesDf, col("probe") === col("cell"))
+        .filter(col("q_id") =!= col("n_id"))
+        .withColumn("dist",
+          PqAdc.column(col("codes"), col("__lut"), cb.m, cb.ksub))
+        .select(col("q_id"), col("n_id"), col("dist")),
+      k, "dist", ascending = true)
+  }
+
   /** ADC top-k: PQ-encode the corpus (narrow), collect the SMALL query
     * set driver-side (control-plane, like [[Similarity.collectCentroids]]
     * — it is broadcast either way), precompute each query's LUT, and

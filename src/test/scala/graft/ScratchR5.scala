@@ -135,6 +135,43 @@ object ScratchR5 {
       out
     }
     time("lm_persist")(lmPersist _)
+
+    // lm variant: vocab as an IN-PLAN 1-row aggregate crossJoined in —
+    // no separate driver action; exchange reuse can share c12's
+    // shuffle across the window, the vocab agg and the scoring join
+    def lmInPlan(): DataFrame = {
+      import graft.ops.TextOps._
+      import org.apache.spark.sql.expressions.Window
+      val doc = sources.Tables.load(spark, dir, "documents")
+      val toks = ops.Partitioning.spread(doc)
+        .select(col("doc_id").as("__id"), tokensWs(col("text")).as("__tok"))
+      val bi = toks
+        .select(col("__id"), explode(bigrams(col("__tok"))).as("__bg"))
+        .select(col("__id"),
+          substring_index(col("__bg"), " ", 1).as("__w1"),
+          substring_index(col("__bg"), " ", -1).as("__w2"))
+      val docBi = bi.groupBy(col("__id"), col("__w1"), col("__w2"))
+        .agg(count(lit(1)).as("__occ"))
+      val c12 = docBi.groupBy(col("__w1"), col("__w2"))
+        .agg(sum(col("__occ")).as("__c12"))
+      val counts = c12.withColumn("__c1",
+        sum(col("__c12")).over(Window.partitionBy(col("__w1"))))
+      val vocabDf = c12.select(col("__w1").as("__w"))
+        .union(c12.select(col("__w2").as("__w"))).distinct()
+        .agg(count(lit(1)).as("__v"))
+      val p = (col("__c12") + lit(0.5)) /
+        (col("__c1") + lit(0.5) * col("__v"))
+      docBi.join(counts, Seq("__w1", "__w2")).crossJoin(vocabDf)
+        .withColumn("__t", round(log(p) * 1e6).cast("long") * col("__occ"))
+        .groupBy(col("__id"))
+        .agg(sum(col("__occ")).as("n_bigrams"), sum(col("__t")).as("__s"))
+        .withColumn("__nll", -(col("__s") / (col("n_bigrams") * lit(1e6))))
+        .select(col("__id").as("doc_id"), col("n_bigrams"),
+          round(col("__nll"), 6).as("nll"),
+          round(exp(col("__nll")), 3).as("ppl"))
+        .orderBy("doc_id")
+    }
+    time("lm_inplan")(lmInPlan _)
     time("qp_pq_codes")(() =>
       QueriesPipeline.queries("qp_pq_codes")(spark, dir))
     time("qp_pq_topk")(() =>

@@ -82,6 +82,32 @@ class PqSpec extends AnyFunSuite {
     assert(bad.forall(_.isNullAt(0)), "malformed ADC inputs must null out")
   }
 
+  test("IVF-PQ candidates come only from probed cells and agree with ADC") {
+    val e = vecs.toDF("vec_id", "v")
+    val centroids = e.filter(col("vec_id") < 8)
+    val got = Pq.ivfPqTopK(e, e.filter(col("vec_id") < 3), centroids,
+        "vec_id", "v", cb, k = 4, nProbe = 8) // nProbe = all cells
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // probing EVERY cell makes IVF-PQ degrade to exact ADC: same top-k
+    val full = Pq.adcTopK(e, e.filter(col("vec_id") < 3), "vec_id", "v",
+        cb, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.sortBy(t => (t._1, t._2)).toSeq ==
+      full.sortBy(t => (t._1, t._2)).toSeq,
+      "all-cells IVF-PQ must equal plain ADC")
+    // and a 1-probe search only returns vectors from the query's cell
+    val cents = Similarity.collectCentroids(centroids, "vec_id", "v")
+    val cellOf = Similarity.cellAssignments(e, cents, "vec_id", "v")
+      .select("n_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val narrow = Pq.ivfPqTopK(e, e.filter(col("vec_id") === 0L), centroids,
+        "vec_id", "v", cb, k = 50, nProbe = 1)
+      .collect().map(_.getLong(1))
+    assert(narrow.nonEmpty &&
+      narrow.forall(n => cellOf(n) == cellOf(0L)),
+      "1-probe candidates must share the query's cell")
+  }
+
   test("ADC top-k ranks by ascending distance with no per-query skew") {
     val e = vecs.toDF("vec_id", "v")
     val got = Pq.adcTopK(e, e.filter(col("vec_id") < 3), "vec_id", "v",
