@@ -40,6 +40,26 @@ object QueriesGraph {
           TradeGraph.edges(s, dir))
         .orderBy(col("id"))
     }),
+    "qg_triangles" -> ((s, dir) => {
+      // per-vertex triangle counts (GraphX triangleCount — exact
+      // integers, so partition order cannot perturb the hash) over the
+      // co-purchaser projection of 100 focal customers: an edge when
+      // two customers share >= 5 suppliers. The bipartite trade graph
+      // itself is triangle-free by construction; the projection is the
+      // standard one-mode reduction. Canonical a<b edges, distinct —
+      // GraphX's triangleCount preconditions.
+      val e = TradeGraph.edges(s, dir)
+      val focal = e.filter(col("src") < 100)
+      val a = focal.select(col("src").as("a_id"), col("dst"))
+      val b = focal.select(col("src").as("b_id"), col("dst"))
+      val proj = a.join(b, "dst").filter(col("a_id") < col("b_id"))
+        .groupBy("a_id", "b_id").agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= 5)
+        .select(col("a_id").as("src"), col("b_id").as("dst"))
+      val verts = proj.select(col("src").as("id"))
+        .unionByName(proj.select(col("dst").as("id"))).distinct()
+      GraphOps.triangleCounts(s, verts, proj).orderBy("id")
+    }),
     "qg_common_suppliers" -> ((s, dir) => {
       // graph pattern: for 100 focal customers, find co-purchasers with
       // ≥20 common suppliers. The focal restriction keeps the common-
@@ -120,6 +140,22 @@ object QueriesGraph {
          | FROM e a JOIN e b ON a.dst = b.dst AND a.src < b.src
          | WHERE a.src < 100
          | GROUP BY 1, 2 HAVING count(*) >= 20
-         | ORDER BY a_id, b_id""".stripMargin
+         | ORDER BY a_id, b_id""".stripMargin,
+    "qg_triangles" ->
+      s"""WITH $edgesCte,
+         | proj AS MATERIALIZED (
+         |   SELECT a.src AS a, b.src AS b
+         |   FROM e a JOIN e b ON a.dst = b.dst AND a.src < b.src
+         |   WHERE a.src < 100 AND b.src < 100
+         |   GROUP BY a.src, b.src HAVING count(*) >= 5),
+         | tris AS (SELECT p1.a, p1.b, p2.b AS c FROM proj p1
+         |   JOIN proj p2 ON p2.a = p1.b
+         |   JOIN proj p3 ON p3.a = p1.a AND p3.b = p2.b),
+         | mem AS (SELECT a AS id FROM tris
+         |   UNION ALL SELECT b FROM tris UNION ALL SELECT c FROM tris),
+         | verts AS (SELECT a AS id FROM proj UNION SELECT b FROM proj),
+         | cnt AS (SELECT id, count(*) AS triangles FROM mem GROUP BY id)
+         | SELECT v.id, coalesce(cnt.triangles, 0) AS triangles
+         | FROM verts v LEFT JOIN cnt USING (id) ORDER BY id""".stripMargin
   )
 }
