@@ -130,6 +130,11 @@ final class GraftSession private (val spark: SparkSession,
   def exportDatabase(dir: String): Unit = JsonTools.exportDatabase(this, dir)
   def importDatabase(dir: String): Unit = JsonTools.importDatabase(this, dir)
 
+  /** deep-compare this database against another (reference
+    * `ODatabaseCompare`, driven by `DbCompareTest`). */
+  def compareWith(other: GraftSession): DataFrame =
+    JsonTools.compareDatabases(this, other)
+
   /** JSON documents with fetch-plan-driven link expansion. */
   def fetchJson(cls: String, fetchPlan: String = ""): DataFrame =
     JsonTools.fetchJson(this, cls, fetchPlan)

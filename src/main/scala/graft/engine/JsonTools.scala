@@ -24,6 +24,44 @@ import org.apache.spark.sql.types.{DataType, StructType}
   */
 object JsonTools {
 
+  // ------------------------------------------------------- compare
+  /** Database deep-compare (reference `ODatabaseCompare.java:47-124`:
+    * shallow cluster-count pass, then record-by-record content
+    * compare). Spark-first reshape: per class, a row count plus an
+    * ORDER-FREE content hash — the sum of a 60-bit hash of each
+    * record's canonical JSON (columns sorted by name) — so record
+    * identity, not storage position, decides equality; the reference
+    * walks cluster positions because its records live at positions,
+    * ours are unordered datasets by design. `_rid`/`_class`/`_version`
+    * metadata is excluded (documented deviation: storage metadata is
+    * engine-local; content decides). One distributed aggregation per
+    * class; the report is one row per class name — control-plane
+    * sized. Returns (cls, n_a, n_b, equal), ordered by class name. */
+  def compareDatabases(a: GraftSession, b: GraftSession): DataFrame = {
+    def content(s: GraftSession, name: String): Option[(Long, Long)] =
+      if (!s.catalog.contains(name)) None
+      else {
+        val df = s.catalog.table(name).drop("_rid", "_class", "_version")
+        if (df.columns.isEmpty) Some((0L, 0L))
+        else {
+          val canon = graft.ops.TextOps.hash60(
+            to_json(struct(df.columns.sorted.map(col): _*)))
+          val r = df.agg(count(lit(1)), sum(canon)).collect().head
+          Some((r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1)))
+        }
+      }
+    val names = (a.catalog.all.map(_.name.toLowerCase) ++
+      b.catalog.all.map(_.name.toLowerCase)).distinct.sorted
+    val rows = names.map { n =>
+      val ca = content(a, n)
+      val cb = content(b, n)
+      (n, ca.map(_._1).getOrElse(-1L), cb.map(_._1).getOrElse(-1L),
+        ca.isDefined && cb.isDefined && ca == cb)
+    }
+    import a.spark.implicits._
+    rows.toDF("cls", "n_a", "n_b", "equal")
+  }
+
   // -------------------------------------------------------- export
   /** whole-db JSON dump (reference `ODatabaseExport`). `includeClasses`
     * mirrors the reference exporter's class filter: when given, only
