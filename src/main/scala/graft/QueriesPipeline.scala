@@ -138,6 +138,21 @@ object QueriesPipeline {
         .groupBy("lang").agg(count(lit(1)).as("kept"))
         .orderBy("lang")
     }),
+    "qp_epoch_shuffle" -> ((s, dir) => {
+      // deterministic training-order permutation: 8 loader shards,
+      // position by hash order within shard — reshuffle = new seed
+      Curation.epochShuffle(docs(s, dir), "doc_id", seed = 7L,
+          nShards = 8)
+        .select("doc_id", "shard", "pos")
+        .orderBy("doc_id")
+    }),
+    "qp_cap_per_source" -> ((s, dir) => {
+      // per-domain quality cap: keep the 10 longest docs per source
+      Curation.capPerStratum(docs(s, dir), "doc_id", "source",
+          "n_chars", n = 10)
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
     "qp_seq_pack" -> ((s, dir) => {
       // pack the token stream into 512-token bins per lang shard
       Curation.packBins(
@@ -615,6 +630,22 @@ object QueriesPipeline {
          | WHERE ${dH60("d.lang || ':' || CAST(d.doc_id AS VARCHAR)")} % 10000
          |   < rate * 10000
          | GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+    "qp_epoch_shuffle" ->
+      s"""SELECT doc_id, shard, pos FROM (
+         |   SELECT doc_id, CAST(h % 8 AS INT) AS shard,
+         |     row_number() OVER (PARTITION BY h % 8
+         |       ORDER BY h, doc_id) AS pos
+         |   FROM (SELECT doc_id,
+         |     ${dH60("'7:' || CAST(doc_id AS VARCHAR)")} AS h
+         |     FROM documents))
+         | ORDER BY doc_id""".stripMargin,
+    "qp_cap_per_source" ->
+      """SELECT doc_id, source, n_chars FROM (
+        |   SELECT doc_id, source, n_chars,
+        |     row_number() OVER (PARTITION BY source
+        |       ORDER BY n_chars DESC, doc_id) AS r
+        |   FROM documents) WHERE r <= 10
+        | ORDER BY doc_id""".stripMargin,
     "qp_seq_pack" ->
       s"""WITH t AS (SELECT doc_id, lang, len(${dTokens("text")}) nt
          |   FROM documents),

@@ -81,6 +81,42 @@ object Curation {
     * per-partition-key (shard), so the window sort parallelizes across
     * keys instead of forcing one global order. Returns one row per
     * (key, bin): n_docs, n_tokens, first/last doc id. */
+  /** Deterministic epoch shuffle: the training-order permutation as a
+    * pure function of (seed, id). Each record hashes to a shard
+    * (`hash60(seed:id) mod nShards`) and gets a position within its
+    * shard by hash order — the loader reads shards independently and
+    * sequentially, so no global sort exists anywhere: the only window
+    * is per-shard (at 100 TB a global row_number would funnel the
+    * corpus through one task; nShards bounds every sort to corpus/n).
+    * Reshuffling an epoch = changing the seed; resuming mid-epoch =
+    * filtering (shard, pos), both without touching the data. */
+  def epochShuffle(df: DataFrame, idCol: String, seed: Long,
+      nShards: Int): DataFrame = {
+    val h = hash60(concat(lit(s"$seed:"), col(idCol).cast("string")))
+    val w = Window.partitionBy(col("shard")).orderBy(col("__h"), col(idCol))
+    Partitioning.spread(df)
+      .withColumn("__h", h)
+      .withColumn("shard", pmod(col("__h"), lit(nShards.toLong)).cast("int"))
+      .withColumn("pos", row_number().over(w))
+      .drop("__h")
+  }
+
+  /** Quality-capped per-stratum selection: keep the best `n` records
+    * of each stratum by `orderCol` (ties → lower id, so the cut is
+    * deterministic). The curation step that caps each domain/source
+    * at a budget instead of letting one crawl dominate the mixture.
+    * One window per stratum — the stratum cardinality bounds the sort,
+    * and a skewed stratum is exactly the case the cap exists for. */
+  def capPerStratum(df: DataFrame, idCol: String, strataCol: String,
+      orderCol: String, n: Int): DataFrame = {
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(col(orderCol).desc, col(idCol))
+    Partitioning.spread(df)
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= n)
+      .drop("__r")
+  }
+
   def packBins(df: DataFrame, partCol: String, idCol: String,
       tokenCol: String, budget: Int): DataFrame = {
     val w = Window.partitionBy(col(partCol)).orderBy(col(idCol))

@@ -233,6 +233,37 @@ object ScratchR5 {
     }
     time("exact_substr_window")(exactSubstrWindow _)
 
+    // --- pagerank: current vs broadcast-ranks iteration ---------------
+    time("pagerank10_current")(() =>
+      QueriesGraph.queries("qg_pagerank10")(spark, dir))
+    def pagerankBroadcast(iters: Int): DataFrame = {
+      val vertices = graph.TradeGraph.vertices(spark, dir)
+      val edges = graph.TradeGraph.edges(spark, dir)
+      val e = edges.select(col("src"), col("dst"))
+      val outDeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      val ids = vertices.select(col("id")).persist()
+      val contrib = e.join(outDeg, "src")
+        .unionByName(ids.select(col("id").as("src"), col("id").as("dst"),
+          lit(null).cast("long").as("outdeg")))
+        .persist()
+      var ranks = ids.withColumn("rank", lit(1.0))
+      for (i <- 1 to iters) {
+        ranks = contrib.join(broadcast(ranks), contrib("src") === ranks("id"))
+          .select(col("dst"), (col("rank") / col("outdeg")).as("msg"))
+          .groupBy("dst").agg(sum("msg").as("msgSum"))
+          .select(col("dst").as("id"),
+            (lit(0.15) + lit(0.85) * coalesce(col("msgSum"), lit(0.0)))
+              .as("rank"))
+        if (i % 3 == 0) ranks = ranks.localCheckpoint()
+      }
+      val out = (if (iters % 3 == 0) ranks else ranks.localCheckpoint())
+        .select(col("id"), round(col("rank"), 4).as("rank"))
+        .orderBy(col("id")).localCheckpoint()
+      contrib.unpersist(); ids.unpersist()
+      out
+    }
+    time("pagerank10_broadcast")(() => pagerankBroadcast(10))
+
     spark.stop()
   }
 }
