@@ -144,6 +144,31 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("round-5 operators keep their scale shape") {
+    // IVF-PQ: the probe side broadcasts (5 queries × 2 probes) and
+    // joins the coded corpus on the cell key — never a cartesian over
+    // the corpus (the plain-ADC crossJoin is reserved for the
+    // broadcast-tiny query side, not the composed path)
+    val ivfpq = finalPlan(df("qp_ivfpq_topk"))
+    assert(ivfpq.contains("BroadcastHashJoin"), ivfpq)
+    assert(!ivfpq.contains("CartesianProduct"), ivfpq)
+    // ADC ranking is two-level like the cosine rankers
+    assert(ivfpq.contains("SPARK_PARTITION_ID"), ivfpq)
+    // epoch shuffle: per-shard windows only — a global row_number
+    // would funnel the corpus through one task
+    val shuf = df("qp_epoch_shuffle").queryExecution.optimizedPlan.toString
+    assert(shuf.contains("windowspecdefinition(shard"), shuf)
+    // per-domain cap: one window per stratum, no join
+    val cap = finalPlan(df("qp_cap_per_source"))
+    assert(!cap.contains("Join"), cap)
+    // LM perplexity: the bigram count table joins on the bigram key —
+    // a shuffle join is the DESIGNED shape (a web-scale bigram table
+    // must not broadcast); assert no cartesian instead
+    val lm = finalPlan(df("qp_lm_perplexity"))
+    assert(!lm.contains("CartesianProduct") &&
+      !lm.contains("BroadcastNestedLoopJoin"), lm)
+  }
+
   test("indexed CONTAINSTEXT probes the posting table, not the corpus") {
     // fresh sessions: the shared cached dialect session may already
     // carry the index after EntrySmokeSpec ran qd_containstext_idx
