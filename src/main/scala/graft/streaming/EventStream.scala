@@ -42,6 +42,32 @@ object EventStream {
       .select(col("window.start").as("w_start"), col("event_type"),
         col("n"), col("total"))
 
+  /** stream-STREAM interval join: pair each left event with right
+    * events of the same user arriving within `intervalSec` AFTER it.
+    * Both sides carry watermarks and the join condition bounds the
+    * time range in both directions — the two things Structured
+    * Streaming needs to know when buffered rows can never match again,
+    * so state stays bounded (an unconstrained stream-stream join
+    * buffers both streams forever at 100 TB/day). The join itself is
+    * co-partitioned by the equi-key; state lives in the per-partition
+    * store. */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      keyCol: String, intervalSec: Long,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", watermarkDelay)
+      .select(col(keyCol).as("__k"), col("ts").as("l_ts"),
+        col("event_id").as("l_id"), col("event_type").as("l_type"))
+    val r = right.withWatermark("ts", watermarkDelay)
+      .select(col(keyCol).as("__rk"), col("ts").as("r_ts"),
+        col("event_id").as("r_id"), col("event_type").as("r_type"))
+    l.join(r,
+      col("__k") === col("__rk") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $intervalSec seconds"))
+      .select(col("__k").as(keyCol), col("l_id"), col("r_id"),
+        col("l_type"), col("r_type"), col("l_ts"), col("r_ts"))
+  }
+
   final case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
   final case class SessionState(start: Long, last: Long, n: Int,

@@ -294,6 +294,19 @@ object ScratchR5 {
     }
     time("pagerank10_broadcast")(() => pagerankBroadcast(10))
 
+    // --- dedup clusters: effective depth + cost split -----------------
+    {
+      val dd = d.withColumn("__lb", floor(col("n_chars") / 20).cast("int"))
+      val pairs = ops.Dedup.ngramJaccardPairs(dd, "doc_id", "text",
+        blockCols = Seq("lang", "__lb"), threshold = 0.8)
+      val (_, eff) = ops.Dedup.nearDupClustersCounted(pairs, "a_id", "b_id")
+      println(s"[scratch] dedup_clusters effective rounds = $eff")
+      time("dedup_pairs_only")(() => ops.Dedup.ngramJaccardPairs(dd,
+        "doc_id", "text", blockCols = Seq("lang", "__lb"), threshold = 0.8))
+      time("dedup_clusters_full")(() =>
+        QueriesPipeline.queries("qp_dedup_clusters")(spark, dir))
+    }
+
     spark.stop()
   }
 }

@@ -37,6 +37,30 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs events within the window only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val views = MemoryStream[Ev]
+    val joined = intervalJoin(clicks.toDF(), views.toDF(),
+      "user_id", intervalSec = 300, watermarkDelay = "30 minutes")
+    val q = joined.writeStream.format("memory").queryName("ssj")
+      .outputMode("append").start()
+    try {
+      clicks.addData(ev(1, 10, 1, "click", 0), ev(2, 30, 2, "click", 0))
+      views.addData(
+        ev(10, 12, 1, "view", 0), // user 1, +2 min → pairs
+        ev(11, 40, 1, "view", 0), // user 1, +30 min → outside interval
+        ev(12, 29, 2, "view", 0), // user 2, BEFORE the click → no pair
+        ev(13, 33, 2, "view", 0)) // user 2, +3 min → pairs
+      q.processAllAvailable()
+      val got = spark.table("ssj").collect()
+        .map(r => (r.getAs[Long]("l_id"), r.getAs[Long]("r_id"))).toSet
+      assert(got == Set((1L, 10L), (2L, 13L)),
+        s"interval join must pair within [0, +5min] on the same key: $got")
+    } finally q.stop()
+  }
+
   test("stream-static dimension join and streaming exact dedup") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
