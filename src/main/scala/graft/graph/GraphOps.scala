@@ -117,6 +117,32 @@ object GraphOps {
       .vertices.map { case (id, n) => (id, n) }
       .toDF("id", "triangles")
   }
+
+  /** DataFrame triangle count per vertex: the ordered-edge three-way
+    * self-join (a<b, b<c, a<c — each triangle materializes exactly
+    * once), then per-corner membership counts. Declarative, so every
+    * join is a plain hash shuffle Catalyst can plan/AQE-skew-split —
+    * on big graphs the standard trick is degree-ordering the edges
+    * first so the join fan-out is bounded by arboricity, which is
+    * exactly this plan shape with a different canonical order.
+    * `edges` must be canonical (src < dst) and distinct. Counts are
+    * exact ints — hash-identical to [[triangleCounts]]. */
+  def triangleCountsDF(vertices: DataFrame, edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    val tris = e.as("p1")
+      .join(e.as("p2"), col("p2.src") === col("p1.dst"))
+      .join(e.as("p3"), col("p3.src") === col("p1.src") &&
+        col("p3.dst") === col("p2.dst"))
+      .select(col("p1.src").as("a"), col("p1.dst").as("b"),
+        col("p2.dst").as("c"))
+    val mem = tris.select(col("a").as("id"))
+      .unionByName(tris.select(col("b").as("id")))
+      .unionByName(tris.select(col("c").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("n"))
+    vertices.select("id").join(mem, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n"), lit(0L)).cast("int").as("triangles"))
+  }
 }
 
 /** The trade-graph fixture over the driver tables: customers and

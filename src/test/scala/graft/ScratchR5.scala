@@ -294,6 +294,25 @@ object ScratchR5 {
     }
     time("pagerank10_broadcast")(() => pagerankBroadcast(10))
 
+    // --- triangles: GraphX vs DataFrame three-way join ----------------
+    time("triangles_graphx")(() =>
+      QueriesGraph.queries("qg_triangles")(spark, dir))
+    def trianglesDF(): DataFrame = {
+      val e = graph.TradeGraph.edges(spark, dir)
+      val focal = e.filter(col("src") < 100)
+      val a = focal.select(col("src").as("a_id"), col("dst"))
+      val b = focal.select(col("src").as("b_id"), col("dst"))
+      val proj = a.join(b, "dst").filter(col("a_id") < col("b_id"))
+        .groupBy("a_id", "b_id").agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= 5)
+        .select(col("a_id").as("src"), col("b_id").as("dst"))
+        .localCheckpoint() // 4 consumers (3 join sides + verts)
+      val verts = proj.select(col("src").as("id"))
+        .unionByName(proj.select(col("dst").as("id"))).distinct()
+      graph.GraphOps.triangleCountsDF(verts, proj).orderBy("id")
+    }
+    time("triangles_df")(trianglesDF _)
+
     // --- dedup clusters: effective depth + cost split -----------------
     {
       val dd = d.withColumn("__lb", floor(col("n_chars") / 20).cast("int"))

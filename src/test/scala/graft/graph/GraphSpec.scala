@@ -52,6 +52,22 @@ class GraphSpec extends AnyFunSuite {
     assert(t == Map(1L -> 1, 2L -> 1, 3L -> 1, 4L -> 0))
   }
 
+  test("DataFrame triangle counts equal GraphX on a dense projection") {
+    import spark.implicits._
+    // overlapping triangles + two disconnected structures: 1-2-3,
+    // 2-3-4 (sharing an edge), square 5-6-7-8 with one diagonal
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (5L, 6L), (6L, 7L), (7L, 8L), (5L, 8L), (5L, 7L))
+    val v = (1L to 8L).toDF("id")
+    val e = edges.toDF("src", "dst")
+    val gx = GraphOps.triangleCounts(spark, v, e)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val df = GraphOps.triangleCountsDF(v, e)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(df == gx, s"DF $df must equal GraphX $gx")
+    assert(df(2L) == 2 && df(6L) == 1 && df(8L) == 1)
+  }
+
   test("degrees sum equals twice the edge count") {
     val v = TradeGraph.vertices(spark, sf)
     val e = TradeGraph.edges(spark, sf)
