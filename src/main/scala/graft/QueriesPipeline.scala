@@ -319,6 +319,22 @@ object QueriesPipeline {
         .select("doc_id", "term", "tf", "df", "score", "rnk")
         .orderBy("doc_id", "rnk")
     }),
+    "qp_hash_embed" -> ((s, dir) => {
+      // feature-hashing featurizer: text → 64-dim count vector (the
+      // text→vector bridge the ANN/PQ stack consumes)
+      TextOps.hashEmbed(docs(s, dir), "doc_id", "text", dim = 64)
+        .orderBy("doc_id")
+    }),
+    "qp_embed_ann" -> ((s, dir) => {
+      // composed text→vector→ANN: hash-embed the corpus, then exact
+      // cosine top-5 neighbors for 3 query documents
+      val emb = TextOps.hashEmbed(docs(s, dir), "doc_id", "text",
+          dim = 64)
+        .select(col("doc_id"), col("vec").cast("array<double>").as("vec"))
+      Similarity.bruteForceTopK(emb, emb.filter(col("doc_id") < 3),
+          "doc_id", "vec", k = 5)
+        .orderBy(col("q_id"), col("rnk"))
+    }),
     "qp_lm_perplexity" -> ((s, dir) => {
       // CCNet-style quality signal: add-k bigram LM perplexity per doc
       TextOps.lmPerplexity(docs(s, dir), "doc_id", "text")
@@ -912,6 +928,29 @@ object QueriesPipeline {
          |     ORDER BY score DESC, term) AS rnk
          |   FROM scored WHERE doc_id < 20)
          | WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+    "qp_hash_embed" ->
+      s"""WITH t AS (SELECT doc_id, list_transform(${dTokens("text")},
+         |     x -> CAST(${dH60("x")} % 64 AS INT)) AS ds FROM documents)
+         | SELECT doc_id, list_transform(range(64),
+         |   i -> CAST(len(list_filter(ds, d -> d = i)) AS BIGINT)) AS vec
+         | FROM t ORDER BY doc_id""".stripMargin,
+    "qp_embed_ann" ->
+      s"""WITH t AS (SELECT doc_id, list_transform(${dTokens("text")},
+         |     x -> CAST(${dH60("x")} % 64 AS INT)) AS ds FROM documents),
+         | emb AS (SELECT doc_id, list_transform(range(64),
+         |   i -> CAST(len(list_filter(ds, d -> d = i)) AS DOUBLE)) AS v
+         |   FROM t),
+         | e AS (SELECT doc_id, v, sqrt(${dDot("v", "v")}) AS nn FROM emb),
+         | q AS (SELECT doc_id AS q_id, v AS qv, nn AS qn FROM e
+         |   WHERE doc_id < 3),
+         | scored AS (SELECT q_id, e.doc_id AS n_id,
+         |     ${dDot("qv", "e.v")} / (qn * e.nn) AS c,
+         |     row_number() OVER (PARTITION BY q_id
+         |       ORDER BY ${dDot("qv", "e.v")} / (qn * e.nn) DESC,
+         |         e.doc_id) AS rnk
+         |   FROM q CROSS JOIN e WHERE q_id <> e.doc_id)
+         | SELECT q_id, n_id, round(c, 6) AS cos, rnk FROM scored
+         | WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
     "qp_lm_perplexity" ->
       s"""WITH t AS (SELECT doc_id, ${dTokens("text")} AS tok
          |   FROM documents),

@@ -178,6 +178,35 @@ object TextOps {
   def langScore(tokens: Column, markers: Seq[String]): Column =
     markers.map(m => size(filter(tokens, t => t === m))).reduce(_ + _)
 
+  // ------------------------------------------- feature hashing
+  /** Feature-hashing text embedder (the hashing trick, Weinberger et
+    * al. 2009, public paper): token → `hash60 mod dim` bucket, vector
+    * = per-bucket counts. Deterministic, vocabulary-free — the cheap
+    * featurizer that turns a text corpus into an `array` column the
+    * similarity/ANN/PQ stack consumes directly. Scale shape: one
+    * explode pass, two partial-combining aggregations (token-bucket
+    * counts, then per-doc map assembly), dense fill as a narrow
+    * per-row expression over a dim-sized map — never a dim-wide
+    * groupBy pivot. Counts are exact integers: the oracle hash cannot
+    * drift. Docs with no tokens get the zero vector. */
+  def hashEmbed(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, dim: Int): org.apache.spark.sql.DataFrame = {
+    val base = Partitioning.spread(df).select(col(idCol).as("__id"),
+      tokensWs(col(textCol)).as("__tok"))
+    val counts = base
+      .select(col("__id"), explode(col("__tok")).as("__t"))
+      .select(col("__id"), (hash60(col("__t")) % dim).cast("int").as("__d"))
+      .groupBy(col("__id"), col("__d")).agg(count(lit(1)).as("__n"))
+      .groupBy(col("__id"))
+      .agg(map_from_entries(collect_list(struct(col("__d"), col("__n"))))
+        .as("__m"))
+    base.select(col("__id")).join(counts, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => coalesce(element_at(col("__m"), i.cast("int")), lit(0L)))
+          .as("vec"))
+  }
+
   // ------------------------------------------- LM quality scoring
   /** CCNet-style language-model quality score (Wenzek et al. 2019,
     * public paper: perplexity of a small LM ranks document quality;
