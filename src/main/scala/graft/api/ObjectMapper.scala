@@ -66,7 +66,9 @@ final class ObjectMapper(session: GraftSession) {
       .find(_.isAnnotationPresent(classOf[Version]))
       .orElse(persistentFields(c).find(_.getName.equalsIgnoreCase("version")))
 
-  /** Option[X] → X (for schema typing), via the field's generic type. */
+  /** Option[X] → X (for schema typing), via the field's generic type.
+    * Scala erases Option[primitive] to Option<Object> — those resolve
+    * through [[valueType]] instead. */
   private def innerType(f: Field): Class[_] = f.getGenericType match {
     case p: ParameterizedType if f.getType == classOf[Option[_]] =>
       p.getActualTypeArguments.head match {
@@ -74,6 +76,19 @@ final class ObjectMapper(session: GraftSession) {
         case _ => classOf[AnyRef]
       }
     case _ => f.getType
+  }
+
+  /** concrete value type for a field: the signature type when it
+    * survives erasure, else the runtime class of the (unwrapped)
+    * value; an absent erased value defaults to Long — the documented
+    * default for `Option[primitive]` fields holding None. */
+  private def valueType(f: Field, raw: Any): Class[_] = {
+    val t = innerType(f)
+    if (t != classOf[AnyRef] && t != classOf[Object]) t
+    else raw match {
+      case null => classOf[java.lang.Long]
+      case x => x.getClass
+    }
   }
 
   private def sparkType(c: Class[_]): DataType = c match {
@@ -186,17 +201,24 @@ final class ObjectMapper(session: GraftSession) {
 
   /** generated identity: UUID for String ids, max+1 for numeric (a
     * driver-side scalar — single-entity CRUD is control-plane; bulk
-    * loads assign their own ids and use appendData). */
+    * loads assign their own ids and use appendData). An erased
+    * `Option[primitive]` id generates as Long. */
   private def generateId(cls: String, idF: Field): Any = {
-    val t = innerType(idF)
+    val t = valueType(idF, null)
     if (t == classOf[String]) java.util.UUID.randomUUID().toString
     else if (t == java.lang.Long.TYPE || t == classOf[java.lang.Long] ||
         t == java.lang.Integer.TYPE || t == classOf[java.lang.Integer]) {
-      // a just-created class has no columns yet → treat as empty
+      // a just-created class has no columns yet → treat as empty; an
+      // explicit column check, NOT a catch-all (swallowing e.g. a
+      // security error here would silently restart ids at 1 and mint
+      // a duplicate primary key)
+      val hasIdColumn = session.catalog.contains(cls) &&
+        session.catalog.table(cls).columns
+          .exists(_.equalsIgnoreCase(idF.getName))
       val rows =
-        try session
+        if (!hasIdColumn) Array.empty[Row]
+        else session
           .query(s"select max(${idF.getName}) as m from $cls").collect()
-        catch { case _: Exception => Array.empty[Row] }
       val next =
         if (rows.isEmpty || rows.head.isNullAt(0)) 1L
         else toLong(rows.head.get(0)) + 1L
@@ -210,7 +232,8 @@ final class ObjectMapper(session: GraftSession) {
   private def insertRow(cls: String, fields: Seq[Field],
       vals: Map[String, Any]): Unit = {
     val schema = StructType(fields.map { f =>
-      StructField(f.getName, sparkType(innerType(f)), nullable = true)
+      StructField(f.getName,
+        sparkType(valueType(f, vals(f.getName))), nullable = true)
     })
     // align value widths to the schema (e.g. a Long 0 into an Int
     // version column) — Row values must match their DataType exactly
@@ -250,11 +273,12 @@ final class ObjectMapper(session: GraftSession) {
 
   /** load one entity by id; None when absent. Entity-typed link
     * fields load their target record too (one eager level — the
-    * reference default fetch plan loads the direct graph). */
+    * reference default fetch plan; links nested deeper stay null, and
+    * cyclic links therefore terminate instead of recursing). */
   def load[T <: Product](id: Any)(implicit ct: ClassTag[T]): Option[T] =
-    loadRecord(ct.runtimeClass, id).map(_.asInstanceOf[T])
+    loadRecord(ct.runtimeClass, id, depth = 0).map(_.asInstanceOf[T])
 
-  private def loadRecord(c: Class[_], id: Any): Option[Any] = {
+  private def loadRecord(c: Class[_], id: Any, depth: Int): Option[Any] = {
     val cls = c.getSimpleName
     val idF = idField(c)
     val rows = session
@@ -271,11 +295,13 @@ final class ObjectMapper(session: GraftSession) {
           .indexWhere(_.equalsIgnoreCase(f.getName))
         val v = if (i < 0 || r.isNullAt(i)) null else r.get(i)
         // entity link: the column holds the child's id — resolve it
+        // at the first level only (depth bound = the one-eager-level
+        // fetch plan AND the cycle guard: a <-> b links terminate)
         val t = innerType(f)
         val resolvedV =
           if (v != null && classOf[Product].isAssignableFrom(t) &&
               !classOf[Product].isInstance(v))
-            loadRecord(t, v).orNull
+            (if (depth < 1) loadRecord(t, v, depth + 1).orNull else null)
           else v
         coerce(resolvedV, pt, f)
       }
@@ -287,9 +313,14 @@ final class ObjectMapper(session: GraftSession) {
   def delete[T <: Product](obj: T): Boolean = {
     val c = obj.getClass
     val idF = idField(c)
+    val idVal = idF.get(obj) match { // Option-typed ids unwrap like save
+      case Some(x) => x
+      case None => null
+      case x => x
+    }
     val n = session.command(
         s"DELETE FROM ${c.getSimpleName} " +
-          s"WHERE ${idF.getName} = ${sqlLit(idF.get(obj))}")
+          s"WHERE ${idF.getName} = ${sqlLit(idVal)}")
       .collect().head.getLong(0)
     n > 0
   }

@@ -125,8 +125,11 @@ object GraphOps {
     * on big graphs the standard trick is degree-ordering the edges
     * first so the join fan-out is bounded by arboricity, which is
     * exactly this plan shape with a different canonical order.
-    * `edges` must be canonical (src < dst) and distinct. Counts are
-    * exact ints — hash-identical to [[triangleCounts]]. */
+    * `edges` must be canonical (src < dst), distinct, and MATERIALIZED
+    * (persist/localCheckpoint) when it is a computed plan — it is
+    * consumed three times here, so a lazy projection would re-run its
+    * whole pipeline per join side. Counts are exact ints —
+    * hash-identical to [[triangleCounts]]. */
   def triangleCountsDF(vertices: DataFrame, edges: DataFrame): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
     val tris = e.as("p1")

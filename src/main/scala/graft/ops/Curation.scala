@@ -74,13 +74,6 @@ object Curation {
       .drop("__rate")
   }
 
-  /** Sequence packing: lay the corpus out as a token stream per
-    * partition key (documents may span bin boundaries, GPT-style) and
-    * bin by the document's starting offset — bin = floor(start/budget)
-    * where start is the running token count before the doc. Packing is
-    * per-partition-key (shard), so the window sort parallelizes across
-    * keys instead of forcing one global order. Returns one row per
-    * (key, bin): n_docs, n_tokens, first/last doc id. */
   /** Deterministic epoch shuffle: the training-order permutation as a
     * pure function of (seed, id). Each record hashes to a shard
     * (`hash60(seed:id) mod nShards`) and gets a position within its
@@ -117,6 +110,13 @@ object Curation {
       .drop("__r")
   }
 
+  /** Sequence packing: lay the corpus out as a token stream per
+    * partition key (documents may span bin boundaries, GPT-style) and
+    * bin by the document's starting offset — bin = floor(start/budget)
+    * where start is the running token count before the doc. Packing is
+    * per-partition-key (shard), so the window sort parallelizes across
+    * keys instead of forcing one global order. Returns one row per
+    * (key, bin): n_docs, n_tokens, first/last doc id. */
   def packBins(df: DataFrame, partCol: String, idCol: String,
       tokenCol: String, budget: Int): DataFrame = {
     val w = Window.partitionBy(col(partCol)).orderBy(col(idCol))

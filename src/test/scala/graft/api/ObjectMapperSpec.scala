@@ -22,6 +22,8 @@ object ObjectMapperSpec {
       @(Version @field) version: Long)
   case class Gadget(serial: String, label: String) // no @Id → needs 'id'
   case class Note(id: Long, text: String, version: Int)
+  case class Emp(id: Long, name: String, boss: Option[Emp])
+  case class Memo(id: Option[Long], text: String)
 }
 
 class ObjectMapperSpec extends AnyFunSuite {
@@ -88,6 +90,28 @@ class ObjectMapperSpec extends AnyFunSuite {
       m.save(Gadget("S-1", "widget"))
     }
     assert(e.getMessage.contains("no @Id"))
+  }
+
+  test("cyclic links terminate: load resolves one eager level, then null") {
+    val m = fresh()
+    val a = m.save(Emp(0L, "alice", None))
+    val b = m.save(Emp(0L, "bob", Some(a)))
+    // close the cycle a -> b (b -> a already stored)
+    m.save(a.copy(boss = Some(b)))
+    val got = m.load[Emp](a.id).get
+    assert(got.name == "alice" && got.boss.exists(_.name == "bob"))
+    // depth-2 link (back to alice) stays null — no infinite recursion
+    assert(got.boss.exists(_.boss.isEmpty),
+      s"second-level link must stay unresolved: $got")
+  }
+
+  test("Option-typed ids: save generates, delete unwraps") {
+    val m = fresh()
+    val saved = m.save(Memo(None, "draft"))
+    assert(saved.id.exists(_ == 1L))
+    assert(m.load[Memo](1L).exists(_.text == "draft"))
+    assert(m.delete(saved), "delete must unwrap the Option id")
+    assert(m.load[Memo](1L).isEmpty)
   }
 
   test("string values with quotes and backslashes survive the SQL path") {
