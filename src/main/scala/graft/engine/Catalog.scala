@@ -299,11 +299,15 @@ final class Catalog(spark: SparkSession) {
 
   def commitTx(): Unit = {
     require(txActive, "no active transaction")
-    txActive = false
     durableRoot.foreach { root =>
       // stage: hidden dirs are invisible to markers, fallback scans
       // and readers until the commit point below. A class dropped
       // later in the tx has no entry left in txPendingData.
+      // txActive stays TRUE until the commit point: a staging or
+      // manifest failure leaves the transaction open, so the caller's
+      // rollback() still restores the snapshot and the pending frames
+      // can never leak into a later transaction's commit (orphaned
+      // hidden .tx dirs are invisible to readers and recovery).
       val staged = txPendingData.iterator
         .filter { case (key, _) => classes.contains(key) }
         .map { case (key, df) =>
@@ -316,6 +320,7 @@ final class Catalog(spark: SparkSession) {
       // COMMIT POINT: one atomic rename makes DDL + tombstones + data
       // versions durable together
       persistManifestNow(staged)
+      txActive = false // durable from here; finalize is replay-safe
       if (txCrashAfterManifest) {
         txCrashAfterManifest = false
         txPendingData.clear(); txPendingDrops.clear(); txSnapshot = null
@@ -333,6 +338,7 @@ final class Catalog(spark: SparkSession) {
       txPendingDrops.values.foreach(deleteQuiet)
       persistManifestNow(Nil) // clears the txdata entries
     }
+    txActive = false
     txPendingData.clear(); txPendingDrops.clear()
     txSnapshot = null
   }
@@ -541,8 +547,11 @@ final class Catalog(spark: SparkSession) {
     // future class of the same name
     properties.keys.filter(_._1 == key).toSeq.foreach(properties.remove)
     indexes.keys.filter(_._1 == key).toSeq.foreach(indexes.remove)
-    acl.keys.filter(_._2.split('.').lastOption.exists(
-      _.equalsIgnoreCase(key))).toSeq.foreach(acl.remove)
+    // only CLASS resources: matching on the bare last segment would
+    // also revoke database.schema / database.security grants when a
+    // class happens to be named "schema" or "security"
+    acl.keys.filter(_._2.equalsIgnoreCase(s"database.class.$key"))
+      .toSeq.foreach(acl.remove)
     fulltext.invalidate(key)
     tombstones += key
     persistManifest()

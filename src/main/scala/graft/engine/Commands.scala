@@ -49,8 +49,13 @@ object Commands {
           else if (promotable && df.columns.contains("_extra"))
             df.withColumn(field,
                 element_at(col("_extra"), key).cast(target))
+              // strip the overflow entry ONLY when its value actually
+              // promoted (cast succeeded or was absent): an uncastable
+              // value ('abc' → INTEGER) stays in _extra instead of
+              // being silently destroyed alongside a null column
               .withColumn("_extra",
-                map_filter(col("_extra"), (mk, _) => mk =!= lit(key)))
+                map_filter(col("_extra"), (mk, mv) => mk =!= lit(key) ||
+                  (mv.isNotNull && mv.cast(target).isNull)))
           else df.withColumn(field, lit(null).cast(target)))
         cat.setProperty(PropertyDef(cat.get(cls).name, field, tpe,
           linkedClass = linked))

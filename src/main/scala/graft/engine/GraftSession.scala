@@ -12,12 +12,16 @@ import graft.functions.FunctionRegistry
   */
 final class GraftSession private (val spark: SparkSession,
     val catalog: Catalog, val principal: Option[String],
-    shared: Option[(FunctionRegistry, HookRegistry)]) {
+    parent: Option[GraftSession]) {
   def this(spark: SparkSession, catalog: Catalog) =
     this(spark, catalog, None, None)
-  val functions = shared.map(_._1).getOrElse(new FunctionRegistry)
-  val hooks = shared.map(_._2).getOrElse(new HookRegistry)
-  lazy val dictionary = new Dictionary(this)
+  val functions: FunctionRegistry =
+    parent.map(_.functions).getOrElse(new FunctionRegistry)
+  val hooks: HookRegistry =
+    parent.map(_.hooks).getOrElse(new HookRegistry)
+  // facades share the registry STATE but check their own principal
+  lazy val dictionary: Dictionary =
+    parent.map(_.dictionary.viewFor(this)).getOrElse(new Dictionary(this))
   private[engine] val translator = new Translator(catalog, functions)
 
   // ---- security enforcement (§2.9 GRANT/REVOKE) -------------------
@@ -33,7 +37,7 @@ final class GraftSession private (val spark: SparkSession,
   /** a facade over the SAME catalog/functions/hooks, bound to a
     * principal: every query/command now consults the ACL catalog. */
   def as(role: String): GraftSession =
-    new GraftSession(spark, catalog, Some(role), Some((functions, hooks)))
+    new GraftSession(spark, catalog, Some(role), Some(this))
 
   /** class-level resource names follow the reference
     * (`database.class.<name>`); a grant on `database.class.*` covers
@@ -54,6 +58,11 @@ final class GraftSession private (val spark: SparkSession,
   private def classResource(cls: String): String =
     if (cls.isEmpty) "database.class.*" else s"database.class.$cls"
 
+  /** READ check on one class, for engine collaborators (dictionary
+    * views dereference records under the CALLING facade's principal). */
+  private[engine] def checkClassRead(cls: String): Unit =
+    checkPermission(classResource(cls), "READ")
+
   /** the resource+permission a statement needs (reference mapping:
     * class CRUD on `database.class.<n>`, schema DDL on
     * `database.schema`, GRANT/REVOKE themselves on
@@ -65,6 +74,13 @@ final class GraftSession private (val spark: SparkSession,
         case _ => ""
       }
       checkPermission(classResource(cls), "READ")
+      // link navigation reads OTHER classes' records too (the
+      // reference checks on record load, per cluster) — a grant on the
+      // target class alone must not exfiltrate linked classes via
+      // `nation.region.r_name`, multi-link CONTAINS or TRAVERSE
+      if (principal.isDefined && cls.nonEmpty)
+        linkedClassesUsed(s, cls)
+          .foreach(c => checkPermission(classResource(c), "READ"))
     case s: Ast.InsertStmt => checkPermission(classResource(s.cls), "CREATE")
     case s: Ast.UpdateStmt => checkPermission(classResource(s.cls), "UPDATE")
     case s: Ast.DeleteStmt => checkPermission(classResource(s.cls), "DELETE")
@@ -75,6 +91,58 @@ final class GraftSession private (val spark: SparkSession,
         _: Ast.RemoveIndexStmt =>
       checkPermission("database.schema", "DELETE")
     case _: Ast.GrantStmt => checkPermission("database.security", "UPDATE")
+  }
+
+  /** every class a SELECT reads BEYOND its target: link-field hops in
+    * any expression position, the target classes of multi-link
+    * CONTAINS/CONTAINSALL, and — for TRAVERSE, which roams the link
+    * graph — every class transitively reachable from the target. */
+  private def linkedClassesUsed(s: Ast.SelectStmt,
+      baseCls: String): Set[String] = {
+    val out = scala.collection.mutable.Set[String]()
+    def followPath(segs: List[Ast.Seg], cls: String): Unit = segs match {
+      case Ast.FieldSeg(f) :: rest if catalog.contains(cls) =>
+        catalog.linkOf(catalog.get(cls), f).foreach { spec =>
+          out += spec.target.toLowerCase
+          followPath(rest, spec.target)
+        }
+      case _ => ()
+    }
+    def reachable(cls: String): Unit =
+      if (catalog.contains(cls)) {
+        val seen = scala.collection.mutable.Set[String]()
+        var frontier = List(cls.toLowerCase)
+        while (frontier.nonEmpty) {
+          val next = frontier.flatMap(c =>
+            if (catalog.contains(c)) catalog.get(c).links.map(_.target.toLowerCase)
+            else Nil).filterNot(seen)
+          seen ++= frontier
+          out ++= next
+          frontier = next.distinct
+        }
+      }
+    def expr(e: Ast.SqlExpr): Unit = e match {
+      case Ast.Path(segs) =>
+        followPath(segs, baseCls)
+        segs.foreach { case Ast.MethodSeg(_, args) => args.foreach(expr)
+          case _ => () }
+      case Ast.ListLit(items) => items.foreach(expr)
+      case _ => ()
+    }
+    def cond(c: Ast.Cond): Unit = c match {
+      case Ast.And(l, r) => cond(l); cond(r)
+      case Ast.Or(l, r) => cond(l); cond(r)
+      case Ast.Not(i) => cond(i)
+      case Ast.Cmp(l, _, r) => expr(l); expr(r)
+      case Ast.ContainsCond(left, _, _) => expr(left)
+      case Ast.IsNull(e, _) => expr(e)
+      case Ast.BareBool(e) => expr(e)
+      case _: Ast.TraverseCond => reachable(baseCls)
+    }
+    s.projections.foreach(p => expr(p.expr))
+    s.where.foreach(cond)
+    s.orderBy.foreach(o => expr(o.expr))
+    out.toSet
   }
 
   /** Run a dialect SELECT → DataFrame (lazy; caller triggers actions).
@@ -126,18 +194,34 @@ final class GraftSession private (val spark: SparkSession,
     browseClass(cls).filter(
       pred(new NativeQuery.SchemaCtx(cls, dataColumns(cls))).c)
 
-  /** whole-database JSON dump / load (`ODatabaseExport/Import`). */
-  def exportDatabase(dir: String): Unit = JsonTools.exportDatabase(this, dir)
-  def importDatabase(dir: String): Unit = JsonTools.importDatabase(this, dir)
+  /** whole-database JSON dump / load (`ODatabaseExport/Import`).
+    * Export reads every class → wildcard READ; import registers
+    * classes and rewrites data → schema + wildcard CREATE. */
+  def exportDatabase(dir: String): Unit = {
+    checkPermission("database.class.*", "READ")
+    JsonTools.exportDatabase(this, dir)
+  }
+  def importDatabase(dir: String): Unit = {
+    checkPermission("database.schema", "CREATE")
+    checkPermission("database.class.*", "CREATE")
+    JsonTools.importDatabase(this, dir)
+  }
 
   /** deep-compare this database against another (reference
-    * `ODatabaseCompare`, driven by `DbCompareTest`). */
-  def compareWith(other: GraftSession): DataFrame =
+    * `ODatabaseCompare`, driven by `DbCompareTest`). Reads every
+    * class on BOTH sides — each side's principal needs wildcard READ. */
+  def compareWith(other: GraftSession): DataFrame = {
+    checkPermission("database.class.*", "READ")
+    other.checkPermission("database.class.*", "READ")
     JsonTools.compareDatabases(this, other)
+  }
 
-  /** JSON documents with fetch-plan-driven link expansion. */
-  def fetchJson(cls: String, fetchPlan: String = ""): DataFrame =
+  /** JSON documents with fetch-plan-driven link expansion (the plan
+    * may pull linked classes in — enforced like [[sql]]: wildcard). */
+  def fetchJson(cls: String, fetchPlan: String = ""): DataFrame = {
+    checkPermission("database.class.*", "READ")
     JsonTools.fetchJson(this, cls, fetchPlan)
+  }
 
   /** Parse any supported statement; SELECTs return rows (through the
     * same READ-hook path as [[query]]), DML/DDL are interpreted by

@@ -66,7 +66,14 @@ object GraphOps {
     // aggregation per iteration instead of messages-join + a second
     // dangling-vertex left-join
     val ids = vertices.select(col("id")).persist()
-    val contrib = e.join(outDeg, "src")
+    // drop edges whose dst is not a declared vertex BEFORE the loop:
+    // the groupBy(dst) would otherwise mint phantom rank rows for them
+    // (and from round 2 those phantoms would start emitting messages) —
+    // the vertex table defines the rank domain, exactly as the
+    // pre-fold two-join formulation did
+    val contrib = e.join(ids.select(col("id").as("dst")), Seq("dst"),
+        "left_semi")
+      .join(outDeg, "src")
       .unionByName(ids.select(col("id").as("src"), col("id").as("dst"),
         lit(null).cast("long").as("outdeg")))
       .persist()

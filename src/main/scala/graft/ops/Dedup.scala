@@ -267,22 +267,30 @@ object Dedup {
       shingleN: Int = 4): org.apache.spark.sql.Dataset[(Long, String)] = {
     import docs.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    docs.toDF("doc_id", "text")
+    val withSig = docs.toDF("doc_id", "text")
       .withColumn("__sig", signatureExpr(col("text"), shingleN))
       .as[(Long, String, String)]
-      .groupByKey(t => Option(t._3).getOrElse(""))
+    // shingle-less texts bypass the state store entirely: funneled
+    // through a shared "" key they would all land in ONE
+    // flatMapGroupsWithState task per micro-batch — short/empty docs
+    // are common in real crawls, so that key is a guaranteed skew
+    // hotspot at streaming scale. Routed around, they stay fully
+    // parallel (and stateless, as before).
+    val passThrough = withSig.filter(_._3 == null).map(t => (t._1, t._2))
+    withSig.filter(_._3 != null)
+      .groupByKey(_._3)
       .flatMapGroupsWithState[Boolean, (Long, String)](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (sig: String, rows: Iterator[(Long, String, String)],
+        (_: String, rows: Iterator[(Long, String, String)],
             state: GroupState[Boolean]) =>
-          if (sig.isEmpty) rows.map(t => (t._1, t._2))
-          else if (state.exists) Iterator.empty
+          if (state.exists) Iterator.empty
           else {
             state.update(true)
             val survivor = rows.minBy(_._1) // deterministic within batch
             Iterator((survivor._1, survivor._2))
           }
       }
+      .union(passThrough)
   }
 
   /** simhash signature table (idCol, simhash): token explode → 32

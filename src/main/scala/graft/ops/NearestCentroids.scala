@@ -34,12 +34,19 @@ case class NearestCentroidCells(
   override def left: Expression = vec
   override def right: Expression = nrm
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
   override def prettyName: String = "nearest_centroid_cells"
 
   /** one row's selection: score every centroid, then a partial
     * selection of the `topCells` best. O(k·dim) multiply-adds +
-    * O(k·topCells) comparisons, all on primitive arrays. */
+    * O(k·topCells) comparisons, all on primitive arrays. A vector of
+    * the wrong dimension or with null elements yields NULL — a
+    * malformed row must surface as null, not silently land in a
+    * prefix-scored cell. */
   def select(v: ArrayData, n: Double): ArrayData = {
+    if (v.numElements() != dim) return null
+    var e = 0
+    while (e < dim) { if (v.isNullAt(e)) return null; e += 1 }
     val va = v.toDoubleArray()
     val k = cells.length
     val negs = new Array[Double](k)
@@ -85,7 +92,11 @@ case class NearestCentroidCells(
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("nearest", this,
       classOf[NearestCentroidCells].getName)
-    nullSafeCodeGen(ctx, ev, (v, n) => s"${ev.value} = $ref.select($v, $n);")
+    nullSafeCodeGen(ctx, ev, (v, n) => s"""
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value}_r = $ref.select($v, $n);
+      if (${ev.value}_r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}_r; }
+    """)
   }
 
   override protected def withNewChildrenInternal(

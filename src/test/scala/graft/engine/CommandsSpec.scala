@@ -76,6 +76,17 @@ class CommandsSpec extends AnyFunSuite {
     g.command("create property Doc.tags EMBEDDEDLIST")
     assert(g.query("select tags from Doc where a = 3").collect()
       .head.isNullAt(0))
+    // an UNCASTABLE stored value must stay in _extra, not be destroyed
+    // alongside the null typed column
+    g.command("insert into Doc (a, age) values (4, 'abc')")
+    g.command("create property Doc.age INTEGER")
+    assert(g.query("select age from Doc where a = 4").collect()
+      .head.isNullAt(0))
+    val kept = g.browseClass("Doc").filter(col("a") === 4)
+      .select(element_at(col("_extra"), "age"))
+      .collect().head.getString(0)
+    assert(kept == "abc",
+      "cast-failed promotion must preserve the overflow value")
   }
 
   test("remove/drop class deletes the class and its metadata") {

@@ -85,4 +85,58 @@ class SecuritySpec extends AnyFunSuite {
     intercept[SecurityException](
       g2.as("auditor").query("select from Secret"))
   }
+
+  test("link navigation and TRAVERSE require READ on the linked classes") {
+    val g = GraftSession.forTestdata(spark, "/root/testdata/sf0.001")
+    val r = g.as("limited")
+    g.command("grant READ on database.class.customer to limited")
+    // plain single-class query: fine
+    assert(r.query("select c_custkey from customer limit 1").count() == 1)
+    // link chain reads nation/region records — customer grant alone
+    // must not exfiltrate them
+    intercept[SecurityException](
+      r.query("select nation.region.r_name from customer limit 1"))
+    intercept[SecurityException](r.query(
+      "select c_custkey from customer where any() traverse(1,2) " +
+        "(r_name = 'ASIA') limit 1"))
+    // multi-link CONTAINS reads orders
+    intercept[SecurityException](r.query(
+      "select c_custkey from customer where orders contains " +
+        "(o_totalprice > 1) limit 1"))
+    g.command("grant READ on database.class.nation to limited")
+    g.command("grant READ on database.class.region to limited")
+    assert(r.query("select nation.region.r_name from customer limit 1")
+      .count() == 1)
+  }
+
+  test("export/import/fetchJson/compare enforce wildcard grants") {
+    val g = GraftSession.forTestdata(spark, "/root/testdata/sf0.001")
+    val r = g.as("narrow")
+    g.command("grant READ on database.class.region to narrow")
+    intercept[SecurityException](r.fetchJson("region"))
+    intercept[SecurityException](r.exportDatabase("/tmp/graft-acl-x"))
+    intercept[SecurityException](r.importDatabase("/tmp/graft-acl-x"))
+    intercept[SecurityException](r.compareWith(g))
+    g.command("grant READ on database.class.* to narrow")
+    assert(r.fetchJson("region").count() == 5)
+  }
+
+  test("dropping a class named 'schema' keeps database.schema grants") {
+    val g = seeded()
+    g.command("grant CREATE on database.schema to builder")
+    g.command("create class schema")
+    g.command("remove class schema")
+    // the DDL grant must survive the same-named class drop
+    g.as("builder").command("create class StillAllowed")
+  }
+
+  test("dictionary entries are shared across facades and READ-checked") {
+    val g = GraftSession.forTestdata(spark, "/root/testdata/sf0.001")
+    g.dictionary.put("first", "customer", 1L)
+    val r = g.as("dictuser")
+    intercept[SecurityException](r.dictionary.get("first"))
+    g.command("grant READ on database.class.customer to dictuser")
+    assert(r.dictionary.get("first").exists(_.count() == 1),
+      "facade must see entries put through the root session")
+  }
 }

@@ -68,6 +68,27 @@ class GraphSpec extends AnyFunSuite {
     assert(df(2L) == 2 && df(6L) == 1 && df(8L) == 1)
   }
 
+  test("pageRankDF ignores edges pointing outside the vertex table") {
+    import spark.implicits._
+    val v = Seq(1L, 2L, 3L).toDF("id")
+    // edge to phantom 99 (and from it) — the vertex table defines the
+    // rank domain: no phantom rank rows, no phantom messages
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 99L), (99L, 3L))
+      .toDF("src", "dst")
+    val ranks = GraphOps.pageRankDF(v, e, iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ranks.keySet == Set(1L, 2L, 3L),
+      s"rank rows must equal the vertex set: ${ranks.keySet}")
+    // node 3's rank comes from node 2 only (via 1->2->3), never 99
+    val clean = GraphOps.pageRankDF(v,
+        Seq((1L, 2L), (2L, 3L)).toDF("src", "dst"), iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ranks(3L) != clean(3L),
+      "1->99 still splits node 1's outdegree") // outdeg counts all edges
+    assert(ranks(2L) < clean(2L),
+      "node 2 receives half of node 1's mass when 1->99 exists")
+  }
+
   test("degrees sum equals twice the edge count") {
     val v = TradeGraph.vertices(spark, sf)
     val e = TradeGraph.edges(spark, sf)
