@@ -80,10 +80,39 @@ object Bench {
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
     val med = names.map(n => n -> (if (ok(n)) median(times(n)) else -1.0))
+    val total = med.collect { case (_, v) if v >= 0 => v }.sum
+    // The driver records only the last ~2 KB of stdout and parses the
+    // tail (BENCH_r04/r05: "parsed": null — the single 2.3 KB JSON line
+    // was beheaded and the 32 relational timings fell outside the
+    // window). Tail-survivable layout, in print order:
+    //   1. full-precision line (complete logs only; no "metric" key so
+    //      a tail parser can't half-match it),
+    //   2. one compact `#B <group> name=ms ...` line per query group —
+    //      no quotes, integer milliseconds, group prefix stripped from
+    //      names — all 98 queries in ~1.8 KB,
+    //   3. a small final parseable "metric" line with group subtotals.
     val qs = med.map { case (k, v) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
-    val total = med.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${jstr(sfDir)}}""")
+    println(s"""{"full":"per-query-sec","queries":$qs,"sf":${jstr(sfDir)}}""")
+    val groups = Seq("qg", "qd", "qp") // relational catch-all goes last
+    def groupOf(n: String): String =
+      groups.find(g => n.startsWith(g + "_")).getOrElse("rel")
+    def short(n: String, g: String): String =
+      if (g == "rel") n.stripPrefix("q_") else n.drop(g.length + 1)
+    val byGroup = med.groupBy { case (n, _) => groupOf(n) }
+    (groups :+ "rel").foreach { g =>
+      val entries = byGroup.getOrElse(g, Seq())
+      val line = entries.map { case (n, v) =>
+        s"${short(n, g)}=${if (v < 0) -1 else math.round(v * 1000)}"
+      }.mkString(" ")
+      println(s"#B $g $line")
+    }
+    val subs = (groups :+ "rel").map { g =>
+      val t = byGroup.getOrElse(g, Seq())
+        .collect { case (_, v) if v >= 0 => v }.sum
+      jstr(g) + ":" + math.round(t * 1000) / 1000.0
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","queries":$subs,"sf":${jstr(sfDir)}}""")
     spark.stop()
   }
 }

@@ -96,12 +96,20 @@ object QueriesDialect {
       // rows, schema AND link metadata must survive the roundtrip —
       // the link-nav projection below only works if the imported
       // catalog carries the nation→region LinkSpec
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft-export").toString
-      engine.JsonTools.exportDatabase(g(s, dir), tmp,
+      // one fixed dump path per JVM, overwritten each run — Bench
+      // re-runs queries several rounds and per-invocation temp dirs
+      // would pile up on disk
+      val tmp = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft-export-qd")
+      if (java.nio.file.Files.exists(tmp))
+        java.nio.file.Files.walk(tmp).sorted(
+          java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.delete(p))
+      java.nio.file.Files.createDirectories(tmp)
+      engine.JsonTools.exportDatabase(g(s, dir), tmp.toString,
         includeClasses = Some(Set("nation", "region")))
       val fresh = new GraftSession(s, new engine.Catalog(s))
-      engine.JsonTools.importDatabase(fresh, tmp)
+      engine.JsonTools.importDatabase(fresh, tmp.toString)
       fresh.query("select n_nationkey, n_name, region.r_name as rn " +
         "from nation order by n_nationkey")
     }),

@@ -321,8 +321,13 @@ object QueriesPipeline {
     }),
     "qp_hash_embed" -> ((s, dir) => {
       // feature-hashing featurizer: text → 64-dim count vector (the
-      // text→vector bridge the ANN/PQ stack consumes)
+      // text→vector bridge the ANN/PQ stack consumes). The gate driver
+      // hash-compares scalar cells only, so the vector is serialized to
+      // one comma-joined string column (qp_embed_ann consumes the raw
+      // array form downstream).
       TextOps.hashEmbed(docs(s, dir), "doc_id", "text", dim = 64)
+        .select(col("doc_id"),
+          array_join(col("vec").cast("array<string>"), ",").as("vec"))
         .orderBy("doc_id")
     }),
     "qp_embed_ann" -> ((s, dir) => {
@@ -931,8 +936,9 @@ object QueriesPipeline {
     "qp_hash_embed" ->
       s"""WITH t AS (SELECT doc_id, list_transform(${dTokens("text")},
          |     x -> CAST(${dH60("x")} % 64 AS INT)) AS ds FROM documents)
-         | SELECT doc_id, list_transform(range(64),
-         |   i -> CAST(len(list_filter(ds, d -> d = i)) AS BIGINT)) AS vec
+         | SELECT doc_id, array_to_string(list_transform(range(64),
+         |   i -> CAST(len(list_filter(ds, d -> d = i)) AS BIGINT)),
+         |   ',') AS vec
          | FROM t ORDER BY doc_id""".stripMargin,
     "qp_embed_ann" ->
       s"""WITH t AS (SELECT doc_id, list_transform(${dTokens("text")},

@@ -37,7 +37,15 @@ final class Dictionary(session: GraftSession,
         .filter(col(keyCol) === key)
     }
 
-  def remove(name: String): Unit = state.remove(name)
+  /** destructive: deleting another principal's registry entries (or
+    * graph roots) needs UPDATE on the registered class — put/get are
+    * checked, so the delete path must be too (privilege isolation). */
+  def remove(name: String): Unit = {
+    state.lookup(name).foreach { case (cls, _) =>
+      session.checkClassUpdate(cls)
+    }
+    state.remove(name)
+  }
 
   def keys: Seq[String] = state.keys
 

@@ -63,6 +63,11 @@ final class GraftSession private (val spark: SparkSession,
   private[engine] def checkClassRead(cls: String): Unit =
     checkPermission(classResource(cls), "READ")
 
+  /** UPDATE check — destructive registry ops (dictionary remove) need
+    * write rights on the registered class, mirroring put/get. */
+  private[engine] def checkClassUpdate(cls: String): Unit =
+    checkPermission(classResource(cls), "UPDATE")
+
   /** the resource+permission a statement needs (reference mapping:
     * class CRUD on `database.class.<n>`, schema DDL on
     * `database.schema`, GRANT/REVOKE themselves on

@@ -41,8 +41,12 @@ object JsonTools {
     def content(s: GraftSession, name: String): Option[(Long, Long)] =
       if (!s.catalog.contains(name)) None
       else {
-        val df = s.catalog.table(name).drop("_rid", "_class", "_version")
-        if (df.columns.isEmpty) Some((0L, 0L))
+        val full = s.catalog.table(name)
+        val df = full.drop("_rid", "_class", "_version")
+        // metadata-only class: no content to hash, but the ROW COUNT
+        // still distinguishes databases (two empty-schema classes with
+        // different record counts are not equal)
+        if (df.columns.isEmpty) Some((full.count(), 0L))
         else {
           val canon = graft.ops.TextOps.hash60(
             to_json(struct(df.columns.sorted.map(col): _*)))

@@ -56,6 +56,22 @@ class CompareSpec extends AnyFunSuite {
       "a class absent from one side must report -1 and unequal")
   }
 
+  test("metadata-only classes still compare by record count") {
+    def meta(g: GraftSession, n: Int): Unit = {
+      g.command("create class M")
+      g.command("create property M.id integer")
+      (1 to n).foreach(i => g.command(s"insert into M (id) values ($i)"))
+      g.command("remove property M.id") // only _rid/_class/_version left
+    }
+    val a = fresh(); val b = fresh()
+    meta(a, 1); meta(b, 2)
+    val r = a.compareWith(b).collect().find(_.getString(0) == "m").get
+    assert(r.getLong(1) == 1L && r.getLong(2) == 2L,
+      s"row counts must be real, not 0: $r")
+    assert(!r.getBoolean(3),
+      "different record counts must compare unequal even without data columns")
+  }
+
   test("export -> import roundtrip compares equal (DbImportExportTest + DbCompareTest)") {
     val a = fresh()
     seed(a)

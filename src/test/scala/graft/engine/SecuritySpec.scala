@@ -139,4 +139,22 @@ class SecuritySpec extends AnyFunSuite {
     assert(r.dictionary.get("first").exists(_.count() == 1),
       "facade must see entries put through the root session")
   }
+
+  test("dictionary remove is UPDATE-checked (no zero-grant deletion)") {
+    val g = GraftSession.forTestdata(spark, "/root/testdata/sf0.001")
+    g.dictionary.put("victim", "customer", 2L)
+    g.dictionary.setRoot("vroot", "customer", 3L)
+    val r = g.as("nobody")
+    // a zero-grant facade must not be able to delete the root session's
+    // registry entries or graph roots
+    intercept[SecurityException](r.dictionary.remove("victim"))
+    intercept[SecurityException](r.dictionary.remove("__root_vroot"))
+    assert(g.dictionary.get("victim").isDefined)
+    // READ alone is not enough for the destructive op
+    g.command("grant READ on database.class.customer to nobody")
+    intercept[SecurityException](r.dictionary.remove("victim"))
+    g.command("grant UPDATE on database.class.customer to nobody")
+    r.dictionary.remove("victim")
+    assert(g.dictionary.get("victim").isEmpty)
+  }
 }

@@ -70,6 +70,18 @@ for name in names:
         continue
     files = glob.glob(os.path.join(spark_path, "*.parquet"))
     tb = pq.read_table(files[0]) if len(files) == 1 else pq.read_table(spark_path)
+    # The driver's pandas harness dies sorting/hashing array cells
+    # (CORRECTNESS_r05 qp_hash_embed: "unhashable type: numpy.ndarray").
+    # Reject list-typed output here so the local gate matches the driver.
+    arr_cols = [f.name for f in tb.schema
+                if pa.types.is_list(f.type) or pa.types.is_large_list(f.type)
+                or pa.types.is_fixed_size_list(f.type)]
+    if arr_cols:
+        print(f"FAIL {name}: array-typed output cols {arr_cols} — the "
+              f"driver gate cannot hash arrays; scalarize (explode or "
+              f"array_join) on both sides")
+        fail += 1
+        continue
     s_cols = list(tb.column_names)
     s_rows = [tuple(d[c] for c in s_cols) for d in tb.to_pylist()]
     try:
