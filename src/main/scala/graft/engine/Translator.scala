@@ -23,9 +23,11 @@ import graft.functions.{BuiltinFunctions, FullText, FunctionRegistry}
 final class Translator(val catalog: Catalog, val registry: FunctionRegistry) {
   import Ast._
 
-  /** Max expansion rounds for TRAVERSE(…,-1) — the reference's visited
-    * set bounds it by graph size; we additionally cap iterations. */
-  var maxTraverseDepth: Int = 25
+  /** Runaway-loop safety valve for TRAVERSE(…,-1): the traversal runs
+    * to the visited-set fixpoint (frontier empty) like the reference —
+    * this only bounds pathological cases, and exceeding it RAISES
+    * rather than silently truncating the reachable set. */
+  var maxTraverseDepth: Int = 1000
 
   def select(stmt: SelectStmt): DataFrame = {
     val (scan0, clsOpt) = scanTarget(stmt.target)

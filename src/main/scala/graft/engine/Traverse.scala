@@ -66,10 +66,15 @@ object Traverse {
       } else byFields
     }
 
-    // the iteration cap applies only to unbounded (-1) traversals; an
-    // explicit end is honored as written (the visited set still bounds
-    // the loop by graph size)
-    val end = if (tc.end < 0) maxDepth else tc.end
+    // unbounded (-1) runs to the visited-set fixpoint like the
+    // reference (`OQueryOperatorTraverse.java:40-176` recurses until no
+    // unvisited neighbor remains) — the frontier-empty check below is
+    // the real terminator. `maxDepth` is only a runaway-loop safety
+    // valve: exceeding it raises instead of silently truncating the
+    // reachable set (a >cap-diameter graph must never return a proper
+    // subset that looks complete).
+    val unbounded = tc.end < 0
+    val end = if (unbounded) Int.MaxValue else tc.end
 
     // BOUNDED shallow traversals (the common `traverse(1,2)` shape)
     // compile to one STATIC lazy plan: no per-round materialization,
@@ -95,6 +100,11 @@ object Traverse {
 
     var depth = 0
     while (depth <= end && frontier.nonEmpty) {
+      if (unbounded && depth > maxDepth)
+        throw new IllegalStateException(
+          s"unbounded TRAVERSE exceeded $maxDepth rounds with a " +
+            "non-empty frontier — raise Translator.maxTraverseDepth " +
+            "if the graph really is this deep")
       if (depth >= tc.start) {
         frontier.foreach { case (cn, fdf) =>
           val cls = catalog.get(cn)

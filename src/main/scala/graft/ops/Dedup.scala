@@ -212,18 +212,30 @@ object Dedup {
     * fixed-width windows make the problem a plain aggregation. */
   def sharedWindowCounts(df: DataFrame, idCol: String, textCol: String,
       w: Int): DataFrame = {
+    // `wins` is persisted so the attribution join doesn't re-run the
+    // token/window pipeline (that recompute is what made the r3 join
+    // shape lose its A/B, 2.1 vs 1.3 s); the tiny per-doc output is
+    // checkpointed so the cache releases before returning.
+    val winsMat = sharedWindowKeys(df, idCol, textCol, w).persist()
+    val out = attributeSharedSpans(winsMat, idCol).localCheckpoint()
+    winsMat.unpersist()
+    out
+  }
+
+  /** distinct `(__id, __s1, __s2)` window keys, one row per (doc,
+    * w-token window). Window key = PAIR of sums of two independent
+    * per-token hashes over the w-token frame: two codegen'd numeric
+    * window sums per position instead of materializing a w-string
+    * array + one md5 per window (an ObjectAggregate inside the window
+    * exec — measured ~2× slower). The pair keeps collisions negligible
+    * (two independent ~60-bit sums); md5 runs once per TOKEN, not per
+    * window. Hashes capped below 1e17 so a w=20 window sum stays
+    * inside Long range on BOTH engines (DuckDB's list_sum promotes to
+    * HUGEINT; Spark's long sum would silently wrap — the cap removes
+    * the divergence instead of papering over it). */
+  private[ops] def sharedWindowKeys(df: DataFrame, idCol: String,
+      textCol: String, w: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // window key = PAIR of sums of two independent per-token hashes
-    // over the w-token frame: two codegen'd numeric window sums per
-    // position instead of materializing a w-string array + one md5 per
-    // window (an ObjectAggregate inside the window exec — measured
-    // ~2× slower). The pair keeps collisions negligible (two
-    // independent ~60-bit sums); md5 runs once per TOKEN, not per
-    // window.
-    // hashes capped below 1e17 so a w=20 window sum stays inside Long
-    // range on BOTH engines (DuckDB's list_sum promotes to HUGEINT;
-    // Spark's long sum would silently wrap — the cap removes the
-    // divergence instead of papering over it)
     val toks = spread(df).select(col(idCol).as("__id"),
         posexplode(tokensWs(col(textCol))).as(Seq("__p", "__t")))
       .withColumn("__h1", hash60(col("__t")) % WindowHashMod)
@@ -231,23 +243,33 @@ object Dedup {
         hash60(concat(col("__t"), lit("#2"))) % WindowHashMod)
     val frame = Window.partitionBy("__id").orderBy("__p")
       .rowsBetween(Window.currentRow, w - 1)
-    val wins = toks
+    toks
       .withColumn("__n", count(lit(1)).over(frame))
       .withColumn("__s1", sum(col("__h1")).over(frame))
       .withColumn("__s2", sum(col("__h2")).over(frame))
       .filter(col("__n") === w) // tail positions have no full window
       .select(col("__id"), col("__s1"), col("__s2"))
       .distinct()
-    // group size via ONE unordered window over the window key instead
-    // of a groupBy + join-back: the join's second consumer re-ran the
-    // whole token/window pipeline (A/B at sf0.1: 2.1 → 1.3 s). A
-    // pathologically shared span (boilerplate at 100 TB) lands one
-    // (s1,s2) partition in one task either way — the join shape
-    // re-shuffled the same skew twice.
-    wins
-      .withColumn("__nd",
-        count(lit(1)).over(Window.partitionBy("__s1", "__s2")))
+  }
+
+  /** Two-level skew-safe span count + doc attribution. The r5 shape
+    * (count over a window partitioned by (s1,s2)) required every row
+    * of one span key in ONE window task, so a boilerplate span shared
+    * by millions of docs (100 TB reality) serialized into a single
+    * straggler. A groupBy count is the two-level form for free:
+    * level 1 is the map-side partial (each task emits at most one row
+    * per local span), level 2 the reduce — a hot span arrives
+    * pre-combined, ≤ one row per map task. Doc attribution is then a
+    * semi-join, which AQE CAN skew-split per partition
+    * (OptimizeSkewedJoin) — a window exec never can. Plan shape pinned
+    * by OpsHygieneSpec. */
+  private[ops] def attributeSharedSpans(wins: DataFrame,
+      idCol: String): DataFrame = {
+    val shared = wins.groupBy("__s1", "__s2")
+      .agg(count(lit(1)).as("__nd"))
       .filter(col("__nd") > 1)
+      .select("__s1", "__s2")
+    wins.join(shared, Seq("__s1", "__s2"), "left_semi")
       .groupBy(col("__id").as(idCol))
       .agg(count(lit(1)).as("n_shared"))
   }

@@ -152,6 +152,35 @@ class DialectSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("unbounded TRAVERSE reaches fixpoint past the old 25-round cap") {
+    // 40-node chain 0→1→…→39 with the match marker only on the tail:
+    // node 0 needs 39 expansion rounds, so the pre-r6 fixed 25-round
+    // cap returned a proper subset (reference semantics: unbounded is
+    // bounded only by the visited set, OQueryOperatorTraverse.java:40)
+    import spark.implicits._
+    val n = 40
+    val chain = (0 until n).map(i =>
+      (i.toLong, if (i < n - 1) (i + 1).toLong else -1L,
+        if (i == n - 1) "END" else "MID")).toDF("id", "next_id", "tag")
+    val cat = new Catalog(spark)
+    cat.register(ClassDef("chainnode", _ => chain, None,
+      Seq(LinkSpec("next", "chainnode", "next_id", "id")), 100, Some("id")))
+    val s = new GraftSession(spark, cat)
+    val got = s.query("select id from chainnode " +
+      "where any() traverse(0,-1) (tag = 'END')").count()
+    assert(got == n, s"all $n chain nodes reach END, got $got")
+    // the safety valve raises loudly instead of silently truncating
+    s.translator.maxTraverseDepth = 5
+    val e = intercept[IllegalStateException](s.query(
+      "select id from chainnode where any() traverse(0,-1) " +
+        "(tag = 'END')").count())
+    assert(e.getMessage.contains("exceeded 5 rounds"))
+    s.translator.maxTraverseDepth = 1000
+    // an explicit end is still honored as written, no error
+    assert(s.query("select id from chainnode " +
+      "where any() traverse(0,10) (tag = 'END')").count() == 11)
+  }
+
   test("flatten explodes link collections") {
     val df = g.query("select flatten(orders) from customer " +
       "where c_custkey = 1")

@@ -115,6 +115,38 @@ class OpsHygieneSpec extends AnyFunSuite {
       "pageRankDF must unpersist its loop-invariant contrib cache")
   }
 
+  test("sharedWindowCounts handles a pathologically shared span without a span-key window") {
+    spark.catalog.clearCache()
+    val w = 8
+    // 12-token boilerplate span injected into HALF the docs — the
+    // 100 TB skew case (site boilerplate shared by millions of pages).
+    // Every other token carries the doc id, so only the 12-8+1 = 5
+    // windows fully inside the boilerplate are cross-doc shared.
+    val boiler = (1 to 12).map(j => s"boiler$j").mkString(" ")
+    val docs = (0 until 200).map { i =>
+      val unique = (0 until 10).map(j => s"t${i}x$j").mkString(" ")
+      (i.toLong, if (i % 2 == 0) s"$unique $boiler" else unique)
+    }.toDF("doc_id", "text")
+    val got = Dedup.sharedWindowCounts(docs, "doc_id", "text", w)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0 until 200 by 2).forall(i => got.get(i.toLong).contains(5L)),
+      "every boilerplate doc shares exactly the 5 in-span windows")
+    assert((1 until 200 by 2).forall(i => !got.contains(i.toLong)),
+      "unique docs share nothing")
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "sharedWindowCounts must unpersist its window-key cache")
+    // plan pin: the hot span key must go through a partial-aggregated
+    // groupBy + skew-splittable join, NEVER a window exec partitioned
+    // by the span key (which puts the whole span in one task)
+    val wins = Dedup.sharedWindowKeys(docs, "doc_id", "text", w)
+    val plan = Dedup.attributeSharedSpans(wins, "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("windowspecdefinition(__s1"),
+      "span count must not use a window partitioned by the span key")
+    assert(plan.contains("partial_count"),
+      "span count must partial-aggregate map-side")
+  }
+
   test("asofJoin matches the latest right ROW even when its value is null") {
     val left = Seq((1L, 100L, "p1"), (1L, 50L, "p0"), (2L, 10L, "p2"))
       .toDF("k", "ts", "tag")
