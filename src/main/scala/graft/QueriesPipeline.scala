@@ -184,6 +184,22 @@ object QueriesPipeline {
           "vec_id", "embedding", k = 5, nProbe = 2)
         .orderBy(col("q_id"), col("rnk"))
     }),
+    "qp_ivf_bucketed" -> ((s, dir) => {
+      // the ON-DISK inverted file: cell-partitioned index (one dir per
+      // cell, fixed path overwritten per run), probed with a literal
+      // partition filter so planning-time pruning reads only the
+      // probed cells — same parameters and results as qp_ivf_topk,
+      // different physical path (the 100 TB layout under the gate)
+      val e = embs(s, dir)
+      val cents = e.filter(col("vec_id") < 16)
+      val idxDir = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft-ivf-bucketed").toString
+      Similarity.writeIvfIndex(e, cents, "vec_id", "embedding", idxDir)
+      Similarity.ivfTopKIndexed(s, idxDir,
+          e.filter(col("vec_id") >= 100 && col("vec_id") < 105),
+          cents, "vec_id", "embedding", k = 5, nProbe = 2)
+        .orderBy(col("q_id"), col("rnk"))
+    }),
     "qp_kmeans" -> ((s, dir) => {
       // IVF centroid training: 2 Lloyd rounds from the 16 seed vectors
       val e = embs(s, dir)
@@ -498,6 +514,36 @@ object QueriesPipeline {
        |   FROM u2 GROUP BY cell, dim)""".stripMargin
   }
 
+  /** shared by qp_ivf_topk and qp_ivf_bucketed (identical math +
+    * parameters; only the engine-side physical layout differs). */
+  private lazy val ivfTopKOracle: String =
+    s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+       | e AS (SELECT vec_id, v, sqrt(${dDot("v", "v")}) AS nn FROM e0),
+       | cent AS (SELECT vec_id AS cent_id, v AS cv, nn AS cn FROM e
+       |   WHERE vec_id < 16),
+       | cells AS (SELECT vec_id AS n_id, v AS cv2, nn AS cn2, cell FROM (
+       |   SELECT e.vec_id, e.v, e.nn, cent.cent_id AS cell,
+       |     row_number() OVER (PARTITION BY e.vec_id
+       |       ORDER BY ${dDot("e.v", "cent.cv")} / (e.nn * cent.cn) DESC,
+       |         cent.cent_id) AS r
+       |   FROM e CROSS JOIN cent) WHERE r = 1),
+       | q AS (SELECT vec_id AS q_id, v AS qv, nn AS qn FROM e
+       |   WHERE vec_id >= 100 AND vec_id < 105),
+       | probes AS (SELECT q_id, qv, qn, probe FROM (
+       |   SELECT q.q_id, q.qv, q.qn, cent.cent_id AS probe,
+       |     row_number() OVER (PARTITION BY q.q_id
+       |       ORDER BY ${dDot("q.qv", "cent.cv")} / (q.qn * cent.cn) DESC,
+       |         cent.cent_id) AS r
+       |   FROM q CROSS JOIN cent) WHERE r <= 2),
+       | scored AS (
+       |   SELECT q_id, n_id, ${dDot("qv", "cv2")} / (qn * cn2) AS c,
+       |     row_number() OVER (PARTITION BY q_id
+       |       ORDER BY ${dDot("qv", "cv2")} / (qn * cn2) DESC, n_id) AS rnk
+       |   FROM probes JOIN cells ON probe = cell
+       |   WHERE q_id <> n_id)
+       | SELECT q_id, n_id, round(c, 6) AS cos, rnk FROM scored
+       | WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "qp_dedup_exact" ->
       """SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS keep
@@ -724,33 +770,11 @@ object QueriesPipeline {
          |     round(${dDot("a.v", "b.v")} / (a.n * b.n), 6) cos
          |   FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
          | WHERE cos >= 0.4 ORDER BY a_id, b_id""".stripMargin,
-    "qp_ivf_topk" ->
-      s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
-         | e AS (SELECT vec_id, v, sqrt(${dDot("v", "v")}) AS nn FROM e0),
-         | cent AS (SELECT vec_id AS cent_id, v AS cv, nn AS cn FROM e
-         |   WHERE vec_id < 16),
-         | cells AS (SELECT vec_id AS n_id, v AS cv2, nn AS cn2, cell FROM (
-         |   SELECT e.vec_id, e.v, e.nn, cent.cent_id AS cell,
-         |     row_number() OVER (PARTITION BY e.vec_id
-         |       ORDER BY ${dDot("e.v", "cent.cv")} / (e.nn * cent.cn) DESC,
-         |         cent.cent_id) AS r
-         |   FROM e CROSS JOIN cent) WHERE r = 1),
-         | q AS (SELECT vec_id AS q_id, v AS qv, nn AS qn FROM e
-         |   WHERE vec_id >= 100 AND vec_id < 105),
-         | probes AS (SELECT q_id, qv, qn, probe FROM (
-         |   SELECT q.q_id, q.qv, q.qn, cent.cent_id AS probe,
-         |     row_number() OVER (PARTITION BY q.q_id
-         |       ORDER BY ${dDot("q.qv", "cent.cv")} / (q.qn * cent.cn) DESC,
-         |         cent.cent_id) AS r
-         |   FROM q CROSS JOIN cent) WHERE r <= 2),
-         | scored AS (
-         |   SELECT q_id, n_id, ${dDot("qv", "cv2")} / (qn * cn2) AS c,
-         |     row_number() OVER (PARTITION BY q_id
-         |       ORDER BY ${dDot("qv", "cv2")} / (qn * cn2) DESC, n_id) AS rnk
-         |   FROM probes JOIN cells ON probe = cell
-         |   WHERE q_id <> n_id)
-         | SELECT q_id, n_id, round(c, 6) AS cos, rnk FROM scored
-         | WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    "qp_ivf_topk" -> ivfTopKOracle,
+    // same math and parameters — only the PHYSICAL layout differs
+    // (cell-partitioned on-disk index + partition pruning), so the
+    // bucketed variant must hash-match the same oracle
+    "qp_ivf_bucketed" -> ivfTopKOracle,
     "qp_pq_codes" ->
       s"""WITH $dPqCodesCtes
          | SELECT vec_id,

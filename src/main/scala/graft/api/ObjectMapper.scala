@@ -136,8 +136,18 @@ final class ObjectMapper(session: GraftSession) {
     catch { case _: IllegalArgumentException => () } // already exists
 
   /** persist one entity; returns the PERSISTED copy (id + version
-    * filled). Insert when the id is unset, optimistic update when set. */
-  def save[T <: Product](obj: T): T = {
+    * filled). Insert when the id is unset, optimistic update when set.
+    * Cascades the whole reachable entity tree, the reference default
+    * (`ObjectTreeTest.java:49-65` testPersonSaving: one save of a
+    * Profile persists its Address → City → Country chain). */
+  def save[T <: Product](obj: T): T = save(obj, Int.MaxValue)
+
+  /** [[save]] with a CASCADE DEPTH bound: child entities deeper than
+    * `cascadeDepth` are NOT saved — an already-persisted child is
+    * referenced by its existing id (its stored record untouched), an
+    * unsaved one is an error (a dangling link would otherwise appear
+    * committed). `cascadeDepth = 0` is JPA's no-cascade. */
+  def save[T <: Product](obj: T, cascadeDepth: Int): T = {
     val c = obj.getClass
     val cls = c.getSimpleName
     ensureClass(cls)
@@ -155,10 +165,22 @@ final class ObjectMapper(session: GraftSession) {
         case p: Product
             if classOf[Product].isAssignableFrom(innerType(f)) &&
               !f.getName.equalsIgnoreCase(idF.getName) =>
-          val child = save(p)
-          val childId = idField(child.getClass).get(child)
-          (childId,
-            orig match { case Some(_) => Some(child); case _ => child })
+          if (cascadeDepth > 0) {
+            val child = save(p, cascadeDepth - 1)
+            val childId = idField(child.getClass).get(child)
+            (childId,
+              orig match { case Some(_) => Some(child); case _ => child })
+          } else {
+            // cascade exhausted: reference the child by its EXISTING id
+            val cid = idField(p.getClass).get(p) match {
+              case Some(x) => x; case None => null; case x => x
+            }
+            if (isUnset(cid)) throw new IllegalStateException(
+              s"${c.getSimpleName}.${f.getName}: cascade depth " +
+                "exhausted but the child entity has no id — save the " +
+                "child first or raise cascadeDepth")
+            (cid, orig)
+          }
         case x => (x, orig)
       })
     }.toMap
@@ -274,11 +296,29 @@ final class ObjectMapper(session: GraftSession) {
   /** load one entity by id; None when absent. Entity-typed link
     * fields load their target record too (one eager level — the
     * reference default fetch plan; links nested deeper stay null, and
-    * cyclic links therefore terminate instead of recursing). */
+    * cyclic links therefore terminate instead of recursing).
+    *
+    * Loaded objects are BORN DETACHED (reference
+    * `ObjectDetachingTest.java:34-120`: objects must be explicitly
+    * detached from the database to live past the session; graft's
+    * immutable case classes carry no session binding at all) — holding
+    * or modifying a loaded copy never touches stored records until it
+    * is passed back to [[save]]. */
   def load[T <: Product](id: Any)(implicit ct: ClassTag[T]): Option[T] =
-    loadRecord(ct.runtimeClass, id, depth = 0).map(_.asInstanceOf[T])
+    load(id, fetchDepth = 1)
 
-  private def loadRecord(c: Class[_], id: Any, depth: Int): Option[Any] = {
+  /** [[load]] with an explicit eager-fetch depth: entity links resolve
+    * `fetchDepth` levels deep (the reference fetch-plan `field:depth`
+    * dial applied to the object surface); deeper links stay null.
+    * `fetchDepth = 0` loads the bare record — every entity-typed field
+    * null, the fully-lazy shape. */
+  def load[T <: Product](id: Any, fetchDepth: Int)(
+      implicit ct: ClassTag[T]): Option[T] =
+    loadRecord(ct.runtimeClass, id, depth = 0, fetchDepth)
+      .map(_.asInstanceOf[T])
+
+  private def loadRecord(c: Class[_], id: Any, depth: Int,
+      fetchDepth: Int): Option[Any] = {
     val cls = c.getSimpleName
     val idF = idField(c)
     val rows = session
@@ -301,7 +341,9 @@ final class ObjectMapper(session: GraftSession) {
         val resolvedV =
           if (v != null && classOf[Product].isAssignableFrom(t) &&
               !classOf[Product].isInstance(v))
-            (if (depth < 1) loadRecord(t, v, depth + 1).orNull else null)
+            (if (depth < fetchDepth)
+              loadRecord(t, v, depth + 1, fetchDepth).orNull
+            else null)
           else v
         coerce(resolvedV, pt, f)
       }

@@ -12,11 +12,12 @@ import org.apache.spark.sql.types._
   * The Spark-side plumbing here is real and tested: schema, batch
   * iteration shape (`mapPartitions` over row batches — the JVM
   * equivalent of a `mapInPandas` batch loop), partition sizing, and
-  * deterministic feature extraction. The actual codec call is STUBBED
-  * (`decodeStub`): this container has no image/audio libraries, so the
-  * "decoder" derives deterministic pseudo-dimensions/frames from the
-  * payload bytes; swap `decodeStub` for a real codec (JavaCV, TwelveMonkeys,
-  * or a Python `mapInPandas` stage) without touching any plumbing.
+  * deterministic feature extraction. Header decode is REAL for BMP and
+  * RIFF/WAVE payloads (`decodeMedia` — plain byte arithmetic, no
+  * libraries); other formats fall back to the deterministic
+  * `decodeStub` (this container has no codec libraries): swap the
+  * fallback for a real codec (JavaCV, TwelveMonkeys, or a Python
+  * `mapInPandas` stage) without touching any plumbing.
   */
 object Multimodal {
 
@@ -57,11 +58,60 @@ object Multimodal {
     val width = 16 + (n % 64)
     val height = 16 + ((n / 64) % 64)
     val nFrames = 1 + (n % 8)
-    // deterministic feature: stride-sampled byte values, normalized
-    val feature = Array.tabulate(featureDim) { i =>
+    (width, height, nFrames, sampleFeature(payload, featureDim))
+  }
+
+  /** deterministic feature: stride-sampled byte values, normalized —
+    * the stand-in for a real embedding model at the feature-extract
+    * position. */
+  private def sampleFeature(payload: Array[Byte], featureDim: Int): Array[Float] = {
+    val n = payload.length
+    Array.tabulate(featureDim) { i =>
       if (n == 0) 0f else (payload((i * 31) % n) & 0xff) / 255.0f
     }
-    (width, height, nFrames, feature)
+  }
+
+  /** REAL header decode for the two container formats plain byte
+    * arithmetic can handle without codec libraries — BMP (dimensions
+    * from the BITMAPINFOHEADER) and RIFF/WAVE (sample rate, channels
+    * and frame count from the fmt/data chunks) — falling back to
+    * [[decodeStub]] for everything else. Output mapping: images use
+    * (width, height, 1 frame); audio uses (sample_rate, channels,
+    * sample_frames) in the same three slots, keeping one decoded
+    * schema for mixed corpora. */
+  def decodeMedia(payload: Array[Byte], featureDim: Int): (Int, Int, Int, Array[Float]) = {
+    def u8(i: Int): Int = payload(i) & 0xff
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Int =
+      u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    def ascii(i: Int, n: Int) = new String(payload, i, n, "US-ASCII")
+    val n = payload.length
+    if (n >= 26 && payload(0) == 'B' && payload(1) == 'M') {
+      // BMP: BITMAPINFOHEADER width int32 LE at byte 18, height at 22
+      // (negative height = top-down row order — magnitude is the size)
+      (le32(18), math.abs(le32(22)), 1, sampleFeature(payload, featureDim))
+    } else if (n >= 44 && ascii(0, 4) == "RIFF" && ascii(8, 4) == "WAVE") {
+      // RIFF chunk walk: fmt_ carries channels/rate/block-align, data
+      // carries the payload length; frames = data bytes / block align
+      var pos = 12
+      var rate = 0; var channels = 0; var blockAlign = 0; var dataLen = 0L
+      var ok = true
+      while (ok && pos + 8 <= n) {
+        val id = ascii(pos, 4)
+        val sz = le32(pos + 4)
+        if (sz < 0) ok = false // corrupt size: stop, keep what we have
+        else {
+          if (id == "fmt " && pos + 24 <= n) {
+            channels = le16(pos + 10)
+            rate = le32(pos + 12)
+            blockAlign = le16(pos + 20)
+          } else if (id == "data") dataLen = sz.toLong
+          pos += 8 + sz + (sz & 1) // chunks are 2-byte aligned
+        }
+      }
+      val frames = if (blockAlign > 0) (dataLen / blockAlign).toInt else 0
+      (rate, channels, frames, sampleFeature(payload, featureDim))
+    } else decodeStub(payload, featureDim)
   }
 
   /** Decode/feature-extract stage: batched per partition, preserving
@@ -79,7 +129,7 @@ object Multimodal {
           val tpe = r.getString(1)
           val payload = if (r.isNullAt(2)) Array.empty[Byte]
             else r.getAs[Array[Byte]](2)
-          val (w, h, f, feat) = decodeStub(payload, featureDim)
+          val (w, h, f, feat) = decodeMedia(payload, featureDim)
           Row(id, tpe, w, h, f, feat.toSeq)
         }
       }

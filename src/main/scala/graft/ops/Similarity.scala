@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -177,6 +177,47 @@ object Similarity {
     // cell and a query's probes are distinct cells — no distinct
     // needed. Queries are the small side: broadcast the probes and
     // scan the cells once.
+    rankTopK(
+      cells.join(broadcast(probes), col("probe") === col("cell"))
+        .filter(col("q_id") =!= col("n_id"))
+        .withColumn("cos", dot(col("__qv"), col("__cv")) /
+          (col("__qn") * col("__cn")))
+        .select(col("q_id"), col("n_id"), col("cos")),
+      k)
+  }
+
+  /** Materialize the inverted file ON DISK: corpus cell assignments
+    * written directory-partitioned by `cell`. This is the 100 TB
+    * layout the [[ivfTopK]] Scaladoc promises — made concrete:
+    * one directory per cell, so a probe lists (and reads) only the
+    * probed cells' files. One-time layout cost at ingestion. */
+  def writeIvfIndex(corpus: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, dir: String): Unit = {
+    val cents = collectCentroids(centroids, idCol, vecCol)
+    graft.sources.Bucketing.writePartitioned(
+      cellAssignments(corpus, cents, idCol, vecCol), dir, Seq("cell"))
+  }
+
+  /** Probe an on-disk [[writeIvfIndex]] index. The probed cell set is
+    * resolved up front (control-plane sized: ≤ queries × nProbe ints)
+    * and pushed as a LITERAL `cell IN (...)` predicate, so Catalyst
+    * prunes the non-probed directories at PLANNING time — the scan
+    * reads nProbe/k of the corpus instead of filtering it after a
+    * full read. BucketingSpec pins PartitionFilters + pruned file
+    * counts; results are row-identical to the in-memory [[ivfTopK]]. */
+  def ivfTopKIndexed(spark: SparkSession, indexDir: String,
+      queries: DataFrame, centroids: DataFrame, idCol: String,
+      vecCol: String, k: Int, nProbe: Int): DataFrame = {
+    val cents = collectCentroids(centroids, idCol, vecCol)
+    val probes = queries.select(col(idCol).as("q_id"),
+        col(vecCol).cast("array<double>").as("__qv"))
+      .withColumn("__qn", norm(col("__qv")))
+      .withColumn("probe",
+        explode(nearestCells(col("__qv"), col("__qn"), cents, nProbe)))
+    val probeCells = probes.select("probe").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val cells = spark.read.parquet(indexDir)
+      .filter(col("cell").isin(probeCells: _*))
     rankTopK(
       cells.join(broadcast(probes), col("probe") === col("cell"))
         .filter(col("q_id") =!= col("n_id"))

@@ -24,6 +24,13 @@ object ObjectMapperSpec {
   case class Note(id: Long, text: String, version: Int)
   case class Emp(id: Long, name: String, boss: Option[Emp])
   case class Memo(id: Option[Long], text: String)
+  // 3-level chain mirroring the reference domain tree
+  // Profile → Address → City → Country (ObjectTreeTest)
+  case class Country(id: Long, cname: String)
+  case class Town(id: Long, tname: String, country: Country)
+  case class Address(id: Long, street: String, town: Town)
+  case class Profile(id: Long, pname: String, location: Address,
+      version: Long)
 }
 
 class ObjectMapperSpec extends AnyFunSuite {
@@ -112,6 +119,65 @@ class ObjectMapperSpec extends AnyFunSuite {
     assert(m.load[Memo](1L).exists(_.text == "draft"))
     assert(m.delete(saved), "delete must unwrap the Option id")
     assert(m.load[Memo](1L).isEmpty)
+  }
+
+  test("save cascades the whole entity tree by default (ObjectTreeTest.testPersonSaving)") {
+    // reference ObjectTreeTest.java:49-65: one save of a Profile
+    // persists its Address → City → Country chain transitively
+    val m = fresh()
+    val saved = m.save(Profile(0L, "GGaribaldi",
+      Address(0L, "Piazza Navona, 1",
+        Town(0L, "Rome", Country(0L, "Italy"))), 0L))
+    assert(saved.location.id == 1L && saved.location.town.id == 1L &&
+      saved.location.town.country.id == 1L,
+      s"every tree level must persist with a generated id: $saved")
+    // each level is a real record reachable on its own
+    assert(m.load[Country](1L).exists(_.cname == "Italy"))
+    assert(m.load[Town](1L).exists(_.tname == "Rome"))
+    // a second profile sharing the persisted city re-saves (not
+    // re-creates) it — the chain stays 1 country / 1 town
+    m.save(Profile(0L, "NBonaparte",
+      Address(0L, "Piazza di Spagna, 111", saved.location.town), 0L))
+    assert(m.load[Town](2L).isEmpty, "shared city must not duplicate")
+  }
+
+  test("cascade depth bounds the save; exhausted depth needs a persisted child") {
+    val m = fresh()
+    val country = m.save(Country(0L, "Austria"))
+    // depth 0 = JPA no-cascade: the persisted child is referenced by
+    // id, its stored record untouched (no version bump / duplicate)
+    val town = m.save(Town(0L, "Graz", country), 1)
+    assert(town.id == 1L)
+    assert(m.load[Town](town.id).exists(_.country.cname == "Austria"))
+    // an UNSAVED child with cascade exhausted is an error, not a
+    // dangling link that looks committed
+    val e = intercept[IllegalStateException] {
+      m.save(Town(0L, "Linz", Country(0L, "Nowhere")), 0)
+    }
+    assert(e.getMessage.contains("cascade depth"))
+  }
+
+  test("fetchDepth dials eager loading; loaded objects are detached (ObjectDetachingTest)") {
+    val m = fresh()
+    val saved = m.save(Profile(0L, "WChurcill",
+      Address(0L, "unknown", Town(0L, "London", Country(0L, "England"))),
+      0L))
+    // default = one eager level (address), deeper stays null
+    val d1 = m.load[Profile](saved.id).get
+    assert(d1.location.street == "unknown" && d1.location.town == null)
+    // fetchDepth 3 resolves the whole chain
+    val d3 = m.load[Profile](saved.id, fetchDepth = 3).get
+    assert(d3.location.town.country.cname == "England")
+    // fetchDepth 0 = bare record, fully lazy
+    assert(m.load[Profile](saved.id, fetchDepth = 0).get.location == null)
+    // detached semantics (reference ObjectDetachingTest.java:34-120):
+    // a loaded copy carries no session binding — mutating/copying it
+    // changes nothing until save()
+    val detached = d3.copy(pname = "renamed")
+    assert(m.load[Profile](saved.id).get.pname == "WChurcill")
+    val resaved = m.save(detached.copy(location = d3.location))
+    assert(resaved.version == 1L &&
+      m.load[Profile](saved.id).get.pname == "renamed")
   }
 
   test("string values with quotes and backslashes survive the SQL path") {

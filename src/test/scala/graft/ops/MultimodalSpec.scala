@@ -34,6 +34,59 @@ class MultimodalSpec extends AnyFunSuite {
       r2.getAs[scala.collection.Seq[Float]]("feature"))
   }
 
+  test("decodeMedia parses real BMP and WAV headers (no stub)") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // hand-assembled 24bpp BMP, 7x5 px: 14-byte file header +
+    // 40-byte BITMAPINFOHEADER (width @18, height @22, both int32 LE)
+    def bmp(w: Int, h: Int): Array[Byte] = {
+      val b = ByteBuffer.allocate(54 + 4).order(ByteOrder.LITTLE_ENDIAN)
+      b.put('B'.toByte).put('M'.toByte).putInt(58).putInt(0).putInt(54)
+      b.putInt(40).putInt(w).putInt(h)
+      b.putShort(1).putShort(24).putInt(0).putInt(4)
+      b.putInt(2835).putInt(2835).putInt(0).putInt(0)
+      b.array()
+    }
+    // RIFF/WAVE: fmt_ chunk (PCM, channels/rate/block-align) + data
+    // chunk whose byte length / block-align = frame count
+    def wav(rate: Int, channels: Int, frames: Int): Array[Byte] = {
+      val blockAlign = channels * 2 // 16-bit samples
+      val dataLen = frames * blockAlign
+      val b = ByteBuffer.allocate(44 + dataLen)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes).putInt(36 + dataLen).put("WAVE".getBytes)
+      b.put("fmt ".getBytes).putInt(16).putShort(1)
+        .putShort(channels.toShort).putInt(rate)
+        .putInt(rate * blockAlign).putShort(blockAlign.toShort).putShort(16)
+      b.put("data".getBytes).putInt(dataLen)
+      b.array()
+    }
+    val (bw, bh, bf, bfeat) = Multimodal.decodeMedia(bmp(640, 480), 8)
+    assert((bw, bh, bf) == (640, 480, 1))
+    assert(bfeat.length == 8)
+    // top-down BMPs store a negative height; magnitude is the size
+    assert(Multimodal.decodeMedia(bmp(7, -5), 8)._1 == 7)
+    assert(Multimodal.decodeMedia(bmp(7, -5), 8)._2 == 5)
+    val (rate, ch, frames, _) = Multimodal.decodeMedia(
+      wav(22050, 2, 1000), 8)
+    assert((rate, ch, frames) == (22050, 2, 1000))
+    // the full decode stage routes real headers through the parser
+    import spark.implicits._
+    val df = Seq((1L, "image", bmp(31, 17)), (2L, "audio", wav(8000, 1, 64)))
+      .toDF("media_id", "media_type", "payload")
+      .withColumn("meta", struct(lit("bin").as("format"),
+        length(col("payload")).cast("long").as("n_bytes")))
+    val out = Multimodal.decode(df).orderBy("media_id").collect()
+    assert(out(0).getAs[Int]("width") == 31 &&
+      out(0).getAs[Int]("height") == 17)
+    assert(out(1).getAs[Int]("width") == 8000 &&
+      out(1).getAs[Int]("n_frames") == 64)
+    // non-BMP/WAV payloads still take the documented stub path
+    val stub = Multimodal.decodeMedia("plain text".getBytes, 4)
+    val expect = Multimodal.decodeStub("plain text".getBytes, 4)
+    assert((stub._1, stub._2, stub._3) == (expect._1, expect._2, expect._3))
+    assert(stub._4.sameElements(expect._4))
+  }
+
   test("resize clamps the longest side") {
     val decoded = Multimodal.decode(media)
     val resized = Multimodal.resize(decoded, maxSide = 32)

@@ -29,6 +29,41 @@ class BucketingSpec extends AnyFunSuite {
       }.head.selectedPartitions.partitionCount)
   }
 
+  test("cell-partitioned IVF index scans only the probed cells") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.Similarity
+    val dir = "/tmp/graft_ivf_index"
+    val emb = Tables.load(spark, sf, "embeddings")
+    val centroids = emb.filter(col("vec_id") < 16) // 16 fixed centroids
+    Similarity.writeIvfIndex(emb, centroids, "vec_id", "embedding", dir)
+    val queries = emb.filter(col("vec_id") < 2)
+    val idx = Similarity.ivfTopKIndexed(spark, dir, queries, centroids,
+      "vec_id", "embedding", k = 5, nProbe = 1)
+    // row-identical to the in-memory ivfTopK on the same centroids
+    val mem = Similarity.ivfTopK(emb, queries, centroids,
+      "vec_id", "embedding", k = 5, nProbe = 1)
+    assert(idx.orderBy("q_id", "rnk").collect().toSeq ==
+      mem.orderBy("q_id", "rnk").collect().toSeq)
+    // the probe predicate must land in PartitionFilters (planning-time
+    // directory pruning), and the scan must touch ≤ queries × nProbe
+    // of the 16 cell directories — not the whole index
+    val scan = idx.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.relation.location.rootPaths.exists(
+          _.toString.contains("graft_ivf_index")) => f
+    }.head
+    assert(scan.partitionFilters.exists(
+      _.references.exists(_.name == "cell")),
+      "probe cells must prune partitions, not filter rows")
+    val total = spark.read.parquet(dir).queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head.selectedPartitions.partitionCount
+    assert(scan.selectedPartitions.partitionCount <= 2 &&
+      scan.selectedPartitions.partitionCount < total,
+      s"probe must read ≤2 of $total cell dirs, " +
+        s"read ${scan.selectedPartitions.partitionCount}")
+  }
+
   test("bucketed join runs without a shuffle exchange") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
