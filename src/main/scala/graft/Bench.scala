@@ -37,7 +37,8 @@ object Bench {
       // interval (30 min) lets blocks from hundreds of query runs
       // accumulate in storage memory, squeezing later queries. One
       // minute is the standard setting for checkpoint-heavy loads.
-      .config("spark.cleaner.periodicGC.interval", "1min")
+      .config("spark.cleaner.periodicGC.interval",
+        sys.env.getOrElse("SPARK_GRAFT_GC_INTERVAL", "1min"))
       // collect_set/collect_list aggregate in ObjectHashAggregate,
       // which falls back to SORT-based aggregation at 128 distinct
       // keys per partition (the default) — the dedup shingle-set
