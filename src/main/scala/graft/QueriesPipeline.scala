@@ -62,6 +62,28 @@ object QueriesPipeline {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
+    "qp_dedup_keep_best" -> ((s, dir) => {
+      // cross-source exact dedup keeping the BEST copy: corpus ∪ a
+      // re-crawl slice re-tagged to a lower-priority source; the
+      // survivor is the lowest source number (then lowest id). The
+      // "which snapshot wins" curation step.
+      val d = docs(s, dir)
+      val recrawl = d.filter(col("doc_id") < 80)
+        .withColumn("doc_id", col("doc_id") + 100000L)
+        .withColumn("source", lit("src9"))
+      Dedup.dedupKeepBest(d.unionByName(recrawl), "doc_id", "text",
+          priority = substring(col("source"), 4, 10).cast("int"),
+          keepCols = Seq("doc_id", "source"))
+        .orderBy("doc_id")
+    }),
+    "qp_bm25_topk" -> ((s, dir) => {
+      // BM25 ranked retrieval for a fixed 3-term query — the ranking
+      // complement to boolean CONTAINSTEXT
+      TextOps.bm25TopK(docs(s, dir), "doc_id", "text",
+          terms = Seq("spark", "stream", "join"), k = 10)
+        .orderBy(col("bm25").desc, col("doc_id"))
+    }),
+
     "qp_pipeline_funnel" -> ((s, dir) => {
       // END-TO-END curation funnel: raw ∪ recrawl → exact dedup (keep
       // min id per content hash) → MinHash near-dup removal (drop the
@@ -421,6 +443,16 @@ object QueriesPipeline {
         s"h -> CASE WHEN CAST(floor(h / $d) AS BIGINT) % 2 = 1 " +
         s"THEN 1 ELSE -1 END)) > 0 THEN ${1L << b} ELSE 0 END)"
     }.mkString("(", " + ", ")")
+  /** one BM25 term's contribution, constants generated from the SAME
+    * Scala values `TextOps.bm25TopK` uses (repo rule: never
+    * hand-copied numbers). */
+  private def dBm25Term(i: Int): String = {
+    val k1 = graft.ops.TextOps.Bm25K1
+    val b = graft.ops.TextOps.Bm25B
+    s"ln((n - df$i + 0.5) / (df$i + 0.5) + 1.0) * tf$i * ${k1 + 1} / " +
+      s"(tf$i + $k1 * (${1 - b} + $b * l / avgdl))"
+  }
+
   private def dDot(a: String, b: String): String =
     s"list_sum(list_transform(range(64), i -> $a[i+1] * $b[i+1]))"
 
@@ -550,6 +582,34 @@ object QueriesPipeline {
         | FROM (SELECT doc_id, text FROM documents
         |       UNION ALL SELECT doc_id, text FROM documents WHERE doc_id < 50)
         | GROUP BY 1 HAVING count(*) > 1 ORDER BY h""".stripMargin,
+    "qp_dedup_keep_best" ->
+      """WITH u AS (SELECT doc_id, text, source FROM documents
+        |   UNION ALL SELECT doc_id + 100000, text, 'src9'
+        |     FROM documents WHERE doc_id < 80),
+        | r AS (SELECT doc_id, source,
+        |     row_number() OVER (PARTITION BY text
+        |       ORDER BY CAST(substr(source, 4) AS INT), doc_id) AS rn,
+        |     count(*) OVER (PARTITION BY text) AS n_copies
+        |   FROM u)
+        | SELECT doc_id, source, n_copies FROM r WHERE rn = 1
+        | ORDER BY doc_id""".stripMargin,
+    "qp_bm25_topk" ->
+      s"""WITH t AS (SELECT doc_id, ${dTokens("text")} AS ds FROM documents),
+         | d AS (SELECT doc_id, len(ds) AS l,
+         |     len(list_filter(ds, x -> x = 'spark')) AS tf0,
+         |     len(list_filter(ds, x -> x = 'stream')) AS tf1,
+         |     len(list_filter(ds, x -> x = 'join')) AS tf2
+         |   FROM t WHERE len(ds) > 0),
+         | s AS (SELECT count(*) AS n, avg(l) AS avgdl,
+         |     sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+         |     sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+         |     sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+         |   FROM d),
+         | sc AS (SELECT doc_id,
+         |     ${dBm25Term(0)} + ${dBm25Term(1)} + ${dBm25Term(2)} AS score
+         |   FROM d CROSS JOIN s)
+         | SELECT doc_id, round(score, 6) AS bm25 FROM sc
+         | WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
     "qp_minhash_sig" ->
       s"""WITH base AS (SELECT doc_id, ${dShingles("text")} sh
          |   FROM documents WHERE doc_id < 100),

@@ -33,6 +33,29 @@ object Dedup {
       .agg(count(lit(1)).as("n"), min(col(idCol)).as("keep"))
       .filter(col("n") > 1)
 
+  /** Exact dedup with PRIORITY survivor selection: within each
+    * identical-content group, keep the row minimizing `(priority,
+    * id)` — the "keep the best copy" curation step (dedup across
+    * sources/snapshots keeps the highest-priority source's copy, id
+    * as the total-order tiebreak). Returns one row per distinct
+    * content: the surviving row's `keepCols` plus the group size.
+    *
+    * Skew shape: survivor selection is `min_by`, a partial-combining
+    * aggregate — a boilerplate text duplicated across millions of
+    * rows arrives at the reduce side pre-combined to one candidate
+    * per map task. A row_number window over the hash would serialize
+    * each hot group into one task; this never does. */
+  def dedupKeepBest(df: DataFrame, idCol: String, textCol: String,
+      priority: Column, keepCols: Seq[String]): DataFrame = {
+    val payload = struct((idCol +: keepCols.filterNot(_ == idCol))
+      .map(col): _*)
+    df.groupBy(md5(col(textCol)).as("__h"))
+      .agg(min_by(payload, struct(priority, col(idCol))).as("__keep"),
+        count(lit(1)).as("n_copies"))
+      .select((idCol +: keepCols.filterNot(_ == idCol))
+        .map(c => col(s"__keep.$c").as(c)) :+ col("n_copies"): _*)
+  }
+
   /** Jaccard from a precomputed intersection size (computed ONCE —
     * inlining it twice doubles the array_intersect work). */
   private def jacFromInter(inter: Column, a: Column, b: Column): Column =

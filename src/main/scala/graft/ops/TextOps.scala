@@ -207,6 +207,73 @@ object TextOps {
           .as("vec"))
   }
 
+  // ------------------------------------------- BM25 ranked retrieval
+  /** Okapi BM25 constants (Robertson et al., public IR literature;
+    * the k1/b defaults are the standard Lucene values). Shared with
+    * the DuckDB oracle so both engines compute from the same
+    * literals. */
+  val Bm25K1: Double = 1.2
+  val Bm25B: Double = 0.75
+
+  /** BM25 ranked retrieval: score every document against a small
+    * fixed query-term set, return the top-k matches. The ranking
+    * complement to boolean CONTAINSTEXT (reference FULLTEXT probes
+    * answer yes/no; this orders by relevance):
+    * `idf(t) · tf·(k1+1) / (tf + k1·(1−b + b·len/avgdl))` with the
+    * Lucene `ln(1 + (N−df+0.5)/(df+0.5))` idf floor.
+    *
+    * Scale shape: ONE corpus tokenize pass feeding ONE
+    * partial-combined groupBy — per-doc length and each term's tf are
+    * conditional sums inside the same aggregate (query terms are few
+    * and fixed, so tf columns beat a per-(doc,term) shuffle row). The
+    * per-doc frame is persisted once: corpus stats (N, avgdl,
+    * per-term df) collect from it as ONE control-plane row (the
+    * collectCentroids pattern — a lazy in-plan stats aggregate made
+    * Catalyst re-run the whole tokenize pipeline on the stats branch,
+    * measured as a second Generate in the plan), and scoring reads
+    * the same cache with the stats folded in as literals, keeping the
+    * projection inside whole-stage codegen. The per-doc score is a
+    * narrow columnwise projection (no float re-aggregation, so no
+    * ordering nondeterminism); top-k is a TakeOrderedAndProject; the
+    * tiny k-row result checkpoints so the cache releases before
+    * returning. Docs with zero tokens can never match and are
+    * excluded from N (documented: N = docs with ≥1 token). */
+  def bm25TopK(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, terms: Seq[String], k: Int,
+      k1: Double = Bm25K1, b: Double = Bm25B): org.apache.spark.sql.DataFrame = {
+    require(terms.nonEmpty, "BM25 needs at least one query term")
+    val toks = Partitioning.spread(df).select(col(idCol).as("__id"),
+      explode(tokensWs(col(textCol))).as("__t"))
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("__t") === t, 1L).otherwise(0L)).as(s"__tf$i")
+    }
+    val perDoc = toks.groupBy("__id")
+      .agg(tfCols.head, (tfCols.tail :+ count(lit(1)).as("__len")): _*)
+      .persist()
+    val statCols = terms.indices.map(i =>
+      sum(when(col(s"__tf$i") > 0, 1L).otherwise(0L)).as(s"__df$i"))
+    val st = perDoc.agg(count(lit(1)).as("__n"),
+      (avg(col("__len")).as("__avgdl") +: statCols): _*).collect().head
+    val n = st.getLong(0)
+    val avgdl = st.getDouble(1)
+    val score = terms.indices.map { i =>
+      val tf = col(s"__tf$i").cast("double")
+      val dfT = st.getLong(2 + i)
+      val idf = math.log((n - dfT + 0.5) / (dfT + 0.5) + 1.0)
+      lit(idf) * tf * lit(k1 + 1) /
+        (tf + lit(k1) * (lit(1 - b) + lit(b) * col("__len") / lit(avgdl)))
+    }.reduce(_ + _)
+    val out = perDoc
+      .withColumn("__score", score)
+      .filter(col("__score") > 0) // ranked retrieval: matches only
+      .orderBy(col("__score").desc, col("__id"))
+      .limit(k)
+      .select(col("__id").as(idCol), round(col("__score"), 6).as("bm25"))
+      .localCheckpoint()
+    perDoc.unpersist()
+    out
+  }
+
   // ------------------------------------------- LM quality scoring
   /** CCNet-style language-model quality score (Wenzek et al. 2019,
     * public paper: perplexity of a small LM ranks document quality;

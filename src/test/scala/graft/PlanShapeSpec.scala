@@ -95,6 +95,16 @@ class PlanShapeSpec extends AnyFunSuite {
       !mix.contains("SortMergeJoin"), mix)
   }
 
+  test("keep-best dedup survivor selection partial-combines, no window") {
+    // a hot duplicate group must pre-combine map-side through min_by,
+    // never serialize through a row_number window over the content hash
+    val kb = finalPlan(df("qp_dedup_keep_best"))
+    assert(kb.contains("partial_min_by") ||
+      (kb.contains("min_by") && kb.contains("partial")), kb)
+    assert(!kb.contains("windowspecdefinition"), kb)
+  }
+
+
   test("bounded shallow TRAVERSE compiles to one static join plan") {
     // depth <= 3 must not pay the iterative loop's per-round eager
     // checkpoints: the whole traversal is a lazy join tree over fresh

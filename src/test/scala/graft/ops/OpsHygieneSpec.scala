@@ -115,6 +115,22 @@ class OpsHygieneSpec extends AnyFunSuite {
       "pageRankDF must unpersist its loop-invariant contrib cache")
   }
 
+  test("bm25TopK leaves no cached frames behind and tokenizes once") {
+    spark.catalog.clearCache()
+    val d = Tables.load(spark, sf, "documents")
+    val top = TextOps.bm25TopK(d, "doc_id", "text",
+      terms = Seq("spark", "stream", "join"), k = 5)
+    assert(top.count() == 5)
+    // every returned doc actually contains at least one query term
+    val ids = top.collect().map(_.getLong(0)).toSet
+    val hits = d.filter(col("doc_id").isin(ids.toSeq: _*))
+      .collect().map(_.getAs[String]("text").toLowerCase)
+    assert(hits.forall(t => Seq("spark", "stream", "join")
+      .exists(q => t.split("\\s+").contains(q))))
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "bm25TopK must unpersist its per-doc aggregate")
+  }
+
   test("sharedWindowCounts handles a pathologically shared span without a span-key window") {
     spark.catalog.clearCache()
     val w = 8
