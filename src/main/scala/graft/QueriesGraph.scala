@@ -62,6 +62,14 @@ object QueriesGraph {
         .unionByName(proj.select(col("dst").as("id"))).distinct()
       GraphOps.triangleCountsDF(verts, proj).orderBy("id")
     }),
+    "qg_shortest_paths" -> ((s, dir) => {
+      // undirected BFS hop distances from customer 1, bounded at 3
+      // hops (d1 = its suppliers, d2 = co-purchasers, d3 = their
+      // suppliers — the supply-chain blast radius)
+      GraphOps.shortestHops(TradeGraph.vertices(s, dir),
+          TradeGraph.edges(s, dir), sourceIds = Seq(1L), maxHops = 3)
+        .orderBy("id")
+    }),
     "qg_common_suppliers" -> ((s, dir) => {
       // graph pattern: for 100 focal customers, find co-purchasers with
       // ≥20 common suppliers. The focal restriction keeps the common-
@@ -136,6 +144,19 @@ object QueriesGraph {
     "qg_pagerank" -> pagerankSql(3),
     "qg_pagerank10" -> pagerankSql(10),
     "qg_connected_components" -> ccSql(12),
+    "qg_shortest_paths" ->
+      // bounded recursive BFS; UNION (not ALL) dedups (id, dist) rows
+      // per step so the path-count explosion never materializes
+      s"""WITH RECURSIVE $edgesCte,
+         | und AS (SELECT src AS a, dst AS b FROM e
+         |   UNION ALL SELECT dst, src FROM e),
+         | bfs(id, dist) AS (
+         |   SELECT id, 0 FROM v WHERE id = 1
+         |   UNION
+         |   SELECT und.b, bfs.dist + 1 FROM bfs JOIN und ON und.a = bfs.id
+         |   WHERE bfs.dist < 3)
+         | SELECT id, min(dist) AS dist FROM bfs GROUP BY id
+         | ORDER BY id""".stripMargin,
     "qg_common_suppliers" ->
       s"""WITH $edgesCte
          | SELECT a.src AS a_id, b.src AS b_id, count(*) AS shared

@@ -114,6 +114,41 @@ object GraphOps {
       .withColumn("total", col("out_deg") + col("in_deg"))
   }
 
+  /** Shortest hop distances (undirected BFS) from a source-id set,
+    * bounded at `maxHops`: returns (id, dist) for every vertex reached
+    * within the bound. Frontier BFS — each round is ONE distributed
+    * join of the (shrinking) frontier against the edge list plus an
+    * anti-join against the reached set, the same shape as
+    * [[graft.engine.Traverse]]; the edge list is a persisted loop
+    * invariant, per-round frames localCheckpoint (lineage truncation,
+    * loop rule). Unreached vertices are absent (not null-distance).
+    * GraphSpec pins equality with GraphX's ShortestPaths. */
+  def shortestHops(vertices: DataFrame, edges: DataFrame,
+      sourceIds: Seq[Long], maxHops: Int): DataFrame = {
+    val und = edges.select(col("src").as("a"), col("dst").as("b"))
+      .unionByName(edges.select(col("dst").as("a"), col("src").as("b")))
+      .persist()
+    var reached = vertices.select(col("id"))
+      .filter(col("id").isin(sourceIds: _*))
+      .withColumn("dist", lit(0))
+      .localCheckpoint(true)
+    var frontier = reached
+    var d = 0
+    while (d < maxHops && !frontier.isEmpty) {
+      d += 1
+      val nxt = frontier.join(und, frontier("id") === und("a"))
+        .select(col("b").as("id")).distinct()
+        .join(reached.select(col("id").as("__r")),
+          col("id") === col("__r"), "left_anti")
+        .withColumn("dist", lit(d))
+        .localCheckpoint(true)
+      reached = reached.unionByName(nxt).localCheckpoint(true)
+      frontier = nxt
+    }
+    und.unpersist()
+    reached
+  }
+
   /** undirected triangle count per vertex via GraphX. */
   def triangleCounts(spark: SparkSession, vertices: DataFrame,
       edges: DataFrame): DataFrame = {

@@ -89,6 +89,29 @@ class GraphSpec extends AnyFunSuite {
       "node 2 receives half of node 1's mass when 1->99 exists")
   }
 
+  test("BFS shortest hops equal GraphX ShortestPaths") {
+    import spark.implicits._
+    val v = TradeGraph.vertices(spark, sf)
+    val e = TradeGraph.edges(spark, sf)
+    val ours = GraphOps.shortestHops(v, e, sourceIds = Seq(1L), maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // GraphX ShortestPaths runs on the directed graph — symmetrize to
+    // match the undirected BFS semantics
+    val und = e.unionByName(
+      e.select(col("dst").as("src"), col("src").as("dst")))
+    val gx = org.apache.spark.graphx.lib.ShortestPaths
+      .run(GraphOps.toGraphX(v, und), Seq(1L))
+      .vertices
+      .flatMap { case (id, spmap) => spmap.get(1L).map(d => (id, d)) }
+      .toDF("id", "dist")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val gxBounded = gx.filter(_._2 <= 3)
+    assert(ours == gxBounded,
+      s"sizes ours=${ours.size} gx=${gxBounded.size}; " +
+        s"diff=${(ours.toSet diff gxBounded.toSet).take(5)}")
+    assert(ours(1L) == 0 && ours.values.max == 3)
+  }
+
   test("degrees sum equals twice the edge count") {
     val v = TradeGraph.vertices(spark, sf)
     val e = TradeGraph.edges(spark, sf)
