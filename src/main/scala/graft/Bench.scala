@@ -113,7 +113,10 @@ object Bench {
         .collect { case (_, v) if v >= 0 => v }.sum
       jstr(g) + ":" + math.round(t * 1000) / 1000.0
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","queries":$subs,"sf":${jstr(sfDir)}}""")
+    // basename only: every byte of this line competes for the ~2 KB
+    // stdout tail window the driver records
+    val sfShort = sfDir.split('/').last
+    println(s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","queries":$subs,"sf":${jstr(sfShort)}}""")
     spark.stop()
   }
 }

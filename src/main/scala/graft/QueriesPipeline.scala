@@ -138,6 +138,17 @@ object QueriesPipeline {
           d.filter(col("doc_id") < 20), "doc_id", "text", n = 3)
         .orderBy("doc_id")
     }),
+    "qp_contamination" -> ((s, dir) => {
+      // rankable contamination score: fraction of each doc's distinct
+      // 3-grams found in the eval slice (decontaminate's boolean gate
+      // generalized — partially contaminated docs can be span-cleaned
+      // instead of dropped)
+      val d = docs(s, dir)
+      Curation.contaminationRatio(d.filter(col("doc_id") >= 20),
+          d.filter(col("doc_id") < 20), "doc_id", "text", n = 3)
+        .filter(col("n_shared") > 0)
+        .orderBy("doc_id")
+    }),
     "qp_stratified_sample" -> ((s, dir) => {
       // deterministic hash sampling sets the training mixture: half
       // the en docs, a quarter of de, 10% of the rest
@@ -150,6 +161,12 @@ object QueriesPipeline {
       // span-level dedup signal (ExactSubstr-style): distinct 20-token
       // windows each doc shares verbatim with any other doc
       Dedup.sharedWindowCounts(docs(s, dir), "doc_id", "text", w = 20)
+        .orderBy("doc_id")
+    }),
+    "qp_span_removal" -> ((s, dir) => {
+      // the remediation half of exact-substring dedup: cut every
+      // cross-doc-shared 20-token span, keep the cleaned documents
+      Dedup.removeSharedSpans(docs(s, dir), "doc_id", "text", w = 20)
         .orderBy("doc_id")
     }),
     "qp_temperature_mix" -> ((s, dir) => {
@@ -719,6 +736,23 @@ object QueriesPipeline {
          | SELECT g.doc_id, count(DISTINCT g.gram) AS n_shared
          | FROM g JOIN ev USING (gram) WHERE g.doc_id >= 20
          | GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "qp_contamination" ->
+      s"""WITH tok AS (SELECT doc_id, ${dTokens("text")} tok
+         |   FROM documents),
+         | g AS (SELECT doc_id, unnest(CASE WHEN len(tok) >= 3 THEN
+         |     list_transform(range(len(tok)-2),
+         |       i -> tok[i+1] || ' ' || tok[i+2] || ' ' || tok[i+3])
+         |   ELSE [] END) AS gram FROM tok),
+         | ev AS (SELECT DISTINCT gram FROM g WHERE doc_id < 20),
+         | j AS (SELECT g.doc_id, g.gram,
+         |     CASE WHEN ev.gram IS NOT NULL THEN 1 END AS hit
+         |   FROM g LEFT JOIN ev USING (gram) WHERE g.doc_id >= 20)
+         | SELECT doc_id, count(DISTINCT gram) AS n_grams,
+         |   count(DISTINCT CASE WHEN hit = 1 THEN gram END) AS n_shared,
+         |   round(count(DISTINCT CASE WHEN hit = 1 THEN gram END) * 1.0
+         |     / count(DISTINCT gram), 6) AS contamination
+         | FROM j GROUP BY 1 HAVING n_shared > 0
+         | ORDER BY doc_id""".stripMargin,
     "qp_stratified_sample" ->
       s"""SELECT lang, count(*) AS kept FROM documents
          | WHERE ${dH60("lang || ':' || CAST(doc_id AS VARCHAR)")} % 10000
@@ -747,6 +781,42 @@ object QueriesPipeline {
          | SELECT doc_id, count(*) AS n_shared FROM w
          | JOIN s USING (s1, s2)
          | GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "qp_span_removal" ->
+      // same window-key construction as qp_exact_substring, extended
+      // with position-level coverage and ordered reassembly
+      s"""WITH tok AS (SELECT doc_id, ${dTokens("text")} AS ds,
+         |   list_transform(${dTokens("text")},
+         |     x -> ${dH60("x")} % ${graft.ops.Dedup.WindowHashMod}) h1,
+         |   list_transform(${dTokens("text")},
+         |     x -> ${dH60("x || '#2'")} % ${graft.ops.Dedup.WindowHashMod}) h2
+         |   FROM documents),
+         | w AS (SELECT doc_id, p,
+         |     list_sum(list_slice(h1, p + 1, p + 20)) AS s1,
+         |     list_sum(list_slice(h2, p + 1, p + 20)) AS s2
+         |   FROM (SELECT doc_id, h1, h2, unnest(range(len(h1) - 19)) AS p
+         |     FROM tok WHERE len(h1) >= 20)),
+         | s AS (SELECT s1, s2 FROM (
+         |   SELECT s1, s2, count(*) AS nd
+         |   FROM (SELECT DISTINCT doc_id, s1, s2 FROM w) GROUP BY s1, s2)
+         |   WHERE nd > 1),
+         | cov AS (SELECT DISTINCT doc_id, unnest(range(p, p + 20)) AS cp
+         |   FROM w JOIN s USING (s1, s2)),
+         | pos AS (SELECT doc_id, unnest(range(len(ds))) AS p FROM tok),
+         | kept AS (SELECT pos.doc_id, pos.p, tok.ds[pos.p + 1] AS tk
+         |   FROM pos JOIN tok USING (doc_id)
+         |   WHERE NOT EXISTS (SELECT 1 FROM cov
+         |     WHERE cov.doc_id = pos.doc_id AND cov.cp = pos.p)),
+         | cln AS (SELECT doc_id, count(*) AS n_kept,
+         |     string_agg(tk, ' ' ORDER BY p) AS cleaned
+         |   FROM kept GROUP BY doc_id),
+         | tot AS (SELECT doc_id, len(ds) AS n_tokens FROM tok
+         |   WHERE len(ds) > 0)
+         | SELECT t.doc_id, t.n_tokens,
+         |   t.n_tokens - coalesce(c.n_kept, 0) AS n_removed,
+         |   coalesce(c.cleaned, '') AS cleaned
+         | FROM tot t LEFT JOIN cln c USING (doc_id)
+         | WHERE t.n_tokens - coalesce(c.n_kept, 0) > 0
+         | ORDER BY doc_id""".stripMargin,
     "qp_temperature_mix" ->
       s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
          | t AS (SELECT sum(n) AS tot, sum(pow(n, 0.5)) AS z FROM c),

@@ -33,6 +33,30 @@ object Curation {
       .agg(countDistinct(col("__g")).as("n_shared"))
   }
 
+  /** Contamination RATIO: the fraction of each doc's distinct word
+    * n-grams that appear in the eval set — [[decontaminate]]'s boolean
+    * gate generalized to a rankable score (callers threshold or sort;
+    * partially-contaminated docs can be span-cleaned instead of
+    * dropped). Same broadcast scale shape, still ONE corpus pass: the
+    * eval-gram join becomes a LEFT join carrying a hit flag into one
+    * per-doc aggregate. Docs with fewer than n tokens have no grams
+    * and are absent (nothing to measure). */
+  def contaminationRatio(corpus: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, n: Int = 3): DataFrame = {
+    val evalGrams = broadcast(eval
+      .select(explode(wordNgrams(tokensWs(col(textCol)), n)).as("__g"))
+      .distinct()
+      .withColumn("__hit", lit(1)))
+    Partitioning.spread(corpus).select(col(idCol),
+        explode(wordNgrams(tokensWs(col(textCol)), n)).as("__g"))
+      .join(evalGrams, Seq("__g"), "left")
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("__g")).as("n_grams"),
+        countDistinct(when(col("__hit") === 1, col("__g"))).as("n_shared"))
+      .withColumn("contamination",
+        round(col("n_shared") / col("n_grams"), 6))
+  }
+
   /** Deterministic stratified sampling for data mixing: keep a row iff
     * hash(stratum:id) mod 10000 falls under the stratum's rate — the
     * same row always samples the same way (reproducible corpus builds,

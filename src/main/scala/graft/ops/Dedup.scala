@@ -297,6 +297,66 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Span REMOVAL — the remediation stage over [[sharedWindowCounts]]'
+    * detection (ExactSubstr's second half: cut the duplicated spans,
+    * keep the document): every token covered by any cross-doc-shared
+    * w-token window is removed and the surviving tokens reassemble in
+    * order. Returns (id, n_tokens, n_removed, cleaned) for affected
+    * docs (n_removed > 0); a fully-boilerplate doc yields an empty
+    * cleaned string.
+    *
+    * Scale shape: the same single tokenize+window pass as detection
+    * (persisted once, three consumers: span set, coverage, totals);
+    * the shared-span count is the partial-agg groupBy (skew rule);
+    * coverage explodes only SHARED window positions (bounded by the
+    * duplicated fraction, not the corpus) and distincts per (doc,
+    * pos); reassembly sorts each doc's kept (pos, token) structs
+    * inside one per-doc aggregate — no global sort anywhere. */
+  def removeSharedSpans(df: DataFrame, idCol: String, textCol: String,
+      w: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = spread(df).select(col(idCol).as("__id"),
+        posexplode(tokensWs(col(textCol))).as(Seq("__p", "__t")))
+      .withColumn("__h1", hash60(col("__t")) % WindowHashMod)
+      .withColumn("__h2",
+        hash60(concat(col("__t"), lit("#2"))) % WindowHashMod)
+    val frame = Window.partitionBy("__id").orderBy("__p")
+      .rowsBetween(Window.currentRow, w - 1)
+    val winsMat = toks
+      .withColumn("__n", count(lit(1)).over(frame))
+      .withColumn("__s1", sum(col("__h1")).over(frame))
+      .withColumn("__s2", sum(col("__h2")).over(frame))
+      .select("__id", "__p", "__t", "__n", "__s1", "__s2")
+      .persist()
+    val spans = winsMat.filter(col("__n") === w)
+      .select("__id", "__p", "__s1", "__s2")
+    val shared = spans.select("__id", "__s1", "__s2").distinct()
+      .groupBy("__s1", "__s2").agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") > 1).select("__s1", "__s2")
+    val covered = spans.join(shared, Seq("__s1", "__s2"), "left_semi")
+      .select(col("__id"),
+        explode(sequence(col("__p"), col("__p") + lit(w - 1))).as("__p"))
+      .distinct()
+    val kept = winsMat.select("__id", "__p", "__t")
+      .join(covered, Seq("__id", "__p"), "left_anti")
+      .groupBy("__id")
+      .agg(count(lit(1)).as("__nkept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("__p"), col("__t")))),
+          x => x.getField("__t")), " ").as("cleaned"))
+    val totals = winsMat.groupBy("__id")
+      .agg(count(lit(1)).as("n_tokens"))
+    val out = totals.join(kept, Seq("__id"), "left")
+      .select(col("__id").as(idCol), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("__nkept"), lit(0L)))
+          .as("n_removed"),
+        coalesce(col("cleaned"), lit("")).as("cleaned"))
+      .filter(col("n_removed") > 0)
+      .localCheckpoint()
+    winsMat.unpersist()
+    out
+  }
+
   /** Cross-batch STATEFUL streaming dedup: drop any (id, text) whose
     * full minhash signature was already seen in ANY earlier micro-batch
     * of this stream (and keep only the min-id doc per signature within
