@@ -410,6 +410,17 @@ object QueriesPipeline {
         .orderBy(col("n").desc, col("bigram"))
         .limit(20)
     }),
+    "qp_kmv_distinct" -> ((s, dir) => {
+      // per-language distinct-bigram cardinality via the KMV bottom-k
+      // sketch (exact COUNT(DISTINCT) is the 100 TB scale-killer; KMV
+      // is one bounded-state aggregation pass, and unlike HLL it is
+      // exactly reproducible in the oracle)
+      graft.ops.Sketch.kmvDistinct(
+        docs(s, dir).select(col("lang"),
+          explode(TextOps.bigrams(tokensWs(col("text")))).as("bg")),
+        "lang", col("bg"), k = 256)
+        .orderBy("lang")
+    }),
     // --- multimodal plumbing (binary payload + typed metadata) ------
     "qp_media_meta" -> ((s, dir) => {
       // payload bytes + metadata survive the media-table shape intact
@@ -1146,6 +1157,23 @@ object QueriesPipeline {
          |   ELSE [] END) AS bigram FROM t)
          | SELECT bigram, count(*) AS n FROM b
          | GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
+    "qp_kmv_distinct" ->
+      // KMV estimator constant generated from the same Scala values
+      // (Sketch.HashSpace, k = 256)
+      s"""WITH t AS (SELECT lang, ${dTokens("text")} AS tok FROM documents),
+         | b AS (SELECT lang, unnest(CASE WHEN len(tok) >= 2 THEN
+         |     list_transform(range(len(tok)-1),
+         |       i -> tok[i+1] || ' ' || tok[i+2])
+         |   ELSE [] END) AS bg FROM t),
+         | h AS (SELECT DISTINCT lang, ${dH60("bg")} AS hv FROM b),
+         | r AS (SELECT lang, hv,
+         |     row_number() OVER (PARTITION BY lang ORDER BY hv) AS rn,
+         |     count(*) OVER (PARTITION BY lang) AS nd FROM h)
+         | SELECT lang, CASE WHEN max(nd) < 256 THEN max(nd)
+         |   ELSE CAST(round(${255 * graft.ops.Sketch.HashSpace}
+         |     / max(CASE WHEN rn = 256 THEN hv END)) AS BIGINT)
+         |   END AS est_distinct
+         | FROM r GROUP BY lang ORDER BY lang""".stripMargin,
     "qp_media_meta" ->
       """SELECT doc_id AS media_id, 'image' AS media_type,
         |   octet_length(encode(text)) AS n_bytes,

@@ -1,0 +1,134 @@
+package graft.ops
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.classic.GraftColumnBridge
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Cardinality sketches for corpus statistics at 100 TB — where exact
+  * `COUNT(DISTINCT)` is the textbook scale-killer: its distinct
+  * shuffle materializes every distinct value of a stratum.
+  *
+  * KMV (k-minimum-values / bottom-k) is used instead of HLL because it
+  * is EXACTLY reproducible across engines: HLL bucket layouts are
+  * implementation-defined (Spark's approx_count_distinct and DuckDB's
+  * approx functions can never hash-match), while KMV is pure order
+  * statistics over this repo's deterministic 60-bit md5 hash —
+  * estimator `(k−1)/U₍k₎` with U₍k₎ the k-th smallest distinct hash
+  * normalized into (0,1] (Bar-Yossef et al. 2002, public paper).
+  */
+object Sketch {
+
+  /** 2^60 — the hash60 value space. */
+  val HashSpace: Double = 1152921504606846976.0
+
+  /** Per-stratum approximate distinct count of `value`. Strata with
+    * fewer than k distinct values report their EXACT count (the
+    * sketch holds every hash). Deterministic and partitioning-
+    * invariant: the k smallest distinct hashes are a set property of
+    * the data, not of task order.
+    *
+    * Scale shape: ONE aggregation pass with BOUNDED per-group state —
+    * [[BottomKDistinct]] keeps at most k longs per group through
+    * partial update and merge, so no distinct-value set is ever
+    * shuffled or collected (the alternative distinct + window
+    * formulation shuffles every distinct value AND funnels each
+    * stratum through one window task). */
+  def kmvDistinct(df: DataFrame, strataCol: String, value: Column,
+      k: Int): DataFrame = {
+    require(k >= 2, "KMV needs k >= 2")
+    val mins = GraftColumnBridge.column(
+      BottomKDistinct(
+        GraftColumnBridge.expression(TextOps.hash60(value)), k)
+        .toAggregateExpression())
+    Partitioning.spread(df).groupBy(col(strataCol))
+      .agg(mins.as("__mins"))
+      .select(col(strataCol),
+        when(size(col("__mins")) < k,
+          size(col("__mins")).cast("long"))
+          .otherwise(round(lit((k - 1) * HashSpace) /
+            element_at(col("__mins"), k)).cast("long"))
+          .as("est_distinct"))
+  }
+}
+
+/** Bounded bottom-k-distinct aggregate: the k smallest DISTINCT values
+  * of a long column, as an ascending array. State is one TreeSet
+  * capped at k entries — constant memory per group, partial-combining
+  * on the map side, set-semantics merge (so results never depend on
+  * partitioning or task order). The building block for KMV distinct
+  * estimation ([[Sketch.kmvDistinct]]); nulls are ignored. */
+case class BottomKDistinct(child: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "bottom_k_distinct"
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long]()
+
+  override def update(buffer: java.util.TreeSet[java.lang.Long],
+      input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      buffer.add(v.asInstanceOf[Long])
+      if (buffer.size > k) buffer.pollLast()
+    }
+    buffer
+  }
+
+  override def merge(buffer: java.util.TreeSet[java.lang.Long],
+      other: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+    val it = other.iterator()
+    while (it.hasNext) {
+      buffer.add(it.next())
+      if (buffer.size > k) buffer.pollLast()
+    }
+    buffer
+  }
+
+  override def eval(buffer: java.util.TreeSet[java.lang.Long]): Any = {
+    val out = new Array[Long](buffer.size)
+    val it = buffer.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buffer: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buffer.size)
+    val it = buffer.iterator()
+    while (it.hasNext) out.writeLong(it.next())
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val set = new java.util.TreeSet[java.lang.Long]()
+    val n = in.readInt()
+    var i = 0
+    while (i < n) { set.add(in.readLong()); i += 1 }
+    set
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BottomKDistinct =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BottomKDistinct =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0))
+}
