@@ -416,7 +416,7 @@ object QueriesPipeline {
       // is one bounded-state aggregation pass, and unlike HLL it is
       // exactly reproducible in the oracle)
       graft.ops.Sketch.kmvDistinct(
-        docs(s, dir).select(col("lang"),
+        graft.ops.Partitioning.spread(docs(s, dir)).select(col("lang"),
           explode(TextOps.bigrams(tokensWs(col("text")))).as("bg")),
         "lang", col("bg"), k = 256)
         .orderBy("lang")

@@ -40,15 +40,23 @@ object Sketch {
     * partial update and merge, so no distinct-value set is ever
     * shuffled or collected (the alternative distinct + window
     * formulation shuffles every distinct value AND funnels each
-    * stratum through one window task). */
+    * stratum through one window task). No repartition here: the only
+    * shuffle is the k-longs-per-group partial-agg exchange. Callers
+    * exploding from a small single-file input spread BEFORE the
+    * explode (spreading here would shuffle every exploded row). */
   def kmvDistinct(df: DataFrame, strataCol: String, value: Column,
       k: Int): DataFrame = {
     require(k >= 2, "KMV needs k >= 2")
+    // Hash in a SEPARATE projection, not as the aggregate child: a
+    // TypedImperativeAggregate evaluates its child with interpreted
+    // Expression.eval per input row, while md5/conv in a project stay
+    // inside whole-stage codegen (measured 9.7 s -> ~1.4 s at sf0.1).
+    val hashed = df.select(col(strataCol), TextOps.hash60(value).as("__h"))
     val mins = GraftColumnBridge.column(
       BottomKDistinct(
-        GraftColumnBridge.expression(TextOps.hash60(value)), k)
+        GraftColumnBridge.expression(col("__h")), k)
         .toAggregateExpression())
-    Partitioning.spread(df).groupBy(col(strataCol))
+    hashed.groupBy(col(strataCol))
       .agg(mins.as("__mins"))
       .select(col(strataCol),
         when(size(col("__mins")) < k,
@@ -81,8 +89,14 @@ case class BottomKDistinct(child: Expression, k: Int,
       input: InternalRow): java.util.TreeSet[java.lang.Long] = {
     val v = child.eval(input)
     if (v != null) {
-      buffer.add(v.asInstanceOf[Long])
-      if (buffer.size > k) buffer.pollLast()
+      val l = v.asInstanceOf[Long]
+      // quick reject: once full, values >= the current k-th minimum
+      // can't enter the bottom-k — skip the boxed insert + pollLast
+      // (the common case on a big stratum).
+      if (buffer.size < k || l < buffer.last()) {
+        buffer.add(l)
+        if (buffer.size > k) buffer.pollLast()
+      }
     }
     buffer
   }
