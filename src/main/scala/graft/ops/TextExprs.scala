@@ -1,0 +1,156 @@
+package graft.ops
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native text primitives for the tokenize/shingle hot path. The HOF
+  * forms (`filter(split(...))`, `transform(sequence(...), i -> ...)`)
+  * evaluate an interpreted lambda per ELEMENT — and tokenization/
+  * shingling is the innermost loop of every text-curation operator
+  * (dedup signatures, n-gram stats, LM scoring), exactly the per-row
+  * heavy compute the scale rules route through compiled code. Each of
+  * these runs ONE compiled scan per row and stays inside whole-stage
+  * codegen (same design as [[VectorExprs]]).
+  *
+  * Semantics are BIT-IDENTICAL to the HOF forms the DuckDB oracles
+  * were generated against (pinned by `TextPropertySpec`):
+  *  - [[WsTokens]] ≡ `filter(split(s, "\\s+"), t -> length(t) > 0)`:
+  *    split on runs of Java-regex `\s` = `[ \t\n\x0B\f\r]` (ASCII
+  *    only — exactly bytes 0x09-0x0D and 0x20, so a byte scan is safe
+  *    in UTF-8: multibyte sequences never contain ASCII bytes);
+  *  - [[WordNgrams]] ≡ `transform(sequence(0, size-n),
+  *    i -> concat_ws(" ", tokens[i+1..i+n]))`, empty below n;
+  *  - [[CharShingles]] ≡ `array_distinct(transform(sequence(0, len-n),
+  *    i -> substr(i+1, n)))`, empty below n: CODEPOINT n-grams,
+  *    distinct keeping first-occurrence order; byte offsets of
+  *    codepoints are walked once, so shingling is O(len), not the
+  *    O(len²) of per-shingle substring scans.
+  */
+object TextExprs {
+  private[ops] val Space = UTF8String.fromString(" ")
+
+  @inline private[ops] def isWs(b: Byte): Boolean =
+    b == 0x20 || (b >= 0x09 && b <= 0x0D)
+}
+
+/** whitespace-run tokenizer, empties dropped — one compiled byte scan. */
+case class WsTokens(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "ws_tokens"
+
+  def compute(s: UTF8String): ArrayData = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    val out = new java.util.ArrayList[AnyRef](8)
+    var i = 0
+    while (i < n) {
+      while (i < n && TextExprs.isWs(bytes(i))) i += 1
+      val start = i
+      while (i < n && !TextExprs.isWs(bytes(i))) i += 1
+      if (i > start)
+        out.add(UTF8String.fromBytes(bytes, start, i - start))
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override def nullSafeEval(s: Any): Any =
+    compute(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wsTokens", this, classOf[WsTokens].getName)
+    nullSafeCodeGen(ctx, ev, s => s"${ev.value} = $ref.compute($s);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): WsTokens = copy(child = newChild)
+}
+
+/** space-joined word n-grams of a token array — one compiled pass;
+  * fewer than n tokens → empty array (the HOF wrapper's guard). */
+case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "n-gram size must be >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_ngrams"
+
+  def compute(a: ArrayData): ArrayData = {
+    val sz = a.numElements()
+    if (sz < n) return new GenericArrayData(Array.empty[Any])
+    val toks = new Array[UTF8String](sz)
+    var i = 0
+    while (i < sz) { toks(i) = a.getUTF8String(i); i += 1 }
+    val out = new Array[Any](sz - n + 1)
+    i = 0
+    while (i <= sz - n) {
+      val parts = new Array[UTF8String](n)
+      System.arraycopy(toks, i, parts, 0, n)
+      out(i) = UTF8String.concatWs(TextExprs.Space, parts: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wordNgrams", this, classOf[WordNgrams].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): WordNgrams = copy(child = newChild)
+}
+
+/** distinct codepoint n-gram shingles, first-occurrence order — one
+  * compiled pass over precomputed codepoint offsets; strings shorter
+  * than n (in codepoints) → empty array. */
+case class CharShingles(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "shingle size must be >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "char_shingles"
+
+  def compute(s: UTF8String): ArrayData = {
+    val bytes = s.getBytes
+    val nb = bytes.length
+    // codepoint start offsets (UTF-8: continuation bytes are 10xxxxxx)
+    var chars = 0
+    var i = 0
+    while (i < nb) {
+      if ((bytes(i) & 0xC0) != 0x80) chars += 1
+      i += 1
+    }
+    if (chars < n) return new GenericArrayData(Array.empty[Any])
+    val offs = new Array[Int](chars + 1)
+    var c = 0
+    i = 0
+    while (i < nb) {
+      if ((bytes(i) & 0xC0) != 0x80) { offs(c) = i; c += 1 }
+      i += 1
+    }
+    offs(chars) = nb
+    val seen = new java.util.LinkedHashSet[UTF8String]((chars - n + 1) * 2)
+    i = 0
+    while (i + n <= chars) {
+      seen.add(UTF8String.fromBytes(bytes, offs(i), offs(i + n) - offs(i)))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray[AnyRef](new Array[AnyRef](seen.size)))
+  }
+
+  override def nullSafeEval(s: Any): Any =
+    compute(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("charShingles", this, classOf[CharShingles].getName)
+    nullSafeCodeGen(ctx, ev, s => s"${ev.value} = $ref.compute($s);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): CharShingles = copy(child = newChild)
+}

@@ -22,19 +22,34 @@ object TextOps {
   /** 32-bit hash for simhash bit sampling. */
   def hash32(c: Column): Column = hash60(c) % 4294967296L
 
-  /** distinct character n-gram shingles of a string column. Texts
-    * shorter than n yield an empty array (guard required: Spark's
-    * sequence(0, stop) counts DOWN when stop < 0, which would emit
-    * phantom shingles and diverge from the DuckDB oracle's range()). */
+  private def native(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    org.apache.spark.sql.classic.GraftColumnBridge.column(e)
+  private def asExpr(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.classic.GraftColumnBridge.expression(c)
+
+  /** distinct character n-gram shingles of a string column — native
+    * [[CharShingles]] (one compiled scan; the HOF form pays an
+    * interpreted lambda per character). Texts shorter than n — and
+    * the HOF wrapper's null-input case — yield an empty array. */
   def charShingles(c: Column, n: Int): Column =
+    coalesce(native(CharShingles(asExpr(c), n)),
+      array().cast("array<string>"))
+
+  /** the retired HOF formulation, kept ONLY as the property-test model
+    * the native expression is pinned bit-identical to. */
+  private[ops] def charShinglesHof(c: Column, n: Int): Column =
     when(length(c) >= n,
       array_distinct(transform(
         sequence(lit(0), length(c) - n),
         i => c.substr(i + lit(1), lit(n)))))
       .otherwise(array().cast("array<string>"))
 
-  /** whitespace tokens (lower-cased). */
-  def tokensWs(c: Column): Column =
+  /** whitespace tokens (lower-cased) — native [[WsTokens]] byte scan
+    * (≡ `filter(split(lower(c), "\\s+"), t -> length(t) > 0)`). */
+  def tokensWs(c: Column): Column = native(WsTokens(asExpr(lower(c))))
+
+  /** HOF model for the property pin (see [[charShinglesHof]]). */
+  private[ops] def tokensWsHof(c: Column): Column =
     filter(split(lower(c), "\\s+"), t => length(t) > 0)
 
   /** BPE-ish tokens: letter runs, digit runs, single punctuation. */
@@ -134,6 +149,11 @@ object TextOps {
     * than n tokens) — the decontamination unit (benchmark overlap is
     * measured in word n-grams, not characters). */
   def wordNgrams(tokens: Column, n: Int): Column =
+    coalesce(native(WordNgrams(asExpr(tokens), n)),
+      array().cast("array<string>"))
+
+  /** HOF model for the property pin (see [[charShinglesHof]]). */
+  private[ops] def wordNgramsHof(tokens: Column, n: Int): Column =
     when(size(tokens) >= n,
       transform(sequence(lit(0), size(tokens) - n),
         i => concat_ws(" ",
@@ -141,14 +161,39 @@ object TextOps {
       .otherwise(array().cast("array<string>"))
 
   /** word bigrams of a token array (empty when fewer than 2 tokens). */
-  def bigrams(tokens: Column): Column =
-    when(size(tokens) >= 2,
-      transform(sequence(lit(1), size(tokens) - 1),
-        i => concat(element_at(tokens, i), lit(" "),
-          element_at(tokens, i + 1))))
-      .otherwise(array().cast("array<string>"))
+  def bigrams(tokens: Column): Column = wordNgrams(tokens, 2)
 
   // ------------------------------------------- cleaning / repetition
+  /** PII patterns, restricted to syntax shared by Java regex and RE2
+    * (no lookaround/backrefs) so the scrub is reproducible in any
+    * engine. Order matters and is fixed: email → IPv4 → phone (none
+    * can match inside another's replacement token). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\b\\+?\\d{3}[- .]\\d{3,4}[- .]\\d{4}\\b"
+
+  /** PII scrub — the redaction pass a corpus gets before training:
+    * emails, IPv4 addresses and phone-shaped numbers replaced by
+    * typed placeholder tokens (placeholders rather than deletion, so
+    * token offsets stay roughly stable and the redaction is visible
+    * downstream). Three codegen'd regexp_replace ops in one narrow
+    * projection — no shuffle, no UDF. */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  /** per-kind PII match counts (audit/reporting side of the scrub). */
+  def piiCounts(c: Column): Seq[Column] = Seq(
+    regexp_count(c, lit(EmailRe)).as("n_email"),
+    regexp_count(regexp_replace(c, EmailRe, "<EMAIL>"), lit(Ipv4Re))
+      .as("n_ip"),
+    regexp_count(
+      regexp_replace(regexp_replace(c, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"), lit(PhoneRe)).as("n_phone"))
+
   /** canonical text normalization for exact-dedup keys: lower-case,
     * strip non-alphanumerics, collapse whitespace. */
   def normalizeText(c: Column): Column =

@@ -70,4 +70,97 @@ class TextPropertySpec extends AnyFunSuite {
     }
     assert(got == want)
   }
+
+  // multibyte-heavy generator for the native-expression pins: the
+  // byte-scan tokenizer and offset-walk shingler must agree with the
+  // regex/substr HOF models on non-ASCII codepoints too
+  private lazy val uniRows: Seq[(Long, String)] = {
+    val uniGen = Gen.chooseNum(0, 30).flatMap(n =>
+      Gen.listOfN(n, Gen.frequency(
+        5 -> Gen.alphaNumChar,
+        2 -> Gen.const(' '),
+        1 -> Gen.oneOf('\t', '\n', '', '\f', '\r'),
+        1 -> Gen.oneOf('é', 'ß', '中', '文'),
+        // U+00A0 NBSP: NOT Java-regex \s — must stay inside tokens
+        1 -> Gen.const(' '))).map(_.mkString))
+    Gen.listOfN(300, uniGen)
+      .apply(Gen.Parameters.default, org.scalacheck.rng.Seed(7L))
+      .get.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+  }
+  private lazy val uniDf = uniRows.toDF("id", "s")
+
+  test("native WsTokens is bit-identical to the filter(split) HOF") {
+    val diff = uniDf.select(
+        TextOps.tokensWs(col("s")).as("a"),
+        TextOps.tokensWsHof(col("s")).as("b"))
+      .filter(not(col("a") <=> col("b"))).count()
+    assert(diff == 0L)
+  }
+
+  test("native CharShingles is bit-identical to the array_distinct HOF") {
+    for (n <- Seq(2, 4)) {
+      val diff = uniDf.select(
+          TextOps.charShingles(col("s"), n).as("a"),
+          TextOps.charShinglesHof(col("s"), n).as("b"))
+        .filter(not(col("a") <=> col("b"))).count()
+      assert(diff == 0L, s"n=$n")
+    }
+  }
+
+  test("native WordNgrams is bit-identical to the transform HOF") {
+    for (n <- Seq(2, 3)) {
+      val diff = uniDf.select(TextOps.tokensWs(col("s")).as("t"))
+        .select(
+          TextOps.wordNgrams(col("t"), n).as("a"),
+          TextOps.wordNgramsHof(col("t"), n).as("b"))
+        .filter(not(col("a") <=> col("b"))).count()
+      assert(diff == 0L, s"n=$n")
+    }
+  }
+
+  test("native text expressions keep null/empty HOF semantics") {
+    val df = Seq[(Long, Option[String])]((0L, None), (1L, Some("")),
+      (2L, Some("  ")), (3L, Some("ab"))).toDF("id", "s")
+    val r = df.orderBy("id").select(
+      TextOps.tokensWs(col("s")),
+      TextOps.charShingles(col("s"), 4),
+      TextOps.wordNgrams(TextOps.tokensWs(col("s")), 2)).collect()
+    assert(r(0).isNullAt(0), "tokensWs(null) must stay null")
+    assert(r(0).getSeq[String](1) == Seq(), "shingles(null) -> empty")
+    assert(r(0).getSeq[String](2) == Seq(), "ngrams(null tokens) -> empty")
+    assert(r(1).getSeq[String](0) == Seq() && r(2).getSeq[String](0) == Seq())
+    assert(r(3).getSeq[String](1) == Seq(), "below-n text -> empty shingles")
+  }
+
+  test("redactPii scrubs email, IPv4 and phone in the fixed order") {
+    val cases = Seq(
+      // id, input, expected redaction
+      (0L, "mail bob.smith+x@corp-a.example.org now",
+        "mail <EMAIL> now"),
+      (1L, "from 192.168.10.1 and 10.0.0.255.",
+        "from <IP> and <IP>."),
+      (2L, "call 555-0123-4567 or +310 555 1234",
+        "call <PHONE> or +<PHONE>"),
+      (3L, "a@b.co 1.2.3.4 555-123-4567 all three",
+        "<EMAIL> <IP> <PHONE> all three"),
+      // an all-numeric domain is not an email (no alpha TLD), so the
+      // IP inside it is scrubbed; plain prose survives untouched
+      (4L, "v4 at x@10.1.2.34 stays one token", "v4 at x@<IP> stays one token"),
+      (5L, "no pii here, just words", "no pii here, just words"))
+    val got = cases.toDF("id", "s", "want")
+      .select(col("id"), TextOps.redactPii(col("s")).as("got"), col("want"))
+      .orderBy("id").collect()
+    got.foreach(r =>
+      assert(r.getString(1) == r.getString(2), s"case ${r.getLong(0)}"))
+  }
+
+  test("piiCounts mirrors the staged scrub (no double counting)") {
+    val r = Seq((0L, "a@b.co c@d.io x@1.2.3.4.com 5.6.7.8 555-123-4567"))
+      .toDF("id", "s")
+      .select(TextOps.piiCounts(col("s")): _*).collect().head
+    // 3 emails (x@1.2.3.4.com is an email — .com TLD); the IPv4 shape
+    // INSIDE it is redacted with the email, so n_ip counts only
+    // 5.6.7.8 (a raw-text count would say 2); 1 phone
+    assert((r.getInt(0), r.getInt(1), r.getInt(2)) == ((3, 1, 1)))
+  }
 }
