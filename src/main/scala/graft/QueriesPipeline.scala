@@ -421,6 +421,47 @@ object QueriesPipeline {
         "lang", col("bg"), k = 256)
         .orderBy("lang")
     }),
+    "qp_kmv_quantiles" -> ((s, dir) => {
+      // per-language doc-length quantiles from the deterministic
+      // bottom-k-by-hash uniform sample (k=128) — bounded state,
+      // integer rank indexing, exactly reproducible in the oracle
+      // (t-digest/GK state depends on merge order; this doesn't)
+      graft.ops.Sketch.kmvQuantiles(docs(s, dir), "lang", "doc_id",
+          col("n_chars"), k = 128,
+          qs = Seq(("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4),
+            ("p90", 9, 10)))
+        .orderBy("lang")
+    }),
+    "qp_pps_sample" -> ((s, dir) => {
+      // deterministic weighted sampling: up to 50 docs per language,
+      // inclusion probability proportional to n_chars (how token-
+      // budgeted training mixtures are actually drawn) — systematic
+      // PPS on a hash-order circle, all-integer keep rule, no rand()
+      Curation.ppsSample(docs(s, dir), "doc_id", "lang", "n_chars",
+          n = 50)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("lang", "doc_id")
+    }),
+    "qp_pii_redact" -> ((s, dir) => {
+      // PII scrub audit: the corpus itself is synthetic and clean, so
+      // deterministic PII (email always, IP on doc_id%3=0, phone on
+      // doc_id%5=0) is injected from doc_id identically on both
+      // engines, then redacted in the fixed email->IP->phone order
+      val aug = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" host 10.0."), (col("doc_id") % 256).cast("string"),
+            lit(".1"))).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" call 555-01"),
+            lpad((col("doc_id") % 100).cast("string"), 2, "0"),
+            lit("-4567"))).otherwise(lit("")))
+      docs(s, dir).select(
+          (col("doc_id") +: TextOps.piiCounts(aug)) :+
+            md5(TextOps.redactPii(aug)).as("redacted_md5"): _*)
+        .orderBy("doc_id")
+    }),
     // --- multimodal plumbing (binary payload + typed metadata) ------
     "qp_media_meta" -> ((s, dir) => {
       // payload bytes + metadata survive the media-table shape intact
@@ -1174,6 +1215,62 @@ object QueriesPipeline {
          |     / max(CASE WHEN rn = 256 THEN hv END)) AS BIGINT)
          |   END AS est_distinct
          | FROM r GROUP BY lang ORDER BY lang""".stripMargin,
+    "qp_kmv_quantiles" ->
+      // identical bottom-k-by-hash sample + integer rank indexing
+      // (k = 128; collision rule: duplicate hash keeps min value)
+      s"""WITH h AS (SELECT lang, n_chars AS v,
+         |     ${dH60("lang || ':' || CAST(doc_id AS VARCHAR)")} AS hk
+         |   FROM documents),
+         | d AS (SELECT lang, hk, min(v) AS v FROM h GROUP BY lang, hk),
+         | r AS (SELECT lang, hk, v,
+         |     row_number() OVER (PARTITION BY lang ORDER BY hk) AS rn
+         |   FROM d),
+         | s AS (SELECT lang, list(v ORDER BY v) AS sv,
+         |     CAST(count(*) AS BIGINT) AS n
+         |   FROM r WHERE rn <= 128 GROUP BY lang)
+         | SELECT lang, n AS sample_n,
+         |   sv[CAST((1 * (n - 1)) // 4 AS INT) + 1] AS p25,
+         |   sv[CAST((1 * (n - 1)) // 2 AS INT) + 1] AS p50,
+         |   sv[CAST((3 * (n - 1)) // 4 AS INT) + 1] AS p75,
+         |   sv[CAST((9 * (n - 1)) // 10 AS INT) + 1] AS p90
+         | FROM s ORDER BY lang""".stripMargin,
+    "qp_pps_sample" ->
+      // same hash-order circle, same all-integer keep rule (n = 50)
+      s"""WITH h AS (SELECT doc_id, lang, n_chars,
+         |     ${dH60("lang || ':' || CAST(doc_id AS VARCHAR)")} AS hk
+         |   FROM documents),
+         | c AS (SELECT doc_id, lang, n_chars,
+         |     sum(n_chars) OVER (PARTITION BY lang ORDER BY hk, doc_id)
+         |       AS cum,
+         |     sum(n_chars) OVER (PARTITION BY lang) AS tot FROM h)
+         | SELECT doc_id, lang, n_chars FROM c
+         | WHERE (cum * 50) // tot > ((cum - n_chars) * 50) // tot
+         | ORDER BY lang, doc_id""".stripMargin,
+    "qp_pii_redact" ->
+      // same injected PII, same regexes, same email->IP->phone order
+      // (patterns interpolated from the TextOps constants)
+      s"""WITH a AS (SELECT doc_id,
+         |     text || ' contact user' || CAST(doc_id AS VARCHAR)
+         |     || '@example.com'
+         |     || CASE WHEN doc_id % 3 = 0 THEN ' host 10.0.'
+         |          || CAST(doc_id % 256 AS VARCHAR) || '.1' ELSE '' END
+         |     || CASE WHEN doc_id % 5 = 0 THEN ' call 555-01'
+         |          || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+         |          || '-4567' ELSE '' END AS t
+         |   FROM documents),
+         | r1 AS (SELECT doc_id, t,
+         |     regexp_replace(t, '${TextOps.EmailRe}', '<EMAIL>', 'g')
+         |       AS t1 FROM a),
+         | r2 AS (SELECT doc_id, t, t1,
+         |     regexp_replace(t1, '${TextOps.Ipv4Re}', '<IP>', 'g')
+         |       AS t2 FROM r1)
+         | SELECT doc_id,
+         |   len(regexp_extract_all(t, '${TextOps.EmailRe}')) AS n_email,
+         |   len(regexp_extract_all(t1, '${TextOps.Ipv4Re}')) AS n_ip,
+         |   len(regexp_extract_all(t2, '${TextOps.PhoneRe}')) AS n_phone,
+         |   md5(regexp_replace(t2, '${TextOps.PhoneRe}', '<PHONE>', 'g'))
+         |     AS redacted_md5
+         | FROM r2 ORDER BY doc_id""".stripMargin,
     "qp_media_meta" ->
       """SELECT doc_id AS media_id, 'image' AS media_type,
         |   octet_length(encode(text)) AS n_bytes,

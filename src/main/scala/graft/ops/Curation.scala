@@ -134,6 +134,37 @@ object Curation {
       .drop("__r")
   }
 
+  /** Deterministic weighted (PPS) sampling without replacement:
+    * systematic probability-proportional-to-size selection (Madow
+    * 1949) of up to `n` rows per stratum, inclusion probability
+    * ∝ `weightCol` (e.g. token count — sampling documents by token
+    * budget, the way training mixtures are actually drawn). Rows are
+    * laid on a deterministic hash-order circle, cumulative weight is
+    * swept, and a row is kept iff the sweep crosses a multiple of
+    * total/n inside its weight span:
+    * `(cum·n) div tot > ((cum−w)·n) div tot` — ALL-INTEGER math, so
+    * the keep decision is bit-identical in any engine (no rand(), no
+    * float thresholds; the A-ES u^(1/w) formulation needs pow/log
+    * whose last-ulp behavior is libm-specific). A row heavier than
+    * tot/n can cross several multiples; it is kept once, so such
+    * strata may yield < n rows (standard PPS-systematic behavior).
+    * Windows are per-stratum only — the stratum bounds every sort;
+    * requires n·Σw < 2^63 per stratum (25 T tokens × n ≤ ~260 k). */
+  def ppsSample(df: DataFrame, idCol: String, strataCol: String,
+      weightCol: String, n: Int): DataFrame = {
+    val ord = Window.partitionBy(col(strataCol))
+      .orderBy(col("__hk"), col(idCol))
+    val whole = Window.partitionBy(col(strataCol))
+    Partitioning.spread(df)
+      .withColumn("__hk", hash60(
+        concat(col(strataCol), lit(":"), col(idCol).cast("string"))))
+      .withColumn("__cum", sum(col(weightCol)).over(ord))
+      .withColumn("__tot", sum(col(weightCol)).over(whole))
+      .filter(expr(s"(__cum * $n) div __tot") >
+        expr(s"((__cum - $weightCol) * $n) div __tot"))
+      .drop("__hk", "__cum", "__tot")
+  }
+
   /** Sequence packing: lay the corpus out as a token stream per
     * partition key (documents may span bin boundaries, GPT-style) and
     * bin by the document's starting offset — bin = floor(start/budget)

@@ -65,6 +65,44 @@ object Sketch {
             element_at(col("__mins"), k)).cast("long"))
           .as("est_distinct"))
   }
+
+  /** Per-stratum approximate quantiles of a long `value` column via a
+    * DETERMINISTIC bounded uniform sample: the rows whose 60-bit hash
+    * of `idCol` falls among the stratum's k smallest form a uniform
+    * k-subset that is a set property of the data (the bottom-k-by-hash
+    * trick behind KMV, applied to row sampling), so the sample — and
+    * therefore every quantile — is bit-identical in any engine, unlike
+    * rand() reservoirs or t-digest/GK sketches whose state depends on
+    * merge order. Quantiles are nearest-rank-lower order statistics of
+    * the sorted sample at index `num·(n−1) div den` — all-integer
+    * indexing, no float rank arithmetic. Strata with ≤ k rows report
+    * EXACT quantiles. One aggregation pass, ≤ k (hash,value) pairs of
+    * state per group.
+    *
+    * @param qs quantiles as rationals (name, numerator, denominator),
+    *           e.g. ("p50", 1, 2). */
+  def kmvQuantiles(df: DataFrame, strataCol: String, idCol: String,
+      value: Column, k: Int, qs: Seq[(String, Int, Int)]): DataFrame = {
+    require(k >= 1, "KMV quantile sample needs k >= 1")
+    val hashed = df.select(col(strataCol),
+      TextOps.hash60(concat(col(strataCol), lit(":"),
+        col(idCol).cast("string"))).as("__hk"),
+      value.cast("long").as("__v"))
+    val sample = GraftColumnBridge.column(
+      BottomKSample(GraftColumnBridge.expression(col("__hk")),
+        GraftColumnBridge.expression(col("__v")), k)
+        .toAggregateExpression())
+    val sorted = array_sort(col("__s"))
+    val qCols = qs.map { case (name, num, den) =>
+      element_at(sorted,
+        (expr(s"($num * (size(__s) - 1)) div $den") + 1).cast("int"))
+        .as(name)
+    }
+    hashed.groupBy(col(strataCol))
+      .agg(sample.as("__s"))
+      .select(col(strataCol) +:
+        size(col("__s")).cast("long").as("sample_n") +: qCols: _*)
+  }
 }
 
 /** Bounded bottom-k-distinct aggregate: the k smallest DISTINCT values
@@ -145,4 +183,97 @@ case class BottomKDistinct(child: Expression, k: Int,
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): Expression =
     copy(child = newChildren(0))
+}
+
+/** Bounded bottom-k SAMPLE aggregate: the `value`s of the rows whose
+  * `key` (a hash) is among the k smallest distinct keys of the group,
+  * returned as an array ordered by key. Duplicate keys keep the
+  * smaller value (a fixed rule so even a 60-bit hash collision stays
+  * deterministic). State is one TreeMap capped at k entries — constant
+  * memory per group, partial-combining map side, set-semantics merge:
+  * the result is a property of the data, not of partitioning or task
+  * order. The row-sampling building block for [[Sketch.kmvQuantiles]];
+  * null keys/values are ignored. */
+case class BottomKSample(key: Expression, value: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.TreeMap[java.lang.Long, java.lang.Long]] {
+
+  override def children: Seq[Expression] = Seq(key, value)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "bottom_k_sample"
+
+  override def createAggregationBuffer(): java.util.TreeMap[java.lang.Long, java.lang.Long] =
+    new java.util.TreeMap[java.lang.Long, java.lang.Long]()
+
+  private def put(buffer: java.util.TreeMap[java.lang.Long, java.lang.Long],
+      kk: Long, vv: Long): Unit = {
+    // quick reject once full: keys >= the current k-th smallest can't
+    // enter the bottom-k (the common case on a big stratum).
+    if (buffer.size < k || kk < buffer.lastKey()) {
+      val prev = buffer.get(kk)
+      if (prev == null || vv < prev) buffer.put(kk, vv)
+      if (buffer.size > k) buffer.pollLastEntry()
+    } else if (kk == buffer.lastKey()) {
+      val prev = buffer.get(kk)
+      if (vv < prev) buffer.put(kk, vv)
+    }
+  }
+
+  override def update(buffer: java.util.TreeMap[java.lang.Long, java.lang.Long],
+      input: InternalRow): java.util.TreeMap[java.lang.Long, java.lang.Long] = {
+    val kv = key.eval(input)
+    val vv = value.eval(input)
+    if (kv != null && vv != null)
+      put(buffer, kv.asInstanceOf[Long], vv.asInstanceOf[Long])
+    buffer
+  }
+
+  override def merge(buffer: java.util.TreeMap[java.lang.Long, java.lang.Long],
+      other: java.util.TreeMap[java.lang.Long, java.lang.Long]): java.util.TreeMap[java.lang.Long, java.lang.Long] = {
+    val it = other.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      put(buffer, e.getKey, e.getValue)
+    }
+    buffer
+  }
+
+  override def eval(buffer: java.util.TreeMap[java.lang.Long, java.lang.Long]): Any = {
+    val out = new Array[Long](buffer.size)
+    val it = buffer.values().iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buffer: java.util.TreeMap[java.lang.Long, java.lang.Long]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buffer.size)
+    val it = buffer.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      out.writeLong(e.getKey); out.writeLong(e.getValue)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeMap[java.lang.Long, java.lang.Long] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val m = new java.util.TreeMap[java.lang.Long, java.lang.Long]()
+    val n = in.readInt()
+    var i = 0
+    while (i < n) { m.put(in.readLong(), in.readLong()); i += 1 }
+    m
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BottomKSample =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BottomKSample =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(key = newChildren(0), value = newChildren(1))
 }

@@ -209,4 +209,36 @@ class OpsHygieneSpec extends AnyFunSuite {
     // 12 is an exact dup of corpus doc 2; both short docs must survive
     assert(kept.toSeq == Seq(10L, 11L, 13L))
   }
+
+  test("ppsSample: exact n per stratum, partitioning-invariant, PPS-biased") {
+    // two strata: "u" uniform weights, "s" skewed (row weight = id)
+    val df = ((1 to 400).map(i => (i.toLong, "u", 10L)) ++
+      (1 to 400).map(i => (1000L + i, "s", i.toLong))).toDF("id", "g", "w")
+    def ids(parts: Int): Seq[Long] =
+      Curation.ppsSample(df.repartition(parts), "id", "g", "w", n = 40)
+        .select("id").as[Long].collect().sorted.toSeq
+    val a = ids(2)
+    assert(a == ids(17), "task layout changed the sample")
+    val (uni, skw) = a.partition(_ < 1000L)
+    // uniform weights: the sweep crosses every multiple in a distinct
+    // row — exactly n selected
+    assert(uni.size == 40)
+    assert(skw.size <= 40 && skw.size >= 30)
+    // PPS bias: heavy rows (id > 200 half, carrying 75% of the mass)
+    // must dominate the skewed stratum's sample
+    val heavy = skw.count(_ > 1200L)
+    assert(heavy > skw.size / 2,
+      s"heavy half underrepresented: $heavy of ${skw.size}")
+  }
+
+  test("ppsSample keeps a heavier-than-threshold row exactly once") {
+    val df = ((1 to 9).map(i => (i.toLong, "g", 1L)) :+ (99L, "g", 1000L))
+      .toDF("id", "g", "w")
+    val got = Curation.ppsSample(df, "id", "g", "w", n = 5)
+      .select("id").as[Long].collect()
+    // the 1000-weight row spans most selection multiples: kept once,
+    // never duplicated, so the sample runs short of n
+    assert(got.count(_ == 99L) == 1)
+    assert(got.length <= 5)
+  }
 }

@@ -50,4 +50,45 @@ class SketchSpec extends AnyFunSuite {
     assert(withDups == noDups,
       s"duplication changed the sketch: $withDups vs $noDups")
   }
+
+  test("kmvQuantiles: strata at or below k report exact quantiles") {
+    // 101 rows, values 0..100 — with k >= 101 the "sample" is the
+    // whole stratum, so quantiles are exact order statistics
+    val df = (0 to 100).map(i => ("g", i.toLong, i.toLong))
+      .toDF("g", "id", "v")
+    val r = Sketch.kmvQuantiles(df, "g", "id", col("v"), k = 128,
+        qs = Seq(("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4)))
+      .collect().head
+    assert(r.getLong(1) == 101L)
+    assert((r.getLong(2), r.getLong(3), r.getLong(4)) == (25L, 50L, 75L))
+  }
+
+  test("kmvQuantiles sample is partitioning-invariant and near-uniform") {
+    val n = 10000
+    val df = (1 to n).map(i => ("g", i.toLong, i.toLong))
+      .toDF("g", "id", "v")
+    def run(parts: Int) =
+      Sketch.kmvQuantiles(df.repartition(parts), "g", "id", col("v"),
+          k = 256, qs = Seq(("p50", 1, 2)))
+        .collect().head
+    val (r1, r32) = (run(1), run(32))
+    assert(r1 == r32, s"partitioning changed the sample: $r1 vs $r32")
+    // a uniform 256-sample of 1..10000 has median ~5000; 4-sigma
+    // binomial bound on the sample median rank ≈ 12.5%
+    val p50 = r1.getLong(2)
+    assert(math.abs(p50 - n / 2.0) / n < 0.2,
+      s"sample median $p50 implausible for uniform 1..$n")
+  }
+
+  test("BottomKSample keeps the min value on a key collision") {
+    val zero = org.apache.spark.sql.catalyst.expressions.Literal(0L)
+    val agg = BottomKSample(zero, zero, k = 4)
+    val a = agg.createAggregationBuffer()
+    a.put(10L, 7L); a.put(20L, 9L)
+    val b = agg.createAggregationBuffer()
+    b.put(10L, 3L); b.put(30L, 1L)
+    val merged = agg.merge(a, b)
+    assert(merged.get(10L) == 3L, "collision must keep the min value")
+    assert(merged.size == 3)
+  }
 }
