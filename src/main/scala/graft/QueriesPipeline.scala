@@ -487,6 +487,16 @@ object QueriesPipeline {
     "qp_text_fingerprint" -> ((s, dir) => {
       TextOps.fingerprintTable(docs(s, dir), "doc_id", "text", k = 4)
         .orderBy("doc_id")
+    }),
+    "qp_quality_gate" -> ((s, dir) => {
+      // Gopher-rule composite filter: every signal + the keep flag
+      TextOps.qualityGate(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+    "qp_ccnet_buckets" -> ((s, dir) => {
+      // CCNet head/middle/tail perplexity tiers per language
+      Curation.perplexityBuckets(docs(s, dir), "doc_id", "lang", "text")
+        .orderBy("lang", "bucket")
     })
   )
 
@@ -501,6 +511,31 @@ object QueriesPipeline {
     s"list_filter(string_split_regex(lower($x), '\\s+'), t -> length(t) > 0)"
   private val dBpe = // DuckDB string literals keep backslashes verbatim
     s"regexp_extract_all(lower(text), '${TextOps.bpePattern}')"
+  /** shared add-k bigram-LM core (fixed-point log-prob sums): yields
+    * `perdoc(doc_id, n_bigrams, s)` for the perplexity oracles. */
+  private lazy val dLmPerDoc =
+    s"""WITH t AS (SELECT doc_id, ${dTokens("text")} AS tok
+       |   FROM documents),
+       | bi AS (SELECT doc_id, split_part(bg, ' ', 1) AS w1,
+       |     split_part(bg, ' ', 2) AS w2
+       |   FROM (SELECT doc_id, unnest(CASE WHEN len(tok) >= 2 THEN
+       |       list_transform(range(len(tok)-1),
+       |         i -> tok[i+1] || ' ' || tok[i+2])
+       |     ELSE [] END) AS bg FROM t)),
+       | docbi AS (SELECT doc_id, w1, w2, count(*) AS occ FROM bi
+       |   GROUP BY doc_id, w1, w2),
+       | pc AS (SELECT w1, w2, CAST(sum(occ) AS BIGINT) AS c12
+       |   FROM docbi GROUP BY w1, w2),
+       | cts AS (SELECT w1, w2, c12,
+       |   CAST(sum(c12) OVER (PARTITION BY w1) AS BIGINT) AS c1 FROM pc),
+       | voc AS (SELECT count(*) AS v FROM
+       |   (SELECT w1 FROM pc UNION SELECT w2 FROM pc)),
+       | terms AS (SELECT d.doc_id, d.occ,
+       |     CAST(round(ln((c.c12 + 0.5) / (c.c1 + 0.5 * voc.v)) * 1e6)
+       |       AS BIGINT) * d.occ AS tt
+       |   FROM docbi d JOIN cts c USING (w1, w2) CROSS JOIN voc),
+       | perdoc AS (SELECT doc_id, CAST(sum(occ) AS BIGINT) AS n_bigrams,
+       |     CAST(sum(tt) AS BIGINT) AS s FROM terms GROUP BY doc_id)""".stripMargin
   private def dMinhashSig(i: Int): String = {
     val (a, b) = minhashCoeffs(i)
     s"list_min(list_transform(hh, h -> ($a * h + $b) % $MinhashP))"
@@ -1164,32 +1199,28 @@ object QueriesPipeline {
          | SELECT q_id, n_id, round(c, 6) AS cos, rnk FROM scored
          | WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
     "qp_lm_perplexity" ->
-      s"""WITH t AS (SELECT doc_id, ${dTokens("text")} AS tok
-         |   FROM documents),
-         | bi AS (SELECT doc_id, split_part(bg, ' ', 1) AS w1,
-         |     split_part(bg, ' ', 2) AS w2
-         |   FROM (SELECT doc_id, unnest(CASE WHEN len(tok) >= 2 THEN
-         |       list_transform(range(len(tok)-1),
-         |         i -> tok[i+1] || ' ' || tok[i+2])
-         |     ELSE [] END) AS bg FROM t)),
-         | docbi AS (SELECT doc_id, w1, w2, count(*) AS occ FROM bi
-         |   GROUP BY doc_id, w1, w2),
-         | pc AS (SELECT w1, w2, CAST(sum(occ) AS BIGINT) AS c12
-         |   FROM docbi GROUP BY w1, w2),
-         | cts AS (SELECT w1, w2, c12,
-         |   CAST(sum(c12) OVER (PARTITION BY w1) AS BIGINT) AS c1 FROM pc),
-         | voc AS (SELECT count(*) AS v FROM
-         |   (SELECT w1 FROM pc UNION SELECT w2 FROM pc)),
-         | terms AS (SELECT d.doc_id, d.occ,
-         |     CAST(round(ln((c.c12 + 0.5) / (c.c1 + 0.5 * voc.v)) * 1e6)
-         |       AS BIGINT) * d.occ AS tt
-         |   FROM docbi d JOIN cts c USING (w1, w2) CROSS JOIN voc),
-         | perdoc AS (SELECT doc_id, CAST(sum(occ) AS BIGINT) AS n_bigrams,
-         |     CAST(sum(tt) AS BIGINT) AS s FROM terms GROUP BY doc_id)
+      s"""$dLmPerDoc
          | SELECT doc_id, n_bigrams,
          |   round(-(s / (n_bigrams * 1e6)), 6) AS nll,
          |   round(exp(-(s / (n_bigrams * 1e6))), 3) AS ppl
          | FROM perdoc ORDER BY doc_id""".stripMargin,
+    "qp_ccnet_buckets" ->
+      // same perdoc LM core; bucket averages aggregate the 3-decimal
+      // ppl as exact integer mills (no float-sum-order drift)
+      s"""$dLmPerDoc,
+         | scored AS (SELECT doc_id,
+         |     round(exp(-(s / (n_bigrams * 1e6))), 3) AS ppl
+         |   FROM perdoc),
+         | j AS (SELECT d.lang, sc.doc_id, sc.ppl FROM scored sc
+         |   JOIN documents d USING (doc_id)),
+         | b AS (SELECT lang, doc_id, ppl,
+         |     ntile(3) OVER (PARTITION BY lang ORDER BY ppl, doc_id)
+         |       AS bucket FROM j)
+         | SELECT lang, bucket, count(*) AS n_docs,
+         |   round(sum(CAST(round(ppl * 1000) AS BIGINT))
+         |     / (count(*) * 1000.0), 4) AS avg_ppl,
+         |   min(ppl) AS min_ppl, max(ppl) AS max_ppl
+         | FROM b GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin,
     "qp_top_bigrams" ->
       s"""WITH t AS (SELECT ${dTokens("text")} AS tok FROM documents),
          | b AS (SELECT unnest(CASE WHEN len(tok) >= 2 THEN
@@ -1295,6 +1326,38 @@ object QueriesPipeline {
       s"""SELECT doc_id, array_to_string(
          |   list_sort(list_transform(${dShingles("text")},
          |     x -> ${dH60("x")}))[1:4], '-') AS fp
-         | FROM documents ORDER BY doc_id""".stripMargin
+         | FROM documents ORDER BY doc_id""".stripMargin,
+    "qp_quality_gate" -> {
+      // stop-probe terms generated from the same Scala list the Spark
+      // side uses; thresholds compare the ROUNDED signal values
+      val stopTerms = TextOps.StopProbe.map(w =>
+        s"CASE WHEN list_contains(tok, '$w') THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH t AS (SELECT doc_id, lower(text) AS lt,
+         |     ${dTokens("text")} AS tok FROM documents),
+         | g AS (SELECT doc_id, lt, tok,
+         |   CASE WHEN len(tok) >= 2 THEN
+         |     list_transform(range(len(tok)-1),
+         |       i -> tok[i+1] || ' ' || tok[i+2])
+         |   ELSE [] END AS grams FROM t),
+         | m AS (SELECT doc_id,
+         |   CAST(len(tok) AS BIGINT) AS n_words,
+         |   round(length(regexp_replace(lt, '\\s+', '', 'g')) * 1.0
+         |     / len(tok), 6) AS mean_word_len,
+         |   round(len(list_filter(tok, x -> regexp_matches(x, '[a-z]')))
+         |     * 1.0 / len(tok), 6) AS alpha_frac,
+         |   ($stopTerms) AS stop_hits,
+         |   round(CASE WHEN len(grams) = 0 THEN 0.0
+         |     ELSE 1.0 - len(list_distinct(grams)) * 1.0 / len(grams)
+         |   END, 6) AS dup_bigram_frac
+         |  FROM g)
+         | SELECT doc_id, n_words, mean_word_len, alpha_frac, stop_hits,
+         |   dup_bigram_frac,
+         |   CASE WHEN n_words BETWEEN 50 AND 100000
+         |     AND mean_word_len BETWEEN 3.0 AND 10.0
+         |     AND alpha_frac >= 0.8 AND stop_hits >= 2
+         |     AND dup_bigram_frac <= 0.2 THEN 1 ELSE 0 END AS pass
+         | FROM m ORDER BY doc_id""".stripMargin
+    }
   )
 }

@@ -134,6 +134,32 @@ object Curation {
       .drop("__r")
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2019, public
+    * paper): per-stratum LM-perplexity terciles (head/middle/tail) —
+    * the quality tiers CCNet keeps, mixes or drops. Scoring is
+    * [[TextOps.lmPerplexity]]'s fixed-point pipeline; bucket
+    * assignment is `ntile` over (ppl, id) — the id tie-break makes
+    * the cut deterministic — in a PER-STRATUM window only (the
+    * stratum bounds the sort; no global order anywhere). The bucket
+    * average aggregates the 3-decimal ppl as exact integer mills, so
+    * no float-summation-order drift can flip the rounded output.
+    * Docs with no bigrams have no score and no bucket. */
+  def perplexityBuckets(df: DataFrame, idCol: String, strataCol: String,
+      textCol: String, nBuckets: Int = 3): DataFrame = {
+    val ppl = TextOps.lmPerplexity(df, idCol, textCol)
+      .select(col(idCol), col("ppl"))
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(col("ppl"), col(idCol))
+    df.select(col(idCol), col(strataCol)).join(ppl, Seq(idCol))
+      .withColumn("bucket", ntile(nBuckets).over(w))
+      .withColumn("__m", round(col("ppl") * 1000).cast("long"))
+      .groupBy(col(strataCol), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(col("__m")) / (count(lit(1)) * 1000.0), 4).as("avg_ppl"),
+        min(col("ppl")).as("min_ppl"),
+        max(col("ppl")).as("max_ppl"))
+  }
+
   /** Deterministic weighted (PPS) sampling without replacement:
     * systematic probability-proportional-to-size selection (Madow
     * 1949) of up to `n` rows per stratum, inclusion probability

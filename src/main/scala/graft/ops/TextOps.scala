@@ -194,6 +194,45 @@ object TextOps {
       regexp_replace(regexp_replace(c, EmailRe, "<EMAIL>"),
         Ipv4Re, "<IP>"), lit(PhoneRe)).as("n_phone"))
 
+  /** Gopher-style composite quality gate (Rae et al. 2021 §A1.1,
+    * public paper): the standard pre-training document filter as one
+    * narrow projection — word-count bounds, mean-word-length band,
+    * alphabetic-word fraction, stopword presence, and the duplicate-
+    * bigram repetition signal, each surfaced as its own column plus
+    * the combined `pass` flag (thresholds compare the ROUNDED values,
+    * so the keep decision reproduces exactly in any engine). No
+    * shuffle, no UDFs — per-doc column math over one tokenize. */
+  val StopProbe: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "on")
+  def qualityGate(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, minWords: Int = 50, maxWords: Int = 100000,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+      minAlphaFrac: Double = 0.8, minStopHits: Int = 2,
+      maxDupFrac: Double = 0.2): org.apache.spark.sql.DataFrame =
+    df.withColumn("__tok", tokensWs(col(textCol)))
+      .withColumn("n_words", size(col("__tok")).cast("long"))
+      .withColumn("mean_word_len", round(
+        length(regexp_replace(lower(col(textCol)), "\\s+", ""))
+          .cast("double") / col("n_words"), 6))
+      .withColumn("alpha_frac", round(
+        size(filter(col("__tok"), t => t.rlike("[a-z]"))).cast("double")
+          / col("n_words"), 6))
+      .withColumn("stop_hits", StopProbe
+        .map(w => array_contains(col("__tok"), w).cast("int"))
+        .reduce(_ + _))
+      .withColumn("dup_bigram_frac",
+        round(repetitionFraction(col("__tok"), 2), 6))
+      .withColumn("pass",
+        (col("n_words") >= minWords && col("n_words") <= maxWords &&
+          col("mean_word_len") >= minMeanLen &&
+          col("mean_word_len") <= maxMeanLen &&
+          col("alpha_frac") >= minAlphaFrac &&
+          col("stop_hits") >= minStopHits &&
+          col("dup_bigram_frac") <= maxDupFrac).cast("int"))
+      .select(col(idCol), col("n_words"), col("mean_word_len"),
+        col("alpha_frac"), col("stop_hits"), col("dup_bigram_frac"),
+        col("pass"))
+
   /** canonical text normalization for exact-dedup keys: lower-case,
     * strip non-alphanumerics, collapse whitespace. */
   def normalizeText(c: Column): Column =

@@ -231,6 +231,24 @@ class OpsHygieneSpec extends AnyFunSuite {
       s"heavy half underrepresented: $heavy of ${skw.size}")
   }
 
+  test("qualityGate trips each Gopher rule independently") {
+    val good = ("the quick brown fox jumps over a lazy dog and then " +
+      "runs far into the deep green woods to rest on soft moss for " +
+      "a long while before it turns back home past the old mill and " +
+      "keeps going on and on with more of these plain common words " +
+      "that keep the meaning simple and the sentences easy to read")
+    val docs = Seq(
+      (1L, good),                                    // passes all rules
+      (2L, "too short to pass"),                     // word count
+      (3L, Seq.fill(60)("x").mkString(" ")),         // mean len < 3 + stops
+      (4L, Seq.fill(30)("the dog barks").mkString(" "))) // repetition
+      .toDF("doc_id", "text")
+    val got = TextOps.qualityGate(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getInt(6)).toMap
+    assert(got == Map(1L -> 1, 2L -> 0, 3L -> 0, 4L -> 0))
+  }
+
   test("ppsSample keeps a heavier-than-threshold row exactly once") {
     val df = ((1 to 9).map(i => (i.toLong, "g", 1L)) :+ (99L, "g", 1000L))
       .toDF("id", "g", "w")
