@@ -421,6 +421,23 @@ object QueriesPipeline {
         "lang", col("bg"), k = 256)
         .orderBy("lang")
     }),
+    "qp_kmv_rollup" -> ((s, dir) => {
+      // per-language distinct-bigram estimates PLUS the corpus total
+      // in one aggregation pass — sketch states merge up the rollup
+      // (exact COUNT(DISTINCT) would need a second global shuffle)
+      graft.ops.Sketch.kmvDistinctRollup(
+        graft.ops.Partitioning.spread(docs(s, dir)).select(col("lang"),
+          explode(TextOps.bigrams(tokensWs(col("text")))).as("bg")),
+        "lang", col("bg"), k = 256)
+        .orderBy("lang")
+    }),
+    "qp_source_centroids" -> ((s, dir) => {
+      // per-label mean embedding (domain centroids): fixed-point sums
+      // so the per-dim means are bit-identical across engines
+      graft.ops.Similarity.meanEmbedding(embs(s, dir), "label",
+          "embedding")
+        .orderBy("label", "dim")
+    }),
     "qp_kmv_quantiles" -> ((s, dir) => {
       // per-language doc-length quantiles from the deterministic
       // bottom-k-by-hash uniform sample (k=128) — bounded state,
@@ -1246,6 +1263,45 @@ object QueriesPipeline {
          |     / max(CASE WHEN rn = 256 THEN hv END)) AS BIGINT)
          |   END AS est_distinct
          | FROM r GROUP BY lang ORDER BY lang""".stripMargin,
+    "qp_kmv_rollup" ->
+      // per-lang rows ∪ the '<all>' total, same estimator constants
+      s"""WITH t AS (SELECT lang, ${dTokens("text")} AS tok FROM documents),
+         | b AS (SELECT lang, unnest(CASE WHEN len(tok) >= 2 THEN
+         |     list_transform(range(len(tok)-1),
+         |       i -> tok[i+1] || ' ' || tok[i+2])
+         |   ELSE [] END) AS bg FROM t),
+         | h AS (SELECT DISTINCT lang, ${dH60("bg")} AS hv FROM b),
+         | r AS (SELECT lang, hv,
+         |     row_number() OVER (PARTITION BY lang ORDER BY hv) AS rn,
+         |     count(*) OVER (PARTITION BY lang) AS nd FROM h),
+         | g AS (SELECT DISTINCT hv FROM h),
+         | rg AS (SELECT hv, row_number() OVER (ORDER BY hv) AS rn,
+         |     count(*) OVER () AS nd FROM g),
+         | per AS (SELECT lang, CASE WHEN max(nd) < 256 THEN max(nd)
+         |   ELSE CAST(round(${255 * graft.ops.Sketch.HashSpace}
+         |     / max(CASE WHEN rn = 256 THEN hv END)) AS BIGINT)
+         |   END AS est_distinct
+         |  FROM r GROUP BY lang),
+         | tot AS (SELECT '<all>' AS lang,
+         |   CASE WHEN max(nd) < 256 THEN max(nd)
+         |   ELSE CAST(round(${255 * graft.ops.Sketch.HashSpace}
+         |     / max(CASE WHEN rn = 256 THEN hv END)) AS BIGINT)
+         |   END AS est_distinct FROM rg)
+         | SELECT lang, est_distinct FROM per
+         | UNION ALL SELECT lang, est_distinct FROM tot
+         | ORDER BY lang""".stripMargin,
+    "qp_source_centroids" ->
+      // identical fixed-point dimension-wise mean (micro-unit sums)
+      s"""WITH e0 AS (SELECT label, embedding::DOUBLE[] AS v
+         |   FROM embeddings),
+         | u AS (SELECT label,
+         |     CAST(generate_subscripts(v, 1) - 1 AS INT) AS dim,
+         |     unnest(v) AS x FROM e0)
+         | SELECT label, dim,
+         |   sum(CAST(round(x * 1e6) AS BIGINT))::BIGINT
+         |     / (count(*) * 1e6) AS c,
+         |   count(*) AS n_members
+         | FROM u GROUP BY label, dim ORDER BY label, dim""".stripMargin,
     "qp_kmv_quantiles" ->
       // identical bottom-k-by-hash sample + integer rank indexing
       // (k = 128; collision rule: duplicate hash keeps min value)

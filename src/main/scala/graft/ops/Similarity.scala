@@ -342,6 +342,29 @@ object Similarity {
     withCell.join(drops, Seq(idCol), "left_anti")
   }
 
+  /** Per-stratum mean embedding (domain/source centroids — the
+    * summary vectors that drive mixture design, drift monitoring and
+    * cluster seeding): dimension-wise mean in long form (stratum,
+    * dim, c, n_members). The mean is FIXED-POINT (the k-means rule):
+    * values quantize to integer micro-units, the sum is exact integer
+    * arithmetic, and the final exact-int / exact-double quotient is
+    * bit-identical on any engine — float summation order can never
+    * flip a rounding boundary. ONE posexplode → partial-combining
+    * (stratum, dim) aggregation; result is strata × dim rows
+    * (control-plane sized), never a collected corpus. */
+  def meanEmbedding(df: DataFrame, strataCol: String,
+      vecCol: String): DataFrame =
+    Partitioning.spread(df)
+      .select(col(strataCol),
+        posexplode(col(vecCol).cast("array<double>"))
+          .as(Seq("dim", "__x")))
+      .groupBy(col(strataCol), col("dim"))
+      .agg(sum(round(col("__x") * 1e6).cast("long")).as("__sx"),
+        count(lit(1)).as("n_members"))
+      .select(col(strataCol), col("dim"),
+        (col("__sx") / (col("n_members") * 1e6)).as("c"),
+        col("n_members"))
+
   /** Symmetric int8 quantization of an embedding column: per-vector
     * scale = max|x|/127, values round to [-127, 127]. At 100 TB this
     * is the 4× storage/IO cut that makes the embedding corpus

@@ -45,18 +45,39 @@ object Sketch {
     * exploding from a small single-file input spread BEFORE the
     * explode (spreading here would shuffle every exploded row). */
   def kmvDistinct(df: DataFrame, strataCol: String, value: Column,
-      k: Int): DataFrame = {
+      k: Int): DataFrame =
+    kmvEstimate(hashed(df, strataCol, value), h => h.groupBy(col(strataCol)),
+      strataCol, k)
+
+  /** [[kmvDistinct]] over `ROLLUP(strata)`: per-stratum estimates AND
+    * the all-strata total out of the SAME single aggregation pass —
+    * possible because bottom-k states MERGE (the sketch property;
+    * exact COUNT(DISTINCT) would need a second global shuffle of
+    * every distinct value). The total row surfaces as stratum
+    * `<all>`. */
+  def kmvDistinctRollup(df: DataFrame, strataCol: String, value: Column,
+      k: Int): DataFrame =
+    kmvEstimate(hashed(df, strataCol, value), h => h.rollup(col(strataCol)),
+      strataCol, k)
+      .withColumn(strataCol, coalesce(col(strataCol), lit("<all>")))
+
+  // Hash in a SEPARATE projection, not as the aggregate child: a
+  // TypedImperativeAggregate evaluates its child with interpreted
+  // Expression.eval per input row, while md5/conv in a project stay
+  // inside whole-stage codegen (measured 9.7 s -> ~1.4 s at sf0.1).
+  private def hashed(df: DataFrame, strataCol: String,
+      value: Column): DataFrame =
+    df.select(col(strataCol), TextOps.hash60(value).as("__h"))
+
+  private def kmvEstimate(h: DataFrame,
+      group: DataFrame => org.apache.spark.sql.RelationalGroupedDataset,
+      strataCol: String, k: Int): DataFrame = {
     require(k >= 2, "KMV needs k >= 2")
-    // Hash in a SEPARATE projection, not as the aggregate child: a
-    // TypedImperativeAggregate evaluates its child with interpreted
-    // Expression.eval per input row, while md5/conv in a project stay
-    // inside whole-stage codegen (measured 9.7 s -> ~1.4 s at sf0.1).
-    val hashed = df.select(col(strataCol), TextOps.hash60(value).as("__h"))
     val mins = GraftColumnBridge.column(
       BottomKDistinct(
         GraftColumnBridge.expression(col("__h")), k)
         .toAggregateExpression())
-    hashed.groupBy(col(strataCol))
+    group(h)
       .agg(mins.as("__mins"))
       .select(col(strataCol),
         when(size(col("__mins")) < k,

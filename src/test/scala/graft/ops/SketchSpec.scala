@@ -51,6 +51,22 @@ class SketchSpec extends AnyFunSuite {
       s"duplication changed the sketch: $withDups vs $noDups")
   }
 
+  test("rollup total equals the unstratified sketch (merge property)") {
+    // the '<all>' row must be THE bottom-k of the union — i.e. the
+    // same answer a single-group sketch gives, regardless of how the
+    // per-stratum states were partitioned before merging
+    val df = (1 to 5000).map(i => (s"g${i % 5}", s"v${i % 1717}"))
+      .toDF("g", "v")
+    val rolled = Sketch.kmvDistinctRollup(df.repartition(13), "g",
+        col("v"), k = 128)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val flat = Sketch.kmvDistinct(
+        df.withColumn("g", lit("x")), "g", col("v"), k = 128)
+      .collect().head.getLong(1)
+    assert(rolled("<all>") == flat)
+    assert(rolled.size == 6)
+  }
+
   test("kmvQuantiles: strata at or below k report exact quantiles") {
     // 101 rows, values 0..100 — with k >= 101 the "sample" is the
     // whole stratum, so quantiles are exact order statistics

@@ -189,6 +189,36 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("KMV distinct sketch aggregates incrementally over a stream") {
+    // the bounded-state sketch works as a STREAMING aggregate: the
+    // bottom-k buffer is the state-store value per group and merges
+    // across micro-batches — a live distinct-users-per-type estimate
+    // with <= k longs of state per key, no distinct-value state blowup
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val est = graft.ops.Sketch.kmvDistinct(
+      input.toDF(), "event_type", col("user_id").cast("string"), k = 64)
+    val q = est.writeStream.format("memory").queryName("kmv_stream")
+      .outputMode("complete").start()
+    try {
+      input.addData((1 to 20).map(i => ev(i.toLong, 1, i % 7, "click", 1.0)): _*)
+      q.processAllAvailable()
+      val afterB1 = spark.table("kmv_stream").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(afterB1 == Map("click" -> 7L))
+      // second batch: 5 new users + all 7 repeats — the merged state
+      // must count exactly the 12 distinct users seen across batches
+      input.addData((21 to 40).map(i =>
+        ev(i.toLong, 2, i % 12, "click", 1.0)): _*)
+      q.processAllAvailable()
+      val afterB2 = spark.table("kmv_stream").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(afterB2 == Map("click" -> 12L),
+        s"cross-batch sketch state must merge: $afterB2")
+    } finally q.stop()
+  }
+
   test("sessionization with event-time gap timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
