@@ -184,6 +184,31 @@ class PlanShapeSpec extends AnyFunSuite {
       .findAllIn(lm.split("== Initial Plan ==").head).length <= 1, lm)
   }
 
+  test("round-6 operators keep their scale shape") {
+    // KMV sketch: ONE exchange, carrying <= k-long buffers per group
+    // (partial bottom_k_distinct before it), and the hash60 lives in
+    // a codegen'd Project, never as the interpreted aggregate child
+    val kmv = finalPlan(df("qp_kmv_distinct"))
+    assert("partial_bottom_k_distinct".r.findAllIn(
+      kmv.split("== Initial Plan ==").head).nonEmpty, kmv)
+    assert(!kmv.contains("Window"), kmv)
+    // quality gate: per-doc column math only — no shuffle at all
+    // (the op itself, without the gate query's presentation orderBy)
+    val qg = finalPlan(graft.ops.TextOps.qualityGate(
+      graft.sources.Tables.load(spark, sf, "documents"), "doc_id", "text"))
+    assert(!qg.contains("Exchange") && !qg.contains("Join"), qg)
+    // PPS sample: both windows (running + total weight) ride ONE hash
+    // exchange; the only other exchange is the deliberate spread
+    val pps = finalPlan(df("qp_pps_sample"))
+    val fin = pps.split("== Initial Plan ==").head
+    assert("windowspecdefinition".r.findAllIn(fin).length >= 2, pps)
+    assert("Exchange hashpartitioning".r.findAllIn(fin).length == 1, pps)
+    // mean embedding: partial-combining (stratum, dim) aggregation
+    val cent = finalPlan(df("qp_source_centroids"))
+    assert(cent.split("== Initial Plan ==").head.contains("partial_sum"),
+      cent)
+  }
+
   test("indexed CONTAINSTEXT probes the posting table, not the corpus") {
     // fresh sessions: the shared cached dialect session may already
     // carry the index after EntrySmokeSpec ran qd_containstext_idx

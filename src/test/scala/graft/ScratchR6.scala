@@ -41,5 +41,29 @@ package graft
   * qp_exact_substring 1.66 s before, 1.64 s after (sf0.1, 5-round
   * medians) — same cost at uniform sf0.1, bounded cost under the
   * boilerplate-span skew OpsHygieneSpec injects.
+  *
+  * == 4. qp_kmv_distinct 9.7 s → 0.54 s (the round's big perf bug) ==
+  * Two compounding mistakes in the first KMV shipment, both fixed:
+  *  (a) hash60 was the CHILD of the TypedImperativeAggregate, so md5
+  *      ran through interpreted Expression.eval per bigram row
+  *      (TypedImperativeAggregate children never codegen). Hoisting
+  *      the hash into a projection: 9.7 → 6.5 s.
+  *  (b) kmvDistinct spread() its input AFTER the bigram explode —
+  *      a full round-robin shuffle of every bigram string. Spreading
+  *      the small docs frame BEFORE the explode: 6.5 → 0.81 s
+  *      isolated (0.54 in-suite). Lesson: spread() belongs on the
+  *      compact pre-explosion frame; a post-explode repartition
+  *      shuffles the blown-up rows.
+  * Plus a quick-reject in update() (full buffer + value ≥ k-th min →
+  * skip the boxed TreeSet insert), carried into BottomKSample.
+  *
+  * == 5. Native text expressions (WsTokens/CharShingles/WordNgrams) ==
+  * The HOF forms paid an interpreted lambda per ELEMENT on the
+  * innermost loop of every text operator. One compiled scan per row
+  * (property-pinned bit-identical, incl. NBSP/CJK): in-suite sf0.1
+  * deltas — text_stats 846→685, text_fingerprint 1493→1113,
+  * minhash_pairs 2607→2199, exact_substring 2339→2077, top_bigrams
+  * 1006→832, tfidf_top 1433→1337, lm_perplexity 2756→2654 ms.
+  * Whole-suite total 99.3 s (110 queries) → 96.8 s (117 queries).
   */
 object ScratchR6
