@@ -510,6 +510,18 @@ object QueriesPipeline {
       TextOps.qualityGate(docs(s, dir), "doc_id", "text")
         .orderBy("doc_id")
     }),
+    "qp_chunk_docs" -> ((s, dir) => {
+      // RAG-style chunking: 20-token chunks, 5-token overlap —
+      // chunk count is pure integer math, exactly reproducible
+      Curation.chunkDocs(docs(s, dir), "doc_id", "text",
+          chunkSize = 20, overlap = 5)
+        .orderBy("doc_id", "chunk_id")
+    }),
+    "qp_oov_rate" -> ((s, dir) => {
+      // vocabulary coverage vs the corpus top-500 (tie-broken) vocab
+      TextOps.oovRate(docs(s, dir), "doc_id", "text", vocabSize = 500)
+        .orderBy("doc_id")
+    }),
     "qp_ccnet_buckets" -> ((s, dir) => {
       // CCNet head/middle/tail perplexity tiers per language
       Curation.perplexityBuckets(docs(s, dir), "doc_id", "lang", "text")
@@ -1383,6 +1395,35 @@ object QueriesPipeline {
          |   list_sort(list_transform(${dShingles("text")},
          |     x -> ${dH60("x")}))[1:4], '-') AS fp
          | FROM documents ORDER BY doc_id""".stripMargin,
+    "qp_chunk_docs" ->
+      // same integer chunk count: 1 + ceil((n-20)/15) via //, slices
+      // clamp at the token-array end on both engines
+      s"""WITH t AS (SELECT doc_id, ${dTokens("text")} AS tok
+         |   FROM documents),
+         | n AS (SELECT doc_id, tok, CAST(len(tok) AS BIGINT) AS n
+         |   FROM t WHERE len(tok) > 0),
+         | c AS (SELECT doc_id, tok, n,
+         |   unnest(range(1 + greatest(0, (n - 20 + 15 - 1) // 15)))
+         |     AS chunk_id FROM n)
+         | SELECT doc_id, chunk_id,
+         |   array_to_string(tok[chunk_id*15+1 : chunk_id*15+20], ' ')
+         |     AS chunk_text,
+         |   CAST(len(tok[chunk_id*15+1 : chunk_id*15+20]) AS BIGINT)
+         |     AS n_tokens
+         | FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    "qp_oov_rate" ->
+      // same top-500 vocab cut (count desc, token asc tie-break)
+      s"""WITH tok AS (SELECT doc_id, unnest(${dTokens("text")}) AS t
+         |   FROM documents),
+         | freq AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+         | voc AS (SELECT t FROM freq
+         |   ORDER BY c DESC, t LIMIT 500)
+         | SELECT doc_id, count(*) AS n_tokens,
+         |   count(CASE WHEN voc.t IS NULL THEN 1 END) AS n_oov,
+         |   round(count(CASE WHEN voc.t IS NULL THEN 1 END) * 1.0
+         |     / count(*), 6) AS oov_rate
+         | FROM tok LEFT JOIN voc USING (t)
+         | GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "qp_quality_gate" -> {
       // stop-probe terms generated from the same Scala list the Spark
       // side uses; thresholds compare the ROUNDED signal values

@@ -191,6 +191,33 @@ object Curation {
       .drop("__hk", "__cum", "__tot")
   }
 
+  /** Fixed-size token chunking with overlap — how long documents are
+    * split before embedding (RAG / retrieval corpora): chunk k covers
+    * tokens [k·step, k·step + chunkSize) with step = chunkSize −
+    * overlap; the last chunk may run short, and chunk COUNT is pure
+    * integer math (`1 + ceil((n − chunkSize)/step)` via div), so the
+    * split reproduces exactly in any engine. One tokenize + explode
+    * of chunk INDICES (token arrays never duplicate per chunk until
+    * the final codegen'd slice) — no shuffle beyond the spread;
+    * token-less docs yield no chunks. */
+  def chunkDocs(df: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, overlap: Int): DataFrame = {
+    require(overlap >= 0 && overlap < chunkSize,
+      s"need 0 <= overlap < chunkSize, got $overlap/$chunkSize")
+    val step = chunkSize - overlap
+    Partitioning.spread(df)
+      .select(col(idCol), tokensWs(col(textCol)).as("__tok"))
+      .withColumn("__n", size(col("__tok")).cast("long"))
+      .filter(col("__n") > 0)
+      .withColumn("chunk_id", explode(sequence(lit(0L),
+        greatest(lit(0L), expr(s"(__n - $chunkSize + $step - 1) div $step")))))
+      .withColumn("__chunk", slice(col("__tok"),
+        (col("chunk_id") * step + 1).cast("int"), lit(chunkSize)))
+      .select(col(idCol), col("chunk_id"),
+        array_join(col("__chunk"), " ").as("chunk_text"),
+        size(col("__chunk")).cast("long").as("n_tokens"))
+  }
+
   /** Sequence packing: lay the corpus out as a token stream per
     * partition key (documents may span bin boundaries, GPT-style) and
     * bin by the document's starting offset — bin = floor(start/budget)

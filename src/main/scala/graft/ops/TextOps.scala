@@ -194,6 +194,37 @@ object TextOps {
       regexp_replace(regexp_replace(c, EmailRe, "<EMAIL>"),
         Ipv4Re, "<IP>"), lit(PhoneRe)).as("n_phone"))
 
+  /** Vocabulary-coverage (OOV) scoring: per-doc fraction of token
+    * occurrences outside the corpus's top-`vocabSize` vocabulary — a
+    * direct "will the tokenizer/model see this as noise" signal (high
+    * OOV → wrong language, encoding damage, or boilerplate junk).
+    * The exploded (id, token) frame is persisted for the call's scope
+    * and feeds BOTH the vocab ranking and the per-doc aggregate (one
+    * corpus tokenize, not two); the vocab is a top-N TakeOrdered
+    * (count desc, token asc — the tie-break makes the cut
+    * deterministic) and broadcasts; docs then see one LEFT broadcast
+    * join + one partial-combining per-doc aggregate. */
+  def oovRate(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, vocabSize: Int): org.apache.spark.sql.DataFrame = {
+    val exploded = Partitioning.spread(df)
+      .select(col(idCol), explode(tokensWs(col(textCol))).as("__t"))
+      .persist()
+    val vocab = broadcast(exploded.groupBy(col("__t"))
+      .agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("__t"))
+      .limit(vocabSize)
+      .select(col("__t"), lit(1).as("__in")))
+    val out = exploded.join(vocab, Seq("__t"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("__in").isNull, 1)).as("n_oov"))
+      .withColumn("oov_rate",
+        round(col("n_oov").cast("double") / col("n_tokens"), 6))
+      .localCheckpoint()
+    exploded.unpersist()
+    out
+  }
+
   /** Gopher-style composite quality gate (Rae et al. 2021 §A1.1,
     * public paper): the standard pre-training document filter as one
     * narrow projection — word-count bounds, mean-word-length band,

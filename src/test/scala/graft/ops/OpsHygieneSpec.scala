@@ -231,6 +231,30 @@ class OpsHygieneSpec extends AnyFunSuite {
       s"heavy half underrepresented: $heavy of ${skw.size}")
   }
 
+  test("chunkDocs: overlap, short docs, exact multiples, coverage") {
+    val docs = Seq(
+      (1L, (1 to 25).map(i => s"t$i").mkString(" ")), // 2 chunks
+      (2L, (1 to 7).map(i => s"t$i").mkString(" ")),  // short: 1 chunk
+      (3L, (1 to 35).map(i => s"t$i").mkString(" ")), // exact 20+15
+      (4L, ""))                                       // token-less: none
+      .toDF("doc_id", "text")
+    val got = Curation.chunkDocs(docs, "doc_id", "text", 20, 5)
+      .orderBy("doc_id", "chunk_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val byDoc = got.groupBy(_._1)
+    assert(!byDoc.contains(4L))
+    assert(byDoc(2L).map(_._4).toSeq == Seq(7L))
+    // doc 1: chunk 0 = t1..t20, chunk 1 = t16..t25 (5-token overlap)
+    assert(byDoc(1L).map(_._2).toSeq == Seq(0L, 1L))
+    assert(byDoc(1L)(0)._3.endsWith("t20") && byDoc(1L)(1)._3.startsWith("t16"))
+    assert(byDoc(1L)(1)._4 == 10L)
+    // doc 3 (n=35): starts 0 and 15 cover all 35 tokens, no third chunk
+    assert(byDoc(3L).map(_._4).toSeq == Seq(20L, 20L))
+    // every token appears in at least one of its doc's chunks
+    val covered = byDoc(1L).flatMap(_._3.split(" ")).toSet
+    assert((1 to 25).forall(i => covered.contains(s"t$i")))
+  }
+
   test("qualityGate trips each Gopher rule independently") {
     val good = ("the quick brown fox jumps over a lazy dog and then " +
       "runs far into the deep green woods to rest on soft moss for " +
