@@ -35,6 +35,14 @@ object QueriesGraph {
         .select(col("id"), round(col("rank"), 4).as("rank"))
         .orderBy(col("id"))
     }),
+    "qg_ppr" -> ((s, dir) => {
+      // personalized PageRank from customers {1,2,3}: teleport mass
+      // restricted to the source set — "records related to these"
+      GraphOps.personalizedPageRankDF(TradeGraph.vertices(s, dir),
+          TradeGraph.edges(s, dir), sources = Seq(1L, 2L, 3L), iters = 5)
+        .select(col("id"), round(col("rank"), 6).as("rank"))
+        .orderBy(col("id"))
+    }),
     "qg_connected_components" -> ((s, dir) => {
       GraphOps.connectedComponents(s, TradeGraph.vertices(s, dir),
           TradeGraph.edges(s, dir))
@@ -92,6 +100,30 @@ object QueriesGraph {
        | v AS (SELECT c_custkey AS id FROM customer
        |   UNION ALL SELECT s_suppkey + $Off FROM supplier)""".stripMargin
 
+  /** unrolled personalized PageRank: teleport only to the source set
+    * (constants interpolated from the SAME Scala doubles the engine
+    * uses — double toString round-trips exactly). */
+  private def pprSql(iters: Int, sources: Seq[Long]): String = {
+    val share = 1.0 / sources.size
+    val reset = 0.15 * share
+    val inSet = sources.mkString("(", ", ", ")")
+    val rounds = (1 to iters).map { t =>
+      s"""m$t AS MATERIALIZED (SELECT e.dst AS id, sum(r${t - 1}.rank / od.outdeg) AS m
+         |  FROM e JOIN od USING (src) JOIN r${t - 1} ON r${t - 1}.id = e.src
+         |  GROUP BY e.dst),
+         | r$t AS MATERIALIZED (SELECT v.id,
+         |  CASE WHEN v.id IN $inSet THEN $reset ELSE 0.0 END
+         |    + 0.85 * coalesce(m.m, 0) AS rank
+         |  FROM v LEFT JOIN m$t m ON m.id = v.id)""".stripMargin
+    }.mkString(",\n ")
+    s"""WITH $edgesCte,
+       | od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+       | r0 AS (SELECT id, CASE WHEN id IN $inSet THEN $share
+       |   ELSE 0.0 END AS rank FROM v),
+       | $rounds
+       | SELECT id, round(rank, 6) AS rank FROM r$iters ORDER BY id""".stripMargin
+  }
+
   /** unrolled GraphX-rule PageRank (rank₀=1; r=0.15+0.85·Σ in/outdeg) */
   private def pagerankSql(iters: Int): String = {
     val rounds = (1 to iters).map { t =>
@@ -143,6 +175,7 @@ object QueriesGraph {
          | ORDER BY v.id""".stripMargin,
     "qg_pagerank" -> pagerankSql(3),
     "qg_pagerank10" -> pagerankSql(10),
+    "qg_ppr" -> pprSql(5, Seq(1L, 2L, 3L)),
     "qg_connected_components" -> ccSql(12),
     "qg_shortest_paths" ->
       // bounded recursive BFS; UNION (not ALL) dedups (id, dist) rows

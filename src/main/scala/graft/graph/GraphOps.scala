@@ -2,7 +2,7 @@ package graft.graph
 
 import org.apache.spark.graphx.{Edge, Graph, VertexId}
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -55,7 +55,31 @@ object GraphOps {
     * each iteration is one broadcast-free equi-join + partial-agg
     * shuffle on dst. Deterministic enough to oracle at 4 decimals. */
   def pageRankDF(vertices: DataFrame, edges: DataFrame,
-      iters: Int): DataFrame = {
+      iters: Int): DataFrame =
+    prCore(vertices, edges, iters, _ => lit(1.0), _ => lit(0.15))
+
+  /** Personalized PageRank — relevance relative to a SOURCE SET
+    * (reference-style "find related records" over the graph surface):
+    * teleport mass goes only to the sources (uniform 1/|S|), so
+    * rank₀ = 1/|S| on sources (0 elsewhere) and
+    * rankₜ = (id ∈ S ? 0.15/|S| : 0) + 0.85·Σ_in rankₜ₋₁/outdeg.
+    * Same declarative per-iteration plan as [[pageRankDF]] (one
+    * equi-join + partial-agg shuffle, lineage truncated per 3
+    * rounds); unreached vertices report rank 0. */
+  def personalizedPageRankDF(vertices: DataFrame, edges: DataFrame,
+      sources: Seq[Long], iters: Int): DataFrame = {
+    require(sources.nonEmpty, "personalized PageRank needs sources")
+    val share = 1.0 / sources.size
+    prCore(vertices, edges, iters,
+      id => when(id.isin(sources: _*), lit(share)).otherwise(lit(0.0)),
+      id => when(id.isin(sources: _*), lit(0.15 * share))
+        .otherwise(lit(0.0)))
+  }
+
+  /** shared power-iteration core: `init` seeds rank₀ per id, `reset`
+    * is the per-id teleport term added each round. */
+  private def prCore(vertices: DataFrame, edges: DataFrame, iters: Int,
+      init: Column => Column, reset: Column => Column): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     // (src, dst, outdeg) and the vertex-id set are loop-invariant:
@@ -77,13 +101,13 @@ object GraphOps {
       .unionByName(ids.select(col("id").as("src"), col("id").as("dst"),
         lit(null).cast("long").as("outdeg")))
       .persist()
-    var ranks = ids.withColumn("rank", lit(1.0))
+    var ranks = ids.withColumn("rank", init(col("id")))
     for (i <- 1 to iters) {
       ranks = contrib.join(ranks, contrib("src") === ranks("id"))
         .select(col("dst"), (col("rank") / col("outdeg")).as("msg"))
         .groupBy("dst").agg(sum("msg").as("msgSum"))
         .select(col("dst").as("id"),
-          (lit(0.15) + lit(0.85) * coalesce(col("msgSum"), lit(0.0)))
+          (reset(col("dst")) + lit(0.85) * coalesce(col("msgSum"), lit(0.0)))
             .as("rank"))
       // truncate lineage every 3 rounds (same pattern as Traverse):
       // the nested join+agg plan otherwise grows linearly with iters,

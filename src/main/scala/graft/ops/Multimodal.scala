@@ -71,10 +71,12 @@ object Multimodal {
     }
   }
 
-  /** REAL header decode for the two container formats plain byte
+  /** REAL header decode for the container formats plain byte
     * arithmetic can handle without codec libraries — BMP (dimensions
-    * from the BITMAPINFOHEADER) and RIFF/WAVE (sample rate, channels
-    * and frame count from the fmt/data chunks) — falling back to
+    * from the BITMAPINFOHEADER), RIFF/WAVE (sample rate, channels
+    * and frame count from the fmt/data chunks), PNG (IHDR dims — the
+    * IHDR chunk is mandatory and first, RFC 2083) and GIF87a/89a
+    * (logical screen size) — falling back to
     * [[decodeStub]] for everything else. Output mapping: images use
     * (width, height, 1 frame); audio uses (sample_rate, channels,
     * sample_frames) in the same three slots, keeping one decoded
@@ -84,6 +86,8 @@ object Multimodal {
     def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
     def le32(i: Int): Int =
       u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    def be32(i: Int): Int =
+      (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
     def ascii(i: Int, n: Int) = new String(payload, i, n, "US-ASCII")
     val n = payload.length
     if (n >= 26 && payload(0) == 'B' && payload(1) == 'M') {
@@ -111,6 +115,13 @@ object Multimodal {
       }
       val frames = if (blockAlign > 0) (dataLen / blockAlign).toInt else 0
       (rate, channels, frames, sampleFeature(payload, featureDim))
+    } else if (n >= 24 && be32(0) == 0x89504e47 && be32(4) == 0x0d0a1a0a) {
+      // PNG: the IHDR chunk is mandatory and FIRST (RFC 2083 §4.1.1),
+      // so width/height are big-endian int32 at fixed bytes 16/20
+      (be32(16), be32(20), 1, sampleFeature(payload, featureDim))
+    } else if (n >= 10 && (ascii(0, 6) == "GIF87a" || ascii(0, 6) == "GIF89a")) {
+      // GIF: logical screen width/height, little-endian uint16 at 6/8
+      (le16(6), le16(8), 1, sampleFeature(payload, featureDim))
     } else decodeStub(payload, featureDim)
   }
 

@@ -80,11 +80,42 @@ class MultimodalSpec extends AnyFunSuite {
       out(0).getAs[Int]("height") == 17)
     assert(out(1).getAs[Int]("width") == 8000 &&
       out(1).getAs[Int]("n_frames") == 64)
-    // non-BMP/WAV payloads still take the documented stub path
+    // non-decodable payloads still take the documented stub path
     val stub = Multimodal.decodeMedia("plain text".getBytes, 4)
     val expect = Multimodal.decodeStub("plain text".getBytes, 4)
     assert((stub._1, stub._2, stub._3) == (expect._1, expect._2, expect._3))
     assert(stub._4.sameElements(expect._4))
+  }
+
+  test("decodeMedia parses real PNG and GIF headers (no stub)") {
+    import java.nio.ByteBuffer
+    // PNG: 8-byte signature + IHDR chunk (len, 'IHDR', width/height
+    // big-endian int32 at bytes 16/20)
+    def png(w: Int, h: Int): Array[Byte] = {
+      val b = ByteBuffer.allocate(33) // big-endian by default
+      b.putInt(0x89504e47).putInt(0x0d0a1a0a)
+      b.putInt(13).put("IHDR".getBytes("US-ASCII"))
+      b.putInt(w).putInt(h)
+      b.put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+      b.array()
+    }
+    // GIF89a: 6-byte signature + logical screen w/h as uint16 LE
+    def gif(w: Int, h: Int): Array[Byte] = {
+      val b = ByteBuffer.allocate(13)
+      b.put("GIF89a".getBytes("US-ASCII"))
+      b.put((w & 0xff).toByte).put(((w >> 8) & 0xff).toByte)
+      b.put((h & 0xff).toByte).put(((h >> 8) & 0xff).toByte)
+      b.put(0.toByte).put(0.toByte).put(0.toByte)
+      b.array()
+    }
+    val (pw, ph, pf, pfeat) = Multimodal.decodeMedia(png(1920, 1080), 8)
+    assert((pw, ph, pf) == (1920, 1080, 1))
+    assert(pfeat.length == 8)
+    val (gw, gh, gf, _) = Multimodal.decodeMedia(gif(320, 200), 8)
+    assert((gw, gh, gf) == (320, 200, 1))
+    // a GIF87a signature decodes too
+    val g87 = gif(64, 32); g87(4) = '7'.toByte
+    assert(Multimodal.decodeMedia(g87, 4)._1 == 64)
   }
 
   test("resize clamps the longest side") {
