@@ -219,6 +219,35 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateless curation stages run unchanged on a stream") {
+    // qualityGate / redactPii / chunkDocs are narrow projections, so
+    // the SAME operators drive streaming ingestion curation — no
+    // stream-specific variants needed
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val staged = graft.ops.Curation.chunkDocs(
+      input.toDF().toDF("doc_id", "text")
+        .withColumn("text", graft.ops.TextOps.redactPii(col("text"))),
+      "doc_id", "text", chunkSize = 4, overlap = 1)
+    val q = staged.writeStream.format("memory").queryName("stream_chunks")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, "mail me at bob@corp.example.com for the full data sheet"),
+        (2L, "short doc"))
+      q.processAllAvailable()
+      val rows = spark.table("stream_chunks")
+        .orderBy("doc_id", "chunk_id").collect()
+      val d1 = rows.filter(_.getLong(0) == 1L)
+      assert(d1.length == 3, s"10 tokens, size 4, step 3 -> 3 chunks")
+      assert(d1(0).getString(2) == "mail me at <email>",
+        "redaction must precede chunking (tokens are lowercased)")
+      assert(rows.filter(_.getLong(0) == 2L).map(_.getString(2)).toSeq ==
+        Seq("short doc"))
+    } finally q.stop()
+  }
+
   test("sessionization with event-time gap timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
