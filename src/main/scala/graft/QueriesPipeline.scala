@@ -122,6 +122,38 @@ object QueriesPipeline {
       Seq((s0, s1, s2, s3)).toDF("n_input", "n_exact", "n_near", "n_quality")
     }),
 
+    "qp_curation_report" -> ((s, dir) => {
+      // END-TO-END of the round-6 curation stages: corpus → Gopher
+      // quality gate → benchmark decontamination (vs the doc_id<20
+      // eval slice) → PII scrub → 20/5 overlapped chunking. One row
+      // of integer-exact stage counts; same stage-persist discipline
+      // as qp_pipeline_funnel (each count reads the cached survivor
+      // frame, not a fresh corpus scan).
+      val d = docs(s, dir)
+      val corpus = d.filter(col("doc_id") >= 20)
+      val evalSet = d.filter(col("doc_id") < 20)
+      val gated = TextOps.qualityGate(corpus, "doc_id", "text")
+        .filter(col("pass") === 1).select("doc_id")
+        .join(corpus, "doc_id").persist()
+      val n0 = corpus.count()
+      val n1 = gated.count()
+      val contaminated = Curation.decontaminate(gated, evalSet,
+          "doc_id", "text", n = 3)
+        .filter(col("n_shared") > 0).select("doc_id")
+      val clean = gated.join(contaminated, Seq("doc_id"), "left_anti")
+        .withColumn("text", TextOps.redactPii(col("text")))
+        .persist()
+      val n2 = clean.count()
+      val ch = Curation.chunkDocs(clean, "doc_id", "text",
+          chunkSize = 20, overlap = 5)
+        .agg(count(lit(1)).as("c"), sum(col("n_tokens")).as("t"))
+        .collect().head
+      gated.unpersist(); clean.unpersist()
+      import s.implicits._
+      Seq((n0, n1, n2, ch.getLong(0), ch.getLong(1)))
+        .toDF("n_input", "n_quality", "n_clean", "n_chunks",
+          "n_chunk_tokens")
+    }),
     "qp_dedup_clusters" -> ((s, dir) => {
       // near-dup pairs → undirected graph → min-label clusters; the
       // cluster id (min member) is the canonical survivor
@@ -1424,37 +1456,89 @@ object QueriesPipeline {
          |     / count(*), 6) AS oov_rate
          | FROM tok LEFT JOIN voc USING (t)
          | GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    "qp_quality_gate" -> {
-      // stop-probe terms generated from the same Scala list the Spark
-      // side uses; thresholds compare the ROUNDED signal values
-      val stopTerms = TextOps.StopProbe.map(w =>
-        s"CASE WHEN list_contains(tok, '$w') THEN 1 ELSE 0 END")
-        .mkString(" + ")
-      s"""WITH t AS (SELECT doc_id, lower(text) AS lt,
-         |     ${dTokens("text")} AS tok FROM documents),
-         | g AS (SELECT doc_id, lt, tok,
-         |   CASE WHEN len(tok) >= 2 THEN
-         |     list_transform(range(len(tok)-1),
-         |       i -> tok[i+1] || ' ' || tok[i+2])
-         |   ELSE [] END AS grams FROM t),
-         | m AS (SELECT doc_id,
-         |   CAST(len(tok) AS BIGINT) AS n_words,
-         |   round(length(regexp_replace(lt, '\\s+', '', 'g')) * 1.0
-         |     / len(tok), 6) AS mean_word_len,
-         |   round(len(list_filter(tok, x -> regexp_matches(x, '[a-z]')))
-         |     * 1.0 / len(tok), 6) AS alpha_frac,
-         |   ($stopTerms) AS stop_hits,
-         |   round(CASE WHEN len(grams) = 0 THEN 0.0
-         |     ELSE 1.0 - len(list_distinct(grams)) * 1.0 / len(grams)
-         |   END, 6) AS dup_bigram_frac
-         |  FROM g)
+    "qp_quality_gate" ->
+      s"""WITH ${dQualityCtes("documents")}
          | SELECT doc_id, n_words, mean_word_len, alpha_frac, stop_hits,
          |   dup_bigram_frac,
-         |   CASE WHEN n_words BETWEEN 50 AND 100000
-         |     AND mean_word_len BETWEEN 3.0 AND 10.0
-         |     AND alpha_frac >= 0.8 AND stop_hits >= 2
-         |     AND dup_bigram_frac <= 0.2 THEN 1 ELSE 0 END AS pass
-         | FROM m ORDER BY doc_id""".stripMargin
-    }
+         |   CASE WHEN $dQualityPass THEN 1 ELSE 0 END AS pass
+         | FROM m ORDER BY doc_id""".stripMargin,
+    "qp_curation_report" ->
+      // the round-6 stages composed: gate → decontaminate → scrub →
+      // chunk, every count integer-exact (the PII scrub is mirrored
+      // even though the synthetic corpus is clean — fidelity over
+      // shortcuts)
+      s"""WITH base AS (SELECT doc_id, text FROM documents
+         |   WHERE doc_id >= 20),
+         | ${dQualityCtes("base")},
+         | keep AS (SELECT doc_id FROM m WHERE $dQualityPass),
+         | gated AS (SELECT b.doc_id, b.text FROM base b
+         |   JOIN keep USING (doc_id)),
+         | gg AS (SELECT doc_id, unnest(CASE WHEN len(tok) >= 3 THEN
+         |     list_transform(range(len(tok)-2),
+         |       i -> tok[i+1] || ' ' || tok[i+2] || ' ' || tok[i+3])
+         |   ELSE [] END) AS gram FROM
+         |   (SELECT doc_id, ${dTokens("text")} AS tok FROM gated)),
+         | eg AS (SELECT DISTINCT unnest(CASE WHEN len(tok) >= 3 THEN
+         |     list_transform(range(len(tok)-2),
+         |       i -> tok[i+1] || ' ' || tok[i+2] || ' ' || tok[i+3])
+         |   ELSE [] END) AS gram FROM
+         |   (SELECT ${dTokens("text")} AS tok FROM documents
+         |     WHERE doc_id < 20)),
+         | contam AS (SELECT DISTINCT gg.doc_id FROM gg
+         |   JOIN eg USING (gram)),
+         | clean AS (SELECT doc_id,
+         |   regexp_replace(regexp_replace(regexp_replace(text,
+         |     '${TextOps.EmailRe}', '<EMAIL>', 'g'),
+         |     '${TextOps.Ipv4Re}', '<IP>', 'g'),
+         |     '${TextOps.PhoneRe}', '<PHONE>', 'g') AS text
+         |   FROM gated WHERE doc_id NOT IN
+         |     (SELECT doc_id FROM contam)),
+         | cn AS (SELECT doc_id, tok, CAST(len(tok) AS BIGINT) AS n FROM
+         |   (SELECT doc_id, ${dTokens("text")} AS tok FROM clean)
+         |   WHERE len(tok) > 0),
+         | ch AS (SELECT doc_id, tok, n,
+         |   unnest(range(1 + greatest(0, (n - 20 + 15 - 1) // 15)))
+         |     AS k FROM cn),
+         | chc AS (SELECT CAST(count(*) AS BIGINT) AS n_chunks,
+         |   CAST(coalesce(sum(len(tok[k*15+1 : k*15+20])), 0) AS BIGINT)
+         |     AS n_chunk_tokens FROM ch)
+         | SELECT (SELECT count(*) FROM base) AS n_input,
+         |   (SELECT count(*) FROM keep) AS n_quality,
+         |   (SELECT count(*) FROM clean) AS n_clean,
+         |   n_chunks, n_chunk_tokens FROM chc""".stripMargin
   )
+
+  /** quality-gate signal CTEs over `src(doc_id, text)` → CTE `m`;
+    * stop-probe terms generated from the same Scala list the Spark
+    * side uses, thresholds compare the ROUNDED signal values. */
+  private def dQualityCtes(src: String): String = {
+    val stopTerms = TextOps.StopProbe.map(w =>
+      s"CASE WHEN list_contains(tok, '$w') THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""tq AS (SELECT doc_id, lower(text) AS lt,
+       |     ${dTokens("text")} AS tok FROM $src),
+       | gq AS (SELECT doc_id, lt, tok,
+       |   CASE WHEN len(tok) >= 2 THEN
+       |     list_transform(range(len(tok)-1),
+       |       i -> tok[i+1] || ' ' || tok[i+2])
+       |   ELSE [] END AS grams FROM tq),
+       | m AS (SELECT doc_id,
+       |   CAST(len(tok) AS BIGINT) AS n_words,
+       |   round(length(regexp_replace(lt, '\\s+', '', 'g')) * 1.0
+       |     / len(tok), 6) AS mean_word_len,
+       |   round(len(list_filter(tok, x -> regexp_matches(x, '[a-z]')))
+       |     * 1.0 / len(tok), 6) AS alpha_frac,
+       |   ($stopTerms) AS stop_hits,
+       |   round(CASE WHEN len(grams) = 0 THEN 0.0
+       |     ELSE 1.0 - len(list_distinct(grams)) * 1.0 / len(grams)
+       |   END, 6) AS dup_bigram_frac
+       |  FROM gq)""".stripMargin
+  }
+
+  // lazy: referenced from the oracle map, which may initialize first
+  private lazy val dQualityPass =
+    """n_words BETWEEN 50 AND 100000
+      |     AND mean_word_len BETWEEN 3.0 AND 10.0
+      |     AND alpha_frac >= 0.8 AND stop_hits >= 2
+      |     AND dup_bigram_frac <= 0.2""".stripMargin
 }
