@@ -277,8 +277,22 @@ final class Catalog(spark: SparkSession) {
     txSnapshot = TxSnapshot(classes.toSeq, properties.toMap, indexes.toMap,
       acl.toMap, tombstones.toSet, gens.toMap, writeCounts.toMap,
       nextClusterId)
+    // optimistic-concurrency baseline (reference MVCC contract,
+    // OTransactionOptimistic / TransactionOptimisticTest.java:79-104):
+    // remember each class's committed on-disk version as of BEGIN; a
+    // class whose version moved by commit time was changed by another
+    // session and the commit must fail instead of silently overwriting
+    // it. Class-granular — the honest unit for a columnar batch
+    // engine, where every write replaces a class version.
+    txBaseVersions = durableRoot match {
+      case Some(root) =>
+        classes.keys.map(k => k -> currentVersion(root, k)).toMap
+      case None => Map.empty
+    }
     txActive = true
   }
+
+  private var txBaseVersions: Map[String, Option[Long]] = Map.empty
 
   def rollbackTx(): Unit = {
     require(txActive, "no active transaction")
@@ -308,6 +322,19 @@ final class Catalog(spark: SparkSession) {
       // rollback() still restores the snapshot and the pending frames
       // can never leak into a later transaction's commit (orphaned
       // hidden .tx dirs are invisible to readers and recovery).
+      // optimistic check BEFORE any staging: every class this tx
+      // writes or drops must still be at its begin-time version. A
+      // conflict leaves the transaction OPEN (nothing staged), so the
+      // caller's rollback restores the snapshot — reference semantics:
+      // OConcurrentModificationException, never a silent lost update.
+      (txPendingData.keySet ++ txPendingDrops.keySet).foreach { key =>
+        val cur = currentVersion(root, key)
+        if (cur != txBaseVersions.getOrElse(key, None))
+          throw new java.util.ConcurrentModificationException(
+            s"class '$key' was modified by another session since this " +
+              s"transaction began (version ${txBaseVersions.getOrElse(key,
+                None)} -> $cur): commit refused, roll back and retry")
+      }
       val staged = txPendingData.iterator
         .filter { case (key, _) => classes.contains(key) }
         .map { case (key, df) =>

@@ -136,6 +136,48 @@ class TransactionSpec extends AnyFunSuite {
       Seq((9L, "new-world")))
   }
 
+  test("concurrent commit to the same class is refused, never a lost update") {
+    // reference MVCC contract (OTransactionOptimistic,
+    // TransactionOptimisticTest.java:79-104): two sessions start from
+    // the same version; the first commit wins, the second must throw —
+    // silently overwriting the winner is the one forbidden outcome
+    val root = tmpRoot("conflict")
+    val setup = GraftSession.openDurable(spark, root)
+    setup.command("create class Acc")
+    setup.command("insert into Acc (id, bal) values (1, 100)")
+    val g1 = GraftSession.openDurable(spark, root)
+    val g2 = GraftSession.openDurable(spark, root)
+    g1.begin(); g2.begin()
+    g1.command("update Acc set bal = 150 where id = 1")
+    g2.command("update Acc set bal = 999 where id = 1")
+    g1.commit()
+    intercept[java.util.ConcurrentModificationException](g2.commit())
+    // the conflicted tx is still open — rollback, and the winner's
+    // committed value is what every fresh session sees
+    g2.rollback()
+    val fresh = GraftSession.openDurable(spark, root)
+    assert(fresh.query("select bal from Acc").collect()
+      .map(_.getLong(0)).toSeq == Seq(150L))
+  }
+
+  test("concurrent commits to DISJOINT classes both land (class granularity)") {
+    val root = tmpRoot("disjoint")
+    val setup = GraftSession.openDurable(spark, root)
+    setup.transaction(Seq(
+      "create class L", "insert into L (id) values (1)",
+      "create class R", "insert into R (id) values (1)"))
+    val g1 = GraftSession.openDurable(spark, root)
+    val g2 = GraftSession.openDurable(spark, root)
+    g1.begin(); g2.begin()
+    g1.command("insert into L (id) values (2)")
+    g2.command("insert into R (id) values (2)")
+    g1.commit()
+    g2.commit() // touches only R: no conflict with g1's L commit
+    val fresh = GraftSession.openDurable(spark, root)
+    assert(fresh.query("select from L").count() == 2)
+    assert(fresh.query("select from R").count() == 2)
+  }
+
   test("manifest round-trips control characters in persisted strings") {
     val root = tmpRoot("esc")
     val g1 = GraftSession.openDurable(spark, root)
