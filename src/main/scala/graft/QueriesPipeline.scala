@@ -181,6 +181,26 @@ object QueriesPipeline {
         .filter(col("n_shared") > 0)
         .orderBy("doc_id")
     }),
+    "qp_dsir_weights" -> ((s, dir) => {
+      // DSIR data selection (Xie et al. 2023): how much more likely
+      // each doc's hashed-bigram features are under the en-language
+      // target slice than under the raw corpus — integer micro-nat
+      // log-weights (bucket log-ratios fixed-pointed BEFORE the
+      // per-doc sum, so the sum is order-free)
+      Curation.dsirWeights(docs(s, dir), "doc_id", "text",
+          isTarget = col("lang") === "en", buckets = 256)
+        .orderBy("doc_id")
+    }),
+    "qp_dsir_select" -> ((s, dir) => {
+      // the resample step: keep the 50 most target-like RAW docs
+      // (target slice excluded), deterministic ties by doc_id
+      Curation.dsirWeights(docs(s, dir), "doc_id", "text",
+          isTarget = col("lang") === "en", buckets = 256)
+        .filter(!col("is_target"))
+        .orderBy(col("logw_micro").desc, col("doc_id"))
+        .limit(50)
+        .select("doc_id", "logw_micro")
+    }),
     "qp_stratified_sample" -> ((s, dir) => {
       // deterministic hash sampling sets the training mixture: half
       // the en docs, a quarter of de, 10% of the rest
@@ -597,6 +617,29 @@ object QueriesPipeline {
        |   FROM docbi d JOIN cts c USING (w1, w2) CROSS JOIN voc),
        | perdoc AS (SELECT doc_id, CAST(sum(occ) AS BIGINT) AS n_bigrams,
        |     CAST(sum(tt) AS BIGINT) AS s FROM terms GROUP BY doc_id)""".stripMargin
+  /** DSIR shared CTEs: hashed-bigram bucket counts per doc (`db`),
+    * add-1-smoothed bucket log-ratio table in integer micro-nats
+    * (`lr`) — the 256-bucket count and the fixed-point rounding
+    * mirror [[graft.ops.Curation.dsirWeights]] exactly. */
+  private lazy val dDsirCtes: String =
+    s"""WITH tok AS (SELECT doc_id, lang = 'en' AS is_target,
+       |     ${dTokens("text")} AS tok FROM documents),
+       | bg AS (SELECT doc_id, is_target,
+       |     unnest(CASE WHEN len(tok) >= 2 THEN
+       |       list_transform(range(len(tok)-1),
+       |         i -> tok[i+1] || ' ' || tok[i+2])
+       |     ELSE [] END) AS bgr FROM tok),
+       | db AS (SELECT doc_id, is_target, ${dH60("bgr")} % 256 AS b,
+       |     count(*) AS n FROM bg GROUP BY 1, 2, 3),
+       | bt AS (SELECT b, CAST(sum(n) AS BIGINT) AS cr,
+       |     CAST(sum(CASE WHEN is_target THEN n ELSE 0 END) AS BIGINT)
+       |       AS ct FROM db GROUP BY b),
+       | tot AS (SELECT CAST(sum(cr) AS BIGINT) AS nr,
+       |     CAST(sum(ct) AS BIGINT) AS nt FROM bt),
+       | lr AS (SELECT b, CAST(round((ln((ct + 1.0) / (nt + 256.0))
+       |       - ln((cr + 1.0) / (nr + 256.0))) * 1e6) AS BIGINT) AS lr
+       |   FROM bt CROSS JOIN tot)""".stripMargin
+
   private def dMinhashSig(i: Int): String = {
     val (a, b) = minhashCoeffs(i)
     s"list_min(list_transform(hh, h -> ($a * h + $b) % $MinhashP))"
@@ -901,6 +944,19 @@ object QueriesPipeline {
          |     / count(DISTINCT gram), 6) AS contamination
          | FROM j GROUP BY 1 HAVING n_shared > 0
          | ORDER BY doc_id""".stripMargin,
+    "qp_dsir_weights" ->
+      s"""$dDsirCtes
+         | SELECT doc_id, is_target, CAST(sum(n) AS BIGINT) AS n_features,
+         |   CAST(sum(n * lr) AS BIGINT) AS logw_micro
+         | FROM db JOIN lr USING (b) GROUP BY 1, 2
+         | ORDER BY doc_id""".stripMargin,
+    "qp_dsir_select" ->
+      s"""$dDsirCtes,
+         | w AS (SELECT doc_id, is_target,
+         |     CAST(sum(n * lr) AS BIGINT) AS logw_micro
+         |   FROM db JOIN lr USING (b) GROUP BY 1, 2)
+         | SELECT doc_id, logw_micro FROM w WHERE NOT is_target
+         | ORDER BY logw_micro DESC, doc_id LIMIT 50""".stripMargin,
     "qp_stratified_sample" ->
       s"""SELECT lang, count(*) AS kept FROM documents
          | WHERE ${dH60("lang || ':' || CAST(doc_id AS VARCHAR)")} % 10000

@@ -57,6 +57,58 @@ object Curation {
         round(col("n_shared") / col("n_grams"), 6))
   }
 
+  /** DSIR-style importance weights (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS 2023): score
+    * every raw document by how much more likely its hashed-bigram
+    * features are under a target slice than under the raw corpus —
+    * `log w(doc) = Σ_b n_b(doc)·(log p_t(b) − log p_r(b))` with
+    * add-1-smoothed bucket probabilities over `buckets` hashed
+    * bigram buckets.
+    *
+    * Determinism: each bucket's log-ratio is rounded to integer
+    * micro-nats BEFORE the per-doc sum (the [[TextOps.lmPerplexity]]
+    * fixed-point discipline), so the per-doc sum is an order-free
+    * integer sum — bit-identical in any engine.
+    *
+    * Scale shape: ONE tokenize+explode pass feeds a per-(doc, bucket)
+    * partial-combining count; the B-row bucket table (raw and target
+    * counts from the same aggregate — target membership is just a
+    * conditional sum) and its 1-row totals stay in-plan (crossJoin of
+    * a 1-row aggregate, exchange-reused), and the log-ratio table is
+    * broadcast back onto the per-doc counts. No second corpus pass;
+    * the widest shuffle is (doc, bucket).
+    *
+    * Output: one row per doc with ≥1 bigram — (idCol, is_target,
+    * n_features, logw_micro). Callers rank raw docs by `logw_micro`
+    * (descending = most target-like) and keep the top slice.
+    */
+  def dsirWeights(df: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, buckets: Int = 256): DataFrame = {
+    val perDocBucket = Partitioning.spread(df)
+      .select(col(idCol).as("__id"), isTarget.as("__t"),
+        explode(bigrams(tokensWs(col(textCol)))).as("__bg"))
+      .select(col("__id"), col("__t"),
+        hashMod(col("__bg"), buckets).as("__b"))
+      .groupBy(col("__id"), col("__t"), col("__b"))
+      .agg(count(lit(1)).as("__n"))
+    val bucketTable = perDocBucket.groupBy(col("__b"))
+      .agg(sum(col("__n")).as("__cr"),
+        sum(when(col("__t"), col("__n")).otherwise(lit(0L))).as("__ct"))
+    val totals = bucketTable
+      .agg(sum(col("__cr")).as("__nr"), sum(col("__ct")).as("__nt"))
+    val logRatio = bucketTable.crossJoin(totals)
+      .select(col("__b"), round((
+          log((col("__ct") + lit(1.0)) / (col("__nt") + lit(buckets.toDouble)))
+            - log((col("__cr") + lit(1.0)) / (col("__nr") + lit(buckets.toDouble)))
+        ) * 1e6).cast("long").as("__lr"))
+    perDocBucket.join(broadcast(logRatio), Seq("__b"))
+      .groupBy(col("__id"), col("__t"))
+      .agg(sum(col("__n")).as("n_features"),
+        sum(col("__n") * col("__lr")).as("logw_micro"))
+      .select(col("__id").as(idCol), col("__t").as("is_target"),
+        col("n_features"), col("logw_micro"))
+  }
+
   /** Deterministic stratified sampling for data mixing: keep a row iff
     * hash(stratum:id) mod 10000 falls under the stratum's rate — the
     * same row always samples the same way (reproducible corpus builds,
