@@ -337,6 +337,14 @@ object QueriesPipeline {
         .filter(col("vec_id") < 200)
         .orderBy("vec_id")
     }),
+    "qp_rand_proj" -> ((s, dir) => {
+      // JL sign-projection 64→16: a distance-preserving sketch that
+      // shrinks every downstream pair-scoring dot by 4× (one narrow
+      // codegen'd projection, no shuffle)
+      Similarity.randomProject(embs(s, dir), "vec_id", "embedding",
+          Similarity.rademacher(16, 64))
+        .orderBy("vec_id")
+    }),
     "qp_lsh_buckets" -> ((s, dir) => {
       val planes = Similarity.hyperplanes(8, 64)
       embs(s, dir)
@@ -1230,6 +1238,19 @@ object QueriesPipeline {
         |     abs(v[i+1] - round(v[i+1] / scale)::INT * scale))), 6)
         |   AS max_err
         | FROM s ORDER BY vec_id""".stripMargin,
+    "qp_rand_proj" -> {
+      val rows = Similarity.rademacher(16, 64)
+      val scale = math.sqrt(rows.length.toDouble)
+      val cols = rows.zipWithIndex.map { case (r, j) =>
+        val arr = r.mkString("[", ", ", "]")
+        s"round(list_sum(list_transform(range(64), " +
+          s"i -> v[i+1] * ($arr)[i+1])) / $scale, 6) AS p$j"
+      }.mkString(",\n   ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings)
+         | SELECT vec_id,
+         |   $cols
+         | FROM e ORDER BY vec_id""".stripMargin
+    },
     "qp_lsh_buckets" -> {
       val planes = Similarity.hyperplanes(8, 64)
       val bucket = planes.zipWithIndex.map { case (p, i) =>

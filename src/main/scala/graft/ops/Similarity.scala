@@ -113,6 +113,35 @@ object Similarity {
       .select("a_id", "b_id", "cos")
   }
 
+  /** Seeded ±1 Rademacher rows for Johnson-Lindenstrauss projection
+    * (Achlioptas 2003: sign entries preserve pairwise distances with
+    * the same guarantee as Gaussian entries, at integer-add cost).
+    * The oracle SQL prints these SAME values as literals — repo rule:
+    * seeded constants are generated, never hand-copied. */
+  def rademacher(outDim: Int, dim: Int, seed: Long = 13L): Seq[Seq[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Seq.fill(outDim, dim)(if (rng.nextBoolean()) 1.0 else -1.0)
+  }
+
+  /** JL random projection dim → outDim: each output coordinate is one
+    * compiled [[VectorExprs.dot]] against a fixed ±1 row, scaled by
+    * 1/√outDim so expected pairwise L2 distances are preserved — a
+    * distance sketch that makes downstream candidate scoring (cosine
+    * near-dup, ANN shortlists) dim/outDim× cheaper. One narrow
+    * codegen'd projection: no shuffle, no UDF — at 100 TB this runs
+    * map-side at scan speed, and the projected table is outDim/dim
+    * the size of the corpus.
+    * Output: (idCol, p0..p{outDim−1}), rounded to 6 decimals (same
+    * rounding in the oracle). */
+  def randomProject(df: DataFrame, idCol: String, vecCol: String,
+      rows: Seq[Seq[Double]]): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val scale = math.sqrt(rows.length.toDouble)
+    val outs = rows.zipWithIndex.map { case (r, j) =>
+      round(dot(v, array(r.map(lit): _*)) / lit(scale), 6).as(s"p$j") }
+    df.select(col(idCol) +: outs: _*)
+  }
+
   /** driver-resident centroid: CONTROL-PLANE metadata (k·dim doubles —
     * the same payload a broadcast would ship) collected once and
     * inlined as ONE array literal, so cell assignment is a narrow

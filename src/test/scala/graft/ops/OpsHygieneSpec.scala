@@ -283,4 +283,37 @@ class OpsHygieneSpec extends AnyFunSuite {
     assert(got.count(_ == 99L) == 1)
     assert(got.length <= 5)
   }
+
+  test("randomProject is linear and keeps pairwise distances in expectation") {
+    val rng = new scala.util.Random(3)
+    val vecs = (0 until 40).map(i =>
+      (i.toLong, Seq.fill(64)(rng.nextGaussian())))
+    val mat = Similarity.rademacher(16, 64)
+    val proj = Similarity.randomProject(
+        vecs.toDF("id", "v"), "id", "v", mat)
+      .orderBy("id").collect()
+      .map(r => (0 until 16).map(j => r.getDouble(j + 1)).toArray)
+    // linearity: proj(a) − proj(b) == proj(a − b) (exact up to the
+    // 6-decimal output rounding both paths share)
+    val diffIn = vecs(0)._2.zip(vecs(1)._2).map { case (a, b) => a - b }
+    val projDiff = Similarity.randomProject(
+        Seq((0L, diffIn)).toDF("id", "v"), "id", "v", mat)
+      .collect().head
+    (0 until 16).foreach { j =>
+      assert(math.abs((proj(0)(j) - proj(1)(j)) - projDiff.getDouble(j + 1))
+        < 1e-5, s"coordinate $j not linear")
+    }
+    // JL distance preservation: mean squared-distance distortion over
+    // all pairs is small (individual pairs can distort at k=16, the
+    // AVERAGE is tightly concentrated)
+    val orig = vecs.map(_._2.toArray)
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val ratios = for {
+      i <- orig.indices; j <- orig.indices if i < j
+    } yield d2(proj(i), proj(j)) / d2(orig(i), orig(j))
+    val mean = ratios.sum / ratios.size
+    assert(math.abs(mean - 1.0) < 0.15,
+      s"mean distance ratio $mean drifted from 1")
+  }
 }
