@@ -337,6 +337,22 @@ object QueriesPipeline {
         .filter(col("vec_id") < 200)
         .orderBy("vec_id")
     }),
+    "qp_bpe_merges" -> ((s, dir) => {
+      // distributed BPE trainer: 10 merge rounds over the corpus word
+      // vocabulary (one corpus pass; rounds iterate on the vocab)
+      TextOps.learnBpeMerges(docs(s, dir), "doc_id", "text", nMerges = 10)
+        .orderBy("step")
+    }),
+    "qp_bpe_segment" -> ((s, dir) => {
+      // the encoder: segment the corpus with the table the trainer
+      // just learned (merges are control-plane rows, collected once)
+      val m = TextOps.learnBpeMerges(docs(s, dir), "doc_id", "text",
+          nMerges = 10)
+        .orderBy("step").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      TextOps.bpeSegmentCounts(docs(s, dir), "doc_id", "text", m)
+        .orderBy("doc_id")
+    }),
     "qp_rand_proj" -> ((s, dir) => {
       // JL sign-projection 64→16: a distance-preserving sketch that
       // shrinks every downstream pair-scoring dot by 4× (one narrow
@@ -647,6 +663,45 @@ object QueriesPipeline {
        | lr AS (SELECT b, CAST(round((ln((ct + 1.0) / (nt + 256.0))
        |       - ln((cr + 1.0) / (nr + 256.0))) * 1e6) AS BIGINT) AS lr
        |   FROM bt CROSS JOIN tot)""".stripMargin
+
+  /** Unrolled BPE-training rounds in SQL. Vocab CTE `v0` holds
+    * frequency-weighted per-codepoint splits; each round r emits
+    * `p_r` (overlapping adjacent-pair counts), `b_r` (argmax merge,
+    * ties count desc → left asc → right asc) and `v_r` (vocab after
+    * the merge). The merge is applied by wrapping every symbol in
+    * chr(1)/chr(2) and running a plain `replace` — leftmost
+    * non-overlapping on exact symbol boundaries, which is precisely
+    * the compiled [[graft.ops.MergePair]] scan's semantics. */
+  private def dBpeApply(x: String, b: String): String =
+    s"replace($x, chr(1) || (SELECT l FROM $b) || chr(2) || chr(1) || " +
+      s"(SELECT r FROM $b) || chr(2), chr(1) || (SELECT l FROM $b) || " +
+      s"(SELECT r FROM $b) || chr(2))"
+  private val dBpeWrap =
+    "chr(1) || array_to_string(s, chr(2) || chr(1)) || chr(2)"
+  private def dBpeUnwrap(x: String): String =
+    s"string_split(substring($x, 2, length($x) - 2), chr(2) || chr(1))"
+  private def dBpeCtes(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH w AS MATERIALIZED (SELECT tok AS w, count(*) AS n
+       |   FROM (SELECT unnest(${dTokens("text")}) AS tok FROM documents)
+       |   GROUP BY 1),
+       | v0 AS MATERIALIZED (SELECT n, list_transform(range(length(w)),
+       |     i -> substring(w, i+1, 1)) AS s FROM w)""".stripMargin
+    for (r <- 1 to rounds) {
+      sb ++= s""",
+       | p$r AS MATERIALIZED (SELECT pr.l AS l, pr.r AS r,
+       |     CAST(sum(n) AS BIGINT) AS c
+       |   FROM (SELECT n, unnest(list_transform(range(len(s)-1),
+       |       i -> {'l': s[i+1], 'r': s[i+2]})) AS pr
+       |     FROM v${r - 1} WHERE len(s) >= 2) GROUP BY 1, 2),
+       | b$r AS MATERIALIZED (SELECT l, r, c FROM p$r
+       |   ORDER BY c DESC, l, r LIMIT 1),
+       | v$r AS MATERIALIZED (SELECT n,
+       |     ${dBpeUnwrap(dBpeApply(dBpeWrap, s"b$r"))} AS s
+       |   FROM v${r - 1})""".stripMargin
+    }
+    sb.toString
+  }
 
   private def dMinhashSig(i: Int): String = {
     val (a, b) = minhashCoeffs(i)
@@ -1238,6 +1293,29 @@ object QueriesPipeline {
         |     abs(v[i+1] - round(v[i+1] / scale)::INT * scale))), 6)
         |   AS max_err
         | FROM s ORDER BY vec_id""".stripMargin,
+    "qp_bpe_merges" -> {
+      val sel = (1 to 10).map(r =>
+        s"SELECT $r AS step, l AS lhs, r AS rhs, c AS score FROM b$r")
+        .mkString("\n | UNION ALL ")
+      s"""${dBpeCtes(10)}
+         | $sel ORDER BY step""".stripMargin
+    },
+    "qp_bpe_segment" -> {
+      val wrapW = "chr(1) || array_to_string(list_transform(" +
+        "range(length(w)), i -> substring(w, i+1, 1)), " +
+        "chr(2) || chr(1)) || chr(2)"
+      val applied = (1 to 10).foldLeft(wrapW)(
+        (acc, r) => dBpeApply(acc, s"b$r"))
+      s"""${dBpeCtes(10)},
+         | seg AS MATERIALIZED (SELECT w,
+         |     len(${dBpeUnwrap(applied)}) AS k FROM w),
+         | tok AS (SELECT doc_id, unnest(${dTokens("text")}) AS w
+         |   FROM documents)
+         | SELECT doc_id, count(*) AS n_tokens,
+         |   CAST(sum(seg.k) AS BIGINT) AS n_subwords
+         | FROM tok JOIN seg USING (w)
+         | GROUP BY 1 ORDER BY doc_id""".stripMargin
+    },
     "qp_rand_proj" -> {
       val rows = Similarity.rademacher(16, 64)
       val scale = math.sqrt(rows.length.toDouble)

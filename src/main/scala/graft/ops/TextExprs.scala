@@ -154,3 +154,87 @@ case class CharShingles(child: Expression, n: Int) extends UnaryExpression {
   override protected def withNewChildInternal(
       newChild: Expression): CharShingles = copy(child = newChild)
 }
+
+/** per-codepoint split: array of 1-codepoint strings, order kept,
+  * duplicates kept ([[CharShingles]] n=1 minus the distinct) — the
+  * initial symbol state of BPE training. One compiled byte scan. */
+case class CharSplit(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "char_split"
+
+  def compute(s: UTF8String): ArrayData = {
+    val bytes = s.getBytes
+    val nb = bytes.length
+    val out = new java.util.ArrayList[AnyRef](nb)
+    var start = 0
+    var i = 1
+    while (i <= nb) {
+      // codepoint boundary: next non-continuation byte (or end)
+      if (i == nb || (bytes(i) & 0xC0) != 0x80) {
+        out.add(UTF8String.fromBytes(bytes, start, i - start))
+        start = i
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override def nullSafeEval(s: Any): Any =
+    compute(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("charSplit", this, classOf[CharSplit].getName)
+    nullSafeCodeGen(ctx, ev, s => s"${ev.value} = $ref.compute($s);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): CharSplit = copy(child = newChild)
+}
+
+/** one greedy left-to-right BPE merge pass over a symbol array:
+  * every non-overlapping adjacent (left, right) pair collapses to
+  * the concatenated symbol, scanning resumes AFTER each merge (so
+  * [a,a,a] under (a,a) → [aa,a]). These are exactly the semantics of
+  * a leftmost non-overlapping string `replace` on a delimiter-wrapped
+  * join of the symbols — the form the DuckDB oracle unrolls — and of
+  * the reference BPE regex (Sennrich et al. 2016). One compiled scan
+  * per row. */
+case class MergePair(child: Expression, left: String, right: String)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "merge_pair"
+
+  @transient private lazy val lSym = UTF8String.fromString(left)
+  @transient private lazy val rSym = UTF8String.fromString(right)
+  @transient private lazy val merged = UTF8String.fromString(left + right)
+
+  def compute(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    val out = new java.util.ArrayList[AnyRef](n)
+    var i = 0
+    while (i < n) {
+      if (i + 1 < n && lSym.equals(a.getUTF8String(i))
+          && rSym.equals(a.getUTF8String(i + 1))) {
+        out.add(merged)
+        i += 2
+      } else {
+        out.add(a.getUTF8String(i))
+        i += 1
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("mergePair", this, classOf[MergePair].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): MergePair = copy(child = newChild)
+}

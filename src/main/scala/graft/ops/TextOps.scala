@@ -409,6 +409,95 @@ object TextOps {
     * micro-units, counts weighted exactly), so aggregation order can
     * never flip a rounding boundary — the kmeans determinism rule.
     * Returns (id, n_bigrams, nll, ppl). */
+  /** per-codepoint split (order kept, duplicates kept) — native. */
+  def charSplit(c: Column): Column = native(CharSplit(asExpr(c)))
+
+  /** one greedy left-to-right BPE merge pass — native ([[MergePair]]). */
+  def mergePair(c: Column, left: String, right: String): Column =
+    native(MergePair(asExpr(c), left, right))
+
+  /** Distributed BPE merge-table training (Sennrich et al. 2016,
+    * "Neural Machine Translation of Rare Words with Subword Units"):
+    * learn the `nMerges` most frequent adjacent symbol pairs, starting
+    * from per-codepoint splits.
+    *
+    * Scale shape: ONE corpus tokenize pass builds the (word, count)
+    * VOCABULARY — every round after that iterates on the vocab frame,
+    * which is orders of magnitude smaller than the corpus (the
+    * standard trainer design; pair statistics are weighted by word
+    * frequency, so the result is identical to training on the raw
+    * corpus). Each round is one partial-combining pair-count
+    * aggregation, a 1-row argmax collect (control-plane: the chosen
+    * merge is exactly what a broadcast would ship back), and one
+    * compiled [[MergePair]] pass; lineage is truncated every 4 rounds.
+    * Pair counts include overlaps ([a,a,a] holds (a,a) twice) and the
+    * merge pass is greedy non-overlapping — the reference algorithm's
+    * exact semantics, which the unrolled oracle SQL reproduces with
+    * wrapped-symbol `replace`. Ties break (count desc, left asc,
+    * right asc), so the merge table is deterministic.
+    *
+    * Returns (step, lhs, rhs, score), one row per learned merge —
+    * control-plane sized, like a centroid matrix. */
+  def learnBpeMerges(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, nMerges: Int): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val words = Partitioning.spread(df)
+      .select(explode(tokensWs(col(textCol))).as("__w"))
+      .groupBy(col("__w")).agg(count(lit(1)).as("__n"))
+      .select(col("__n"), charSplit(col("__w")).as("__s"))
+      .persist()
+    var vocab = words
+    val merges =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var round = 1
+    var dry = false
+    while (round <= nMerges && !dry) {
+      val best = vocab
+        .select(col("__n"), explode(wordNgrams(col("__s"), 2)).as("__p"))
+        .groupBy(col("__p")).agg(sum(col("__n")).as("__c"))
+        // symbols are whitespace-free (tokensWs splits on whitespace),
+        // so the pair string splits back losslessly on its one space
+        .select(substring_index(col("__p"), " ", 1).as("__l"),
+          substring_index(col("__p"), " ", -1).as("__r"), col("__c"))
+        .orderBy(col("__c").desc, col("__l"), col("__r"))
+        .limit(1).collect()
+      if (best.isEmpty) dry = true
+      else {
+        val l = best.head.getString(0)
+        val r = best.head.getString(1)
+        merges += ((round, l, r, best.head.getLong(2)))
+        vocab = vocab.withColumn("__s", mergePair(col("__s"), l, r))
+        if (round % 4 == 0) vocab = vocab.localCheckpoint()
+        round += 1
+      }
+    }
+    words.unpersist()
+    merges.toSeq.toDF("step", "lhs", "rhs", "score")
+  }
+
+  /** BPE encoder: segment every doc with a learned merge table. The
+    * merge chain runs once per DISTINCT token (the vocab-sized
+    * dictionary, not the corpus) as `nMerges` chained compiled
+    * [[MergePair]] passes, then joins back onto the exploded corpus —
+    * at 100 TB the heavy work is proportional to the vocabulary.
+    * Returns (idCol, n_tokens, n_subwords). */
+  def bpeSegmentCounts(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String,
+      merges: Seq[(String, String)]): org.apache.spark.sql.DataFrame = {
+    val toks = Partitioning.spread(df)
+      .select(col(idCol).as("__id"), explode(tokensWs(col(textCol))).as("__w"))
+    val dict = toks.select(col("__w")).distinct()
+      .withColumn("__k", size(
+        merges.foldLeft(charSplit(col("__w"))) {
+          case (c, (l, r)) => mergePair(c, l, r)
+        }))
+    toks.join(dict, Seq("__w"))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("__k")).as("n_subwords"))
+      .select(col("__id").as(idCol), col("n_tokens"), col("n_subwords"))
+  }
+
   def lmPerplexity(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, addK: Double = 0.5): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -163,4 +163,58 @@ class TextPropertySpec extends AnyFunSuite {
     // 5.6.7.8 (a raw-text count would say 2); 1 phone
     assert((r.getInt(0), r.getInt(1), r.getInt(2)) == ((3, 1, 1)))
   }
+
+  test("CharSplit keeps order/duplicates and walks codepoints") {
+    val got = Seq((1L, "abca"), (2L, "日本語a"), (3L, ""), (4L, "x"))
+      .toDF("id", "s")
+      .select(col("id"), TextOps.charSplit(col("s")).as("c"))
+      .orderBy("id").collect()
+      .map(_.getSeq[String](1).toList)
+    assert(got(0) == List("a", "b", "c", "a"))
+    assert(got(1) == List("日", "本", "語", "a"))
+    assert(got(2) == Nil)
+    assert(got(3) == List("x"))
+  }
+
+  test("MergePair is greedy left-to-right non-overlapping") {
+    val cases = Seq(
+      (1L, Seq("a", "a", "a"), List("aa", "a")),        // overlap chain
+      (2L, Seq("a", "a", "a", "a"), List("aa", "aa")),  // two merges
+      (3L, Seq("b", "a", "a", "b"), List("b", "aa", "b")),
+      (4L, Seq("a", "b"), List("a", "b")),              // no (a,a) pair
+      (5L, Seq("a"), List("a")),
+      (6L, Seq[String](), Nil))
+    val got = cases.toDF("id", "s", "want")
+      .select(col("id"), TextOps.mergePair(col("s"), "a", "a").as("got"))
+      .orderBy("id").collect().map(_.getSeq[String](1).toList)
+    cases.map(_._3).zip(got).zipWithIndex.foreach { case ((want, g), i) =>
+      assert(g == want, s"case ${i + 1}")
+    }
+  }
+
+  test("learnBpeMerges reproduces the hand-computed merge sequence") {
+    // frequencies: "low" x5, "lower" x2 — chars l,o,w,e,r.
+    // round 1 pairs: (l,o)=7, (o,w)=7, (w,e)=2, (e,r)=2 → tie on 7
+    // breaks to (l,o) (left asc). round 2: (lo,w)=7 wins. round 3:
+    // (low,e)=2 vs (e,r)=2 → (e,r) after "low" merge? pairs: (low,e)=2,
+    // (e,r)=2 → (e,r) vs (low,e): left asc → "e" < "low" → (e,r).
+    val df = (Seq.fill(5)("low") ++ Seq.fill(2)("lower"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = TextOps.learnBpeMerges(df, "doc_id", "text", nMerges = 4)
+      .orderBy("step").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3))).toList
+    assert(got == List(("l", "o", 7L), ("lo", "w", 7L),
+      ("e", "r", 2L), ("low", "er", 2L)))
+  }
+
+  test("bpeSegmentCounts applies merges in rank order per distinct token") {
+    val df = Seq((1L, "low lower low"), (2L, "wow")).toDF("doc_id", "text")
+    val merges = Seq(("l", "o"), ("lo", "w"))
+    val got = TextOps.bpeSegmentCounts(df, "doc_id", "text", merges)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    // "low" → [low] (1), "lower" → [low,e,r] (3), "wow" → [w,o,w] (3)
+    assert(got == List((1L, 3L, 5L), (2L, 1L, 3L)))
+  }
 }
