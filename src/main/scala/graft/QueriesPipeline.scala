@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.ops.{Curation, Dedup, Pq, Similarity, TextOps}
+import graft.ops.{Curation, Dedup, Pca, Pq, Similarity, TextOps}
 import graft.ops.TextOps._
 
 /** Training-data pipeline corpus: deduplication (exact, MinHash+LSH,
@@ -359,6 +359,24 @@ object QueriesPipeline {
       // codegen'd projection, no shuffle)
       Similarity.randomProject(embs(s, dir), "vec_id", "embedding",
           Similarity.rademacher(16, 64))
+        .orderBy("vec_id")
+    }),
+    "qp_pca_cov" -> ((s, dir) => {
+      // single-pass fixed-point moment aggregate → upper-triangle
+      // covariance of the embedding corpus (the distributed half of
+      // PCA; eigenvectors are driver-side control-plane math)
+      Pca.covarianceDF(embs(s, dir), "embedding", dim = 64)
+        .orderBy("i", "j")
+    }),
+    "qp_pca_project" -> ((s, dir) => {
+      // whitening/compression: project onto the top-2 principal
+      // components (power iteration on the collected 64×64 covariance
+      // — control-plane; the projection is a narrow compiled dot).
+      // Eigen-iteration is not SQL-expressible → rows-only gate;
+      // PcaSpec pins the math (residual, orthogonality, variance).
+      val comps = Pca.principalComponents(embs(s, dir), "embedding",
+        dim = 64, k = 2).map(_._2)
+      Pca.project(embs(s, dir), "vec_id", "embedding", comps)
         .orderBy("vec_id")
     }),
     "qp_lsh_buckets" -> ((s, dir) => {
@@ -1329,6 +1347,22 @@ object QueriesPipeline {
          |   $cols
          | FROM e ORDER BY vec_id""".stripMargin
     },
+    "qp_pca_cov" ->
+      """WITH e AS (SELECT list_transform(embedding::DOUBLE[],
+        |     x -> CAST(round(x * 1000) AS BIGINT)) AS q FROM embeddings),
+        | n AS (SELECT count(*) AS cnt FROM e),
+        | s AS (SELECT i, CAST(sum(q[i+1]) AS BIGINT) AS si
+        |   FROM e, range(64) t(i) GROUP BY i),
+        | p AS (SELECT i, j, CAST(sum(q[i+1] * q[j+1]) AS BIGINT) AS sxy
+        |   FROM e, range(64) t1(i), range(64) t2(j) WHERE i <= j
+        |   GROUP BY i, j)
+        | SELECT p.i, p.j,
+        |   round(((CAST(sxy AS DOUBLE) / cnt)
+        |     - (CAST(s1.si AS DOUBLE) / cnt)
+        |       * (CAST(s2.si AS DOUBLE) / cnt)) / 1e6, 6) + 0.0 AS cov
+        | FROM p JOIN s s1 ON s1.i = p.i JOIN s s2 ON s2.i = p.j
+        |   CROSS JOIN n
+        | ORDER BY p.i, p.j""".stripMargin,
     "qp_lsh_buckets" -> {
       val planes = Similarity.hyperplanes(8, 64)
       val bucket = planes.zipWithIndex.map { case (p, i) =>
