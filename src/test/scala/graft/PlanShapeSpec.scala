@@ -209,6 +209,28 @@ class PlanShapeSpec extends AnyFunSuite {
       cent)
   }
 
+  test("round-6b operators keep their scale shape") {
+    // JL projection: a pure narrow projection — no exchange, no join,
+    // and the dots are the native expression, not a HOF lambda
+    val rp = finalPlan(graft.ops.Similarity.randomProject(
+      graft.sources.Tables.load(spark, sf, "embeddings"),
+      "vec_id", "embedding", graft.ops.Similarity.rademacher(16, 64)))
+    assert(!rp.contains("Exchange") && !rp.contains("Join"), rp)
+    assert(rp.contains("vector_dot") && !rp.contains("lambdafunction"), rp)
+    // DSIR: the bucket log-ratio table joins back by BROADCAST (a
+    // B-row control-plane table must never shuffle the corpus side)
+    val dsir = finalPlan(df("qp_dsir_weights"))
+    assert(dsir.split("== Initial Plan ==").head
+      .contains("BroadcastHashJoin"), dsir)
+    // PCA moments: ONE partial-combining aggregate — a single
+    // exchange beyond the deliberate spread, no window, no join
+    val pca = finalPlan(graft.ops.Pca.moments(
+      graft.sources.Tables.load(spark, sf, "embeddings"), "embedding", 64))
+    val pcaFin = pca.split("== Initial Plan ==").head
+    assert(pcaFin.contains("partial_moment_matrix"), pca)
+    assert(!pca.contains("Window") && !pca.contains("Join"), pca)
+  }
+
   test("indexed CONTAINSTEXT probes the posting table, not the corpus") {
     // fresh sessions: the shared cached dialect session may already
     // carry the index after EntrySmokeSpec ran qd_containstext_idx
