@@ -181,6 +181,17 @@ object QueriesPipeline {
         .filter(col("n_shared") > 0)
         .orderBy("doc_id")
     }),
+    "qp_bloom_decontaminate" -> ((s, dir) => {
+      // join-free decontamination pre-filter: per doc, bloom-positive
+      // 3-gram count vs exact eval hits — n_bloom ⊇ n_exact (no false
+      // negatives); the gap is the FP traffic the exact phase verifies
+      val d = docs(s, dir)
+      graft.ops.Bloom.bloomDecontaminate(d.filter(col("doc_id") >= 20),
+          d.filter(col("doc_id") < 20), "doc_id", "text",
+          n = 3, mBits = 4096, k = 3)
+        .filter(col("n_bloom") > 0)
+        .orderBy("doc_id")
+    }),
     "qp_dsir_weights" -> ((s, dir) => {
       // DSIR data selection (Xie et al. 2023): how much more likely
       // each doc's hashed-bigram features are under the en-language
@@ -1024,6 +1035,31 @@ object QueriesPipeline {
          |   round(count(DISTINCT CASE WHEN hit = 1 THEN gram END) * 1.0
          |     / count(DISTINCT gram), 6) AS contamination
          | FROM j GROUP BY 1 HAVING n_shared > 0
+         | ORDER BY doc_id""".stripMargin,
+    "qp_bloom_decontaminate" ->
+      s"""WITH tok AS (SELECT doc_id, ${dTokens("text")} tok
+         |   FROM documents),
+         | g AS (SELECT doc_id, unnest(CASE WHEN len(tok) >= 3 THEN
+         |     list_transform(range(len(tok)-2),
+         |       i -> tok[i+1] || ' ' || tok[i+2] || ' ' || tok[i+3])
+         |   ELSE [] END) AS gram FROM tok),
+         | cg AS (SELECT DISTINCT doc_id, gram FROM g WHERE doc_id >= 20),
+         | eg AS (SELECT DISTINCT gram FROM g WHERE doc_id < 20),
+         | pos AS (SELECT DISTINCT (h1 + i * h2) % 4096 AS p
+         |   FROM (SELECT ${dH60("gram")} AS h1,
+         |       ${dH60("gram || '#2'")} AS h2 FROM eg), range(3) t(i)),
+         | probe AS (SELECT doc_id, gram,
+         |     sum(CASE WHEN pos.p IS NOT NULL THEN 1 ELSE 0 END) AS nset
+         |   FROM (SELECT doc_id, gram, (h1 + i * h2) % 4096 AS p
+         |     FROM (SELECT doc_id, gram, ${dH60("gram")} AS h1,
+         |         ${dH60("gram || '#2'")} AS h2 FROM cg), range(3) t(i))
+         |   LEFT JOIN pos USING (p) GROUP BY doc_id, gram),
+         | ex AS (SELECT doc_id, gram, 1 AS hit FROM cg JOIN eg USING (gram))
+         | SELECT probe.doc_id,
+         |   CAST(count(CASE WHEN nset = 3 THEN 1 END) AS BIGINT) AS n_bloom,
+         |   CAST(count(ex.hit) AS BIGINT) AS n_exact
+         | FROM probe LEFT JOIN ex USING (doc_id, gram)
+         | GROUP BY 1 HAVING n_bloom > 0
          | ORDER BY doc_id""".stripMargin,
     "qp_dsir_weights" ->
       s"""$dDsirCtes

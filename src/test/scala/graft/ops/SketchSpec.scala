@@ -96,6 +96,35 @@ class SketchSpec extends AnyFunSuite {
       s"sample median $p50 implausible for uniform 1..$n")
   }
 
+  test("Bloom filter: no false negatives, partitioning-invariant bits") {
+    val eval = (0 until 50).map(i => (i.toLong, s"alpha beta g$i gamma"))
+      .toDF("doc_id", "text")
+    def bits(parts: Int) = Bloom.buildBits(
+      eval.repartition(parts), "text", n = 3, mBits = 4096, k = 3).toSeq
+    assert(bits(1) == bits(13), "bloom bits must not depend on partitioning")
+    val b = bits(1).toArray
+    // every eval gram probes true (a Bloom filter cannot miss)
+    import org.apache.spark.sql.functions.{col, explode}
+    val (h1, h2) = Bloom.hashes(col("__g"))
+    val missed = eval
+      .select(explode(TextOps.wordNgrams(
+        TextOps.tokensWs(col("text")), 3)).as("__g"))
+      .withColumn("__bp", Bloom.probe(h1, h2, b, 4096, 3))
+      .filter(!col("__bp")).count()
+    assert(missed == 0, "false negative in bloom probe")
+    // a disjoint gram population mostly probes false (FP rate is
+    // bounded; with ~150 distinct grams in 4096 bits it stays small)
+    val other = (0 until 200).map(i => (i.toLong, s"zz$i yy$i xx$i ww$i"))
+      .toDF("doc_id", "text")
+    val fp = other
+      .select(explode(TextOps.wordNgrams(
+        TextOps.tokensWs(col("text")), 3)).as("__g"))
+      .withColumn("__bp", Bloom.probe(h1, h2, b, 4096, 3))
+      .selectExpr("avg(CASE WHEN __bp THEN 1.0 ELSE 0.0 END) r")
+      .collect().head.getDecimal(0).doubleValue()
+    assert(fp < 0.05, s"false-positive rate $fp implausibly high")
+  }
+
   test("BottomKSample keeps the min value on a key collision") {
     val zero = org.apache.spark.sql.catalyst.expressions.Literal(0L)
     val agg = BottomKSample(zero, zero, k = 4)
