@@ -615,6 +615,12 @@ object QueriesPipeline {
       TextOps.qualityGate(docs(s, dir), "doc_id", "text")
         .orderBy("doc_id")
     }),
+    "qp_c4_rules" -> ((s, dir) => {
+      // C4 line rules: re-line (8 tokens/line), drop short/blocklist/
+      // cross-corpus-duplicate lines, keep docs with >= 3 survivors
+      Curation.c4LineRules(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
     "qp_chunk_docs" -> ((s, dir) => {
       // RAG-style chunking: 20-token chunks, 5-token overlap —
       // chunk count is pure integer math, exactly reproducible
@@ -1681,6 +1687,39 @@ object QueriesPipeline {
          |     / count(*), 6) AS oov_rate
          | FROM tok LEFT JOIN voc USING (t)
          | GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "qp_c4_rules" ->
+      // same re-lining regex (RE2 ≡ Java semantics for this pattern),
+      // same keeper rule: min(doc_id*1e6 + pos) per distinct line
+      s"""WITH lined AS (SELECT doc_id, regexp_replace(text,
+         |     '((\\S+ ){7}\\S+) ', '\\1' || chr(10), 'g') AS lt
+         |   FROM documents),
+         | ll AS (SELECT doc_id, string_split(lt, chr(10)) AS ls
+         |   FROM lined),
+         | ln AS (SELECT doc_id,
+         |     generate_subscripts(ls, 1) - 1 AS pos,
+         |     unnest(ls) AS line FROM ll),
+         | lf AS (SELECT doc_id, pos, line,
+         |     ${dTokens("line")} AS tok,
+         |     doc_id * 1000000 + pos AS key FROM ln),
+         | grp AS (SELECT line, count(*) AS c, min(key) AS keeper
+         |   FROM lf GROUP BY line),
+         | fl AS (SELECT lf.doc_id,
+         |     (len(tok) < 3) AS short,
+         |     list_contains(tok, 'slow') AS blocked,
+         |     (c > 1 AND key <> keeper) AS dup
+         |   FROM lf JOIN grp USING (line))
+         | SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+         |   CAST(sum(CASE WHEN short THEN 1 ELSE 0 END) AS BIGINT)
+         |     AS n_short,
+         |   CAST(sum(CASE WHEN blocked THEN 1 ELSE 0 END) AS BIGINT)
+         |     AS n_blocked,
+         |   CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT)
+         |     AS n_dup,
+         |   CAST(sum(CASE WHEN NOT (short OR blocked OR dup)
+         |     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |   CASE WHEN sum(CASE WHEN NOT (short OR blocked OR dup)
+         |     THEN 1 ELSE 0 END) >= 3 THEN 1 ELSE 0 END AS pass
+         | FROM fl GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "qp_quality_gate" ->
       s"""WITH ${dQualityCtes("documents")}
          | SELECT doc_id, n_words, mean_word_len, alpha_frac, stop_hits,

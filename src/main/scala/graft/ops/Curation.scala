@@ -270,6 +270,67 @@ object Curation {
         size(col("__chunk")).cast("long").as("n_tokens"))
   }
 
+  /** C4-style line-level cleaning (Raffel et al. 2020 §2.2, public
+    * paper): re-line the corpus, then drop a line if it is too short
+    * (< `minWordsPerLine` words), contains a blocklist word, or is a
+    * cross-corpus duplicate — C4 keeps exactly ONE occurrence of any
+    * repeated line; the keeper here is the (doc, pos)-minimal
+    * instance, a deterministic total order. A document passes when at
+    * least `minKeptLines` of its lines survive. Returns one row per
+    * doc: rule counts + the `pass` flag.
+    *
+    * The synthetic corpus has no newlines, so lines are synthesized
+    * by breaking after every `lineTokens` whitespace tokens — one
+    * global regex pass, identical left-to-right semantics in Java
+    * regex and RE2, so the oracle re-lines identically.
+    *
+    * Scale shape: the duplicate-line rule is the exact-dedup shuffle
+    * — an md5-keyed partial-agg groupBy over exploded lines, joined
+    * back by hash (AQE-splittable; never a window over the line key,
+    * which would serialize a boilerplate line shared by millions of
+    * docs into one task). The line frame is persisted for its two
+    * consumers and released before return.
+    */
+  def c4LineRules(df: DataFrame, idCol: String, textCol: String,
+      lineTokens: Int = 8, blocklist: Seq[String] = Seq("slow"),
+      minWordsPerLine: Int = 3, minKeptLines: Int = 3): DataFrame = {
+    require(lineTokens >= 2, "lineTokens must be >= 2")
+    val pat = s"((?:\\S+ ){${lineTokens - 1}}\\S+) "
+    val lines = Partitioning.spread(df)
+      .select(col(idCol).as("__id"),
+        posexplode(split(
+          regexp_replace(col(textCol), pat, "$1\n"), "\n"))
+          .as(Seq("__pos", "__line")))
+      .withColumn("__tok", tokensWs(col("__line")))
+      .withColumn("__lh", md5(col("__line")))
+      // (doc, pos) packed into one orderable key for min_by-style
+      // keeper election; positions are bounded by doc length.
+      .withColumn("__key", col("__id") * 1000000L + col("__pos"))
+      .persist()
+    val groups = lines.groupBy("__lh")
+      .agg(count(lit(1)).as("__c"), min(col("__key")).as("__keeper"))
+    val perDoc = lines.join(groups, "__lh")
+      .withColumn("__short",
+        size(col("__tok")) < minWordsPerLine)
+      .withColumn("__blocked", blocklist
+        .map(w => array_contains(col("__tok"), w))
+        .reduce(_ || _))
+      .withColumn("__dup",
+        col("__c") > 1 && col("__key") =!= col("__keeper"))
+      .withColumn("__kept",
+        !(col("__short") || col("__blocked") || col("__dup")))
+      .groupBy(col("__id").as(idCol))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("__short").cast("long")).as("n_short"),
+        sum(col("__blocked").cast("long")).as("n_blocked"),
+        sum(col("__dup").cast("long")).as("n_dup"),
+        sum(col("__kept").cast("long")).as("n_kept"))
+      .withColumn("pass", (col("n_kept") >= minKeptLines).cast("int"))
+    val out = perDoc.localCheckpoint()
+    lines.unpersist()
+    out
+  }
+
   /** Sequence packing: lay the corpus out as a token stream per
     * partition key (documents may span bin boundaries, GPT-style) and
     * bin by the document's starting offset — bin = floor(start/budget)

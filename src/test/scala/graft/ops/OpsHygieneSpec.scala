@@ -273,6 +273,41 @@ class OpsHygieneSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1, 2L -> 0, 3L -> 0, 4L -> 0))
   }
 
+  test("c4LineRules: each rule trips independently; one keeper per duplicate line") {
+    // lineTokens=4 → re-line after every 4 tokens; minWords=3, minKept=2
+    val boiler = "all rights reserved now"     // will repeat across docs
+    val docs = Seq(
+      (1L, s"alpha beta gamma delta $boiler one two three four"),
+      // same boilerplate line again (doc 1 pos 1 is the keeper),
+      // plus a short tail line and a blocklisted line
+      (2L, s"$boiler bad slow words here tail"),
+      (3L, "clean first line here clean second line too"))
+      .toDF("doc_id", "text")
+    val got = Curation.c4LineRules(docs, "doc_id", "text",
+        lineTokens = 4, blocklist = Seq("slow"),
+        minWordsPerLine = 3, minKeptLines = 2)
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getInt(6)))
+      .toMap
+    // doc1: 3 lines (alpha.., boiler, one..) — all kept (keeper wins)
+    assert(got(1L) == (3L, 0L, 0L, 0L, 3L, 1))
+    // doc2: 3 lines — boiler dup (non-keeper), "bad slow words here"
+    // blocked, "tail" short → 0 kept, fails
+    assert(got(2L) == (3L, 1L, 1L, 1L, 0L, 0))
+    // doc3: 2 clean lines → passes
+    assert(got(3L) == (2L, 0L, 0L, 0L, 2L, 1))
+  }
+
+  test("c4LineRules leaves no cached frames behind") {
+    spark.catalog.clearCache()
+    val d = Tables.load(spark, sf, "documents")
+    Curation.c4LineRules(d, "doc_id", "text").count()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "c4LineRules must unpersist its line cache")
+  }
+
   test("ppsSample keeps a heavier-than-threshold row exactly once") {
     val df = ((1 to 9).map(i => (i.toLong, "g", 1L)) :+ (99L, "g", 1000L))
       .toDF("id", "g", "w")
