@@ -526,6 +526,16 @@ object QueriesPipeline {
         "lang", col("bg"), k = 256)
         .orderBy("lang")
     }),
+    "qp_cms_heavy" -> ((s, dir) => {
+      // corpus bigram heavy hitters: Count-Min estimates (4x512
+      // additive counters — the fixed-size mergeable frequency
+      // sketch) validated against the exact top-15 counts
+      graft.ops.Sketch.cmsHeavyHitters(
+        graft.ops.Partitioning.spread(docs(s, dir)).select(
+          explode(TextOps.bigrams(tokensWs(col("text")))).as("gram")),
+        "gram", k = 15)
+        .orderBy(desc("true_cnt"), asc("gram"))
+    }),
     "qp_kmv_rollup" -> ((s, dir) => {
       // per-language distinct-bigram estimates PLUS the corpus total
       // in one aggregation pass — sketch states merge up the rollup
@@ -1538,6 +1548,33 @@ object QueriesPipeline {
          |     / max(CASE WHEN rn = 256 THEN hv END)) AS BIGINT)
          |   END AS est_distinct
          | FROM r GROUP BY lang ORDER BY lang""".stripMargin,
+    "qp_cms_heavy" ->
+      // same seeded row hashes ('cms<r>:' prefixes over hash60), same
+      // 4x512 geometry, min-over-rows estimate, exact top-15 anchor
+      s"""WITH t AS (SELECT ${dTokens("text")} AS tok FROM documents),
+         | b AS (SELECT unnest(CASE WHEN len(tok) >= 2 THEN
+         |     list_transform(range(len(tok)-1),
+         |       i -> tok[i+1] || ' ' || tok[i+2])
+         |   ELSE [] END) AS gram FROM t),
+         | rows_ AS (SELECT unnest([0, 1, 2, 3]) AS r),
+         | cnt AS (SELECT r,
+         |     ${dH60("'cms' || CAST(r AS VARCHAR) || ':' || gram")}
+         |       % 512 AS bucket,
+         |     CAST(count(*) AS BIGINT) AS cnt
+         |   FROM b, rows_ GROUP BY r, bucket),
+         | top AS (SELECT gram, CAST(count(*) AS BIGINT) AS true_cnt
+         |   FROM b GROUP BY gram
+         |   ORDER BY true_cnt DESC, gram ASC LIMIT 15),
+         | probe AS (SELECT gram, r,
+         |     ${dH60("'cms' || CAST(r AS VARCHAR) || ':' || gram")}
+         |       % 512 AS bucket
+         |   FROM top, rows_),
+         | est AS (SELECT gram,
+         |     min(coalesce(cnt, 0)) AS est
+         |   FROM probe LEFT JOIN cnt USING (r, bucket) GROUP BY gram)
+         | SELECT t.gram, t.true_cnt, CAST(e.est AS BIGINT) AS est
+         | FROM top t JOIN est e USING (gram)
+         | ORDER BY t.true_cnt DESC, t.gram""".stripMargin,
     "qp_kmv_rollup" ->
       // per-lang rows ∪ the '<all>' total, same estimator constants
       s"""WITH t AS (SELECT lang, ${dTokens("text")} AS tok FROM documents),

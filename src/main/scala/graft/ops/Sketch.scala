@@ -102,6 +102,72 @@ object Sketch {
     *
     * @param qs quantiles as rationals (name, numerator, denominator),
     *           e.g. ("p50", 1, 2). */
+  // ------------------------------------------------ Count-Min sketch
+  /** Count-Min counter table (Cormode & Muthukrishnan 2005, public
+    * paper): `depth` seeded hash rows × `width` buckets of additive
+    * counters. The sketch IS the returned DataFrame — depth×width
+    * rows regardless of corpus size, mergeable by plain addition, and
+    * partitioning-invariant (integer counts, order-free sums), so the
+    * identical table reproduces in the SQL oracle.
+    *
+    * Scale shape: one pass — per-item bucket ids are a codegen'd md5
+    * projection, the posexplode fans each item to `depth` (row,
+    * bucket) pairs, and the groupBy partial-aggregates map-side down
+    * to at most depth×width rows PER TASK before the one tiny
+    * exchange. Nothing item-cardinality-sized ever shuffles: this is
+    * the frequency complement of KMV's distinct estimator. Callers
+    * exploding items from a compact doc frame spread BEFORE the
+    * explode, as with [[kmvDistinct]]. */
+  def cmsCounters(items: DataFrame, item: Column,
+      depth: Int = 4, width: Int = 512): DataFrame = {
+    require(depth >= 1 && width >= 2, "CMS needs depth >= 1, width >= 2")
+    items
+      .select(posexplode(array((0 until depth).map(r =>
+          TextOps.hash60(concat(lit(s"cms$r:"), item)) % width): _*))
+        .as(Seq("row", "bucket")))
+      .groupBy("row", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-query the sketch: est(q) = min over rows of the counter at
+    * that row's bucket — an upper bound on the true count (CMS never
+    * underestimates; collisions only inflate). The counter table is
+    * broadcast (its size is fixed by (depth, width), never by data),
+    * so probing any number of queries is a map-side join + one
+    * per-query min. Empty buckets read as 0. */
+  def cmsEstimate(counters: DataFrame, queries: DataFrame,
+      itemCol: String, depth: Int = 4, width: Int = 512): DataFrame =
+    queries
+      .select(col(itemCol), posexplode(array((0 until depth).map(r =>
+          TextOps.hash60(concat(lit(s"cms$r:"), col(itemCol))) % width): _*))
+        .as(Seq("row", "bucket")))
+      .join(broadcast(counters), Seq("row", "bucket"), "left")
+      .groupBy(col(itemCol))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+
+  /** Validation harness for the gate: CMS estimates alongside EXACT
+    * counts for the top-k items (total order: count desc, item asc).
+    * The exact side is what the sketch replaces at scale — it exists
+    * here so the oracle can hash-check `est >= true_cnt` behavior
+    * end-to-end; a 100 TB caller keeps only [[cmsCounters]] +
+    * [[cmsEstimate]] over an external candidate list. */
+  def cmsHeavyHitters(items: DataFrame, itemCol: String, k: Int,
+      depth: Int = 4, width: Int = 512): DataFrame = {
+    val mat = items.persist()
+    val counters = cmsCounters(mat, col(itemCol), depth, width)
+    val top = mat.groupBy(col(itemCol))
+      .agg(count(lit(1)).as("true_cnt"))
+      .orderBy(col("true_cnt").desc, col(itemCol).asc)
+      .limit(k)
+    val out = cmsEstimate(counters, top.select(itemCol), itemCol,
+        depth, width)
+      .join(top, itemCol)
+      .select(col(itemCol), col("true_cnt"), col("est"))
+      .localCheckpoint()
+    mat.unpersist()
+    out
+  }
+
   def kmvQuantiles(df: DataFrame, strataCol: String, idCol: String,
       value: Column, k: Int, qs: Seq[(String, Int, Int)]): DataFrame = {
     require(k >= 1, "KMV quantile sample needs k >= 1")

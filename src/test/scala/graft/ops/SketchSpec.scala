@@ -125,6 +125,41 @@ class SketchSpec extends AnyFunSuite {
     assert(fp < 0.05, s"false-positive rate $fp implausibly high")
   }
 
+  test("CMS never underestimates; exact on collision-free items") {
+    // skewed corpus: item-1 appears 1000x, the rest once each
+    val items = (Seq.fill(1000)("item-1") ++
+      (2 to 2000).map(i => s"item-$i")).toDF("it")
+    val counters = Sketch.cmsCounters(items, col("it")).persist()
+    val truth = items.groupBy("it").count()
+    val est = Sketch.cmsEstimate(counters, truth, "it")
+      .join(truth, "it").collect()
+    counters.unpersist()
+    assert(est.nonEmpty)
+    est.foreach { r =>
+      assert(r.getLong(1) >= r.getLong(2),
+        s"CMS underestimated ${r.getString(0)}: ${r.getLong(1)} < ${r.getLong(2)}")
+    }
+    // the heavy item's min-row is almost surely collision-free at
+    // 2999 items over 4x512 buckets; allow a tiny inflation bound
+    val heavy = est.find(_.getString(0) == "item-1").get
+    assert(heavy.getLong(1) <= 1000 + 20)
+  }
+
+  test("CMS counters are partitioning-invariant and merge by addition") {
+    val items = (1 to 500).map(i => s"w${i % 37}").toDF("it")
+    def tbl(df: org.apache.spark.sql.DataFrame) =
+      Sketch.cmsCounters(df, col("it"))
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+    assert(tbl(items) == tbl(items.repartition(13)))
+    // union sketch = entrywise sum of the halves' sketches
+    val (a, b) = ((1 to 250).map(i => s"w${i % 37}").toDF("it"),
+      (251 to 500).map(i => s"w${i % 37}").toDF("it"))
+    val merged = (tbl(a).toSeq ++ tbl(b).toSeq)
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(merged == tbl(items))
+  }
+
   test("BottomKSample keeps the min value on a key collision") {
     val zero = org.apache.spark.sql.catalyst.expressions.Literal(0L)
     val agg = BottomKSample(zero, zero, k = 4)
