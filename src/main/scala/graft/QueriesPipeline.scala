@@ -270,6 +270,15 @@ object QueriesPipeline {
           "vec_id", "embedding", k = 10)
         .orderBy(col("q_id"), col("rnk"))
     }),
+    "qp_hamming_topk" -> ((s, dir) => {
+      // binary ANN: sign-packed embeddings (2 longs per 64-dim vec,
+      // 32x smaller), Hamming = xor + bit_count — the cheap
+      // first-stage retrieval ahead of exact rerank
+      val e = embs(s, dir)
+      Similarity.hammingTopK(e, e.filter(col("vec_id") < 8),
+          "vec_id", "embedding", dim = 64, k = 5)
+        .orderBy(col("q_id"), col("rnk"))
+    }),
     "qp_cosine_pairs" -> ((s, dir) => {
       // blocked by class label: embedding near-dups are same-class;
       // unblocked ANN goes through qp_lsh_buckets instead
@@ -1228,6 +1237,29 @@ object QueriesPipeline {
          |   FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id)
          | SELECT q_id, n_id, round(c, 6) AS cos, rnk FROM scored
          | WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin,
+    "qp_hamming_topk" ->
+      // same 32-dims-per-word packing (bits 0..31 only — no sign-bit
+      // arithmetic), same (dist, n_id) tie-break
+      s"""WITH b AS (SELECT vec_id, i,
+         |     CASE WHEN embedding[i + 1] > 0 THEN 1 ELSE 0 END AS bit
+         |   FROM embeddings, (SELECT unnest(range(64)) AS i)),
+         | p AS (SELECT vec_id,
+         |     CAST(sum(CASE WHEN i < 32 AND bit = 1
+         |       THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS h0,
+         |     CAST(sum(CASE WHEN i >= 32 AND bit = 1
+         |       THEN (1::BIGINT << (i - 32)) ELSE 0 END) AS BIGINT) AS h1
+         |   FROM b GROUP BY vec_id),
+         | q AS (SELECT vec_id AS q_id, h0 AS qh0, h1 AS qh1 FROM p
+         |   WHERE vec_id < 8),
+         | d AS (SELECT q.q_id, p.vec_id AS n_id,
+         |     CAST(bit_count(xor(qh0, h0)) + bit_count(xor(qh1, h1))
+         |       AS BIGINT) AS dist
+         |   FROM p CROSS JOIN q WHERE p.vec_id <> q.q_id),
+         | r AS (SELECT q_id, n_id, dist,
+         |     row_number() OVER (PARTITION BY q_id
+         |       ORDER BY dist, n_id) AS rnk FROM d)
+         | SELECT q_id, n_id, dist, rnk FROM r
+         | WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
     "qp_cosine_pairs" ->
       s"""WITH e0 AS (SELECT vec_id, label, embedding::DOUBLE[] v
          |   FROM embeddings),

@@ -80,6 +80,51 @@ object Similarity {
       k)
   }
 
+  /** Sign-bit binarization: dim float dims → ceil(dim/32) longs, 32
+    * dims per word in bits 0..31 (never bit 63, so no sign-bit
+    * arithmetic in any engine). 32× storage cut; Hamming distance on
+    * the packed words approximates angular distance (Charikar 2002
+    * sign-random-projection family — here the identity projection:
+    * the embedding's own coordinate signs). Pure codegen'd column
+    * math: 32 when-terms per word, like the simhash bit sums. */
+  def signPack(vec: Column, dim: Int): Seq[Column] = {
+    require(dim >= 1, "signPack needs dim >= 1")
+    (0 until (dim + 31) / 32).map { w =>
+      (0 until math.min(32, dim - w * 32)).map { b =>
+        when(element_at(vec, w * 32 + b + 1) > 0d, lit(1L << b))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+  }
+
+  /** Binary ANN: top-k nearest corpus vectors per query under Hamming
+    * distance over the sign-packed words — the rerank-ready cheap
+    * first stage (xor + bit_count per word pair ≈ 2 instructions vs
+    * dim multiply-adds for cosine; the packed table is 32× smaller
+    * than the float corpus). Queries broadcast; ranking via the same
+    * two-level [[rankTopKBy]] as the float ANN paths — no per-query
+    * single-task candidate list. Ties break on (dist, n_id).
+    * Returns (q_id, n_id, dist, rnk). */
+  def hammingTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, dim: Int, k: Int): DataFrame = {
+    val words = (dim + 31) / 32
+    def packed(df: DataFrame, idAs: String, pfx: String) =
+      df.select(col(idCol).as(idAs) +:
+        signPack(col(vecCol).cast("array<double>"), dim)
+          .zipWithIndex.map { case (c, i) => c.as(s"$pfx$i") }: _*)
+    val q = broadcast(packed(queries, "q_id", "qh"))
+    val c = Partitioning.spread(packed(corpus, "n_id", "ch"))
+    val dist = (0 until words)
+      .map(i => bit_count(col(s"qh$i").bitwiseXOR(col(s"ch$i"))))
+      .reduce(_ + _)
+    rankTopKBy(
+      c.crossJoin(q)
+        .filter(col("q_id") =!= col("n_id"))
+        .withColumn("dist", dist.cast("long"))
+        .select(col("q_id"), col("n_id"), col("dist")),
+      k, "dist", ascending = true)
+  }
+
   /** seeded random hyperplanes (rounded so literals are identical when
     * re-generated for the DuckDB oracle). */
   def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 7L): Seq[Seq[Double]] = {

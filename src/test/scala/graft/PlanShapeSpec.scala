@@ -147,7 +147,7 @@ class PlanShapeSpec extends AnyFunSuite {
     // per-(query, input-partition) top-k before the global merge — a
     // single window over q_id puts a query's entire corpus-sized
     // candidate list in one task (straggler/OOM at 100 TB)
-    for (q <- Seq("qp_ann_topk", "qp_ivf_topk")) {
+    for (q <- Seq("qp_ann_topk", "qp_ivf_topk", "qp_hamming_topk")) {
       val p = finalPlan(df(q))
       assert(p.contains("SPARK_PARTITION_ID"), s"$q: $p")
       assert("windowspecdefinition".r.findAllIn(p).length >= 2, s"$q: $p")

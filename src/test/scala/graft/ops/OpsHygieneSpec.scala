@@ -308,6 +308,24 @@ class OpsHygieneSpec extends AnyFunSuite {
       "c4LineRules must unpersist its line cache")
   }
 
+  test("hammingTopK matches the bit-level distance definition") {
+    // 40-dim vectors spanning both packed words; signs hand-chosen so
+    // distances are computable by eye: q vs a differ in dims {0, 39},
+    // q vs b differ in dims 1..5 (5 bits)
+    def v(neg: Set[Int]): Array[Double] =
+      (0 until 40).map(i => if (neg(i)) -1.0 else 1.0).toArray
+    val df = Seq(
+      (0L, v(Set.empty[Int])),
+      (1L, v(Set(0, 39))),
+      (2L, v(Set(1, 2, 3, 4, 5))))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.hammingTopK(df, df.filter($"vec_id" === 0L),
+        "vec_id", "embedding", dim = 40, k = 2)
+      .orderBy("rnk").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(got.toSeq == Seq((1L, 2L, 1), (2L, 5L, 2)))
+  }
+
   test("ppsSample keeps a heavier-than-threshold row exactly once") {
     val df = ((1 to 9).map(i => (i.toLong, "g", 1L)) :+ (99L, "g", 1000L))
       .toDF("id", "g", "w")
