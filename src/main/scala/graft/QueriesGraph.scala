@@ -57,15 +57,7 @@ object QueriesGraph {
       // sides + the vertex set — A/B: 1.7 → 0.9 s vs GraphX, whose
       // variant GraphSpec pins equal). Counts are exact ints — the
       // hash can't drift with partitioning.
-      val e = TradeGraph.edges(s, dir)
-      val focal = e.filter(col("src") < 100)
-      val a = focal.select(col("src").as("a_id"), col("dst"))
-      val b = focal.select(col("src").as("b_id"), col("dst"))
-      val proj = a.join(b, "dst").filter(col("a_id") < col("b_id"))
-        .groupBy("a_id", "b_id").agg(count(lit(1)).as("shared"))
-        .filter(col("shared") >= 5)
-        .select(col("a_id").as("src"), col("b_id").as("dst"))
-        .localCheckpoint()
+      val proj = copurchaseProjection(s, dir)
       val verts = proj.select(col("src").as("id"))
         .unionByName(proj.select(col("dst").as("id"))).distinct()
       GraphOps.triangleCountsDF(verts, proj).orderBy("id")
@@ -77,6 +69,21 @@ object QueriesGraph {
       GraphOps.shortestHops(TradeGraph.vertices(s, dir),
           TradeGraph.edges(s, dir), sourceIds = Seq(1L), maxHops = 3)
         .orderBy("id")
+    }),
+    "qg_hits" -> ((s, dir) => {
+      // hubs (customers) & authorities (suppliers), 3 integer rounds:
+      // unnormalized HITS keeps every score an exact integer sum —
+      // ranking-equivalent to the normalized variant, hash-exact
+      GraphOps.hitsDF(TradeGraph.vertices(s, dir),
+          TradeGraph.edges(s, dir), iters = 3)
+        .orderBy(col("id"))
+    }),
+    "qg_kcore" -> ((s, dir) => {
+      // 3-core of the co-purchaser projection (same one-mode
+      // reduction as qg_triangles), 6 fixed peel rounds — GraphSpec
+      // asserts the fixpoint is reached within them
+      GraphOps.kCoreDF(copurchaseProjection(s, dir), k = 3, rounds = 6)
+        .orderBy(col("id"))
     }),
     "qg_common_suppliers" -> ((s, dir) => {
       // graph pattern: for 100 focal customers, find co-purchasers with
@@ -92,6 +99,23 @@ object QueriesGraph {
         .orderBy(col("a_id"), col("b_id"))
     })
   )
+
+  /** one-mode co-purchaser projection of 100 focal customers (edge
+    * when two customers share ≥ 5 suppliers), canonical src<dst,
+    * materialized once — it feeds multiple join consumers
+    * (qg_triangles' three-way self-join, qg_kcore's peel rounds). */
+  private def copurchaseProjection(s: SparkSession,
+      dir: String): DataFrame = {
+    val e = TradeGraph.edges(s, dir)
+    val focal = e.filter(col("src") < 100)
+    val a = focal.select(col("src").as("a_id"), col("dst"))
+    val b = focal.select(col("src").as("b_id"), col("dst"))
+    a.join(b, "dst").filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= 5)
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+      .localCheckpoint()
+  }
 
   private val edgesCte =
     s"""e AS MATERIALIZED (SELECT DISTINCT o_custkey AS src,
@@ -161,7 +185,53 @@ object QueriesGraph {
        | SELECT id, lbl AS component FROM l$rounds ORDER BY id""".stripMargin
   }
 
+  /** unrolled integer HITS (h₀=1; aₜ=Σ_in hₜ₋₁; hₜ=Σ_out aₜ —
+    * unnormalized, so every score is an exact integer sum). */
+  private def hitsSql(iters: Int): String = {
+    val rounds = (1 to iters).map { t =>
+      s"""a$t AS MATERIALIZED (SELECT v.id,
+         |   CAST(coalesce(s.s, 0) AS BIGINT) AS authority
+         |  FROM v LEFT JOIN (SELECT e.dst AS id, sum(h${t - 1}.hub) AS s
+         |    FROM e JOIN h${t - 1} ON h${t - 1}.id = e.src
+         |    GROUP BY e.dst) s USING (id)),
+         | h$t AS MATERIALIZED (SELECT v.id,
+         |   CAST(coalesce(s.s, 0) AS BIGINT) AS hub
+         |  FROM v LEFT JOIN (SELECT e.src AS id, sum(a$t.authority) AS s
+         |    FROM e JOIN a$t ON a$t.id = e.dst
+         |    GROUP BY e.src) s USING (id))""".stripMargin
+    }.mkString(",\n ")
+    s"""WITH $edgesCte,
+       | h0 AS (SELECT id, CAST(1 AS BIGINT) AS hub FROM v),
+       | $rounds
+       | SELECT h$iters.id, hub, authority
+       | FROM h$iters JOIN a$iters USING (id) ORDER BY id""".stripMargin
+  }
+
+  /** unrolled k-core peel over the co-purchaser projection. */
+  private def kcoreSql(k: Int, rounds: Int): String = {
+    val steps = (1 to rounds).map { t =>
+      s"""bad$t AS MATERIALIZED (SELECT a FROM u${t - 1}
+         |   GROUP BY a HAVING count(*) < $k),
+         | u$t AS MATERIALIZED (SELECT a, b FROM u${t - 1}
+         |   WHERE a NOT IN (SELECT a FROM bad$t)
+         |     AND b NOT IN (SELECT a FROM bad$t))""".stripMargin
+    }.mkString(",\n ")
+    s"""WITH $edgesCte,
+       | proj AS MATERIALIZED (
+       |   SELECT a.src AS src, b.src AS dst
+       |   FROM e a JOIN e b ON a.dst = b.dst AND a.src < b.src
+       |   WHERE a.src < 100 AND b.src < 100
+       |   GROUP BY a.src, b.src HAVING count(*) >= 5),
+       | u0 AS (SELECT src AS a, dst AS b FROM proj
+       |   UNION ALL SELECT dst, src FROM proj),
+       | $steps
+       | SELECT a AS id, CAST(count(*) AS BIGINT) AS core_deg
+       | FROM u$rounds GROUP BY a ORDER BY id""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "qg_hits" -> hitsSql(3),
+    "qg_kcore" -> kcoreSql(3, 6),
     "qg_degrees" ->
       s"""WITH $edgesCte
          | SELECT v.id,

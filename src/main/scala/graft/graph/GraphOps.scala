@@ -212,6 +212,74 @@ object GraphOps {
       .select(col("id"),
         coalesce(col("n"), lit(0L)).cast("int").as("triangles"))
   }
+
+  /** HITS hubs & authorities (Kleinberg 1999, public paper),
+    * UNNORMALIZED with integer scores: h₀ = 1 everywhere; per round
+    * aₜ(v) = Σ_{u→v} hₜ₋₁(u), then hₜ(u) = Σ_{u→v} aₜ(v). Dropping
+    * the per-round normalization keeps every score an exact integer
+    * sum — no float-add order drift, so results hash-match any
+    * engine — and the RANKING is unchanged (normalization scales all
+    * scores of a round uniformly). Long range bounds depth: scores
+    * grow ≈ (avg in-deg × avg out-deg) per round, so a handful of
+    * rounds stays far below 2^63 even web-scale; callers wanting unit
+    * vectors divide by the norm off-line.
+    *
+    * Scale shape: one equi-join + partial-agg shuffle per half-round
+    * (identical to the PageRank message plan — AQE-skew-splittable),
+    * messages to undeclared vertices discarded by the vertex-table
+    * join-back, lineage truncated per round. Returns
+    * (id, hub, authority). */
+  def hitsDF(vertices: DataFrame, edges: DataFrame,
+      iters: Int): DataFrame = {
+    require(iters >= 1, "HITS needs at least one round")
+    val ids = vertices.select(col("id")).persist()
+    val e = edges.select(col("src"), col("dst")).persist()
+    var hubs = ids.withColumn("hub", lit(1L))
+    var auths = ids.withColumn("authority", lit(0L))
+    for (_ <- 1 to iters) {
+      val am = e.join(hubs, e("src") === hubs("id"))
+        .groupBy(e("dst")).agg(sum("hub").as("__s"))
+      auths = ids.join(am, ids("id") === am("dst"), "left")
+        .select(ids("id"),
+          coalesce(col("__s"), lit(0L)).as("authority"))
+        .localCheckpoint()
+      val hm = e.join(auths, e("dst") === auths("id"))
+        .groupBy(e("src")).agg(sum("authority").as("__s"))
+      hubs = ids.join(hm, ids("id") === hm("src"), "left")
+        .select(ids("id"), coalesce(col("__s"), lit(0L)).as("hub"))
+        .localCheckpoint()
+    }
+    val out = hubs.join(auths, "id").select(
+      col("id"), col("hub"), col("authority"))
+    e.unpersist()
+    ids.unpersist()
+    out
+  }
+
+  /** k-core peel: remove vertices whose degree in the REMAINING
+    * subgraph is < k, for a FIXED number of rounds (fixed rounds keep
+    * the result deterministic and oracle-expressible; at the fixpoint
+    * further rounds are no-ops — pick `rounds` ≥ the graph's peel
+    * depth and assert convergence in a spec via [[kCoreDF]] at
+    * rounds and rounds+1). `edges` must be canonical (src < dst)
+    * distinct undirected edges. Per round: one partial-agg degree
+    * count + two anti-joins against the (small) peeled-id set, the
+    * edge frame re-materialized per round so lineage stays flat.
+    * Returns surviving (id, core_deg). */
+  def kCoreDF(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1, "k-core needs k >= 1, rounds >= 1")
+    var u = edges.select(col("src").as("a"), col("dst").as("b"))
+      .unionByName(edges.select(col("dst").as("a"), col("src").as("b")))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val bad = u.groupBy("a").agg(count(lit(1)).as("__n"))
+        .filter(col("__n") < k).select(col("a").as("__bad"))
+      u = u.join(bad, col("a") === col("__bad"), "left_anti")
+        .join(bad, col("b") === col("__bad"), "left_anti")
+        .localCheckpoint()
+    }
+    u.groupBy(col("a").as("id")).agg(count(lit(1)).as("core_deg"))
+  }
 }
 
 /** The trade-graph fixture over the driver tables: customers and

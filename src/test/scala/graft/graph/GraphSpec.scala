@@ -119,4 +119,57 @@ class GraphSpec extends AnyFunSuite {
       .agg(sum("total")).collect().head.getLong(0)
     assert(total == 2 * e.count())
   }
+
+  test("HITS on a known graph: hand-computed integer scores") {
+    import spark.implicits._
+    // 1→3, 1→4, 2→4: h₀=1 ⇒ a₁=(0,0,1,2); h₁=(a(3)+a(4), a(4), 0, 0)
+    //                                        = (3, 2, 0, 0)
+    val v = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val e = Seq((1L, 3L), (1L, 4L), (2L, 4L)).toDF("src", "dst")
+    val got = GraphOps.hitsDF(v, e, iters = 1)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 3L, 0L), (2L, 2L, 0L),
+      (3L, 0L, 1L), (4L, 0L, 2L)))
+  }
+
+  test("HITS messages to vertices outside the vertex table are dropped") {
+    import spark.implicits._
+    val v = Seq(1L, 2L).toDF("id")
+    val e = Seq((1L, 2L), (1L, 99L)).toDF("src", "dst")
+    val got = GraphOps.hitsDF(v, e, iters = 1)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // 99 never appears; 1's hub counts only the declared edge 1→2
+    assert(got.toSeq == Seq((1L, 1L, 0L), (2L, 0L, 1L)))
+  }
+
+  test("k-core peels a tail but keeps the core; fixpoint within round budget") {
+    import spark.implicits._
+    // triangle {1,2,3} (2-core) with a pendant chain 3-4-5
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val got = GraphOps.kCoreDF(e, k = 2, rounds = 4)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 2L), (2L, 2L), (3L, 2L)))
+    // the qg_kcore round budget (6) reaches the fixpoint at sf0.001:
+    // one more round changes nothing
+    val proj = {
+      val ed = TradeGraph.edges(spark, sf)
+      val focal = ed.filter(col("src") < 100)
+      val a = focal.select(col("src").as("a_id"), col("dst"))
+      val b = focal.select(col("src").as("b_id"), col("dst"))
+      a.join(b, "dst").filter(col("a_id") < col("b_id"))
+        .groupBy("a_id", "b_id").agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= 5)
+        .select(col("a_id").as("src"), col("b_id").as("dst"))
+        .localCheckpoint()
+    }
+    val r6 = GraphOps.kCoreDF(proj, k = 3, rounds = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val r7 = GraphOps.kCoreDF(proj, k = 3, rounds = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(r6 == r7, "qg_kcore's 6 peel rounds must reach the fixpoint")
+  }
 }
