@@ -209,6 +209,29 @@ object QueriesRelational {
         .select($"c_mktsegment", $"c_custkey", $"c_acctbal", $"rnk")
         .orderBy($"c_mktsegment", $"rnk")
     }),
+    "q_window_suite" -> ((s, dir) => {
+      // the distribution window functions beyond rank/lag:
+      // percent_rank, cume_dist, ntile — one window, one pass
+      import s.implicits._
+      val w = Window.partitionBy($"c_mktsegment")
+        .orderBy($"c_acctbal".desc, $"c_custkey")
+      t(s, dir, "customer").filter($"c_custkey" < 300)
+        .select($"c_mktsegment", $"c_custkey",
+          round(percent_rank().over(w), 6).as("prnk"),
+          round(cume_dist().over(w), 6).as("cdist"),
+          ntile(4).over(w).as("tile"))
+        .orderBy($"c_mktsegment", $"c_custkey")
+    }),
+    "q_grouping_sets" -> ((s, dir) => {
+      // explicit GROUPING SETS (the cube/rollup generalization) —
+      // compiles to one Expand, not a union of re-scans
+      t(s, dir, "orders").createOrReplaceTempView("__gs_orders")
+      s.sql("""SELECT o_orderstatus, o_orderpriority,
+        | count(*) AS n, round(sum(o_totalprice), 2) AS total
+        | FROM __gs_orders
+        | GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        | ORDER BY o_orderstatus, o_orderpriority""".stripMargin)
+    }),
     "q_union_names" -> ((s, dir) => {
       import s.implicits._
       t(s, dir, "nation").select($"n_name".as("name"))
@@ -456,6 +479,21 @@ object QueriesRelational {
         |       ORDER BY c_acctbal DESC, c_custkey) AS rnk
         |   FROM customer) WHERE rnk <= 5
         | ORDER BY c_mktsegment, rnk""".stripMargin,
+    "q_window_suite" ->
+      """SELECT c_mktsegment, c_custkey,
+        |   round(percent_rank() OVER w, 6) AS prnk,
+        |   round(cume_dist() OVER w, 6) AS cdist,
+        |   ntile(4) OVER w AS tile
+        | FROM customer WHERE c_custkey < 300
+        | WINDOW w AS (PARTITION BY c_mktsegment
+        |   ORDER BY c_acctbal DESC, c_custkey)
+        | ORDER BY c_mktsegment, c_custkey""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        | count(*) AS n, round(sum(o_totalprice), 2) AS total
+        | FROM orders
+        | GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        | ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
     "q_union_names" ->
       """SELECT DISTINCT name FROM (
         |   SELECT n_name AS name FROM nation
