@@ -51,6 +51,15 @@ object QueriesPipeline {
           blockCols = Seq("lang"), maxDist = 4)
         .orderBy(col("a_id"), col("b_id"))
     }),
+    "qp_ppjoin_pairs" -> ((s, dir) => {
+      // EXACT Jaccard >= 0.8 self-join via rare-first prefix
+      // filtering (PPJoin) — no LSH probability of loss, no blocking
+      // contract; the oracle is brute-force all-pairs, so any pair
+      // the prefix filter dropped would fail the gate
+      Dedup.ppjoinPairs(docs(s, dir), "doc_id", "text",
+          threshold = 0.8)
+        .orderBy(col("a_id"), col("b_id"))
+    }),
     "qp_ngram_jaccard" -> ((s, dir) => {
       // blocking = (lang, length-band): near-dups have near-equal
       // length, so the quadratic verify runs inside tiny blocks
@@ -219,6 +228,14 @@ object QueriesPipeline {
           rates = Map("en" -> 0.5, "de" -> 0.25), defaultRate = 0.1)
         .groupBy("lang").agg(count(lit(1)).as("kept"))
         .orderBy("lang")
+    }),
+    "qp_train_split" -> ((s, dir) => {
+      // stratified deterministic train/val/test: the split is a pure
+      // function of (salt, lang, id) — corpus rebuilds never migrate
+      // an old row between splits (eval-contamination safety)
+      Curation.trainValTestSplit(docs(s, dir), "doc_id", "lang")
+        .groupBy("lang", "split").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "split")
     }),
     "qp_exact_substring" -> ((s, dir) => {
       // span-level dedup signal (ExactSubstr-style): distinct 20-token
@@ -1105,6 +1122,16 @@ object QueriesPipeline {
          |   < (CASE WHEN lang = 'en' THEN 0.5
          |           WHEN lang = 'de' THEN 0.25 ELSE 0.1 END) * 10000
          | GROUP BY lang ORDER BY lang""".stripMargin,
+    "qp_train_split" ->
+      s"""WITH b AS (SELECT lang,
+         |   ${dH60("'split:' || lang || ':' || CAST(doc_id AS VARCHAR)")}
+         |     % 100 AS bk
+         |  FROM documents)
+         | SELECT lang,
+         |   CASE WHEN bk < 90 THEN 'train'
+         |        WHEN bk < 95 THEN 'val' ELSE 'test' END AS split,
+         |   CAST(count(*) AS BIGINT) AS n
+         | FROM b GROUP BY lang, split ORDER BY lang, split""".stripMargin,
     "qp_exact_substring" ->
       // window key = pair of sums of two independent per-token hashes,
       // identical construction to Dedup.sharedWindowCounts
@@ -1214,6 +1241,20 @@ object QueriesPipeline {
          | FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
          | WHERE bit_count(xor(a.sh, b.sh)) <= 4
          | ORDER BY a_id, b_id""".stripMargin,
+    "qp_ppjoin_pairs" ->
+      // brute-force all-pairs exact Jaccard — deliberately NOT
+      // prefix-filtered: the oracle proves the filter lost nothing
+      s"""WITH t0 AS (SELECT doc_id,
+         |   list_distinct(list_transform(${dShingles("text")},
+         |     x -> ${dH60("x")})) sh
+         |   FROM documents),
+         | t AS (SELECT doc_id, sh, len(sh) n FROM t0 WHERE len(sh) > 0)
+         | SELECT a_id, b_id, jac FROM (
+         |   SELECT a.doc_id a_id, b.doc_id b_id,
+         |     round(len(list_intersect(a.sh, b.sh))*1.0 /
+         |       (a.n + b.n - len(list_intersect(a.sh, b.sh))), 6) jac
+         |   FROM t a JOIN t b ON a.doc_id < b.doc_id)
+         | WHERE jac >= 0.8 ORDER BY a_id, b_id""".stripMargin,
     "qp_ngram_jaccard" ->
       s"""WITH t AS (SELECT doc_id, lang,
          |   CAST(floor(n_chars / 20) AS INT) lb,

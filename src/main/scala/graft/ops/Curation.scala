@@ -124,6 +124,27 @@ object Curation {
         % 10000 < rate * 10000)
   }
 
+  /** Deterministic train/validation/test split, stratified: the split
+    * is a pure function of (salt, stratum, id) — re-running on a
+    * grown corpus never moves an old row between splits (the property
+    * that keeps eval sets uncontaminated across corpus rebuilds;
+    * rand()-based splits reshuffle everything on every run). Bucket =
+    * hash mod 100: [0, trainPct) train, [trainPct, trainPct+valPct)
+    * val, rest test. One narrow filter-free projection — no shuffle,
+    * no per-stratum state. */
+  def trainValTestSplit(df: DataFrame, idCol: String, strataCol: String,
+      trainPct: Int = 90, valPct: Int = 5,
+      salt: String = "split"): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
+      "percentages must fit in [0, 100]")
+    val bucket = hash60(concat(lit(salt), lit(":"), col(strataCol),
+      lit(":"), col(idCol).cast("string"))) % 100
+    df.withColumn("split",
+      when(bucket < trainPct, lit("train"))
+        .when(bucket < trainPct + valPct, lit("val"))
+        .otherwise(lit("test")))
+  }
+
   /** Temperature-scaled mixture sampling — the multinomial temperature
     * reweighting used to set training-data language/domain mixtures:
     * stratum weight w_i ∝ n_i^alpha (alpha < 1 flattens the mixture,

@@ -164,6 +164,67 @@ object Dedup {
     pairs
   }
 
+  /** EXACT similarity self-join via prefix filtering (PPJoin family —
+    * Chaudhuri et al. 2006 SSJoin / Xiao et al. 2008, public papers):
+    * every pair with shingle Jaccard ≥ `threshold`, with NO false
+    * negatives — the exact complement to [[minhashPairs]] (LSH loses
+    * pairs with band-collision probability < 1) and to
+    * [[ngramJaccardPairs]] (whose blocking keys are caller-contracted
+    * to not split near-dups).
+    *
+    * Prefix principle: order each doc's shingle set by global rarity
+    * (freq asc, hash asc — a total order); two sets with Jaccard ≥ t
+    * MUST share a shingle among each one's first n − ⌈t·n⌉ + 1
+    * ("prefix") shingles, so candidates = prefix-token collisions
+    * only. Rare-first ordering makes prefixes collide rarely — the
+    * candidate count approaches the true output size instead of the
+    * all-pairs square.
+    *
+    * Scale shape: ONE exploded corpus pass persisted for its three
+    * consumers (frequency table, prefix explode, verify sets); the
+    * per-doc rarity rank is a PER-DOC window (bounded by doc length,
+    * never a hot corpus key); candidates shuffle only (hash, id)
+    * pairs; verification joins the collected shingle sets by id —
+    * exactly the minhash verify shape. The frequency table join is a
+    * shuffle join on the shingle hash (a 100 TB corpus' shingle
+    * vocabulary is not broadcastable). Returns (a_id, b_id, jac). */
+  def ppjoinPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, shingleN: Int = 4): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold in (0, 1]")
+    val base = spread(df).select(col(idCol).as("__id"),
+        explode(charShingles(col(textCol), shingleN)).as("__s"))
+      .select(col("__id"), hash60(col("__s")).as("__h"))
+      .distinct()
+      .persist()
+    val freq = base.groupBy("__h").agg(count(lit(1)).as("__f"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__id").orderBy(col("__f"), col("__h"))
+    val prefix = base.join(freq, "__h")
+      .withColumn("__r", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("__id")))
+      // prefix length n − ⌈t·n⌉ + 1; float ceil can only round UP,
+      // which lengthens the prefix — always safe (superset)
+      .filter(col("__r") <= col("__n") - ceil(lit(threshold) * col("__n")) + 1)
+      .select("__h", "__id")
+    val candidates = prefix.select(col("__h"), col("__id").as("a_id"))
+      .join(prefix.select(col("__h"), col("__id").as("b_id")), Seq("__h"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    val sets = base.groupBy("__id")
+      .agg(collect_set(col("__h")).as("__sh"))
+    val pairs = candidates
+      .join(sets.select(col("__id").as("a_id"), col("__sh").as("__sha")), "a_id")
+      .join(sets.select(col("__id").as("b_id"), col("__sh").as("__shb")), "b_id")
+      .withColumn("__i", size(array_intersect(col("__sha"), col("__shb"))))
+      .select(col("a_id"), col("b_id"),
+        jacFromInter(col("__i"), col("__sha"), col("__shb")).as("jac"))
+      .filter(col("jac") >= threshold)
+      .localCheckpoint()
+    base.unpersist()
+    pairs
+  }
+
   /** full minhash signature as ONE string column — the expression form
     * (no groupBy), usable on unbounded STREAMING frames where a
     * stateful aggregation would force update-mode output. */

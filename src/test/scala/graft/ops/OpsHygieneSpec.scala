@@ -308,6 +308,36 @@ class OpsHygieneSpec extends AnyFunSuite {
       "c4LineRules must unpersist its line cache")
   }
 
+  test("ppjoinPairs equals brute-force all-pairs Jaccard (no false negatives)") {
+    val d = Tables.load(spark, sf, "documents")
+    val got = Dedup.ppjoinPairs(d, "doc_id", "text", threshold = 0.8)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    // brute-force model: distinct hashed shingle sets, all pairs
+    val sets = d.select(col("doc_id"),
+        graft.ops.TextOps.charShingles(col("text"), 4).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"),
+        array_distinct(transform(col("sh"),
+          s => graft.ops.TextOps.hash60(s))).as("sh"))
+    val a = sets.select(col("doc_id").as("a_id"), col("sh").as("sa"))
+    val b = sets.select(col("doc_id").as("b_id"), col("sh").as("sb"))
+    val brute = a.crossJoin(b).filter(col("a_id") < col("b_id"))
+      .withColumn("i", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jac", col("i").cast("double") /
+        (size(col("sa")) + size(col("sb")) - col("i")))
+      .filter(col("jac") >= 0.8)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(got == brute)
+  }
+
+  test("ppjoinPairs leaves no cached frames behind") {
+    spark.catalog.clearCache()
+    val d = Tables.load(spark, sf, "documents")
+    Dedup.ppjoinPairs(d, "doc_id", "text", threshold = 0.8).count()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "ppjoinPairs must unpersist its shingle cache")
+  }
+
   test("hammingTopK matches the bit-level distance definition") {
     // 40-dim vectors spanning both packed words; signs hand-chosen so
     // distances are computable by eye: q vs a differ in dims {0, 39},
