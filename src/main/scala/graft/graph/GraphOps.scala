@@ -233,24 +233,41 @@ object GraphOps {
       iters: Int): DataFrame = {
     require(iters >= 1, "HITS needs at least one round")
     val ids = vertices.select(col("id")).persist()
-    val e = edges.select(col("src"), col("dst")).persist()
+    // vertex ids ride INSIDE the edge table as self-rows with a null
+    // message marker (the prCore trick): every id reaches each
+    // half-round's groupBy without a vertex-table join-back per
+    // half-round (A/B: 5.8 → see ScratchR6; two joins/round → one).
+    // Edges touching undeclared vertices are semi-filtered up front —
+    // either endpoint's groupBy would otherwise mint phantom rows.
+    val e = edges.select(col("src"), col("dst"))
+      .join(ids.select(col("id").as("src")), Seq("src"), "left_semi")
+      .join(ids.select(col("id").as("dst")), Seq("dst"), "left_semi")
+      .withColumn("__self", lit(false))
+      .unionByName(ids.select(col("id").as("src"),
+        col("id").as("dst")).withColumn("__self", lit(true)))
+      .persist()
     var hubs = ids.withColumn("hub", lit(1L))
-    var auths = ids.withColumn("authority", lit(0L))
+    var auths: DataFrame = null
     for (_ <- 1 to iters) {
-      val am = e.join(hubs, e("src") === hubs("id"))
-        .groupBy(e("dst")).agg(sum("hub").as("__s"))
-      auths = ids.join(am, ids("id") === am("dst"), "left")
-        .select(ids("id"),
+      auths = e.join(hubs, e("src") === hubs("id"))
+        .select(e("dst"),
+          when(col("__self"), lit(null).cast("long"))
+            .otherwise(col("hub")).as("__m"))
+        .groupBy(col("dst")).agg(sum("__m").as("__s"))
+        .select(col("dst").as("id"),
           coalesce(col("__s"), lit(0L)).as("authority"))
-        .localCheckpoint()
-      val hm = e.join(auths, e("dst") === auths("id"))
-        .groupBy(e("src")).agg(sum("authority").as("__s"))
-      hubs = ids.join(hm, ids("id") === hm("src"), "left")
-        .select(ids("id"), coalesce(col("__s"), lit(0L)).as("hub"))
+      hubs = e.join(auths, e("dst") === auths("id"))
+        .select(e("src"),
+          when(col("__self"), lit(null).cast("long"))
+            .otherwise(col("authority")).as("__m"))
+        .groupBy(col("src")).agg(sum("__m").as("__s"))
+        .select(col("src").as("id"),
+          coalesce(col("__s"), lit(0L)).as("hub"))
         .localCheckpoint()
     }
-    val out = hubs.join(auths, "id").select(
-      col("id"), col("hub"), col("authority"))
+    val out = hubs.join(auths, "id")
+      .select(col("id"), col("hub"), col("authority"))
+      .localCheckpoint()
     e.unpersist()
     ids.unpersist()
     out

@@ -65,5 +65,16 @@ package graft
   * minhash_pairs 2607→2199, exact_substring 2339→2077, top_bigrams
   * 1006→832, tfidf_top 1433→1337, lm_perplexity 2756→2654 ms.
   * Whole-suite total 99.3 s (110 queries) → 96.8 s (117 queries).
+  *
+  * == 6. hitsDF: fold ids into the edge table (prCore trick) ==
+  * First shipment joined the vertex table back per HALF-round (2
+  * joins + 2 checkpoints per round): in-suite 5.81 s, ratio vs
+  * qg_pagerank10 ≈ 1.00 despite running 6 message passes to its 10.
+  * Rewrite: ids ride as null-message self-rows (one join per
+  * half-round), hubs checkpointed once per round. Same-session group
+  * A/B: hits 3.85 s, ratio 0.77 — per-pass cost now comparable to
+  * the PageRank message plan (residual gap = the final hub⋈authority
+  * join re-running the last a-step). Integer scores: bit-identical
+  * before/after, GraphSpec hand-values + qg_hits oracle unchanged.
   */
 object ScratchR6
