@@ -219,6 +219,37 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("Count-Min counters aggregate incrementally over a stream") {
+    // the CMS counter table is a plain additive aggregation, so it
+    // streams as-is: depth×width bounded state in the store, counts
+    // merging across micro-batches — and the streamed table must be
+    // IDENTICAL to the batch sketch over the same rows (additive,
+    // order-free merge)
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val counters = graft.ops.Sketch.cmsCounters(
+      input.toDF().toDF("it"), col("it"))
+    val q = counters.writeStream.format("memory").queryName("cms_stream")
+      .outputMode("complete").start()
+    try {
+      val b1 = (1 to 40).map(i => s"w${i % 9}")
+      val b2 = (1 to 25).map(i => s"heavy") ++ Seq("w1", "w2")
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("cms_stream").collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val batch = graft.ops.Sketch.cmsCounters(
+          (b1 ++ b2).toDF("it"), col("it"))
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+      assert(streamed == batch,
+        "streamed CMS must equal the batch sketch over the same rows")
+    } finally q.stop()
+  }
+
   test("stateless curation stages run unchanged on a stream") {
     // qualityGate / redactPii / chunkDocs are narrow projections, so
     // the SAME operators drive streaming ingestion curation — no
