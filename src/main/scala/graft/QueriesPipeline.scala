@@ -229,6 +229,23 @@ object QueriesPipeline {
         .groupBy("lang").agg(count(lit(1)).as("kept"))
         .orderBy("lang")
     }),
+    "qp_fuzzy_match" -> ((s, dir) => {
+      // typo correction against the corpus vocabulary: 12 synthetic
+      // one-deletion typos, matched EXACTLY at distance <= 1 via
+      // FastSS deletion keys (equi-join candidates, no length-band
+      // hot keys) — oracle is brute-force all-pairs levenshtein
+      val toks = graft.ops.Partitioning.spread(docs(s, dir))
+        .select(explode(tokensWs(col("text"))).as("tok"))
+        .distinct().persist()
+      val queries = toks.filter(length(col("tok")) >= 5)
+        .orderBy("tok").limit(12)
+        .select(concat(substring(col("tok"), 1, 2),
+          expr("substring(tok, 4)")).as("q"))
+      val out = graft.ops.Fuzzy.fuzzyMatchTop1(queries, "q", toks, "tok")
+        .orderBy("q").localCheckpoint()
+      toks.unpersist()
+      out
+    }),
     "qp_train_split" -> ((s, dir) => {
       // stratified deterministic train/val/test: the split is a pure
       // function of (salt, lang, id) — corpus rebuilds never migrate
@@ -561,6 +578,30 @@ object QueriesPipeline {
           explode(TextOps.bigrams(tokensWs(col("text")))).as("gram")),
         "gram", k = 15)
         .orderBy(desc("true_cnt"), asc("gram"))
+    }),
+    "qp_cms_join_size" -> ((s, dir) => {
+      // join-cardinality pre-flight: bigram-join size between the two
+      // corpus halves estimated from their 4x512 sketches alone (the
+      // broadcast/shuffle sizing decision WITHOUT re-reading inputs),
+      // anchored against the exact inner product
+      val d = docs(s, dir)
+      def grams(f: Column) =
+        graft.ops.Partitioning.spread(d.filter(f))
+          .select(explode(TextOps.bigrams(tokensWs(col("text"))))
+            .as("gram"))
+      val ga = grams(col("doc_id") < 250).persist()
+      val gb = grams(col("doc_id") >= 250).persist()
+      val est = graft.ops.Sketch.cmsJoinSize(
+        graft.ops.Sketch.cmsCounters(ga, col("gram")),
+        graft.ops.Sketch.cmsCounters(gb, col("gram")))
+      val truth = ga.groupBy("gram").agg(count(lit(1)).as("__na"))
+        .join(gb.groupBy("gram").agg(count(lit(1)).as("__nb")), "gram")
+        .agg(coalesce(sum(col("__na") * col("__nb")), lit(0L))
+          .as("true_join_size"))
+      val out = truth.crossJoin(est).localCheckpoint()
+      ga.unpersist()
+      gb.unpersist()
+      out
     }),
     "qp_kmv_rollup" -> ((s, dir) => {
       // per-language distinct-bigram estimates PLUS the corpus total
@@ -1122,6 +1163,22 @@ object QueriesPipeline {
          |   < (CASE WHEN lang = 'en' THEN 0.5
          |           WHEN lang = 'de' THEN 0.25 ELSE 0.1 END) * 10000
          | GROUP BY lang ORDER BY lang""".stripMargin,
+    "qp_fuzzy_match" ->
+      // brute-force all-pairs levenshtein — proves the deletion-key
+      // candidate generation lost nothing at distance <= 1
+      s"""WITH tk AS (SELECT DISTINCT unnest(${dTokens("text")}) AS tok
+         |   FROM documents),
+         | q0 AS (SELECT tok FROM tk WHERE length(tok) >= 5
+         |   ORDER BY tok LIMIT 12),
+         | qd AS (SELECT DISTINCT substring(tok, 1, 2) ||
+         |     substring(tok, 4) AS q FROM q0),
+         | cand AS (SELECT q, tok, levenshtein(q, tok) AS d
+         |   FROM qd CROSS JOIN tk)
+         | SELECT q, matched, dist FROM (
+         |   SELECT q, tok AS matched, CAST(d AS INT) AS dist,
+         |     row_number() OVER (PARTITION BY q ORDER BY d, tok) AS rn
+         |   FROM cand WHERE d <= 1) WHERE rn = 1
+         | ORDER BY q""".stripMargin,
     "qp_train_split" ->
       s"""WITH b AS (SELECT lang,
          |   ${dH60("'split:' || lang || ':' || CAST(doc_id AS VARCHAR)")}
@@ -1648,6 +1705,35 @@ object QueriesPipeline {
          | SELECT t.gram, t.true_cnt, CAST(e.est AS BIGINT) AS est
          | FROM top t JOIN est e USING (gram)
          | ORDER BY t.true_cnt DESC, t.gram""".stripMargin,
+    "qp_cms_join_size" ->
+      s"""WITH t AS (SELECT doc_id, ${dTokens("text")} AS tok
+         |   FROM documents),
+         | b AS (SELECT doc_id, unnest(CASE WHEN len(tok) >= 2 THEN
+         |     list_transform(range(len(tok)-1),
+         |       i -> tok[i+1] || ' ' || tok[i+2])
+         |   ELSE [] END) AS gram FROM t),
+         | ga AS (SELECT gram FROM b WHERE doc_id < 250),
+         | gb AS (SELECT gram FROM b WHERE doc_id >= 250),
+         | rows_ AS (SELECT unnest([0, 1, 2, 3]) AS r),
+         | ca AS (SELECT r,
+         |     ${dH60("'cms' || CAST(r AS VARCHAR) || ':' || gram")}
+         |       % 512 AS bucket, count(*) AS cnt
+         |   FROM ga, rows_ GROUP BY r, bucket),
+         | cb AS (SELECT r,
+         |     ${dH60("'cms' || CAST(r AS VARCHAR) || ':' || gram")}
+         |       % 512 AS bucket, count(*) AS cnt
+         |   FROM gb, rows_ GROUP BY r, bucket),
+         | prod AS (SELECT ca.r, sum(ca.cnt * cb.cnt) AS p
+         |   FROM ca JOIN cb ON ca.r = cb.r AND ca.bucket = cb.bucket
+         |   GROUP BY ca.r),
+         | est AS (SELECT CAST(min(p) AS BIGINT) AS est_join_size
+         |   FROM prod),
+         | tr AS (SELECT CAST(coalesce(sum(a.na * b.nb), 0) AS BIGINT)
+         |     AS true_join_size FROM
+         |   (SELECT gram, count(*) AS na FROM ga GROUP BY gram) a
+         |   JOIN (SELECT gram, count(*) AS nb FROM gb GROUP BY gram) b
+         |     USING (gram))
+         | SELECT true_join_size, est_join_size FROM tr, est""".stripMargin,
     "qp_kmv_rollup" ->
       // per-lang rows ∪ the '<all>' total, same estimator constants
       s"""WITH t AS (SELECT lang, ${dTokens("text")} AS tok FROM documents),

@@ -145,6 +145,24 @@ object Sketch {
       .groupBy(col(itemCol))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
 
+  /** Equi-join cardinality estimate from two CMS counter tables —
+    * the sketch inner product (AMS/Count-Min, Alon-Matias-Szegedy
+    * 1996 / Cormode & Muthukrishnan 2005):
+    * |A ⋈ B| ≈ min over rows r of Σ_bucket cntA[r][b]·cntB[r][b].
+    * Never underestimates (collisions only add cross terms), so it is
+    * a safe upper bound for join planning (broadcast/shuffle choice,
+    * AQE-style pre-flight sizing) computed WITHOUT touching either
+    * input again: two fixed-size tables, one tiny join. Both sketches
+    * must share (depth, width). Returns one row: est_join_size. */
+  def cmsJoinSize(countersA: DataFrame,
+      countersB: DataFrame): DataFrame =
+    countersA.select(col("row"), col("bucket"), col("cnt").as("__ca"))
+      .join(countersB.select(col("row"), col("bucket"),
+        col("cnt").as("__cb")), Seq("row", "bucket"))
+      .groupBy(col("row"))
+      .agg(sum(col("__ca") * col("__cb")).as("__p"))
+      .agg(min(col("__p")).as("est_join_size"))
+
   /** Validation harness for the gate: CMS estimates alongside EXACT
     * counts for the top-k items (total order: count desc, item asc).
     * The exact side is what the sketch replaces at scale — it exists

@@ -273,6 +273,42 @@ class OpsHygieneSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1, 2L -> 0, 3L -> 0, 4L -> 0))
   }
 
+  test("fuzzyMatchTop1 equals brute-force levenshtein<=1 on the corpus vocab") {
+    val toks = Tables.load(spark, sf, "documents")
+      .select(explode(graft.ops.TextOps.tokensWs(col("text"))).as("tok"))
+      .distinct().persist()
+    val queries = toks.filter(length(col("tok")) >= 5)
+      .orderBy("tok").limit(8)
+      .select(concat(substring(col("tok"), 1, 2),
+        expr("substring(tok, 4)")).as("q"))
+    val got = Fuzzy.fuzzyMatchTop1(queries, "q", toks, "tok")
+      .as[(String, String, Int)].collect().toSet
+    // brute force: all (q, tok) pairs, min (dist, tok) per q
+    val vocab = toks.as[String].collect()
+    val brute = queries.distinct().as[String].collect().flatMap { q =>
+      val best = vocab.map(v =>
+          (org.apache.commons.text.similarity.LevenshteinDistance
+            .getDefaultInstance.apply(q, v).intValue, v))
+        .filter(_._1 <= 1)
+      if (best.isEmpty) None else Some {
+        val (d, v) = best.min
+        (q, v, d)
+      }
+    }.toSet
+    toks.unpersist()
+    assert(got == brute)
+  }
+
+  test("deleteKeys: empty and single-char strings are safe") {
+    val got = Seq("", "a", "ab").toDF("s")
+      .select(col("s"), Fuzzy.deleteKeys(col("s")).as("k"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toSet)
+      .toMap
+    assert(got("") == Set(""))
+    assert(got("a") == Set("a", ""))
+    assert(got("ab") == Set("ab", "a", "b"))
+  }
+
   test("c4LineRules: each rule trips independently; one keeper per duplicate line") {
     // lineTokens=4 → re-line after every 4 tokens; minWords=3, minKept=2
     val boiler = "all rights reserved now"     // will repeat across docs

@@ -160,6 +160,24 @@ class SketchSpec extends AnyFunSuite {
     assert(merged == tbl(items))
   }
 
+  test("CMS join-size estimate never underestimates; exact when collision-free") {
+    val a = (1 to 300).map(i => s"k${i % 50}").toDF("it")
+    val b = (1 to 200).map(i => s"k${i % 80}").toDF("it")
+    def sk(df: org.apache.spark.sql.DataFrame, w: Int) =
+      Sketch.cmsCounters(df, col("it"), width = w)
+    val truth = a.groupBy("it").count().withColumnRenamed("count", "na")
+      .join(b.groupBy("it").count().withColumnRenamed("count", "nb"), "it")
+      .agg(sum(col("na") * col("nb"))).collect().head.getLong(0)
+    val est512 = Sketch.cmsJoinSize(sk(a, 512), sk(b, 512))
+      .collect().head.getLong(0)
+    assert(est512 >= truth, s"estimate $est512 under true $truth")
+    // 2^16 buckets over 80 distinct keys: collisions are absent for
+    // this fixture, so the inner product is exact
+    val estBig = Sketch.cmsJoinSize(sk(a, 65536), sk(b, 65536))
+      .collect().head.getLong(0)
+    assert(estBig == truth, s"collision-free estimate $estBig != $truth")
+  }
+
   test("BottomKSample keeps the min value on a key collision") {
     val zero = org.apache.spark.sql.catalyst.expressions.Literal(0L)
     val agg = BottomKSample(zero, zero, k = 4)
