@@ -70,6 +70,22 @@ object QueriesGraph {
           TradeGraph.edges(s, dir), sourceIds = Seq(1L), maxHops = 3)
         .orderBy("id")
     }),
+    "qg_sssp" -> ((s, dir) => {
+      // weighted shortest paths from customer 1 over the min-lot-cost
+      // edges. The round budget is the operator's contract (4-round
+      // Bellman–Ford, unrolled identically in the oracle — weighted
+      // relaxation can keep improving past the hop diameter, so a
+      // fixed budget, not "until converged", is what both sides pin);
+      // GraphSpec proves exactness-at-fixpoint on a synthetic path
+      GraphOps.ssspDF(TradeGraph.vertices(s, dir),
+          TradeGraph.weightedEdges(s, dir), sourceIds = Seq(1L), rounds = 4)
+        .orderBy(col("id"))
+    }),
+    "qg_labelprop" -> ((s, dir) => {
+      GraphOps.labelPropDF(TradeGraph.vertices(s, dir),
+          TradeGraph.edges(s, dir), rounds = 3)
+        .orderBy(col("id"))
+    }),
     "qg_hits" -> ((s, dir) => {
       // hubs (customers) & authorities (suppliers), 3 integer rounds:
       // unnormalized HITS keeps every score an exact integer sum —
@@ -146,6 +162,59 @@ object QueriesGraph {
        |   ELSE 0.0 END AS rank FROM v),
        | $rounds
        | SELECT id, round(rank, 6) AS rank FROM r$iters ORDER BY id""".stripMargin
+  }
+
+  /** unrolled Bellman–Ford over the weighted (min l_quantity) trade
+    * edges — each round relaxes every undirected edge and folds the
+    * keep-previous case into the same min-groupBy, exactly like
+    * [[graft.graph.GraphOps.ssspDF]]. Integer distances. */
+  private def ssspSql(source: Long, rounds: Int): String = {
+    val steps = (1 to rounds).map { t =>
+      s"""d$t AS MATERIALIZED (SELECT id, min(dist) AS dist FROM (
+         |   SELECT id, dist FROM d${t - 1}
+         |   UNION ALL
+         |   SELECT u.b AS id, d${t - 1}.dist + u.w
+         |     FROM u JOIN d${t - 1} ON u.a = d${t - 1}.id
+         | ) GROUP BY id)""".stripMargin
+    }.mkString(",\n ")
+    s"""WITH we AS MATERIALIZED (SELECT o_custkey AS src,
+       |   l_suppkey + $Off AS dst,
+       |   min(CAST(l_quantity AS BIGINT)) AS w
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |  GROUP BY 1, 2),
+       | u AS MATERIALIZED (SELECT src AS a, dst AS b, w FROM we
+       |   UNION ALL SELECT dst, src, w FROM we),
+       | d0 AS (SELECT CAST($source AS BIGINT) AS id,
+       |   CAST(0 AS BIGINT) AS dist),
+       | $steps
+       | SELECT id, dist FROM d$rounds ORDER BY id""".stripMargin
+  }
+
+  /** unrolled synchronous label propagation: per round a per-(id,
+    * label) neighbor count, then the arg-max with ties toward the
+    * smallest label (the engine's windowless `max_by(lbl, (c, -lbl))`
+    * is this `ORDER BY c DESC, lbl ASC` row_number pick). */
+  private def lpaSql(rounds: Int): String = {
+    val undirected =
+      """u AS MATERIALIZED (SELECT src AS a, dst AS b FROM e
+        |   UNION ALL SELECT dst, src FROM e)""".stripMargin
+    val steps = (1 to rounds).map { t =>
+      s"""n$t AS MATERIALIZED (SELECT u.b AS id, l${t - 1}.lbl,
+         |   count(*) AS c
+         |  FROM u JOIN l${t - 1} ON u.a = l${t - 1}.id GROUP BY 1, 2),
+         | p$t AS MATERIALIZED (SELECT id, lbl FROM (
+         |   SELECT id, lbl, row_number() OVER (PARTITION BY id
+         |     ORDER BY c DESC, lbl ASC) AS rn FROM n$t) WHERE rn = 1),
+         | l$t AS MATERIALIZED (SELECT prev.id,
+         |   coalesce(p$t.lbl, prev.lbl) AS lbl
+         |  FROM l${t - 1} prev LEFT JOIN p$t ON p$t.id = prev.id)"""
+        .stripMargin
+    }.mkString(",\n ")
+    s"""WITH $edgesCte,
+       | $undirected,
+       | l0 AS MATERIALIZED (SELECT id, id AS lbl FROM v),
+       | $steps
+       | SELECT id, lbl AS community FROM l$rounds ORDER BY id""".stripMargin
   }
 
   /** unrolled GraphX-rule PageRank (rank₀=1; r=0.15+0.85·Σ in/outdeg) */
@@ -232,6 +301,8 @@ object QueriesGraph {
   val oracleSql: Map[String, String] = Map(
     "qg_hits" -> hitsSql(3),
     "qg_kcore" -> kcoreSql(3, 6),
+    "qg_sssp" -> ssspSql(1L, 4),
+    "qg_labelprop" -> lpaSql(3),
     "qg_degrees" ->
       s"""WITH $edgesCte
          | SELECT v.id,

@@ -297,6 +297,77 @@ object GraphOps {
     }
     u.groupBy(col("a").as("id")).agg(count(lit(1)).as("core_deg"))
   }
+
+  /** Weighted single-source shortest paths: Bellman–Ford relaxation
+    * with a FIXED round budget (fixed rounds keep the result
+    * deterministic and oracle-expressible; `rounds` ≥ the hop
+    * diameter of the reachable set gives the exact fixpoint — assert
+    * convergence in a spec by comparing `rounds` and `rounds + 1`).
+    * `wedges` is directed (src, dst, w ≥ 0 integral); traversal is
+    * undirected like [[shortestHops]]. Distances are exact integer
+    * sums — the hash cannot drift with partitioning. Per round ONE
+    * equi-join + one partial-combining min shuffle (the relax step
+    * and the keep-previous-distance fold into the SAME aggregation
+    * via union, so there is no separate join-back); the distance
+    * frame is re-materialized per round so lineage stays flat. At
+    * 100 TB the distance frame is bounded by the reachable vertex
+    * set, never the edge multiset. Returns reached (id, dist). */
+  def ssspDF(vertices: DataFrame, wedges: DataFrame,
+      sourceIds: Seq[Long], rounds: Int): DataFrame = {
+    require(rounds >= 1, "sssp needs at least one round")
+    val und = wedges.select(col("src").as("a"), col("dst").as("b"), col("w"))
+      .unionByName(
+        wedges.select(col("dst").as("a"), col("src").as("b"), col("w")))
+      .persist()
+    var dist = vertices.select(col("id"))
+      .filter(col("id").isin(sourceIds: _*))
+      .withColumn("dist", lit(0L))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val relaxed = dist.join(und, dist("id") === und("a"))
+        .select(col("b").as("id"), (col("dist") + col("w")).as("dist"))
+      dist = dist.unionByName(relaxed)
+        .groupBy("id").agg(min("dist").as("dist"))
+        .localCheckpoint(true)
+    }
+    und.unpersist()
+    dist
+  }
+
+  /** Synchronous label propagation (Raghavan et al. 2007) with a
+    * FIXED round budget and a deterministic tie-break: each round
+    * every vertex adopts the most frequent label among its
+    * (undirected) neighbors, ties broken toward the SMALLEST label;
+    * isolated vertices keep their own. Sync updates + min tie-break
+    * make the result partitioning-independent, so the oracle can
+    * unroll the same rounds in SQL. Per round one equi-join + two
+    * partial-combining shuffles: the per-(id, label) count and a
+    * windowless `max_by(label, (count, -label))` arg-max — a window
+    * over the vertex key would serialize celebrity vertices into one
+    * task at 100 TB, the two-level groupBy cannot. Labels are ids
+    * (exact longs). Returns (id, community). */
+  def labelPropDF(vertices: DataFrame, edges: DataFrame,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, "label propagation needs at least one round")
+    val und = edges.select(col("src").as("a"), col("dst").as("b"))
+      .unionByName(edges.select(col("dst").as("a"), col("src").as("b")))
+      .persist()
+    var lbl = vertices.select(col("id"), col("id").as("lbl"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val nbr = und.join(lbl, und("a") === lbl("id"))
+        .select(und("b").as("id"), col("lbl"))
+      val pick = nbr.groupBy("id", "lbl").agg(count(lit(1)).as("__c"))
+        .groupBy("id")
+        .agg(max_by(col("lbl"),
+          struct(col("__c"), (-col("lbl")).as("__t"))).as("__new"))
+      lbl = lbl.join(pick, Seq("id"), "left")
+        .select(col("id"), coalesce(col("__new"), col("lbl")).as("lbl"))
+        .localCheckpoint(true)
+    }
+    und.unpersist()
+    lbl.select(col("id"), col("lbl").as("community"))
+  }
 }
 
 /** The trade-graph fixture over the driver tables: customers and
@@ -339,5 +410,20 @@ object TradeGraph {
         .select(col("o_custkey").cast("long").as("src"),
           (col("l_suppkey") + SupplierOffset).cast("long").as("dst"))
         .distinct()
+    }
+
+  /** weighted variant: one edge per trading relation, weight = the
+    * cheapest lot ever traded on it (min l_quantity — integral in
+    * the data, so the cast to long is exact and SSSP distances stay
+    * integer). Same fact-fact join as [[edges]], the distinct
+    * replaced by the weight-min groupBy (same single shuffle). */
+  def weightedEdges(s: SparkSession, dir: String): DataFrame =
+    cached(s, s"wedges:$dir") {
+      val o = graft.sources.Tables.load(s, dir, "orders")
+      val l = graft.sources.Tables.load(s, dir, "lineitem")
+      o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy(col("o_custkey").cast("long").as("src"),
+          (col("l_suppkey") + SupplierOffset).cast("long").as("dst"))
+        .agg(min(col("l_quantity").cast("long")).as("w"))
     }
 }

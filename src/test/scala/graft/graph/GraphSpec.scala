@@ -172,4 +172,46 @@ class GraphSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(r6 == r7, "qg_kcore's 6 peel rounds must reach the fixpoint")
   }
+
+  test("SSSP relaxes a cheaper two-hop path past a direct edge") {
+    import spark.implicits._
+    // 1→2 costs 10 direct, but 1→3→2 costs 1+2=3; vertex 5 hangs two
+    // hops past 2, so its exact distance needs all 4 relax rounds
+    val v = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
+    val e = Seq((1L, 2L, 10L), (1L, 3L, 1L), (3L, 2L, 2L),
+      (2L, 4L, 5L), (4L, 5L, 1L)).toDF("src", "dst", "w")
+    val got = GraphOps.ssspDF(v, e, Seq(1L), rounds = 4)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 0L), (2L, 3L), (3L, 1L),
+      (4L, 8L), (5L, 9L)))
+    // this graph's fixpoint is at round 4: round 5 changes nothing
+    val d5 = GraphOps.ssspDF(v, e, Seq(1L), rounds = 5)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(d5.toSeq == got.toSeq)
+    // a source with no edges is just itself at distance 0
+    val lone = GraphOps.ssspDF(v, e, Seq(42L), rounds = 2)
+    assert(lone.collect().isEmpty,
+      "a source absent from the vertex table reaches nothing")
+  }
+
+  test("label propagation floods a triangle's min label") {
+    import spark.implicits._
+    // triangle {1,2,3} + pendant 4: sync rounds hand-computed —
+    // r1: (2,1,1,3)  r2: (1,1,1,1)  r3: stable all-1
+    val v = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
+      .toDF("src", "dst")
+    val r1 = GraphOps.labelPropDF(v, e, rounds = 1)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(r1.toSeq == Seq((1L, 2L), (2L, 1L), (3L, 1L), (4L, 3L)))
+    val r3 = GraphOps.labelPropDF(v, e, rounds = 3)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(r3.toSeq == Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L)))
+    // isolated vertex keeps its own label; a lone edge label-swaps
+    // each sync round (r1: 1↔2 exchange; r2: swap back)
+    val iso = GraphOps.labelPropDF(Seq(1L, 2L, 9L).toDF("id"),
+        Seq((1L, 2L)).toDF("src", "dst"), rounds = 2)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(iso.toSeq == Seq((1L, 1L), (2L, 2L), (9L, 9L)))
+  }
 }
