@@ -313,6 +313,20 @@ object QueriesPipeline {
           "vec_id", "embedding", dim = 64, k = 5)
         .orderBy(col("q_id"), col("rnk"))
     }),
+    "qp_rrf_fusion" -> ((s, dir) => {
+      // hybrid retrieval: fuse the cheap binary Hamming first stage
+      // with the exact cosine ranker by reciprocal-rank fusion
+      // (kc=60, the canonical constant) — rank-only fusion needs no
+      // score calibration between the two metrics
+      val e = embs(s, dir)
+      val q = e.filter(col("vec_id") < 5)
+      Similarity.rrfFuse(Seq(
+          Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 20),
+          Similarity.hammingTopK(e, q, "vec_id", "embedding",
+            dim = 64, k = 20)),
+        kc = 60, k = 10)
+        .orderBy(col("q_id"), col("rnk"))
+    }),
     "qp_cosine_pairs" -> ((s, dir) => {
       // blocked by class label: embedding near-dups are same-class;
       // unblocked ANN goes through qp_lsh_buckets instead
@@ -1358,6 +1372,45 @@ object QueriesPipeline {
          |       ORDER BY dist, n_id) AS rnk FROM d)
          | SELECT q_id, n_id, dist, rnk FROM r
          | WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    "qp_rrf_fusion" ->
+      // cosine top-20 and Hamming top-20 per query (same CTE shapes
+      // as qp_ann_topk / qp_hamming_topk), fused by 1/(60+rnk); with
+      // two addends the double sum is order-exact on both engines
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+         | q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+         | r1 AS (SELECT q_id, n_id, rnk FROM (
+         |   SELECT q.q_id, e.vec_id AS n_id,
+         |     row_number() OVER (PARTITION BY q.q_id
+         |       ORDER BY ${dCos("qv", "v")} DESC, e.vec_id) AS rnk
+         |   FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id)
+         |  WHERE rnk <= 20),
+         | b AS (SELECT vec_id, i,
+         |     CASE WHEN embedding[i + 1] > 0 THEN 1 ELSE 0 END AS bit
+         |   FROM embeddings, (SELECT unnest(range(64)) AS i)),
+         | p AS (SELECT vec_id,
+         |     CAST(sum(CASE WHEN i < 32 AND bit = 1
+         |       THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS h0,
+         |     CAST(sum(CASE WHEN i >= 32 AND bit = 1
+         |       THEN (1::BIGINT << (i - 32)) ELSE 0 END) AS BIGINT) AS h1
+         |   FROM b GROUP BY vec_id),
+         | hq AS (SELECT vec_id AS q_id, h0 AS qh0, h1 AS qh1 FROM p
+         |   WHERE vec_id < 5),
+         | r2 AS (SELECT q_id, n_id, rnk FROM (
+         |   SELECT hq.q_id, p.vec_id AS n_id,
+         |     row_number() OVER (PARTITION BY hq.q_id
+         |       ORDER BY bit_count(xor(qh0, h0)) + bit_count(xor(qh1, h1)),
+         |         p.vec_id) AS rnk
+         |   FROM p CROSS JOIN hq WHERE p.vec_id <> hq.q_id)
+         |  WHERE rnk <= 20),
+         | fused AS (SELECT q_id, n_id,
+         |     sum(CAST(1.0 AS DOUBLE) / (60 + rnk)) AS rrf
+         |   FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
+         |   GROUP BY q_id, n_id),
+         | out AS (SELECT q_id, n_id, rrf,
+         |     row_number() OVER (PARTITION BY q_id
+         |       ORDER BY rrf DESC, n_id) AS rnk FROM fused)
+         | SELECT q_id, n_id, round(rrf, 6) AS rrf, rnk FROM out
+         | WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin,
     "qp_cosine_pairs" ->
       s"""WITH e0 AS (SELECT vec_id, label, embedding::DOUBLE[] v
          |   FROM embeddings),

@@ -125,6 +125,27 @@ object Similarity {
       k, "dist", ascending = true)
   }
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009): fuse
+    * per-query rankings from heterogeneous retrievers — e.g. a cheap
+    * binary Hamming first stage and an exact cosine ranker, or
+    * BM25 × ANN hybrid search. Each input carries (q_id, n_id, rnk);
+    * score(q, d) = Σ_systems 1/(kc + rank_s(d)), documents missing
+    * from a system contribute nothing. The union is retriever-output
+    * sized (systems × queries × k rows), never corpus-sized; the
+    * score is one partial-combining sum-groupBy and the final top-k
+    * rides the same two-level [[rankTopKBy]] as the ANN paths. With
+    * two systems the double sum has at most two addends, so it is
+    * order-exact on both engines. Returns (q_id, n_id, rrf, rnk). */
+  def rrfFuse(rankings: Seq[DataFrame], kc: Int, k: Int): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(kc >= 1 && k >= 1, "rrfFuse needs kc >= 1, k >= 1")
+    val u = rankings.map(_.select(col("q_id"), col("n_id"), col("rnk")))
+      .reduce(_.unionByName(_))
+    val scored = u.groupBy("q_id", "n_id")
+      .agg(sum(lit(1.0) / (col("rnk") + lit(kc))).as("rrf"))
+    rankTopKBy(scored, k, "rrf", ascending = false)
+  }
+
   /** seeded random hyperplanes (rounded so literals are identical when
     * re-generated for the DuckDB oracle). */
   def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 7L): Seq[Seq[Double]] = {

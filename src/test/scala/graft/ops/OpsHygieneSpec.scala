@@ -374,6 +374,21 @@ class OpsHygieneSpec extends AnyFunSuite {
       "ppjoinPairs must unpersist its shingle cache")
   }
 
+  test("rrfFuse: consensus beats a better single-system rank; ties break on id") {
+    // q=1: doc 11 is rank 2+1 across both systems, doc 10 is a lone
+    // rank-1 — RRF puts the consensus doc first (1/62+1/61 > 1/61)
+    val r1 = Seq((1L, 10L, 1), (1L, 11L, 2), (2L, 20L, 1))
+      .toDF("q_id", "n_id", "rnk")
+    val r2 = Seq((1L, 11L, 1), (1L, 12L, 2), (2L, 21L, 1))
+      .toDF("q_id", "n_id", "rnk")
+    val got = Similarity.rrfFuse(Seq(r1, r2), kc = 60, k = 3)
+      .orderBy("q_id", "rnk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    assert(got.toSeq == Seq((1L, 11L, 1), (1L, 10L, 2), (1L, 12L, 3),
+      (2L, 20L, 1), (2L, 21L, 2)))
+    // q=2: both docs score exactly 1/61 — the tie falls to the lower id
+  }
+
   test("hammingTopK matches the bit-level distance definition") {
     // 40-dim vectors spanning both packed words; signs hand-chosen so
     // distances are computable by eye: q vs a differ in dims {0, 39},
