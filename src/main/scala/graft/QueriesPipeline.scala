@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.sources.Tables
+import graft.sources.{Bucketing, Tables}
 import graft.ops.{Curation, Dedup, Pca, Pq, Similarity, TextOps}
 import graft.ops.TextOps._
 
@@ -358,6 +358,22 @@ object QueriesPipeline {
           e.filter(col("vec_id") >= 100 && col("vec_id") < 105),
           cents, "vec_id", "embedding", k = 5, nProbe = 2)
         .orderBy(col("q_id"), col("rnk"))
+    }),
+    "qp_zorder" -> ((s, dir) => {
+      // Morton-key two-dimensional clustering: write the customer
+      // table Z-ordered by (custkey, nationkey) to a fixed tmp layout,
+      // read it back, and hash-check the interleaved keys — the
+      // write→read round trip under the gate; BucketingSpec proves
+      // the files get bounded (custkey, nationkey) rectangles
+      val dirZ = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft-zorder").toString
+      Bucketing.writeZordered(Tables.load(s, dir, "customer"), dirZ,
+        "c_custkey", "c_nationkey", bits = 16, numFiles = 8)
+      s.read.parquet(dirZ)
+        .select(col("c_custkey").cast("long").as("id"),
+          Bucketing.zValue(col("c_custkey"), col("c_nationkey"),
+            bits = 16).as("zval"))
+        .orderBy("id")
     }),
     "qp_kmeans" -> ((s, dir) => {
       // IVF centroid training: 2 Lloyd rounds from the 16 seed vectors
@@ -895,6 +911,15 @@ object QueriesPipeline {
        |     ORDER BY score, j) AS r FROM sc) WHERE r = 1)""".stripMargin
   private def dCos(a: String, b: String): String =
     s"(${dDot(a, b)} / (sqrt(${dDot(a, a)}) * sqrt(${dDot(b, b)})))"
+
+  /** unrolled Morton interleave, generated from the same bit layout
+    * as [[graft.sources.Bucketing.zValue]] (a's bit i → 2i, b's →
+    * 2i+1); the CAST keeps DuckDB's shift in BIGINT. */
+  private def dZ(a: String, b: String, bits: Int): String =
+    (0 until bits).map { i =>
+      s"(CAST((($a >> $i) & 1) AS BIGINT) << ${2 * i}) + " +
+        s"(CAST((($b >> $i) & 1) AS BIGINT) << ${2 * i + 1})"
+    }.mkString("(", " + ", ")")
   private val dStopList = stop.map(w => s"'$w'").mkString("[", ", ", "]")
 
   private val sigsCte =
@@ -1480,6 +1505,10 @@ object QueriesPipeline {
          |   PARTITION BY q_id ORDER BY dist, n_id) AS rnk FROM dists)
          | SELECT q_id, n_id, round(dist, 6) AS dist, rnk FROM ranked
          | WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    "qp_zorder" ->
+      s"""SELECT CAST(c_custkey AS BIGINT) AS id,
+         | ${dZ("c_custkey", "c_nationkey", 16)} AS zval
+         | FROM customer ORDER BY id""".stripMargin,
     "qp_kmeans" ->
       s"""WITH $dKmeansCtes,
          | sizes AS (SELECT cell, max(n) AS n_members FROM g2

@@ -1,6 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Bucketed-table layout for co-located joins (SURVEY.md scale notes:
   * "co-locate joins via bucketing"). Writing both sides of a hot join
@@ -49,4 +50,36 @@ object Bucketing {
   def writePartitioned(df: DataFrame, dir: String,
       partitionCols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(dir)
+
+  /** Morton (Z-order) key: bit-interleave two non-negative integer
+    * dimensions — a's bit i lands at 2i, b's at 2i+1 — so rows close
+    * in the key are close in BOTH dimensions. Sorting a layout by
+    * this key gives every file a bounded rectangle of (a, b) instead
+    * of a full-range stripe in the unsorted dimension, which is what
+    * makes parquet min/max stats prune two-dimensional predicates
+    * (the Delta/Iceberg OPTIMIZE ZORDER layout, composed here from
+    * codegen'd shift/and builtins — no UDF). `bits` must cover the
+    * larger dimension; values must be < 2^bits. */
+  def zValue(a: Column, b: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, "zValue needs 1 <= bits <= 31")
+    val (al, bl) = (a.cast("long"), b.cast("long"))
+    (0 until bits).map { i =>
+      shiftleft(shiftright(al, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(bl, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+  }
+
+  /** write a Z-order-clustered parquet layout: range-partition by the
+    * Morton key (contiguous key ranges per file), sort within files,
+    * drop the key. Point/rectangle predicates on EITHER dimension
+    * then skip most files on min/max stats alone — at 100 TB this is
+    * the layout for fact tables filtered by two independent
+    * dimensions that directory partitioning can't both serve. */
+  def writeZordered(df: DataFrame, dir: String, a: String, b: String,
+      bits: Int, numFiles: Int): Unit =
+    df.withColumn("__z", zValue(col(a), col(b), bits))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(dir)
 }

@@ -92,4 +92,33 @@ class BucketingSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS b_lineitem")
     }
   }
+
+  test("z-ordered layout gives every file a bounded 2-D rectangle") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 64×64 grid; 16 z-range files ≈ 16×16 tiles. A single-dimension
+    // sort by x leaves y full-range (63) in every file; the Morton
+    // layout bounds BOTH dimensions, which is what lets parquet
+    // min/max stats prune a rectangle predicate on either column.
+    val grid = (0 until 64).flatMap(x => (0 until 64).map(y => (x, y)))
+      .toDF("x", "y").repartition(8)
+    def maxRange(dir: String, c: String): Long =
+      spark.read.parquet(dir)
+        .groupBy(input_file_name()).agg((max(col(c)) - min(col(c))).as("r"))
+        .agg(max("r")).collect().head.getInt(0).toLong
+    val zDir = "/tmp/graft_zorder_spec"
+    Bucketing.writeZordered(grid, zDir, "x", "y", bits = 6, numFiles = 16)
+    val xDir = "/tmp/graft_xsort_spec"
+    grid.repartitionByRange(16, col("x")).sortWithinPartitions("x")
+      .write.mode("overwrite").parquet(xDir)
+    // x-sorted: y spans the full 0..63 in every file
+    assert(maxRange(xDir, "y") == 63L)
+    // z-ordered: both dimensions bounded (≤ 2 tiles even when a
+    // range-partition boundary straddles a tile edge)
+    assert(maxRange(zDir, "x") <= 31L, s"x range ${maxRange(zDir, "x")}")
+    assert(maxRange(zDir, "y") <= 31L, s"y range ${maxRange(zDir, "y")}")
+    // the layout is a pure reshuffle: the row set round-trips intact
+    assert(spark.read.parquet(zDir).count() == 4096L)
+    assert(spark.read.parquet(zDir).distinct().count() == 4096L)
+  }
 }
