@@ -17,14 +17,26 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.ts is TIMESTAMP(NANOS) parquet, which Spark refuses by
-      // default; read nanos as long and truncate to micros (same
-      // truncation DuckDB applies when casting ns -> its us timestamps).
+      // events.ts has shipped as TIMESTAMP(NANOS) (which Spark refuses
+      // by default — read nanos as long, truncate to micros, the same
+      // truncation DuckDB applies casting ns -> us) and as plain
+      // TIMESTAMP(MICROS) in later testdata generations. Adapt to the
+      // actual physical type instead of assuming one generation.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$dir/$name.parquet")
-      // integer division: (col / 1000L) is a double Divide whose 2^53
-      // mantissa can't hold ~1.7e18 ns epochs exactly; `div` stays integral
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          // integer division: (col / 1000L) is a double Divide whose 2^53
+          // mantissa can't hold ~1.7e18 ns epochs exactly; `div` stays integral
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          // parquet isAdjustedToUTC=false infers TIMESTAMP_NTZ, which
+          // unix_micros()/window() reject; every session in this repo
+          // pins UTC, so the NTZ->LTZ cast is instant-preserving and
+          // downstream code keeps seeing the one TIMESTAMP type
+          raw.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => raw // already TIMESTAMP (ltz)
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
 
