@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.{Bucketing, Tables}
-import graft.ops.{Curation, Dedup, Pca, Pq, Similarity, TextOps}
+import graft.ops.{Classifier, Curation, Dedup, Pca, Pq, Similarity, TextOps}
 import graft.ops.TextOps._
 
 /** Training-data pipeline corpus: deduplication (exact, MinHash+LSH,
@@ -220,6 +220,21 @@ object QueriesPipeline {
         .orderBy(col("logw_micro").desc, col("doc_id"))
         .limit(50)
         .select("doc_id", "logw_micro")
+    }),
+    "qp_lr_train" -> ((s, dir) => {
+      // trained logistic-regression quality filter (GPT-3-style
+      // target-vs-raw discriminator): 3 deterministic fixed-point GD
+      // rounds over 32 hashed-token features; the MODEL ITSELF is the
+      // gate artifact — the oracle re-trains it in unrolled SQL
+      Classifier.lrTrainTable(docs(s, dir), "doc_id", "text",
+          isTarget = col("lang") === "en", dim = 32, iters = 3)
+        .orderBy("b")
+    }),
+    "qp_lr_select" -> ((s, dir) => {
+      // the filter step: rank raw (non-target) docs by the trained
+      // model's EXACT integer margin, keep the 50 most target-like
+      Classifier.lrSelect(docs(s, dir), "doc_id", "text",
+          isTarget = col("lang") === "en", dim = 32, iters = 3, k = 50)
     }),
     "qp_stratified_sample" -> ((s, dir) => {
       // deterministic hash sampling sets the training mixture: half
@@ -806,6 +821,49 @@ object QueriesPipeline {
        |       - ln((cr + 1.0) / (nr + 256.0))) * 1e6) AS BIGINT) AS lr
        |   FROM bt CROSS JOIN tot)""".stripMargin
 
+  /** Unrolled logistic-regression training in SQL — the same 3 rounds
+    * of fixed-point full-batch GD [[graft.ops.Classifier.lrTrain]]
+    * runs: milli-tf features from the integer half-up divide, exact
+    * integer margins against the previous round's weight table, per-row
+    * rounded gradient contributions, half-away-from-zero weight
+    * updates (DuckDB round() ≡ BigDecimal HALF_UP). Yields `fx`
+    * (doc_id, y, b, x) and `w0..w3` (b, w); b = 32 is the bias. */
+  private lazy val dLrCtes: String = {
+    val dim = 32
+    val base =
+      s"""WITH tok AS (SELECT doc_id, lang = 'en' AS y,
+         |     ${dTokens("text")} AS tok FROM documents),
+         | tb AS (SELECT doc_id, y, ${dH60("t")} % $dim AS b
+         |   FROM (SELECT doc_id, y, unnest(tok) AS t FROM tok)),
+         | cnt AS (SELECT doc_id, y, b, count(*) AS n FROM tb
+         |   GROUP BY 1, 2, 3),
+         | dl AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS len FROM cnt
+         |   GROUP BY 1),
+         | fx AS (SELECT c.doc_id, c.y, c.b,
+         |     (2000 * c.n + d.len) // (2 * d.len) AS x
+         |   FROM cnt c JOIN dl d USING (doc_id)),
+         | w0 AS (SELECT unnest(range(${dim + 1})) AS b,
+         |     CAST(0 AS BIGINT) AS w)""".stripMargin
+    val rounds = (1 to 3).map { k =>
+      s""" m$k AS (SELECT f.doc_id, f.y, CAST(sum(f.x * w.w) AS BIGINT)
+         |     + 1000 * (SELECT w FROM w${k - 1} WHERE b = $dim) AS mr
+         |   FROM fx f JOIN w${k - 1} w USING (b) GROUP BY 1, 2),
+         | p$k AS (SELECT doc_id, 1.0 / (1.0 + exp(-(mr / 1000000000.0)))
+         |     - (CASE WHEN y THEN 1.0 ELSE 0.0 END) AS r FROM m$k),
+         | g$k AS (SELECT b, CAST(sum(CAST(round(r * x) AS BIGINT))
+         |     AS BIGINT) AS g
+         |   FROM fx JOIN p$k USING (doc_id) GROUP BY 1),
+         | s$k AS (SELECT CAST(sum(CAST(round(r * 1000) AS BIGINT))
+         |       AS BIGINT) AS g, count(*) AS nn FROM p$k),
+         | w$k AS (SELECT v.b, v.w - CAST(round(2000.0
+         |       * (CASE WHEN v.b = $dim THEN (SELECT g FROM s$k)
+         |          ELSE COALESCE(g.g, 0) END)
+         |       / (SELECT nn FROM s$k)) AS BIGINT) AS w
+         |   FROM w${k - 1} v LEFT JOIN g$k g USING (b))""".stripMargin
+    }.mkString(",\n")
+    base + ",\n" + rounds
+  }
+
   /** Unrolled BPE-training rounds in SQL. Vocab CTE `v0` holds
     * frequency-weighted per-codepoint splits; each round r emits
     * `p_r` (overlapping adjacent-pair counts), `b_r` (argmax merge,
@@ -1196,6 +1254,16 @@ object QueriesPipeline {
          |   FROM db JOIN lr USING (b) GROUP BY 1, 2)
          | SELECT doc_id, logw_micro FROM w WHERE NOT is_target
          | ORDER BY logw_micro DESC, doc_id LIMIT 50""".stripMargin,
+    "qp_lr_train" ->
+      s"""$dLrCtes
+         | SELECT b, w AS w_micro FROM w3 ORDER BY b""".stripMargin,
+    "qp_lr_select" ->
+      s"""$dLrCtes,
+         | sc AS (SELECT f.doc_id, CAST(sum(f.x * w.w) AS BIGINT)
+         |     + 1000 * (SELECT w FROM w3 WHERE b = 32) AS score_raw
+         |   FROM fx f JOIN w3 w USING (b) WHERE NOT f.y GROUP BY 1)
+         | SELECT doc_id, score_raw FROM sc
+         | ORDER BY score_raw DESC, doc_id LIMIT 50""".stripMargin,
     "qp_stratified_sample" ->
       s"""SELECT lang, count(*) AS kept FROM documents
          | WHERE ${dH60("lang || ':' || CAST(doc_id AS VARCHAR)")} % 10000

@@ -229,6 +229,24 @@ class PlanShapeSpec extends AnyFunSuite {
     val pcaFin = pca.split("== Initial Plan ==").head
     assert(pcaFin.contains("partial_moment_matrix"), pca)
     assert(!pca.contains("Window") && !pca.contains("Join"), pca)
+    // trained-LR quality filter: each GD round reads the CACHED
+    // feature frame through a narrow literal-weight projection into
+    // ONE partial-combining global aggregate — no join, no window,
+    // no per-round corpus re-tokenize
+    import org.apache.spark.sql.functions.{col, element_at, exp, lit, round, sum}
+    val feats = graft.ops.Classifier.lrFeatures(
+      graft.sources.Tables.load(spark, sf, "documents"),
+      "doc_id", "text", col("lang") === "en", 32).persist()
+    feats.count()
+    val m = graft.ops.Classifier.lrMargin(Array.fill(33)(7L), 32)
+    val p = lit(1.0) / (lit(1.0) + exp(-(m.cast("double") / lit(1e9))))
+    val gradPlan = finalPlan(feats.agg(
+      sum(round(p * element_at(col("vec"), 1)).cast("long"))))
+    val fin = gradPlan.split("== Initial Plan ==").head
+    assert(fin.contains("InMemoryTableScan"), gradPlan) // cache, not rebuild
+    assert(!fin.contains("Window") && !fin.contains("Join"), gradPlan)
+    assert(fin.contains("partial"), gradPlan)
+    feats.unpersist()
   }
 
   test("indexed CONTAINSTEXT probes the posting table, not the corpus") {
