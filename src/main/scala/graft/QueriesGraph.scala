@@ -113,6 +113,15 @@ object QueriesGraph {
         .groupBy("a_id", "b_id").agg(count(lit(1)).as("shared"))
         .filter(col("shared") >= 20)
         .orderBy(col("a_id"), col("b_id"))
+    }),
+    "qg_adamic_adar" -> ((s, dir) => {
+      // link prediction: the common-neighbor pairs re-scored by
+      // Adamic–Adar (rarer shared suppliers count for more) — exact
+      // integer micro-unit scores, same focal bound as
+      // qg_common_suppliers
+      GraphOps.adamicAdarDF(TradeGraph.edges(s, dir),
+          focal = col("src") < 100, minShared = 20)
+        .orderBy(col("a_id"), col("b_id"))
     })
   )
 
@@ -335,6 +344,18 @@ object QueriesGraph {
       s"""WITH $edgesCte
          | SELECT a.src AS a_id, b.src AS b_id, count(*) AS shared
          | FROM e a JOIN e b ON a.dst = b.dst AND a.src < b.src
+         | WHERE a.src < 100
+         | GROUP BY 1, 2 HAVING count(*) >= 20
+         | ORDER BY a_id, b_id""".stripMargin,
+    "qg_adamic_adar" ->
+      s"""WITH $edgesCte,
+         | w AS (SELECT dst, CAST(round(1e6 / ln(d)) AS BIGINT) AS w
+         |   FROM (SELECT dst, count(*) AS d FROM e GROUP BY dst)
+         |   WHERE d >= 2)
+         | SELECT a.src AS a_id, b.src AS b_id, count(*) AS shared,
+         |   CAST(sum(w.w) AS BIGINT) AS aa_micro
+         | FROM e a JOIN e b ON a.dst = b.dst AND a.src < b.src
+         |   JOIN w ON w.dst = a.dst
          | WHERE a.src < 100
          | GROUP BY 1, 2 HAVING count(*) >= 20
          | ORDER BY a_id, b_id""".stripMargin,

@@ -213,6 +213,41 @@ object GraphOps {
         coalesce(col("n"), lit(0L)).cast("int").as("triangles"))
   }
 
+  /** Adamic–Adar link prediction (Adamic & Adar 2003, public paper):
+    * score a candidate pair (a, b) by Σ 1/ln(deg(w)) over their common
+    * neighbors w — rarer shared neighbors count for more. Scored over
+    * a bipartite edge list (src → dst): candidates are src pairs, the
+    * shared side is dst, deg(w) = w's src count (≥ 2 whenever w is
+    * actually shared, so ln() is never 0).
+    *
+    * Fixed point: each neighbor's weight rounds to integer micro-units
+    * BEFORE the pair sum, so scores are order-free exact integers —
+    * hash-stable under any partitioning. `focal` bounds the left side
+    * (the all-pairs version is quadratic by definition — same contract
+    * as the common-neighbor query); `minShared` prunes noise pairs.
+    *
+    * Scale shape: one partial-agg degree count; the weight table joins
+    * the edge list ON THE SAME dst key the candidate join shuffles on
+    * (exchange-reusable); one partial-agg pair sum. AQE splits skewed
+    * celebrity-dst keys. */
+  def adamicAdarDF(edges: DataFrame, focal: Column,
+      minShared: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    val wdst = e.groupBy(col("dst"))
+      .agg(count(lit(1)).as("__d"))
+      .filter(col("__d") >= 2) // degree-1 dst can never be shared
+      .select(col("dst"),
+        round(lit(1e6) / log(col("__d").cast("double")))
+          .cast("long").as("__w"))
+    val a = e.filter(focal).select(col("src").as("a_id"), col("dst"))
+    val b = e.select(col("src").as("b_id"), col("dst"))
+    a.join(b, "dst").filter(col("a_id") < col("b_id"))
+      .join(wdst, "dst")
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("shared"), sum(col("__w")).as("aa_micro"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** HITS hubs & authorities (Kleinberg 1999, public paper),
     * UNNORMALIZED with integer scores: h₀ = 1 everywhere; per round
     * aₜ(v) = Σ_{u→v} hₜ₋₁(u), then hₜ(u) = Σ_{u→v} aₜ(v). Dropping

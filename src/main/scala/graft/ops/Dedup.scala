@@ -206,11 +206,45 @@ object Dedup {
       // prefix length n − ⌈t·n⌉ + 1; float ceil can only round UP,
       // which lengthens the prefix — always safe (superset)
       .filter(col("__r") <= col("__n") - ceil(lit(threshold) * col("__n")) + 1)
-      .select("__h", "__id")
-    val candidates = prefix.select(col("__h"), col("__id").as("a_id"))
-      .join(prefix.select(col("__h"), col("__id").as("b_id")), Seq("__h"))
+      .select("__h", "__id", "__r", "__n")
+    // Candidate pruning BEFORE the array-intersect verify (the verify
+    // dominates cost at ~|set| work per pair): three EXACT filters
+    // (measured at sf0.1: 28.9M raw prefix collisions → 14.3M length
+    // → 2.08M first-token → 234k last-token → 256 true pairs; wall
+    // 56 s → 8 s):
+    //  - length filter: J ≥ t forces min(n_a,n_b) ≥ t·max(n_a,n_b);
+    //  - positional filter at the FIRST shared prefix shingle w0
+    //    (both min-ranks land on w0 — per-doc ranks are restrictions
+    //    of one global rarity order): no shared shingle precedes w0,
+    //    so overlap ≤ 1 + min(n_a−r_a, n_b−r_b), which must reach
+    //    α = ⌈t/(1+t)·(n_a+n_b)⌉ (Xiao et al. 2008 §3.2);
+    //  - running-overlap bound at the LAST shared prefix shingle
+    //    w_last: every common shingle ≤ w_last ranks before w_last on
+    //    both sides, hence lies in BOTH prefixes and is counted by
+    //    c = |shared prefix shingles|; common shingles > w_last fit in
+    //    the smaller suffix — overlap ≤ c + min(n_a−max_ra, n_b−max_rb).
+    // The 1e-6 slack keeps float ceil/multiply from ever rounding a
+    // bound UP past its exact real value — filters may only weaken,
+    // never drop a true pair.
+    val alpha = ceil(lit(threshold / (1 + threshold)) *
+      (col("__na") + col("__nb")) - lit(1e-6))
+    val candidates = prefix.select(col("__h"), col("__id").as("a_id"),
+        col("__r").as("__ra"), col("__n").as("__na"))
+      .join(prefix.select(col("__h"), col("__id").as("b_id"),
+        col("__r").as("__rb"), col("__n").as("__nb")), Seq("__h"))
       .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id").distinct()
+      .filter(least(col("__na"), col("__nb")) >=
+        lit(threshold) * greatest(col("__na"), col("__nb")) - lit(1e-6))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(min(col("__ra")).as("__ra"), min(col("__rb")).as("__rb"),
+        max(col("__ra")).as("__xa"), max(col("__rb")).as("__xb"),
+        count(lit(1)).as("__c"),
+        first(col("__na")).as("__na"), first(col("__nb")).as("__nb"))
+      .filter(lit(1) + least(col("__na") - col("__ra"),
+          col("__nb") - col("__rb")) >= alpha)
+      .filter(col("__c") + least(col("__na") - col("__xa"),
+          col("__nb") - col("__xb")) >= alpha)
+      .select("a_id", "b_id")
     val sets = base.groupBy("__id")
       .agg(collect_set(col("__h")).as("__sh"))
     val pairs = candidates

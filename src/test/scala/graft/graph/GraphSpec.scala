@@ -133,6 +133,27 @@ class GraphSpec extends AnyFunSuite {
       (3L, 0L, 1L), (4L, 0L, 2L)))
   }
 
+  test("Adamic-Adar: rarer shared neighbors outweigh popular ones") {
+    import spark.implicits._
+    // bipartite: w10 shared by {1,2} (deg 2), w11 shared by {1,2,3,4}
+    // (deg 4), w12 only by 3 (deg 1 — never scorable).
+    // aa(1,2) = round(1e6/ln 2) + round(1e6/ln 4) = 1442695 + 721348
+    // aa(1,3) = aa(1,4) = aa(2,3) = aa(2,4) = aa(3,4) = 721348 (w11)
+    val e = Seq((1L, 10L), (2L, 10L), (1L, 11L), (2L, 11L), (3L, 11L),
+      (4L, 11L), (3L, 12L)).toDF("src", "dst")
+    val got = GraphOps.adamicAdarDF(e, focal = col("src") < 100,
+        minShared = 1)
+      .orderBy("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val w2 = math.round(1e6 / math.log(2)) // 1442695
+    val w4 = math.round(1e6 / math.log(4)) //  721348
+    assert(got.toSeq == Seq((1L, 2L, 2L, w2 + w4), (1L, 3L, 1L, w4),
+      (1L, 4L, 1L, w4), (2L, 3L, 1L, w4), (2L, 4L, 1L, w4),
+      (3L, 4L, 1L, w4)))
+    // the doubly-connected pair must outrank every single-shared pair
+    assert(got.head._4 > w4)
+  }
+
   test("HITS messages to vertices outside the vertex table are dropped") {
     import spark.implicits._
     val v = Seq(1L, 2L).toDF("id")
