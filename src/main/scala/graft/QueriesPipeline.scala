@@ -515,6 +515,17 @@ object QueriesPipeline {
           "vec_id", "embedding", pqCb, k = 5, nProbe = 2)
         .orderBy(col("q_id"), col("rnk"))
     }),
+    "qp_ivfpq_residual" -> ((s, dir) => {
+      // true IVFADC: PQ codes quantize the RESIDUAL v − centroid and
+      // each (query, probe) pair carries its own residual LUT — ADC
+      // sums then approximate real ||q − v||², comparable across cells
+      val e = embs(s, dir)
+      Pq.ivfPqResidualTopK(e,
+          e.filter(col("vec_id") >= 100 && col("vec_id") < 105),
+          e.filter(col("vec_id") < 16),
+          "vec_id", "embedding", pqCb, k = 5, nProbe = 2)
+        .orderBy(col("q_id"), col("rnk"))
+    }),
 
     // --- text analysis ----------------------------------------------
     "qp_text_stats" -> ((s, dir) => {
@@ -1573,6 +1584,56 @@ object QueriesPipeline {
          |   PARTITION BY q_id ORDER BY dist, n_id) AS rnk FROM dists)
          | SELECT q_id, n_id, round(dist, 6) AS dist, rnk FROM ranked
          | WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    "qp_ivfpq_residual" -> {
+      val dim = pqCb.m * pqCb.subDim
+      s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+         | cb(s, j, cv, cn2) AS (VALUES
+         |  $dPqCbValues),
+         | e AS (SELECT vec_id, v, sqrt(${dDot("v", "v")}) AS nn FROM e0),
+         | cent AS (SELECT vec_id AS cent_id, v AS cv, nn AS cn FROM e
+         |   WHERE vec_id < 16),
+         | cells AS (SELECT vec_id AS n_id, cell FROM (
+         |   SELECT e.vec_id, cent.cent_id AS cell,
+         |     row_number() OVER (PARTITION BY e.vec_id
+         |       ORDER BY ${dDot("e.v", "cent.cv")} / (e.nn * cent.cn) DESC,
+         |         cent.cent_id) AS r
+         |   FROM e CROSS JOIN cent) WHERE r = 1),
+         | r0 AS (SELECT c.n_id AS vec_id, c.cell,
+         |     list_transform(range($dim), i -> e.v[i+1] - cent.cv[i+1]) AS v
+         |   FROM cells c JOIN e0 e ON e.vec_id = c.n_id
+         |     JOIN cent ON cent.cent_id = c.cell),
+         | sc AS (SELECT r.vec_id, cb.s, cb.j,
+         |   cb.cn2 - 2*${dPqDot("r.v", "cb.s", "cb.cv")} AS score
+         |   FROM r0 r CROSS JOIN cb),
+         | codes AS (SELECT vec_id, s, j AS code FROM (
+         |   SELECT vec_id, s, j, row_number() OVER (PARTITION BY vec_id, s
+         |     ORDER BY score, j) AS r FROM sc) WHERE r = 1),
+         | q AS (SELECT vec_id AS q_id, v AS qv, nn AS qn FROM e
+         |   WHERE vec_id >= 100 AND vec_id < 105),
+         | probes AS (SELECT q_id, probe FROM (
+         |   SELECT q.q_id, cent.cent_id AS probe,
+         |     row_number() OVER (PARTITION BY q.q_id
+         |       ORDER BY ${dDot("q.qv", "cent.cv")} / (q.qn * cent.cn) DESC,
+         |         cent.cent_id) AS r
+         |   FROM q CROSS JOIN cent) WHERE r <= 2),
+         | qr AS (SELECT p.q_id, p.probe,
+         |     list_transform(range($dim), i -> q.qv[i+1] - cent.cv[i+1]) AS qv
+         |   FROM probes p JOIN q ON q.q_id = p.q_id
+         |     JOIN cent ON cent.cent_id = p.probe),
+         | cand AS (SELECT qr.q_id, qr.qv, c.n_id FROM qr JOIN cells c
+         |   ON qr.probe = c.cell WHERE qr.q_id <> c.n_id),
+         | terms AS (SELECT cand.q_id, cand.n_id, cd.s,
+         |   ${dPqQn2("cand.qv", "cd.s")}
+         |     - 2*${dPqDot("cand.qv", "cd.s", "cb.cv")} + cb.cn2 AS t
+         |   FROM cand JOIN codes cd ON cd.vec_id = cand.n_id
+         |     JOIN cb ON cb.s = cd.s AND cb.j = cd.code),
+         | dists AS (SELECT q_id, n_id, list_sum(list(t ORDER BY s)) AS dist
+         |   FROM terms GROUP BY q_id, n_id),
+         | ranked AS (SELECT q_id, n_id, dist, row_number() OVER (
+         |   PARTITION BY q_id ORDER BY dist, n_id) AS rnk FROM dists)
+         | SELECT q_id, n_id, round(dist, 6) AS dist, rnk FROM ranked
+         | WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+    },
     "qp_zorder" ->
       s"""SELECT CAST(c_custkey AS BIGINT) AS id,
          | ${dZ("c_custkey", "c_nationkey", 16)} AS zval

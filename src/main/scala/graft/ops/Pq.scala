@@ -156,6 +156,65 @@ object Pq {
       k, "dist", ascending = true)
   }
 
+  /** Residual IVF-PQ (true IVFADC, paper §IV.B): corpus rows coarse-
+    * quantize into cells and PQ-encode their RESIDUAL `v − centroid`;
+    * a probing query builds one LUT per probed cell from its own
+    * residual `q − centroid(probe)`, so the summed ADC terms
+    * approximate the true ||q − v||² — comparable ACROSS cells, which
+    * raw-coded [[ivfPqTopK]] distances are not, and quantization only
+    * has to resolve the residual ball (finer at equal code budget).
+    * Identical scale shape: one narrow fused encode pass, broadcast
+    * (q, probe, LUT) rows, two-level top-k. */
+  def ivfPqResidualTopK(corpus: DataFrame, queries: DataFrame,
+      centroids: DataFrame, idCol: String, vecCol: String,
+      cb: Codebooks, k: Int, nProbe: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = Similarity.collectCentroids(centroids, idCol, vecCol)
+    val sorted = cents.sortBy(_.cell)
+    val dim = sorted.head.cv.size
+    val centFlat = new Array[Double](sorted.size * dim)
+    sorted.zipWithIndex.foreach { case (c, i) =>
+      c.cv.copyToArray(centFlat, i * dim)
+    }
+    val cellIds = sorted.map(_.cell).toArray
+    val coded = Similarity.cellAssignments(
+        Partitioning.spread(corpus), cents, idCol, vecCol)
+      .select(col("n_id"), col("cell"),
+        PqEncodeResidual.column(col("__cv"), col("cell"), cb,
+          cellIds, centFlat).as("codes"))
+    val selector = NearestCentroidCells(
+      org.apache.spark.sql.catalyst.expressions.Literal(null),
+      org.apache.spark.sql.catalyst.expressions.Literal(null),
+      cellIds, centFlat, sorted.map(_.cn).toArray, dim, nProbe)
+    val probeRows = queries
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .collect()
+      .flatMap { r =>
+        val qv = r.getSeq[Double](1).toArray
+        val qn = math.sqrt(qv.foldLeft(0.0d)((a, x) => a + x * x))
+        val probes = selector.select(
+          org.apache.spark.sql.catalyst.expressions
+            .UnsafeArrayData.fromPrimitiveArray(qv), qn)
+        (0 until probes.numElements()).map { i =>
+          val cell = probes.getInt(i)
+          val ci = java.util.Arrays.binarySearch(cellIds, cell)
+          val qr = new Array[Double](dim)
+          var d = 0
+          while (d < dim) { qr(d) = qv(d) - centFlat(ci * dim + d); d += 1 }
+          (r.getLong(0), cell, adcLut(qr, cb))
+        }
+      }.toSeq.sortBy(p => (p._1, p._2))
+    val probesDf = broadcast(probeRows.toDF("q_id", "probe", "__lut"))
+    Similarity.rankTopKBy(
+      coded.join(probesDf, col("probe") === col("cell"))
+        .filter(col("q_id") =!= col("n_id"))
+        .withColumn("dist",
+          PqAdc.column(col("codes"), col("__lut"), cb.m, cb.ksub))
+        .select(col("q_id"), col("n_id"), col("dist")),
+      k, "dist", ascending = true)
+  }
+
   /** ADC top-k: PQ-encode the corpus (narrow), collect the SMALL query
     * set driver-side (control-plane, like [[Similarity.collectCentroids]]
     * — it is broadcast either way), precompute each query's LUT, and
@@ -248,6 +307,92 @@ object PqEncode {
   def column(vec: Column, cb: Pq.Codebooks): Column =
     GraftColumnBridge.column(PqEncode(GraftColumnBridge.expression(vec),
       cb.m, cb.ksub, cb.subDim, cb.flat, cb.cnorm2))
+}
+
+/** Residual PQ encode (true IVFADC, Jégou et al. 2011 §IV.B): quantize
+  * `v − centroid(cell)` instead of `v`. The codebook then only has to
+  * cover the residual ball around each coarse centroid — far finer
+  * resolution than one global codebook spanning the whole space — and
+  * distances computed against a residual LUT (`q − centroid(probe)`)
+  * approximate the true ||q − v||². Same compiled fused loop as
+  * [[PqEncode]] (subtract + argmin per subspace, no intermediate
+  * array column, whole-stage codegen intact); cell ids resolve into
+  * the sorted centroid table by binary search. */
+case class PqEncodeResidual(vec: Expression, cell: Expression,
+    m: Int, ksub: Int, subDim: Int, flat: Array[Double],
+    cnorm2: Array[Double], cells: Array[Int],
+    centFlat: Array[Double]) extends BinaryExpression {
+
+  override def left: Expression = vec
+  override def right: Expression = cell
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "pq_encode_residual"
+
+  def compute(v: ArrayData, cellId: Int): ArrayData = {
+    val dim = m * subDim
+    val n = v.numElements()
+    if (n < dim) return null
+    val ci = java.util.Arrays.binarySearch(cells, cellId)
+    if (ci < 0) return null
+    var i = 0
+    while (i < n) { if (v.isNullAt(i)) return null; i += 1 }
+    val va = v.toDoubleArray()
+    val res = new Array[Double](dim)
+    i = 0
+    while (i < dim) { res(i) = va(i) - centFlat(ci * dim + i); i += 1 }
+    val out = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      var best = -1
+      var bestScore = 0.0d
+      var j = 0
+      while (j < ksub) {
+        val off = (s * ksub + j) * subDim
+        // score = ||c||² − 2·c·r (+ per-row-constant ||r||² dropped),
+        // the [[PqEncode]] rule applied to the residual
+        var d = 0.0d
+        var kk = 0
+        while (kk < subDim) {
+          d += res(s * subDim + kk) * flat(off + kk); kk += 1
+        }
+        var score = cnorm2(s * ksub + j) - 2.0d * d
+        if (score == 0.0d) score = 0.0d // -0.0 → 0.0
+        if (best < 0 || java.lang.Double.compare(score, bestScore) < 0) {
+          best = j; bestScore = score
+        }
+        j += 1
+      }
+      out(s) = best
+      s += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override def nullSafeEval(v: Any, c: Any): Any =
+    compute(v.asInstanceOf[ArrayData], c.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqencr", this,
+      classOf[PqEncodeResidual].getName)
+    nullSafeCodeGen(ctx, ev, (v, c) => s"""
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value}_r = $ref.compute($v, $c);
+      if (${ev.value}_r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}_r; }
+    """)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqEncodeResidual =
+    copy(vec = newLeft, cell = newRight)
+}
+
+object PqEncodeResidual {
+  def column(vec: Column, cell: Column, cb: Pq.Codebooks,
+      cells: Array[Int], centFlat: Array[Double]): Column =
+    GraftColumnBridge.column(PqEncodeResidual(
+      GraftColumnBridge.expression(vec), GraftColumnBridge.expression(cell),
+      cb.m, cb.ksub, cb.subDim, cb.flat, cb.cnorm2, cells, centFlat))
 }
 
 /** ADC distance = m LUT lookups summed in subspace order from 0.0 —

@@ -108,6 +108,69 @@ class PqSpec extends AnyFunSuite {
       "1-probe candidates must share the query's cell")
   }
 
+  test("residual coding approximates true distances better on clustered data") {
+    // clustered corpus: 8 well-separated centers (±10 pattern), points
+    // = center + small noise. Raw PQ must code the FULL vector with a
+    // unit-Gaussian codebook (error ~ ||center||²); residual PQ only
+    // codes the noise — its ADC distances should track the true
+    // squared L2 far more closely, and cross-cell distances stay
+    // comparable because every LUT is built in the query's own
+    // residual frame.
+    val rng2 = new scala.util.Random(17)
+    val centers = Seq.tabulate(8)(c =>
+      Seq.tabulate(64)(d => if ((d + c) % 8 == c % 8) 10.0 else 0.0))
+    val pts = Seq.tabulate(96) { i =>
+      val c = i % 8
+      (100L + i, centers(c).map(x => x + rng2.nextGaussian() * 0.3))
+    }
+    val e = (centers.zipWithIndex.map { case (v, i) => (i.toLong, v) } ++
+      pts).toDF("vec_id", "v")
+    val centroids = e.filter(col("vec_id") < 8)
+    val queries = e.filter(col("vec_id") >= 100L && col("vec_id") < 103L)
+    def meanAbsErr(df: org.apache.spark.sql.DataFrame): Double = {
+      val truth = pts.map { case (id, v) => id -> v }.toMap ++
+        centers.zipWithIndex.map { case (v, i) => i.toLong -> v }
+      val rows = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      rows.map { case (q, n, d) =>
+        val qv = truth(q); val nv = truth(n)
+        val t = qv.zip(nv).map { case (a, b) => (a - b) * (a - b) }.sum
+        math.abs(d - t)
+      }.sum / rows.length
+    }
+    val raw = meanAbsErr(Pq.ivfPqTopK(e, queries, centroids,
+      "vec_id", "v", cb, k = 5, nProbe = 8))
+    val res = meanAbsErr(Pq.ivfPqResidualTopK(e, queries, centroids,
+      "vec_id", "v", cb, k = 5, nProbe = 8))
+    assert(res < raw / 4,
+      s"residual ADC error ($res) must be far below raw coding's ($raw)")
+  }
+
+  test("residual encode stays a narrow codegen projection") {
+    // parquet-backed input — a Seq-backed frame folds to a
+    // LocalTableScan and proves nothing about the executed shape
+    val e = graft.sources.Tables
+      .load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"), col("embedding").as("v"))
+    val cents = Similarity.collectCentroids(
+      e.filter(col("vec_id") < 8), "vec_id", "v")
+    val sorted = cents.sortBy(_.cell)
+    val dim = 64
+    val flat = new Array[Double](sorted.size * dim)
+    sorted.zipWithIndex.foreach { case (c, i) => c.cv.copyToArray(flat, i * dim) }
+    val coded = Similarity.cellAssignments(e, cents, "vec_id", "v")
+      .select(col("n_id"), PqEncodeResidual.column(col("__cv"), col("cell"),
+        cb, sorted.map(_.cell).toArray, flat).as("codes"))
+    val plan = coded.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"), plan)
+    assert(plan.contains("*(1)"), // the whole-stage-codegen stage marker
+      plan)
+    // an unknown cell id nulls out instead of crashing
+    val bad = e.limit(1).select(PqEncodeResidual.column(col("v"), lit(999),
+      cb, sorted.map(_.cell).toArray, flat).as("codes")).collect()
+    assert(bad.head.isNullAt(0))
+  }
+
   test("ADC top-k ranks by ascending distance with no per-query skew") {
     val e = vecs.toDF("vec_id", "v")
     val got = Pq.adcTopK(e, e.filter(col("vec_id") < 3), "vec_id", "v",
