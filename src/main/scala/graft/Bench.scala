@@ -86,11 +86,14 @@ object Bench {
     // tail (BENCH_r04/r05: "parsed": null — the single 2.3 KB JSON line
     // was beheaded and the 32 relational timings fell outside the
     // window). Tail-survivable layout, in print order:
-    //   1. full-precision line (complete logs only; no "metric" key so
-    //      a tail parser can't half-match it),
-    //   2. one compact `#B <group> name=ms ...` line per query group —
-    //      no quotes, integer milliseconds, group prefix stripped from
-    //      names — all 98 queries in ~1.8 KB,
+    //   1. full-precision name:sec line (complete logs only; no
+    //      "metric" key so a tail parser can't half-match it),
+    //   2. one compact `#B <group> ms ms ...` line per query group —
+    //      VALUES ONLY, integer milliseconds, in the group's
+    //      SORTED-QUERY-NAME order (names reconstruct from
+    //      CORRECTNESS_r{N}.json or SparkEntry.queries.keys.sorted;
+    //      -1 = query failed). 142 queries ≈ 0.9 KB — name=ms pairs
+    //      outgrew the window at this query count,
     //   3. a small final parseable "metric" line with group subtotals.
     val qs = med.map { case (k, v) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
@@ -98,13 +101,10 @@ object Bench {
     val groups = Seq("qg", "qd", "qp") // relational catch-all goes last
     def groupOf(n: String): String =
       groups.find(g => n.startsWith(g + "_")).getOrElse("rel")
-    def short(n: String, g: String): String =
-      if (g == "rel") n.stripPrefix("q_") else n.drop(g.length + 1)
     val byGroup = med.groupBy { case (n, _) => groupOf(n) }
     (groups :+ "rel").foreach { g =>
-      val entries = byGroup.getOrElse(g, Seq())
-      val line = entries.map { case (n, v) =>
-        s"${short(n, g)}=${if (v < 0) -1 else math.round(v * 1000)}"
+      val line = byGroup.getOrElse(g, Seq()).map { case (_, v) =>
+        s"${if (v < 0) -1 else math.round(v * 1000)}"
       }.mkString(" ")
       println(s"#B $g $line")
     }
