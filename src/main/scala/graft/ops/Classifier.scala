@@ -126,6 +126,26 @@ object Classifier {
     w.zipWithIndex.map { case (v, b) => (b, v) }.toSeq.toDF("b", "w_micro")
   }
 
+  /** Stateless per-row scoring form of the trained model — the
+    * streaming-ingestion variant: no groupBy, so it runs as a plain
+    * projection in append-mode structured streaming (and anywhere
+    * else a row-local filter is wanted). Bit-identical to
+    * [[lrMargin]] over [[lrFeatures]] — same half-up milli-tf divide,
+    * same integer dot — null for zero-token docs (which the batch
+    * feature frame excludes). The batch path stays preferred offline
+    * (explode + partial aggs keep per-row work codegen'd; this form
+    * pays dim interpreted HOF lambdas per row — the right trade only
+    * where statelessness is required). */
+  def lrScoreRow(textCol: Column, weights: Array[Long], dim: Int): Column = {
+    val toks = tokensWs(textCol)
+    val len = size(toks).cast("long")
+    val margin = (0 until dim).map { b =>
+      val cnt = size(filter(toks, t => hash60(t) % dim === b)).cast("long")
+      floor((cnt * lit(2000L) + len) / (len * lit(2L))) * lit(weights(b))
+    }.reduce(_ + _) + lit(1000L * weights(dim))
+    when(len > 0, margin)
+  }
+
   /** Half-away-from-zero to match DuckDB `round()` on doubles —
     * `math.round` is floor(x+0.5), which differs on negative halves. */
   private def roundHalfUp(x: Double): Long =

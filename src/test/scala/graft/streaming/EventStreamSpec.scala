@@ -279,6 +279,45 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("trained LR quality filter scores a stream statelessly") {
+    // train offline (batch GD), deploy at ingestion: lrScoreRow is a
+    // plain projection, so append-mode streaming needs no state — and
+    // its integer margins are bit-identical to the batch path's
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = 8
+    val corpus = (0L until 30L).map(i =>
+      if (i < 15) (i, true, "alpha beta alpha beta gamma")
+      else (i, false, "zork quux blorb zork quux")).toDF("id", "t", "text")
+    val feats = graft.ops.Classifier
+      .lrFeatures(corpus, "id", "text", col("t"), dim).persist()
+    val w = graft.ops.Classifier.lrTrain(feats, dim, iters = 3)
+    val batch = feats.select(col("__id"),
+        graft.ops.Classifier.lrMargin(w, dim).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    feats.unpersist()
+    val input = MemoryStream[(Long, String)]
+    val scored = input.toDF().toDF("doc_id", "text")
+      .withColumn("score",
+        graft.ops.Classifier.lrScoreRow(col("text"), w, dim))
+    val q = scored.writeStream.format("memory").queryName("stream_lr")
+      .outputMode("append").start()
+    try {
+      input.addData((0L, "alpha beta alpha beta gamma"),
+        (15L, "zork quux blorb zork quux"), (99L, "   "))
+      q.processAllAvailable()
+      val rows = spark.table("stream_lr").collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+      assert(rows(0L) == Some(batch(0L)),
+        "stream score must equal the batch margin bit-for-bit")
+      assert(rows(15L) == Some(batch(15L)))
+      assert(rows(0L).get > rows(15L).get,
+        "target dialect must outscore junk at ingestion")
+      assert(rows(99L).isEmpty, "zero-token docs score null")
+    } finally q.stop()
+  }
+
   test("sessionization with event-time gap timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
