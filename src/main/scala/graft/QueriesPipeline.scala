@@ -478,6 +478,14 @@ object QueriesPipeline {
       Pca.project(embs(s, dir), "vec_id", "embedding", comps)
         .orderBy("vec_id")
     }),
+    "qp_pca_whiten" -> ((s, dir) => {
+      // full whitening: center, project on top-2 components, scale by
+      // 1/sqrt(lambda) — unit variance per output, zero cross-corr
+      // (PcaSpec pins all three; eigen-iteration not SQL-expressible
+      // -> rows-only gate, like qp_pca_project)
+      Pca.whiten(embs(s, dir), "vec_id", "embedding", dim = 64, k = 2)
+        .orderBy("vec_id")
+    }),
     "qp_lsh_buckets" -> ((s, dir) => {
       val planes = Similarity.hyperplanes(8, 64)
       embs(s, dir)

@@ -75,18 +75,12 @@ object Pca {
           + lit(0.0)).as("cov"))
   }
 
-  /** top-k principal components via driver-side power iteration with
-    * deflation on the COLLECTED moment row (control-plane math — the
-    * covariance is d², what a broadcast would ship). Deterministic:
-    * fixed all-ones start vector, fixed iteration count. Returns
-    * (eigenvalue, component) pairs, largest first; components are
-    * unit-norm with a sign convention (largest-|coordinate| entry
-    * positive) so results don't flip run to run. */
-  def principalComponents(df: DataFrame, vecCol: String, dim: Int,
-      k: Int, iters: Int = 200): Seq[(Double, Array[Double])] = {
-    val m = moments(df, vecCol, dim).collect().head
-      .getSeq[Long](0).toArray
+  /** (n, per-dim mean in ORIGINAL units, covariance) from a collected
+    * moment row — the driver-side half shared by [[principalComponents]]
+    * and [[whiten]]. */
+  private def meanCov(m: Array[Long], dim: Int): (Double, Array[Double], Array[Array[Double]]) = {
     val n = m(0).toDouble
+    val mean = Array.tabulate(dim)(i => m(1 + i).toDouble / n / 1e3)
     val cov = Array.ofDim[Double](dim, dim)
     var p = 0
     for (i <- 0 until dim; j <- i until dim) {
@@ -96,6 +90,13 @@ object Pca {
       cov(j)(i) = c
       p += 1
     }
+    (n, mean, cov)
+  }
+
+  /** top-k eigenpairs of `cov` by power iteration + deflation
+    * (deterministic start/sign — see [[principalComponents]]). */
+  private def powerEigs(cov: Array[Array[Double]], dim: Int, k: Int,
+      iters: Int): Seq[(Double, Array[Double])] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[(Double, Array[Double])]
     for (_ <- 0 until k) {
       var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
@@ -121,6 +122,45 @@ object Pca {
         cov(i)(j) -= lambda * v(i) * v(j)
     }
     out.toSeq
+  }
+
+  /** top-k principal components via driver-side power iteration with
+    * deflation on the COLLECTED moment row (control-plane math — the
+    * covariance is d², what a broadcast would ship). Deterministic:
+    * fixed all-ones start vector, fixed iteration count. Returns
+    * (eigenvalue, component) pairs, largest first; components are
+    * unit-norm with a sign convention (largest-|coordinate| entry
+    * positive) so results don't flip run to run. */
+  def principalComponents(df: DataFrame, vecCol: String, dim: Int,
+      k: Int, iters: Int = 200): Seq[(Double, Array[Double])] = {
+    val m = moments(df, vecCol, dim).collect().head
+      .getSeq[Long](0).toArray
+    val (_, _, cov) = meanCov(m, dim)
+    powerEigs(cov, dim, k, iters)
+  }
+
+  /** PCA whitening: center on the corpus mean, project onto the top-k
+    * principal components and scale each coordinate by 1/√λ — the
+    * output has unit variance per component and zero cross-correlation
+    * (the standard embedding normalizer before cosine/clustering
+    * stages; Jolliffe, public literature). One distributed moments
+    * pass feeds mean + covariance; eigenpairs are control-plane; the
+    * projection is a narrow compiled dot per component:
+    * `y_c = (x·v_c − μ·v_c) / √λ_c`. Components with λ ≤ 0 (rank
+    * deficiency) are dropped rather than divided by. */
+  def whiten(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      k: Int, iters: Int = 200): DataFrame = {
+    val m = moments(df, vecCol, dim).collect().head
+      .getSeq[Long](0).toArray
+    val (_, mean, cov) = meanCov(m, dim)
+    val eig = powerEigs(cov, dim, k, iters).filter(_._1 > 0)
+    val v = col(vecCol).cast("array<double>")
+    val outs = eig.zipWithIndex.map { case ((lambda, comp), ix) =>
+      val mu = comp.zip(mean).map { case (a, b) => a * b }.sum
+      round((VectorExprs.dot(v, array(comp.toIndexedSeq.map(lit): _*))
+        - lit(mu)) / lit(math.sqrt(lambda)), 6).as(s"w$ix")
+    }
+    df.select(col(idCol) +: outs: _*)
   }
 
   /** project the corpus onto fixed components: one compiled dot per

@@ -82,6 +82,24 @@ class PcaSpec extends AnyFunSuite {
     assert(math.abs(v1(0)) > 0.5 && math.abs(v1(1)) > 0.3)
   }
 
+  test("whitening yields unit variance, near-zero mean, no cross-correlation") {
+    import spark.implicits._
+    val df = vecs.toDF("id", "v")
+    val rows = Pca.whiten(df, "id", "v", dim, k = 2)
+      .select("w0", "w1").as[(Double, Double)].collect()
+    val n = rows.length.toDouble
+    val (m0, m1) = (rows.map(_._1).sum / n, rows.map(_._2).sum / n)
+    // centering uses the milli-quantized corpus mean; raw-data means
+    // land within quantization noise of zero
+    assert(math.abs(m0) < 1e-2 && math.abs(m1) < 1e-2, s"means $m0 $m1")
+    val v0 = rows.map(r => (r._1 - m0) * (r._1 - m0)).sum / n
+    val v1 = rows.map(r => (r._2 - m1) * (r._2 - m1)).sum / n
+    assert(math.abs(v0 - 1.0) < 1e-2 && math.abs(v1 - 1.0) < 1e-2,
+      s"unit variance expected, got $v0 $v1")
+    val xc = rows.map(r => (r._1 - m0) * (r._2 - m1)).sum / n
+    assert(math.abs(xc) < 1e-2, s"cross-correlation $xc")
+  }
+
   test("projection variance matches the eigenvalue") {
     val df = vecs.toDF("id", "v")
     val Seq((l1, v1)) = Pca.principalComponents(df, "v", dim, k = 1)
