@@ -478,6 +478,40 @@ object QueriesPipeline {
       Pca.project(embs(s, dir), "vec_id", "embedding", comps)
         .orderBy("vec_id")
     }),
+    "qp_hard_negatives" -> ((s, dir) => {
+      // contrastive-training mining: a query's hard negatives are its
+      // nearest ANN neighbors that are NOT near-duplicates — top-10
+      // by cosine, drop shingle-Jaccard >= 0.8 (those are positives /
+      // leakage), keep the 5 closest survivors. The dup check runs
+      // ONLY on the k·|queries| candidate pairs (sets semi-joined to
+      // candidate ids — never a corpus-wide pairwise pass).
+      val d = docs(s, dir)
+      val emb = TextOps.hashEmbed(d, "doc_id", "text", dim = 64)
+        .select(col("doc_id"), col("vec").cast("array<double>").as("vec"))
+      val cand = Similarity.bruteForceTopK(emb,
+        emb.filter(col("doc_id") < 3), "doc_id", "vec", k = 10)
+      val ids = cand.select(col("q_id").as("doc_id"))
+        .unionByName(cand.select(col("n_id").as("doc_id"))).distinct()
+      val sets = d.join(ids, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), array_distinct(transform(
+          charShingles(col("text"), 4), x => hash60(x))).as("__sh"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy("rnk") // k-bounded rows per query
+      cand
+        .join(sets.select(col("doc_id").as("q_id"), col("__sh").as("__sa")),
+          "q_id")
+        .join(sets.select(col("doc_id").as("n_id"), col("__sh").as("__sb")),
+          "n_id")
+        .withColumn("__i", size(array_intersect(col("__sa"), col("__sb"))))
+        .withColumn("__u", size(col("__sa")) + size(col("__sb")) - col("__i"))
+        .withColumn("__jac", when(col("__u") > 0,
+          col("__i").cast("double") / col("__u")).otherwise(lit(0.0)))
+        .filter(col("__jac") < 0.8)
+        .withColumn("hn_rnk", row_number().over(w))
+        .filter(col("hn_rnk") <= 5)
+        .select(col("q_id"), col("n_id"), col("cos"), col("hn_rnk"))
+        .orderBy("q_id", "hn_rnk")
+    }),
     "qp_pca_whiten" -> ((s, dir) => {
       // full whitening: center, project on top-2 components, scale by
       // 1/sqrt(lambda) — unit variance per output, zero cross-corr
@@ -1849,6 +1883,38 @@ object QueriesPipeline {
          |   FROM q CROSS JOIN e WHERE q_id <> e.doc_id)
          | SELECT q_id, n_id, round(c, 6) AS cos, rnk FROM scored
          | WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    "qp_hard_negatives" ->
+      s"""WITH t AS (SELECT doc_id, list_transform(${dTokens("text")},
+         |     x -> CAST(${dH60("x")} % 64 AS INT)) AS ds FROM documents),
+         | emb AS (SELECT doc_id, list_transform(range(64),
+         |   i -> CAST(len(list_filter(ds, d -> d = i)) AS DOUBLE)) AS v
+         |   FROM t),
+         | e AS (SELECT doc_id, v, sqrt(${dDot("v", "v")}) AS nn FROM emb),
+         | q AS (SELECT doc_id AS q_id, v AS qv, nn AS qn FROM e
+         |   WHERE doc_id < 3),
+         | scored AS (SELECT q_id, e.doc_id AS n_id,
+         |     ${dDot("qv", "e.v")} / (qn * e.nn) AS c,
+         |     row_number() OVER (PARTITION BY q_id
+         |       ORDER BY ${dDot("qv", "e.v")} / (qn * e.nn) DESC,
+         |         e.doc_id) AS rnk
+         |   FROM q CROSS JOIN e WHERE q_id <> e.doc_id),
+         | sh AS (SELECT doc_id,
+         |     list_transform(${dShingles("text")}, x -> ${dH60("x")}) AS s
+         |   FROM documents),
+         | j AS (SELECT sc.q_id, sc.n_id, sc.c, sc.rnk,
+         |     len(list_intersect(a.s, b.s)) AS i,
+         |     len(a.s) AS la, len(b.s) AS lb
+         |   FROM scored sc JOIN sh a ON a.doc_id = sc.q_id
+         |     JOIN sh b ON b.doc_id = sc.n_id
+         |   WHERE sc.rnk <= 10),
+         | f AS (SELECT q_id, n_id, c, rnk, CASE WHEN la + lb - i > 0
+         |     THEN CAST(i AS DOUBLE) / (la + lb - i) ELSE 0.0 END AS jac
+         |   FROM j),
+         | hn AS (SELECT q_id, n_id, c, row_number() OVER (
+         |     PARTITION BY q_id ORDER BY rnk) AS hn_rnk
+         |   FROM f WHERE jac < 0.8)
+         | SELECT q_id, n_id, round(c, 6) AS cos, hn_rnk FROM hn
+         | WHERE hn_rnk <= 5 ORDER BY q_id, hn_rnk""".stripMargin,
     "qp_lm_perplexity" ->
       s"""$dLmPerDoc
          | SELECT doc_id, n_bigrams,

@@ -75,8 +75,9 @@ object Multimodal {
     * arithmetic can handle without codec libraries — BMP (dimensions
     * from the BITMAPINFOHEADER), RIFF/WAVE (sample rate, channels
     * and frame count from the fmt/data chunks), PNG (IHDR dims — the
-    * IHDR chunk is mandatory and first, RFC 2083) and GIF87a/89a
-    * (logical screen size) — falling back to
+    * IHDR chunk is mandatory and first, RFC 2083), GIF87a/89a
+    * (logical screen size) and JPEG (marker-segment walk to the first
+    * SOF frame header, ITU-T T.81) — falling back to
     * [[decodeStub]] for everything else. Output mapping: images use
     * (width, height, 1 frame); audio uses (sample_rate, channels,
     * sample_frames) in the same three slots, keeping one decoded
@@ -122,6 +123,31 @@ object Multimodal {
     } else if (n >= 10 && (ascii(0, 6) == "GIF87a" || ascii(0, 6) == "GIF89a")) {
       // GIF: logical screen width/height, little-endian uint16 at 6/8
       (le16(6), le16(8), 1, sampleFeature(payload, featureDim))
+    } else if (n >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
+      // JPEG (ITU-T T.81): walk marker segments from SOI to the first
+      // frame header SOF0-SOF15 (skipping the non-frame DHT/DAC/RST
+      // markers that share the 0xC0 nibble); the frame header carries
+      // height (BE16 at +5) then width (+7). Entropy-coded data never
+      // precedes the first SOF, so a plain segment walk suffices.
+      def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+      var pos = 2
+      var w = 0; var h = 0
+      var ok = true
+      while (ok && pos + 4 <= n) {
+        if (u8(pos) != 0xff) ok = false // desync: stop, fall back
+        else {
+          val marker = u8(pos + 1)
+          val isSof = marker >= 0xc0 && marker <= 0xcf &&
+            marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+          if (isSof && pos + 9 <= n) {
+            h = be16(pos + 5); w = be16(pos + 7); ok = false
+          } else if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) {
+            pos += 2 // bare markers carry no length field
+          } else pos += 2 + be16(pos + 2)
+        }
+      }
+      if (w > 0 && h > 0) (w, h, 1, sampleFeature(payload, featureDim))
+      else decodeStub(payload, featureDim)
     } else decodeStub(payload, featureDim)
   }
 
