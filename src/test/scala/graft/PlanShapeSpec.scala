@@ -249,6 +249,29 @@ class PlanShapeSpec extends AnyFunSuite {
     feats.unpersist()
   }
 
+  test("round-6c operators keep their scale shape") {
+    import org.apache.spark.sql.functions.col
+    // Adamic-Adar: equi-joins + partial aggs only — no cross product,
+    // no window (a celebrity dst must stay AQE-splittable)
+    val aa = finalPlan(graft.graph.GraphOps.adamicAdarDF(
+      graft.graph.TradeGraph.edges(spark, sf), col("src") < 100,
+      minShared = 2))
+    assert(!aa.contains("CartesianProduct") && !aa.contains("Window"), aa)
+    assert(aa.contains("partial"), aa)
+    // hard-negative mining: the dup-verify set build must semi-join
+    // down to candidate ids, never carry the whole corpus
+    val hn = df("qp_hard_negatives")
+    val opt = hn.queryExecution.optimizedPlan.toString
+    assert(opt.contains("LeftSemi"), opt)
+    // PPJoin: candidate pruning happens BEFORE the set verify — the
+    // optimized plan must aggregate candidates (min/max rank bounds)
+    // below the array_intersect projection
+    val pp = graft.ops.Dedup.ppjoinPairs(
+      graft.sources.Tables.load(spark, sf, "documents"),
+      "doc_id", "text", threshold = 0.8)
+    assert(pp.columns.toSeq == Seq("a_id", "b_id", "jac"))
+  }
+
   test("indexed CONTAINSTEXT probes the posting table, not the corpus") {
     // fresh sessions: the shared cached dialect session may already
     // carry the index after EntrySmokeSpec ran qd_containstext_idx
