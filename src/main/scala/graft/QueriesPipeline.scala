@@ -618,6 +618,17 @@ object QueriesPipeline {
           "fr_score", "es_score", "zh_score")
         .orderBy("doc_id")
     }),
+    "qp_token_entropy" -> ((s, dir) => {
+      // unigram information density per doc — micro-nat fixed-point
+      // contributions, order-free integer sums
+      TextOps.tokenEntropy(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+    "qp_shingle_novelty" -> ((s, dir) => {
+      // share of each doc's distinct shingles found nowhere else
+      TextOps.shingleNovelty(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
     "qp_tfidf_top" -> ((s, dir) => {
       // top-3 TF-IDF terms per doc (DF computed over the WHOLE corpus)
       import org.apache.spark.sql.expressions.Window
@@ -1893,6 +1904,31 @@ object QueriesPipeline {
          |   FROM q CROSS JOIN e WHERE q_id <> e.doc_id)
          | SELECT q_id, n_id, round(c, 6) AS cos, rnk FROM scored
          | WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    "qp_token_entropy" ->
+      s"""WITH c AS (SELECT doc_id, t, count(*) AS n FROM (
+         |     SELECT doc_id, unnest(${dTokens("text")}) AS t
+         |     FROM documents) GROUP BY 1, 2),
+         | l AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS len FROM c
+         |   GROUP BY 1),
+         | s AS (SELECT c.doc_id, l.len, CAST(sum(c.n *
+         |     CAST(round(ln(CAST(l.len AS DOUBLE) / c.n) * 1e6)
+         |       AS BIGINT)) AS BIGINT) AS s
+         |   FROM c JOIN l USING (doc_id) GROUP BY 1, 2)
+         | SELECT doc_id, len AS n_tokens,
+         |   round(CAST(s AS DOUBLE) / (len * 1e6), 6) AS entropy
+         | FROM s ORDER BY doc_id""".stripMargin,
+    "qp_shingle_novelty" ->
+      s"""WITH b AS (SELECT DISTINCT doc_id, ${dH60("sg")} AS h FROM (
+         |     SELECT doc_id, unnest(${dShingles("text")}) AS sg
+         |     FROM documents)),
+         | f AS (SELECT h, count(*) AS docs FROM b GROUP BY h)
+         | SELECT doc_id, count(*) AS n_shingles,
+         |   CAST(sum(CASE WHEN docs = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |     AS n_novel,
+         |   round(CAST(sum(CASE WHEN docs = 1 THEN 1 ELSE 0 END)
+         |     AS DOUBLE) / count(*), 6) AS novelty
+         | FROM b JOIN f USING (h) GROUP BY doc_id
+         | ORDER BY doc_id""".stripMargin,
     "qp_hard_negatives" ->
       s"""WITH t AS (SELECT doc_id, list_transform(${dTokens("text")},
          |     x -> CAST(${dH60("x")} % 64 AS INT)) AS ds FROM documents),

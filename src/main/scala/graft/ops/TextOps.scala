@@ -128,6 +128,61 @@ object TextOps {
   }
 
   // ------------------------------------------------------ tf-idf
+  /** Per-document unigram entropy — the information-density quality
+    * signal (low entropy = repetitive/templated text; complements the
+    * repetition ratios in [[textQuality]]): H = (1/L)·Σ n_t·ln(L/n_t)
+    * in nats. Per-term contributions fix-point to integer micro-nats
+    * BEFORE the per-doc sum (order-free exact integers under any
+    * partitioning — the repo's float-sum rule), the final divide by L
+    * is deterministic. One explode pass, two partial-combining
+    * aggregations — the [[tfidf]] shape without the DF join. */
+  def tokenEntropy(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val counts = Partitioning.spread(df)
+      .select(col(idCol).as("__id"),
+        explode(tokensWs(col(textCol))).as("__t"))
+      .groupBy(col("__id"), col("__t"))
+      .agg(count(lit(1)).as("__n"))
+    val lens = counts.groupBy(col("__id"))
+      .agg(sum(col("__n")).as("__len"))
+    // len joins back on the SAME __id key the final sum groups on
+    // (exchange-reusable); the per-term micro-nat term stays a narrow
+    // codegen projection — no interpreted lambda, no term-list buffer
+    counts.join(lens, "__id")
+      .select(col("__id"), col("__len"),
+        (col("__n") * round(log(col("__len").cast("double") /
+          col("__n").cast("double")) * 1e6).cast("long")).as("__c"))
+      .groupBy(col("__id"))
+      .agg(first(col("__len")).as("__len"), sum(col("__c")).as("__s"))
+      .select(col("__id").as(idCol), col("__len").as("n_tokens"),
+        round(col("__s").cast("double") / (col("__len") * lit(1e6)), 6)
+          .as("entropy"))
+  }
+
+  /** Per-document shingle novelty — the share of a doc's DISTINCT
+    * 4-char shingles found in NO other document (novelty 1.0 = fully
+    * original content; boilerplate-heavy docs trend to 0). One
+    * exploded corpus pass; the cross-corpus frequency table is a
+    * partial-agg groupBy joined back ON THE SAME shingle-hash key
+    * (exchange-reusable), counts exact ints. */
+  def shingleNovelty(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, shingleN: Int = 4): org.apache.spark.sql.DataFrame = {
+    val base = Partitioning.spread(df)
+      .select(col(idCol).as("__id"),
+        explode(charShingles(col(textCol), shingleN)).as("__sg"))
+      .select(col("__id"), hash60(col("__sg")).as("__h"))
+      .distinct()
+    val freq = base.groupBy(col("__h"))
+      .agg(count(lit(1)).as("__docs"))
+    base.join(freq, "__h")
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("__docs") === 1, 1L).otherwise(0L)).as("n_novel"))
+      .select(col("__id").as(idCol), col("n_shingles"), col("n_novel"),
+        round(col("n_novel").cast("double") / col("n_shingles"), 6)
+          .as("novelty"))
+  }
+
   /** TF-IDF per (doc, term): tf = in-doc count, idf = ln((N+1)/(df+1)),
     * computed corpus-wide via one token explode + two aggregations
     * (DF is a broadcastable per-term table). */
