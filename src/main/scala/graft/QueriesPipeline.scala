@@ -593,9 +593,9 @@ object QueriesPipeline {
     "qp_text_langid" -> ((s, dir) => {
       // per-lang marker hits via ONE explode + partial-agg groupBy;
       // the per-row `langScore` HOF form ran 25 interpreted lambda
-      // passes per document (A/B at sf0.1: 2.1 -> 0.9 s), and explode
-      // + codegen'd conditional sums is the repo's convention for
-      // per-row heavy compute anyway
+      // passes per document (A/B at sf0.1: 1.3-2.1 -> 0.67 s), and
+      // explode + codegen'd conditional sums is the repo's convention
+      // for per-row heavy compute anyway
       val scoreCols = langMarkers.map { case (l, ms) =>
         sum(when(col("__t").isin(ms: _*), 1L).otherwise(0L))
           .as(s"${l}_score")
