@@ -76,5 +76,33 @@ package graft
   * the PageRank message plan (residual gap = the final hub⋈authority
   * join re-running the last a-step). Integer scores: bit-identical
   * before/after, GraphSpec hand-values + qg_hits oracle unchanged.
+  *
+  * == 7. (session 2) driver testdata regenerated events.ts as
+  * TIMESTAMP(MICROS) ==
+  * The r1-r5 generations shipped TIMESTAMP(NANOS); round 6's driver
+  * rebuild switched to micros (isAdjustedToUTC=false → TIMESTAMP_NTZ
+  * in Spark), which broke the loader's nanos-long division in 6
+  * specs. `Tables.load` now adapts to either physical type and
+  * normalizes to one session-UTC TIMESTAMP column.
+  *
+  * == 8. (session 2) ppjoin candidate pruning: 56.1 → 6.6 s ==
+  * See ScratchPpjoin for the stage-count record (28.9M prefix
+  * collisions → 234k verified candidates → 256 true pairs at sf0.1).
+  *
+  * == 9. (session 2) langid explode rewrite: 1.3-2.1 → 0.67 s ==
+  * qp_text_langid scored via 25 per-row interpreted `size(filter(...))`
+  * lambdas (5 langs × 5 markers); rewritten as one explode +
+  * codegen'd conditional sums in a single partial-combining groupBy.
+  * In-suite 1.34 s (same-day full run; 2.11 s in the previous run),
+  * isolated 5-round median after: 0.67 s. Oracle unchanged (scores
+  * int→bigint — gate hashes ints alike).
+  *
+  * == 10. (session 2) whole-suite totals ==
+  * Full sf0.1 bench, local[32], median-of-3: 200.6 s (142 queries,
+  * with unfiltered ppjoin) → 145.4 s (same 142; ppjoin fix is ~50 s
+  * of the delta). New operators since: qp_lr_train 2.71, qp_lr_select
+  * 3.62 (3-round GD training IS the query), qg_adamic_adar 1.89,
+  * qp_ivfpq_residual 0.65, qp_pca_whiten 0.31, qp_hard_negatives
+  * 2.65 s.
   */
 object ScratchR6
