@@ -152,9 +152,16 @@ object Traverse {
         // subtract visited (cycle safety), update visited
         frontier = next.toMap.flatMap { case (cn, d) =>
           val unseen = visited.get(cn) match {
-            case Some(v) => d.join(v,
-              d("__origin") === v("__origin") && d("__node") === v("__node"),
-              "left_anti")
+            case Some(v) =>
+              // explicit aliases: frontier and visited can share
+              // lineage, and `d("__origin") === v("__origin")` then
+              // resolves both sides to one attribute (Spark warns
+              // "trivially true equals predicate" and, worse, would
+              // anti-join everything away)
+              d.alias("__f").join(v.alias("__v"),
+                col("__f.__origin") === col("__v.__origin") &&
+                  col("__f.__node") === col("__v.__node"),
+                "left_anti")
             case None => d
           }
           if (static) Some(cn -> unseen) // lazy: empties cost nothing
