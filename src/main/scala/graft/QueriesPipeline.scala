@@ -172,6 +172,35 @@ object QueriesPipeline {
         blockCols = Seq("lang", "__lb"), threshold = 0.8)
       Dedup.nearDupClusters(pairs, "a_id", "b_id").orderBy("cluster")
     }),
+    "qp_dedup_keep_quality" -> ((s, dir) => {
+      // the two trained stages composed: near-dup clusters elect the
+      // member the trained LR quality model scores highest (ties to
+      // the lower doc_id) — dedup that keeps the BEST copy, not an
+      // arbitrary canonical one. Cluster labels and scores are exact
+      // integers, so the election is hash-stable.
+      val d0 = docs(s, dir)
+      val d = d0.withColumn("__lb",
+        floor(col("n_chars") / 20).cast("int"))
+      val labels = Dedup.nearDupLabels(
+        Dedup.ngramJaccardPairs(d, "doc_id", "text",
+          blockCols = Seq("lang", "__lb"), threshold = 0.8),
+        "a_id", "b_id")
+      val feats = Classifier.lrFeatures(d0, "doc_id", "text",
+        isTarget = col("lang") === "en", dim = 32).persist()
+      val w = Classifier.lrTrain(feats, dim = 32, iters = 3)
+      val scores = feats.select(col("__id").as("doc_id"),
+        Classifier.lrMargin(w, 32).as("__score"))
+      val out = labels.join(scores, labels("id") === scores("doc_id"))
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n_members"),
+          max_by(col("id"), struct(col("__score"), (-col("id")).as("__t")))
+            .as("keep_id"),
+          max(col("__score")).as("best_score"))
+        .orderBy("cluster")
+        .localCheckpoint() // release the feature cache before returning
+      feats.unpersist()
+      out
+    }),
     "qp_decontaminate" -> ((s, dir) => {
       // docs sharing word 3-grams with the eval slice (doc_id < 20)
       val d = docs(s, dir)
@@ -895,6 +924,42 @@ object QueriesPipeline {
        |       - ln((cr + 1.0) / (nr + 256.0))) * 1e6) AS BIGINT) AS lr
        |   FROM bt CROSS JOIN tot)""".stripMargin
 
+  /** Near-dup cluster CTEs (no leading WITH): pairs identical to
+    * qp_ngram_jaccard, then unrolled min-label propagation — the same
+    * update rule as Dedup.nearDupClusters (min of own and in-neighbor
+    * labels). The Spark side iterates to convergence; 10 unrolled
+    * rounds cover the data's diameter with margin (MATERIALIZED keeps
+    * the extra no-op rounds cheap). Yields member labels in `l10`.
+    * COUPLING: OpsHygieneSpec "oracle horizon covers the gate corpus"
+    * pins effective propagation depth ≤ 10 on the sf0.01 pairs —
+    * raise both together if future data grows longer chains. */
+  private lazy val dClusterCtes: String = {
+    val rounds = (1 to 10).map { t =>
+      s"""l$t AS MATERIALIZED (SELECT id, min(lbl) AS lbl FROM (
+         |   SELECT id, lbl FROM l${t - 1}
+         |   UNION ALL
+         |   SELECT u.b AS id, l${t - 1}.lbl FROM u
+         |     JOIN l${t - 1} ON u.a = l${t - 1}.id
+         | ) GROUP BY id)""".stripMargin
+    }.mkString(",\n ")
+    s"""t AS (SELECT doc_id, lang,
+       |   CAST(floor(n_chars / 20) AS INT) lb,
+       |   list_distinct(list_transform(${dShingles("text")},
+       |     x -> ${dH60("x")})) sh
+       |   FROM documents),
+       | p AS MATERIALIZED (SELECT a_id AS a, b_id AS b FROM (
+       |   SELECT a.doc_id a_id, b.doc_id b_id,
+       |     round(len(list_intersect(a.sh, b.sh))*1.0 /
+       |       (len(a.sh)+len(b.sh)-len(list_intersect(a.sh, b.sh))), 6) jac
+       |   FROM t a JOIN t b ON a.lang = b.lang AND a.lb = b.lb
+       |     AND a.doc_id < b.doc_id)
+       |   WHERE jac >= 0.8),
+       | u AS MATERIALIZED (SELECT a, b FROM p
+       |   UNION ALL SELECT b, a FROM p),
+       | l0 AS (SELECT DISTINCT a AS id, a AS lbl FROM u),
+       | $rounds""".stripMargin
+  }
+
   /** Unrolled logistic-regression training in SQL — the same 3 rounds
     * of fixed-point full-batch GD [[graft.ops.Classifier.lrTrain]]
     * runs: milli-tf features from the integer half-up divide, exact
@@ -1226,42 +1291,28 @@ object QueriesPipeline {
          |   (SELECT count(*) FROM near) AS n_near,
          |   (SELECT count(*) FROM quality) AS n_quality""".stripMargin
     },
-    "qp_dedup_clusters" -> {
-      // pairs identical to qp_ngram_jaccard, then unrolled min-label
-      // propagation — the same update rule as Dedup.nearDupClusters
-      // (min of own and in-neighbor labels). The Spark side iterates
-      // to convergence; 10 unrolled rounds cover the data's diameter
-      // with margin (MATERIALIZED keeps the extra no-op rounds cheap).
-      // COUPLING: OpsHygieneSpec "oracle horizon covers the gate
-      // corpus" pins effective propagation depth ≤ 10 on the sf0.01
-      // pairs — raise both together if future data grows longer chains
-      val rounds = (1 to 10).map { t =>
-        s"""l$t AS MATERIALIZED (SELECT id, min(lbl) AS lbl FROM (
-           |   SELECT id, lbl FROM l${t - 1}
-           |   UNION ALL
-           |   SELECT u.b AS id, l${t - 1}.lbl FROM u
-           |     JOIN l${t - 1} ON u.a = l${t - 1}.id
-           | ) GROUP BY id)""".stripMargin
-      }.mkString(",\n ")
-      s"""WITH t AS (SELECT doc_id, lang,
-         |   CAST(floor(n_chars / 20) AS INT) lb,
-         |   list_distinct(list_transform(${dShingles("text")},
-         |     x -> ${dH60("x")})) sh
-         |   FROM documents),
-         | p AS MATERIALIZED (SELECT a_id AS a, b_id AS b FROM (
-         |   SELECT a.doc_id a_id, b.doc_id b_id,
-         |     round(len(list_intersect(a.sh, b.sh))*1.0 /
-         |       (len(a.sh)+len(b.sh)-len(list_intersect(a.sh, b.sh))), 6) jac
-         |   FROM t a JOIN t b ON a.lang = b.lang AND a.lb = b.lb
-         |     AND a.doc_id < b.doc_id)
-         |   WHERE jac >= 0.8),
-         | u AS MATERIALIZED (SELECT a, b FROM p
-         |   UNION ALL SELECT b, a FROM p),
-         | l0 AS (SELECT DISTINCT a AS id, a AS lbl FROM u),
-         | $rounds
+    "qp_dedup_clusters" ->
+      s"""WITH $dClusterCtes
          | SELECT lbl AS cluster, count(*) AS n_members FROM l10
-         | GROUP BY lbl ORDER BY cluster""".stripMargin
-    },
+         | GROUP BY lbl ORDER BY cluster""".stripMargin,
+    "qp_dedup_keep_quality" ->
+      // the two trained stages composed: member-level near-dup labels
+      // (same CTEs as qp_dedup_clusters) × the trained LR quality
+      // model (same CTEs as qp_lr_train) — per cluster keep the
+      // best-scoring member, ties to the lower doc_id
+      s"""$dLrCtes,
+         | $dClusterCtes,
+         | qsc AS (SELECT f.doc_id, CAST(sum(f.x * w.w) AS BIGINT)
+         |     + 1000 * (SELECT w FROM w3 WHERE b = 32) AS score
+         |   FROM fx f JOIN w3 w USING (b) GROUP BY 1),
+         | r AS (SELECT l.lbl AS cluster, l.id, qsc.score,
+         |     row_number() OVER (PARTITION BY l.lbl
+         |       ORDER BY qsc.score DESC, l.id) AS rk,
+         |     count(*) OVER (PARTITION BY l.lbl) AS nm
+         |   FROM l10 l JOIN qsc ON qsc.doc_id = l.id)
+         | SELECT cluster, nm AS n_members, id AS keep_id,
+         |   score AS best_score
+         | FROM r WHERE rk = 1 ORDER BY cluster""".stripMargin,
     "qp_decontaminate" ->
       s"""WITH tok AS (SELECT doc_id, ${dTokens("text")} tok
          |   FROM documents),

@@ -556,6 +556,15 @@ object Dedup {
       maxRounds: Int = 50): DataFrame =
     nearDupClustersCounted(pairs, aCol, bCol, maxRounds)._1
 
+  /** member-level cluster labels `(id, cluster)` — the same converged
+    * min-label propagation, exposed per member so callers can elect a
+    * survivor per cluster (e.g. [[graft.ops.Classifier]]-scored
+    * keep-best). */
+  def nearDupLabels(pairs: DataFrame, aCol: String, bCol: String,
+      maxRounds: Int = 50): DataFrame =
+    propagateLabels(pairs, aCol, bCol, maxRounds)._1
+      .select(col("id"), col("lbl").as("cluster"))
+
   /** [[nearDupClusters]] plus the number of rounds that actually moved
     * a label — the graph's effective propagation depth. Oracles that
     * unroll a FIXED horizon (qp_dedup_clusters unrolls 10 rounds of
@@ -565,6 +574,17 @@ object Dedup {
     * coupling can never diverge silently. */
   def nearDupClustersCounted(pairs: DataFrame, aCol: String, bCol: String,
       maxRounds: Int = 50): (DataFrame, Int) = {
+    val (labels, effective) = propagateLabels(pairs, aCol, bCol, maxRounds)
+    val out = labels.groupBy(col("lbl").as("cluster"))
+      .agg(count(lit(1)).as("n_members"))
+      .localCheckpoint()
+    (out, effective)
+  }
+
+  /** converged min-label propagation core: returns the checkpointed
+    * `(id, lbl)` member frame + the effective propagation depth. */
+  private def propagateLabels(pairs: DataFrame, aCol: String, bCol: String,
+      maxRounds: Int): (DataFrame, Int) = {
     val edges = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
     val und = edges.unionByName(
       edges.select(col("b").as("a"), col("a").as("b"))).persist()
@@ -593,11 +613,8 @@ object Dedup {
       if (changed > 0) effective += 1
       labels = next.select(col("id"), col("lbl"))
     }
-    val out = labels.groupBy(col("lbl").as("cluster"))
-      .agg(count(lit(1)).as("n_members"))
-      .localCheckpoint()
     und.unpersist()
-    (out, effective)
+    (labels, effective)
   }
 
   /** exact n-gram Jaccard pairs within blocking keys (quadratic per
