@@ -541,6 +541,26 @@ object QueriesPipeline {
         .select(col("q_id"), col("n_id"), col("cos"), col("hn_rnk"))
         .orderBy("q_id", "hn_rnk")
     }),
+    "qp_mmr_select" -> ((s, dir) => {
+      // diversity-aware selection: MMR over a 10-candidate head
+      // (relevance = cosine to query vector 100), k=5, lambda=0.7 —
+      // the greedy election is driver math over the BOUNDED candidate
+      // set; the oracle unrolls the same 5 steps in SQL
+      val e = embs(s, dir)
+      val q = broadcast(e.filter(col("vec_id") === 100)
+        .select(col("embedding").cast("array<double>").as("__qv")))
+      val cand = e.filter(col("vec_id") < 10)
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v"))
+        .crossJoin(q)
+        .select(col("vec_id"), col("v"),
+          round(Similarity.dot(col("v"), col("__qv")) /
+            (Similarity.norm(col("v")) * Similarity.norm(col("__qv"))), 6)
+            .as("rel"))
+      Similarity.mmrSelect(cand, "vec_id", "v", "rel",
+          k = 5, lambda = 0.7)
+        .orderBy("rnk")
+    }),
     "qp_pca_whiten" -> ((s, dir) => {
       // full whitening: center, project on top-2 components, scale by
       // 1/sqrt(lambda) — unit variance per output, zero cross-corr
@@ -1698,6 +1718,43 @@ object QueriesPipeline {
          |   PARTITION BY q_id ORDER BY dist, n_id) AS rnk FROM dists)
          | SELECT q_id, n_id, round(dist, 6) AS dist, rnk FROM ranked
          | WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    "qp_mmr_select" -> {
+      // greedy MMR unrolled: pick1 = max λ·rel; each later step
+      // penalizes by the max cosine to the already-selected set.
+      // λ and (1−λ) are PRINTED FROM THE SAME SCALA DOUBLES the
+      // engine multiplies with (1−0.7 is 0.30000000000000004 — a
+      // hand-typed 0.3 would be a different double).
+      val lam = 0.7
+      val oneMinus = 1 - lam
+      val steps = (2 to 5).map { t =>
+        s""" p$t AS (SELECT x.id, x.rel,
+           |     max(${dDot("x.v", "s.v")} / (x.nn * s.nn)) AS pen
+           |   FROM c x JOIN c s ON s.id IN (SELECT id FROM sel${t - 1})
+           |   WHERE x.id NOT IN (SELECT id FROM sel${t - 1})
+           |   GROUP BY x.id, x.rel),
+           | pick$t AS (SELECT id, $lam * rel - $oneMinus * pen AS sc
+           |   FROM p$t ORDER BY sc DESC, id LIMIT 1),
+           | sel$t AS (SELECT id FROM sel${t - 1}
+           |   UNION ALL SELECT id FROM pick$t)""".stripMargin
+      }.mkString(",\n")
+      val outs = (1 to 5).map(t =>
+        s"SELECT $t AS rnk, id AS vec_id, " +
+          s"CAST(round(sc * 1e6) AS BIGINT) AS mmr_micro FROM pick$t")
+        .mkString("\n   UNION ALL ")
+      s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+         | qv AS (SELECT v FROM e0 WHERE vec_id = 100),
+         | c AS (SELECT e0.vec_id AS id, e0.v,
+         |     sqrt(${dDot("e0.v", "e0.v")}) AS nn,
+         |     round(${dDot("e0.v", "q.v")} / (sqrt(${dDot("e0.v", "e0.v")})
+         |       * sqrt(${dDot("q.v", "q.v")})), 6) AS rel
+         |   FROM e0 CROSS JOIN qv q WHERE e0.vec_id < 10),
+         | pick1 AS (SELECT id, $lam * rel AS sc FROM c
+         |   ORDER BY sc DESC, id LIMIT 1),
+         | sel1 AS (SELECT id FROM pick1),
+         |$steps
+         | SELECT rnk, vec_id, mmr_micro FROM (
+         |   $outs) ORDER BY rnk""".stripMargin
+    },
     "qp_ivfpq_residual" -> {
       val dim = pqCb.m * pqCb.subDim
       s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),

@@ -80,6 +80,64 @@ object Similarity {
       k)
   }
 
+  /** Maximal Marginal Relevance selection (Carbonell & Goldstein 1998,
+    * public paper): greedily pick `k` of the candidates maximizing
+    * `λ·rel − (1−λ)·max_{s∈selected} cos(·, s)` — the diversity-aware
+    * subset selection that de-redundantizes a retrieval head or a
+    * training batch. `candidates` MUST be a bounded pre-ranked set (an
+    * ANN top-N, a per-stratum head): collecting it is control-plane by
+    * the same argument as the PQ query LUTs, and the greedy loop is
+    * O(k·N) driver arithmetic. Determinism: relevance enters ROUNDED
+    * (6 dp, the repo's cosine display convention), pairwise cosines
+    * fold left-to-right like [[VectorExprs.dot]], ties break to the
+    * lower id — the oracle unrolls the identical greedy steps in SQL
+    * with constants printed from THESE Scala doubles. */
+  def mmrSelect(candidates: DataFrame, idCol: String, vecCol: String,
+      relCol: String, k: Int, lambda: Double): DataFrame = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val rows = candidates
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"),
+        col(relCol).cast("double"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+      .sortBy(_._1)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0d; var na = 0.0d; var nb = 0.0d
+      var i = 0
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val vecOf = rows.map(r => r._1 -> r._2).toMap
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    val remaining = scala.collection.mutable.LinkedHashMap(
+      rows.map(r => r._1 -> r): _*)
+    while (selected.size < k && remaining.nonEmpty) {
+      val scored = remaining.valuesIterator.map { case (id, v, rel) =>
+        val pen =
+          if (selected.isEmpty) 0.0d
+          else selected.map { case (sid, _) => cos(v, vecOf(sid)) }.max
+        (id, lambda * rel - (1 - lambda) * pen)
+      }.toSeq
+      val (bestId, bestScore) = scored.maxBy { case (id, s) => (s, -id) }
+      selected += ((bestId, bestScore))
+      remaining.remove(bestId)
+    }
+    // integer micro-units via the float path DuckDB's round() takes
+    // (y = s·1e6 then half-away): λ·(6-dp rel) lands EXACTLY on a
+    // decimal half at 6 dp for every step-1 score, where an
+    // exact-decimal BigDecimal view and the float-multiply view
+    // disagree — going through the identical y double on both sides
+    // makes the boundary deterministic
+    selected.zipWithIndex.map { case ((id, s), i) =>
+      val y = s * 1e6
+      val m = if (y >= 0) math.floor(y + 0.5) else math.ceil(y - 0.5)
+      (i + 1, id, m.toLong)
+    }.toSeq.toDF("rnk", idCol, "mmr_micro")
+  }
+
   /** Sign-bit binarization: dim float dims → ceil(dim/32) longs, 32
     * dims per word in bits 0..31 (never bit 63, so no sign-bit
     * arithmetic in any engine). 32× storage cut; Hamming distance on

@@ -163,6 +163,26 @@ class OpsHygieneSpec extends AnyFunSuite {
       "span count must partial-aggregate map-side")
   }
 
+  test("mmrSelect trades relevance for diversity") {
+    // candidates: two near-identical high-relevance vectors (1,2) and
+    // one orthogonal lower-relevance vector (3). Pure relevance ranks
+    // (1, 2, 3); MMR at lambda 0.5 must demote the redundant twin and
+    // pick the orthogonal doc second.
+    val cand = Seq(
+      (1L, Seq(1.0, 0.0, 0.01), 0.99),
+      (2L, Seq(1.0, 0.0, 0.02), 0.98),
+      (3L, Seq(0.0, 1.0, 0.0), 0.5)).toDF("id", "v", "rel")
+    val got = Similarity.mmrSelect(cand, "id", "v", "rel",
+        k = 3, lambda = 0.5)
+      .orderBy("rnk").collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1, 1L), (2, 3L), (3, 2L)))
+    // and at lambda 1.0 (pure relevance) the original order returns
+    val rel = Similarity.mmrSelect(cand, "id", "v", "rel",
+        k = 3, lambda = 1.0)
+      .orderBy("rnk").collect().map(_.getLong(1))
+    assert(rel.toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("asofJoin matches the latest right ROW even when its value is null") {
     val left = Seq((1L, 100L, "p1"), (1L, 50L, "p0"), (2L, 10L, "p2"))
       .toDF("k", "ts", "tag")
