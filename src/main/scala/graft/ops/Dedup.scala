@@ -199,14 +199,23 @@ object Dedup {
     val freq = base.groupBy("__h").agg(count(lit(1)).as("__f"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("__id").orderBy(col("__f"), col("__h"))
+    // the set-size count shares w's partitioning AND ordering (full
+    // frame), so Catalyst folds both into ONE Window operator — a
+    // bare partitionBy count would add a second sort pass
+    val wAll = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.unboundedFollowing)
     val prefix = base.join(freq, "__h")
       .withColumn("__r", row_number().over(w))
-      .withColumn("__n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("__id")))
+      .withColumn("__n", count(lit(1)).over(wAll))
       // prefix length n − ⌈t·n⌉ + 1; float ceil can only round UP,
       // which lengthens the prefix — always safe (superset)
       .filter(col("__r") <= col("__n") - ceil(lit(threshold) * col("__n")) + 1)
       .select("__h", "__id", "__r", "__n")
+      // consumed by BOTH sides of the candidate self-join: exchange
+      // reuse only covers the shuffle below the Window — unpersisted,
+      // the window + freq join would recompute per side
+      .persist()
     // Candidate pruning BEFORE the array-intersect verify (the verify
     // dominates cost at ~|set| work per pair): three EXACT filters
     // (measured at sf0.1: 28.9M raw prefix collisions → 14.3M length
@@ -256,6 +265,7 @@ object Dedup {
       .filter(col("jac") >= threshold)
       .localCheckpoint()
     base.unpersist()
+    prefix.unpersist()
     pairs
   }
 
