@@ -667,6 +667,14 @@ object QueriesPipeline {
           "fr_score", "es_score", "zh_score")
         .orderBy("doc_id")
     }),
+    "qp_winnow_fp" -> ((s, dir) => {
+      // MOSS winnowing over a 20-doc slice: rightmost window minima,
+      // guaranteed to catch any >= w + shingle - 1 char overlap
+      TextOps.winnowFingerprints(
+          docs(s, dir).filter(col("doc_id") < 20), "doc_id", "text",
+          w = 8)
+        .orderBy("doc_id", "pos")
+    }),
     "qp_token_entropy" -> ((s, dir) => {
       // unigram information density per doc — micro-nat fixed-point
       // contributions, order-free integer sums
@@ -2012,6 +2020,25 @@ object QueriesPipeline {
          |   FROM q CROSS JOIN e WHERE q_id <> e.doc_id)
          | SELECT q_id, n_id, round(c, 6) AS cos, rnk FROM scored
          | WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    "qp_winnow_fp" ->
+      s"""WITH t AS (SELECT doc_id, p,
+         |     ${dH60("substring(text, p + 1, 4)")} AS h FROM (
+         |     SELECT doc_id, text, unnest(range(length(text) - 3)) AS p
+         |     FROM documents WHERE doc_id < 20 AND length(text) >= 4)),
+         | e AS (SELECT doc_id, p AS e, m FROM (
+         |   SELECT doc_id, p,
+         |     min(h) OVER (PARTITION BY doc_id ORDER BY p
+         |       ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS m,
+         |     count(*) OVER (PARTITION BY doc_id) AS n
+         |   FROM t) WHERE p >= least(7, n - 1)),
+         | c AS (SELECT doc_id, p, h, p + j AS e
+         |   FROM t, (SELECT unnest(range(8)) AS j)),
+         | sel AS (SELECT c.doc_id, c.e, max(c.p) AS pos,
+         |     max(e2.m) AS fp
+         |   FROM c JOIN e e2 ON e2.doc_id = c.doc_id AND e2.e = c.e
+         |   WHERE c.h = e2.m GROUP BY 1, 2)
+         | SELECT DISTINCT doc_id, pos, fp FROM sel
+         | ORDER BY doc_id, pos""".stripMargin,
     "qp_token_entropy" ->
       s"""WITH c AS (SELECT doc_id, t, count(*) AS n FROM (
          |     SELECT doc_id, unnest(${dTokens("text")}) AS t

@@ -128,6 +128,59 @@ object TextOps {
   }
 
   // ------------------------------------------------------ tf-idf
+  /** Winnowing fingerprints (Schleimer, Wilkerson, Aiken, SIGMOD 2003
+    * — the MOSS algorithm): per sliding window of `w` consecutive
+    * shingle hashes keep the RIGHTMOST minimum; the selected (pos,
+    * hash) set is the document fingerprint. Guarantee: any substring
+    * match of at least `w + shingleN − 1` characters shares a
+    * fingerprint — the robust complement to the sampled rolling-hash
+    * fingerprint (which can miss matches falling between samples).
+    *
+    * Determinism: the rightmost-min election is computed as frame-min
+    * + bounded membership explode + max-position groupBy — pure
+    * integer comparisons, identical in ANSI SQL. Docs shorter than
+    * one full window contribute their single partial-window minimum
+    * (ends filtered to `e ≥ least(w−1, n−1)`).
+    *
+    * Scale shape: one tokenize/posexplode pass; the frame min and the
+    * per-doc size share ONE window pass (same partitioning AND
+    * ordering); the membership explode is w-bounded (never corpus²);
+    * the election is a partial-combining groupBy. */
+  def winnowFingerprints(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, w: Int = 8,
+      shingleN: Int = 4): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // positional (NON-distinct) shingles: explode the offset range and
+    // substr per offset — both codegen'd, no interpreted lambda (the
+    // native CharShingles is a distinct SET, which loses positions)
+    val t = Partitioning.spread(df)
+      .select(col(idCol).as("__id"), col(textCol).as("__txt"))
+      .filter(length(col("__txt")) >= shingleN)
+      .select(col("__id"), col("__txt"),
+        explode(sequence(lit(0), length(col("__txt")) - shingleN))
+          .as("__p"))
+      .select(col("__id"), col("__p"),
+        hash60(col("__txt").substr(col("__p") + 1, lit(shingleN)))
+          .as("__h"))
+    val ordered = Window.partitionBy("__id").orderBy("__p")
+    val frame = ordered.rowsBetween(-(w - 1), Window.currentRow)
+    val full = ordered.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val ends = t
+      .withColumn("__m", min(col("__h")).over(frame))
+      .withColumn("__n", count(lit(1)).over(full))
+      .filter(col("__p") >= least(lit(w - 1), col("__n") - 1))
+      .select(col("__id"), col("__p").as("__e"), col("__m"))
+    val membership = t.select(col("__id"), col("__p"), col("__h"),
+      explode(sequence(col("__p"), col("__p") + lit(w - 1))).as("__e"))
+    membership.join(ends, Seq("__id", "__e"))
+      .filter(col("__h") === col("__m"))
+      .groupBy(col("__id"), col("__e"))
+      .agg(max(col("__p")).as("pos"), first(col("__m")).as("fp"))
+      .select(col("__id"), col("pos"), col("fp")).distinct()
+      .select(col("__id").as(idCol), col("pos"), col("fp"))
+  }
+
   /** Per-document unigram entropy — the information-density quality
     * signal (low entropy = repetitive/templated text; complements the
     * repetition ratios in [[textQuality]]): H = (1/L)·Σ n_t·ln(L/n_t)

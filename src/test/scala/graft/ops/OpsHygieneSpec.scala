@@ -163,6 +163,37 @@ class OpsHygieneSpec extends AnyFunSuite {
       "span count must partial-aggregate map-side")
   }
 
+  test("winnowing guarantee: any long-enough shared substring shares a fingerprint") {
+    // MOSS guarantee: w=8 windows over 4-char shingles catch every
+    // match of >= w + n - 1 = 11 chars. Plant a 24-char run from doc
+    // 1 inside unrelated junk in doc 2 — their fingerprint HASH sets
+    // must intersect; a third doc with no overlap must not.
+    val shared = "the quick brown flux jum"
+    val docs = Seq(
+      (1L, s"completely unrelated prefix $shared and a different tail"),
+      (2L, s"zzzz qqqq $shared wwww kkkk"),
+      (3L, "nothing in common here at all with anything else"))
+      .toDF("id", "text")
+    val fp = TextOps.winnowFingerprints(docs, "id", "text", w = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val f1 = fp.filter(_._1 == 1L).map(_._2).toSet
+    val f2 = fp.filter(_._1 == 2L).map(_._2).toSet
+    val f3 = fp.filter(_._1 == 3L).map(_._2).toSet
+    assert((f1 & f2).nonEmpty, "planted 24-char overlap must be caught")
+    assert((f1 & f3).isEmpty && (f2 & f3).isEmpty)
+    // density: at most one fingerprint per window end
+    assert(fp.length <= fp.map(_._1).distinct.map(id =>
+      docs.filter(col("id") === id).select(length(col("text")))
+        .head().getInt(0)).sum)
+    // partitioning invariance (the election is a set property)
+    val fpRepart = TextOps.winnowFingerprints(
+        docs.repartition(5), "id", "text", w = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val fpBase = TextOps.winnowFingerprints(docs, "id", "text", w = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(fpRepart == fpBase)
+  }
+
   test("mmrSelect trades relevance for diversity") {
     // candidates: two near-identical high-relevance vectors (1,2) and
     // one orthogonal lower-relevance vector (3). Pure relevance ranks
