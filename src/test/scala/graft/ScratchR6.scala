@@ -100,9 +100,13 @@ package graft
   * == 10. (session 2) whole-suite totals ==
   * Full sf0.1 bench, local[32], median-of-3: 200.6 s (142 queries,
   * with unfiltered ppjoin) → 145.4 s (same 142; ppjoin fix is ~50 s
-  * of the delta). New operators since: qp_lr_train 2.71, qp_lr_select
-  * 3.62 (3-round GD training IS the query), qg_adamic_adar 1.89,
-  * qp_ivfpq_residual 0.65, qp_pca_whiten 0.31, qp_hard_negatives
-  * 2.65 s.
+  * of the delta) → 148.1 s FINAL with 8 more queries (lr_train 2.7 /
+  * lr_select 3.1 — 3-round GD training IS the query — adamic_adar
+  * 1.9, ivfpq_residual 0.7, pca_whiten 0.3, hard_negatives 2.9,
+  * dedup_keep_quality 5.4 — ngram pairs + label prop + LR train
+  * composed — mmr 0.3, entropy 1.4, novelty 1.9, winnow_fp 0.7).
+  * Note on ppjoin: the §8 second-pass 3.4 s is the ISOLATED 5-round
+  * median; inside the 150-query suite it reads ~6.8 s (storage-memory
+  * contention across queries) — both down from 56 s.
   */
 object ScratchR6
