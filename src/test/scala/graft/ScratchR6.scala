@@ -108,5 +108,17 @@ package graft
   * Note on ppjoin: the §8 second-pass 3.4 s is the ISOLATED 5-round
   * median; inside the 150-query suite it reads ~6.8 s (storage-memory
   * contention across queries) — both down from 56 s.
+  *
+  * == 11. open edges worth a look next round ==
+  *  - ppjoin in-suite vs isolated gap (6.8 vs 3.4 s): the persisted
+  *    base/prefix frames compete for storage memory with neighboring
+  *    queries' caches; a smaller persisted projection (drop __h from
+  *    base after the freq join?) or MEMORY_AND_DISK_SER could narrow
+  *    it.
+  *  - qp_dedup_keep_quality (5.4 s) re-derives LR features the
+  *    qp_lr_* queries also build; queries are independent by design,
+  *    but a deployment would persist the feature frame once.
+  *  - qp_curation_report does not yet include the trained-LR stage —
+  *    adding it means extending the report oracle with dLrCtes.
   */
 object ScratchR6
