@@ -134,10 +134,12 @@ object QueriesPipeline {
     "qp_curation_report" -> ((s, dir) => {
       // END-TO-END of the round-6 curation stages: corpus → Gopher
       // quality gate → benchmark decontamination (vs the doc_id<20
-      // eval slice) → PII scrub → 20/5 overlapped chunking. One row
-      // of integer-exact stage counts; same stage-persist discipline
-      // as qp_pipeline_funnel (each count reads the cached survivor
-      // frame, not a fresh corpus scan).
+      // eval slice) → PII scrub → trained-LR quality filter (keep
+      // at-or-above the mean margin; model trained corpus-wide on
+      // the en target slice) → 20/5 overlapped chunking. One row of
+      // counts; same stage-persist discipline as qp_pipeline_funnel
+      // (each count reads the cached survivor frame, not a fresh
+      // corpus scan).
       val d = docs(s, dir)
       val corpus = d.filter(col("doc_id") >= 20)
       val evalSet = d.filter(col("doc_id") < 20)
@@ -153,15 +155,36 @@ object QueriesPipeline {
         .withColumn("text", TextOps.redactPii(col("text")))
         .persist()
       val n2 = clean.count()
-      val ch = Curation.chunkDocs(clean, "doc_id", "text",
+      val feats = Classifier.lrFeatures(d, "doc_id", "text",
+        isTarget = col("lang") === "en", dim = 32).persist()
+      val wts = Classifier.lrTrain(feats, dim = 32, iters = 3)
+      feats.unpersist()
+      // stateless scoring of the SCRUBBED text (score what you keep);
+      // zero-token docs score null and drop, like the feature frame.
+      // Keep rule = margin at-or-above the slice MEAN margin: exact
+      // integer cross-multiply (decimal vs overflow), no global
+      // window/sort — the scale-safe version of "keep the most
+      // target-like fraction"
+      val scored = clean.withColumn("__score",
+          Classifier.lrScoreRow(col("text"), wts, 32))
+        .filter(col("__score").isNotNull).persist()
+      val st = scored.agg(sum(col("__score")), count(lit(1)))
+        .collect().head
+      val kept = scored.filter(
+          col("__score").cast("decimal(38,0)") * lit(st.getLong(1)) >=
+            lit(st.getLong(0)))
+        .drop("__score").persist()
+      val n3 = kept.count()
+      scored.unpersist()
+      val ch = Curation.chunkDocs(kept, "doc_id", "text",
           chunkSize = 20, overlap = 5)
         .agg(count(lit(1)).as("c"), sum(col("n_tokens")).as("t"))
         .collect().head
-      gated.unpersist(); clean.unpersist()
+      gated.unpersist(); clean.unpersist(); kept.unpersist()
       import s.implicits._
-      Seq((n0, n1, n2, ch.getLong(0), ch.getLong(1)))
-        .toDF("n_input", "n_quality", "n_clean", "n_chunks",
-          "n_chunk_tokens")
+      Seq((n0, n1, n2, n3, ch.getLong(0), ch.getLong(1)))
+        .toDF("n_input", "n_quality", "n_clean", "n_lr_kept",
+          "n_chunks", "n_chunk_tokens")
     }),
     "qp_dedup_clusters" -> ((s, dir) => {
       // near-dup pairs → undirected graph → min-label clusters; the
@@ -1006,7 +1029,7 @@ object QueriesPipeline {
          |   GROUP BY 1, 2, 3),
          | dl AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS len FROM cnt
          |   GROUP BY 1),
-         | fx AS (SELECT c.doc_id, c.y, c.b,
+         | fx AS MATERIALIZED (SELECT c.doc_id, c.y, c.b,
          |     (2000 * c.n + d.len) // (2 * d.len) AS x
          |   FROM cnt c JOIN dl d USING (doc_id)),
          | w0 AS (SELECT unnest(range(${dim + 1})) AS b,
@@ -1022,7 +1045,7 @@ object QueriesPipeline {
          |   FROM fx JOIN p$k USING (doc_id) GROUP BY 1),
          | s$k AS (SELECT CAST(sum(CAST(round(r * 1000) AS BIGINT))
          |       AS BIGINT) AS g, count(*) AS nn FROM p$k),
-         | w$k AS (SELECT v.b, v.w - CAST(round(2000.0
+         | w$k AS MATERIALIZED (SELECT v.b, v.w - CAST(round(2000.0
          |       * (CASE WHEN v.b = $dim THEN (SELECT g FROM s$k)
          |          ELSE COALESCE(g.g, 0) END)
          |       / (SELECT nn FROM s$k)) AS BIGINT) AS w
@@ -2390,10 +2413,12 @@ object QueriesPipeline {
          | FROM m ORDER BY doc_id""".stripMargin,
     "qp_curation_report" ->
       // the round-6 stages composed: gate → decontaminate → scrub →
-      // chunk, every count integer-exact (the PII scrub is mirrored
-      // even though the synthetic corpus is clean — fidelity over
-      // shortcuts)
-      s"""WITH base AS (SELECT doc_id, text FROM documents
+      // trained-LR keep (margin ≥ 0 on the SCRUBBED text; model =
+      // the dLrCtes weights) → chunk, every count integer-exact (the
+      // PII scrub is mirrored even though the synthetic corpus is
+      // clean — fidelity over shortcuts)
+      s"""$dLrCtes,
+         | base AS (SELECT doc_id, text FROM documents
          |   WHERE doc_id >= 20),
          | ${dQualityCtes("base")},
          | keep AS (SELECT doc_id FROM m WHERE $dQualityPass),
@@ -2412,15 +2437,33 @@ object QueriesPipeline {
          |     WHERE doc_id < 20)),
          | contam AS (SELECT DISTINCT gg.doc_id FROM gg
          |   JOIN eg USING (gram)),
-         | clean AS (SELECT doc_id,
+         | clean AS MATERIALIZED (SELECT doc_id,
          |   regexp_replace(regexp_replace(regexp_replace(text,
          |     '${TextOps.EmailRe}', '<EMAIL>', 'g'),
          |     '${TextOps.Ipv4Re}', '<IP>', 'g'),
          |     '${TextOps.PhoneRe}', '<PHONE>', 'g') AS text
          |   FROM gated WHERE doc_id NOT IN
          |     (SELECT doc_id FROM contam)),
+         | ctb AS (SELECT doc_id, ${dH60("x")} % 32 AS b FROM (
+         |   SELECT doc_id, unnest(${dTokens("text")}) AS x FROM clean)),
+         | ccnt AS (SELECT doc_id, b, count(*) AS n FROM ctb
+         |   GROUP BY 1, 2),
+         | cdl AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS len
+         |   FROM ccnt GROUP BY 1),
+         | cfx AS (SELECT c.doc_id, c.b,
+         |     (2000 * c.n + d2.len) // (2 * d2.len) AS x
+         |   FROM ccnt c JOIN cdl d2 USING (doc_id)),
+         | csc AS MATERIALIZED (SELECT f.doc_id,
+         |     CAST(sum(f.x * w.w) AS BIGINT)
+         |     + 1000 * (SELECT w FROM w3 WHERE b = 32) AS score
+         |   FROM cfx f JOIN w3 w USING (b) GROUP BY 1),
+         | cst AS (SELECT CAST(sum(score) AS HUGEINT) AS total,
+         |     count(*) AS nn FROM csc),
+         | kept AS MATERIALIZED (SELECT c.doc_id, c.text FROM clean c
+         |   JOIN csc USING (doc_id) CROSS JOIN cst
+         |   WHERE CAST(csc.score AS HUGEINT) * cst.nn >= cst.total),
          | cn AS (SELECT doc_id, tok, CAST(len(tok) AS BIGINT) AS n FROM
-         |   (SELECT doc_id, ${dTokens("text")} AS tok FROM clean)
+         |   (SELECT doc_id, ${dTokens("text")} AS tok FROM kept)
          |   WHERE len(tok) > 0),
          | ch AS (SELECT doc_id, tok, n,
          |   unnest(range(1 + greatest(0, (n - 20 + 15 - 1) // 15)))
@@ -2431,6 +2474,7 @@ object QueriesPipeline {
          | SELECT (SELECT count(*) FROM base) AS n_input,
          |   (SELECT count(*) FROM keep) AS n_quality,
          |   (SELECT count(*) FROM clean) AS n_clean,
+         |   (SELECT count(*) FROM kept) AS n_lr_kept,
          |   n_chunks, n_chunk_tokens FROM chc""".stripMargin
   )
 

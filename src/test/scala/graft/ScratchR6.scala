@@ -118,7 +118,11 @@ package graft
   *  - qp_dedup_keep_quality (5.4 s) re-derives LR features the
   *    qp_lr_* queries also build; queries are independent by design,
   *    but a deployment would persist the feature frame once.
-  *  - qp_curation_report does not yet include the trained-LR stage —
-  *    adding it means extending the report oracle with dLrCtes.
+  *  - (closed same session) qp_curation_report now includes the
+  *    trained-LR keep stage (above-mean margin); the composed oracle
+  *    needed MATERIALIZED on the LR weight CTEs — DuckDB re-evaluates
+  *    non-materialized CTE chains per reference, and the w3 subtree
+  *    is referenced by the scoring join, the mean aggregate and the
+  *    kept counts.
   */
 object ScratchR6
