@@ -102,10 +102,19 @@ object Bench {
     def groupOf(n: String): String =
       groups.find(g => n.startsWith(g + "_")).getOrElse("rel")
     val byGroup = med.groupBy { case (n, _) => groupOf(n) }
+    // values-only positions are keyed to the FULL sorted query list;
+    // a name-prefix filter arg breaks that reconstruction, so filtered
+    // (local-timing) runs fall back to explicit name=ms pairs
     (groups :+ "rel").foreach { g =>
-      val line = byGroup.getOrElse(g, Seq()).map { case (_, v) =>
-        s"${if (v < 0) -1 else math.round(v * 1000)}"
-      }.mkString(" ")
+      val line =
+        if (args.isEmpty)
+          byGroup.getOrElse(g, Seq()).map { case (_, v) =>
+            s"${if (v < 0) -1 else math.round(v * 1000)}"
+          }.mkString(" ")
+        else
+          byGroup.getOrElse(g, Seq()).map { case (n, v) =>
+            s"$n=${if (v < 0) -1 else math.round(v * 1000)}"
+          }.mkString(" ")
       println(s"#B $g $line")
     }
     val subs = (groups :+ "rel").map { g =>

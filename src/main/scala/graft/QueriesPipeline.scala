@@ -168,8 +168,10 @@ object QueriesPipeline {
       val scored = clean.withColumn("__score",
           Classifier.lrScoreRow(col("text"), wts, 32))
         .filter(col("__score").isNotNull).persist()
-      val st = scored.agg(sum(col("__score")), count(lit(1)))
-        .collect().head
+      // coalesce: an all-filtered slice sums to null — report zero
+      // kept instead of NPE-ing on the driver read
+      val st = scored.agg(coalesce(sum(col("__score")), lit(0L)),
+          count(lit(1))).collect().head
       val kept = scored.filter(
           col("__score").cast("decimal(38,0)") * lit(st.getLong(1)) >=
             lit(st.getLong(0)))
@@ -2413,7 +2415,8 @@ object QueriesPipeline {
          | FROM m ORDER BY doc_id""".stripMargin,
     "qp_curation_report" ->
       // the round-6 stages composed: gate → decontaminate → scrub →
-      // trained-LR keep (margin ≥ 0 on the SCRUBBED text; model =
+      // trained-LR keep (margin ≥ slice MEAN margin, integer
+      // cross-multiplied, on the SCRUBBED text; model =
       // the dLrCtes weights) → chunk, every count integer-exact (the
       // PII scrub is mirrored even though the synthetic corpus is
       // clean — fidelity over shortcuts)

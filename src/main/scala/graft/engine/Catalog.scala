@@ -453,6 +453,10 @@ final class Catalog(spark: SparkSession) {
         acl((r.getAs[String]("role"), r.getAs[String]("resource"))) =
           r.getSeq[String](r.fieldIndex("perms")).toSet
       }
+      all.filter(r => str(r, "kind").contains("dict")).foreach { r =>
+        dictEntries(r.getAs[String]("name")) =
+          (r.getAs[String]("cls"), r.getAs[Long]("key"))
+      }
       // tombstones last: a previous session dropped these — the code
       // seed may have re-registered them above; remove them again. The
       // generation travels with the tombstone so a re-create in THIS
@@ -530,6 +534,9 @@ final class Catalog(spark: SparkSession) {
       s"""{"kind":"acl","role":${js(role)},"resource":${js(res)},""" +
         perms.toSeq.sorted.map(js).mkString(""""perms":[""", ",", "]}")
     }
+    val dictLines = dictEntries.map { case (n, (c, k)) =>
+      s"""{"kind":"dict","name":${js(n)},"cls":${js(c)},"key":$k}"""
+    }
     val tombLines = tombstones.toSeq.sorted.map(t =>
       s"""{"kind":"dropped","name":${js(t)},"gen":${genOf(t)}}""")
     val txLines = txData.map { case (k, v) =>
@@ -542,8 +549,8 @@ final class Catalog(spark: SparkSession) {
     val dst = new org.apache.hadoop.fs.Path(s"$root/catalog-manifest.json")
     val out = fs.create(tmp, true)
     try out.write(
-      (classLines ++ indexLines ++ propLines ++ aclLines ++ tombLines ++
-        txLines)
+      (classLines ++ indexLines ++ propLines ++ aclLines ++ dictLines ++
+        tombLines ++ txLines)
         .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     fs.delete(dst, false)
@@ -642,6 +649,24 @@ final class Catalog(spark: SparkSession) {
   // ---- ACL catalog (GRANT/REVOKE §2.9 — accepted, not enforced) ---
   /** (role, resource) → permission set. */
   val acl = scala.collection.mutable.Map[(String, String), Set[String]]()
+
+  // ---- dictionary / graph-root registry (§2.1) --------------------
+  /** name → (class, key). The reference dictionary is a PERSISTENT
+    * root registry (`core/.../dictionary/ODictionary.java`;
+    * `ODatabaseGraphTx.java:71-82` getRoot/setRoot — graph roots must
+    * survive restart), so entries ride the catalog manifest like
+    * grants and replay on a durable reopen. Insertion-ordered for a
+    * deterministic manifest. */
+  val dictEntries =
+    scala.collection.mutable.LinkedHashMap[String, (String, Long)]()
+
+  def dictPut(name: String, cls: String, key: Long): Unit = {
+    dictEntries(name) = (cls.toLowerCase, key)
+    persistManifest()
+  }
+
+  def dictRemove(name: String): Unit =
+    if (dictEntries.remove(name).isDefined) persistManifest()
 
   // ---- property metadata (constraints, §1.4) ----------------------
   val properties = scala.collection.mutable.Map[(String, String), PropertyDef]()

@@ -1,20 +1,23 @@
 package graft.engine
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
-import scala.jdk.CollectionConverters._
 
 /** Persistent name→record registry (SURVEY.md §1.1: `ODictionary` —
   * get/put/remove/keySet; `ODatabaseGraphTx.getRoot/setRoot` use it for
-  * graph roots). Backed by a small (name, class, rid-pos) table; a
-  * deployment would keep it as a tiny Delta table and broadcast it
-  * into lookups. */
+  * graph roots). The reference dictionary is persistent by definition —
+  * it is the root registry graph traversals start from after a restart
+  * (`core/.../dictionary/ODictionary.java`,
+  * `ODatabaseGraphTx.java:71-82`) — so entries live in the catalog and
+  * ride its durable manifest: put/setRoot through any session facade
+  * survive an `openDurable` reopen, exactly like grants and DDL. The
+  * registry is control-plane-tiny (names → (class, key)), so it is
+  * driver-held and broadcast-by-construction into lookups. */
 final class Dictionary(session: GraftSession,
     private[engine] val state: Dictionary.State) {
 
   def this(session: GraftSession) =
-    this(session, new Dictionary.State(session.spark))
+    this(session, new Dictionary.State(session.catalog))
 
   /** facade view: SAME registry state, this session's principal (a
     * bound session's get() is permission-checked like its queries). */
@@ -58,39 +61,22 @@ final class Dictionary(session: GraftSession,
 }
 
 object Dictionary {
-  /** the shared registry state — ONE per root session; principal-bound
-    * facades get views over it ([[Dictionary.viewFor]]), so an entry
-    * put through any facade is visible to all of them. */
-  final class State(spark: org.apache.spark.sql.SparkSession) {
-    private val schema = StructType(Seq(
-      StructField("name", StringType, nullable = false),
-      StructField("cls", StringType, nullable = false),
-      StructField("key", LongType, nullable = false)))
-
-    private var entries: DataFrame =
-      spark.createDataFrame(List.empty[Row].asJava, schema)
-    private var writes = 0
-
-    def put(name: String, cls: String, key: Long): Unit = {
-      val row = spark.createDataFrame(
-        List(Row(name, cls.toLowerCase, key)).asJava, schema)
-      entries = entries.filter(col("name") =!= name).unionByName(row)
-      writes += 1
-      // truncate the filter+union lineage periodically (see
-      // Catalog.replaceData for the rationale)
-      if (writes % 16 == 0) entries = entries.localCheckpoint(true)
-    }
+  /** the shared registry state — ONE per root session (facades get
+    * views, [[Dictionary.viewFor]]); delegates to the catalog's
+    * manifest-persisted entry map so durability is the catalog's
+    * existing write-temp-then-rename discipline, not a second
+    * persistence path to keep consistent. */
+  final class State(cat: Catalog) {
+    def put(name: String, cls: String, key: Long): Unit =
+      cat.dictPut(name, cls, key)
 
     def lookup(name: String): Option[(String, Long)] =
-      entries.filter(col("name") === name).collect().headOption
-        .map(r => (r.getString(1), r.getLong(2)))
+      cat.dictEntries.get(name)
 
-    def remove(name: String): Unit =
-      entries = entries.filter(col("name") =!= name)
+    def remove(name: String): Unit = cat.dictRemove(name)
 
-    def keys: Seq[String] =
-      entries.select("name").collect().map(_.getString(0)).toSeq
+    def keys: Seq[String] = cat.dictEntries.keys.toSeq
 
-    def size: Long = entries.count()
+    def size: Long = cat.dictEntries.size.toLong
   }
 }

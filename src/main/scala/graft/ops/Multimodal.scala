@@ -141,8 +141,11 @@ object Multimodal {
             marker != 0xc4 && marker != 0xc8 && marker != 0xcc
           if (isSof && pos + 9 <= n) {
             h = be16(pos + 5); w = be16(pos + 7); ok = false
-          } else if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) {
-            pos += 2 // bare markers carry no length field
+          } else if (marker == 0xd9) {
+            ok = false // EOI before any SOF: stop, fall back
+          } else if (marker == 0xd8 || marker == 0x01 ||
+              (marker >= 0xd0 && marker <= 0xd7)) {
+            pos += 2 // SOI/TEM/RSTn are bare: no length field
           } else pos += 2 + be16(pos + 2)
         }
       }

@@ -73,6 +73,35 @@ class ApiSurfaceSpec extends AnyFunSuite {
     assert(g.dictionary.keys == Seq("first_customer", "__root_graph"))
   }
 
+  test("dictionary entries and graph roots survive a durable reopen") {
+    // the reference dictionary is a persistent root registry
+    // (ODatabaseGraphTx.getRoot/setRoot) — restart must not lose roots
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-durable-dict").toString
+    val g1 = GraftSession.openDurable(spark, "/root/testdata/sf0.001", root)
+    g1.dictionary.put("first_customer", "customer", 0L)
+    g1.dictionary.setRoot("graph", "nation", 3L)
+    // fresh session over the same root — nothing shared in memory
+    val g2 = GraftSession.openDurable(spark, "/root/testdata/sf0.001", root)
+    assert(g2.dictionary.keys.toSet ==
+      Set("first_customer", "__root_graph"))
+    assert(g2.dictionary.get("first_customer").get.collect()
+      .head.getAs[Long]("c_custkey") == 0L)
+    assert(g2.dictionary.getRoot("graph").get.collect()
+      .head.getAs[Number]("n_nationkey").longValue == 3L)
+    // ACL checks bind to the replayed registry too: an unprivileged
+    // principal cannot dereference or delete the replayed entries
+    val stranger = g2.as("stranger")
+    intercept[SecurityException](
+      stranger.dictionary.get("first_customer"))
+    intercept[SecurityException](
+      stranger.dictionary.remove("first_customer"))
+    // removal through the owning session persists like puts do
+    g2.dictionary.remove("first_customer")
+    val g3 = GraftSession.openDurable(spark, "/root/testdata/sf0.001", root)
+    assert(g3.dictionary.keys == Seq("__root_graph"))
+  }
+
   test("native query DSL compiles to pushed-down predicates") {
     val g = GraftSession.forTestdata(spark, "/root/testdata/sf0.001")
     val rows = g.nativeQuery("customer")(f =>
