@@ -191,11 +191,19 @@ object Dedup {
   def ppjoinPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleN: Int = 4): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold in (0, 1]")
+    // MEMORY_AND_DISK_SER, not the default: inside a query SUITE these
+    // frames compete for storage memory with neighboring queries'
+    // caches — an evicted default-level block is silently RECOMPUTED
+    // (explode + distinct here; freq-join + window for prefix), which
+    // measured as a 2.4× in-suite vs isolated gap at sf0.1. Serialized
+    // blocks shrink the footprint and evictions spill to local disk
+    // instead of recomputing.
+    val diskSer = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
     val base = spread(df).select(col(idCol).as("__id"),
         explode(charShingles(col(textCol), shingleN)).as("__s"))
       .select(col("__id"), hash60(col("__s")).as("__h"))
       .distinct()
-      .persist()
+      .persist(diskSer)
     val freq = base.groupBy("__h").agg(count(lit(1)).as("__f"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("__id").orderBy(col("__f"), col("__h"))
@@ -215,7 +223,7 @@ object Dedup {
       // consumed by BOTH sides of the candidate self-join: exchange
       // reuse only covers the shuffle below the Window — unpersisted,
       // the window + freq join would recompute per side
-      .persist()
+      .persist(diskSer)
     // Candidate pruning BEFORE the array-intersect verify (the verify
     // dominates cost at ~|set| work per pair): three EXACT filters
     // (measured at sf0.1: 28.9M raw prefix collisions → 14.3M length
@@ -470,8 +478,11 @@ object Dedup {
     * [[microBatchNearDup]] (intra-batch LSH): the state store carries
     * one boolean per distinct signature, hash-partitioned by signature
     * key — at 100 TB that is the minimal possible dedup state (a set
-    * membership), served by RocksDB state stores; bound retention by
-    * switching the timeout conf if the corpus key-space must be TTL'd.
+    * membership), served by RocksDB state stores.
+    *
+    * State is one entry per distinct signature EVER seen — exact, but
+    * on an unbounded 100 TB stream it grows forever; see
+    * [[statefulSigDedupTtl]] for the watermark-bounded variant.
     * Shingle-less texts (null signature) always pass through. */
   def statefulSigDedup(docs: org.apache.spark.sql.Dataset[(Long, String)],
       shingleN: Int = 4): org.apache.spark.sql.Dataset[(Long, String)] = {
@@ -498,6 +509,69 @@ object Dedup {
             state.update(true)
             val survivor = rows.minBy(_._1) // deterministic within batch
             Iterator((survivor._1, survivor._2))
+          }
+      }
+      .union(passThrough)
+  }
+
+  /** [[statefulSigDedup]] with BOUNDED state: each signature's entry is
+    * evicted once the stream's event-time watermark passes
+    * `last-seen event time + retentionMs` — the standard streaming-TTL
+    * contract (state is bounded by the retention window's distinct-
+    * signature count, not the stream's lifetime). Sightings re-arm the
+    * clock, so a recurring dup never expires while it keeps arriving.
+    * The documented trade: a duplicate arriving AFTER its signature was
+    * evicted is re-admitted — retention buys bounded state at the cost
+    * of a dedup horizon.
+    *
+    * Event-time (watermark) timeouts, NOT processing-time: eviction is
+    * then deterministic w.r.t. the data (replayable, testable), and
+    * Spark's processing-time timeouts force `shouldRunAnotherBatch`
+    * permanently true — the stream busy-spins no-data micro-batches and
+    * `processAllAvailable` never returns.
+    *
+    * `docs` needs columns (`doc_id` long, `text` string, `ts`
+    * timestamp); the watermark delay bounds out-of-order arrival as
+    * usual. Output is (doc_id, text). */
+  def statefulSigDedupTtl(docs: DataFrame, retentionMs: Long,
+      watermarkDelay: String = "0 seconds",
+      shingleN: Int = 4): org.apache.spark.sql.Dataset[(Long, String)] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(retentionMs > 0, "statefulSigDedupTtl: retentionMs must be positive")
+    val withSig = docs.select(col("doc_id").cast("long"),
+        col("text").cast("string"), col("ts").cast("timestamp"))
+      .withWatermark("ts", watermarkDelay)
+      .withColumn("__sig", signatureExpr(col("text"), shingleN))
+      .as[(Long, String, java.sql.Timestamp, String)]
+    // same skew routing as the unbounded variant: null signatures stay
+    // stateless and fully parallel
+    val passThrough = withSig.filter(_._4 == null).map(t => (t._1, t._2))
+    withSig.filter(_._4 != null)
+      .groupByKey(_._4)
+      .flatMapGroupsWithState[Long, (Long, String)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: String, rows: Iterator[(Long, String, java.sql.Timestamp, String)],
+            state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            // watermark passed last-seen + retention → evict; a later
+            // dup of this text is re-admitted (the horizon trade)
+            state.remove()
+            Iterator.empty
+          } else {
+            val buf = rows.toSeq // bounded: one batch × one signature
+            val lastSeen = math.max(state.getOption.getOrElse(Long.MinValue),
+              buf.iterator.map(_._3.getTime).max)
+            val firstSighting = !state.exists
+            state.update(lastSeen)
+            // the timeout timestamp must sit above the current
+            // watermark or Spark rejects it — clamp for late data
+            state.setTimeoutTimestamp(math.max(lastSeen + retentionMs,
+              state.getCurrentWatermarkMs() + 1))
+            if (firstSighting) {
+              val survivor = buf.minBy(_._1) // deterministic within batch
+              Iterator((survivor._1, survivor._2))
+            } else Iterator.empty
           }
       }
       .union(passThrough)

@@ -91,15 +91,29 @@ object Similarity {
     * (6 dp, the repo's cosine display convention), pairwise cosines
     * fold left-to-right like [[VectorExprs.dot]], ties break to the
     * lower id — the oracle unrolls the identical greedy steps in SQL
-    * with constants printed from THESE Scala doubles. */
+    * with constants printed from THESE Scala doubles.
+    *
+    * The bounded-head contract is SELF-ENFORCING: the collect fetches at
+    * most `maxCandidates + 1` rows (driver memory is bounded by
+    * construction even on a pathological input) and an oversized
+    * candidate frame fails loudly instead of silently materializing a
+    * corpus on the driver. */
   def mmrSelect(candidates: DataFrame, idCol: String, vecCol: String,
-      relCol: String, k: Int, lambda: Double): DataFrame = {
+      relCol: String, k: Int, lambda: Double,
+      maxCandidates: Int = 10000): DataFrame = {
     val spark = candidates.sparkSession
     import spark.implicits._
-    val rows = candidates
+    require(maxCandidates > 0, "mmrSelect: maxCandidates must be positive")
+    val fetched = candidates
       .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"),
         col(relCol).cast("double"))
+      .limit(maxCandidates + 1)
       .collect()
+    require(fetched.length <= maxCandidates,
+      s"mmrSelect: candidate head exceeds maxCandidates=$maxCandidates — " +
+        "pre-rank and limit the frame (ANN top-N / per-stratum head) " +
+        "before diversity selection")
+    val rows = fetched
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
       .sortBy(_._1)
     def cos(a: Array[Double], b: Array[Double]): Double = {

@@ -214,6 +214,24 @@ class OpsHygieneSpec extends AnyFunSuite {
     assert(rel.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("mmrSelect rejects an unbounded candidate frame") {
+    // the bounded-head contract is self-enforcing: a frame wider than
+    // maxCandidates fails loudly (after fetching at most max+1 rows)
+    // instead of materializing a corpus on the driver
+    val wide = spark.range(0, 50).select(col("id"),
+      array(lit(1.0), col("id").cast("double")).as("v"),
+      lit(0.5).as("rel"))
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.mmrSelect(wide, "id", "v", "rel",
+        k = 3, lambda = 0.5, maxCandidates = 10)
+    }
+    assert(ex.getMessage.contains("maxCandidates"))
+    // and a frame AT the bound still works unchanged
+    val ok = Similarity.mmrSelect(wide.limit(10), "id", "v", "rel",
+      k = 2, lambda = 0.5, maxCandidates = 10)
+    assert(ok.count() == 2)
+  }
+
   test("asofJoin matches the latest right ROW even when its value is null") {
     val left = Seq((1L, 100L, "p1"), (1L, 50L, "p0"), (2L, 10L, "p2"))
       .toDF("k", "ts", "tag")

@@ -189,6 +189,52 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateful dedup with retention evicts idle signatures") {
+    // the watermark-TTL variant bounds the state store: a signature
+    // whose last sighting falls `retention` behind the watermark is
+    // evicted (so a later dup is RE-admitted — the documented horizon
+    // trade), while inside the window semantics are unchanged. Event
+    // time makes the whole scenario deterministic — no sleeps.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val textA = "stream engine query plan shuffle partition broadcast " +
+      "join aggregate window state watermark checkpoint codegen filter"
+    val textB = "wholly unrelated fresh content about gardening soil " +
+      "compost seedlings irrigation mulch and perennial root systems"
+    val textC = "third corpus entry on orchard grafting rootstock and " +
+      "scion compatibility for temperate fruit tree cultivars"
+    // offset well past epoch 0: the initial watermark is 0, and the
+    // stateful operator drops rows at-or-before the watermark as late
+    def ts(sec: Long) = new java.sql.Timestamp(1600000000000L + sec * 1000L)
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val out = graft.ops.Dedup.statefulSigDedupTtl(
+      input.toDF().toDF("doc_id", "text", "ts"), retentionMs = 60000L)
+    val q = out.toDF("doc_id", "text").writeStream.format("memory")
+      .queryName("stateful_dedup_ttl").outputMode("append").start()
+    def ids(): Set[Long] = spark.table("stateful_dedup_ttl").collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    try {
+      input.addData((31L, textA, ts(0)))
+      q.processAllAvailable()
+      // inside the retention window: dup still suppressed
+      input.addData((32L, textA, ts(10)))
+      q.processAllAvailable()
+      assert(ids() == Set(31L), s"in-window dup must stay suppressed: ${ids()}")
+      // event time jumps past last-seen(10s) + retention(60s): the
+      // watermark advance fires textA's timeout in the NEXT batch
+      // (timeouts evict only keys absent from the batch)
+      input.addData((33L, textB, ts(200)))
+      q.processAllAvailable()
+      input.addData((35L, textC, ts(210)))
+      q.processAllAvailable()
+      // evicted → the same text is re-admitted
+      input.addData((34L, textA, ts(220)))
+      q.processAllAvailable()
+      assert(ids() == Set(31L, 33L, 34L, 35L),
+        s"post-eviction dup must be re-admitted: ${ids()}")
+    } finally q.stop()
+  }
+
   test("KMV distinct sketch aggregates incrementally over a stream") {
     // the bounded-state sketch works as a STREAMING aggregate: the
     // bottom-k buffer is the state-store value per group and merges
