@@ -92,6 +92,21 @@ object QueriesPipeline {
           terms = Seq("spark", "stream", "join"), k = 10)
         .orderBy(col("bm25").desc, col("doc_id"))
     }),
+    "qp_bm25_indexed" -> ((s, dir) => {
+      // the INDEX-SERVED form: one build-time tokenize into scored
+      // postings, then the query probes the posting table with its 3
+      // literal terms — no corpus tokenize at query time (plan pinned
+      // by PlanShapeSpec). Row-identical to qp_bm25_topk by
+      // construction: same dense tf/len row, same scoring expression,
+      // same term order.
+      val idx = TextOps.bm25BuildIndex(docs(s, dir), "doc_id", "text")
+      val out = TextOps.bm25TopKIndexed(idx, "doc_id",
+          terms = Seq("spark", "stream", "join"), k = 10)
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .localCheckpoint()
+      idx.release()
+      out
+    }),
 
     "qp_pipeline_funnel" -> ((s, dir) => {
       // END-TO-END curation funnel: raw ∪ recrawl → exact dedup (keep
@@ -289,6 +304,38 @@ object QueriesPipeline {
       // model's EXACT integer margin, keep the 50 most target-like
       Classifier.lrSelect(docs(s, dir), "doc_id", "text",
           isTarget = col("lang") === "en", dim = 32, iters = 3, k = 50)
+    }),
+    "qp_lr_persist_score" -> ((s, dir) => {
+      // the train-once/score-forever deployment shape: train the LR
+      // quality model, persist it through the durable model registry,
+      // REOPEN a cold session over the same root, load the weights
+      // back and score with the loaded artifact. Bit-identical model
+      // round-trip ⇒ the selection equals qp_lr_select's — which is
+      // exactly what the shared oracle asserts. One fixed root per
+      // JVM, wiped each run (the qd_export_import convention).
+      import graft.engine.GraftSession
+      val tmp = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft-models-qp")
+      if (java.nio.file.Files.exists(tmp))
+        java.nio.file.Files.walk(tmp).sorted(
+          java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.delete(p))
+      java.nio.file.Files.createDirectories(tmp)
+      val feats = Classifier.lrFeatures(docs(s, dir), "doc_id", "text",
+        isTarget = col("lang") === "en", dim = 32).persist()
+      val trained = Classifier.lrTrain(feats, dim = 32, iters = 3)
+      GraftSession.openDurable(s, dir, tmp.toString)
+        .models.saveLrWeights("quality_lr", trained)
+      val w = GraftSession.openDurable(s, dir, tmp.toString)
+        .models.loadLrWeights("quality_lr", dim = 32)
+      val out = feats.filter(!col("__y"))
+        .select(col("__id").as("doc_id"),
+          Classifier.lrMargin(w, 32).as("score_raw"))
+        .orderBy(col("score_raw").desc, col("doc_id"))
+        .limit(50)
+        .localCheckpoint()
+      feats.unpersist()
+      out
     }),
     "qp_stratified_sample" -> ((s, dir) => {
       // deterministic hash sampling sets the training mixture: half
@@ -525,8 +572,10 @@ object QueriesPipeline {
       // whitening/compression: project onto the top-2 principal
       // components (power iteration on the collected 64×64 covariance
       // — control-plane; the projection is a narrow compiled dot).
-      // Eigen-iteration is not SQL-expressible → rows-only gate;
-      // PcaSpec pins the math (residual, orthogonality, variance).
+      // HASH-gated: the oracle replays the identical fixed-round
+      // power iteration as a recursive CTE (dPcaEigCtes) — every op
+      // correctly-rounded IEEE, eigenvectors bit-identical; PcaSpec
+      // additionally pins residual/orthogonality/variance.
       val comps = Pca.principalComponents(embs(s, dir), "embedding",
         dim = 64, k = 2).map(_._2)
       Pca.project(embs(s, dir), "vec_id", "embedding", comps)
@@ -589,8 +638,8 @@ object QueriesPipeline {
     "qp_pca_whiten" -> ((s, dir) => {
       // full whitening: center, project on top-2 components, scale by
       // 1/sqrt(lambda) — unit variance per output, zero cross-corr
-      // (PcaSpec pins all three; eigen-iteration not SQL-expressible
-      // -> rows-only gate, like qp_pca_project)
+      // (PcaSpec pins all three; HASH-gated like qp_pca_project via
+      // the recursive-CTE eigen replay)
       Pca.whiten(embs(s, dir), "vec_id", "embedding", dim = 64, k = 2)
         .orderBy("vec_id")
     }),
@@ -1119,6 +1168,78 @@ object QueriesPipeline {
   private def dDot(a: String, b: String): String =
     s"list_sum(list_transform(range(64), i -> $a[i+1] * $b[i+1]))"
 
+  /** One power-iteration recursion (DuckDB recursive CTE) over the
+    * flat 64×64 covariance list in CTE `cMat`, mirroring
+    * `Pca.powerEigs` op for op IN ORDER (sequential matvec, sum of
+    * squares, sqrt, guarded normalize; the last round's pre-normalize
+    * norm IS the eigenvalue) — every step is correctly-rounded IEEE,
+    * so the vector is BIT-identical to the Scala driver math (the
+    * same portability argument the unrolled LR/BPE oracles use; dev
+    * harness measured 64/64 exact coordinates for both components).
+    * The sign flip picks the FIRST largest-|coordinate| index like
+    * Scala `maxBy`. MATERIALIZED is load-bearing: DuckDB re-evaluates
+    * plain CTEs per reference, and the recursion references the
+    * covariance every round. */
+  private def dPowerIter(it: String, cMat: String, vOut: String): String =
+    s""" $it AS (
+       |   SELECT 0 AS t,
+       |     list_transform(range(64), x -> 1.0/sqrt(64.0)) AS v,
+       |     CAST(0.0 AS DOUBLE) AS lam
+       |   UNION ALL
+       |   SELECT t + 1,
+       |     CASE WHEN nrm > 0 THEN list_transform(w, x -> x / nrm)
+       |          ELSE w END,
+       |     nrm
+       |   FROM (
+       |     SELECT t, w, sqrt(list_sum(list_transform(w, x -> x * x))) AS nrm
+       |     FROM (
+       |       SELECT $it.t AS t,
+       |         list_transform(range(64), i -> list_sum(list_transform(
+       |           range(64), j -> c[i*64 + j + 1] * v[j+1]))) AS w
+       |       FROM $it, $cMat WHERE $it.t < 200))),
+       | $vOut AS (SELECT CASE WHEN v[am+1] < 0
+       |       THEN list_transform(v, x -> -x) ELSE v END AS v, lam
+       |   FROM (SELECT v, lam,
+       |     (SELECT i FROM range(64) t(i)
+       |      ORDER BY abs(v[i+1]) DESC, i ASC LIMIT 1) AS am
+       |     FROM $it WHERE t = 200))""".stripMargin
+
+  /** Shared eigen pipeline: integer moments (the qp_pca_cov CTEs) →
+    * UNROUNDED covariance (the `Pca.meanCov` formula, not the
+    * 6-decimal display rounding of qp_pca_cov) → top-2 eigenpairs via
+    * [[dPowerIter]] with the deflation `c - λ v vᵀ` between them —
+    * exactly `Pca.principalComponents`. Ends with v1/v2 (+ mn: the
+    * per-dim mean list, for whitening). */
+  private def dPcaEigCtes: String =
+    s"""WITH RECURSIVE
+       | e AS MATERIALIZED (SELECT list_transform(embedding::DOUBLE[],
+       |     x -> CAST(round(x * 1000) AS BIGINT)) AS q FROM embeddings),
+       | nn AS MATERIALIZED (SELECT count(*) AS cnt FROM e),
+       | sm AS MATERIALIZED (SELECT i, CAST(sum(q[i+1]) AS BIGINT) AS si
+       |   FROM e, range(64) t(i) GROUP BY i),
+       | pm AS MATERIALIZED (SELECT i, j,
+       |     CAST(sum(q[i+1] * q[j+1]) AS BIGINT) AS sxy
+       |   FROM e, range(64) t1(i), range(64) t2(j) WHERE i <= j
+       |   GROUP BY i, j),
+       | cm AS MATERIALIZED (SELECT pm.i AS i, pm.j AS j,
+       |     ((CAST(sxy AS DOUBLE) / cnt)
+       |      - (CAST(s1.si AS DOUBLE) / cnt)
+       |        * (CAST(s2.si AS DOUBLE) / cnt)) / 1e6 AS cv
+       |   FROM pm JOIN sm s1 ON s1.i = pm.i JOIN sm s2 ON s2.i = pm.j
+       |   CROSS JOIN nn),
+       | cfull AS MATERIALIZED (SELECT i, j, cv FROM cm
+       |   UNION ALL SELECT j, i, cv FROM cm WHERE i <> j),
+       | c1 AS MATERIALIZED (SELECT list(cv ORDER BY i*64 + j) AS c
+       |   FROM cfull),
+       | mn AS MATERIALIZED (SELECT
+       |     list(CAST(si AS DOUBLE) / cnt / 1e3 ORDER BY i) AS m
+       |   FROM sm CROSS JOIN nn),
+       |${dPowerIter("it1", "c1", "v1")},
+       | c2 AS MATERIALIZED (SELECT list_transform(range(4096),
+       |     p -> c[p+1] - lam * v[(p // 64) + 1] * v[(p % 64) + 1]) AS c
+       |   FROM c1, v1),
+       |${dPowerIter("it2", "c2", "v2")}""".stripMargin
+
   /** PQ constants shared by the Spark queries and the oracle SQL:
     * m=4 subspaces × 16 dims, 16 codes each, seeded codebooks. */
   private lazy val pqCb = Pq.codebooks(m = 4, ksub = 16, subDim = 16)
@@ -1266,6 +1387,26 @@ object QueriesPipeline {
         | SELECT doc_id, source, n_copies FROM r WHERE rn = 1
         | ORDER BY doc_id""".stripMargin,
     "qp_bm25_topk" ->
+      s"""WITH t AS (SELECT doc_id, ${dTokens("text")} AS ds FROM documents),
+         | d AS (SELECT doc_id, len(ds) AS l,
+         |     len(list_filter(ds, x -> x = 'spark')) AS tf0,
+         |     len(list_filter(ds, x -> x = 'stream')) AS tf1,
+         |     len(list_filter(ds, x -> x = 'join')) AS tf2
+         |   FROM t WHERE len(ds) > 0),
+         | s AS (SELECT count(*) AS n, avg(l) AS avgdl,
+         |     sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+         |     sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+         |     sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+         |   FROM d),
+         | sc AS (SELECT doc_id,
+         |     ${dBm25Term(0)} + ${dBm25Term(1)} + ${dBm25Term(2)} AS score
+         |   FROM d CROSS JOIN s)
+         | SELECT doc_id, round(score, 6) AS bm25 FROM sc
+         | WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    "qp_bm25_indexed" ->
+      // IDENTICAL oracle to qp_bm25_topk: the index-served path must
+      // reproduce the scan path's ranking exactly — that equality IS
+      // what this query verifies
       s"""WITH t AS (SELECT doc_id, ${dTokens("text")} AS ds FROM documents),
          | d AS (SELECT doc_id, len(ds) AS l,
          |     len(list_filter(ds, x -> x = 'spark')) AS tf0,
@@ -1436,6 +1577,17 @@ object QueriesPipeline {
       s"""$dLrCtes
          | SELECT b, w AS w_micro FROM w3 ORDER BY b""".stripMargin,
     "qp_lr_select" ->
+      s"""$dLrCtes,
+         | sc AS (SELECT f.doc_id, CAST(sum(f.x * w.w) AS BIGINT)
+         |     + 1000 * (SELECT w FROM w3 WHERE b = 32) AS score_raw
+         |   FROM fx f JOIN w3 w USING (b) WHERE NOT f.y GROUP BY 1)
+         | SELECT doc_id, score_raw FROM sc
+         | ORDER BY score_raw DESC, doc_id LIMIT 50""".stripMargin,
+    "qp_lr_persist_score" ->
+      // same unrolled-training oracle as qp_lr_select: the persisted
+      // model loads back bit-identically, so scoring with the loaded
+      // artifact MUST reproduce the fresh-trained selection exactly —
+      // that equality is the round-trip guarantee under test
       s"""$dLrCtes,
          | sc AS (SELECT f.doc_id, CAST(sum(f.x * w.w) AS BIGINT)
          |     + 1000 * (SELECT w FROM w3 WHERE b = 32) AS score_raw
@@ -1960,6 +2112,35 @@ object QueriesPipeline {
         | FROM p JOIN s s1 ON s1.i = p.i JOIN s s2 ON s2.i = p.j
         |   CROSS JOIN n
         | ORDER BY p.i, p.j""".stripMargin,
+    "qp_pca_project" ->
+      s"""$dPcaEigCtes
+         | SELECT vec_id,
+         |   round(${dDot("x", "v1.v")}, 6) + 0.0 AS pc0,
+         |   round(${dDot("x", "v2.v")}, 6) + 0.0 AS pc1
+         | FROM (SELECT vec_id, embedding::DOUBLE[] AS x
+         |   FROM embeddings) CROSS JOIN v1 CROSS JOIN v2
+         | ORDER BY vec_id""".stripMargin,
+    "qp_pca_whiten" ->
+      // y_c = (x·v_c − μ·v_c) / √λ_c — μ·v and √λ are scalar
+      // subqueries computed ONCE from the bit-identical eigenpair
+      // CTEs, mirroring the Scala driver constants `Pca.whiten`
+      // embeds as literals
+      s"""$dPcaEigCtes,
+         | k1 AS MATERIALIZED (SELECT
+         |     list_sum(list_transform(range(64),
+         |       i -> v[i+1] * m[i+1])) AS mu,
+         |     sqrt(lam) AS sl FROM v1, mn),
+         | k2 AS MATERIALIZED (SELECT
+         |     list_sum(list_transform(range(64),
+         |       i -> v[i+1] * m[i+1])) AS mu,
+         |     sqrt(lam) AS sl FROM v2, mn)
+         | SELECT vec_id,
+         |   round((${dDot("x", "v1.v")} - k1.mu) / k1.sl, 6) + 0.0 AS w0,
+         |   round((${dDot("x", "v2.v")} - k2.mu) / k2.sl, 6) + 0.0 AS w1
+         | FROM (SELECT vec_id, embedding::DOUBLE[] AS x
+         |   FROM embeddings) CROSS JOIN v1 CROSS JOIN v2
+         |   CROSS JOIN k1 CROSS JOIN k2
+         | ORDER BY vec_id""".stripMargin,
     "qp_lsh_buckets" -> {
       val planes = Similarity.hyperplanes(8, 64)
       val bucket = planes.zipWithIndex.map { case (p, i) =>

@@ -457,6 +457,10 @@ final class Catalog(spark: SparkSession) {
         dictEntries(r.getAs[String]("name")) =
           (r.getAs[String]("cls"), r.getAs[Long]("key"))
       }
+      all.filter(r => str(r, "kind").contains("model")).foreach { r =>
+        modelKinds(r.getAs[String]("name")) =
+          r.getAs[String]("modelKind")
+      }
       // tombstones last: a previous session dropped these — the code
       // seed may have re-registered them above; remove them again. The
       // generation travels with the tombstone so a re-create in THIS
@@ -537,6 +541,9 @@ final class Catalog(spark: SparkSession) {
     val dictLines = dictEntries.map { case (n, (c, k)) =>
       s"""{"kind":"dict","name":${js(n)},"cls":${js(c)},"key":$k}"""
     }
+    val modelLines = modelKinds.map { case (n, k) =>
+      s"""{"kind":"model","name":${js(n)},"modelKind":${js(k)}}"""
+    }
     val tombLines = tombstones.toSeq.sorted.map(t =>
       s"""{"kind":"dropped","name":${js(t)},"gen":${genOf(t)}}""")
     val txLines = txData.map { case (k, v) =>
@@ -550,7 +557,7 @@ final class Catalog(spark: SparkSession) {
     val out = fs.create(tmp, true)
     try out.write(
       (classLines ++ indexLines ++ propLines ++ aclLines ++ dictLines ++
-        tombLines ++ txLines)
+        modelLines ++ tombLines ++ txLines)
         .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     fs.delete(dst, false)
@@ -667,6 +674,21 @@ final class Catalog(spark: SparkSession) {
 
   def dictRemove(name: String): Unit =
     if (dictEntries.remove(name).isDefined) persistManifest()
+
+  // ---- trained-model registry (SURVEY §8 — [[ModelStore]]) --------
+  /** model name → kind label. The model DATA lives in a `_model_<n>`
+    * class (versioned parquet like any class); this registry is the
+    * name→kind index and rides the manifest like [[dictEntries]]. */
+  val modelKinds =
+    scala.collection.mutable.LinkedHashMap[String, String]()
+
+  def modelPut(name: String, kind: String): Unit = {
+    modelKinds(name) = kind
+    persistManifest()
+  }
+
+  def modelRemove(name: String): Unit =
+    if (modelKinds.remove(name).isDefined) persistManifest()
 
   // ---- property metadata (constraints, §1.4) ----------------------
   val properties = scala.collection.mutable.Map[(String, String), PropertyDef]()

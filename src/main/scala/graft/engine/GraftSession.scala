@@ -68,6 +68,15 @@ final class GraftSession private (val spark: SparkSession,
   private[engine] def checkClassUpdate(cls: String): Unit =
     checkPermission(classResource(cls), "UPDATE")
 
+  /** creating a backing class (first model save) is schema DDL —
+    * same resource the CREATE CLASS statement checks. */
+  private[engine] def checkClassCreate(cls: String): Unit =
+    checkPermission("database.schema", "CREATE")
+
+  /** durable trained-model registry (LR weights, centroids — SURVEY
+    * §8); facades share catalog state but check their own principal. */
+  lazy val models: ModelStore = new ModelStore(this)
+
   /** the resource+permission a statement needs (reference mapping:
     * class CRUD on `database.class.<n>`, schema DDL on
     * `database.schema`, GRANT/REVOKE themselves on

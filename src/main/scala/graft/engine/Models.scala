@@ -1,0 +1,115 @@
+package graft.engine
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Durable trained-model registry — the "train once, score streams
+  * forever" product surface the composed queries were missing (a
+  * deployment trains the LR quality filter or the IVF centroids ONCE
+  * and reuses the artifact across sessions; re-deriving it per query
+  * is the measured triple-training cost of `qp_dedup_keep_quality`).
+  *
+  * Design: a model IS a small plain table (LR weights: dim+1 rows of
+  * (b, w_micro); k-means centroids: k rows of (cell, cv)), so it
+  * persists through the SAME machinery as user data — each model gets
+  * a reserved `_model_<name>` class whose parquet versions ride
+  * [[Catalog.replaceData]] and whose existence replays from the
+  * catalog manifest; a (name → kind) registry rides the manifest like
+  * dictionary entries. Nothing new to crash-proof: the manifest
+  * rename is already the commit point, and reopening durably
+  * re-points the class at its latest committed version.
+  *
+  * The reference has no trained-model store (closest surface: the
+  * dictionary root registry, `core/.../dictionary/ODictionary.java`) —
+  * this is part of the beyond-reference LLM-pipeline layer (SURVEY
+  * §8), kept engine-level so ACL enforcement applies: saving needs
+  * UPDATE (CREATE on first save) on the model's class resource,
+  * loading needs READ — the same rule records obey.
+  *
+  * Determinism contract: load returns the saved rows bit-identically
+  * (parquet round-trips longs/doubles exactly), so margins scored
+  * from a loaded model equal margins scored from the in-memory one —
+  * pinned by ModelStoreSpec.
+  */
+final class ModelStore private[engine] (session: GraftSession) {
+  private def catalog = session.catalog
+  private def clsOf(name: String): String = {
+    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_'),
+      s"model name must be [A-Za-z0-9_]+, got '$name'")
+    s"_model_$name"
+  }
+
+  /** save (create or replace) a named model table. `kind` is a free
+    * label the loader can dispatch on ("lr", "centroids", ...). */
+  def save(name: String, kind: String, table: DataFrame): Unit = {
+    val cls = clsOf(name)
+    if (!catalog.contains(cls)) {
+      session.checkClassCreate(cls)
+      catalog.createClass(cls, None)
+    } else session.checkClassUpdate(cls)
+    // localCheckpoint: the saved artifact must be a FROZEN value —
+    // cut lineage so a lazily-captured training frame can't re-run
+    // (in-memory mode stores the frame itself)
+    catalog.replaceData(cls, table.localCheckpoint(true))
+    catalog.modelPut(name, kind)
+  }
+
+  /** the saved table, exactly as written. */
+  def load(name: String): DataFrame = {
+    require(catalog.modelKinds.contains(name), s"no model '$name'")
+    session.checkClassRead(clsOf(name))
+    catalog.table(clsOf(name))
+  }
+
+  /** kind label recorded at save time. */
+  def kind(name: String): String =
+    catalog.modelKinds.getOrElse(name,
+      throw new IllegalArgumentException(s"no model '$name'"))
+
+  /** (name, kind) pairs, insertion-ordered. */
+  def list(): Seq[(String, String)] = catalog.modelKinds.toSeq
+
+  def remove(name: String): Unit =
+    if (catalog.modelKinds.contains(name)) {
+      session.checkClassUpdate(clsOf(name))
+      catalog.drop(clsOf(name))
+      catalog.modelRemove(name)
+    }
+
+  // ---- typed conveniences for the two artifact shapes the ops
+  // layer trains ---------------------------------------------------
+
+  /** LR weights (micro-units, index `dim` = bias) as a (b, w_micro)
+    * table — the `Classifier.lrTrainTable` layout. */
+  def saveLrWeights(name: String, weights: Array[Long]): Unit = {
+    val spark = session.spark
+    import spark.implicits._
+    save(name, "lr",
+      weights.zipWithIndex.map { case (w, b) => (b, w) }
+        .toSeq.toDF("b", "w_micro"))
+  }
+
+  /** weights array back, bit-identical: margins scored with a loaded
+    * model equal margins scored with the freshly-trained one. */
+  def loadLrWeights(name: String, dim: Int): Array[Long] = {
+    require(kind(name) == "lr", s"model '$name' is kind '${kind(name)}'")
+    val rows = load(name).select(col("b"), col("w_micro")).collect()
+    require(rows.length == dim + 1,
+      s"model '$name' has ${rows.length} weights, expected ${dim + 1}")
+    val w = new Array[Long](dim + 1)
+    rows.foreach(r => w(r.getInt(0)) = r.getLong(1))
+    w
+  }
+
+  /** centroid table (cell, cv: array<double>) — the
+    * `Similarity.kmeansCentroidVectors` layout, feedable straight
+    * back into `ivfTopK`/`ivfAssign` as the centroid frame. */
+  def saveCentroids(name: String, cents: DataFrame): Unit =
+    save(name, "centroids", cents)
+
+  def loadCentroids(name: String): DataFrame = {
+    require(kind(name) == "centroids",
+      s"model '$name' is kind '${kind(name)}'")
+    load(name)
+  }
+}

@@ -352,7 +352,12 @@ object Dedup {
     // token/window pipeline (that recompute is what made the r3 join
     // shape lose its A/B, 2.1 vs 1.3 s); the tiny per-doc output is
     // checkpointed so the cache releases before returning.
-    val winsMat = sharedWindowKeys(df, idCol, textCol, w).persist()
+    // MEMORY_AND_DISK_SER for the same reason as ppjoin: in-suite the
+    // cache competes with neighbors; an evicted default-level block
+    // re-runs the tokenize+window pass — serialized blocks spill to
+    // disk instead.
+    val winsMat = sharedWindowKeys(df, idCol, textCol, w).persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val out = attributeSharedSpans(winsMat, idCol).localCheckpoint()
     winsMat.unpersist()
     out
@@ -440,7 +445,9 @@ object Dedup {
       .withColumn("__s1", sum(col("__h1")).over(frame))
       .withColumn("__s2", sum(col("__h2")).over(frame))
       .select("__id", "__p", "__t", "__n", "__s1", "__s2")
-      .persist()
+      // serialized persist: three consumers, suite-contended cache
+      .persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val spans = winsMat.filter(col("__n") === w)
       .select("__id", "__p", "__s1", "__s2")
     val shared = spans.select("__id", "__s1", "__s2").distinct()

@@ -71,6 +71,163 @@ object Multimodal {
     }
   }
 
+  // ---- REAL pixel / sample decode (uncompressed formats) ----------
+  // One format per modality decodes all the way to content — BMP
+  // 24-bpp BI_RGB pixel rows and RIFF/WAVE 16-bit PCM samples are
+  // plain byte layouts, no codec needed. Compressed formats keep the
+  // header-only path below.
+
+  /** Pixel decode of an UNCOMPRESSED 24-bpp BI_RGB BMP: top-down
+    * row-major LUMA values 0-255 (integer Rec.601: (299R + 587G +
+    * 114B) / 1000 — exact, engine-portable). Handles bottom-up
+    * (positive height) and top-down (negative height) row order and
+    * the 4-byte row stride padding. None for any other BMP flavor. */
+  def bmpPixels(payload: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    def u8(i: Int): Int = payload(i) & 0xff
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Int =
+      u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    val n = payload.length
+    if (n < 54 || payload(0) != 'B' || payload(1) != 'M') return None
+    val dataOff = le32(10)
+    val w = le32(18)
+    val rawH = le32(22)
+    val h = math.abs(rawH)
+    val bottomUp = rawH > 0
+    val bpp = le16(28)
+    val compression = le32(30)
+    if (w <= 0 || h == 0 || bpp != 24 || compression != 0) return None
+    val stride = ((w * 3 + 3) / 4) * 4
+    if (dataOff < 0 || dataOff.toLong + stride.toLong * h > n) return None
+    val out = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      val srcRow = if (bottomUp) h - 1 - y else y
+      val rowOff = dataOff + srcRow * stride
+      var x = 0
+      while (x < w) {
+        val o = rowOff + x * 3 // B, G, R byte order
+        out(y * w + x) =
+          (299 * u8(o + 2) + 587 * u8(o + 1) + 114 * u8(o)) / 1000
+        x += 1
+      }
+      y += 1
+    }
+    Some((w, h, out))
+  }
+
+  /** REAL image features from decoded pixels: mean luminance of
+    * `featureDim` horizontal row bands, normalized to [0,1] — the
+    * exact-integer band sums make the vector partitioning- and
+    * engine-invariant. None when [[bmpPixels]] can't decode. */
+  def bmpLumaFeatures(payload: Array[Byte],
+      featureDim: Int): Option[Array[Float]] =
+    bmpPixels(payload).map { case (w, h, px) =>
+      Array.tabulate(featureDim) { i =>
+        val r0 = i * h / featureDim
+        val r1 = math.max(r0 + 1, (i + 1) * h / featureDim)
+        val hi = math.min(r1, h)
+        if (r0 >= h) 0f
+        else {
+          var s = 0L
+          var p = r0 * w
+          val end = hi * w
+          while (p < end) { s += px(p); p += 1 }
+          (s.toDouble / ((hi - r0).toLong * w) / 255.0).toFloat
+        }
+      }
+    }
+
+  /** REAL nearest-neighbor resize over decoded BMP luma pixels:
+    * longest side capped at `maxSide` (aspect preserved, floor
+    * source-index mapping — the standard integer NN rule). Returns
+    * (new width, new height, top-down luma rows). */
+  def bmpResizePixels(payload: Array[Byte],
+      maxSide: Int): Option[(Int, Int, Array[Int])] =
+    bmpPixels(payload).map { case (w, h, px) =>
+      val side = math.max(w, h)
+      if (side <= maxSide) (w, h, px)
+      else {
+        val dw = math.max(1, w * maxSide / side)
+        val dh = math.max(1, h * maxSide / side)
+        val out = new Array[Int](dw * dh)
+        var y = 0
+        while (y < dh) {
+          val sy = y * h / dh
+          var x = 0
+          while (x < dw) {
+            out(y * dw + x) = px(sy * w + x * w / dw)
+            x += 1
+          }
+          y += 1
+        }
+        (dw, dh, out)
+      }
+    }
+
+  /** Sample decode of a RIFF/WAVE payload holding 16-bit integer PCM:
+    * (sample rate, channels, interleaved signed samples). None for
+    * non-PCM or non-16-bit encodings (those keep header-only). */
+  def wavPcmSamples(payload: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    def u8(i: Int): Int = payload(i) & 0xff
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Int =
+      u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    def ascii(i: Int, len: Int) = new String(payload, i, len, "US-ASCII")
+    val n = payload.length
+    if (n < 44 || ascii(0, 4) != "RIFF" || ascii(8, 4) != "WAVE") return None
+    var pos = 12
+    var rate = 0; var channels = 0; var fmt = 0; var bits = 0
+    var dataOff = -1; var dataLen = 0
+    while (pos + 8 <= n) {
+      val id = ascii(pos, 4)
+      val sz = le32(pos + 4)
+      if (sz < 0) return None
+      if (id == "fmt " && pos + 24 <= n) {
+        fmt = le16(pos + 8)
+        channels = le16(pos + 10)
+        rate = le32(pos + 12)
+        bits = le16(pos + 22)
+      } else if (id == "data") {
+        dataOff = pos + 8
+        dataLen = math.min(sz.toLong, (n - dataOff).toLong).toInt
+      }
+      pos += 8 + sz + (sz & 1)
+    }
+    if (fmt != 1 || bits != 16 || dataOff < 0 || channels <= 0) return None
+    val count = dataLen / 2
+    val out = new Array[Int](count)
+    var i = 0
+    while (i < count) {
+      out(i) = (le16(dataOff + 2 * i) << 16) >> 16 // sign-extend
+      i += 1
+    }
+    Some((rate, channels, out))
+  }
+
+  /** REAL audio features from decoded PCM: per-band RMS amplitude
+    * over `featureDim` equal sample bands, normalized by full scale
+    * (32768) — integer square sums, then one sqrt per band. */
+  def wavAmplitudeFeatures(payload: Array[Byte],
+      featureDim: Int): Option[Array[Float]] =
+    wavPcmSamples(payload).map { case (_, _, samples) =>
+      val m = samples.length
+      Array.tabulate(featureDim) { i =>
+        val s0 = i * m / featureDim
+        val s1 = math.max(s0 + 1, (i + 1) * m / featureDim)
+        val hi = math.min(s1, m)
+        if (s0 >= m) 0f
+        else {
+          var acc = 0L
+          var p = s0
+          while (p < hi) {
+            acc += samples(p).toLong * samples(p); p += 1
+          }
+          (math.sqrt(acc.toDouble / (hi - s0)) / 32768.0).toFloat
+        }
+      }
+    }
+
   /** REAL header decode for the container formats plain byte
     * arithmetic can handle without codec libraries — BMP (dimensions
     * from the BITMAPINFOHEADER), RIFF/WAVE (sample rate, channels
@@ -93,8 +250,12 @@ object Multimodal {
     val n = payload.length
     if (n >= 26 && payload(0) == 'B' && payload(1) == 'M') {
       // BMP: BITMAPINFOHEADER width int32 LE at byte 18, height at 22
-      // (negative height = top-down row order — magnitude is the size)
-      (le32(18), math.abs(le32(22)), 1, sampleFeature(payload, featureDim))
+      // (negative height = top-down row order — magnitude is the size).
+      // Uncompressed 24-bpp payloads decode to REAL pixel features
+      // (band luminance); other flavors keep the sampled stand-in.
+      (le32(18), math.abs(le32(22)), 1,
+        bmpLumaFeatures(payload, featureDim)
+          .getOrElse(sampleFeature(payload, featureDim)))
     } else if (n >= 44 && ascii(0, 4) == "RIFF" && ascii(8, 4) == "WAVE") {
       // RIFF chunk walk: fmt_ carries channels/rate/block-align, data
       // carries the payload length; frames = data bytes / block align
@@ -115,7 +276,10 @@ object Multimodal {
         }
       }
       val frames = if (blockAlign > 0) (dataLen / blockAlign).toInt else 0
-      (rate, channels, frames, sampleFeature(payload, featureDim))
+      // 16-bit PCM payloads decode to REAL per-band RMS amplitudes
+      (rate, channels, frames,
+        wavAmplitudeFeatures(payload, featureDim)
+          .getOrElse(sampleFeature(payload, featureDim)))
     } else if (n >= 24 && be32(0) == 0x89504e47 && be32(4) == 0x0d0a1a0a) {
       // PNG: the IHDR chunk is mandatory and FIRST (RFC 2083 §4.1.1),
       // so width/height are big-endian int32 at fixed bytes 16/20

@@ -157,8 +157,10 @@ object Pca {
     val v = col(vecCol).cast("array<double>")
     val outs = eig.zipWithIndex.map { case ((lambda, comp), ix) =>
       val mu = comp.zip(mean).map { case (a, b) => a * b }.sum
-      round((VectorExprs.dot(v, array(comp.toIndexedSeq.map(lit): _*))
-        - lit(mu)) / lit(math.sqrt(lambda)), 6).as(s"w$ix")
+      // + 0.0 canonicalizes IEEE -0.0 (same reason as covarianceDF:
+      // a coordinate rounding to zero from below must hash like zero)
+      (round((VectorExprs.dot(v, array(comp.toIndexedSeq.map(lit): _*))
+        - lit(mu)) / lit(math.sqrt(lambda)), 6) + lit(0.0)).as(s"w$ix")
     }
     df.select(col(idCol) +: outs: _*)
   }
@@ -169,8 +171,8 @@ object Pca {
       comps: Seq[Array[Double]]): DataFrame = {
     val v = col(vecCol).cast("array<double>")
     val outs = comps.zipWithIndex.map { case (c, ix) =>
-      round(VectorExprs.dot(v, array(c.toIndexedSeq.map(lit): _*)), 6)
-        .as(s"pc$ix")
+      (round(VectorExprs.dot(v, array(c.toIndexedSeq.map(lit): _*)), 6)
+        + lit(0.0)).as(s"pc$ix")
     }
     df.select(col(idCol) +: outs: _*)
   }

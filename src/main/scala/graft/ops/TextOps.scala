@@ -497,6 +497,87 @@ object TextOps {
     out
   }
 
+  /** Pre-built BM25 inverted index: scored postings `(__id, __t,
+    * __tf)` (per-doc term FREQUENCY, not the boolean CONTAINSTEXT
+    * postings), per-doc lengths, and the two corpus constants. The
+    * index-time corpus pass is the ONLY full tokenize; every query
+    * after that probes the persisted postings by its (few) literal
+    * terms — the ranked-retrieval analog of the reference FULLTEXT
+    * probe (`OPropertyIndexFullText.java:92-200` stores word→RID
+    * postings; scoring metadata per posting is the standard extension,
+    * e.g. Lucene's norms). At 100 TB the posting frame is what
+    * [[graft.sources.Bucketing]] writes bucketed by `__t` so a probe
+    * prunes to the query terms' buckets; in-session it stays one
+    * persisted shuffle partitioned by term. */
+  final case class Bm25Index(postings: org.apache.spark.sql.DataFrame,
+      lens: org.apache.spark.sql.DataFrame, nDocs: Long, avgdl: Double) {
+    def release(): Unit = { postings.unpersist(); lens.unpersist(); () }
+  }
+
+  /** One tokenize pass → term-frequency postings + doc lengths +
+    * corpus stats (N = docs with ≥ 1 token, avgdl — the
+    * [[bm25TopK]] conventions exactly). Lengths derive from the
+    * posting aggregate, never a second corpus read; the 1-row stats
+    * collect is control-plane. */
+  def bm25BuildIndex(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): Bm25Index = {
+    val postings = Partitioning.spread(df)
+      .select(col(idCol).as("__id"),
+        explode(tokensWs(col(textCol))).as("__t"))
+      .groupBy(col("__id"), col("__t"))
+      .agg(count(lit(1)).as("__tf"))
+      // partitioned BY TERM before persisting: a probe filters on
+      // __t, so the filtered scan touches matching partitions' blocks
+      // and the per-term df aggregate needs no exchange
+      .repartition(col("__t"))
+      .persist()
+    val lens = postings.groupBy(col("__id"))
+      .agg(sum(col("__tf")).as("__len"))
+      .persist()
+    val st = lens.agg(count(lit(1)).as("__n"), avg(col("__len")))
+      .collect().head
+    Bm25Index(postings, lens, st.getLong(0), st.getDouble(1))
+  }
+
+  /** BM25 top-k FROM the index — no corpus tokenize at query time
+    * (plan-pinned: the probe plan contains no generator). Probes the
+    * posting table with the literal terms, rebuilds the SAME dense
+    * per-doc (tf_0..tf_i, len) row [[bm25TopK]] aggregates directly,
+    * and scores with the identical expression in the identical term
+    * order — conditional-sum aggregation keeps every tf an exact
+    * integer and the float adds in fixed order, so the result is
+    * row-identical (hash-identical) to the scan-side [[bm25TopK]].
+    * df_t comes from the probe itself (integer count over postings);
+    * N/avgdl are the index's stored constants. */
+  def bm25TopKIndexed(idx: Bm25Index, idCol: String,
+      terms: Seq[String], k: Int, k1: Double = Bm25K1,
+      b: Double = Bm25B): org.apache.spark.sql.DataFrame = {
+    require(terms.nonEmpty, "BM25 needs at least one query term")
+    val probe = idx.postings.filter(col("__t").isin(terms: _*))
+    val dfRows = probe.groupBy(col("__t"))
+      .agg(count(lit(1)).as("__df")) // postings are distinct per (id, t)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("__t") === t, col("__tf")).otherwise(0L)).as(s"__tf$i")
+    }
+    val perDoc = probe.groupBy(col("__id"))
+      .agg(tfCols.head, tfCols.tail: _*)
+      .join(idx.lens, "__id")
+    val score = terms.indices.map { i =>
+      val tf = col(s"__tf$i").cast("double")
+      val dfT = dfRows.getOrElse(terms(i), 0L)
+      val idf = math.log((idx.nDocs - dfT + 0.5) / (dfT + 0.5) + 1.0)
+      lit(idf) * tf * lit(k1 + 1) /
+        (tf + lit(k1) * (lit(1 - b) + lit(b) * col("__len") / lit(idx.avgdl)))
+    }.reduce(_ + _)
+    perDoc
+      .withColumn("__score", score)
+      .filter(col("__score") > 0)
+      .orderBy(col("__score").desc, col("__id"))
+      .limit(k)
+      .select(col("__id").as(idCol), round(col("__score"), 6).as("bm25"))
+  }
+
   // ------------------------------------------- LM quality scoring
   /** CCNet-style language-model quality score (Wenzek et al. 2019,
     * public paper: perplexity of a small LM ranks document quality;

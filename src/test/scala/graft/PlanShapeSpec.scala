@@ -294,4 +294,34 @@ class PlanShapeSpec extends AnyFunSuite {
       plain.collect().map(_.getLong(0)).toSeq)
     idxS.command("remove index documents.text") // unpersist the posting
   }
+
+  test("indexed BM25 probes scored postings — no query-time tokenize") {
+    import graft.ops.TextOps
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+    val idx = TextOps.bm25BuildIndex(docs, "doc_id", "text")
+    val probe = TextOps.bm25TopKIndexed(idx, "doc_id",
+      Seq("spark", "stream", "join"), k = 10)
+    // the probe plan must carry NO generator (explode) and no
+    // tokenizer — index build paid the one corpus pass already. Node
+    // collection stops at the InMemoryRelation leaf, so the cached
+    // BUILD pipeline (which legitimately tokenized once) is excluded
+    // while anything the QUERY would execute is covered.
+    val opt = probe.queryExecution.optimizedPlan
+    val gens = opt.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+    }
+    assert(gens.isEmpty, opt.toString)
+    val cached = opt.collect {
+      case m: org.apache.spark.sql.execution.columnar.InMemoryRelation => m
+    }
+    assert(cached.nonEmpty, "probe must read the persisted postings")
+    // and the index path reproduces the scan path row for row
+    val scan = TextOps.bm25TopK(docs, "doc_id", "text",
+      Seq("spark", "stream", "join"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val served = probe
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    idx.release()
+    assert(served == scan && scan.nonEmpty)
+  }
 }

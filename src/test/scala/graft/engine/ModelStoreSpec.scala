@@ -1,0 +1,86 @@
+package graft.engine
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+import graft.ops.Classifier
+
+/** Durable trained-model registry ([[ModelStore]]): train → save →
+  * reopen → load must reproduce the artifact bit-identically, under
+  * the same ACL rules as records. */
+class ModelStoreSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def docs = spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("LR weights round-trip bit-identically through a durable reopen") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-models").toString
+    val feats = Classifier.lrFeatures(docs, "doc_id", "text",
+      isTarget = col("lang") === "en", dim = 32).persist()
+    val w = Classifier.lrTrain(feats, dim = 32, iters = 3)
+
+    val g1 = GraftSession.openDurable(spark, "/root/testdata/sf0.001", root)
+    g1.models.saveLrWeights("quality_lr", w)
+    assert(g1.models.list() == Seq("quality_lr" -> "lr"))
+
+    // fresh session over the same root — nothing shared in memory
+    val g2 = GraftSession.openDurable(spark, "/root/testdata/sf0.001", root)
+    assert(g2.models.kind("quality_lr") == "lr")
+    val w2 = g2.models.loadLrWeights("quality_lr", dim = 32)
+    assert(w2.toSeq == w.toSeq) // exact longs — not ulp-close, EQUAL
+
+    // margins scored with the loaded model are identical rows
+    val m1 = feats.select(col("__id"),
+      Classifier.lrMargin(w, 32).as("m")).collect().toSet
+    val m2 = feats.select(col("__id"),
+      Classifier.lrMargin(w2, 32).as("m")).collect().toSet
+    feats.unpersist()
+    assert(m1 == m2 && m1.nonEmpty)
+  }
+
+  test("centroid tables round-trip and feed the ANN path") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-models-c").toString
+    val embs = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val init = embs.filter(col("vec_id") < 4)
+      .select(col("vec_id").cast("int").as("cell"),
+        col("embedding").cast("array<double>").as("cv"))
+    val g1 = GraftSession.openDurable(spark, "/root/testdata/sf0.001", root)
+    g1.models.saveCentroids("ivf_cells", init)
+    val g2 = GraftSession.openDurable(spark, "/root/testdata/sf0.001", root)
+    val back = g2.models.loadCentroids("ivf_cells")
+      .orderBy("cell").collect()
+    val orig = init.orderBy("cell").collect()
+    assert(back.length == orig.length)
+    back.zip(orig).foreach { case (b, o) =>
+      assert(b.getInt(0) == o.getInt(0))
+      assert(b.getSeq[Double](1) == o.getSeq[Double](1))
+    }
+  }
+
+  test("model ops obey ACL: save needs schema CREATE, load needs READ") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-models-acl").toString
+    val g = GraftSession.openDurable(spark, "/root/testdata/sf0.001", root)
+    g.models.saveLrWeights("m1", Array(1L, 2L, 3L))
+    val stranger = g.as("stranger")
+    intercept[SecurityException](
+      stranger.models.saveLrWeights("m2", Array(1L)))
+    intercept[SecurityException](stranger.models.load("m1"))
+    intercept[SecurityException](stranger.models.remove("m1"))
+    // grants open the same doors they open for records
+    g.command("grant READ on database.class._model_m1 to analyst")
+    val analyst = g.as("analyst")
+    assert(analyst.models.load("m1").count() == 3)
+    intercept[SecurityException](analyst.models.remove("m1"))
+    // unknown model is an argument error, not a silent empty frame
+    intercept[IllegalArgumentException](g.models.load("nope"))
+    // remove drops the class and the registry entry durably
+    g.models.remove("m1")
+    val g2 = GraftSession.openDurable(spark, "/root/testdata/sf0.001", root)
+    assert(g2.models.list().isEmpty)
+  }
+}
