@@ -107,6 +107,20 @@ object QueriesPipeline {
       idx.release()
       out
     }),
+    "qp_bm25_bucketed" -> ((s, dir) => {
+      // the ON-DISK posting layout (qp_ivf_bucketed pattern for text):
+      // postings in term-hash bucket dirs, probe pushes the buckets
+      // as a literal partition predicate — planning-time pruning
+      // reads ~|terms|/64 of the index; fixed path, overwritten per
+      // run. Same results as qp_bm25_topk through a third physical
+      // path.
+      val idxDir = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft-bm25-bucketed").toString
+      TextOps.bm25WriteIndex(docs(s, dir), "doc_id", "text", idxDir)
+      TextOps.bm25TopKFromDisk(s, idxDir, "doc_id",
+          terms = Seq("spark", "stream", "join"), k = 10)
+        .orderBy(col("bm25").desc, col("doc_id"))
+    }),
 
     "qp_pipeline_funnel" -> ((s, dir) => {
       // END-TO-END curation funnel: raw ∪ recrawl → exact dedup (keep
@@ -504,6 +518,33 @@ object QueriesPipeline {
       val e = embs(s, dir)
       val cent = Similarity.kmeansCentroidVectors(e,
           e.filter(col("vec_id") < 16), "vec_id", "embedding", iters = 2)
+        .select(col("cell").cast("long").as("vec_id"),
+          col("cv").as("embedding"))
+      Similarity.ivfTopK(e,
+          e.filter(col("vec_id") >= 100 && col("vec_id") < 105),
+          cent, "vec_id", "embedding", k = 5, nProbe = 2)
+        .orderBy(col("q_id"), col("rnk"))
+    }),
+    "qp_ivf_persisted" -> ((s, dir) => {
+      // centroids as a DEPLOYED artifact: train 2 Lloyd rounds, save
+      // through the durable model registry, COLD-reopen, load and
+      // probe with the loaded table — must reproduce qp_ivf_trained
+      // exactly (parquet round-trips the doubles bit-identically).
+      import graft.engine.GraftSession
+      val tmp = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft-models-ivf")
+      if (java.nio.file.Files.exists(tmp))
+        java.nio.file.Files.walk(tmp).sorted(
+          java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.delete(p))
+      java.nio.file.Files.createDirectories(tmp)
+      val e = embs(s, dir)
+      val trained = Similarity.kmeansCentroidVectors(e,
+        e.filter(col("vec_id") < 16), "vec_id", "embedding", iters = 2)
+      GraftSession.openDurable(s, dir, tmp.toString)
+        .models.saveCentroids("ivf_cells", trained)
+      val cent = GraftSession.openDurable(s, dir, tmp.toString)
+        .models.loadCentroids("ivf_cells")
         .select(col("cell").cast("long").as("vec_id"),
           col("cv").as("embedding"))
       Similarity.ivfTopK(e,
@@ -1403,6 +1444,25 @@ object QueriesPipeline {
          |   FROM d CROSS JOIN s)
          | SELECT doc_id, round(score, 6) AS bm25 FROM sc
          | WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    "qp_bm25_bucketed" ->
+      // identical oracle again: the on-disk bucketed path is the third
+      // physical layout under the same logical contract
+      s"""WITH t AS (SELECT doc_id, ${dTokens("text")} AS ds FROM documents),
+         | d AS (SELECT doc_id, len(ds) AS l,
+         |     len(list_filter(ds, x -> x = 'spark')) AS tf0,
+         |     len(list_filter(ds, x -> x = 'stream')) AS tf1,
+         |     len(list_filter(ds, x -> x = 'join')) AS tf2
+         |   FROM t WHERE len(ds) > 0),
+         | s AS (SELECT count(*) AS n, avg(l) AS avgdl,
+         |     sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+         |     sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+         |     sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+         |   FROM d),
+         | sc AS (SELECT doc_id,
+         |     ${dBm25Term(0)} + ${dBm25Term(1)} + ${dBm25Term(2)} AS score
+         |   FROM d CROSS JOIN s)
+         | SELECT doc_id, round(score, 6) AS bm25 FROM sc
+         | WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
     "qp_bm25_indexed" ->
       // IDENTICAL oracle to qp_bm25_topk: the index-served path must
       // reproduce the scan path's ranking exactly — that equality IS
@@ -2002,6 +2062,39 @@ object QueriesPipeline {
          | FROM g2 JOIN sizes USING (cell)
          | ORDER BY cell, dim""".stripMargin,
     "qp_ivf_trained" ->
+      s"""WITH $dKmeansCtes,
+         | c2 AS (SELECT cell, list(m ORDER BY dim) AS cv FROM g2
+         |   GROUP BY cell),
+         | cent AS (SELECT cell AS cent_id, cv AS ccv,
+         |   sqrt(${dDot("cv", "cv")}) AS cn FROM c2),
+         | cells AS (SELECT vec_id AS n_id, v AS cv2, nn AS cn2, cell
+         |   FROM (
+         |   SELECT e.vec_id, e.v, e.nn, cent.cent_id AS cell,
+         |     row_number() OVER (PARTITION BY e.vec_id
+         |       ORDER BY ${dDot("e.v", "cent.ccv")} / (e.nn * cent.cn)
+         |         DESC, cent.cent_id) AS r
+         |   FROM e CROSS JOIN cent) WHERE r = 1),
+         | q AS (SELECT vec_id AS q_id, v AS qv, nn AS qn FROM e
+         |   WHERE vec_id >= 100 AND vec_id < 105),
+         | probes AS (SELECT q_id, qv, qn, probe FROM (
+         |   SELECT q.q_id, q.qv, q.qn, cent.cent_id AS probe,
+         |     row_number() OVER (PARTITION BY q.q_id
+         |       ORDER BY ${dDot("q.qv", "cent.ccv")} / (q.qn * cent.cn)
+         |         DESC, cent.cent_id) AS r
+         |   FROM q CROSS JOIN cent) WHERE r <= 2),
+         | scored AS (
+         |   SELECT q_id, n_id, ${dDot("qv", "cv2")} / (qn * cn2) AS c,
+         |     row_number() OVER (PARTITION BY q_id
+         |       ORDER BY ${dDot("qv", "cv2")} / (qn * cn2) DESC, n_id)
+         |       AS rnk
+         |   FROM probes JOIN cells ON probe = cell
+         |   WHERE q_id <> n_id)
+         | SELECT q_id, n_id, round(c, 6) AS cos, rnk FROM scored
+         | WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    "qp_ivf_persisted" ->
+      // qp_ivf_trained's oracle verbatim: the persisted-centroid path
+      // must reproduce the fresh-trained probe exactly — the model
+      // registry round-trip is the delta under test
       s"""WITH $dKmeansCtes,
          | c2 AS (SELECT cell, list(m ORDER BY dim) AS cv FROM g2
          |   GROUP BY cell),

@@ -213,7 +213,10 @@ object Dedup {
     val wAll = w.rowsBetween(
       org.apache.spark.sql.expressions.Window.unboundedPreceding,
       org.apache.spark.sql.expressions.Window.unboundedFollowing)
-    val prefix = base.join(freq, "__h")
+    // shuffle_hash: SMJ would SORT both sides by __h; the hash join
+    // pays the same exchange without the sorts (the __h key is a
+    // near-uniform hash — no build-side skew by construction)
+    val prefix = base.join(freq.hint("shuffle_hash"), "__h")
       .withColumn("__r", row_number().over(w))
       .withColumn("__n", count(lit(1)).over(wAll))
       // prefix length n − ⌈t·n⌉ + 1; float ceil can only round UP,
@@ -262,11 +265,27 @@ object Dedup {
       .filter(col("__c") + least(col("__na") - col("__xa"),
           col("__nb") - col("__xb")) >= alpha)
       .select("a_id", "b_id")
-    val sets = base.groupBy("__id")
+    // verify sets ONLY for docs that survived candidate pruning: the
+    // semi-join runs BEFORE collect_set, so non-candidate docs (the
+    // overwhelming majority at corpus scale after rare-first pruning)
+    // never materialize a shingle array at all. candIds is derived
+    // once; candidates is persisted so the id projection and the
+    // verify join read one materialization, not two plan replays.
+    val candMat = candidates.persist(diskSer)
+    val candIds = candMat.select(col("a_id").as("__id"))
+      .union(candMat.select(col("b_id").as("__id"))).distinct()
+    val sets = base.join(candIds, Seq("__id"), "left_semi")
+      .groupBy("__id")
       .agg(collect_set(col("__h")).as("__sh"))
-    val pairs = candidates
-      .join(sets.select(col("__id").as("a_id"), col("__sh").as("__sha")), "a_id")
-      .join(sets.select(col("__id").as("b_id"), col("__sh").as("__shb")), "b_id")
+    // shuffle_hash on the sets side: the pair side carries the __sha
+    // arrays after the first join — an SMJ would SORT those wide rows
+    // by b_id; the hash join builds on the (one-row-per-doc, so
+    // unskewable) sets side and only exchanges the wide rows
+    val pairs = candMat
+      .join(sets.select(col("__id").as("a_id"), col("__sh").as("__sha"))
+        .hint("shuffle_hash"), "a_id")
+      .join(sets.select(col("__id").as("b_id"), col("__sh").as("__shb"))
+        .hint("shuffle_hash"), "b_id")
       .withColumn("__i", size(array_intersect(col("__sha"), col("__shb"))))
       .select(col("a_id"), col("b_id"),
         jacFromInter(col("__i"), col("__sha"), col("__shb")).as("jac"))
@@ -274,6 +293,7 @@ object Dedup {
       .localCheckpoint()
     base.unpersist()
     prefix.unpersist()
+    candMat.unpersist()
     pairs
   }
 

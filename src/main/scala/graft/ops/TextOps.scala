@@ -553,7 +553,20 @@ object TextOps {
       terms: Seq[String], k: Int, k1: Double = Bm25K1,
       b: Double = Bm25B): org.apache.spark.sql.DataFrame = {
     require(terms.nonEmpty, "BM25 needs at least one query term")
-    val probe = idx.postings.filter(col("__t").isin(terms: _*))
+    bm25ScoreProbe(idx.postings.filter(col("__t").isin(terms: _*)),
+      idx.lens, idx.nDocs, idx.avgdl, idCol, terms, k, k1, b)
+  }
+
+  /** shared probe scorer: `probe` is the posting frame ALREADY
+    * restricted to the query terms (in-memory filter or planning-time
+    * pruned disk read). df_t is an exact integer count over the probe;
+    * tf reconstruction via conditional sums keeps every tf integer and
+    * the float adds in fixed term order — hash-identical to the
+    * scan-side [[bm25TopK]]. */
+  private def bm25ScoreProbe(probe: org.apache.spark.sql.DataFrame,
+      lens: org.apache.spark.sql.DataFrame, nDocs: Long, avgdl: Double,
+      idCol: String, terms: Seq[String], k: Int, k1: Double,
+      b: Double): org.apache.spark.sql.DataFrame = {
     val dfRows = probe.groupBy(col("__t"))
       .agg(count(lit(1)).as("__df")) // postings are distinct per (id, t)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -562,13 +575,13 @@ object TextOps {
     }
     val perDoc = probe.groupBy(col("__id"))
       .agg(tfCols.head, tfCols.tail: _*)
-      .join(idx.lens, "__id")
+      .join(lens, "__id")
     val score = terms.indices.map { i =>
       val tf = col(s"__tf$i").cast("double")
       val dfT = dfRows.getOrElse(terms(i), 0L)
-      val idf = math.log((idx.nDocs - dfT + 0.5) / (dfT + 0.5) + 1.0)
+      val idf = math.log((nDocs - dfT + 0.5) / (dfT + 0.5) + 1.0)
       lit(idf) * tf * lit(k1 + 1) /
-        (tf + lit(k1) * (lit(1 - b) + lit(b) * col("__len") / lit(idx.avgdl)))
+        (tf + lit(k1) * (lit(1 - b) + lit(b) * col("__len") / lit(avgdl)))
     }.reduce(_ + _)
     perDoc
       .withColumn("__score", score)
@@ -576,6 +589,59 @@ object TextOps {
       .orderBy(col("__score").desc, col("__id"))
       .limit(k)
       .select(col("__id").as(idCol), round(col("__score"), 6).as("bm25"))
+  }
+
+  /** number of term-hash bucket directories in the on-disk BM25
+    * layout: bounds the directory count (partitioning by raw term
+    * would mint one directory per vocabulary word) while a literal
+    * bucket predicate still prunes at planning time. */
+  val Bm25DiskBuckets = 64
+
+  /** ON-DISK BM25 index (the 100 TB layout — the qp_ivf_bucketed
+    * pattern applied to text): postings land under
+    * `dir/postings/__bkt=<hash-bucket>/`, doc lengths under
+    * `dir/lens`, the two corpus constants as one row under
+    * `dir/stats`. A probe resolves its terms' buckets (control-plane:
+    * ≤ |terms| ints) and pushes them as a literal partition
+    * predicate, so the scan reads ~|terms|/nBuckets of the posting
+    * data at PLANNING time — no full-index read, no corpus tokenize. */
+  def bm25WriteIndex(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, dir: String,
+      nBuckets: Int = Bm25DiskBuckets): Unit = {
+    val idx = bm25BuildIndex(df, idCol, textCol)
+    graft.sources.Bucketing.writePartitioned(
+      idx.postings.withColumn("__bkt",
+        pmod(hash60(col("__t")), lit(nBuckets.toLong))),
+      s"$dir/postings", Seq("__bkt"))
+    idx.lens.write.mode("overwrite").parquet(s"$dir/lens")
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((idx.nDocs, idx.avgdl)).toDF("__n", "__avgdl")
+      .write.mode("overwrite").parquet(s"$dir/stats")
+    idx.release()
+  }
+
+  /** probe an on-disk [[bm25WriteIndex]] layout — row-identical to
+    * [[bm25TopK]]/[[bm25TopKIndexed]]; the bucket literals come from
+    * the SAME hash expression the writer used (evaluated on a
+    * |terms|-row control-plane frame, never re-implemented
+    * driver-side). */
+  def bm25TopKFromDisk(spark: org.apache.spark.sql.SparkSession,
+      dir: String, idCol: String, terms: Seq[String], k: Int,
+      k1: Double = Bm25K1, b: Double = Bm25B,
+      nBuckets: Int = Bm25DiskBuckets): org.apache.spark.sql.DataFrame = {
+    require(terms.nonEmpty, "BM25 needs at least one query term")
+    import spark.implicits._
+    val buckets = terms.toDF("__t")
+      .select(pmod(hash60(col("__t")), lit(nBuckets.toLong)))
+      .collect().map(_.getLong(0)).distinct.toSeq
+    val probe = spark.read.parquet(s"$dir/postings")
+      .filter(col("__bkt").isin(buckets: _*) &&
+        col("__t").isin(terms: _*))
+    val lens = spark.read.parquet(s"$dir/lens")
+    val st = spark.read.parquet(s"$dir/stats").collect().head
+    bm25ScoreProbe(probe, lens, st.getLong(0), st.getDouble(1),
+      idCol, terms, k, k1, b)
   }
 
   // ------------------------------------------- LM quality scoring

@@ -1,0 +1,149 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-7 measurement record: ppjoin in-suite gap chase (VERDICT r6
+  * next-item #2). Repo convention: Scratch* files are test-scope A/B
+  * records.
+  *
+  * == 1. stage profile (sf0.1, local[32], warm round) ==
+  * base 1.1 s / prefix 1.5 s / candidates 1.4-1.8 s / verify 2.8-3.0 s.
+  * The frames are TINY (base 881k rows ≈ 14 MB ser, prefix 179k) — the
+  * r6 "storage-memory contention" theory is wrong at this scale; the
+  * cost is stage work, dominated by the verify, not cache eviction.
+  *
+  * == 2. wins ported to Dedup.ppjoinPairs ==
+  *  (a) verify sets SEMI-JOINED to candidate ids before collect_set —
+  *      non-candidate docs never materialize an array (the 100 TB
+  *      shape; neutral at sf0.1 where most docs are candidates);
+  *  (b) shuffle_hash hints: base⋈freq was an SMJ sorting 881k rows
+  *      twice; the second verify join was an SMJ sorting the WIDE
+  *      234k pair rows (each carrying a ~176-long array) — hash
+  *      joins keep the exchanges, drop the sorts. Both build sides
+  *      are unskewable by construction (near-uniform hash key;
+  *      one-row-per-doc sets). Measured: verify 2.91→2.76, prefix
+  *      1.61→1.44 (run noise ±0.3; direction consistent over rounds).
+  *
+  * == 3. tried and REJECTED: asymmetric index prefix (Xiao §3.1) ==
+  * Index side shortened to n − ⌈2t/(1+t)·n⌉ + 1 under (length, id)
+  * processing order — correctness verified (the global rarity order
+  * argument survives asymmetry; 256 pairs unchanged), collisions
+  * drop ~45%, BUT the shared-prefix-token count `c` collapses with
+  * the short prefix, gutting the last-token running-overlap bound
+  * (the 9× collision→candidate cut): verify exploded 2.9 → 8.9 s.
+  * With verify the dominant stage, the SYMMETRIC prefix is the right
+  * trade — prefix length is what buys verify sparsity.
+  *
+  * == 4. honest residual ==
+  * Warm end-to-end ≈ 5.2-5.5 s, in-suite ≈ 6.5-7.5 s: ~15 stages of
+  * real shuffle work over 28.9M collision pairs at 5000 docs; no
+  * single stage exceeds 3 s and every join strategy is argued above.
+  * The r6 "2.4× in-suite vs isolated" framing overstated the gap —
+  * the 3.4 s figure came from a different-config scratch session
+  * (default ObjectHashAggregate threshold, no noop sink). */
+class ScratchR7 extends AnyFunSuite {
+  private lazy val spark = org.apache.spark.sql.SparkSession.builder()
+    .master("local[32]")
+    .config("spark.sql.shuffle.partitions", 32)
+    .config("spark.sql.ansi.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+      100000)
+    .getOrCreate()
+
+  test("ppjoin stage profile") {
+    import graft.ops.TextOps.{charShingles, hash60}
+    val diskSer = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    val df = graft.sources.Tables.load(spark, "/root/testdata/sf0.1",
+      "documents")
+    val threshold = 0.8
+    for (r <- 1 to 2) {
+      System.gc()
+      def t[A](tag: String)(f: => A): A = {
+        val t0 = System.nanoTime()
+        val a = f
+        println(s"[pps] r=$r $tag t=${(System.nanoTime() - t0) / 1e9}")
+        a
+      }
+      val base = graft.ops.Partitioning.spread(df)
+        .select(col("doc_id").as("__id"),
+          explode(charShingles(col("text"), 4)).as("__s"))
+        .select(col("__id"), hash60(col("__s")).as("__h"))
+        .distinct()
+        .persist(diskSer)
+      t("base")(base.count())
+      val freq = base.groupBy("__h").agg(count(lit(1)).as("__f"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("__id").orderBy(col("__f"), col("__h"))
+      val wAll = w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      val prefix = base.join(freq.hint("shuffle_hash"), "__h")
+        .withColumn("__r", row_number().over(w))
+        .withColumn("__n", count(lit(1)).over(wAll))
+        .filter(col("__r") <= col("__n") - ceil(lit(threshold) * col("__n")) + 1)
+        .select("__h", "__id", "__r", "__n")
+        .persist(diskSer)
+      t("prefix")(prefix.count())
+      val alpha = ceil(lit(threshold / (1 + threshold)) *
+        (col("__na") + col("__nb")) - lit(1e-6))
+      val candidates = prefix.select(col("__h"), col("__id").as("a_id"),
+          col("__r").as("__ra"), col("__n").as("__na"))
+        .join(prefix.select(col("__h"), col("__id").as("b_id"),
+          col("__r").as("__rb"), col("__n").as("__nb")), Seq("__h"))
+        .filter(col("a_id") < col("b_id"))
+        .filter(least(col("__na"), col("__nb")) >=
+          lit(threshold) * greatest(col("__na"), col("__nb")) - lit(1e-6))
+        .groupBy(col("a_id"), col("b_id"))
+        .agg(min(col("__ra")).as("__ra"), min(col("__rb")).as("__rb"),
+          max(col("__ra")).as("__xa"), max(col("__rb")).as("__xb"),
+          count(lit(1)).as("__c"),
+          first(col("__na")).as("__na"), first(col("__nb")).as("__nb"))
+        .filter(lit(1) + least(col("__na") - col("__ra"),
+            col("__nb") - col("__rb")) >= alpha)
+        .filter(col("__c") + least(col("__na") - col("__xa"),
+            col("__nb") - col("__xb")) >= alpha)
+        .select("a_id", "b_id")
+        .persist(diskSer)
+      t("candidates")(candidates.count())
+      val candIds = candidates.select(col("a_id").as("__id"))
+        .union(candidates.select(col("b_id").as("__id"))).distinct()
+      val sets = base.join(candIds, Seq("__id"), "left_semi")
+        .groupBy("__id")
+        .agg(collect_set(col("__h")).as("__sh"))
+      val pairs = candidates
+        .join(sets.select(col("__id").as("a_id"), col("__sh").as("__sha"))
+          .hint("shuffle_hash"), "a_id")
+        .join(sets.select(col("__id").as("b_id"), col("__sh").as("__shb"))
+          .hint("shuffle_hash"), "b_id")
+        .withColumn("__i", size(array_intersect(col("__sha"), col("__shb"))))
+        .select(col("a_id"), col("b_id"),
+          round(col("__i").cast("double") /
+            (size(col("__sha")) + size(col("__shb")) - col("__i")), 6)
+            .as("jac"))
+        .filter(col("jac") >= threshold)
+      t("verify")(pairs.count())
+      if (r == 2) {
+        val plan = pairs.queryExecution.executedPlan.toString
+        println("[pps] verify joins: " +
+          plan.linesIterator.filter(l => l.contains("Join"))
+            .map(_.trim.take(100)).mkString(" || "))
+      }
+      base.unpersist(); prefix.unpersist(); candidates.unpersist()
+    }
+  }
+
+  test("ppjoin end-to-end timing, 3 rounds") {
+    val df = graft.sources.Tables.load(spark, "/root/testdata/sf0.1",
+      "documents")
+    for (r <- 1 to 3) {
+      System.gc()
+      val t0 = System.nanoTime()
+      val out = graft.ops.Dedup.ppjoinPairs(df, "doc_id", "text", 0.8)
+      val n = out.count()
+      println(s"[pp7] round=$r pairs=$n t=${(System.nanoTime() - t0) / 1e9}")
+    }
+  }
+}

@@ -121,4 +121,36 @@ class BucketingSpec extends AnyFunSuite {
     assert(spark.read.parquet(zDir).count() == 4096L)
     assert(spark.read.parquet(zDir).distinct().count() == 4096L)
   }
+
+  test("bucketed BM25 index scans only the query terms' buckets") {
+    import graft.ops.TextOps
+    val dir = "/tmp/graft_bm25_index"
+    val docs = Tables.load(spark, sf, "documents")
+    TextOps.bm25WriteIndex(docs, "doc_id", "text", dir)
+    val terms = Seq("spark", "stream", "join")
+    val disk = TextOps.bm25TopKFromDisk(spark, dir, "doc_id", terms, k = 10)
+    // row-identical to the direct scan path
+    val scan = TextOps.bm25TopK(docs, "doc_id", "text", terms, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val got = disk.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == scan && scan.nonEmpty)
+    // the bucket literals must land in PartitionFilters and prune the
+    // 64-bucket posting layout down to ≤ |terms| directories
+    val probeScan = disk.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.relation.location.rootPaths.exists(
+          _.toString.contains("graft_bm25_index")) => f
+    }.head
+    assert(probeScan.partitionFilters.exists(
+      _.references.exists(_.name == "__bkt")),
+      "term buckets must prune partitions, not filter rows")
+    val total = spark.read.parquet(s"$dir/postings")
+      .queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.head.selectedPartitions.partitionCount
+    assert(probeScan.selectedPartitions.partitionCount <= terms.size &&
+      probeScan.selectedPartitions.partitionCount < total,
+      s"probe must read ≤${terms.size} of $total bucket dirs, " +
+        s"read ${probeScan.selectedPartitions.partitionCount}")
+  }
 }
