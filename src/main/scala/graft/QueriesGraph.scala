@@ -86,6 +86,14 @@ object QueriesGraph {
           TradeGraph.edges(s, dir), rounds = 3)
         .orderBy(col("id"))
     }),
+    "qg_modularity" -> ((s, dir) => {
+      // partition quality of the 3-round label-prop communities:
+      // per-community Newman modularity contribution (Σ q_part = Q)
+      GraphOps.modularityDF(TradeGraph.edges(s, dir),
+          GraphOps.labelPropDF(TradeGraph.vertices(s, dir),
+            TradeGraph.edges(s, dir), rounds = 3))
+        .orderBy(col("community"))
+    }),
     "qg_hits" -> ((s, dir) => {
       // hubs (customers) & authorities (suppliers), 3 integer rounds:
       // unnormalized HITS keeps every score an exact integer sum —
@@ -203,7 +211,9 @@ object QueriesGraph {
     * label) neighbor count, then the arg-max with ties toward the
     * smallest label (the engine's windowless `max_by(lbl, (c, -lbl))`
     * is this `ORDER BY c DESC, lbl ASC` row_number pick). */
-  private def lpaSql(rounds: Int): String = {
+  /** shared label-prop CTE chain ending at `l$rounds(id, lbl)` —
+    * consumed by [[lpaSql]] and the modularity oracle. */
+  private def lpaCore(rounds: Int): String = {
     val undirected =
       """u AS MATERIALIZED (SELECT src AS a, dst AS b FROM e
         |   UNION ALL SELECT dst, src FROM e)""".stripMargin
@@ -219,12 +229,38 @@ object QueriesGraph {
          |  FROM l${t - 1} prev LEFT JOIN p$t ON p$t.id = prev.id)"""
         .stripMargin
     }.mkString(",\n ")
-    s"""WITH $edgesCte,
+    s"""$edgesCte,
        | $undirected,
        | l0 AS MATERIALIZED (SELECT id, id AS lbl FROM v),
-       | $steps
-       | SELECT id, lbl AS community FROM l$rounds ORDER BY id""".stripMargin
+       | $steps""".stripMargin
   }
+
+  private def lpaSql(rounds: Int): String =
+    s"""WITH ${lpaCore(rounds)}
+       | SELECT id, lbl AS community FROM l$rounds ORDER BY id""".stripMargin
+
+  /** Newman modularity over the [[lpaCore]] communities: per-community
+    * integer numerator 4·m·m_c − d_c², one end division by 4m². */
+  private def modularitySql(rounds: Int): String =
+    s"""WITH ${lpaCore(rounds)},
+       | lbl AS MATERIALIZED (SELECT id, lbl AS community FROM l$rounds),
+       | mm AS (SELECT count(*) AS m FROM e),
+       | deg AS (SELECT id, count(*) AS d FROM (
+       |     SELECT src AS id FROM e UNION ALL SELECT dst FROM e)
+       |   GROUP BY id),
+       | inn AS (SELECT la.community, count(*) AS m_in
+       |   FROM e JOIN lbl la ON la.id = e.src
+       |     JOIN lbl lb ON lb.id = e.dst
+       |   WHERE la.community = lb.community GROUP BY la.community),
+       | dc AS (SELECT community, count(*) AS n_vertices,
+       |     CAST(coalesce(sum(deg.d), 0) AS BIGINT) AS d_c
+       |   FROM lbl LEFT JOIN deg USING (id) GROUP BY community)
+       | SELECT dc.community, n_vertices,
+       |   CAST(coalesce(inn.m_in, 0) AS BIGINT) AS m_in, d_c,
+       |   round(CAST(4 * mm.m * coalesce(inn.m_in, 0) - d_c * d_c
+       |       AS DOUBLE) / (4.0 * mm.m * mm.m), 6) AS q_part
+       | FROM dc LEFT JOIN inn USING (community) CROSS JOIN mm
+       | ORDER BY community""".stripMargin
 
   /** unrolled GraphX-rule PageRank (rank₀=1; r=0.15+0.85·Σ in/outdeg) */
   private def pagerankSql(iters: Int): String = {
@@ -312,6 +348,7 @@ object QueriesGraph {
     "qg_kcore" -> kcoreSql(3, 6),
     "qg_sssp" -> ssspSql(1L, 4),
     "qg_labelprop" -> lpaSql(3),
+    "qg_modularity" -> modularitySql(3),
     "qg_degrees" ->
       s"""WITH $edgesCte
          | SELECT v.id,

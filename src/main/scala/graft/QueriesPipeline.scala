@@ -813,6 +813,14 @@ object QueriesPipeline {
         .select("doc_id", "term", "tf", "df", "score", "rnk")
         .orderBy("doc_id", "rnk")
     }),
+    "qp_sparse_cosine" -> ((s, dir) => {
+      // sparse LEXICAL retrieval: top-3 most tf-idf-cosine-similar
+      // documents per doc via the inverted-index posting self-join
+      // (df-pruned vocabulary bounds the fan-out)
+      TextOps.sparseCosineTopK(docs(s, dir), "doc_id", "text",
+          k = 3, maxDf = 400)
+        .orderBy(col("q_id"), col("rnk"))
+    }),
     "qp_hash_embed" -> ((s, dir) => {
       // feature-hashing featurizer: text → 64-dim count vector (the
       // text→vector bridge the ANN/PQ stack consumes). The gate driver
@@ -859,6 +867,20 @@ object QueriesPipeline {
           explode(TextOps.bigrams(tokensWs(col("text")))).as("bg")),
         "lang", col("bg"), k = 256)
         .orderBy("lang")
+    }),
+    "qp_kmv_setops" -> ((s, dir) => {
+      // corpus-overlap pre-flight: distinct-bigram cardinalities of
+      // the two corpus halves, their union, intersection and Jaccard
+      // — ALL from one 3x256-long-state pass (Beyer et al. 2007
+      // multiset KMV; three exact COUNT(DISTINCT)s over set ops would
+      // pay three corpus-wide shuffles)
+      val d = docs(s, dir)
+      def grams(f: Column) =
+        graft.ops.Partitioning.spread(d.filter(f))
+          .select(explode(TextOps.bigrams(tokensWs(col("text"))))
+            .as("bg"))
+      graft.ops.Sketch.kmvSetOps(grams(col("doc_id") < 250),
+        grams(col("doc_id") >= 250), col("bg"), k = 256)
     }),
     "qp_cms_heavy" -> ((s, dir) => {
       // corpus bigram heavy hitters: Count-Min estimates (4x512
@@ -2295,6 +2317,32 @@ object QueriesPipeline {
          |     ORDER BY score DESC, term) AS rnk
          |   FROM scored WHERE doc_id < 20)
          | WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+    "qp_sparse_cosine" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(${dTokens("text")}) AS term
+         |   FROM documents),
+         | tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+         |   GROUP BY doc_id, term),
+         | dfreq AS (SELECT term, count(*) AS df FROM tf
+         |   GROUP BY term HAVING count(*) <= 400),
+         | n AS (SELECT count(*) AS n FROM documents),
+         | w AS (SELECT tf.doc_id, tf.term,
+         |     CAST(round(tf.tf * ln((n.n + 1.0) / (dfreq.df + 1.0))
+         |       * 1000) AS BIGINT) AS w
+         |   FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+         | norms AS (SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS n2
+         |   FROM w GROUP BY doc_id),
+         | dots AS (SELECT a.doc_id AS q_id, b.doc_id AS n_id,
+         |     CAST(sum(a.w * b.w) AS BIGINT) AS dot
+         |   FROM w a JOIN w b USING (term) WHERE a.doc_id <> b.doc_id
+         |   GROUP BY a.doc_id, b.doc_id),
+         | scored AS (SELECT q_id, n_id,
+         |     dot / (sqrt(na.n2) * sqrt(nb.n2)) AS cos
+         |   FROM dots JOIN norms na ON na.doc_id = dots.q_id
+         |     JOIN norms nb ON nb.doc_id = dots.n_id)
+         | SELECT q_id, n_id, round(cos, 6) AS cos, rnk FROM (
+         |   SELECT *, row_number() OVER (PARTITION BY q_id
+         |     ORDER BY cos DESC, n_id) AS rnk FROM scored)
+         | WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin,
     "qp_hash_embed" ->
       s"""WITH t AS (SELECT doc_id, list_transform(${dTokens("text")},
          |     x -> CAST(${dH60("x")} % 64 AS INT)) AS ds FROM documents)
@@ -2443,6 +2491,52 @@ object QueriesPipeline {
          |     / max(CASE WHEN rn = 256 THEN hv END)) AS BIGINT)
          |   END AS est_distinct
          | FROM r GROUP BY lang ORDER BY lang""".stripMargin,
+    "qp_kmv_setops" ->
+      // estimator constant generated from the same Scala values
+      // (Sketch.HashSpace, k = 256); membership joins replay the
+      // "union bottom-k member ⇒ side bottom-k member" property
+      s"""WITH t AS (SELECT doc_id, ${dTokens("text")} AS tok
+         |   FROM documents),
+         | b AS (SELECT doc_id, unnest(CASE WHEN len(tok) >= 2 THEN
+         |     list_transform(range(len(tok)-1),
+         |       i -> tok[i+1] || ' ' || tok[i+2])
+         |   ELSE [] END) AS bg FROM t),
+         | h AS (SELECT DISTINCT doc_id < 250 AS ia, ${dH60("bg")} AS hv
+         |   FROM b),
+         | ra AS (SELECT hv, row_number() OVER (ORDER BY hv) AS rn,
+         |     count(*) OVER () AS nd
+         |   FROM (SELECT DISTINCT hv FROM h WHERE ia)),
+         | rb AS (SELECT hv, row_number() OVER (ORDER BY hv) AS rn,
+         |     count(*) OVER () AS nd
+         |   FROM (SELECT DISTINCT hv FROM h WHERE NOT ia)),
+         | ru AS (SELECT hv, row_number() OVER (ORDER BY hv) AS rn,
+         |     count(*) OVER () AS nd
+         |   FROM (SELECT DISTINCT hv FROM h)),
+         | es AS (SELECT
+         |   (SELECT CASE WHEN max(nd) < 256 THEN max(nd)
+         |     ELSE CAST(round(${255 * graft.ops.Sketch.HashSpace}
+         |       / max(CASE WHEN rn = 256 THEN hv END)) AS BIGINT) END
+         |    FROM ra) AS est_a,
+         |   (SELECT CASE WHEN max(nd) < 256 THEN max(nd)
+         |     ELSE CAST(round(${255 * graft.ops.Sketch.HashSpace}
+         |       / max(CASE WHEN rn = 256 THEN hv END)) AS BIGINT) END
+         |    FROM rb) AS est_b,
+         |   (SELECT CASE WHEN max(nd) < 256 THEN max(nd)
+         |     ELSE CAST(round(${255 * graft.ops.Sketch.HashSpace}
+         |       / max(CASE WHEN rn = 256 THEN hv END)) AS BIGINT) END
+         |    FROM ru) AS est_union,
+         |   (SELECT count(*) FROM (SELECT hv FROM ru WHERE rn <= 256) u
+         |     JOIN (SELECT hv FROM ra WHERE rn <= 256) a USING (hv)
+         |     JOIN (SELECT hv FROM rb WHERE rn <= 256) b2 USING (hv))
+         |    AS nboth,
+         |   (SELECT count(*) FROM ru WHERE rn <= 256) AS szu)
+         | SELECT est_a, est_b, est_union,
+         |   CASE WHEN szu = 0 THEN 0 ELSE CAST(round(
+         |     CAST(nboth AS DOUBLE) * est_union / szu) AS BIGINT) END
+         |     AS est_intersect,
+         |   CASE WHEN szu = 0 THEN 0.0 ELSE round(
+         |     CAST(nboth AS DOUBLE) / szu, 6) END AS jaccard
+         | FROM es""".stripMargin,
     "qp_cms_heavy" ->
       // same seeded row hashes ('cms<r>:' prefixes over hash60), same
       // 4x512 geometry, min-over-rows estimate, exact top-15 anchor

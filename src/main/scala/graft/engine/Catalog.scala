@@ -215,6 +215,50 @@ final class Catalog(spark: SparkSession) {
     }
   }
 
+  // ---- time travel (the read benefit the versioned commit layout
+  // already pays for; Delta-style `VERSION AS OF`) ------------------
+
+  /** completed (commit-sentinel-carrying) versions of a durable
+    * class within the retention window, ascending. Empty for
+    * in-memory classes (they keep no history). */
+  def tableVersions(name: String): Seq[Long] = {
+    val key = get(name).name.toLowerCase
+    durableRoot.toSeq.flatMap { root =>
+      val fs = hadoopFs(root)
+      val dir = new org.apache.hadoop.fs.Path(classDir(root, key))
+      if (!fs.exists(dir)) Seq()
+      else fs.listStatus(dir).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("v"))
+        .flatMap(s => s.getPath.getName.drop(1).toLongOption
+          .filter(_ =>
+            fs.exists(new org.apache.hadoop.fs.Path(s.getPath, Sentinel)) ||
+            fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS"))))
+        .sorted
+    }
+  }
+
+  /** Time-travel read: the class's rows AS OF an earlier committed
+    * version ([[tableVersions]] lists what's readable — the last 8
+    * commits by the [[replaceData]] retention rule). Historical
+    * version dirs are immutable-once-committed (writes always create
+    * v{n+1}; only retention deletes), so the returned frame is a
+    * stable snapshot: audit "what did this class hold before that
+    * UPDATE", diff two versions, or reproduce a pipeline run against
+    * the exact input it saw. Throws for unknown/expired versions and
+    * for in-memory classes. */
+  def tableAt(name: String, version: Long): DataFrame = {
+    val d = get(name)
+    val key = d.name.toLowerCase
+    val root = durableRoot.getOrElse(throw new IllegalStateException(
+      s"time travel needs durability enabled (class '$name')"))
+    val avail = tableVersions(name)
+    if (!avail.contains(version))
+      throw new IllegalArgumentException(
+        s"class '$name' has no committed version $version " +
+          s"(available: ${avail.mkString(", ")})")
+    spark.read.parquet(s"${classDir(root, key)}/v$version")
+  }
+
   /** marker update via write-temp-then-rename: the in-place truncate a
     * plain create(overwrite) does would leave an empty marker if the
     * process died mid-write. The delete+rename window is covered by

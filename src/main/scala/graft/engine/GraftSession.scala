@@ -306,6 +306,19 @@ final class GraftSession private (val spark: SparkSession,
     if (polymorphic) catalog.polymorphicScan(name) else catalog.table(name)
   }
 
+  /** committed historical versions of a durable class (ACL: READ). */
+  def classVersions(name: String): Seq[Long] = {
+    checkPermission(classResource(name), "READ")
+    catalog.tableVersions(name)
+  }
+
+  /** time-travel scan: the class AS OF an earlier committed version
+    * (non-polymorphic — history is per concrete class; ACL: READ). */
+  def browseClassAsOf(name: String, version: Long): DataFrame = {
+    checkPermission(classResource(name), "READ")
+    catalog.tableAt(name, version)
+  }
+
   /** runtime-pluggable SQL function (`OSQLEngine.registerFunction`). */
   def registerFunction(name: String, f: Seq[Column] => Column): Unit =
     functions.register(name, f)

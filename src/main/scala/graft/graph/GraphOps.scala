@@ -403,6 +403,53 @@ object GraphOps {
     und.unpersist()
     lbl.select(col("id"), col("lbl").as("community"))
   }
+
+  /** Newman modularity of a community assignment (Newman & Girvan
+    * 2004): per community c, q_part = m_c/m − (d_c/2m)² — the
+    * within-community edge excess over the degree-preserving random
+    * expectation; Σ q_part is the partition's Q. The quality gauge
+    * for [[labelPropDF]] (and any clustering keyed by vertex id).
+    *
+    * Exactness: the numerator is assembled as ONE integer —
+    * 4·m·m_c − d_c² — and divided by 4m² only at the end, so the
+    * 6-decimal rounding sees a correctly-rounded single division
+    * (both factors exact below 2^53) and reproduces bit-identically
+    * in any engine.
+    *
+    * Scale shape: two equi-joins of the edge table against the label
+    * frame (same vertex-id key both times — exchange-reusable), one
+    * partial-agg count per community, and a degree union-count; no
+    * windows, no per-community funneling — a celebrity community
+    * arrives pre-combined like any hot groupBy key. `m` is one
+    * control-plane count. Pass the session-persisted edge frame (the
+    * [[TradeGraph.edges]] convention) — this reads it three times. */
+  def modularityDF(edges: DataFrame, communities: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    val m = e.count()
+    require(m > 0, "modularity needs at least one edge")
+    val lbl = communities.select(col("id"), col("community"))
+    val inn = e
+      .join(lbl.select(col("id").as("src"), col("community").as("__ca")),
+        "src")
+      .join(lbl.select(col("id").as("dst"), col("community").as("__cb")),
+        "dst")
+      .filter(col("__ca") === col("__cb"))
+      .groupBy(col("__ca").as("community"))
+      .agg(count(lit(1)).as("m_in"))
+    val deg = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("__d"))
+    val dc = lbl.join(deg, Seq("id"), "left")
+      .groupBy("community")
+      .agg(count(lit(1)).as("n_vertices"),
+        coalesce(sum(col("__d")), lit(0L)).as("d_c"))
+    dc.join(inn, Seq("community"), "left")
+      .select(col("community"), col("n_vertices"),
+        coalesce(col("m_in"), lit(0L)).as("m_in"), col("d_c"),
+        round((lit(4L) * lit(m) * coalesce(col("m_in"), lit(0L)) -
+          col("d_c") * col("d_c")).cast("double") / lit(4.0 * m * m), 6)
+          .as("q_part"))
+  }
 }
 
 /** The trade-graph fixture over the driver tables: customers and

@@ -116,26 +116,144 @@ object Multimodal {
     Some((w, h, out))
   }
 
-  /** REAL image features from decoded pixels: mean luminance of
-    * `featureDim` horizontal row bands, normalized to [0,1] — the
-    * exact-integer band sums make the vector partitioning- and
-    * engine-invariant. None when [[bmpPixels]] can't decode. */
+  /** mean luminance of `featureDim` horizontal row bands, normalized
+    * to [0,1] — the exact-integer band sums make the vector
+    * partitioning- and engine-invariant. Shared by every pixel
+    * decoder ([[bmpPixels]], [[pngPixels]]). */
+  private def lumaBands(w: Int, h: Int, px: Array[Int],
+      featureDim: Int): Array[Float] =
+    Array.tabulate(featureDim) { i =>
+      val r0 = i * h / featureDim
+      val r1 = math.max(r0 + 1, (i + 1) * h / featureDim)
+      val hi = math.min(r1, h)
+      if (r0 >= h) 0f
+      else {
+        var s = 0L
+        var p = r0 * w
+        val end = hi * w
+        while (p < end) { s += px(p); p += 1 }
+        (s.toDouble / ((hi - r0).toLong * w) / 255.0).toFloat
+      }
+    }
+
+  /** REAL image features from decoded pixels: [[lumaBands]] over the
+    * BMP decode. None when [[bmpPixels]] can't decode. */
   def bmpLumaFeatures(payload: Array[Byte],
       featureDim: Int): Option[Array[Float]] =
     bmpPixels(payload).map { case (w, h, px) =>
-      Array.tabulate(featureDim) { i =>
-        val r0 = i * h / featureDim
-        val r1 = math.max(r0 + 1, (i + 1) * h / featureDim)
-        val hi = math.min(r1, h)
-        if (r0 >= h) 0f
-        else {
-          var s = 0L
-          var p = r0 * w
-          val end = hi * w
-          while (p < end) { s += px(p); p += 1 }
-          (s.toDouble / ((hi - r0).toLong * w) / 255.0).toFloat
-        }
+      lumaBands(w, h, px, featureDim)
+    }
+
+  /** Pixel decode of a NON-INTERLACED 8-bit truecolor (color type 2,
+    * RGB) or truecolor-alpha (6, RGBA) PNG — the zlib half of the
+    * codec ships IN the JDK (`java.util.zip.Inflater`), so unlike
+    * JPEG's DCT this needs no external library: concatenate the IDAT
+    * chunks, inflate, undo the per-scanline byte filters (None/Sub/
+    * Up/Average/Paeth, RFC 2083 §6.2-6.6), then the same integer
+    * Rec.601 luma as [[bmpPixels]]. Alpha bytes are skipped (luma of
+    * the stored RGB). None for palette/gray/16-bit/interlaced
+    * flavors and any truncated or corrupt stream — those keep the
+    * header-only (dims-correct) fallback. */
+  def pngPixels(payload: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    def u8(i: Int): Int = payload(i) & 0xff
+    def be32(i: Int): Int =
+      (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def ascii(i: Int, len: Int) = new String(payload, i, len, "US-ASCII")
+    val n = payload.length
+    if (n < 33 || be32(0) != 0x89504e47 || be32(4) != 0x0d0a1a0a)
+      return None
+    if (ascii(12, 4) != "IHDR") return None
+    val w = be32(16); val h = be32(20)
+    val bitDepth = u8(24); val colorType = u8(25); val interlace = u8(28)
+    if (w <= 0 || h <= 0 || bitDepth != 8 ||
+      (colorType != 2 && colorType != 6) || interlace != 0) return None
+    if (w.toLong * h > 100000000L) return None // malformed-dims guard
+    val bpp = if (colorType == 2) 3 else 4
+    // chunk walk: concatenate every IDAT payload (the zlib stream may
+    // be split across chunks at arbitrary byte boundaries)
+    val idat = new java.io.ByteArrayOutputStream()
+    var pos = 8
+    var done = false
+    while (!done && pos + 8 <= n) {
+      val len = be32(pos)
+      if (len < 0 || pos + 8 + len > n) return None
+      val typ = ascii(pos + 4, 4)
+      if (typ == "IDAT") idat.write(payload, pos + 8, len)
+      if (typ == "IEND") done = true
+      pos += 12 + len // len + type + data + CRC (CRC not validated)
+    }
+    if (idat.size() == 0) return None
+    // inflate to exactly (1 filter byte + w*bpp) per scanline
+    val stride = w * bpp
+    val raw = new Array[Byte]((1 + stride) * h)
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat.toByteArray)
+    var off = 0
+    try {
+      while (off < raw.length && !inf.finished()) {
+        val k = inf.inflate(raw, off, raw.length - off)
+        if (k == 0 && (inf.needsInput() || inf.needsDictionary()))
+          return None // truncated or preset-dictionary stream
+        off += k
       }
+    } catch {
+      case _: java.util.zip.DataFormatException => return None
+    } finally inf.end()
+    if (off < raw.length) return None
+    // per-scanline unfilter (RFC 2083 §6): a,b,c are the RECONSTRUCTED
+    // left / up / up-left bytes at the same sample offset
+    val px = new Array[Int](w * h)
+    val prev = new Array[Int](stride)
+    val cur = new Array[Int](stride)
+    var p = 0
+    var y = 0
+    while (y < h) {
+      val ft = raw(p) & 0xff
+      p += 1
+      var x = 0
+      while (x < stride) {
+        val rv = raw(p + x) & 0xff
+        val a = if (x >= bpp) cur(x - bpp) else 0
+        val b = prev(x)
+        val rec = ft match {
+          case 0 => rv
+          case 1 => (rv + a) & 0xff
+          case 2 => (rv + b) & 0xff
+          case 3 => (rv + ((a + b) >> 1)) & 0xff
+          case 4 =>
+            val c = if (x >= bpp) prev(x - bpp) else 0
+            val pp = a + b - c
+            val pa = math.abs(pp - a)
+            val pb = math.abs(pp - b)
+            val pc = math.abs(pp - c)
+            val pred = if (pa <= pb && pa <= pc) a
+              else if (pb <= pc) b else c
+            (rv + pred) & 0xff
+          case _ => return None
+        }
+        cur(x) = rec
+        x += 1
+      }
+      p += stride
+      var xx = 0
+      while (xx < w) {
+        val o = xx * bpp
+        px(y * w + xx) =
+          (299 * cur(o) + 587 * cur(o + 1) + 114 * cur(o + 2)) / 1000
+        xx += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, stride)
+      y += 1
+    }
+    Some((w, h, px))
+  }
+
+  /** REAL image features from decoded PNG pixels: [[lumaBands]] over
+    * [[pngPixels]]. None when the flavor isn't pixel-decodable. */
+  def pngLumaFeatures(payload: Array[Byte],
+      featureDim: Int): Option[Array[Float]] =
+    pngPixels(payload).map { case (w, h, px) =>
+      lumaBands(w, h, px, featureDim)
     }
 
   /** REAL nearest-neighbor resize over decoded BMP luma pixels:
@@ -282,8 +400,12 @@ object Multimodal {
           .getOrElse(sampleFeature(payload, featureDim)))
     } else if (n >= 24 && be32(0) == 0x89504e47 && be32(4) == 0x0d0a1a0a) {
       // PNG: the IHDR chunk is mandatory and FIRST (RFC 2083 §4.1.1),
-      // so width/height are big-endian int32 at fixed bytes 16/20
-      (be32(16), be32(20), 1, sampleFeature(payload, featureDim))
+      // so width/height are big-endian int32 at fixed bytes 16/20.
+      // Non-interlaced 8-bit RGB/RGBA payloads decode to REAL pixel
+      // features (JDK-zlib inflate + unfilter + band luminance).
+      (be32(16), be32(20), 1,
+        pngLumaFeatures(payload, featureDim)
+          .getOrElse(sampleFeature(payload, featureDim)))
     } else if (n >= 10 && (ascii(0, 6) == "GIF87a" || ascii(0, 6) == "GIF89a")) {
       // GIF: logical screen width/height, little-endian uint16 at 6/8
       (le16(6), le16(8), 1, sampleFeature(payload, featureDim))

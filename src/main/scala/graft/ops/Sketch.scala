@@ -61,6 +61,63 @@ object Sketch {
       strataCol, k)
       .withColumn(strataCol, coalesce(col(strataCol), lit("<all>")))
 
+  /** KMV multiset-operation estimator (Beyer et al. SIGMOD 2007, "On
+    * Synopses for Distinct-Value Estimation Under Multiset
+    * Operations"): distinct cardinalities of two corpora AND their
+    * union / intersection / Jaccard similarity, all from ONE
+    * bounded-state pass over the tagged union — the corpus-overlap
+    * pre-flight (e.g. "how much does this crawl add to the corpus
+    * vocabulary?") that exact COUNT(DISTINCT)-of-set-ops would pay
+    * three corpus-wide shuffles for.
+    *
+    * Mechanics: three [[BottomKDistinct]] aggregates share the single
+    * scan — bottom-k of A∪B (via the null-skipping `when` children,
+    * side-restricted for the other two). Any hash in the union's
+    * bottom-k that belongs to A is necessarily in A's bottom-k (it is
+    * ≤ the union's k-th minimum ≤ A's k-th minimum), so membership
+    * tests against the two side arrays are exact — ρ = |{h ∈ L : h ∈
+    * L_A ∧ h ∈ L_B}| / |L| is the standard unbiased Jaccard estimate,
+    * and est_intersect = ρ·est_union. All post-aggregation math runs
+    * on ONE row of ≤ k-long arrays (control-plane; the HOF filter is
+    * interpreted but touches k elements once). Strata smaller than k
+    * report exact values.
+    *
+    * Scale shape: state is 3·k longs total; the only shuffle is the
+    * partial-agg merge of those states. Mergeable across streams /
+    * micro-batches like every sketch here. */
+  def kmvSetOps(dfA: DataFrame, dfB: DataFrame, value: Column,
+      k: Int): DataFrame = {
+    require(k >= 2, "KMV needs k >= 2")
+    val a = dfA.select(TextOps.hash60(value).as("__h"),
+      lit(true).as("__ia"))
+    val b = dfB.select(TextOps.hash60(value).as("__h"),
+      lit(false).as("__ia"))
+    def bk(c: Column) = GraftColumnBridge.column(
+      BottomKDistinct(GraftColumnBridge.expression(c), k)
+        .toAggregateExpression())
+    def est(l: Column) = when(size(l) < k, size(l).cast("long"))
+      .otherwise(round(lit((k - 1) * HashSpace) /
+        element_at(l, k)).cast("long"))
+    a.unionByName(b)
+      .agg(
+        bk(col("__h")).as("__lu"),
+        bk(when(col("__ia"), col("__h"))).as("__la"),
+        bk(when(!col("__ia"), col("__h"))).as("__lb"))
+      .withColumn("__nboth", size(filter(col("__lu"), h =>
+        array_contains(col("__la"), h) && array_contains(col("__lb"), h))))
+      .select(
+        est(col("__la")).as("est_a"),
+        est(col("__lb")).as("est_b"),
+        est(col("__lu")).as("est_union"),
+        when(size(col("__lu")) === 0, lit(0L))
+          .otherwise(round(col("__nboth").cast("double") *
+            est(col("__lu")) / size(col("__lu"))).cast("long"))
+          .as("est_intersect"),
+        when(size(col("__lu")) === 0, lit(0.0))
+          .otherwise(round(col("__nboth").cast("double") /
+            size(col("__lu")), 6)).as("jaccard"))
+  }
+
   // Hash in a SEPARATE projection, not as the aggregate child: a
   // TypedImperativeAggregate evaluates its child with interpreted
   // Expression.eval per input row, while md5/conv in a project stay

@@ -253,6 +253,76 @@ object TextOps {
         round(col("tf") * log((lit(n) + 1.0) / (col("df") + 1.0)), 6))
   }
 
+  /** Sparse LEXICAL similarity join: for every document, the top-k
+    * most tf-idf-cosine-similar OTHER documents, computed document-at-
+    * a-time over an inverted index — the classic sparse-retrieval
+    * complement to the dense ANN paths in [[Similarity]] (reference
+    * has only boolean CONTAINSTEXT,
+    * core/.../operator/OQueryOperatorContainsText.java:40-55; ranked
+    * lexical doc-doc similarity is the training-pipeline extension).
+    *
+    * Scale shape: ONE tokenize pass → per-(doc,term) tf; document
+    * frequencies derive from the SAME tf frame (no second tokenize);
+    * terms with df > maxDf are PRUNED before the posting self-join —
+    * that caps every posting list at maxDf entries, so the join
+    * fan-out per term is ≤ maxDf² and a stopword-like term can never
+    * produce a quadratic blowup (the standard DAAT vocabulary prune;
+    * dropping near-ubiquitous terms barely moves cosine RANKINGS
+    * because their idf ≈ 0). The df table joins on the SAME term key
+    * the posting self-join shuffles on — never broadcast (the
+    * vocabulary is corpus-sized at 100 TB). Dot products are
+    * partial-combining integer sums of milli-unit fixed-point weights
+    * (order-free, bit-identical in any engine); cosine divides by the
+    * exact-integer norms only at the end, and ranking rides the
+    * shared two-level [[Similarity.rankTopKBy]] (never a one-level
+    * per-doc window). Weight fixed point: w = round(tf·idf·1000) with
+    * idf = ln((N+1)/(df+1)) ≥ 0, so products stay far inside Long for
+    * any realistic doc length (tf ≤ 1e5, idf ≤ 40 ⇒ w ≤ 4e9 … cap tf
+    * upstream for adversarial megadocs).
+    *
+    * Returns (q_id, n_id, cos, rnk) with rnk ≤ k, cos rounded to 6
+    * decimals, ties broken by ascending n_id. */
+  def sparseCosineTopK(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, k: Int = 3,
+      maxDf: Int = 400): org.apache.spark.sql.DataFrame = {
+    val n = df.count()
+    val tf = Partitioning.spread(df)
+      .select(col(idCol).as("__id"),
+        explode(tokensWs(col(textCol))).as("__t"))
+      .groupBy("__id", "__t").agg(count(lit(1)).as("__tf"))
+    val dfreq = tf.groupBy("__t").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf)
+    // persisted: the weighted posting table feeds the norm aggregate
+    // and BOTH sides of the self-join; serialized level because the
+    // cache competes with suite neighbors (ppjoin precedent)
+    val w = tf.join(dfreq, "__t")
+      .withColumn("__w", round(col("__tf") *
+        log((lit(n) + 1.0) / (col("__df") + 1.0)) * 1000, 0).cast("long"))
+      .select(col("__t"), col("__id"), col("__w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val norms = w.groupBy("__id")
+      .agg(sum(col("__w") * col("__w")).as("__n2"))
+    val dots = w.select(col("__t"), col("__id").as("q_id"),
+        col("__w").as("__wa"))
+      .join(w.select(col("__t"), col("__id").as("n_id"),
+        col("__w").as("__wb")), Seq("__t"))
+      .filter(col("q_id") =!= col("n_id"))
+      .groupBy("q_id", "n_id")
+      .agg(sum(col("__wa") * col("__wb")).as("__dot"))
+    val scored = dots
+      .join(norms.select(col("__id").as("q_id"), col("__n2").as("__na2")),
+        Seq("q_id"))
+      .join(norms.select(col("__id").as("n_id"), col("__n2").as("__nb2")),
+        Seq("n_id"))
+      .withColumn("cos", col("__dot") /
+        (sqrt(col("__na2")) * sqrt(col("__nb2"))))
+    // k·n output rows: checkpoint the small result, release the cache
+    val out = Similarity.rankTopKBy(scored, k, "cos", ascending = false)
+      .localCheckpoint()
+    w.unpersist()
+    out
+  }
+
   /** word n-grams of a token array, space-joined (empty when fewer
     * than n tokens) — the decontamination unit (benchmark overlap is
     * measured in word n-grams, not characters). */

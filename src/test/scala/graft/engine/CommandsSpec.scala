@@ -333,4 +333,59 @@ class CommandsSpec extends AnyFunSuite {
     assert(g.browseClass("Animal", polymorphic = false).count() == 1)
     assert(g.query("select from Animal where name = 'rex'").count() == 1)
   }
+
+  test("time travel: committed versions readable as-of, across reopen") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-timetravel").toString
+    val g1 = GraftSession.openDurable(spark, root)
+    g1.command("create class Tt")
+    g1.command("insert into Tt (id, x) values (1, 'a')") // v1
+    g1.command("update Tt set x = 'b' where id = 1")     // v2
+    g1.command("insert into Tt (id, x) values (2, 'c')") // v3
+    val vs = g1.classVersions("Tt")
+    assert(vs.size == 3 && vs == vs.sorted)
+    // current read sees the latest commit
+    assert(g1.query("select x from Tt where id = 1").collect()
+      .head.getString(0) == "b")
+    // as-of the first commit: pre-update value, pre-insert row count
+    val v1 = g1.browseClassAsOf("Tt", vs.head)
+    assert(v1.count() == 1)
+    assert(v1.select("x").collect().head.getString(0) == "a")
+    // as-of the second: updated value, still one row
+    val v2 = g1.browseClassAsOf("Tt", vs(1))
+    assert(v2.count() == 1)
+    assert(v2.select("x").collect().head.getString(0) == "b")
+    // history is on disk: a cold reopen sees the same versions
+    val g2 = GraftSession.openDurable(spark, root)
+    assert(g2.classVersions("Tt") == vs)
+    assert(g2.browseClassAsOf("Tt", vs.head).count() == 1)
+    // unknown version rejected with the available list
+    intercept[IllegalArgumentException](g2.browseClassAsOf("Tt", 999L))
+    // ACL: time travel is a READ like any scan
+    g2.command("grant READ on database.class.tt to auditor")
+    assert(g2.as("auditor").browseClassAsOf("Tt", vs.head).count() == 1)
+    intercept[SecurityException](
+      g2.as("stranger").browseClassAsOf("Tt", vs.head))
+    // in-memory classes keep no history
+    val gMem = freshSession()
+    gMem.command("create class M1")
+    gMem.command("insert into M1 (id) values (1)")
+    assert(gMem.classVersions("M1").isEmpty)
+    intercept[IllegalStateException](gMem.browseClassAsOf("M1", 1L))
+  }
+
+  test("time travel: retention keeps the last 8 commits") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-timetravel-ret").toString
+    val g = GraftSession.openDurable(spark, root)
+    g.command("create class Rt")
+    for (i <- 1 to 10)
+      g.command(s"insert into Rt (id) values ($i)")
+    val vs = g.classVersions("Rt")
+    assert(vs.size == 8, s"retention window: $vs")
+    assert(vs.last - vs.head == 7)
+    // the oldest retained version is readable; earlier ones are gone
+    assert(g.browseClassAsOf("Rt", vs.head).count() == vs.head)
+    intercept[IllegalArgumentException](g.browseClassAsOf("Rt", 1L))
+  }
 }
