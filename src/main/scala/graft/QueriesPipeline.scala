@@ -594,6 +594,12 @@ object QueriesPipeline {
       TextOps.bpeSegmentCounts(docs(s, dir), "doc_id", "text", m)
         .orderBy("doc_id")
     }),
+    "qp_unigram_segment" -> ((s, dir) => {
+      // SentencePiece-style unigram Viterbi segmentation: 16
+      // Bellman-Ford relaxation rounds segment EVERY distinct word in
+      // parallel against the frequency-seeded 200-piece vocab
+      TextOps.unigramSegment(docs(s, dir), "doc_id", "text")
+    }),
     "qp_rand_proj" -> ((s, dir) => {
       // JL sign-projection 64→16: a distance-preserving sketch that
       // shrinks every downstream pair-scoring dot by 4× (one narrow
@@ -620,6 +626,28 @@ object QueriesPipeline {
       val comps = Pca.principalComponents(embs(s, dir), "embedding",
         dim = 64, k = 2).map(_._2)
       Pca.project(embs(s, dir), "vec_id", "embedding", comps)
+        .orderBy("vec_id")
+    }),
+    "qp_pca_persisted" -> ((s, dir) => {
+      // the PCA basis as a DEPLOYED artifact: fit top-2 components,
+      // save through the durable model registry, COLD-reopen, load
+      // and project with the loaded basis — must reproduce
+      // qp_pca_project exactly (parquet round-trips doubles).
+      import graft.engine.GraftSession
+      val tmp = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft-models-pca")
+      if (java.nio.file.Files.exists(tmp))
+        java.nio.file.Files.walk(tmp).sorted(
+          java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.delete(p))
+      java.nio.file.Files.createDirectories(tmp)
+      val eigs = Pca.principalComponents(embs(s, dir), "embedding",
+        dim = 64, k = 2)
+      GraftSession.openDurable(s, dir, tmp.toString)
+        .models.savePcaComponents("pca_basis", eigs)
+      val loaded = GraftSession.openDurable(s, dir, tmp.toString)
+        .models.loadPcaComponents("pca_basis")
+      Pca.project(embs(s, dir), "vec_id", "embedding", loaded.map(_._2))
         .orderBy("vec_id")
     }),
     "qp_hard_negatives" -> ((s, dir) => {
@@ -812,6 +840,14 @@ object QueriesPipeline {
         .filter(col("rnk") <= 3)
         .select("doc_id", "term", "tf", "df", "score", "rnk")
         .orderBy("doc_id", "rnk")
+    }),
+    "qp_domain_keywords" -> ((s, dir) => {
+      // corpus profiling: the 10 most source-characteristic terms per
+      // source by PMI (what a crawl slice is "about" — the evidence
+      // behind mixing-weight decisions)
+      TextOps.domainKeywords(docs(s, dir), "doc_id", "text",
+          "source", k = 10, minCount = 5)
+        .orderBy(col("source"), col("rnk"))
     }),
     "qp_sparse_cosine" -> ((s, dir) => {
       // sparse LEXICAL retrieval: top-3 most tf-idf-cosine-similar
@@ -2198,6 +2234,54 @@ object QueriesPipeline {
          | FROM tok JOIN seg USING (w)
          | GROUP BY 1 ORDER BY doc_id""".stripMargin
     },
+    "qp_unigram_segment" -> {
+      // 16 relaxation rounds generated from the same Scala constants
+      // (vocabSize 200, maxPieceLen 4, maxWordLen 16, UNK 25e6);
+      // row_number argmin ≡ Spark's min(struct(cost, seg))
+      val rounds = (1 to 16).map { t =>
+        s"""d$t AS MATERIALIZED (SELECT word, j, cost, seg FROM (
+           |   SELECT word, j, cost, seg, row_number() OVER (
+           |     PARTITION BY word, j ORDER BY cost, seg) AS rn FROM (
+           |     SELECT word, j, cost, seg FROM d${t - 1}
+           |     UNION ALL
+           |     SELECT e.word, e.j, d.cost + e.cost,
+           |       CASE WHEN d.seg = '' THEN e.piece
+           |         ELSE d.seg || ' ' || e.piece END
+           |     FROM edges e JOIN d${t - 1} d
+           |       ON d.word = e.word AND d.j = e.i))
+           | WHERE rn = 1)""".stripMargin
+      }.mkString(",\n ")
+      s"""WITH toks AS (SELECT unnest(${dTokens("text")}) AS word
+         |   FROM documents),
+         | wf AS (SELECT word, CAST(count(*) AS BIGINT) AS f FROM toks
+         |   WHERE length(word) <= 16 GROUP BY word),
+         | cand AS (SELECT word, f, i,
+         |     unnest(range(1, least(4, length(word) - i) + 1)) AS l
+         |   FROM (SELECT word, f, unnest(range(length(word))) AS i
+         |     FROM wf)),
+         | cp AS (SELECT word, f, i, l, i + l AS j,
+         |     substring(word, i + 1, l) AS piece FROM cand),
+         | pc AS (SELECT piece, CAST(sum(f) AS BIGINT) AS c FROM cp
+         |   GROUP BY piece),
+         | tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM pc),
+         | voc AS (SELECT piece,
+         |     CAST(round(ln(CAST(c AS DOUBLE) / t) * 1e6) AS BIGINT)
+         |       AS sm
+         |   FROM pc CROSS JOIN tot ORDER BY c DESC, piece LIMIT 200),
+         | edges AS MATERIALIZED (
+         |   SELECT cp.word, cp.i, cp.j, cp.piece, -v.sm AS cost
+         |   FROM cp JOIN voc v USING (piece)
+         |   UNION ALL
+         |   SELECT word, i, j, piece, CAST(25000000 AS BIGINT) AS cost
+         |   FROM cp WHERE l = 1),
+         | d0 AS (SELECT word, 0 AS j, CAST(0 AS BIGINT) AS cost,
+         |     '' AS seg FROM wf),
+         | $rounds
+         | SELECT word, f AS freq, cost AS cost_micro, seg
+         | FROM d16 JOIN wf USING (word)
+         | WHERE j = length(word)
+         | ORDER BY f DESC, word LIMIT 30""".stripMargin
+    },
     "qp_rand_proj" -> {
       val rows = Similarity.rademacher(16, 64)
       val scale = math.sqrt(rows.length.toDouble)
@@ -2228,6 +2312,17 @@ object QueriesPipeline {
         |   CROSS JOIN n
         | ORDER BY p.i, p.j""".stripMargin,
     "qp_pca_project" ->
+      s"""$dPcaEigCtes
+         | SELECT vec_id,
+         |   round(${dDot("x", "v1.v")}, 6) + 0.0 AS pc0,
+         |   round(${dDot("x", "v2.v")}, 6) + 0.0 AS pc1
+         | FROM (SELECT vec_id, embedding::DOUBLE[] AS x
+         |   FROM embeddings) CROSS JOIN v1 CROSS JOIN v2
+         | ORDER BY vec_id""".stripMargin,
+    "qp_pca_persisted" ->
+      // qp_pca_project's oracle verbatim: the persisted-basis path
+      // must reproduce the fresh-fit projection exactly — the model
+      // registry round-trip is the delta under test
       s"""$dPcaEigCtes
          | SELECT vec_id,
          |   round(${dDot("x", "v1.v")}, 6) + 0.0 AS pc0,
@@ -2317,6 +2412,24 @@ object QueriesPipeline {
          |     ORDER BY score DESC, term) AS rnk
          |   FROM scored WHERE doc_id < 20)
          | WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+    "qp_domain_keywords" ->
+      s"""WITH toks AS (SELECT source, unnest(${dTokens("text")}) AS term
+         |   FROM documents),
+         | cst AS (SELECT source, term, count(*) AS c FROM toks
+         |   GROUP BY source, term),
+         | ct AS (SELECT term, CAST(sum(c) AS BIGINT) AS ct FROM cst
+         |   GROUP BY term),
+         | ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS ns FROM cst
+         |   GROUP BY source),
+         | nt AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cst),
+         | scored AS (SELECT cst.source, cst.term,
+         |     ln(CAST(cst.c * nt.n AS DOUBLE) / (ns.ns * ct.ct)) AS pmi
+         |   FROM cst JOIN ct USING (term) JOIN ns USING (source)
+         |   CROSS JOIN nt WHERE cst.c >= 5)
+         | SELECT source, term, round(pmi, 6) AS pmi, rnk FROM (
+         |   SELECT *, row_number() OVER (PARTITION BY source
+         |     ORDER BY pmi DESC, term) AS rnk FROM scored)
+         | WHERE rnk <= 10 ORDER BY source, rnk""".stripMargin,
     "qp_sparse_cosine" ->
       s"""WITH toks AS (SELECT doc_id, unnest(${dTokens("text")}) AS term
          |   FROM documents),

@@ -112,4 +112,27 @@ final class ModelStore private[engine] (session: GraftSession) {
       s"model '$name' is kind '${kind(name)}'")
     load(name)
   }
+
+  /** PCA eigenpairs as a (c, lambda, v: array<double>) table — the
+    * `Pca.principalComponents` output, feedable straight back into
+    * `Pca.project` (third deployable artifact kind: fit the basis
+    * once, project every later batch/stream against it). */
+  def savePcaComponents(name: String,
+      eigs: Seq[(Double, Array[Double])]): Unit = {
+    val spark = session.spark
+    import spark.implicits._
+    save(name, "pca",
+      eigs.zipWithIndex.map { case ((l, v), i) => (i, l, v.toSeq) }
+        .toDF("c", "lambda", "v"))
+  }
+
+  /** eigenpairs back, largest-λ first, bit-identical (parquet
+    * round-trips doubles exactly — projections from a loaded basis
+    * equal projections from the freshly-fit one). */
+  def loadPcaComponents(name: String): Seq[(Double, Array[Double])] = {
+    require(kind(name) == "pca", s"model '$name' is kind '${kind(name)}'")
+    load(name).select(col("c"), col("lambda"), col("v")).collect()
+      .sortBy(_.getInt(0))
+      .map(r => (r.getDouble(1), r.getSeq[Double](2).toArray)).toSeq
+  }
 }

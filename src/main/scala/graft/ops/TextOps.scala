@@ -323,6 +323,146 @@ object TextOps {
     out
   }
 
+  /** SentencePiece-style UNIGRAM segmentation (Kudo 2018, inference
+    * half): Viterbi-segment every distinct corpus word into
+    * vocabulary pieces maximizing the summed piece log-probability.
+    * The vocabulary is Kudo's frequency-seeded substring table — the
+    * top `vocabSize` character n-grams (n ≤ maxPieceLen) weighted by
+    * word frequency, scored ln(count/total) in integer micro-nats —
+    * and unknown single characters carry a fixed penalty so every
+    * word segments. Complements [[learnBpeMerges]]: BPE segments by
+    * replaying greedy merges, unigram by global score maximization.
+    *
+    * The Viterbi DP IS a shortest path on each word's position graph
+    * (node = char boundary, edge i→j = the substring piece, cost =
+    * −score). Rather than a per-word driver loop, ALL words relax in
+    * parallel Bellman-Ford style — `maxWordLen` rounds of one
+    * edge-equi-join + (word, node) min-groupBy, the [[
+    * graft.graph.GraphOps.ssspDF]] shape over a DISTINCT-WORD-sized
+    * frame (corpus occurrences never enter the DP). State carries
+    * (cost, seg) and `min(struct(cost, seg))` keeps the argmin
+    * deterministic (exact integer cost, then lexicographic seg) —
+    * bit-identical in any engine, no backtracking pass. Lineage is
+    * truncated every 4 rounds like every iterative algorithm here.
+    *
+    * Returns the segmentations of the `topWords` most frequent words:
+    * (word, freq, cost_micro, seg). */
+  def unigramSegment(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, vocabSize: Int = 200, maxPieceLen: Int = 4,
+      maxWordLen: Int = 16, unkPenaltyMicro: Long = 25000000L,
+      topWords: Int = 30): org.apache.spark.sql.DataFrame = {
+    val ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    val wf = Partitioning.spread(df)
+      .select(explode(tokensWs(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("__f"))
+      .filter(length(col("word")) <= maxWordLen)
+      .persist(ser)
+    // candidate pieces: every (position, length ≤ maxPieceLen) slice
+    // of every distinct word — bounded fan-out ≤ maxWordLen·maxPieceLen
+    val cp = wf
+      .select(col("word"), col("__f"),
+        explode(sequence(lit(0), length(col("word")) - 1)).as("__i"))
+      .select(col("word"), col("__f"), col("__i"),
+        explode(sequence(lit(1),
+          least(lit(maxPieceLen), length(col("word")) - col("__i"))))
+          .as("__l"))
+      .select(col("word"), col("__f"), col("__i"), col("__l"),
+        (col("__i") + col("__l")).as("__j"),
+        expr("substring(word, __i + 1, __l)").as("piece"))
+      .persist(ser)
+    // seed vocab: top pieces by frequency-weighted count, micro-nat
+    // log-prob scores (the 200-row result is control-plane)
+    val pc = cp.groupBy("piece").agg(sum(col("__f")).as("__c"))
+    val tot = pc.agg(sum(col("__c"))).head().getLong(0)
+    val voc = pc.orderBy(col("__c").desc, col("piece")).limit(vocabSize)
+      .select(col("piece"),
+        round(log(col("__c").cast("double") / tot) * 1e6, 0)
+          .cast("long").as("score_micro"))
+    // edge set: vocab pieces at their scores + per-char UNK fallback
+    val edges = cp.select(col("word"), col("__i"), col("__j"),
+        col("piece"), col("__l"))
+      .join(broadcast(voc), Seq("piece"))
+      .select(col("word"), col("__i"), col("__j"), col("piece"),
+        (-col("score_micro")).as("__cost"))
+      .unionByName(cp.filter(col("__l") === 1)
+        .select(col("word"), col("__i"), col("__j"), col("piece"),
+          lit(unkPenaltyMicro).as("__cost")))
+      .persist(ser)
+    edges.count()
+    cp.unpersist()
+    var d = wf.select(col("word"), lit(0).as("__j"),
+      lit(0L).as("__cost"), lit("").as("seg"))
+    for (t <- 1 to maxWordLen) {
+      val step = edges
+        .join(d.select(col("word"), col("__j").as("__i"),
+          col("__cost").as("__pc"), col("seg").as("__ps")),
+          Seq("word", "__i"))
+        .select(col("word"), col("__j"),
+          (col("__pc") + col("__cost")).as("__cost"),
+          when(col("__ps") === "", col("piece"))
+            .otherwise(concat(col("__ps"), lit(" "), col("piece")))
+            .as("seg"))
+      d = d.unionByName(step)
+        .groupBy("word", "__j")
+        .agg(min(struct(col("__cost"), col("seg"))).as("__st"))
+        .select(col("word"), col("__j"),
+          col("__st").getField("__cost").as("__cost"),
+          col("__st").getField("seg").as("seg"))
+      if (t % 4 == 0) d = d.localCheckpoint()
+    }
+    val out = d
+      .join(wf.select(col("word"), col("__f"),
+        length(col("word")).as("__len")), Seq("word"))
+      .filter(col("__j") === col("__len"))
+      .orderBy(col("__f").desc, col("word"))
+      .limit(topWords)
+      .select(col("word"), col("__f").as("freq"),
+        col("__cost").as("cost_micro"), col("seg"))
+      .localCheckpoint()
+    edges.unpersist(); wf.unpersist()
+    out
+  }
+
+  /** Domain-characteristic keyword extraction: top-k terms per
+    * stratum by pointwise mutual information — PMI(s, t) =
+    * ln((c_st/n_s)/(c_t/N)), how much MORE a term occurs in a source
+    * than its corpus rate predicts. The corpus-profiling op behind
+    * "what is this crawl slice actually about" mixing decisions
+    * (Church & Hanks 1990's association ratio applied to
+    * source×term).
+    *
+    * Scale shape: ONE tokenize pass → per-(stratum, term) counts; the
+    * term totals join back on the term key (vocab-sized at 100 TB —
+    * shuffle, never broadcast) while the per-stratum totals broadcast
+    * (strata are few by definition); `minCount` prunes the rare-term
+    * noise floor BEFORE the joins. PMI's integer products stay exact
+    * below 2^53, so the double ln sees the same value in any engine;
+    * ranking rides the shared two-level [[Similarity.rankTopKBy]].
+    * Returns (strataCol, term, pmi, rnk). */
+  def domainKeywords(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, strataCol: String, k: Int = 10,
+      minCount: Int = 5): org.apache.spark.sql.DataFrame = {
+    val cst = Partitioning.spread(df)
+      .select(col(strataCol).as("q_id"),
+        explode(tokensWs(col(textCol))).as("n_id"))
+      .groupBy("q_id", "n_id").agg(count(lit(1)).as("__c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val nTot = cst.agg(sum(col("__c"))).head().getLong(0)
+    val ct = cst.groupBy("n_id").agg(sum(col("__c")).as("__ct"))
+    val ns = cst.groupBy("q_id").agg(sum(col("__c")).as("__ns"))
+    val scored = cst.filter(col("__c") >= minCount)
+      .join(ct, "n_id")
+      .join(broadcast(ns), "q_id")
+      .withColumn("pmi", log((col("__c") * lit(nTot)).cast("double") /
+        (col("__ns") * col("__ct"))))
+    val out = Similarity.rankTopKBy(scored, k, "pmi", ascending = false)
+      .select(col("q_id").as(strataCol), col("n_id").as("term"),
+        col("pmi"), col("rnk"))
+      .localCheckpoint()
+    cst.unpersist()
+    out
+  }
+
   /** word n-grams of a token array, space-joined (empty when fewer
     * than n tokens) — the decontamination unit (benchmark overlap is
     * measured in word n-grams, not characters). */

@@ -61,6 +61,31 @@ class ModelStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("PCA basis round-trips bit-identically; loaded projections equal") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-models-pca").toString
+    val embs = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val eigs = graft.ops.Pca.principalComponents(embs, "embedding",
+      dim = 64, k = 2)
+    val g1 = GraftSession.openDurable(spark, "/root/testdata/sf0.001", root)
+    g1.models.savePcaComponents("basis", eigs)
+    assert(g1.models.kind("basis") == "pca")
+    // cold reopen: bit-identical eigenpairs back, in order
+    val g2 = GraftSession.openDurable(spark, "/root/testdata/sf0.001", root)
+    val loaded = g2.models.loadPcaComponents("basis")
+    assert(loaded.map(_._1) == eigs.map(_._1))
+    assert(loaded.map(_._2.toSeq) == eigs.map(_._2.toSeq))
+    // projections from the loaded basis equal the fresh-fit ones
+    val fresh = graft.ops.Pca.project(embs, "vec_id", "embedding",
+      eigs.map(_._2)).orderBy("vec_id").collect()
+    val replay = graft.ops.Pca.project(embs, "vec_id", "embedding",
+      loaded.map(_._2)).orderBy("vec_id").collect()
+    assert(fresh.sameElements(replay))
+    // kind mismatch is rejected
+    intercept[IllegalArgumentException](g2.models.loadCentroids("basis"))
+  }
+
   test("model ops obey ACL: save needs schema CREATE, load needs READ") {
     val root = java.nio.file.Files
       .createTempDirectory("graft-models-acl").toString

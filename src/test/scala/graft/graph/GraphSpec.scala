@@ -235,4 +235,40 @@ class GraphSpec extends AnyFunSuite {
       .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(iso.toSeq == Seq((1L, 1L), (2L, 2L), (9L, 9L)))
   }
+
+  test("modularity: hand-computed two-triangle bridge; degenerate cases") {
+    import spark.implicits._
+    // two triangles {1,2,3} and {4,5,6} + bridge (3,4): m = 7,
+    // per community m_in = 3 and d_c = 7, so
+    // q_part = (4·7·3 − 49) / (4·49) = 35/196 = 0.178571 each
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L)).toDF("src", "dst")
+    val comm = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L),
+      (6L, 4L)).toDF("id", "community")
+    val got = GraphOps.modularityDF(e, comm).orderBy("community")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(got.toSeq == Seq((1L, 3L, 3L, 7L, 0.178571),
+      (4L, 3L, 3L, 7L, 0.178571)))
+    // everything in one community: Q = m/m − (2m/2m)² = 0 exactly
+    val one = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (5L, 1L),
+      (6L, 1L)).toDF("id", "community")
+    val q1 = GraphOps.modularityDF(e, one).collect()
+    assert(q1.length == 1 && q1.head.getDouble(4) == 0.0)
+    // singleton communities: m_in = 0, q_part = −(d_c/2m)² < 0,
+    // and an edgeless vertex contributes exactly 0
+    val singles = Seq((1L, 1L), (2L, 2L), (9L, 9L)).toDF("id", "community")
+    val qs = GraphOps.modularityDF(Seq((1L, 2L)).toDF("src", "dst"),
+        singles).orderBy("community").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(4)))
+    assert(qs.toSeq == Seq((1L, 0L, -0.25), (2L, 0L, -0.25),
+      (9L, 0L, 0.0)))
+    // label-prop communities on the bridge graph score POSITIVE
+    // (the community structure is real) — integration with labelPropDF
+    val v = (1L to 6L).toDF("id")
+    val lp = GraphOps.labelPropDF(v, e, rounds = 3)
+    val q = GraphOps.modularityDF(e, lp).agg(sum("q_part"))
+      .head().getDouble(0)
+    assert(q > 0.0, s"label-prop modularity $q should be positive")
+  }
 }

@@ -519,4 +519,85 @@ class OpsHygieneSpec extends AnyFunSuite {
     assert(math.abs(mean - 1.0) < 0.15,
       s"mean distance ratio $mean drifted from 1")
   }
+
+  test("sparseCosineTopK: identical docs rank first; df prune; invariant") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"), // exact copy of 1
+      (3L, "alpha beta zeta eta"),    // half overlap with 1/2
+      (4L, "theta iota kappa mu"),    // disjoint vocabulary
+      (5L, "theta iota kappa nu")     // near-copy of 4
+    ).toDF("doc_id", "text")
+    val got = TextOps.sparseCosineTopK(docs, "doc_id", "text",
+        k = 1, maxDf = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // duplicates are each other's nearest; disjoint docs never pair
+    assert(got(1L) == 2L && got(2L) == 1L)
+    assert(got(4L) == 5L && got(5L) == 4L)
+    assert(got(3L) == 1L) // tie between 1 and 2 broken by n_id asc
+    // cosine of the exact copies is 1
+    val cos12 = TextOps.sparseCosineTopK(docs, "doc_id", "text", 1, 5)
+      .filter(col("q_id") === 1).collect().head.getDouble(2)
+    assert(cos12 == 1.0)
+    // maxDf prune: with "alpha" in 3 docs, maxDf = 2 removes it from
+    // scoring entirely (no pair may rely on a pruned term)
+    val pruned = TextOps.sparseCosineTopK(
+      Seq((1L, "alpha solo1"), (2L, "alpha solo2"), (3L, "alpha solo3"))
+        .toDF("doc_id", "text"), "doc_id", "text", k = 1, maxDf = 2)
+    assert(pruned.count() == 0,
+      "pairs must vanish when the only shared term is df-pruned")
+    // partitioning invariance (fixed-point weights, order-free sums)
+    val r1 = TextOps.sparseCosineTopK(docs.repartition(1), "doc_id",
+      "text", 2, 5).orderBy("q_id", "rnk").collect().toSeq
+    val r7 = TextOps.sparseCosineTopK(docs.repartition(7), "doc_id",
+      "text", 2, 5).orderBy("q_id", "rnk").collect().toSeq
+    assert(r1 == r7)
+  }
+
+  test("unigramSegment: coverage, vocab preference, UNK fallback") {
+    // "abab" is frequent enough that the whole word enters the seed
+    // vocab and beats any multi-piece split (ln p(abab) > 2·ln p(ab))
+    val docs = (1L to 20L).map(i => (i, "abab abab abab"))
+      .toDF("doc_id", "text")
+    val got = TextOps.unigramSegment(docs, "doc_id", "text",
+      vocabSize = 50, topWords = 5).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      // every segmentation reassembles its word exactly
+      assert(r.getString(3).replace(" ", "") == r.getString(0))
+    }
+    assert(got.head.getString(0) == "abab")
+    assert(got.head.getString(3) == "abab",
+      s"whole-word vocab piece must win, got '${got.head.getString(3)}'")
+    // UNK fallback: chars never seen in the vocab still segment, and
+    // the cost carries the per-char penalty
+    val rare = (1L to 20L).map(i => (i, "abab")).toDF("doc_id", "text")
+      .unionByName(Seq((21L, "abab xyq")).toDF("doc_id", "text"))
+    val seg = TextOps.unigramSegment(rare, "doc_id", "text",
+      vocabSize = 4, topWords = 10).collect()
+      .map(r => (r.getString(0), r.getString(3))).toMap
+    assert(seg("xyq").replace(" ", "") == "xyq")
+    // partitioning invariance of the full output
+    val docs2 = Tables.load(spark, sf, "documents")
+    val a = TextOps.unigramSegment(docs2.repartition(1), "doc_id",
+      "text", topWords = 10).collect().toSeq
+    val b = TextOps.unigramSegment(docs2.repartition(13), "doc_id",
+      "text", topWords = 10).collect().toSeq
+    assert(a == b)
+  }
+
+  test("domainKeywords: planted domain term tops its stratum") {
+    val base = "the quick brown fox jumps over the lazy dog"
+    val docs = (1L to 40L).map { i =>
+      val s = if (i <= 20) "web" else "code"
+      val extra = if (i <= 20) "hypertext" else "compiler"
+      (i, s"$base $extra $extra", s)
+    }.toDF("doc_id", "text", "source")
+    val got = TextOps.domainKeywords(docs, "doc_id", "text", "source",
+        k = 2, minCount = 5)
+      .filter(col("rnk") === 1)
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    // the planted stratum-exclusive term has maximal PMI in its slice
+    assert(got == Map("web" -> "hypertext", "code" -> "compiler"))
+  }
 }

@@ -189,4 +189,38 @@ class SketchSpec extends AnyFunSuite {
     assert(merged.get(10L) == 3L, "collision must keep the min value")
     assert(merged.size == 3)
   }
+
+  test("kmvSetOps: exact below k, identical/disjoint corpora, invariant") {
+    def vals(xs: Seq[Int]) = xs.map(i => s"item-$i").toDF("v")
+    // identical corpora: Jaccard 1, intersection = union = side counts
+    val a = vals(1 to 100)
+    val idr = Sketch.kmvSetOps(a, vals(1 to 100), col("v"), k = 256)
+      .collect().head
+    assert(idr.getLong(0) == 100 && idr.getLong(1) == 100)
+    assert(idr.getLong(2) == 100 && idr.getLong(3) == 100)
+    assert(idr.getDouble(4) == 1.0)
+    // disjoint below k: everything exact, Jaccard 0
+    val dj = Sketch.kmvSetOps(a, vals(101 to 150), col("v"), k = 256)
+      .collect().head
+    assert((dj.getLong(0), dj.getLong(1), dj.getLong(2),
+      dj.getLong(3)) == ((100L, 50L, 150L, 0L)))
+    assert(dj.getDouble(4) == 0.0)
+    // half overlap below k: exact rational Jaccard
+    val ho = Sketch.kmvSetOps(a, vals(51 to 150), col("v"), k = 256)
+      .collect().head
+    assert((ho.getLong(2), ho.getLong(3)) == ((150L, 50L)))
+    assert(ho.getDouble(4) == math.rint(50.0 / 150.0 * 1e6) / 1e6)
+    // above k: partitioning-invariant (set property of the data) and
+    // the union bound holds (est_union <= est_a + est_b w/ tolerance)
+    val big = vals(1 to 5000)
+    val shifted = vals(2501 to 7500)
+    def run(parts: Int) = Sketch.kmvSetOps(big.repartition(parts),
+      shifted.repartition(parts), col("v"), k = 128).collect().head
+    val r1 = run(1); val r32 = run(32)
+    assert(r1.toSeq == r32.toSeq,
+      s"partitioning changed the sketch: $r1 vs $r32")
+    val jac = r1.getDouble(4)
+    // true Jaccard = 2500/7500 = 1/3; k=128 → σ ≈ 4.2%; allow 4σ
+    assert(math.abs(jac - 1.0 / 3) < 0.17, s"jaccard $jac vs 1/3")
+  }
 }
