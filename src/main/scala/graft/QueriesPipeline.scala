@@ -749,6 +749,22 @@ object QueriesPipeline {
           "vec_id", "embedding", pqCb, k = 5, nProbe = 2)
         .orderBy(col("q_id"), col("rnk"))
     }),
+    "qp_ivfpq_bucketed" -> ((s, dir) => {
+      // IVFADC's full DEPLOYMENT layout: the 64×-smaller CODED table
+      // on disk, one directory per IVF cell; the probe pushes literal
+      // cell predicates (planning-time dir pruning) and ADC-scores
+      // only what it read — same parameters/results as qp_ivfpq_topk
+      val e = embs(s, dir)
+      val cents = e.filter(col("vec_id") < 16)
+      val idxDir = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft-ivfpq-bucketed")
+        .toString
+      Pq.writeIvfPqIndex(e, cents, "vec_id", "embedding", pqCb, idxDir)
+      Pq.ivfPqTopKIndexed(s, idxDir,
+          e.filter(col("vec_id") >= 100 && col("vec_id") < 105),
+          cents, "vec_id", "embedding", pqCb, k = 5, nProbe = 2)
+        .orderBy(col("q_id"), col("rnk"))
+    }),
     "qp_ivfpq_residual" -> ((s, dir) => {
       // true IVFADC: PQ codes quantize the RESIDUAL v − centroid and
       // each (query, probe) pair carries its own residual LUT — ADC
@@ -1440,6 +1456,39 @@ object QueriesPipeline {
 
   /** shared by qp_ivf_topk and qp_ivf_bucketed (identical math +
     * parameters; only the engine-side physical layout differs). */
+  private lazy val ivfPqTopKOracle: String =
+    s"""WITH $dPqCodesCtes,
+       | e AS (SELECT vec_id, v, sqrt(${dDot("v", "v")}) AS nn FROM e0),
+       | cent AS (SELECT vec_id AS cent_id, v AS cv, nn AS cn FROM e
+       |   WHERE vec_id < 16),
+       | cells AS (SELECT vec_id AS n_id, cell FROM (
+       |   SELECT e.vec_id, cent.cent_id AS cell,
+       |     row_number() OVER (PARTITION BY e.vec_id
+       |       ORDER BY ${dDot("e.v", "cent.cv")} / (e.nn * cent.cn) DESC,
+       |         cent.cent_id) AS r
+       |   FROM e CROSS JOIN cent) WHERE r = 1),
+       | q AS (SELECT vec_id AS q_id, v AS qv, nn AS qn FROM e
+       |   WHERE vec_id >= 100 AND vec_id < 105),
+       | probes AS (SELECT q_id, qv, probe FROM (
+       |   SELECT q.q_id, q.qv, cent.cent_id AS probe,
+       |     row_number() OVER (PARTITION BY q.q_id
+       |       ORDER BY ${dDot("q.qv", "cent.cv")} / (q.qn * cent.cn) DESC,
+       |         cent.cent_id) AS r
+       |   FROM q CROSS JOIN cent) WHERE r <= 2),
+       | cand AS (SELECT p.q_id, p.qv, c.n_id FROM probes p JOIN cells c
+       |   ON p.probe = c.cell WHERE p.q_id <> c.n_id),
+       | terms AS (SELECT cand.q_id, cand.n_id, cd.s,
+       |   ${dPqQn2("cand.qv", "cd.s")}
+       |     - 2*${dPqDot("cand.qv", "cd.s", "cb.cv")} + cb.cn2 AS t
+       |   FROM cand JOIN codes cd ON cd.vec_id = cand.n_id
+       |     JOIN cb ON cb.s = cd.s AND cb.j = cd.code),
+       | dists AS (SELECT q_id, n_id, list_sum(list(t ORDER BY s)) AS dist
+       |   FROM terms GROUP BY q_id, n_id),
+       | ranked AS (SELECT q_id, n_id, dist, row_number() OVER (
+       |   PARTITION BY q_id ORDER BY dist, n_id) AS rnk FROM dists)
+       | SELECT q_id, n_id, round(dist, 6) AS dist, rnk FROM ranked
+       | WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+
   private lazy val ivfTopKOracle: String =
     s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
        | e AS (SELECT vec_id, v, sqrt(${dDot("v", "v")}) AS nn FROM e0),
@@ -1989,38 +2038,12 @@ object QueriesPipeline {
          |   PARTITION BY q_id ORDER BY dist, n_id) AS rnk FROM dists)
          | SELECT q_id, n_id, round(dist, 6) AS dist, rnk FROM ranked
          | WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
-    "qp_ivfpq_topk" ->
-      s"""WITH $dPqCodesCtes,
-         | e AS (SELECT vec_id, v, sqrt(${dDot("v", "v")}) AS nn FROM e0),
-         | cent AS (SELECT vec_id AS cent_id, v AS cv, nn AS cn FROM e
-         |   WHERE vec_id < 16),
-         | cells AS (SELECT vec_id AS n_id, cell FROM (
-         |   SELECT e.vec_id, cent.cent_id AS cell,
-         |     row_number() OVER (PARTITION BY e.vec_id
-         |       ORDER BY ${dDot("e.v", "cent.cv")} / (e.nn * cent.cn) DESC,
-         |         cent.cent_id) AS r
-         |   FROM e CROSS JOIN cent) WHERE r = 1),
-         | q AS (SELECT vec_id AS q_id, v AS qv, nn AS qn FROM e
-         |   WHERE vec_id >= 100 AND vec_id < 105),
-         | probes AS (SELECT q_id, qv, probe FROM (
-         |   SELECT q.q_id, q.qv, cent.cent_id AS probe,
-         |     row_number() OVER (PARTITION BY q.q_id
-         |       ORDER BY ${dDot("q.qv", "cent.cv")} / (q.qn * cent.cn) DESC,
-         |         cent.cent_id) AS r
-         |   FROM q CROSS JOIN cent) WHERE r <= 2),
-         | cand AS (SELECT p.q_id, p.qv, c.n_id FROM probes p JOIN cells c
-         |   ON p.probe = c.cell WHERE p.q_id <> c.n_id),
-         | terms AS (SELECT cand.q_id, cand.n_id, cd.s,
-         |   ${dPqQn2("cand.qv", "cd.s")}
-         |     - 2*${dPqDot("cand.qv", "cd.s", "cb.cv")} + cb.cn2 AS t
-         |   FROM cand JOIN codes cd ON cd.vec_id = cand.n_id
-         |     JOIN cb ON cb.s = cd.s AND cb.j = cd.code),
-         | dists AS (SELECT q_id, n_id, list_sum(list(t ORDER BY s)) AS dist
-         |   FROM terms GROUP BY q_id, n_id),
-         | ranked AS (SELECT q_id, n_id, dist, row_number() OVER (
-         |   PARTITION BY q_id ORDER BY dist, n_id) AS rnk FROM dists)
-         | SELECT q_id, n_id, round(dist, 6) AS dist, rnk FROM ranked
-         | WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    "qp_ivfpq_topk" -> ivfPqTopKOracle,
+    "qp_ivfpq_bucketed" ->
+      // ivfPqTopK's oracle verbatim: the on-disk coded index must
+      // reproduce the in-memory IVFADC probe exactly — the
+      // cell-partitioned layout + planning-time pruning is the delta
+      ivfPqTopKOracle,
     "qp_mmr_select" -> {
       // greedy MMR unrolled: pick1 = max λ·rel; each later step
       // penalizes by the max cosine to the already-selected set.

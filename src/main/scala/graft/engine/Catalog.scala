@@ -259,6 +259,33 @@ final class Catalog(spark: SparkSession) {
     spark.read.parquet(s"${classDir(root, key)}/v$version")
   }
 
+  /** Change feed between two committed versions: the full-row diff,
+    * one row per change, tagged `_change` = 'removed' (in `fromV`,
+    * gone by `toV`) or 'added' (new in `toV`). An UPDATE shows as
+    * remove+add of the touched rows only — untouched rows cancel in
+    * the `exceptAll`. Schema evolution between the versions is
+    * handled by null-extending each side to the union of columns
+    * (same rule as polymorphic scans). Multiset semantics: duplicate
+    * rows diff by count, so a dup-insert shows exactly the added
+    * copies. Both sides stay distributed — the diff is two
+    * aggregation-based exceptAlls, never a collect. */
+  def diffVersions(name: String, fromV: Long, toV: Long): DataFrame = {
+    val a = tableAt(name, fromV)
+    val b = tableAt(name, toV)
+    val types = (a.schema ++ b.schema).map(f => f.name -> f.dataType).toMap
+    val cols = (a.columns ++ b.columns).distinct.sorted
+    def canon(df: DataFrame) = {
+      val full = cols.foldLeft(df)((d, c) =>
+        if (d.columns.contains(c)) d
+        else d.withColumn(c, lit(null).cast(types(c))))
+      full.select(cols.map(col): _*)
+    }
+    val ca = canon(a)
+    val cb = canon(b)
+    ca.exceptAll(cb).withColumn("_change", lit("removed"))
+      .unionByName(cb.exceptAll(ca).withColumn("_change", lit("added")))
+  }
+
   /** marker update via write-temp-then-rename: the in-place truncate a
     * plain create(overwrite) does would leave an empty marker if the
     * process died mid-write. The delete+rename window is covered by

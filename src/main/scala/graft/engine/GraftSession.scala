@@ -319,6 +319,13 @@ final class GraftSession private (val spark: SparkSession,
     catalog.tableAt(name, version)
   }
 
+  /** change feed between two committed versions of a durable class:
+    * rows tagged `_change` ∈ {added, removed} (ACL: READ). */
+  def classDiff(name: String, fromV: Long, toV: Long): DataFrame = {
+    checkPermission(classResource(name), "READ")
+    catalog.diffVersions(name, fromV, toV)
+  }
+
   /** runtime-pluggable SQL function (`OSQLEngine.registerFunction`). */
   def registerFunction(name: String, f: Seq[Column] => Column): Unit =
     functions.register(name, f)

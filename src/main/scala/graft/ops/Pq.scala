@@ -119,9 +119,26 @@ object Pq {
         Partitioning.spread(corpus), cents, idCol, vecCol)
       .select(col("n_id"), col("cell"),
         PqEncode.column(col("__cv"), cb).as("codes"))
-    // probe selection reuses the NearestCentroidCells selection loop
-    // driver-side — bit-identical scoring/tie rules to the corpus
-    // assignment expression
+    val probeRows = probeLutRows(queries, cents, cb, idCol, vecCol,
+      nProbe)
+    val probesDf = broadcast(probeRows.toDF("q_id", "probe", "__lut"))
+    Similarity.rankTopKBy(
+      coded.join(probesDf, col("probe") === col("cell"))
+        .filter(col("q_id") =!= col("n_id"))
+        .withColumn("dist",
+          PqAdc.column(col("codes"), col("__lut"), cb.m, cb.ksub))
+        .select(col("q_id"), col("n_id"), col("dist")),
+      k, "dist", ascending = true)
+  }
+
+  /** (q_id, probe cell, ADC LUT) rows for every query × probed cell —
+    * the broadcastable probe plan shared by [[ivfPqTopK]] and the
+    * on-disk [[ivfPqTopKIndexed]]. Probe selection reuses the
+    * NearestCentroidCells loop driver-side — bit-identical scoring
+    * and tie rules to the corpus assignment expression. */
+  private def probeLutRows(queries: DataFrame,
+      cents: Seq[Similarity.Centroid], cb: Codebooks, idCol: String,
+      vecCol: String, nProbe: Int): Seq[(Long, Int, Array[Double])] = {
     val sorted = cents.sortBy(_.cell)
     val dim = sorted.head.cv.size
     val flat = new Array[Double](sorted.size * dim)
@@ -133,7 +150,7 @@ object Pq {
       org.apache.spark.sql.catalyst.expressions.Literal(null),
       sorted.map(_.cell).toArray, flat, sorted.map(_.cn).toArray,
       dim, nProbe)
-    val probeRows = queries
+    queries
       .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
       .collect()
       .flatMap { r =>
@@ -146,6 +163,42 @@ object Pq {
         (0 until probes.numElements())
           .map(i => (r.getLong(0), probes.getInt(i), lut))
       }.toSeq.sortBy(p => (p._1, p._2))
+  }
+
+  /** Materialize the CODED inverted file ON DISK — the IVFADC
+    * deployment layout in full: one corpus pass computes cell
+    * assignment + PQ codes, written directory-partitioned by cell.
+    * The combined shrink multiplies: a probe reads nProbe/k of the
+    * directories, and what it reads is the ~64×-smaller coded table,
+    * not the raw vectors. One-time layout cost at ingestion. */
+  def writeIvfPqIndex(corpus: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, cb: Codebooks,
+      dir: String): Unit = {
+    val cents = Similarity.collectCentroids(centroids, idCol, vecCol)
+    val coded = Similarity.cellAssignments(
+        Partitioning.spread(corpus), cents, idCol, vecCol)
+      .select(col("n_id"), col("cell"),
+        PqEncode.column(col("__cv"), cb).as("codes"))
+    graft.sources.Bucketing.writePartitioned(coded, dir, Seq("cell"))
+  }
+
+  /** Probe an on-disk [[writeIvfPqIndex]] index: probed cells are
+    * resolved up front and pushed as a LITERAL `cell IN (...)`
+    * predicate, so Catalyst prunes the non-probed directories at
+    * PLANNING time; ADC scoring runs on just the codes that were
+    * actually read. Row-identical to the in-memory [[ivfPqTopK]]
+    * (same probe selector, same LUTs, same ranker). */
+  def ivfPqTopKIndexed(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, queries: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, cb: Codebooks, k: Int,
+      nProbe: Int): DataFrame = {
+    import spark.implicits._
+    val cents = Similarity.collectCentroids(centroids, idCol, vecCol)
+    val probeRows = probeLutRows(queries, cents, cb, idCol, vecCol,
+      nProbe)
+    val probeCells = probeRows.map(_._2).distinct.sorted
+    val coded = spark.read.parquet(indexDir)
+      .filter(col("cell").isin(probeCells: _*))
     val probesDf = broadcast(probeRows.toDF("q_id", "probe", "__lut"))
     Similarity.rankTopKBy(
       coded.join(probesDf, col("probe") === col("cell"))

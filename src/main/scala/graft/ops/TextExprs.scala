@@ -238,3 +238,102 @@ case class MergePair(child: Expression, left: String, right: String)
   override protected def withNewChildInternal(
       newChild: Expression): MergePair = copy(child = newChild)
 }
+
+/** Per-word unigram-LM Viterbi segmentation (Kudo 2018, inference):
+  * segment `child` into vocabulary pieces minimizing summed
+  * micro-nat cost, unknown single chars at `unkPenalty`. The DP runs
+  * as ONE compiled pass per word with the ≤vocabSize-entry vocab
+  * riding the expression as a reference object — replacing the
+  * equivalent 16-round Bellman-Ford relaxation over the position
+  * graph (A/B in ScratchR7: the rounds were per-round
+  * join+shuffle-bound, ~7.8 s at sf0.1; this projection is corpus-
+  * parallel with NO shuffle). Tie rule replicated EXACTLY: among
+  * equal-cost paths the lexicographically smallest seg wins,
+  * compared in UTF-8 binary order (what both `min(struct(cost,
+  * seg))` and DuckDB's `ORDER BY cost, seg` compare) — the rule is
+  * compositional because two same-node segs contain identical
+  * non-space chars, so neither can strictly prefix the other and
+  * appending a common suffix preserves their order.
+  *
+  * Returns struct(cost_micro, seg); '' segments to (0, ''). */
+case class UnigramViterbi(child: Expression, pieces: Array[String],
+    scores: Array[Long], unkPenalty: Long, maxPieceLen: Int)
+    extends UnaryExpression {
+  import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("cost_micro", LongType, nullable = false),
+    StructField("seg", StringType, nullable = false)))
+  override def prettyName: String = "unigram_viterbi"
+
+  @transient private lazy val vocab: java.util.HashMap[String, java.lang.Long] = {
+    val m = new java.util.HashMap[String, java.lang.Long]()
+    var i = 0
+    while (i < pieces.length) {
+      val prev = m.get(pieces(i))
+      if (prev == null || prev.longValue() < scores(i))
+        m.put(pieces(i), scores(i)) // duplicate piece keeps best score
+      i += 1
+    }
+    m
+  }
+
+  def compute(w: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    // positions are CODEPOINTS (Spark's substring(word, i+1, l) and
+    // DuckDB's substring both count codepoints — Java code units
+    // would drift on astral chars)
+    val cp = w.toString.codePoints().toArray
+    val n = cp.length
+    val cost = new Array[Long](n + 1)
+    val seg = new Array[String](n + 1)
+    java.util.Arrays.fill(cost, Long.MaxValue)
+    cost(0) = 0L
+    seg(0) = ""
+    var j = 1
+    while (j <= n) {
+      var bestC = Long.MaxValue
+      var bestS: String = null
+      var i = math.max(0, j - maxPieceLen)
+      while (i < j) {
+        if (cost(i) != Long.MaxValue) {
+          val piece = new String(cp, i, j - i)
+          val sc = vocab.get(piece)
+          var edge = if (sc != null) -sc.longValue() else Long.MaxValue
+          if (j - i == 1 && unkPenalty < edge) edge = unkPenalty
+          if (edge != Long.MaxValue) {
+            val c = cost(i) + edge
+            if (c < bestC) {
+              bestC = c
+              bestS = if (seg(i).isEmpty) piece else seg(i) + " " + piece
+            } else if (c == bestC) {
+              val cand = if (seg(i).isEmpty) piece
+                else seg(i) + " " + piece
+              // rare: resolve the tie in UTF-8 binary order
+              if (UTF8String.fromString(cand)
+                  .compareTo(UTF8String.fromString(bestS)) < 0)
+                bestS = cand
+            }
+          }
+        }
+        i += 1
+      }
+      cost(j) = bestC
+      seg(j) = bestS
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](cost(n), UTF8String.fromString(seg(n))))
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    compute(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("unigramViterbi", this,
+      classOf[UnigramViterbi].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): UnigramViterbi = copy(child = newChild)
+}

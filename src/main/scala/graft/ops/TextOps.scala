@@ -335,15 +335,16 @@ object TextOps {
     *
     * The Viterbi DP IS a shortest path on each word's position graph
     * (node = char boundary, edge i→j = the substring piece, cost =
-    * −score). Rather than a per-word driver loop, ALL words relax in
-    * parallel Bellman-Ford style — `maxWordLen` rounds of one
-    * edge-equi-join + (word, node) min-groupBy, the [[
-    * graft.graph.GraphOps.ssspDF]] shape over a DISTINCT-WORD-sized
-    * frame (corpus occurrences never enter the DP). State carries
-    * (cost, seg) and `min(struct(cost, seg))` keeps the argmin
-    * deterministic (exact integer cost, then lexicographic seg) —
-    * bit-identical in any engine, no backtracking pass. Lineage is
-    * truncated every 4 rounds like every iterative algorithm here.
+    * −score); the ORACLE replays it as 16 unrolled Bellman-Ford
+    * relaxation rounds. The engine runs the same DP as ONE compiled
+    * pass per DISTINCT word ([[UnigramViterbi]], the vocab riding the
+    * expression as a ≤vocabSize reference object): a narrow
+    * projection over the distinct-word frame — corpus-parallel, NO
+    * per-round shuffles (A/B vs the equivalent DataFrame relaxation
+    * in ScratchR7 §5: 7.8 → sub-second at sf0.1; corpus occurrences
+    * never enter the DP either way). The (cost, then lexicographic
+    * seg) argmin rule is identical on both paths and bit-identical in
+    * any engine.
     *
     * Returns the segmentations of the `topWords` most frequent words:
     * (word, freq, cost_micro, seg). */
@@ -366,60 +367,33 @@ object TextOps {
         explode(sequence(lit(1),
           least(lit(maxPieceLen), length(col("word")) - col("__i"))))
           .as("__l"))
-      .select(col("word"), col("__f"), col("__i"), col("__l"),
-        (col("__i") + col("__l")).as("__j"),
+      .select(col("word"), col("__f"),
         expr("substring(word, __i + 1, __l)").as("piece"))
-      .persist(ser)
     // seed vocab: top pieces by frequency-weighted count, micro-nat
-    // log-prob scores (the 200-row result is control-plane)
+    // log-prob scores — vocabSize rows, collected as the
+    // control-plane artifact the compiled DP expression carries
     val pc = cp.groupBy("piece").agg(sum(col("__f")).as("__c"))
+      .persist(ser)
     val tot = pc.agg(sum(col("__c"))).head().getLong(0)
-    val voc = pc.orderBy(col("__c").desc, col("piece")).limit(vocabSize)
+    val vocRows = pc.orderBy(col("__c").desc, col("piece"))
+      .limit(vocabSize)
       .select(col("piece"),
         round(log(col("__c").cast("double") / tot) * 1e6, 0)
           .cast("long").as("score_micro"))
-    // edge set: vocab pieces at their scores + per-char UNK fallback
-    val edges = cp.select(col("word"), col("__i"), col("__j"),
-        col("piece"), col("__l"))
-      .join(broadcast(voc), Seq("piece"))
-      .select(col("word"), col("__i"), col("__j"), col("piece"),
-        (-col("score_micro")).as("__cost"))
-      .unionByName(cp.filter(col("__l") === 1)
-        .select(col("word"), col("__i"), col("__j"), col("piece"),
-          lit(unkPenaltyMicro).as("__cost")))
-      .persist(ser)
-    edges.count()
-    cp.unpersist()
-    var d = wf.select(col("word"), lit(0).as("__j"),
-      lit(0L).as("__cost"), lit("").as("seg"))
-    for (t <- 1 to maxWordLen) {
-      val step = edges
-        .join(d.select(col("word"), col("__j").as("__i"),
-          col("__cost").as("__pc"), col("seg").as("__ps")),
-          Seq("word", "__i"))
-        .select(col("word"), col("__j"),
-          (col("__pc") + col("__cost")).as("__cost"),
-          when(col("__ps") === "", col("piece"))
-            .otherwise(concat(col("__ps"), lit(" "), col("piece")))
-            .as("seg"))
-      d = d.unionByName(step)
-        .groupBy("word", "__j")
-        .agg(min(struct(col("__cost"), col("seg"))).as("__st"))
-        .select(col("word"), col("__j"),
-          col("__st").getField("__cost").as("__cost"),
-          col("__st").getField("seg").as("seg"))
-      if (t % 4 == 0) d = d.localCheckpoint()
-    }
-    val out = d
-      .join(wf.select(col("word"), col("__f"),
-        length(col("word")).as("__len")), Seq("word"))
-      .filter(col("__j") === col("__len"))
+      .collect()
+    pc.unpersist()
+    val vit = native(UnigramViterbi(asExpr(col("word")),
+      vocRows.map(_.getString(0)), vocRows.map(_.getLong(1)),
+      unkPenaltyMicro, maxPieceLen))
+    val out = wf
+      .select(col("word"), col("__f"), vit.as("__v"))
       .orderBy(col("__f").desc, col("word"))
       .limit(topWords)
       .select(col("word"), col("__f").as("freq"),
-        col("__cost").as("cost_micro"), col("seg"))
+        col("__v").getField("cost_micro").as("cost_micro"),
+        col("__v").getField("seg").as("seg"))
       .localCheckpoint()
-    edges.unpersist(); wf.unpersist()
+    wf.unpersist()
     out
   }
 

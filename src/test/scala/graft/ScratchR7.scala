@@ -46,6 +46,21 @@ import org.scalatest.funsuite.AnyFunSuite
   * span groupBy and the join-back). Settled: the remaining in-suite
   * delta is the documented skew-safety price.
   *
+  * == 3c. unigram-segmentation A/B (round-7 operator) ==
+  * First implementation ran the Viterbi DP as 16 Bellman-Ford
+  * relaxation rounds over the (word, boundary) position graph —
+  * correct and oracle-matching, but each round is a join + groupBy
+  * with its own exchange: 7.8 s at sf0.1 in-suite, almost entirely
+  * fixed per-round shuffle/task overhead (the frames are distinct-
+  * word-sized and tiny). Replaced by the compiled [[graft.ops.
+  * UnigramViterbi]] expression (same DP, one codegen'd projection
+  * pass, vocab as a 200-entry reference object): 1.13 s isolated,
+  * same oracle hash. The (cost, lexicographic-seg) argmin transfers
+  * exactly because the tie order is compositional — same-node segs
+  * share their non-space chars, so none strictly prefixes another
+  * and appending a common suffix preserves order; the unrolled-SQL
+  * oracle still replays the relaxation form.
+  *
   * == 4. honest residual ==
   * Warm end-to-end ≈ 5.2-5.5 s, in-suite ≈ 6.5-7.5 s: ~15 stages of
   * real shuffle work over 28.9M collision pairs at 5000 docs; no

@@ -374,6 +374,41 @@ class CommandsSpec extends AnyFunSuite {
     intercept[IllegalStateException](gMem.browseClassAsOf("M1", 1L))
   }
 
+  test("version diff: change feed shows only touched rows") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-diff").toString
+    val g = GraftSession.openDurable(spark, root)
+    g.command("create class Cd")
+    g.command("insert into Cd (id, x) values (1, 'a')")  // v1
+    g.command("insert into Cd (id, x) values (2, 'b')")  // v2
+    g.command("update Cd set x = 'b2' where id = 2")     // v3
+    g.command("delete from Cd where id = 1")             // v4
+    val vs = g.classVersions("Cd")
+    assert(vs.size == 4)
+    def changes(f: Long, t: Long): Set[(Long, String, String)] =
+      g.classDiff("Cd", f, t).collect().map { r =>
+        (r.getAs[Long]("id"), r.getAs[String]("x"),
+          r.getAs[String]("_change"))
+      }.toSet
+    // v1 → v2: one insert; untouched row 1 cancels out
+    assert(changes(vs(0), vs(1)) == Set((2L, "b", "added")))
+    // v2 → v3: the update is remove+add of row 2 only
+    assert(changes(vs(1), vs(2)) ==
+      Set((2L, "b", "removed"), (2L, "b2", "added")))
+    // v3 → v4: the delete removes row 1
+    assert(changes(vs(2), vs(3)) == Set((1L, "a", "removed")))
+    // full span composes; reverse direction flips the tags
+    assert(changes(vs(0), vs(3)) ==
+      Set((2L, "b2", "added"), (1L, "a", "removed")))
+    assert(changes(vs(3), vs(0)) ==
+      Set((2L, "b2", "removed"), (1L, "a", "added")))
+    // identical versions: empty feed
+    assert(g.classDiff("Cd", vs(1), vs(1)).count() == 0)
+    // ACL: a strange role can't read history diffs
+    intercept[SecurityException](g.as("stranger").classDiff("Cd",
+      vs(0), vs(1)))
+  }
+
   test("time travel: retention keeps the last 8 commits") {
     val root = java.nio.file.Files
       .createTempDirectory("graft-timetravel-ret").toString

@@ -64,6 +64,44 @@ class BucketingSpec extends AnyFunSuite {
         s"read ${scan.selectedPartitions.partitionCount}")
   }
 
+  test("cell-partitioned IVF-PQ coded index prunes and matches in-memory") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.Pq
+    val dir = "/tmp/graft_ivfpq_index"
+    val emb = Tables.load(spark, sf, "embeddings")
+    val centroids = emb.filter(col("vec_id") < 16)
+    val cb = Pq.codebooks(m = 4, ksub = 16, subDim = 16)
+    Pq.writeIvfPqIndex(emb, centroids, "vec_id", "embedding", cb, dir)
+    val queries = emb.filter(col("vec_id") < 2)
+    val idx = Pq.ivfPqTopKIndexed(spark, dir, queries, centroids,
+      "vec_id", "embedding", cb, k = 5, nProbe = 2)
+    // row-identical to the in-memory IVFADC on the same artifacts
+    val mem = Pq.ivfPqTopK(emb, queries, centroids,
+      "vec_id", "embedding", cb, k = 5, nProbe = 2)
+    assert(idx.orderBy("q_id", "rnk").collect().toSeq ==
+      mem.orderBy("q_id", "rnk").collect().toSeq)
+    // literal probe cells prune directories at planning time, and the
+    // scan reads the CODED columns (codes), never a raw vector column
+    val scan = idx.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.relation.location.rootPaths.exists(
+          _.toString.contains("graft_ivfpq_index")) => f
+    }.head
+    assert(scan.partitionFilters.exists(
+      _.references.exists(_.name == "cell")),
+      "probe cells must prune partitions, not filter rows")
+    val total = spark.read.parquet(dir).queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head.selectedPartitions.partitionCount
+    assert(scan.selectedPartitions.partitionCount <= 4 &&
+      scan.selectedPartitions.partitionCount < total,
+      s"probe must read <=4 of $total cell dirs, " +
+        s"read ${scan.selectedPartitions.partitionCount}")
+    assert(scan.schema.fieldNames.contains("codes") &&
+      !scan.schema.fieldNames.exists(_.contains("cv")),
+      s"scan must read codes only, got ${scan.schema.fieldNames.toSeq}")
+  }
+
   test("bucketed join runs without a shuffle exchange") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
