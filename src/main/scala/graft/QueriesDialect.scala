@@ -155,6 +155,13 @@ object QueriesDialect {
     "qd_agg_fn" -> ((s, dir) => gq(s, dir,
       "select max(o_totalprice) as mx, min(o_totalprice) as mn, " +
         "count() as n from orders")),
+    "qd_approx_distinct" -> ((s, dir) => gq(s, dir,
+      // the KMV sketch surfaced in the dialect: bounded-state
+      // approximate COUNT(DISTINCT); l_suppkey sits under k=256 so it
+      // reports exact, l_orderkey exercises the estimator
+      "select approx_distinct(l_orderkey) as d_ok, " +
+        "approx_distinct(l_suppkey) as d_sk, count() as n " +
+        "from lineitem")),
     "qd_date_coercion" -> ((s, dir) => gq(s, dir,
       // §1.3: string literals coerce against DATE columns on compare
       "select o_orderkey from orders where o_orderdate >= '1997-06-01' " +
@@ -288,6 +295,30 @@ object QueriesDialect {
     "qd_agg_fn" ->
       """SELECT max(o_totalprice) AS mx, min(o_totalprice) AS mn,
         |   count(*) AS n FROM orders""".stripMargin,
+    "qd_approx_distinct" ->
+      // estimator constant generated from the same Scala values
+      // (Sketch.HashSpace, k = 256); hash = first 15 md5 hex chars of
+      // the value's string form, exactly the engine's hash60
+      s"""WITH hok AS (SELECT DISTINCT
+         |     ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)),1,15))
+         |       ::BIGINT AS hv FROM lineitem),
+         | rok AS (SELECT hv, row_number() OVER (ORDER BY hv) AS rn,
+         |     count(*) OVER () AS nd FROM hok),
+         | hsk AS (SELECT DISTINCT
+         |     ('0x' || substr(md5(CAST(l_suppkey AS VARCHAR)),1,15))
+         |       ::BIGINT AS hv FROM lineitem),
+         | rsk AS (SELECT hv, row_number() OVER (ORDER BY hv) AS rn,
+         |     count(*) OVER () AS nd FROM hsk)
+         | SELECT
+         |   (SELECT CASE WHEN max(nd) < 256 THEN max(nd)
+         |     ELSE CAST(round(${255 * graft.ops.Sketch.HashSpace}
+         |       / max(CASE WHEN rn = 256 THEN hv END)) AS BIGINT) END
+         |    FROM rok) AS d_ok,
+         |   (SELECT CASE WHEN max(nd) < 256 THEN max(nd)
+         |     ELSE CAST(round(${255 * graft.ops.Sketch.HashSpace}
+         |       / max(CASE WHEN rn = 256 THEN hv END)) AS BIGINT) END
+         |    FROM rsk) AS d_sk,
+         |   (SELECT count(*) FROM lineitem) AS n""".stripMargin,
     "qd_date_coercion" ->
       """SELECT o_orderkey FROM orders
         | WHERE o_orderdate >= TIMESTAMP '1997-06-01'

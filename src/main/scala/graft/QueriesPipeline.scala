@@ -595,10 +595,15 @@ object QueriesPipeline {
         .orderBy("doc_id")
     }),
     "qp_unigram_segment" -> ((s, dir) => {
-      // SentencePiece-style unigram Viterbi segmentation: 16
-      // Bellman-Ford relaxation rounds segment EVERY distinct word in
-      // parallel against the frequency-seeded 200-piece vocab
+      // SentencePiece-style unigram Viterbi segmentation: the
+      // compiled per-word DP against the frequency-seeded 200-piece
+      // vocab (the oracle replays it as 16 unrolled relaxation rounds)
       TextOps.unigramSegment(docs(s, dir), "doc_id", "text")
+    }),
+    "qp_unigram_em" -> ((s, dir) => {
+      // one hard-EM re-estimation round: segment every distinct word,
+      // count frequency-weighted piece usage, re-score ln(uses/total)
+      TextOps.unigramEmRescore(docs(s, dir), "doc_id", "text")
     }),
     "qp_rand_proj" -> ((s, dir) => {
       // JL sign-projection 64→16: a distance-preserving sketch that
@@ -1456,6 +1461,54 @@ object QueriesPipeline {
 
   /** shared by qp_ivf_topk and qp_ivf_bucketed (identical math +
     * parameters; only the engine-side physical layout differs). */
+  /** unigram-tokenizer CTE chain: seed vocab + position-graph edges +
+    * 16 relaxation rounds to the Viterbi fixpoint `d16`, generated
+    * from the same Scala constants (vocabSize 200, maxPieceLen 4,
+    * maxWordLen 16, UNK 25e6); row_number argmin ≡ the compiled
+    * expression's (cost, lexicographic seg) rule. Shared by
+    * `qp_unigram_segment` and `qp_unigram_em`. */
+  private lazy val dUnigramCtes: String = {
+    val rounds = (1 to 16).map { t =>
+      s"""d$t AS MATERIALIZED (SELECT word, j, cost, seg FROM (
+         |   SELECT word, j, cost, seg, row_number() OVER (
+         |     PARTITION BY word, j ORDER BY cost, seg) AS rn FROM (
+         |     SELECT word, j, cost, seg FROM d${t - 1}
+         |     UNION ALL
+         |     SELECT e.word, e.j, d.cost + e.cost,
+         |       CASE WHEN d.seg = '' THEN e.piece
+         |         ELSE d.seg || ' ' || e.piece END
+         |     FROM edges e JOIN d${t - 1} d
+         |       ON d.word = e.word AND d.j = e.i))
+         | WHERE rn = 1)""".stripMargin
+    }.mkString(",\n ")
+    s"""toks AS (SELECT unnest(${dTokens("text")}) AS word
+       |   FROM documents),
+       | wf AS (SELECT word, CAST(count(*) AS BIGINT) AS f FROM toks
+       |   WHERE length(word) <= 16 GROUP BY word),
+       | cand AS (SELECT word, f, i,
+       |     unnest(range(1, least(4, length(word) - i) + 1)) AS l
+       |   FROM (SELECT word, f, unnest(range(length(word))) AS i
+       |     FROM wf)),
+       | cp AS (SELECT word, f, i, l, i + l AS j,
+       |     substring(word, i + 1, l) AS piece FROM cand),
+       | pc AS (SELECT piece, CAST(sum(f) AS BIGINT) AS c FROM cp
+       |   GROUP BY piece),
+       | tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM pc),
+       | voc AS (SELECT piece,
+       |     CAST(round(ln(CAST(c AS DOUBLE) / t) * 1e6) AS BIGINT)
+       |       AS sm
+       |   FROM pc CROSS JOIN tot ORDER BY c DESC, piece LIMIT 200),
+       | edges AS MATERIALIZED (
+       |   SELECT cp.word, cp.i, cp.j, cp.piece, -v.sm AS cost
+       |   FROM cp JOIN voc v USING (piece)
+       |   UNION ALL
+       |   SELECT word, i, j, piece, CAST(25000000 AS BIGINT) AS cost
+       |   FROM cp WHERE l = 1),
+       | d0 AS (SELECT word, 0 AS j, CAST(0 AS BIGINT) AS cost,
+       |     '' AS seg FROM wf),
+       | $rounds""".stripMargin
+  }
+
   private lazy val ivfPqTopKOracle: String =
     s"""WITH $dPqCodesCtes,
        | e AS (SELECT vec_id, v, sqrt(${dDot("v", "v")}) AS nn FROM e0),
@@ -2257,54 +2310,27 @@ object QueriesPipeline {
          | FROM tok JOIN seg USING (w)
          | GROUP BY 1 ORDER BY doc_id""".stripMargin
     },
-    "qp_unigram_segment" -> {
-      // 16 relaxation rounds generated from the same Scala constants
-      // (vocabSize 200, maxPieceLen 4, maxWordLen 16, UNK 25e6);
-      // row_number argmin ≡ Spark's min(struct(cost, seg))
-      val rounds = (1 to 16).map { t =>
-        s"""d$t AS MATERIALIZED (SELECT word, j, cost, seg FROM (
-           |   SELECT word, j, cost, seg, row_number() OVER (
-           |     PARTITION BY word, j ORDER BY cost, seg) AS rn FROM (
-           |     SELECT word, j, cost, seg FROM d${t - 1}
-           |     UNION ALL
-           |     SELECT e.word, e.j, d.cost + e.cost,
-           |       CASE WHEN d.seg = '' THEN e.piece
-           |         ELSE d.seg || ' ' || e.piece END
-           |     FROM edges e JOIN d${t - 1} d
-           |       ON d.word = e.word AND d.j = e.i))
-           | WHERE rn = 1)""".stripMargin
-      }.mkString(",\n ")
-      s"""WITH toks AS (SELECT unnest(${dTokens("text")}) AS word
-         |   FROM documents),
-         | wf AS (SELECT word, CAST(count(*) AS BIGINT) AS f FROM toks
-         |   WHERE length(word) <= 16 GROUP BY word),
-         | cand AS (SELECT word, f, i,
-         |     unnest(range(1, least(4, length(word) - i) + 1)) AS l
-         |   FROM (SELECT word, f, unnest(range(length(word))) AS i
-         |     FROM wf)),
-         | cp AS (SELECT word, f, i, l, i + l AS j,
-         |     substring(word, i + 1, l) AS piece FROM cand),
-         | pc AS (SELECT piece, CAST(sum(f) AS BIGINT) AS c FROM cp
-         |   GROUP BY piece),
-         | tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM pc),
-         | voc AS (SELECT piece,
-         |     CAST(round(ln(CAST(c AS DOUBLE) / t) * 1e6) AS BIGINT)
-         |       AS sm
-         |   FROM pc CROSS JOIN tot ORDER BY c DESC, piece LIMIT 200),
-         | edges AS MATERIALIZED (
-         |   SELECT cp.word, cp.i, cp.j, cp.piece, -v.sm AS cost
-         |   FROM cp JOIN voc v USING (piece)
-         |   UNION ALL
-         |   SELECT word, i, j, piece, CAST(25000000 AS BIGINT) AS cost
-         |   FROM cp WHERE l = 1),
-         | d0 AS (SELECT word, 0 AS j, CAST(0 AS BIGINT) AS cost,
-         |     '' AS seg FROM wf),
-         | $rounds
+    "qp_unigram_segment" ->
+      s"""WITH $dUnigramCtes
          | SELECT word, f AS freq, cost AS cost_micro, seg
          | FROM d16 JOIN wf USING (word)
          | WHERE j = length(word)
-         | ORDER BY f DESC, word LIMIT 30""".stripMargin
-    },
+         | ORDER BY f DESC, word LIMIT 30""".stripMargin,
+    "qp_unigram_em" ->
+      // the M step over the SAME Viterbi fixpoint: frequency-weighted
+      // piece usage in the chosen segmentations re-scores the vocab
+      s"""WITH $dUnigramCtes,
+         | segs AS (SELECT word, f, seg FROM d16 JOIN wf USING (word)
+         |   WHERE j = length(word)),
+         | uses AS (SELECT piece, CAST(sum(f) AS BIGINT) AS n_uses
+         |   FROM (SELECT unnest(string_split(seg, ' ')) AS piece, f
+         |     FROM segs) GROUP BY piece),
+         | tot2 AS (SELECT CAST(sum(n_uses) AS BIGINT) AS t FROM uses)
+         | SELECT v.piece, v.sm AS seed_score_micro, u.n_uses,
+         |   CAST(round(ln(CAST(u.n_uses AS DOUBLE) / tot2.t) * 1e6)
+         |     AS BIGINT) AS em_score_micro
+         | FROM voc v JOIN uses u USING (piece) CROSS JOIN tot2
+         | ORDER BY v.piece""".stripMargin,
     "qp_rand_proj" -> {
       val rows = Similarity.rademacher(16, 64)
       val scale = math.sqrt(rows.length.toDouble)

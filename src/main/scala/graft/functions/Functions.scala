@@ -35,6 +35,27 @@ object BuiltinFunctions {
     lit(2) * atan2(sqrt(a), sqrt(lit(1) - a)) * lit(6371.0)
   }
 
+  /** KMV approximate COUNT(DISTINCT) (k = 256): the bounded-state
+    * bottom-k sketch aggregate ([[graft.ops.Sketch]]) surfaced as a
+    * dialect function — `select approx_distinct(field) from cls`
+    * costs ≤ k longs of aggregation state instead of shuffling every
+    * distinct value, and groups under k report exact counts. Hash
+    * runs inside the aggregate child (interpreted per row — fine at
+    * dialect scale; corpus-scale callers use `Sketch.kmvDistinct`,
+    * which hashes in a codegen'd projection). Nulls are skipped, as
+    * COUNT(DISTINCT) skips them. */
+  def approxDistinct(args: Seq[Column]): Column = {
+    val k = 256
+    val h = graft.ops.TextOps.hash60(args.head.cast("string"))
+    val mins = org.apache.spark.sql.classic.GraftColumnBridge.column(
+      graft.ops.BottomKDistinct(
+        org.apache.spark.sql.classic.GraftColumnBridge.expression(h), k)
+        .toAggregateExpression())
+    when(size(mins) < k, size(mins).cast("long"))
+      .otherwise(round(lit((k - 1) * graft.ops.Sketch.HashSpace) /
+        element_at(mins, k)).cast("long"))
+  }
+
   val all: Map[String, Seq[Column] => Column] = Map(
     "distance" -> distance _,
     // aggregate surface (reference ships only `max` via the function-
@@ -45,13 +66,15 @@ object BuiltinFunctions {
     "avg" -> ((as: Seq[Column]) => avg(as.head)),
     "count" -> ((as: Seq[Column]) =>
       if (as.isEmpty) count(lit(1)) else count(as.head)),
+    "approx_distinct" -> approxDistinct _,
     "sysdate" -> ((_: Seq[Column]) => current_timestamp())
   )
 
   /** Names treated as aggregates by the SELECT translator (a projection
     * made only of these collapses the result to one row, like the
     * reference's context-accumulator functions). */
-  val aggregateNames: Set[String] = Set("max", "min", "sum", "avg", "count")
+  val aggregateNames: Set[String] =
+    Set("max", "min", "sum", "avg", "count", "approx_distinct")
 }
 
 /** FULLTEXT tokenizer replicating `OPropertyIndexFullText` defaults:

@@ -86,19 +86,29 @@ object Sketch {
     * partial-agg merge of those states. Mergeable across streams /
     * micro-batches like every sketch here. */
   def kmvSetOps(dfA: DataFrame, dfB: DataFrame, value: Column,
+      k: Int): DataFrame =
+    kmvSetOpsTagged(
+      dfA.select(value.as("__v"), lit(true).as("__ia"))
+        .unionByName(dfB.select(value.as("__v"), lit(false).as("__ia"))),
+      col("__v"), col("__ia"), k)
+
+  /** [[kmvSetOps]] over an already-TAGGED union — the streaming form:
+    * both corpora arrive interleaved in one (value, isA) stream and
+    * the three bottom-k states live in the state store (mergeable
+    * across micro-batches like every sketch here), giving a live
+    * corpus-overlap monitor in 3·k longs of state. EventStreamSpec
+    * pins streamed ≡ batch. */
+  def kmvSetOpsTagged(tagged: DataFrame, value: Column, isA: Column,
       k: Int): DataFrame = {
     require(k >= 2, "KMV needs k >= 2")
-    val a = dfA.select(TextOps.hash60(value).as("__h"),
-      lit(true).as("__ia"))
-    val b = dfB.select(TextOps.hash60(value).as("__h"),
-      lit(false).as("__ia"))
     def bk(c: Column) = GraftColumnBridge.column(
       BottomKDistinct(GraftColumnBridge.expression(c), k)
         .toAggregateExpression())
     def est(l: Column) = when(size(l) < k, size(l).cast("long"))
       .otherwise(round(lit((k - 1) * HashSpace) /
         element_at(l, k)).cast("long"))
-    a.unionByName(b)
+    tagged
+      .select(TextOps.hash60(value).as("__h"), isA.as("__ia"))
       .agg(
         bk(col("__h")).as("__lu"),
         bk(when(col("__ia"), col("__h"))).as("__la"),

@@ -352,6 +352,27 @@ object TextOps {
       textCol: String, vocabSize: Int = 200, maxPieceLen: Int = 4,
       maxWordLen: Int = 16, unkPenaltyMicro: Long = 25000000L,
       topWords: Int = 30): org.apache.spark.sql.DataFrame = {
+    val (wf, vit, _) = unigramSeed(df, textCol, vocabSize, maxPieceLen,
+      maxWordLen, unkPenaltyMicro)
+    val out = wf
+      .select(col("word"), col("__f"), vit.as("__v"))
+      .orderBy(col("__f").desc, col("word"))
+      .limit(topWords)
+      .select(col("word"), col("__f").as("freq"),
+        col("__v").getField("cost_micro").as("cost_micro"),
+        col("__v").getField("seg").as("seg"))
+      .localCheckpoint()
+    wf.unpersist()
+    out
+  }
+
+  /** shared seed step for the unigram tokenizer pair: the persisted
+    * (word, __f) distinct-word frame plus the compiled Viterbi column
+    * carrying the frequency-seeded vocab. Caller unpersists `wf`. */
+  private def unigramSeed(df: org.apache.spark.sql.DataFrame,
+      textCol: String, vocabSize: Int, maxPieceLen: Int,
+      maxWordLen: Int, unkPenaltyMicro: Long)
+      : (org.apache.spark.sql.DataFrame, Column, Seq[(String, Long)]) = {
     val ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
     val wf = Partitioning.spread(df)
       .select(explode(tokensWs(col(textCol))).as("word"))
@@ -382,18 +403,50 @@ object TextOps {
           .cast("long").as("score_micro"))
       .collect()
     pc.unpersist()
-    val vit = native(UnigramViterbi(asExpr(col("word")),
+    (wf, native(UnigramViterbi(asExpr(col("word")),
       vocRows.map(_.getString(0)), vocRows.map(_.getLong(1)),
-      unkPenaltyMicro, maxPieceLen))
-    val out = wf
-      .select(col("word"), col("__f"), vit.as("__v"))
-      .orderBy(col("__f").desc, col("word"))
-      .limit(topWords)
-      .select(col("word"), col("__f").as("freq"),
-        col("__v").getField("cost_micro").as("cost_micro"),
-        col("__v").getField("seg").as("seg"))
+      unkPenaltyMicro, maxPieceLen)),
+      vocRows.toSeq.map(r => (r.getString(0), r.getLong(1))))
+  }
+
+  /** One hard-EM re-estimation round for the unigram tokenizer (the
+    * training half of [[unigramSegment]], Kudo 2018 §3.2 with the
+    * Viterbi approximation): segment EVERY distinct word with the
+    * seed vocab, count frequency-weighted piece usage in the chosen
+    * segmentations, and re-score vocab pieces ln(uses/total) — the
+    * rich-get-richer update that prunes pieces Viterbi never picks
+    * (they drop out with zero usage). Returns (piece,
+    * seed_score_micro, n_uses, em_score_micro) for the used vocab
+    * pieces.
+    *
+    * Scale shape: the E step is the compiled per-word DP projection
+    * (no shuffle); the M step is one explode + partial-agg count over
+    * segmentations — distinct-word-sized, never corpus-sized; the
+    * usage total is one control-plane row. */
+  def unigramEmRescore(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, vocabSize: Int = 200, maxPieceLen: Int = 4,
+      maxWordLen: Int = 16, unkPenaltyMicro: Long = 25000000L)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (wf, vit, vocSeed) = unigramSeed(df, textCol, vocabSize,
+      maxPieceLen, maxWordLen, unkPenaltyMicro)
+    val uses = wf
+      .select(col("__f"), vit.getField("seg").as("__seg"))
+      .select(col("__f"), explode(split(col("__seg"), " ")).as("piece"))
+      .groupBy("piece").agg(sum(col("__f")).as("n_uses"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    // total over ALL used pieces including UNK chars — the UNK mass
+    // competes for probability exactly as in the oracle
+    val tot = uses.agg(sum(col("n_uses"))).head().getLong(0)
+    val seed = vocSeed.toDF("piece", "seed_score_micro")
+    val out = seed.join(uses, Seq("piece"))
+      .select(col("piece"), col("seed_score_micro"), col("n_uses"),
+        round(log(col("n_uses").cast("double") / tot) * 1e6, 0)
+          .cast("long").as("em_score_micro"))
+      .orderBy("piece")
       .localCheckpoint()
-    wf.unpersist()
+    uses.unpersist(); wf.unpersist()
     out
   }
 

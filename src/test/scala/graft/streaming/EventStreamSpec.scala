@@ -265,6 +265,33 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("KMV set-ops sketch streams: live corpus-overlap monitor") {
+    // both corpora interleave in one tagged stream; the three bottom-k
+    // states merge across micro-batches — final row must equal the
+    // batch kmvSetOps over the same data split two ways
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Boolean)]
+    val est = graft.ops.Sketch.kmvSetOpsTagged(
+      input.toDF().toDF("v", "ia"), col("v"), col("ia"), k = 64)
+    val q = est.writeStream.format("memory").queryName("kmvso_stream")
+      .outputMode("complete").start()
+    try {
+      input.addData((1 to 40).map(i => (s"w-$i", true)): _*)
+      input.addData((21 to 60).map(i => (s"w-$i", false)): _*)
+      q.processAllAvailable()
+      val got = spark.table("kmvso_stream").collect().head
+      val batch = graft.ops.Sketch.kmvSetOps(
+        (1 to 40).map(i => s"w-$i").toDF("v"),
+        (21 to 60).map(i => s"w-$i").toDF("v"), col("v"), k = 64)
+        .collect().head
+      assert(got.toSeq == batch.toSeq,
+        s"streamed $got must equal batch $batch")
+      // below k everything is exact: 40/40/60 and overlap 20
+      assert(got.toSeq.take(4) == Seq(40L, 40L, 60L, 20L))
+    } finally q.stop()
+  }
+
   test("Count-Min counters aggregate incrementally over a stream") {
     // the CMS counter table is a plain additive aggregation, so it
     // streams as-is: depth×width bounded state in the store, counts
