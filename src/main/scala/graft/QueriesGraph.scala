@@ -94,6 +94,16 @@ object QueriesGraph {
             TradeGraph.edges(s, dir), rounds = 3))
         .orderBy(col("community"))
     }),
+    "qg_random_walks" -> ((s, dir) => {
+      // DeepWalk sampling corpus: 3 deterministic 4-step walks from
+      // each of customers {1,2,3} over the undirected trade graph —
+      // successor = argmin-of-edge-hash (a seeded PRF draw that
+      // replays exactly in SQL; no rand(), no neighbor-ordinal
+      // window)
+      GraphOps.randomWalksDF(TradeGraph.edges(s, dir),
+          sourceIds = Seq(1L, 2L, 3L), nWalks = 3, steps = 4)
+        .orderBy("start", "walk", "step")
+    }),
     "qg_hits" -> ((s, dir) => {
       // hubs (customers) & authorities (suppliers), 3 integer rounds:
       // unnormalized HITS keeps every score an exact integer sum —
@@ -343,7 +353,42 @@ object QueriesGraph {
        | FROM u$rounds GROUP BY a ORDER BY id""".stripMargin
   }
 
+  /** unrolled deterministic random walks: per step, the successor is
+    * the row_number-1 neighbor under (hash60 of the walk:step:edge
+    * key, dst) order — identical to the engine's `min_by(dst,
+    * struct(h, dst))` argmin. */
+  private def randomWalksSql(sources: Seq[Long], nWalks: Int,
+      steps: Int): String = {
+    def dH60(x: String): String =
+      s"('0x' || substr(md5($x),1,15))::BIGINT"
+    val rounds = (1 to steps).map { t =>
+      val key = s"'walk:' || f.start || ':' || f.walk || ':' || $t" +
+        s" || ':' || u.a || ':' || u.b"
+      s"""f$t AS MATERIALIZED (SELECT start, walk, $t AS step, vertex
+         | FROM (SELECT f.start, f.walk, u.b AS vertex,
+         |     row_number() OVER (PARTITION BY f.start, f.walk
+         |       ORDER BY ${dH60(key)}, u.b) AS rn
+         |   FROM f${t - 1} f JOIN und u ON u.a = f.vertex)
+         | WHERE rn = 1)""".stripMargin
+    }.mkString(",\n ")
+    val srcList = sources.mkString("[", ", ", "]")
+    val union = (0 to steps).map(t => s"SELECT * FROM f$t")
+      .mkString("\n UNION ALL ")
+    s"""WITH $edgesCte,
+       | und AS MATERIALIZED (SELECT src AS a, dst AS b FROM e
+       |   UNION ALL SELECT dst, src FROM e),
+       | f0 AS (SELECT s.start, w.walk, 0 AS step, s.start AS vertex
+       |   FROM (SELECT unnest($srcList) AS start) s
+       |   CROSS JOIN (SELECT unnest(range($nWalks)) AS walk) w),
+       | $rounds
+       | SELECT CAST(start AS BIGINT) AS start, CAST(walk AS INT) AS walk,
+       |   CAST(step AS INT) AS step, CAST(vertex AS BIGINT) AS vertex
+       | FROM ($union)
+       | ORDER BY start, walk, step""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "qg_random_walks" -> randomWalksSql(Seq(1L, 2L, 3L), 3, 4),
     "qg_hits" -> hitsSql(3),
     "qg_kcore" -> kcoreSql(3, 6),
     "qg_sssp" -> ssspSql(1L, 4),

@@ -605,6 +605,12 @@ object QueriesPipeline {
       // count frequency-weighted piece usage, re-score ln(uses/total)
       TextOps.unigramEmRescore(docs(s, dir), "doc_id", "text")
     }),
+    "qp_wordpiece_segment" -> ((s, dir) => {
+      // BERT-style WordPiece greedy longest-match segmentation against
+      // the ##-keyed frequency-seeded vocab (the oracle replays the
+      // greedy walk as 16 unrolled longest-edge left-join rounds)
+      TextOps.wordpieceSegment(docs(s, dir), "doc_id", "text")
+    }),
     "qp_rand_proj" -> ((s, dir) => {
       // JL sign-projection 64→16: a distance-preserving sketch that
       // shrinks every downstream pair-scoring dot by 4× (one narrow
@@ -1509,6 +1515,51 @@ object QueriesPipeline {
        | $rounds""".stripMargin
   }
 
+  /** WordPiece CTE chain: the `##`-keyed vocab seed plus 16 unrolled
+    * greedy longest-match rounds (one LEFT JOIN against the per-(word,
+    * position) LONGEST vocab edge per round; an unmatched position
+    * collapses the whole word to '[UNK]' — BERT's rule). Generated
+    * from the same Scala constants (vocabSize 200, maxPieceLen 4,
+    * maxWordLen 16) as `TextOps.wordpieceSegment`. */
+  private lazy val dWordpieceCtes: String = {
+    val rounds = (1 to 16).map { t =>
+      s"""g$t AS MATERIALIZED (SELECT g.word, g.len,
+         |   CASE WHEN g.unk OR g.i >= g.len THEN g.i
+         |     WHEN e.j IS NULL THEN g.len ELSE e.j END AS i,
+         |   CASE WHEN g.unk OR g.i >= g.len THEN g.seg
+         |     WHEN e.j IS NULL THEN '[UNK]'
+         |     WHEN g.seg = '' THEN e.key
+         |     ELSE g.seg || ' ' || e.key END AS seg,
+         |   CASE WHEN g.unk OR (g.i < g.len AND e.j IS NULL)
+         |     THEN TRUE ELSE FALSE END AS unk
+         | FROM g${t - 1} g LEFT JOIN wedges e
+         |   ON e.word = g.word AND e.i = g.i)""".stripMargin
+    }.mkString(",\n ")
+    s"""toks AS (SELECT unnest(${dTokens("text")}) AS word
+       |   FROM documents),
+       | wf AS (SELECT word, CAST(count(*) AS BIGINT) AS f FROM toks
+       |   WHERE length(word) <= 16 GROUP BY word),
+       | cand AS (SELECT word, f, i,
+       |     unnest(range(1, least(4, length(word) - i) + 1)) AS l
+       |   FROM (SELECT word, f, unnest(range(length(word))) AS i
+       |     FROM wf)),
+       | cpk AS (SELECT word, f, i, l, i + l AS j,
+       |     CASE WHEN i = 0 THEN substring(word, i + 1, l)
+       |       ELSE '##' || substring(word, i + 1, l) END AS key
+       |   FROM cand),
+       | kc AS (SELECT key, CAST(sum(f) AS BIGINT) AS c FROM cpk
+       |   GROUP BY key),
+       | voc AS (SELECT key FROM kc ORDER BY c DESC, key LIMIT 200),
+       | wedges AS MATERIALIZED (SELECT word, i, j, key FROM (
+       |   SELECT cpk.word, cpk.i, cpk.j, cpk.key,
+       |     row_number() OVER (PARTITION BY cpk.word, cpk.i
+       |       ORDER BY cpk.l DESC) AS rn
+       |   FROM cpk JOIN voc USING (key)) WHERE rn = 1),
+       | g0 AS (SELECT word, length(word) AS len, 0 AS i, '' AS seg,
+       |     FALSE AS unk FROM wf),
+       | $rounds""".stripMargin
+  }
+
   private lazy val ivfPqTopKOracle: String =
     s"""WITH $dPqCodesCtes,
        | e AS (SELECT vec_id, v, sqrt(${dDot("v", "v")}) AS nn FROM e0),
@@ -2331,6 +2382,11 @@ object QueriesPipeline {
          |     AS BIGINT) AS em_score_micro
          | FROM voc v JOIN uses u USING (piece) CROSS JOIN tot2
          | ORDER BY v.piece""".stripMargin,
+    "qp_wordpiece_segment" ->
+      s"""WITH $dWordpieceCtes
+         | SELECT word, f AS freq, seg
+         | FROM g16 JOIN wf USING (word)
+         | ORDER BY f DESC, word LIMIT 30""".stripMargin,
     "qp_rand_proj" -> {
       val rows = Similarity.rademacher(16, 64)
       val scale = math.sqrt(rows.length.toDouble)

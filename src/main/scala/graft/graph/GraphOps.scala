@@ -450,6 +450,65 @@ object GraphOps {
           col("d_c") * col("d_c")).cast("double") / lit(4.0 * m * m), 6)
           .as("q_part"))
   }
+
+  /** Deterministic DeepWalk random-walk corpus (Perozzi et al. KDD
+    * 2014 §4.1): `nWalks` fixed-length walks from each focal vertex
+    * over the UNDIRECTED graph, emitting the (start, walk, step,
+    * vertex) trace rows that feed skip-gram training. Reference graph
+    * surface: `db/graph/ODatabaseGraphTx.java:63-141` (traversal over
+    * vertex link fields) — here walks are whole-corpus batch
+    * sampling, not per-record navigation.
+    *
+    * "Random" is a seeded PRF, not `rand()` (repo determinism rule):
+    * the step-t successor of vertex u on walk (s, w) is
+    * argmin over neighbors v of hash60("walk:s:w:t:u:v") — each
+    * neighbor is the argmin with equal probability, the draw is
+    * independent across (walk, step, edge) keys, and the choice
+    * replays bit-identically in the oracle.
+    *
+    * Scale shape: the frontier stays |sources|·nWalks rows; each step
+    * is ONE equi-join on the current vertex + ONE partial-combining
+    * `min_by` argmin — neighbor candidates of celebrity vertices
+    * pre-combine map-side, and NO per-vertex window exists anywhere
+    * (the argmin choice rule replaces neighbor-ordinal indexing,
+    * which would need exactly such a window to build). Per-step
+    * localCheckpoint truncates the iterative lineage. */
+  def randomWalksDF(edges: DataFrame, sourceIds: Seq[Long],
+      nWalks: Int, steps: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    require(sourceIds.nonEmpty && nWalks > 0 && steps >= 0,
+      "randomWalksDF needs sources, walks and a step budget")
+    val e = edges.select(col("src"), col("dst"))
+    // undirected adjacency; trade-graph id spaces are disjoint so the
+    // two directions cannot collide, and e is already distinct
+    val und = e.unionByName(
+        e.select(col("dst").as("src"), col("src").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    val starts = sourceIds.flatMap(s => (0 until nWalks).map(w => (s, w)))
+      .toDF("start", "walk")
+    var cur = starts.withColumn("vertex", col("start"))
+      .localCheckpoint()
+    val trace = scala.collection.mutable.ArrayBuffer(
+      cur.withColumn("step", lit(0)))
+    for (t <- 1 to steps) {
+      val key = concat_ws(":", lit("walk"), col("start"), col("walk"),
+        lit(t), col("vertex"), col("dst"))
+      cur = cur.join(und, cur("vertex") === und("src"))
+        .select(col("start"), col("walk"), col("dst"),
+          graft.ops.TextOps.hash60(key).as("__h"))
+        .groupBy("start", "walk")
+        .agg(min_by(col("dst"), struct(col("__h"), col("dst")))
+          .as("vertex"))
+        .localCheckpoint()
+      trace += cur.withColumn("step", lit(t))
+    }
+    val out = trace.reduce(_ unionByName _)
+      .select(col("start"), col("walk"), col("step"), col("vertex"))
+      .localCheckpoint()
+    und.unpersist()
+    out
+  }
 }
 
 /** The trade-graph fixture over the driver tables: customers and

@@ -337,3 +337,68 @@ case class UnigramViterbi(child: Expression, pieces: Array[String],
   override protected def withNewChildInternal(
       newChild: Expression): UnigramViterbi = copy(child = newChild)
 }
+
+/** Greedy longest-match-first WordPiece segmentation (Schuster &
+  * Nakajima 2012; the BERT tokenizer, Devlin et al. 2019 — Wu et al.
+  * 2016 §4.1 describe the greedy inference): walk the word left to
+  * right, at each position take the LONGEST vocabulary piece that
+  * matches (word-initial pieces match bare, continuations match with
+  * the `##` prefix); if no piece matches at some position the WHOLE
+  * word degrades to `[UNK]` — BERT's rule, not a per-char fallback.
+  * Third member of the subword trio: BPE replays learned merges,
+  * unigram optimizes a global score, WordPiece is the greedy
+  * longest-match — all three run as one compiled projection pass per
+  * DISTINCT word with the control-plane vocab riding the expression
+  * as a reference object (no shuffle; the oracle replays the greedy
+  * walk as unrolled left-join rounds, one per consumed position).
+  *
+  * Positions are CODEPOINTS (both Spark's and DuckDB's `substring`
+  * count codepoints). Deterministic: the only choice per position is
+  * max length, which is unique. Returns the space-joined piece
+  * sequence, or the literal `[UNK]`. */
+case class WordpieceSegment(child: Expression, vocab: Array[String],
+    maxPieceLen: Int) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "wordpiece_segment"
+
+  @transient private lazy val set: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](vocab.length * 2)
+    vocab.foreach(s.add)
+    s
+  }
+
+  def compute(w: UTF8String): UTF8String = {
+    val cp = w.toString.codePoints().toArray
+    val n = cp.length
+    if (n == 0) return UTF8String.EMPTY_UTF8
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < n) {
+      var l = math.min(maxPieceLen, n - i)
+      var found: String = null
+      while (l >= 1 && found == null) {
+        val raw = new String(cp, i, l)
+        val key = if (i == 0) raw else "##" + raw
+        if (set.contains(key)) found = key else l -= 1
+      }
+      if (found == null) return UTF8String.fromString("[UNK]")
+      if (sb.length > 0) sb.append(' ')
+      sb.append(found)
+      i += l
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    compute(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wordpieceSegment", this,
+      classOf[WordpieceSegment].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): WordpieceSegment = copy(child = newChild)
+}

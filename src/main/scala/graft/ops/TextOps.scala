@@ -450,6 +450,65 @@ object TextOps {
     out
   }
 
+  /** WordPiece greedy segmentation (Schuster & Nakajima 2012; the
+    * BERT tokenizer): segment the `topWords` most frequent corpus
+    * words by LONGEST-match-first against a frequency-seeded vocab
+    * in which word-initial pieces and `##`-prefixed continuation
+    * pieces compete for the same `vocabSize` budget — a word with an
+    * unmatchable position degrades whole to `[UNK]` (BERT's rule).
+    * Completes the subword trio next to [[learnBpeMerges]] (greedy
+    * merges) and [[unigramSegment]] (global score): same seed
+    * machinery, third inference rule.
+    *
+    * Scale shape identical to [[unigramSegment]]: vocab seeding is
+    * two partial-agg'd aggregations over the distinct-word frame
+    * (bounded ≤ maxWordLen·maxPieceLen candidate fan-out per word);
+    * the greedy walk is ONE compiled projection pass per DISTINCT
+    * word ([[WordpieceSegment]], vocab riding as a ≤vocabSize
+    * reference object) — corpus-parallel, no shuffle; the oracle
+    * replays it as maxWordLen unrolled longest-edge left-join
+    * rounds. Returns (word, freq, seg). */
+  def wordpieceSegment(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, vocabSize: Int = 200, maxPieceLen: Int = 4,
+      maxWordLen: Int = 16, topWords: Int = 30)
+      : org.apache.spark.sql.DataFrame = {
+    val ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    val wf = Partitioning.spread(df)
+      .select(explode(tokensWs(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("__f"))
+      .filter(length(col("word")) <= maxWordLen)
+      .persist(ser)
+    // candidate KEYS: every slice, word-initial bare / mid-word with
+    // the ## continuation prefix — the two populations share the
+    // vocabSize budget exactly as in the oracle CTE
+    val keys = wf
+      .select(col("word"), col("__f"),
+        explode(sequence(lit(0), length(col("word")) - 1)).as("__i"))
+      .select(col("word"), col("__f"), col("__i"),
+        explode(sequence(lit(1),
+          least(lit(maxPieceLen), length(col("word")) - col("__i"))))
+          .as("__l"))
+      .select(col("__f"),
+        when(col("__i") === 0, expr("substring(word, __i + 1, __l)"))
+          .otherwise(concat(lit("##"), expr("substring(word, __i + 1, __l)")))
+          .as("key"))
+    val vocRows = keys.groupBy("key").agg(sum(col("__f")).as("__c"))
+      .orderBy(col("__c").desc, col("key"))
+      .limit(vocabSize)
+      .select("key")
+      .collect().map(_.getString(0))
+    val seg = native(WordpieceSegment(asExpr(col("word")), vocRows,
+      maxPieceLen))
+    val out = wf
+      .select(col("word"), col("__f"), seg.as("seg"))
+      .orderBy(col("__f").desc, col("word"))
+      .limit(topWords)
+      .select(col("word"), col("__f").as("freq"), col("seg"))
+      .localCheckpoint()
+    wf.unpersist()
+    out
+  }
+
   /** Domain-characteristic keyword extraction: top-k terms per
     * stratum by pointwise mutual information — PMI(s, t) =
     * ln((c_st/n_s)/(c_t/N)), how much MORE a term occurs in a source

@@ -271,4 +271,40 @@ class GraphSpec extends AnyFunSuite {
       .head().getDouble(0)
     assert(q > 0.0, s"label-prop modularity $q should be positive")
   }
+
+  test("random walks: shape, adjacency validity, determinism, PRF spread") {
+    import spark.implicits._
+    val e = TradeGraph.edges(spark, sf)
+    val walks = GraphOps.randomWalksDF(e, sourceIds = Seq(1L, 2L),
+      nWalks = 3, steps = 4).persist()
+    // exact trace shape: |sources|·nWalks walks × (steps+1) rows each
+    assert(walks.count() == 2 * 3 * 5)
+    assert(walks.filter(col("step") === 0)
+      .filter(col("vertex") =!= col("start")).count() == 0)
+    // every consecutive (step, step+1) pair is a real undirected edge
+    val und = e.select(col("src"), col("dst"))
+      .unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+    val hops = walks.as("a").join(walks.as("b"),
+        col("a.start") === col("b.start") &&
+          col("a.walk") === col("b.walk") &&
+          col("a.step") + 1 === col("b.step"))
+      .select(col("a.vertex").as("src"), col("b.vertex").as("dst"))
+    assert(hops.join(und, Seq("src", "dst"), "left_anti").count() == 0,
+      "every walk hop must traverse a real edge")
+    // deterministic under re-evaluation and partitioning
+    val again = GraphOps.randomWalksDF(e.repartition(7),
+      sourceIds = Seq(1L, 2L), nWalks = 3, steps = 4)
+    assert(walks.orderBy("start", "walk", "step").collect().toSeq ==
+      again.orderBy("start", "walk", "step").collect().toSeq)
+    // the PRF draw actually varies across walks: from the same start
+    // the 3 walks must not all trace the same path (customer 1 has
+    // many suppliers at sf0.001, collision odds are negligible)
+    val paths = walks.filter(col("start") === 1L)
+      .orderBy("walk", "step").collect()
+      .groupBy(_.getInt(1))
+      .map { case (_, rs) => rs.map(_.getLong(3)).mkString("->") }
+      .toSet
+    assert(paths.size > 1, "walks from one start must diverge")
+    walks.unpersist()
+  }
 }

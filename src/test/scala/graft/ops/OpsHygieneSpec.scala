@@ -586,6 +586,45 @@ class OpsHygieneSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("wordpieceSegment: longest match, ## continuations, whole-word UNK") {
+    // frequent "abab": the whole word enters the vocab and greedy
+    // longest-match takes it in one piece
+    val docs = (1L to 20L).map(i => (i, "abab abab abab"))
+      .toDF("doc_id", "text")
+    val got = TextOps.wordpieceSegment(docs, "doc_id", "text",
+      vocabSize = 50, topWords = 5).collect()
+    assert(got.head.getString(0) == "abab" && got.head.getString(2) == "abab")
+    // continuation pieces carry the ## prefix and reassemble the word
+    val long = (1L to 20L).map(i => (i, "ababab")).toDF("doc_id", "text")
+    val seg6 = TextOps.wordpieceSegment(long, "doc_id", "text",
+      vocabSize = 50, maxPieceLen = 4, topWords = 3).collect()
+      .map(r => (r.getString(0), r.getString(2))).toMap
+    val s = seg6("ababab")
+    assert(s.split(" ").drop(1).forall(_.startsWith("##")),
+      s"continuations must be ##-prefixed, got '$s'")
+    assert(s.replace(" ", "").replace("##", "") == "ababab")
+    // BERT rule: one unmatchable position degrades the WHOLE word.
+    // Hand-ranked seed for {abab×20, ababx×1}: ##b=42, then the
+    // 21-count keys in key order (##a ##ab ##ba ##bab a ab aba abab)
+    // — vocabSize=9 admits 'abab' but NOT the count-1 '##x', so
+    // "ababx" fails at its last position and is [UNK] in full
+    val rare = (1L to 20L).map(i => (i, "abab"))
+      .toDF("doc_id", "text")
+      .unionByName(Seq((21L, "ababx")).toDF("doc_id", "text"))
+    val segU = TextOps.wordpieceSegment(rare, "doc_id", "text",
+      vocabSize = 9, topWords = 10).collect()
+      .map(r => (r.getString(0), r.getString(2))).toMap
+    assert(segU("ababx") == "[UNK]")
+    assert(segU("abab") == "abab")
+    // partitioning invariance of the full output
+    val docs2 = Tables.load(spark, sf, "documents")
+    val a = TextOps.wordpieceSegment(docs2.repartition(1), "doc_id",
+      "text", topWords = 10).collect().toSeq
+    val b = TextOps.wordpieceSegment(docs2.repartition(13), "doc_id",
+      "text", topWords = 10).collect().toSeq
+    assert(a == b)
+  }
+
   test("domainKeywords: planted domain term tops its stratum") {
     val base = "the quick brown fox jumps over the lazy dog"
     val docs = (1L to 40L).map { i =>
