@@ -107,6 +107,24 @@ object QueriesPipeline {
       idx.release()
       out
     }),
+    "qp_bm25_appended" -> ((s, dir) => {
+      // INCREMENTAL maintenance: index the first half of the corpus,
+      // append the second half as an ingestion batch (only the batch
+      // is tokenized), probe the merged index — must reproduce the
+      // full-rebuild ranking exactly (identical oracle to
+      // qp_bm25_topk, the fourth physical path to one ranking)
+      val d = docs(s, dir)
+      val idx0 = TextOps.bm25BuildIndex(
+        d.filter(col("doc_id") < 250), "doc_id", "text")
+      val idx = TextOps.bm25AppendIndex(idx0,
+        d.filter(col("doc_id") >= 250), "doc_id", "text")
+      val out = TextOps.bm25TopKIndexed(idx, "doc_id",
+          terms = Seq("spark", "stream", "join"), k = 10)
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .localCheckpoint()
+      idx.release(); idx0.release()
+      out
+    }),
     "qp_bm25_bucketed" -> ((s, dir) => {
       // the ON-DISK posting layout (qp_ivf_bucketed pattern for text):
       // postings in term-hash bucket dirs, probe pushes the buckets
@@ -910,6 +928,13 @@ object QueriesPipeline {
       TextOps.lmPerplexity(docs(s, dir), "doc_id", "text")
         .orderBy("doc_id")
     }),
+    "qp_kn_perplexity" -> ((s, dir) => {
+      // Kneser-Ney bigram perplexity: the CCNet/KenLM smoothing with
+      // the exact D=3/4 discount — continuation counts reward words
+      // that complete many contexts, not merely frequent ones
+      TextOps.lmPerplexityKn(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
     "qp_top_bigrams" -> ((s, dir) => {
       // corpus-wide bigram frequencies, top 20
       docs(s, dir)
@@ -1678,6 +1703,26 @@ object QueriesPipeline {
       // IDENTICAL oracle to qp_bm25_topk: the index-served path must
       // reproduce the scan path's ranking exactly — that equality IS
       // what this query verifies
+      s"""WITH t AS (SELECT doc_id, ${dTokens("text")} AS ds FROM documents),
+         | d AS (SELECT doc_id, len(ds) AS l,
+         |     len(list_filter(ds, x -> x = 'spark')) AS tf0,
+         |     len(list_filter(ds, x -> x = 'stream')) AS tf1,
+         |     len(list_filter(ds, x -> x = 'join')) AS tf2
+         |   FROM t WHERE len(ds) > 0),
+         | s AS (SELECT count(*) AS n, avg(l) AS avgdl,
+         |     sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+         |     sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+         |     sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+         |   FROM d),
+         | sc AS (SELECT doc_id,
+         |     ${dBm25Term(0)} + ${dBm25Term(1)} + ${dBm25Term(2)} AS score
+         |   FROM d CROSS JOIN s)
+         | SELECT doc_id, round(score, 6) AS bm25 FROM sc
+         | WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    "qp_bm25_appended" ->
+      // IDENTICAL oracle to qp_bm25_topk: build-half + append-half
+      // must reproduce the full-rebuild ranking exactly — that
+      // equality IS what this query verifies
       s"""WITH t AS (SELECT doc_id, ${dTokens("text")} AS ds FROM documents),
          | d AS (SELECT doc_id, len(ds) AS l,
          |     len(list_filter(ds, x -> x = 'spark')) AS tf0,
@@ -2663,6 +2708,41 @@ object QueriesPipeline {
          | WHERE hn_rnk <= 5 ORDER BY q_id, hn_rnk""".stripMargin,
     "qp_lm_perplexity" ->
       s"""$dLmPerDoc
+         | SELECT doc_id, n_bigrams,
+         |   round(-(s / (n_bigrams * 1e6)), 6) AS nll,
+         |   round(exp(-(s / (n_bigrams * 1e6))), 3) AS ppl
+         | FROM perdoc ORDER BY doc_id""".stripMargin,
+    "qp_kn_perplexity" ->
+      // same bigram-type core as dLmPerDoc; the KN probability is
+      // assembled from integer counts in the SAME IEEE op order as
+      // the engine (3 divides, 1 multiply, 1 add; D = 3/4 exact)
+      s"""WITH t AS (SELECT doc_id, ${dTokens("text")} AS tok
+         |   FROM documents),
+         | bi AS (SELECT doc_id, split_part(bg, ' ', 1) AS w1,
+         |     split_part(bg, ' ', 2) AS w2
+         |   FROM (SELECT doc_id, unnest(CASE WHEN len(tok) >= 2 THEN
+         |       list_transform(range(len(tok)-1),
+         |         i -> tok[i+1] || ' ' || tok[i+2])
+         |     ELSE [] END) AS bg FROM t)),
+         | docbi AS (SELECT doc_id, w1, w2, count(*) AS occ FROM bi
+         |   GROUP BY doc_id, w1, w2),
+         | pc AS (SELECT w1, w2, CAST(sum(occ) AS BIGINT) AS c12
+         |   FROM docbi GROUP BY w1, w2),
+         | cts AS (SELECT w1, w2, c12,
+         |   CAST(sum(c12) OVER (PARTITION BY w1) AS BIGINT) AS c1,
+         |   CAST(count(*) OVER (PARTITION BY w1) AS BIGINT) AS n1f,
+         |   CAST(count(*) OVER (PARTITION BY w2) AS BIGINT) AS n1b
+         |   FROM pc),
+         | nbi AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pc),
+         | terms AS (SELECT d.doc_id, d.occ,
+         |     CAST(round(ln(
+         |       greatest(c.c12 * 4 - 3, 0)::DOUBLE / (c.c1 * 4)
+         |       + (c.n1f * 3)::DOUBLE / (c.c1 * 4)
+         |         * (c.n1b::DOUBLE / nbi.n)
+         |     ) * 1e6) AS BIGINT) * d.occ AS tt
+         |   FROM docbi d JOIN cts c USING (w1, w2) CROSS JOIN nbi),
+         | perdoc AS (SELECT doc_id, CAST(sum(occ) AS BIGINT) AS n_bigrams,
+         |     CAST(sum(tt) AS BIGINT) AS s FROM terms GROUP BY doc_id)
          | SELECT doc_id, n_bigrams,
          |   round(-(s / (n_bigrams * 1e6)), 6) AS nll,
          |   round(exp(-(s / (n_bigrams * 1e6))), 3) AS ppl

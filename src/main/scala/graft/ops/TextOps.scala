@@ -835,6 +835,40 @@ object TextOps {
     Bm25Index(postings, lens, st.getLong(0), st.getDouble(1))
   }
 
+  /** INCREMENTAL index maintenance: extend an existing [[Bm25Index]]
+    * with a batch of NEW documents — the ingestion path a deployment
+    * actually runs (tokenizing the whole corpus per batch is the
+    * 100 TB scale-killer; append tokenizes ONLY the batch). The
+    * result is equivalent to [[bm25BuildIndex]] over the full corpus:
+    * per-doc postings/lengths are independent, so the merged frames
+    * are the same multisets, and N/avgdl recompute over the union
+    * lens frame (one row per doc — integer lengths < 2^53 sum
+    * exactly in any order, so avgdl cannot drift from the rebuild).
+    * Batch ids must be NEW: an id already in the index would need a
+    * posting merge (a full-index shuffle — exactly what append
+    * exists to avoid), so colliding batches are rejected via one
+    * doc-count-sized semi-join. Caller releases the RETURNED index;
+    * the input index's frames are reused (not unpersisted). */
+  def bm25AppendIndex(idx: Bm25Index, newDocs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String): Bm25Index = {
+    val np = Partitioning.spread(newDocs)
+      .select(col(idCol).as("__id"),
+        explode(tokensWs(col(textCol))).as("__t"))
+      .groupBy(col("__id"), col("__t"))
+      .agg(count(lit(1)).as("__tf"))
+      .repartition(col("__t"))
+    val nl = np.groupBy(col("__id")).agg(sum(col("__tf")).as("__len"))
+    val collisions = nl.join(idx.lens, Seq("__id"), "left_semi").count()
+    require(collisions == 0,
+      s"bm25AppendIndex: $collisions batch ids already indexed — " +
+        "append is for new documents only")
+    val postings = idx.postings.unionByName(np).persist()
+    val lens = idx.lens.unionByName(nl).persist()
+    val st = lens.agg(count(lit(1)).as("__n"), avg(col("__len")))
+      .collect().head
+    Bm25Index(postings, lens, st.getLong(0), st.getDouble(1))
+  }
+
   /** BM25 top-k FROM the index — no corpus tokenize at query time
     * (plan-pinned: the probe plan contains no generator). Probes the
     * posting table with the literal terms, rebuilds the SAME dense
@@ -1078,6 +1112,62 @@ object TextOps {
     val p = (col("__c12") + lit(addK)) /
       (col("__c1") + lit(addK) * col("__v"))
     docBi.join(counts, Seq("__w1", "__w2")).crossJoin(vocabDf)
+      .withColumn("__t",
+        round(log(p) * 1e6).cast("long") * col("__occ"))
+      .groupBy(col("__id"))
+      .agg(sum(col("__occ")).as("n_bigrams"), sum(col("__t")).as("__s"))
+      .withColumn("__nll", -(col("__s") / (col("n_bigrams") * lit(1e6))))
+      .select(col("__id").as(idCol), col("n_bigrams"),
+        round(col("__nll"), 6).as("nll"),
+        round(exp(col("__nll")), 3).as("ppl"))
+  }
+
+  /** Interpolated Kneser–Ney bigram perplexity (Kneser & Ney 1995;
+    * Chen & Goodman 1999 §2.7) — the smoothing the CCNet pipeline's
+    * KenLM actually uses, upgrading [[lmPerplexity]]'s add-k model:
+    *   p(w2|w1) = max(c12 − D, 0)/c1 + D·N1+(w1·)/c1 · N1+(·w2)/N1+(··)
+    * with the classic absolute discount D = 0.75 = 3/4 EXACT, so
+    * every probability is assembled from integer counts in a fixed
+    * IEEE op sequence (3 divides, 1 multiply, 1 add — bit-identical
+    * in any engine): the continuation probability N1+(·w2)/N1+(··)
+    * scores how many CONTEXTS a word completes, not how often it
+    * occurs — the "San Francisco" effect ("Francisco" is frequent
+    * but only ever follows "San").
+    *
+    * Scale shape mirrors [[lmPerplexity]]: one corpus pass to
+    * per-(doc, bigram) partial aggregates; c1/N1+(w1·)/N1+(·w2) come
+    * from windows over the bigram-TYPE table (vocabulary-sized, never
+    * the corpus — w1 windows share one shuffle, the w2 window is a
+    * second); N1+(··) is an in-plan 1-row aggregate crossJoined in;
+    * per-token log-probs are quantized to integer micro-nats BEFORE
+    * the order-free per-doc sum. Returns (id, n_bigrams, nll, ppl). */
+  def lmPerplexityKn(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Partitioning.spread(df)
+      .select(col(idCol).as("__id"), tokensWs(col(textCol)).as("__tok"))
+    val bi = toks
+      .select(col("__id"), explode(bigrams(col("__tok"))).as("__bg"))
+      .select(col("__id"),
+        substring_index(col("__bg"), " ", 1).as("__w1"),
+        substring_index(col("__bg"), " ", -1).as("__w2"))
+    val docBi = bi.groupBy(col("__id"), col("__w1"), col("__w2"))
+      .agg(count(lit(1)).as("__occ"))
+    val c12 = docBi.groupBy(col("__w1"), col("__w2"))
+      .agg(sum(col("__occ")).as("__c12"))
+    val w1w = Window.partitionBy(col("__w1"))
+    val counts = c12
+      .withColumn("__c1", sum(col("__c12")).over(w1w))
+      .withColumn("__n1f", count(lit(1)).over(w1w))
+      .withColumn("__n1b",
+        count(lit(1)).over(Window.partitionBy(col("__w2"))))
+    val nbi = c12.agg(count(lit(1)).as("__nbi"))
+    // D = 3/4 exact: numerators stay integer until ONE final divide
+    val p = greatest(col("__c12") * 4 - 3, lit(0L)).cast("double") /
+        (col("__c1") * 4) +
+      (col("__n1f") * 3).cast("double") / (col("__c1") * 4) *
+        (col("__n1b").cast("double") / col("__nbi"))
+    docBi.join(counts, Seq("__w1", "__w2")).crossJoin(nbi)
       .withColumn("__t",
         round(log(p) * 1e6).cast("long") * col("__occ"))
       .groupBy(col("__id"))

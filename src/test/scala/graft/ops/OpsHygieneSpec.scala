@@ -625,6 +625,70 @@ class OpsHygieneSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("bm25AppendIndex: append equals rebuild; colliding ids rejected") {
+    val d = Tables.load(spark, sf, "documents")
+    val full = TextOps.bm25BuildIndex(d, "doc_id", "text")
+    val half = TextOps.bm25BuildIndex(d.filter(col("doc_id") < 30),
+      "doc_id", "text")
+    val merged = TextOps.bm25AppendIndex(half,
+      d.filter(col("doc_id") >= 30), "doc_id", "text")
+    // stats identical to the full rebuild (exact integer length sums)
+    assert(merged.nDocs == full.nDocs && merged.avgdl == full.avgdl)
+    // postings and lengths are the same multisets
+    assert(merged.postings.exceptAll(full.postings).count() == 0)
+    assert(full.postings.exceptAll(merged.postings).count() == 0)
+    assert(merged.lens.exceptAll(full.lens).count() == 0)
+    // probing the merged index reproduces the rebuild ranking exactly
+    val terms = full.postings.groupBy("__t")
+      .agg(sum(col("__tf")).as("n"))
+      .orderBy(col("n").desc, col("__t")).limit(2)
+      .collect().map(_.getString(0)).toSeq
+    val ra = TextOps.bm25TopKIndexed(full, "doc_id", terms, k = 20)
+      .collect().toSeq
+    val rb = TextOps.bm25TopKIndexed(merged, "doc_id", terms, k = 20)
+      .collect().toSeq
+    assert(ra == rb)
+    // a batch that re-ships an indexed id must be rejected (it would
+    // need a posting merge — the full-index shuffle append avoids)
+    intercept[IllegalArgumentException] {
+      TextOps.bm25AppendIndex(merged, d.filter(col("doc_id") < 5),
+        "doc_id", "text")
+    }
+    merged.release(); half.release(); full.release()
+  }
+
+  test("lmPerplexityKn: hand-computed discount/continuation, invariance") {
+    // one doc "a b a b": bigrams (a,b)×2, (b,a)×1 → c1(a)=2, c1(b)=1,
+    // N1+(a·)=N1+(b·)=N1+(·a)=N1+(·b)=1, N1+(··)=2, D=3/4:
+    //   p(b|a) = (2·4−3)/(2·4) + 3/(2·4)·(1/2)         = 0.8125
+    //   p(a|b) = (1·4−3)/(1·4) + 3/(1·4)·(1/2)         = 0.625
+    // micro-nat terms −207639·2 + −470004 → nll 0.295094, ppl 1.343
+    val one = Seq((1L, "a b a b")).toDF("doc_id", "text")
+    val r = TextOps.lmPerplexityKn(one, "doc_id", "text").collect().head
+    assert(r.getLong(1) == 3)
+    assert(r.getDouble(2) == 0.295094, s"nll was ${r.getDouble(2)}")
+    assert(r.getDouble(3) == 1.343)
+    // continuation effect ("San Francisco"): both planted bigrams are
+    // singletons with equal context counts, but 'the' completes many
+    // contexts while 'francisco' completes only one — KN must score
+    // p(the|q) > p(francisco|q), i.e. the francisco doc is the more
+    // surprising one; the add-k model cannot see this difference
+    val ctx = (1L to 8L).map(i => (i + 10L, s"w$i the"))
+    val corpus = (ctx ++ Seq((1L, "q the"), (2L, "q francisco"),
+      (3L, "san francisco"))).toDF("doc_id", "text")
+    val kn = TextOps.lmPerplexityKn(corpus, "doc_id", "text")
+      .collect().map(x => (x.getLong(0), x.getDouble(2))).toMap
+    assert(kn(1L) < kn(2L),
+      s"KN must prefer the many-context continuation: ${kn(1L)} vs ${kn(2L)}")
+    // partitioning invariance (fixed-point micro-nat sums)
+    val docs2 = Tables.load(spark, sf, "documents")
+    val a = TextOps.lmPerplexityKn(docs2.repartition(1), "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    val b = TextOps.lmPerplexityKn(docs2.repartition(13), "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b)
+  }
+
   test("domainKeywords: planted domain term tops its stratum") {
     val base = "the quick brown fox jumps over the lazy dog"
     val docs = (1L to 40L).map { i =>
