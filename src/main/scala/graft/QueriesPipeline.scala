@@ -928,6 +928,22 @@ object QueriesPipeline {
       TextOps.lmPerplexity(docs(s, dir), "doc_id", "text")
         .orderBy("doc_id")
     }),
+    "qp_boilerplate" -> ((s, dir) => {
+      // per-domain template-line removal (RefinedWeb cleanup): even
+      // docs get their source's subscribe-footer injected
+      // deterministically from doc_id (qp_pii_redact's convention —
+      // the synthetic corpus shares almost no real 8-token lines), so
+      // each source's header sits in ~half its docs; the integer
+      // 100·d >= 40·n rule flags it while real lines (<= 8% of a
+      // source) survive
+      val aug = docs(s, dir).withColumn("text",
+        when(col("doc_id") % 2 === 0,
+          concat(lit("subscribe to "), col("source"),
+            lit(" newsletter today\n"), col("text")))
+          .otherwise(col("text")))
+      Curation.boilerplateLines(aug, "doc_id", "text", "source")
+        .orderBy("doc_id")
+    }),
     "qp_kn_perplexity" -> ((s, dir) => {
       // Kneser-Ney bigram perplexity: the CCNet/KenLM smoothing with
       // the exact D=3/4 discount — continuation counts reward words
@@ -2712,6 +2728,41 @@ object QueriesPipeline {
          |   round(-(s / (n_bigrams * 1e6)), 6) AS nll,
          |   round(exp(-(s / (n_bigrams * 1e6))), 3) AS ppl
          | FROM perdoc ORDER BY doc_id""".stripMargin,
+    "qp_boilerplate" ->
+      // same re-lining regex as qp_c4_rules; the injected header and
+      // the ALL-INTEGER 100·d >= 40·n boilerplate rule replay exactly
+      s"""WITH aug AS (SELECT doc_id, source,
+         |     CASE WHEN doc_id % 2 = 0 THEN 'subscribe to ' || source
+         |       || ' newsletter today' || chr(10) || text
+         |     ELSE text END AS text
+         |   FROM documents),
+         | lined AS (SELECT doc_id, source, regexp_replace(text,
+         |     '((\\S+ ){7}\\S+) ', '\\1' || chr(10), 'g') AS lt
+         |   FROM aug),
+         | ln AS (SELECT doc_id, source,
+         |     CAST(generate_subscripts(ls, 1) - 1 AS INT) AS pos,
+         |     unnest(ls) AS line
+         |   FROM (SELECT doc_id, source, string_split(lt, chr(10)) AS ls
+         |     FROM lined)),
+         | dl AS (SELECT source, md5(line) AS h,
+         |     count(DISTINCT doc_id) AS d
+         |   FROM ln GROUP BY 1, 2),
+         | nd AS (SELECT source, count(DISTINCT doc_id) AS n
+         |   FROM documents GROUP BY source),
+         | boiler AS (SELECT source, h FROM dl JOIN nd USING (source)
+         |   WHERE 100 * d >= 40 * n AND d >= 3),
+         | fl AS (SELECT l.doc_id, l.pos, l.line,
+         |     (b.h IS NOT NULL) AS bo
+         |   FROM ln l LEFT JOIN boiler b
+         |     ON b.source = l.source AND b.h = md5(l.line))
+         | SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+         |   CAST(sum(CASE WHEN bo THEN 1 ELSE 0 END) AS BIGINT)
+         |     AS n_boiler,
+         |   CAST(sum(CASE WHEN NOT bo THEN 1 ELSE 0 END) AS BIGINT)
+         |     AS n_kept,
+         |   md5(coalesce(string_agg(line, chr(10) ORDER BY pos)
+         |     FILTER (WHERE NOT bo), '')) AS clean_md5
+         | FROM fl GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "qp_kn_perplexity" ->
       // same bigram-type core as dLmPerDoc; the KN probability is
       // assembled from integer counts in the SAME IEEE op order as

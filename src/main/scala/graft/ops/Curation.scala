@@ -352,6 +352,61 @@ object Curation {
     out
   }
 
+  /** Per-domain boilerplate removal (the RefinedWeb/CCNet cleanup
+    * step C4's cross-corpus dup rule doesn't cover — Penedo et al.
+    * 2023 §3.2 drop template lines by intra-domain frequency):
+    * a line is boilerplate in its SOURCE when it appears in at least
+    * `minPct`% of the source's documents (and ≥ `minDocs` docs —
+    * ALL-INTEGER rule `100·d ≥ minPct·n`, no float thresholds), e.g.
+    * nav bars, cookie banners, subscribe footers that repeat on every
+    * page of one site but nowhere else. Emits per-doc counts plus the
+    * md5 of the boilerplate-stripped reassembly (kept lines rejoined
+    * in position order).
+    *
+    * Scale shape: one re-line pass; line frequencies are two
+    * partial-combining aggregations on the (source, line-hash) key —
+    * a hot template line pre-combines map-side, never a line-key
+    * window; per-source doc totals are a source-count-sized frame
+    * joined on source; the reassembly HOF runs once per DOC over its
+    * own bounded line array (per-doc control-sized — not a corpus
+    * hot path). */
+  def boilerplateLines(df: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, lineTokens: Int = 8, minPct: Int = 40,
+      minDocs: Int = 3): DataFrame = {
+    require(lineTokens >= 2 && minPct > 0, "bad boilerplate params")
+    val pat = s"((?:\\S+ ){${lineTokens - 1}}\\S+) "
+    val lines = Partitioning.spread(df)
+      .select(col(idCol).as("__id"), col(sourceCol).as("__src"),
+        posexplode(split(
+          regexp_replace(col(textCol), pat, "$1\n"), "\n"))
+          .as(Seq("__pos", "__line")))
+      .withColumn("__lh", md5(col("__line")))
+      .persist()
+    // distinct docs per (source, line) in two partial-agg stages
+    val docLine = lines.groupBy("__src", "__lh", "__id")
+      .agg(count(lit(1)).as("__dummy"))
+      .groupBy("__src", "__lh").agg(count(lit(1)).as("__d"))
+    val srcDocs = df.groupBy(col(sourceCol).as("__src"))
+      .agg(countDistinct(col(idCol)).as("__n"))
+    val boiler = docLine.join(srcDocs, "__src")
+      .filter(col("__d") * 100 >= col("__n") * minPct &&
+        col("__d") >= minDocs)
+      .select(col("__src"), col("__lh"), lit(true).as("__boiler"))
+    val out = lines
+      .join(boiler, Seq("__src", "__lh"), "left")
+      .withColumn("__bo", coalesce(col("__boiler"), lit(false)))
+      .groupBy(col("__id").as(idCol))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("__bo").cast("long")).as("n_boiler"),
+        sum((!col("__bo")).cast("long")).as("n_kept"),
+        md5(array_join(transform(array_sort(collect_list(
+          when(!col("__bo"), struct(col("__pos"), col("__line"))))),
+          x => x.getField("__line")), "\n")).as("clean_md5"))
+      .localCheckpoint()
+    lines.unpersist()
+    out
+  }
+
   /** Sequence packing: lay the corpus out as a token stream per
     * partition key (documents may span bin boundaries, GPT-style) and
     * bin by the document's starting offset — bin = floor(start/budget)

@@ -625,6 +625,50 @@ class OpsHygieneSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("boilerplateLines: per-source ratio rule, stripped reassembly md5") {
+    // siteA: 4 docs, 3 share the banner line (75% >= 40%, d=3 >= 3);
+    // siteB: 2 docs sharing the SAME banner — below minDocs there, so
+    // the rule is per-source: flagged in A, kept in B
+    val banner = "accept all cookies to continue browsing here today"
+    val bodies = Seq("alpha bravo", "charlie delta", "echo foxtrot",
+      "golf hotel")
+    val rows =
+      bodies.zipWithIndex.map { case (b, i) =>
+        val t = if (i < 3) s"$banner\n$b" else b
+        (i.toLong, t, "siteA")
+      } ++ Seq((10L, s"$banner\nindia juliet", "siteB"),
+        (11L, s"$banner\nkilo lima", "siteB"))
+    val df = rows.toDF("doc_id", "text", "source")
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val got = Curation.boilerplateLines(df, "doc_id", "text", "source",
+        minPct = 40, minDocs = 3)
+      .orderBy("doc_id").collect()
+    val byId = got.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    // banner stripped from siteA docs 0-2; body survives byte-exact
+    for (i <- 0L to 2L) {
+      assert(byId(i)._2 == 1 && byId(i)._3 == 1, s"doc $i: ${byId(i)}")
+      assert(byId(i)._4 == md5hex(bodies(i.toInt)))
+    }
+    assert(byId(3L) == ((1L, 0L, 1L, md5hex("golf hotel"))))
+    // siteB keeps the banner (only 2 of its docs carry it): reassembly
+    // is the full two-line text
+    assert(byId(10L)._2 == 0 && byId(10L)._4 ==
+      md5hex(s"$banner\nindia juliet"))
+    // partitioning invariance on the real table (+ injected header)
+    val docs2 = Tables.load(spark, sf, "documents")
+      .withColumn("text", concat(lit("visit "), col("source"),
+        lit(" now\n"), col("text")))
+    val a = Curation.boilerplateLines(docs2.repartition(1), "doc_id",
+      "text", "source").orderBy("doc_id").collect().toSeq
+    val b = Curation.boilerplateLines(docs2.repartition(13), "doc_id",
+      "text", "source").orderBy("doc_id").collect().toSeq
+    assert(a == b)
+    assert(a.forall(_.getLong(2) >= 1), "injected header must be flagged")
+  }
+
   test("bm25AppendIndex: append equals rebuild; colliding ids rejected") {
     val d = Tables.load(spark, sf, "documents")
     val full = TextOps.bm25BuildIndex(d, "doc_id", "text")
