@@ -104,6 +104,16 @@ object QueriesGraph {
           sourceIds = Seq(1L, 2L, 3L), nWalks = 3, steps = 4)
         .orderBy("start", "walk", "step")
     }),
+    "qg_walk_skipgrams" -> ((s, dir) => {
+      // the DeepWalk harvest: window-2 skip-gram (center, context)
+      // pair counts over the same walk corpus qg_random_walks emits —
+      // the frame word2vec actually trains on
+      GraphOps.walkSkipgrams(
+        GraphOps.randomWalksDF(TradeGraph.edges(s, dir),
+          sourceIds = Seq(1L, 2L, 3L), nWalks = 3, steps = 4),
+        window = 2)
+        .orderBy("center", "context")
+    }),
     "qg_hits" -> ((s, dir) => {
       // hubs (customers) & authorities (suppliers), 3 integer rounds:
       // unnormalized HITS keeps every score an exact integer sum —
@@ -387,7 +397,21 @@ object QueriesGraph {
        | ORDER BY start, walk, step""".stripMargin
   }
 
+  /** the walk CTE chain re-used, then the window-`w` pair count. */
+  private def walkSkipgramsSql(sources: Seq[Long], nWalks: Int,
+      steps: Int, w: Int): String = {
+    val walksSql = randomWalksSql(sources, nWalks, steps)
+    s"""WITH tr AS ($walksSql)
+       | SELECT a.vertex AS center, b.vertex AS context,
+       |   CAST(count(*) AS BIGINT) AS n
+       | FROM tr a JOIN tr b
+       |   ON a.start = b.start AND a.walk = b.walk
+       |   AND a.step <> b.step AND abs(a.step - b.step) <= $w
+       | GROUP BY 1, 2 ORDER BY center, context""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "qg_walk_skipgrams" -> walkSkipgramsSql(Seq(1L, 2L, 3L), 3, 4, 2),
     "qg_random_walks" -> randomWalksSql(Seq(1L, 2L, 3L), 3, 4),
     "qg_hits" -> hitsSql(3),
     "qg_kcore" -> kcoreSql(3, 6),

@@ -509,6 +509,26 @@ object GraphOps {
     und.unpersist()
     out
   }
+
+  /** Skip-gram training pairs from a [[randomWalksDF]] trace (the
+    * DeepWalk §4.2 co-occurrence harvest): every ordered (center,
+    * context) vertex pair within `window` steps on the SAME walk,
+    * with multiplicity — exactly the corpus word2vec trains on.
+    * One equi-join on the (start, walk) key + a partial-combining
+    * pair count; the per-walk frame is steps+1 rows, so the join
+    * fan-out is bounded by 2·window per row. */
+  def walkSkipgrams(walks: DataFrame, window: Int): DataFrame = {
+    require(window >= 1, "skip-gram window must be >= 1")
+    val a = walks.select(col("start"), col("walk"),
+      col("step").as("__sa"), col("vertex").as("center"))
+    val b = walks.select(col("start"), col("walk"),
+      col("step").as("__sb"), col("vertex").as("context"))
+    a.join(b, Seq("start", "walk"))
+      .filter(col("__sa") =!= col("__sb") &&
+        abs(col("__sa") - col("__sb")) <= window)
+      .groupBy("center", "context")
+      .agg(count(lit(1)).as("n"))
+  }
 }
 
 /** The trade-graph fixture over the driver tables: customers and

@@ -307,4 +307,24 @@ class GraphSpec extends AnyFunSuite {
     assert(paths.size > 1, "walks from one start must diverge")
     walks.unpersist()
   }
+
+  test("walkSkipgrams: windowed pair multiplicities on a known trace") {
+    import spark.implicits._
+    // one walk 10→20→30, one walk 10→20 (a second (start, walk) key)
+    val tr = Seq((1L, 0, 0, 10L), (1L, 0, 1, 20L), (1L, 0, 2, 30L),
+        (1L, 1, 0, 10L), (1L, 1, 1, 20L))
+      .toDF("start", "walk", "step", "vertex")
+    val w1 = GraphOps.walkSkipgrams(tr, window = 1)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+      .toMap
+    // adjacent pairs only; (10,20) occurs on BOTH walks
+    assert(w1 == Map((10L, 20L) -> 2L, (20L, 10L) -> 2L,
+      (20L, 30L) -> 1L, (30L, 20L) -> 1L))
+    val w2 = GraphOps.walkSkipgrams(tr, window = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+      .toMap
+    // window 2 adds the distance-2 (10,30) pair both ways — and pairs
+    // NEVER cross walks (10@walk1 sees no 30)
+    assert(w2 == w1 ++ Map((10L, 30L) -> 1L, (30L, 10L) -> 1L))
+  }
 }
