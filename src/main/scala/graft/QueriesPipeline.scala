@@ -23,6 +23,15 @@ object QueriesPipeline {
 
   private val stop = graft.functions.FullText.stopWords
 
+  /** typed phrase dictionary for qp_entities — both the Spark query
+    * and the VALUES-literal oracle are generated from this one list
+    * (CLAUDE.md seeded-constants rule; phrases are corpus-organic). */
+  private val EntityGazetteer: Seq[(String, String)] = Seq(
+    ("hash join", "operator"), ("merge join", "operator"),
+    ("table scan", "operator"), ("sort merge", "operator"),
+    ("spark", "engine"),
+    ("stream", "mode"), ("batch", "mode"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- dedup -------------------------------------------------------
     "qp_dedup_exact" -> ((s, dir) => {
@@ -927,6 +936,14 @@ object QueriesPipeline {
       // CCNet-style quality signal: add-k bigram LM perplexity per doc
       TextOps.lmPerplexity(docs(s, dir), "doc_id", "text")
         .orderBy("doc_id")
+    }),
+    "qp_entities" -> ((s, dir) => {
+      // gazetteer NER-lite over the corpus's own phrase inventory:
+      // typed 1/2-token dictionary, broadcast against one tokenize
+      // pass feeding both arities; overlapping phrases each count
+      TextOps.extractEntities(docs(s, dir), "doc_id", "text",
+          gazetteer = EntityGazetteer)
+        .orderBy("doc_id", "etype")
     }),
     "qp_boilerplate" -> ((s, dir) => {
       // per-domain template-line removal (RefinedWeb cleanup): even
@@ -2728,6 +2745,24 @@ object QueriesPipeline {
          |   round(-(s / (n_bigrams * 1e6)), 6) AS nll,
          |   round(exp(-(s / (n_bigrams * 1e6))), 3) AS ppl
          | FROM perdoc ORDER BY doc_id""".stripMargin,
+    "qp_entities" -> {
+      val vals = EntityGazetteer
+        .map { case (p, t) => s"('${p}', '${t}')" }.mkString(", ")
+      s"""WITH g AS (SELECT * FROM (VALUES $vals) AS v(phrase, etype)),
+         | t AS (SELECT doc_id, ${dTokens("text")} AS tok
+         |   FROM documents),
+         | u AS (SELECT doc_id, unnest(tok) AS phrase FROM t),
+         | b AS (SELECT doc_id, unnest(CASE WHEN len(tok) >= 2 THEN
+         |     list_transform(range(len(tok)-1),
+         |       i -> tok[i+1] || ' ' || tok[i+2])
+         |   ELSE [] END) AS phrase FROM t),
+         | m AS (SELECT x.doc_id, g.etype, g.phrase
+         |   FROM (SELECT * FROM u UNION ALL SELECT * FROM b) x
+         |   JOIN g USING (phrase))
+         | SELECT doc_id, etype, CAST(count(*) AS BIGINT) AS n_mentions,
+         |   CAST(count(DISTINCT phrase) AS BIGINT) AS n_distinct
+         | FROM m GROUP BY 1, 2 ORDER BY doc_id, etype""".stripMargin
+    },
     "qp_boilerplate" ->
       // same re-lining regex as qp_c4_rules; the injected header and
       // the ALL-INTEGER 100·d >= 40·n boilerplate rule replay exactly

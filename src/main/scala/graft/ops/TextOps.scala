@@ -509,6 +509,46 @@ object TextOps {
     out
   }
 
+  /** Gazetteer entity extraction (NER-lite, the dictionary half of
+    * classic entity tagging — phrase lists are how production
+    * pipelines tag domain entities without a model): count mentions
+    * of typed 1- and 2-token phrases per document. Matching is
+    * case-folded exact phrase equality over the whitespace token
+    * stream; overlapping phrases each count ("sort merge join" hits
+    * both "sort merge" and "merge join" — phrase-level counting,
+    * deterministic on both sides of the oracle).
+    *
+    * Scale shape: the gazetteer is control-plane (entity dictionaries
+    * are thousands of rows) and rides a BROADCAST join against the
+    * exploded unigram + bigram streams — one tokenize pass feeds
+    * both arities; per-(doc, type) counts partial-combine map-side.
+    * Returns (idCol, etype, n_mentions, n_distinct). */
+  def extractEntities(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, gazetteer: Seq[(String, String)])
+      : org.apache.spark.sql.DataFrame = {
+    require(gazetteer.nonEmpty &&
+      gazetteer.forall(_._1.split(" ").length <= 2),
+      "gazetteer phrases must be 1 or 2 tokens")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val g = broadcast(gazetteer.toDF("phrase", "etype"))
+    val toks = Partitioning.spread(df)
+      .select(col(idCol).as("__id"), tokensWs(col(textCol)).as("__tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val uni = toks.select(col("__id"),
+      explode(col("__tok")).as("phrase"))
+    val bi = toks.select(col("__id"),
+      explode(bigrams(col("__tok"))).as("phrase"))
+    val out = uni.unionByName(bi)
+      .join(g, "phrase")
+      .groupBy(col("__id").as(idCol), col("etype"))
+      .agg(count(lit(1)).as("n_mentions"),
+        countDistinct(col("phrase")).as("n_distinct"))
+      .localCheckpoint()
+    toks.unpersist()
+    out
+  }
+
   /** Domain-characteristic keyword extraction: top-k terms per
     * stratum by pointwise mutual information — PMI(s, t) =
     * ln((c_st/n_s)/(c_t/N)), how much MORE a term occurs in a source

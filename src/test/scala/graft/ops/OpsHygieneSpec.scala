@@ -625,6 +625,40 @@ class OpsHygieneSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("extractEntities: arity mix, overlap counting, case folding") {
+    val gaz = Seq(("sort merge", "op"), ("merge join", "op"),
+      ("spark", "engine"), ("paris", "city"))
+    // "sort merge join" overlaps both op bigrams; SPARK case-folds;
+    // phrase words alone ("merge") never match as unigrams
+    val df = Seq(
+      (1L, "the sort merge join runs on SPARK in paris"),
+      (2L, "merge sort alone matches nothing"),
+      (3L, "spark spark paris")).toDF("doc_id", "text")
+    val got = TextOps.extractEntities(df, "doc_id", "text", gaz)
+      .collect()
+      .map(r => ((r.getLong(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      (1L, "op") -> ((2L, 2L)),      // sort merge + merge join
+      (1L, "engine") -> ((1L, 1L)),
+      (1L, "city") -> ((1L, 1L)),
+      (3L, "engine") -> ((2L, 1L)),  // two mentions, one distinct
+      (3L, "city") -> ((1L, 1L))))
+    // 3+-token phrases are rejected (the two-arity stream contract)
+    intercept[IllegalArgumentException] {
+      TextOps.extractEntities(df, "doc_id", "text",
+        Seq(("a b c", "bad")))
+    }
+    // partitioning invariance on the real corpus with the real list
+    val docs2 = Tables.load(spark, sf, "documents")
+    val gaz2 = Seq(("hash join", "operator"), ("spark", "engine"))
+    val a = TextOps.extractEntities(docs2.repartition(1), "doc_id",
+      "text", gaz2).orderBy("doc_id", "etype").collect().toSeq
+    val b = TextOps.extractEntities(docs2.repartition(13), "doc_id",
+      "text", gaz2).orderBy("doc_id", "etype").collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
   test("boilerplateLines: per-source ratio rule, stripped reassembly md5") {
     // siteA: 4 docs, 3 share the banner line (75% >= 40%, d=3 >= 3);
     // siteB: 2 docs sharing the SAME banner — below minDocs there, so
