@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: at 169 suite queries the 8g heap's ~4.8g storage
+  // pool thrashes — persisted frames from neighboring queries evict
+  // each other and EVERY query inflates ~1.5x (bench r7 A/B; the
+  // box has 128 GiB, the executors-in-one-JVM model wants headroom)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

@@ -62,6 +62,18 @@ object Bench {
           false
       }
     }.toSet
+    // SPARK_GRAFT_STORAGE_LOG=1: after each timed query, print the
+    // persistent-RDD count and total cached memory — the diagnostic
+    // for suite-level storage debris (blocks a query leaves behind
+    // slow every LATER query; the r7 1.5x suite-wide inflation hunt)
+    val storageLog = sys.env.get("SPARK_GRAFT_STORAGE_LOG").contains("1")
+    def storageLine(tag: String): Unit = if (storageLog) {
+      val rdds = spark.sparkContext.getPersistentRDDs
+      val mem = spark.sparkContext.getRDDStorageInfo
+        .map(i => i.memSize + i.diskSize).sum
+      System.err.println(
+        s"[storage] $tag rdds=${rdds.size} bytes=$mem")
+    }
     val times = scala.collection.mutable
       .Map[String, Vector[Double]]().withDefaultValue(Vector())
     for (_ <- 1 to rounds; n <- names if ok(n)) {
@@ -74,6 +86,7 @@ object Bench {
       val t0 = System.nanoTime()
       run(SparkEntry.queries(n)(spark, sfDir))
       times(n) = times(n) :+ (System.nanoTime() - t0) / 1e9
+      storageLine(n)
     }
     def median(v: Vector[Double]): Double = {
       val s = v.sorted

@@ -494,7 +494,11 @@ object GraphOps {
     for (t <- 1 to steps) {
       val key = concat_ws(":", lit("walk"), col("start"), col("walk"),
         lit(t), col("vertex"), col("dst"))
-      cur = cur.join(und, cur("vertex") === und("src"))
+      // the frontier is |sources|·nWalks rows BY CONSTRUCTION — force
+      // the broadcast (localCheckpoint hides its size from Catalyst,
+      // which would otherwise sort-merge-shuffle the whole adjacency
+      // every step: A/B 3.1 → sub-second at sf0.1)
+      cur = broadcast(cur).join(und, cur("vertex") === und("src"))
         .select(col("start"), col("walk"), col("dst"),
           graft.ops.TextOps.hash60(key).as("__h"))
         .groupBy("start", "walk")
