@@ -46,6 +46,15 @@ object Bench {
       // the exploded corpus. Measured: minhash 1.62 -> 1.36 s.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         100000)
+      // long-running-driver hygiene (the standard cluster settings):
+      // AppStatusListener retains 1000 jobs/stages + 100k tasks by
+      // default even with the UI off — a 169-query suite generates
+      // thousands of stages, and the growing status store taxes the
+      // listener bus for every later query
+      .config("spark.ui.retainedJobs", 100)
+      .config("spark.ui.retainedStages", 100)
+      .config("spark.ui.retainedTasks", 1000)
+      .config("spark.sql.ui.retainedExecutions", 8)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // optional args = query-name prefixes, for targeted local timing;

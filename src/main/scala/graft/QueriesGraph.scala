@@ -94,6 +94,14 @@ object QueriesGraph {
             TradeGraph.edges(s, dir), rounds = 3))
         .orderBy(col("community"))
     }),
+    "qg_betweenness" -> ((s, dir) => {
+      // bounded-radius Brandes betweenness from 4 focal customers:
+      // exact integer path counts forward, micro-unit dependency
+      // accumulation backward (multiply-before-integer-divide terms)
+      GraphOps.betweennessDF(TradeGraph.edges(s, dir),
+          sourceIds = Seq(1L, 2L, 3L, 4L), depth = 3)
+        .orderBy("id")
+    }),
     "qg_random_walks" -> ((s, dir) => {
       // DeepWalk sampling corpus: 3 deterministic 4-step walks from
       // each of customers {1,2,3} over the undirected trade graph —
@@ -410,7 +418,63 @@ object QueriesGraph {
        | GROUP BY 1, 2 ORDER BY center, context""".stripMargin
   }
 
+  /** unrolled two-phase Brandes at fixed depth 3: BFS levels with
+    * NOT-EXISTS anti-joins forward, micro-unit integer dependency
+    * terms `σ_v·(1e6+δ_w) // σ_w` backward (DuckDB `//` ≡ Spark
+    * `div` on positive BIGINTs). */
+  private def betweennessSql(sources: Seq[Long]): String = {
+    val srcRows = sources.map(s => s"($s)").mkString(", ")
+    val inSet = sources.mkString("(", ", ", ")")
+    s"""WITH $edgesCte,
+       | und AS MATERIALIZED (SELECT src AS a, dst AS b FROM e
+       |   UNION ALL SELECT dst, src FROM e),
+       | l0 AS (SELECT s.src, s.src AS v, CAST(1 AS BIGINT) AS sigma
+       |   FROM (VALUES $srcRows) AS s(src)),
+       | l1 AS MATERIALIZED (SELECT f.src, u.b AS v,
+       |     CAST(sum(f.sigma) AS BIGINT) AS sigma
+       |   FROM l0 f JOIN und u ON u.a = f.v
+       |   WHERE NOT EXISTS (SELECT 1 FROM l0 p
+       |     WHERE p.src = f.src AND p.v = u.b)
+       |   GROUP BY 1, 2),
+       | l2 AS MATERIALIZED (SELECT f.src, u.b AS v,
+       |     CAST(sum(f.sigma) AS BIGINT) AS sigma
+       |   FROM l1 f JOIN und u ON u.a = f.v
+       |   WHERE NOT EXISTS (SELECT 1 FROM l0 p
+       |       WHERE p.src = f.src AND p.v = u.b)
+       |     AND NOT EXISTS (SELECT 1 FROM l1 p
+       |       WHERE p.src = f.src AND p.v = u.b)
+       |   GROUP BY 1, 2),
+       | l3 AS MATERIALIZED (SELECT f.src, u.b AS v,
+       |     CAST(sum(f.sigma) AS BIGINT) AS sigma
+       |   FROM l2 f JOIN und u ON u.a = f.v
+       |   WHERE NOT EXISTS (SELECT 1 FROM l0 p
+       |       WHERE p.src = f.src AND p.v = u.b)
+       |     AND NOT EXISTS (SELECT 1 FROM l1 p
+       |       WHERE p.src = f.src AND p.v = u.b)
+       |     AND NOT EXISTS (SELECT 1 FROM l2 p
+       |       WHERE p.src = f.src AND p.v = u.b)
+       |   GROUP BY 1, 2),
+       | d2 AS MATERIALIZED (SELECT l.src, l.v,
+       |     CAST(sum(l.sigma * (1000000 + 0) // s.sigma) AS BIGINT)
+       |       AS dmu
+       |   FROM l2 l JOIN und u ON u.a = l.v
+       |   JOIN l3 s ON s.src = l.src AND s.v = u.b
+       |   GROUP BY 1, 2),
+       | d1 AS MATERIALIZED (SELECT l.src, l.v,
+       |     CAST(sum(l.sigma * (1000000 + coalesce(d.dmu, 0))
+       |       // s.sigma) AS BIGINT) AS dmu
+       |   FROM l1 l JOIN und u ON u.a = l.v
+       |   JOIN l2 s ON s.src = l.src AND s.v = u.b
+       |   LEFT JOIN d2 d ON d.src = s.src AND d.v = s.v
+       |   GROUP BY 1, 2)
+       | SELECT v AS id, CAST(sum(dmu) AS BIGINT) AS betweenness_micro
+       | FROM (SELECT * FROM d1 UNION ALL SELECT * FROM d2)
+       | WHERE v NOT IN $inSet
+       | GROUP BY v HAVING sum(dmu) > 0 ORDER BY id""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "qg_betweenness" -> betweennessSql(Seq(1L, 2L, 3L, 4L)),
     "qg_walk_skipgrams" -> walkSkipgramsSql(Seq(1L, 2L, 3L), 3, 4, 2),
     "qg_random_walks" -> randomWalksSql(Seq(1L, 2L, 3L), 3, 4),
     "qg_hits" -> hitsSql(3),

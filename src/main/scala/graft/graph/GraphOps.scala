@@ -514,6 +514,87 @@ object GraphOps {
     out
   }
 
+  /** Bounded-radius betweenness centrality from a focal source set
+    * (Brandes 2001, the two-phase algorithm; restricting to k
+    * sources and radius `depth` is the standard estimator — Brandes
+    * & Pich 2007): forward BFS accumulates shortest-path counts
+    * σ(s,v) per level, the backward sweep accumulates dependencies
+    * δ(s,v) = Σ_w σ_v/σ_w·(1+δ_w) over the successor level, and
+    * betweenness(v) = Σ_s δ(s,v) for non-source v.
+    *
+    * Determinism: σ are exact integer path counts; δ is held in
+    * integer MICRO-units with the per-(v,w) term computed as
+    * `σ_v·(1e6+δ_w) div σ_w` — multiply-before-divide keeps
+    * precision, integer floor-div makes every term exact, and the
+    * per-level sums are order-free integer adds, so the result is
+    * bit-identical in any engine (longs stay < 2^60 for the depths/
+    * graphs this targets). Endpoints excluded per Brandes.
+    *
+    * Scale shape: the joint (src, v) frontier keys every round; per
+    * forward round ONE equi-join + partial-agg σ-sum + one anti-join
+    * vs the visited set; per backward round ONE equi-join between
+    * adjacent levels + partial-agg δ-sum (celebrity vertices
+    * pre-combine map-side, no windows); every round localCheckpoints.
+    * Returns (id, betweenness_micro) for vertices with δ > 0. */
+  def betweennessDF(edges: DataFrame, sourceIds: Seq[Long],
+      depth: Int): DataFrame = {
+    require(sourceIds.nonEmpty && depth >= 1, "need sources and depth")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val und = edges.select(col("src").as("a"), col("dst").as("b"))
+      .unionByName(edges.select(col("dst").as("a"), col("src").as("b")))
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    // forward: levels(d) = (src, v, sigma) at BFS distance d
+    val lvl0 = sourceIds.map(s => (s, s, 1L)).toDF("src", "v", "sigma")
+      .localCheckpoint(true)
+    val levels = scala.collection.mutable.ArrayBuffer(lvl0)
+    var visited = lvl0.select(col("src"), col("v")).localCheckpoint(true)
+    for (_ <- 1 to depth) {
+      val nxt = levels.last.join(und, col("v") === col("a"))
+        .groupBy(col("src"), col("b").as("__v"))
+        .agg(sum(col("sigma")).as("sigma"))
+        .join(visited.select(col("src"), col("v").as("__v")),
+          Seq("src", "__v"), "left_anti")
+        .select(col("src"), col("__v").as("v"), col("sigma"))
+        .localCheckpoint(true)
+      levels += nxt
+      visited = visited.unionByName(nxt.select(col("src"), col("v")))
+        .localCheckpoint(true)
+    }
+    // backward: delta in micro-units, deepest level contributes 0
+    var delta = levels.last.select(col("src"), col("v"),
+      lit(0L).as("dmu"))
+    val acc = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (d <- (0 until depth).reverse) {
+      // EVERY successor contributes its (1 + δ_w) share — a w absent
+      // from delta has δ_w = 0, not no-contribution (left + coalesce)
+      val succ = levels(d + 1)
+        .join(delta, Seq("src", "v"), "left")
+        .select(col("src"), col("v").as("b"), col("sigma").as("__sw"),
+          coalesce(col("dmu"), lit(0L)).as("__dw"))
+      delta = levels(d)
+        .join(und, col("v") === col("a"))
+        .join(succ, Seq("src", "b"))
+        .groupBy(col("src"), col("v"))
+        // multiply-before-integer-divide: exact per-(v,w) term
+        .agg(sum(expr("sigma * (1000000 + __dw) div __sw")).as("dmu"))
+        .localCheckpoint(true)
+      if (d > 0) acc += delta
+    }
+    // non-source interior vertices across all levels 1..depth-1
+    val interior = acc.reduceOption(_ unionByName _)
+      .getOrElse(spark.emptyDataset[(Long, Long, Long)]
+        .toDF("src", "v", "dmu"))
+    val out = interior
+      .filter(!col("v").isin(sourceIds: _*))
+      .groupBy(col("v").as("id"))
+      .agg(sum(col("dmu")).as("betweenness_micro"))
+      .filter(col("betweenness_micro") > 0)
+      .localCheckpoint()
+    und.unpersist()
+    out
+  }
+
   /** Skip-gram training pairs from a [[randomWalksDF]] trace (the
     * DeepWalk §4.2 co-occurrence harvest): every ordered (center,
     * context) vertex pair within `window` steps on the SAME walk,

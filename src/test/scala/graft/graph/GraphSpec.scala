@@ -308,6 +308,35 @@ class GraphSpec extends AnyFunSuite {
     walks.unpersist()
   }
 
+  test("betweenness: hand-computed path and diamond, multi-source sum") {
+    import spark.implicits._
+    // path 1-2-3-4-5 from source 1: δ accumulates down the chain
+    // (δ4=1e6, δ3=2e6, δ2=3e6; endpoint 5 has δ=0 and is dropped)
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val p = GraphOps.betweennessDF(path, Seq(1L), depth = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(p == Map(2L -> 3000000L, 3L -> 2000000L, 4L -> 1000000L))
+    // diamond 1-{2,3}-4: two shortest paths split the dependency
+    // (σ4 = 2 → δ2 = δ3 = 1e6/2)
+    val diamond = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("src", "dst")
+    val d1 = GraphOps.betweennessDF(diamond, Seq(1L), depth = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d1 == Map(2L -> 500000L, 3L -> 500000L))
+    // multi-source: δ sums over sources; source vertices excluded
+    val d2 = GraphOps.betweennessDF(diamond, Seq(1L, 4L), depth = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d2 == Map(2L -> 1000000L, 3L -> 1000000L))
+    // partitioning invariance on the real graph (exact integers)
+    val e = TradeGraph.edges(spark, sf)
+    val a = GraphOps.betweennessDF(e.repartition(1), Seq(1L, 2L), 3)
+      .orderBy("id").collect().toSeq
+    val b = GraphOps.betweennessDF(e.repartition(13), Seq(1L, 2L), 3)
+      .orderBy("id").collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
   test("walkSkipgrams: windowed pair multiplicities on a known trace") {
     import spark.implicits._
     // one walk 10→20→30, one walk 10→20 (a second (start, walk) key)
