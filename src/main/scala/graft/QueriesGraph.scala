@@ -94,6 +94,12 @@ object QueriesGraph {
             TradeGraph.edges(s, dir), rounds = 3))
         .orderBy(col("community"))
     }),
+    "qg_assortativity" -> ((s, dir) => {
+      // degree-degree Pearson correlation across trade-graph edges:
+      // is this hub-to-hub or hub-and-spoke? (exact integer sums,
+      // one-row double ratio)
+      GraphOps.assortativityDF(TradeGraph.edges(s, dir))
+    }),
     "qg_betweenness" -> ((s, dir) => {
       // bounded-radius Brandes betweenness from 4 focal customers:
       // exact integer path counts forward, micro-unit dependency
@@ -474,6 +480,25 @@ object QueriesGraph {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "qg_assortativity" ->
+      s"""WITH $edgesCte,
+         | und AS (SELECT src AS a, dst AS b FROM e
+         |   UNION ALL SELECT dst, src FROM e),
+         | deg AS (SELECT a AS id, CAST(count(*) AS BIGINT) AS d
+         |   FROM und GROUP BY a),
+         | j AS (SELECT da.d AS da, db.d AS db FROM und
+         |   JOIN deg da ON da.id = und.a JOIN deg db ON db.id = und.b),
+         | sums AS (SELECT CAST(count(*) AS BIGINT) AS m,
+         |     CAST(sum(da * db) AS BIGINT) AS sjk,
+         |     CAST(sum(da) AS BIGINT) AS sj,
+         |     CAST(sum(da * da) AS BIGINT) AS sj2 FROM j)
+         | SELECT m AS m_ordered,
+         |   round((CAST(m AS DOUBLE) * CAST(sjk AS DOUBLE)
+         |       - CAST(sj AS DOUBLE) * CAST(sj AS DOUBLE))
+         |     / (CAST(m AS DOUBLE) * CAST(sj2 AS DOUBLE)
+         |       - CAST(sj AS DOUBLE) * CAST(sj AS DOUBLE)), 6)
+         |     AS assortativity
+         | FROM sums""".stripMargin,
     "qg_betweenness" -> betweennessSql(Seq(1L, 2L, 3L, 4L)),
     "qg_walk_skipgrams" -> walkSkipgramsSql(Seq(1L, 2L, 3L), 3, 4, 2),
     "qg_random_walks" -> randomWalksSql(Seq(1L, 2L, 3L), 3, 4),

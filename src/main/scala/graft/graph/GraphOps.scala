@@ -595,6 +595,42 @@ object GraphOps {
     out
   }
 
+  /** Degree assortativity coefficient (Newman 2002, Phys. Rev. Lett.
+    * 89): the Pearson correlation of degrees across edge endpoints —
+    * positive = hubs link to hubs, negative = hub-and-spoke. Over the
+    * ordered endpoint pairs of the undirected graph:
+    *   r = (M·Σd_a·d_b − (Σd_a)²) / (M·Σd_a² − (Σd_a)²)
+    * The four sums are EXACT integer aggregates (order-free); the
+    * closing ratio is computed in double from those integers with the
+    * same op sequence in the oracle (the products can pass 2^53, so
+    * both sides multiply as IEEE doubles — identical rounding, and
+    * integer multiply would overflow-wrap in Spark / raise in
+    * DuckDB).
+    *
+    * Scale shape: one degree count (partial-agg) + two equi-joins on
+    * the endpoint keys + ONE global aggregate — no windows, no
+    * driver math beyond the final 1-row ratio. */
+  def assortativityDF(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    val und = e.unionByName(
+      e.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = und.groupBy(col("src").as("id")).agg(count(lit(1)).as("d"))
+    val j = und
+      .join(deg.select(col("id").as("src"), col("d").as("da")), "src")
+      .join(deg.select(col("id").as("dst"), col("d").as("db")), "dst")
+    val m = col("__m").cast("double")
+    val sjk = col("__sjk").cast("double")
+    val sj = col("__sj").cast("double")
+    val sj2 = col("__sj2").cast("double")
+    j.agg(count(lit(1)).as("__m"),
+        sum(col("da") * col("db")).as("__sjk"),
+        sum(col("da")).as("__sj"),
+        sum(col("da") * col("da")).as("__sj2"))
+      .select(col("__m").as("m_ordered"),
+        round((m * sjk - sj * sj) / (m * sj2 - sj * sj), 6)
+          .as("assortativity"))
+  }
+
   /** Skip-gram training pairs from a [[randomWalksDF]] trace (the
     * DeepWalk §4.2 co-occurrence harvest): every ordered (center,
     * context) vertex pair within `window` steps on the SAME walk,

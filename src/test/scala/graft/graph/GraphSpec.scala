@@ -308,6 +308,23 @@ class GraphSpec extends AnyFunSuite {
     walks.unpersist()
   }
 
+  test("assortativity: star is -1, path is -0.5, invariance") {
+    import spark.implicits._
+    // star 1-{2,3,4}: perfectly disassortative, r = -1 exactly
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("src", "dst")
+    val rs = GraphOps.assortativityDF(star).collect().head
+    assert(rs.getLong(0) == 6L && rs.getDouble(1) == -1.0)
+    // path 1-2-3-4: M=6, Σdadb=16, Σda=10, Σda²=18 → r = -4/8
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val rp = GraphOps.assortativityDF(path).collect().head
+    assert(rp.getDouble(1) == -0.5)
+    // partitioning invariance (exact integer sums feed the ratio)
+    val e = TradeGraph.edges(spark, sf)
+    val a = GraphOps.assortativityDF(e.repartition(1)).collect().head
+    val b = GraphOps.assortativityDF(e.repartition(13)).collect().head
+    assert(a == b)
+  }
+
   test("betweenness: hand-computed path and diamond, multi-source sum") {
     import spark.implicits._
     // path 1-2-3-4-5 from source 1: δ accumulates down the chain
