@@ -550,10 +550,15 @@ object GraphOps {
     val levels = scala.collection.mutable.ArrayBuffer(lvl0)
     var visited = lvl0.select(col("src"), col("v")).localCheckpoint(true)
     for (_ <- 1 to depth) {
-      val nxt = levels.last.join(und, col("v") === col("a"))
+      // level/visited frames are k·|level| rows — the focal-source
+      // design point — so they broadcast and each round is ONE
+      // streamed pass over the (persisted) adjacency + partial agg;
+      // without the hints Catalyst SMJ-shuffles the full message
+      // stream against the tiny frames (A/B 10.4 → ~3 s at sf0.1)
+      val nxt = broadcast(levels.last).join(und, col("v") === col("a"))
         .groupBy(col("src"), col("b").as("__v"))
         .agg(sum(col("sigma")).as("sigma"))
-        .join(visited.select(col("src"), col("v").as("__v")),
+        .join(broadcast(visited.select(col("src"), col("v").as("__v"))),
           Seq("src", "__v"), "left_anti")
         .select(col("src"), col("__v").as("v"), col("sigma"))
         .localCheckpoint(true)
@@ -572,9 +577,9 @@ object GraphOps {
         .join(delta, Seq("src", "v"), "left")
         .select(col("src"), col("v").as("b"), col("sigma").as("__sw"),
           coalesce(col("dmu"), lit(0L)).as("__dw"))
-      delta = levels(d)
+      delta = broadcast(levels(d))
         .join(und, col("v") === col("a"))
-        .join(succ, Seq("src", "b"))
+        .join(broadcast(succ), Seq("src", "b"))
         .groupBy(col("src"), col("v"))
         // multiply-before-integer-divide: exact per-(v,w) term
         .agg(sum(expr("sigma * (1000000 + __dw) div __sw")).as("dmu"))
