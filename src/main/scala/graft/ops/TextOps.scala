@@ -532,21 +532,21 @@ object TextOps {
     val spark = df.sparkSession
     import spark.implicits._
     val g = broadcast(gazetteer.toDF("phrase", "etype"))
+    // the two arity streams re-run the codegen'd tokenize rather than
+    // caching the tokenized corpus: two pruned column scans are
+    // cheaper than materializing corpus-sized token arrays in
+    // storage memory, and the plan stays fully inspectable
     val toks = Partitioning.spread(df)
       .select(col(idCol).as("__id"), tokensWs(col(textCol)).as("__tok"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val uni = toks.select(col("__id"),
       explode(col("__tok")).as("phrase"))
     val bi = toks.select(col("__id"),
       explode(bigrams(col("__tok"))).as("phrase"))
-    val out = uni.unionByName(bi)
+    uni.unionByName(bi)
       .join(g, "phrase")
       .groupBy(col("__id").as(idCol), col("etype"))
       .agg(count(lit(1)).as("n_mentions"),
         countDistinct(col("phrase")).as("n_distinct"))
-      .localCheckpoint()
-    toks.unpersist()
-    out
   }
 
   /** Domain-characteristic keyword extraction: top-k terms per

@@ -272,6 +272,70 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(pp.columns.toSeq == Seq("a_id", "b_id", "jac"))
   }
 
+  /** executed plans of EVERY query execution `body` triggers — the
+    * only honest way to pin per-round plans of iterative operators,
+    * whose results hide behind localCheckpoint. */
+  private def capturedPlans(body: => Unit): Seq[String] = {
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val l = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(l)
+    try {
+      body
+      org.apache.spark.GraftTestBus.flush(spark.sparkContext)
+    } finally spark.listenerManager.unregister(l)
+    import scala.jdk.CollectionConverters._
+    plans.asScala.toSeq
+  }
+
+  test("round-7 operators keep their scale shape") {
+    // gazetteer entities: the dictionary join must BROADCAST (it is
+    // control-plane by contract) and counts partial-combine
+    val ent = finalPlan(df("qp_entities"))
+    assert(ent.contains("BroadcastHashJoin"), ent)
+    assert(!ent.contains("SortMergeJoin"), ent)
+    assert(ent.contains("partial"), ent)
+    // Kneser-Ney: context/continuation windows run on the bigram-TYPE
+    // table (above the first aggregate), never on the raw corpus
+    val kn = df("qp_kn_perplexity").queryExecution.optimizedPlan.toString
+    assert(kn.contains("Window"), kn)
+    val firstWin = kn.indexOf("Window")
+    assert(kn.indexOf("Aggregate", firstWin) > 0,
+      "KN windows must be fed by the bigram-type aggregate:\n" + kn)
+    // random walks (iterative): every per-step execution must pick a
+    // broadcast join for the frontier and contain NO window (the
+    // argmin successor pick is a partial-agg min_by) and NO
+    // sort-merge shuffle of the adjacency
+    val rw = capturedPlans { df("qg_random_walks").collect() }
+    assert(rw.nonEmpty)
+    assert(rw.forall(p => !p.contains("SortMergeJoin")),
+      rw.filter(_.contains("SortMergeJoin")).mkString("\n===\n"))
+    assert(rw.forall(p => !p.contains("Window")))
+    assert(rw.exists(_.contains("BroadcastHashJoin")))
+    // boilerplate: the line-frequency path is partial-agg'd groupBys
+    // on the (source, hash) key — a line-key window would serialize a
+    // hot template line into one task
+    val bp = capturedPlans { df("qp_boilerplate").collect() }
+    assert(bp.nonEmpty && bp.forall(p => !p.contains("Window")))
+    assert(bp.exists(_.contains("partial")))
+    // betweenness (iterative): every forward/backward round must
+    // broadcast the focal level frames — no window, no cartesian,
+    // no sort-merge shuffle of the message stream
+    val bt = capturedPlans { df("qg_betweenness").collect() }
+    assert(bt.nonEmpty)
+    assert(bt.forall(p => !p.contains("Window") &&
+      !p.contains("CartesianProduct")))
+    assert(bt.count(_.contains("BroadcastHashJoin")) >= 4,
+      "expected broadcast joins in the per-round executions")
+  }
+
   test("indexed CONTAINSTEXT probes the posting table, not the corpus") {
     // fresh sessions: the shared cached dialect session may already
     // carry the index after EntrySmokeSpec ran qd_containstext_idx
