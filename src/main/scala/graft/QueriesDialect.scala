@@ -162,6 +162,14 @@ object QueriesDialect {
       "select approx_distinct(l_orderkey) as d_ok, " +
         "approx_distinct(l_suppkey) as d_sk, count() as n " +
         "from lineitem")),
+    "qd_approx_percentile" -> ((s, dir) => gq(s, dir,
+      // KMV distinct-value percentiles in the dialect: p_size (≤ 256
+      // distincts) reports EXACT; p_partkey exercises the sampled
+      // estimator path above k
+      "select approx_percentile(p_size, 50) as p50_size, " +
+        "approx_percentile(p_size, 90) as p90_size, " +
+        "approx_percentile(p_partkey, 50) as p50_key " +
+        "from part")),
     "qd_date_coercion" -> ((s, dir) => gq(s, dir,
       // §1.3: string literals coerce against DATE columns on compare
       "select o_orderkey from orders where o_orderdate >= '1997-06-01' " +
@@ -319,6 +327,32 @@ object QueriesDialect {
          |       / max(CASE WHEN rn = 256 THEN hv END)) AS BIGINT) END
          |    FROM rsk) AS d_sk,
          |   (SELECT count(*) FROM lineitem) AS n""".stripMargin,
+    "qd_approx_percentile" -> {
+      // replays the full sketch rule: distinct values → hash60 keyed,
+      // collision keeps min value, bottom-256 by hash, integer rank
+      // (pct·(n−1)) // 100 over the value-sorted sample
+      def chain(tag: String, valExpr: String) =
+        s"""${tag}d AS (SELECT DISTINCT CAST($valExpr AS BIGINT) AS v
+           |   FROM part),
+           | ${tag}h AS (SELECT
+           |     ('0x' || substr(md5(CAST(v AS VARCHAR)),1,15))::BIGINT
+           |       AS hv, min(v) AS v
+           |   FROM ${tag}d GROUP BY 1),
+           | ${tag}s AS (SELECT v, row_number() OVER (ORDER BY hv) AS rn
+           |   FROM ${tag}h),
+           | ${tag}k AS (SELECT v, row_number() OVER (ORDER BY v) AS sr,
+           |     count(*) OVER () AS n
+           |   FROM ${tag}s WHERE rn <= 256)""".stripMargin
+      s"""WITH ${chain("sz", "p_size")},
+         | ${chain("pk", "p_partkey")}
+         | SELECT
+         |   (SELECT v FROM szk WHERE sr = (50 * (n - 1)) // 100 + 1)
+         |     AS p50_size,
+         |   (SELECT v FROM szk WHERE sr = (90 * (n - 1)) // 100 + 1)
+         |     AS p90_size,
+         |   (SELECT v FROM pkk WHERE sr = (50 * (n - 1)) // 100 + 1)
+         |     AS p50_key""".stripMargin
+    },
     "qd_date_coercion" ->
       """SELECT o_orderkey FROM orders
         | WHERE o_orderdate >= TIMESTAMP '1997-06-01'

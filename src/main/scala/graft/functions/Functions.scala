@@ -56,6 +56,33 @@ object BuiltinFunctions {
         element_at(mins, k)).cast("long"))
   }
 
+  /** `approx_percentile(field, pct)` dialect aggregate: percentile of
+    * the DISTINCT-value distribution from the same KMV bottom-k
+    * machinery as [[approxDistinct]] ([[graft.ops.BottomKSample]]
+    * keyed by the value hash — duplicates collapse, collisions keep
+    * the min value). EXACT whenever the column has ≤ k distinct
+    * values; above k it is the percentile of a deterministic uniform
+    * distinct-value sample (a set property of the data — partition-
+    * invariant, replayable in the oracle). Bounded state: ≤ 2k longs
+    * per group vs shuffling every value for an exact percentile.
+    * Integer rank rule `(pct·(n−1)) div 100` (exact in double —
+    * both factors < 2^53). */
+  def approxPercentile(args: Seq[Column]): Column = {
+    require(args.length == 2, "approx_percentile(field, pct)")
+    val k = 256
+    val v = args.head.cast("long")
+    val h = graft.ops.TextOps.hash60(v.cast("string"))
+    val mins = org.apache.spark.sql.classic.GraftColumnBridge.column(
+      graft.ops.BottomKSample(
+        org.apache.spark.sql.classic.GraftColumnBridge.expression(h),
+        org.apache.spark.sql.classic.GraftColumnBridge.expression(v), k)
+        .toAggregateExpression())
+    val sorted = array_sort(mins)
+    element_at(sorted,
+      (floor(args(1).cast("long") * (size(sorted) - 1) / 100) + 1)
+        .cast("int"))
+  }
+
   val all: Map[String, Seq[Column] => Column] = Map(
     "distance" -> distance _,
     // aggregate surface (reference ships only `max` via the function-
@@ -67,6 +94,7 @@ object BuiltinFunctions {
     "count" -> ((as: Seq[Column]) =>
       if (as.isEmpty) count(lit(1)) else count(as.head)),
     "approx_distinct" -> approxDistinct _,
+    "approx_percentile" -> approxPercentile _,
     "sysdate" -> ((_: Seq[Column]) => current_timestamp())
   )
 
@@ -74,7 +102,8 @@ object BuiltinFunctions {
     * made only of these collapses the result to one row, like the
     * reference's context-accumulator functions). */
   val aggregateNames: Set[String] =
-    Set("max", "min", "sum", "avg", "count", "approx_distinct")
+    Set("max", "min", "sum", "avg", "count", "approx_distinct",
+      "approx_percentile")
 }
 
 /** FULLTEXT tokenizer replicating `OPropertyIndexFullText` defaults:

@@ -293,4 +293,16 @@ class DialectSpec extends AnyFunSuite {
       intercept[Parser.ParseException](g.query(q))
     }
   }
+
+  test("approx_percentile: exact below k, integer rank rule") {
+    import spark.implicits._
+    val df = (1L to 101L).map(i => (i, i)).toDF("id", "x")
+    g.catalog.register(ClassDef("pctl", _ => df, None, Nil, 96, Some("id")))
+    // 101 distinct values 1..101 sit under k=256 → the sample IS the
+    // distinct set and the rank rule (p·(n−1)) div 100 + 1 is exact
+    val r = g.query("select approx_percentile(x, 50) as p50, " +
+      "approx_percentile(x, 90) as p90, " +
+      "approx_percentile(x, 100) as p100 from pctl").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((51L, 91L, 101L)))
+  }
 }
