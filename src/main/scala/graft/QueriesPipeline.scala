@@ -937,6 +937,12 @@ object QueriesPipeline {
       TextOps.lmPerplexity(docs(s, dir), "doc_id", "text")
         .orderBy("doc_id")
     }),
+    "qp_self_overlap" -> ((s, dir) => {
+      // corpus diversity health number: mean pairwise word-trigram
+      // Jaccard over the deterministic bottom-50-by-hash doc sample
+      // (bounded all-pairs head; exact integer micro mean)
+      TextOps.corpusSelfOverlap(docs(s, dir), "doc_id", "text")
+    }),
     "qp_entities" -> ((s, dir) => {
       // gazetteer NER-lite over the corpus's own phrase inventory:
       // typed 1/2-token dictionary, broadcast against one tokenize
@@ -2745,6 +2751,29 @@ object QueriesPipeline {
          |   round(-(s / (n_bigrams * 1e6)), 6) AS nll,
          |   round(exp(-(s / (n_bigrams * 1e6))), 3) AS ppl
          | FROM perdoc ORDER BY doc_id""".stripMargin,
+    "qp_self_overlap" ->
+      // same bottom-50-by-hash sample, same integer micro Jaccard
+      s"""WITH g AS (SELECT doc_id,
+         |     list_distinct(CASE WHEN len(tok) >= 3 THEN
+         |       list_transform(range(len(tok)-2),
+         |         i -> tok[i+1] || ' ' || tok[i+2] || ' ' || tok[i+3])
+         |     ELSE [] END) AS gr,
+         |     ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT
+         |       AS h
+         |   FROM (SELECT doc_id, ${dTokens("text")} AS tok
+         |     FROM documents)),
+         | s AS (SELECT doc_id, gr FROM g
+         |   ORDER BY h, doc_id LIMIT 50),
+         | p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |     len(list_intersect(a.gr, b.gr)) AS i,
+         |     len(a.gr) + len(b.gr) - len(list_intersect(a.gr, b.gr))
+         |       AS u
+         |   FROM s a JOIN s b ON a.doc_id < b.doc_id),
+         | jm AS (SELECT CASE WHEN u = 0 THEN 0
+         |     ELSE CAST(i AS BIGINT) * 1000000 // u END AS jm FROM p)
+         | SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         |   CAST(sum(jm) AS BIGINT) // count(*) AS mean_jaccard_micro
+         | FROM jm""".stripMargin,
     "qp_entities" -> {
       val vals = EntityGazetteer
         .map { case (p, t) => s"('${p}', '${t}')" }.mkString(", ")

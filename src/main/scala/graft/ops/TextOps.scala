@@ -509,6 +509,47 @@ object TextOps {
     out
   }
 
+  /** Corpus self-overlap (diversity) metric — the corpus-health
+    * number behind self-BLEU-style diversity reports (Zhu et al.
+    * 2018): mean pairwise word-n-gram Jaccard over a DETERMINISTIC
+    * bounded sample (the bottom-`sampleK` doc ids by hash — a set
+    * property of the data, partition-invariant). High mean overlap =
+    * the corpus is template-y/repetitive; near zero = diverse.
+    *
+    * Scale shape: sampling is a TakeOrdered over the hash (top-k,
+    * never a global sort materialization); the all-pairs comparison
+    * is BOUNDED BY CONSTRUCTION at sampleK²/2 rows (the MMR-style
+    * bounded-head contract — the corpus never self-joins); per-pair
+    * Jaccard and the mean are exact integer micro-units (`div`), so
+    * the one-row result replays bit-identically. Returns (n_pairs,
+    * mean_jaccard_micro). */
+  def corpusSelfOverlap(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, sampleK: Int = 50, n: Int = 3)
+      : org.apache.spark.sql.DataFrame = {
+    require(sampleK >= 2 && sampleK <= 1000,
+      "sampleK bounds the all-pairs head: 2..1000")
+    val s = Partitioning.spread(df)
+      .select(col(idCol).as("__id"),
+        array_distinct(wordNgrams(tokensWs(col(textCol)), n)).as("__g"),
+        hash60(col(idCol).cast("string")).as("__h"))
+      .orderBy(col("__h"), col("__id"))
+      .limit(sampleK)
+      .select(col("__id"), col("__g"))
+    val pairs = broadcast(s.select(col("__id").as("a_id"),
+        col("__g").as("__ga")))
+      .join(broadcast(s.select(col("__id").as("b_id"),
+        col("__g").as("__gb"))), col("a_id") < col("b_id"))
+      .withColumn("__i", size(array_intersect(col("__ga"), col("__gb"))))
+      .withColumn("__u",
+        size(col("__ga")) + size(col("__gb")) - col("__i"))
+      .select(when(col("__u") === 0, lit(0L))
+        .otherwise(expr("CAST(__i AS BIGINT) * 1000000 div __u"))
+        .as("__jm"))
+    pairs.agg(count(lit(1)).as("n_pairs"), sum(col("__jm")).as("__s"))
+      .select(col("n_pairs"),
+        expr("__s div n_pairs").as("mean_jaccard_micro"))
+  }
+
   /** Gazetteer entity extraction (NER-lite, the dictionary half of
     * classic entity tagging — phrase lists are how production
     * pipelines tag domain entities without a model): count mentions

@@ -625,6 +625,23 @@ class OpsHygieneSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("corpusSelfOverlap: hand-computed mean, zero-gram guard, invariance") {
+    // A ≡ B share both trigrams (jac 1e6), C shares none; a short doc
+    // below 3 tokens has no grams and must not divide by zero
+    val df = Seq((1L, "a b c d"), (2L, "a b c d"), (3L, "x y z w"),
+      (4L, "hi")).toDF("doc_id", "text")
+    val r = TextOps.corpusSelfOverlap(df, "doc_id", "text").collect().head
+    // 4 docs → 6 pairs; only (1,2) overlaps → mean = 1e6 div 6
+    assert(r.getLong(0) == 6L && r.getLong(1) == 1000000L / 6)
+    // partitioning invariance of the deterministic sample + mean
+    val docs2 = Tables.load(spark, sf, "documents")
+    val a = TextOps.corpusSelfOverlap(docs2.repartition(1), "doc_id",
+      "text").collect().toSeq
+    val b = TextOps.corpusSelfOverlap(docs2.repartition(13), "doc_id",
+      "text").collect().toSeq
+    assert(a == b)
+  }
+
   test("extractEntities: arity mix, overlap counting, case folding") {
     val gaz = Seq(("sort merge", "op"), ("merge join", "op"),
       ("spark", "engine"), ("paris", "city"))
