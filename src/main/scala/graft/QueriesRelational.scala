@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
-import graft.ops.RangeJoin
+import graft.ops.{Funnel, RangeJoin}
 
 /** Relational query corpus: the reference's SELECT surface (scan,
   * filter operators, projections, order/limit — SURVEY.md §2.1-2.3,
@@ -330,6 +330,15 @@ object QueriesRelational {
             .cast("long").as("duration_sec"))
         .orderBy($"user_id", $"session_no")
     }),
+    "q_event_funnel" -> ((s, dir) => {
+      // ordered view→click→purchase funnel, each step within 24h of
+      // the previous match (leftmost-greedy, per-user partial-agg
+      // mins — no event-order windows)
+      Funnel.orderedFunnel(t(s, dir, "events"), "user_id", "ts",
+          "event_type", Seq("view", "click", "purchase"),
+          windowUs = 24L * 3600 * 1000000L)
+        .orderBy(col("user_id"))
+    }),
     "q_asof_join" -> ((s, dir) => {
       // point-in-time join: each purchase picks up the user's most
       // recent click value at-or-before the purchase timestamp.
@@ -571,6 +580,29 @@ object QueriesRelational {
         | FROM p ASOF LEFT JOIN c
         |   ON p.user_id = c.user_id AND p.ts >= c.ts
         | ORDER BY p.event_id""".stripMargin,
+    "q_event_funnel" ->
+      // the same leftmost-greedy chain: per-step conditional mins
+      s"""WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS t1
+         |   FROM events WHERE event_type = 'view' GROUP BY 1),
+         | s2 AS (SELECT s1.user_id, s1.t1,
+         |     min(CASE WHEN e.tu > s1.t1
+         |       AND e.tu - s1.t1 <= 86400000000 THEN e.tu END) AS t2
+         |   FROM s1 LEFT JOIN (SELECT user_id, epoch_us(ts) AS tu
+         |     FROM events WHERE event_type = 'click') e
+         |     USING (user_id)
+         |   GROUP BY 1, 2),
+         | s3 AS (SELECT s2.user_id, s2.t1, s2.t2,
+         |     min(CASE WHEN e.tu > s2.t2
+         |       AND e.tu - s2.t2 <= 86400000000 THEN e.tu END) AS t3
+         |   FROM s2 LEFT JOIN (SELECT user_id, epoch_us(ts) AS tu
+         |     FROM events WHERE event_type = 'purchase') e
+         |     USING (user_id)
+         |   GROUP BY 1, 2, 3)
+         | SELECT user_id, t1, t2, t3,
+         |   CAST(1 + (CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END)
+         |     + (CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |     AS steps_reached
+         | FROM s3 ORDER BY user_id""".stripMargin,
     "q_range_join" ->
       """SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,
         |   (epoch_us(b.ts) - epoch_us(a.ts)) // 1000000 AS gap_sec

@@ -1,0 +1,49 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Ordered event-sequence funnel — the product-analytics staple (and
+  * the common subset of SQL MATCH_RECOGNIZE row-pattern matching):
+  * per user, match `steps` event types IN ORDER, each step within
+  * `windowUs` of the previous match. Semantics are LEFTMOST-GREEDY
+  * (each step binds to its EARLIEST qualifying event — the standard
+  * funnel rule; a constraint-solver match could find sequences greedy
+  * misses when the window binds, the documented trade). Reference has
+  * no sequence operator; this rides the `events` stream table
+  * (SURVEY §2.10 extension surface).
+  *
+  * Deterministic: step times are min-aggregates of microsecond
+  * timestamps — exact integers, order-free.
+  *
+  * Scale shape: one filtered scan + per-user partial-agg min per
+  * step; each later step is ONE equi-join on the user key + a
+  * conditional-min partial agg — NO windows (a per-user event-order
+  * window would serialize hot users), no driver loops; the funnel
+  * frame stays one row per user throughout. Returns
+  * (user_id, t1..tn micros, steps_reached). */
+object Funnel {
+  def orderedFunnel(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String], windowUs: Long): DataFrame = {
+    require(steps.size >= 2, "a funnel needs at least two steps")
+    val us = unix_micros(col(tsCol))
+    var cur = events.filter(col(typeCol) === steps.head)
+      .groupBy(col(userCol).as("user_id"))
+      .agg(min(us).as("t1"))
+    for ((st, i) <- steps.tail.zipWithIndex) {
+      val k = i + 2
+      val prev = col(s"t${i + 1}")
+      val carried = col("user_id") +: (1 to i + 1).map(j => col(s"t$j"))
+      val nxt = events.filter(col(typeCol) === st)
+        .select(col(userCol).as("user_id"), us.as("__ts"))
+      cur = cur.join(nxt, Seq("user_id"), "left")
+        .groupBy(carried: _*)
+        .agg(min(when(col("__ts") > prev &&
+          col("__ts") - prev <= windowUs, col("__ts"))).as(s"t$k"))
+    }
+    val reached = steps.indices.tail
+      .map(i => when(col(s"t${i + 1}").isNotNull, 1).otherwise(0))
+      .reduce(_ + _) + lit(1)
+    cur.withColumn("steps_reached", reached.cast("long"))
+  }
+}

@@ -625,6 +625,38 @@ class OpsHygieneSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("orderedFunnel: greedy order, window bound, out-of-order steps") {
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    // A completes in order; B purchases WITHOUT a click; C clicks
+    // BEFORE its view only; D's click lands past the window
+    val ev = Seq(
+      (1L, ts(0), "view"), (1L, ts(10), "click"), (1L, ts(20), "purchase"),
+      (1L, ts(5), "click"), // earlier qualifying click: greedy takes it
+      (2L, ts(0), "view"), (2L, ts(30), "purchase"),
+      (3L, ts(10), "view"), (3L, ts(5), "click"),
+      (4L, ts(0), "view"), (4L, ts(100), "click")
+    ).toDF("user_id", "ts", "event_type")
+    val got = Funnel.orderedFunnel(ev, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), windowUs = 60L * 60000000L)
+      .collect()
+      .map(r => r.getLong(0) -> (r.get(1), r.get(2), r.get(3),
+        r.getLong(4))).toMap
+    assert(got(1L) == ((0L, 5L * 60000000L, 20L * 60000000L, 3L)),
+      s"greedy must bind the EARLIEST qualifying click: ${got(1L)}")
+    assert(got(2L)._4 == 1L, "no click → purchase cannot count")
+    assert(got(3L)._4 == 1L, "click before the view does not match")
+    assert(got(4L)._4 == 1L, "past-window click must not match")
+    // partitioning invariance on the real events table
+    val e = Tables.load(spark, sf, "events")
+    val a = Funnel.orderedFunnel(e.repartition(1), "user_id", "ts",
+        "event_type", Seq("view", "click", "purchase"), 86400000000L)
+      .orderBy("user_id").collect().toSeq
+    val b = Funnel.orderedFunnel(e.repartition(13), "user_id", "ts",
+        "event_type", Seq("view", "click", "purchase"), 86400000000L)
+      .orderBy("user_id").collect().toSeq
+    assert(a == b && a.exists(_.getLong(4) == 3L))
+  }
+
   test("corpusSelfOverlap: hand-computed mean, zero-gram guard, invariance") {
     // A ≡ B share both trigrams (jac 1e6), C shares none; a short doc
     // below 3 tokens has no grams and must not divide by zero
