@@ -339,6 +339,13 @@ object QueriesRelational {
           windowUs = 24L * 3600 * 1000000L)
         .orderBy(col("user_id"))
     }),
+    "q_cohort_retention" -> ((s, dir) => {
+      // weekly cohorts by first-seen period; per-offset active-user
+      // counts (all-integer bucketing, partial-agg shape throughout)
+      Funnel.cohortRetention(t(s, dir, "events"), "user_id", "ts",
+          periodDays = 7, maxOffset = 4)
+        .orderBy(col("cohort_period"), col("offset"))
+    }),
     "q_asof_join" -> ((s, dir) => {
       // point-in-time join: each purchase picks up the user's most
       // recent click value at-or-before the purchase timestamp.
@@ -580,6 +587,17 @@ object QueriesRelational {
         | FROM p ASOF LEFT JOIN c
         |   ON p.user_id = c.user_id AND p.ts >= c.ts
         | ORDER BY p.event_id""".stripMargin,
+    "q_cohort_retention" ->
+      s"""WITH f AS (SELECT user_id,
+         |     min(epoch_us(ts) // 604800000000) AS cohort_period
+         |   FROM events GROUP BY 1),
+         | a AS (SELECT DISTINCT user_id,
+         |     epoch_us(ts) // 604800000000 AS p FROM events)
+         | SELECT f.cohort_period, a.p - f.cohort_period AS "offset",
+         |   CAST(count(*) AS BIGINT) AS n_users
+         | FROM f JOIN a USING (user_id)
+         | WHERE a.p - f.cohort_period <= 4
+         | GROUP BY 1, 2 ORDER BY cohort_period, "offset"""".stripMargin,
     "q_event_funnel" ->
       // the same leftmost-greedy chain: per-step conditional mins
       s"""WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS t1

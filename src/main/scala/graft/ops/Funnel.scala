@@ -46,4 +46,35 @@ object Funnel {
       .reduce(_ + _) + lit(1)
     cur.withColumn("steps_reached", reached.cast("long"))
   }
+
+  /** Cohort retention table — the funnel's standard companion: users
+    * cohorted by their FIRST-SEEN period (integer `epoch_micros div
+    * (periodDays·86400e6)` — exact), then for each offset 0..max the
+    * count of cohort users active in cohort+offset. All-integer
+    * bucketing and counts, so the triangle replays exactly.
+    *
+    * Scale shape: first-seen is one per-user partial-agg min; the
+    * activity set is one per-(user, period) partial agg (duplicate
+    * events pre-combine map-side); one user-key equi-join relates
+    * them; the final (cohort, offset) count partial-combines. NO
+    * windows, no driver math. Returns (cohort_period, offset,
+    * n_users) for offsets ≤ maxOffset with at least one user. */
+  def cohortRetention(events: DataFrame, userCol: String, tsCol: String,
+      periodDays: Int = 7, maxOffset: Int = 4): DataFrame = {
+    require(periodDays >= 1 && maxOffset >= 0, "bad cohort params")
+    val periodUs = periodDays * 86400000000L
+    val p = expr(s"unix_micros($tsCol) div ${periodUs}L")
+    val first = events
+      .groupBy(col(userCol).as("user_id"))
+      .agg(min(p).as("cohort_period"))
+    val active = events
+      .groupBy(col(userCol).as("user_id"), p.as("__p"))
+      .agg(count(lit(1)).as("__dummy"))
+      .select(col("user_id"), col("__p"))
+    first.join(active, Seq("user_id"))
+      .withColumn("offset", col("__p") - col("cohort_period"))
+      .filter(col("offset") <= maxOffset)
+      .groupBy(col("cohort_period"), col("offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
 }

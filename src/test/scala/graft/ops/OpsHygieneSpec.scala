@@ -657,6 +657,29 @@ class OpsHygieneSpec extends AnyFunSuite {
     assert(a == b && a.exists(_.getLong(4) == 3L))
   }
 
+  test("cohortRetention: hand-built triangle, duplicate-event immunity") {
+    def ts(day: Long) = new java.sql.Timestamp(day * 86400000L)
+    // period = 1 day. u1 active days 0,1,2; u2 days 0,2 (twice — the
+    // distinct-period rule must not double count); u3 day 1 only
+    val ev = Seq((1L, ts(0)), (1L, ts(1)), (1L, ts(2)),
+        (2L, ts(0)), (2L, ts(2)), (2L, ts(2)),
+        (3L, ts(1)))
+      .toDF("user_id", "ts")
+    val got = Funnel.cohortRetention(ev, "user_id", "ts",
+        periodDays = 1, maxOffset = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map((0L, 0L) -> 2L, (0L, 1L) -> 1L, (0L, 2L) -> 2L,
+      (1L, 0L) -> 1L))
+    // partitioning invariance on the real events table
+    val e = Tables.load(spark, sf, "events")
+    val a = Funnel.cohortRetention(e.repartition(1), "user_id", "ts")
+      .orderBy("cohort_period", "offset").collect().toSeq
+    val b = Funnel.cohortRetention(e.repartition(13), "user_id", "ts")
+      .orderBy("cohort_period", "offset").collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
   test("corpusSelfOverlap: hand-computed mean, zero-gram guard, invariance") {
     // A ≡ B share both trigrams (jac 1e6), C shares none; a short doc
     // below 3 tokens has no grams and must not divide by zero
