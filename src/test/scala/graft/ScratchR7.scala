@@ -67,7 +67,32 @@ import org.scalatest.funsuite.AnyFunSuite
   * single stage exceeds 3 s and every join strategy is argued above.
   * The r6 "2.4× in-suite vs isolated" framing overstated the gap —
   * the 3.4 s figure came from a different-config scratch session
-  * (default ObjectHashAggregate threshold, no noop sink). */
+  * (default ObjectHashAggregate threshold, no noop sink).
+  *
+  * == 5. suite-scale bench forensics (second half of round 7) ==
+  * The first full-suite run of the grown suite (169→176 queries) read
+  * ~1.5× slower PER COMMON QUERY than the r6 artifact. Findings, in
+  * measurement order:
+  *  (a) NOT storage debris: SPARK_GRAFT_STORAGE_LOG per-query dump
+  *      shows ≤ 11 persistent RDDs / ≤ 72 MB cached at every point in
+  *      the suite — operator unpersist discipline holds.
+  *  (b) Heap: the 8g default left ~4.8g of storage pool for a suite
+  *      that transiently persists per-query; 16g recovered ~10%
+  *      suite-wide (268 → 242 s, same code). build.sbt default bumped.
+  *  (c) Plan-visible wins: the walk frontier and betweenness level
+  *      frames are k-bounded by construction but localCheckpoint
+  *      hides their size, so Catalyst sort-merge-shuffled the full
+  *      adjacency per round — explicit broadcast() halved
+  *      qg_random_walks/qg_walk_skipgrams (3.1/3.3 → 1.7/1.9 s) and
+  *      cut qg_betweenness 10.4 → 4.7 s. Now PlanShapeSpec-pinned via
+  *      the QueryExecutionListener round-capture.
+  *  (d) The residual is MACHINE NOISE, not plan drift: identical
+  *      16g 1-round runs 20 min apart moved qp_ppjoin_pairs 11.05 →
+  *      7.34 s and qp_dedup_keep_quality 8.45 → 5.58 s with zero code
+  *      change, and an isolated 5-query subset re-run drifted +25%
+  *      against its own earlier reading. Per-query swings of ±30-40%
+  *      on heavy queries are environmental; judge r7 numbers by suite
+  *      totals and plan audits, not single-query deltas. */
 class ScratchR7 extends AnyFunSuite {
   private lazy val spark = org.apache.spark.sql.SparkSession.builder()
     .master("local[32]")
