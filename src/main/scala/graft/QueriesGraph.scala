@@ -100,6 +100,13 @@ object QueriesGraph {
       // one-row double ratio)
       GraphOps.assortativityDF(TradeGraph.edges(s, dir))
     }),
+    "qg_harmonic" -> ((s, dir) => {
+      // bounded-radius harmonic centrality from the same 4 focal
+      // customers as qg_betweenness: Σ 1/dist in exact micro-units
+      GraphOps.harmonicCentralityDF(TradeGraph.edges(s, dir),
+          sourceIds = Seq(1L, 2L, 3L, 4L), depth = 3)
+        .orderBy("id")
+    }),
     "qg_betweenness" -> ((s, dir) => {
       // bounded-radius Brandes betweenness from 4 focal customers:
       // exact integer path counts forward, micro-unit dependency
@@ -428,9 +435,10 @@ object QueriesGraph {
     * NOT-EXISTS anti-joins forward, micro-unit integer dependency
     * terms `σ_v·(1e6+δ_w) // σ_w` backward (DuckDB `//` ≡ Spark
     * `div` on positive BIGINTs). */
-  private def betweennessSql(sources: Seq[Long]): String = {
+  /** shared forward-BFS level chain (l0..l3 with σ path counts) for
+    * the betweenness and harmonic oracles. */
+  private def bfsLevels3Sql(sources: Seq[Long]): String = {
     val srcRows = sources.map(s => s"($s)").mkString(", ")
-    val inSet = sources.mkString("(", ", ", ")")
     s"""WITH $edgesCte,
        | und AS MATERIALIZED (SELECT src AS a, dst AS b FROM e
        |   UNION ALL SELECT dst, src FROM e),
@@ -459,7 +467,12 @@ object QueriesGraph {
        |       WHERE p.src = f.src AND p.v = u.b)
        |     AND NOT EXISTS (SELECT 1 FROM l2 p
        |       WHERE p.src = f.src AND p.v = u.b)
-       |   GROUP BY 1, 2),
+       |   GROUP BY 1, 2)""".stripMargin
+  }
+
+  private def betweennessSql(sources: Seq[Long]): String = {
+    val inSet = sources.mkString("(", ", ", ")")
+    s"""${bfsLevels3Sql(sources)},
        | d2 AS MATERIALIZED (SELECT l.src, l.v,
        |     CAST(sum(l.sigma * (1000000 + 0) // s.sigma) AS BIGINT)
        |       AS dmu
@@ -500,6 +513,16 @@ object QueriesGraph {
          |     AS assortativity
          | FROM sums""".stripMargin,
     "qg_betweenness" -> betweennessSql(Seq(1L, 2L, 3L, 4L)),
+    "qg_harmonic" -> {
+      val inSet = Seq(1L, 2L, 3L, 4L).mkString("(", ", ", ")")
+      s"""${bfsLevels3Sql(Seq(1L, 2L, 3L, 4L))}
+         | SELECT v AS id, CAST(sum(hm) AS BIGINT) AS harmonic_micro
+         | FROM (SELECT src, v, 1000000 // 1 AS hm FROM l1
+         |   UNION ALL SELECT src, v, 1000000 // 2 FROM l2
+         |   UNION ALL SELECT src, v, 1000000 // 3 FROM l3)
+         | WHERE v NOT IN $inSet
+         | GROUP BY v ORDER BY id""".stripMargin
+    },
     "qg_walk_skipgrams" -> walkSkipgramsSql(Seq(1L, 2L, 3L), 3, 4, 2),
     "qg_random_walks" -> randomWalksSql(Seq(1L, 2L, 3L), 3, 4),
     "qg_hits" -> hitsSql(3),

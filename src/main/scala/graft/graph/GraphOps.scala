@@ -600,6 +600,46 @@ object GraphOps {
     out
   }
 
+  /** Bounded-radius harmonic centrality from a focal source set
+    * (Boldi & Vigna 2014 §3 argue harmonic is the principled
+    * closeness variant on disconnected graphs; bounding radius and
+    * sources is the same estimator trade as [[betweennessDF]]):
+    * centrality(v) = Σ_s 1/d(s,v), accumulated in integer micro-units
+    * `1e6 div d` — exact, order-free, oracle-replayable.
+    *
+    * Scale shape: one joint (src, v) BFS — per round ONE equi-join
+    * streaming the persisted adjacency against the BROADCAST frontier
+    * + an anti-join vs the broadcast visited set; distances are level
+    * indexes, no per-vertex state beyond the visited set. */
+  def harmonicCentralityDF(edges: DataFrame, sourceIds: Seq[Long],
+      depth: Int): DataFrame = {
+    require(sourceIds.nonEmpty && depth >= 1, "need sources and depth")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val und = edges.select(col("src").as("a"), col("dst").as("b"))
+      .unionByName(edges.select(col("dst").as("a"), col("src").as("b")))
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    var frontier = sourceIds.map(s => (s, s)).toDF("src", "v")
+      .localCheckpoint(true)
+    var visited = frontier
+    val acc = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (d <- 1 to depth) {
+      frontier = broadcast(frontier).join(und, col("v") === col("a"))
+        .select(col("src"), col("b").as("v")).distinct()
+        .join(broadcast(visited), Seq("src", "v"), "left_anti")
+        .localCheckpoint(true)
+      visited = visited.unionByName(frontier).localCheckpoint(true)
+      acc += frontier.withColumn("__hm", lit(1000000L / d))
+    }
+    val out = acc.reduce(_ unionByName _)
+      .filter(!col("v").isin(sourceIds: _*))
+      .groupBy(col("v").as("id"))
+      .agg(sum(col("__hm")).as("harmonic_micro"))
+      .localCheckpoint()
+    und.unpersist()
+    out
+  }
+
   /** Degree assortativity coefficient (Newman 2002, Phys. Rev. Lett.
     * 89): the Pearson correlation of degrees across edge endpoints —
     * positive = hubs link to hubs, negative = hub-and-spoke. Over the

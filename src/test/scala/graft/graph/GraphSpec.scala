@@ -325,6 +325,29 @@ class GraphSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("harmonic centrality: hand-computed distances, radius bound") {
+    import spark.implicits._
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val p = GraphOps.harmonicCentralityDF(path, Seq(1L), depth = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 1e6/1, 1e6/2, 1e6/3; vertex 5 is past the radius
+    assert(p == Map(2L -> 1000000L, 3L -> 500000L, 4L -> 333333L))
+    // multi-source sums; sources excluded from the result
+    val diamond = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("src", "dst")
+    val d = GraphOps.harmonicCentralityDF(diamond, Seq(1L, 4L), depth = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d == Map(2L -> 2000000L, 3L -> 2000000L))
+    // partitioning invariance on the real graph
+    val e = TradeGraph.edges(spark, sf)
+    val a = GraphOps.harmonicCentralityDF(e.repartition(1), Seq(1L, 2L), 3)
+      .orderBy("id").collect().toSeq
+    val b = GraphOps.harmonicCentralityDF(e.repartition(13), Seq(1L, 2L), 3)
+      .orderBy("id").collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
   test("betweenness: hand-computed path and diamond, multi-source sum") {
     import spark.implicits._
     // path 1-2-3-4-5 from source 1: δ accumulates down the chain
