@@ -937,6 +937,18 @@ object QueriesPipeline {
       TextOps.lmPerplexity(docs(s, dir), "doc_id", "text")
         .orderBy("doc_id")
     }),
+    "qp_cdc_chunks" -> ((s, dir) => {
+      // content-defined chunking vs a prefix-shifted recrawl: CDC
+      // boundaries re-sync after the first boundary, so the recrawl's
+      // chunks re-hash identically and surface as shared — the
+      // storage-dedup signal fixed-size chunking cannot give
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val recrawl = d.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 10000L).as("doc_id"),
+          concat(lit("update "), col("text")).as("text"))
+      Curation.cdcChunks(d.unionByName(recrawl), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
     "qp_self_overlap" -> ((s, dir) => {
       // corpus diversity health number: mean pairwise word-trigram
       // Jaccard over the deterministic bottom-50-by-hash doc sample
@@ -2751,6 +2763,39 @@ object QueriesPipeline {
          |   round(-(s / (n_bigrams * 1e6)), 6) AS nll,
          |   round(exp(-(s / (n_bigrams * 1e6))), 3) AS ppl
          | FROM perdoc ORDER BY doc_id""".stripMargin,
+    "qp_cdc_chunks" ->
+      // same window chain: boundary flags → running chunk id + chunk
+      // start → 40-bit positional token hashes summed per chunk
+      s"""WITH base AS (SELECT doc_id, text FROM documents
+         |   UNION ALL SELECT doc_id + 10000, 'update ' || text
+         |   FROM documents WHERE doc_id < 50),
+         | tok AS (SELECT doc_id,
+         |     CAST(generate_subscripts(tk, 1) - 1 AS BIGINT) AS pos,
+         |     unnest(tk) AS t
+         |   FROM (SELECT doc_id, ${dTokens("text")} AS tk FROM base)),
+         | b AS (SELECT doc_id, pos, t,
+         |     CASE WHEN ${dH60("t")} % 16 = 0 THEN 1 ELSE 0 END AS bnd
+         |   FROM tok),
+         | c AS (SELECT doc_id, pos, t,
+         |     coalesce(sum(bnd) OVER (PARTITION BY doc_id ORDER BY pos
+         |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |       AS chunk,
+         |     coalesce(max(CASE WHEN bnd = 1 THEN pos END)
+         |       OVER (PARTITION BY doc_id ORDER BY pos
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |       + 1, 0) AS cstart
+         |   FROM b),
+         | ch AS (SELECT doc_id, chunk, count(*) AS sz,
+         |     CAST(sum(${dH60("(pos - cstart) || ':' || t")}
+         |       % 1099511627776) AS BIGINT) AS chash
+         |   FROM c GROUP BY 1, 2),
+         | sh AS (SELECT chash FROM ch GROUP BY chash
+         |   HAVING count(DISTINCT doc_id) > 1)
+         | SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+         |   CAST(max(sz) AS BIGINT) AS max_chunk_tokens,
+         |   CAST(sum(CASE WHEN chash IN (SELECT chash FROM sh)
+         |     THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_chunks
+         | FROM ch GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "qp_self_overlap" ->
       // same bottom-50-by-hash sample, same integer micro Jaccard
       s"""WITH g AS (SELECT doc_id,

@@ -407,6 +407,66 @@ object Curation {
     out
   }
 
+  /** Content-defined chunking (the rolling-hash boundary idea behind
+    * rsync/LBFS/FastCDC, applied at token granularity): a token ENDS
+    * a chunk when `hash60(token) mod divisor == 0`, so chunk
+    * boundaries are a property of the CONTENT — insert one sentence
+    * into a document and only the chunk containing it changes, where
+    * fixed-size chunking ([[chunkDocs]]) shifts every later boundary.
+    * That stability is what makes chunk hashes dedupable ACROSS
+    * near-identical documents; the output reports, per doc, the chunk
+    * count/size profile and how many of its chunks also appear in
+    * other documents (the storage/transfer-dedup signal).
+    *
+    * Scale shape: one tokenize+posexplode pass; the running boundary
+    * count is a per-DOC window (bounded by document length — never a
+    * hot unbounded key, the [[packBins]] per-shard precedent); chunk
+    * hashes aggregate per (doc, chunk) with map-side combine, and the
+    * cross-doc share check is one partial-agg'd groupBy on the chunk
+    * hash + a join-back (AQE-splittable — a boilerplate chunk shared
+    * by millions of docs pre-combines, never a window key). Returns
+    * (idCol, n_chunks, max_chunk_tokens, n_shared_chunks). */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+      divisor: Int = 16): DataFrame = {
+    require(divisor >= 2, "divisor sets the expected chunk length")
+    val w = Window.partitionBy(col("__id")).orderBy(col("__pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val toks = Partitioning.spread(df)
+      .select(col(idCol).as("__id"),
+        posexplode(TextOps.tokensWs(col(textCol)))
+          .as(Seq("__pos", "__t")))
+      .withColumn("__bnd",
+        (TextOps.hashMod(col("__t"), divisor.toLong) === 0).cast("long"))
+      .withColumn("__chunk", coalesce(sum(col("__bnd")).over(w), lit(0L)))
+      // chunk start = last boundary position before this token + 1
+      // (same window frame — one Window exec serves both columns)
+      .withColumn("__cstart", coalesce(
+        max(when(col("__bnd") === 1, col("__pos"))).over(w) + 1, lit(0)))
+    val chunks = toks.groupBy(col("__id"), col("__chunk"))
+      .agg(count(lit(1)).as("__sz"),
+        // order-AWARE order-free fingerprint: each token hashed with
+        // its in-chunk position, combined by exact integer sum; the
+        // per-token hash is folded to 40 bits so the sum stays far
+        // from 2^63 (full 60-bit hashes would overflow-wrap in Spark
+        // and raise in DuckDB at ~8 tokens)
+        sum(TextOps.hashMod(concat(col("__pos") - col("__cstart"),
+          lit(":"), col("__t")), 1099511627776L)).as("__ch"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val shared = chunks.groupBy(col("__ch"))
+      .agg(countDistinct(col("__id")).as("__nd"))
+      .filter(col("__nd") > 1)
+      .select(col("__ch"), lit(true).as("__shared"))
+    val out = chunks.join(shared, Seq("__ch"), "left")
+      .groupBy(col("__id").as(idCol))
+      .agg(count(lit(1)).as("n_chunks"),
+        max(col("__sz")).as("max_chunk_tokens"),
+        sum(coalesce(col("__shared"), lit(false)).cast("long"))
+          .as("n_shared_chunks"))
+      .localCheckpoint()
+    chunks.unpersist()
+    out
+  }
+
   /** Sequence packing: lay the corpus out as a token stream per
     * partition key (documents may span bin boundaries, GPT-style) and
     * bin by the document's starting offset — bin = floor(start/budget)

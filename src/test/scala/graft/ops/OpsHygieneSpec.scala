@@ -625,6 +625,43 @@ class OpsHygieneSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("cdcChunks: boundaries re-sync under prefix insertion") {
+    spark.catalog.clearCache()
+    val d = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val re = d.filter(col("doc_id") < 20)
+      .select((col("doc_id") + 10000L).as("doc_id"),
+        concat(lit("zzz "), col("text")).as("text"))
+    val out = Curation.cdcChunks(d.unionByName(re), "doc_id", "text")
+      .persist()
+    // the CDC property: after the first content boundary the
+    // prefixed copy's chunks re-hash identically, so the recrawl
+    // slice shares the clear majority of its chunks with the corpus
+    val r = out.filter(col("doc_id") >= 10000L)
+      .agg(sum(col("n_shared_chunks")), sum(col("n_chunks"))).head()
+    assert(r.getLong(0) * 10 >= r.getLong(1) * 6,
+      s"recrawl chunks shared ${r.getLong(0)}/${r.getLong(1)} — " +
+        "CDC boundaries failed to re-sync")
+    // and the originals of the recrawled docs report sharing too,
+    // while the corpus at large shares far less
+    val orig = out.filter(col("doc_id") < 20L)
+      .agg(sum(col("n_shared_chunks")), sum(col("n_chunks"))).head()
+    assert(orig.getLong(0) * 10 >= orig.getLong(1) * 6)
+    val rest = out.filter(col("doc_id") >= 20L && col("doc_id") < 10000L)
+      .agg(sum(col("n_shared_chunks")), sum(col("n_chunks"))).head()
+    assert(rest.getLong(0) * 10 < rest.getLong(1) * 6,
+      "untouched docs must not look like recrawls")
+    out.unpersist()
+    // partitioning invariance (window per doc, integer hashes)
+    val a = Curation.cdcChunks(d.repartition(1), "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    val b = Curation.cdcChunks(d.repartition(13), "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "cdcChunks must release its chunk cache")
+  }
+
   test("orderedFunnel: greedy order, window bound, out-of-order steps") {
     def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
     // A completes in order; B purchases WITHOUT a click; C clicks
