@@ -92,7 +92,23 @@ import org.scalatest.funsuite.AnyFunSuite
   *      change, and an isolated 5-query subset re-run drifted +25%
   *      against its own earlier reading. Per-query swings of ±30-40%
   *      on heavy queries are environmental; judge r7 numbers by suite
-  *      totals and plan audits, not single-query deltas. */
+  *      totals and plan audits, not single-query deltas.
+  *
+  * == 6. round-7 closing state ==
+  * Gates: 178/178 oracle-hash-green at sf0.01 (up from 148+2 in r6 —
+  * 28 new oracle queries this round, PCA now hash-gated too);
+  * 281/281 specs. Final full bench (16g, 3-round medians, sf0.1):
+  * 217.8 s / 178 queries — on the 36 queries in the r6 artifact,
+  * 44.4 → 42.6 s (0.96×), and on the 169 queries shared with this
+  * round's FIRST full run, 268 → 205 s (0.76×) from the heap +
+  * broadcast + listener-hygiene work. Slowest: qp_ppjoin_pairs
+  * 7.6 s (r6: 8.2), qp_curation_report 6.2, qp_dedup_keep_quality
+  * 5.3, qg_betweenness 4.1 (the new two-phase Brandes — in line with
+  * modularity/labelprop). All new-operator costs: betweenness 4.1,
+  * harmonic 2.3, cdc_chunks 1.8, assortativity 1.7, walks/skipgrams
+  * 1.5, kn_perplexity 2.5→in-suite varies, wordpiece 1.0, boilerplate
+  * 1.8, bm25_appended 3.0, self_overlap 0.5, event_funnel 0.5,
+  * cohort_retention 0.7, approx_percentile 0.2. */
 class ScratchR7 extends AnyFunSuite {
   private lazy val spark = org.apache.spark.sql.SparkSession.builder()
     .master("local[32]")
