@@ -94,6 +94,13 @@ object QueriesGraph {
             TradeGraph.edges(s, dir), rounds = 3))
         .orderBy(col("community"))
     }),
+    "qg_clustering" -> ((s, dir) => {
+      // Watts-Strogatz local clustering over the co-purchaser
+      // projection: triangles vs possible neighbor pairs, exact
+      // integer micro-units
+      GraphOps.clusteringCoefficientDF(copurchaseProjection(s, dir))
+        .orderBy("id")
+    }),
     "qg_assortativity" -> ((s, dir) => {
       // degree-degree Pearson correlation across trade-graph edges:
       // is this hub-to-hub or hub-and-spoke? (exact integer sums,
@@ -493,6 +500,33 @@ object QueriesGraph {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "qg_clustering" ->
+      // same projection + ordered-triangle chain as qg_triangles,
+      // plus the undirected degree and the integer coefficient rule
+      s"""WITH $edgesCte,
+         | proj AS MATERIALIZED (
+         |   SELECT a.src AS src, b.src AS dst
+         |   FROM e a JOIN e b ON a.dst = b.dst AND a.src < b.src
+         |   WHERE a.src < 100 AND b.src < 100
+         |   GROUP BY a.src, b.src HAVING count(*) >= 5),
+         | deg AS (SELECT id, CAST(count(*) AS BIGINT) AS d FROM (
+         |   SELECT src AS id FROM proj
+         |   UNION ALL SELECT dst FROM proj) GROUP BY id),
+         | tris AS (SELECT p1.src AS a, p1.dst AS b, p2.dst AS c
+         |   FROM proj p1 JOIN proj p2 ON p2.src = p1.dst
+         |   JOIN proj p3 ON p3.src = p1.src AND p3.dst = p2.dst),
+         | mem AS (SELECT a AS id FROM tris
+         |   UNION ALL SELECT b FROM tris UNION ALL SELECT c FROM tris),
+         | cnt AS (SELECT id, count(*) AS t FROM mem GROUP BY id)
+         | SELECT deg.id,
+         |   CAST(coalesce(cnt.t, 0) AS INT) AS triangles,
+         |   deg.d AS degree,
+         |   CASE WHEN deg.d >= 2 THEN
+         |     CAST(coalesce(cnt.t, 0) AS BIGINT) * 2000000
+         |       // (deg.d * (deg.d - 1))
+         |   ELSE 0 END AS coeff_micro
+         | FROM deg LEFT JOIN cnt USING (id)
+         | ORDER BY id""".stripMargin,
     "qg_assortativity" ->
       s"""WITH $edgesCte,
          | und AS (SELECT src AS a, dst AS b FROM e

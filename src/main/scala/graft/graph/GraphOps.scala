@@ -213,6 +213,26 @@ object GraphOps {
         coalesce(col("n"), lit(0L)).cast("int").as("triangles"))
   }
 
+  /** Local clustering coefficient (Watts & Strogatz 1998): per vertex
+    * C(v) = 2·T(v) / (d(v)·(d(v)−1)) — how close v's neighborhood is
+    * to a clique. Exact integer micro-units (`2·T·1e6 div d(d−1)`,
+    * multiply-before-divide); vertices of degree < 2 report 0. Rides
+    * [[triangleCountsDF]]'s declarative ordered-edge three-way join —
+    * one degree partial-agg + one join on top; no windows. Input is
+    * an ordered (src < dst) undirected edge list, one row per edge. */
+  def clusteringCoefficientDF(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    val deg = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("d"))
+    val tri = triangleCountsDF(deg.select("id"), e)
+    tri.join(deg, "id")
+      .select(col("id"), col("triangles"), col("d").as("degree"),
+        when(col("d") >= 2,
+          expr("CAST(triangles AS BIGINT) * 2000000 div (d * (d - 1))"))
+          .otherwise(lit(0L)).as("coeff_micro"))
+  }
+
   /** Adamic–Adar link prediction (Adamic & Adar 2003, public paper):
     * score a candidate pair (a, b) by Σ 1/ln(deg(w)) over their common
     * neighbors w — rarer shared neighbors count for more. Scored over

@@ -325,6 +325,19 @@ class GraphSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("clustering coefficient: triangle-plus-pendant hand values") {
+    import spark.implicits._
+    // triangle {1,2,3} + pendant 3-4: C1=C2=1, C3=2/6, C4=0 (deg<2)
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
+      .toDF("src", "dst")
+    val got = GraphOps.clusteringCoefficientDF(e).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == Map(
+      1L -> ((1, 2L, 1000000L)), 2L -> ((1, 2L, 1000000L)),
+      3L -> ((1, 3L, 333333L)), 4L -> ((0, 1L, 0L))))
+  }
+
   test("harmonic centrality: hand-computed distances, radius bound") {
     import spark.implicits._
     val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
