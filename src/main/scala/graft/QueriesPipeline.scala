@@ -1072,6 +1072,14 @@ object QueriesPipeline {
           "embedding")
         .orderBy("label", "dim")
     }),
+    "qp_embedding_outliers" -> ((s, dir) => {
+      // centroid-distance quality filter: per label the 5 vectors
+      // least similar to their own fixed-point centroid (mis-embedded
+      // / mislabeled candidates — the over-far complement of SemDeDup)
+      Similarity.embeddingOutliers(embs(s, dir), "vec_id", "embedding",
+          "label", k = 5)
+        .orderBy("label", "rnk")
+    }),
     "qp_kmv_quantiles" -> ((s, dir) => {
       // per-language doc-length quantiles from the deterministic
       // bottom-k-by-hash uniform sample (k=128) — bounded state,
@@ -3090,6 +3098,29 @@ object QueriesPipeline {
          |     / (count(*) * 1e6) AS c,
          |   count(*) AS n_members
          | FROM u GROUP BY label, dim ORDER BY label, dim""".stripMargin,
+    "qp_embedding_outliers" ->
+      // the qp_source_centroids fixed-point centroid chain + ordered
+      // self/centroid dots and the ascending (cos, vec_id) rank
+      s"""WITH e0 AS (SELECT label, vec_id, embedding::DOUBLE[] AS v
+         |   FROM embeddings),
+         | u AS (SELECT label,
+         |     CAST(generate_subscripts(v, 1) - 1 AS INT) AS dim,
+         |     unnest(v) AS x FROM e0),
+         | cm AS (SELECT label, dim,
+         |     sum(CAST(round(x * 1e6) AS BIGINT))::BIGINT
+         |       / (count(*) * 1e6) AS c
+         |   FROM u GROUP BY label, dim),
+         | cent AS (SELECT label, list(c ORDER BY dim) AS cv
+         |   FROM cm GROUP BY label),
+         | sc AS (SELECT e0.label, e0.vec_id,
+         |     ${dDot("e0.v", "cent.cv")} /
+         |       (sqrt(${dDot("e0.v", "e0.v")}) *
+         |        sqrt(${dDot("cent.cv", "cent.cv")})) AS cos
+         |   FROM e0 JOIN cent USING (label)),
+         | r AS (SELECT label, vec_id, cos, row_number() OVER (
+         |     PARTITION BY label ORDER BY cos, vec_id) AS rnk FROM sc)
+         | SELECT label, vec_id, round(cos, 6) AS cos, rnk
+         | FROM r WHERE rnk <= 5 ORDER BY label, rnk""".stripMargin,
     "qp_kmv_quantiles" ->
       // identical bottom-k-by-hash sample + integer rank indexing
       // (k = 128; collision rule: duplicate hash keeps min value)

@@ -532,6 +532,42 @@ object Similarity {
         (col("__sx") / (col("n_members") * 1e6)).as("c"),
         col("n_members"))
 
+  /** Embedding-space outlier detection — the centroid-distance
+    * quality filter for embedded corpora (mis-embedded, garbage, or
+    * mislabeled vectors sit far from their label's centroid; SemDeDup
+    * prunes the over-close, this prunes the over-far): per label the
+    * k vectors LEAST cosine-similar to their own fixed-point centroid
+    * ([[meanEmbedding]]'s exact micro-unit means, so the centroid —
+    * and therefore every cosine — replays bit-identically).
+    *
+    * Scale shape: centroids are (labels × dim) control-plane rows
+    * assembled per label and BROADCAST; scoring is one narrow
+    * projection over the corpus; ranking reuses the two-level
+    * [[rankTopKBy]] ladder keyed by label, so a giant label's
+    * candidates never serialize into one window task. Returns
+    * (label, vec_id, cos, rnk) with rnk 1 = farthest. */
+  def embeddingOutliers(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, k: Int): DataFrame = {
+    val cent = meanEmbedding(df, labelCol, vecCol)
+      .groupBy(col(labelCol))
+      .agg(array_sort(collect_list(struct(col("dim"), col("c"))))
+        .as("__dc"))
+      .select(col(labelCol),
+        transform(col("__dc"), x => x.getField("c")).as("__cv"))
+      .withColumn("__cn", norm(col("__cv")))
+    val scored = Partitioning.spread(df)
+      .select(col(labelCol), col(idCol).as("n_id"),
+        col(vecCol).cast("array<double>").as("__v"))
+      .withColumn("__vn", norm(col("__v")))
+      .join(broadcast(cent), labelCol)
+      .withColumn("cos", dot(col("__v"), col("__cv")) /
+        (col("__vn") * col("__cn")))
+      .select(col(labelCol).as("q_id"), col("n_id"), col("cos"))
+    rankTopKBy(scored, k, "cos", ascending = true)
+      .select(col("q_id").as(labelCol), col("n_id").as(idCol),
+        col("cos"), col("rnk"))
+  }
+
   /** Symmetric int8 quantization of an embedding column: per-vector
     * scale = max|x|/127, values round to [-127, 127]. At 100 TB this
     * is the 4× storage/IO cut that makes the embedding corpus

@@ -625,6 +625,27 @@ class OpsHygieneSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("embeddingOutliers: planted inverted vector ranks first") {
+    // 9 vectors near +e1, one pointing the opposite way: the planted
+    // outlier must be the label's rank-1 (least centroid-similar)
+    val rows = (1L to 9L).map(i =>
+        (i, Array(1.0f, 0.01f * i, 0.0f), "L")) :+
+      ((99L, Array(-1.0f, 0.0f, 0.0f), "L"))
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val got = Similarity.embeddingOutliers(df, "vec_id", "embedding",
+      "label", k = 3).orderBy("rnk").collect()
+    assert(got.head.getLong(1) == 99L && got.head.getInt(3) == 1)
+    assert(got.head.getDouble(2) < 0, "outlier must oppose the centroid")
+    // partitioning invariance on the real embeddings (fixed-point
+    // centroid, ordered dots)
+    val e = Tables.load(spark, sf, "embeddings")
+    val a = Similarity.embeddingOutliers(e.repartition(1), "vec_id",
+      "embedding", "label", 5).orderBy("label", "rnk").collect().toSeq
+    val b = Similarity.embeddingOutliers(e.repartition(13), "vec_id",
+      "embedding", "label", 5).orderBy("label", "rnk").collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
   test("cdcChunks: boundaries re-sync under prefix insertion") {
     spark.catalog.clearCache()
     val d = Tables.load(spark, sf, "documents")
