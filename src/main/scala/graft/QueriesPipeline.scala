@@ -949,6 +949,12 @@ object QueriesPipeline {
       Curation.cdcChunks(d.unionByName(recrawl), "doc_id", "text")
         .orderBy("doc_id")
     }),
+    "qp_readability" -> ((s, dir) => {
+      // Flesch reading ease from exact word/sentence/vowel-group
+      // counts — the audience-level curation signal
+      TextOps.readabilityScores(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
     "qp_self_overlap" -> ((s, dir) => {
       // corpus diversity health number: mean pairwise word-trigram
       // Jaccard over the deterministic bottom-50-by-hash doc sample
@@ -2804,6 +2810,27 @@ object QueriesPipeline {
          |   CAST(sum(CASE WHEN chash IN (SELECT chash FROM sh)
          |     THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_chunks
          | FROM ch GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "qp_readability" ->
+      // same counts, same fixed-order double score
+      s"""WITH b AS (SELECT doc_id,
+         |     greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+         |       AS s,
+         |     len(regexp_extract_all(lower(text), '[aeiouy]+')) AS vg,
+         |     ${dTokens("text")} AS tok
+         |   FROM documents),
+         | t AS (SELECT doc_id, s, vg, unnest(tok) AS t FROM b),
+         | a AS (SELECT doc_id, s, vg,
+         |     CAST(count(*) AS BIGINT) AS n_words,
+         |     CAST(sum(CASE WHEN NOT regexp_matches(t, '[aeiouy]')
+         |       THEN 1 ELSE 0 END) AS BIGINT) AS n0
+         |   FROM t GROUP BY 1, 2, 3)
+         | SELECT doc_id, n_words, CAST(s AS BIGINT) AS n_sentences,
+         |   CAST(vg + n0 AS BIGINT) AS n_syllables,
+         |   round(206.835
+         |     - 1.015 * (CAST(n_words AS DOUBLE) / s)
+         |     - 84.6 * (CAST(vg + n0 AS DOUBLE) / n_words), 4)
+         |     AS flesch
+         | FROM a ORDER BY doc_id""".stripMargin,
     "qp_self_overlap" ->
       // same bottom-50-by-hash sample, same integer micro Jaccard
       s"""WITH g AS (SELECT doc_id,

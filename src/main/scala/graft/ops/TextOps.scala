@@ -509,6 +509,46 @@ object TextOps {
     out
   }
 
+  /** Readability scoring (Flesch 1948 reading ease, the curation
+    * filter for audience-level selection): 206.835 − 1.015·(W/S) −
+    * 84.6·(Syl/W) from three deterministic counts — words
+    * (whitespace tokens), sentences (runs of `[.!?]`, floor 1 — the
+    * standard heuristic), syllables (vowel-group runs `[aeiouy]+`
+    * per word, floor 1 per word — the classic approximation).
+    * Counts are exact integers; the score is one fixed-order double
+    * expression, so it replays bit-identically.
+    *
+    * Scale shape: sentence/vowel-group counts are codegen'd
+    * regexp_count on the doc row; the per-word vowel-less floor goes
+    * through explode + partial-agg (never an interpreted per-token
+    * lambda); ONE pass, one groupBy on the doc key. Returns
+    * (idCol, n_words, n_sentences, n_syllables, flesch). */
+  def readabilityScores(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val base = Partitioning.spread(df)
+      .select(col(idCol).as("__id"),
+        greatest(lit(1L),
+          regexp_count(col(textCol), lit("[.!?]+")).cast("long"))
+          .as("__s"),
+        regexp_count(lower(col(textCol)), lit("[aeiouy]+")).cast("long")
+          .as("__vg"),
+        explode(tokensWs(col(textCol))).as("__t"))
+    val agg = base
+      .withColumn("__novowel",
+        (!col("__t").rlike("[aeiouy]")).cast("long"))
+      .groupBy(col("__id"), col("__s"), col("__vg"))
+      .agg(count(lit(1)).as("n_words"), sum(col("__novowel")).as("__n0"))
+    agg.select(col("__id").as(idCol), col("n_words"),
+        col("__s").as("n_sentences"),
+        (col("__vg") + col("__n0")).as("n_syllables"))
+      .withColumn("flesch",
+        round(lit(206.835) -
+          lit(1.015) * (col("n_words").cast("double") /
+            col("n_sentences")) -
+          lit(84.6) * (col("n_syllables").cast("double") /
+            col("n_words")), 4))
+  }
+
   /** Corpus self-overlap (diversity) metric — the corpus-health
     * number behind self-BLEU-style diversity reports (Zhu et al.
     * 2018): mean pairwise word-n-gram Jaccard over a DETERMINISTIC

@@ -625,6 +625,27 @@ class OpsHygieneSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("readabilityScores: hand-computed Flesch, vowel-less floor") {
+    val df = Seq((1L, "The cat sat. It ran!"), (2L, "psst. brr"))
+      .toDF("doc_id", "text")
+    val got = TextOps.readabilityScores(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    // doc 1: W=5, S=2, Syl=5 → 206.835 − 1.015·2.5 − 84.6 = 119.6975
+    assert(got(0).getLong(1) == 5 && got(0).getLong(2) == 2 &&
+      got(0).getLong(3) == 5)
+    assert(got(0).getDouble(4) == 119.6975)
+    // doc 2: both words vowel-less → syllable floor 1 per word;
+    // W=2, S=1, Syl=2 → 206.835 − 2.03 − 84.6 = 120.205
+    assert(got(1).getLong(3) == 2 && got(1).getDouble(4) == 120.205)
+    // partitioning invariance on the real corpus
+    val d = Tables.load(spark, sf, "documents")
+    val a = TextOps.readabilityScores(d.repartition(1), "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    val b = TextOps.readabilityScores(d.repartition(13), "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
   test("embeddingOutliers: planted inverted vector ranks first") {
     // 9 vectors near +e1, one pointing the opposite way: the planted
     // outlier must be the label's rank-1 (least centroid-similar)
