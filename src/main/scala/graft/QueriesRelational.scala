@@ -339,6 +339,12 @@ object QueriesRelational {
           windowUs = 24L * 3600 * 1000000L)
         .orderBy(col("user_id"))
     }),
+    "q_rate_spikes" -> ((s, dir) => {
+      // hourly burst detection: buckets >= 3 sample std devs above
+      // their type's mean rate (integer sums, rounded-z threshold)
+      Funnel.rateSpikes(t(s, dir, "events"), "ts", "event_type")
+        .orderBy(col("event_type"), col("bucket"))
+    }),
     "q_cohort_retention" -> ((s, dir) => {
       // weekly cohorts by first-seen period; per-offset active-user
       // counts (all-integer bucketing, partial-agg shape throughout)
@@ -587,6 +593,27 @@ object QueriesRelational {
         | FROM p ASOF LEFT JOIN c
         |   ON p.user_id = c.user_id AND p.ts >= c.ts
         | ORDER BY p.event_id""".stripMargin,
+    "q_rate_spikes" ->
+      s"""WITH b AS (SELECT event_type,
+         |     epoch_us(ts) // 3600000000 AS bucket,
+         |     CAST(count(*) AS BIGINT) AS n
+         |   FROM events GROUP BY 1, 2),
+         | st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS c,
+         |     CAST(sum(n) AS BIGINT) AS s,
+         |     CAST(sum(n * n) AS BIGINT) AS s2
+         |   FROM b GROUP BY 1),
+         | sc AS (SELECT b.event_type, b.bucket, b.n, st.c,
+         |     (CAST(st.s2 AS DOUBLE) * st.c
+         |         - CAST(st.s AS DOUBLE) * st.s)
+         |       / (CAST(st.c AS DOUBLE) * (st.c - 1)) AS v,
+         |     round((b.n - CAST(st.s AS DOUBLE) / st.c)
+         |       / sqrt((CAST(st.s2 AS DOUBLE) * st.c
+         |           - CAST(st.s AS DOUBLE) * st.s)
+         |         / (CAST(st.c AS DOUBLE) * (st.c - 1))), 4) AS z
+         |   FROM b JOIN st USING (event_type))
+         | SELECT event_type, bucket, n, z FROM sc
+         | WHERE c > 1 AND v > 0 AND z >= 3.0
+         | ORDER BY event_type, bucket""".stripMargin,
     "q_cohort_retention" ->
       s"""WITH f AS (SELECT user_id,
          |     min(epoch_us(ts) // 604800000000) AS cohort_period

@@ -47,6 +47,43 @@ object Funnel {
     cur.withColumn("steps_reached", reached.cast("long"))
   }
 
+  /** Rate-spike detection — burst/anomaly flagging on an event
+    * stream's bucket counts (the ops-analytics companion to
+    * sessionize/funnel): bucket events per (type, window), flag
+    * buckets whose count sits ≥ `z` sample standard deviations above
+    * the type's mean. All inputs are exact integer sums (c, Σn, Σn²);
+    * the z-score is one fixed-order double expression and the
+    * threshold compares the ROUNDED score (repo gate convention), so
+    * the flag set replays bit-identically.
+    *
+    * Scale shape: bucket counts partial-combine on the (type, bucket)
+    * key; per-type stats reduce the bucket frame (types are few) and
+    * BROADCAST back; one narrow scoring projection. Returns
+    * (event_type, bucket, n, z) for flagged buckets. */
+  def rateSpikes(events: DataFrame, tsCol: String, typeCol: String,
+      bucketUs: Long = 3600000000L, z: Double = 3.0): DataFrame = {
+    require(bucketUs > 0, "bucketUs must be positive")
+    val b = events
+      .groupBy(col(typeCol).as("event_type"),
+        expr(s"unix_micros($tsCol) div ${bucketUs}L").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val st = b.groupBy("event_type")
+      .agg(count(lit(1)).as("__c"), sum(col("n")).as("__s"),
+        sum(col("n") * col("n")).as("__s2"))
+    val mean = col("__s").cast("double") / col("__c")
+    val variance = (col("__s2").cast("double") * col("__c") -
+      col("__s").cast("double") * col("__s")) /
+      (col("__c").cast("double") * (col("__c") - 1))
+    b.join(broadcast(st), "event_type")
+      .withColumn("__var", variance)
+      .withColumn("z", round((col("n") - mean) / sqrt(col("__var")), 4))
+      // __var > 0 guards the constant-rate type: its z is 0/0 = NaN,
+      // and BOTH engines order NaN above every double — without the
+      // guard a perfectly flat stream would flag every bucket
+      .filter(col("__c") > 1 && col("__var") > 0 && col("z") >= z)
+      .select(col("event_type"), col("bucket"), col("n"), col("z"))
+  }
+
   /** Cohort retention table — the funnel's standard companion: users
     * cohorted by their FIRST-SEEN period (integer `epoch_micros div
     * (periodDays·86400e6)` — exact), then for each offset 0..max the

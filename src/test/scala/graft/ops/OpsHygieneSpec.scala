@@ -625,6 +625,31 @@ class OpsHygieneSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("rateSpikes: planted burst flags, flat stream stays silent") {
+    def ts(hour: Long, i: Long) =
+      new java.sql.Timestamp(hour * 3600000L + i)
+    // type 'a': 19 calm hours of 10 events + one 100-event burst
+    // (max one-outlier z at n buckets is (n−1)/√n, so 10 buckets
+    // can never clear 3σ — 20 give z ≈ 4.25); type 'b' is perfectly
+    // flat — its variance is 0 and the NaN guard must keep it silent
+    val rows =
+      (0L until 19L).flatMap(h => (0L until 10L).map(i => (ts(h, i), "a"))) ++
+        (0L until 100L).map(i => (ts(19L, i), "a")) ++
+        (0L until 5L).flatMap(h => (0L until 7L).map(i => (ts(h, i), "b")))
+    val ev = rows.toDF("ts", "event_type")
+    val got = Funnel.rateSpikes(ev, "ts", "event_type").collect()
+    assert(got.length == 1, s"exactly the burst: ${got.toSeq}")
+    assert(got.head.getString(0) == "a" && got.head.getLong(1) == 19L &&
+      got.head.getLong(2) == 100L && got.head.getDouble(3) > 4.0)
+    // partitioning invariance on the real events table
+    val e = Tables.load(spark, sf, "events")
+    val a = Funnel.rateSpikes(e.repartition(1), "ts", "event_type")
+      .orderBy("event_type", "bucket").collect().toSeq
+    val b = Funnel.rateSpikes(e.repartition(13), "ts", "event_type")
+      .orderBy("event_type", "bucket").collect().toSeq
+    assert(a == b)
+  }
+
   test("readabilityScores: hand-computed Flesch, vowel-less floor") {
     val df = Seq((1L, "The cat sat. It ran!"), (2L, "psst. brr"))
       .toDF("doc_id", "text")
