@@ -67,14 +67,26 @@ object Funnel {
       .groupBy(col(typeCol).as("event_type"),
         expr(s"unix_micros($tsCol) div ${bucketUs}L").as("bucket"))
       .agg(count(lit(1)).as("n"))
-    val st = b.groupBy("event_type")
+    rateSpikesFromCounts(b, z)
+  }
+
+  /** the scoring half over a pre-maintained (event_type, bucket, n)
+    * count table — the STREAMING deployment shape: bucket counts are
+    * one streaming aggregation (additive state, merges across
+    * micro-batches), and this narrow pass scores the live table
+    * whenever it's read. */
+  def rateSpikesFromCounts(b: DataFrame, z: Double = 3.0): DataFrame = {
+    // stat-side key is RENAMED so the self-join's children never share
+    // output attributes — b may be a live streaming-sink table, where
+    // both branches would otherwise carry identical attribute ids
+    val st = b.groupBy(col("event_type").as("__et"))
       .agg(count(lit(1)).as("__c"), sum(col("n")).as("__s"),
         sum(col("n") * col("n")).as("__s2"))
     val mean = col("__s").cast("double") / col("__c")
     val variance = (col("__s2").cast("double") * col("__c") -
       col("__s").cast("double") * col("__s")) /
       (col("__c").cast("double") * (col("__c") - 1))
-    b.join(broadcast(st), "event_type")
+    b.join(broadcast(st), col("event_type") === col("__et"))
       .withColumn("__var", variance)
       .withColumn("z", round((col("n") - mean) / sqrt(col("__var")), 4))
       // __var > 0 guards the constant-rate type: its z is 0/0 = NaN,

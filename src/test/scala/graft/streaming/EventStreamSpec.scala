@@ -292,6 +292,50 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("rate-spike counts stream; scoring the live table equals batch") {
+    // bucket counts are ONE streaming aggregation (additive state,
+    // cross-batch merge); the z-scoring half is a narrow batch pass
+    // over the live count table — the deployment shape for a
+    // continuously-monitored stream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val counts = input.toDF()
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 3600000000L").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val q = counts.writeStream.format("memory").queryName("spike_counts")
+      .outputMode("complete").start()
+    try {
+      // calm first batch: 10 events/hour for hours 10..14, then a
+      // second batch adds 5 more calm hours and a 60-event burst
+      def calm(h: Int, base: Long) = (0 until 10).map(i =>
+        Ev(base + i, Timestamp.valueOf(f"2026-01-01 $h%02d:0${i % 6}:00"),
+          i.toLong, "click", 1.0))
+      input.addData((10 to 14).flatMap(h => calm(h, h * 100L)): _*)
+      q.processAllAvailable()
+      input.addData(((15 to 19).flatMap(h => calm(h, h * 100L)) ++
+        (0 until 60).map(i =>
+          Ev(9000L + i, Timestamp.valueOf("2026-01-01 20:01:00"),
+            i.toLong, "click", 1.0))): _*)
+      q.processAllAvailable()
+      val streamed = graft.ops.Funnel
+        .rateSpikesFromCounts(spark.table("spike_counts"))
+        .orderBy("event_type", "bucket").collect().toSeq
+      // batch over the SAME rows must agree exactly
+      val all = (10 to 19).flatMap(h => calm(h, h * 100L)) ++
+        (0 until 60).map(i =>
+          Ev(9000L + i, Timestamp.valueOf("2026-01-01 20:01:00"),
+            i.toLong, "click", 1.0))
+      val batch = graft.ops.Funnel.rateSpikes(all.toDF(), "ts",
+          "event_type")
+        .orderBy("event_type", "bucket").collect().toSeq
+      assert(streamed == batch, s"streamed $streamed vs batch $batch")
+      assert(streamed.size == 1 && streamed.head.getLong(2) == 60L,
+        s"the burst bucket must flag: $streamed")
+    } finally q.stop()
+  }
+
   test("Count-Min counters aggregate incrementally over a stream") {
     // the CMS counter table is a plain additive aggregation, so it
     // streams as-is: depth×width bounded state in the store, counts
