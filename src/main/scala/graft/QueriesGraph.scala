@@ -114,6 +114,15 @@ object QueriesGraph {
           sourceIds = Seq(1L, 2L, 3L, 4L), depth = 3)
         .orderBy("id")
     }),
+    "qg_closeness" -> ((s, dir) => {
+      // closeness from the same 4 focal customers: reached-source
+      // count + exact distance sum, closing to reached*1e6 div Σd —
+      // all-integer, so the disconnected-graph conditioning is
+      // explicit in the output
+      GraphOps.closenessCentralityDF(TradeGraph.edges(s, dir),
+          sourceIds = Seq(1L, 2L, 3L, 4L), depth = 3)
+        .orderBy("id")
+    }),
     "qg_betweenness" -> ((s, dir) => {
       // bounded-radius Brandes betweenness from 4 focal customers:
       // exact integer path counts forward, micro-unit dependency
@@ -554,6 +563,19 @@ object QueriesGraph {
          | FROM (SELECT src, v, 1000000 // 1 AS hm FROM l1
          |   UNION ALL SELECT src, v, 1000000 // 2 FROM l2
          |   UNION ALL SELECT src, v, 1000000 // 3 FROM l3)
+         | WHERE v NOT IN $inSet
+         | GROUP BY v ORDER BY id""".stripMargin
+    },
+    "qg_closeness" -> {
+      val inSet = Seq(1L, 2L, 3L, 4L).mkString("(", ", ", ")")
+      s"""${bfsLevels3Sql(Seq(1L, 2L, 3L, 4L))}
+         | SELECT v AS id, CAST(count(*) AS BIGINT) AS reached,
+         |   CAST(sum(d) AS BIGINT) AS dist_sum,
+         |   CAST(count(*) * 1000000 // sum(d) AS BIGINT)
+         |     AS closeness_micro
+         | FROM (SELECT src, v, 1 AS d FROM l1
+         |   UNION ALL SELECT src, v, 2 FROM l2
+         |   UNION ALL SELECT src, v, 3 FROM l3)
          | WHERE v NOT IN $inSet
          | GROUP BY v ORDER BY id""".stripMargin
     },

@@ -660,6 +660,52 @@ object GraphOps {
     out
   }
 
+  /** Bounded-radius closeness centrality from a focal source set —
+    * harmonic's classical companion (Bavelas 1950; Wasserman & Faust
+    * §5.2): per vertex the REACHED-source count and the exact
+    * distance sum, closing to `reached·1e6 div Σd` micro-units (the
+    * reciprocal of the mean distance to the sources that reach it).
+    * Harmonic sums reciprocals so unreachable sources contribute 0;
+    * closeness instead conditions on the reached set — reporting
+    * `reached` alongside keeps the estimator honest on disconnected
+    * graphs. All three outputs are exact integers: order-free,
+    * partition-invariant, oracle-replayable.
+    *
+    * Scale shape: IDENTICAL to [[harmonicCentralityDF]] — one joint
+    * (src, v) BFS, per round one equi-join streaming the persisted
+    * adjacency against the BROADCAST frontier + an anti-join vs the
+    * broadcast visited set; the close is one partial-agg groupBy. */
+  def closenessCentralityDF(edges: DataFrame, sourceIds: Seq[Long],
+      depth: Int): DataFrame = {
+    require(sourceIds.nonEmpty && depth >= 1, "need sources and depth")
+    val und = edges.select(col("src").as("a"), col("dst").as("b"))
+      .unionByName(edges.select(col("dst").as("a"), col("src").as("b")))
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    val spark = edges.sparkSession
+    import spark.implicits._
+    var frontier = sourceIds.map(s => (s, s)).toDF("src", "v")
+      .localCheckpoint(true)
+    var visited = frontier
+    val acc = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (d <- 1 to depth) {
+      frontier = broadcast(frontier).join(und, col("v") === col("a"))
+        .select(col("src"), col("b").as("v")).distinct()
+        .join(broadcast(visited), Seq("src", "v"), "left_anti")
+        .localCheckpoint(true)
+      visited = visited.unionByName(frontier).localCheckpoint(true)
+      acc += frontier.withColumn("__d", lit(d.toLong))
+    }
+    val out = acc.reduce(_ unionByName _)
+      .filter(!col("v").isin(sourceIds: _*))
+      .groupBy(col("v").as("id"))
+      .agg(count(lit(1)).as("reached"), sum(col("__d")).as("dist_sum"))
+      .withColumn("closeness_micro",
+        expr("reached * 1000000L div dist_sum"))
+      .localCheckpoint()
+    und.unpersist()
+    out
+  }
+
   /** Degree assortativity coefficient (Newman 2002, Phys. Rev. Lett.
     * 89): the Pearson correlation of degrees across edge endpoints —
     * positive = hubs link to hubs, negative = hub-and-spoke. Over the

@@ -361,6 +361,37 @@ class GraphSpec extends AnyFunSuite {
     assert(a == b && a.nonEmpty)
   }
 
+  test("closeness centrality: reached conditioning, radius bound") {
+    import spark.implicits._
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val p = GraphOps.closenessCentralityDF(path, Seq(1L), depth = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    // single source: reached=1, dist_sum=d, closeness=1e6 div d;
+    // vertex 5 is past the radius
+    assert(p == Map(2L -> ((1L, 1L, 1000000L)),
+      3L -> ((1L, 2L, 500000L)), 4L -> ((1L, 3L, 333333L))))
+    // multi-source: 2 and 3 are reached by BOTH diamond sources at
+    // distance 1 each -> reached=2, sum=2, closeness=1e6
+    val diamond = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("src", "dst")
+    val d = GraphOps.closenessCentralityDF(diamond, Seq(1L, 4L), 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(d == Map(2L -> ((2L, 2L, 1000000L)),
+      3L -> ((2L, 2L, 1000000L))))
+    // partitioning invariance on the real graph
+    val e = TradeGraph.edges(spark, sf)
+    val a = GraphOps.closenessCentralityDF(e.repartition(1), Seq(1L, 2L), 3)
+      .orderBy("id").collect().toSeq
+    val b = GraphOps.closenessCentralityDF(e.repartition(13), Seq(1L, 2L), 3)
+      .orderBy("id").collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
   test("betweenness: hand-computed path and diamond, multi-source sum") {
     import spark.implicits._
     // path 1-2-3-4-5 from source 1: δ accumulates down the chain
