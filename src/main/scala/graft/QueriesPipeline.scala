@@ -253,6 +253,23 @@ object QueriesPipeline {
         blockCols = Seq("lang", "__lb"), threshold = 0.8)
       Dedup.nearDupClusters(pairs, "a_id", "b_id").orderBy("cluster")
     }),
+    "qp_soft_dedup" -> ((s, dir) => {
+      // SoftDedup: every doc keeps 1e6/cluster_size micro-weight
+      // instead of being dropped — same blocked near-dup pairs as
+      // qp_dedup_clusters, weights joined back to the FULL corpus
+      val d = docs(s, dir).withColumn("__lb",
+        floor(col("n_chars") / 20).cast("int"))
+      val pairs = Dedup.ngramJaccardPairs(d, "doc_id", "text",
+        blockCols = Seq("lang", "__lb"), threshold = 0.8)
+      Dedup.softDedupWeights(d, "doc_id", pairs, "a_id", "b_id")
+        .orderBy("id")
+    }),
+    "qp_source_overlap" -> ((s, dir) => {
+      // pairwise source-vocabulary overlap matrix: which feeds
+      // duplicate which (containment divides by the smaller side)
+      TextOps.sourceOverlapMatrix(docs(s, dir), "source", "text", n = 3)
+        .orderBy("a_source", "b_source")
+    }),
     "qp_dedup_keep_quality" -> ((s, dir) => {
       // the two trained stages composed: near-dup clusters elect the
       // member the trained LR quality model scores highest (ties to
@@ -460,6 +477,18 @@ object QueriesPipeline {
       Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 5),
           "vec_id", "embedding", k = 10)
         .orderBy(col("q_id"), col("rnk"))
+    }),
+    "qp_bitext_mine" -> ((s, dir) => {
+      // margin-based parallel-pair mining (the CCMatrix/LASER
+      // recipe) between the even-id and odd-id embedding halves
+      // standing in for two languages: cosine normalized by both
+      // endpoints' 4-NN neighborhood density, mutual-best matches
+      // above margin 1.05
+      val e = embs(s, dir)
+      Similarity.bitextMine(e.filter(col("vec_id") % 2 === 0),
+          e.filter(col("vec_id") % 2 === 1),
+          "vec_id", "embedding", k = 4, minMargin = 1.05)
+        .orderBy("x_id")
     }),
     "qp_hamming_topk" -> ((s, dir) => {
       // binary ANN: sign-packed embeddings (2 longs per 64-dim vec,
@@ -1870,6 +1899,42 @@ object QueriesPipeline {
       s"""WITH $dClusterCtes
          | SELECT lbl AS cluster, count(*) AS n_members FROM l10
          | GROUP BY lbl ORDER BY cluster""".stripMargin,
+    "qp_soft_dedup" ->
+      // same converged-label CTEs; docs outside every pair are their
+      // own singleton cluster at full weight
+      s"""WITH $dClusterCtes,
+         | sz AS (SELECT lbl, CAST(count(*) AS BIGINT) AS n FROM l10
+         |   GROUP BY lbl),
+         | m AS (SELECT l10.id, l10.lbl, sz.n FROM l10
+         |   JOIN sz ON sz.lbl = l10.lbl)
+         | SELECT d.doc_id AS id,
+         |   CAST(coalesce(m.lbl, d.doc_id) AS BIGINT) AS cluster,
+         |   CAST(coalesce(m.n, 1) AS BIGINT) AS n_members,
+         |   CAST(1000000 // coalesce(m.n, 1) AS BIGINT) AS weight_micro
+         | FROM documents d LEFT JOIN m ON m.id = d.doc_id
+         | ORDER BY id""".stripMargin,
+    "qp_source_overlap" ->
+      s"""WITH tok AS (SELECT source, ${dTokens("text")} tok
+         |   FROM documents),
+         | g0 AS (SELECT source, unnest(CASE WHEN len(tok) >= 3 THEN
+         |     list_transform(range(len(tok)-2),
+         |       i -> tok[i+1] || ' ' || tok[i+2] || ' ' || tok[i+3])
+         |   ELSE [] END) AS gram FROM tok),
+         | g AS (SELECT DISTINCT source, gram FROM g0),
+         | t AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM g
+         |   GROUP BY source)
+         | SELECT a.source AS a_source, b.source AS b_source,
+         |   CAST(count(*) AS BIGINT) AS shared_grams,
+         |   any_value(ta.n) AS a_grams, any_value(tb.n) AS b_grams,
+         |   CAST(count(*) * 1000000 // (any_value(ta.n)
+         |     + any_value(tb.n) - count(*)) AS BIGINT) AS jaccard_micro,
+         |   CAST(count(*) * 1000000
+         |     // least(any_value(ta.n), any_value(tb.n)) AS BIGINT)
+         |     AS containment_micro
+         | FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+         | JOIN t ta ON ta.source = a.source
+         | JOIN t tb ON tb.source = b.source
+         | GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "qp_dedup_keep_quality" ->
       // the two trained stages composed: member-level near-dup labels
       // (same CTEs as qp_dedup_clusters) × the trained LR quality
@@ -2153,6 +2218,43 @@ object QueriesPipeline {
          |   FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id)
          | SELECT q_id, n_id, round(c, 6) AS cos, rnk FROM scored
          | WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin,
+    "qp_bitext_mine" ->
+      // margin denominators sum 6-dp-rounded cosines as exact
+      // micro-unit integers (k-term double sums would be order-
+      // sensitive); the margin is one double division of those
+      // integers; ranking reads the unrounded cosine with the same
+      // fold order as VectorDot (the qp_ann_topk precedent)
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+         | x AS (SELECT vec_id AS x_id, v AS xv FROM e WHERE vec_id % 2 = 0),
+         | y AS (SELECT vec_id AS y_id, v AS yv FROM e WHERE vec_id % 2 = 1),
+         | s AS (SELECT x_id, y_id, ${dCos("xv", "yv")} AS c
+         |   FROM x CROSS JOIN y),
+         | f AS (SELECT x_id, y_id, c, row_number() OVER (
+         |     PARTITION BY x_id ORDER BY c DESC, y_id) AS rnk FROM s),
+         | bk AS (SELECT x_id, y_id, c, row_number() OVER (
+         |     PARTITION BY y_id ORDER BY c DESC, x_id) AS rnk FROM s),
+         | fsum AS (SELECT x_id,
+         |     sum(CAST(round(round(c, 6) * 1e6, 0) AS BIGINT)) AS fs
+         |   FROM f WHERE rnk <= 4 GROUP BY x_id),
+         | bsum AS (SELECT y_id,
+         |     sum(CAST(round(round(c, 6) * 1e6, 0) AS BIGINT)) AS bs
+         |   FROM bk WHERE rnk <= 4 GROUP BY y_id),
+         | cand AS (SELECT f.x_id, f.y_id, round(f.c, 6) AS cos,
+         |     round(CAST(CAST(round(round(f.c, 6) * 1e6, 0) AS BIGINT)
+         |         * 8 AS DOUBLE) / CAST(fsum.fs + bsum.bs AS DOUBLE), 6)
+         |       AS margin
+         |   FROM f JOIN fsum ON fsum.x_id = f.x_id
+         |   JOIN bsum ON bsum.y_id = f.y_id
+         |   WHERE f.rnk <= 4 AND fsum.fs + bsum.bs > 0),
+         | m AS (SELECT x_id, y_id, cos, margin,
+         |     row_number() OVER (PARTITION BY x_id
+         |       ORDER BY margin DESC, y_id) AS rx,
+         |     row_number() OVER (PARTITION BY y_id
+         |       ORDER BY margin DESC, x_id) AS ry
+         |   FROM cand)
+         | SELECT x_id, y_id, cos, margin FROM m
+         | WHERE rx = 1 AND ry = 1 AND margin >= 1.05
+         | ORDER BY x_id""".stripMargin,
     "qp_hamming_topk" ->
       // same 32-dims-per-word packing (bits 0..31 only — no sign-bit
       // arithmetic), same (dist, n_id) tie-break

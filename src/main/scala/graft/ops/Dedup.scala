@@ -676,6 +676,32 @@ object Dedup {
     propagateLabels(pairs, aCol, bCol, maxRounds)._1
       .select(col("id"), col("lbl").as("cluster"))
 
+  /** Soft dedup — down-WEIGHT duplicates instead of dropping them
+    * (the DataComp-LM "SoftDedup" finding: repeated content carries
+    * signal proportional to 1/multiplicity; hard dedup throws the
+    * survivor's extra evidence away, no dedup double-counts). Every
+    * doc gets `1e6 div cluster_size` micro-units — singletons keep
+    * full weight, an n-clone cluster's members share one doc's worth.
+    * Weights are exact integers (cluster labels are converged min-ids,
+    * sizes are counts), so the assignment replays bit-identically.
+    *
+    * Scale shape: [[nearDupLabels]]' pair-node frame + one
+    * partial-agg size count + one size join (pair-node sized, TINY
+    * vs the corpus) + ONE left join back on the doc key; no windows.
+    * Returns (id, cluster, n_members, weight_micro) for EVERY doc. */
+  def softDedupWeights(df: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String, bCol: String): DataFrame = {
+    val labels = nearDupLabels(pairs, aCol, bCol)
+    val sized = labels.join(
+      labels.groupBy("cluster").agg(count(lit(1)).as("__n")), "cluster")
+    df.select(col(idCol).as("id"))
+      .join(sized, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("cluster"), col("id")).as("cluster"),
+        coalesce(col("__n"), lit(1L)).as("n_members"),
+        expr("1000000L div coalesce(__n, 1L)").as("weight_micro"))
+  }
+
   /** [[nearDupClusters]] plus the number of rounds that actually moved
     * a label — the graph's effective propagation depth. Oracles that
     * unroll a FIXED horizon (qp_dedup_clusters unrolls 10 rounds of

@@ -613,4 +613,82 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .select("a_id", "b_id", "cos")
   }
+
+  /** Margin-based bitext mining (Artetxe & Schwenk 2019, "Margin-based
+    * Parallel Corpus Mining with Multilingual Sentence Embeddings" —
+    * the CCMatrix/LASER recipe): score each candidate pair by its
+    * cosine RELATIVE to both endpoints' k-NN neighborhoods,
+    *   margin(x,y) = cos(x,y) / ((Σ NN_k(x) cos + Σ NN_k(y) cos)/2k),
+    * then keep MUTUAL best matches above `minMargin` — absolute-cosine
+    * thresholds can't separate aligned pairs from dense monolingual
+    * neighborhoods; the margin normalizes by local density.
+    *
+    * `src` is the bounded shard side (BROADCAST, the [[bruteForceTopK]]
+    * queries contract — a full corpus×corpus mine shards src and/or
+    * composes with [[ivfTopK]] candidates); `tgt` is the scanned
+    * corpus. Both ranking directions read ONE shared pair-score frame:
+    * forward top-k rides the two-level [[rankTopKBy]]; the per-pair
+    * windows below run over the candidate frame, bounded at k·|src|
+    * rows by construction.
+    *
+    * Determinism: neighborhood sums add 6-dp-rounded cosines as EXACT
+    * micro-unit integers (k-term double sums would be order-sensitive);
+    * the margin is ONE double division of those integers, rounded to
+    * 6 dp, with ties broken to the lower partner id; pairs whose
+    * neighborhoods have no positive similarity mass (Σ ≤ 0) are not
+    * minable and are dropped. Returns (x_id, y_id, cos, margin). */
+  def bitextMine(src: DataFrame, tgt: DataFrame, idCol: String,
+      vecCol: String, k: Int, minMargin: Double): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val x = broadcast(src.select(col(idCol).as("x_id"),
+        col(vecCol).cast("array<double>").as("__xv"))
+      .withColumn("__xn", norm(col("__xv"))))
+    val y = Partitioning.spread(tgt.select(col(idCol).as("y_id"),
+        col(vecCol).cast("array<double>").as("__yv")))
+      .withColumn("__yn", norm(col("__yv")))
+    val scored = y.crossJoin(x)
+      .withColumn("__c", dot(col("__xv"), col("__yv")) /
+        (col("__xn") * col("__yn")))
+      .select(col("x_id"), col("y_id"), col("__c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val c6 = round(col("cos") * lit(1e6), 0).cast("long")
+    val fwd = rankTopKBy(scored.select(col("x_id").as("q_id"),
+        col("y_id").as("n_id"), col("__c").as("cos")), k, "cos",
+        ascending = false)
+      .withColumn("__c6", c6)
+    val bwd = rankTopKBy(scored.select(col("y_id").as("q_id"),
+        col("x_id").as("n_id"), col("__c").as("cos")), k, "cos",
+        ascending = false)
+      .withColumn("__c6", c6)
+    val fs = fwd.groupBy(col("q_id").as("x_id"))
+      .agg(sum(col("__c6")).as("__fs"))
+    val bs = bwd.groupBy(col("q_id").as("y_id"))
+      .agg(sum(col("__c6")).as("__bs"))
+    // candidate pairs = forward top-k; the x-derived frames are
+    // k·|src|-bounded, so they BROADCAST against the |tgt|-sized
+    // backward sums
+    val cand = bs.join(
+        broadcast(fwd.select(col("q_id").as("x_id"), col("n_id")
+            .as("y_id"), col("cos"), col("__c6"))
+          .join(fs, "x_id")),
+        "y_id")
+      .filter(col("__fs") + col("__bs") > 0)
+      .withColumn("margin", round(
+        (col("__c6") * lit(2L * k)).cast("double") /
+          (col("__fs") + col("__bs")).cast("double"), 6))
+    val byX = Window.partitionBy(col("x_id"))
+      .orderBy(col("margin").desc, col("y_id"))
+    val byY = Window.partitionBy(col("y_id"))
+      .orderBy(col("margin").desc, col("x_id"))
+    val out = cand.withColumn("__rx", row_number().over(byX))
+      .withColumn("__ry", row_number().over(byY))
+      .filter(col("__rx") === 1 && col("__ry") === 1 &&
+        col("margin") >= minMargin)
+      .select(col("x_id"), col("y_id"), col("cos"), col("margin"))
+      // materialize before releasing the shared pair-score frame —
+      // the mined set is output-sized
+      .localCheckpoint()
+    scored.unpersist()
+    out
+  }
 }

@@ -590,6 +590,49 @@ object TextOps {
         expr("__s div n_pairs").as("mean_jaccard_micro"))
   }
 
+  /** Source-overlap matrix — the pairwise companion to
+    * [[corpusSelfOverlap]]: for every source pair, how much of their
+    * distinct word-n-gram vocabularies coincide. The curation signal
+    * behind "which feeds duplicate which" decisions (a mirror site
+    * shows up as near-total containment of the smaller side;
+    * cross-source contamination as asymmetric overlap) — per-DOC
+    * dedup can't see it because the duplication is spread across
+    * many partial matches. Jaccard and containment close as exact
+    * integer micro-units over exact distinct counts.
+    *
+    * Scale shape: ONE tokenize pass to the distinct (source, gram)
+    * frame (gram sets partial-agg map-side); the pair counts ride a
+    * gram-key equi-join whose fan-out is bounded by sources² per gram
+    * (sources are few — the frame is vocab-sized, never corpus-
+    * sized); per-source totals BROADCAST back. Returns (a_source,
+    * b_source, shared_grams, a_grams, b_grams, jaccard_micro,
+    * containment_micro) where containment divides by the SMALLER
+    * side. */
+  def sourceOverlapMatrix(df: org.apache.spark.sql.DataFrame,
+      srcCol: String, textCol: String, n: Int = 3)
+      : org.apache.spark.sql.DataFrame = {
+    val g = Partitioning.spread(df)
+      .select(col(srcCol).as("__src"),
+        explode(wordNgrams(tokensWs(col(textCol)), n)).as("__g"))
+      .distinct()
+    val totals = g.groupBy("__src").agg(count(lit(1)).as("__n"))
+    g.select(col("__src").as("a_source"), col("__g"))
+      .join(g.select(col("__src").as("b_source"), col("__g")), "__g")
+      .filter(col("a_source") < col("b_source"))
+      .groupBy("a_source", "b_source")
+      .agg(count(lit(1)).as("shared_grams"))
+      .join(broadcast(totals.select(col("__src").as("a_source"),
+        col("__n").as("a_grams"))), "a_source")
+      .join(broadcast(totals.select(col("__src").as("b_source"),
+        col("__n").as("b_grams"))), "b_source")
+      .select(col("a_source"), col("b_source"), col("shared_grams"),
+        col("a_grams"), col("b_grams"),
+        expr("shared_grams * 1000000L div " +
+          "(a_grams + b_grams - shared_grams)").as("jaccard_micro"),
+        expr("shared_grams * 1000000L div least(a_grams, b_grams)")
+          .as("containment_micro"))
+  }
+
   /** Gazetteer entity extraction (NER-lite, the dictionary half of
     * classic entity tagging — phrase lists are how production
     * pipelines tag domain entities without a model): count mentions

@@ -957,4 +957,76 @@ class OpsHygieneSpec extends AnyFunSuite {
     // the planted stratum-exclusive term has maximal PMI in its slice
     assert(got == Map("web" -> "hypertext", "code" -> "compiler"))
   }
+
+  test("softDedupWeights: cluster shares, singleton full weight") {
+    val d = (1L to 6L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("a_id", "b_id")
+    val got = Dedup.softDedupWeights(d, "doc_id", pairs, "a_id", "b_id")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(got == Map(
+      1L -> ((1L, 3L, 333333L)), 2L -> ((1L, 3L, 333333L)),
+      3L -> ((1L, 3L, 333333L)), 4L -> ((4L, 2L, 500000L)),
+      5L -> ((4L, 2L, 500000L)), 6L -> ((6L, 1L, 1000000L))))
+  }
+
+  test("sourceOverlapMatrix: hand grams, zero-overlap pairs absent") {
+    val d = Seq((1L, "a b c d", "A"), (2L, "a b c e", "B"),
+        (3L, "x y z w", "C"))
+      .toDF("doc_id", "text", "source")
+    val got = TextOps.sourceOverlapMatrix(d, "source", "text", n = 3)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6)))).toMap
+    // A={abc,bcd}, B={abc,bce}: shared 1, jaccard 1/3, containment 1/2;
+    // C shares nothing with either -> absent rows, not zero rows
+    assert(got == Map(("A", "B") -> ((1L, 2L, 2L, 333333L, 500000L))))
+  }
+
+  test("bitextMine: k=1 margin-1.0 pairs == mutual nearest neighbors") {
+    // with k=1 the margin is 2c/(c + bwdBest(y)) — exactly 1.0 iff y's
+    // best partner similarity equals cos(x,y), i.e. the pair is
+    // mutual-NN; an independent driver-math NN pass must agree
+    spark.catalog.clearCache()
+    val e = Tables.load(spark, sf, "embeddings")
+    val xs = e.filter(col("vec_id") % 2 === 0)
+    val ys = e.filter(col("vec_id") % 2 === 1)
+    val got = Similarity.bitextMine(xs, ys, "vec_id", "embedding",
+        k = 1, minMargin = 1.0)
+      .select("x_id", "y_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def vecs(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "embedding").collect()
+        .map(r => r.getLong(0) ->
+          r.getSeq[Float](1).map(_.toDouble).toArray)
+        .sortBy(_._1)
+    val xv = vecs(xs); val yv = vecs(ys)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def best(q: Array[Double], side: Array[(Long, Array[Double])]) =
+      side.map { case (id, v) => (id, cos(q, v)) }
+        .minBy { case (id, c) => (-c, id) }
+    val bwdBest = yv.map(y => y._1 -> best(y._2, xv)._1).toMap
+    val expected = xv.map(x => (x._1, best(x._2, yv))).collect {
+      case (x, (y, c)) if bwdBest(y) == x && math.round(c * 1e6) > 0 =>
+        (x, y)
+    }.toSet
+    assert(got == expected && got.nonEmpty)
+    // the shared pair-score persist is released after the close
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "bitextMine must unpersist its pair-score frame")
+    // partitioning invariance at k=4
+    val a = Similarity.bitextMine(xs.repartition(1), ys.repartition(1),
+      "vec_id", "embedding", 4, 1.02).orderBy("x_id").collect().toSeq
+    val b = Similarity.bitextMine(xs.repartition(7), ys.repartition(13),
+      "vec_id", "embedding", 4, 1.02).orderBy("x_id").collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
 }
