@@ -1126,6 +1126,14 @@ object QueriesPipeline {
             ("p90", 9, 10)))
         .orderBy("lang")
     }),
+    "qp_quality_tiers" -> ((s, dir) => {
+      // curriculum sharding without a global sort: per-lang quartile
+      // boundaries from the KMV bottom-k sample (k=128), broadcast
+      // back, 3 codegen'd comparisons per row
+      Curation.qualityTiers(docs(s, dir), "lang", "doc_id",
+          col("n_chars"), k = 128, nTiers = 4)
+        .orderBy("doc_id")
+    }),
     "qp_pps_sample" -> ((s, dir) => {
       // deterministic weighted sampling: up to 50 docs per language,
       // inclusion probability proportional to n_chars (how token-
@@ -3269,6 +3277,31 @@ object QueriesPipeline {
          |   sv[CAST((3 * (n - 1)) // 4 AS INT) + 1] AS p75,
          |   sv[CAST((9 * (n - 1)) // 10 AS INT) + 1] AS p90
          | FROM s ORDER BY lang""".stripMargin,
+    "qp_quality_tiers" ->
+      // same bottom-k sample + integer rank boundaries as
+      // qp_kmv_quantiles; boundary rows land in the LOWER tier
+      s"""WITH h AS (SELECT lang, n_chars AS v,
+         |     ${dH60("lang || ':' || CAST(doc_id AS VARCHAR)")} AS hk
+         |   FROM documents),
+         | d AS (SELECT lang, hk, min(v) AS v FROM h GROUP BY lang, hk),
+         | r AS (SELECT lang, hk, v,
+         |     row_number() OVER (PARTITION BY lang ORDER BY hk) AS rn
+         |   FROM d),
+         | s AS (SELECT lang, list(v ORDER BY v) AS sv,
+         |     CAST(count(*) AS BIGINT) AS n
+         |   FROM r WHERE rn <= 128 GROUP BY lang),
+         | b AS (SELECT lang,
+         |     sv[CAST((1 * (n - 1)) // 4 AS INT) + 1] AS b1,
+         |     sv[CAST((2 * (n - 1)) // 4 AS INT) + 1] AS b2,
+         |     sv[CAST((3 * (n - 1)) // 4 AS INT) + 1] AS b3
+         |   FROM s)
+         | SELECT d0.lang, d0.doc_id, d0.n_chars AS score,
+         |   CAST(1 + (CASE WHEN d0.n_chars > b.b1 THEN 1 ELSE 0 END)
+         |     + (CASE WHEN d0.n_chars > b.b2 THEN 1 ELSE 0 END)
+         |     + (CASE WHEN d0.n_chars > b.b3 THEN 1 ELSE 0 END)
+         |     AS BIGINT) AS tier
+         | FROM documents d0 JOIN b ON b.lang = d0.lang
+         | ORDER BY doc_id""".stripMargin,
     "qp_pps_sample" ->
       // same hash-order circle, same all-integer keep rule (n = 50)
       s"""WITH h AS (SELECT doc_id, lang, n_chars,

@@ -249,6 +249,33 @@ object Curation {
     * strata may yield < n rows (standard PPS-systematic behavior).
     * Windows are per-stratum only — the stratum bounds every sort;
     * requires n·Σw < 2^63 per stratum (25 T tokens × n ≤ ~260 k). */
+  /** Quality/curriculum tier assignment WITHOUT a global sort: the
+    * standard way to shard a corpus into difficulty or quality bands
+    * (curriculum ordering, tiered sampling rates, ablation slices) is
+    * an ntile over a corpus-wide ORDER BY — a single-reducer sort at
+    * 100 TB. Instead the (nTiers−1) per-stratum boundary values come
+    * from the deterministic bottom-k-by-hash sample
+    * ([[Sketch.kmvQuantiles]] machinery — bounded state, set property
+    * of the data), BROADCAST back, and each row closes its tier with
+    * (nTiers−1) codegen'd comparisons: tier = 1 + Σ_i [score > b_i].
+    * Exact integer boundaries and counts — bit-identical replay; the
+    * boundary ROW ITSELF lands in the lower tier (>, not >=).
+    * Returns (strataCol, idCol, score, tier). */
+  def qualityTiers(df: DataFrame, strataCol: String, idCol: String,
+      score: Column, k: Int, nTiers: Int): DataFrame = {
+    require(nTiers >= 2 && nTiers <= 16, "nTiers must be 2..16")
+    val qs = (1 until nTiers).map(i => (s"__b$i", i, nTiers))
+    val bounds = Sketch.kmvQuantiles(df, strataCol, idCol, score, k, qs)
+      .drop("sample_n")
+    val tier = (1 until nTiers).map(i =>
+        when(col("score") > col(s"__b$i"), 1).otherwise(0))
+      .reduce(_ + _) + lit(1)
+    df.select(col(strataCol), col(idCol), score.cast("long").as("score"))
+      .join(broadcast(bounds), strataCol)
+      .withColumn("tier", tier.cast("long"))
+      .drop(qs.map(_._1): _*)
+  }
+
   def ppsSample(df: DataFrame, idCol: String, strataCol: String,
       weightCol: String, n: Int): DataFrame = {
     val ord = Window.partitionBy(col(strataCol))

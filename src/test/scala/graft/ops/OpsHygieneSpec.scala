@@ -958,6 +958,27 @@ class OpsHygieneSpec extends AnyFunSuite {
     assert(got == Map("web" -> "hypertext", "code" -> "compiler"))
   }
 
+  test("qualityTiers: exact quartile bands under k, boundary goes low") {
+    // stratum under the sample cap -> boundaries are EXACT order
+    // statistics: scores 1..8 split 2/2/2/2 with the boundary value
+    // itself in the lower tier
+    val d = (1L to 8L).map(i => (i, "en", i)).toDF("doc_id", "lang",
+      "score")
+    val got = Curation.qualityTiers(d, "lang", "doc_id", col("score"),
+        k = 128, nTiers = 4)
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L,
+      5L -> 3L, 6L -> 3L, 7L -> 4L, 8L -> 4L))
+    // strata tier independently; partitioning invariance on real data
+    val docs = Tables.load(spark, sf, "documents")
+    val a = Curation.qualityTiers(docs.repartition(1), "lang",
+      "doc_id", col("n_chars"), 32, 4).orderBy("doc_id").collect().toSeq
+    val b = Curation.qualityTiers(docs.repartition(13), "lang",
+      "doc_id", col("n_chars"), 32, 4).orderBy("doc_id").collect().toSeq
+    assert(a == b && a.nonEmpty)
+    assert(a.map(_.getLong(3)).toSet == Set(1L, 2L, 3L, 4L))
+  }
+
   test("softDedupWeights: cluster shares, singleton full weight") {
     val d = (1L to 6L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("a_id", "b_id")
