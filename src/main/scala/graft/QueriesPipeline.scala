@@ -650,6 +650,16 @@ object QueriesPipeline {
       TextOps.bpeSegmentCounts(docs(s, dir), "doc_id", "text", m)
         .orderBy("doc_id")
     }),
+    "qp_bpe_fertility" -> ((s, dir) => {
+      // per-language subwords-per-word under the just-trained merge
+      // table — the tokenizer-eval number multilingual mixes budget by
+      val d = docs(s, dir)
+      val m = TextOps.learnBpeMerges(d, "doc_id", "text", nMerges = 10)
+        .orderBy("step").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      TextOps.bpeFertility(d, "doc_id", "text", "lang", m)
+        .orderBy("lang")
+    }),
     "qp_unigram_segment" -> ((s, dir) => {
       // SentencePiece-style unigram Viterbi segmentation: the
       // compiled per-word DP against the frequency-seeded 200-piece
@@ -2580,6 +2590,27 @@ object QueriesPipeline {
          |   CAST(sum(seg.k) AS BIGINT) AS n_subwords
          | FROM tok JOIN seg USING (w)
          | GROUP BY 1 ORDER BY doc_id""".stripMargin
+    },
+    "qp_bpe_fertility" -> {
+      val wrapW = "chr(1) || array_to_string(list_transform(" +
+        "range(length(w)), i -> substring(w, i+1, 1)), " +
+        "chr(2) || chr(1)) || chr(2)"
+      val applied = (1 to 10).foldLeft(wrapW)(
+        (acc, r) => dBpeApply(acc, s"b$r"))
+      s"""${dBpeCtes(10)},
+         | seg AS MATERIALIZED (SELECT w,
+         |     len(${dBpeUnwrap(applied)}) AS k FROM w),
+         | tok AS (SELECT doc_id, unnest(${dTokens("text")}) AS w
+         |   FROM documents),
+         | per AS (SELECT doc_id, count(*) AS nt,
+         |     CAST(sum(seg.k) AS BIGINT) AS ns
+         |   FROM tok JOIN seg USING (w) GROUP BY 1)
+         | SELECT d.lang, CAST(sum(per.nt) AS BIGINT) AS n_tokens,
+         |   CAST(sum(per.ns) AS BIGINT) AS n_subwords,
+         |   CAST(sum(per.ns) * 1000000 // sum(per.nt) AS BIGINT)
+         |     AS fertility_micro
+         | FROM per JOIN documents d USING (doc_id)
+         | GROUP BY 1 ORDER BY lang""".stripMargin
     },
     "qp_unigram_segment" ->
       s"""WITH $dUnigramCtes

@@ -1247,6 +1247,28 @@ object TextOps {
       .select(col("__id").as(idCol), col("n_tokens"), col("n_subwords"))
   }
 
+  /** Tokenizer fertility per stratum — the standard tokenizer-eval
+    * metric (subword tokens emitted per whitespace word; a vocabulary
+    * that fits a language sits near 1, a poor fit fragments every
+    * word): Σ subwords · 1e6 div Σ words over each stratum, from the
+    * same vocab-sized merge-chain dictionary as [[bpeSegmentCounts]].
+    * How multilingual mixes decide per-language token budgets and
+    * spot under-served scripts. All-integer close, exact replay.
+    *
+    * Scale shape: inherits the encoder's — merge chains run per
+    * DISTINCT token, the corpus join partial-aggregates to one row
+    * per (doc → stratum); the stratum close is a second partial agg. */
+  def bpeFertility(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, strataCol: String,
+      merges: Seq[(String, String)]): org.apache.spark.sql.DataFrame =
+    bpeSegmentCounts(df, idCol, textCol, merges)
+      .join(df.select(col(idCol), col(strataCol)), idCol)
+      .groupBy(col(strataCol))
+      .agg(sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_subwords")).as("n_subwords"))
+      .withColumn("fertility_micro",
+        expr("n_subwords * 1000000L div n_tokens"))
+
   def lmPerplexity(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, addK: Double = 0.5): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window

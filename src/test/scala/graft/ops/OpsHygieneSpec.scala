@@ -958,6 +958,33 @@ class OpsHygieneSpec extends AnyFunSuite {
     assert(got == Map("web" -> "hypertext", "code" -> "compiler"))
   }
 
+  test("bpeFertility: consistent with per-doc counts, merges reduce it") {
+    val d = Tables.load(spark, sf, "documents").limit(60)
+      .localCheckpoint()
+    val m = TextOps.learnBpeMerges(d, "doc_id", "text", nMerges = 5)
+      .orderBy("step").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val got = TextOps.bpeFertility(d, "doc_id", "text", "lang", m)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    // the stratum close must equal independently-aggregated per-doc
+    // encoder counts (exact integers)
+    val perDoc = TextOps.bpeSegmentCounts(d, "doc_id", "text", m)
+      .join(d.select("doc_id", "lang"), "doc_id")
+      .collect()
+      .map(r => (r.getString(3), r.getLong(1), r.getLong(2)))
+    val expected = perDoc.groupBy(_._1).map { case (lang, rows) =>
+      val nt = rows.map(_._2).sum; val ns = rows.map(_._3).sum
+      lang -> ((nt, ns, ns * 1000000L / nt))
+    }
+    assert(got == expected && got.nonEmpty)
+    // more merges can only shorten segmentations
+    val got0 = TextOps.bpeFertility(d, "doc_id", "text", "lang", Seq())
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(got.forall { case (l, (_, _, f)) => f <= got0(l) })
+  }
+
   test("qualityTiers: exact quartile bands under k, boundary goes low") {
     // stratum under the sample cap -> boundaries are EXACT order
     // statistics: scores 1..8 split 2/2/2/2 with the boundary value
