@@ -253,6 +253,21 @@ object QueriesPipeline {
         blockCols = Seq("lang", "__lb"), threshold = 0.8)
       Dedup.nearDupClusters(pairs, "a_id", "b_id").orderBy("cluster")
     }),
+    "qp_dedup_incremental" -> ((s, dir) => {
+      // the corpus-grows-daily shape: index the first 250 docs'
+      // band postings + shingle sets on disk (hash-bucketed dirs,
+      // fixed tmp path overwritten per run), then dedup the "new
+      // batch" against the index with planning-time-pruned reads —
+      // row-identical to full-batch LSH pairs crossing the split
+      val d = docs(s, dir)
+      val idxDir = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft-dedup-idx").toString
+      Dedup.writeDedupIndex(d.filter(col("doc_id") < 250),
+        "doc_id", "text", idxDir)
+      Dedup.probeDedupIndex(s, idxDir, d.filter(col("doc_id") >= 250),
+          "doc_id", "text", threshold = 0.8)
+        .orderBy("a_id", "b_id")
+    }),
     "qp_soft_dedup" -> ((s, dir) => {
       // SoftDedup: every doc keeps 1e6/cluster_size micro-weight
       // instead of being dropped — same blocked near-dup pairs as
@@ -1874,6 +1889,29 @@ object QueriesPipeline {
          |   AS jac
          | FROM bands a JOIN bands b
          |   ON a.band = b.band AND a.doc_id < b.doc_id
+         | WHERE round(len(list_intersect(a.sh, b.sh))*1.0 /
+         |     (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
+         |   >= 0.8
+         | ORDER BY a_id, b_id""".stripMargin
+    },
+    "qp_dedup_incremental" -> {
+      // the batch-vs-index probe must equal full-batch LSH pairs
+      // restricted to the split: same signature/band CTEs as
+      // qp_minhash_pairs with the cross-side join condition
+      val bandRows = (0 until 4).map { b =>
+        val ks = (b * 4 until b * 4 + 4).map(i => s"s$i").mkString(", ")
+        s"SELECT doc_id, sh, concat_ws('_', $b, $ks) AS band FROM sigs"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH $sigsCte,
+         | bands AS (
+         |  $bandRows
+         | )
+         | SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+         |   round(len(list_intersect(a.sh, b.sh))*1.0 /
+         |     (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
+         |   AS jac
+         | FROM bands a JOIN bands b
+         |   ON a.band = b.band AND a.doc_id < 250 AND b.doc_id >= 250
          | WHERE round(len(list_intersect(a.sh, b.sh))*1.0 /
          |     (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
          |   >= 0.8

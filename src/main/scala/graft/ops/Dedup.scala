@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import TextOps._
 
@@ -132,18 +132,26 @@ object Dedup {
     * exclusion: they can never verify, and their degenerate band keys
     * would send candidate generation quadratic (~10¹² pairs at
     * 100 TB). */
-  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double, shingleN: Int = 4, bands: Int = 4): DataFrame = {
-    require(bands > 0 && MinhashK % bands == 0,
-      s"bands must evenly divide MinhashK=$MinhashK, got $bands")
+  /** fused signature + shingle-set base: ONE exploded corpus pass
+    * feeding both the minhash min-aggregates and the exact-verify
+    * shingle sets (see [[minhashPairs]] for why fused). Not persisted
+    * here — callers persist for the scope they need. */
+  private def sigSetsBase(df: DataFrame, idCol: String,
+      textCol: String, shingleN: Int): DataFrame = {
     val exploded = spread(df).select(col(idCol).as("__id"),
         explode(charShingles(col(textCol), shingleN)).as("__s"))
       .withColumn("__h", hashMod(col("__s"), MinhashP))
     val aggs = minhashCoeffs.zipWithIndex.map { case ((a, b), i) =>
       min((lit(a) * col("__h") + lit(b)) % MinhashP).as(s"s$i")
     } :+ collect_set(hash60(col("__s"))).as("__sh")
-    val base = exploded.groupBy(col("__id")).agg(aggs.head, aggs.tail: _*)
-      .persist()
+    exploded.groupBy(col("__id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, shingleN: Int = 4, bands: Int = 4): DataFrame = {
+    require(bands > 0 && MinhashK % bands == 0,
+      s"bands must evenly divide MinhashK=$MinhashK, got $bands")
+    val base = sigSetsBase(df, idCol, textCol, shingleN).persist()
     val buckets = bandBucketsFromSigs(base, bands)
     val candidates = buckets.select(col("__band"), col("__id").as("a_id"))
       .join(buckets.select(col("__band"), col("__id").as("b_id")),
@@ -161,6 +169,93 @@ object Dedup {
       .filter(col("jac") >= threshold)
       .localCheckpoint()
     base.unpersist()
+    pairs
+  }
+
+  /** On-disk incremental MinHash-LSH dedup index — the "corpus grows
+    * daily" deployment shape: dedup a new batch against an indexed
+    * corpus WITHOUT recomputing the corpus' signatures. Band postings
+    * land in `hash(band_key) mod nBuckets` directories and shingle
+    * sets in `hash(id) mod nBuckets` directories, so a probe prunes
+    * to the directories its batch actually hashes into at PLANNING
+    * time (literal partition filters, the [[graft.sources.Bucketing]]
+    * pattern) — probe IO is proportional to min(batch bands, nBuckets)
+    * directory slices, not the corpus. [[appendDedupIndex]] folds a
+    * verified batch in with an append write (caller contract: batch
+    * ids are globally fresh — a colliding id would duplicate its
+    * postings). */
+  def writeDedupIndex(df: DataFrame, idCol: String, textCol: String,
+      dir: String, shingleN: Int = 4, bands: Int = 4,
+      nBuckets: Int = 64): Unit =
+    writeDedupIndexMode(df, idCol, textCol, dir, shingleN, bands,
+      nBuckets, "overwrite")
+
+  def appendDedupIndex(df: DataFrame, idCol: String, textCol: String,
+      dir: String, shingleN: Int = 4, bands: Int = 4,
+      nBuckets: Int = 64): Unit =
+    writeDedupIndexMode(df, idCol, textCol, dir, shingleN, bands,
+      nBuckets, "append")
+
+  private def writeDedupIndexMode(df: DataFrame, idCol: String,
+      textCol: String, dir: String, shingleN: Int, bands: Int,
+      nBuckets: Int, mode: String): Unit = {
+    require(bands > 0 && MinhashK % bands == 0 && nBuckets >= 1,
+      "bands must divide MinhashK; nBuckets >= 1")
+    val base = sigSetsBase(df, idCol, textCol, shingleN).persist()
+    bandBucketsFromSigs(base, bands)
+      .withColumn("__bkt", pmod(hash60(col("__band")), lit(nBuckets.toLong)))
+      .write.mode(mode).partitionBy("__bkt").parquet(s"$dir/bands")
+    base.select(col("__id"), col("__sh"))
+      .withColumn("__bkt",
+        pmod(hash60(col("__id").cast("string")), lit(nBuckets.toLong)))
+      .write.mode(mode).partitionBy("__bkt").parquet(s"$dir/sets")
+    base.unpersist()
+  }
+
+  /** Probe a [[writeDedupIndex]] index with a new batch: candidates
+    * from band-key collisions against the PRUNED posting directories,
+    * verified by exact shingle Jaccard against the PRUNED set
+    * directories — row-identical to what [[minhashPairs]] would
+    * report for (index ∪ batch) pairs that cross the two sides. Both
+    * bucket lists are control-plane (≤ nBuckets longs). Returns
+    * (a_id, b_id, jac) with a_id from the index, b_id from the
+    * batch. */
+  def probeDedupIndex(spark: SparkSession, dir: String,
+      newDocs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, shingleN: Int = 4, bands: Int = 4,
+      nBuckets: Int = 64): DataFrame = {
+    val base = sigSetsBase(newDocs, idCol, textCol, shingleN).persist()
+    val newBands = bandBucketsFromSigs(base, bands)
+      .withColumn("__bkt",
+        pmod(hash60(col("__band")), lit(nBuckets.toLong)))
+    val hitBkts = newBands.select("__bkt").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val postings = spark.read.parquet(s"$dir/bands")
+      .filter(col("__bkt").isin(hitBkts: _*))
+    val candidates = postings
+      .select(col("__band"), col("__id").as("a_id"))
+      .join(newBands.select(col("__band"), col("__id").as("b_id")),
+        Seq("__band"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select("a_id", "b_id").distinct().persist()
+    val aBkts = candidates
+      .select(pmod(hash60(col("a_id").cast("string")),
+        lit(nBuckets.toLong)).as("__k"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val oldSets = spark.read.parquet(s"$dir/sets")
+      .filter(col("__bkt").isin(aBkts: _*))
+    val pairs = candidates
+      .join(oldSets.select(col("__id").as("a_id"),
+        col("__sh").as("__sha")), "a_id")
+      .join(base.select(col("__id").as("b_id"),
+        col("__sh").as("__shb")), "b_id")
+      .withColumn("__i",
+        size(array_intersect(col("__sha"), col("__shb"))))
+      .select(col("a_id"), col("b_id"),
+        jacFromInter(col("__i"), col("__sha"), col("__shb")).as("jac"))
+      .filter(col("jac") >= threshold)
+      .localCheckpoint()
+    candidates.unpersist(); base.unpersist()
     pairs
   }
 

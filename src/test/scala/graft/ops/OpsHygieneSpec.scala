@@ -958,6 +958,26 @@ class OpsHygieneSpec extends AnyFunSuite {
     assert(got == Map("web" -> "hypertext", "code" -> "compiler"))
   }
 
+  test("dedup index: probe == cross-split minhashPairs; append == rebuild") {
+    val d = Tables.load(spark, sf, "documents")
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft-dedup-idx-spec").toString
+    // built in two increments: base write + append of a second slice
+    Dedup.writeDedupIndex(d.filter(col("doc_id") < 150),
+      "doc_id", "text", dir)
+    Dedup.appendDedupIndex(
+      d.filter(col("doc_id") >= 150 && col("doc_id") < 250),
+      "doc_id", "text", dir)
+    val probed = Dedup.probeDedupIndex(spark, dir,
+        d.filter(col("doc_id") >= 250), "doc_id", "text", 0.8)
+      .orderBy("a_id", "b_id").collect().toSeq
+    // reference: one-shot LSH over the whole corpus, cross-split rows
+    val full = Dedup.minhashPairs(d, "doc_id", "text", 0.8)
+      .filter(col("a_id") < 250 && col("b_id") >= 250)
+      .orderBy("a_id", "b_id").collect().toSeq
+    assert(probed == full && probed.nonEmpty)
+  }
+
   test("bpeFertility: consistent with per-doc counts, merges reduce it") {
     val d = Tables.load(spark, sf, "documents").limit(60)
       .localCheckpoint()
