@@ -202,12 +202,17 @@ object Dedup {
     require(bands > 0 && MinhashK % bands == 0 && nBuckets >= 1,
       "bands must divide MinhashK; nBuckets >= 1")
     val base = sigSetsBase(df, idCol, textCol, shingleN).persist()
+    // repartition ON the directory key: one writer per bucket slice,
+    // not shufflePartitions × nBuckets micro-files (scale by raising
+    // shuffle partitions — writers stay aligned to directories)
     bandBucketsFromSigs(base, bands)
       .withColumn("__bkt", pmod(hash60(col("__band")), lit(nBuckets.toLong)))
+      .repartition(col("__bkt"))
       .write.mode(mode).partitionBy("__bkt").parquet(s"$dir/bands")
     base.select(col("__id"), col("__sh"))
       .withColumn("__bkt",
         pmod(hash60(col("__id").cast("string")), lit(nBuckets.toLong)))
+      .repartition(col("__bkt"))
       .write.mode(mode).partitionBy("__bkt").parquet(s"$dir/sets")
     base.unpersist()
   }
