@@ -135,4 +135,40 @@ final class ModelStore private[engine] (session: GraftSession) {
       .sortBy(_.getInt(0))
       .map(r => (r.getDouble(1), r.getSeq[Double](2).toArray)).toSeq
   }
+
+  /** BPE merge table as an ordered (step, left, right) table — the
+    * `TextOps.learnBpeMerges` result shape; feeds straight back into
+    * `bpeSegmentCounts`/`bpeFertility` (fourth artifact kind: train
+    * the tokenizer ONCE, segment every later batch and stream with
+    * the frozen vocabulary — retraining per batch would silently
+    * shift token budgets). */
+  def saveBpeMerges(name: String, merges: Seq[(String, String)]): Unit = {
+    val spark = session.spark
+    import spark.implicits._
+    save(name, "bpe",
+      merges.zipWithIndex.map { case ((l, r), i) => (i + 1, l, r) }
+        .toDF("step", "left", "right"))
+  }
+
+  /** merge table back IN ORDER (merge order is the tokenizer —
+    * applying them permuted is a different vocabulary). */
+  def loadBpeMerges(name: String): Seq[(String, String)] = {
+    require(kind(name) == "bpe", s"model '$name' is kind '${kind(name)}'")
+    load(name).select(col("step"), col("left"), col("right")).collect()
+      .sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+  }
+
+  /** per-stratum tier boundaries — the `Curation.tierBounds` frame
+    * (strata, __b1..__b{n-1}); a loaded bounds table broadcast-joins
+    * live batches/streams via `Curation.assignTiers` so the whole
+    * fleet tiers against ONE frozen tiering. */
+  def saveTierBounds(name: String, bounds: DataFrame): Unit =
+    save(name, "tiers", bounds)
+
+  def loadTierBounds(name: String): DataFrame = {
+    require(kind(name) == "tiers",
+      s"model '$name' is kind '${kind(name)}'")
+    load(name)
+  }
 }

@@ -262,18 +262,37 @@ object Curation {
     * boundary ROW ITSELF lands in the lower tier (>, not >=).
     * Returns (strataCol, idCol, score, tier). */
   def qualityTiers(df: DataFrame, strataCol: String, idCol: String,
+      score: Column, k: Int, nTiers: Int): DataFrame =
+    assignTiers(df, strataCol, idCol, score,
+      tierBounds(df, strataCol, idCol, score, k, nTiers), nTiers)
+
+  /** the FIT half: per-stratum boundary values (strataCol,
+    * __b1..__b{nTiers-1}) from the KMV sample — a deployable artifact
+    * (persist via the model registry) so later batches and streams
+    * tier against a FROZEN tiering instead of re-sketching. */
+  def tierBounds(df: DataFrame, strataCol: String, idCol: String,
       score: Column, k: Int, nTiers: Int): DataFrame = {
     require(nTiers >= 2 && nTiers <= 16, "nTiers must be 2..16")
-    val qs = (1 until nTiers).map(i => (s"__b$i", i, nTiers))
-    val bounds = Sketch.kmvQuantiles(df, strataCol, idCol, score, k, qs)
+    Sketch.kmvQuantiles(df, strataCol, idCol, score, k,
+        (1 until nTiers).map(i => (s"__b$i", i, nTiers)))
       .drop("sample_n")
+  }
+
+  /** the ASSIGN half: one broadcast join + (nTiers−1) codegen'd
+    * comparisons per row against a bounds frame (fresh or loaded). */
+  def assignTiers(df: DataFrame, strataCol: String, idCol: String,
+      score: Column, bounds: DataFrame, nTiers: Int): DataFrame = {
     val tier = (1 until nTiers).map(i =>
         when(col("score") > col(s"__b$i"), 1).otherwise(0))
       .reduce(_ + _) + lit(1)
+    // explicit close projection: a registry-loaded bounds table may
+    // carry engine metadata columns alongside the boundaries
     df.select(col(strataCol), col(idCol), score.cast("long").as("score"))
-      .join(broadcast(bounds), strataCol)
+      .join(broadcast(bounds
+        .select(col(strataCol) +:
+          (1 until nTiers).map(i => col(s"__b$i")): _*)), strataCol)
       .withColumn("tier", tier.cast("long"))
-      .drop(qs.map(_._1): _*)
+      .select(col(strataCol), col(idCol), col("score"), col("tier"))
   }
 
   def ppsSample(df: DataFrame, idCol: String, strataCol: String,

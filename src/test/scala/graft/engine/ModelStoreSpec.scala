@@ -86,6 +86,44 @@ class ModelStoreSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](g2.models.loadCentroids("basis"))
   }
 
+  test("BPE merges and tier bounds round-trip; reuse equals refit") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-models-tok").toString
+    val d = docs.limit(80).localCheckpoint()
+    val merges = graft.ops.TextOps.learnBpeMerges(d, "doc_id", "text",
+        nMerges = 5)
+      .orderBy("step").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val bounds = graft.ops.Curation.tierBounds(d, "lang", "doc_id",
+      col("n_chars"), k = 32, nTiers = 4)
+
+    val g1 = GraftSession.openDurable(spark, "/root/testdata/sf0.001", root)
+    g1.models.saveBpeMerges("tok", merges)
+    g1.models.saveTierBounds("len_tiers", bounds)
+
+    // cold reopen: ordered merge table back verbatim; segmenting a
+    // LATER batch with the loaded tokenizer equals the fresh one
+    val g2 = GraftSession.openDurable(spark, "/root/testdata/sf0.001", root)
+    val loaded = g2.models.loadBpeMerges("tok")
+    assert(loaded == merges && loaded.nonEmpty)
+    val batch = docs.filter(col("doc_id") >= 80).limit(40)
+      .localCheckpoint()
+    val fresh = graft.ops.TextOps.bpeSegmentCounts(batch, "doc_id",
+      "text", merges).orderBy("doc_id").collect()
+    val replay = graft.ops.TextOps.bpeSegmentCounts(batch, "doc_id",
+      "text", loaded).orderBy("doc_id").collect()
+    assert(fresh.sameElements(replay))
+    // tiering the later batch against the FROZEN bounds equals
+    // assigning with the fresh-fit frame
+    val tFresh = graft.ops.Curation.assignTiers(batch, "lang",
+      "doc_id", col("n_chars"), bounds, 4).orderBy("doc_id").collect()
+    val tReplay = graft.ops.Curation.assignTiers(batch, "lang",
+      "doc_id", col("n_chars"), g2.models.loadTierBounds("len_tiers"), 4)
+      .orderBy("doc_id").collect()
+    assert(tFresh.sameElements(tReplay) && tFresh.nonEmpty)
+    intercept[IllegalArgumentException](g2.models.loadBpeMerges("len_tiers"))
+  }
+
   test("model ops obey ACL: save needs schema CREATE, load needs READ") {
     val root = java.nio.file.Files
       .createTempDirectory("graft-models-acl").toString
