@@ -37,6 +37,40 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("assignTiers tiers a stream against frozen bounds; equals batch") {
+    // the frozen-tiering deployment: bounds fit once on a reference
+    // corpus (or loaded from the model registry), broadcast against a
+    // live stream — per micro-batch it is one stream-static join +
+    // three codegen'd comparisons, no state
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ref = (1L to 80L).map(i => (i, if (i % 2 == 0) "a" else "b", i))
+      .toDF("doc_id", "lang", "len")
+    val bounds = graft.ops.Curation.tierBounds(ref, "lang", "doc_id",
+      col("len"), k = 128, nTiers = 4).localCheckpoint()
+    val input = MemoryStream[(Long, String, Long)]
+    val tiered = graft.ops.Curation.assignTiers(
+      input.toDF().toDF("doc_id", "lang", "len"),
+      "lang", "doc_id", col("len"), bounds, 4)
+    val q = tiered.writeStream.format("memory").queryName("tiered")
+      .outputMode("append").start()
+    try {
+      val batch1 = Seq((101L, "a", 10L), (102L, "b", 41L))
+      val batch2 = Seq((103L, "a", 78L), (104L, "b", 3L))
+      input.addData(batch1: _*); q.processAllAvailable()
+      input.addData(batch2: _*); q.processAllAvailable()
+      val streamed = spark.table("tiered")
+        .orderBy("doc_id").collect().toSeq
+      val batch = graft.ops.Curation.assignTiers(
+          (batch1 ++ batch2).toDF("doc_id", "lang", "len"),
+          "lang", "doc_id", col("len"), bounds, 4)
+        .orderBy("doc_id").collect().toSeq
+      assert(streamed == batch && streamed.size == 4)
+      // all four tiers are reachable under the frozen bounds
+      assert(streamed.map(_.getLong(3)).toSet.subsetOf(Set(1L, 2L, 3L, 4L)))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join pairs events within the window only") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
