@@ -166,6 +166,13 @@ object QueriesGraph {
       GraphOps.kCoreDF(copurchaseProjection(s, dir), k = 3, rounds = 6)
         .orderBy(col("id"))
     }),
+    "qg_ktruss" -> ((s, dir) => {
+      // 4-truss of the co-purchaser projection (edges in >= 2
+      // triangles of the remaining subgraph), 3 fixed peel rounds —
+      // GraphSpec asserts the fixpoint is reached within them
+      GraphOps.kTrussDF(copurchaseProjection(s, dir), k = 4, rounds = 3)
+        .orderBy("src", "dst")
+    }),
     "qg_common_suppliers" -> ((s, dir) => {
       // graph pattern: for 100 focal customers, find co-purchasers with
       // ≥20 common suppliers. The focal restriction keeps the common-
@@ -379,6 +386,40 @@ object QueriesGraph {
   }
 
   /** unrolled k-core peel over the co-purchaser projection. */
+  /** unrolled k-truss peel over the same co-purchase projection as
+    * [[kcoreSql]]: per round, triangles from the wedge + closing
+    * joins, per-edge support from the three-slice union, inner-join
+    * filter at k−2 (k ≥ 3 peels zero-triangle edges identically);
+    * the final support recomputes in the surviving subgraph. */
+  private def ktrussSql(k: Int, rounds: Int): String = {
+    def triCte(t: Int, u: String): String =
+      s"""t$t AS MATERIALIZED (SELECT a.src AS x, a.dst AS y, b.dst AS z
+         |   FROM $u a JOIN $u b ON a.src = b.src AND a.dst < b.dst
+         |   JOIN $u c ON c.src = a.dst AND c.dst = b.dst),
+         | s$t AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS sup FROM (
+         |   SELECT x AS src, y AS dst FROM t$t
+         |   UNION ALL SELECT x, z FROM t$t
+         |   UNION ALL SELECT y, z FROM t$t) GROUP BY 1, 2)"""
+    val steps = (1 to rounds).map { t =>
+      s"""${triCte(t, s"u${t - 1}")},
+         | u$t AS MATERIALIZED (SELECT u.src, u.dst FROM u${t - 1} u
+         |   JOIN s$t USING (src, dst) WHERE sup >= ${k - 2})"""
+    }.mkString(",\n ")
+    val f = rounds + 1
+    s"""WITH $edgesCte,
+       | proj AS MATERIALIZED (
+       |   SELECT a.src AS src, b.src AS dst
+       |   FROM e a JOIN e b ON a.dst = b.dst AND a.src < b.src
+       |   WHERE a.src < 100 AND b.src < 100
+       |   GROUP BY a.src, b.src HAVING count(*) >= 5),
+       | u0 AS (SELECT src, dst FROM proj),
+       | $steps,
+       | ${triCte(f, s"u$rounds")}
+       | SELECT u.src, u.dst, coalesce(s$f.sup, 0) AS support
+       | FROM u$rounds u LEFT JOIN s$f USING (src, dst)
+       | ORDER BY src, dst""".stripMargin
+  }
+
   private def kcoreSql(k: Int, rounds: Int): String = {
     val steps = (1 to rounds).map { t =>
       s"""bad$t AS MATERIALIZED (SELECT a FROM u${t - 1}
@@ -583,6 +624,7 @@ object QueriesGraph {
     "qg_random_walks" -> randomWalksSql(Seq(1L, 2L, 3L), 3, 4),
     "qg_hits" -> hitsSql(3),
     "qg_kcore" -> kcoreSql(3, 6),
+    "qg_ktruss" -> ktrussSql(4, 3),
     "qg_sssp" -> ssspSql(1L, 4),
     "qg_labelprop" -> lpaSql(3),
     "qg_modularity" -> modularitySql(3),

@@ -353,6 +353,54 @@ object GraphOps {
     u.groupBy(col("a").as("id")).agg(count(lit(1)).as("core_deg"))
   }
 
+  /** k-truss peel (Cohen 2008, "Trusses: cohesive subgraphs for
+    * social network analysis" — the EDGE-cohesion companion to
+    * [[kCoreDF]]'s vertex peel; a k-truss edge sits in ≥ k−2
+    * triangles of the remaining subgraph, so trusses are the
+    * triangle-reinforced communities k-core over-admits): remove
+    * under-supported edges for a FIXED number of rounds (fixed rounds
+    * keep the result deterministic and oracle-expressible — pick
+    * `rounds` ≥ the peel depth and assert convergence in a spec at
+    * rounds and rounds+1). `edges` must be canonical (src < dst)
+    * distinct undirected edges.
+    *
+    * Per round: one wedge self-join on the LOWER endpoint + one
+    * closing equi-join enumerate remaining triangles (the declarative
+    * [[trianglesDF]] shape — never an all-pairs), each triangle posts
+    * support to its three edges via explode + partial-agg count;
+    * under-supported edges drop by the inner join (k ≥ 3 makes
+    * zero-triangle edges peel identically). Edge frames
+    * re-materialize per round so lineage stays flat. Returns the
+    * surviving edges with support RECOMPUTED in the surviving
+    * subgraph: (src, dst, support). */
+  def kTrussDF(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 3 && rounds >= 1, "k-truss needs k >= 3, rounds >= 1")
+    def support(u: DataFrame): DataFrame = {
+      val tri = u.select(col("src").as("x"), col("dst").as("y"))
+        .join(u.select(col("src").as("x"), col("dst").as("z")), Seq("x"))
+        .filter(col("y") < col("z"))
+        .join(u.select(col("src").as("y"), col("dst").as("z")),
+          Seq("y", "z"))
+      tri.select(explode(array(
+          struct(col("x").as("src"), col("y").as("dst")),
+          struct(col("x").as("src"), col("z").as("dst")),
+          struct(col("y").as("src"), col("z").as("dst")))).as("e"))
+        .select(col("e.src"), col("e.dst"))
+        .groupBy("src", "dst").agg(count(lit(1)).as("support"))
+    }
+    var u = edges.select(col("src"), col("dst")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      u = u.join(support(u), Seq("src", "dst"))
+        .filter(col("support") >= k - 2)
+        .select("src", "dst")
+        .localCheckpoint()
+    }
+    u.join(support(u), Seq("src", "dst"), "left")
+      .select(col("src"), col("dst"),
+        coalesce(col("support"), lit(0L)).as("support"))
+      .localCheckpoint()
+  }
+
   /** Weighted single-source shortest paths: Bellman–Ford relaxation
     * with a FIXED round budget (fixed rounds keep the result
     * deterministic and oracle-expressible; `rounds` ≥ the hop

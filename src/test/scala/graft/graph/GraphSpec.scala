@@ -361,6 +361,45 @@ class GraphSpec extends AnyFunSuite {
     assert(a == b && a.nonEmpty)
   }
 
+  test("k-truss: cascade peel, fixpoint within rounds, invariance") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} + a pendant triangle (4,5,6): in the 4-truss,
+    // K4 edges each close 2 triangles and survive; the (4,5,6)
+    // triangle edges have support 1 and peel in round one
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+        (3L, 4L), (4L, 5L), (4L, 6L), (5L, 6L))
+      .toDF("src", "dst")
+    val got = GraphOps.kTrussDF(e, k = 4, rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(got == Map((1L, 2L) -> 2L, (1L, 3L) -> 2L, (1L, 4L) -> 2L,
+      (2L, 3L) -> 2L, (2L, 4L) -> 2L, (3L, 4L) -> 2L))
+    // cascade: a 5-truss of K4 must empty out entirely (each edge
+    // has support 2 < 3), not just shrink
+    assert(GraphOps.kTrussDF(e, k = 5, rounds = 2).count() == 0)
+    // gate-parameter fixpoint: one more round changes nothing
+    val proj = {
+      val ed = TradeGraph.edges(spark, sf)
+      val focal = ed.filter(col("src") < 100)
+      val a = focal.select(col("src").as("a_id"), col("dst"))
+      val b = focal.select(col("src").as("b_id"), col("dst"))
+      a.join(b, "dst").filter(col("a_id") < col("b_id"))
+        .groupBy("a_id", "b_id").agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= 5)
+        .select(col("a_id").as("src"), col("b_id").as("dst"))
+        .localCheckpoint()
+    }
+    val r3 = GraphOps.kTrussDF(proj, 4, 3).orderBy("src", "dst")
+      .collect().toSeq
+    val r4 = GraphOps.kTrussDF(proj, 4, 4).orderBy("src", "dst")
+      .collect().toSeq
+    assert(r3 == r4 && r3.nonEmpty)
+    // partitioning invariance
+    val p = GraphOps.kTrussDF(proj.repartition(13), 4, 3)
+      .orderBy("src", "dst").collect().toSeq
+    assert(p == r3)
+  }
+
   test("closeness centrality: reached conditioning, radius bound") {
     import spark.implicits._
     val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
