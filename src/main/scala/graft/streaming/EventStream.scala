@@ -125,4 +125,71 @@ object EventStream {
           }
       }
   }
+
+  final case class FunnelProg(times: List[Long]) // micros, head = last
+  final case class FunnelHit(user_id: Long, steps_reached: Int,
+      t_first: Timestamp, t_last: Timestamp, converted: Boolean)
+
+  /** Streaming ordered funnel — [[graft.ops.Funnel.orderedFunnel]]'s
+    * real-time shape: per user, bind `steps` event types IN ORDER,
+    * each within `windowUs` of the previous binding; emit a
+    * `converted = true` row the moment the last step binds (state
+    * clears — the funnel restarts for repeat conversions), and emit
+    * the partial progress with `converted = false` when the event-time
+    * timeout passes the open window (once `windowUs` elapses after the
+    * last binding no later event can extend the chain, so the state is
+    * dead weight — bounded state by construction: ≤ one in-flight
+    * chain per active user).
+    *
+    * Semantics trade vs batch (documented, the sessionize "never
+    * shrink" precedent): bindings are leftmost-greedy in event-time
+    * order WITHIN each micro-batch, but an out-of-order event arriving
+    * after its step already bound does NOT rebind — batch, which sees
+    * all events at once, would have bound the earlier one. Fed
+    * in-order, the first conversion per user matches the batch funnel
+    * row exactly (spec-pinned). */
+  def streamingFunnel(events: Dataset[Ev], steps: Seq[String],
+      windowUs: Long,
+      watermarkDelay: String = "10 minutes"): Dataset[FunnelHit] = {
+    require(steps.size >= 2, "a funnel needs at least two steps")
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelProg, FunnelHit](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, evs: Iterator[Ev], state: GroupState[FunnelProg]) =>
+          def hit(times: List[Long], conv: Boolean) =
+            FunnelHit(uid, times.size, new Timestamp(times.last / 1000),
+              new Timestamp(times.head / 1000), conv)
+          if (state.hasTimedOut) {
+            val t = state.get.times
+            state.remove()
+            Iterator(hit(t, conv = false))
+          } else {
+            var times = state.getOption.map(_.times).getOrElse(Nil)
+            var out = List.empty[FunnelHit]
+            evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+              val k = times.size
+              if (k < steps.size && e.event_type == steps(k)) {
+                val tUs = e.ts.getTime * 1000
+                if (times.isEmpty ||
+                    (tUs > times.head && tUs - times.head <= windowUs)) {
+                  times = tUs :: times
+                  if (times.size == steps.size) {
+                    out ::= hit(times, conv = true)
+                    times = Nil
+                  }
+                }
+              }
+            }
+            if (times.nonEmpty) {
+              state.update(FunnelProg(times))
+              val wm = state.getCurrentWatermarkMs()
+              state.setTimeoutTimestamp(
+                math.max(times.head / 1000 + windowUs / 1000, wm + 1))
+            } else if (state.exists) state.remove()
+            out.reverseIterator
+          }
+      }
+  }
 }

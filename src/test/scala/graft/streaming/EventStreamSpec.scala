@@ -326,6 +326,56 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming funnel: conversions match batch; window and timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val steps = Seq("signup", "activate", "purchase")
+    val winUs = 30L * 60 * 1000000 // 30 min
+    def e(id: Long, hm: String, u: Long, t: String) =
+      Ev(id, Timestamp.valueOf(s"2026-01-01 $hm:00"), u, t, 1.0)
+    val input = MemoryStream[Ev]
+    val q = EventStream.streamingFunnel(input.toDS(), steps, winUs,
+        watermarkDelay = "1 minute")
+      .writeStream.format("memory").queryName("sfunnel")
+      .outputMode("append").start()
+    try {
+      // user 1 converts across two batches; user 2 stalls at signup;
+      // user 4's activate falls outside the 30-min window
+      input.addData(e(1, "10:01", 1, "signup"), e(2, "10:03", 1, "activate"),
+        e(3, "10:02", 2, "signup"), e(4, "10:00", 4, "signup"))
+      q.processAllAvailable()
+      input.addData(e(5, "10:05", 1, "purchase"), e(6, "11:30", 4, "activate"))
+      q.processAllAvailable()
+      val conv = spark.table("sfunnel").filter(col("converted"))
+        .collect().map(r => (r.getLong(0), r.getInt(1),
+          r.getTimestamp(2), r.getTimestamp(3)))
+      assert(conv.toSeq == Seq((1L,
+        3, Timestamp.valueOf("2026-01-01 10:01:00"),
+        Timestamp.valueOf("2026-01-01 10:05:00"))))
+      // the streamed conversion equals the batch funnel's full row
+      val all = Seq(e(1, "10:01", 1, "signup"), e(2, "10:03", 1, "activate"),
+        e(3, "10:02", 2, "signup"), e(4, "10:00", 4, "signup"),
+        e(5, "10:05", 1, "purchase"), e(6, "11:30", 4, "activate"))
+      val batch = graft.ops.Funnel.orderedFunnel(all.toDF(), "user_id",
+          "ts", "event_type", steps, winUs)
+        .filter(col("steps_reached") === 3).collect()
+      assert(batch.length == 1 && batch(0).getLong(0) == 1L &&
+        batch(0).getLong(1) == conv(0)._3.getTime * 1000 &&
+        batch(0).getLong(3) == conv(0)._4.getTime * 1000)
+      // watermark far past the open windows -> stalled chains flush
+      // as partials (user 2 at step 1; user 4 still step 1 — the
+      // out-of-window activate never bound)
+      input.addData(e(7, "13:00", 9, "noise"))
+      q.processAllAvailable()
+      input.addData(e(8, "13:30", 9, "noise"))
+      q.processAllAvailable()
+      val partial = spark.table("sfunnel")
+        .filter(!col("converted")).collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(partial == Set((2L, 1), (4L, 1)))
+    } finally q.stop()
+  }
+
   test("rate-spike counts stream; scoring the live table equals batch") {
     // bucket counts are ONE streaming aggregation (additive state,
     // cross-batch merge); the z-scoring half is a narrow batch pass
