@@ -367,6 +367,31 @@ object QueriesRelational {
           "cv", "click_value")
         .orderBy($"event_id")
     }),
+    "q_scd2" -> ((s, dir) => {
+      // SCD2 intervalization of the click-value change feed:
+      // versioned rows with half-open validity, the warehouse layout
+      // point-in-time enrichment serves from
+      import s.implicits._
+      val changes = t(s, dir, "events").filter($"event_type" === "click")
+        .groupBy($"user_id", $"ts").agg(max($"value").as("cv"))
+      graft.ops.AsOf.scd2(changes, "user_id", "ts")
+        .orderBy($"user_id", $"ts")
+    }),
+    "q_asof_interval" -> ((s, dir) => {
+      // the same point-in-time semantics as q_asof_join, served from
+      // the SCD2 intervals: ONE broadcast equi-join + validity filter
+      // (the stream-serving shape) — must match the union-window
+      // answer row for row
+      import s.implicits._
+      val e = t(s, dir, "events")
+      val purchases = e.filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"ts", $"value")
+      val clicks = e.filter($"event_type" === "click")
+        .groupBy($"user_id", $"ts").agg(max($"value").as("cv"))
+      graft.ops.AsOf.asofJoinInterval(purchases, clicks, "user_id",
+          "ts", "cv", "click_value")
+        .orderBy($"event_id")
+    }),
     "q_range_join" -> ((s, dir) => {
       // burst detection: all event pairs of a user within 2 hours —
       // banded range join (ops.RangeJoin), never a per-key cross
@@ -592,6 +617,30 @@ object QueriesRelational {
         |   c.cv AS click_value
         | FROM p ASOF LEFT JOIN c
         |   ON p.user_id = c.user_id AND p.ts >= c.ts
+        | ORDER BY p.event_id""".stripMargin,
+    "q_scd2" ->
+      """WITH c AS (SELECT user_id, ts, max(value) AS cv FROM events
+        |   WHERE event_type = 'click' GROUP BY user_id, ts)
+        | SELECT user_id, ts, cv, ts AS valid_from,
+        |   lead(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |     AS valid_to,
+        |   lead(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |     AS is_current
+        | FROM c ORDER BY user_id, ts""".stripMargin,
+    "q_asof_interval" ->
+      """WITH p AS (SELECT event_id, user_id, ts, value FROM events
+        |   WHERE event_type = 'purchase'),
+        | c AS (SELECT user_id, ts, max(value) AS cv FROM events
+        |   WHERE event_type = 'click' GROUP BY user_id, ts),
+        | iv AS (SELECT user_id, cv, ts AS valid_from,
+        |     lead(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |       AS valid_to
+        |   FROM c)
+        | SELECT p.event_id, p.user_id, p.ts, p.value,
+        |   iv.cv AS click_value
+        | FROM p LEFT JOIN iv ON p.user_id = iv.user_id
+        |   AND p.ts >= iv.valid_from
+        |   AND (iv.valid_to IS NULL OR p.ts < iv.valid_to)
         | ORDER BY p.event_id""".stripMargin,
     "q_rate_spikes" ->
       s"""WITH b AS (SELECT event_type,

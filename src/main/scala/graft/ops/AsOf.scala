@@ -47,4 +47,44 @@ object AsOf {
       .filter(col("__side") === 1)
       .select((leftCols.map(col) :+ col(outCol)): _*)
   }
+
+  /** SCD2 (slowly-changing-dimension type 2) intervalization: turn a
+    * change feed (key, ts, attrs…) into versioned rows with
+    * half-open [valid_from, valid_to) validity and an `is_current`
+    * flag — the warehouse layout point-in-time enrichment serves
+    * from. The window is per DIMENSION key ordered by change ts:
+    * bounded by the version count per entity (a dimension property,
+    * never event cardinality), so the sort cannot hot-spot the way an
+    * event-key window would. The latest version's valid_to is NULL
+    * (open). Input must be unique per (key, ts). */
+  def scd2(changes: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol))
+    changes
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
+  /** Interval (SCD2-served) as-of join — the BROADCAST-dimension
+    * serving shape: when the right side is a dimension small enough
+    * to broadcast, intervalize it once and enrich with ONE equi-join
+    * on the key plus a validity range filter. No union, no
+    * event-stream window — and because per-key intervals are
+    * disjoint, each event matches at most one version, so the same
+    * plan runs UNCHANGED on a Structured Stream (stream-static
+    * broadcast join, zero state; the union-window [[asofJoin]]
+    * cannot). Events before the first version carry null — asofJoin
+    * semantics, tie-at-boundary included identically (half-open
+    * intervals ≡ at-or-before with right-sorts-first). */
+  def asofJoinInterval(events: DataFrame, dim: DataFrame, keyCol: String,
+      tsCol: String, valueCol: String, outCol: String): DataFrame = {
+    val iv = scd2(dim, keyCol, tsCol)
+      .select(col(keyCol).as("__k"), col(valueCol).as(outCol),
+        col("valid_from"), col("valid_to"))
+    events.join(broadcast(iv),
+        col(keyCol) === col("__k") && col(tsCol) >= col("valid_from") &&
+          (col("valid_to").isNull || col(tsCol) < col("valid_to")),
+        "left")
+      .drop("__k", "valid_from", "valid_to")
+  }
 }

@@ -326,6 +326,46 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("interval as-of enriches a stream against a static dimension") {
+    // the SCD2 serving shape: intervalized dimension broadcast into a
+    // stream-static join — zero state, and row-identical to the batch
+    // union-window asofJoin
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq(ev(100, 1, 1, "click", 10.0),
+        ev(101, 10, 1, "click", 20.0), ev(102, 5, 2, "click", 7.0))
+      .toDF()
+      .groupBy($"user_id", $"ts").agg(max($"value").as("cv"))
+      .localCheckpoint()
+    val input = MemoryStream[Ev]
+    val enriched = graft.ops.AsOf.asofJoinInterval(
+      input.toDF().select($"event_id", $"user_id", $"ts", $"value"),
+      dim, "user_id", "ts", "cv", "click_value")
+    val q = enriched.writeStream.format("memory").queryName("asof_stream")
+      .outputMode("append").start()
+    try {
+      val purchases = Seq(ev(1, 2, 1, "purchase", 1.0),
+        ev(2, 12, 1, "purchase", 1.0),
+        ev(3, 3, 2, "purchase", 1.0), // before user 2's first click
+        ev(4, 10, 1, "purchase", 1.0)) // tie with version 2's start
+      input.addData(purchases: _*)
+      q.processAllAvailable()
+      val got = spark.table("asof_stream").orderBy("event_id").collect()
+        .map(r => r.getLong(0) ->
+          Option(r.get(4)).map(_.asInstanceOf[Double]))
+      assert(got.toSeq == Seq(1L -> Some(10.0), 2L -> Some(20.0),
+        3L -> None, 4L -> Some(20.0)))
+      // row-identical to the batch union-window shape
+      val batch = graft.ops.AsOf.asofJoin(
+          purchases.toDF().select($"event_id", $"user_id", $"ts", $"value"),
+          dim, "user_id", "ts", "cv", "click_value")
+        .orderBy("event_id").collect()
+        .map(r => r.getLong(0) ->
+          Option(r.get(4)).map(_.asInstanceOf[Double]))
+      assert(batch.toSeq == got.toSeq)
+    } finally q.stop()
+  }
+
   test("streaming funnel: conversions match batch; window and timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
