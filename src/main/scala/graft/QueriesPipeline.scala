@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.{Bucketing, Tables}
-import graft.ops.{Classifier, Curation, Dedup, Pca, Pq, Similarity, TextOps}
+import graft.ops.{Classifier, Curation, Dedup, Pca, Pq, Similarity, SubstringIndex, TextOps}
 import graft.ops.TextOps._
 
 /** Training-data pipeline corpus: deduplication (exact, MinHash+LSH,
@@ -1209,6 +1209,19 @@ object QueriesPipeline {
           md5(TextOps.normalizeText(col("text"))).as("norm_hash"),
           round(TextOps.repetitionFraction(col("__tok"), 2), 6)
             .as("dup_bigram_frac"))
+        .orderBy("doc_id")
+    }),
+    "qp_substring_search" -> ((s, dir) => {
+      // grep-at-scale: char-4-gram posting index (hash-bucketed
+      // dirs, fixed tmp path overwritten per run); the probe resolves
+      // the needle's gram buckets as literal partition filters and
+      // verifies contains() over candidates only — must equal the
+      // oracle's brute-force contains over the whole corpus
+      val d = docs(s, dir)
+      val idxDir = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft-substr-idx").toString
+      SubstringIndex.write(d, "doc_id", "text", idxDir)
+      SubstringIndex.search(s, idxDir, d, "doc_id", "text", "spark data")
         .orderBy("doc_id")
     }),
     "qp_text_fingerprint" -> ((s, dir) => {
@@ -3428,6 +3441,11 @@ object QueriesPipeline {
          |     ELSE 1.0 - len(list_distinct(grams)) * 1.0 / len(grams)
          |   END, 6) AS dup_bigram_frac
          | FROM g ORDER BY doc_id""".stripMargin,
+    "qp_substring_search" ->
+      // the SEMANTIC spec, not the plan: the indexed path must
+      // reproduce brute-force contains exactly
+      """SELECT doc_id FROM documents WHERE contains(text, 'spark data')
+        | ORDER BY doc_id""".stripMargin,
     "qp_text_fingerprint" ->
       s"""SELECT doc_id, array_to_string(
          |   list_sort(list_transform(${dShingles("text")},

@@ -958,6 +958,30 @@ class OpsHygieneSpec extends AnyFunSuite {
     assert(got == Map("web" -> "hypertext", "code" -> "compiler"))
   }
 
+  test("substring index: gram-superset candidates, verify kills anagrams") {
+    val d = Seq((1L, "xxabcdexx"), (2L, "bcdeabcdx"), // 2 has BOTH
+        (3L, "abumcdef"), (4L, "zz"))                 // grams, scrambled
+      .toDF("doc_id", "text")
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft-substr-spec").toString
+    SubstringIndex.write(d, "doc_id", "text", dir)
+    // needle grams {abcd, bcde} both occur in doc 2 without the
+    // needle — the exact verify must reject it
+    val got = SubstringIndex.search(spark, dir, d, "doc_id", "text",
+      "abcde").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1L))
+    // real data: indexed path == brute-force contains
+    val docs = Tables.load(spark, sf, "documents")
+    val dir2 = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft-substr-spec2").toString
+    SubstringIndex.write(docs, "doc_id", "text", dir2)
+    val idx = SubstringIndex.search(spark, dir2, docs, "doc_id",
+      "text", "spark data").orderBy("doc_id").collect().toSeq
+    val brute = docs.filter(col("text").contains("spark data"))
+      .select("doc_id").orderBy("doc_id").collect().toSeq
+    assert(idx == brute && idx.nonEmpty)
+  }
+
   test("dedup index: probe == cross-split minhashPairs; append == rebuild") {
     val d = Tables.load(spark, sf, "documents")
     val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
