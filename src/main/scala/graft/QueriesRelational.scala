@@ -367,6 +367,16 @@ object QueriesRelational {
           "cv", "click_value")
         .orderBy($"event_id")
     }),
+    "q_behavior_seqs" -> ((s, dir) => {
+      // next-event prediction dataset (the sequential-recsys input
+      // shape): context window 3 over each user's (ts, id)-ordered
+      // event types, last-50 truncation
+      import s.implicits._
+      graft.ops.Funnel.nextEventSequences(t(s, dir, "events"),
+          "user_id", "event_id", "ts", "event_type",
+          ctxLen = 3, maxEvents = 50)
+        .orderBy($"user_id", $"pos")
+    }),
     "q_scd2" -> ((s, dir) => {
       // SCD2 intervalization of the click-value change feed:
       // versioned rows with half-open validity, the warehouse layout
@@ -618,6 +628,22 @@ object QueriesRelational {
         | FROM p ASOF LEFT JOIN c
         |   ON p.user_id = c.user_id AND p.ts >= c.ts
         | ORDER BY p.event_id""".stripMargin,
+    "q_behavior_seqs" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id AS i,
+        |     event_type AS ty FROM events),
+        | a0 AS (SELECT user_id,
+        |     list(struct_pack(t := t, i := i, ty := ty)
+        |       ORDER BY t, i) AS arr
+        |   FROM e GROUP BY user_id),
+        | a AS (SELECT user_id, CASE WHEN len(arr) > 50
+        |     THEN arr[len(arr)-49:] ELSE arr END AS arr FROM a0),
+        | p AS (SELECT user_id, arr,
+        |     unnest(range(1, len(arr))) AS i FROM a)
+        | SELECT user_id, CAST(i AS BIGINT) AS pos,
+        |   array_to_string(list_transform(arr[greatest(1, i+1-3):i],
+        |     e -> e.ty), ' ') AS context,
+        |   arr[i+1].ty AS label
+        | FROM p ORDER BY user_id, pos""".stripMargin,
     "q_scd2" ->
       """WITH c AS (SELECT user_id, ts, max(value) AS cv FROM events
         |   WHERE event_type = 'click' GROUP BY user_id, ts)

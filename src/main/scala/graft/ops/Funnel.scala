@@ -96,6 +96,46 @@ object Funnel {
       .select(col("event_type"), col("bucket"), col("n"), col("z"))
   }
 
+  /** Next-event training sequences — the sequential-recommendation
+    * dataset builder (the GRU4Rec/SASRec input shape): per user,
+    * events in (ts, id) order; every position i ≥ 1 emits the ≤
+    * `ctxLen` previous event types as the context and the type AT i
+    * as the label. Deterministic: the order key (micros, event id) is
+    * a total order, so contexts replay exactly.
+    *
+    * Scale shape: ONE collect_list aggregation per user (partial-
+    * combining), sorted and truncated to the LAST `maxEvents` inside
+    * the row — no per-user event-order window (which would serialize
+    * hot users through one task's sort); the per-position emit is a
+    * posexplode over the bounded array. The collect itself is bounded
+    * by events-per-user in the INPUT — slice the input to a time
+    * window first (the caller contract; `maxEvents` then bounds the
+    * emitted rows). Returns (user_id, pos, context, label). */
+  def nextEventSequences(events: DataFrame, userCol: String,
+      idCol: String, tsCol: String, typeCol: String, ctxLen: Int,
+      maxEvents: Int = 1000): DataFrame = {
+    require(ctxLen >= 1 && maxEvents >= 2, "bad sequence params")
+    val collected = events
+      .groupBy(col(userCol).as("user_id"))
+      .agg(sort_array(collect_list(struct(
+        unix_micros(col(tsCol)).as("t"),
+        col(idCol).as("i"),
+        col(typeCol).as("ty")))).as("__a0"))
+      .withColumn("__a", when(size(col("__a0")) > maxEvents,
+          slice(col("__a0"), -maxEvents, maxEvents))
+        .otherwise(col("__a0")))
+    collected
+      .select(col("user_id"), col("__a"),
+        posexplode(col("__a")).as(Seq("__i", "__e")))
+      .filter(col("__i") >= 1)
+      .select(col("user_id"), col("__i").cast("long").as("pos"),
+        array_join(transform(
+          slice(col("__a"), greatest(lit(1), col("__i") + 1 - ctxLen),
+            least(lit(ctxLen), col("__i"))),
+          e => e.getField("ty")), " ").as("context"),
+        col("__e").getField("ty").as("label"))
+  }
+
   /** Cohort retention table — the funnel's standard companion: users
     * cohorted by their FIRST-SEEN period (integer `epoch_micros div
     * (periodDays·86400e6)` — exact), then for each offset 0..max the

@@ -958,6 +958,30 @@ class OpsHygieneSpec extends AnyFunSuite {
     assert(got == Map("web" -> "hypertext", "code" -> "compiler"))
   }
 
+  test("nextEventSequences: window clamp, truncation, order key") {
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    val e = Seq((1L, ts(1), 1L, "a"), (2L, ts(2), 1L, "b"),
+        (3L, ts(3), 1L, "c"), (4L, ts(4), 1L, "d"),
+        (6L, ts(5), 2L, "y"), (5L, ts(5), 2L, "x")) // same-ts: id order
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = graft.ops.Funnel.nextEventSequences(e, "user_id",
+        "event_id", "ts", "event_type", ctxLen = 2)
+      .orderBy("user_id", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getString(3)))
+    // user 1: contexts clamp to the last <=2 types; user 2's tie
+    // breaks on event_id (x before y)
+    assert(got.toSeq == Seq((1L, 1L, "a", "b"), (1L, 2L, "a b", "c"),
+      (1L, 3L, "b c", "d"), (2L, 1L, "x", "y")))
+    // truncation keeps the LAST maxEvents
+    val trunc = graft.ops.Funnel.nextEventSequences(e.filter(
+        col("user_id") === 1), "user_id", "event_id", "ts",
+        "event_type", ctxLen = 2, maxEvents = 3)
+      .orderBy("pos").collect().map(_.getString(3))
+    assert(trunc.toSeq == Seq("c", "d")) // a dropped; b c d remain
+  }
+
   test("substring index: gram-superset candidates, verify kills anagrams") {
     val d = Seq((1L, "xxabcdexx"), (2L, "bcdeabcdx"), // 2 has BOTH
         (3L, "abumcdef"), (4L, "zz"))                 // grams, scrambled
