@@ -367,6 +367,16 @@ object QueriesRelational {
           "cv", "click_value")
         .orderBy($"event_id")
     }),
+    "q_decayed_engagement" -> ((s, dir) => {
+      // recency-weighted per-user engagement AS OF a fixed instant
+      // (2024-02-01T00Z): 6-hour buckets, 7-day half-life, integer
+      // decay-table lookup, exact order-free integer sum
+      import s.implicits._
+      graft.ops.Funnel.decayedEngagement(t(s, dir, "events"),
+          "user_id", "ts", "value", halfLifeUs = 7L * 86400000000L,
+          asOfUs = 1706745600000000L)
+        .orderBy($"user_id")
+    }),
     "q_behavior_seqs" -> ((s, dir) => {
       // next-event prediction dataset (the sequential-recsys input
       // shape): context window 3 over each user's (ts, id)-ordered
@@ -628,6 +638,25 @@ object QueriesRelational {
         | FROM p ASOF LEFT JOIN c
         |   ON p.user_id = c.user_id AND p.ts >= c.ts
         | ORDER BY p.event_id""".stripMargin,
+    "q_decayed_engagement" -> {
+      // decay factors GENERATED from the same Scala table the Spark
+      // literal array uses (seeded-constants rule — two libm pow
+      // implementations agreeing per row would not be a gate)
+      val table = graft.ops.Funnel.decayTableMicro(
+        7L * 86400000000L, 21600000000L, 256)
+      val values = table.zipWithIndex
+        .map { case (m, b) => s"($b, $m)" }.mkString(", ")
+      s"""WITH d(b, dm) AS (VALUES $values),
+         | e AS (SELECT user_id, value,
+         |     (1706745600000000 - epoch_us(ts)) // 21600000000 AS b
+         |   FROM events WHERE epoch_us(ts) <= 1706745600000000)
+         | SELECT user_id,
+         |   CAST(sum(CAST(round(value * coalesce(dm, 0), 0) AS BIGINT))
+         |     AS BIGINT) AS score_micro,
+         |   count(*) AS n_events
+         | FROM e LEFT JOIN d USING (b)
+         | GROUP BY user_id ORDER BY user_id""".stripMargin
+    },
     "q_behavior_seqs" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id AS i,
         |     event_type AS ty FROM events),

@@ -96,6 +96,48 @@ object Funnel {
       .select(col("event_type"), col("bucket"), col("n"), col("z"))
   }
 
+  /** integer decay table for [[decayedEngagement]]: micro-unit factors
+    * `round(1e6 · 2^(−b·bucketUs/halfLifeUs))` for buckets 0..n−1 —
+    * computed ONCE here in Scala so the Spark literal array and the
+    * oracle's VALUES table are the same numbers (the repo's
+    * seeded-constants rule; trusting two libm pow implementations to
+    * agree per row would not be a gate). */
+  def decayTableMicro(halfLifeUs: Long, bucketUs: Long,
+      n: Int): Seq[Long] = {
+    require(halfLifeUs > 0 && bucketUs > 0 && n >= 1, "bad decay params")
+    (0 until n).map(b => math.round(1e6 *
+      math.pow(2.0, -b.toDouble * bucketUs / halfLifeUs)))
+  }
+
+  /** Time-decayed engagement score — exponential recency weighting,
+    * the trending/engagement staple: score(u) = Σ value·2^(−Δt/h)
+    * over the user's events at-or-before `asOfUs` (an EXPLICIT
+    * timestamp — never now(); determinism rule). Δt quantizes to
+    * `bucketUs` buckets and the decay factor comes from the integer
+    * [[decayTableMicro]] table, so every per-event term is one double
+    * multiply rounded to integer micro-units and the aggregate is an
+    * exact order-free integer sum — doubles never accumulate across
+    * rows. Events older than n·bucketUs decay to exactly 0.
+    *
+    * Scale shape: one narrow codegen'd projection (integer bucket +
+    * array literal lookup) + one partial-combining per-user sum.
+    * Returns (user_id, score_micro, n_events). */
+  def decayedEngagement(events: DataFrame, userCol: String,
+      tsCol: String, valueCol: String, halfLifeUs: Long, asOfUs: Long,
+      bucketUs: Long = 21600000000L, horizon: Int = 256): DataFrame = {
+    val table = decayTableMicro(halfLifeUs, bucketUs, horizon)
+    val b = (lit(asOfUs) - unix_micros(col(tsCol))) / lit(bucketUs)
+    val bInt = floor(b).cast("int")
+    val dm = when(bInt < horizon,
+      element_at(lit(table.toArray), bInt + 1)).otherwise(lit(0L))
+    events.filter(unix_micros(col(tsCol)) <= asOfUs)
+      .withColumn("__t",
+        round(col(valueCol) * dm, 0).cast("long"))
+      .groupBy(col(userCol).as("user_id"))
+      .agg(sum(col("__t")).as("score_micro"),
+        count(lit(1)).as("n_events"))
+  }
+
   /** Next-event training sequences — the sequential-recommendation
     * dataset builder (the GRU4Rec/SASRec input shape): per user,
     * events in (ts, id) order; every position i ≥ 1 emits the ≤

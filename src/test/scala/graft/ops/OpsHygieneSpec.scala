@@ -958,6 +958,30 @@ class OpsHygieneSpec extends AnyFunSuite {
     assert(got == Map("web" -> "hypertext", "code" -> "compiler"))
   }
 
+  test("decayedEngagement: half-life table, horizon zero, asOf cut") {
+    import java.sql.Timestamp
+    val halfLife = 7L * 86400000000L
+    val asOf = Timestamp.valueOf("2026-02-01 00:00:00")
+    val asOfUs = asOf.getTime * 1000
+    def back(days: Int) = new Timestamp(asOf.getTime - days * 86400000L)
+    // table head is exactly 1.0; 28 six-hour buckets = one half-life
+    val table = graft.ops.Funnel.decayTableMicro(halfLife,
+      21600000000L, 256)
+    assert(table.head == 1000000L && table(28) == 500000L)
+    val e = Seq(
+      (1L, asOf, 1L, "c", 2.0),          // b=0: full weight 2e6
+      (2L, back(7), 1L, "c", 4.0),       // one half-life: 2e6
+      (3L, back(100), 1L, "c", 8.0),     // past horizon (64d): 0, counted
+      (4L, new Timestamp(asOf.getTime + 1000), 1L, "c", 99.0), // future
+      (5L, back(14), 2L, "c", 8.0))      // two half-lives: 2e6
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = graft.ops.Funnel.decayedEngagement(e, "user_id", "ts",
+        "value", halfLife, asOfUs)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got == Map(1L -> ((4000000L, 3L)), 2L -> ((2000000L, 1L))))
+  }
+
   test("nextEventSequences: window clamp, truncation, order key") {
     import java.sql.Timestamp
     def ts(m: Int) = Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
