@@ -173,6 +173,20 @@ final class GraftSession private (val spark: SparkSession,
       hooks.fire(Hooks.BeforeRead, cls, df))
   }
 
+  /** EXPLAIN a dialect SELECT — the operability surface the reference
+    * never had (its planner is opaque; `OCommandExecutorSQLSelect`
+    * decides index-vs-scan internally with no user-visible trace):
+    * returns Catalyst's formatted physical plan for the translated
+    * query, so a user can SEE whether a predicate pushed into the
+    * parquet scan, a link-nav join broadcast, or a FULLTEXT index
+    * probe replaced a re-tokenization. Same parse + ACL path as
+    * [[query]]; nothing executes. */
+  def explain(sql: String): String = {
+    val df = query(sql)
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+  }
+
   /** raw Spark SQL over the catalog's classes (each registered as a
     * temp view) — the escape hatch the reference's COMMAND op never
     * had; full Catalyst surface. Under a principal it exposes every

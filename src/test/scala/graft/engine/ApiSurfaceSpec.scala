@@ -116,6 +116,22 @@ class ApiSurfaceSpec extends AnyFunSuite {
     assert(cast == 6)
   }
 
+  test("explain surfaces the physical plan without executing") {
+    val g = GraftSession.forTestdata(spark, "/root/testdata/sf0.001")
+    val plan = g.explain(
+      "select c_name from customer where c_custkey < 10")
+    // the user can SEE the scan-level pushdown and pruned read schema
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("c_custkey"))
+    assert(plan.contains("ReadSchema") && !plan.contains("c_comment"),
+      "projection pruning must reach the scan")
+    // same ACL path as query(): a stranger cannot explain either
+    val g2 = GraftSession.forTestdata(spark, "/root/testdata/sf0.001")
+    g2.command("grant NONE on database.class.customer to stranger")
+    intercept[SecurityException](
+      g2.as("stranger").explain("select from customer"))
+  }
+
   test("positional and schema native query contexts") {
     val g = GraftSession.forTestdata(spark, "/root/testdata/sf0.001")
     // positional: column(0) is c_custkey in the customer table order
