@@ -493,6 +493,20 @@ object QueriesPipeline {
           "vec_id", "embedding", k = 10)
         .orderBy(col("q_id"), col("rnk"))
     }),
+    "qp_ivf_recall" -> ((s, dir) => {
+      // the ANN tuning number: per-query recall@5 of the nProbe=2
+      // IVF probe against the exact brute-force ranking (same
+      // parameters as qp_ivf_topk)
+      val e = embs(s, dir)
+      val cents = e.filter(col("vec_id") < 16)
+      val q = e.filter(col("vec_id") >= 100 && col("vec_id") < 105)
+      Similarity.recallAtK(
+          Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5),
+          Similarity.ivfTopK(e, q, cents, "vec_id", "embedding",
+            k = 5, nProbe = 2),
+          k = 5)
+        .orderBy("q_id")
+    }),
     "qp_bitext_mine" -> ((s, dir) => {
       // margin-based parallel-pair mining (the CCMatrix/LASER
       // recipe) between the even-id and odd-id embedding halves
@@ -2396,6 +2410,47 @@ object QueriesPipeline {
          |   FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
          | WHERE cos >= 0.4 ORDER BY a_id, b_id""".stripMargin,
     "qp_ivf_topk" -> ivfTopKOracle,
+    "qp_ivf_recall" ->
+      // the ivf CTE chain (same params as qp_ivf_topk) + the exact
+      // brute-force ranking + per-query intersection count
+      s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+         | e AS (SELECT vec_id, v, sqrt(${dDot("v", "v")}) AS nn FROM e0),
+         | cent AS (SELECT vec_id AS cent_id, v AS cv, nn AS cn FROM e
+         |   WHERE vec_id < 16),
+         | cells AS (SELECT vec_id AS n_id, v AS cv2, nn AS cn2, cell FROM (
+         |   SELECT e.vec_id, e.v, e.nn, cent.cent_id AS cell,
+         |     row_number() OVER (PARTITION BY e.vec_id
+         |       ORDER BY ${dDot("e.v", "cent.cv")} / (e.nn * cent.cn) DESC,
+         |         cent.cent_id) AS r
+         |   FROM e CROSS JOIN cent) WHERE r = 1),
+         | q AS (SELECT vec_id AS q_id, v AS qv, nn AS qn FROM e
+         |   WHERE vec_id >= 100 AND vec_id < 105),
+         | probes AS (SELECT q_id, qv, qn, probe FROM (
+         |   SELECT q.q_id, q.qv, q.qn, cent.cent_id AS probe,
+         |     row_number() OVER (PARTITION BY q.q_id
+         |       ORDER BY ${dDot("q.qv", "cent.cv")} / (q.qn * cent.cn) DESC,
+         |         cent.cent_id) AS r
+         |   FROM q CROSS JOIN cent) WHERE r <= 2),
+         | ivf AS (SELECT q_id, n_id FROM (
+         |   SELECT q_id, n_id,
+         |     row_number() OVER (PARTITION BY q_id
+         |       ORDER BY ${dDot("qv", "cv2")} / (qn * cn2) DESC, n_id) AS rnk
+         |   FROM probes JOIN cells ON probe = cell
+         |   WHERE q_id <> n_id) WHERE rnk <= 5),
+         | ex AS (SELECT q_id, n_id FROM (
+         |   SELECT q.q_id, e.vec_id AS n_id,
+         |     row_number() OVER (PARTITION BY q.q_id
+         |       ORDER BY ${dDot("q.qv", "e.v")} / (q.qn * e.nn) DESC,
+         |         e.vec_id) AS rnk
+         |   FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id) WHERE rnk <= 5),
+         | hits AS (SELECT q_id, CAST(count(*) AS BIGINT) AS hits
+         |   FROM ex JOIN ivf USING (q_id, n_id) GROUP BY q_id)
+         | SELECT qq.q_id, coalesce(h.hits, 0) AS hits,
+         |   CAST(coalesce(h.hits, 0) * 1000000 // 5 AS BIGINT)
+         |     AS recall_micro
+         | FROM (SELECT DISTINCT q_id FROM ex) qq
+         | LEFT JOIN hits h USING (q_id)
+         | ORDER BY q_id""".stripMargin,
     // same math and parameters — only the PHYSICAL layout differs
     // (cell-partitioned on-disk index + partition pruning), so the
     // bucketed variant must hash-match the same oracle

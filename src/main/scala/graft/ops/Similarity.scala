@@ -614,6 +614,30 @@ object Similarity {
       .select("a_id", "b_id", "cos")
   }
 
+  /** ANN evaluation — recall@k of an approximate ranking against the
+    * exact one (the number every IVF/PQ deployment tunes nProbe/code
+    * budget by; recall 1.0 = the approximation lost nothing for that
+    * query). Both inputs are (q_id, n_id, …, rnk) ranking frames (the
+    * [[bruteForceTopK]]/[[ivfTopK]] shape). Exact integer counts and
+    * micro-unit ratios; queries the approximation missed entirely
+    * report 0, not absence.
+    *
+    * Scale shape: two rank filters + one (q_id, n_id) equi-join +
+    * per-query partial-agg count — ranking frames are k·queries
+    * rows, control-plane sized relative to the corpora that built
+    * them. */
+  def recallAtK(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val e = exact.filter(col("rnk") <= k).select(col("q_id"), col("n_id"))
+    val a = approx.filter(col("rnk") <= k).select(col("q_id"), col("n_id"))
+    val hits = e.join(a, Seq("q_id", "n_id"))
+      .groupBy("q_id").agg(count(lit(1)).as("hits"))
+    e.select("q_id").distinct()
+      .join(hits, Seq("q_id"), "left")
+      .withColumn("hits", coalesce(col("hits"), lit(0L)))
+      .withColumn("recall_micro", expr(s"hits * 1000000L div $k"))
+  }
+
   /** Margin-based bitext mining (Artetxe & Schwenk 2019, "Margin-based
     * Parallel Corpus Mining with Multilingual Sentence Embeddings" —
     * the CCMatrix/LASER recipe): score each candidate pair by its

@@ -958,6 +958,18 @@ class OpsHygieneSpec extends AnyFunSuite {
     assert(got == Map("web" -> "hypertext", "code" -> "compiler"))
   }
 
+  test("recallAtK: hit counting, zero-recall queries stay present") {
+    val exact = Seq((1L, 10L, 1), (1L, 11L, 2), (2L, 20L, 1),
+      (2L, 21L, 2)).toDF("q_id", "n_id", "rnk")
+    val approx = Seq((1L, 10L, 1), (1L, 99L, 2), (2L, 98L, 1),
+      (2L, 99L, 2)).toDF("q_id", "n_id", "rnk")
+    val got = graft.ops.Similarity.recallAtK(exact, approx, 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    // query 2 missed everything: it reports 0, it does not vanish
+    assert(got == Map(1L -> ((1L, 500000L)), 2L -> ((0L, 0L))))
+  }
+
   test("decayedEngagement: half-life table, horizon zero, asOf cut") {
     import java.sql.Timestamp
     val halfLife = 7L * 86400000000L
