@@ -378,6 +378,14 @@ object QueriesPipeline {
       Classifier.lrSelect(docs(s, dir), "doc_id", "text",
           isTarget = col("lang") === "en", dim = 32, iters = 3, k = 50)
     }),
+    "qp_lr_calibration" -> ((s, dir) => {
+      // reliability table of the trained filter: per margin band, the
+      // observed target rate — where a deployment puts its threshold
+      Classifier.lrCalibration(docs(s, dir), "doc_id", "text",
+          isTarget = col("lang") === "en", dim = 32, iters = 3,
+          bucketWidth = 2000000L)
+        .orderBy("bucket")
+    }),
     "qp_lr_persist_score" -> ((s, dir) => {
       // the train-once/score-forever deployment shape: train the LR
       // quality model, persist it through the durable model registry,
@@ -2105,6 +2113,22 @@ object QueriesPipeline {
     "qp_lr_train" ->
       s"""$dLrCtes
          | SELECT b, w AS w_micro FROM w3 ORDER BY b""".stripMargin,
+    "qp_lr_calibration" ->
+      s"""$dLrCtes,
+         | sc AS (SELECT f.doc_id, f.y, CAST(sum(f.x * w.w) AS BIGINT)
+         |     + 1000 * (SELECT w FROM w3 WHERE b = 32) AS s
+         |   FROM fx f JOIN w3 w USING (b) GROUP BY 1, 2),
+         | calib AS (SELECT
+         |     CAST(floor(CAST(s AS DOUBLE) / 2000000) AS BIGINT)
+         |       AS bucket,
+         |     CAST(count(*) AS BIGINT) AS n_docs,
+         |     CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT)
+         |       AS n_target
+         |   FROM sc GROUP BY 1)
+         | SELECT bucket, n_docs, n_target,
+         |   CAST(n_target * 1000000 // n_docs AS BIGINT)
+         |     AS target_rate_micro
+         | FROM calib ORDER BY bucket""".stripMargin,
     "qp_lr_select" ->
       s"""$dLrCtes,
          | sc AS (SELECT f.doc_id, CAST(sum(f.x * w.w) AS BIGINT)

@@ -126,6 +126,38 @@ object Classifier {
     w.zipWithIndex.map { case (v, b) => (b, v) }.toSeq.toDF("b", "w_micro")
   }
 
+  /** Calibration / reliability table for the trained filter: bucket
+    * every doc's EXACT integer margin into fixed-width bands and
+    * report the observed target rate per band — the diagnostic that
+    * tells a deployment where to put its keep threshold (a separating
+    * model shows the rate rising across bands; a flat table means the
+    * filter is noise). Bucketing is an explicit floor over a double
+    * quotient on BOTH engines — Spark's `div` truncates toward zero
+    * while SQL `//` floors, so neither operator appears; the quotient
+    * is ≥ 2e-5 from any integer it doesn't hit exactly, far outside
+    * double rounding. Returns (bucket, n_docs, n_target,
+    * target_rate_micro), one partial-agg pass over the scored
+    * features. */
+  def lrCalibration(df: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, dim: Int, iters: Int,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val feats = lrFeatures(df, idCol, textCol, isTarget, dim).persist()
+    val w = lrTrain(feats, dim, iters)
+    val out = feats
+      .withColumn("__s", lrMargin(w, dim))
+      .withColumn("bucket",
+        floor(col("__s").cast("double") / bucketWidth).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("n_target"))
+      .withColumn("target_rate_micro",
+        expr("n_target * 1000000L div n_docs"))
+      .localCheckpoint()
+    feats.unpersist()
+    out
+  }
+
   /** Stateless per-row scoring form of the trained model — the
     * streaming-ingestion variant: no groupBy, so it runs as a plain
     * projection in append-mode structured streaming (and anywhere

@@ -958,6 +958,22 @@ class OpsHygieneSpec extends AnyFunSuite {
     assert(got == Map("web" -> "hypertext", "code" -> "compiler"))
   }
 
+  test("lrCalibration: separating corpus, conserved totals") {
+    val d = ((1L to 20L).map(i => (i, "alpha beta gamma", "en")) ++
+      (21L to 40L).map(i => (i, "delta epsilon zeta", "fr")))
+      .toDF("doc_id", "text", "lang")
+    val got = Classifier.lrCalibration(d, "doc_id", "text",
+        col("lang") === "en", dim = 32, iters = 3, bucketWidth = 1000L)
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // two identical-text cohorts -> two margin bands; the raw cohort
+    // sits strictly below the target cohort
+    assert(got.length == 2)
+    assert(got.head._4 == 0L && got.last._4 == 1000000L)
+    // totals conserved
+    assert(got.map(_._2).sum == 40L && got.map(_._3).sum == 20L)
+  }
+
   test("recallAtK: hit counting, zero-recall queries stay present") {
     val exact = Seq((1L, 10L, 1), (1L, 11L, 2), (2L, 20L, 1),
       (2L, 21L, 2)).toDF("q_id", "n_id", "rnk")
