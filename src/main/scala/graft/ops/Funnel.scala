@@ -138,6 +138,41 @@ object Funnel {
         count(lit(1)).as("n_events"))
   }
 
+  /** The STREAMING deployment shape of engagement scoring, split like
+    * [[rateSpikes]]/[[rateSpikesFromCounts]]: [[engagementBuckets]]
+    * is ONE additive aggregation — per (user, time-bucket) integer
+    * micro value sums, streamable as-is (state merges across
+    * micro-batches; integer sums, so merge order can't drift) — and
+    * [[decayedFromBuckets]] scores the live table as of a bucket
+    * index whenever it's read. The read-side rule is bucket-level
+    * (`(Σvm)·dm div 1e6` — exact integers end to end), a coarser
+    * rounding than the batch [[decayedEngagement]]'s per-event terms:
+    * the trade for additive state, documented rather than hidden. */
+  def engagementBuckets(events: DataFrame, userCol: String,
+      tsCol: String, valueCol: String,
+      bucketUs: Long = 21600000000L): DataFrame = {
+    require(bucketUs > 0, "bucketUs must be positive")
+    events.groupBy(col(userCol).as("user_id"),
+        expr(s"unix_micros($tsCol) div ${bucketUs}L").as("b"))
+      .agg(sum(round(col(valueCol) * 1e6, 0).cast("long")).as("vm"),
+        count(lit(1)).as("n"))
+  }
+
+  def decayedFromBuckets(buckets: DataFrame, halfLifeUs: Long,
+      asOfBucket: Long, bucketUs: Long = 21600000000L,
+      horizon: Int = 256): DataFrame = {
+    val table = decayTableMicro(halfLifeUs, bucketUs, horizon)
+    val db = lit(asOfBucket) - col("b")
+    val dm = when(db >= 0 && db < horizon,
+      element_at(lit(table.toArray), (db + 1).cast("int")))
+      .otherwise(lit(0L))
+    buckets.filter(col("b") <= asOfBucket)
+      .withColumn("__t", col("vm") * dm)
+      .groupBy("user_id")
+      .agg(sum(expr("__t div 1000000L")).as("score_micro"),
+        sum(col("n")).as("n_events"))
+  }
+
   /** Next-event training sequences — the sequential-recommendation
     * dataset builder (the GRU4Rec/SASRec input shape): per user,
     * events in (ts, id) order; every position i ≥ 1 emits the ≤

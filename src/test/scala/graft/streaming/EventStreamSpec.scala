@@ -416,6 +416,42 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("engagement buckets stream; scoring the live table equals batch") {
+    // per-(user, bucket) integer micro sums are one additive streaming
+    // aggregation; the decay scoring is a narrow read over the live
+    // table — and must equal the same scoring over batch buckets
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val counts = graft.ops.Funnel.engagementBuckets(input.toDF(),
+      "user_id", "ts", "value", bucketUs = 3600000000L)
+    val q = counts.writeStream.format("memory").queryName("eng_buckets")
+      .outputMode("complete").start()
+    try {
+      input.addData(ev(1, 1, 1, "c", 2.0), ev(2, 5, 1, "c", 3.0))
+      q.processAllAvailable()
+      input.addData(ev(3, 30, 1, "c", 4.0), ev(4, 2, 2, "c", 8.0))
+      q.processAllAvailable()
+      val asOfB = Timestamp.valueOf("2026-01-01 12:00:00")
+        .getTime * 1000 / 3600000000L
+      val streamed = graft.ops.Funnel.decayedFromBuckets(
+          spark.table("eng_buckets"), halfLifeUs = 7L * 86400000000L,
+          asOfBucket = asOfB, bucketUs = 3600000000L)
+        .orderBy("user_id").collect().toSeq
+      val all = Seq(ev(1, 1, 1, "c", 2.0), ev(2, 5, 1, "c", 3.0),
+        ev(3, 30, 1, "c", 4.0), ev(4, 2, 2, "c", 8.0))
+      val batch = graft.ops.Funnel.decayedFromBuckets(
+          graft.ops.Funnel.engagementBuckets(all.toDF(), "user_id",
+            "ts", "value", 3600000000L),
+          7L * 86400000000L, asOfB, 3600000000L)
+        .orderBy("user_id").collect().toSeq
+      assert(streamed == batch && streamed.size == 2)
+      // same-bucket events merged additively across micro-batches
+      assert(streamed.map(r => r.getLong(0) -> r.getLong(2)).toMap ==
+        Map(1L -> 3L, 2L -> 1L))
+    } finally q.stop()
+  }
+
   test("rate-spike counts stream; scoring the live table equals batch") {
     // bucket counts are ONE streaming aggregation (additive state,
     // cross-batch merge); the z-scoring half is a narrow batch pass
