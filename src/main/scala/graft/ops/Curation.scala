@@ -295,6 +295,61 @@ object Curation {
       .select(col(strataCol), col(idCol), col("score"), col("tier"))
   }
 
+  /** Population Stability Index — the standard drift monitor between
+    * a reference slice and a current slice of the same score
+    * (quality scores sliding, a source changing its length mix, a
+    * feature distribution shifting under a new crawl):
+    * PSI = Σ_bands (p − q)·ln(p/q), with the bands frozen from the
+    * REFERENCE side's [[tierBounds]] (drift must be measured against
+    * a fixed yardstick — re-fitting bands on the current side would
+    * hide exactly the shift being measured). Conventional reading:
+    * < 0.1 stable, 0.1–0.25 moderate, > 0.25 major shift.
+    *
+    * Determinism: band counts are exact integers; proportions use
+    * add-half smoothing ((n+0.5)/(N+0.5·K), so empty bands
+    * contribute finitely and identically on both engines); each
+    * band's term is one fixed-order double expression rounded to
+    * integer micro-units BEFORE the order-free sum. Returns one row
+    * (n_ref, n_cur, psi_micro) plus per-band rows via
+    * [[psiBands]]. */
+  def psiBands(ref: DataFrame, cur: DataFrame, strataCol: String,
+      idCol: String, score: Column, k: Int, nTiers: Int): DataFrame = {
+    val bounds = tierBounds(ref, strataCol, idCol, score, k, nTiers)
+    def tiers(df: DataFrame, n: String) =
+      assignTiers(df, strataCol, idCol, score, bounds, nTiers)
+        .groupBy(col(strataCol), col("tier"))
+        .agg(count(lit(1)).as(n))
+    val refT = tiers(ref, "n_ref")
+    val curT = tiers(cur, "n_cur")
+    val tierRows = ref.sparkSession.range(1, nTiers + 1)
+      .select(col("id").as("tier"))
+    val grid = bounds.select(col(strataCol)).crossJoin(broadcast(tierRows))
+    val cells = grid
+      .join(refT, Seq(strataCol, "tier"), "left")
+      .join(curT, Seq(strataCol, "tier"), "left")
+      .withColumn("n_ref", coalesce(col("n_ref"), lit(0L)))
+      .withColumn("n_cur", coalesce(col("n_cur"), lit(0L)))
+    val totals = cells.groupBy(col(strataCol))
+      .agg(sum(col("n_ref")).as("__tr"), sum(col("n_cur")).as("__tc"))
+    val p = (col("n_ref").cast("double") + lit(0.5)) /
+      (col("__tr").cast("double") + lit(0.5 * nTiers))
+    val q = (col("n_cur").cast("double") + lit(0.5)) /
+      (col("__tc").cast("double") + lit(0.5 * nTiers))
+    cells.join(broadcast(totals), strataCol)
+      .withColumn("term_micro",
+        round((p - q) * log(p / q) * 1e6, 0).cast("long"))
+      .select(col(strataCol), col("tier"), col("n_ref"), col("n_cur"),
+        col("term_micro"))
+  }
+
+  /** the one-row-per-stratum close over [[psiBands]]. */
+  def psiDrift(ref: DataFrame, cur: DataFrame, strataCol: String,
+      idCol: String, score: Column, k: Int, nTiers: Int): DataFrame =
+    psiBands(ref, cur, strataCol, idCol, score, k, nTiers)
+      .groupBy(col(strataCol))
+      .agg(sum(col("n_ref")).as("n_ref"), sum(col("n_cur")).as("n_cur"),
+        sum(col("term_micro")).as("psi_micro"))
+
   def ppsSample(df: DataFrame, idCol: String, strataCol: String,
       weightCol: String, n: Int): DataFrame = {
     val ord = Window.partitionBy(col(strataCol))

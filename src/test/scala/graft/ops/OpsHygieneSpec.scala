@@ -958,6 +958,26 @@ class OpsHygieneSpec extends AnyFunSuite {
     assert(got == Map("web" -> "hypertext", "code" -> "compiler"))
   }
 
+  test("psiDrift: identical halves zero, planted shift major, finite") {
+    def mk(ids: Range, len: Long => Long) =
+      ids.map(i => (i.toLong, "en", len(i.toLong)))
+        .toDF("doc_id", "lang", "len")
+    val ref = mk(1 to 80, i => (i % 8) * 10 + 5)
+    // same distribution -> every band p == q -> PSI exactly 0
+    val same = graft.ops.Curation.psiDrift(ref,
+        mk(101 to 180, i => (i % 8) * 10 + 5), "lang", "doc_id",
+        col("len"), 128, 4)
+      .collect()
+    assert(same.length == 1 && same.head.getLong(3) == 0L)
+    // everything shifted into the top band: major drift, and the
+    // three emptied bands stay finite under add-half smoothing
+    val shifted = graft.ops.Curation.psiDrift(ref,
+        mk(201 to 280, _ => 500L), "lang", "doc_id",
+        col("len"), 128, 4)
+      .collect()
+    assert(shifted.head.getLong(3) > 250000L)
+  }
+
   test("lrCalibration: separating corpus, conserved totals") {
     val d = ((1L to 20L).map(i => (i, "alpha beta gamma", "en")) ++
       (21L to 40L).map(i => (i, "delta epsilon zeta", "fr")))
