@@ -1184,6 +1184,15 @@ object QueriesPipeline {
           col("n_chars"), k = 128, nTiers = 4)
         .orderBy("lang")
     }),
+    "qp_psi_bands" -> ((s, dir) => {
+      // band-level drift attribution: WHICH quartile band drove the
+      // qp_psi_drift number (same frozen reference bands)
+      val d = docs(s, dir)
+      Curation.psiBands(d.filter(col("doc_id") < 250),
+          d.filter(col("doc_id") >= 250), "lang", "doc_id",
+          col("n_chars"), k = 128, nTiers = 4)
+        .orderBy("lang", "tier")
+    }),
     "qp_quality_tiers" -> ((s, dir) => {
       // curriculum sharding without a global sort: per-lang quartile
       // boundaries from the KMV bottom-k sample (k=128), broadcast
@@ -3505,6 +3514,58 @@ object QueriesPipeline {
          |   CAST(sum(n_cur) AS BIGINT) AS n_cur,
          |   CAST(sum(tm) AS BIGINT) AS psi_micro
          | FROM terms GROUP BY lang ORDER BY lang""".stripMargin,
+    "qp_psi_bands" ->
+      // the same CTE chain, closing at the per-band terms instead of
+      // the per-stratum sum
+      s"""WITH h AS (SELECT lang, n_chars AS v,
+         |     ${dH60("lang || ':' || CAST(doc_id AS VARCHAR)")} AS hk
+         |   FROM documents WHERE doc_id < 250),
+         | d AS (SELECT lang, hk, min(v) AS v FROM h GROUP BY lang, hk),
+         | r AS (SELECT lang, hk, v,
+         |     row_number() OVER (PARTITION BY lang ORDER BY hk) AS rn
+         |   FROM d),
+         | s AS (SELECT lang, list(v ORDER BY v) AS sv,
+         |     CAST(count(*) AS BIGINT) AS n
+         |   FROM r WHERE rn <= 128 GROUP BY lang),
+         | b AS (SELECT lang,
+         |     sv[CAST((1 * (n - 1)) // 4 AS INT) + 1] AS b1,
+         |     sv[CAST((2 * (n - 1)) // 4 AS INT) + 1] AS b2,
+         |     sv[CAST((3 * (n - 1)) // 4 AS INT) + 1] AS b3
+         |   FROM s),
+         | t AS (SELECT d0.lang,
+         |     1 + (CASE WHEN d0.n_chars > b.b1 THEN 1 ELSE 0 END)
+         |       + (CASE WHEN d0.n_chars > b.b2 THEN 1 ELSE 0 END)
+         |       + (CASE WHEN d0.n_chars > b.b3 THEN 1 ELSE 0 END)
+         |       AS tier,
+         |     CASE WHEN d0.doc_id < 250 THEN 1 ELSE 0 END AS is_ref
+         |   FROM documents d0 JOIN b ON b.lang = d0.lang),
+         | grid AS (SELECT b.lang, u.tier FROM b
+         |   CROSS JOIN (VALUES (1), (2), (3), (4)) u(tier)),
+         | cnt AS (SELECT g.lang, g.tier,
+         |     CAST(coalesce(sum(CASE WHEN t.is_ref = 1 THEN 1 END), 0)
+         |       AS BIGINT) AS n_ref,
+         |     CAST(coalesce(sum(CASE WHEN t.is_ref = 0 THEN 1 END), 0)
+         |       AS BIGINT) AS n_cur
+         |   FROM grid g LEFT JOIN t
+         |     ON t.lang = g.lang AND t.tier = g.tier
+         |   GROUP BY 1, 2),
+         | tot AS (SELECT lang, CAST(sum(n_ref) AS BIGINT) AS tr,
+         |     CAST(sum(n_cur) AS BIGINT) AS tc
+         |   FROM cnt GROUP BY 1)
+         | SELECT c.lang, CAST(c.tier AS BIGINT) AS tier,
+         |   c.n_ref, c.n_cur,
+         |   CAST(round((
+         |       (CAST(c.n_ref AS DOUBLE) + 0.5)
+         |         / (CAST(tt.tr AS DOUBLE) + 2.0)
+         |       - (CAST(c.n_cur AS DOUBLE) + 0.5)
+         |         / (CAST(tt.tc AS DOUBLE) + 2.0))
+         |     * ln(((CAST(c.n_ref AS DOUBLE) + 0.5)
+         |         / (CAST(tt.tr AS DOUBLE) + 2.0))
+         |       / ((CAST(c.n_cur AS DOUBLE) + 0.5)
+         |         / (CAST(tt.tc AS DOUBLE) + 2.0))) * 1e6, 0)
+         |     AS BIGINT) AS term_micro
+         | FROM cnt c JOIN tot tt USING (lang)
+         | ORDER BY lang, tier""".stripMargin,
     "qp_quality_tiers" ->
       // same bottom-k sample + integer rank boundaries as
       // qp_kmv_quantiles; boundary rows land in the LOWER tier
