@@ -1173,6 +1173,14 @@ object QueriesPipeline {
             ("p90", 9, 10)))
         .orderBy("lang")
     }),
+    "qp_winsorize" -> ((s, dir) => {
+      // heavy-tail guard: per-language doc length clipped to the
+      // [p10, p90] KMV sample order statistics
+      Curation.winsorize(docs(s, dir), "lang", "doc_id",
+          col("n_chars"), k = 128, loNum = 1, loDen = 10,
+          hiNum = 9, hiDen = 10)
+        .orderBy("doc_id")
+    }),
     "qp_psi_drift" -> ((s, dir) => {
       // population-stability drift of doc length between the first
       // and second corpus halves, banded by the REFERENCE half's
@@ -3458,6 +3466,26 @@ object QueriesPipeline {
          |   sv[CAST((3 * (n - 1)) // 4 AS INT) + 1] AS p75,
          |   sv[CAST((9 * (n - 1)) // 10 AS INT) + 1] AS p90
          | FROM s ORDER BY lang""".stripMargin,
+    "qp_winsorize" ->
+      // same bottom-k sample; integer rank rule at 1/10 and 9/10
+      s"""WITH h AS (SELECT lang, n_chars AS v,
+         |     ${dH60("lang || ':' || CAST(doc_id AS VARCHAR)")} AS hk
+         |   FROM documents),
+         | d AS (SELECT lang, hk, min(v) AS v FROM h GROUP BY lang, hk),
+         | r AS (SELECT lang, hk, v,
+         |     row_number() OVER (PARTITION BY lang ORDER BY hk) AS rn
+         |   FROM d),
+         | s AS (SELECT lang, list(v ORDER BY v) AS sv,
+         |     CAST(count(*) AS BIGINT) AS n
+         |   FROM r WHERE rn <= 128 GROUP BY lang),
+         | b AS (SELECT lang,
+         |     sv[CAST((1 * (n - 1)) // 10 AS INT) + 1] AS lo,
+         |     sv[CAST((9 * (n - 1)) // 10 AS INT) + 1] AS hi
+         |   FROM s)
+         | SELECT d0.lang, d0.doc_id, d0.n_chars AS score,
+         |   greatest(b.lo, least(b.hi, d0.n_chars)) AS clipped
+         | FROM documents d0 JOIN b ON b.lang = d0.lang
+         | ORDER BY doc_id""".stripMargin,
     "qp_psi_drift" ->
       // reference-half quartile CTEs (the qp_quality_tiers sample,
       // restricted to doc_id < 250); add-half smoothing keeps empty

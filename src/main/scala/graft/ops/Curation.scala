@@ -295,6 +295,27 @@ object Curation {
       .select(col(strataCol), col(idCol), col("score"), col("tier"))
   }
 
+  /** Per-stratum winsorization — the standard heavy-tail guard before
+    * means, mixing weights or length-normalized scores (one 10M-char
+    * doc otherwise owns its stratum's average): clip the score to the
+    * [pLow, pHigh] order statistics of the stratum's deterministic
+    * KMV sample (the [[tierBounds]] machinery — bounded state, exact
+    * integers, broadcast back); the clip itself is two codegen'd
+    * comparisons. Returns (strataCol, idCol, score, clipped). */
+  def winsorize(df: DataFrame, strataCol: String, idCol: String,
+      score: Column, k: Int, loNum: Int, loDen: Int, hiNum: Int,
+      hiDen: Int): DataFrame = {
+    require(loNum * hiDen < hiNum * loDen, "low bound must be below high")
+    val b = Sketch.kmvQuantiles(df, strataCol, idCol, score, k,
+        Seq(("__lo", loNum, loDen), ("__hi", hiNum, hiDen)))
+      .drop("sample_n")
+    df.select(col(strataCol), col(idCol), score.cast("long").as("score"))
+      .join(broadcast(b), strataCol)
+      .withColumn("clipped",
+        greatest(col("__lo"), least(col("__hi"), col("score"))))
+      .select(col(strataCol), col(idCol), col("score"), col("clipped"))
+  }
+
   /** Population Stability Index — the standard drift monitor between
     * a reference slice and a current slice of the same score
     * (quality scores sliding, a source changing its length mix, a

@@ -112,11 +112,50 @@ import org.scalatest.funsuite.AnyFunSuite
   *
   * Post-closing additions (same session): clustering coefficient,
   * harmonic centrality, embedding outliers, Flesch readability, CDC
-  * chunking, rate spikes → final state 182/182 oracle-hash-green,
-  * 285/285 specs, full bench 224.6 s / 182 queries (the 4-query
-  * growth over the 217.8 s / 178 reading costs ~5 s; every new
-  * operator lands in the 0.2-2.3 s band except betweenness at 4.3,
-  * in line with the other two-phase graph algorithms). */
+  * chunking, rate spikes → 182/182 oracle-hash-green, 285/285 specs,
+  * full bench 224.6 s / 182 queries (the 4-query growth over the
+  * 217.8 s / 178 reading costs ~5 s; every new operator lands in the
+  * 0.2-2.3 s band except betweenness at 4.3, in line with the other
+  * two-phase graph algorithms).
+  *
+  * == 7. round-7 extension session (post-crash resume) ==
+  * 17 further oracle queries (182 → 199 hash-gated) plus streaming/engine
+  * surfaces, each verified green at landing:
+  *  - closeness centrality (qg_closeness), k-truss edge peel
+  *    (qg_ktruss, 1.5 s) — the centrality/cohesion sets complete;
+  *  - bitext margin mining (qp_bitext_mine, 2.8 s — the CCMatrix
+  *    recipe, micro-integer neighborhood sums), ANN recall eval
+  *    (qp_ivf_recall);
+  *  - soft-dedup weights, source-overlap matrix, incremental ON-DISK
+  *    LSH dedup index (write/append/probe with planning-time-pruned
+  *    bucket dirs; 6.1 → 5.1 s after aligning writers to bucket
+  *    directories), indexed substring search (grep-at-scale,
+  *    brute-force-contains oracle);
+  *  - KMV-boundary quality tiers + frozen-bounds PSI drift monitor
+  *    (qp_quality_tiers/qp_psi_drift/qp_psi_bands) and LR
+  *    calibration (qp_lr_calibration) — the eval/monitoring layer;
+  *  - BPE fertility (qp_bpe_fertility), SCD2 + interval as-of
+  *    serving (q_scd2/q_asof_interval, sub-second), next-event
+  *    training sequences (q_behavior_seqs), decayed engagement with
+  *    an integer decay table (q_decayed_engagement);
+  *  - streaming: real-time funnel (flatMapGroupsWithState with
+  *    window-death timeouts), stream-static tier assignment,
+  *    streamed engagement buckets, streamable rate-spike scoring
+  *    split; model registry adds BPE-merge + tier-bounds artifacts;
+  *    GraftSession.explain exposes the physical plan.
+  * All new per-query costs land in the 0.4-3.8 s band except
+  * qp_dedup_incremental at 5.1 s (it writes its index to disk inside
+  * the query — the same inherent shape as qp_ivf_bucketed).
+  *
+  * Extension-session closing bench (16g, 3-round medians, sf0.1):
+  * 271.0 s / 201 queries (224.6 s / 182 at the earlier closing; the
+  * 19 new queries sum ≈ 33 s isolated, the remainder is the §5(d)
+  * machine-noise band — the same four heavy queries top the table:
+  * ppjoin 8.8, curation_report 7.5, dedup_incremental 7.4 in-suite
+  * vs 5.1 isolated, dedup_keep_quality 6.7; no new query enters the
+  * heavy family except dedup_incremental, whose cost is the in-query
+  * index write). Final gates: 199 hash-gated oracle queries + 2
+  * declared rows-only, 0 failures; 306/306 specs. */
 class ScratchR7 extends AnyFunSuite {
   private lazy val spark = org.apache.spark.sql.SparkSession.builder()
     .master("local[32]")

@@ -958,6 +958,18 @@ class OpsHygieneSpec extends AnyFunSuite {
     assert(got == Map("web" -> "hypertext", "code" -> "compiler"))
   }
 
+  test("winsorize: exact sample bounds clip the tails only") {
+    val d = (1L to 11L).map(i => (i, "en", i * 10)).toDF("doc_id",
+      "lang", "len")
+    // 11 exact values 10..110: p10 = sv[(10//10)+1] = 20,
+    // p90 = sv[(90//10)+1] = 100
+    val got = graft.ops.Curation.winsorize(d, "lang", "doc_id",
+        col("len"), k = 128, 1, 10, 9, 10)
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(got(1L) == 20L && got(11L) == 100L)
+    assert((2L to 10L).forall(i => got(i) == i * 10))
+  }
+
   test("psiDrift: identical halves zero, planted shift major, finite") {
     def mk(ids: Range, len: Long => Long) =
       ids.map(i => (i.toLong, "en", len(i.toLong)))
