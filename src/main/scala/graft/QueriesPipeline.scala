@@ -1173,6 +1173,33 @@ object QueriesPipeline {
             ("p90", 9, 10)))
         .orderBy("lang")
     }),
+    "qp_robust_z" -> ((s, dir) => {
+      // cross-strata score normalization: (len - median)/IQR in exact
+      // integer micro-units from the KMV sample order statistics
+      Curation.robustZ(docs(s, dir), "lang", "doc_id",
+          col("n_chars"), k = 128)
+        .orderBy("doc_id")
+    }),
+    "qp_dup_sources" -> ((s, dir) => {
+      // duplication ATTRIBUTION: which source pairs the near-dup
+      // pairs actually connect (the doc-level companion to
+      // qp_source_overlap's vocabulary view)
+      val d = docs(s, dir).withColumn("__lb",
+        floor(col("n_chars") / 20).cast("int"))
+      val pairs = Dedup.ngramJaccardPairs(d, "doc_id", "text",
+        blockCols = Seq("lang", "__lb"), threshold = 0.8)
+      val src = d.select(col("doc_id"), col("source"))
+      pairs
+        .join(src.select(col("doc_id").as("a_id"),
+          col("source").as("__sa")), "a_id")
+        .join(src.select(col("doc_id").as("b_id"),
+          col("source").as("__sb")), "b_id")
+        .select(least(col("__sa"), col("__sb")).as("source_a"),
+          greatest(col("__sa"), col("__sb")).as("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("source_a", "source_b")
+    }),
     "qp_winsorize" -> ((s, dir) => {
       // heavy-tail guard: per-language doc length clipped to the
       // [p10, p90] KMV sample order statistics
@@ -3466,6 +3493,50 @@ object QueriesPipeline {
          |   sv[CAST((3 * (n - 1)) // 4 AS INT) + 1] AS p75,
          |   sv[CAST((9 * (n - 1)) // 10 AS INT) + 1] AS p90
          | FROM s ORDER BY lang""".stripMargin,
+    "qp_robust_z" ->
+      // same bottom-k sample; explicit-floor quotient (negative
+      // numerators below the median — `//` would floor, Spark `div`
+      // truncates, so BOTH sides floor a double quotient)
+      s"""WITH h AS (SELECT lang, n_chars AS v,
+         |     ${dH60("lang || ':' || CAST(doc_id AS VARCHAR)")} AS hk
+         |   FROM documents),
+         | d AS (SELECT lang, hk, min(v) AS v FROM h GROUP BY lang, hk),
+         | r AS (SELECT lang, hk, v,
+         |     row_number() OVER (PARTITION BY lang ORDER BY hk) AS rn
+         |   FROM d),
+         | s AS (SELECT lang, list(v ORDER BY v) AS sv,
+         |     CAST(count(*) AS BIGINT) AS n
+         |   FROM r WHERE rn <= 128 GROUP BY lang),
+         | b AS (SELECT lang,
+         |     sv[CAST((1 * (n - 1)) // 4 AS INT) + 1] AS q1,
+         |     sv[CAST((1 * (n - 1)) // 2 AS INT) + 1] AS q2,
+         |     sv[CAST((3 * (n - 1)) // 4 AS INT) + 1] AS q3
+         |   FROM s)
+         | SELECT d0.lang, d0.doc_id, d0.n_chars AS score,
+         |   CASE WHEN b.q3 > b.q1 THEN
+         |     CAST(floor(CAST((d0.n_chars - b.q2) * 1000000 AS DOUBLE)
+         |       / CAST(b.q3 - b.q1 AS DOUBLE)) AS BIGINT) END
+         |     AS robust_z_micro
+         | FROM documents d0 JOIN b ON b.lang = d0.lang
+         | ORDER BY doc_id""".stripMargin,
+    "qp_dup_sources" ->
+      // the qp_ngram_jaccard pair CTE carrying each side's source
+      s"""WITH t AS (SELECT doc_id, source, lang,
+         |     CAST(floor(n_chars / 20) AS INT) lb,
+         |     list_distinct(list_transform(${dShingles("text")},
+         |       x -> ${dH60("x")})) sh
+         |   FROM documents),
+         | p AS (SELECT sa, sb FROM (
+         |   SELECT a.source sa, b.source sb,
+         |     round(len(list_intersect(a.sh, b.sh))*1.0 /
+         |       (len(a.sh)+len(b.sh)-len(list_intersect(a.sh, b.sh))), 6)
+         |       jac
+         |   FROM t a JOIN t b ON a.lang = b.lang AND a.lb = b.lb
+         |     AND a.doc_id < b.doc_id)
+         |   WHERE jac >= 0.8)
+         | SELECT least(sa, sb) AS source_a, greatest(sa, sb) AS source_b,
+         |   CAST(count(*) AS BIGINT) AS n_pairs
+         | FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "qp_winsorize" ->
       // same bottom-k sample; integer rank rule at 1/10 and 9/10
       s"""WITH h AS (SELECT lang, n_chars AS v,

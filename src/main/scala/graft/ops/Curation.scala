@@ -316,6 +316,36 @@ object Curation {
       .select(col(strataCol), col(idCol), col("score"), col("clipped"))
   }
 
+  /** Per-stratum robust normalization — (x − median)·1e6 div IQR over
+    * the stratum's KMV sample order statistics: the scale-equalizer
+    * that makes quality scores comparable ACROSS strata before one
+    * global threshold (raw scores from different languages/sources
+    * sit on different scales; mean/stddev normalization is exactly
+    * what the heavy tail corrupts — median/IQR is the robust
+    * standard). The quotient floors EXPLICITLY over a double
+    * quotient on both engines (the lrCalibration convention — Spark
+    * `div` truncates toward zero while SQL `//` floors, and the
+    * numerator is negative below the median); exact integer order
+    * statistics, so the normalized scores replay bit-identically;
+    * degenerate strata (IQR 0) pass through as null rather than
+    * dividing by zero. Returns (strataCol, idCol, score,
+    * robust_z_micro). */
+  def robustZ(df: DataFrame, strataCol: String, idCol: String,
+      score: Column, k: Int): DataFrame = {
+    val b = Sketch.kmvQuantiles(df, strataCol, idCol, score, k,
+        Seq(("__q1", 1, 4), ("__q2", 1, 2), ("__q3", 3, 4)))
+      .drop("sample_n")
+    df.select(col(strataCol), col(idCol), score.cast("long").as("score"))
+      .join(broadcast(b), strataCol)
+      .withColumn("robust_z_micro",
+        when(col("__q3") > col("__q1"),
+          floor(((col("score") - col("__q2")) * lit(1000000L))
+              .cast("double") /
+            (col("__q3") - col("__q1")).cast("double")).cast("long")))
+      .select(col(strataCol), col(idCol), col("score"),
+        col("robust_z_micro"))
+  }
+
   /** Population Stability Index — the standard drift monitor between
     * a reference slice and a current slice of the same score
     * (quality scores sliding, a source changing its length mix, a

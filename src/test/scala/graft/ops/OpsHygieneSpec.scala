@@ -970,6 +970,24 @@ class OpsHygieneSpec extends AnyFunSuite {
     assert((2L to 10L).forall(i => got(i) == i * 10))
   }
 
+  test("robustZ: exact quartiles, negative floor, degenerate IQR null") {
+    val d = (1L to 11L).map(i => (i, "en", i * 10)).toDF("doc_id",
+      "lang", "len")
+    // q1=30 q2=60 q3=80 -> IQR 50; ends at exactly ±1e6
+    val got = graft.ops.Curation.robustZ(d, "lang", "doc_id",
+        col("len"), k = 128)
+      .collect().map(r => r.getLong(1) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(got(1L) == Some(-1000000L) && got(6L) == Some(0L) &&
+      got(11L) == Some(1000000L) && got(2L) == Some(-800000L))
+    // a constant stratum has IQR 0: null, never a division blowup
+    val c = (1L to 5L).map(i => (i, "fr", 7L)).toDF("doc_id", "lang",
+      "len")
+    val cz = graft.ops.Curation.robustZ(c, "lang", "doc_id",
+      col("len"), 128).collect()
+    assert(cz.length == 5 && cz.forall(_.isNullAt(3)))
+  }
+
   test("psiDrift: identical halves zero, planted shift major, finite") {
     def mk(ids: Range, len: Long => Long) =
       ids.map(i => (i.toLong, "en", len(i.toLong)))
