@@ -336,6 +336,27 @@ class PlanShapeSpec extends AnyFunSuite {
       "expected broadcast joins in the per-round executions")
   }
 
+  test("round-7 extension operators keep their scale shape") {
+    // quality tiers: bounds BROADCAST back; no window, no corpus-wide
+    // sort (the operator exists to replace the global ntile ORDER BY)
+    val qt = finalPlan(df("qp_quality_tiers"))
+    assert(qt.contains("BroadcastHashJoin"), qt)
+    assert(!qt.contains("Window"), qt)
+    // substring search: the posting scan must prune to the needle's
+    // bucket directories at PLANNING time
+    val ss = df("qp_substring_search")
+    val ssPlan = finalPlan(ss)
+    assert(ssPlan.contains("PartitionFilters") &&
+      ssPlan.contains("__bkt"), ssPlan)
+    // (bitext mining materializes through localCheckpoint, so its
+    // internal persist/broadcast shape is not post-hoc visible — its
+    // scale contract is the bruteForceTopK/rankTopKBy machinery
+    // already pinned above)
+    // soft dedup: the weight join-back is id-keyed, never a window
+    val sd = finalPlan(df("qp_soft_dedup"))
+    assert(!sd.contains("Window"), sd)
+  }
+
   test("indexed CONTAINSTEXT probes the posting table, not the corpus") {
     // fresh sessions: the shared cached dialect session may already
     // carry the index after EntrySmokeSpec ran qd_containstext_idx
