@@ -170,6 +170,13 @@ object QueriesDialect {
         "approx_percentile(p_size, 90) as p90_size, " +
         "approx_percentile(p_partkey, 50) as p50_key " +
         "from part")),
+    "qd_top_values" -> ((s, dir) => gq(s, dir,
+      // exact top-n distinct keys in <= n longs of set-semantics
+      // state (BottomKDistinct over the negated value) — where the
+      // naive form is a DISTINCT plus a global sort
+      "select top_values(l_suppkey, 5) as top_sk, " +
+        "top_values(l_linenumber, 3) as top_ln, count() as n " +
+        "from lineitem")),
     "qd_date_coercion" -> ((s, dir) => gq(s, dir,
       // §1.3: string literals coerce against DATE columns on compare
       "select o_orderkey from orders where o_orderdate >= '1997-06-01' " +
@@ -327,6 +334,15 @@ object QueriesDialect {
          |       / max(CASE WHEN rn = 256 THEN hv END)) AS BIGINT) END
          |    FROM rsk) AS d_sk,
          |   (SELECT count(*) FROM lineitem) AS n""".stripMargin,
+    "qd_top_values" ->
+      """SELECT
+        |  (SELECT array_to_string(list(v ORDER BY v DESC), '-')
+        |   FROM (SELECT DISTINCT l_suppkey AS v FROM lineitem
+        |         ORDER BY v DESC LIMIT 5)) AS top_sk,
+        |  (SELECT array_to_string(list(v ORDER BY v DESC), '-')
+        |   FROM (SELECT DISTINCT l_linenumber AS v FROM lineitem
+        |         ORDER BY v DESC LIMIT 3)) AS top_ln,
+        |  (SELECT count(*) FROM lineitem) AS n""".stripMargin,
     "qd_approx_percentile" -> {
       // replays the full sketch rule: distinct values → hash60 keyed,
       // collision keeps min value, bottom-256 by hash, integer rank

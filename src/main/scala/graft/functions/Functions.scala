@@ -83,6 +83,30 @@ object BuiltinFunctions {
         .cast("int"))
   }
 
+  /** `top_values(field, n)` dialect aggregate: the n LARGEST distinct
+    * integral values, descending, '-'-joined (scalar output — the
+    * gate's no-array-column rule): [[graft.ops.BottomKDistinct]] over
+    * the NEGATED value keeps ≤ n longs of set-semantics state per
+    * group where the naive form is a DISTINCT + global sort; the
+    * close (negate back, stringify, join) runs on the ≤ n-element
+    * result array, control-plane like the percentile sort. `n` must
+    * be a literal (it sizes the aggregation buffer at plan time). */
+  def topValues(args: Seq[Column]): Column = {
+    require(args.length == 2, "top_values(field, n)")
+    val n = org.apache.spark.sql.classic.GraftColumnBridge
+      .literalValue(args(1))
+      .getOrElse(throw new IllegalArgumentException(
+        "top_values n must be a literal"))
+      .toString.toDouble.toInt
+    require(n >= 1 && n <= 1024, "top_values n must be 1..1024")
+    val neg = -args.head.cast("long")
+    val mins = org.apache.spark.sql.classic.GraftColumnBridge.column(
+      graft.ops.BottomKDistinct(
+        org.apache.spark.sql.classic.GraftColumnBridge.expression(neg), n)
+        .toAggregateExpression())
+    array_join(transform(mins, x => (-x).cast("string")), "-")
+  }
+
   val all: Map[String, Seq[Column] => Column] = Map(
     "distance" -> distance _,
     // aggregate surface (reference ships only `max` via the function-
@@ -95,6 +119,7 @@ object BuiltinFunctions {
       if (as.isEmpty) count(lit(1)) else count(as.head)),
     "approx_distinct" -> approxDistinct _,
     "approx_percentile" -> approxPercentile _,
+    "top_values" -> topValues _,
     "sysdate" -> ((_: Seq[Column]) => current_timestamp())
   )
 
@@ -103,7 +128,7 @@ object BuiltinFunctions {
     * reference's context-accumulator functions). */
   val aggregateNames: Set[String] =
     Set("max", "min", "sum", "avg", "count", "approx_distinct",
-      "approx_percentile")
+      "approx_percentile", "top_values")
 }
 
 /** FULLTEXT tokenizer replicating `OPropertyIndexFullText` defaults:

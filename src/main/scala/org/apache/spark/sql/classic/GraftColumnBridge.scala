@@ -14,4 +14,13 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** the Scala value behind a literal Column, if it is one — Spark 4
+    * wraps `lit(x)` in an unresolved `ColumnNode` literal whose
+    * catalyst conversion is NOT `foldable`, so plan-time parameters
+    * (aggregate buffer sizes) must read the node directly. */
+  def literalValue(c: Column): Option[Any] = c.node match {
+    case l: org.apache.spark.sql.internal.Literal => Some(l.value)
+    case _ => None
+  }
 }

@@ -305,4 +305,20 @@ class DialectSpec extends AnyFunSuite {
       "approx_percentile(x, 100) as p100 from pctl").collect().head
     assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((51L, 91L, 101L)))
   }
+
+  test("top_values: exact descending distinct head, literal n only") {
+    // lineitem line numbers are exactly 1..7: duplicates collapse,
+    // the head is the n largest DISTINCT values descending
+    val r = g.query("select top_values(l_linenumber, 3) as t " +
+      "from lineitem").collect().head
+    assert(r.getString(0) == "7-6-5")
+    // n wider than the distinct set returns all of them
+    val all = g.query("select top_values(l_linenumber, 100) as t " +
+      "from lineitem").collect().head
+    assert(all.getString(0) == "7-6-5-4-3-2-1")
+    // a non-literal n cannot size the aggregation buffer
+    intercept[IllegalArgumentException](
+      g.query("select top_values(l_linenumber, l_orderkey) as t " +
+        "from lineitem").collect())
+  }
 }
