@@ -154,11 +154,11 @@ import org.scalatest.funsuite.AnyFunSuite
   * ppjoin 8.8, curation_report 7.5, dedup_incremental 7.4 in-suite
   * vs 5.1 isolated, dedup_keep_quality 6.7; no new query enters the
   * heavy family except dedup_incremental, whose cost is the in-query
-  * index write). After the bench, three more operators landed
-  * (winsorize 0.36 s, robust_z 0.43, dup_sources 2.2 — all in the
-  * cheap band) plus the extension plan pins. FINAL gates: 202
-  * hash-gated oracle queries + 2 declared rows-only, 0 failures;
-  * 309/309 specs. */
+  * index write). After the bench, four more operators landed
+  * (winsorize 0.36 s, robust_z 0.43, dup_sources 2.2, dialect
+  * top_values 0.42 — all in the cheap band) plus the extension plan
+  * pins. FINAL gates: 203 hash-gated oracle queries + 2 declared
+  * rows-only, 0 failures; 310/310 specs. */
 class ScratchR7 extends AnyFunSuite {
   private lazy val spark = org.apache.spark.sql.SparkSession.builder()
     .master("local[32]")
