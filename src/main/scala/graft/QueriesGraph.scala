@@ -166,6 +166,13 @@ object QueriesGraph {
       GraphOps.kCoreDF(copurchaseProjection(s, dir), k = 3, rounds = 6)
         .orderBy(col("id"))
     }),
+    "qg_eigenvector" -> ((s, dir) => {
+      // prestige centrality on the co-purchaser projection: 5
+      // max-normalized integer power-iteration rounds
+      GraphOps.eigenvectorCentralityDF(copurchaseProjection(s, dir),
+          rounds = 5)
+        .orderBy("id")
+    }),
     "qg_ktruss" -> ((s, dir) => {
       // 4-truss of the co-purchaser projection (edges in >= 2
       // triangles of the remaining subgraph), 3 fixed peel rounds —
@@ -420,6 +427,33 @@ object QueriesGraph {
        | ORDER BY src, dst""".stripMargin
   }
 
+  /** unrolled max-normalized power iteration over the co-purchase
+    * projection (shared `proj` CTE): per round one neighbor-sum and
+    * one scalar-max integer normalization. */
+  private def eigenvectorSql(rounds: Int): String = {
+    val steps = (1 to rounds).map { t =>
+      s"""y$t AS MATERIALIZED (SELECT u.a AS id,
+         |     CAST(sum(x${t - 1}.x) AS BIGINT) AS y
+         |   FROM und u JOIN x${t - 1} ON x${t - 1}.id = u.b
+         |   GROUP BY 1),
+         | x$t AS MATERIALIZED (SELECT id,
+         |   CAST(y * 1000000 // (SELECT max(y) FROM y$t) AS BIGINT)
+         |     AS x FROM y$t)""".stripMargin
+    }.mkString(",\n ")
+    s"""WITH $edgesCte,
+       | proj AS MATERIALIZED (
+       |   SELECT a.src AS src, b.src AS dst
+       |   FROM e a JOIN e b ON a.dst = b.dst AND a.src < b.src
+       |   WHERE a.src < 100 AND b.src < 100
+       |   GROUP BY a.src, b.src HAVING count(*) >= 5),
+       | und AS (SELECT src AS a, dst AS b FROM proj
+       |   UNION ALL SELECT dst, src FROM proj),
+       | x0 AS (SELECT DISTINCT a AS id, CAST(1000000 AS BIGINT) AS x
+       |   FROM und),
+       | $steps
+       | SELECT id, x AS eigen_micro FROM x$rounds ORDER BY id""".stripMargin
+  }
+
   private def kcoreSql(k: Int, rounds: Int): String = {
     val steps = (1 to rounds).map { t =>
       s"""bad$t AS MATERIALIZED (SELECT a FROM u${t - 1}
@@ -625,6 +659,7 @@ object QueriesGraph {
     "qg_hits" -> hitsSql(3),
     "qg_kcore" -> kcoreSql(3, 6),
     "qg_ktruss" -> ktrussSql(4, 3),
+    "qg_eigenvector" -> eigenvectorSql(5),
     "qg_sssp" -> ssspSql(1L, 4),
     "qg_labelprop" -> lpaSql(3),
     "qg_modularity" -> modularitySql(3),

@@ -353,6 +353,40 @@ object GraphOps {
     u.groupBy(col("a").as("id")).agg(count(lit(1)).as("core_deg"))
   }
 
+  /** Fixed-round eigenvector centrality (Bonacich 1987 — the
+    * prestige-weighted completion of the centrality family: a vertex
+    * matters when its NEIGHBORS matter, degree counts them, PageRank
+    * adds teleport/out-degree damping): power iteration x ← A·x on
+    * the undirected graph, max-normalized to integer micro-units each
+    * round (`x = y·1e6 div max(y)` — exact integers, deterministic,
+    * oracle-replayable; fixed rounds are the kCore determinism trade,
+    * and bipartite components oscillate by nature — callers pin the
+    * round budget). Defined on the edge-incident vertex set.
+    *
+    * Scale shape per round: ONE equi-join streaming the persisted
+    * adjacency against the x frame + a partial-combining sum + a
+    * 1-row max broadcast back as a literal; x re-materializes per
+    * round (loop rule). */
+  def eigenvectorCentralityDF(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, "eigenvector centrality needs rounds >= 1")
+    val und = edges.select(col("src").as("a"), col("dst").as("b"))
+      .unionByName(edges.select(col("dst").as("a"), col("src").as("b")))
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    var x = und.select(col("a").as("id")).distinct()
+      .withColumn("x", lit(1000000L)).localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val y = und.join(x, col("id") === col("b"))
+        .groupBy(col("a")).agg(sum(col("x")).as("y"))
+      val mx = y.agg(max(col("y"))).collect()(0).getLong(0)
+      x = y.select(col("a").as("id"),
+          expr(s"y * 1000000L div ${mx}L").as("x"))
+        .localCheckpoint(true)
+    }
+    val out = x.select(col("id"), col("x").as("eigen_micro"))
+    und.unpersist()
+    out
+  }
+
   /** k-truss peel (Cohen 2008, "Trusses: cohesive subgraphs for
     * social network analysis" — the EDGE-cohesion companion to
     * [[kCoreDF]]'s vertex peel; a k-truss edge sits in ≥ k−2

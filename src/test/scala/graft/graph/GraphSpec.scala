@@ -361,6 +361,27 @@ class GraphSpec extends AnyFunSuite {
     assert(a == b && a.nonEmpty)
   }
 
+  test("eigenvector centrality: hand-iterated values, invariance") {
+    import spark.implicits._
+    // triangle {1,2,3} + pendant 3-4, two hand-iterated rounds:
+    // x1 = (666666, 666666, 1000000, 333333)
+    // x2 = (1000000, 1000000, 999999, 600000)
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
+      .toDF("src", "dst")
+    val got = GraphOps.eigenvectorCentralityDF(e, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1000000L, 2L -> 1000000L,
+      3L -> 999999L, 4L -> 600000L))
+    // partitioning invariance on the real projection
+    val proj = TradeGraph.edges(spark, sf)
+      .filter(col("src") < 50)
+    val a = GraphOps.eigenvectorCentralityDF(proj.repartition(1), 3)
+      .orderBy("id").collect().toSeq
+    val b = GraphOps.eigenvectorCentralityDF(proj.repartition(13), 3)
+      .orderBy("id").collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
   test("k-truss: cascade peel, fixpoint within rounds, invariance") {
     import spark.implicits._
     // K4 on {1,2,3,4} + a pendant triangle (4,5,6): in the 4-truss,
