@@ -1208,6 +1208,21 @@ object QueriesPipeline {
           hiNum = 9, hiDen = 10)
         .orderBy("doc_id")
     }),
+    "qp_target_mix" -> ((s, dir) => {
+      // explicit-weights mixture: 50/30/20 over three sources; the
+      // binding source caps the achievable total, rates and achieved
+      // counts close all-integer
+      val d = docs(s, dir)
+      val plan = Curation.targetMixPlan(d, "source", col("n_chars"),
+        Map("src0" -> 500000L, "src1" -> 300000L, "src2" -> 200000L))
+      val kept = Curation.targetMixSample(d, "doc_id", "source", plan)
+        .groupBy("source").agg(count(lit(1)).as("n_kept"),
+          sum(col("n_chars")).as("kept_chars"))
+      plan.join(kept, Seq("source"), "left")
+        .withColumn("n_kept", coalesce(col("n_kept"), lit(0L)))
+        .withColumn("kept_chars", coalesce(col("kept_chars"), lit(0L)))
+        .orderBy("source")
+    }),
     "qp_psi_drift" -> ((s, dir) => {
       // population-stability drift of doc length between the first
       // and second corpus halves, banded by the REFERENCE half's
@@ -3557,6 +3572,30 @@ object QueriesPipeline {
          |   greatest(b.lo, least(b.hi, d0.n_chars)) AS clipped
          | FROM documents d0 JOIN b ON b.lang = d0.lang
          | ORDER BY doc_id""".stripMargin,
+    "qp_target_mix" ->
+      s"""WITH w(source, w) AS (VALUES ('src0', 500000),
+         |   ('src1', 300000), ('src2', 200000)),
+         | sup AS (SELECT w.source, w.w,
+         |     CAST(coalesce(sum(d.n_chars), 0) AS BIGINT) AS supply
+         |   FROM w LEFT JOIN documents d USING (source) GROUP BY 1, 2),
+         | b AS (SELECT min(supply * 1000000 // w) AS b FROM sup),
+         | plan AS (SELECT source, supply,
+         |     CAST(b.b * w // 1000000 AS BIGINT) AS need,
+         |     CAST(CASE WHEN supply = 0 THEN 0
+         |       ELSE (b.b * w // 1000000) * 1000000 // supply END
+         |       AS BIGINT) AS rate_ppm
+         |   FROM sup CROSS JOIN b),
+         | kept AS (SELECT d.source, CAST(count(*) AS BIGINT) AS n_kept,
+         |     CAST(sum(d.n_chars) AS BIGINT) AS kept_chars
+         |   FROM documents d JOIN plan p USING (source)
+         |   WHERE ${dH60("d.source || ':' || CAST(d.doc_id AS VARCHAR)")}
+         |     % 1000000 < p.rate_ppm
+         |   GROUP BY 1)
+         | SELECT p.source, p.supply, p.need, p.rate_ppm,
+         |   coalesce(k.n_kept, 0) AS n_kept,
+         |   coalesce(k.kept_chars, 0) AS kept_chars
+         | FROM plan p LEFT JOIN kept k USING (source)
+         | ORDER BY source""".stripMargin,
     "qp_psi_drift" ->
       // reference-half quartile CTEs (the qp_quality_tiers sample,
       // restricted to doc_id < 250); add-half smoothing keeps empty

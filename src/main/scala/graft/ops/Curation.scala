@@ -295,6 +295,50 @@ object Curation {
       .select(col(strataCol), col(idCol), col("score"), col("tier"))
   }
 
+  /** Target-weight mixture planner — hit EXPLICIT mixture weights
+    * (the "50% web / 30% books / 20% code" recipe every training run
+    * starts from; [[temperatureMix]] is the power-law special case):
+    * given per-stratum weight supplies `T_s` and target shares `w_s`
+    * in ppm, the achievable total is `B = min_s (T_s·1e6 div w_s)` —
+    * the BINDING stratum caps the whole mixture (a share cannot be
+    * up-sampled out of thin air without repeats; B makes that
+    * explicit instead of silently under-delivering it); then
+    * `need_s = B·w_s div 1e6` and `rate_s = need_s·1e6 div supply_s`.
+    * All-integer, order-free. Strata named in the weights but absent
+    * from the data cap B at 0 (the mixture is impossible); data
+    * strata without a weight are excluded. Returns (strataCol,
+    * supply, need, rate_ppm). */
+  def targetMixPlan(df: DataFrame, strataCol: String, weight: Column,
+      weightsPpm: Map[String, Long]): DataFrame = {
+    require(weightsPpm.nonEmpty && weightsPpm.values.forall(_ > 0),
+      "weights must be positive ppm shares")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = weightsPpm.toSeq.toDF(strataCol, "__w")
+    val sup = broadcast(w).join(
+        df.groupBy(col(strataCol))
+          .agg(sum(weight.cast("long")).as("supply")),
+        Seq(strataCol), "left")
+      .withColumn("supply", coalesce(col("supply"), lit(0L)))
+    val b = sup.agg(min(expr("supply * 1000000L div __w")).as("__b"))
+    sup.crossJoin(broadcast(b))
+      .withColumn("need", expr("__b * __w div 1000000L"))
+      .withColumn("rate_ppm", when(col("supply") === 0, lit(0L))
+        .otherwise(expr("need * 1000000L div supply")))
+      .select(col(strataCol), col("supply"), col("need"),
+        col("rate_ppm"))
+  }
+
+  /** deterministic application of a [[targetMixPlan]]: the
+    * stratifiedSample hash-keep rule at integer ppm rates. */
+  def targetMixSample(df: DataFrame, idCol: String, strataCol: String,
+      plan: DataFrame): DataFrame =
+    df.join(broadcast(plan.select(col(strataCol), col("rate_ppm"))),
+        strataCol)
+      .filter(hash60(concat(col(strataCol), lit(":"),
+        col(idCol).cast("string"))) % 1000000 < col("rate_ppm"))
+      .drop("rate_ppm")
+
   /** Per-stratum winsorization — the standard heavy-tail guard before
     * means, mixing weights or length-normalized scores (one 10M-char
     * doc otherwise owns its stratum's average): clip the score to the

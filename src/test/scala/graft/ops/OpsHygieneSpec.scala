@@ -958,6 +958,30 @@ class OpsHygieneSpec extends AnyFunSuite {
     assert(got == Map("web" -> "hypertext", "code" -> "compiler"))
   }
 
+  test("targetMixPlan: binding stratum caps, absent stratum zeroes") {
+    val d = Seq((1L, "a", 100L), (2L, "a", 100L), (3L, "b", 100L))
+      .toDF("doc_id", "source", "wt")
+    // 50/50 over supplies (200, 100): b binds -> B=200, both need 100
+    val plan = graft.ops.Curation.targetMixPlan(d, "source",
+        col("wt"), Map("a" -> 500000L, "b" -> 500000L))
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(plan.toSeq == Seq(("a", 200L, 100L, 500000L),
+      ("b", 100L, 100L, 1000000L)))
+    // rate 1e6 keeps the whole binding stratum
+    val kept = graft.ops.Curation.targetMixSample(d, "doc_id",
+        "source", graft.ops.Curation.targetMixPlan(d, "source",
+          col("wt"), Map("a" -> 500000L, "b" -> 500000L)))
+      .collect().map(_.getString(0)) // join key leads the output
+    assert(kept.count(_ == "b") == 1)
+    // a weighted stratum with NO supply makes the mixture impossible
+    val none = graft.ops.Curation.targetMixPlan(d, "source",
+        col("wt"), Map("a" -> 500000L, "zz" -> 500000L))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(none == Map("a" -> 0L, "zz" -> 0L))
+  }
+
   test("winsorize: exact sample bounds clip the tails only") {
     val d = (1L to 11L).map(i => (i, "en", i * 10)).toDF("doc_id",
       "lang", "len")
