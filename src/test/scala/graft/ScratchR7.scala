@@ -157,10 +157,11 @@ import org.scalatest.funsuite.AnyFunSuite
   * index write). After the bench, four more operators landed
   * (winsorize 0.36 s, robust_z 0.43, dup_sources 2.2, dialect
   * top_values 0.42 — all in the cheap band) plus the extension plan
-  * pins. Eigenvector centrality (qg_eigenvector, 1.8 s) then
-  * completed the centrality family. FINAL gates: 204 hash-gated
-  * oracle queries + 2 declared rows-only, 0 failures; 311/311
-  * specs. */
+  * pins. Eigenvector centrality (qg_eigenvector, 1.8 s) completed
+  * the centrality family and the explicit target-weight mixture
+  * planner (qp_target_mix, 1.2 s) closed the sampling surface.
+  * FINAL gates: 205 hash-gated oracle queries + 2 declared
+  * rows-only, 0 failures; 312/312 specs. */
 class ScratchR7 extends AnyFunSuite {
   private lazy val spark = org.apache.spark.sql.SparkSession.builder()
     .master("local[32]")
