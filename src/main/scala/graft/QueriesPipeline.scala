@@ -515,6 +515,20 @@ object QueriesPipeline {
           k = 5)
         .orderBy("q_id")
     }),
+    "qp_rank_tau" -> ((s, dir) => {
+      // ordering agreement between the exact and IVF rankings over
+      // their common items — tells recall loss apart from
+      // rank-scramble (same parameters as qp_ivf_recall)
+      val e = embs(s, dir)
+      val cents = e.filter(col("vec_id") < 16)
+      val q = e.filter(col("vec_id") >= 100 && col("vec_id") < 105)
+      Similarity.rankAgreement(
+          Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5),
+          Similarity.ivfTopK(e, q, cents, "vec_id", "embedding",
+            k = 5, nProbe = 2),
+          k = 5)
+        .orderBy("q_id")
+    }),
     "qp_bitext_mine" -> ((s, dir) => {
       // margin-based parallel-pair mining (the CCMatrix/LASER
       // recipe) between the even-id and odd-id embedding halves
@@ -2504,6 +2518,64 @@ object QueriesPipeline {
          |   FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
          | WHERE cos >= 0.4 ORDER BY a_id, b_id""".stripMargin,
     "qp_ivf_topk" -> ivfTopKOracle,
+    "qp_rank_tau" ->
+      // the qp_ivf_recall CTE chain with ranks kept, closed by the
+      // concordant/discordant pair counts; explicit-floor tau
+      s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+         | e AS (SELECT vec_id, v, sqrt(${dDot("v", "v")}) AS nn FROM e0),
+         | cent AS (SELECT vec_id AS cent_id, v AS cv, nn AS cn FROM e
+         |   WHERE vec_id < 16),
+         | cells AS (SELECT vec_id AS n_id, v AS cv2, nn AS cn2, cell FROM (
+         |   SELECT e.vec_id, e.v, e.nn, cent.cent_id AS cell,
+         |     row_number() OVER (PARTITION BY e.vec_id
+         |       ORDER BY ${dDot("e.v", "cent.cv")} / (e.nn * cent.cn) DESC,
+         |         cent.cent_id) AS r
+         |   FROM e CROSS JOIN cent) WHERE r = 1),
+         | q AS (SELECT vec_id AS q_id, v AS qv, nn AS qn FROM e
+         |   WHERE vec_id >= 100 AND vec_id < 105),
+         | probes AS (SELECT q_id, qv, qn, probe FROM (
+         |   SELECT q.q_id, q.qv, q.qn, cent.cent_id AS probe,
+         |     row_number() OVER (PARTITION BY q.q_id
+         |       ORDER BY ${dDot("q.qv", "cent.cv")} / (q.qn * cent.cn) DESC,
+         |         cent.cent_id) AS r
+         |   FROM q CROSS JOIN cent) WHERE r <= 2),
+         | ivfr AS (SELECT q_id, n_id, rnk FROM (
+         |   SELECT q_id, n_id,
+         |     row_number() OVER (PARTITION BY q_id
+         |       ORDER BY ${dDot("qv", "cv2")} / (qn * cn2) DESC, n_id) AS rnk
+         |   FROM probes JOIN cells ON probe = cell
+         |   WHERE q_id <> n_id) WHERE rnk <= 5),
+         | exr AS (SELECT q_id, n_id, rnk FROM (
+         |   SELECT q.q_id, e.vec_id AS n_id,
+         |     row_number() OVER (PARTITION BY q.q_id
+         |       ORDER BY ${dDot("q.qv", "e.v")} / (q.qn * e.nn) DESC,
+         |         e.vec_id) AS rnk
+         |   FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id) WHERE rnk <= 5),
+         | com AS (SELECT a.q_id, a.n_id, a.rnk AS ra, b.rnk AS rb
+         |   FROM exr a JOIN ivfr b USING (q_id, n_id)),
+         | prs AS (SELECT c1.q_id,
+         |     (c1.ra - c2.ra) * (c1.rb - c2.rb) AS s
+         |   FROM com c1 JOIN com c2
+         |     ON c1.q_id = c2.q_id AND c1.n_id < c2.n_id),
+         | cnt AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_common
+         |   FROM com GROUP BY 1),
+         | pc AS (SELECT q_id,
+         |     CAST(sum(CASE WHEN s > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |       AS concordant,
+         |     CAST(sum(CASE WHEN s < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |       AS discordant
+         |   FROM prs GROUP BY 1)
+         | SELECT cnt.q_id, cnt.n_common,
+         |   coalesce(pc.concordant, 0) AS concordant,
+         |   coalesce(pc.discordant, 0) AS discordant,
+         |   CASE WHEN cnt.n_common >= 2 THEN
+         |     CAST(floor(CAST((coalesce(pc.concordant, 0)
+         |         - coalesce(pc.discordant, 0)) * 1000000 AS DOUBLE)
+         |       / CAST(coalesce(pc.concordant, 0)
+         |         + coalesce(pc.discordant, 0) AS DOUBLE)) AS BIGINT)
+         |   END AS tau_micro
+         | FROM cnt LEFT JOIN pc USING (q_id)
+         | ORDER BY q_id""".stripMargin,
     "qp_ivf_recall" ->
       // the ivf CTE chain (same params as qp_ivf_topk) + the exact
       // brute-force ranking + per-query intersection count

@@ -638,6 +638,51 @@ object Similarity {
       .withColumn("recall_micro", expr(s"hits * 1000000L div $k"))
   }
 
+  /** Ranking agreement — per-query Kendall tau between two top-k
+    * rankings over their COMMON items ([[recallAtK]] asks "did the
+    * approximation find the right items"; this asks "did it ORDER
+    * them the same" — the pair tells recall-loss apart from
+    * rank-scramble when tuning nProbe/code budgets or comparing
+    * retrievers): over common items, concordant minus discordant
+    * pairs over total pairs, in micro-units. Ranks are row_numbers
+    * (no ties), counts exact integers; the close floors a double
+    * quotient on BOTH engines (negative numerators — the
+    * lrCalibration convention). Queries with < 2 common items report
+    * null tau (nothing to order). Pair enumeration is bounded at
+    * k²/2 per query — control-plane sized. Returns (q_id, n_common,
+    * concordant, discordant, tau_micro). */
+  def rankAgreement(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val common = a.filter(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"), col("rnk").as("__ra"))
+      .join(b.filter(col("rnk") <= k)
+        .select(col("q_id"), col("n_id"), col("rnk").as("__rb")),
+        Seq("q_id", "n_id"))
+    val pairs = common.select(col("q_id"), col("n_id").as("__i1"),
+        col("__ra").as("__a1"), col("__rb").as("__b1"))
+      .join(common.select(col("q_id"), col("n_id").as("__i2"),
+        col("__ra").as("__a2"), col("__rb").as("__b2")), Seq("q_id"))
+      .filter(col("__i1") < col("__i2"))
+      .withColumn("__s",
+        (col("__a1") - col("__a2")) * (col("__b1") - col("__b2")))
+    val agg = common.groupBy("q_id")
+      .agg(count(lit(1)).as("n_common"))
+      .join(pairs.groupBy("q_id")
+        .agg(sum(when(col("__s") > 0, 1L).otherwise(0L)).as("concordant"),
+          sum(when(col("__s") < 0, 1L).otherwise(0L)).as("discordant")),
+        Seq("q_id"), "left")
+    agg
+      .withColumn("concordant", coalesce(col("concordant"), lit(0L)))
+      .withColumn("discordant", coalesce(col("discordant"), lit(0L)))
+      .withColumn("tau_micro", when(col("n_common") >= 2,
+        floor(((col("concordant") - col("discordant")) * lit(1000000L))
+            .cast("double") /
+          (col("concordant") + col("discordant")).cast("double"))
+          .cast("long")))
+      .select(col("q_id"), col("n_common"), col("concordant"),
+        col("discordant"), col("tau_micro"))
+  }
+
   /** Margin-based bitext mining (Artetxe & Schwenk 2019, "Margin-based
     * Parallel Corpus Mining with Multilingual Sentence Embeddings" —
     * the CCMatrix/LASER recipe): score each candidate pair by its

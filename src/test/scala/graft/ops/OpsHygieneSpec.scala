@@ -1048,6 +1048,22 @@ class OpsHygieneSpec extends AnyFunSuite {
     assert(got.map(_._2).sum == 40L && got.map(_._3).sum == 20L)
   }
 
+  test("rankAgreement: reversal -1, identity +1, thin overlap null") {
+    val a = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
+      (2L, 20L, 1), (2L, 21L, 2), (3L, 30L, 1), (3L, 31L, 2))
+      .toDF("q_id", "n_id", "rnk")
+    val b = Seq((1L, 12L, 1), (1L, 11L, 2), (1L, 10L, 3), // reversed
+      (2L, 20L, 1), (2L, 21L, 2),                          // identical
+      (3L, 30L, 1), (3L, 99L, 2))                          // 1 common
+      .toDF("q_id", "n_id", "rnk")
+    val got = graft.ops.Similarity.rankAgreement(a, b, k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), if (r.isNullAt(4)) None else Some(r.getLong(4)))))
+      .toMap
+    assert(got == Map(1L -> ((3L, Some(-1000000L))),
+      2L -> ((2L, Some(1000000L))), 3L -> ((1L, None))))
+  }
+
   test("recallAtK: hit counting, zero-recall queries stay present") {
     val exact = Seq((1L, 10L, 1), (1L, 11L, 2), (2L, 20L, 1),
       (2L, 21L, 2)).toDF("q_id", "n_id", "rnk")
