@@ -160,8 +160,10 @@ import org.scalatest.funsuite.AnyFunSuite
   * pins. Eigenvector centrality (qg_eigenvector, 1.8 s) completed
   * the centrality family and the explicit target-weight mixture
   * planner (qp_target_mix, 1.2 s) closed the sampling surface.
-  * FINAL gates: 205 hash-gated oracle queries + 2 declared
-  * rows-only, 0 failures; 312/312 specs. */
+  * Kendall-tau ranking agreement (qp_rank_tau, 2.2 s) closed the
+  * retrieval-eval pair beside recall@k. FINAL gates: 206 hash-gated
+  * oracle queries + 2 declared rows-only, 0 failures; 313/313
+  * specs. */
 class ScratchR7 extends AnyFunSuite {
   private lazy val spark = org.apache.spark.sql.SparkSession.builder()
     .master("local[32]")
