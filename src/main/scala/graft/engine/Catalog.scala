@@ -329,6 +329,7 @@ final class Catalog(spark: SparkSession) {
       properties: Map[(String, String), PropertyDef],
       indexes: Map[(String, String), String],
       acl: Map[(String, String), Set[String]],
+      users: Map[String, (String, Set[String])],
       tombstones: Set[String],
       gens: Map[String, Long],
       writeCounts: Map[String, Int],
@@ -346,8 +347,8 @@ final class Catalog(spark: SparkSession) {
   def beginTx(): Unit = {
     require(!txActive, "transaction already active")
     txSnapshot = TxSnapshot(classes.toSeq, properties.toMap, indexes.toMap,
-      acl.toMap, tombstones.toSet, gens.toMap, writeCounts.toMap,
-      nextClusterId)
+      acl.toMap, users.toMap, tombstones.toSet, gens.toMap,
+      writeCounts.toMap, nextClusterId)
     // optimistic-concurrency baseline (reference MVCC contract,
     // OTransactionOptimistic / TransactionOptimisticTest.java:79-104):
     // remember each class's committed on-disk version as of BEGIN; a
@@ -372,6 +373,7 @@ final class Catalog(spark: SparkSession) {
     properties.clear(); properties ++= txSnapshot.properties
     indexes.clear(); indexes ++= txSnapshot.indexes
     acl.clear(); acl ++= txSnapshot.acl
+    users.clear(); users ++= txSnapshot.users
     tombstones.clear(); tombstones ++= txSnapshot.tombstones
     gens.clear(); gens ++= txSnapshot.gens
     writeCounts.clear(); writeCounts ++= txSnapshot.writeCounts
@@ -524,6 +526,10 @@ final class Catalog(spark: SparkSession) {
         acl((r.getAs[String]("role"), r.getAs[String]("resource"))) =
           r.getSeq[String](r.fieldIndex("perms")).toSet
       }
+      all.filter(r => str(r, "kind").contains("user")).foreach { r =>
+        users(r.getAs[String]("name")) = (r.getAs[String]("pwsha"),
+          r.getSeq[String](r.fieldIndex("roles")).toSet)
+      }
       all.filter(r => str(r, "kind").contains("dict")).foreach { r =>
         dictEntries(r.getAs[String]("name")) =
           (r.getAs[String]("cls"), r.getAs[Long]("key"))
@@ -609,6 +615,10 @@ final class Catalog(spark: SparkSession) {
       s"""{"kind":"acl","role":${js(role)},"resource":${js(res)},""" +
         perms.toSeq.sorted.map(js).mkString(""""perms":[""", ",", "]}")
     }
+    val userLines = users.map { case (n, (sha, roles)) =>
+      s"""{"kind":"user","name":${js(n)},"pwsha":${js(sha)},""" +
+        roles.toSeq.sorted.map(js).mkString(""""roles":[""", ",", "]}")
+    }
     val dictLines = dictEntries.map { case (n, (c, k)) =>
       s"""{"kind":"dict","name":${js(n)},"cls":${js(c)},"key":$k}"""
     }
@@ -627,8 +637,8 @@ final class Catalog(spark: SparkSession) {
     val dst = new org.apache.hadoop.fs.Path(s"$root/catalog-manifest.json")
     val out = fs.create(tmp, true)
     try out.write(
-      (classLines ++ indexLines ++ propLines ++ aclLines ++ dictLines ++
-        modelLines ++ tombLines ++ txLines)
+      (classLines ++ indexLines ++ propLines ++ aclLines ++ userLines ++
+        dictLines ++ modelLines ++ tombLines ++ txLines)
         .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     fs.delete(dst, false)
@@ -727,6 +737,29 @@ final class Catalog(spark: SparkSession) {
   // ---- ACL catalog (GRANT/REVOKE §2.9 — accepted, not enforced) ---
   /** (role, resource) → permission set. */
   val acl = scala.collection.mutable.Map[(String, String), Set[String]]()
+
+  // ---- user catalog (reference security: users AND roles) ---------
+  /** user name → (SHA-256 hex of password, role set). The reference
+    * authenticates a named user whose credential is a SHA-256 digest
+    * (`OUser.checkPassword` via `OSecurityManager.digest2String`,
+    * `core/.../metadata/security/OUser.java:137-155`,
+    * `core/.../security/OSecurityManager.java:56-66`) and resolves
+    * permissions through the user's ROLES (`OUser.checkIfAllowed`
+    * iterates roles, `OUser.java:114-120`). Only the digest is ever
+    * stored — entries ride the manifest like grants, so
+    * authentication survives a durable reopen with no plaintext on
+    * disk. Insertion-ordered for a deterministic manifest. */
+  val users =
+    scala.collection.mutable.LinkedHashMap[String, (String, Set[String])]()
+
+  def userPut(name: String, passwordSha256: String,
+      roles: Set[String]): Unit = {
+    users(name.toLowerCase) = (passwordSha256, roles.map(_.toLowerCase))
+    persistManifest()
+  }
+
+  def userRemove(name: String): Unit =
+    if (users.remove(name.toLowerCase).isDefined) persistManifest()
 
   // ---- dictionary / graph-root registry (§2.1) --------------------
   /** name → (class, key). The reference dictionary is a PERSISTENT

@@ -12,9 +12,9 @@ import graft.functions.FunctionRegistry
   */
 final class GraftSession private (val spark: SparkSession,
     val catalog: Catalog, val principal: Option[String],
-    parent: Option[GraftSession]) {
+    principalRoles: Set[String], parent: Option[GraftSession]) {
   def this(spark: SparkSession, catalog: Catalog) =
-    this(spark, catalog, None, None)
+    this(spark, catalog, None, Set.empty, None)
   val functions: FunctionRegistry =
     parent.map(_.functions).getOrElse(new FunctionRegistry)
   val hooks: HookRegistry =
@@ -37,22 +37,70 @@ final class GraftSession private (val spark: SparkSession,
   /** a facade over the SAME catalog/functions/hooks, bound to a
     * principal: every query/command now consults the ACL catalog. */
   def as(role: String): GraftSession =
-    new GraftSession(spark, catalog, Some(role), Some(this))
+    new GraftSession(spark, catalog, Some(role), Set(role.toLowerCase),
+      Some(this))
+
+  /** Password authentication — the reference security model is users
+    * AND roles: a named user carries a SHA-256 credential
+    * (`OUser.checkPassword`, `OUser.java:137-139`) and resolves every
+    * permission through its ROLE set (`OUser.checkIfAllowed`,
+    * `OUser.java:114-120`). Returns a facade bound to the user whose
+    * checks pass if ANY of the user's roles grants (reference
+    * iteration order). Wrong user or password → SecurityException;
+    * the stored credential is only ever the digest. */
+  def authenticate(user: String, password: String): GraftSession = {
+    val u = user.toLowerCase
+    val (sha, roles) = catalog.users.getOrElse(u,
+      throw new SecurityException(s"unknown user '$user'"))
+    if (GraftSession.sha256(password) != sha)
+      throw new SecurityException(s"wrong password for user '$user'")
+    new GraftSession(spark, catalog, Some(u), roles, Some(this))
+  }
+
+  /** Create/replace a user. The PLAINTEXT password is hashed HERE, at
+    * save time — the reference auto-encrypts on every OUser save
+    * (`OUserTrigger.onRecordBeforeUpdate`, `OUserTrigger.java:28-37`),
+    * so a plaintext credential never reaches the durable catalog.
+    * User administration is a security-catalog write, same resource
+    * as GRANT/REVOKE. */
+  def createUser(name: String, password: String,
+      roles: Seq[String]): Unit = {
+    checkPermission("database.security", "UPDATE")
+    catalog.userPut(name, GraftSession.sha256(password), roles.toSet)
+  }
+
+  /** re-hash-on-save password change (`OUserTrigger` parity). */
+  def setUserPassword(name: String, password: String): Unit = {
+    checkPermission("database.security", "UPDATE")
+    val u = name.toLowerCase
+    val (_, roles) = catalog.users.getOrElse(u,
+      throw new IllegalArgumentException(s"unknown user '$name'"))
+    catalog.userPut(u, GraftSession.sha256(password), roles)
+  }
+
+  def dropUser(name: String): Unit = {
+    checkPermission("database.security", "UPDATE")
+    catalog.userRemove(name)
+  }
 
   /** class-level resource names follow the reference
     * (`database.class.<name>`); a grant on `database.class.*` covers
-    * every class, and the ALL permission covers every action. */
+    * every class, and the ALL permission covers every action. A
+    * permission is granted if ANY of the principal's roles carries it
+    * (`OUser.checkIfAllowed` iterates the role set). */
   private def checkPermission(resource: String, perm: String): Unit =
-    principal.foreach { role =>
-      val r = role.toLowerCase
+    principal.foreach { who =>
       val res = resource.toLowerCase
       val wildcard = res.split('.').dropRight(1).mkString(".") + ".*"
-      val perms = catalog.acl.getOrElse((r, res), Set()) ++
-        catalog.acl.getOrElse((r, wildcard), Set())
-      if (!perms.exists(p => p.equalsIgnoreCase(perm) ||
-          p.equalsIgnoreCase("ALL")))
+      val ok = principalRoles.exists { r =>
+        val perms = catalog.acl.getOrElse((r, res), Set()) ++
+          catalog.acl.getOrElse((r, wildcard), Set())
+        perms.exists(p => p.equalsIgnoreCase(perm) ||
+          p.equalsIgnoreCase("ALL"))
+      }
+      if (!ok)
         throw new SecurityException(
-          s"role '$role' lacks $perm permission on $resource")
+          s"principal '$who' lacks $perm permission on $resource")
     }
 
   private def classResource(cls: String): String =
@@ -346,6 +394,14 @@ final class GraftSession private (val spark: SparkSession,
 }
 
 object GraftSession {
+  /** SHA-256 hex digest — the reference credential encoding
+    * (`OSecurityManager.digest2String`,
+    * `core/.../security/OSecurityManager.java:59-66`). */
+  private[engine] def sha256(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString
+
   /** session over the driver-provided testdata tables. */
   def forTestdata(spark: SparkSession, dir: String): GraftSession =
     new GraftSession(spark, Catalog.forTestdata(spark, dir))

@@ -307,7 +307,13 @@ object Curation {
     * All-integer, order-free. Strata named in the weights but absent
     * from the data cap B at 0 (the mixture is impossible); data
     * strata without a weight are excluded. Returns (strataCol,
-    * supply, need, rate_ppm). */
+    * supply, need, rate_ppm).
+    *
+    * Overflow envelope: each `x·1e6` step runs in decimal(38,0) before
+    * the integral divide — exact for supplies up to ~1e32, so
+    * token-count weights at the 25T-token design point (supply ~2.5e13
+    * per stratum, where bigint `supply * 1e6` would silently wrap with
+    * ANSI off) stay exact. */
   def targetMixPlan(df: DataFrame, strataCol: String, weight: Column,
       weightsPpm: Map[String, Long]): DataFrame = {
     require(weightsPpm.nonEmpty && weightsPpm.values.forall(_ > 0),
@@ -320,11 +326,14 @@ object Curation {
           .agg(sum(weight.cast("long")).as("supply")),
         Seq(strataCol), "left")
       .withColumn("supply", coalesce(col("supply"), lit(0L)))
-    val b = sup.agg(min(expr("supply * 1000000L div __w")).as("__b"))
+    val b = sup.agg(min(expr(
+      "cast(supply as decimal(38,0)) * 1000000 div __w")).as("__b"))
     sup.crossJoin(broadcast(b))
-      .withColumn("need", expr("__b * __w div 1000000L"))
+      .withColumn("need", expr(
+        "cast(__b as decimal(38,0)) * __w div 1000000"))
       .withColumn("rate_ppm", when(col("supply") === 0, lit(0L))
-        .otherwise(expr("need * 1000000L div supply")))
+        .otherwise(expr(
+          "cast(need as decimal(38,0)) * 1000000 div supply")))
       .select(col(strataCol), col("supply"), col("need"),
         col("rate_ppm"))
   }

@@ -48,13 +48,19 @@ object SubstringIndex {
   def search(spark: SparkSession, dir: String, corpus: DataFrame,
       idCol: String, textCol: String, needle: String,
       n: Int = 4, nBuckets: Int = 64): DataFrame = {
-    require(needle.length >= n,
+    // CODEPOINT count, not UTF-16 length: the index windows over
+    // codepoints (CharShingles), so a surrogate pair is ONE gram unit
+    require(needle.codePointCount(0, needle.length) >= n,
       s"needle must be at least the gram width n=$n")
-    val grams = needle.sliding(n).toSeq.distinct
     import spark.implicits._
-    // hash through the SAME expression the index build used
-    val hashes = grams.toDF("__s")
+    // gram + hash through the SAME engine expressions the index build
+    // used (a needle with non-BMP codepoints would otherwise produce
+    // UTF-16-windowed grams absent from the codepoint-windowed index —
+    // false negatives, breaking the soundness guarantee)
+    val hashes = Seq(needle).toDF("__t")
+      .select(explode(TextOps.charShingles(col("__t"), n)).as("__s"))
       .select(TextOps.hash60(col("__s")).as("__g"))
+      .distinct()
       .collect().map(_.getLong(0)).toSeq
     val buckets = hashes.map(h => math.floorMod(h, nBuckets.toLong))
       .distinct

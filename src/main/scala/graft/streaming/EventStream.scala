@@ -126,6 +126,20 @@ object EventStream {
       }
   }
 
+  /** full-microsecond epoch value of a Timestamp — `getTime * 1000`
+    * truncates to milliseconds, diverging from the batch funnel's
+    * `unix_micros` time base on sub-millisecond components. `getNanos`
+    * carries the complete fractional second, so micros = whole seconds
+    * + nanos/1000. */
+  private def tsUs(ts: Timestamp): Long =
+    Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+
+  private def usToTs(us: Long): Timestamp = {
+    val t = new Timestamp(Math.floorDiv(us, 1000L))
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
   final case class FunnelProg(times: List[Long]) // micros, head = last
   final case class FunnelHit(user_id: Long, steps_reached: Int,
       t_first: Timestamp, t_last: Timestamp, converted: Boolean)
@@ -159,8 +173,8 @@ object EventStream {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (uid: Long, evs: Iterator[Ev], state: GroupState[FunnelProg]) =>
           def hit(times: List[Long], conv: Boolean) =
-            FunnelHit(uid, times.size, new Timestamp(times.last / 1000),
-              new Timestamp(times.head / 1000), conv)
+            FunnelHit(uid, times.size, usToTs(times.last),
+              usToTs(times.head), conv)
           if (state.hasTimedOut) {
             val t = state.get.times
             state.remove()
@@ -168,10 +182,10 @@ object EventStream {
           } else {
             var times = state.getOption.map(_.times).getOrElse(Nil)
             var out = List.empty[FunnelHit]
-            evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            evs.toSeq.sortBy(e => (tsUs(e.ts), e.event_id)).foreach { e =>
               val k = times.size
               if (k < steps.size && e.event_type == steps(k)) {
-                val tUs = e.ts.getTime * 1000
+                val tUs = tsUs(e.ts)
                 if (times.isEmpty ||
                     (tUs > times.head && tUs - times.head <= windowUs)) {
                   times = tUs :: times
@@ -185,8 +199,10 @@ object EventStream {
             if (times.nonEmpty) {
               state.update(FunnelProg(times))
               val wm = state.getCurrentWatermarkMs()
-              state.setTimeoutTimestamp(
-                math.max(times.head / 1000 + windowUs / 1000, wm + 1))
+              // ceil to ms: a floor-rounded timeout could fire one ms
+              // before the true window end and drop a boundary event
+              state.setTimeoutTimestamp(math.max(
+                Math.floorDiv(times.head + windowUs + 999L, 1000L), wm + 1))
             } else if (state.exists) state.remove()
             out.reverseIterator
           }

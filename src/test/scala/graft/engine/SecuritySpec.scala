@@ -130,6 +130,60 @@ class SecuritySpec extends AnyFunSuite {
     g.as("builder").command("create class StillAllowed")
   }
 
+  test("user authentication: wrong password rejected, grants flow " +
+      "through the user's roles") {
+    val g = seeded()
+    g.createUser("alice", "s3cret", Seq("reader", "writer"))
+    intercept[SecurityException](g.authenticate("alice", "wrong"))
+    intercept[SecurityException](g.authenticate("bob", "s3cret"))
+    val alice = g.authenticate("alice", "s3cret")
+    // no grants yet on either role
+    intercept[SecurityException](alice.query("select from Doc"))
+    // a grant on ANY of the user's roles unlocks (reference
+    // checkIfAllowed iterates the role set)
+    g.command("grant READ on database.class.doc to reader")
+    assert(alice.query("select from Doc").count() == 1)
+    intercept[SecurityException](
+      alice.command("insert into Doc (id) values (9)"))
+    g.command("grant CREATE on database.class.doc to writer")
+    alice.command("insert into Doc (id) values (9)")
+    assert(alice.query("select from Doc").count() == 2)
+    // user administration itself is security-catalog-gated
+    intercept[SecurityException](alice.createUser("eve", "x", Seq("r")))
+    intercept[SecurityException](alice.dropUser("alice"))
+  }
+
+  test("password hash survives durable reopen; no plaintext in the " +
+      "manifest; setUserPassword re-hashes") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-users").toString
+    val g1 = GraftSession.openDurable(spark, root)
+    g1.command("create class Vault")
+    g1.command("insert into Vault (id) values (1)")
+    g1.command("grant READ on database.class.vault to keeper")
+    g1.createUser("carol", "topsecret", Seq("keeper"))
+    // cold reopen: credential + role binding replay from the manifest
+    val g2 = GraftSession.openDurable(spark, root)
+    intercept[SecurityException](g2.authenticate("carol", "nope"))
+    assert(g2.authenticate("carol", "topsecret")
+      .query("select from Vault").count() == 1)
+    // the manifest carries only the digest, never the plaintext
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$root/catalog-manifest.json")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    assert(!manifest.contains("topsecret"), "plaintext password on disk")
+    assert(manifest.contains("\"kind\":\"user\""))
+    // password change re-hashes; old credential dies everywhere
+    g2.setUserPassword("carol", "rotated")
+    intercept[SecurityException](g2.authenticate("carol", "topsecret"))
+    val g3 = GraftSession.openDurable(spark, root)
+    assert(g3.authenticate("carol", "rotated")
+      .query("select from Vault").count() == 1)
+    // drop removes the principal entirely
+    g3.dropUser("carol")
+    intercept[SecurityException](g3.authenticate("carol", "rotated"))
+  }
+
   test("dictionary entries are shared across facades and READ-checked") {
     val g = GraftSession.forTestdata(spark, "/root/testdata/sf0.001")
     g.dictionary.put("first", "customer", 1L)

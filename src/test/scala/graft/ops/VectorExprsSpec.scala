@@ -65,6 +65,37 @@ class VectorExprsSpec extends AnyFunSuite {
     assert(nn.isNullAt(0) && nn.isNullAt(1))
   }
 
+  test("sortedOverlap: exact intersection size on sorted sets, early " +
+      "exit only below the rounded-jaccard filter") {
+    val rng = new scala.util.Random(23)
+    // random long sets with heavy overlap variety, incl. empty/disjoint
+    val rows = Seq.fill(400) {
+      val pool = Seq.fill(40)(rng.nextLong().abs % 1000)
+      val a = rng.shuffle(pool).take(rng.nextInt(30)).distinct.sorted
+      val b = rng.shuffle(pool).take(rng.nextInt(30)).distinct.sorted
+      (a, b)
+    } :+ ((Seq.empty[Long], Seq(1L, 2L))) :+ ((Seq.empty[Long], Seq.empty[Long]))
+    val t = 0.5
+    val df = rows.toDF("a", "b").select(
+      VectorExprs.sortedOverlap(col("a"), col("b"), t).as("so"),
+      size(array_intersect(col("a"), col("b"))).as("ai"),
+      round(size(array_intersect(col("a"), col("b"))).cast("double") /
+        (size(col("a")) + size(col("b")) -
+          size(array_intersect(col("a"), col("b")))), 6).as("jac"))
+    df.collect().foreach { r =>
+      val so = r.getInt(0); val ai = r.getInt(1)
+      val jac = if (r.isNullAt(2)) 0.0 else r.getDouble(2)
+      if (so >= 0) assert(so == ai, s"exact count disagrees: $r")
+      // early exit must NEVER fire on a pair the caller's rounded
+      // jac >= t filter would keep
+      else assert(jac < t, s"early exit dropped a passing pair: $r")
+    }
+    // null array → null result
+    val nr = Seq((Option.empty[Seq[Long]], Option(Seq(1L)))).toDF("a", "b")
+      .select(VectorExprs.sortedOverlap(col("a"), col("b"), t)).collect().head
+    assert(nr.isNullAt(0))
+  }
+
   test("dot/norm stay inside whole-stage codegen") {
     // range-based input: a literal Seq would be constant-folded into a
     // LocalTableScan (ConvertToLocalRelation) and never reach codegen
