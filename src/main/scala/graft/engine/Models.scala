@@ -61,6 +61,38 @@ final class ModelStore private[engine] (session: GraftSession) {
     catalog.table(clsOf(name))
   }
 
+  // ---- model history (durable sessions) ---------------------------
+  // save() never destroys history: each save commits a NEW parquet
+  // version of the model's class, so yesterday's weights stay
+  // loadable after a retrain — the rollback/audit surface a model
+  // registry owes its users. Rides the classVersions time-travel
+  // machinery; in-memory (non-durable) sessions keep only the live
+  // table.
+
+  /** committed versions of a saved model, oldest first (empty for
+    * in-memory sessions). */
+  def versions(name: String): Seq[Long] = {
+    require(catalog.modelKinds.contains(name), s"no model '$name'")
+    session.checkClassRead(clsOf(name))
+    catalog.tableVersions(clsOf(name))
+  }
+
+  /** the model AS OF an earlier committed version, bit-identical to
+    * what that save wrote. */
+  def loadAt(name: String, version: Long): DataFrame = {
+    require(catalog.modelKinds.contains(name), s"no model '$name'")
+    session.checkClassRead(clsOf(name))
+    catalog.tableAt(clsOf(name), version)
+  }
+
+  /** row-level change feed between two saves (`_change` ∈
+    * {added, removed}) — "what did the retrain change". */
+  def diff(name: String, fromV: Long, toV: Long): DataFrame = {
+    require(catalog.modelKinds.contains(name), s"no model '$name'")
+    session.checkClassRead(clsOf(name))
+    catalog.diffVersions(clsOf(name), fromV, toV)
+  }
+
   /** kind label recorded at save time. */
   def kind(name: String): String =
     catalog.modelKinds.getOrElse(name,

@@ -12,9 +12,12 @@ import org.apache.spark.sql.types._
   * The Spark-side plumbing here is real and tested: schema, batch
   * iteration shape (`mapPartitions` over row batches — the JVM
   * equivalent of a `mapInPandas` batch loop), partition sizing, and
-  * deterministic feature extraction. Header decode is REAL for BMP and
-  * RIFF/WAVE payloads (`decodeMedia` — plain byte arithmetic, no
-  * libraries); other formats fall back to the deterministic
+  * deterministic feature extraction. CONTENT decode is real wherever
+  * the format needs no external codec: BMP 24-bpp pixels, PNG via the
+  * JDK's zlib (inflate + unfilter), GIF via its spec'd LZW, and
+  * RIFF/WAVE 16-bit PCM samples; header decode is real for JPEG
+  * (SOF walk — DCT entropy decode is the one reasonable permanent
+  * stub). Everything else falls back to the deterministic
   * `decodeStub` (this container has no codec libraries): swap the
   * fallback for a real codec (JavaCV, TwelveMonkeys, or a Python
   * `mapInPandas` stage) without touching any plumbing.
@@ -256,6 +259,183 @@ object Multimodal {
       lumaBands(w, h, px, featureDim)
     }
 
+  /** Pixel decode of a NON-INTERLACED GIF87a/89a first frame — LZW is
+    * fully specified in the public GIF89a spec (§22, Appendix F) and
+    * needs no library: walk extension blocks to the first image
+    * descriptor, concatenate its data sub-blocks, decode the
+    * variable-width LSB-first LZW code stream against the growing
+    * string table, then map color indices through the (local, else
+    * global) color table to the same integer Rec.601 luma as
+    * [[bmpPixels]]/[[pngPixels]]. None for interlaced frames, a
+    * missing color table, or any corrupt/truncated stream — those
+    * keep the header-only fallback. */
+  def gifPixels(payload: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    def u8(i: Int): Int = payload(i) & 0xff
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    val n = payload.length
+    if (n < 14) return None
+    val sig = new String(payload, 0, 6, "US-ASCII")
+    if (sig != "GIF87a" && sig != "GIF89a") return None
+    // color table → per-index luma, decoded once (≤256 entries)
+    def lumaTable(off: Int, entries: Int): Array[Int] =
+      Array.tabulate(entries) { i =>
+        val o = off + 3 * i
+        (299 * u8(o) + 587 * u8(o + 1) + 114 * u8(o + 2)) / 1000
+      }
+    val packed = u8(10)
+    var pos = 13
+    var table: Array[Int] = null
+    if ((packed & 0x80) != 0) { // global color table
+      val entries = 1 << ((packed & 7) + 1)
+      if (pos + 3 * entries > n) return None
+      table = lumaTable(pos, entries)
+      pos += 3 * entries
+    }
+    while (pos < n) {
+      u8(pos) match {
+        case 0x21 => // extension: label byte + length-prefixed sub-blocks
+          pos += 2
+          while (pos < n && u8(pos) != 0) pos += 1 + u8(pos)
+          pos += 1
+        case 0x2c => // image descriptor — decode this first frame
+          if (pos + 10 > n) return None
+          val w = le16(pos + 5)
+          val h = le16(pos + 7)
+          val ip = u8(pos + 9)
+          pos += 10
+          if ((ip & 0x80) != 0) { // local color table wins
+            val entries = 1 << ((ip & 7) + 1)
+            if (pos + 3 * entries > n) return None
+            table = lumaTable(pos, entries)
+            pos += 3 * entries
+          }
+          if (table == null || w <= 0 || h <= 0 || (ip & 0x40) != 0)
+            return None // no palette / empty / interlaced
+          if (w.toLong * h > 100000000L) return None
+          if (pos >= n) return None
+          val minCode = u8(pos)
+          pos += 1
+          if (minCode < 2 || minCode > 11) return None
+          val data = new java.io.ByteArrayOutputStream()
+          while (pos < n && u8(pos) != 0) {
+            val len = u8(pos)
+            if (pos + 1 + len > n) return None
+            data.write(payload, pos + 1, len)
+            pos += 1 + len
+          }
+          val idx = gifLzw(data.toByteArray, minCode, w * h)
+            .getOrElse(return None)
+          val out = new Array[Int](w * h)
+          var i = 0
+          while (i < out.length) {
+            if (idx(i) >= table.length) return None
+            out(i) = table(idx(i))
+            i += 1
+          }
+          return Some((w, h, out))
+        case 0x3b => return None // trailer before any image
+        case _ => return None // desynced block stream
+      }
+    }
+    None
+  }
+
+  /** GIF-variant LZW: variable code width minCode+1..12 bits, packed
+    * LSB-first; CLEAR resets the table, the code after CLEAR must be a
+    * literal, and the only legal not-yet-defined code is exactly the
+    * next free slot (the KwKwK case: string(prev) + firstChar(prev)).
+    * Decodes exactly `nPixels` indices or returns None. */
+  private def gifLzw(data: Array[Byte], minCode: Int,
+      nPixels: Int): Option[Array[Int]] = {
+    val clear = 1 << minCode
+    val end = clear + 1
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Int](4096)
+    val first = new Array[Int](4096) // first char of each code's string
+    val stack = new Array[Int](4096)
+    val out = new Array[Int](nPixels)
+    var outN = 0
+    var codeSize = minCode + 1
+    var nextCode = end + 1
+    var prev = -1
+    var bitPos = 0
+    val totalBits = data.length * 8
+    def firstOf(c: Int): Int = if (c < clear) c else first(c)
+    while (outN < nPixels) {
+      if (bitPos + codeSize > totalBits) return None
+      var c = 0
+      var i = 0
+      while (i < codeSize) {
+        val b = bitPos + i
+        if ((data(b >> 3) & (1 << (b & 7))) != 0) c |= 1 << i
+        i += 1
+      }
+      bitPos += codeSize
+      if (c == clear) {
+        codeSize = minCode + 1
+        nextCode = end + 1
+        prev = -1
+      } else if (c == end) {
+        return None // EOI before the frame filled
+      } else {
+        var sp = 0
+        var cur = c
+        var kwkw = false
+        if (c > nextCode) return None // gap in the table: corrupt
+        if (c == nextCode) {
+          // KwKwK: the code equal to the next FREE slot refers to the
+          // entry about to be defined = string(prev) + firstChar(prev)
+          // — decode prev, then append its first char
+          if (prev < 0) return None
+          kwkw = true
+          cur = prev
+        }
+        while (cur >= end + 1) {
+          if (sp >= stack.length) return None
+          stack(sp) = suffix(cur)
+          sp += 1
+          cur = prefix(cur)
+        }
+        if (cur >= clear) return None // CLEAR/EOI inside a chain
+        val fc = cur
+        if (sp >= stack.length) return None
+        stack(sp) = cur
+        sp += 1
+        if (kwkw) {
+          // string(prev) already on the stack; append firstChar(prev)
+          // at the END of the emitted string = FRONT of the stack
+          var j = sp
+          while (j > 0) { stack(j) = stack(j - 1); j -= 1 }
+          stack(0) = fc
+          sp += 1
+        }
+        var j = sp - 1
+        while (j >= 0 && outN < nPixels) {
+          out(outN) = stack(j)
+          outN += 1
+          j -= 1
+        }
+        if (prev >= 0 && nextCode < 4096) {
+          prefix(nextCode) = prev
+          suffix(nextCode) = fc
+          first(nextCode) = firstOf(prev)
+          nextCode += 1
+          if (nextCode == (1 << codeSize) && codeSize < 12) codeSize += 1
+        }
+        prev = c
+      }
+    }
+    Some(out)
+  }
+
+  /** REAL image features from decoded GIF pixels: [[lumaBands]] over
+    * [[gifPixels]]. None when the flavor isn't pixel-decodable. */
+  def gifLumaFeatures(payload: Array[Byte],
+      featureDim: Int): Option[Array[Float]] =
+    gifPixels(payload).map { case (w, h, px) =>
+      lumaBands(w, h, px, featureDim)
+    }
+
   /** REAL nearest-neighbor resize over decoded BMP luma pixels:
     * longest side capped at `maxSide` (aspect preserved, floor
     * source-index mapping — the standard integer NN rule). Returns
@@ -407,8 +587,12 @@ object Multimodal {
         pngLumaFeatures(payload, featureDim)
           .getOrElse(sampleFeature(payload, featureDim)))
     } else if (n >= 10 && (ascii(0, 6) == "GIF87a" || ascii(0, 6) == "GIF89a")) {
-      // GIF: logical screen width/height, little-endian uint16 at 6/8
-      (le16(6), le16(8), 1, sampleFeature(payload, featureDim))
+      // GIF: logical screen width/height, little-endian uint16 at 6/8.
+      // Non-interlaced first frames decode to REAL pixel features
+      // (LZW expand + palette luma); other flavors keep the stand-in.
+      (le16(6), le16(8), 1,
+        gifLumaFeatures(payload, featureDim)
+          .getOrElse(sampleFeature(payload, featureDim)))
     } else if (n >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
       // JPEG (ITU-T T.81): walk marker segments from SOI to the first
       // frame header SOF0-SOF15 (skipping the non-frame DHT/DAC/RST

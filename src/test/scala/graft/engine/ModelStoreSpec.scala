@@ -124,6 +124,35 @@ class ModelStoreSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](g2.models.loadBpeMerges("len_tiers"))
   }
 
+  test("retrains keep history: both versions loadable, diff visible") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-models-v").toString
+    val g = GraftSession.openDurable(spark, "/root/testdata/sf0.001", root)
+    g.models.saveLrWeights("m", Array(10L, 20L, 30L))
+    g.models.saveLrWeights("m", Array(10L, 25L, 30L)) // retrain
+    val vs = g.models.versions("m")
+    assert(vs.size == 2, s"expected two committed versions, got $vs")
+    // live load is the latest save; the earlier one stays loadable
+    assert(g.models.loadLrWeights("m", 2).toSeq == Seq(10L, 25L, 30L))
+    val v1 = g.models.loadAt("m", vs.head)
+      .orderBy("b").collect().map(_.getLong(1)).toSeq
+    assert(v1 == Seq(10L, 20L, 30L))
+    // the change feed names exactly the retrained row
+    val d = g.models.diff("m", vs.head, vs.last)
+      .select("_change", "b", "w_micro").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    assert(d == Set(("removed", 1, 20L), ("added", 1, 25L)))
+    // history survives a cold reopen
+    val g2 = GraftSession.openDurable(spark, "/root/testdata/sf0.001", root)
+    assert(g2.models.versions("m") == vs)
+    assert(g2.models.loadAt("m", vs.head).orderBy("b").collect()
+      .map(_.getLong(1)).toSeq == Seq(10L, 20L, 30L))
+    // history reads are ACL-gated like live reads
+    intercept[SecurityException](g2.as("nobody").models.versions("m"))
+    intercept[SecurityException](
+      g2.as("nobody").models.loadAt("m", vs.head))
+  }
+
   test("model ops obey ACL: save needs schema CREATE, load needs READ") {
     val root = java.nio.file.Files
       .createTempDirectory("graft-models-acl").toString
