@@ -186,7 +186,31 @@ object QueriesDialect {
       "select n_nationkey, n_name from cluster:nation order by n_nationkey")),
     "qd_not_operator" -> ((s, dir) => gq(s, dir,
       "select c_custkey from customer where not " +
-        "(c_mktsegment = 'BUILDING' or c_acctbal < 0) order by c_custkey"))
+        "(c_mktsegment = 'BUILDING' or c_acctbal < 0) order by c_custkey")),
+
+    // --- pipeline table functions (SURVEY §8 via SQL text): the same
+    // operator implementations the qp_* Scala-API queries gate, now
+    // reached through `FROM fn(class, args…)` — so a SQL-only client
+    // can run the curation layer. Oracles are the operators' own
+    // DuckDB SQL (identical params → identical results).
+    "qd_pipe_dedup_pairs" -> ((s, dir) => gq(s, dir,
+      "select a_id, b_id, jac from dedup_pairs(documents, 'doc_id', " +
+        "'text', 0.8) order by a_id, b_id")),
+    "qd_pipe_quality_gate" -> ((s, dir) => gq(s, dir,
+      "select doc_id, n_words, mean_word_len, alpha_frac, stop_hits, " +
+        "dup_bigram_frac, pass from quality_gate(documents, 'doc_id', " +
+        "'text') order by doc_id")),
+    "qd_pipe_c4_clean" -> ((s, dir) => gq(s, dir,
+      "select doc_id, n_lines, n_short, n_blocked, n_dup, n_kept, pass " +
+        "from c4_clean(documents, 'doc_id', 'text') order by doc_id")),
+    "qd_pipe_fingerprints" -> ((s, dir) => gq(s, dir,
+      "select doc_id, fp from fingerprints(documents, 'doc_id', 'text', " +
+        "4) order by doc_id")),
+    // WHERE + LIMIT compose over the function frame like any target
+    "qd_pipe_chunk_docs" -> ((s, dir) => gq(s, dir,
+      "select doc_id, chunk_id, chunk_text, n_tokens from " +
+        "chunk_docs(documents, 'doc_id', 'text', 20, 5) " +
+        "where n_tokens >= 5 order by doc_id, chunk_id"))
   )
 
   private def gq(s: SparkSession, dir: String, sql: String): DataFrame =
@@ -385,6 +409,17 @@ object QueriesDialect {
     "qd_not_operator" ->
       """SELECT c_custkey FROM customer
         | WHERE NOT (c_mktsegment = 'BUILDING' OR c_acctbal < 0)
-        | ORDER BY c_custkey""".stripMargin
+        | ORDER BY c_custkey""".stripMargin,
+
+    // pipeline table functions reuse the ops' own oracles — identical
+    // params through the dialect MUST give identical results
+    "qd_pipe_dedup_pairs" -> QueriesPipeline.oracleSql("qp_minhash_pairs"),
+    "qd_pipe_quality_gate" -> QueriesPipeline.oracleSql("qp_quality_gate"),
+    "qd_pipe_c4_clean" -> QueriesPipeline.oracleSql("qp_c4_rules"),
+    "qd_pipe_fingerprints" ->
+      QueriesPipeline.oracleSql("qp_text_fingerprint"),
+    "qd_pipe_chunk_docs" ->
+      s"""SELECT * FROM (${QueriesPipeline.oracleSql("qp_chunk_docs")})
+         | WHERE n_tokens >= 5""".stripMargin
   )
 }

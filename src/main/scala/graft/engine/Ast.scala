@@ -59,6 +59,12 @@ object Ast {
   final case class ClassTarget(name: String) extends Target
   final case class ClusterTarget(name: String) extends Target
   final case class RidsTarget(rids: Seq[RidLit]) extends Target
+  /** `FROM fn(class, 'arg', 0.8)` — a pipeline table function (the
+    * dialect surface over the SURVEY §8 operator layer; the reference
+    * precedent is user-extensible SQL functions via
+    * `OSQLEngine.registerFunction`, here lifted to TABLE position). */
+  final case class PipelineTarget(fn: String,
+      args: List[SqlExpr]) extends Target
 
   final case class Projection(expr: SqlExpr, alias: Option[String],
       flatten: Boolean = false)

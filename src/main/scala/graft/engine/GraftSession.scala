@@ -131,18 +131,26 @@ final class GraftSession private (val spark: SparkSession,
     * `database.security`). */
   private def checkStmt(stmt: Ast.Stmt): Unit = stmt match {
     case s: Ast.SelectStmt =>
-      val cls = s.target match {
-        case Ast.ClassTarget(n) => n
-        case _ => ""
+      s.target match {
+        case Ast.PipelineTarget(_, args) =>
+          // a table function reads exactly its class arguments — READ
+          // is checked per class, like browseClass on each
+          args.collect { case Ast.Path(List(Ast.FieldSeg(n))) => n }
+            .foreach(c => checkPermission(classResource(c), "READ"))
+        case t =>
+          val cls = t match {
+            case Ast.ClassTarget(n) => n
+            case _ => ""
+          }
+          checkPermission(classResource(cls), "READ")
+          // link navigation reads OTHER classes' records too (the
+          // reference checks on record load, per cluster) — a grant on
+          // the target class alone must not exfiltrate linked classes
+          // via `nation.region.r_name`, multi-link CONTAINS or TRAVERSE
+          if (principal.isDefined && cls.nonEmpty)
+            linkedClassesUsed(s, cls)
+              .foreach(c => checkPermission(classResource(c), "READ"))
       }
-      checkPermission(classResource(cls), "READ")
-      // link navigation reads OTHER classes' records too (the
-      // reference checks on record load, per cluster) — a grant on the
-      // target class alone must not exfiltrate linked classes via
-      // `nation.region.r_name`, multi-link CONTAINS or TRAVERSE
-      if (principal.isDefined && cls.nonEmpty)
-        linkedClassesUsed(s, cls)
-          .foreach(c => checkPermission(classResource(c), "READ"))
     case s: Ast.InsertStmt => checkPermission(classResource(s.cls), "CREATE")
     case s: Ast.UpdateStmt => checkPermission(classResource(s.cls), "UPDATE")
     case s: Ast.DeleteStmt => checkPermission(classResource(s.cls), "DELETE")

@@ -265,6 +265,10 @@ object Parser {
           toks(pos + 1) == TPunct(":") =>
         pos += 2
         ClusterTarget(ident())
+      case TIdent(s) if toks(pos + 1) == TPunct("(") =>
+        // FROM fn(args…) — pipeline table function target
+        pos += 1
+        PipelineTarget(s.toLowerCase, argList().toList)
       case TIdent(s) => pos += 1; ClassTarget(s)
       case t => fail(s"bad FROM target $t")
     }

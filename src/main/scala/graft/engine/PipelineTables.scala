@@ -1,0 +1,85 @@
+package graft.engine
+
+import org.apache.spark.sql.DataFrame
+import graft.ops.{Curation, Dedup, TextOps}
+
+/** Dialect TABLE functions over the pipeline operator layer (SURVEY §8)
+  * — `SELECT FROM dedup_pairs(documents, 'doc_id', 'text', 0.8)` runs
+  * the MinHash-LSH near-dup join through plain `query(sql)` text, the
+  * reference's one product surface. The reference made scalar functions
+  * user-reachable from SQL (`OSQLEngine.registerFunction`,
+  * `core/.../sql/OSQLEngine.java`); graft lifts the table-shaped
+  * pipeline operators to FROM position the same way, so a SQL-only
+  * client can reach the curation layer without the Scala API.
+  *
+  * Argument shapes are deliberately rigid (class name, string literals,
+  * numeric literals — checked with parse-error semantics, matching the
+  * unknown-function contract §2.5): the functions dispatch straight to
+  * the [[graft.ops]] implementations, so every scale property (banded
+  * LSH, partial-agg elections, broadcastable plans) is inherited, and
+  * the results are oracle-checked by the same DuckDB SQL as the
+  * operators' Scala-API gate queries. */
+object PipelineTables {
+  import Ast._
+
+  /** the registered table-function names (parser-fuzz + docs surface). */
+  val names: Set[String] =
+    Set("dedup_pairs", "exact_dups", "quality_gate", "c4_clean",
+      "fingerprints", "chunk_docs")
+
+  def resolve(catalog: Catalog, fn: String,
+      args: Seq[SqlExpr]): DataFrame = {
+    def bad(msg: String): Nothing =
+      throw Parser.ParseException(s"table function $fn: $msg")
+    def classArg(i: Int): DataFrame = args.lift(i) match {
+      case Some(Path(List(FieldSeg(n)))) => catalog.polymorphicScan(n)
+      case other => bad(s"argument ${i + 1} must be a class name, got $other")
+    }
+    def strArg(i: Int): String = args.lift(i) match {
+      case Some(Lit(s: String)) => s
+      case other =>
+        bad(s"argument ${i + 1} must be a string literal, got $other")
+    }
+    def numArg(i: Int): Double = args.lift(i) match {
+      case Some(Lit(v: Long)) => v.toDouble
+      case Some(Lit(v: Double)) => v
+      case other =>
+        bad(s"argument ${i + 1} must be a numeric literal, got $other")
+    }
+    def intArg(i: Int): Int = args.lift(i) match {
+      case Some(Lit(v: Long)) if v >= Int.MinValue && v <= Int.MaxValue =>
+        v.toInt
+      case other =>
+        bad(s"argument ${i + 1} must be an integer literal, got $other")
+    }
+    def arity(n: Int): Unit =
+      if (args.size != n) bad(s"expects $n arguments, got ${args.size}")
+
+    fn match {
+      case "dedup_pairs" => // (class, idField, textField, threshold)
+        arity(4)
+        Dedup.minhashPairs(classArg(0), strArg(1), strArg(2), numArg(3))
+      case "exact_dups" => // (class, idField, textField)
+        arity(3)
+        Dedup.exactGroups(classArg(0), strArg(1), strArg(2))
+      case "quality_gate" => // (class, idField, textField)
+        arity(3)
+        TextOps.qualityGate(classArg(0), strArg(1), strArg(2))
+      case "c4_clean" => // (class, idField, textField)
+        arity(3)
+        Curation.c4LineRules(classArg(0), strArg(1), strArg(2))
+      case "fingerprints" => // (class, idField, textField, k)
+        arity(4)
+        TextOps.fingerprintTable(classArg(0), strArg(1), strArg(2),
+          intArg(3))
+      case "chunk_docs" => // (class, idField, textField, size, overlap)
+        arity(5)
+        Curation.chunkDocs(classArg(0), strArg(1), strArg(2),
+          intArg(3), intArg(4))
+      case other =>
+        // unknown function → parse error (§2.5 contract, same as
+        // scalar functions)
+        throw Parser.ParseException(s"unknown table function '$other'")
+    }
+  }
+}

@@ -79,6 +79,11 @@ final class Translator(val catalog: Catalog, val registry: FunctionRegistry) {
     case ClusterTarget(name) =>
       // cluster scan = the class's own table, no subclasses (§2.1)
       (catalog.table(name), Some(catalog.get(name)))
+    case PipelineTarget(fn, args) =>
+      // table-function frames have no class identity (no _rid/_class
+      // attrs, no link schema) — projections/filters compile against
+      // the frame's own columns, like a RIDs union
+      (PipelineTables.resolve(catalog, fn, args), None)
     case RidsTarget(rids) =>
       val byCluster = rids.groupBy(_.clusterId)
       val parts = byCluster.toSeq.map { case (cid, rs) =>

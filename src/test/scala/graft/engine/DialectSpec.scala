@@ -278,6 +278,36 @@ class DialectSpec extends AnyFunSuite {
       g.query("select notafunction(c_name) from customer"))
   }
 
+  test("pipeline table functions: projections/filters compose; bad " +
+      "calls are parse errors") {
+    // the frame behaves like any FROM target: projection + WHERE work
+    val r = g.query("select doc_id, chunk_id from " +
+      "chunk_docs(documents, 'doc_id', 'text', 20, 5) " +
+      "where chunk_id > 0 limit 5")
+    assert(r.columns.toSeq == Seq("doc_id", "chunk_id"))
+    assert(r.count() == 5)
+    // unknown function / wrong arity / wrong arg shape → parse errors
+    intercept[Parser.ParseException](
+      g.query("select from not_a_table_fn(documents, 'x')"))
+    intercept[Parser.ParseException](
+      g.query("select from exact_dups(documents, 'doc_id')"))
+    intercept[Parser.ParseException](
+      g.query("select from exact_dups(documents, 'doc_id', 42)"))
+    intercept[Parser.ParseException](
+      g.query("select from exact_dups('documents', 'doc_id', 'text')"))
+  }
+
+  test("pipeline table functions READ-check their class arguments") {
+    val bound = g.as("pipeuser")
+    intercept[SecurityException](bound.query(
+      "select from exact_dups(documents, 'doc_id', 'text')"))
+    g.command("grant READ on database.class.documents to pipeuser")
+    // exact_dups over the corpus: no identical texts → 0 groups, but
+    // the query itself now runs under the grant
+    assert(bound.query(
+      "select from exact_dups(documents, 'doc_id', 'text')").count() == 0)
+  }
+
   test("bad chain args and column positions are query errors, not crashes") {
     // each previously escaped the translator as NumberFormatException
     // or IndexOutOfBoundsException
