@@ -1,0 +1,46 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicReference
+import org.apache.spark.sql.DataFrame
+import graft.ops.{Dedup, TextOps}
+import graft.ops.TextOps.Bm25Index
+
+/** Streaming index ingestion — keeps a live corpus' retrieval and
+  * dedup indexes CURRENT from a document stream. The batch append
+  * operators ([[TextOps.bm25AppendIndex]], [[Dedup.appendDedupIndex]])
+  * tokenize/sign ONLY the new batch; this wires them into a
+  * `foreachBatch` sink (the [[Dedup.microBatchNearDup]] pattern), so
+  * every indexed query issued after batch N sees batches 1..N without
+  * any corpus recompute — the shape a 100 TB live corpus needs (a
+  * per-batch rebuild re-tokenizes the world each trigger).
+  *
+  * Caller contract (inherited from the append operators): batch ids
+  * are globally fresh — bm25Append REJECTS collisions, the dedup
+  * index would duplicate postings. foreachBatch gives at-least-once
+  * delivery on retry; exactly-once ingestion needs an idempotent id
+  * filter upstream (e.g. [[Dedup.streamingNearDupFilter]] or an
+  * anti-join against the index's lens frame).
+  */
+object IndexIngest {
+
+  /** foreachBatch sink: append each micro-batch to the live BM25
+    * index (atomic reference swap — `foreachBatch` calls are
+    * serialized per query, the reference is for the QUERYING side to
+    * read concurrently) and to the on-disk dedup index directory.
+    * After any batch, querying `bm25.get` / probing `dedupDir` is
+    * row-identical to a full rebuild over (corpus ∪ batches so far) —
+    * spec-pinned. */
+  def bm25AndDedup(bm25: AtomicReference[Bm25Index], dedupDir: String,
+      idCol: String, textCol: String, shingleN: Int = 4, bands: Int = 4,
+      nBuckets: Int = 64): (DataFrame, Long) => Unit = { (batch, _) =>
+    if (!batch.isEmpty) {
+      // freeze the micro-batch ONCE: both appends scan it, and a
+      // stream-source frame is not guaranteed re-readable after the
+      // trigger completes
+      val frozen = batch.localCheckpoint(eager = true)
+      bm25.set(TextOps.bm25AppendIndex(bm25.get, frozen, idCol, textCol))
+      Dedup.appendDedupIndex(frozen, idCol, textCol, dedupDir,
+        shingleN, bands, nBuckets)
+    }
+  }
+}

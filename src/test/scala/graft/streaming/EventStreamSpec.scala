@@ -196,6 +196,66 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming ingestion keeps BM25 + dedup indexes current " +
+      "(indexed query == batch rebuild on the union)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val all = graft.sources.Tables
+      .load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text").localCheckpoint()
+    val corpus = all.filter(col("doc_id") < 40)
+    val batch1 = all.filter(col("doc_id") >= 40 && col("doc_id") < 60)
+    val batch2 = all.filter(col("doc_id") >= 60 && col("doc_id") < 80)
+    val union = all.filter(col("doc_id") < 80)
+    // seed: index the existing corpus once (batch path)
+    val live = new java.util.concurrent.atomic.AtomicReference(
+      graft.ops.TextOps.bm25BuildIndex(corpus, "doc_id", "text"))
+    val streamDir = java.nio.file.Files
+      .createTempDirectory("graft-ingest-dedup").toString
+    graft.ops.Dedup.writeDedupIndex(corpus, "doc_id", "text", streamDir)
+    // stream two batches through the foreachBatch ingestion sink
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch(graft.streaming.IndexIngest.bm25AndDedup(
+        live, streamDir, "doc_id", "text"))
+      .start()
+    try {
+      input.addData(batch1.collect().map(r =>
+        (r.getLong(0), r.getString(1))).toSeq: _*)
+      q.processAllAvailable()
+      input.addData(batch2.collect().map(r =>
+        (r.getLong(0), r.getString(1))).toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // BM25: the live index answers row-identically to a full rebuild
+    val terms = Seq("data", "the")
+    val fresh = graft.ops.TextOps.bm25BuildIndex(union, "doc_id", "text")
+    val a = graft.ops.TextOps.bm25TopKIndexed(live.get, "doc_id",
+      terms, k = 10).collect().toSeq
+    val b = graft.ops.TextOps.bm25TopKIndexed(fresh, "doc_id",
+      terms, k = 10).collect().toSeq
+    assert(a.nonEmpty && a == b,
+      "streamed BM25 index must equal the batch rebuild")
+    // dedup: probing the streamed index finds a duplicate of a doc
+    // that arrived VIA THE STREAM, identically to a batch-built index
+    val batchDir = java.nio.file.Files
+      .createTempDirectory("graft-batch-dedup").toString
+    graft.ops.Dedup.writeDedupIndex(union, "doc_id", "text", batchDir)
+    val dupOf = all.filter(col("doc_id") === 45).collect().head.getString(1)
+    val probe = Seq((9001L, dupOf),
+      (9002L, "wholly unrelated fresh content about gardening soil"))
+      .toDF("doc_id", "text")
+    val ps = graft.ops.Dedup.probeDedupIndex(spark, streamDir, probe,
+      "doc_id", "text", threshold = 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pb = graft.ops.Dedup.probeDedupIndex(spark, batchDir, probe,
+      "doc_id", "text", threshold = 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ps.contains((45L, 9001L)),
+      s"streamed dedup index must catch the re-crawl of doc 45: $ps")
+    assert(ps == pb, "streamed index probe must equal batch-built probe")
+  }
+
   test("stateful cross-batch signature dedup") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
