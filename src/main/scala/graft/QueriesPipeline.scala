@@ -236,7 +236,11 @@ object QueriesPipeline {
       scored.unpersist()
       val ch = Curation.chunkDocs(kept, "doc_id", "text",
           chunkSize = 20, overlap = 5)
-        .agg(count(lit(1)).as("c"), sum(col("n_tokens")).as("t"))
+        // coalesce: the kept slice can be EMPTY on a corpus the gates
+        // fully reject — sum() is null there (same guard as the score
+        // sum above; zero chunks must report 0, not NPE)
+        .agg(count(lit(1)).as("c"),
+          coalesce(sum(col("n_tokens")), lit(0L)).as("t"))
         .collect().head
       gated.unpersist(); clean.unpersist(); kept.unpersist()
       import s.implicits._
@@ -451,6 +455,20 @@ object QueriesPipeline {
         .groupBy("lang", "split").agg(count(lit(1)).as("n"))
         .orderBy("lang", "split")
     }),
+    "qp_split_leakage" -> ((s, dir) => {
+      // eval-leakage audit: near-dup pairs whose endpoints landed in
+      // DIFFERENT splits — the hash-stable split can't see content
+      // similarity, so every cross-split near-dup silently inflates
+      // eval; these rows are the docs to quarantine before training
+      val d = docs(s, dir)
+      Curation.splitLeakage(
+          Curation.trainValTestSplit(d, "doc_id", "lang"),
+          "doc_id", "split",
+          Dedup.minhashPairs(d, "doc_id", "text", threshold = 0.8),
+          "a_id", "b_id")
+        .select("a_id", "b_id", "a_split", "b_split", "jac")
+        .orderBy("a_id", "b_id")
+    }),
     "qp_exact_substring" -> ((s, dir) => {
       // span-level dedup signal (ExactSubstr-style): distinct 20-token
       // windows each doc shares verbatim with any other doc
@@ -523,6 +541,20 @@ object QueriesPipeline {
       val cents = e.filter(col("vec_id") < 16)
       val q = e.filter(col("vec_id") >= 100 && col("vec_id") < 105)
       Similarity.rankAgreement(
+          Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5),
+          Similarity.ivfTopK(e, q, cents, "vec_id", "embedding",
+            k = 5, nProbe = 2),
+          k = 5)
+        .orderBy("q_id")
+    }),
+    "qp_ndcg" -> ((s, dir) => {
+      // position-weighted retrieval quality of the IVF probe vs the
+      // exact ranking — recall counts hits, nDCG also charges for
+      // right-items-wrong-order (same parameters as qp_ivf_recall)
+      val e = embs(s, dir)
+      val cents = e.filter(col("vec_id") < 16)
+      val q = e.filter(col("vec_id") >= 100 && col("vec_id") < 105)
+      Similarity.ndcgAtK(
           Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5),
           Similarity.ivfTopK(e, q, cents, "vec_id", "embedding",
             k = 5, nProbe = 2),
@@ -1699,6 +1731,65 @@ object QueriesPipeline {
        |        FROM (SELECT doc_id, ${dShingles("text")} sh FROM documents))
        |)""".stripMargin
 
+  /** exact + IVF top-5 rankings WITH rank columns (`exr`/`ivfr`) —
+    * shared by the qp_rank_tau and qp_ndcg closes (same ANN
+    * parameters as qp_ivf_recall). */
+  private lazy val ivfExactRankCtes: String =
+    s"""e0 AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+       | e AS (SELECT vec_id, v, sqrt(${dDot("v", "v")}) AS nn FROM e0),
+       | cent AS (SELECT vec_id AS cent_id, v AS cv, nn AS cn FROM e
+       |   WHERE vec_id < 16),
+       | cells AS (SELECT vec_id AS n_id, v AS cv2, nn AS cn2, cell FROM (
+       |   SELECT e.vec_id, e.v, e.nn, cent.cent_id AS cell,
+       |     row_number() OVER (PARTITION BY e.vec_id
+       |       ORDER BY ${dDot("e.v", "cent.cv")} / (e.nn * cent.cn) DESC,
+       |         cent.cent_id) AS r
+       |   FROM e CROSS JOIN cent) WHERE r = 1),
+       | q AS (SELECT vec_id AS q_id, v AS qv, nn AS qn FROM e
+       |   WHERE vec_id >= 100 AND vec_id < 105),
+       | probes AS (SELECT q_id, qv, qn, probe FROM (
+       |   SELECT q.q_id, q.qv, q.qn, cent.cent_id AS probe,
+       |     row_number() OVER (PARTITION BY q.q_id
+       |       ORDER BY ${dDot("q.qv", "cent.cv")} / (q.qn * cent.cn) DESC,
+       |         cent.cent_id) AS r
+       |   FROM q CROSS JOIN cent) WHERE r <= 2),
+       | ivfr AS (SELECT q_id, n_id, rnk FROM (
+       |   SELECT q_id, n_id,
+       |     row_number() OVER (PARTITION BY q_id
+       |       ORDER BY ${dDot("qv", "cv2")} / (qn * cn2) DESC, n_id) AS rnk
+       |   FROM probes JOIN cells ON probe = cell
+       |   WHERE q_id <> n_id) WHERE rnk <= 5),
+       | exr AS (SELECT q_id, n_id, rnk FROM (
+       |   SELECT q.q_id, e.vec_id AS n_id,
+       |     row_number() OVER (PARTITION BY q.q_id
+       |       ORDER BY ${dDot("q.qv", "e.v")} / (q.qn * e.nn) DESC,
+       |         e.vec_id) AS rnk
+       |   FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id) WHERE rnk <= 5)"""
+      .stripMargin
+
+  /** shared by qp_minhash_pairs and the qp_split_leakage audit (which
+    * must report exactly the pairs the dedup operator reports). */
+  private lazy val minhashPairsOracle: String = {
+    val bandRows = (0 until 4).map { b =>
+      val ks = (b * 4 until b * 4 + 4).map(i => s"s$i").mkString(", ")
+      s"SELECT doc_id, sh, concat_ws('_', $b, $ks) AS band FROM sigs"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $sigsCte,
+       | bands AS (
+       |  $bandRows
+       | )
+       | SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+       |   round(len(list_intersect(a.sh, b.sh))*1.0 /
+       |     (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
+       |   AS jac
+       | FROM bands a JOIN bands b
+       |   ON a.band = b.band AND a.doc_id < b.doc_id
+       | WHERE round(len(list_intersect(a.sh, b.sh))*1.0 /
+       |     (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
+       |   >= 0.8
+       | ORDER BY a_id, b_id""".stripMargin
+  }
+
   /** two unrolled Lloyd rounds, identical update rule to
     * Similarity.kmeansCentroids (fixed-point exact means, max-cosine
     * assignment) — shared by qp_kmeans and qp_ivf_trained. */
@@ -1993,26 +2084,7 @@ object QueriesPipeline {
          | SELECT doc_id, ${(0 until MinhashK)
               .map(i => s"${dMinhashSig(i)} AS s$i").mkString(", ")}
          | FROM hashed ORDER BY doc_id""".stripMargin,
-    "qp_minhash_pairs" -> {
-      val bandRows = (0 until 4).map { b =>
-        val ks = (b * 4 until b * 4 + 4).map(i => s"s$i").mkString(", ")
-        s"SELECT doc_id, sh, concat_ws('_', $b, $ks) AS band FROM sigs"
-      }.mkString("\n  UNION ALL ")
-      s"""WITH $sigsCte,
-         | bands AS (
-         |  $bandRows
-         | )
-         | SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
-         |   round(len(list_intersect(a.sh, b.sh))*1.0 /
-         |     (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
-         |   AS jac
-         | FROM bands a JOIN bands b
-         |   ON a.band = b.band AND a.doc_id < b.doc_id
-         | WHERE round(len(list_intersect(a.sh, b.sh))*1.0 /
-         |     (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
-         |   >= 0.8
-         | ORDER BY a_id, b_id""".stripMargin
-    },
+    "qp_minhash_pairs" -> minhashPairsOracle,
     "qp_dedup_incremental" -> {
       // the batch-vs-index probe must equal full-batch LSH pairs
       // restricted to the split: same signature/band CTEs as
@@ -2263,6 +2335,23 @@ object QueriesPipeline {
          |        WHEN bk < 95 THEN 'val' ELSE 'test' END AS split,
          |   CAST(count(*) AS BIGINT) AS n
          | FROM b GROUP BY lang, split ORDER BY lang, split""".stripMargin,
+    "qp_split_leakage" ->
+      // the minhash-pair oracle as a derived table, each endpoint
+      // joined to the same split rule qp_train_split uses — exactly
+      // the dedup operator's pairs, filtered to cross-split
+      s"""WITH sp AS (SELECT doc_id,
+         |   CASE WHEN bk < 90 THEN 'train'
+         |        WHEN bk < 95 THEN 'val' ELSE 'test' END AS split
+         |  FROM (SELECT doc_id,
+         |   ${dH60("'split:' || lang || ':' || CAST(doc_id AS VARCHAR)")}
+         |     % 100 AS bk FROM documents))
+         | SELECT p.a_id, p.b_id, sa.split AS a_split,
+         |   sb.split AS b_split, p.jac
+         | FROM ($minhashPairsOracle) p
+         | JOIN sp sa ON p.a_id = sa.doc_id
+         | JOIN sp sb ON p.b_id = sb.doc_id
+         | WHERE sa.split <> sb.split
+         | ORDER BY a_id, b_id""".stripMargin,
     "qp_exact_substring" ->
       // window key = pair of sums of two independent per-token hashes,
       // identical construction to Dedup.sharedWindowCounts
@@ -2521,36 +2610,7 @@ object QueriesPipeline {
     "qp_rank_tau" ->
       // the qp_ivf_recall CTE chain with ranks kept, closed by the
       // concordant/discordant pair counts; explicit-floor tau
-      s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
-         | e AS (SELECT vec_id, v, sqrt(${dDot("v", "v")}) AS nn FROM e0),
-         | cent AS (SELECT vec_id AS cent_id, v AS cv, nn AS cn FROM e
-         |   WHERE vec_id < 16),
-         | cells AS (SELECT vec_id AS n_id, v AS cv2, nn AS cn2, cell FROM (
-         |   SELECT e.vec_id, e.v, e.nn, cent.cent_id AS cell,
-         |     row_number() OVER (PARTITION BY e.vec_id
-         |       ORDER BY ${dDot("e.v", "cent.cv")} / (e.nn * cent.cn) DESC,
-         |         cent.cent_id) AS r
-         |   FROM e CROSS JOIN cent) WHERE r = 1),
-         | q AS (SELECT vec_id AS q_id, v AS qv, nn AS qn FROM e
-         |   WHERE vec_id >= 100 AND vec_id < 105),
-         | probes AS (SELECT q_id, qv, qn, probe FROM (
-         |   SELECT q.q_id, q.qv, q.qn, cent.cent_id AS probe,
-         |     row_number() OVER (PARTITION BY q.q_id
-         |       ORDER BY ${dDot("q.qv", "cent.cv")} / (q.qn * cent.cn) DESC,
-         |         cent.cent_id) AS r
-         |   FROM q CROSS JOIN cent) WHERE r <= 2),
-         | ivfr AS (SELECT q_id, n_id, rnk FROM (
-         |   SELECT q_id, n_id,
-         |     row_number() OVER (PARTITION BY q_id
-         |       ORDER BY ${dDot("qv", "cv2")} / (qn * cn2) DESC, n_id) AS rnk
-         |   FROM probes JOIN cells ON probe = cell
-         |   WHERE q_id <> n_id) WHERE rnk <= 5),
-         | exr AS (SELECT q_id, n_id, rnk FROM (
-         |   SELECT q.q_id, e.vec_id AS n_id,
-         |     row_number() OVER (PARTITION BY q.q_id
-         |       ORDER BY ${dDot("q.qv", "e.v")} / (q.qn * e.nn) DESC,
-         |         e.vec_id) AS rnk
-         |   FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id) WHERE rnk <= 5),
+      s"""WITH $ivfExactRankCtes,
          | com AS (SELECT a.q_id, a.n_id, a.rnk AS ra, b.rnk AS rb
          |   FROM exr a JOIN ivfr b USING (q_id, n_id)),
          | prs AS (SELECT c1.q_id,
@@ -2575,6 +2635,27 @@ object QueriesPipeline {
          |         + coalesce(pc.discordant, 0) AS DOUBLE)) AS BIGINT)
          |   END AS tau_micro
          | FROM cnt LEFT JOIN pc USING (q_id)
+         | ORDER BY q_id""".stripMargin,
+    "qp_ndcg" ->
+      // same exr/ivfr chain; DCG terms fixed-pointed to integer
+      // micro-units BEFORE the per-query sum (order-free), relevance
+      // of an item = 5 − exact_rank + 1, ideal discount at its exact
+      // rank — integral-divide close
+      s"""WITH $ivfExactRankCtes,
+         | com AS (SELECT a.q_id, a.rnk AS ra, b.rnk AS rb
+         |   FROM exr a JOIN ivfr b USING (q_id, n_id)),
+         | d AS (SELECT q_id, CAST(sum(CAST(round(
+         |       (5 - ra + 1) * 1000000 / log2(rb + 1), 0) AS BIGINT))
+         |     AS BIGINT) AS dcg_micro
+         |   FROM com GROUP BY 1),
+         | i AS (SELECT q_id, CAST(sum(CAST(round(
+         |       (5 - rnk + 1) * 1000000 / log2(rnk + 1), 0) AS BIGINT))
+         |     AS BIGINT) AS idcg
+         |   FROM exr GROUP BY 1)
+         | SELECT qq.q_id, coalesce(d.dcg_micro, 0) AS dcg_micro,
+         |   coalesce(d.dcg_micro, 0) * 1000000 // i.idcg AS ndcg_micro
+         | FROM (SELECT DISTINCT q_id FROM exr) qq
+         | LEFT JOIN d USING (q_id) JOIN i USING (q_id)
          | ORDER BY q_id""".stripMargin,
     "qp_ivf_recall" ->
       // the ivf CTE chain (same params as qp_ivf_topk) + the exact

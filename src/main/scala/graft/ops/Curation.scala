@@ -145,6 +145,27 @@ object Curation {
         .otherwise(lit("test")))
   }
 
+  /** Eval-contamination audit — near-dup pairs that CROSS split
+    * boundaries: a test/val document with a train near-duplicate
+    * silently inflates every evaluation run on the split, and the
+    * hash-stable split rule ([[trainValTestSplit]]) cannot know about
+    * content similarity. The reported pairs are exactly the documents
+    * to quarantine or co-assign before training. `pairs` is any
+    * (aCol, bCol, …) near-dup frame (minhash/ppjoin/ngram — reuse the
+    * dedup machinery, never a new pairwise pass); `split` is the
+    * (idCol, splitCol) assignment.
+    *
+    * Scale shape: two equi-joins of the (output-sized) pair frame
+    * against the split assignment — no new corpus scan, no window. */
+  def splitLeakage(split: DataFrame, idCol: String, splitCol: String,
+      pairs: DataFrame, aCol: String, bCol: String): DataFrame =
+    pairs
+      .join(split.select(col(idCol).as(aCol),
+        col(splitCol).as("a_split")), aCol)
+      .join(split.select(col(idCol).as(bCol),
+        col(splitCol).as("b_split")), bCol)
+      .filter(col("a_split") =!= col("b_split"))
+
   /** Temperature-scaled mixture sampling — the multinomial temperature
     * reweighting used to set training-data language/domain mixtures:
     * stratum weight w_i ∝ n_i^alpha (alpha < 1 flattens the mixture,

@@ -638,6 +638,44 @@ object Similarity {
       .withColumn("recall_micro", expr(s"hits * 1000000L div $k"))
   }
 
+  /** Position-weighted ANN evaluation — nDCG@k of an approximate
+    * ranking against the exact one ([[recallAtK]] scores set overlap;
+    * nDCG additionally charges for returning the right items at the
+    * WRONG positions, the standard ranked-retrieval figure). Graded
+    * relevance of an item = k − exact_rank + 1 (linear gain, 0 for
+    * items outside the exact top-k); DCG discounts by log2(rank + 1).
+    *
+    * Determinism: each DCG term is rounded to an INTEGER micro-unit
+    * before the per-query sum (float sums are order-dependent; integer
+    * sums are not), and nDCG closes with an integral divide — the
+    * engine-portable fixed-point discipline. Queries where the
+    * approximation found nothing report 0, not absence. Same
+    * control-plane scale shape as [[recallAtK]]. */
+  def ndcgAtK(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val rel = exact.filter(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"),
+        (lit(k) - col("rnk") + 1).as("__rel"))
+    val dcg = approx.filter(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"), col("rnk").as("__rb"))
+      .join(rel, Seq("q_id", "n_id")) // missed items contribute 0
+      .withColumn("__t", round(col("__rel") * lit(1000000.0) /
+        log2(col("__rb") + 1), 0).cast("long"))
+      .groupBy("q_id").agg(sum(col("__t")).as("dcg_micro"))
+    // ideal rank of a rel-r item is k − r + 1, so its discount is
+    // log2(k − rel + 2) — the exact frame replayed in perfect order
+    val ideal = rel
+      .withColumn("__t", round(col("__rel") * lit(1000000.0) /
+        log2(lit(k) - col("__rel") + 2), 0).cast("long"))
+      .groupBy("q_id").agg(sum(col("__t")).as("__idcg"))
+    exact.filter(col("rnk") <= k).select("q_id").distinct()
+      .join(dcg, Seq("q_id"), "left")
+      .join(ideal, Seq("q_id"))
+      .withColumn("dcg_micro", coalesce(col("dcg_micro"), lit(0L)))
+      .withColumn("ndcg_micro", expr("dcg_micro * 1000000L div __idcg"))
+      .select("q_id", "dcg_micro", "ndcg_micro")
+  }
+
   /** Ranking agreement — per-query Kendall tau between two top-k
     * rankings over their COMMON items ([[recallAtK]] asks "did the
     * approximation find the right items"; this asks "did it ORDER

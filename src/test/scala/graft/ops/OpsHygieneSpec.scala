@@ -1064,6 +1064,34 @@ class OpsHygieneSpec extends AnyFunSuite {
       2L -> ((2L, Some(1000000L))), 3L -> ((1L, None))))
   }
 
+  test("ndcgAtK: identity 1.0, hand-computed top-2 swap, miss-all 0") {
+    val exact = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
+      (1L, 13L, 4), (1L, 14L, 5),
+      (2L, 20L, 1), (2L, 21L, 2), (2L, 22L, 3), (2L, 23L, 4),
+      (2L, 24L, 5),
+      (3L, 30L, 1), (3L, 31L, 2), (3L, 32L, 3), (3L, 33L, 4),
+      (3L, 34L, 5)).toDF("q_id", "n_id", "rnk")
+    val approx = Seq(
+      // q1: identical ranking → nDCG exactly 1.0 (dcg == idcg)
+      (1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3), (1L, 13L, 4),
+      (1L, 14L, 5),
+      // q2: top-2 swapped — hand-computed micro terms:
+      // 4e6/log2(2) + 5e6/log2(3) + 3e6/2 + 2e6/log2(5) + 1e6/log2(6)
+      // = 4000000+3154649+1500000+861353+386853 = 9902855;
+      // idcg = 5000000+2523719+1500000+861353+386853 = 10271925
+      (2L, 21L, 1), (2L, 20L, 2), (2L, 22L, 3), (2L, 23L, 4),
+      (2L, 24L, 5),
+      // q3: found nothing from the exact top-k
+      (3L, 90L, 1), (3L, 91L, 2), (3L, 92L, 3), (3L, 93L, 4),
+      (3L, 94L, 5)).toDF("q_id", "n_id", "rnk")
+    val got = graft.ops.Similarity.ndcgAtK(exact, approx, k = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got(1L)._2 == 1000000L, s"identity must score 1.0: $got")
+    assert(got(2L) == ((9902855L, 964070L)), s"swap mismatch: $got")
+    assert(got(3L) == ((0L, 0L)), s"miss-all must report 0: $got")
+  }
+
   test("recallAtK: hit counting, zero-recall queries stay present") {
     val exact = Seq((1L, 10L, 1), (1L, 11L, 2), (2L, 20L, 1),
       (2L, 21L, 2)).toDF("q_id", "n_id", "rnk")
