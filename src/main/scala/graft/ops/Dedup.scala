@@ -287,6 +287,16 @@ object Dedup {
     * candidate count approaches the true output size instead of the
     * all-pairs square.
     *
+    * MEASURED BOUNDARY (ScratchR8 10× run): rare-first only works
+    * when the shingle vocabulary GROWS with the corpus (Heaps' law on
+    * natural text). On a vocabulary-SATURATED corpus every prefix
+    * shingle's frequency scales with n and collision pairs grow ~n²
+    * (measured exponent 2.27 on the fixed-31-word testdata shape).
+    * There, use [[minhashPairs]] (candidates track the true pair
+    * count — measured 0.88) or [[ngramJaccardPairs]] inside blocking
+    * keys; ppjoin is the exact-no-false-negatives tool for
+    * natural-vocabulary corpora and post-blocking slices.
+    *
     * Scale shape: ONE exploded corpus pass persisted for its three
     * consumers (frequency table, prefix explode, verify sets); the
     * per-doc rarity rank is a PER-DOC window (bounded by doc length,
