@@ -263,13 +263,20 @@ class PlanShapeSpec extends AnyFunSuite {
     val hn = df("qp_hard_negatives")
     val opt = hn.queryExecution.optimizedPlan.toString
     assert(opt.contains("LeftSemi"), opt)
-    // PPJoin: candidate pruning happens BEFORE the set verify — the
-    // optimized plan must aggregate candidates (min/max rank bounds)
-    // below the array_intersect projection
-    val pp = graft.ops.Dedup.ppjoinPairs(
-      graft.sources.Tables.load(spark, sf, "documents"),
-      "doc_id", "text", threshold = 0.8)
-    assert(pp.columns.toSeq == Seq("a_id", "b_id", "jac"))
+    // PPJoin: the verify must run the compiled sorted_overlap
+    // merge-scan (early-exit; measured 4.6× over the per-pair
+    // array_intersect hash build it replaced — ScratchR8) — captured
+    // via listener because the result hides behind localCheckpoint
+    val ppPlans = capturedPlans {
+      val pp = graft.ops.Dedup.ppjoinPairs(
+        graft.sources.Tables.load(spark, sf, "documents"),
+        "doc_id", "text", threshold = 0.8)
+      assert(pp.columns.toSeq == Seq("a_id", "b_id", "jac"))
+    }
+    assert(ppPlans.exists(_.contains("sorted_overlap")),
+      "ppjoin verify must use the compiled merge-scan")
+    assert(!ppPlans.exists(_.contains("array_intersect")),
+      "ppjoin must not fall back to per-pair array_intersect")
   }
 
   /** executed plans of EVERY query execution `body` triggers — the
