@@ -210,7 +210,10 @@ object QueriesDialect {
     "qd_pipe_chunk_docs" -> ((s, dir) => gq(s, dir,
       "select doc_id, chunk_id, chunk_text, n_tokens from " +
         "chunk_docs(documents, 'doc_id', 'text', 20, 5) " +
-        "where n_tokens >= 5 order by doc_id, chunk_id"))
+        "where n_tokens >= 5 order by doc_id, chunk_id")),
+    "qd_pipe_bm25" -> ((s, dir) => gq(s, dir,
+      "select doc_id, bm25 from bm25_topk(documents, 'doc_id', " +
+        "'text', 'spark stream join', 10) order by bm25 desc, doc_id"))
   )
 
   private def gq(s: SparkSession, dir: String, sql: String): DataFrame =
@@ -420,6 +423,7 @@ object QueriesDialect {
       QueriesPipeline.oracleSql("qp_text_fingerprint"),
     "qd_pipe_chunk_docs" ->
       s"""SELECT * FROM (${QueriesPipeline.oracleSql("qp_chunk_docs")})
-         | WHERE n_tokens >= 5""".stripMargin
+         | WHERE n_tokens >= 5""".stripMargin,
+    "qd_pipe_bm25" -> QueriesPipeline.oracleSql("qp_bm25_topk")
   )
 }

@@ -25,7 +25,7 @@ object PipelineTables {
   /** the registered table-function names (parser-fuzz + docs surface). */
   val names: Set[String] =
     Set("dedup_pairs", "exact_dups", "quality_gate", "c4_clean",
-      "fingerprints", "chunk_docs")
+      "fingerprints", "chunk_docs", "bm25_topk")
 
   def resolve(catalog: Catalog, fn: String,
       args: Seq[SqlExpr]): DataFrame = {
@@ -76,6 +76,12 @@ object PipelineTables {
         arity(5)
         Curation.chunkDocs(classArg(0), strArg(1), strArg(2),
           intArg(3), intArg(4))
+      case "bm25_topk" => // (class, idField, textField, 'terms…', k)
+        arity(5)
+        val terms = strArg(3).split("\\s+").toSeq.filter(_.nonEmpty)
+        if (terms.isEmpty) bad("argument 4 must name at least one term")
+        TextOps.bm25TopK(classArg(0), strArg(1), strArg(2), terms,
+          intArg(4))
       case other =>
         // unknown function → parse error (§2.5 contract, same as
         // scalar functions)

@@ -428,6 +428,43 @@ object Multimodal {
     Some(out)
   }
 
+  /** number of image descriptors = ANIMATION frame count — a light
+    * block walk counting 0x2C sections (sub-blocks skipped by their
+    * length prefixes); desynced/imageless streams report 1 so the
+    * header-only fallback keeps its old shape. */
+  private def gifFrameCount(payload: Array[Byte]): Int = {
+    def u8(i: Int): Int = payload(i) & 0xff
+    val n = payload.length
+    if (n < 14) return 1
+    var pos = 13
+    val packed = u8(10)
+    if ((packed & 0x80) != 0) pos += 3 * (1 << ((packed & 7) + 1))
+    var frames = 0
+    var ok = true
+    while (ok && pos < n) {
+      u8(pos) match {
+        case 0x21 =>
+          pos += 2
+          while (pos < n && u8(pos) != 0) pos += 1 + u8(pos)
+          pos += 1
+        case 0x2c =>
+          frames += 1
+          if (pos + 10 > n) ok = false
+          else {
+            val ip = u8(pos + 9)
+            pos += 10
+            if ((ip & 0x80) != 0) pos += 3 * (1 << ((ip & 7) + 1))
+            pos += 1 // LZW min code size
+            while (pos < n && u8(pos) != 0) pos += 1 + u8(pos)
+            pos += 1
+          }
+        case 0x3b => ok = false
+        case _ => ok = false
+      }
+    }
+    math.max(1, frames)
+  }
+
   /** REAL image features from decoded GIF pixels: [[lumaBands]] over
     * [[gifPixels]]. None when the flavor isn't pixel-decodable. */
   def gifLumaFeatures(payload: Array[Byte],
@@ -587,10 +624,12 @@ object Multimodal {
         pngLumaFeatures(payload, featureDim)
           .getOrElse(sampleFeature(payload, featureDim)))
     } else if (n >= 10 && (ascii(0, 6) == "GIF87a" || ascii(0, 6) == "GIF89a")) {
-      // GIF: logical screen width/height, little-endian uint16 at 6/8.
-      // Non-interlaced first frames decode to REAL pixel features
-      // (LZW expand + palette luma); other flavors keep the stand-in.
-      (le16(6), le16(8), 1,
+      // GIF: logical screen width/height, little-endian uint16 at 6/8;
+      // n_frames = REAL image-descriptor count (animations report
+      // their length, like WAV reports sample frames). Non-interlaced
+      // first frames decode to REAL pixel features (LZW expand +
+      // palette luma); other flavors keep the stand-in.
+      (le16(6), le16(8), gifFrameCount(payload),
         gifLumaFeatures(payload, featureDim)
           .getOrElse(sampleFeature(payload, featureDim)))
     } else if (n >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
