@@ -41,6 +41,22 @@ object QueriesPipeline {
           "doc_id", "text")
         .orderBy(col("h"))
     }),
+    "qp_dedup_normalized" -> ((s, dir) => {
+      // normalization-keyed exact dedup: the re-crawl differs only
+      // COSMETICALLY (case, punctuation, trailing whitespace) — raw
+      // md5 dedup sees nothing, the canonical key collapses every
+      // pair (the mirror-site/boilerplate-tweak dedup case)
+      val d = docs(s, dir).select("doc_id", "text")
+      val recrawl = d.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(upper(expr("substring(text, 1, 10)")),
+            expr("substring(text, 11)"), lit("!!  ")).as("text"))
+      Dedup.exactGroups(
+          d.unionByName(recrawl)
+            .withColumn("text", TextOps.normalizeText(col("text"))),
+          "doc_id", "text")
+        .orderBy(col("h"))
+    }),
     "qp_minhash_sig" -> ((s, dir) => {
       Dedup.minhashSigs(docs(s, dir).filter(col("doc_id") < 100),
           "doc_id", "text")
@@ -1989,6 +2005,21 @@ object QueriesPipeline {
         | FROM (SELECT doc_id, text FROM documents
         |       UNION ALL SELECT doc_id, text FROM documents WHERE doc_id < 50)
         | GROUP BY 1 HAVING count(*) > 1 ORDER BY h""".stripMargin,
+    "qp_dedup_normalized" ->
+      // same cosmetic mutation + the normalizeText rule (lower, strip
+      // non-alnum, collapse whitespace, trim); DuckDB regexp_replace
+      // needs the explicit 'g' flag Spark applies by default
+      s"""WITH u AS (SELECT doc_id, text FROM documents
+         |   UNION ALL SELECT doc_id + 100000,
+         |     upper(substring(text, 1, 10)) || substring(text, 11)
+         |       || '!!  '
+         |   FROM documents WHERE doc_id < 50),
+         | c AS (SELECT doc_id, trim(regexp_replace(regexp_replace(
+         |     lower(text), '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))
+         |     AS t FROM u)
+         | SELECT md5(t) AS h, CAST(count(*) AS BIGINT) AS n,
+         |   min(doc_id) AS keep
+         | FROM c GROUP BY 1 HAVING count(*) > 1 ORDER BY h""".stripMargin,
     "qp_dedup_keep_best" ->
       """WITH u AS (SELECT doc_id, text, source FROM documents
         |   UNION ALL SELECT doc_id + 100000, text, 'src9'

@@ -75,24 +75,28 @@ class VectorExprsSpec extends AnyFunSuite {
       val b = rng.shuffle(pool).take(rng.nextInt(30)).distinct.sorted
       (a, b)
     } :+ ((Seq.empty[Long], Seq(1L, 2L))) :+ ((Seq.empty[Long], Seq.empty[Long]))
-    val t = 0.5
-    val df = rows.toDF("a", "b").select(
-      VectorExprs.sortedOverlap(col("a"), col("b"), t).as("so"),
-      size(array_intersect(col("a"), col("b"))).as("ai"),
-      round(size(array_intersect(col("a"), col("b"))).cast("double") /
-        (size(col("a")) + size(col("b")) -
-          size(array_intersect(col("a"), col("b")))), 6).as("jac"))
-    df.collect().foreach { r =>
-      val so = r.getInt(0); val ai = r.getInt(1)
-      val jac = if (r.isNullAt(2)) 0.0 else r.getDouble(2)
-      if (so >= 0) assert(so == ai, s"exact count disagrees: $r")
-      // early exit must NEVER fire on a pair the caller's rounded
-      // jac >= t filter would keep
-      else assert(jac < t, s"early exit dropped a passing pair: $r")
+    // sweep the whole threshold range — the early-exit bound must be
+    // sound at every t a caller could pass
+    for (t <- Seq(0.1, 0.3, 0.5, 0.7, 0.8, 0.9, 1.0)) {
+      val df = rows.toDF("a", "b").select(
+        VectorExprs.sortedOverlap(col("a"), col("b"), t).as("so"),
+        size(array_intersect(col("a"), col("b"))).as("ai"),
+        round(size(array_intersect(col("a"), col("b"))).cast("double") /
+          (size(col("a")) + size(col("b")) -
+            size(array_intersect(col("a"), col("b")))), 6).as("jac"))
+      df.collect().foreach { r =>
+        val so = r.getInt(0); val ai = r.getInt(1)
+        val jac = if (r.isNullAt(2)) 0.0 else r.getDouble(2)
+        if (so >= 0) assert(so == ai, s"exact count disagrees at $t: $r")
+        // early exit must NEVER fire on a pair the caller's rounded
+        // jac >= t filter would keep
+        else assert(jac < t, s"early exit dropped a passing pair at $t: $r")
+      }
     }
     // null array → null result
     val nr = Seq((Option.empty[Seq[Long]], Option(Seq(1L)))).toDF("a", "b")
-      .select(VectorExprs.sortedOverlap(col("a"), col("b"), t)).collect().head
+      .select(VectorExprs.sortedOverlap(col("a"), col("b"), 0.5))
+      .collect().head
     assert(nr.isNullAt(0))
   }
 
