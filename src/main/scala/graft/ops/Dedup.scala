@@ -241,6 +241,8 @@ object Dedup {
         pmod(hash60(col("__band")), lit(nBuckets.toLong)))
     val hitBkts = newBands.select("__bkt").distinct()
       .collect().map(_.getLong(0)).toSeq
+    graft.sources.Bucketing.requireCommitted(spark, s"$dir/bands")
+    graft.sources.Bucketing.requireCommitted(spark, s"$dir/sets")
     val postings = spark.read.parquet(s"$dir/bands")
       .filter(col("__bkt").isin(hitBkts: _*))
     val candidates = postings

@@ -197,6 +197,7 @@ object Pq {
     val probeRows = probeLutRows(queries, cents, cb, idCol, vecCol,
       nProbe)
     val probeCells = probeRows.map(_._2).distinct.sorted
+    graft.sources.Bucketing.requireCommitted(spark, indexDir)
     val coded = spark.read.parquet(indexDir)
       .filter(col("cell").isin(probeCells: _*))
     val probesDf = broadcast(probeRows.toDF("q_id", "probe", "__lut"))

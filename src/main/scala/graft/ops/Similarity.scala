@@ -383,6 +383,7 @@ object Similarity {
         explode(nearestCells(col("__qv"), col("__qn"), cents, nProbe)))
     val probeCells = probes.select("probe").distinct()
       .collect().map(_.getInt(0)).toSeq
+    graft.sources.Bucketing.requireCommitted(spark, indexDir)
     val cells = spark.read.parquet(indexDir)
       .filter(col("cell").isin(probeCells: _*))
     rankTopK(

@@ -64,6 +64,7 @@ object SubstringIndex {
       .collect().map(_.getLong(0)).toSeq
     val buckets = hashes.map(h => math.floorMod(h, nBuckets.toLong))
       .distinct
+    graft.sources.Bucketing.requireCommitted(spark, dir)
     val candidates = spark.read.parquet(dir)
       .filter(col("__bkt").isin(buckets: _*) &&
         col("__g").isin(hashes: _*))

@@ -1129,6 +1129,8 @@ object TextOps {
     val buckets = terms.toDF("__t")
       .select(pmod(hash60(col("__t")), lit(nBuckets.toLong)))
       .collect().map(_.getLong(0)).distinct.toSeq
+    Seq("postings", "lens", "stats").foreach(part =>
+      graft.sources.Bucketing.requireCommitted(spark, s"$dir/$part"))
     val probe = spark.read.parquet(s"$dir/postings")
       .filter(col("__bkt").isin(buckets: _*) &&
         col("__t").isin(terms: _*))

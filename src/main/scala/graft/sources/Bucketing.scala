@@ -51,6 +51,24 @@ object Bucketing {
       partitionCols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(dir)
 
+  /** Refuse to read an on-disk index a crashed writer left PARTIAL:
+    * Spark's file committer drops the `_SUCCESS` marker only at job
+    * commit, so a killed index build leaves data files without it —
+    * and a probe that silently reads a half-written index returns
+    * silently WRONG (incomplete) results, the worst failure mode a
+    * dedup/retrieval index can have at 100 TB. Every index probe path
+    * calls this before reading; a missing marker raises loudly
+    * instead. (The durable CLASS catalog has its own manifest commit
+    * point; this covers the operator-owned index directories.) */
+  def requireCommitted(spark: SparkSession, dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p))
+      throw new IllegalStateException(
+        s"index at $dir is not a committed write (missing _SUCCESS) — " +
+          "a crashed writer left a partial index; rebuild or re-append it")
+  }
+
   /** Morton (Z-order) key: bit-interleave two non-negative integer
     * dimensions — a's bit i lands at 2i, b's at 2i+1 — so rows close
     * in the key are close in BOTH dimensions. Sorting a layout by

@@ -1194,6 +1194,14 @@ class OpsHygieneSpec extends AnyFunSuite {
       .filter(col("a_id") < 250 && col("b_id") >= 250)
       .orderBy("a_id", "b_id").collect().toSeq
     assert(probed == full && probed.nonEmpty)
+    // a PARTIAL index (crashed writer = no _SUCCESS commit marker)
+    // must refuse to serve, not silently return incomplete results
+    val marker = new java.io.File(s"$dir/bands/_SUCCESS")
+    assert(marker.delete(), "expected a _SUCCESS marker to remove")
+    val e = intercept[IllegalStateException](
+      Dedup.probeDedupIndex(spark, dir,
+        d.filter(col("doc_id") >= 250), "doc_id", "text", 0.8))
+    assert(e.getMessage.contains("partial index"), e.getMessage)
   }
 
   test("bpeFertility: consistent with per-doc counts, merges reduce it") {
