@@ -925,6 +925,46 @@ object QueriesPipeline {
           "vec_id", "embedding", pqCb, k = 5, nProbe = 2)
         .orderBy(col("q_id"), col("rnk"))
     }),
+    "qp_pq_trained" -> ((s, dir) => {
+      // TRAINED-codebook PQ (the FAISS practice — fit per-subspace
+      // k-means to the corpus instead of seeded entries): m=2, ksub=4,
+      // 2 Lloyd rounds on the encoder's own assignment rule, then
+      // encode. Codes serialize to one scalar (gate hash-compares
+      // scalar cells only).
+      val e = embs(s, dir)
+      val cb = Pq.trainCodebooks(e, "vec_id", "embedding",
+        m = 2, ksub = 4, iters = 2)
+      Pq.encode(e, "vec_id", "embedding", cb)
+        .select(col("n_id"),
+          array_join(col("codes").cast("array<string>"), "-").as("codes"))
+        .orderBy("n_id")
+    }),
+    "qp_pq_persisted" -> ((s, dir) => {
+      // codebooks as a DEPLOYED artifact: train, save through the
+      // durable model registry, COLD-reopen, load, encode — must
+      // reproduce qp_pq_trained exactly (shares its oracle; the
+      // registry round-trips the fitted doubles bit-identically and
+      // the squared norms re-derive by the same fold)
+      import graft.engine.GraftSession
+      val tmp = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft-models-pq")
+      if (java.nio.file.Files.exists(tmp))
+        java.nio.file.Files.walk(tmp).sorted(
+          java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.delete(p))
+      java.nio.file.Files.createDirectories(tmp)
+      val e = embs(s, dir)
+      val cb = Pq.trainCodebooks(e, "vec_id", "embedding",
+        m = 2, ksub = 4, iters = 2)
+      GraftSession.openDurable(s, dir, tmp.toString)
+        .models.saveCodebooks("pq_cb", cb)
+      val loaded = GraftSession.openDurable(s, dir, tmp.toString)
+        .models.loadCodebooks("pq_cb")
+      Pq.encode(e, "vec_id", "embedding", loaded)
+        .select(col("n_id"),
+          array_join(col("codes").cast("array<string>"), "-").as("codes"))
+        .orderBy("n_id")
+    }),
     "qp_ivfpq_bucketed" -> ((s, dir) => {
       // IVFADC's full DEPLOYMENT layout: the 64×-smaller CODED table
       // on disk, one directory per IVF cell; the probe pushes literal
@@ -1809,6 +1849,62 @@ object QueriesPipeline {
   /** two unrolled Lloyd rounds, identical update rule to
     * Similarity.kmeansCentroids (fixed-point exact means, max-cosine
     * assignment) — shared by qp_kmeans and qp_ivf_trained. */
+  /** trained-PQ CTE chain (m=2, ksub=4, subDim=32; init = slices of
+    * the 4 smallest-id vectors; 2 unrolled Lloyd rounds on the
+    * encoder's own `cn2 − 2·dot` assignment rule with lower-code
+    * ties; fixed-point micro-unit means; empty cells keep their
+    * previous entry) closed by the final encode assignment — shared
+    * verbatim by qp_pq_trained and qp_pq_persisted (the registry
+    * round-trip must be bit-identical). */
+  private lazy val pqTrainedOracle: String = {
+    val m = 2; val ksub = 4; val subDim = 32
+    def dotSub(a: String, b: String) =
+      s"list_sum(list_transform(range($subDim), i -> $a[i+1] * $b[i+1]))"
+    def sub(v: String, s: String) =
+      s"$v[$s*$subDim+1 : $s*$subDim+$subDim]"
+    def assign(cbCte: String) =
+      s"""SELECT vec_id, v, s, code FROM (
+         |   SELECT e.vec_id, e.v, c.s, c.j AS code,
+         |     row_number() OVER (PARTITION BY e.vec_id, c.s
+         |       ORDER BY ${dotSub("c.ent", "c.ent")}
+         |         - 2 * ${dotSub(sub("e.v", "c.s"), "c.ent")} ASC, c.j)
+         |       AS r
+         |   FROM e0 e CROSS JOIN $cbCte c) WHERE r = 1""".stripMargin
+    def update(aCte: String) =
+      s"""SELECT s, code,
+         |   CAST(generate_subscripts(sb, 1) - 1 AS INT) AS i,
+         |   unnest(sb) AS x
+         | FROM (SELECT s, code, ${sub("v", "s")} AS sb
+         |   FROM $aCte)""".stripMargin
+    def refit(gCte: String, prev: String) =
+      s"""SELECT p.s, p.j, coalesce(n.ent, p.ent) AS ent
+         | FROM $prev p LEFT JOIN (SELECT s, code AS j,
+         |     list(mv ORDER BY i) AS ent FROM $gCte GROUP BY s, code) n
+         |   USING (s, j)""".stripMargin
+    s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+       | init AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, v
+       |   FROM (SELECT vec_id, v FROM e0 ORDER BY vec_id LIMIT $ksub)),
+       | cb0 AS (SELECT sq.s, init.j, ${sub("init.v", "sq.s")} AS ent
+       |   FROM init CROSS JOIN
+       |     (SELECT CAST(unnest(range($m)) AS INT) AS s) sq),
+       | a1 AS MATERIALIZED (${assign("cb0")}),
+       | u1 AS (${update("a1")}),
+       | g1 AS (SELECT s, code, i,
+       |   sum(CAST(round(x * 1e6) AS BIGINT))::BIGINT / (count(*) * 1e6)
+       |     AS mv FROM u1 GROUP BY s, code, i),
+       | cb1 AS (${refit("g1", "cb0")}),
+       | a2 AS MATERIALIZED (${assign("cb1")}),
+       | u2 AS (${update("a2")}),
+       | g2 AS (SELECT s, code, i,
+       |   sum(CAST(round(x * 1e6) AS BIGINT))::BIGINT / (count(*) * 1e6)
+       |     AS mv FROM u2 GROUP BY s, code, i),
+       | cb2 AS (${refit("g2", "cb1")}),
+       | af AS (${assign("cb2")})
+       | SELECT vec_id AS n_id,
+       |   string_agg(CAST(code AS VARCHAR), '-' ORDER BY s) AS codes
+       | FROM af GROUP BY vec_id ORDER BY n_id""".stripMargin
+  }
+
   private lazy val dKmeansCtes: String = {
     def assign(cent: String) =
       s"""SELECT cell, v FROM (
@@ -2757,6 +2853,10 @@ object QueriesPipeline {
          | SELECT q_id, n_id, round(dist, 6) AS dist, rnk FROM ranked
          | WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
     "qp_ivfpq_topk" -> ivfPqTopKOracle,
+    "qp_pq_trained" -> pqTrainedOracle,
+    // the registry round-trip must reproduce the fresh-trained encode
+    // exactly — same oracle verbatim (the qp_ivf_persisted precedent)
+    "qp_pq_persisted" -> pqTrainedOracle,
     "qp_ivfpq_bucketed" ->
       // ivfPqTopK's oracle verbatim: the on-disk coded index must
       // reproduce the in-memory IVFADC probe exactly — the

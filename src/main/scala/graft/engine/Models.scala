@@ -191,6 +191,44 @@ final class ModelStore private[engine] (session: GraftSession) {
       .map(r => (r.getString(1), r.getString(2))).toSeq
   }
 
+  /** trained PQ codebooks as a flat (s, j, i, v) table — the
+    * `Pq.trainCodebooks` artifact (fifth kind: fit the quantizer ONCE,
+    * encode every later batch/stream with the frozen codebook —
+    * re-fitting per batch silently re-codes the corpus). Dims are
+    * recovered from the indices; the squared norms are re-derived by
+    * the same left-to-right fold, so a loaded codebook encodes
+    * bit-identically. */
+  def saveCodebooks(name: String, cb: graft.ops.Pq.Codebooks): Unit = {
+    val spark = session.spark
+    import spark.implicits._
+    val rows = for {
+      s <- 0 until cb.m; j <- 0 until cb.ksub; i <- 0 until cb.subDim
+    } yield (s, j, i, cb.flat((s * cb.ksub + j) * cb.subDim + i))
+    save(name, "pq", rows.toDF("s", "j", "i", "v"))
+  }
+
+  def loadCodebooks(name: String): graft.ops.Pq.Codebooks = {
+    require(kind(name) == "pq", s"model '$name' is kind '${kind(name)}'")
+    val rows = load(name).select(col("s"), col("j"), col("i"), col("v"))
+      .collect()
+    val m = rows.map(_.getInt(0)).max + 1
+    val ksub = rows.map(_.getInt(1)).max + 1
+    val subDim = rows.map(_.getInt(2)).max + 1
+    val flat = new Array[Double](m * ksub * subDim)
+    rows.foreach(r => flat(
+      (r.getInt(0) * ksub + r.getInt(1)) * subDim + r.getInt(2)) =
+      r.getDouble(3))
+    val cn2 = Array.tabulate(m * ksub) { cix =>
+      var acc = 0.0d
+      var i = 0
+      while (i < subDim) {
+        acc += flat(cix * subDim + i) * flat(cix * subDim + i); i += 1
+      }
+      acc
+    }
+    graft.ops.Pq.Codebooks(m, ksub, subDim, flat, cn2)
+  }
+
   /** per-stratum tier boundaries — the `Curation.tierBounds` frame
     * (strata, __b1..__b{n-1}); a loaded bounds table broadcast-joins
     * live batches/streams via `Curation.assignTiers` so the whole

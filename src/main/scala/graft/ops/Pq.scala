@@ -73,6 +73,76 @@ object Pq {
     df.select(col(idCol).as("n_id"),
       PqEncode.column(col(vecCol).cast("array<double>"), cb).as("codes"))
 
+  /** TRAIN per-subspace codebooks with Lloyd rounds — the FAISS
+    * practice (Jégou et al. 2011 §III trains each subquantizer with
+    * k-means): the seeded Gaussians of [[codebooks]] are a fine
+    * deterministic fixture, but fitted entries sit ON the data
+    * manifold and cut quantization error (spec-measured). Assignment
+    * per round is the SAME compiled [[PqEncode]] rule the encoder
+    * uses (score `cn2 − 2·dot`, ties → lower code), so training
+    * optimizes exactly the quantizer that will run; the update is one
+    * fixed-point (subspace, code, dim) aggregation — integer
+    * micro-unit sums, the [[Similarity.kmeansCentroids]] discipline,
+    * so the fitted entries are partition-invariant and the DuckDB
+    * oracle replays them bit-identically. Initialization: the `ksub`
+    * smallest-id vectors' slices (deterministic); a code that loses
+    * every member keeps its previous entry (the standard empty-cell
+    * rule). The collected update is control-plane (m·ksub·subDim
+    * doubles — the codebook itself). */
+  def trainCodebooks(df: DataFrame, idCol: String, vecCol: String,
+      m: Int, ksub: Int, iters: Int): Codebooks = {
+    require(m >= 1 && ksub >= 1 && iters >= 1, "bad PQ train params")
+    val c = Partitioning.spread(df.select(col(idCol).as("__id"),
+        col(vecCol).cast("array<double>").as("__v")))
+      .persist()
+    val dim = c.select(size(col("__v"))).first().getInt(0)
+    require(dim % m == 0, s"dim $dim must split into m=$m subspaces")
+    val subDim = dim / m
+    def mk(f: Array[Double]): Codebooks = {
+      val cn2 = Array.tabulate(m * ksub) { cix =>
+        var acc = 0.0d
+        var i = 0
+        while (i < subDim) {
+          acc += f(cix * subDim + i) * f(cix * subDim + i); i += 1
+        }
+        acc
+      }
+      Codebooks(m, ksub, subDim, f, cn2)
+    }
+    val init = c.orderBy("__id").limit(ksub).collect()
+      .map(_.getSeq[Double](1).toArray)
+    require(init.length == ksub,
+      s"need at least ksub=$ksub vectors, got ${init.length}")
+    var cur = new Array[Double](m * ksub * subDim)
+    for (s <- 0 until m; j <- 0 until ksub; i <- 0 until subDim)
+      cur((s * ksub + j) * subDim + i) = init(j)(s * subDim + i)
+    for (_ <- 1 to iters) {
+      val cb = mk(cur)
+      val rows = c
+        .select(col("__v"),
+          posexplode(PqEncode.column(col("__v"), cb)).as(Seq("s", "code")))
+        .select(col("s"), col("code"),
+          posexplode(expr(s"slice(__v, s * $subDim + 1, $subDim)"))
+            .as(Seq("i", "x")))
+        .groupBy("s", "code", "i")
+        .agg(sum(round(col("x") * 1e6).cast("long")).as("sx"),
+          count(lit(1)).as("n"))
+        // exact integer sum / exact double division — bit-identical
+        // on any engine (the kmeansCentroids rule)
+        .withColumn("mv", col("sx") / (col("n") * 1e6))
+        .select("s", "code", "i", "mv")
+        .collect()
+      val next = cur.clone() // empty-cell rule: keep previous entry
+      rows.foreach { r =>
+        next((r.getInt(0) * ksub + r.getInt(1)) * subDim + r.getInt(2)) =
+          r.getDouble(3)
+      }
+      cur = next
+    }
+    c.unpersist()
+    mk(cur)
+  }
+
   /** the ADC distance LUT for one query vector: for each (s, j),
     * `qn2_s - 2·dot(q_s, c_sj) + cn2_sj`, every fold left-to-right —
     * the exact arithmetic the oracle SQL re-derives from the

@@ -171,6 +171,35 @@ class PqSpec extends AnyFunSuite {
     assert(bad.head.isNullAt(0))
   }
 
+  test("trained codebooks cut quantization error vs seeded; training " +
+      "is partitioning-invariant") {
+    val e = vecs.toDF("vec_id", "v")
+    val trained = Pq.trainCodebooks(e, "vec_id", "v",
+      m = 4, ksub = 16, iters = 3)
+    // mean squared reconstruction error over the corpus
+    def mse(c: Pq.Codebooks): Double = vecs.map { case (_, v) =>
+      (0 until c.m).map { s =>
+        val code = (0 until c.ksub).minBy { j =>
+          val ent = c.entry(s, j)
+          (0 until c.subDim)
+            .map(i => math.pow(v(s * c.subDim + i) - ent(i), 2)).sum
+        }
+        val ent = c.entry(s, code)
+        (0 until c.subDim)
+          .map(i => math.pow(v(s * c.subDim + i) - ent(i), 2)).sum
+      }.sum
+    }.sum / vecs.size
+    val seededErr = mse(cb)
+    val trainedErr = mse(trained)
+    assert(trainedErr < seededErr * 0.8,
+      s"fitting must cut quantization error: $trainedErr vs $seededErr")
+    // fixed-point update rule → identical codebook under any layout
+    val trained2 = Pq.trainCodebooks(e.repartition(7), "vec_id", "v",
+      m = 4, ksub = 16, iters = 3)
+    assert(trained.flat.toSeq == trained2.flat.toSeq,
+      "training must be partitioning-invariant")
+  }
+
   test("ADC top-k ranks by ascending distance with no per-query skew") {
     val e = vecs.toDF("vec_id", "v")
     val got = Pq.adcTopK(e, e.filter(col("vec_id") < 3), "vec_id", "v",
