@@ -965,6 +965,34 @@ object QueriesPipeline {
           array_join(col("codes").cast("array<string>"), "-").as("codes"))
         .orderBy("n_id")
     }),
+    "qp_pq_residual_trained" -> ((s, dir) => {
+      // END-TO-END TRAINED IVFADC codes (Jégou 2011 §IV.B): coarse
+      // centroids trained (2 Lloyd rounds, cosine rule), residuals
+      // v − centroid(cell) computed against the fitted cells, and the
+      // per-subspace codebooks trained ON THE RESIDUALS — the
+      // codebook only has to cover the residual ball around each
+      // coarse centroid, far finer resolution than one global
+      // codebook. Every stage fitted to the data; codes serialize to
+      // one scalar for the gate.
+      val e = embs(s, dir)
+      val cents = Similarity.kmeansCentroidVectors(e,
+        e.filter(col("vec_id") < 16), "vec_id", "embedding", iters = 2)
+      val cs = Similarity.collectCentroids(
+        cents.select(col("cell").cast("long").as("vec_id"),
+          col("cv").as("embedding")),
+        "vec_id", "embedding")
+      val resid = Similarity.cellAssignments(e, cs, "vec_id", "embedding")
+        .join(broadcast(cents.select(col("cell"), col("cv"))), "cell")
+        .select(col("n_id").as("vec_id"),
+          zip_with(col("__cv"), col("cv"), (a, b) => a - b).as("rv"))
+        .localCheckpoint()
+      val cb = Pq.trainCodebooks(resid, "vec_id", "rv",
+        m = 2, ksub = 4, iters = 2)
+      Pq.encode(resid, "vec_id", "rv", cb)
+        .select(col("n_id"),
+          array_join(col("codes").cast("array<string>"), "-").as("codes"))
+        .orderBy("n_id")
+    }),
     "qp_ivfpq_bucketed" -> ((s, dir) => {
       // IVFADC's full DEPLOYMENT layout: the 64×-smaller CODED table
       // on disk, one directory per IVF cell; the probe pushes literal
@@ -1856,7 +1884,10 @@ object QueriesPipeline {
     * previous entry) closed by the final encode assignment — shared
     * verbatim by qp_pq_trained and qp_pq_persisted (the registry
     * round-trip must be bit-identical). */
-  private lazy val pqTrainedOracle: String = {
+  /** PQ training CTE sub-chain over a (vec_id, v DOUBLE[]) source CTE
+    * `src` (p-prefixed CTE names — safe to compose with dKmeansCtes):
+    * 2 unrolled Lloyd rounds ending in `paf` (vec_id, s, code). */
+  private def pqTrainCtes(src: String): String = {
     val m = 2; val ksub = 4; val subDim = 32
     def dotSub(a: String, b: String) =
       s"list_sum(list_transform(range($subDim), i -> $a[i+1] * $b[i+1]))"
@@ -1869,7 +1900,7 @@ object QueriesPipeline {
          |       ORDER BY ${dotSub("c.ent", "c.ent")}
          |         - 2 * ${dotSub(sub("e.v", "c.s"), "c.ent")} ASC, c.j)
          |       AS r
-         |   FROM e0 e CROSS JOIN $cbCte c) WHERE r = 1""".stripMargin
+         |   FROM $src e CROSS JOIN $cbCte c) WHERE r = 1""".stripMargin
     def update(aCte: String) =
       s"""SELECT s, code,
          |   CAST(generate_subscripts(sb, 1) - 1 AS INT) AS i,
@@ -1881,29 +1912,35 @@ object QueriesPipeline {
          | FROM $prev p LEFT JOIN (SELECT s, code AS j,
          |     list(mv ORDER BY i) AS ent FROM $gCte GROUP BY s, code) n
          |   USING (s, j)""".stripMargin
-    s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
-       | init AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, v
-       |   FROM (SELECT vec_id, v FROM e0 ORDER BY vec_id LIMIT $ksub)),
-       | cb0 AS (SELECT sq.s, init.j, ${sub("init.v", "sq.s")} AS ent
-       |   FROM init CROSS JOIN
+    s"""pinit AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, v
+       |   FROM (SELECT vec_id, v FROM $src ORDER BY vec_id LIMIT $ksub)),
+       | pcb0 AS (SELECT sq.s, pinit.j, ${sub("pinit.v", "sq.s")} AS ent
+       |   FROM pinit CROSS JOIN
        |     (SELECT CAST(unnest(range($m)) AS INT) AS s) sq),
-       | a1 AS MATERIALIZED (${assign("cb0")}),
-       | u1 AS (${update("a1")}),
-       | g1 AS (SELECT s, code, i,
+       | pa1 AS MATERIALIZED (${assign("pcb0")}),
+       | pu1 AS (${update("pa1")}),
+       | pg1 AS (SELECT s, code, i,
        |   sum(CAST(round(x * 1e6) AS BIGINT))::BIGINT / (count(*) * 1e6)
-       |     AS mv FROM u1 GROUP BY s, code, i),
-       | cb1 AS (${refit("g1", "cb0")}),
-       | a2 AS MATERIALIZED (${assign("cb1")}),
-       | u2 AS (${update("a2")}),
-       | g2 AS (SELECT s, code, i,
+       |     AS mv FROM pu1 GROUP BY s, code, i),
+       | pcb1 AS (${refit("pg1", "pcb0")}),
+       | pa2 AS MATERIALIZED (${assign("pcb1")}),
+       | pu2 AS (${update("pa2")}),
+       | pg2 AS (SELECT s, code, i,
        |   sum(CAST(round(x * 1e6) AS BIGINT))::BIGINT / (count(*) * 1e6)
-       |     AS mv FROM u2 GROUP BY s, code, i),
-       | cb2 AS (${refit("g2", "cb1")}),
-       | af AS (${assign("cb2")})
-       | SELECT vec_id AS n_id,
-       |   string_agg(CAST(code AS VARCHAR), '-' ORDER BY s) AS codes
-       | FROM af GROUP BY vec_id ORDER BY n_id""".stripMargin
+       |     AS mv FROM pu2 GROUP BY s, code, i),
+       | pcb2 AS (${refit("pg2", "pcb1")}),
+       | paf AS (${assign("pcb2")})""".stripMargin
   }
+
+  private val pqTrainedClose: String =
+    s"""SELECT vec_id AS n_id,
+       |   string_agg(CAST(code AS VARCHAR), '-' ORDER BY s) AS codes
+       | FROM paf GROUP BY vec_id ORDER BY n_id""".stripMargin
+
+  private lazy val pqTrainedOracle: String =
+    s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+       | ${pqTrainCtes("e0")}
+       | $pqTrainedClose""".stripMargin
 
   private lazy val dKmeansCtes: String = {
     def assign(cent: String) =
@@ -2857,6 +2894,26 @@ object QueriesPipeline {
     // the registry round-trip must reproduce the fresh-trained encode
     // exactly — same oracle verbatim (the qp_ivf_persisted precedent)
     "qp_pq_persisted" -> pqTrainedOracle,
+    "qp_pq_residual_trained" ->
+      // trained coarse cells (dKmeansCtes, cosine rule) → residuals →
+      // the SAME pq training chain, re-rooted at the residual CTE
+      s"""WITH $dKmeansCtes,
+         | c2k AS (SELECT cell, list(m ORDER BY dim) AS cv FROM g2
+         |   GROUP BY cell),
+         | centk AS (SELECT cell, cv, sqrt(${dDot("cv", "cv")}) AS cn
+         |   FROM c2k),
+         | asg AS (SELECT vec_id, v, cell FROM (
+         |   SELECT e.vec_id, e.v, centk.cell,
+         |     row_number() OVER (PARTITION BY e.vec_id
+         |       ORDER BY ${dDot("e.v", "centk.cv")} / (e.nn * centk.cn)
+         |         DESC, centk.cell) AS r
+         |   FROM e CROSS JOIN centk) WHERE r = 1),
+         | rsd AS MATERIALIZED (SELECT asg.vec_id,
+         |     list_transform(range(64),
+         |       i -> asg.v[i+1] - c2k.cv[i+1]) AS v
+         |   FROM asg JOIN c2k USING (cell)),
+         | ${pqTrainCtes("rsd")}
+         | $pqTrainedClose""".stripMargin,
     "qp_ivfpq_bucketed" ->
       // ivfPqTopK's oracle verbatim: the on-disk coded index must
       // reproduce the in-memory IVFADC probe exactly — the
