@@ -476,6 +476,51 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming funnel shares the batch MICROSECOND time base " +
+      "(sub-millisecond components bind identically)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val steps = Seq("a", "b")
+    def ts(hms: String, micros: Int): Timestamp = {
+      val t = Timestamp.valueOf(s"2026-01-01 $hms")
+      t.setNanos(micros * 1000)
+      t
+    }
+    // user 1: the second step lands EXACTLY windowUs after the first
+    // at microsecond precision (boundary inclusive: tUs - head ==
+    // windowUs binds); user 2: one microsecond past — must NOT bind.
+    // A millisecond-truncated time base sees both as in-window.
+    val winUs = 60L * 1000000 + 500 // 60.0005 s
+    val evs = Seq(
+      Ev(1, ts("10:00:00", 250), 1, "a", 1.0),
+      Ev(2, ts("10:01:00", 750), 1, "b", 1.0), // +60.0005 s exactly
+      Ev(3, ts("10:00:00", 250), 2, "a", 1.0),
+      Ev(4, ts("10:01:00", 751), 2, "b", 1.0)) // one micro too late
+    val input = MemoryStream[Ev]
+    val q = EventStream.streamingFunnel(input.toDS(), steps, winUs,
+        watermarkDelay = "1 minute")
+      .writeStream.format("memory").queryName("sfunnel_us")
+      .outputMode("append").start()
+    try {
+      input.addData(evs: _*)
+      q.processAllAvailable()
+      val conv = spark.table("sfunnel_us").filter(col("converted"))
+        .collect().map(r => (r.getLong(0), r.getTimestamp(2),
+          r.getTimestamp(3)))
+      assert(conv.map(_._1).toSeq == Seq(1L),
+        s"only user 1's boundary event binds: ${conv.toSeq}")
+      // emitted timestamps carry the full microsecond component
+      assert(conv(0)._2.getNanos == 250000 &&
+        conv(0)._3.getNanos == 750000, s"micros lost: ${conv.toSeq}")
+      // and the batch funnel agrees row-for-row on the same events
+      val batch = graft.ops.Funnel.orderedFunnel(evs.toDF(), "user_id",
+          "ts", "event_type", steps, winUs)
+        .filter(col("steps_reached") === 2)
+        .collect().map(_.getLong(0)).toSeq
+      assert(batch == Seq(1L), s"batch disagrees: $batch")
+    } finally q.stop()
+  }
+
   test("engagement buckets stream; scoring the live table equals batch") {
     // per-(user, bucket) integer micro sums are one additive streaming
     // aggregation; the decay scoring is a narrow read over the live
