@@ -288,6 +288,15 @@ object QueriesPipeline {
           "doc_id", "text", threshold = 0.8)
         .orderBy("a_id", "b_id")
     }),
+    "qp_containment_pairs" -> ((s, dir) => {
+      // asymmetric near-dup: |A∩B|/min(|A|,|B|) ≥ 0.9 catches a short
+      // doc embedded in a long one — pairs symmetric Jaccard (and so
+      // LSH/ppjoin) suppress by design. Blocked by lang only: the
+      // interesting pairs CROSS length bands, so no length blocking.
+      Dedup.containmentPairs(docs(s, dir), "doc_id", "text",
+          blockCols = Seq("lang"), threshold = 0.9)
+        .orderBy("a_id", "b_id")
+    }),
     "qp_soft_dedup" -> ((s, dir) => {
       // SoftDedup: every doc keeps 1e6/cluster_size micro-weight
       // instead of being dropped — same blocked near-dup pairs as
@@ -2652,6 +2661,17 @@ object QueriesPipeline {
          |   FROM t a JOIN t b ON a.lang = b.lang AND a.lb = b.lb
          |     AND a.doc_id < b.doc_id)
          | WHERE jac >= 0.8 ORDER BY a_id, b_id""".stripMargin,
+    "qp_containment_pairs" ->
+      s"""WITH t AS (SELECT doc_id, lang,
+         |   list_distinct(list_transform(${dShingles("text")},
+         |     x -> ${dH60("x")})) sh
+         |   FROM documents)
+         | SELECT a_id, b_id, containment FROM (
+         |   SELECT a.doc_id a_id, b.doc_id b_id,
+         |     round(len(list_intersect(a.sh, b.sh))*1.0 /
+         |       least(len(a.sh), len(b.sh)), 6) containment
+         |   FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+         | WHERE containment >= 0.9 ORDER BY a_id, b_id""".stripMargin,
     "qp_ann_topk" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
          | q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),

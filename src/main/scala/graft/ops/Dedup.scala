@@ -883,6 +883,47 @@ object Dedup {
     (labels, effective)
   }
 
+  /** Exact CONTAINMENT pairs within blocking keys — asymmetric
+    * near-dup detection: containment = |A∩B| / min(|A|,|B|) ≥ t finds
+    * a SHORT document embedded in a long one (quotes, excerpts, page
+    * wrappers around a syndicated article), exactly the pairs
+    * symmetric Jaccard suppresses (a 50-shingle doc inside a
+    * 500-shingle doc has containment 1.0 but Jaccard ≤ 0.1 — LSH and
+    * ppjoin both miss it by design). Blocking keys are
+    * caller-contracted like [[ngramJaccardPairs]], with the
+    * containment-specific caveat DOCUMENTED: never block on length —
+    * the interesting pairs cross length bands by construction (block
+    * on lang/source/domain instead). The verify reuses the sorted-set
+    * merge-scan at threshold 0 (exact count, no early exit —
+    * the Jaccard bound does not transfer to containment).
+    * Returns (a_id, b_id, containment) with a_id < b_id. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      blockCols: Seq[String], threshold: Double,
+      shingleN: Int = 4): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold in (0, 1]")
+    val s = spread(df).select((Seq(col(idCol).as("__id"),
+        explode(charShingles(col(textCol), shingleN)).as("__g")) ++
+        blockCols.map(col)): _*)
+      .withColumn("__h", hash60(col("__g")))
+      .groupBy((col("__id") +: blockCols.map(col)): _*)
+      .agg(sort_array(collect_set(col("__h"))).as("__sh"))
+      .persist()
+    val a = s.select((Seq(col("__id").as("a_id"),
+      col("__sh").as("__sha")) ++ blockCols.map(col)): _*)
+    val b = s.select((Seq(col("__id").as("b_id"),
+      col("__sh").as("__shb")) ++ blockCols.map(col)): _*)
+    val pairs = a.join(b, blockCols).filter(col("a_id") < col("b_id"))
+      .withColumn("__i",
+        VectorExprs.sortedOverlap(col("__sha"), col("__shb"), 0.0))
+      .withColumn("containment", round(col("__i").cast("double") /
+        least(size(col("__sha")), size(col("__shb"))), 6))
+      .filter(col("containment") >= threshold)
+      .select("a_id", "b_id", "containment")
+      .localCheckpoint()
+    s.unpersist()
+    pairs
+  }
+
   /** exact n-gram Jaccard pairs within blocking keys (quadratic per
     * block — use only after blocking/LSH has bounded the block size).
     * The shingle-set aggregation feeds both self-join sides and is

@@ -1064,6 +1064,26 @@ class OpsHygieneSpec extends AnyFunSuite {
       2L -> ((2L, Some(1000000L))), 3L -> ((1L, None))))
   }
 
+  test("containmentPairs: short-in-long caught at 1.0; symmetric " +
+      "Jaccard misses it") {
+    val long = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val short = (10 to 20).map(i => s"tok$i").mkString(" ")
+    val df = Seq((1L, long, "en"), (2L, short, "en"),
+      (3L, "wholly different content entirely", "en"))
+      .toDF("doc_id", "text", "lang")
+    // the short text is a verbatim substring → every one of its char
+    // shingles appears in the long doc → containment exactly 1.0
+    val cp = graft.ops.Dedup.containmentPairs(df, "doc_id", "text",
+        Seq("lang"), threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(cp.toSeq == Seq((1L, 2L, 1.0)), s"got ${cp.toSeq}")
+    // the same pair is INVISIBLE to symmetric Jaccard at any useful t
+    val jac = graft.ops.Dedup.ngramJaccardPairs(df, "doc_id", "text",
+      Seq("lang"), threshold = 0.8)
+    assert(jac.count() == 0,
+      "symmetric Jaccard must suppress the short-in-long pair")
+  }
+
   test("ndcgAtK: identity 1.0, hand-computed top-2 swap, miss-all 0") {
     val exact = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
       (1L, 13L, 4), (1L, 14L, 5),
