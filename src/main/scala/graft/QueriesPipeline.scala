@@ -1373,6 +1373,17 @@ object QueriesPipeline {
           col("n_chars"), k = 128, nTiers = 4)
         .orderBy("lang")
     }),
+    "qp_ks_drift" -> ((s, dir) => {
+      // bin-free drift: max CDF gap of doc length between the corpus
+      // halves over the deterministic KMV samples (same halves and
+      // sample rule as qp_psi_drift — the two statistics together
+      // tell banded attribution apart from point shifts)
+      val d = docs(s, dir)
+      Curation.ksDrift(d.filter(col("doc_id") < 250),
+          d.filter(col("doc_id") >= 250), "lang", "doc_id",
+          col("n_chars"), k = 128)
+        .orderBy("lang")
+    }),
     "qp_psi_bands" -> ((s, dir) => {
       // band-level drift attribution: WHICH quartile band drove the
       // qp_psi_drift number (same frozen reference bands)
@@ -3957,6 +3968,41 @@ object QueriesPipeline {
          |   coalesce(k.kept_chars, 0) AS kept_chars
          | FROM plan p LEFT JOIN kept k USING (source)
          | ORDER BY source""".stripMargin,
+    "qp_ks_drift" ->
+      // both halves' KMV samples (the qp_psi_drift sample rule), KS
+      // as the exact integer max-CDF-gap over the union of points
+      s"""WITH h1 AS (SELECT lang, n_chars AS v,
+         |     ${dH60("lang || ':' || CAST(doc_id AS VARCHAR)")} AS hk
+         |   FROM documents WHERE doc_id < 250),
+         | d1 AS (SELECT lang, hk, min(v) AS v FROM h1 GROUP BY lang, hk),
+         | r1 AS (SELECT lang, hk, v,
+         |     row_number() OVER (PARTITION BY lang ORDER BY hk) AS rn
+         |   FROM d1),
+         | s1 AS (SELECT lang, list(v) AS sa,
+         |     CAST(count(*) AS BIGINT) AS n1
+         |   FROM r1 WHERE rn <= 128 GROUP BY lang),
+         | h2 AS (SELECT lang, n_chars AS v,
+         |     ${dH60("lang || ':' || CAST(doc_id AS VARCHAR)")} AS hk
+         |   FROM documents WHERE doc_id >= 250),
+         | d2 AS (SELECT lang, hk, min(v) AS v FROM h2 GROUP BY lang, hk),
+         | r2 AS (SELECT lang, hk, v,
+         |     row_number() OVER (PARTITION BY lang ORDER BY hk) AS rn
+         |   FROM d2),
+         | s2 AS (SELECT lang, list(v) AS sb,
+         |     CAST(count(*) AS BIGINT) AS n2
+         |   FROM r2 WHERE rn <= 128 GROUP BY lang),
+         | j AS (SELECT s1.lang, sa, n1, sb, n2
+         |   FROM s1 JOIN s2 USING (lang)),
+         | pts AS (SELECT lang, sa, n1, sb, n2,
+         |     unnest(list_distinct(list_concat(sa, sb))) AS x FROM j),
+         | gaps AS (SELECT lang, n1, n2,
+         |     abs(CAST(len(list_filter(sa, e -> e <= x)) AS BIGINT) * n2
+         |       - CAST(len(list_filter(sb, e -> e <= x)) AS BIGINT) * n1)
+         |       AS gap
+         |   FROM pts)
+         | SELECT lang, n1 AS n_ref, n2 AS n_cur,
+         |   CAST(max(gap) AS BIGINT) * 1000000 // (n1 * n2) AS ks_micro
+         | FROM gaps GROUP BY lang, n1, n2 ORDER BY lang""".stripMargin,
     "qp_psi_drift" ->
       // reference-half quartile CTEs (the qp_quality_tiers sample,
       // restricted to doc_id < 250); add-half smoothing keeps empty

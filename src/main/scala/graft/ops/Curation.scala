@@ -475,6 +475,40 @@ object Curation {
       .agg(sum(col("n_ref")).as("n_ref"), sum(col("n_cur")).as("n_cur"),
         sum(col("term_micro")).as("psi_micro"))
 
+  /** Two-sample Kolmogorov–Smirnov drift on the deterministic KMV
+    * samples — the BIN-FREE companion to [[psiDrift]]: PSI needs
+    * frozen reference bands and a shift can straddle a band
+    * boundary; KS is the maximum CDF gap at ANY point. Per stratum:
+    * bounded samples A (n_ref ≤ k) and B (n_cur ≤ k), evaluated
+    * EXACTLY over the union of sample points with pure integer
+    * arithmetic — `ks_micro = max_x |c_A(x)·n_cur − c_B(x)·n_ref| ·
+    * 1e6 div (n_ref·n_cur)` where c is the ≤-count. State is two
+    * k-bounded arrays per stratum; the step-function max folds over
+    * ≤ 2k points of control-plane-sized arrays (the HOFs here scan
+    * bounded per-stratum samples, never corpus rows). Returns
+    * (strataCol, n_ref, n_cur, ks_micro). */
+  def ksDrift(ref: DataFrame, cur: DataFrame, strataCol: String,
+      idCol: String, score: Column, k: Int): DataFrame = {
+    val a = Sketch.kmvSampleArray(ref, strataCol, idCol, score, k)
+      .select(col(strataCol), col("__s").as("__sa"))
+    val b = Sketch.kmvSampleArray(cur, strataCol, idCol, score, k)
+      .select(col(strataCol), col("__s").as("__sb"))
+    a.join(b, strataCol)
+      .withColumn("n_ref", size(col("__sa")).cast("long"))
+      .withColumn("n_cur", size(col("__sb")).cast("long"))
+      .withColumn("__gap", aggregate(
+        transform(array_distinct(concat(col("__sa"), col("__sb"))), x =>
+          abs(size(filter(col("__sa"), e => e <= x)).cast("long") *
+              col("n_cur") -
+            size(filter(col("__sb"), e => e <= x)).cast("long") *
+              col("n_ref"))),
+        lit(0L), (acc, v) => greatest(acc, v)))
+      .withColumn("ks_micro",
+        expr("__gap * 1000000L div (n_ref * n_cur)"))
+      .select(col(strataCol), col("n_ref"), col("n_cur"),
+        col("ks_micro"))
+  }
+
   def ppsSample(df: DataFrame, idCol: String, strataCol: String,
       weightCol: String, n: Int): DataFrame = {
     val ord = Window.partitionBy(col(strataCol))

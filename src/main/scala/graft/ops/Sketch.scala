@@ -253,9 +253,13 @@ object Sketch {
     out
   }
 
-  def kmvQuantiles(df: DataFrame, strataCol: String, idCol: String,
-      value: Column, k: Int, qs: Seq[(String, Int, Int)]): DataFrame = {
-    require(k >= 1, "KMV quantile sample needs k >= 1")
+  /** the per-stratum deterministic bottom-k sample as ONE array
+    * column `__s` — the shared base of [[kmvQuantiles]] and the
+    * KS-drift statistic ([[Curation.ksDrift]]): values of the k
+    * hash-smallest (stratum, id) keys, bounded state per stratum. */
+  def kmvSampleArray(df: DataFrame, strataCol: String, idCol: String,
+      value: Column, k: Int): DataFrame = {
+    require(k >= 1, "KMV sample needs k >= 1")
     val hashed = df.select(col(strataCol),
       TextOps.hash60(concat(col(strataCol), lit(":"),
         col(idCol).cast("string"))).as("__hk"),
@@ -264,14 +268,18 @@ object Sketch {
       BottomKSample(GraftColumnBridge.expression(col("__hk")),
         GraftColumnBridge.expression(col("__v")), k)
         .toAggregateExpression())
+    hashed.groupBy(col(strataCol)).agg(sample.as("__s"))
+  }
+
+  def kmvQuantiles(df: DataFrame, strataCol: String, idCol: String,
+      value: Column, k: Int, qs: Seq[(String, Int, Int)]): DataFrame = {
     val sorted = array_sort(col("__s"))
     val qCols = qs.map { case (name, num, den) =>
       element_at(sorted,
         (expr(s"($num * (size(__s) - 1)) div $den") + 1).cast("int"))
         .as(name)
     }
-    hashed.groupBy(col(strataCol))
-      .agg(sample.as("__s"))
+    kmvSampleArray(df, strataCol, idCol, value, k)
       .select(col(strataCol) +:
         size(col("__s")).cast("long").as("sample_n") +: qCols: _*)
   }

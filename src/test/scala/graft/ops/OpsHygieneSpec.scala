@@ -1064,6 +1064,24 @@ class OpsHygieneSpec extends AnyFunSuite {
       2L -> ((2L, Some(1000000L))), 3L -> ((1L, None))))
   }
 
+  test("ksDrift: identical halves zero, disjoint shift 1.0, " +
+      "partitioning-invariant") {
+    val ref = (1L to 200L).map(i => (i, "s", i % 50))
+      .toDF("id", "g", "v")
+    val same = graft.ops.Curation.ksDrift(ref, ref, "g", "id",
+      col("v"), k = 64).collect().head
+    assert(same.getLong(3) == 0L, s"identical samples must gap 0: $same")
+    // +100 shifts every value past the reference range → max CDF gap 1
+    val shifted = ref.withColumn("v", col("v") + 100)
+    val ks = graft.ops.Curation.ksDrift(ref, shifted, "g", "id",
+      col("v"), k = 64).collect().head
+    assert(ks.getLong(3) == 1000000L, s"disjoint ranges must gap 1.0: $ks")
+    // deterministic hash sample → layout cannot move the statistic
+    val kp = graft.ops.Curation.ksDrift(ref.repartition(7),
+      shifted.repartition(3), "g", "id", col("v"), k = 64).collect().head
+    assert(kp.getLong(3) == ks.getLong(3))
+  }
+
   test("containmentPairs: short-in-long caught at 1.0; symmetric " +
       "Jaccard misses it") {
     val long = (1 to 60).map(i => s"tok$i").mkString(" ")
