@@ -201,6 +201,14 @@ object QueriesGraph {
       GraphOps.adamicAdarDF(TradeGraph.edges(s, dir),
           focal = col("src") < 100, minShared = 20)
         .orderBy(col("a_id"), col("b_id"))
+    }),
+    "qg_jaccard_links" -> ((s, dir) => {
+      // link prediction by neighbor-set Jaccard: the common-neighbor
+      // pairs normalized by the union of the two out-neighborhoods
+      // (micro-unit exact) — same focal bound as qg_common_suppliers
+      GraphOps.jaccardLinksDF(TradeGraph.edges(s, dir),
+          focal = col("src") < 100, minShared = 20)
+        .orderBy(col("a_id"), col("b_id"))
     })
   )
 
@@ -709,6 +717,21 @@ object QueriesGraph {
          |   JOIN w ON w.dst = a.dst
          | WHERE a.src < 100
          | GROUP BY 1, 2 HAVING count(*) >= 20
+         | ORDER BY a_id, b_id""".stripMargin,
+    "qg_jaccard_links" ->
+      s"""WITH $edgesCte,
+         | deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM e
+         |   GROUP BY src),
+         | p AS (SELECT a.src AS a_id, b.src AS b_id,
+         |     CAST(count(*) AS BIGINT) AS shared
+         |   FROM e a JOIN e b ON a.dst = b.dst AND a.src < b.src
+         |   WHERE a.src < 100
+         |   GROUP BY 1, 2 HAVING count(*) >= 20)
+         | SELECT a_id, b_id, shared, da.d AS da, db.d AS db,
+         |   CAST(round(CAST(shared AS DOUBLE) * 1e6 /
+         |     (da.d + db.d - shared), 0) AS BIGINT) AS jac_micro
+         | FROM p JOIN deg da ON p.a_id = da.src
+         |   JOIN deg db ON p.b_id = db.src
          | ORDER BY a_id, b_id""".stripMargin,
     "qg_triangles" ->
       s"""WITH $edgesCte,

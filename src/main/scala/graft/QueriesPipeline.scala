@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.{Bucketing, Tables}
-import graft.ops.{Classifier, Curation, Dedup, Pca, Pq, Similarity, SubstringIndex, TextOps}
+import graft.ops.{Classifier, Curation, Dedup, Density, Pca, Pq, Similarity, SubstringIndex, TextOps}
 import graft.ops.TextOps._
 
 /** Training-data pipeline corpus: deduplication (exact, MinHash+LSH,
@@ -31,6 +31,77 @@ object QueriesPipeline {
     ("table scan", "operator"), ("sort merge", "operator"),
     ("spark", "engine"),
     ("stream", "mode"), ("batch", "mode"))
+
+  /** qp_dbscan parameters — one place so the Spark call and the oracle
+    * SQL literal derive from the same numbers. */
+  private val DbscanEps = 80L
+  private val DbscanMinPts = 4
+
+  /** deterministic integer 2-D points for qp_dbscan, derived from
+    * vec_id alone (the deterministic-augmentation convention, cf.
+    * qp_boilerplate): nine 200×200 blobs on a 1000-grid plus a sparse
+    * wide noise field for every 17th id. All arithmetic is nonnegative
+    * integer (hash60 jitter), so both engines see identical points. */
+  private def dbscanPoints(s: SparkSession, dir: String): DataFrame =
+    embs(s, dir).select(col("vec_id").as("id"))
+      .withColumn("h",
+        TextOps.hash60(concat(lit("dbscan:"), col("id").cast("string"))))
+      .withColumn("x", when(col("id") % 17 === 0, expr("h % 3000"))
+        .otherwise(expr("((id % 9) % 3) * 1000 + h % 200")))
+      .withColumn("y", when(col("id") % 17 === 0,
+          expr("(h div 3000) % 3000"))
+        .otherwise(expr("((id % 9) div 3) * 1000 + (h div 200) % 200")))
+      .select(col("id"), col("x"), col("y"))
+
+  /** brute-force DBSCAN oracle: all-pairs ε-membership (n is small at
+    * the gate scale), core count, min-label connected components
+    * unrolled 16 rounds (cluster diameters here are ≤ a few hops —
+    * `DensitySpec` asserts the fixpoint), border adoption, noise −1.
+    * Point derivation replays [[dbscanPoints]] digit for digit. */
+  private def dbscanOracle: String = {
+    val e2 = DbscanEps * DbscanEps
+    val rounds = 16
+    val steps = (1 to rounds).map { t =>
+      s"""l$t AS MATERIALIZED (SELECT id, min(lbl) AS lbl FROM (
+         |   SELECT id, lbl FROM l${t - 1}
+         |   UNION ALL
+         |   SELECT u.b AS id, l${t - 1}.lbl FROM u
+         |     JOIN l${t - 1} ON u.a = l${t - 1}.id
+         | ) GROUP BY id)""".stripMargin
+    }.mkString(",\n ")
+    s"""WITH p AS (SELECT vec_id AS id,
+       |     ('0x' || substr(md5('dbscan:' || vec_id), 1, 15))::BIGINT AS h
+       |   FROM embeddings),
+       | pt AS MATERIALIZED (SELECT id,
+       |     CASE WHEN id % 17 = 0 THEN h % 3000
+       |       ELSE ((id % 9) % 3) * 1000 + h % 200 END AS x,
+       |     CASE WHEN id % 17 = 0 THEN (h // 3000) % 3000
+       |       ELSE ((id % 9) // 3) * 1000 + (h // 200) % 200 END AS y
+       |   FROM p),
+       | pairs AS MATERIALIZED (SELECT a.id AS ia, b.id AS ib
+       |   FROM pt a JOIN pt b
+       |   ON (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+       |     <= $e2),
+       | cnt AS MATERIALIZED (SELECT ia AS id,
+       |     CAST(count(*) AS BIGINT) AS n_nbr FROM pairs GROUP BY 1),
+       | cores AS MATERIALIZED (SELECT id FROM cnt
+       |   WHERE n_nbr >= $DbscanMinPts),
+       | ce AS (SELECT ia AS a, ib AS b FROM pairs
+       |   WHERE ia < ib AND ia IN (SELECT id FROM cores)
+       |     AND ib IN (SELECT id FROM cores)),
+       | u AS MATERIALIZED (SELECT a, b FROM ce
+       |   UNION ALL SELECT b, a FROM ce),
+       | l0 AS MATERIALIZED (SELECT id, id AS lbl FROM cores),
+       | $steps,
+       | bmin AS (SELECT pr.ia AS id, min(lc.lbl) AS bc FROM pairs pr
+       |   JOIN l$rounds lc ON pr.ib = lc.id WHERE pr.ia <> pr.ib
+       |   GROUP BY 1)
+       | SELECT c.id, c.n_nbr, (c.n_nbr >= $DbscanMinPts) AS is_core,
+       |   COALESCE(lc.lbl, bm.bc, -1) AS cluster
+       | FROM cnt c LEFT JOIN l$rounds lc ON c.id = lc.id
+       |   LEFT JOIN bmin bm ON c.id = bm.id
+       | ORDER BY c.id""".stripMargin
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- dedup -------------------------------------------------------
@@ -1216,6 +1287,29 @@ object QueriesPipeline {
         .groupBy("bigram").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("bigram"))
         .limit(20)
+    }),
+    "qp_pmi_bigrams" -> ((s, dir) => {
+      // PMI collocations: bigrams beating the independence prediction
+      // (exact integer counts; one log2 rounded at 4 decimals)
+      TextOps.pmiCollocations(docs(s, dir), "text", minPair = 5,
+        topK = 20)
+    }),
+    "qp_rake_phrases" -> ((s, dir) => {
+      // RAKE keyphrases: stopword-bounded candidate phrases scored by
+      // summed word deg/freq (integer micro-units; one global regexp
+      // cut, no per-doc window)
+      TextOps.rakePhrases(docs(s, dir), "text", maxPhraseLen = 4,
+        minCount = 2, topK = 20)
+    }),
+    "qp_dbscan" -> ((s, dir) => {
+      // grid-blocked DBSCAN over deterministic integer 2-D points:
+      // cells of side ε bound the candidate join to the 3×3 cell
+      // neighborhood; clusters are min-core-id connected components;
+      // border points adopt their smallest core neighbor's cluster
+      Density.dbscan(
+          graft.ops.Partitioning.spread(dbscanPoints(s, dir)),
+          "id", "x", "y", eps = DbscanEps, minPts = DbscanMinPts)
+        .orderBy(col("id"))
     }),
     "qp_kmv_distinct" -> ((s, dir) => {
       // per-language distinct-bigram cardinality via the KMV bottom-k
@@ -3680,6 +3774,64 @@ object QueriesPipeline {
          |   ELSE [] END) AS bigram FROM t)
          | SELECT bigram, count(*) AS n FROM b
          | GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
+    "qp_pmi_bigrams" ->
+      // same double expression tree as the Spark side: one fixed
+      // product/quotient over exact integer counts, then one log2
+      s"""WITH t AS (SELECT ${dTokens("text")} AS tok FROM documents),
+         | u AS (SELECT unnest(tok) AS w FROM t),
+         | uni AS (SELECT w, CAST(count(*) AS BIGINT) AS n_w FROM u
+         |   GROUP BY w),
+         | tt AS (SELECT CAST(sum(n_w) AS BIGINT) AS t_tok FROM uni),
+         | bgr AS (SELECT unnest(CASE WHEN len(tok) >= 2 THEN
+         |     list_transform(range(len(tok)-1),
+         |       i -> tok[i+1] || ' ' || tok[i+2])
+         |   ELSE [] END) AS bg FROM t),
+         | bc AS (SELECT bg, CAST(count(*) AS BIGINT) AS n_pair FROM bgr
+         |   GROUP BY bg HAVING count(*) >= 5),
+         | tb AS (SELECT CAST(sum(greatest(len(tok) - 1, 0)) AS BIGINT)
+         |     AS t_bg FROM t),
+         | sp AS (SELECT split_part(bg, ' ', 1) AS w1,
+         |     split_part(bg, ' ', 2) AS w2, n_pair FROM bc)
+         | SELECT w1, w2, n_pair, u1.n_w AS n_w1, u2.n_w AS n_w2,
+         |   round(log2((CAST(n_pair AS DOUBLE) * t_tok * t_tok) /
+         |     ((CAST(u1.n_w AS DOUBLE) * u2.n_w) * t_bg)), 4) AS pmi
+         | FROM sp JOIN uni u1 ON sp.w1 = u1.w
+         |   JOIN uni u2 ON sp.w2 = u2.w
+         |   CROSS JOIN tt CROSS JOIN tb
+         | ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin,
+    "qp_rake_phrases" -> {
+      // stopword alternation GENERATED from the same Scala list the
+      // engine regex uses (TextOps.StopProbe — seeded-constants rule);
+      // the space-doubling trick keeps stopword matches non-overlapping
+      // in one global regexp pass on both engines
+      val stopAlt = graft.ops.TextOps.StopProbe.mkString("|")
+      s"""WITH j AS (SELECT ' ' ||
+         |     array_to_string(${dTokens("text")}, ' ') || ' ' AS s
+         |   FROM documents),
+         | c AS (SELECT regexp_replace(replace(s, ' ', '  '),
+         |     ' ($stopAlt) ', ' | ', 'g') AS s FROM j),
+         | seg AS (SELECT unnest(string_split(s, '|')) AS seg FROM c),
+         | occ AS MATERIALIZED (SELECT phrase,
+         |     CAST(len(string_split(phrase, ' ')) AS BIGINT) AS n_words
+         |   FROM (SELECT trim(regexp_replace(seg, ' +', ' ', 'g'))
+         |       AS phrase FROM seg)
+         |   WHERE phrase <> ''
+         |     AND len(string_split(phrase, ' ')) <= 4),
+         | ws AS (SELECT w, CAST(round(CAST(sum(n_words) AS DOUBLE) *
+         |       1e6 / count(*), 0) AS BIGINT) AS ws
+         |   FROM (SELECT n_words, unnest(string_split(phrase, ' ')) AS w
+         |     FROM occ) GROUP BY w),
+         | ty AS (SELECT phrase, n_words, CAST(count(*) AS BIGINT) AS n
+         |   FROM occ GROUP BY 1, 2 HAVING count(*) >= 2),
+         | sc AS (SELECT phrase, n_words, n,
+         |     CAST(sum(ws.ws) AS BIGINT) AS score_micro
+         |   FROM (SELECT phrase, n_words, n,
+         |       unnest(string_split(phrase, ' ')) AS w FROM ty) x
+         |   JOIN ws USING (w) GROUP BY 1, 2, 3)
+         | SELECT phrase, n_words, n, score_micro FROM sc
+         | ORDER BY score_micro DESC, n DESC, phrase LIMIT 20""".stripMargin
+    },
+    "qp_dbscan" -> dbscanOracle,
     "qp_kmv_distinct" ->
       // KMV estimator constant generated from the same Scala values
       // (Sketch.HashSpace, k = 256)

@@ -438,6 +438,59 @@ object QueriesRelational {
           round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
           round(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"))
         .orderBy($"o_orderstatus")
+    }),
+    "q_freq_itemsets" -> ((s, dir) => {
+      // market-basket mining: top co-purchased part pairs per order
+      // basket with lift + confidence (Apriori depth 2 — the 1-item
+      // support prune runs before the only quadratic stage)
+      graft.ops.Association.frequentPairs(t(s, dir, "lineitem"),
+        "l_orderkey", "l_partkey", minItemSupport = 2,
+        minPairSupport = 2, topK = 50)
+    }),
+    "q_item_recs" -> ((s, dir) => {
+      // item-based CF: top-3 "bought-together" recommendations per
+      // part by basket-incidence cosine
+      import s.implicits._
+      graft.ops.Association.itemRecs(t(s, dir, "lineitem"),
+          "l_orderkey", "l_partkey", minItemSupport = 2,
+          minPairSupport = 2, perItem = 3)
+        .orderBy($"item", $"rnk")
+    }),
+    "q_cusum_shift" -> ((s, dir) => {
+      // CUSUM mean-shift detection per event type over daily counts —
+      // integer-exact via the prefix-min identity (no recursion)
+      import s.implicits._
+      graft.ops.Funnel.cusumShift(t(s, dir, "events"), "ts",
+          "event_type")
+        .orderBy($"event_type")
+    }),
+    "q_ewma_forecast" -> ((s, dir) => {
+      // exponential-smoothing forecast of the daily value total per
+      // event type (integer cents x integer micro weights; one float
+      // division at the end)
+      import s.implicits._
+      graft.ops.Funnel.ewmaForecast(t(s, dir, "events"), "ts",
+          "event_type", "value", alpha = 0.3, maxBuckets = 64)
+        .orderBy($"event_type")
+    }),
+    "q_skyline" -> ((s, dir) => {
+      // Pareto frontier: parts no other part beats on BOTH price
+      // (lower) and size (bigger) — prefix-max over the aggregated
+      // distinct-price frame, never the textbook O(n²) nested loop
+      import s.implicits._
+      graft.ops.Analytics.skyline2d(t(s, dir, "part"), "p_partkey",
+          costCol = expr("round(p_retailprice * 100, 0)"),
+          gainCol = col("p_size"))
+        .orderBy($"cost", $"id")
+    }),
+    "q_seasonal_dow" -> ((s, dir) => {
+      // day-of-week seasonality profile per event type: mean daily
+      // volume and the multiplicative seasonal index in micro-units
+      import s.implicits._
+      graft.ops.Analytics.seasonalDow(t(s, dir, "events"), "ts",
+          "event_type")
+        .withColumnRenamed("grp", "event_type")
+        .orderBy($"event_type", $"dow")
     })
   )
 
@@ -770,6 +823,125 @@ object QueriesRelational {
         |   round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
         |   round(quantile_cont(o_totalprice, 0.99), 4) AS p99
         | FROM orders GROUP BY o_orderstatus
-        | ORDER BY o_orderstatus""".stripMargin
+        | ORDER BY o_orderstatus""".stripMargin,
+    "q_freq_itemsets" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS basket,
+        |     l_partkey AS item FROM lineitem),
+        | ic AS (SELECT item, CAST(count(*) AS BIGINT) AS n_item FROM b
+        |   GROUP BY item HAVING count(*) >= 2),
+        | nb AS (SELECT CAST(count(DISTINCT basket) AS BIGINT)
+        |     AS n_baskets FROM b),
+        | pr AS (SELECT basket, item FROM b
+        |   WHERE item IN (SELECT item FROM ic)),
+        | p AS (SELECT a.item AS item_a, c.item AS item_b,
+        |     CAST(count(*) AS BIGINT) AS n_pair
+        |   FROM pr a JOIN pr c ON a.basket = c.basket
+        |     AND a.item < c.item
+        |   GROUP BY 1, 2 HAVING count(*) >= 2)
+        | SELECT item_a, item_b, n_pair, ca.n_item AS n_a,
+        |   cb.n_item AS n_b,
+        |   round(CAST(n_pair AS DOUBLE) * nb.n_baskets /
+        |     (CAST(ca.n_item AS DOUBLE) * cb.n_item), 4) AS lift,
+        |   round(CAST(n_pair AS DOUBLE) / ca.n_item, 4) AS conf_ab
+        | FROM p JOIN ic ca ON p.item_a = ca.item
+        |   JOIN ic cb ON p.item_b = cb.item CROSS JOIN nb
+        | ORDER BY n_pair DESC, item_a, item_b LIMIT 50""".stripMargin,
+    "q_item_recs" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS basket,
+        |     l_partkey AS item FROM lineitem),
+        | ic AS (SELECT item, CAST(count(*) AS BIGINT) AS n_item FROM b
+        |   GROUP BY item HAVING count(*) >= 2),
+        | pr AS (SELECT basket, item FROM b
+        |   WHERE item IN (SELECT item FROM ic)),
+        | p AS (SELECT a.item AS item_a, c.item AS item_b,
+        |     CAST(count(*) AS BIGINT) AS n_pair
+        |   FROM pr a JOIN pr c ON a.basket = c.basket
+        |     AND a.item < c.item
+        |   GROUP BY 1, 2 HAVING count(*) >= 2),
+        | d AS (SELECT item_a AS item, item_b AS rec, n_pair FROM p
+        |   UNION ALL SELECT item_b, item_a, n_pair FROM p),
+        | sc AS (SELECT d.item, d.rec, d.n_pair,
+        |     round(CAST(d.n_pair AS DOUBLE) /
+        |       sqrt(CAST(ci.n_item AS DOUBLE) * cr.n_item), 4) AS sim
+        |   FROM d JOIN ic ci ON d.item = ci.item
+        |     JOIN ic cr ON d.rec = cr.item),
+        | r AS (SELECT *, row_number() OVER (PARTITION BY item
+        |     ORDER BY sim DESC, n_pair DESC, rec) AS rnk FROM sc)
+        | SELECT item, rec, n_pair, sim, rnk FROM r WHERE rnk <= 3
+        | ORDER BY item, rnk""".stripMargin,
+    "q_cusum_shift" ->
+      """WITH b AS (SELECT event_type,
+        |     epoch_us(ts) // 86400000000 AS bucket,
+        |     CAST(count(*) AS BIGINT) AS n
+        |   FROM events GROUP BY 1, 2),
+        | st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS d,
+        |     CAST(sum(n) AS BIGINT) AS s FROM b GROUP BY 1),
+        | t AS (SELECT b.event_type, b.bucket, b.n, st.d,
+        |     CAST(sum(b.n * st.d - st.s) OVER (PARTITION BY b.event_type
+        |       ORDER BY b.bucket ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |       CURRENT ROW) AS BIGINT) AS tt
+        |   FROM b JOIN st USING (event_type)),
+        | c AS (SELECT event_type, bucket, n, d,
+        |     tt - least(CAST(min(tt) OVER (PARTITION BY event_type
+        |       ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |       CURRENT ROW) AS BIGINT), 0) AS cusum FROM t),
+        | r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |     ORDER BY cusum DESC, bucket) AS rn FROM c)
+        | SELECT event_type, d AS n_buckets, bucket AS peak_bucket,
+        |   n AS peak_n, cusum AS peak_cusum FROM r WHERE rn = 1
+        | ORDER BY event_type""".stripMargin,
+    "q_ewma_forecast" -> {
+      // EWMA weights GENERATED from the same Scala table the Spark
+      // literal array uses (seeded-constants rule, like
+      // q_decayed_engagement's decay factors)
+      val table = graft.ops.Funnel.ewmaWeightsMicro(0.3, 64)
+      val values = table.zipWithIndex
+        .map { case (m, i) => s"($i, $m)" }.mkString(", ")
+      s"""WITH w(i, wt) AS (VALUES $values),
+         | daily AS (SELECT event_type,
+         |     epoch_us(ts) // 86400000000 AS bucket,
+         |     CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+         |       AS cents
+         |   FROM events GROUP BY 1, 2),
+         | mx AS (SELECT event_type, max(bucket) AS maxb FROM daily
+         |   GROUP BY 1),
+         | j AS (SELECT daily.event_type, cents,
+         |     CAST(maxb - bucket AS INT) AS i FROM daily
+         |   JOIN mx USING (event_type) WHERE maxb - bucket < 64)
+         | SELECT event_type, CAST(count(*) AS BIGINT) AS n_buckets,
+         |   round(CAST(sum(cents * wt) AS DOUBLE) /
+         |     CAST(sum(wt) AS BIGINT) / 100.0, 4) AS forecast
+         | FROM j JOIN w USING (i)
+         | GROUP BY event_type ORDER BY event_type""".stripMargin
+    },
+    "q_skyline" ->
+      // the semantic spec: NOT-EXISTS dominance over all pairs (n is
+      // small at gate scale) — the engine's prefix-max formulation
+      // must reproduce it exactly, co-survivors included
+      """WITH p AS (SELECT p_partkey AS id,
+        |     CAST(round(p_retailprice * 100, 0) AS BIGINT) AS cost,
+        |     CAST(p_size AS BIGINT) AS gain FROM part)
+        | SELECT id, cost, gain FROM p a
+        | WHERE NOT EXISTS (SELECT 1 FROM p b
+        |   WHERE b.cost <= a.cost AND b.gain >= a.gain
+        |     AND (b.cost < a.cost OR b.gain > a.gain))
+        | ORDER BY cost, id""".stripMargin,
+    "q_seasonal_dow" ->
+      """WITH d AS (SELECT event_type,
+        |     epoch_us(ts) // 86400000000 AS bucket,
+        |     CAST(count(*) AS BIGINT) AS n
+        |   FROM events GROUP BY 1, 2),
+        | w AS (SELECT event_type, bucket % 7 AS dow,
+        |     CAST(count(*) AS BIGINT) AS n_days,
+        |     CAST(sum(n) AS BIGINT) AS s FROM d GROUP BY 1, 2),
+        | t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS dd,
+        |     CAST(sum(n) AS BIGINT) AS ss FROM d GROUP BY 1)
+        | SELECT w.event_type, dow, n_days,
+        |   round(CAST(s AS DOUBLE) / n_days, 4) AS mean_n,
+        |   CAST(round(CAST(s AS DOUBLE) * dd /
+        |     (CAST(n_days AS DOUBLE) * ss) * 1e6, 0) AS BIGINT)
+        |     AS idx_micro
+        | FROM w JOIN t USING (event_type)
+        | ORDER BY event_type, dow""".stripMargin
   )
 }

@@ -268,6 +268,42 @@ object GraphOps {
       .filter(col("shared") >= minShared)
   }
 
+  /** Jaccard-coefficient link prediction (Liben-Nowell & Kleinberg
+    * 2003, public paper): for candidate pairs sharing ≥ `minShared`
+    * out-neighbors, jac = |N(a)∩N(b)| / |N(a)∪N(b)| with the union
+    * expanded exactly as d(a)+d(b)−shared — all longs until ONE
+    * rounded micro-unit division (`round(1e6·shared/union)`), so the
+    * scores hash-match any engine. Complements [[adamicAdarDF]] (which
+    * weights by neighbor rarity; Jaccard normalizes by the pair's own
+    * degrees).
+    *
+    * Scale shape: one partial-agg out-degree count joined onto the
+    * AGGREGATED pair frame (Spark broadcasts it when it fits and
+    * shuffles when a 100 TB vertex set doesn't — both correct here);
+    * the candidate join is the same dst-keyed wedge join as the
+    * common-neighbor query (never all-pairs). */
+  def jaccardLinksDF(edges: DataFrame, focal: Column,
+      minShared: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
+    val a = e.filter(focal).select(col("src").as("a_id"), col("dst"))
+    val b = e.select(col("src").as("b_id"), col("dst"))
+    val pairs = a.join(b, "dst").filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+    pairs
+      .join(deg.select(col("src").as("a_id"), col("__deg").as("da")),
+        "a_id")
+      .join(deg.select(col("src").as("b_id"), col("__deg").as("db")),
+        "b_id")
+      .select(col("a_id"), col("b_id"), col("shared"), col("da"),
+        col("db"),
+        round(col("shared").cast("double") * 1e6 /
+          (col("da") + col("db") - col("shared")), 0)
+          .cast("long").as("jac_micro"))
+  }
+
   /** HITS hubs & authorities (Kleinberg 1999, public paper),
     * UNNORMALIZED with integer scores: h₀ = 1 everywhere; per round
     * aₜ(v) = Σ_{u→v} hₜ₋₁(u), then hₜ(u) = Σ_{u→v} aₜ(v). Dropping

@@ -243,4 +243,88 @@ object Funnel {
       .groupBy(col("cohort_period"), col("offset"))
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /** CUSUM mean-shift detection (Page 1954) per event type over
+    * bucketed counts, INTEGER-EXACT: the positive-side CUSUM
+    * Sᵢ = max(0, Sᵢ₋₁ + (xᵢ − mean)) is computed non-recursively as
+    * Tᵢ − min(0, min_{j≤i} Tⱼ) with Tᵢ the running sum of deviations
+    * (the classic prefix-min identity), and every deviation is scaled
+    * by the bucket count D (xᵢ·D − S) so the mean never becomes a
+    * fraction. Returns one row per type: the peak bucket (earliest on
+    * ties) and the peak CUSUM in count×D units.
+    *
+    * Scale shape: bucket counts partial-combine on (type, bucket);
+    * per-type totals broadcast back (rateSpikes' shape); the two
+    * running windows and the rank run over the AGGREGATED bucket frame
+    * (types × buckets — already reduced), partitioned by type. */
+  def cusumShift(events: DataFrame, tsCol: String, typeCol: String,
+      bucketUs: Long = 86400000000L): DataFrame = {
+    require(bucketUs > 0, "bucketUs must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val b = events
+      .groupBy(col(typeCol).as("event_type"),
+        expr(s"unix_micros($tsCol) div ${bucketUs}L").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val st = b.groupBy(col("event_type").as("__et"))
+      .agg(count(lit(1)).as("__d"), sum(col("n")).as("__s"))
+    val run = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = b.join(broadcast(st), col("event_type") === col("__et"))
+      .withColumn("__t", sum(col("n") * col("__d") - col("__s")).over(run))
+      .withColumn("cusum", col("__t") - least(min(col("__t")).over(run),
+        lit(0L)))
+    val rnk = Window.partitionBy(col("event_type"))
+      .orderBy(col("cusum").desc, col("bucket"))
+    scored.withColumn("__r", row_number().over(rnk))
+      .filter(col("__r") === 1)
+      .select(col("event_type"), col("__d").as("n_buckets"),
+        col("bucket").as("peak_bucket"), col("n").as("peak_n"),
+        col("cusum").as("peak_cusum"))
+  }
+
+  /** integer weight table for [[ewmaForecast]]: micro-unit factors
+    * `round(1e6 · (1−α)^i)` for bucket offsets 0..n−1 — computed ONCE
+    * in Scala so the Spark literal array and the oracle's list literal
+    * are the same numbers (the seeded-constants rule; see
+    * [[decayTableMicro]]). */
+  def ewmaWeightsMicro(alpha: Double, n: Int): Seq[Long] = {
+    require(alpha > 0 && alpha < 1 && n >= 1, "bad EWMA params")
+    (0 until n).map(i => math.round(1e6 * math.pow(1 - alpha, i)))
+  }
+
+  /** EWMA one-step forecast of the bucketed value total per event type
+    * (exponential smoothing with normalized weights — pandas
+    * `adjust=True`): forecast = Σ_d v_d·w(Δd) / Σ_d w(Δd) with
+    * Δd the calendar-bucket offset from the type's newest bucket and
+    * w the [[ewmaWeightsMicro]] table (buckets older than `maxBuckets`
+    * fall out of the horizon). Values enter as exact integer cents
+    * (`round(value·100)` per event), weights as integer micros, so both
+    * aggregation sums are exact longs; the single float division is
+    * rounded at 4 decimals. Returns (event_type, n_buckets, forecast).
+    *
+    * Scale shape: per-(type, bucket) partial-agg of cents; per-type
+    * newest bucket broadcast back; one weighted partial-agg over the
+    * reduced bucket frame. No windows. */
+  def ewmaForecast(events: DataFrame, tsCol: String, typeCol: String,
+      valueCol: String, alpha: Double = 0.3, maxBuckets: Int = 64,
+      bucketUs: Long = 86400000000L): DataFrame = {
+    require(bucketUs > 0, "bucketUs must be positive")
+    val wTab = ewmaWeightsMicro(alpha, maxBuckets)
+    val daily = events
+      .groupBy(col(typeCol).as("event_type"),
+        expr(s"unix_micros($tsCol) div ${bucketUs}L").as("bucket"))
+      .agg(sum(round(col(valueCol) * 100, 0).cast("long")).as("cents"))
+    val newest = daily.groupBy(col("event_type").as("__et"))
+      .agg(max(col("bucket")).as("__maxb"))
+    val idx = (col("__maxb") - col("bucket")).cast("int")
+    val wt = element_at(lit(wTab.toArray), idx + 1)
+    daily.join(broadcast(newest), col("event_type") === col("__et"))
+      .filter(idx < maxBuckets)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("cents") * wt).as("__num"), sum(wt).as("__den"))
+      .select(col("event_type"), col("n_buckets"),
+        round(col("__num").cast("double") / col("__den") / 100.0, 4)
+          .as("forecast"))
+  }
 }

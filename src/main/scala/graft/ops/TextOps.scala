@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deterministic text primitives for the training-data pipeline
@@ -730,6 +730,109 @@ object TextOps {
 
   /** word bigrams of a token array (empty when fewer than 2 tokens). */
   def bigrams(tokens: Column): Column = wordNgrams(tokens, 2)
+
+  /** Pointwise-mutual-information collocations (Church & Hanks 1990):
+    * bigrams whose observed frequency beats the independence prediction,
+    * pmi = log₂(P(ab)/(P(a)·P(b))) with P(ab) = c_ab/T_bg over bigram
+    * occurrences and P(w) = c_w/T_tok over token occurrences. The ratio
+    * is assembled from exact integer counts in ONE fixed double
+    * expression ((c_ab·T·T)/((c_a·c_b)·T_bg) — products in double so a
+    * web-scale T² can't overflow a long) and the single log₂ is rounded
+    * at 4 decimals — the oracle replays the identical tree. `minPair`
+    * suppresses the low-count PMI explosion (rare pairs otherwise
+    * dominate the ranking — the standard PMI pathology).
+    *
+    * Scale shape: two explode + partial-agg passes (tokens, bigrams);
+    * the scoring joins run over the AGGREGATED count frames keyed by
+    * word, so Spark broadcasts small vocabularies and shuffles big
+    * ones; totals ride a 1-row broadcast cross join.
+    * Returns (w1, w2, n_pair, n_w1, n_w2, pmi), top `topK` by pmi. */
+  def pmiCollocations(df: DataFrame, textCol: String, minPair: Long = 5,
+      topK: Int = 20): DataFrame = {
+    require(minPair >= 1 && topK >= 1, "minPair and topK must be positive")
+    val toks = graft.ops.Partitioning.spread(df)
+      .select(explode(tokensWs(col(textCol))).as("w")).persist()
+    val uni = toks.groupBy("w").agg(count(lit(1)).as("n_w"))
+    val tTok = uni.agg(sum(col("n_w")).as("t_tok"))
+    val bg = graft.ops.Partitioning.spread(df)
+      .select(explode(bigrams(tokensWs(col(textCol)))).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minPair)
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .withColumn("w2", split(col("bg"), " ").getItem(1))
+    val tBg = df.select(
+      sum(greatest(size(tokensWs(col(textCol))) - 1, lit(0))).as("t_bg"))
+    val ratio = (col("n_pair").cast("double") * col("t_tok") * col("t_tok")) /
+      ((col("n_w1").cast("double") * col("n_w2")) * col("t_bg"))
+    bg.join(uni.select(col("w").as("w1"), col("n_w").as("n_w1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("n_w").as("n_w2")), "w2")
+      .crossJoin(broadcast(tTok)).crossJoin(broadcast(tBg))
+      .select(col("w1"), col("w2"), col("n_pair"), col("n_w1"), col("n_w2"),
+        round(log2(ratio), 4).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
+
+  /** RAKE keyphrase extraction (Rose et al. 2010, public chapter):
+    * candidate phrases are maximal stopword-free token runs; each word
+    * scores deg(w)/freq(w) where deg sums the lengths of the phrase
+    * occurrences containing it and freq counts its occurrences; a
+    * phrase scores the sum of its words' scores. Word scores are fixed
+    * to micro-units (`round(1e6·deg/freq)` — ONE IEEE division each,
+    * same on both engines) so the phrase score is an exact integer sum
+    * with no float-accumulation order to diverge on.
+    *
+    * Phrase segmentation is pure codegen'd string column work — no
+    * per-doc window, no HOF lambda in the scoring path: the token
+    * array is re-joined, spaces doubled so stopword matches can never
+    * overlap, one global regexp pass cuts at stopwords, and the
+    * resulting segments EXPLODE into the occurrence frame where plain
+    * column functions normalize them. Runs longer than `maxPhraseLen`
+    * words are dropped whole (the common RAKE practice), `minCount`
+    * drops one-off phrases.
+    *
+    * Scale shape: two explode + partial-agg passes (word stats, phrase
+    * counts); scoring joins ride the AGGREGATED phrase-type and word
+    * frames. Stopwords come from [[StopProbe]] — the oracle derives
+    * its regex from the same Scala value (seeded-constants rule).
+    * Output: (phrase, n_words, n, score_micro), top `topK` by score. */
+  def rakePhrases(df: DataFrame, textCol: String, maxPhraseLen: Int = 4,
+      minCount: Long = 2, topK: Int = 20): DataFrame = {
+    require(maxPhraseLen >= 1 && minCount >= 1 && topK >= 1,
+      "maxPhraseLen, minCount and topK must be positive")
+    val stopAlt = StopProbe.mkString("|")
+    val joined = concat(lit(" "),
+      array_join(tokensWs(col(textCol)), " "), lit(" "))
+    val cut = regexp_replace(regexp_replace(joined, " ", "  "),
+      s" ($stopAlt) ", " | ")
+    val occ = graft.ops.Partitioning.spread(df)
+      .select(explode(split(cut, "\\|")).as("__seg"))
+      .select(trim(regexp_replace(col("__seg"), " +", " ")).as("phrase"))
+      .filter(col("phrase") =!= "")
+      .withColumn("n_words", size(split(col("phrase"), " ")).cast("long"))
+      .filter(col("n_words") <= maxPhraseLen)
+      .persist()
+    val wordScore = occ
+      .select(col("n_words"), explode(split(col("phrase"), " ")).as("w"))
+      .groupBy(col("w"))
+      .agg(sum(col("n_words")).as("__deg"), count(lit(1)).as("__freq"))
+      .select(col("w"), round(col("__deg").cast("double") * 1e6 /
+        col("__freq"), 0).cast("long").as("__ws"))
+    val types = occ.groupBy(col("phrase"), col("n_words"))
+      .agg(count(lit(1)).as("n")).filter(col("n") >= minCount)
+    val scored = types
+      .select(col("phrase"), col("n_words"), col("n"),
+        explode(split(col("phrase"), " ")).as("w"))
+      .join(wordScore, "w")
+      .groupBy(col("phrase"), col("n_words"), col("n"))
+      .agg(sum(col("__ws")).as("score_micro"))
+    val out = scored
+      .orderBy(col("score_micro").desc, col("n").desc, col("phrase"))
+      .limit(topK)
+      .localCheckpoint()
+    occ.unpersist()
+    out
+  }
 
   // ------------------------------------------- cleaning / repetition
   /** PII patterns, restricted to syntax shared by Java regex and RE2

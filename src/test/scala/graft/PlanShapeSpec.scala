@@ -364,6 +364,28 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!sd.contains("Window"), sd)
   }
 
+  test("round-8 extension operators keep their scale shape") {
+    // frequent itemsets: the within-basket self-join is an equi-join
+    // on the basket key, never a cartesian; counts partial-combine
+    val fi = finalPlan(df("q_freq_itemsets"))
+    assert(!fi.contains("CartesianProduct"), fi)
+    assert(fi.contains("partial_count"), fi)
+    // DBSCAN: candidate generation is an equi-join on cell keys (the
+    // 3x3 grid block), never an all-pairs product
+    val db = finalPlan(df("qp_dbscan"))
+    assert(!db.contains("CartesianProduct") &&
+      !db.contains("BroadcastNestedLoopJoin"), db)
+    // CUSUM / EWMA: per-type stats come back as a BROADCAST join onto
+    // the aggregated bucket frame (the rateSpikes shape)
+    val cu = finalPlan(df("q_cusum_shift"))
+    assert(cu.contains("BroadcastHashJoin"), cu)
+    val ew = finalPlan(df("q_ewma_forecast"))
+    assert(ew.contains("BroadcastHashJoin") && !ew.contains("Window"), ew)
+    // PMI: both count passes partial-combine before their shuffles
+    val pm = finalPlan(df("qp_pmi_bigrams"))
+    assert(pm.contains("partial_count"), pm)
+  }
+
   test("indexed CONTAINSTEXT probes the posting table, not the corpus") {
     // fresh sessions: the shared cached dialect session may already
     // carry the index after EntrySmokeSpec ran qd_containstext_idx
