@@ -386,6 +386,31 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(pm.contains("partial_count"), pm)
   }
 
+  test("round-8b operators keep their scale shape") {
+    // skyline: the corpus-sized stage is a partial-agg groupBy(cost);
+    // the unpartitioned prefix-max window only ever sees the
+    // aggregated distinct-cost frame; the survivor set comes back as
+    // a semi-join, never a nested-loop dominance check
+    val sk = finalPlan(df("q_skyline"))
+    assert(sk.contains("partial_max") && sk.contains("LeftSemi"), sk)
+    assert(!sk.contains("CartesianProduct") &&
+      !sk.contains("BroadcastNestedLoopJoin"), sk)
+    // seasonality: per-type totals broadcast onto the aggregated
+    // (type, dow) frame; no windows anywhere
+    val sd = finalPlan(df("q_seasonal_dow"))
+    assert(sd.contains("BroadcastHashJoin") && !sd.contains("Window"), sd)
+    // RAKE: its result hides behind localCheckpoint, so capture the
+    // executions it triggers — the scoring pass must partial-combine
+    // and NO captured plan may contain a per-doc window
+    val rk = capturedPlans { df("qp_rake_phrases").collect() }
+    assert(rk.exists(_.contains("partial_count")), rk.mkString("\n---\n"))
+    assert(rk.forall(!_.contains("Window")), rk.mkString("\n---\n"))
+    // Jaccard links: the wedge join is equi-keyed on dst
+    val jl = finalPlan(df("qg_jaccard_links"))
+    assert(!jl.contains("CartesianProduct") &&
+      !jl.contains("BroadcastNestedLoopJoin"), jl)
+  }
+
   test("indexed CONTAINSTEXT probes the posting table, not the corpus") {
     // fresh sessions: the shared cached dialect session may already
     // carry the index after EntrySmokeSpec ran qd_containstext_idx
