@@ -213,7 +213,15 @@ object QueriesDialect {
         "where n_tokens >= 5 order by doc_id, chunk_id")),
     "qd_pipe_bm25" -> ((s, dir) => gq(s, dir,
       "select doc_id, bm25 from bm25_topk(documents, 'doc_id', " +
-        "'text', 'spark stream join', 10) order by bm25 desc, doc_id"))
+        "'text', 'spark stream join', 10) order by bm25 desc, doc_id")),
+    "qd_pipe_itemsets" -> ((s, dir) => gq(s, dir,
+      "select item_a, item_b, n_pair, n_a, n_b, lift, conf_ab from " +
+        "frequent_pairs(lineitem, 'l_orderkey', 'l_partkey', 2, 2, 50) " +
+        "order by n_pair desc, item_a, item_b")),
+    "qd_pipe_rake" -> ((s, dir) => gq(s, dir,
+      "select phrase, n_words, n, score_micro from " +
+        "rake_phrases(documents, 'text', 4, 2, 20) " +
+        "order by score_micro desc, n desc, phrase"))
   )
 
   private def gq(s: SparkSession, dir: String, sql: String): DataFrame =
@@ -424,6 +432,8 @@ object QueriesDialect {
     "qd_pipe_chunk_docs" ->
       s"""SELECT * FROM (${QueriesPipeline.oracleSql("qp_chunk_docs")})
          | WHERE n_tokens >= 5""".stripMargin,
-    "qd_pipe_bm25" -> QueriesPipeline.oracleSql("qp_bm25_topk")
+    "qd_pipe_bm25" -> QueriesPipeline.oracleSql("qp_bm25_topk"),
+    "qd_pipe_itemsets" -> QueriesRelational.oracleSql("q_freq_itemsets"),
+    "qd_pipe_rake" -> QueriesPipeline.oracleSql("qp_rake_phrases")
   )
 }

@@ -40,17 +40,26 @@ object QueriesPipeline {
   /** deterministic integer 2-D points for qp_dbscan, derived from
     * vec_id alone (the deterministic-augmentation convention, cf.
     * qp_boilerplate): nine 200×200 blobs on a 1000-grid plus a sparse
-    * wide noise field for every 17th id. All arithmetic is nonnegative
-    * integer (hash60 jitter), so both engines see identical points. */
+    * wide noise field for every 17th id — and each 4500-id block lands
+    * on its own diagonal 4000-offset TILE (gap > eps, so tiles never
+    * interact). Growing sf therefore adds AREA at constant density —
+    * the natural-density regime DBSCAN's grid blocking is linear in —
+    * instead of densifying one fixed window quadratically (measured:
+    * un-tiled sf0.1 paid 8.0 s, dominated by ~10× denser blobs). All
+    * arithmetic is nonnegative integer (hash60 jitter), so both
+    * engines see identical points; sf0.01 (500 ids) is bit-identical
+    * to the un-tiled derivation. */
   private def dbscanPoints(s: SparkSession, dir: String): DataFrame =
     embs(s, dir).select(col("vec_id").as("id"))
       .withColumn("h",
         TextOps.hash60(concat(lit("dbscan:"), col("id").cast("string"))))
-      .withColumn("x", when(col("id") % 17 === 0, expr("h % 3000"))
-        .otherwise(expr("((id % 9) % 3) * 1000 + h % 200")))
-      .withColumn("y", when(col("id") % 17 === 0,
-          expr("(h div 3000) % 3000"))
-        .otherwise(expr("((id % 9) div 3) * 1000 + (h div 200) % 200")))
+      .withColumn("t", expr("(id div 4500) * 4000"))
+      .withColumn("x", col("t") +
+        when(col("id") % 17 === 0, expr("h % 3000"))
+          .otherwise(expr("((id % 9) % 3) * 1000 + h % 200")))
+      .withColumn("y", col("t") +
+        when(col("id") % 17 === 0, expr("(h div 3000) % 3000"))
+          .otherwise(expr("((id % 9) div 3) * 1000 + (h div 200) % 200")))
       .select(col("id"), col("x"), col("y"))
 
   /** brute-force DBSCAN oracle: all-pairs ε-membership (n is small at
@@ -73,8 +82,10 @@ object QueriesPipeline {
        |     ('0x' || substr(md5('dbscan:' || vec_id), 1, 15))::BIGINT AS h
        |   FROM embeddings),
        | pt AS MATERIALIZED (SELECT id,
+       |     (id // 4500) * 4000 +
        |     CASE WHEN id % 17 = 0 THEN h % 3000
        |       ELSE ((id % 9) % 3) * 1000 + h % 200 END AS x,
+       |     (id // 4500) * 4000 +
        |     CASE WHEN id % 17 = 0 THEN (h // 3000) % 3000
        |       ELSE ((id % 9) // 3) * 1000 + (h // 200) % 200 END AS y
        |   FROM p),
@@ -1292,6 +1303,12 @@ object QueriesPipeline {
       // PMI collocations: bigrams beating the independence prediction
       // (exact integer counts; one log2 rounded at 4 decimals)
       TextOps.pmiCollocations(docs(s, dir), "text", minPair = 5,
+        topK = 20)
+    }),
+    "qp_textrank" -> ((s, dir) => {
+      // TextRank keywords: integer-micro PageRank over the word
+      // adjacency graph (3 rounds, exact longs end-to-end)
+      TextOps.textrankKeywords(docs(s, dir), "text", iters = 3,
         topK = 20)
     }),
     "qp_rake_phrases" -> ((s, dir) => {
@@ -3799,6 +3816,37 @@ object QueriesPipeline {
          |   JOIN uni u2 ON sp.w2 = u2.w
          |   CROSS JOIN tt CROSS JOIN tb
          | ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin,
+    "qp_textrank" -> {
+      // unrolled integer-micro PageRank over the word graph — same
+      // update rule digit for digit (// on positive longs ≡ div)
+      val rounds = (1 to 3).map { t =>
+        s"""m$t AS MATERIALIZED (SELECT und.b AS w,
+           |     CAST(sum(r.rank // d.deg) AS BIGINT) AS m
+           |   FROM und JOIN r${t - 1} r ON r.w = und.a
+           |     JOIN deg d ON d.w = und.a GROUP BY 1),
+           | r$t AS MATERIALIZED (SELECT deg.w,
+           |     CAST(150000 + (85 * coalesce(m.m, 0)) // 100 AS BIGINT)
+           |       AS rank
+           |   FROM deg LEFT JOIN m$t m ON m.w = deg.w)""".stripMargin
+      }.mkString(",\n ")
+      s"""WITH t AS (SELECT ${dTokens("text")} AS tok FROM documents),
+         | bgr AS (SELECT unnest(CASE WHEN len(tok) >= 2 THEN
+         |     list_transform(range(len(tok)-1),
+         |       i -> tok[i+1] || ' ' || tok[i+2])
+         |   ELSE [] END) AS bg FROM t),
+         | e0 AS (SELECT DISTINCT split_part(bg, ' ', 1) AS a,
+         |     split_part(bg, ' ', 2) AS b FROM bgr),
+         | und AS MATERIALIZED (SELECT DISTINCT a, b FROM (
+         |     SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0)
+         |   WHERE a <> b),
+         | deg AS MATERIALIZED (SELECT a AS w,
+         |     CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY 1),
+         | r0 AS (SELECT w, CAST(1000000 AS BIGINT) AS rank FROM deg),
+         | $rounds
+         | SELECT r.w, deg.deg, r.rank AS rank_micro
+         | FROM r3 r JOIN deg USING (w)
+         | ORDER BY rank_micro DESC, w LIMIT 20""".stripMargin
+    },
     "qp_rake_phrases" -> {
       // stopword alternation GENERATED from the same Scala list the
       // engine regex uses (TextOps.StopProbe — seeded-constants rule);

@@ -491,6 +491,38 @@ object QueriesRelational {
           "event_type")
         .withColumnRenamed("grp", "event_type")
         .orderBy($"event_type", $"dow")
+    }),
+    "q_trend_test" -> ((s, dir) => {
+      // Mann-Kendall S (integer-exact) + Theil-Sen lower-median slope
+      // per event type over daily counts — pairwise only on the
+      // aggregated bucket axis, never on events
+      import s.implicits._
+      graft.ops.Analytics.trendTest(t(s, dir, "events"), "ts",
+          "event_type")
+        .withColumnRenamed("grp", "event_type")
+        .orderBy($"event_type")
+    }),
+    "q_gini_suppliers" -> ((s, dir) => {
+      // revenue concentration among suppliers within each nation:
+      // exact integer Gini numerator/denominator, one closing division
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+      val sup = t(s, dir, "supplier")
+        .select($"s_suppkey", $"s_nationkey")
+      graft.ops.Analytics.giniConcentration(
+          li.join(broadcast(sup), $"l_suppkey" === $"s_suppkey"),
+          "s_nationkey", "l_suppkey", "l_extendedprice")
+        .withColumnRenamed("grp", "s_nationkey")
+        .orderBy($"s_nationkey")
+    }),
+    "q_benford" -> ((s, dir) => {
+      // first-digit integrity audit of order totals per status —
+      // expectation table generated once in Scala for both engines
+      import s.implicits._
+      graft.ops.Analytics.benfordDeviation(t(s, dir, "orders"),
+          "o_orderstatus", "o_totalprice")
+        .withColumnRenamed("grp", "o_orderstatus")
+        .orderBy($"o_orderstatus", $"digit")
     })
   )
 
@@ -942,6 +974,70 @@ object QueriesRelational {
         |     (CAST(n_days AS DOUBLE) * ss) * 1e6, 0) AS BIGINT)
         |     AS idx_micro
         | FROM w JOIN t USING (event_type)
-        | ORDER BY event_type, dow""".stripMargin
+        | ORDER BY event_type, dow""".stripMargin,
+    "q_trend_test" ->
+      """WITH b AS (SELECT event_type,
+        |     epoch_us(ts) // 86400000000 AS bucket,
+        |     CAST(count(*) AS BIGINT) AS n
+        |   FROM events GROUP BY 1, 2),
+        | p AS (SELECT i.event_type, i.bucket AS bi, j.bucket AS bj,
+        |     i.n AS ni, j.n AS nj,
+        |     CAST(round(CAST(j.n - i.n AS DOUBLE) * 1e6 /
+        |       (j.bucket - i.bucket), 0) AS BIGINT) AS slope
+        |   FROM b i JOIN b j ON i.event_type = j.event_type
+        |     AND i.bucket < j.bucket),
+        | r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |       ORDER BY slope, bi, bj) AS rn,
+        |     count(*) OVER (PARTITION BY event_type) AS cnt FROM p),
+        | a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+        |     CAST(sum(CASE WHEN nj > ni THEN 1 WHEN nj < ni THEN -1
+        |       ELSE 0 END) AS BIGINT) AS s_stat,
+        |     max(CASE WHEN rn = (cnt + 1) // 2 THEN slope END)
+        |       AS slope_micro
+        |   FROM r GROUP BY 1),
+        | nb AS (SELECT event_type, CAST(count(*) AS BIGINT)
+        |     AS n_buckets FROM b GROUP BY 1)
+        | SELECT a.event_type, n_buckets, n_pairs, s_stat, slope_micro
+        | FROM a JOIN nb USING (event_type) ORDER BY event_type""".stripMargin,
+    "q_gini_suppliers" ->
+      """WITH t AS (SELECT s_nationkey, l_suppkey,
+        |     CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+        |       AS BIGINT) AS x
+        |   FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |   GROUP BY 1, 2),
+        | r AS (SELECT s_nationkey, x, row_number() OVER (
+        |     PARTITION BY s_nationkey ORDER BY x, l_suppkey) AS i
+        |   FROM t)
+        | SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_members,
+        |   CAST(sum(x) AS BIGINT) AS total_cents,
+        |   round((2.0 * CAST(sum(i * x) AS BIGINT) -
+        |     (count(*) + 1) * CAST(sum(x) AS BIGINT)) /
+        |     (CAST(count(*) AS DOUBLE) * CAST(sum(x) AS BIGINT)), 6)
+        |     AS gini
+        | FROM r GROUP BY 1 ORDER BY s_nationkey""".stripMargin,
+    "q_benford" -> {
+      // expected shares GENERATED from the same Scala table the engine
+      // literal array uses (seeded-constants rule — libm log10 is not
+      // correctly-rounded, so neither engine calls it at query time)
+      val values = graft.ops.Analytics.BenfordMicro.zipWithIndex
+        .map { case (m, i) => s"(${i + 1}, $m)" }.mkString(", ")
+      s"""WITH ex(digit, exp_micro) AS (VALUES $values),
+         | c AS (SELECT o_orderstatus,
+         |     CAST(substring(CAST(CAST(round(o_totalprice * 100, 0)
+         |       AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
+         |     CAST(count(*) AS BIGINT) AS n_d
+         |   FROM orders WHERE round(o_totalprice * 100, 0) > 0
+         |   GROUP BY 1, 2),
+         | t AS (SELECT o_orderstatus, CAST(sum(n_d) AS BIGINT) AS n
+         |   FROM c GROUP BY 1)
+         | SELECT c.o_orderstatus, c.digit, n_d,
+         |   CAST(round(CAST(n_d AS DOUBLE) * 1e6 / t.n, 0) AS BIGINT)
+         |     AS obs_micro,
+         |   CAST(exp_micro AS BIGINT) AS exp_micro,
+         |   abs(CAST(round(CAST(n_d AS DOUBLE) * 1e6 / t.n, 0)
+         |     AS BIGINT) - exp_micro) AS dev_micro
+         | FROM c JOIN t USING (o_orderstatus) JOIN ex USING (digit)
+         | ORDER BY o_orderstatus, digit""".stripMargin
+    }
   )
 }

@@ -1,7 +1,7 @@
 package graft.engine
 
 import org.apache.spark.sql.DataFrame
-import graft.ops.{Curation, Dedup, TextOps}
+import graft.ops.{Association, Curation, Dedup, TextOps}
 
 /** Dialect TABLE functions over the pipeline operator layer (SURVEY §8)
   * — `SELECT FROM dedup_pairs(documents, 'doc_id', 'text', 0.8)` runs
@@ -25,7 +25,8 @@ object PipelineTables {
   /** the registered table-function names (parser-fuzz + docs surface). */
   val names: Set[String] =
     Set("dedup_pairs", "exact_dups", "quality_gate", "c4_clean",
-      "fingerprints", "chunk_docs", "bm25_topk")
+      "fingerprints", "chunk_docs", "bm25_topk", "frequent_pairs",
+      "rake_phrases")
 
   def resolve(catalog: Catalog, fn: String,
       args: Seq[SqlExpr]): DataFrame = {
@@ -82,6 +83,14 @@ object PipelineTables {
         if (terms.isEmpty) bad("argument 4 must name at least one term")
         TextOps.bm25TopK(classArg(0), strArg(1), strArg(2), terms,
           intArg(4))
+      case "frequent_pairs" => // (class, basketF, itemF, minI, minP, k)
+        arity(6)
+        Association.frequentPairs(classArg(0), strArg(1), strArg(2),
+          intArg(3).toLong, intArg(4).toLong, intArg(5))
+      case "rake_phrases" => // (class, textField, maxLen, minCount, k)
+        arity(5)
+        TextOps.rakePhrases(classArg(0), strArg(1), intArg(2),
+          intArg(3).toLong, intArg(4))
       case other =>
         // unknown function → parse error (§2.5 contract, same as
         // scalar functions)

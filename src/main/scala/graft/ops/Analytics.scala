@@ -46,6 +46,123 @@ object Analytics {
       .select(col("id"), col("cost"), col("gain"))
   }
 
+  /** Benford expected first-digit shares as micro-units,
+    * round(1e6·log₁₀(1+1/d)) for d = 1..9 — computed ONCE in Scala so
+    * the engine literals and the oracle VALUES rows are the same
+    * numbers (libm log10 is not guaranteed correctly-rounded across
+    * engines, so neither side may call it at query time). */
+  val BenfordMicro: Seq[Long] =
+    (1 to 9).map(d => math.round(1e6 * math.log10(1.0 + 1.0 / d)))
+
+  /** Benford's-law first-digit audit per group (Newcomb 1881, Benford
+    * 1938 — the standard numeric-integrity screen): values are fixed
+    * to integer cents, the first significant digit read off the
+    * decimal string, and each digit's observed share compared to the
+    * [[BenfordMicro]] expectation — obs_micro = round(1e6·n_d/N) and
+    * dev_micro = |obs − exp| stay exact longs (ONE IEEE division per
+    * digit). Rows with non-positive value are excluded (no first
+    * significant digit).
+    *
+    * Scale shape: one partial-agg (group, digit) count; per-group
+    * totals broadcast back; the 9-row expectation table is a literal
+    * map expression, not a join. Output: (grp, digit, n_d, obs_micro,
+    * exp_micro, dev_micro). */
+  def benfordDeviation(df: DataFrame, grpCol: String,
+      valueCol: String): DataFrame = {
+    val cents = round(col(valueCol) * 100, 0).cast("long")
+    val counts = df.select(col(grpCol).as("grp"), cents.as("__c"))
+      .filter(col("__c") > 0)
+      .withColumn("digit",
+        substring(col("__c").cast("string"), 1, 1).cast("int"))
+      .groupBy(col("grp"), col("digit"))
+      .agg(count(lit(1)).as("n_d"))
+    val tot = counts.groupBy(col("grp").as("__g"))
+      .agg(sum(col("n_d")).as("__n"))
+    val expMicro = element_at(lit(BenfordMicro.toArray), col("digit"))
+    counts.join(broadcast(tot), col("grp") === col("__g"))
+      .withColumn("obs_micro",
+        round(col("n_d").cast("double") * 1e6 / col("__n"), 0)
+          .cast("long"))
+      .select(col("grp"), col("digit"), col("n_d"), col("obs_micro"),
+        expMicro.as("exp_micro"),
+        abs(col("obs_micro") - expMicro).as("dev_micro"))
+  }
+
+  /** Nonparametric trend test per group over bucketed counts:
+    * Mann-Kendall S = Σ_{i<j} sign(n_j − n_i) (exact integer — the
+    * standard monotone-trend statistic) plus the Theil-Sen slope
+    * estimator, the LOWER median of the pairwise slopes
+    * (n_j − n_i)/(b_j − b_i) fixed to micro-units per pair so the
+    * ordering and the pick are engine-exact (ties broken on the bucket
+    * pair, so the selection is deterministic even among equal slopes).
+    *
+    * Scale shape: the pairwise self-join and the median window run
+    * over the AGGREGATED (group × bucket) frame — quadratic in a
+    * group's BUCKET count (a bounded calendar axis), never in events;
+    * corpus growth adds events per bucket, not pairs.
+    * Output: (grp, n_buckets, n_pairs, s_stat, slope_micro). */
+  def trendTest(events: DataFrame, tsCol: String, grpCol: String,
+      bucketUs: Long = 86400000000L): DataFrame = {
+    require(bucketUs > 0, "bucketUs must be positive")
+    val b = events
+      .groupBy(col(grpCol).as("grp"),
+        expr(s"unix_micros($tsCol) div ${bucketUs}L").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .persist()
+    val i = b.select(col("grp"), col("bucket").as("bi"), col("n").as("ni"))
+    val j = b.select(col("grp"), col("bucket").as("bj"), col("n").as("nj"))
+    val pairs = i.join(j, "grp").filter(col("bi") < col("bj"))
+      .withColumn("__slope", round((col("nj") - col("ni"))
+        .cast("double") * 1e6 / (col("bj") - col("bi")), 0).cast("long"))
+    val w = Window.partitionBy(col("grp"))
+      .orderBy(col("__slope"), col("bi"), col("bj"))
+    val ranked = pairs
+      .withColumn("__r", row_number().over(w))
+      .withColumn("__cnt",
+        count(lit(1)).over(Window.partitionBy(col("grp"))))
+      .withColumn("__sgn", signum((col("nj") - col("ni")).cast("double"))
+        .cast("long"))
+    val agg = ranked.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("__sgn")).as("s_stat"),
+        max(when(col("__r") === expr("(__cnt + 1) div 2"),
+          col("__slope"))).as("slope_micro"))
+    val nb = b.groupBy(col("grp").as("__g"))
+      .agg(count(lit(1)).as("n_buckets"))
+    val out = agg.join(broadcast(nb), col("grp") === col("__g"))
+      .select(col("grp"), col("n_buckets"), col("n_pairs"),
+        col("s_stat"), col("slope_micro"))
+      .localCheckpoint()
+    b.unpersist()
+    out
+  }
+
+  /** Gini concentration coefficient per group (Gini 1912; the market-
+    * concentration staple): members are first reduced to integer-cent
+    * totals, ranked ascending within their group, and
+    * G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx) closes with ONE double
+    * division (numerator and denominator are exact longs). Equal
+    * totals permute freely under the rank without changing Σ i·xᵢ, so
+    * the value is hash-stable under any partitioning.
+    *
+    * Scale shape: the corpus reduces via one partial-agg to (group,
+    * member) totals; the rank window rides that AGGREGATED frame
+    * partitioned by group (members per group, not events).
+    * Output: (grp, n_members, total_cents, gini). */
+  def giniConcentration(df: DataFrame, grpCol: String, keyCol: String,
+      valueCol: String): DataFrame = {
+    val totals = df.groupBy(col(grpCol).as("grp"), col(keyCol).as("__k"))
+      .agg(sum(round(col(valueCol) * 100, 0).cast("long")).as("__x"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("__x"), col("__k"))
+    totals.withColumn("__i", row_number().over(w))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_members"), sum(col("__x")).as("total_cents"),
+        sum(col("__i") * col("__x")).as("__ix"))
+      .select(col("grp"), col("n_members"), col("total_cents"),
+        round((lit(2.0) * col("__ix") - (col("n_members") + 1) *
+          col("total_cents")) / (col("n_members").cast("double") *
+          col("total_cents")), 6).as("gini"))
+  }
+
   /** Day-of-week seasonality profile per group: bucket events into
     * calendar days, then for each (group, dow) report the day count,
     * the mean daily event count and the multiplicative seasonal index

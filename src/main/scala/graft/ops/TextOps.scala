@@ -834,6 +834,56 @@ object TextOps {
     out
   }
 
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004, public
+    * paper): PageRank over the word-adjacency graph (an undirected
+    * edge between tokens that ever appear side by side), the classic
+    * graph-based keyword ranker. Ranks run in INTEGER micro-units —
+    * r₀ = 1e6; per round msg(v) = Σ_{u~v} (r(u) div deg(u)) and
+    * r'(v) = 150000 + (85·msg) div 100 — so every sum is an exact
+    * integer (no float-accumulation order to diverge on; the
+    * betweenness/HITS integer-score discipline). Integer division
+    * truncates ≤ deg ulps per round — ranking-irrelevant and replayed
+    * digit for digit by the oracle.
+    *
+    * Scale shape: one explode + distinct for the edge set (vocabulary-
+    * sized, not corpus-sized), a partial-agg degree count, and per
+    * round ONE equi-join + partial-agg shuffle on the word key — the
+    * pageRankDF shape over a string-keyed graph.
+    * Output: (w, deg, rank_micro), top `topK` by rank. */
+  def textrankKeywords(df: DataFrame, textCol: String, iters: Int = 3,
+      topK: Int = 20): DataFrame = {
+    require(iters >= 1 && topK >= 1, "iters and topK must be positive")
+    val adj = graft.ops.Partitioning.spread(df)
+      .select(explode(wordNgrams(tokensWs(col(textCol)), 2)).as("bg"))
+      .select(split(col("bg"), " ").getItem(0).as("a"),
+        split(col("bg"), " ").getItem(1).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val und = adj.unionByName(
+        adj.select(col("b").as("a"), col("a").as("b")))
+      .distinct().persist()
+    val deg = und.groupBy(col("a").as("w"))
+      .agg(count(lit(1)).as("deg")).persist()
+    var r = deg.select(col("w"), lit(1000000L).as("rank"))
+    for (_ <- 1 to iters) {
+      val msg = und
+        .join(r.select(col("w").as("a"), col("rank")), "a")
+        .join(deg.select(col("w").as("a"), col("deg").as("__d")), "a")
+        .select(col("b").as("w"), expr("rank div __d").as("__c"))
+        .groupBy(col("w")).agg(sum(col("__c")).as("__m"))
+      r = deg.select(col("w")).join(msg, Seq("w"), "left_outer")
+        .select(col("w"), (lit(150000L) +
+          expr("85 * coalesce(__m, 0L) div 100")).as("rank"))
+    }
+    val out = r.join(deg, "w")
+      .select(col("w"), col("deg"), col("rank").as("rank_micro"))
+      .orderBy(col("rank_micro").desc, col("w"))
+      .limit(topK)
+      .localCheckpoint()
+    und.unpersist(); deg.unpersist()
+    out
+  }
+
   // ------------------------------------------- cleaning / repetition
   /** PII patterns, restricted to syntax shared by Java regex and RE2
     * (no lookaround/backrefs) so the scrub is reproducible in any

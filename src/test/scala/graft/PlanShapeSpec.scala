@@ -409,6 +409,32 @@ class PlanShapeSpec extends AnyFunSuite {
     val jl = finalPlan(df("qg_jaccard_links"))
     assert(!jl.contains("CartesianProduct") &&
       !jl.contains("BroadcastNestedLoopJoin"), jl)
+    // Gini: the supplier dim broadcasts; the rank window runs ABOVE
+    // the first aggregate (member totals), never on raw lineitem
+    val gi = df("q_gini_suppliers").queryExecution.optimizedPlan.toString
+    assert(gi.contains("Window"), gi)
+    assert(gi.indexOf("Aggregate", gi.indexOf("Window")) > 0,
+      "the rank window must sit above the member-total aggregate\n" + gi)
+    val gip = finalPlan(df("q_gini_suppliers"))
+    assert(gip.contains("BroadcastHashJoin"), gip)
+    // Benford: expectation table is a literal expression — exactly one
+    // join (the per-group total broadcast), no second join for exp
+    val bf = finalPlan(df("q_benford"))
+    assert(bf.contains("BroadcastHashJoin") && !bf.contains("Window"), bf)
+    // trend test: the pairwise join is equi-keyed on the group and the
+    // windows ride the aggregated bucket frame (plans captured through
+    // the checkpoint)
+    val tt = capturedPlans { df("q_trend_test").collect() }
+    assert(tt.exists(_.contains("partial_count")), tt.mkString("\n---\n"))
+    assert(tt.forall(p => !p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin")), tt.mkString("\n---\n"))
+    // TextRank: every round is an equi-join + partial agg on the word
+    // key; nothing nested-loops and nothing windows
+    val tr = capturedPlans { df("qp_textrank").collect() }
+    assert(tr.exists(_.contains("partial_sum")), tr.mkString("\n---\n"))
+    assert(tr.forall(p => !p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin") && !p.contains("Window")),
+      tr.mkString("\n---\n"))
   }
 
   test("indexed CONTAINSTEXT probes the posting table, not the corpus") {

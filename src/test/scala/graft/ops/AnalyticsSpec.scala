@@ -119,6 +119,119 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(run(1) == run(5))
   }
 
+  // --- trend test ------------------------------------------------------
+
+  private def dayEvents(counts: Seq[Int], typ: String = "a") =
+    (for {
+      (c, d) <- counts.zipWithIndex
+      k <- 0 until c
+    } yield (typ, new java.sql.Timestamp(d * 86400000L + k)))
+      .toDF("event_type", "ts")
+
+  test("trendTest: monotone series gives S = n_pairs and the exact slope") {
+    val out = Analytics.trendTest(dayEvents(Seq(1, 2, 3)), "ts",
+      "event_type").collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_buckets") == 3L)
+    assert(r.getAs[Long]("n_pairs") == 3L)
+    assert(r.getAs[Long]("s_stat") == 3L)
+    assert(r.getAs[Long]("slope_micro") == 1000000L)
+  }
+
+  test("trendTest picks the LOWER median slope on even pair counts") {
+    // counts 1,2,3,1 → slopes (micro): 1e6,1e6,0,1e6,-5e5,-2e6;
+    // sorted: -2e6,-5e5,0,1e6,1e6,1e6; rank (6+1) div 2 = 3 → 0
+    val out = Analytics.trendTest(dayEvents(Seq(1, 2, 3, 1)), "ts",
+      "event_type").collect().head
+    assert(out.getAs[Long]("n_pairs") == 6L)
+    assert(out.getAs[Long]("s_stat") == 1L)
+    assert(out.getAs[Long]("slope_micro") == 0L)
+  }
+
+  test("trendTest is partitioning-invariant") {
+    val e = dayEvents(Seq(3, 1, 4, 1, 5, 9, 2, 6))
+    def run(parts: Int) =
+      Analytics.trendTest(e.repartition(parts), "ts", "event_type")
+        .collect().map(_.toSeq).toSeq
+    assert(run(1) == run(6))
+  }
+
+  // --- Gini ------------------------------------------------------------
+
+  test("giniConcentration: equality is 0, a hand split is exact") {
+    val df = Seq(
+      ("h", 1L, 1.0), ("h", 2L, 1.0), ("h", 3L, 1.0), // equal → 0
+      ("g", 1L, 0.0), ("g", 2L, 1.0)                  // (400−300)/200
+    ).toDF("grp0", "key0", "v")
+    val out = Analytics.giniConcentration(df, "grp0", "key0", "v")
+      .collect().map(r => r.getAs[String]("grp") ->
+        r.getAs[Double]("gini")).toMap
+    assert(out("h") == 0.0)
+    assert(out("g") == 0.5)
+  }
+
+  test("giniConcentration pre-aggregates members before ranking") {
+    // two rows for the same member must collapse to one ranked total
+    val df = Seq(("g", 1L, 0.5), ("g", 1L, 0.5), ("g", 2L, 0.0))
+      .toDF("grp0", "key0", "v")
+    val r = Analytics.giniConcentration(df, "grp0", "key0", "v")
+      .collect().head
+    assert(r.getAs[Long]("n_members") == 2L)
+    assert(r.getAs[Long]("total_cents") == 100L)
+    assert(r.getAs[Double]("gini") == 0.5)
+  }
+
+  // --- Benford ---------------------------------------------------------
+
+  test("benfordDeviation counts first digits exactly, excluding <= 0") {
+    val df = Seq(("x", 1.00), ("x", 1.11), ("x", 2.00), ("x", 9.99),
+      ("x", 0.0), ("x", -5.0)).toDF("grp0", "v")
+    val out = Analytics.benfordDeviation(df, "grp0", "v")
+      .collect().map(r => r.getAs[Int]("digit") ->
+        ((r.getAs[Long]("n_d"), r.getAs[Long]("obs_micro"),
+          r.getAs[Long]("exp_micro")))).toMap
+    assert(out.keySet == Set(1, 2, 9))
+    assert(out(1) == ((2L, 500000L, Analytics.BenfordMicro(0))))
+    assert(out(2) == ((1L, 250000L, Analytics.BenfordMicro(1))))
+    assert(out(9) == ((1L, 250000L, Analytics.BenfordMicro(8))))
+  }
+
+  test("BenfordMicro is the canonical Newcomb-Benford table") {
+    assert(Analytics.BenfordMicro.sum == 1000002L ||
+      math.abs(Analytics.BenfordMicro.sum - 1000000L) <= 5,
+      s"shares must total ~1e6: ${Analytics.BenfordMicro.sum}")
+    assert(Analytics.BenfordMicro.head == 301030L) // log10(2) = .30103
+    assert(Analytics.BenfordMicro == Analytics.BenfordMicro.sorted.reverse,
+      "shares must decrease with the digit")
+  }
+
+  // --- TextRank ---------------------------------------------------------
+
+  test("textrankKeywords replays the integer-micro rounds exactly") {
+    // star graph: hub adjacent to a/b/c. Hand rounds (micro units):
+    // r1: hub 2700000, leaves 433333; r2: hub 1254999, leaves 915000;
+    // r3: hub 2483250, leaves 505583
+    val d = Seq((1L, "hub a"), (2L, "hub b"), (3L, "hub c"))
+      .toDF("doc_id", "text")
+    val out = TextOps.textrankKeywords(d, "text", iters = 3, topK = 10)
+      .collect().map(r => r.getAs[String]("w") ->
+        ((r.getAs[Long]("deg"), r.getAs[Long]("rank_micro")))).toMap
+    assert(out("hub") == ((3L, 2483250L)))
+    assert(out("a") == ((1L, 505583L)))
+    assert(out.keySet == Set("hub", "a", "b", "c"))
+  }
+
+  test("textrankKeywords is partitioning-invariant") {
+    val d = (0 until 20).map(i =>
+      (i.toLong, s"w${i % 5} w${(i * 3) % 7} w${i % 3}"))
+      .toDF("doc_id", "text")
+    def run(parts: Int) =
+      TextOps.textrankKeywords(d.repartition(parts), "text", 3, 20)
+        .collect().map(_.toSeq).toSeq
+    assert(run(1) == run(6))
+  }
+
   // --- Jaccard link prediction ----------------------------------------
 
   test("jaccardLinksDF computes exact shared/union micro-units") {
