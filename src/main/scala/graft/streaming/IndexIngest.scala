@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.util.concurrent.atomic.AtomicReference
 import org.apache.spark.sql.DataFrame
-import graft.ops.{Dedup, TextOps}
+import graft.ops.{Association, Dedup, TextOps}
 import graft.ops.TextOps.Bm25Index
 
 /** Streaming index ingestion — keeps a live corpus' retrieval and
@@ -42,5 +42,21 @@ object IndexIngest {
       Dedup.appendDedupIndex(frozen, idCol, textCol, dedupDir,
         shingleN, bands, nBuckets)
     }
+  }
+
+  /** foreachBatch sink for the association miner: fold each
+    * micro-batch of (basket, item) rows into the additive
+    * [[Association.AssocState]] (atomic swap for concurrent readers).
+    * After any batch, [[Association.frequentPairsFrom]] /
+    * [[Association.itemRecsFrom]] over the live state are
+    * row-identical to the batch operators over the union of every
+    * basket streamed so far — spec-pinned. Caller contract: baskets
+    * arrive whole in one micro-batch (see [[Association.AssocState]]). */
+  def assocCounts(ref: AtomicReference[Association.AssocState],
+      basketCol: String, itemCol: String): (DataFrame, Long) => Unit = {
+    (batch, _) =>
+      if (!batch.isEmpty)
+        ref.set(Association.appendBaskets(ref.get, batch, basketCol,
+          itemCol))
   }
 }

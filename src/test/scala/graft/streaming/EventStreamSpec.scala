@@ -722,4 +722,48 @@ class EventStreamSpec extends AnyFunSuite {
         r.getAs[Double]("total_value") == 3.0))
     } finally q.stop()
   }
+
+  test("streaming association state: frequentPairs/itemRecs over the " +
+      "live state == batch operators on the union") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val li = graft.sources.Tables
+      .load(spark, "/root/testdata/sf0.001", "lineitem")
+      .select(col("l_orderkey").as("basket"), col("l_partkey").as("item"))
+      .localCheckpoint()
+    // baskets arrive WHOLE per batch (the state's caller contract):
+    // split the stream on the basket key, not on rows
+    val batch1 = li.filter(col("basket") % 2 === 0)
+    val batch2 = li.filter(col("basket") % 2 === 1)
+    val ref = new java.util.concurrent.atomic.AtomicReference(
+      graft.ops.Association.emptyAssocState(spark))
+    val input = MemoryStream[(Long, Long)]
+    val q = input.toDF().toDF("basket", "item").writeStream
+      .foreachBatch(graft.streaming.IndexIngest.assocCounts(
+        ref, "basket", "item"))
+      .start()
+    try {
+      Seq(batch1, batch2).foreach { b =>
+        input.addData(b.collect().map(r =>
+          (r.getLong(0), r.getLong(1))).toSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val fromState = graft.ops.Association.frequentPairsFrom(ref.get(),
+      minItemSupport = 2, minPairSupport = 2, topK = 50)
+      .collect().map(_.toSeq).toSeq
+    val fromBatch = graft.ops.Association.frequentPairs(li, "basket",
+      "item", minItemSupport = 2, minPairSupport = 2, topK = 50)
+      .collect().map(_.toSeq).toSeq
+    assert(fromState.nonEmpty && fromState == fromBatch,
+      "streamed pair state must reproduce the batch mining exactly")
+    val recsState = graft.ops.Association.itemRecsFrom(ref.get(),
+      minItemSupport = 2, minPairSupport = 2, perItem = 3)
+      .orderBy("item", "rnk").collect().map(_.toSeq).toSeq
+    val recsBatch = graft.ops.Association.itemRecs(li, "basket", "item",
+      minItemSupport = 2, minPairSupport = 2, perItem = 3)
+      .orderBy("item", "rnk").collect().map(_.toSeq).toSeq
+    assert(recsState == recsBatch,
+      "streamed recommendations must equal the batch run on the union")
+  }
 }
