@@ -1328,11 +1328,23 @@ object QueriesPipeline {
           "id", "x", "y", eps = DbscanEps, minPts = DbscanMinPts)
         .orderBy(col("id"))
     }),
+    "qp_hll_distinct" -> ((s, dir) => {
+      // the same cardinalities via HyperLogLog (integer register maxima
+      // + integer harmonic sum — no distinct pass at all, 64 longs of
+      // state per stratum; the estimate differs from KMV's, as the two
+      // estimators should)
+      graft.ops.Sketch.hllDistinct(
+        graft.ops.Partitioning.spread(docs(s, dir)).select(col("lang"),
+          explode(TextOps.bigrams(tokensWs(col("text")))).as("bg")),
+        "lang", col("bg"))
+        .orderBy("lang")
+    }),
     "qp_kmv_distinct" -> ((s, dir) => {
       // per-language distinct-bigram cardinality via the KMV bottom-k
       // sketch (exact COUNT(DISTINCT) is the 100 TB scale-killer; KMV
-      // is one bounded-state aggregation pass, and unlike HLL it is
-      // exactly reproducible in the oracle)
+      // is one bounded-state aggregation pass with an exactly
+      // reproducible oracle — qp_hll_distinct is the register-sketch
+      // counterpart)
       graft.ops.Sketch.kmvDistinct(
         graft.ops.Partitioning.spread(docs(s, dir)).select(col("lang"),
           explode(TextOps.bigrams(tokensWs(col("text")))).as("bg")),
@@ -3880,6 +3892,38 @@ object QueriesPipeline {
          | ORDER BY score_micro DESC, n DESC, phrase LIMIT 20""".stripMargin
     },
     "qp_dbscan" -> dbscanOracle,
+    "qp_hll_distinct" -> {
+      // α·m²·2⁵⁷ and the linear-counting table generated from the same
+      // Scala values (Sketch.HllAlphaC / HllLnMicro); every other step
+      // is integer on both engines (bin-string ρ, shifted harmonic sum)
+      val lnRows = graft.ops.Sketch.HllLnMicro.zipWithIndex
+        .map { case (m, i) => s"(${i + 1}, $m)" }.mkString(", ")
+      val c = graft.ops.Sketch.HllAlphaC
+      s"""WITH t AS (SELECT lang, ${dTokens("text")} AS tok FROM documents),
+         | b AS (SELECT lang, unnest(CASE WHEN len(tok) >= 2 THEN
+         |     list_transform(range(len(tok)-1),
+         |       i -> tok[i+1] || ' ' || tok[i+2])
+         |   ELSE [] END) AS bg FROM t),
+         | hh AS (SELECT lang, ${dH60("bg")} AS h FROM b),
+         | rg AS (SELECT lang, CAST(h % 64 AS INT) AS reg,
+         |     CASE WHEN h // 64 = 0 THEN 55
+         |       ELSE 55 - length(ltrim(bin(h // 64), '0')) END AS rho
+         |   FROM hh),
+         | mx AS (SELECT lang, reg, max(rho) AS mr FROM rg GROUP BY 1, 2),
+         | s AS (SELECT lang, CAST(count(*) AS BIGINT) AS npres,
+         |     CAST(sum(1::BIGINT << (55 - mr)) AS BIGINT) AS sp
+         |   FROM mx GROUP BY 1),
+         | lnt(v, micro) AS (VALUES $lnRows),
+         | f AS (SELECT lang, 64 - npres AS v_zero, npres,
+         |     CAST(sp + (64 - npres) * 36028797018963968 AS DOUBLE)
+         |       AS stot FROM s)
+         | SELECT f.lang, CAST(v_zero AS BIGINT) AS v_zero,
+         |   round(CASE WHEN $c / stot <= 160.0 AND npres < 64
+         |     THEN lnt.micro / 1e6 ELSE $c / stot END, 4)
+         |     AS est_distinct
+         | FROM f LEFT JOIN lnt ON lnt.v = f.v_zero
+         | ORDER BY lang""".stripMargin
+    },
     "qp_kmv_distinct" ->
       // KMV estimator constant generated from the same Scala values
       // (Sketch.HashSpace, k = 256)

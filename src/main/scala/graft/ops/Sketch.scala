@@ -16,13 +16,16 @@ import org.apache.spark.sql.types._
   * `COUNT(DISTINCT)` is the textbook scale-killer: its distinct
   * shuffle materializes every distinct value of a stratum.
   *
-  * KMV (k-minimum-values / bottom-k) is used instead of HLL because it
-  * is EXACTLY reproducible across engines: HLL bucket layouts are
+  * KMV (k-minimum-values / bottom-k) is the workhorse because it is
+  * EXACTLY reproducible across engines: built-in HLL layouts are
   * implementation-defined (Spark's approx_count_distinct and DuckDB's
   * approx functions can never hash-match), while KMV is pure order
   * statistics over this repo's deterministic 60-bit md5 hash —
   * estimator `(k−1)/U₍k₎` with U₍k₎ the k-th smallest distinct hash
   * normalized into (0,1] (Bar-Yossef et al. 2002, public paper).
+  * [[hllDistinct]] closes the family with a from-scratch HLL whose
+  * every step is integer over the same hash, so unlike the built-ins
+  * it DOES hash-match its oracle.
   */
 object Sketch {
 
@@ -48,6 +51,56 @@ object Sketch {
       k: Int): DataFrame =
     kmvEstimate(hashed(df, strataCol, value), h => h.groupBy(col(strataCol)),
       strataCol, k)
+
+  /** HyperLogLog constants, m = 64 registers (Flajolet et al. 2007,
+    * public paper): α₆₄ = 0.709 per the paper, pre-multiplied with
+    * m²·2⁵⁵ (the harmonic sum's integer scale) into one double; the
+    * small-range linear-counting table round(1e6·m·ln(m/V)) is
+    * computed ONCE in Scala so engine literals and oracle VALUES rows
+    * are the same numbers (libm ln is not correctly-rounded — neither
+    * side may call it at query time). */
+  val HllAlphaC: Double = 0.709 * 64.0 * 64.0 * math.pow(2.0, 55.0)
+  val HllLnMicro: Seq[Long] =
+    (1 to 64).map(v => math.round(1e6 * 64.0 * math.log(64.0 / v)))
+
+  /** HyperLogLog distinct estimate per stratum — the industry-standard
+    * distinct sketch, made EXACTLY oracle-reproducible (the usual HLL
+    * objection) by keeping every step integer: register = h mod 64 of
+    * the 60-bit md5 hash; ρ = leading-zero count of the 54-bit suffix (60-bit hash minus the 6 register bits)
+    * + 1 via the binary-string length (exact — no float log2); the
+    * harmonic sum Σ 2^(−Mⱼ) is computed as the INTEGER Σ 2^(55−Mⱼ)
+    * (absent registers contribute 2⁵⁵; bounded by 64·2⁵⁵ = 2⁶¹ < 2⁶³, so
+    * neither engine can overflow) with ONE closing double division;
+    * the small-range regime (E ≤ 2.5m with empty registers) reads the
+    * [[HllLnMicro]] table. Duplicates never shift a register max, so
+    * NO distinct pass is needed — unlike KMV's bottom-k this sketch
+    * never materializes distinct hashes, and the (stratum, register)
+    * max table IS the mergeable sketch state (64 longs per stratum at
+    * 100 TB; merging = another max).
+    * Output: (strataCol, v_zero, est_distinct). */
+  def hllDistinct(df: DataFrame, strataCol: String,
+      value: Column): DataFrame = {
+    val twoPow55 = 36028797018963968L
+    val withReg = df
+      .select(col(strataCol), TextOps.hash60(value).as("__h"))
+      .select(col(strataCol), (col("__h") % 64).cast("int").as("__reg"),
+        expr("__h div 64").as("__sfx"))
+      .withColumn("__rho", when(col("__sfx") === 0, lit(55))
+        .otherwise(lit(55) - length(ltrim(bin(col("__sfx")), "0"))))
+    val regs = withReg.groupBy(col(strataCol), col("__reg"))
+      .agg(max(col("__rho")).as("__mr"))
+    val s = regs.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("__npres"),
+        sum(expr("shiftleft(cast(1 as bigint), 55 - __mr)")).as("__sp"))
+    val stot = (col("__sp") +
+      (lit(64L) - col("__npres")) * lit(twoPow55)).cast("double")
+    val eraw = lit(HllAlphaC) / stot
+    s.select(col(strataCol), (lit(64L) - col("__npres")).as("v_zero"),
+      round(when(eraw <= 160.0 && col("__npres") < 64,
+        element_at(lit(HllLnMicro.toArray),
+          (lit(64L) - col("__npres")).cast("int")) / 1e6)
+        .otherwise(eraw), 4).as("est_distinct"))
+  }
 
   /** [[kmvDistinct]] over `ROLLUP(strata)`: per-stratum estimates AND
     * the all-strata total out of the SAME single aggregation pass —

@@ -368,4 +368,30 @@ class ScratchR8 extends AnyFunSuite {
     println(f"[r8pr] qg_pagerank median=$m%5.2f mad=${mad / m * 100}%4.1f%% " +
       s"rounds=${ts.map(t => f"$t%4.2f").mkString(",")}")
   }
+
+  /** == Late-session addendum (2026-08-15, measured via graft.Bench) ==
+    *
+    * Full 230-query suite on a BUSY box (a second resident sbt JVM +
+    * session tooling): 443.8 s. Isolated re-runs of the top heavies on
+    * the quiet box, same code (suite reading in parens):
+    *
+    * | query                 | isolated | in-suite |
+    * |-----------------------|----------|----------|
+    * | qp_ppjoin_pairs       |   6.39 s | (9.44)   |
+    * | qp_curation_report    |   6.76 s | (11.47)  |
+    * | qp_dedup_incremental  |   5.83 s | (9.26)   |
+    * | qp_dbscan (tiled)     |   5.10 s | (8.00 un-tiled) |
+    * | q_item_recs           |   3.92 s | (5.03)   |
+    *
+    * Reading: suite-mode numbers in this environment carry a ~1.4-1.5×
+    * contention factor on the heavies (consistent with §5d's ±30-40%
+    * zero-change swings) — per-query conclusions should come from the
+    * isolated numbers. qp_ppjoin_pairs isolated lands at 6.4 s with
+    * the compiled sorted-overlap verify (r7 read 7.49 in-suite); the
+    * residual cost is the CANDIDATE stage on this vocabulary-saturated
+    * corpus (the measured 2.27-exponent boundary above), not verify.
+    * qp_dbscan's gate points now TILE per 4500 ids (diagonal 4000
+    * offset, gap > ε) so sf growth adds area at constant density —
+    * the un-tiled sf0.1 blobs were ~10× denser than sf0.01's, which
+    * is the quadratic regime the operator documents away. */
 }

@@ -223,4 +223,37 @@ class SketchSpec extends AnyFunSuite {
     // true Jaccard = 2500/7500 = 1/3; k=128 → σ ≈ 4.2%; allow 4σ
     assert(math.abs(jac - 1.0 / 3) < 0.17, s"jaccard $jac vs 1/3")
   }
+
+  // --- HyperLogLog ------------------------------------------------------
+
+  test("hllDistinct small-range regime reads the linear-counting table") {
+    // 3 distinct values land in <= 3 of 64 registers → V >= 61 zero
+    // registers and E_raw far below 2.5m: the estimate must be the
+    // exact HllLnMicro entry for the observed V
+    val df = Seq(("g", "x"), ("g", "y"), ("g", "z"), ("g", "x"))
+      .toDF("grp", "v")
+    val r = Sketch.hllDistinct(df, "grp", col("v")).collect().head
+    val v = r.getAs[Long]("v_zero")
+    assert(v >= 61L && v <= 63L)
+    val expected = math.rint(
+      Sketch.HllLnMicro(v.toInt - 1) / 1e6 * 1e4) / 1e4
+    assert(r.getAs[Double]("est_distinct") == expected)
+  }
+
+  test("hllDistinct estimates within HLL error bounds, duplicates free") {
+    val n = 20000
+    val base = (1 to n).map(i => ("g", s"value-$i"))
+    val withDups = base ++ base.take(5000) // duplicates shift no register
+    def est(rows: Seq[(String, String)], parts: Int): Double =
+      Sketch.hllDistinct(rows.toDF("grp", "v").repartition(parts),
+        "grp", col("v")).collect().head.getAs[Double]("est_distinct")
+    val e1 = est(base, 1)
+    assert(e1 == est(base, 32),
+      "partitioning must not change a register max")
+    assert(e1 == est(withDups, 8),
+      "duplicates must not move the estimate")
+    // m=64 → σ ≈ 1.04/√64 = 13%; allow ~4σ
+    val err = math.abs(e1 - n) / n
+    assert(err < 0.5, s"estimate $e1 for $n distinct (err $err)")
+  }
 }
