@@ -523,8 +523,68 @@ object QueriesRelational {
           "o_orderstatus", "o_totalprice")
         .withColumnRenamed("grp", "o_orderstatus")
         .orderBy($"o_orderstatus", $"digit")
+    }),
+    "q_profile" -> ((s, dir) => {
+      // per-column table profile: counts, null rate, KMV distinct,
+      // numeric min/max/mean — the pre-ingest data-ops audit
+      graft.ops.Profile.tableProfile(t(s, dir, "orders"), ProfileCols)
+    }),
+    "q_profile_drift" -> ((s, dir) => {
+      // snapshot drift: the same profile across two table states
+      // (here: orders vs its even-key half), per-column ratios
+      val o = t(s, dir, "orders")
+      graft.ops.Profile.profileDrift(o,
+        o.filter(col("o_orderkey") % 2 === 0), ProfileCols)
     })
   )
+
+  /** profiled columns of `orders` — ONE Scala list feeds the engine
+    * call and the oracle's generated stacked CTE (seeded-constants
+    * rule). o_orderdate is excluded: timestamp→string formatting is
+    * engine-specific, and the profile hashes the key strings. */
+  private val ProfileCols: Seq[(String, Boolean)] = Seq(
+    ("o_custkey", true), ("o_orderkey", true),
+    ("o_orderpriority", false), ("o_orderstatus", false),
+    ("o_totalprice", true))
+
+  /** DuckDB replay of [[graft.ops.Profile.tableProfile]] over `from`,
+    * generated from the same [[ProfileCols]]. */
+  private def profileSql(from: String): String = {
+    val stacked = ProfileCols.map { case (c, isNum) =>
+      val key =
+        if (isNum) s"CAST(CAST(round($c * 1000000, 0) AS BIGINT) AS VARCHAR)"
+        else s"CAST($c AS VARCHAR)"
+      val num = if (isNum) s"CAST($c AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
+      s"SELECT '$c' AS col_name, $key AS val_key, $num AS val_num FROM $from"
+    }.mkString("\n   UNION ALL ")
+    val h60 = "('0x' || substr(md5(val_key),1,15))::BIGINT"
+    s"""WITH st AS ($stacked),
+       | stats AS (SELECT col_name, CAST(count(*) AS BIGINT) AS n,
+       |     CAST(count(CASE WHEN val_key IS NULL THEN 1 END) AS BIGINT)
+       |       AS n_null,
+       |     min(val_num) AS min_num, max(val_num) AS max_num,
+       |     CAST(sum(CAST(round(val_num * 100, 0) AS BIGINT)) AS BIGINT)
+       |       AS cents,
+       |     CAST(count(val_num) AS BIGINT) AS nnum
+       |   FROM st GROUP BY 1),
+       | hh AS (SELECT DISTINCT col_name, $h60 AS hv FROM st
+       |   WHERE val_key IS NOT NULL),
+       | r AS (SELECT col_name, hv, row_number() OVER (
+       |       PARTITION BY col_name ORDER BY hv) AS rn,
+       |     count(*) OVER (PARTITION BY col_name) AS nd FROM hh),
+       | d AS (SELECT col_name, CASE WHEN max(nd) < 256 THEN max(nd)
+       |     ELSE CAST(round(${255 * graft.ops.Sketch.HashSpace}
+       |       / max(CASE WHEN rn = 256 THEN hv END)) AS BIGINT)
+       |     END AS est FROM r GROUP BY 1)
+       | SELECT s.col_name, n, n_null,
+       |   CAST(round(CAST(n_null AS DOUBLE) * 1e6 / n, 0) AS BIGINT)
+       |     AS null_micro,
+       |   COALESCE(d.est, 0) AS n_distinct, min_num, max_num,
+       |   CASE WHEN nnum > 0
+       |     THEN round(CAST(cents AS DOUBLE) / nnum / 100.0, 4)
+       |   END AS mean_num
+       | FROM stats s LEFT JOIN d USING (col_name)""".stripMargin
+  }
 
   val oracleSql: Map[String, String] = Map(
     "q_filter_like" ->
@@ -1038,6 +1098,22 @@ object QueriesRelational {
          |     AS BIGINT) - exp_micro) AS dev_micro
          | FROM c JOIN t USING (o_orderstatus) JOIN ex USING (digit)
          | ORDER BY o_orderstatus, digit""".stripMargin
-    }
+    },
+    "q_profile" ->
+      s"""${profileSql("orders")}
+         | ORDER BY col_name""".stripMargin,
+    "q_profile_drift" ->
+      s"""WITH pa AS (${profileSql("orders")}),
+         | pb AS (${profileSql(
+          "(SELECT * FROM orders WHERE o_orderkey % 2 = 0)")})
+         | SELECT col_name, pa.n AS n_a, pb.n AS n_b,
+         |   CASE WHEN pa.n > 0
+         |     THEN round(CAST(pb.n AS DOUBLE) / pa.n, 6) END AS n_ratio,
+         |   pa.null_micro AS null_micro_a, pb.null_micro AS null_micro_b,
+         |   CASE WHEN pa.n_distinct > 0
+         |     THEN round(CAST(pb.n_distinct AS DOUBLE) / pa.n_distinct, 6)
+         |   END AS distinct_ratio
+         | FROM pa FULL OUTER JOIN pb USING (col_name)
+         | ORDER BY col_name""".stripMargin
   )
 }

@@ -1,0 +1,103 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Table profiling and snapshot drift — the data-ops audit a 100 TB
+  * pipeline runs before/after every ingest (the reference's closest
+  * surface is per-class counts via its metadata/`count(*)`; this is
+  * the capability extension the way the other data-quality operators
+  * are). One stacked pass per profile; distinct cardinalities ride the
+  * KMV sketch (exact COUNT(DISTINCT) per column is the scale-killer —
+  * one bounded-state aggregate per column instead).
+  */
+object Profile {
+
+  /** stacked (column, val_key, val_num) frame: ONE scan produces p
+    * rows per input row via `stack` (codegen'd), so per-column stats
+    * are plain grouped aggregates. Numeric columns carry their double
+    * value for min/max/mean; `val_key` is the null/distinct accounting
+    * key — for numerics the MICRO-UNIT fixed-point long as a string
+    * (engines format doubles differently near the E-notation switch,
+    * so the raw double string could hash-diverge; the long string is
+    * identical everywhere — envelope |value| < 9.2e12) and the raw
+    * string otherwise. */
+  private def stacked(df: DataFrame,
+      cols: Seq[(String, Boolean)]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val parts = cols.map { case (c, isNum) =>
+      val key =
+        if (isNum) s"cast(cast(round($c * 1000000, 0) as bigint) as string)"
+        else s"cast($c as string)"
+      val num = if (isNum) s"cast($c as double)" else "cast(null as double)"
+      s"'$c', $key, $num"
+    }.mkString(", ")
+    df.selectExpr(
+      s"stack(${cols.size}, $parts) as (col_name, val_key, val_num)")
+  }
+
+  /** Per-column profile: row count, null count, KMV distinct estimate
+    * (k = 256 — exact below k), numeric min/max and the mean in exact
+    * integer cents closed by one rounded division. Null rate is
+    * round(1e6·n_null/n) micro-units (ONE IEEE division).
+    * Output: (col_name, n, n_null, null_micro, n_distinct, min_num,
+    * max_num, mean_num) ordered by col_name.
+    *
+    * Scale shape: the stack is a projection (no shuffle); the stats
+    * aggregate and the KMV aggregate each partial-combine on the
+    * column key — p × 256 longs of sketch state, never a per-column
+    * distinct shuffle. */
+  def tableProfile(df: DataFrame,
+      cols: Seq[(String, Boolean)]): DataFrame = {
+    val st = stacked(df, cols).persist()
+    val stats = st.groupBy(col("col_name"))
+      .agg(count(lit(1)).as("n"),
+        count(when(col("val_key").isNull, 1)).as("n_null"),
+        min(col("val_num")).as("min_num"),
+        max(col("val_num")).as("max_num"),
+        sum(round(col("val_num") * 100, 0).cast("long")).as("__cents"),
+        count(col("val_num")).as("__nnum"))
+    val distinct = Sketch.kmvDistinct(st, "col_name", col("val_key"),
+      k = 256).withColumnRenamed("col_name", "__c")
+    val out = stats
+      .join(distinct, col("col_name") === col("__c"), "left_outer")
+      .select(col("col_name"), col("n"), col("n_null"),
+        round(col("n_null").cast("double") * 1e6 / col("n"), 0)
+          .cast("long").as("null_micro"),
+        coalesce(col("est_distinct"), lit(0L)).as("n_distinct"),
+        col("min_num"), col("max_num"),
+        when(col("__nnum") > 0, round(col("__cents").cast("double") /
+          col("__nnum") / 100.0, 4)).as("mean_num"))
+      .orderBy(col("col_name"))
+      .localCheckpoint()
+    st.unpersist()
+    out
+  }
+
+  /** Snapshot drift audit: the per-column profile deltas between two
+    * snapshots of the same table — row-count ratio, null-rate delta
+    * and distinct-count ratio, each ONE rounded division over the
+    * profiles' exact integers. Columns missing a side surface with
+    * null ratios rather than dropping (full outer join).
+    * Output: (col_name, n_a, n_b, n_ratio, null_micro_a, null_micro_b,
+    * distinct_ratio) ordered by col_name. */
+  def profileDrift(a: DataFrame, b: DataFrame,
+      cols: Seq[(String, Boolean)]): DataFrame = {
+    val pa = tableProfile(a, cols).select(col("col_name"),
+      col("n").as("n_a"), col("null_micro").as("null_micro_a"),
+      col("n_distinct").as("__da"))
+    val pb = tableProfile(b, cols).select(col("col_name").as("__c"),
+      col("n").as("n_b"), col("null_micro").as("null_micro_b"),
+      col("n_distinct").as("__db"))
+    pa.join(pb, col("col_name") === col("__c"), "full_outer")
+      .select(coalesce(col("col_name"), col("__c")).as("col_name"),
+        col("n_a"), col("n_b"),
+        when(col("n_a") > 0,
+          round(col("n_b").cast("double") / col("n_a"), 6)).as("n_ratio"),
+        col("null_micro_a"), col("null_micro_b"),
+        when(col("__da") > 0,
+          round(col("__db").cast("double") / col("__da"), 6))
+          .as("distinct_ratio"))
+      .orderBy(col("col_name"))
+  }
+}

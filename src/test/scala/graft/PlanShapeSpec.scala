@@ -428,6 +428,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(tt.exists(_.contains("partial_count")), tt.mkString("\n---\n"))
     assert(tt.forall(p => !p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin")), tt.mkString("\n---\n"))
+    // table profile: the stack is a projection feeding partial aggs on
+    // the column key — no per-column distinct shuffle, no nested loop
+    val pf = capturedPlans { df("q_profile").collect() }
+    assert(pf.exists(_.contains("partial_count")), pf.mkString("\n---\n"))
+    assert(pf.exists(_.contains("bottom_k_distinct")),
+      pf.mkString("\n---\n"))
+    assert(pf.forall(p => !p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin")), pf.mkString("\n---\n"))
     // TextRank: every round is an equi-join + partial agg on the word
     // key; nothing nested-loops and nothing windows
     val tr = capturedPlans { df("qp_textrank").collect() }

@@ -232,6 +232,52 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(run(1) == run(6))
   }
 
+  // --- table profiling --------------------------------------------------
+
+  private lazy val profCols =
+    Seq(("k", true), ("s", false), ("v", true))
+  private lazy val profDf = Seq(
+    (Some(1L), Some("a"), Some(1.50)),
+    (Some(2L), None, Some(2.50)),
+    (Some(2L), Some("b"), None)
+  ).toDF("k", "s", "v")
+
+  test("tableProfile: counts, nulls, distinct and means are exact") {
+    val out = Profile.tableProfile(profDf, profCols)
+      .collect().map(r => r.getAs[String]("col_name") -> r).toMap
+    val k = out("k")
+    assert(k.getAs[Long]("n") == 3L && k.getAs[Long]("n_null") == 0L)
+    assert(k.getAs[Long]("n_distinct") == 2L) // below k=256 → exact
+    assert(k.getAs[Double]("min_num") == 1.0 &&
+      k.getAs[Double]("max_num") == 2.0)
+    assert(k.getAs[Double]("mean_num") == 1.6667) // round(500/3/100, 4)
+    val s = out("s")
+    assert(s.getAs[Long]("n_null") == 1L &&
+      s.getAs[Long]("null_micro") == 333333L)
+    assert(s.getAs[Long]("n_distinct") == 2L)
+    assert(s.isNullAt(s.fieldIndex("mean_num")))
+    val v = out("v")
+    assert(v.getAs[Long]("n_null") == 1L &&
+      v.getAs[Long]("n_distinct") == 2L)
+    assert(v.getAs[Double]("mean_num") == 2.0)
+  }
+
+  test("profileDrift reports exact per-column ratios") {
+    val half = profDf.filter(col("k") === 2L) // 2 of 3 rows
+    val out = Profile.profileDrift(profDf, half, profCols)
+      .collect().map(r => r.getAs[String]("col_name") -> r).toMap
+    assert(out("k").getAs[Double]("n_ratio") == 0.666667)
+    assert(out("k").getAs[Double]("distinct_ratio") == 0.5) // 2 → 1
+    assert(out("s").getAs[Long]("null_micro_b") == 500000L) // 1 of 2
+  }
+
+  test("tableProfile is partitioning-invariant") {
+    def run(parts: Int) =
+      Profile.tableProfile(profDf.repartition(parts), profCols)
+        .collect().map(_.toSeq).toSeq
+    assert(run(1) == run(5))
+  }
+
   // --- Jaccard link prediction ----------------------------------------
 
   test("jaccardLinksDF computes exact shared/union micro-units") {
