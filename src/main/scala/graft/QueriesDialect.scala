@@ -221,7 +221,12 @@ object QueriesDialect {
     "qd_pipe_rake" -> ((s, dir) => gq(s, dir,
       "select phrase, n_words, n, score_micro from " +
         "rake_phrases(documents, 'text', 4, 2, 20) " +
-        "order by score_micro desc, n desc, phrase"))
+        "order by score_micro desc, n desc, phrase")),
+    // schema-derived: orders' numeric+string columns are exactly the
+    // q_profile column list (o_orderdate is a timestamp → skipped)
+    "qd_pipe_profile" -> ((s, dir) => gq(s, dir,
+      "select col_name, n, n_null, null_micro, n_distinct, min_num, " +
+        "max_num, mean_num from profile(orders) order by col_name"))
   )
 
   private def gq(s: SparkSession, dir: String, sql: String): DataFrame =
@@ -434,6 +439,7 @@ object QueriesDialect {
          | WHERE n_tokens >= 5""".stripMargin,
     "qd_pipe_bm25" -> QueriesPipeline.oracleSql("qp_bm25_topk"),
     "qd_pipe_itemsets" -> QueriesRelational.oracleSql("q_freq_itemsets"),
-    "qd_pipe_rake" -> QueriesPipeline.oracleSql("qp_rake_phrases")
+    "qd_pipe_rake" -> QueriesPipeline.oracleSql("qp_rake_phrases"),
+    "qd_pipe_profile" -> QueriesRelational.oracleSql("q_profile")
   )
 }

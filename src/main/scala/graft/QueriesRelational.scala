@@ -524,6 +524,17 @@ object QueriesRelational {
         .withColumnRenamed("grp", "o_orderstatus")
         .orderBy($"o_orderstatus", $"digit")
     }),
+    "q_ab_test" -> ((s, dir) => {
+      // experiment readout: arms by user-id parity, conversion = any
+      // purchase; exact counts, z via IEEE-exact sqrt, 2x2 chi-square
+      import s.implicits._
+      val units = t(s, dir, "events")
+        .groupBy($"user_id")
+        .agg(max(when($"event_type" === "purchase", 1).otherwise(0))
+          .as("conv"))
+        .withColumn("arm", when($"user_id" % 2 === 0, "A").otherwise("B"))
+      graft.ops.Analytics.abTest(units, "arm", "conv", "A", "B")
+    }),
     "q_profile" -> ((s, dir) => {
       // per-column table profile: counts, null rate, KMV distinct,
       // numeric min/max/mean — the pre-ingest data-ops audit
@@ -1099,6 +1110,38 @@ object QueriesRelational {
          | FROM c JOIN t USING (o_orderstatus) JOIN ex USING (digit)
          | ORDER BY o_orderstatus, digit""".stripMargin
     },
+    "q_ab_test" ->
+      """WITH u AS (SELECT user_id,
+        |     max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |       AS conv
+        |   FROM events GROUP BY 1),
+        | a AS (SELECT
+        |     CAST(count(CASE WHEN user_id % 2 = 0 THEN 1 END)
+        |       AS BIGINT) AS n_a,
+        |     CAST(count(CASE WHEN user_id % 2 = 0 AND conv = 1 THEN 1
+        |       END) AS BIGINT) AS x_a,
+        |     CAST(count(CASE WHEN user_id % 2 <> 0 THEN 1 END)
+        |       AS BIGINT) AS n_b,
+        |     CAST(count(CASE WHEN user_id % 2 <> 0 AND conv = 1 THEN 1
+        |       END) AS BIGINT) AS x_b
+        |   FROM u)
+        | SELECT n_a, x_a, n_b, x_b,
+        |   round(CAST(x_a AS DOUBLE) / n_a, 6) AS rate_a,
+        |   round(CAST(x_b AS DOUBLE) / n_b, 6) AS rate_b,
+        |   round((CAST(x_a AS DOUBLE) / n_a - CAST(x_b AS DOUBLE) / n_b)
+        |     / sqrt((CAST(x_a + x_b AS DOUBLE) / (n_a + n_b)) *
+        |       (CAST(1 AS DOUBLE) - CAST(x_a + x_b AS DOUBLE) /
+        |         (n_a + n_b)) *
+        |       (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b)),
+        |     4) AS z,
+        |   round((n_a + n_b) *
+        |     (CAST(x_a AS DOUBLE) * (n_b - x_b) -
+        |       CAST(x_b AS DOUBLE) * (n_a - x_a)) *
+        |     (CAST(x_a AS DOUBLE) * (n_b - x_b) -
+        |       CAST(x_b AS DOUBLE) * (n_a - x_a)) /
+        |     (CAST(n_a AS DOUBLE) * n_b * (x_a + x_b) *
+        |       (n_a + n_b - x_a - x_b)), 4) AS chi2
+        | FROM a""".stripMargin,
     "q_profile" ->
       s"""${profileSql("orders")}
          | ORDER BY col_name""".stripMargin,

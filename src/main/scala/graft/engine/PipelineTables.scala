@@ -26,7 +26,7 @@ object PipelineTables {
   val names: Set[String] =
     Set("dedup_pairs", "exact_dups", "quality_gate", "c4_clean",
       "fingerprints", "chunk_docs", "bm25_topk", "frequent_pairs",
-      "rake_phrases")
+      "rake_phrases", "profile")
 
   def resolve(catalog: Catalog, fn: String,
       args: Seq[SqlExpr]): DataFrame = {
@@ -91,6 +91,9 @@ object PipelineTables {
         arity(5)
         TextOps.rakePhrases(classArg(0), strArg(1), intArg(2),
           intArg(3).toLong, intArg(4))
+      case "profile" => // (class) — columns derived from the schema
+        arity(1)
+        graft.ops.Profile.tableProfileAuto(classArg(0))
       case other =>
         // unknown function → parse error (§2.5 contract, same as
         // scalar functions)

@@ -136,6 +136,46 @@ object Analytics {
     out
   }
 
+  /** Two-proportion A/B test (the experiment-analysis staple): given
+    * one row per UNIT with its arm and a boolean conversion flag,
+    * emits the two arms' exact counts, conversion rates, the pooled
+    * two-proportion z statistic and the 2×2 Pearson chi-square — each
+    * ONE fixed double expression over exact integer counts. `sqrt` is
+    * IEEE-754 correctly-rounded (unlike ln/log10), so z is safe to
+    * evaluate on both engines; chi-square's cross term is computed in
+    * double (its exact integer square overflows a long at ~10⁹ units).
+    *
+    * Scale shape: one conditional partial-agg pass over the unit
+    * frame — a single output row, no shuffle beyond the 1-row merge.
+    * Output: (n_a, x_a, n_b, x_b, rate_a, rate_b, z, chi2). */
+  def abTest(units: DataFrame, grpCol: String, convCol: String,
+      grpA: String, grpB: String): DataFrame = {
+    require(grpA != grpB, "arms must differ")
+    val isA = col(grpCol) === grpA
+    val isB = col(grpCol) === grpB
+    val conv = col(convCol).cast("boolean")
+    val agg = units.agg(
+      count(when(isA, 1)).as("n_a"),
+      count(when(isA && conv, 1)).as("x_a"),
+      count(when(isB, 1)).as("n_b"),
+      count(when(isB && conv, 1)).as("x_b"))
+    val p1 = col("x_a").cast("double") / col("n_a")
+    val p2 = col("x_b").cast("double") / col("n_b")
+    val ph = (col("x_a") + col("x_b")).cast("double") /
+      (col("n_a") + col("n_b"))
+    val z = (p1 - p2) / sqrt(ph * (lit(1.0) - ph) *
+      (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
+    val cross = col("x_a").cast("double") * (col("n_b") - col("x_b")) -
+      col("x_b").cast("double") * (col("n_a") - col("x_a"))
+    val n = col("n_a") + col("n_b")
+    val chi2 = n * cross * cross / (col("n_a").cast("double") *
+      col("n_b") * (col("x_a") + col("x_b")) *
+      (n - col("x_a") - col("x_b")))
+    agg.select(col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+      round(p1, 6).as("rate_a"), round(p2, 6).as("rate_b"),
+      round(z, 4).as("z"), round(chi2, 4).as("chi2"))
+  }
+
   /** Gini concentration coefficient per group (Gini 1912; the market-
     * concentration staple): members are first reduced to integer-cent
     * totals, ranked ascending within their group, and

@@ -74,6 +74,23 @@ object Profile {
     out
   }
 
+  /** [[tableProfile]] with the column list derived from the schema:
+    * numeric columns profile numerically, string columns as strings,
+    * any other type (timestamps, arrays, binary…) is SKIPPED — their
+    * string renderings are engine-specific, and the profile hashes the
+    * key strings. Engine bookkeeping columns (`_class`, `_version`,
+    * `_extra` — leading underscore by repo convention) are skipped
+    * too: the audit is about the user's data. This is the SQL-surface
+    * entry point (`FROM profile(class)`). */
+  def tableProfileAuto(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{NumericType, StringType}
+    val cols = df.schema.fields.filterNot(_.name.startsWith("_")).collect {
+      case f if f.dataType.isInstanceOf[NumericType] => (f.name, true)
+      case f if f.dataType == StringType => (f.name, false)
+    }.toSeq
+    tableProfile(df, cols)
+  }
+
   /** Snapshot drift audit: the per-column profile deltas between two
     * snapshots of the same table — row-count ratio, null-rate delta
     * and distinct-count ratio, each ONE rounded division over the

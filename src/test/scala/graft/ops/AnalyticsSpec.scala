@@ -232,6 +232,23 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(run(1) == run(6))
   }
 
+  // --- A/B test ----------------------------------------------------------
+
+  test("abTest: exact counts, closed-form z and chi-square") {
+    val units = Seq(("A", 1), ("A", 1), ("A", 0), ("A", 0),
+      ("B", 1), ("B", 0), ("B", 0), ("B", 0)).toDF("arm", "conv")
+    val r = Analytics.abTest(units, "arm", "conv", "A", "B")
+      .collect().head
+    assert(r.getAs[Long]("n_a") == 4L && r.getAs[Long]("x_a") == 2L)
+    assert(r.getAs[Long]("n_b") == 4L && r.getAs[Long]("x_b") == 1L)
+    assert(r.getAs[Double]("rate_a") == 0.5 &&
+      r.getAs[Double]("rate_b") == 0.25)
+    val z = math.rint(0.25 / math.sqrt(0.375 * 0.625 * 0.5) * 1e4) / 1e4
+    assert(r.getAs[Double]("z") == z)
+    // cross = 2·3 − 1·2 = 4; chi2 = 8·16/(4·4·3·5) = 0.533333…
+    assert(r.getAs[Double]("chi2") == 0.5333)
+  }
+
   // --- table profiling --------------------------------------------------
 
   private lazy val profCols =
