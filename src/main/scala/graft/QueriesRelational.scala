@@ -524,6 +524,19 @@ object QueriesRelational {
         .withColumnRenamed("grp", "o_orderstatus")
         .orderBy($"o_orderstatus", $"digit")
     }),
+    "q_funnel_ab" -> ((s, dir) => {
+      // composed experiment readout: does arm A complete the 3-step
+      // funnel more often than arm B? orderedFunnel feeds abTest —
+      // two existing operators, one pipeline
+      import s.implicits._
+      val f = Funnel.orderedFunnel(t(s, dir, "events"), "user_id",
+          "ts", "event_type", Seq("view", "click", "purchase"),
+          windowUs = 24L * 3600 * 1000000L)
+        .select($"user_id", ($"steps_reached" === 3).cast("int")
+          .as("conv"))
+        .withColumn("arm", when($"user_id" % 2 === 0, "A").otherwise("B"))
+      graft.ops.Analytics.abTest(f, "arm", "conv", "A", "B")
+    }),
     "q_ab_test" -> ((s, dir) => {
       // experiment readout: arms by user-id parity, conversion = any
       // purchase; exact counts, z via IEEE-exact sqrt, 2x2 chi-square
@@ -557,6 +570,32 @@ object QueriesRelational {
     ("o_custkey", true), ("o_orderkey", true),
     ("o_orderpriority", false), ("o_orderstatus", false),
     ("o_totalprice", true))
+
+  /** DuckDB replay of the leftmost-greedy 3-step funnel (per-step
+    * conditional mins) — hoisted so `q_event_funnel` and the composed
+    * `q_funnel_ab` share one definition. */
+  private val eventFunnelSql: String =
+    s"""WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS t1
+       |   FROM events WHERE event_type = 'view' GROUP BY 1),
+       | s2 AS (SELECT s1.user_id, s1.t1,
+       |     min(CASE WHEN e.tu > s1.t1
+       |       AND e.tu - s1.t1 <= 86400000000 THEN e.tu END) AS t2
+       |   FROM s1 LEFT JOIN (SELECT user_id, epoch_us(ts) AS tu
+       |     FROM events WHERE event_type = 'click') e
+       |     USING (user_id)
+       |   GROUP BY 1, 2),
+       | s3 AS (SELECT s2.user_id, s2.t1, s2.t2,
+       |     min(CASE WHEN e.tu > s2.t2
+       |       AND e.tu - s2.t2 <= 86400000000 THEN e.tu END) AS t3
+       |   FROM s2 LEFT JOIN (SELECT user_id, epoch_us(ts) AS tu
+       |     FROM events WHERE event_type = 'purchase') e
+       |     USING (user_id)
+       |   GROUP BY 1, 2, 3)
+       | SELECT user_id, t1, t2, t3,
+       |   CAST(1 + (CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END)
+       |     + (CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |     AS steps_reached
+       | FROM s3 ORDER BY user_id""".stripMargin
 
   /** DuckDB replay of [[graft.ops.Profile.tableProfile]] over `from`,
     * generated from the same [[ProfileCols]]. */
@@ -885,29 +924,40 @@ object QueriesRelational {
          | FROM f JOIN a USING (user_id)
          | WHERE a.p - f.cohort_period <= 4
          | GROUP BY 1, 2 ORDER BY cohort_period, "offset"""".stripMargin,
-    "q_event_funnel" ->
-      // the same leftmost-greedy chain: per-step conditional mins
-      s"""WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS t1
-         |   FROM events WHERE event_type = 'view' GROUP BY 1),
-         | s2 AS (SELECT s1.user_id, s1.t1,
-         |     min(CASE WHEN e.tu > s1.t1
-         |       AND e.tu - s1.t1 <= 86400000000 THEN e.tu END) AS t2
-         |   FROM s1 LEFT JOIN (SELECT user_id, epoch_us(ts) AS tu
-         |     FROM events WHERE event_type = 'click') e
-         |     USING (user_id)
-         |   GROUP BY 1, 2),
-         | s3 AS (SELECT s2.user_id, s2.t1, s2.t2,
-         |     min(CASE WHEN e.tu > s2.t2
-         |       AND e.tu - s2.t2 <= 86400000000 THEN e.tu END) AS t3
-         |   FROM s2 LEFT JOIN (SELECT user_id, epoch_us(ts) AS tu
-         |     FROM events WHERE event_type = 'purchase') e
-         |     USING (user_id)
-         |   GROUP BY 1, 2, 3)
-         | SELECT user_id, t1, t2, t3,
-         |   CAST(1 + (CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END)
-         |     + (CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-         |     AS steps_reached
-         | FROM s3 ORDER BY user_id""".stripMargin,
+    "q_event_funnel" -> eventFunnelSql,
+    "q_funnel_ab" ->
+      // the funnel oracle feeds the A/B formula — same composition as
+      // the engine side (conv = completed all 3 steps, arms by parity)
+      s"""WITH u AS (SELECT user_id,
+         |     CASE WHEN steps_reached = 3 THEN 1 ELSE 0 END AS conv
+         |   FROM ($eventFunnelSql) f),
+         | a AS (SELECT
+         |     CAST(count(CASE WHEN user_id % 2 = 0 THEN 1 END)
+         |       AS BIGINT) AS n_a,
+         |     CAST(count(CASE WHEN user_id % 2 = 0 AND conv = 1 THEN 1
+         |       END) AS BIGINT) AS x_a,
+         |     CAST(count(CASE WHEN user_id % 2 <> 0 THEN 1 END)
+         |       AS BIGINT) AS n_b,
+         |     CAST(count(CASE WHEN user_id % 2 <> 0 AND conv = 1 THEN 1
+         |       END) AS BIGINT) AS x_b
+         |   FROM u)
+         | SELECT n_a, x_a, n_b, x_b,
+         |   round(CAST(x_a AS DOUBLE) / n_a, 6) AS rate_a,
+         |   round(CAST(x_b AS DOUBLE) / n_b, 6) AS rate_b,
+         |   round((CAST(x_a AS DOUBLE) / n_a - CAST(x_b AS DOUBLE) / n_b)
+         |     / sqrt((CAST(x_a + x_b AS DOUBLE) / (n_a + n_b)) *
+         |       (CAST(1 AS DOUBLE) - CAST(x_a + x_b AS DOUBLE) /
+         |         (n_a + n_b)) *
+         |       (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b)),
+         |     4) AS z,
+         |   round((n_a + n_b) *
+         |     (CAST(x_a AS DOUBLE) * (n_b - x_b) -
+         |       CAST(x_b AS DOUBLE) * (n_a - x_a)) *
+         |     (CAST(x_a AS DOUBLE) * (n_b - x_b) -
+         |       CAST(x_b AS DOUBLE) * (n_a - x_a)) /
+         |     (CAST(n_a AS DOUBLE) * n_b * (x_a + x_b) *
+         |       (n_a + n_b - x_a - x_b)), 4) AS chi2
+         | FROM a""".stripMargin,
     "q_range_join" ->
       """SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,
         |   (epoch_us(b.ts) - epoch_us(a.ts)) // 1000000 AS gap_sec
