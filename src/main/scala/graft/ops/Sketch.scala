@@ -79,16 +79,31 @@ object Sketch {
     * 100 TB; merging = another max).
     * Output: (strataCol, v_zero, est_distinct). */
   def hllDistinct(df: DataFrame, strataCol: String,
-      value: Column): DataFrame = {
-    val twoPow55 = 36028797018963968L
-    val withReg = df
-      .select(col(strataCol), TextOps.hash60(value).as("__h"))
+      value: Column): DataFrame =
+    hllFromRegisters(
+      hllRegisterRows(df, strataCol, value)
+        .groupBy(col(strataCol), col("__reg"))
+        .agg(max(col("__rho")).as("__mr")),
+      strataCol)
+
+  /** per-row (stratum, __reg, __rho) frame — `max(__rho)` grouped by
+    * (stratum, __reg) is the sketch state; max is idempotent and
+    * commutative, so the SAME expression runs as a STREAMING
+    * aggregation (complete/update mode) and the streamed register
+    * table is bit-identical to the batch one (spec-pinned). */
+  def hllRegisterRows(df: DataFrame, strataCol: String,
+      value: Column): DataFrame =
+    df.select(col(strataCol), TextOps.hash60(value).as("__h"))
       .select(col(strataCol), (col("__h") % 64).cast("int").as("__reg"),
         expr("__h div 64").as("__sfx"))
       .withColumn("__rho", when(col("__sfx") === 0, lit(55))
         .otherwise(lit(55) - length(ltrim(bin(col("__sfx")), "0"))))
-    val regs = withReg.groupBy(col(strataCol), col("__reg"))
-      .agg(max(col("__rho")).as("__mr"))
+      .select(col(strataCol), col("__reg"), col("__rho"))
+
+  /** close a (stratum, __reg, __mr) register table into the estimate
+    * (see [[hllDistinct]] for the arithmetic discipline). */
+  def hllFromRegisters(regs: DataFrame, strataCol: String): DataFrame = {
+    val twoPow55 = 36028797018963968L
     val s = regs.groupBy(col(strataCol))
       .agg(count(lit(1)).as("__npres"),
         sum(expr("shiftleft(cast(1 as bigint), 55 - __mr)")).as("__sp"))

@@ -766,4 +766,34 @@ class EventStreamSpec extends AnyFunSuite {
     assert(recsState == recsBatch,
       "streamed recommendations must equal the batch run on the union")
   }
+
+  test("streaming HLL registers: estimate from streamed maxima == batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = (1 to 3000).map(i => ("g", s"val-$i")) ++
+      (1 to 500).map(i => ("h", s"other-$i"))
+    val input = MemoryStream[(String, String)]
+    // the register table IS the sketch state: max(rho) per (stratum,
+    // register) runs as a plain streaming aggregation in complete mode
+    val regs = graft.ops.Sketch.hllRegisterRows(
+        input.toDF().toDF("grp", "v"), "grp", col("v"))
+      .groupBy(col("grp"), col("__reg"))
+      .agg(max(col("__rho")).as("__mr"))
+    val q = regs.writeStream.format("memory").queryName("hll_regs")
+      .outputMode("complete").start()
+    try {
+      rows.grouped(1200).foreach { batch =>
+        input.addData(batch: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = graft.ops.Sketch.hllFromRegisters(
+        spark.table("hll_regs"), "grp")
+      .orderBy("grp").collect().map(_.toSeq).toSeq
+    val batch = graft.ops.Sketch.hllDistinct(rows.toDF("grp", "v"),
+        "grp", col("v"))
+      .orderBy("grp").collect().map(_.toSeq).toSeq
+    assert(streamed == batch,
+      "streamed register maxima must close to the batch estimate")
+  }
 }
