@@ -355,6 +355,24 @@ class ScratchR8 extends AnyFunSuite {
     setsOld.unpersist(); setsNew.unpersist()
   }
 
+  test("10x scale run: round-8 operator exponents") {
+    assume(scale10, "recorded run — set SPARK_GRAFT_SCALE10=1 to repeat")
+    val d1 = ensureData(1)
+    val d10 = ensureData(10)
+    // the round-8 documents/embeddings operators; qp_dbscan is the one
+    // with a changed scale story this round (tiled points — expected
+    // exponent ~1.0 where the un-tiled derivation was super-linear)
+    val ops = Seq("qp_dbscan", "qp_textrank", "qp_rake_phrases",
+      "qp_pmi_bigrams", "qp_hll_distinct")
+    ops.foreach { op =>
+      noop(SparkEntry.queries(op)(spark, d1)) // codegen warm
+      val t1 = timeQ(op, d1, 3)
+      val t10 = timeQ(op, d10, 3)
+      val exp = math.log10(t10 / t1)
+      println(f"[r8b] op=$op%-18s t1=$t1%6.2f t10=$t10%7.2f exp=$exp%5.2f")
+    }
+  }
+
   test("qg_pagerank isolated dispersion on real sf0.1 (settle r7 #2)") {
     assume(scale10, "recorded run — set SPARK_GRAFT_SCALE10=1 to repeat")
     val ts = (1 to 8).map { _ =>
@@ -393,5 +411,17 @@ class ScratchR8 extends AnyFunSuite {
     * qp_dbscan's gate points now TILE per 4500 ids (diagonal 4000
     * offset, gap > ε) so sf growth adds area at constant density —
     * the un-tiled sf0.1 blobs were ~10× denser than sf0.01's, which
-    * is the quadratic regime the operator documents away. */
+    * is the quadratic regime the operator documents away.
+    *
+    * Round-8 operator exponents, measured by the "round-8 operator
+    * exponents" test below on the generated 1×/10× corpora
+    * (2026-08-15): qp_dbscan t1=1.36 t10=2.51 exp=0.27 (the tiling
+    * fix measured, not argued — constant-density growth is linear
+    * work and fixed GraphX/plan overhead dominates at this size);
+    * qp_textrank 1.09→1.62 (0.17 — the word graph is vocabulary-
+    * bounded, only the explode grows); qp_rake_phrases 0.50→1.48
+    * (0.47); qp_pmi_bigrams 0.56→1.53 (0.44); qp_hll_distinct
+    * 0.40→1.53 (0.58 — pure scan+agg). All sub-linear: per-row work
+    * rides codegen scans and the aggregated frames are vocabulary- or
+    * register-bounded. */
 }
