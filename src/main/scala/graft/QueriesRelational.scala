@@ -524,6 +524,13 @@ object QueriesRelational {
         .withColumnRenamed("grp", "o_orderstatus")
         .orderBy($"o_orderstatus", $"digit")
     }),
+    "q_corr_matrix" -> ((s, dir) => {
+      // pairwise Pearson correlations of the lineitem measures on
+      // fixed-point scales (units / dollars / basis points) — exact
+      // integer sums, sqrt-only close
+      graft.ops.Analytics.corrMatrix(t(s, dir, "lineitem"),
+        CorrCols.map { case (n, e) => (n, expr(e)) })
+    }),
     "q_funnel_ab" -> ((s, dir) => {
       // composed experiment readout: does arm A complete the 3-step
       // funnel more often than arm B? orderedFunnel feeds abTest —
@@ -570,6 +577,49 @@ object QueriesRelational {
     ("o_custkey", true), ("o_orderkey", true),
     ("o_orderpriority", false), ("o_orderstatus", false),
     ("o_totalprice", true))
+
+  /** correlated lineitem measures on their fixed-point scales — ONE
+    * Scala list feeds the engine call and the generated oracle (the
+    * expressions are valid in BOTH dialects; `round(x, 0)` keeps the
+    * integral-double → long cast identical across engines, which a
+    * bare double cast is not: Spark truncates, DuckDB rounds). */
+  private val CorrCols: Seq[(String, String)] = Seq(
+    ("qty", "round(l_quantity, 0)"),
+    ("price_usd", "round(l_extendedprice, 0)"),
+    ("disc_bp", "round(l_discount * 10000, 0)"),
+    ("tax_bp", "round(l_tax * 10000, 0)"))
+
+  /** DuckDB replay of [[graft.ops.Analytics.corrMatrix]], generated
+    * from the same [[CorrCols]]. */
+  private def corrMatrixSql: String = {
+    val names = CorrCols.map(_._1)
+    val quant = CorrCols.map { case (n, e) =>
+      s"CAST($e AS BIGINT) AS $n" }.mkString(",\n |     ")
+    val sums = names.map(n => s"CAST(sum($n) AS BIGINT) AS s_$n") ++ (for {
+      i <- names.indices; j <- i until names.size
+    } yield s"CAST(sum(${names(i)} * ${names(j)}) AS BIGINT) " +
+      s"AS ss_${names(i)}__${names(j)}")
+    val pairRows = (for {
+      i <- names.indices; j <- i + 1 until names.size
+      a = names(i); b = names(j)
+    } yield
+      s"""SELECT '$a' AS col_a, '$b' AS col_b, n,
+         |   round((CAST(n AS DOUBLE) * ss_${a}__$b -
+         |       CAST(s_$a AS DOUBLE) * s_$b) /
+         |     (sqrt(CAST(n AS DOUBLE) * ss_${a}__$a -
+         |        CAST(s_$a AS DOUBLE) * s_$a) *
+         |      sqrt(CAST(n AS DOUBLE) * ss_${b}__$b -
+         |        CAST(s_$b AS DOUBLE) * s_$b)), 6) AS r
+         | FROM a""".stripMargin).mkString("\n UNION ALL ")
+    s"""WITH q AS (SELECT
+       |     $quant
+       |   FROM lineitem),
+       | a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |     ${sums.mkString(",\n |     ")}
+       |   FROM q)
+       | $pairRows
+       | ORDER BY col_a, col_b""".stripMargin
+  }
 
   /** DuckDB replay of the leftmost-greedy 3-step funnel (per-step
     * conditional mins) — hoisted so `q_event_funnel` and the composed
@@ -925,6 +975,7 @@ object QueriesRelational {
          | WHERE a.p - f.cohort_period <= 4
          | GROUP BY 1, 2 ORDER BY cohort_period, "offset"""".stripMargin,
     "q_event_funnel" -> eventFunnelSql,
+    "q_corr_matrix" -> corrMatrixSql,
     "q_funnel_ab" ->
       // the funnel oracle feeds the A/B formula — same composition as
       // the engine side (conv = completed all 3 steps, arms by parity)

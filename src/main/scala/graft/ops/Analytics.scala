@@ -176,6 +176,53 @@ object Analytics {
       round(z, 4).as("z"), round(chi2, 4).as("chi2"))
   }
 
+  /** Pairwise Pearson correlation matrix over integer-QUANTIZED
+    * columns (callers pick each column's fixed-point scale — units,
+    * dollars, basis points — so every Σx, Σx², Σxy is an exact long;
+    * quantization is part of the operator contract and replays in the
+    * oracle). r closes with the textbook formula in double — products
+    * of the exact sums cast to double first (n·Σxy overflows a long
+    * near 9e18; write the envelope) — and `sqrt` is IEEE-correctly-
+    * rounded, so the expression tree is engine-exact.
+    *
+    * Scale shape: ONE aggregation pass computes every sum (k + k(k+1)/2
+    * aggregates over one projection with the per-row products); the
+    * pair rows then explode from the single result row — no shuffle
+    * beyond the 1-row merge. Envelope: per-row |xᵢ·xⱼ| · rows < 2⁶³.
+    * Output: (col_a, col_b, n, r) for i < j, ordered. */
+  def corrMatrix(df: DataFrame,
+      cols: Seq[(String, Column)]): DataFrame = {
+    require(cols.size >= 2, "a correlation matrix needs >= 2 columns")
+    val names = cols.map(_._1)
+    val q = df.select(cols.map { case (n, c) =>
+      c.cast("long").as(n) }: _*)
+    val withProducts = q.select(names.map(col) ++ (for {
+      i <- names.indices; j <- i until names.size
+    } yield (col(names(i)) * col(names(j)))
+      .as(s"__p_${names(i)}__${names(j)}")): _*)
+    val aggs = names.map(n => sum(col(n)).as(s"__s_$n")) ++ (for {
+      i <- names.indices; j <- i until names.size
+    } yield sum(col(s"__p_${names(i)}__${names(j)}"))
+      .as(s"__ss_${names(i)}__${names(j)}"))
+    val one = withProducts.agg(count(lit(1)).as("__n"), aggs: _*)
+    val pairStructs = for {
+      i <- names.indices; j <- i + 1 until names.size
+      a = names(i); b = names(j)
+    } yield struct(lit(a).as("col_a"), lit(b).as("col_b"),
+      col("__n").as("n"), col(s"__s_$a").as("sa"),
+      col(s"__s_$b").as("sb"), col(s"__ss_${a}__$a").as("saa"),
+      col(s"__ss_${b}__$b").as("sbb"), col(s"__ss_${a}__$b").as("sab"))
+    val nD = col("n").cast("double")
+    val r = (nD * col("sab") - col("sa").cast("double") * col("sb")) /
+      (sqrt(nD * col("saa") - col("sa").cast("double") * col("sa")) *
+        sqrt(nD * col("sbb") - col("sb").cast("double") * col("sb")))
+    one.select(explode(array(pairStructs: _*)).as("__pr"))
+      .select(col("__pr.*"))
+      .select(col("col_a"), col("col_b"), col("n"),
+        round(r, 6).as("r"))
+      .orderBy(col("col_a"), col("col_b"))
+  }
+
   /** Gini concentration coefficient per group (Gini 1912; the market-
     * concentration staple): members are first reduced to integer-cent
     * totals, ranked ascending within their group, and

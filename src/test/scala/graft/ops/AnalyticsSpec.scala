@@ -249,6 +249,29 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("chi2") == 0.5333)
   }
 
+  test("corrMatrix: perfect and inverse correlations are exact") {
+    val df = Seq((1L, 2L, 5L), (2L, 4L, 4L), (3L, 6L, 3L))
+      .toDF("x", "y", "z")
+    val out = Analytics.corrMatrix(df,
+      Seq(("x", col("x")), ("y", col("y")), ("z", col("z"))))
+      .collect().map(r => (r.getAs[String]("col_a"),
+        r.getAs[String]("col_b")) -> r.getAs[Double]("r")).toMap
+    assert(out(("x", "y")) == 1.0)
+    assert(out(("x", "z")) == -1.0)
+    assert(out(("y", "z")) == -1.0)
+    assert(out.size == 3)
+  }
+
+  test("corrMatrix is partitioning-invariant") {
+    val df = (1 to 50).map(i => (i.toLong, (i * 7 % 13).toLong,
+      (i * 3 % 11).toLong)).toDF("x", "y", "z")
+    def run(parts: Int) =
+      Analytics.corrMatrix(df.repartition(parts),
+        Seq(("x", col("x")), ("y", col("y")), ("z", col("z"))))
+        .collect().map(_.toSeq).toSeq
+    assert(run(1) == run(6))
+  }
+
   // --- table profiling --------------------------------------------------
 
   private lazy val profCols =
