@@ -97,7 +97,8 @@ object Sketch {
       .select(col(strataCol), (col("__h") % 64).cast("int").as("__reg"),
         expr("__h div 64").as("__sfx"))
       .withColumn("__rho", when(col("__sfx") === 0, lit(55))
-        .otherwise(lit(55) - length(ltrim(bin(col("__sfx")), "0"))))
+        .otherwise(lit(55) -
+          length(expr("trim(LEADING '0' FROM bin(__sfx))"))))
       .select(col(strataCol), col("__reg"), col("__rho"))
 
   /** close a (stratum, __reg, __mr) register table into the estimate
