@@ -524,6 +524,19 @@ object QueriesRelational {
         .withColumnRenamed("grp", "o_orderstatus")
         .orderBy($"o_orderstatus", $"digit")
     }),
+    "q_top_paths" -> ((s, dir) => {
+      // top event PATHS (flow/sankey readout): the sequence frame's
+      // full-context windows rolled into 4-gram path counts — pure
+      // composition over nextEventSequences
+      import s.implicits._
+      graft.ops.Funnel.nextEventSequences(t(s, dir, "events"),
+          "user_id", "event_id", "ts", "event_type", ctxLen = 3,
+          maxEvents = 50)
+        .filter($"pos" >= 3)
+        .select(concat($"context", lit(" "), $"label").as("path"))
+        .groupBy($"path").agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"path").limit(25)
+    }),
     "q_corr_matrix" -> ((s, dir) => {
       // pairwise Pearson correlations of the lineitem measures on
       // fixed-point scales (units / dollars / basis points) — exact
@@ -620,6 +633,26 @@ object QueriesRelational {
        | $pairRows
        | ORDER BY col_a, col_b""".stripMargin
   }
+
+  /** DuckDB replay of the last-50 context-3 sequence frame — hoisted
+    * so `q_behavior_seqs` and the composed `q_top_paths` share one
+    * definition. */
+  private val behaviorSeqsSql: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id AS i,
+      |     event_type AS ty FROM events),
+      | a0 AS (SELECT user_id,
+      |     list(struct_pack(t := t, i := i, ty := ty)
+      |       ORDER BY t, i) AS arr
+      |   FROM e GROUP BY user_id),
+      | a AS (SELECT user_id, CASE WHEN len(arr) > 50
+      |     THEN arr[len(arr)-49:] ELSE arr END AS arr FROM a0),
+      | p AS (SELECT user_id, arr,
+      |     unnest(range(1, len(arr))) AS i FROM a)
+      | SELECT user_id, CAST(i AS BIGINT) AS pos,
+      |   array_to_string(list_transform(arr[greatest(1, i+1-3):i],
+      |     e -> e.ty), ' ') AS context,
+      |   arr[i+1].ty AS label
+      | FROM p ORDER BY user_id, pos""".stripMargin
 
   /** DuckDB replay of the leftmost-greedy 3-step funnel (per-step
     * conditional mins) — hoisted so `q_event_funnel` and the composed
@@ -902,22 +935,15 @@ object QueriesRelational {
          | FROM e LEFT JOIN d USING (b)
          | GROUP BY user_id ORDER BY user_id""".stripMargin
     },
-    "q_behavior_seqs" ->
-      """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id AS i,
-        |     event_type AS ty FROM events),
-        | a0 AS (SELECT user_id,
-        |     list(struct_pack(t := t, i := i, ty := ty)
-        |       ORDER BY t, i) AS arr
-        |   FROM e GROUP BY user_id),
-        | a AS (SELECT user_id, CASE WHEN len(arr) > 50
-        |     THEN arr[len(arr)-49:] ELSE arr END AS arr FROM a0),
-        | p AS (SELECT user_id, arr,
-        |     unnest(range(1, len(arr))) AS i FROM a)
-        | SELECT user_id, CAST(i AS BIGINT) AS pos,
-        |   array_to_string(list_transform(arr[greatest(1, i+1-3):i],
-        |     e -> e.ty), ' ') AS context,
-        |   arr[i+1].ty AS label
-        | FROM p ORDER BY user_id, pos""".stripMargin,
+    "q_behavior_seqs" -> behaviorSeqsSql,
+    "q_top_paths" ->
+      // the sequence frame rolled into the top event PATHS (the sankey
+      // / flow-analysis readout): full-context windows only
+      s"""WITH b AS ($behaviorSeqsSql)
+         | SELECT context || ' ' || label AS path,
+         |   CAST(count(*) AS BIGINT) AS n
+         | FROM b WHERE pos >= 3
+         | GROUP BY 1 ORDER BY n DESC, path LIMIT 25""".stripMargin,
     "q_scd2" ->
       """WITH c AS (SELECT user_id, ts, max(value) AS cv FROM events
         |   WHERE event_type = 'click' GROUP BY user_id, ts)

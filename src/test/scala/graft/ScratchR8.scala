@@ -423,5 +423,12 @@ class ScratchR8 extends AnyFunSuite {
     * (0.47); qp_pmi_bigrams 0.56→1.53 (0.44); qp_hll_distinct
     * 0.40→1.53 (0.58 — pure scan+agg). All sub-linear: per-row work
     * rides codegen scans and the aggregated frames are vocabulary- or
-    * register-bounded. */
+    * register-bounded.
+    *
+    * Targeted bench of all 23 round-8 queries on REAL sf0.1
+    * (2026-08-15, quiet box, adaptive rounds): 38.8 s total, every
+    * query in the 0.3–5.6 s band — heaviest qp_dbscan 5.6 s (tiled;
+    * ~4.4 tiles × ~1M ε-pairs each + GraphX CC is the honest linear
+    * cost), q_item_recs 3.4 s, q_freq_itemsets 3.1 s,
+    * q_profile_drift 3.2 s (two full profiles by construction). */
 }
