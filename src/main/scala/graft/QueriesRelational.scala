@@ -524,6 +524,25 @@ object QueriesRelational {
         .withColumnRenamed("grp", "o_orderstatus")
         .orderBy($"o_orderstatus", $"digit")
     }),
+    "q_event_transitions" -> ((s, dir) => {
+      // first-order Markov transition matrix over user event streams:
+      // exact pair counts off the same sequence frame, probabilities
+      // as round(1e6·n/total) micro-units (one IEEE division each)
+      import s.implicits._
+      val tr = graft.ops.Funnel.nextEventSequences(t(s, dir, "events"),
+          "user_id", "event_id", "ts", "event_type", ctxLen = 3,
+          maxEvents = 50)
+        .select(element_at(split($"context", " "), -1).as("cur"),
+          $"label".as("nxt"))
+        .groupBy($"cur", $"nxt").agg(count(lit(1)).as("n"))
+      val tot = tr.groupBy($"cur".as("__c"))
+        .agg(sum($"n").as("__t"))
+      tr.join(broadcast(tot), $"cur" === $"__c")
+        .select($"cur", $"nxt", $"n",
+          round($"n".cast("double") * 1e6 / $"__t", 0).cast("long")
+            .as("p_micro"))
+        .orderBy($"cur", $"nxt")
+    }),
     "q_top_paths" -> ((s, dir) => {
       // top event PATHS (flow/sankey readout): the sequence frame's
       // full-context windows rolled into 4-gram path counts — pure
@@ -936,6 +955,17 @@ object QueriesRelational {
          | GROUP BY user_id ORDER BY user_id""".stripMargin
     },
     "q_behavior_seqs" -> behaviorSeqsSql,
+    "q_event_transitions" ->
+      s"""WITH b AS ($behaviorSeqsSql),
+         | tr AS (SELECT string_split(context, ' ')[-1] AS cur,
+         |     label AS nxt, CAST(count(*) AS BIGINT) AS n
+         |   FROM b GROUP BY 1, 2),
+         | t AS (SELECT cur, CAST(sum(n) AS BIGINT) AS tot FROM tr
+         |   GROUP BY 1)
+         | SELECT tr.cur, nxt, n,
+         |   CAST(round(CAST(n AS DOUBLE) * 1e6 / tot, 0) AS BIGINT)
+         |     AS p_micro
+         | FROM tr JOIN t USING (cur) ORDER BY cur, nxt""".stripMargin,
     "q_top_paths" ->
       // the sequence frame rolled into the top event PATHS (the sankey
       // / flow-analysis readout): full-context windows only
