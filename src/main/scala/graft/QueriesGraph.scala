@@ -107,6 +107,14 @@ object QueriesGraph {
       // one-row double ratio)
       GraphOps.assortativityDF(TradeGraph.edges(s, dir))
     }),
+    "qg_hyperball" -> ((s, dir) => {
+      // HLL neighborhood function N(t) for t = 0..3 over the whole
+      // trade graph: per-vertex 64-register counters max-merged along
+      // edges (HyperBall) — distance distribution + 90% effective
+      // diameter without any all-pairs BFS; state |V|·64 longs
+      GraphOps.hyperBallDF(TradeGraph.vertices(s, dir),
+        TradeGraph.edges(s, dir), rounds = 3)
+    }),
     "qg_harmonic" -> ((s, dir) => {
       // bounded-radius harmonic centrality from the same 4 focal
       // customers as qg_betweenness: Σ 1/dist in exact micro-units
@@ -483,6 +491,59 @@ object QueriesGraph {
        | FROM u$rounds GROUP BY a ORDER BY id""".stripMargin
   }
 
+  /** unrolled HyperBall replay: register init from the same
+    * domain-separated md5 hash60 the engine uses, one max-merge CTE
+    * per round, then a per-round per-vertex HLL close (α·m²·2⁵⁵ and
+    * the linear-counting table generated from Sketch.HllAlphaC /
+    * HllLnMicro — the seeded-constants rule) summed as exact BIGINT
+    * nf_e4. */
+  private def hyperballSql(rounds: Int): String = {
+    val lnRows = graft.ops.Sketch.HllLnMicro.zipWithIndex
+      .map { case (m, i) => s"(${i + 1}, $m)" }.mkString(", ")
+    val c = graft.ops.Sketch.HllAlphaC
+    val merges = (1 to rounds).map { t =>
+      s"""s$t AS MATERIALIZED (SELECT id, reg, max(mr) AS mr FROM (
+         |   SELECT id, reg, mr FROM s${t - 1}
+         |   UNION ALL
+         |   SELECT u.a AS id, s.reg, s.mr FROM und u
+         |   JOIN s${t - 1} s ON s.id = u.b)
+         | GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n ")
+    val closes = (0 to rounds).map { t =>
+      s"""n$t AS (SELECT $t AS t, CAST(sum(CAST(round(10000 * round(
+         |     CASE WHEN $c / stot <= 160.0 AND npres < 64
+         |       THEN lnt.micro / 1e6 ELSE $c / stot END, 4))
+         |     AS BIGINT)) AS BIGINT) AS nf_e4
+         | FROM (SELECT vz, npres, stot FROM (SELECT id,
+         |       64 - npres AS vz, npres,
+         |       CAST(sp + (64 - npres) * 36028797018963968 AS DOUBLE)
+         |         AS stot
+         |     FROM (SELECT id, CAST(count(*) AS BIGINT) AS npres,
+         |         CAST(sum(1::BIGINT << (55 - mr)) AS BIGINT) AS sp
+         |       FROM s$t GROUP BY 1)))
+         | LEFT JOIN lnt ON lnt.vv = vz)""".stripMargin
+    }.mkString(",\n ")
+    val union = (0 to rounds).map(t => s"SELECT * FROM n$t")
+      .mkString(" UNION ALL ")
+    s"""WITH $edgesCte,
+       | und AS MATERIALIZED (SELECT src AS a, dst AS b FROM e
+       |   UNION ALL SELECT dst, src FROM e),
+       | s0 AS MATERIALIZED (SELECT id, CAST(h % 64 AS INT) AS reg,
+       |     CASE WHEN h // 64 = 0 THEN 55
+       |       ELSE 55 - length(ltrim(bin(h // 64), '0')) END AS mr
+       |   FROM (SELECT id,
+       |       ('0x' || substr(md5('hb:' || id), 1, 15))::BIGINT AS h
+       |     FROM v)),
+       | $merges,
+       | lnt(vv, micro) AS (VALUES $lnRows),
+       | $closes,
+       | allr AS ($union)
+       | SELECT CAST(t AS INT) AS t, nf_e4,
+       |   CAST(nf_e4 * 1000000 // (SELECT max(nf_e4) FROM allr)
+       |     AS BIGINT) AS pct_micro
+       | FROM allr ORDER BY t""".stripMargin
+  }
+
   /** unrolled deterministic random walks: per step, the successor is
     * the row_number-1 neighbor under (hash60 of the walk:step:edge
     * key, dst) order — identical to the engine's `min_by(dst,
@@ -662,6 +723,7 @@ object QueriesGraph {
          | WHERE v NOT IN $inSet
          | GROUP BY v ORDER BY id""".stripMargin
     },
+    "qg_hyperball" -> hyperballSql(3),
     "qg_walk_skipgrams" -> walkSkipgramsSql(Seq(1L, 2L, 3L), 3, 4, 2),
     "qg_random_walks" -> randomWalksSql(Seq(1L, 2L, 3L), 3, 4),
     "qg_hits" -> hitsSql(3),

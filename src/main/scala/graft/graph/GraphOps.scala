@@ -879,6 +879,74 @@ object GraphOps {
       .groupBy("center", "context")
       .agg(count(lit(1)).as("n"))
   }
+
+  /** HyperBall neighborhood function (Boldi & Vigna 2013, "In-Core
+    * Computation of Geometric Centralities with HyperBall", public
+    * paper): N(t) = Σ_v |ball(v, t)| estimated with one 64-register
+    * HLL counter per vertex, propagated by max-merge along undirected
+    * edges per round — the standard way to read a graph's distance
+    * distribution (effective diameter, average-distance trend) when
+    * all-pairs BFS is unthinkable. Registers use this repo's
+    * oracle-reproducible integer HLL arithmetic
+    * ([[graft.ops.Sketch.hllDistinct]]), so every estimate
+    * hash-matches the unrolled SQL replay. The reference's graph
+    * surface gives per-start traversal reachability only
+    * (`core/.../db/graph/ODatabaseGraphTx.java:63-141`); this is the
+    * whole-graph statistical closure of that capability.
+    *
+    * Scale shape: state is EXACTLY |V|·≤64 (id, reg, mr) rows no
+    * matter how large the balls grow (the point of the sketch — a
+    * 3-hop ball at 100 TB may hold millions of vertices, but its
+    * counter stays ≤ 64 longs); each round is ONE equi-join against
+    * the undirected edge table + a partial-agg `max` (idempotent and
+    * commutative → partitioning-invariant), lineage truncated per
+    * round. No neighborhood set is ever materialized, collected, or
+    * shuffled.
+    *
+    * Output: one row per radius t = 0..rounds —
+    * `nf_e4` = Σ_v round(est|ball(v,t)|·10⁴) (per-vertex 4-decimal
+    * estimates made integer BEFORE the sum, so the global total is an
+    * exact BIGINT sum, immune to float-summation order), and
+    * `pct_micro` = nf_e4·10⁶ div max(nf_e4) — the effective-diameter
+    * readout (first t with pct_micro ≥ 900000 is the 90% effective
+    * diameter). */
+  def hyperBallDF(vertices: DataFrame, edges: DataFrame,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, "hyperBall needs at least one round")
+    val und = edges.select(col("src").as("a"), col("dst").as("b"))
+      .unionByName(edges.select(col("dst").as("a"), col("src").as("b")))
+      .persist()
+    // round-0 sketch: each vertex's counter holds exactly itself
+    // (domain-separated key, same md5 hash60 the oracle replays)
+    var state = graft.ops.Sketch.hllRegisterRows(
+        vertices.select(col("id")), "id",
+        concat(lit("hb:"), col("id").cast("string")))
+      .groupBy("id", "__reg").agg(max("__rho").as("__mr"))
+      .localCheckpoint()
+    def close(t: Int, st: DataFrame): DataFrame =
+      graft.ops.Sketch.hllFromRegisters(st, "id")
+        .agg(sum(round(col("est_distinct") * 10000).cast("long"))
+          .as("nf_e4"))
+        .select(lit(t).as("t"), col("nf_e4"))
+    var out = close(0, state)
+    for (t <- 1 to rounds) {
+      val neigh = state.join(und, state("id") === und("b"))
+        .select(col("a").as("id"), col("__reg"), col("__mr"))
+      state = state.unionByName(neigh)
+        .groupBy("id", "__reg").agg(max("__mr").as("__mr"))
+        .localCheckpoint()
+      out = out.unionByName(close(t, state))
+    }
+    und.unpersist()
+    // rounds+1-row close: the whole-frame max here is over ≤ rounds+1
+    // rows, not data-sized
+    out.withColumn("__mx",
+        max(col("nf_e4")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(lit(1))))
+      .withColumn("pct_micro", expr("nf_e4 * 1000000 div __mx"))
+      .drop("__mx")
+      .orderBy("t")
+  }
 }
 
 /** The trade-graph fixture over the driver tables: customers and

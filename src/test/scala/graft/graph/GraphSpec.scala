@@ -500,4 +500,40 @@ class GraphSpec extends AnyFunSuite {
     // NEVER cross walks (10@walk1 sees no 30)
     assert(w2 == w1 ++ Map((10L, 30L) -> 1L, (30L, 10L) -> 1L))
   }
+
+  test("hyperBall: monotone neighborhood function, exact small-graph " +
+      "counts, partitioning invariance") {
+    import spark.implicits._
+    // path graph 1—2—3—4: balls are exactly countable, and every
+    // per-vertex sketch is in the 1-4-distinct linear-counting regime
+    // where the estimate is near-exact (v_zero reads the ln table)
+    val v = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val nf = GraphOps.hyperBallDF(v, e, rounds = 3)
+      .orderBy("t").collect()
+    assert(nf.map(_.getInt(0)).toSeq == Seq(0, 1, 2, 3))
+    val sums = nf.map(_.getLong(1))
+    // true ball sizes: t=0 → 4, t=1 → 2+3+3+2=10, t=2 → 3+4+4+3=14,
+    // t=3 → 16 (all pairs); HLL small-range estimates land within 5%
+    val truth = Seq(4.0, 10.0, 14.0, 16.0)
+    sums.zip(truth).foreach { case (s, tr) =>
+      assert(math.abs(s / 1e4 - tr) / tr < 0.05, s"nf $s vs $tr") }
+    // monotone nondecreasing, final round is the 100% row
+    assert(sums.sameElements(sums.sorted))
+    assert(nf.last.getLong(2) == 1000000L)
+    // partitioning invariance: register max-merge is idempotent and
+    // commutative, so task order can't move a single estimate
+    val a = GraphOps.hyperBallDF(v, e.repartition(7), rounds = 3)
+      .orderBy("t").collect().toSeq
+    assert(a == nf.toSeq)
+    // real graph: the trade graph's 90% effective diameter at radius 3
+    // — pct_micro is monotone and hits 1e6 at the last round
+    val real = GraphOps.hyperBallDF(TradeGraph.vertices(spark, sf),
+        TradeGraph.edges(spark, sf), rounds = 3)
+      .orderBy("t").collect()
+    val pcts = real.map(_.getLong(2))
+    assert(pcts.sameElements(pcts.sorted) && pcts.last == 1000000L)
+    assert(real.map(_.getLong(1)).distinct.length > 1,
+      "neighborhood function should grow on the trade graph")
+  }
 }
