@@ -587,6 +587,33 @@ object QueriesRelational {
         .withColumn("arm", when($"user_id" % 2 === 0, "A").otherwise("B"))
       graft.ops.Analytics.abTest(units, "arm", "conv", "A", "B")
     }),
+    "q_chi_square" -> ((s, dir) => {
+      // r×c independence test: is a document's language independent
+      // of its source? exact cell/marginal counts, nano-integer term
+      // sum, one closing division + IEEE sqrt for Cramér's V
+      graft.ops.Analytics.chiSquare(t(s, dir, "documents"),
+        "lang", "source")
+    }),
+    "q_mann_whitney" -> ((s, dir) => {
+      // nonparametric rank-sum: do English and German documents share
+      // a length distribution? half-unit integer average ranks, exact
+      // tie correction, one closing z expression
+      graft.ops.Analytics.mannWhitneyU(t(s, dir, "documents"),
+        "lang", col("n_chars"), "en", "de")
+    }),
+    "q_ols_fit" -> ((s, dir) => {
+      // closed-form OLS of price-cents on quantity-units: slope /
+      // intercept / R² from five exact decimal(38,0) sufficient
+      // statistics — one pass, one output row
+      graft.ops.Analytics.olsFit(t(s, dir, "lineitem"),
+        expr("round(l_quantity, 0)"),
+        expr("round(l_extendedprice * 100, 0)"))
+    }),
+    "q_acf_daily" -> ((s, dir) => {
+      // autocorrelation of the daily event-count series at lags 1..7
+      // — weekly rhythm readout; mean eliminated exactly by n-scaling
+      graft.ops.Analytics.acfDaily(t(s, dir, "events"), "ts", maxLag = 7)
+    }),
     "q_profile" -> ((s, dir) => {
       // per-column table profile: counts, null rate, KMV distinct,
       // numeric min/max/mean — the pre-ingest data-ops audit
@@ -620,6 +647,33 @@ object QueriesRelational {
     ("price_usd", "round(l_extendedprice, 0)"),
     ("disc_bp", "round(l_discount * 10000, 0)"),
     ("tax_bp", "round(l_tax * 10000, 0)"))
+
+  /** DuckDB replay of [[graft.ops.Analytics.acfDaily]]: daily counts,
+    * exact n-scaled deviations (d = n·y − Σy), HUGEINT lag-product
+    * sums, one closing division per lag. */
+  private def acfDailySql(maxLag: Int): String = {
+    val lagCols = (1 to maxLag)
+      .map(k => s"""lag(d, $k) OVER (ORDER BY day) AS d$k""")
+      .mkString(", ")
+    val sums = (1 to maxLag).map(k =>
+      s"sum(d * d$k) AS num$k, CAST(count(d$k) AS BIGINT) AS np$k")
+      .mkString(", ")
+    val rows = (1 to maxLag).map(k =>
+      s"""SELECT $k AS "lag", np$k AS n_pairs,
+         |   round(CAST(num$k AS DOUBLE) / CAST(den AS DOUBLE), 6) AS acf
+         | FROM s""".stripMargin)
+      .mkString("\n | UNION ALL ")
+    s"""WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
+       |     CAST(count(*) AS BIGINT) AS y FROM events GROUP BY 1),
+       | tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |     CAST(sum(y) AS BIGINT) AS s FROM daily),
+       | dev AS (SELECT day, CAST(n * y - s AS HUGEINT) AS d
+       |   FROM daily CROSS JOIN tot),
+       | lagged AS (SELECT d, $lagCols FROM dev),
+       | s AS (SELECT sum(d * d) AS den, $sums FROM lagged)
+       | SELECT CAST("lag" AS INT) AS "lag", n_pairs, acf FROM ($rows)
+       | ORDER BY 1""".stripMargin
+  }
 
   /** DuckDB replay of [[graft.ops.Analytics.corrMatrix]], generated
     * from the same [[CorrCols]]. */
@@ -1299,6 +1353,90 @@ object QueriesRelational {
         |     (CAST(n_a AS DOUBLE) * n_b * (x_a + x_b) *
         |       (n_a + n_b - x_a - x_b)), 4) AS chi2
         | FROM a""".stripMargin,
+    "q_chi_square" ->
+      // same fixed-point discipline as the engine: per-cell (o−e)²/e
+      // made nano-integer BEFORE the sum, one closing division
+      """WITH cells AS (SELECT lang AS a, source AS b,
+        |     CAST(count(*) AS BIGINT) AS o
+        |   FROM documents GROUP BY 1, 2),
+        | rs AS (SELECT a, CAST(sum(o) AS BIGINT) AS ra
+        |   FROM cells GROUP BY 1),
+        | cs AS (SELECT b, CAST(sum(o) AS BIGINT) AS cb
+        |   FROM cells GROUP BY 1),
+        | tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+        |     CAST(count(DISTINCT a) AS BIGINT) AS r,
+        |     CAST(count(DISTINCT b) AS BIGINT) AS c FROM cells),
+        | grid AS (SELECT a, b, ra, cb, coalesce(o, 0) AS o
+        |   FROM rs CROSS JOIN cs LEFT JOIN cells USING (a, b)),
+        | terms AS (SELECT n, r, c,
+        |     CAST(round((o - CAST(ra AS DOUBLE) * cb / n) *
+        |         (o - CAST(ra AS DOUBLE) * cb / n) /
+        |         (CAST(ra AS DOUBLE) * cb / n) * 1e9) AS BIGINT) AS t9
+        |   FROM grid CROSS JOIN tot)
+        | SELECT n, CAST(count(*) AS BIGINT) AS n_cells,
+        |   (r - 1) * (c - 1) AS dof,
+        |   round(CAST(sum(t9) AS BIGINT) / 1e9, 4) AS chi2,
+        |   round(sqrt(CAST(sum(t9) AS BIGINT) / 1e9 /
+        |     (n * least(r - 1, c - 1))), 6) AS cramers_v
+        | FROM terms GROUP BY n, r, c""".stripMargin,
+    "q_mann_whitney" ->
+      // half-unit exact ranks: rank2 = 2·(below) + at + 1; HUGEINT
+      // sums replay the engine's decimal(38,0) accumulators
+      """WITH vals AS (SELECT CAST(n_chars AS BIGINT) AS v,
+        |     CAST(count(CASE WHEN lang = 'en' THEN 1 END) AS BIGINT)
+        |       AS na,
+        |     CAST(count(CASE WHEN lang = 'de' THEN 1 END) AS BIGINT)
+        |       AS nb
+        |   FROM documents WHERE lang IN ('en', 'de') GROUP BY 1),
+        | r AS (SELECT v, na, nb, na + nb AS nv,
+        |     sum(na + nb) OVER (ORDER BY v
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |   FROM vals),
+        | a AS (SELECT CAST(sum(na) AS BIGINT) AS na,
+        |     CAST(sum(nb) AS BIGINT) AS nb,
+        |     sum(CAST(na * (2 * (cum - nv) + nv + 1) AS HUGEINT)) AS ra2,
+        |     sum(CAST(nv * nv * nv - nv AS HUGEINT)) AS ties FROM r),
+        | u AS (SELECT na, nb, ties, ra2 - na * (na + 1) AS u2 FROM a)
+        | SELECT na AS n_a, nb AS n_b,
+        |   CAST(u2 AS DOUBLE) / 2.0 AS u_a,
+        |   round((CAST(u2 AS DOUBLE) / 2.0 -
+        |       CAST(na AS DOUBLE) * nb / 2.0) /
+        |     sqrt(CAST(na AS DOUBLE) * nb / 12.0 *
+        |       ((CAST(na AS DOUBLE) + nb + 1) -
+        |         CAST(ties AS DOUBLE) / ((CAST(na AS DOUBLE) + nb) *
+        |           ((CAST(na AS DOUBLE) + nb) - 1)))), 4) AS z
+        | FROM u""".stripMargin,
+    "q_ols_fit" ->
+      // five exact HUGEINT sufficient statistics, textbook close
+      """WITH q AS (SELECT CAST(round(l_quantity, 0) AS BIGINT) AS x,
+        |     CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS y
+        |   FROM lineitem),
+        | a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |     sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |     sum(CAST(x * y AS HUGEINT)) AS sxy,
+        |     sum(CAST(x * x AS HUGEINT)) AS sxx,
+        |     sum(CAST(y * y AS HUGEINT)) AS syy FROM q)
+        | SELECT n,
+        |   round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+        |       CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |     (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |       CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope,
+        |   round((CAST(sy AS DOUBLE) -
+        |       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+        |         CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |       (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |         CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |       CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 4) AS intercept,
+        |   round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+        |       CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) *
+        |     (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+        |       CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |     ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |       CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |      (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+        |       CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r2
+        | FROM a""".stripMargin,
+    "q_acf_daily" -> acfDailySql(7),
     "q_profile" ->
       s"""${profileSql("orders")}
          | ORDER BY col_name""".stripMargin,

@@ -283,4 +283,176 @@ object Analytics {
           (col("n_days").cast("double") * col("__s")) * 1e6, 0)
           .cast("long").as("idx_micro"))
   }
+
+  /** Pearson chi-square test of independence over an r×c contingency
+    * table (Pearson 1900) plus Cramér's V effect size — the
+    * categorical-association readout (is `lang` independent of
+    * `source`?). Cell counts, row/column marginals and n are exact
+    * longs; each cell's (o−e)²/e term (e = rowSum·colSum/n) is ONE
+    * fixed double expression made integer at nano precision
+    * (round 1e9·term) BEFORE the global sum, so the statistic is an
+    * exact BIGINT sum — immune to float-summation order — divided
+    * once at the close. `sqrt` is IEEE-correctly-rounded, so V is
+    * engine-exact.
+    *
+    * Scale shape: ONE partial-agg groupBy(a, b) reduces the corpus to
+    * the cell frame (bounded by the category-domain product, not the
+    * corpus); marginals are two more partial-aggs over cells, joined
+    * back broadcast. No windows, nothing corpus-sized past the first
+    * aggregation.
+    *
+    * Output 1 row: (n, n_cells = r·c full-grid cells, dof, chi2,
+    * cramers_v). */
+  def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).as("__o"))
+    val rows = cells.groupBy(col("__a")).agg(sum("__o").as("__ra"))
+    val colsums = cells.groupBy(col("__b")).agg(sum("__o").as("__cb"))
+    val tot = cells.agg(sum("__o").as("__n"),
+      countDistinct(col("__a")).as("__r"),
+      countDistinct(col("__b")).as("__c"))
+    // the statistic runs over the FULL r×c grid — zero cells
+    // contribute (0−e)²/e = e, so they must be minted from the
+    // marginal cross product (domain-sized, not corpus-sized)
+    val e = col("__ra").cast("double") * col("__cb") / col("__n")
+    val term = (col("__o") - e) * (col("__o") - e) / e
+    broadcast(rows).crossJoin(broadcast(colsums))
+      .join(cells, Seq("__a", "__b"), "left")
+      .withColumn("__o", coalesce(col("__o"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .select(col("__n"), col("__r"), col("__c"),
+        round(term * 1e9).cast("long").as("__t9"))
+      .groupBy(col("__n"), col("__r"), col("__c"))
+      .agg(count(lit(1)).as("n_cells"), sum("__t9").as("__chi9"))
+      .select(col("__n").as("n"), col("n_cells"),
+        ((col("__r") - 1) * (col("__c") - 1)).as("dof"),
+        round(col("__chi9") / 1e9, 4).as("chi2"),
+        round(sqrt(col("__chi9") / 1e9 / (col("__n") *
+          least(col("__r") - 1, col("__c") - 1))), 6).as("cramers_v"))
+  }
+
+  /** Mann–Whitney U rank-sum test (Mann & Whitney 1947) between two
+    * groups of an integer-quantized measure — the nonparametric
+    * "are these two samples from the same distribution?" readout
+    * (quantization is part of the operator contract, as in
+    * [[corrMatrix]]). Average ranks are carried in exact HALF-units
+    * (rank2 = 2·(count below) + (count at value) + 1), so the rank
+    * sum and 2·U_A = ΣR_A2 − 2·n_A(n_A+1)/2 stay exact integers; the
+    * tie correction Σ(t³−t) accumulates in decimal(38,0) (t can reach
+    * group size). z = (U_A − μ)/σ closes as ONE double expression over
+    * the exact sums (documented normal approximation, the standard
+    * large-sample form).
+    *
+    * Scale shape: the corpus reduces via one partial-agg to the
+    * DISTINCT-VALUE frame (value, n_a, n_b) — bounded by the
+    * quantized value domain, not the corpus; the cumulative-rank
+    * window rides that reduced frame (documented: unpartitioned over
+    * the value domain). Output 1 row: (n_a, n_b, u_a, z). */
+  def mannWhitneyU(df: DataFrame, grpCol: String, value: Column,
+      grpA: String, grpB: String): DataFrame = {
+    require(grpA != grpB, "groups must differ")
+    val vals = df.filter(col(grpCol).isin(grpA, grpB))
+      .groupBy(value.cast("long").as("__v"))
+      .agg(count(when(col(grpCol) === grpA, 1)).as("__na"),
+        count(when(col(grpCol) === grpB, 1)).as("__nb"))
+      .withColumn("__nv", col("__na") + col("__nb"))
+    val w = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = vals
+      .withColumn("__cum", sum(col("__nv")).over(w))
+      .withColumn("__rank2",
+        lit(2) * (col("__cum") - col("__nv")) + col("__nv") + 1)
+    val agg = ranked.agg(
+      sum(col("__na")).as("na"), sum(col("__nb")).as("nb"),
+      sum((col("__na") * col("__rank2")).cast("decimal(38,0)")).as("ra2"),
+      sum((col("__nv") * col("__nv") * col("__nv") - col("__nv"))
+        .cast("decimal(38,0)")).as("ties"))
+    val naD = col("na").cast("double")
+    val nbD = col("nb").cast("double")
+    val nD = naD + nbD
+    // exact integers: 2·U_A = R_A2 − n_a(n_a+1), 2·μ = n_a·n_b
+    val u2 = col("ra2") - col("na") * (col("na") + 1)
+    val mu2 = naD * nbD
+    val sigma = sqrt(naD * nbD / 12.0 *
+      ((nD + 1) - col("ties").cast("double") / (nD * (nD - 1))))
+    agg.select(col("na").as("n_a"), col("nb").as("n_b"),
+      (u2 / 2.0).as("u_a"),
+      round((u2.cast("double") / 2.0 - mu2 / 2.0) / sigma, 4).as("z"))
+  }
+
+  /** Closed-form ordinary least squares on one integer-quantized
+    * feature (the Gauss/Legendre normal equations; quantization is
+    * the operator contract as in [[corrMatrix]]): slope, intercept,
+    * and R² from the five sufficient statistics n, Σx, Σy, Σxy, Σx²,
+    * Σy² — accumulated in decimal(38,0) so the sums are EXACT at any
+    * corpus size (per-row x·y up to ~10¹⁸ times 10¹² rows fits 38
+    * digits; a long would wrap at ~10 M rows of cent-scale products).
+    * The close is the textbook fixed double expression tree over the
+    * exact sums — no float accumulation anywhere.
+    *
+    * Scale shape: ONE partial-agg pass, a single output row.
+    * Output: (n, slope, intercept, r2). */
+  def olsFit(df: DataFrame, x: Column, y: Column): DataFrame = {
+    val q = df.select(x.cast("long").as("__x"), y.cast("long").as("__y"))
+    val d = "decimal(38,0)"
+    val agg = q.agg(count(lit(1)).as("n"),
+      sum(col("__x").cast(d)).as("sx"), sum(col("__y").cast(d)).as("sy"),
+      sum((col("__x") * col("__y")).cast(d)).as("sxy"),
+      sum((col("__x") * col("__x")).cast(d)).as("sxx"),
+      sum((col("__y") * col("__y")).cast(d)).as("syy"))
+    val nD = col("n").cast("double")
+    val sx = col("sx").cast("double")
+    val sy = col("sy").cast("double")
+    val sxy = col("sxy").cast("double")
+    val sxx = col("sxx").cast("double")
+    val syy = col("syy").cast("double")
+    val cov = nD * sxy - sx * sy
+    val varx = nD * sxx - sx * sx
+    val vary = nD * syy - sy * sy
+    agg.select(col("n"),
+      round(cov / varx, 6).as("slope"),
+      round((sy - cov / varx * sx) / nD, 4).as("intercept"),
+      round(cov * cov / (varx * vary), 6).as("r2"))
+  }
+
+  /** Autocorrelation function of the daily event-count series at lags
+    * 1..`maxLag` (Box & Jenkins): r_k = Σ(y_t−ȳ)(y_{t−k}−ȳ) / Σ(y_t−ȳ)².
+    * The mean is eliminated EXACTLY by n-scaling — d_t = n·y_t − Σy is
+    * an exact integer, and r_k = Σ d_t·d_{t−k} / Σ d_t² (both sides
+    * n²-scaled, the factor cancels) — so numerator and denominator
+    * are exact decimal(38,0) sums and the only float op is the final
+    * division. No mean subtraction in float, no accumulation order.
+    *
+    * Scale shape: the corpus reduces via ONE partial-agg to the daily
+    * frame (one row per day — calendar-bounded, not corpus-bounded);
+    * the lag windows ride that reduced frame (documented:
+    * unpartitioned over the day domain). Output: (lag, n_pairs, acf)
+    * for k = 1..maxLag. */
+  def acfDaily(events: DataFrame, tsCol: String, maxLag: Int,
+      bucketUs: Long = 86400000000L): DataFrame = {
+    require(maxLag >= 1, "maxLag must be >= 1")
+    val daily = events
+      .groupBy(expr(s"unix_micros($tsCol) div ${bucketUs}L").as("__day"))
+      .agg(count(lit(1)).as("__y"))
+    val tot = daily.agg(count(lit(1)).as("__n"), sum("__y").as("__s"))
+    val d = daily.crossJoin(broadcast(tot))
+      .select(col("__day"),
+        (col("__n") * col("__y") - col("__s")).cast("decimal(38,0)")
+          .as("__d"))
+    val w = Window.orderBy(col("__day"))
+    val lagged = (1 to maxLag).foldLeft(d) { (f, k) =>
+      f.withColumn(s"__d$k", lag(col("__d"), k).over(w))
+    }
+    val sums = lagged.agg(
+      sum(col("__d") * col("__d")).as("__den"),
+      (1 to maxLag).flatMap(k => Seq(
+        sum(col("__d") * col(s"__d$k")).as(s"__num$k"),
+        count(col(s"__d$k")).as(s"__np$k"))): _*)
+    val rows = (1 to maxLag).map(k => struct(lit(k).as("lag"),
+      col(s"__np$k").as("n_pairs"),
+      round(col(s"__num$k").cast("double") /
+        col("__den").cast("double"), 6).as("acf")))
+    sums.select(explode(array(rows: _*)).as("__r"))
+      .select(col("__r.*")).orderBy("lag")
+  }
 }

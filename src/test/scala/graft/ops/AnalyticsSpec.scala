@@ -318,6 +318,97 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(run(1) == run(5))
   }
 
+  // --- chi-square / Mann-Whitney / OLS / ACF ----------------------------
+
+  test("chiSquare: perfect association gives chi2 = n, V = 1; " +
+      "independence gives 0") {
+    // 2×2 perfectly associated: a1↔b1, a2↔b2
+    val assoc = Seq(("a1", "b1"), ("a1", "b1"), ("a2", "b2"), ("a2", "b2"))
+      .toDF("x", "y")
+    val r1 = Analytics.chiSquare(assoc, "x", "y").collect().head
+    assert(r1.getAs[Long]("n") == 4L && r1.getAs[Long]("dof") == 1L)
+    assert(r1.getAs[Double]("chi2") == 4.0)
+    assert(r1.getAs[Double]("cramers_v") == 1.0)
+    // perfectly independent uniform 2×2
+    val ind = Seq(("a1", "b1"), ("a1", "b2"), ("a2", "b1"), ("a2", "b2"))
+      .toDF("x", "y")
+    val r2 = Analytics.chiSquare(ind, "x", "y").collect().head
+    assert(r2.getAs[Double]("chi2") == 0.0)
+    assert(r2.getAs[Long]("n_cells") == 4L)
+  }
+
+  test("chiSquare is partitioning-invariant (nano-integer term sum)") {
+    val df = Seq.tabulate(60)(i =>
+      (s"a${i % 3}", s"b${(i * 7) % 4}")).toDF("x", "y")
+    def run(p: Int) =
+      Analytics.chiSquare(df.repartition(p), "x", "y")
+        .collect().map(_.toSeq).toSeq
+    assert(run(1) == run(7))
+  }
+
+  test("mannWhitneyU: textbook ranks with ties") {
+    // A = {1, 2, 2}, B = {2, 3}: ranks 1, then three tied 2s share
+    // (2+3+4)/3 = 3, value 3 gets rank 5. R_A = 1+3+3 = 7,
+    // U_A = 7 − 3·4/2 = 1; z from σ with the t=3 tie correction
+    val df = Seq(("A", 1L), ("A", 2L), ("A", 2L), ("B", 2L), ("B", 3L))
+      .toDF("g", "v")
+    val r = Analytics.mannWhitneyU(df, "g", col("v"), "A", "B")
+      .collect().head
+    assert(r.getAs[Long]("n_a") == 3L && r.getAs[Long]("n_b") == 2L)
+    assert(r.getAs[Double]("u_a") == 1.0)
+    // μ = 3, σ² = (3·2/12)·(6 − 24/20) = 2.4 → z = (1−3)/√2.4
+    val z = (1.0 - 3.0) / math.sqrt(2.4)
+    assert(math.abs(r.getAs[Double]("z") - math.rint(z * 1e4) / 1e4) < 1e-9)
+  }
+
+  test("mannWhitneyU is partitioning-invariant") {
+    val df = Seq.tabulate(80)(i =>
+      (if (i % 2 == 0) "A" else "B", (i * 13 % 11).toLong)).toDF("g", "v")
+    def run(p: Int) =
+      Analytics.mannWhitneyU(df.repartition(p), "g", col("v"), "A", "B")
+        .collect().map(_.toSeq).toSeq
+    assert(run(1) == run(9))
+  }
+
+  test("olsFit recovers an exact linear relation") {
+    // y = 3x + 10 exactly → slope 3, intercept 10, R² = 1
+    val df = Seq.tabulate(20)(i => (i.toLong, 3L * i + 10L)).toDF("x", "y")
+    val r = Analytics.olsFit(df, col("x"), col("y")).collect().head
+    assert(r.getAs[Long]("n") == 20L)
+    assert(r.getAs[Double]("slope") == 3.0)
+    assert(r.getAs[Double]("intercept") == 10.0)
+    assert(r.getAs[Double]("r2") == 1.0)
+  }
+
+  test("olsFit is partitioning-invariant (decimal sums)") {
+    val df = Seq.tabulate(100)(i =>
+      ((i % 17).toLong, (i * 31 % 23).toLong)).toDF("x", "y")
+    def run(p: Int) =
+      Analytics.olsFit(df.repartition(p), col("x"), col("y"))
+        .collect().map(_.toSeq).toSeq
+    assert(run(1) == run(8))
+  }
+
+  test("acfDaily: constant series has zero deviations everywhere; " +
+      "alternating series gives acf(1) = −1, acf(2) = +1") {
+    import java.sql.Timestamp
+    def day(d: Int, n: Int) = (0 until n).map(i =>
+      Timestamp.from(java.time.Instant.ofEpochSecond(d * 86400L + i)))
+    // daily counts 1,3,1,3,1,3 over six days: d_t alternates ±ns/…
+    val ts = (0 until 6).flatMap(d => day(d, if (d % 2 == 0) 1 else 3))
+    val df = ts.map(t => Tuple1(t)).toDF("ts")
+    val out = Analytics.acfDaily(df, "ts", maxLag = 2)
+      .collect().map(r => r.getAs[Int]("lag") ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Double]("acf"))).toMap
+    // perfect alternation: lag-1 fully anti-correlated, but the
+    // estimator divides by the FULL-series denominator (n terms) while
+    // the numerator has n−k terms — the standard biased ACF:
+    // lag1 = −5/6, lag2 = +4/6 on deviations of equal magnitude
+    assert(out(1)._1 == 5L && out(2)._1 == 4L)
+    assert(out(1)._2 == math.rint(-5.0 / 6.0 * 1e6) / 1e6)
+    assert(out(2)._2 == math.rint(4.0 / 6.0 * 1e6) / 1e6)
+  }
+
   // --- Jaccard link prediction ----------------------------------------
 
   test("jaccardLinksDF computes exact shared/union micro-units") {
