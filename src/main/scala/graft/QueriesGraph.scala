@@ -16,6 +16,14 @@ object QueriesGraph {
 
   private val Off = TradeGraph.SupplierOffset
 
+  /** node2vec bias weights in micro-units (p = 0.5 → 1/p = 2e6,
+    * shared-neighbor 1e6, q = 2 → 1/q = 5e5) — ONE set of Scala
+    * constants feeds both the engine call and the generated oracle
+    * (seeded-constants rule). */
+  private val N2vReturn = 2000000L
+  private val N2vShared = 1000000L
+  private val N2vForward = 500000L
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qg_degrees" -> ((s, dir) => {
       GraphOps.degrees(TradeGraph.vertices(s, dir), TradeGraph.edges(s, dir))
@@ -147,6 +155,17 @@ object QueriesGraph {
       // window)
       GraphOps.randomWalksDF(TradeGraph.edges(s, dir),
           sourceIds = Seq(1L, 2L, 3L), nWalks = 3, steps = 4)
+        .orderBy("start", "walk", "step")
+    }),
+    "qg_node2vec" -> ((s, dir) => {
+      // node2vec biased second-order walks (p=0.5 return-y, q=2
+      // explore-averse → micro weights 2e6/1e6/5e5): successor drawn
+      // by exact integer inverse-CDF over dst-ordered cumulative bias
+      // weights, threshold = hash60 mod Σw — replays exactly in SQL
+      GraphOps.node2vecWalks(TradeGraph.edges(s, dir),
+          sourceIds = Seq(1L, 2L, 3L), nWalks = 2, steps = 4,
+          wReturnMicro = N2vReturn, wSharedMicro = N2vShared,
+          wForwardMicro = N2vForward)
         .orderBy("start", "walk", "step")
     }),
     "qg_walk_skipgrams" -> ((s, dir) => {
@@ -544,6 +563,57 @@ object QueriesGraph {
        | FROM allr ORDER BY t""".stripMargin
   }
 
+  /** unrolled node2vec: per step the candidate bias weight is the
+    * CASE over (return / shared-neighbor / forward), the draw is the
+    * same integer inverse-CDF (hash60 of the walk-step key mod the
+    * partition weight sum, first dst-ordered cumulative weight past
+    * it). Weights interpolate from the same Scala constants. */
+  private def node2vecSql(sources: Seq[Long], nWalks: Int,
+      steps: Int): String = {
+    def dH60(x: String): String =
+      s"('0x' || substr(md5($x),1,15))::BIGINT"
+    val rounds = (1 to steps).map { t =>
+      val key = s"'n2v:' || start || ':' || walk || ':' || $t" +
+        s" || ':' || vertex"
+      s"""c$t AS (SELECT f.start, f.walk, f.vertex, f.prev,
+         |     u.b AS cand,
+         |     CASE WHEN f.prev IS NULL THEN 1000000
+         |       WHEN u.b = f.prev THEN $N2vReturn
+         |       WHEN m.a IS NOT NULL THEN $N2vShared
+         |       ELSE $N2vForward END AS w
+         |   FROM f${t - 1} f JOIN und u ON u.a = f.vertex
+         |   LEFT JOIN und m ON m.a = f.prev AND m.b = u.b),
+         | g$t AS (SELECT start, walk, vertex, cand,
+         |     sum(w) OVER (PARTITION BY start, walk ORDER BY cand
+         |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |       AS cum,
+         |     sum(w) OVER (PARTITION BY start, walk) AS tw
+         |   FROM c$t),
+         | f$t AS MATERIALIZED (SELECT start, walk,
+         |     vertex AS prev, min(cand) AS vertex
+         |   FROM g$t
+         |   WHERE cum > ${dH60(key)} % tw
+         |   GROUP BY start, walk, vertex)""".stripMargin
+    }.mkString(",\n ")
+    val srcList = sources.mkString("[", ", ", "]")
+    val union = (0 to steps).map(t =>
+      s"SELECT start, walk, $t AS step, vertex FROM f$t")
+      .mkString("\n UNION ALL ")
+    s"""WITH $edgesCte,
+       | und AS MATERIALIZED (SELECT DISTINCT a, b FROM (
+       |   SELECT src AS a, dst AS b FROM e
+       |   UNION ALL SELECT dst, src FROM e)),
+       | f0 AS (SELECT s.start, w.walk,
+       |     CAST(NULL AS BIGINT) AS prev, s.start AS vertex
+       |   FROM (SELECT unnest($srcList) AS start) s
+       |   CROSS JOIN (SELECT unnest(range($nWalks)) AS walk) w),
+       | $rounds
+       | SELECT CAST(start AS BIGINT) AS start, CAST(walk AS INT) AS walk,
+       |   CAST(step AS INT) AS step, CAST(vertex AS BIGINT) AS vertex
+       | FROM ($union)
+       | ORDER BY start, walk, step""".stripMargin
+  }
+
   /** unrolled deterministic random walks: per step, the successor is
     * the row_number-1 neighbor under (hash60 of the walk:step:edge
     * key, dst) order — identical to the engine's `min_by(dst,
@@ -724,6 +794,7 @@ object QueriesGraph {
          | GROUP BY v ORDER BY id""".stripMargin
     },
     "qg_hyperball" -> hyperballSql(3),
+    "qg_node2vec" -> node2vecSql(Seq(1L, 2L, 3L), 2, 4),
     "qg_walk_skipgrams" -> walkSkipgramsSql(Seq(1L, 2L, 3L), 3, 4, 2),
     "qg_random_walks" -> randomWalksSql(Seq(1L, 2L, 3L), 3, 4),
     "qg_hits" -> hitsSql(3),

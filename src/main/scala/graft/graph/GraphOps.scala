@@ -880,6 +880,90 @@ object GraphOps {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** node2vec biased second-order random walks (Grover & Leskovec,
+    * KDD 2016, public paper) — the walk corpus behind node2vec
+    * embeddings: from current vertex v (previous vertex p), the
+    * unnormalized weight of candidate c is 1/p-return if c = p,
+    * 1 if c is adjacent to p ("stay close"), 1/q-forward otherwise
+    * ("explore"). Weights are caller-supplied integer MICRO-units
+    * (the quantization-is-the-contract rule), and the draw is an
+    * exact integer inverse-CDF: threshold = hash60(walk-step key) mod
+    * Σw, successor = first candidate (dst-ordered cumulative weight)
+    * past the threshold — a seeded PRF draw that replays exactly in
+    * SQL; no rand(), no float probabilities. Step 1 has no previous
+    * vertex → uniform (all weights 10⁶).
+    *
+    * Scale shape: the frontier is |sources|·nWalks rows by
+    * construction and is BROADCAST into the per-step adjacency join;
+    * the membership probe for "adjacent to previous" is one more
+    * equi-join on the (prev, cand) pair key; the cumulative-weight
+    * window is partitioned per (start, walk) — bounded by the max
+    * degree, never corpus-wide. Simple-graph contract: the adjacency
+    * is deduplicated once up front. Per-step lineage truncated.
+    * Output: (start, walk, step, vertex) — same trace shape as
+    * [[randomWalksDF]], so [[walkSkipgrams]] composes. */
+  def node2vecWalks(edges: DataFrame, sourceIds: Seq[Long], nWalks: Int,
+      steps: Int, wReturnMicro: Long, wSharedMicro: Long,
+      wForwardMicro: Long): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    require(sourceIds.nonEmpty && nWalks > 0 && steps >= 1,
+      "node2vecWalks needs sources, walks and a step budget")
+    require(wReturnMicro > 0 && wSharedMicro > 0 && wForwardMicro > 0,
+      "bias weights must be positive micro-units")
+    val e = edges.select(col("src"), col("dst"))
+    val und = e.unionByName(
+        e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    val memb = und.select(col("src").as("__pa"), col("dst").as("__pb"),
+      lit(1).as("__adj"))
+    val starts = sourceIds.flatMap(s => (0 until nWalks).map(w => (s, w)))
+      .toDF("start", "walk")
+    var frontier = starts.withColumn("vertex", col("start"))
+      .withColumn("prev", lit(null).cast("long"))
+      .localCheckpoint()
+    val trace = scala.collection.mutable.ArrayBuffer(
+      frontier.select(col("start"), col("walk"), lit(0).as("step"),
+        col("vertex")))
+    val wPart = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("start"), col("walk"))
+    val wCum = wPart.orderBy(col("cand")).rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    for (t <- 1 to steps) {
+      val cand = broadcast(frontier)
+        .join(und, frontier("vertex") === und("src"))
+        .select(col("start"), col("walk"), col("vertex"), col("prev"),
+          col("dst").as("cand"))
+        .join(memb, col("prev") === col("__pa") &&
+          col("cand") === col("__pb"), "left")
+        .withColumn("__w",
+          when(col("prev").isNull, lit(1000000L))
+            .when(col("cand") === col("prev"), lit(wReturnMicro))
+            .when(col("__adj").isNotNull, lit(wSharedMicro))
+            .otherwise(lit(wForwardMicro)))
+      val key = concat_ws(":", lit("n2v"), col("start"), col("walk"),
+        lit(t), col("vertex"))
+      frontier = cand
+        .withColumn("__cum", sum(col("__w")).over(wCum))
+        .withColumn("__thr",
+          pmod(graft.ops.TextOps.hash60(key),
+            sum(col("__w")).over(wPart)))
+        .filter(col("__cum") > col("__thr"))
+        .groupBy(col("start"), col("walk"), col("vertex"))
+        .agg(min(col("cand")).as("__next"))
+        .select(col("start"), col("walk"), col("__next").as("vertex"),
+          col("vertex").as("prev"))
+        .localCheckpoint()
+      trace += frontier.select(col("start"), col("walk"),
+        lit(t).as("step"), col("vertex"))
+    }
+    val out = trace.reduce(_ unionByName _).localCheckpoint()
+    und.unpersist()
+    out
+  }
+
   /** HyperBall neighborhood function (Boldi & Vigna 2013, "In-Core
     * Computation of Geometric Centralities with HyperBall", public
     * paper): N(t) = Σ_v |ball(v, t)| estimated with one 64-register

@@ -501,6 +501,56 @@ class GraphSpec extends AnyFunSuite {
     assert(w2 == w1 ++ Map((10L, 30L) -> 1L, (30L, 10L) -> 1L))
   }
 
+  test("node2vecWalks: exact inverse-CDF draws, bias classes, " +
+      "invariance") {
+    import spark.implicits._
+    // replicate the engine's hash60 to PREDICT each draw exactly
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val wr = 2000000L; val ws = 1000000L; val wf = 500000L
+    // path graph 1—2—3: step 1 is forced (1→2); step 2 chooses
+    // between returning to 1 (w=wr) and moving forward to 3 (w=wf —
+    // 3 is NOT adjacent to prev=1)
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val tr = GraphOps.node2vecWalks(path, Seq(1L), nWalks = 1,
+        steps = 2, wr, ws, wf)
+      .orderBy("step").collect().map(_.getLong(3))
+    assert(tr(0) == 1L && tr(1) == 2L)
+    val thr = h60("n2v:1:0:2:2") % (wr + wf)
+    assert(tr(2) == (if (thr < wr) 1L else 3L))
+    // triangle 1—2—3—1: from 2 with prev=1, candidate 3 IS adjacent
+    // to 1 → shared-neighbor class (w=ws), candidate 1 is return
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    val tr2 = GraphOps.node2vecWalks(tri, Seq(1L), nWalks = 1,
+        steps = 2, wr, ws, wf)
+      .orderBy("step").collect().map(_.getLong(3))
+    // step 1 from 1 (prev null): uniform over {2, 3}
+    val thr1 = h60("n2v:1:0:1:1") % 2000000L
+    val v1 = if (thr1 < 1000000L) 2L else 3L
+    assert(tr2(1) == v1)
+    val other = if (v1 == 2L) 3L else 2L
+    val thr2 = h60(s"n2v:1:0:2:$v1") % (wr + ws)
+    val v2 = if (math.min(1L, other) == 1L) {
+      // cum order is by candidate id: 1 (return) first, then `other`
+      if (thr2 < wr) 1L else other
+    } else other
+    assert(tr2(2) == v2)
+    // partitioning invariance on the real trade graph
+    val e = TradeGraph.edges(spark, sf)
+    def run(d: org.apache.spark.sql.DataFrame) =
+      GraphOps.node2vecWalks(d, Seq(1L, 2L), 2, 3, wr, ws, wf)
+        .orderBy("start", "walk", "step").collect().toSeq
+    assert(run(e) == run(e.repartition(11)) && run(e).nonEmpty)
+    // trace shape composes with walkSkipgrams
+    val sg = GraphOps.walkSkipgrams(
+      GraphOps.node2vecWalks(tri, Seq(1L), 1, 2, wr, ws, wf), 1)
+    assert(sg.columns.toSeq == Seq("center", "context", "n"))
+  }
+
   test("hyperBall: monotone neighborhood function, exact small-graph " +
       "counts, partitioning invariance") {
     import spark.implicits._
