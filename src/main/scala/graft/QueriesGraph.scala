@@ -157,6 +157,15 @@ object QueriesGraph {
           sourceIds = Seq(1L, 2L, 3L), nWalks = 3, steps = 4)
         .orderBy("start", "walk", "step")
     }),
+    "qg_conductance" -> ((s, dir) => {
+      // cut quality of the 3-round label-prop communities: exact cut
+      // and volume integers, micro-unit φ = cut/min(vol, 2m−vol) —
+      // modularity's companion gauge
+      val e = TradeGraph.edges(s, dir)
+      GraphOps.conductanceDF(e,
+          GraphOps.labelPropDF(TradeGraph.vertices(s, dir), e, rounds = 3))
+        .orderBy("community")
+    }),
     "qg_node2vec" -> ((s, dir) => {
       // node2vec biased second-order walks (p=0.5 return-y, q=2
       // explore-averse → micro weights 2e6/1e6/5e5): successor drawn
@@ -563,6 +572,36 @@ object QueriesGraph {
        | FROM allr ORDER BY t""".stripMargin
   }
 
+  /** conductance over the [[lpaCore]] communities: per-community cut
+    * edges counted once per side, exact volumes, micro-unit close. */
+  private def conductanceSql(rounds: Int): String =
+    s"""WITH ${lpaCore(rounds)},
+       | lbl AS MATERIALIZED (SELECT id, lbl AS community FROM l$rounds),
+       | mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+       | deg AS (SELECT id, count(*) AS d FROM (
+       |     SELECT src AS id FROM e UNION ALL SELECT dst FROM e)
+       |   GROUP BY id),
+       | cut AS (SELECT community, CAST(count(*) AS BIGINT) AS cut
+       |   FROM (
+       |     SELECT la.community FROM e
+       |       JOIN lbl la ON la.id = e.src JOIN lbl lb ON lb.id = e.dst
+       |       WHERE la.community <> lb.community
+       |     UNION ALL
+       |     SELECT lb.community FROM e
+       |       JOIN lbl la ON la.id = e.src JOIN lbl lb ON lb.id = e.dst
+       |       WHERE la.community <> lb.community)
+       |   GROUP BY community),
+       | vol AS (SELECT community, CAST(count(*) AS BIGINT) AS n_vertices,
+       |     CAST(coalesce(sum(deg.d), 0) AS BIGINT) AS vol
+       |   FROM lbl LEFT JOIN deg USING (id) GROUP BY community)
+       | SELECT vol.community, n_vertices,
+       |   CAST(coalesce(cut.cut, 0) AS BIGINT) AS cut, vol,
+       |   CASE WHEN least(vol, 2 * mm.m - vol) > 0
+       |     THEN CAST(coalesce(cut.cut, 0) * 1000000 //
+       |       least(vol, 2 * mm.m - vol) AS BIGINT) END AS phi_micro
+       | FROM vol LEFT JOIN cut USING (community) CROSS JOIN mm
+       | ORDER BY community""".stripMargin
+
   /** unrolled node2vec: per step the candidate bias weight is the
     * CASE over (return / shared-neighbor / forward), the draw is the
     * same integer inverse-CDF (hash60 of the walk-step key mod the
@@ -795,6 +834,7 @@ object QueriesGraph {
     },
     "qg_hyperball" -> hyperballSql(3),
     "qg_node2vec" -> node2vecSql(Seq(1L, 2L, 3L), 2, 4),
+    "qg_conductance" -> conductanceSql(3),
     "qg_walk_skipgrams" -> walkSkipgramsSql(Seq(1L, 2L, 3L), 3, 4, 2),
     "qg_random_walks" -> randomWalksSql(Seq(1L, 2L, 3L), 3, 4),
     "qg_hits" -> hitsSql(3),

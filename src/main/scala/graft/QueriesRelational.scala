@@ -23,6 +23,10 @@ object QueriesRelational {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** attribution lookback window (24 h in micros) — ONE Scala value
+    * feeds the engine call and the oracle (seeded-constants rule). */
+  private val AttributionWindowUs = 24L * 3600 * 1000000L
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- scans / filters (reference WHERE operator set, §2.3) ---
     "q_filter_like" -> ((s, dir) => {
@@ -586,6 +590,14 @@ object QueriesRelational {
           .as("conv"))
         .withColumn("arm", when($"user_id" % 2 === 0, "A").otherwise("B"))
       graft.ops.Analytics.abTest(units, "arm", "conv", "A", "B")
+    }),
+    "q_attribution" -> ((s, dir) => {
+      // last-touch attribution: every purchase credits the user's
+      // latest preceding event within 24h (same-microsecond touches
+      // attribute); exact integer share close
+      graft.ops.Funnel.lastTouchAttribution(t(s, dir, "events"),
+        "user_id", "ts", "event_id", "event_type", "purchase",
+        windowUs = AttributionWindowUs)
     }),
     "q_chi_square" -> ((s, dir) => {
       // r×c independence test: is a document's language independent
@@ -1353,6 +1365,30 @@ object QueriesRelational {
         |     (CAST(n_a AS DOUBLE) * n_b * (x_a + x_b) *
         |       (n_a + n_b - x_a - x_b)), 4) AS chi2
         | FROM a""".stripMargin,
+    "q_attribution" ->
+      // the engine's per-user running-last ≡ the latest within-window
+      // touch (ordering by recency means the latest touch is also the
+      // nearest — a prefilter + argmax replays it)
+      s"""WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS tus
+         |   FROM events WHERE event_type = 'purchase'),
+         | t AS (SELECT event_id, user_id, epoch_us(ts) AS tus,
+         |     event_type
+         |   FROM events WHERE event_type <> 'purchase'),
+         | j AS (SELECT c.event_id AS cid, t.event_type AS ch,
+         |     row_number() OVER (PARTITION BY c.event_id
+         |       ORDER BY t.tus DESC, t.event_id DESC) AS rn
+         |   FROM c JOIN t ON t.user_id = c.user_id AND t.tus <= c.tus
+         |     AND c.tus - t.tus <= $AttributionWindowUs),
+         | att AS (SELECT c.event_id,
+         |     coalesce(j.ch, '(none)') AS channel
+         |   FROM c LEFT JOIN j ON j.cid = c.event_id AND j.rn = 1),
+         | g AS (SELECT channel, CAST(count(*) AS BIGINT)
+         |     AS n_conversions FROM att GROUP BY 1)
+         | SELECT channel, n_conversions,
+         |   CAST(n_conversions * 1000000 //
+         |     (SELECT sum(n_conversions) FROM g) AS BIGINT)
+         |     AS share_micro
+         | FROM g ORDER BY channel""".stripMargin,
     "q_chi_square" ->
       // same fixed-point discipline as the engine: per-cell (o−e)²/e
       // made nano-integer BEFORE the sum, one closing division

@@ -589,6 +589,48 @@ object GraphOps {
           .as("q_part"))
   }
 
+  /** Conductance of a community assignment (Kannan, Vempala & Vetta
+    * 2004; the standard cut-quality gauge alongside [[modularityDF]]):
+    * per community C, φ(C) = cut(C) / min(vol(C), 2m − vol(C)) — the
+    * fraction of C's cheaper-side edge volume that crosses the cut.
+    * Low conductance = well-separated community. All-integer until
+    * the close: cut and vol are exact edge/degree counts, φ reported
+    * as `cut·10⁶ div min(...)` micro-units (null when the min side
+    * has no volume — a community spanning the whole graph).
+    *
+    * Scale shape: the same two vertex-id equi-joins as modularity
+    * (exchange-reusable), cut edges explode to their TWO communities
+    * before one partial-agg count; degrees partial-agg; `m` is one
+    * control-plane count. No windows anywhere. */
+  def conductanceDF(edges: DataFrame, communities: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    val m = e.count()
+    require(m > 0, "conductance needs at least one edge")
+    val lbl = communities.select(col("id"), col("community"))
+    val tagged = e
+      .join(lbl.select(col("id").as("src"), col("community").as("__ca")),
+        "src")
+      .join(lbl.select(col("id").as("dst"), col("community").as("__cb")),
+        "dst")
+    val cut = tagged.filter(col("__ca") =!= col("__cb"))
+      .select(explode(array(col("__ca"), col("__cb"))).as("community"))
+      .groupBy("community").agg(count(lit(1)).as("cut"))
+    val deg = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("__d"))
+    val vol = lbl.join(deg, Seq("id"), "left")
+      .groupBy("community")
+      .agg(count(lit(1)).as("n_vertices"),
+        coalesce(sum(col("__d")), lit(0L)).as("vol"))
+    val minSide = least(col("vol"), lit(2L * m) - col("vol"))
+    vol.join(cut, Seq("community"), "left")
+      .withColumn("cut", coalesce(col("cut"), lit(0L)))
+      .select(col("community"), col("n_vertices"), col("cut"), col("vol"),
+        when(minSide > 0,
+          expr(s"cut * 1000000 div least(vol, ${2L * m} - vol)"))
+          .as("phi_micro"))
+  }
+
   /** Deterministic DeepWalk random-walk corpus (Perozzi et al. KDD
     * 2014 §4.1): `nWalks` fixed-length walks from each focal vertex
     * over the UNDIRECTED graph, emitting the (start, walk, step,

@@ -327,4 +327,50 @@ object Funnel {
         round(col("__num").cast("double") / col("__den") / 100.0, 4)
           .as("forecast"))
   }
+
+  /** Last-touch marketing attribution: each conversion event credits
+    * the LATEST non-conversion event of the same user at-or-before it
+    * (same-microsecond touches attribute — they order before the
+    * conversion) and within `windowUs`; conversions with no
+    * qualifying touch land in the `(none)` channel. The per-user
+    * running-last window carries a (time, channel) struct ordered by
+    * (ts, side, event id), so equal-timestamp ties resolve
+    * deterministically — no task-order leak.
+    *
+    * Scale shape: ONE per-user window over the event frame (user-
+    * bounded partitions — the sessionize/funnel discipline, never a
+    * global sort), then a channel-domain groupBy; the share close is
+    * a window over the channel frame (≤ event-type domain).
+    * Output: (channel, n_conversions, share_micro), channel-ordered;
+    * share_micro = n·10⁶ div total — exact integers. */
+  def lastTouchAttribution(events: DataFrame, userCol: String,
+      tsCol: String, idCol: String, typeCol: String, convType: String,
+      windowUs: Long): DataFrame = {
+    require(windowUs > 0, "attribution window must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val u = events.select(col(userCol).as("__u"),
+        unix_micros(col(tsCol)).as("__tus"), col(typeCol).as("__ty"),
+        col(idCol).as("__id"))
+      .withColumn("__side", when(col("__ty") === convType, 1).otherwise(0))
+      .withColumn("__touch", when(col("__side") === 0,
+        struct(col("__tus").as("t"), col("__ty").as("ch"))))
+    val w = Window.partitionBy(col("__u"))
+      .orderBy(col("__tus"), col("__side"), col("__id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val attributed = u
+      .withColumn("__last", last(col("__touch"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .withColumn("channel",
+        when(col("__last").isNotNull &&
+          col("__tus") - col("__last.t") <= windowUs, col("__last.ch"))
+          .otherwise(lit("(none)")))
+    attributed.groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_conversions"))
+      .withColumn("__tot", sum(col("n_conversions"))
+        .over(Window.partitionBy(lit(1))))
+      .withColumn("share_micro",
+        expr("n_conversions * 1000000 div __tot"))
+      .drop("__tot")
+      .orderBy("channel")
+  }
 }

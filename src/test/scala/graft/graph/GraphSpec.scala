@@ -501,6 +501,30 @@ class GraphSpec extends AnyFunSuite {
     assert(w2 == w1 ++ Map((10L, 30L) -> 1L, (30L, 10L) -> 1L))
   }
 
+  test("conductanceDF: two bridged triangles, exact cut/vol/phi") {
+    import spark.implicits._
+    // triangles {1,2,3} and {4,5,6} joined by the single edge (3,4):
+    // vol = 7 each (degrees 2,2,3), cut = 1 each, 2m = 14 →
+    // φ = 1e6 div 7 = 142857 on both sides
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)).toDF("src", "dst")
+    val comm = Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (4L, 2L), (5L, 2L), (6L, 2L)).toDF("id", "community")
+    val out = GraphOps.conductanceDF(e, comm).orderBy("community")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq((1L, 3L, 1L, 7L, 142857L),
+      (2L, 3L, 1L, 7L, 142857L)))
+    // one community spanning everything: min side is 0 → null φ
+    val all = Seq.tabulate(6)(i => (i + 1L, 9L)).toDF("id", "community")
+    val whole = GraphOps.conductanceDF(e, all).collect().head
+    assert(whole.isNullAt(4) && whole.getLong(2) == 0L)
+    // partitioning invariance
+    def run(p: Int) = GraphOps.conductanceDF(e.repartition(p), comm)
+      .orderBy("community").collect().toSeq
+    assert(run(1) == run(5))
+  }
+
   test("node2vecWalks: exact inverse-CDF draws, bias classes, " +
       "invariance") {
     import spark.implicits._

@@ -761,6 +761,36 @@ class OpsHygieneSpec extends AnyFunSuite {
     assert(a == b && a.exists(_.getLong(4) == 3L))
   }
 
+  test("lastTouchAttribution: latest touch wins, window bound, " +
+      "same-microsecond ties, exact shares") {
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    val ev = Seq(
+      // user 1: view then click → click is last touch
+      (10L, 1L, ts(0), "view"), (11L, 1L, ts(60), "click"),
+      (12L, 1L, ts(120), "purchase"),
+      // user 2: only touch is 30h before → outside the 24h window
+      (20L, 2L, ts(0), "view"), (21L, 2L, ts(30 * 60), "purchase"),
+      // user 3: click at the SAME timestamp as the purchase attributes
+      (30L, 3L, ts(5), "click"), (31L, 3L, ts(5), "purchase"),
+      // user 4: first purchase untouched, second after a view
+      (40L, 4L, ts(0), "purchase"),
+      (41L, 4L, ts(10), "view"), (42L, 4L, ts(20), "purchase")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val got = Funnel.lastTouchAttribution(ev, "user_id", "ts",
+        "event_id", "event_type", "purchase", 24L * 3600000000L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    assert(got("click") == ((2L, 400000L)))
+    assert(got("view") == ((1L, 200000L)))
+    assert(got("(none)") == ((2L, 400000L)))
+    // partitioning invariance on the real events table
+    def run(p: Int) = Funnel.lastTouchAttribution(
+        Tables.load(spark, sf, "events").repartition(p),
+        "user_id", "ts", "event_id", "event_type", "purchase",
+        86400000000L).collect().map(_.toSeq).toSeq
+    assert(run(1) == run(13))
+  }
+
   test("cohortRetention: hand-built triangle, duplicate-event immunity") {
     def ts(day: Long) = new java.sql.Timestamp(day * 86400000L)
     // period = 1 day. u1 active days 0,1,2; u2 days 0,2 (twice — the
