@@ -226,7 +226,17 @@ object QueriesDialect {
     // q_profile column list (o_orderdate is a timestamp → skipped)
     "qd_pipe_profile" -> ((s, dir) => gq(s, dir,
       "select col_name, n, n_null, null_micro, n_distinct, min_num, " +
-        "max_num, mean_num from profile(orders) order by col_name"))
+        "max_num, mean_num from profile(orders) order by col_name")),
+    "qd_pipe_chi_square" -> ((s, dir) => gq(s, dir,
+      "select n, n_cells, dof, chi2, cramers_v from " +
+        "chi_square(documents, 'lang', 'source')")),
+    "qd_pipe_acf" -> ((s, dir) => gq(s, dir,
+      "select lag, n_pairs, acf from acf(events, 'ts', 7) " +
+        "order by lag")),
+    "qd_pipe_attribution" -> ((s, dir) => gq(s, dir,
+      "select channel, n_conversions, share_micro from " +
+        "attribution(events, 'user_id', 'ts', 'event_id', " +
+        "'event_type', 'purchase', 86400000000) order by channel"))
   )
 
   private def gq(s: SparkSession, dir: String, sql: String): DataFrame =
@@ -440,6 +450,9 @@ object QueriesDialect {
     "qd_pipe_bm25" -> QueriesPipeline.oracleSql("qp_bm25_topk"),
     "qd_pipe_itemsets" -> QueriesRelational.oracleSql("q_freq_itemsets"),
     "qd_pipe_rake" -> QueriesPipeline.oracleSql("qp_rake_phrases"),
-    "qd_pipe_profile" -> QueriesRelational.oracleSql("q_profile")
+    "qd_pipe_profile" -> QueriesRelational.oracleSql("q_profile"),
+    "qd_pipe_chi_square" -> QueriesRelational.oracleSql("q_chi_square"),
+    "qd_pipe_acf" -> QueriesRelational.oracleSql("q_acf_daily"),
+    "qd_pipe_attribution" -> QueriesRelational.oracleSql("q_attribution")
   )
 }

@@ -26,7 +26,7 @@ object PipelineTables {
   val names: Set[String] =
     Set("dedup_pairs", "exact_dups", "quality_gate", "c4_clean",
       "fingerprints", "chunk_docs", "bm25_topk", "frequent_pairs",
-      "rake_phrases", "profile")
+      "rake_phrases", "profile", "chi_square", "acf", "attribution")
 
   def resolve(catalog: Catalog, fn: String,
       args: Seq[SqlExpr]): DataFrame = {
@@ -94,6 +94,18 @@ object PipelineTables {
       case "profile" => // (class) — columns derived from the schema
         arity(1)
         graft.ops.Profile.tableProfileAuto(classArg(0))
+      case "chi_square" => // (class, fieldA, fieldB)
+        arity(3)
+        graft.ops.Analytics.chiSquare(classArg(0), strArg(1), strArg(2))
+      case "acf" => // (class, tsField, maxLag)
+        arity(3)
+        graft.ops.Analytics.acfDaily(classArg(0), strArg(1), intArg(2))
+      case "attribution" =>
+        // (class, userF, tsF, idF, typeF, convType, windowUs)
+        arity(7)
+        graft.ops.Funnel.lastTouchAttribution(classArg(0), strArg(1),
+          strArg(2), strArg(3), strArg(4), strArg(5),
+          numArg(6).toLong)
       case other =>
         // unknown function → parse error (§2.5 contract, same as
         // scalar functions)
