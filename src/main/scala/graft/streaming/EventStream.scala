@@ -208,4 +208,67 @@ object EventStream {
           }
       }
   }
+
+  final case class TouchState(tUs: Long, channel: String)
+  final case class Attribution(user_id: Long, event_id: Long,
+      ts: Timestamp, channel: String)
+
+  /** Streaming last-touch attribution —
+    * [[graft.ops.Funnel.lastTouchAttribution]]'s real-time shape: per
+    * user, state is ONLY the latest touch (one (time, channel) pair —
+    * bounded by the active-user count, and evicted by event-time
+    * timeout once the lookback window passes with no activity: an
+    * expired touch can never attribute). Each conversion emits its
+    * attributed channel the moment it arrives; same tie discipline as
+    * batch (same-microsecond touches attribute, equal-time touches
+    * resolve by event id).
+    *
+    * Streaming trade (documented, the funnel precedent): events are
+    * time-ordered WITHIN each micro-batch, but a touch arriving in a
+    * LATER batch cannot retro-attribute an already-emitted conversion
+    * (append-mode contract). Fed in order, every conversion's channel
+    * matches the batch operator exactly (spec-pinned). */
+  def streamingAttribution(events: Dataset[Ev], convType: String,
+      windowUs: Long,
+      watermarkDelay: String = "10 minutes"): Dataset[Attribution] = {
+    require(windowUs > 0, "attribution window must be positive")
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TouchState, Attribution](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, evs: Iterator[Ev], state: GroupState[TouchState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var last = state.getOption
+            var out = List.empty[Attribution]
+            evs.toSeq.sortBy(e => (tsUs(e.ts),
+                if (e.event_type == convType) 1 else 0, e.event_id))
+              .foreach { e =>
+                val t = tsUs(e.ts)
+                if (e.event_type == convType) {
+                  val ch = last match {
+                    case Some(s) if t - s.tUs <= windowUs => s.channel
+                    case _ => "(none)"
+                  }
+                  out ::= Attribution(uid, e.event_id, e.ts, ch)
+                } else if (last.forall(t >= _.tUs)) {
+                  last = Some(TouchState(t, e.event_type))
+                }
+              }
+            last match {
+              case Some(s) =>
+                state.update(s)
+                val wm = state.getCurrentWatermarkMs()
+                // ceil to ms (the funnel's boundary discipline)
+                state.setTimeoutTimestamp(math.max(
+                  Math.floorDiv(s.tUs + windowUs + 999L, 1000L), wm + 1))
+              case None => if (state.exists) state.remove()
+            }
+            out.reverseIterator
+          }
+      }
+  }
 }

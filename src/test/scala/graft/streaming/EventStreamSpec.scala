@@ -796,4 +796,55 @@ class EventStreamSpec extends AnyFunSuite {
     assert(streamed == batch,
       "streamed register maxima must close to the batch estimate")
   }
+
+  test("streaming attribution: channels match batch in order; " +
+      "expired touches evict") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val winUs = 60L * 60 * 1000000 // 1 h lookback
+    def e(id: Long, hm: String, u: Long, t: String) =
+      Ev(id, Timestamp.valueOf(s"2026-01-01 $hm:00"), u, t, 1.0)
+    val input = MemoryStream[Ev]
+    val q = EventStream.streamingAttribution(input.toDS(), "purchase",
+        winUs, watermarkDelay = "1 minute")
+      .writeStream.format("memory").queryName("sattr")
+      .outputMode("append").start()
+    try {
+      // user 1: view then click → click attributes; user 2's touch is
+      // 2h stale by purchase time → (none); user 3: purchase with no
+      // touch ever → (none)
+      val batch1 = Seq(e(1, "10:00", 1, "view"), e(2, "10:10", 1, "click"),
+        e(3, "09:00", 2, "view"), e(4, "10:20", 3, "purchase"))
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      val batch2 = Seq(e(5, "10:30", 1, "purchase"),
+        e(6, "11:05", 2, "purchase"))
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+      val got = spark.table("sattr")
+        .collect().map(r => r.getLong(1) -> r.getString(3)).toMap
+      assert(got == Map(4L -> "(none)", 5L -> "click", 6L -> "(none)"))
+      // per-channel counts equal the batch operator on the union
+      val batch = graft.ops.Funnel.lastTouchAttribution(
+          (batch1 ++ batch2).toDF(), "user_id", "ts", "event_id",
+          "event_type", "purchase", winUs)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val streamedCounts = spark.table("sattr")
+        .groupBy("channel").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(streamedCounts == batch)
+      // watermark far past user 1's click window → its touch state
+      // evicts; a purchase long after gets (none) even in-window-of-
+      // nothing (fresh state)
+      input.addData(e(7, "14:00", 9, "noise"))
+      q.processAllAvailable()
+      input.addData(e(8, "14:30", 9, "noise"))
+      q.processAllAvailable()
+      input.addData(e(9, "14:40", 1, "purchase"))
+      q.processAllAvailable()
+      val lastRow = spark.table("sattr")
+        .filter(col("event_id") === 9L).collect()
+      assert(lastRow.length == 1 && lastRow(0).getString(3) == "(none)")
+    } finally q.stop()
+  }
 }
