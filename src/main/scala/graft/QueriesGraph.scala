@@ -157,6 +157,14 @@ object QueriesGraph {
           sourceIds = Seq(1L, 2L, 3L), nWalks = 3, steps = 4)
         .orderBy("start", "walk", "step")
     }),
+    "qg_pagerank_weighted" -> ((s, dir) => {
+      // weighted PageRank over the min-lot-cost trade relations: mass
+      // splits proportionally to edge weight instead of uniformly
+      GraphOps.weightedPageRankDF(TradeGraph.vertices(s, dir),
+          TradeGraph.weightedEdges(s, dir), iters = 3)
+        .select(col("id"), round(col("rank"), 4).as("rank"))
+        .orderBy(col("id"))
+    }),
     "qg_conductance" -> ((s, dir) => {
       // cut quality of the 3-round label-prop communities: exact cut
       // and volume integers, micro-unit φ = cut/min(vol, 2m−vol) —
@@ -572,6 +580,33 @@ object QueriesGraph {
        | FROM allr ORDER BY t""".stripMargin
   }
 
+  /** unrolled weighted PageRank: the pagerankSql recurrence with
+    * weight-proportional mass split over the min-lot-cost edges. */
+  private def wPagerankSql(iters: Int): String = {
+    val rounds = (1 to iters).map { t =>
+      s"""m$t AS MATERIALIZED (SELECT we.dst AS id,
+         |   sum(r${t - 1}.rank * we.w / ow.outw) AS m
+         |  FROM we JOIN ow USING (src)
+         |    JOIN r${t - 1} ON r${t - 1}.id = we.src
+         |  GROUP BY we.dst),
+         | r$t AS MATERIALIZED (SELECT v.id,
+         |   0.15 + 0.85 * coalesce(m.m, 0) AS rank
+         |  FROM v LEFT JOIN m$t m ON m.id = v.id)""".stripMargin
+    }.mkString(",\n ")
+    s"""WITH $edgesCte,
+       | we AS MATERIALIZED (SELECT o_custkey AS src,
+       |   l_suppkey + $Off AS dst,
+       |   min(CAST(l_quantity AS BIGINT)) AS w
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |  GROUP BY 1, 2),
+       | ow AS (SELECT src, CAST(sum(w) AS BIGINT) AS outw
+       |   FROM we GROUP BY src),
+       | r0 AS (SELECT id, 1.0 AS rank FROM v),
+       | $rounds
+       | SELECT id, round(rank, 4) AS rank FROM r$iters
+       | ORDER BY id""".stripMargin
+  }
+
   /** conductance over the [[lpaCore]] communities: per-community cut
     * edges counted once per side, exact volumes, micro-unit close. */
   private def conductanceSql(rounds: Int): String =
@@ -835,6 +870,7 @@ object QueriesGraph {
     "qg_hyperball" -> hyperballSql(3),
     "qg_node2vec" -> node2vecSql(Seq(1L, 2L, 3L), 2, 4),
     "qg_conductance" -> conductanceSql(3),
+    "qg_pagerank_weighted" -> wPagerankSql(3),
     "qg_walk_skipgrams" -> walkSkipgramsSql(Seq(1L, 2L, 3L), 3, 4, 2),
     "qg_random_walks" -> randomWalksSql(Seq(1L, 2L, 3L), 3, 4),
     "qg_hits" -> hitsSql(3),

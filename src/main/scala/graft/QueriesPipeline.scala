@@ -668,6 +668,21 @@ object QueriesPipeline {
           k = 5)
         .orderBy("q_id")
     }),
+    "qp_mrr_map" -> ((s, dir) => {
+      // reciprocal-rank + average-precision of the IVF probe vs the
+      // exact ranking (same parameters as qp_ndcg): MRR reads "how
+      // soon is the first right answer", AP "how front-loaded are all
+      // of them" — integer micro terms before every sum
+      val e = embs(s, dir)
+      val cents = e.filter(col("vec_id") < 16)
+      val q = e.filter(col("vec_id") >= 100 && col("vec_id") < 105)
+      Similarity.mrrMapAtK(
+          Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5),
+          Similarity.ivfTopK(e, q, cents, "vec_id", "embedding",
+            k = 5, nProbe = 2),
+          k = 5)
+        .orderBy("q_id")
+    }),
     "qp_bitext_mine" -> ((s, dir) => {
       // margin-based parallel-pair mining (the CCMatrix/LASER
       // recipe) between the even-id and odd-id embedding halves
@@ -2974,6 +2989,26 @@ object QueriesPipeline {
          |   coalesce(d.dcg_micro, 0) * 1000000 // i.idcg AS ndcg_micro
          | FROM (SELECT DISTINCT q_id FROM exr) qq
          | LEFT JOIN d USING (q_id) JOIN i USING (q_id)
+         | ORDER BY q_id""".stripMargin,
+    "qp_mrr_map" ->
+      // same exr/ivfr chain; per-hit precision terms fixed-pointed to
+      // integer micro-units BEFORE the per-query sum, integral closes
+      s"""WITH $ivfExactRankCtes,
+         | hits AS (SELECT b.q_id, b.rnk AS p,
+         |     row_number() OVER (PARTITION BY b.q_id ORDER BY b.rnk)
+         |       AS i
+         |   FROM ivfr b JOIN exr a USING (q_id, n_id)),
+         | perq AS (SELECT q_id, CAST(min(p) AS BIGINT) AS fp,
+         |     CAST(sum(i * 1000000 // p) AS BIGINT) AS sp,
+         |     CAST(count(*) AS BIGINT) AS n_rel_found
+         |   FROM hits GROUP BY 1),
+         | rc AS (SELECT q_id, CAST(count(*) AS BIGINT) AS r
+         |   FROM exr GROUP BY 1)
+         | SELECT qq.q_id, coalesce(perq.n_rel_found, 0) AS n_rel_found,
+         |   CAST(coalesce(1000000 // perq.fp, 0) AS BIGINT) AS rr_micro,
+         |   CAST(coalesce(perq.sp // rc.r, 0) AS BIGINT) AS ap_micro
+         | FROM (SELECT DISTINCT q_id FROM exr) qq
+         | LEFT JOIN perq USING (q_id) JOIN rc USING (q_id)
          | ORDER BY q_id""".stripMargin,
     "qp_ivf_recall" ->
       // the ivf CTE chain (same params as qp_ivf_topk) + the exact

@@ -76,6 +76,45 @@ object GraphOps {
         .otherwise(lit(0.0)))
   }
 
+  /** Weighted PageRank — the [[pageRankDF]] update with edge-weight-
+    * proportional mass split: rankₜ(v) = 0.15 + 0.85·Σ_in
+    * rankₜ₋₁(u)·w(u,v)/W(u), W(u) = Σ out-weights (Xing & Ghorbani
+    * 2004's weighted variant of Brin & Page; the natural rank on
+    * trade/affinity graphs where relation strength matters). Same
+    * declarative per-iteration shape as the unweighted core: one
+    * equi-join + partial-agg shuffle per round, dangling mass not
+    * redistributed, lineage truncated every 3 rounds; weights are
+    * exact longs, so the only float is the same message-sum the
+    * unweighted operator oracles at 4 decimals. */
+  def weightedPageRankDF(vertices: DataFrame, edges: DataFrame,
+      iters: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst"),
+      col("w").cast("long").as("w"))
+    val outW = e.groupBy("src").agg(sum("w").as("outw"))
+    val ids = vertices.select(col("id")).persist()
+    val contrib = e.join(ids.select(col("id").as("dst")), Seq("dst"),
+        "left_semi")
+      .join(outW, "src")
+      .unionByName(ids.select(col("id").as("src"), col("id").as("dst"),
+        lit(null).cast("long").as("w"), lit(null).cast("long").as("outw")))
+      .persist()
+    var ranks = ids.withColumn("rank", lit(1.0))
+    for (i <- 1 to iters) {
+      ranks = contrib.join(ranks, contrib("src") === ranks("id"))
+        .select(col("dst"),
+          (col("rank") * col("w") / col("outw")).as("msg"))
+        .groupBy("dst").agg(sum("msg").as("msgSum"))
+        .select(col("dst").as("id"),
+          (lit(0.15) + lit(0.85) * coalesce(col("msgSum"), lit(0.0)))
+            .as("rank"))
+      if (i % 3 == 0) ranks = ranks.localCheckpoint()
+    }
+    val out = if (iters % 3 == 0) ranks else ranks.localCheckpoint()
+    contrib.unpersist()
+    ids.unpersist()
+    out
+  }
+
   /** shared power-iteration core: `init` seeds rank₀ per id, `reset`
     * is the per-id teleport term added each round. */
   private def prCore(vertices: DataFrame, edges: DataFrame, iters: Int,

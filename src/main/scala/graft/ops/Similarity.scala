@@ -677,6 +677,46 @@ object Similarity {
       .select("q_id", "dcg_micro", "ndcg_micro")
   }
 
+  /** Reciprocal-rank and average-precision evaluation — MRR@k and
+    * MAP@k of an approximate ranking against the exact one (the two
+    * remaining standard ranked-retrieval figures next to recall /
+    * nDCG / tau; MRR reads "how soon is the first right answer", AP
+    * "how front-loaded are ALL the right answers"). Relevant =
+    * member of the exact top-k. Per query: RR = 1/rank of the first
+    * relevant item in the approximate list; AP = (Σ over relevant
+    * positions p of P@p) / R with P@p = hits-so-far/p and R the
+    * exact top-k size. Every term is an exact integer micro-unit
+    * BEFORE its sum (i·10⁶ div p), closes integral — order-free.
+    * Queries where the approximation found nothing report 0.
+    *
+    * Scale shape: one (q_id, n_id) equi-join of two k·queries
+    * ranking frames + a per-query hit window (≤ k rows per query) —
+    * control-plane sized, same as [[recallAtK]].
+    * Output: (q_id, n_rel_found, rr_micro, ap_micro). */
+  def mrrMapAtK(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val rel = exact.filter(col("rnk") <= k).select(col("q_id"), col("n_id"))
+    val hits = approx.filter(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"), col("rnk").as("__p"))
+      .join(rel, Seq("q_id", "n_id"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("__p"))
+    val perQ = hits.withColumn("__i", row_number().over(w))
+      .withColumn("__prec",
+        expr("cast(__i as bigint) * 1000000 div __p"))
+      .groupBy("q_id")
+      .agg(min(col("__p")).as("__first"), sum(col("__prec")).as("__sp"),
+        count(lit(1)).as("n_rel_found"))
+    val rcount = rel.groupBy("q_id").agg(count(lit(1)).as("__r"))
+    rel.select("q_id").distinct()
+      .join(perQ, Seq("q_id"), "left")
+      .join(rcount, Seq("q_id"))
+      .withColumn("n_rel_found", coalesce(col("n_rel_found"), lit(0L)))
+      .withColumn("rr_micro", coalesce(
+        expr("1000000 div __first"), lit(0L)))
+      .withColumn("ap_micro", coalesce(expr("__sp div __r"), lit(0L)))
+      .select("q_id", "n_rel_found", "rr_micro", "ap_micro")
+  }
+
   /** Ranking agreement — per-query Kendall tau between two top-k
     * rankings over their COMMON items ([[recallAtK]] asks "did the
     * approximation find the right items"; this asks "did it ORDER

@@ -70,6 +70,21 @@ import org.scalatest.funsuite.AnyFunSuite
   * 3-term-pruned slice); the indexed path's advantage is the
   * planning-time-pruned DISK layout (qp_bm25_bucketed), not RAM.
   *
+  * == Late-r8 addendum: new-operator exponents (hash graph 5k → 50k
+  * vertices / 20k → 200k edges, 3-round medians, 2026-08-15) ==
+  *
+  * | operator                         | t1 s | t10 s | exponent |
+  * |----------------------------------|------|-------|----------|
+  * | hyperBallDF (3 rounds)           | 4.15 | 19.47 | 0.67     |
+  * | node2vecWalks (3 src, 2×4 steps) | 2.46 |  3.13 | 0.10     |
+  * | labelProp + conductance          | 1.69 |  2.95 | 0.24     |
+  *
+  * All at-or-below linear, confirming the designs: hyperball state is
+  * |V|·≤64 rows regardless of ball sizes (0.67 ≈ the state-table
+  * growth), node2vec's frontier is constant-size (flat — cost is the
+  * per-step adjacency probe), conductance is two corpus joins +
+  * domain-bounded aggs.
+  *
   * == qg_pagerank settle (VERDICT r7 what's-wrong #2) ==
   * 8 isolated rounds on the REAL sf0.1 trade graph, zero code change
   * vs r7 (`[r8pr]`): median 1.36 s, MAD 10.9%, rounds
@@ -259,6 +274,37 @@ class ScratchR8 extends AnyFunSuite {
         noop(graft.graph.GraphOps.modularityDF(edges, lbl))
       }
       println(f"[r8g] scale=${s}x betweenness=$tb%6.2f labelprop+mod=$tm%6.2f")
+    }
+  }
+
+  /** Late-r8 operators on the same hash graph (see the header table
+    * addendum). hyperBall state is |V|·≤64 rows by construction —
+    * expected ~linear in |V|; node2vec's frontier is constant-size —
+    * expected ~flat; conductance is two corpus joins + domain aggs —
+    * expected ~linear. */
+  test("10x scale run: hyperball / node2vec / conductance exponents") {
+    assume(scale10, "recorded run — set SPARK_GRAFT_SCALE10=1 to repeat")
+    Seq(1, 10).foreach { s =>
+      val n = 5000L * s
+      val verts = spark.range(n).select(col("id")).localCheckpoint()
+      val edges = genEdges(n).localCheckpoint()
+      def t3(f: => Unit): Double = medianOf((1 to 3).map { _ =>
+        System.gc()
+        val t0 = System.nanoTime()
+        f
+        (System.nanoTime() - t0) / 1e9
+      })
+      val th = t3(noop(graft.graph.GraphOps.hyperBallDF(verts, edges,
+        rounds = 3)))
+      val tn = t3(noop(graft.graph.GraphOps.node2vecWalks(edges,
+        Seq(1L, 2L, 3L), nWalks = 2, steps = 4,
+        2000000L, 1000000L, 500000L)))
+      val tc = t3 {
+        val lbl = graft.graph.GraphOps.labelPropDF(verts, edges, rounds = 3)
+        noop(graft.graph.GraphOps.conductanceDF(edges, lbl))
+      }
+      println(f"[r8g2] scale=${s}x hyperball=$th%6.2f " +
+        f"node2vec=$tn%6.2f labelprop+conductance=$tc%6.2f")
     }
   }
 

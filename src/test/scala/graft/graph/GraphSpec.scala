@@ -501,6 +501,37 @@ class GraphSpec extends AnyFunSuite {
     assert(w2 == w1 ++ Map((10L, 30L) -> 1L, (30L, 10L) -> 1L))
   }
 
+  test("weightedPageRankDF: uniform weights equal unweighted; " +
+      "hand-computed skewed split") {
+    import spark.implicits._
+    val v = Seq(1L, 2L, 3L).toDF("id")
+    // uniform weights ≡ uniform split ≡ pageRankDF
+    val eUni = Seq((1L, 2L, 5L), (1L, 3L, 5L), (2L, 3L, 5L))
+      .toDF("src", "dst", "w")
+    val wUni = GraphOps.weightedPageRankDF(v, eUni, iters = 3)
+      .orderBy("id").collect().map(r => math.rint(r.getDouble(1) * 1e4))
+    val pUni = GraphOps.pageRankDF(v,
+        eUni.select(col("src"), col("dst")), iters = 3)
+      .orderBy("id").collect().map(r => math.rint(r.getDouble(1) * 1e4))
+    assert(wUni.sameElements(pUni))
+    // skewed: 1 → 2 with w=9, 1 → 3 with w=1; one iteration from
+    // rank₀ = 1 gives r(2) = 0.15 + 0.85·0.9, r(3) = 0.15 + 0.85·0.1
+    val eSkew = Seq((1L, 2L, 9L), (1L, 3L, 1L)).toDF("src", "dst", "w")
+    val one = GraphOps.weightedPageRankDF(v, eSkew, iters = 1)
+      .orderBy("id").collect().map(r => r.getLong(0) -> r.getDouble(1))
+      .toMap
+    assert(math.abs(one(2L) - (0.15 + 0.85 * 0.9)) < 1e-12)
+    assert(math.abs(one(3L) - (0.15 + 0.85 * 0.1)) < 1e-12)
+    assert(one(1L) == 0.15) // no in-edges
+    // partitioning invariance on the real weighted trade graph
+    val ed = TradeGraph.weightedEdges(spark, sf)
+    def run(d: org.apache.spark.sql.DataFrame) =
+      GraphOps.weightedPageRankDF(TradeGraph.vertices(spark, sf), d, 3)
+        .select(col("id"), round(col("rank"), 4).as("r"))
+        .orderBy("id").collect().toSeq
+    assert(run(ed) == run(ed.repartition(9)))
+  }
+
   test("conductanceDF: two bridged triangles, exact cut/vol/phi") {
     import spark.implicits._
     // triangles {1,2,3} and {4,5,6} joined by the single edge (3,4):

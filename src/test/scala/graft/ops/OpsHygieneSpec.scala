@@ -1160,6 +1160,34 @@ class OpsHygieneSpec extends AnyFunSuite {
     assert(got(3L) == ((0L, 0L)), s"miss-all must report 0: $got")
   }
 
+  test("mrrMapAtK: hand-computed RR and AP, miss-all stays present") {
+    val exact = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
+      (2L, 20L, 1), (2L, 21L, 2), (2L, 22L, 3),
+      (3L, 30L, 1), (3L, 31L, 2), (3L, 32L, 3))
+      .toDF("q_id", "n_id", "rnk")
+    val approx = Seq(
+      // q1: relevant at positions 1 and 3 (11 first, junk, then 10):
+      // RR = 1/1; AP = (1·1e6 div 1 + 2·1e6 div 3) div 3 = 555555
+      (1L, 11L, 1), (1L, 90L, 2), (1L, 10L, 3),
+      // q2: first relevant at position 2 → RR = 500000;
+      // AP = (1e6 div 2 + 2e6 div 3) div 3 = 388888
+      (2L, 91L, 1), (2L, 20L, 2), (2L, 21L, 3),
+      // q3: found nothing
+      (3L, 92L, 1), (3L, 93L, 2), (3L, 94L, 3))
+      .toDF("q_id", "n_id", "rnk")
+    val got = graft.ops.Similarity.mrrMapAtK(exact, approx, k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == ((2L, 1000000L, 555555L)), s"q1: $got")
+    assert(got(2L) == ((2L, 500000L, 388888L)), s"q2: $got")
+    assert(got(3L) == ((0L, 0L, 0L)), s"q3 miss-all must be 0s: $got")
+    // partitioning invariance
+    def run(p: Int) = graft.ops.Similarity.mrrMapAtK(
+        exact.repartition(p), approx.repartition(p), 3)
+      .orderBy("q_id").collect().map(_.toSeq).toSeq
+    assert(run(1) == run(7))
+  }
+
   test("recallAtK: hit counting, zero-recall queries stay present") {
     val exact = Seq((1L, 10L, 1), (1L, 11L, 2), (2L, 20L, 1),
       (2L, 21L, 2)).toDF("q_id", "n_id", "rnk")
