@@ -157,6 +157,15 @@ object QueriesGraph {
           sourceIds = Seq(1L, 2L, 3L), nWalks = 3, steps = 4)
         .orderBy("start", "walk", "step")
     }),
+    "qg_temporal_reach" -> ((s, dir) => {
+      // time-respecting reachability from customer 1: walks only use
+      // relations whose FIRST trade is at-or-after the arrival time —
+      // the influence set static BFS over-counts; 4-round budget like
+      // qg_sssp, exact epoch-day integers
+      GraphOps.temporalReachDF(TradeGraph.temporalEdges(s, dir),
+          sources = Seq(1L), rounds = 4)
+        .orderBy("id")
+    }),
     "qg_pagerank_weighted" -> ((s, dir) => {
       // weighted PageRank over the min-lot-cost trade relations: mass
       // splits proportionally to edge weight instead of uniformly
@@ -580,6 +589,32 @@ object QueriesGraph {
        | FROM allr ORDER BY t""".stripMargin
   }
 
+  /** unrolled temporal earliest-arrival reachability: the ssspSql
+    * relaxation with the time-respecting edge condition. */
+  private def temporalReachSql(source: Long, rounds: Int): String = {
+    val steps = (1 to rounds).map { t =>
+      s"""a$t AS MATERIALIZED (SELECT id, min(arr) AS arr FROM (
+         |   SELECT id, arr FROM a${t - 1}
+         |   UNION ALL
+         |   SELECT u.b AS id, u.t AS arr
+         |     FROM u JOIN a${t - 1} ON u.a = a${t - 1}.id
+         |     WHERE u.t >= a${t - 1}.arr
+         | ) GROUP BY id)""".stripMargin
+    }.mkString(",\n ")
+    s"""WITH te AS MATERIALIZED (SELECT o_custkey AS src,
+       |   l_suppkey + $Off AS dst,
+       |   min(epoch_us(o_orderdate) // 86400000000) AS t
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |  GROUP BY 1, 2),
+       | u AS MATERIALIZED (SELECT src AS a, dst AS b, t FROM te
+       |   UNION ALL SELECT dst, src, t FROM te),
+       | a0 AS (SELECT CAST($source AS BIGINT) AS id,
+       |   CAST(0 AS BIGINT) AS arr),
+       | $steps
+       | SELECT id, CAST(arr AS BIGINT) AS arrival FROM a$rounds
+       | ORDER BY id""".stripMargin
+  }
+
   /** unrolled weighted PageRank: the pagerankSql recurrence with
     * weight-proportional mass split over the min-lot-cost edges. */
   private def wPagerankSql(iters: Int): String = {
@@ -871,6 +906,7 @@ object QueriesGraph {
     "qg_node2vec" -> node2vecSql(Seq(1L, 2L, 3L), 2, 4),
     "qg_conductance" -> conductanceSql(3),
     "qg_pagerank_weighted" -> wPagerankSql(3),
+    "qg_temporal_reach" -> temporalReachSql(1L, 4),
     "qg_walk_skipgrams" -> walkSkipgramsSql(Seq(1L, 2L, 3L), 3, 4, 2),
     "qg_random_walks" -> randomWalksSql(Seq(1L, 2L, 3L), 3, 4),
     "qg_hits" -> hitsSql(3),

@@ -343,6 +343,29 @@ object QueriesRelational {
           windowUs = 24L * 3600 * 1000000L)
         .orderBy(col("user_id"))
     }),
+    "q_ts_decompose" -> ((s, dir) => {
+      // ratio-to-moving-average decomposition of the daily event
+      // series: exact micro trend (7-day centered MA) and dow
+      // seasonal index, one fixed double residual
+      graft.ops.Analytics.decomposeDaily(t(s, dir, "events"), "ts")
+        .orderBy("day")
+    }),
+    "q_funnel_latency" -> ((s, dir) => {
+      // composed: time-to-convert distribution of the 3-step funnel —
+      // exact integer microsecond latencies close into exact
+      // interpolated percentiles (two existing operators, one
+      // pipeline)
+      import s.implicits._
+      Funnel.orderedFunnel(t(s, dir, "events"), "user_id", "ts",
+          "event_type", Seq("view", "click", "purchase"),
+          windowUs = 24L * 3600 * 1000000L)
+        .filter($"steps_reached" === 3)
+        .select(($"t3" - $"t1").as("lat_us"))
+        .agg(count(lit(1)).as("n_converted"),
+          min($"lat_us").as("min_us"), max($"lat_us").as("max_us"),
+          round(expr("percentile(lat_us, 0.5)"), 4).as("p50_us"),
+          round(expr("percentile(lat_us, 0.9)"), 4).as("p90_us"))
+    }),
     "q_rate_spikes" -> ((s, dir) => {
       // hourly burst detection: buckets >= 3 sample std devs above
       // their type's mean rate (integer sums, rounded-z threshold)
@@ -1097,6 +1120,13 @@ object QueriesRelational {
          | WHERE a.p - f.cohort_period <= 4
          | GROUP BY 1, 2 ORDER BY cohort_period, "offset"""".stripMargin,
     "q_event_funnel" -> eventFunnelSql,
+    "q_funnel_latency" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_converted,
+         |   CAST(min(t3 - t1) AS BIGINT) AS min_us,
+         |   CAST(max(t3 - t1) AS BIGINT) AS max_us,
+         |   round(quantile_cont(t3 - t1, 0.5), 4) AS p50_us,
+         |   round(quantile_cont(t3 - t1, 0.9), 4) AS p90_us
+         | FROM ($eventFunnelSql) WHERE steps_reached = 3""".stripMargin,
     "q_corr_matrix" -> corrMatrixSql,
     "q_funnel_ab" ->
       // the funnel oracle feeds the A/B formula — same composition as
@@ -1473,6 +1503,29 @@ object QueriesRelational {
         |       CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r2
         | FROM a""".stripMargin,
     "q_acf_daily" -> acfDailySql(7),
+    "q_ts_decompose" ->
+      """WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
+        |     CAST(count(*) AS BIGINT) AS y FROM events GROUP BY 1),
+        | d2 AS (SELECT day, day % 7 AS dow, y FROM daily),
+        | tr AS (SELECT day, dow, y, sum(y) OVER w AS wsum,
+        |     count(y) OVER w AS wn
+        |   FROM d2 WINDOW w AS (ORDER BY day
+        |     ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        | dw AS (SELECT dow, CAST(count(*) AS BIGINT) AS nd,
+        |     CAST(sum(y) AS BIGINT) AS sd FROM d2 GROUP BY 1),
+        | tt AS (SELECT CAST(count(*) AS BIGINT) AS d,
+        |     CAST(sum(y) AS BIGINT) AS s FROM d2),
+        | fin AS (SELECT tr.day, tr.dow, tr.y,
+        |     CASE WHEN wn = 7
+        |       THEN CAST(wsum * 1000000 // 7 AS BIGINT) END
+        |       AS trend_micro,
+        |     CAST(CAST(sd AS HUGEINT) * d * 1000000 // (nd * s)
+        |       AS BIGINT) AS seasonal_micro
+        |   FROM tr JOIN dw USING (dow) CROSS JOIN tt)
+        | SELECT day, dow, y, trend_micro, seasonal_micro,
+        |   round(CAST(y AS DOUBLE) / ((trend_micro / 1e6) *
+        |     (seasonal_micro / 1e6)), 6) AS resid
+        | FROM fin ORDER BY day""".stripMargin,
     "q_profile" ->
       s"""${profileSql("orders")}
          | ORDER BY col_name""".stripMargin,

@@ -628,6 +628,49 @@ object GraphOps {
           .as("q_part"))
   }
 
+  /** Time-respecting (temporal) earliest-arrival reachability
+    * (Kempe, Kleinberg & Kumar 2000; Wu et al. VLDB 2014's
+    * earliest-arrival semantics): walks may only traverse an edge
+    * whose activation time is ≥ the arrival time at its tail — "what
+    * could this node have influenced, respecting time order?", which
+    * static reachability over-counts. Sources start at arrival 0;
+    * reached vertices report their EARLIEST arrival. Earlier arrivals
+    * only widen the usable edge set (t ≥ arr is monotone), so the
+    * per-round min-arrival relaxation is exact within the round
+    * budget — the [[ssspDF]] fixed-budget contract, with the edge
+    * condition swapped in. All integers (epoch-day activations), so
+    * results hash bit-identically.
+    *
+    * Scale shape: per round ONE equi-join of the arrival frame
+    * against the persisted undirected edge table + a partial-agg min
+    * (idempotent/commutative — partitioning-invariant), lineage
+    * truncated per round; the arrival frame is reached-vertices
+    * sized. Output: (id, arrival). */
+  def temporalReachDF(edges: DataFrame, sources: Seq[Long],
+      rounds: Int): DataFrame = {
+    require(sources.nonEmpty && rounds >= 1,
+      "temporal reach needs sources and a round budget")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val und = edges.select(col("src").as("a"), col("dst").as("b"),
+        col("t").cast("long").as("t"))
+      .unionByName(edges.select(col("dst").as("a"), col("src").as("b"),
+        col("t").cast("long").as("t")))
+      .persist()
+    var arr = sources.toDF("id").withColumn("arrival", lit(0L))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val stepped = und.join(arr, und("a") === arr("id"))
+        .filter(col("t") >= col("arrival"))
+        .select(col("b").as("id"), col("t").as("arrival"))
+      arr = arr.unionByName(stepped)
+        .groupBy("id").agg(min("arrival").as("arrival"))
+        .localCheckpoint()
+    }
+    und.unpersist()
+    arr
+  }
+
   /** Conductance of a community assignment (Kannan, Vempala & Vetta
     * 2004; the standard cut-quality gauge alongside [[modularityDF]]):
     * per community C, φ(C) = cut(C) / min(vol(C), 2m − vol(C)) — the
@@ -1169,5 +1212,23 @@ object TradeGraph {
         .groupBy(col("o_custkey").cast("long").as("src"),
           (col("l_suppkey") + SupplierOffset).cast("long").as("dst"))
         .agg(min(col("l_quantity").cast("long")).as("w"))
+    }
+
+  /** temporal variant: one edge per trading relation, activation `t` =
+    * the EARLIEST trade's epoch day (min o_orderdate) — the relation
+    * exists from its first order onward. Same fact-fact join as
+    * [[edges]] with the distinct replaced by a min groupBy. */
+  def temporalEdges(s: SparkSession, dir: String): DataFrame =
+    cached(s, s"tedges:$dir") {
+      val o = graft.sources.Tables.load(s, dir, "orders")
+      val l = graft.sources.Tables.load(s, dir, "lineitem")
+      o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy(col("o_custkey").cast("long").as("src"),
+          (col("l_suppkey") + SupplierOffset).cast("long").as("dst"))
+        // o_orderdate has shipped both TIMESTAMP and TIMESTAMP_NTZ;
+        // the session-UTC cast makes unix_micros accept either (same
+        // wall-clock DuckDB's epoch_us reads)
+        .agg(expr("min(unix_micros(cast(o_orderdate as timestamp))" +
+          " div 86400000000)").as("t"))
     }
 }

@@ -415,6 +415,55 @@ object Analytics {
       round(cov * cov / (varx * vary), 6).as("r2"))
   }
 
+  /** Classical multiplicative decomposition of the daily event-count
+    * series (the moving-average method, Persons 1919 / the
+    * "ratio-to-moving-average" staple): per day, trend = centered
+    * 7-day moving average (full windows only — edge days report null
+    * trend), seasonal = the day-of-week multiplicative index computed
+    * over the WHOLE series ([[seasonalDow]]'s exact cross-product
+    * form), residual = y / (trend·seasonal). Trend and seasonal are
+    * exact integer micro-units (Σ·10⁶ div 7; cross-product div);
+    * the residual is ONE fixed double expression over them, rounded —
+    * no float accumulation anywhere.
+    *
+    * Scale shape: the corpus reduces via one partial-agg to the daily
+    * frame; the 7-row moving window and dow rollup ride that
+    * calendar-bounded frame (documented: unpartitioned over the day
+    * domain). ROWS-window semantics: the MA spans the 7 nearest
+    * OBSERVED days (calendar gaps collapse — the standard discrete
+    * treatment; the driver series is gap-free).
+    * Output: (day, dow, y, trend_micro, seasonal_micro, resid). */
+  def decomposeDaily(events: DataFrame, tsCol: String,
+      bucketUs: Long = 86400000000L): DataFrame = {
+    require(bucketUs > 0, "bucketUs must be positive")
+    val daily = events
+      .groupBy(expr(s"unix_micros($tsCol) div ${bucketUs}L").as("day"))
+      .agg(count(lit(1)).as("y"))
+      .withColumn("dow", col("day") % 7)
+    val wMa = Window.orderBy(col("day")).rowsBetween(-3, 3)
+    val trended = daily
+      .withColumn("__wsum", sum(col("y")).over(wMa))
+      .withColumn("__wn", count(col("y")).over(wMa))
+      .withColumn("trend_micro",
+        when(col("__wn") === 7, expr("__wsum * 1000000 div 7")))
+    val dow = daily.groupBy(col("dow").as("__dw"))
+      .agg(count(lit(1)).as("__nd"), sum(col("y")).as("__sd"))
+    val tot = daily.agg(count(lit(1)).as("__d"), sum(col("y")).as("__s"))
+    val seasoned = trended
+      .join(broadcast(dow), col("dow") === col("__dw"))
+      .crossJoin(broadcast(tot))
+      .withColumn("seasonal_micro",
+        // decimal(38,0) cross-product: sd·d·10⁶ wraps a long once the
+        // series carries ~10¹² events over ~10⁴ days
+        expr("cast(__sd as decimal(38,0)) * __d * 1000000" +
+          " div (__nd * __s)"))
+    seasoned.select(col("day"), col("dow"), col("y"), col("trend_micro"),
+        col("seasonal_micro"),
+        round(col("y").cast("double") /
+          ((col("trend_micro") / 1e6) * (col("seasonal_micro") / 1e6)), 6)
+          .as("resid"))
+  }
+
   /** Autocorrelation function of the daily event-count series at lags
     * 1..`maxLag` (Box & Jenkins): r_k = Σ(y_t−ȳ)(y_{t−k}−ȳ) / Σ(y_t−ȳ)².
     * The mean is eliminated EXACTLY by n-scaling — d_t = n·y_t − Σy is

@@ -501,6 +501,30 @@ class GraphSpec extends AnyFunSuite {
     assert(w2 == w1 ++ Map((10L, 30L) -> 1L, (30L, 10L) -> 1L))
   }
 
+  test("temporalReachDF: time order gates reachability; earliest " +
+      "arrival wins") {
+    import spark.implicits._
+    // 1—2 (t=5), 2—3 (t=10): time-respecting → 3 arrives at 10;
+    // 1—4 (t=10), 4—5 (t=5): 5 is STRUCTURALLY reachable but its
+    // edge activated before the walk arrives → never reached
+    val e = Seq((1L, 2L, 5L), (2L, 3L, 10L), (1L, 4L, 10L),
+      (4L, 5L, 5L)).toDF("src", "dst", "t")
+    val got = GraphOps.temporalReachDF(e, Seq(1L), rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 5L, 3L -> 10L, 4L -> 10L))
+    // a second, later-starting but earlier-arriving temporal path
+    // lowers 3's arrival: 1—6 (t=3), 6—3 (t=4)
+    val e2 = e.unionByName(
+      Seq((1L, 6L, 3L), (6L, 3L, 4L)).toDF("src", "dst", "t"))
+    val got2 = GraphOps.temporalReachDF(e2, Seq(1L), rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2(3L) == 4L && got2(2L) == 5L)
+    // partitioning invariance (min-relaxation is idempotent)
+    def run(p: Int) = GraphOps.temporalReachDF(e2.repartition(p),
+        Seq(1L), 3).orderBy("id").collect().toSeq
+    assert(run(1) == run(7))
+  }
+
   test("weightedPageRankDF: uniform weights equal unweighted; " +
       "hand-computed skewed split") {
     import spark.implicits._

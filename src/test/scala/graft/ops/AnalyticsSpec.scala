@@ -409,6 +409,32 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out(2)._2 == math.rint(4.0 / 6.0 * 1e6) / 1e6)
   }
 
+  test("decomposeDaily: constant series decomposes to unity; edge " +
+      "days report null trend") {
+    import java.sql.Timestamp
+    // 14 gap-free days, 2 events each → trend = 2e6 on interior days,
+    // every dow index = 1e6, residual exactly 1.0
+    val ts = (0 until 14).flatMap(d => Seq(0, 1).map(i =>
+      Timestamp.from(java.time.Instant.ofEpochSecond(d * 86400L + i))))
+    val df = ts.map(t => Tuple1(t)).toDF("ts")
+    val out = Analytics.decomposeDaily(df, "ts").orderBy("day").collect()
+    assert(out.length == 14)
+    out.foreach { r =>
+      assert(r.getLong(2) == 2L && r.getLong(4) == 1000000L)
+      val day = r.getLong(0)
+      if (day >= 3 && day <= 10) {
+        assert(r.getLong(3) == 2000000L && r.getDouble(5) == 1.0)
+      } else {
+        assert(r.isNullAt(3) && r.isNullAt(5),
+          s"edge day $day must have null trend/resid")
+      }
+    }
+    // partitioning invariance
+    def run(p: Int) = Analytics.decomposeDaily(df.repartition(p), "ts")
+      .orderBy("day").collect().map(_.toSeq).toSeq
+    assert(run(1) == run(5))
+  }
+
   // --- Jaccard link prediction ----------------------------------------
 
   test("jaccardLinksDF computes exact shared/union micro-units") {
