@@ -27,6 +27,24 @@ object QueriesRelational {
     * feeds the engine call and the oracle (seeded-constants rule). */
   private val AttributionWindowUs = 24L * 3600 * 1000000L
 
+  /** FD-audited orders columns — ONE Scala list feeds the engine call
+    * and the generated oracle. */
+  private val FdCols: Seq[String] =
+    Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+
+  /** DuckDB replay of [[graft.ops.Profile.fdDiscover]], generated
+    * from the same [[FdCols]]. */
+  private def fdDiscoverSql: String = {
+    val parts = for { a <- FdCols; b <- FdCols if a != b } yield
+      s"""SELECT '$a' AS det, '$b' AS dep,
+         |   CAST(count(DISTINCT __a) AS BIGINT) AS n_det,
+         |   CAST(count(*) AS BIGINT) AS n_pairs,
+         |   count(DISTINCT __a) = count(*) AS holds
+         | FROM (SELECT $a AS __a, $b AS __b FROM orders
+         |   GROUP BY 1, 2)""".stripMargin
+    parts.mkString("\n UNION ALL ") + "\n ORDER BY det, dep"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- scans / filters (reference WHERE operator set, §2.3) ---
     "q_filter_like" -> ((s, dir) => {
@@ -648,6 +666,16 @@ object QueriesRelational {
       // autocorrelation of the daily event-count series at lags 1..7
       // — weekly rhythm readout; mean eliminated exactly by n-scaling
       graft.ops.Analytics.acfDaily(t(s, dir, "events"), "ts", maxLag = 7)
+    }),
+    "q_fd_discover" -> ((s, dir) => {
+      // pairwise functional-dependency audit over orders: the key
+      // column determines everything, nothing determines it back
+      graft.ops.Profile.fdDiscover(t(s, dir, "orders"), FdCols)
+    }),
+    "q_histogram" -> ((s, dir) => {
+      // 10-bin equi-width histogram of order totals in exact cents
+      graft.ops.Profile.equiWidthHistogram(t(s, dir, "orders"),
+        col("o_totalprice"), bins = 10)
     }),
     "q_profile" -> ((s, dir) => {
       // per-column table profile: counts, null rate, KMV distinct,
@@ -1526,6 +1554,15 @@ object QueriesRelational {
         |   round(CAST(y AS DOUBLE) / ((trend_micro / 1e6) *
         |     (seasonal_micro / 1e6)), 6) AS resid
         | FROM fin ORDER BY day""".stripMargin,
+    "q_fd_discover" -> fdDiscoverSql,
+    "q_histogram" ->
+      """WITH q AS (SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT)
+        |     AS v FROM orders),
+        | mm AS (SELECT min(v) AS lo, max(v) AS hi FROM q)
+        | SELECT CAST((v - lo) * 10 // (hi - lo + 1) AS INT) AS bin,
+        |   CAST(count(*) AS BIGINT) AS n,
+        |   min(v) AS lo_cents, max(v) AS hi_cents
+        | FROM q CROSS JOIN mm GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_profile" ->
       s"""${profileSql("orders")}
          | ORDER BY col_name""".stripMargin,

@@ -117,4 +117,56 @@ object Profile {
           .as("distinct_ratio"))
       .orderBy(col("col_name"))
   }
+
+  /** Pairwise functional-dependency discovery (the first level of
+    * TANE, Huhtala et al. 1999 — the schema-audit "which columns
+    * determine which?"): a → b holds iff |π_a| = |π_{a,b}| — every
+    * determinant value maps to exactly one dependent value. Reports
+    * the partition sizes so near-FDs are readable (n_pairs − n_det =
+    * violation count).
+    *
+    * Scale shape: per ordered pair ONE partial-agg groupBy(a, b)
+    * reduces the corpus to the cell frame; |π_a| and |π_{a,b}| are
+    * then a count-distinct/count over that DOMAIN-sized frame — no
+    * corpus-wide count-distinct anywhere (the Sketch.scala scale
+    * rule). k columns → k(k−1) small jobs over the same scan, unioned.
+    * Null determinant cells count toward n_pairs but not n_det, so a
+    * null-keyed column reads as violating — the conservative audit
+    * default. Output: (det, dep, n_det, n_pairs, holds). */
+  def fdDiscover(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "FD discovery needs >= 2 columns")
+    val pairs = for { a <- cols; b <- cols if a != b } yield {
+      val cells = df.groupBy(col(a).as("__a"), col(b).as("__b"))
+        .agg(count(lit(1)).as("__n"))
+      cells.agg(countDistinct(col("__a")).as("n_det"),
+          count(lit(1)).as("n_pairs"))
+        .select(lit(a).as("det"), lit(b).as("dep"), col("n_det"),
+          col("n_pairs"), (col("n_det") === col("n_pairs")).as("holds"))
+    }
+    pairs.reduce(_ unionByName _).orderBy("det", "dep")
+  }
+
+  /** Equi-width histogram of a money-scaled measure: values quantize
+    * to exact integer cents, [lo, hi] comes from one control-plane
+    * min/max, and the bin of v is (v−lo)·bins div (hi−lo+1) — exact
+    * integer arithmetic end to end, the last bin absorbing the
+    * rounding remainder. Empty bins are absent (sparse histogram).
+    *
+    * Scale shape: one min/max agg broadcast back + one partial-agg
+    * groupBy(bin) — two passes over the scan, no windows, bin count
+    * bounded by the parameter. Output: (bin, n, lo_cents, hi_cents) —
+    * per-bin observed extremes, bin-ordered. */
+  def equiWidthHistogram(df: DataFrame, value: Column,
+      bins: Int): DataFrame = {
+    require(bins >= 1, "bins must be positive")
+    val q = df.select(round(value * 100, 0).cast("long").as("__v"))
+    val mm = q.agg(min("__v").as("__lo"), max("__v").as("__hi"))
+    q.crossJoin(broadcast(mm))
+      .withColumn("bin", expr(
+        s"cast((__v - __lo) * $bins div (__hi - __lo + 1) as int)"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), min("__v").as("lo_cents"),
+        max("__v").as("hi_cents"))
+      .orderBy("bin")
+  }
 }

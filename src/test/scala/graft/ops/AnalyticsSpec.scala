@@ -435,6 +435,38 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(run(1) == run(5))
   }
 
+  test("fdDiscover: planted dependency holds one way, violations " +
+      "counted the other") {
+    // k → v holds (each k maps to one v); v → k is violated by v=10
+    // appearing under two ks
+    val df = Seq((1L, 10L), (1L, 10L), (2L, 10L), (3L, 30L))
+      .toDF("k", "v")
+    val got = Profile.fdDiscover(df, Seq("k", "v"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got(("k", "v")) == ((3L, 3L, true)))
+    assert(got(("v", "k")) == ((2L, 3L, false)))
+    def run(p: Int) = Profile.fdDiscover(df.repartition(p), Seq("k", "v"))
+      .collect().map(_.toSeq).toSeq
+    assert(run(1) == run(5))
+  }
+
+  test("equiWidthHistogram: exact cent bins, extremes, full coverage") {
+    // values 0.00 .. 0.99 in cents → 10 bins of exactly 10 each
+    val df = Seq.tabulate(100)(i => Tuple1(i / 100.0)).toDF("x")
+    val out = Profile.equiWidthHistogram(df, col("x"), 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(out.length == 10)
+    out.zipWithIndex.foreach { case ((bin, n, lo, hi), i) =>
+      assert(bin == i && n == 10L && lo == i * 10L && hi == i * 10L + 9)
+    }
+    assert(out.map(_._2).sum == 100L, "every row lands in some bin")
+    def run(p: Int) = Profile.equiWidthHistogram(df.repartition(p),
+      col("x"), 10).collect().map(_.toSeq).toSeq
+    assert(run(1) == run(7))
+  }
+
   // --- Jaccard link prediction ----------------------------------------
 
   test("jaccardLinksDF computes exact shared/union micro-units") {
