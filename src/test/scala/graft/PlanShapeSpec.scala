@@ -445,6 +445,60 @@ class PlanShapeSpec extends AnyFunSuite {
       tr.mkString("\n---\n"))
   }
 
+  test("round-8c operators keep their scale shape") {
+    // hyperball: the register max-merge partial-combines every round
+    // (idempotent max state); nothing nested-loops — the only window
+    // rides the rounds+1-row close frame
+    val hb = capturedPlans { df("qg_hyperball").collect() }
+    assert(hb.exists(_.contains("partial_max")), hb.mkString("\n---\n"))
+    assert(hb.forall(p => !p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin")), hb.mkString("\n---\n"))
+    // node2vec: successor election partial-combines (min) and the
+    // cumulative-weight window is keyed per (start, walk) — the plan
+    // text must carry the start column in the window spec
+    val nv = capturedPlans { df("qg_node2vec").collect() }
+    assert(nv.exists(_.contains("partial_min")), nv.mkString("\n---\n"))
+    assert(nv.exists(p => p.contains("Window") && p.contains("start#")),
+      nv.mkString("\n---\n"))
+    // attribution: the running-last window is per-user (partition key
+    // __u in the spec), never a global event sort
+    val at = df("q_attribution").queryExecution.optimizedPlan.toString
+    assert(at.contains("Window") && at.contains("__u#"), at)
+    // chi-square: marginals broadcast onto the cell frame; the cell
+    // reduction partial-combines
+    val cs = finalPlan(df("q_chi_square"))
+    assert(cs.contains("BroadcastHashJoin") &&
+      cs.contains("partial_count"), cs)
+    // mann-whitney: the rank window sits ABOVE the distinct-value
+    // aggregate, never on the raw corpus
+    val mw = df("q_mann_whitney").queryExecution.optimizedPlan.toString
+    assert(mw.contains("Window"), mw)
+    assert(mw.indexOf("Aggregate", mw.indexOf("Window")) > 0,
+      "the rank window must ride the aggregated value frame\n" + mw)
+    // OLS: one partial-agg pass, no shuffle beyond the 1-row merge
+    val ol = finalPlan(df("q_ols_fit"))
+    assert(ol.contains("partial_count") && !ol.contains("Window"), ol)
+    // temporal reach / weighted pagerank: per-round equi-join +
+    // partial agg, nothing nested-loops
+    val trh = capturedPlans { df("qg_temporal_reach").collect() }
+    assert(trh.exists(_.contains("partial_min")), trh.mkString("\n---\n"))
+    assert(trh.forall(p => !p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin")), trh.mkString("\n---\n"))
+    val wp = capturedPlans { df("qg_pagerank_weighted").collect() }
+    assert(wp.exists(_.contains("partial_sum")), wp.mkString("\n---\n"))
+    assert(wp.forall(p => !p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin")), wp.mkString("\n---\n"))
+    // FD discovery: each pair reduces through a partial-agg cell
+    // groupBy; the distinct count rides the cell frame (a second
+    // Aggregate above the first), never the corpus
+    val fd = finalPlan(df("q_fd_discover"))
+    assert(fd.contains("partial_count"), fd)
+    // histogram: bin assignment is a projection over the broadcast
+    // min/max; the bin groupBy partial-combines
+    val hg = finalPlan(df("q_histogram"))
+    assert(hg.contains("partial_count") && !hg.contains("Window"), hg)
+  }
+
   test("indexed CONTAINSTEXT probes the posting table, not the corpus") {
     // fresh sessions: the shared cached dialect session may already
     // carry the index after EntrySmokeSpec ran qd_containstext_idx
