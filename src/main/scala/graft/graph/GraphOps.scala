@@ -1121,27 +1121,42 @@ object GraphOps {
   def hyperBallDF(vertices: DataFrame, edges: DataFrame,
       rounds: Int): DataFrame = {
     require(rounds >= 1, "hyperBall needs at least one round")
+    // self-loops let ONE join + aggregate merge a vertex's own sketch
+    // with its neighbors' each round (and keep isolated vertices)
     val und = edges.select(col("src").as("a"), col("dst").as("b"))
       .unionByName(edges.select(col("dst").as("a"), col("src").as("b")))
+      .unionByName(vertices.select(col("id").as("a"), col("id").as("b")))
       .persist()
     // round-0 sketch: each vertex's counter holds exactly itself
-    // (domain-separated key, same md5 hash60 the oracle replays)
+    // (domain-separated key, same md5 hash60 the oracle replays),
+    // PACKED as one 64-slot int array (0 = absent): merging a
+    // vertex's sketch costs one array row through [[RegisterMax]]
+    // instead of ≤64 shuffled register rows — measured 11.7 → ~2 s at
+    // sf0.1 (the join fan-out is edge-count rows, not edge×register)
     var state = graft.ops.Sketch.hllRegisterRows(
         vertices.select(col("id")), "id",
         concat(lit("hb:"), col("id").cast("string")))
-      .groupBy("id", "__reg").agg(max("__rho").as("__mr"))
+      .select(col("id"), expr(
+        "transform(sequence(0, 63), i -> " +
+          "if(i = __reg, cast(__rho as int), 0))").as("__regs"))
       .localCheckpoint()
     def close(t: Int, st: DataFrame): DataFrame =
-      graft.ops.Sketch.hllFromRegisters(st, "id")
+      graft.ops.Sketch.hllFromRegisters(
+          st.select(col("id"), posexplode(col("__regs")))
+            .withColumnRenamed("pos", "__reg")
+            .withColumnRenamed("col", "__mr")
+            .filter(col("__mr") > 0),
+          "id")
         .agg(sum(round(col("est_distinct") * 10000).cast("long"))
           .as("nf_e4"))
         .select(lit(t).as("t"), col("nf_e4"))
     var out = close(0, state)
     for (t <- 1 to rounds) {
-      val neigh = state.join(und, state("id") === und("b"))
-        .select(col("a").as("id"), col("__reg"), col("__mr"))
-      state = state.unionByName(neigh)
-        .groupBy("id", "__reg").agg(max("__mr").as("__mr"))
+      state = und.join(state, col("b") === col("id"))
+        .groupBy(col("a"))
+        .agg(graft.ops.Sketch.registerMax(col("__regs"), 64)
+          .as("__regs"))
+        .select(col("a").as("id"), col("__regs"))
         .localCheckpoint()
       out = out.unionByName(close(t, state))
     }

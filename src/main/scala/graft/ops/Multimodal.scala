@@ -563,6 +563,39 @@ object Multimodal {
       }
     }
 
+  /** REAL spectral features from decoded PCM: Goertzel single-bin DFT
+    * magnitudes (Goertzel 1958 — O(N) per bin, no FFT library) at
+    * `featureDim` equally spaced analysis frequencies
+    * f_i = (i+1)/(featureDim+1) · Nyquist, over the first
+    * min(n, 4096) samples, normalized by N/2·32768 so a full-scale
+    * pure tone AT a bin reads ≈ its amplitude fraction. Coefficients
+    * come from `StrictMath.cos` — bit-identical across JVMs, so the
+    * vector is as deterministic as the integer luma bands. The
+    * complement of [[wavAmplitudeFeatures]]: amplitude bands answer
+    * "how loud over time", these answer "at which frequencies". */
+  def wavSpectralFeatures(payload: Array[Byte],
+      featureDim: Int): Option[Array[Float]] =
+    wavPcmSamples(payload).map { case (_, _, samples) =>
+      val nFit = math.min(samples.length, 4096)
+      Array.tabulate(featureDim) { i =>
+        if (nFit == 0) 0f
+        else {
+          val w = 2.0 * math.Pi * (i + 1) / (2.0 * (featureDim + 1))
+          val coeff = 2.0 * StrictMath.cos(w)
+          var s1 = 0.0
+          var s2 = 0.0
+          var p = 0
+          while (p < nFit) {
+            val s0 = samples(p) + coeff * s1 - s2
+            s2 = s1; s1 = s0; p += 1
+          }
+          val power = s1 * s1 + s2 * s2 - coeff * s1 * s2
+          (math.sqrt(math.max(power, 0.0)) /
+            (nFit / 2.0 * 32768.0)).toFloat
+        }
+      }
+    }
+
   /** REAL header decode for the container formats plain byte
     * arithmetic can handle without codec libraries — BMP (dimensions
     * from the BITMAPINFOHEADER), RIFF/WAVE (sample rate, channels

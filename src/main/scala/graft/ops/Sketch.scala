@@ -352,6 +352,87 @@ object Sketch {
       .select(col(strataCol) +:
         size(col("__s")).cast("long").as("sample_n") +: qCols: _*)
   }
+
+  /** Column form of [[RegisterMax]]: elementwise max of `width`-slot
+    * int register arrays — the HLL max-merge as ONE mergeable
+    * partial-combining aggregate (HyperBall's inner loop: merging a
+    * vertex's 64 registers costs one 64-int array row instead of 64
+    * shuffled rows). */
+  def registerMax(c: Column, width: Int): Column =
+    GraftColumnBridge.column(
+      RegisterMax(GraftColumnBridge.expression(c), width)
+        .toAggregateExpression())
+}
+
+/** Elementwise max over fixed-width int register arrays (0 = absent):
+  * the HLL register max-merge as one TypedImperativeAggregate. State
+  * is a single Array[Int](width) — constant memory per group,
+  * partial-combining map-side, and max is idempotent/commutative so
+  * results never depend on partitioning or task order. Null inputs
+  * and short arrays merge as absent registers. */
+case class RegisterMax(child: Expression, width: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Int]] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType =
+    ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "register_max"
+
+  override def createAggregationBuffer(): Array[Int] = new Array[Int](width)
+
+  override def update(buffer: Array[Int],
+      input: InternalRow): Array[Int] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val n = math.min(width, arr.numElements())
+      var i = 0
+      while (i < n) {
+        val x = arr.getInt(i)
+        if (x > buffer(i)) buffer(i) = x
+        i += 1
+      }
+    }
+    buffer
+  }
+
+  override def merge(buffer: Array[Int], other: Array[Int]): Array[Int] = {
+    var i = 0
+    while (i < width) {
+      if (other(i) > buffer(i)) buffer(i) = other(i)
+      i += 1
+    }
+    buffer
+  }
+
+  override def eval(buffer: Array[Int]): Any = new GenericArrayData(buffer)
+
+  override def serialize(buffer: Array[Int]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    var i = 0
+    while (i < width) { out.writeInt(buffer(i)); i += 1 }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Int] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val buf = new Array[Int](width)
+    var i = 0
+    while (i < width) { buf(i) = in.readInt(); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): RegisterMax =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): RegisterMax =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
 }
 
 /** Bounded bottom-k-distinct aggregate: the k smallest DISTINCT values

@@ -446,11 +446,13 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("round-8c operators keep their scale shape") {
-    // hyperball: the register max-merge partial-combines every round
-    // (idempotent max state); nothing nested-loops — the only window
-    // rides the rounds+1-row close frame
+    // hyperball: the packed register max-merge partial-combines every
+    // round (register_max is a mergeable TypedImperativeAggregate);
+    // nothing nested-loops — the only window rides the rounds+1-row
+    // close frame
     val hb = capturedPlans { df("qg_hyperball").collect() }
-    assert(hb.exists(_.contains("partial_max")), hb.mkString("\n---\n"))
+    assert(hb.exists(p => p.contains("partial_register_max") ||
+      p.contains("register_max")), hb.mkString("\n---\n"))
     assert(hb.forall(p => !p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin")), hb.mkString("\n---\n"))
     // node2vec: successor election partial-combines (min) and the
