@@ -75,15 +75,18 @@ import org.scalatest.funsuite.AnyFunSuite
   *
   * | operator                         | t1 s | t10 s | exponent |
   * |----------------------------------|------|-------|----------|
-  * | hyperBallDF (3 rounds)           | 4.15 | 19.47 | 0.67     |
-  * | node2vecWalks (3 src, 2×4 steps) | 2.46 |  3.13 | 0.10     |
-  * | labelProp + conductance          | 1.69 |  2.95 | 0.24     |
+  * | hyperBallDF (3 rounds, packed)   | 1.95 |  4.21 | 0.33     |
+  * | node2vecWalks (3 src, 2×4 steps) | 1.84 |  3.47 | 0.28     |
+  * | labelProp + conductance          | 1.41 |  3.02 | 0.33     |
   *
-  * All at-or-below linear, confirming the designs: hyperball state is
-  * |V|·≤64 rows regardless of ball sizes (0.67 ≈ the state-table
-  * growth), node2vec's frontier is constant-size (flat — cost is the
-  * per-step adjacency probe), conductance is two corpus joins +
-  * domain-bounded aggs.
+  * All well below linear, confirming the designs: hyperball state is
+  * |V| packed 64-slot register arrays merged by the RegisterMax
+  * aggregate (the first, row-based cut measured exponent 0.67 and
+  * 4.15/19.47 s — packing the registers made the per-round join fan
+  * out edge-count ROWS instead of edge×register, a measured 4.6× at
+  * 10×, bit-identical estimates); node2vec's frontier is
+  * constant-size (cost is the per-step adjacency probe); conductance
+  * is two corpus joins + domain-bounded aggs.
   *
   * == qg_pagerank settle (VERDICT r7 what's-wrong #2) ==
   * 8 isolated rounds on the REAL sf0.1 trade graph, zero code change
