@@ -167,6 +167,24 @@ object QueriesPipeline {
           threshold = 0.8)
         .orderBy(col("a_id"), col("b_id"))
     }),
+    "qp_lsh_recall" -> ((s, dir) => {
+      // pair completeness of the banded-LSH generator against the
+      // EXACT ppjoin truth at the same threshold — the number every
+      // near-dup pipeline must report before trusting probabilistic
+      // banding at scale (composes two existing gates)
+      val d = docs(s, dir)
+      val exact = Dedup.ppjoinPairs(d, "doc_id", "text", threshold = 0.8)
+        .select(col("a_id"), col("b_id"))
+      val approx = Dedup.minhashPairs(d, "doc_id", "text",
+          threshold = 0.8)
+        .select(col("a_id"), col("b_id"))
+      exact.agg(count(lit(1)).as("n_true"))
+        .crossJoin(exact.join(approx, Seq("a_id", "b_id"), "left_semi")
+          .agg(count(lit(1)).as("n_found")))
+        .crossJoin(approx.agg(count(lit(1)).as("n_lsh")))
+        .select(col("n_true"), col("n_found"), col("n_lsh"),
+          expr("n_found * 1000000 div n_true").as("recall_micro"))
+    }),
     "qp_ngram_jaccard" -> ((s, dir) => {
       // blocking = (lang, length-band): near-dups have near-equal
       // length, so the quadratic verify runs inside tiny blocks
@@ -2011,6 +2029,22 @@ object QueriesPipeline {
 
   /** shared by qp_minhash_pairs and the qp_split_leakage audit (which
     * must report exactly the pairs the dedup operator reports). */
+  /** brute-force all-pairs exact Jaccard — deliberately NOT
+    * prefix-filtered: it proves ppjoin's filters lost nothing, and
+    * doubles as the ground truth for the LSH recall eval. */
+  private lazy val bruteForcePairsOracle: String =
+    s"""WITH t0 AS (SELECT doc_id,
+       |   list_distinct(list_transform(${dShingles("text")},
+       |     x -> ${dH60("x")})) sh
+       |   FROM documents),
+       | t AS (SELECT doc_id, sh, len(sh) n FROM t0 WHERE len(sh) > 0)
+       | SELECT a_id, b_id, jac FROM (
+       |   SELECT a.doc_id a_id, b.doc_id b_id,
+       |     round(len(list_intersect(a.sh, b.sh))*1.0 /
+       |       (a.n + b.n - len(list_intersect(a.sh, b.sh))), 6) jac
+       |   FROM t a JOIN t b ON a.doc_id < b.doc_id)
+       | WHERE jac >= 0.8 ORDER BY a_id, b_id""".stripMargin
+
   private lazy val minhashPairsOracle: String = {
     val bandRows = (0 until 4).map { b =>
       val ks = (b * 4 until b * 4 + 4).map(i => s"s$i").mkString(", ")
@@ -2783,20 +2817,22 @@ object QueriesPipeline {
          | FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
          | WHERE bit_count(xor(a.sh, b.sh)) <= 4
          | ORDER BY a_id, b_id""".stripMargin,
-    "qp_ppjoin_pairs" ->
-      // brute-force all-pairs exact Jaccard — deliberately NOT
-      // prefix-filtered: the oracle proves the filter lost nothing
-      s"""WITH t0 AS (SELECT doc_id,
-         |   list_distinct(list_transform(${dShingles("text")},
-         |     x -> ${dH60("x")})) sh
-         |   FROM documents),
-         | t AS (SELECT doc_id, sh, len(sh) n FROM t0 WHERE len(sh) > 0)
-         | SELECT a_id, b_id, jac FROM (
-         |   SELECT a.doc_id a_id, b.doc_id b_id,
-         |     round(len(list_intersect(a.sh, b.sh))*1.0 /
-         |       (a.n + b.n - len(list_intersect(a.sh, b.sh))), 6) jac
-         |   FROM t a JOIN t b ON a.doc_id < b.doc_id)
-         | WHERE jac >= 0.8 ORDER BY a_id, b_id""".stripMargin,
+    "qp_ppjoin_pairs" -> bruteForcePairsOracle,
+    "qp_lsh_recall" ->
+      // pair completeness of banded LSH against the brute-force
+      // truth — both sides replayed from their own oracles
+      s"""WITH tru AS MATERIALIZED (SELECT a_id, b_id
+         |   FROM ($bruteForcePairsOracle)),
+         | app AS MATERIALIZED (SELECT a_id, b_id
+         |   FROM ($minhashPairsOracle))
+         | SELECT t.n_true, f.n_found, l.n_lsh,
+         |   CAST(f.n_found * 1000000 // t.n_true AS BIGINT)
+         |     AS recall_micro
+         | FROM (SELECT CAST(count(*) AS BIGINT) AS n_true FROM tru) t
+         | CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS n_found
+         |   FROM tru JOIN app USING (a_id, b_id)) f
+         | CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS n_lsh
+         |   FROM app) l""".stripMargin,
     "qp_ngram_jaccard" ->
       s"""WITH t AS (SELECT doc_id, lang,
          |   CAST(floor(n_chars / 20) AS INT) lb,
