@@ -368,6 +368,14 @@ object QueriesRelational {
       graft.ops.Analytics.decomposeDaily(t(s, dir, "events"), "ts")
         .orderBy("day")
     }),
+    "q_kaplan_meier" -> ((s, dir) => {
+      // churn survival curve: user lifetime = first→last event days,
+      // censored only if still active on the study-end day (the gate
+      // corpus is dense, so a longer cutoff censors everyone); exact
+      // integer product-limit ladder
+      graft.ops.Funnel.kaplanMeier(t(s, dir, "events"), "user_id",
+        "ts", censorCutoffDays = 0)
+    }),
     "q_funnel_latency" -> ((s, dir) => {
       // composed: time-to-convert distribution of the 3-step funnel —
       // exact integer microsecond latencies close into exact
@@ -1148,6 +1156,36 @@ object QueriesRelational {
          | WHERE a.p - f.cohort_period <= 4
          | GROUP BY 1, 2 ORDER BY cohort_period, "offset"""".stripMargin,
     "q_event_funnel" -> eventFunnelSql,
+    "q_kaplan_meier" ->
+      // recursive CTE replays the exact integer ladder in row order
+      """WITH RECURSIVE u AS (SELECT user_id,
+        |     min(epoch_us(ts) // 86400000000) AS f,
+        |     max(epoch_us(ts) // 86400000000) AS l
+        |   FROM events GROUP BY 1),
+        | d AS (SELECT l - f AS dur,
+        |     CASE WHEN (SELECT max(l) FROM u) - l > 0
+        |       THEN 1 ELSE 0 END AS ev FROM u),
+        | g AS (SELECT dur, CAST(sum(ev) AS BIGINT) AS de,
+        |     CAST(count(*) - sum(ev) AS BIGINT) AS ce
+        |   FROM d GROUP BY 1),
+        | r AS (SELECT dur, de, ce,
+        |     CAST((SELECT count(*) FROM d) -
+        |       coalesce(sum(de + ce) OVER (ORDER BY dur
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |       AS BIGINT) AS n
+        |   FROM g),
+        | idx AS (SELECT row_number() OVER (ORDER BY dur) AS k,
+        |     dur, de, ce, n FROM r),
+        | rec(k, s) AS (
+        |   SELECT CAST(0 AS BIGINT), CAST(1000000 AS BIGINT)
+        |   UNION ALL
+        |   SELECT idx.k, rec.s * (idx.n - idx.de) // idx.n
+        |   FROM rec JOIN idx ON idx.k = rec.k + 1)
+        | SELECT idx.dur AS duration_days, idx.n AS n_risk,
+        |   idx.de AS d_events, idx.ce AS c_censored,
+        |   CAST(rec.s AS BIGINT) AS surv_micro
+        | FROM idx JOIN rec USING (k)
+        | ORDER BY duration_days""".stripMargin,
     "q_funnel_latency" ->
       s"""SELECT CAST(count(*) AS BIGINT) AS n_converted,
          |   CAST(min(t3 - t1) AS BIGINT) AS min_us,

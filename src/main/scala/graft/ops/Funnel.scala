@@ -328,6 +328,64 @@ object Funnel {
           .as("forecast"))
   }
 
+  /** Kaplan–Meier survival estimator (Kaplan & Meier 1958 — the
+    * product-limit staple) over user lifetimes: duration = days
+    * between a user's first and last event; a user whose last event
+    * is within `censorCutoffDays` of the study end is CENSORED (still
+    * alive), otherwise their lifetime ended (churn event). S(t) =
+    * Π_{tᵢ ≤ t} (nᵢ − dᵢ)/nᵢ over event times, computed as an exact
+    * INTEGER micro-unit ladder — Sₖ = Sₖ₋₁·(nₖ−dₖ) div nₖ — so the
+    * curve is bit-identical in any engine (a float product would
+    * round differently than the oracle's; censoring-only rows
+    * multiply by nₖ div nₖ = exactly 1).
+    *
+    * Scale shape: the corpus reduces via one partial-agg to per-user
+    * (first, last) days, then to the DURATION-DOMAIN frame (≤ study
+    * length in days); the risk-set window and the O(m²) prefix fold
+    * ride that control-plane frame (m = distinct durations), never
+    * the corpus. Output: (duration_days, n_risk, d_events,
+    * c_censored, surv_micro), duration-ordered. */
+  def kaplanMeier(events: DataFrame, userCol: String, tsCol: String,
+      censorCutoffDays: Long = 7,
+      bucketUs: Long = 86400000000L): DataFrame = {
+    require(censorCutoffDays >= 0 && bucketUs > 0,
+      "cutoff and bucket must be non-negative/positive")
+    import org.apache.spark.sql.expressions.Window
+    val users = events
+      .groupBy(col(userCol).as("__u"))
+      .agg(min(expr(s"unix_micros($tsCol) div ${bucketUs}L")).as("__f"),
+        max(expr(s"unix_micros($tsCol) div ${bucketUs}L")).as("__l"))
+    val end = users.agg(max(col("__l")).as("__end"))
+    val durs = users.crossJoin(broadcast(end))
+      .select((col("__l") - col("__f")).as("__dur"),
+        when(col("__end") - col("__l") > censorCutoffDays, 1L)
+          .otherwise(0L).as("__ev"))
+    val grid = durs.groupBy(col("__dur"))
+      .agg(sum(col("__ev")).as("__d"),
+        (count(lit(1)) - sum(col("__ev"))).as("__c"))
+    val wCum = Window.orderBy(col("__dur"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val risk = grid
+      .crossJoin(broadcast(durs.agg(count(lit(1)).as("__tot"))))
+      .withColumn("__n", col("__tot") -
+        coalesce(sum(col("__d") + col("__c")).over(wCum), lit(0L)))
+    risk
+      .agg(sort_array(collect_list(struct(col("__dur").as("dur"),
+        col("__d").as("d"), col("__c").as("c"), col("__n").as("n"))))
+        .as("__g"))
+      .select(explode(expr(
+        """transform(sequence(1, size(__g)), k -> struct(
+          |  __g[k-1].dur as duration_days,
+          |  __g[k-1].n as n_risk,
+          |  __g[k-1].d as d_events,
+          |  __g[k-1].c as c_censored,
+          |  aggregate(slice(__g, 1, k), cast(1000000 as bigint),
+          |    (acc, x) -> acc * (x.n - x.d) div x.n) as surv_micro))
+          |""".stripMargin)).as("__r"))
+      .select(col("__r.*"))
+      .orderBy("duration_days")
+  }
+
   /** Last-touch marketing attribution: each conversion event credits
     * the LATEST non-conversion event of the same user at-or-before it
     * (same-microsecond touches attribute — they order before the

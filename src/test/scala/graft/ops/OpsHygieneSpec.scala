@@ -791,6 +791,34 @@ class OpsHygieneSpec extends AnyFunSuite {
     assert(run(1) == run(13))
   }
 
+  test("kaplanMeier: textbook product-limit values with censoring") {
+    def ts(day: Long) = new java.sql.Timestamp(day * 86400000L)
+    // lifetimes: A,B churn at 3; C churns at 5; D survives to the end
+    // (10, censored); E joins late, censored at 4. Risk sets 5/3/2/1.
+    val ev = Seq(
+      (1L, ts(0)), (1L, ts(3)),          // A dur 3, churn
+      (2L, ts(2)), (2L, ts(5)),          // B dur 3, churn
+      (3L, ts(0)), (3L, ts(5)),          // C dur 5, churn
+      (4L, ts(0)), (4L, ts(10)),         // D dur 10, censored
+      (5L, ts(6)), (5L, ts(10))          // E dur 4, censored
+    ).toDF("user_id", "ts")
+    val got = Funnel.kaplanMeier(ev, "user_id", "ts",
+        censorCutoffDays = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // S: (5−2)/5 = 0.6 at dur 3; unchanged through the censor at 4;
+    // ×(2−1)/2 = 0.3 at dur 5; unchanged at the final censor
+    assert(got.toSeq == Seq(
+      (3L, 5L, 2L, 0L, 600000L),
+      (4L, 3L, 0L, 1L, 600000L),
+      (5L, 2L, 1L, 0L, 300000L),
+      (10L, 1L, 0L, 1L, 300000L)))
+    // partitioning invariance (the ladder folds a sorted array)
+    def run(p: Int) = Funnel.kaplanMeier(ev.repartition(p), "user_id",
+      "ts", 0).collect().map(_.toSeq).toSeq
+    assert(run(1) == run(7))
+  }
+
   test("cohortRetention: hand-built triangle, duplicate-event immunity") {
     def ts(day: Long) = new java.sql.Timestamp(day * 86400000L)
     // period = 1 day. u1 active days 0,1,2; u2 days 0,2 (twice — the
