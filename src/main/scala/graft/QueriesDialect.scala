@@ -236,7 +236,18 @@ object QueriesDialect {
     "qd_pipe_attribution" -> ((s, dir) => gq(s, dir,
       "select channel, n_conversions, share_micro from " +
         "attribution(events, 'user_id', 'ts', 'event_id', " +
-        "'event_type', 'purchase', 86400000000) order by channel"))
+        "'event_type', 'purchase', 86400000000) order by channel")),
+    "qd_pipe_histogram" -> ((s, dir) => gq(s, dir,
+      "select bin, n, lo_cents, hi_cents from " +
+        "histogram(orders, 'o_totalprice', 10) order by bin")),
+    "qd_pipe_fd_audit" -> ((s, dir) => gq(s, dir,
+      "select det, dep, n_det, n_pairs, holds from fd_audit(orders, " +
+        "'o_orderkey,o_custkey,o_orderstatus,o_orderpriority') " +
+        "order by det, dep")),
+    "qd_pipe_kaplan_meier" -> ((s, dir) => gq(s, dir,
+      "select duration_days, n_risk, d_events, c_censored, " +
+        "surv_micro from kaplan_meier(events, 'user_id', 'ts', 0) " +
+        "order by duration_days"))
   )
 
   private def gq(s: SparkSession, dir: String, sql: String): DataFrame =
@@ -453,6 +464,10 @@ object QueriesDialect {
     "qd_pipe_profile" -> QueriesRelational.oracleSql("q_profile"),
     "qd_pipe_chi_square" -> QueriesRelational.oracleSql("q_chi_square"),
     "qd_pipe_acf" -> QueriesRelational.oracleSql("q_acf_daily"),
-    "qd_pipe_attribution" -> QueriesRelational.oracleSql("q_attribution")
+    "qd_pipe_attribution" -> QueriesRelational.oracleSql("q_attribution"),
+    "qd_pipe_histogram" -> QueriesRelational.oracleSql("q_histogram"),
+    "qd_pipe_fd_audit" -> QueriesRelational.oracleSql("q_fd_discover"),
+    "qd_pipe_kaplan_meier" ->
+      QueriesRelational.oracleSql("q_kaplan_meier")
   )
 }

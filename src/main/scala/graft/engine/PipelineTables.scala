@@ -26,7 +26,8 @@ object PipelineTables {
   val names: Set[String] =
     Set("dedup_pairs", "exact_dups", "quality_gate", "c4_clean",
       "fingerprints", "chunk_docs", "bm25_topk", "frequent_pairs",
-      "rake_phrases", "profile", "chi_square", "acf", "attribution")
+      "rake_phrases", "profile", "chi_square", "acf", "attribution",
+      "histogram", "fd_audit", "kaplan_meier")
 
   def resolve(catalog: Catalog, fn: String,
       args: Seq[SqlExpr]): DataFrame = {
@@ -106,6 +107,19 @@ object PipelineTables {
         graft.ops.Funnel.lastTouchAttribution(classArg(0), strArg(1),
           strArg(2), strArg(3), strArg(4), strArg(5),
           numArg(6).toLong)
+      case "histogram" => // (class, numField, bins)
+        arity(3)
+        graft.ops.Profile.equiWidthHistogram(classArg(0),
+          org.apache.spark.sql.functions.col(strArg(1)), intArg(2))
+      case "fd_audit" => // (class, 'col1,col2,…')
+        arity(2)
+        val cols = strArg(1).split(",").map(_.trim).filter(_.nonEmpty)
+        if (cols.length < 2) bad("argument 2 must name >= 2 columns")
+        graft.ops.Profile.fdDiscover(classArg(0), cols.toSeq)
+      case "kaplan_meier" => // (class, userF, tsF, cutoffDays)
+        arity(4)
+        graft.ops.Funnel.kaplanMeier(classArg(0), strArg(1), strArg(2),
+          intArg(3).toLong)
       case other =>
         // unknown function → parse error (§2.5 contract, same as
         // scalar functions)
