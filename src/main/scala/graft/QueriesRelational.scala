@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
@@ -368,6 +368,31 @@ object QueriesRelational {
       graft.ops.Analytics.decomposeDaily(t(s, dir, "events"), "ts")
         .orderBy("day")
     }),
+    "q_rfm_segments" -> ((s, dir) => {
+      // RFM segmentation: per-user recency (last active day),
+      // frequency (events) and monetary (cents) quartiled via the
+      // KMV tier bounds — no global ntile window — then the segment
+      // rollup marketing reads
+      import s.implicits._
+      val byUser = t(s, dir, "events")
+        .groupBy($"user_id")
+        .agg(max(expr("unix_micros(ts) div 86400000000")).as("__r"),
+          count(lit(1)).as("__f"),
+          sum(round($"value" * 100, 0).cast("long")).as("__m"))
+        .withColumn("__all", lit("all"))
+        .localCheckpoint()
+      def tier(score: Column, out: String) =
+        graft.ops.Curation.qualityTiers(byUser, "__all", "user_id",
+            score, k = 128, nTiers = 4)
+          .select(col("user_id"), col("tier").as(out))
+      byUser
+        .join(tier($"__r", "r_tier"), "user_id")
+        .join(tier($"__f", "f_tier"), "user_id")
+        .join(tier($"__m", "m_tier"), "user_id")
+        .groupBy($"r_tier", $"f_tier", $"m_tier")
+        .agg(count(lit(1)).as("n_users"), sum($"__m").as("m_cents"))
+        .orderBy("r_tier", "f_tier", "m_tier")
+    }),
     "q_kaplan_meier" -> ((s, dir) => {
       // churn survival curve: user lifetime = first→last event days,
       // censored only if still active on the study-end day (the gate
@@ -718,6 +743,47 @@ object QueriesRelational {
     ("price_usd", "round(l_extendedprice, 0)"),
     ("disc_bp", "round(l_discount * 10000, 0)"),
     ("tax_bp", "round(l_tax * 10000, 0)"))
+
+  /** one RFM tier replay: quartile bounds from the 128-hash-minimum
+    * KMV sample (same arithmetic as the qp_quality_tiers oracle),
+    * boundary rows in the LOWER tier. */
+  private def rfmTierSql(scoreCol: String, outName: String): String =
+    s"""SELECT h.user_id, CAST(1
+       |     + (CASE WHEN h.$scoreCol > b.b1 THEN 1 ELSE 0 END)
+       |     + (CASE WHEN h.$scoreCol > b.b2 THEN 1 ELSE 0 END)
+       |     + (CASE WHEN h.$scoreCol > b.b3 THEN 1 ELSE 0 END)
+       |   AS BIGINT) AS $outName
+       | FROM h CROSS JOIN (
+       |   SELECT sv[CAST((1 * (n - 1)) // 4 AS INT) + 1] AS b1,
+       |     sv[CAST((2 * (n - 1)) // 4 AS INT) + 1] AS b2,
+       |     sv[CAST((3 * (n - 1)) // 4 AS INT) + 1] AS b3
+       |   FROM (SELECT list($scoreCol ORDER BY $scoreCol) AS sv,
+       |       CAST(count(*) AS BIGINT) AS n
+       |     FROM (SELECT $scoreCol,
+       |         row_number() OVER (ORDER BY hk) AS rn FROM h)
+       |     WHERE rn <= 128)) b""".stripMargin
+
+  /** DuckDB replay of [[graft.ops.Profile]]-style RFM segmentation,
+    * three [[rfmTierSql]] tiers joined back on the user. */
+  private def rfmSegmentsSql: String =
+    s"""WITH u AS (SELECT user_id,
+       |     max(epoch_us(ts) // 86400000000) AS r,
+       |     CAST(count(*) AS BIGINT) AS f,
+       |     CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+       |       AS m
+       |   FROM events GROUP BY 1),
+       | h AS (SELECT u.*,
+       |     ('0x' || substr(md5('all:' || user_id), 1, 15))::BIGINT
+       |       AS hk FROM u),
+       | tr AS (${rfmTierSql("r", "r_tier")}),
+       | tf AS (${rfmTierSql("f", "f_tier")}),
+       | tm AS (${rfmTierSql("m", "m_tier")})
+       | SELECT tr.r_tier, tf.f_tier, tm.m_tier,
+       |   CAST(count(*) AS BIGINT) AS n_users,
+       |   CAST(sum(u.m) AS BIGINT) AS m_cents
+       | FROM u JOIN tr USING (user_id) JOIN tf USING (user_id)
+       |   JOIN tm USING (user_id)
+       | GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 
   /** DuckDB replay of [[graft.ops.Analytics.acfDaily]]: daily counts,
     * exact n-scaled deviations (d = n·y − Σy), HUGEINT lag-product
@@ -1156,6 +1222,7 @@ object QueriesRelational {
          | WHERE a.p - f.cohort_period <= 4
          | GROUP BY 1, 2 ORDER BY cohort_period, "offset"""".stripMargin,
     "q_event_funnel" -> eventFunnelSql,
+    "q_rfm_segments" -> rfmSegmentsSql,
     "q_kaplan_meier" ->
       // recursive CTE replays the exact integer ladder in row order
       """WITH RECURSIVE u AS (SELECT user_id,
