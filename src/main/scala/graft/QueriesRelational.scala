@@ -368,6 +368,26 @@ object QueriesRelational {
       graft.ops.Analytics.decomposeDaily(t(s, dir, "events"), "ts")
         .orderBy("day")
     }),
+    "q_cohort_ltv" -> ((s, dir) => {
+      // weekly-cohort revenue curve: exact integer cents per
+      // (cohort, age) cell, running payback per cohort
+      graft.ops.Funnel.cohortLtv(t(s, dir, "events"), "user_id", "ts",
+        "value", periodDays = 7, maxOffset = 4)
+    }),
+    "q_funnel_dropoff" -> ((s, dir) => {
+      // step drop-off table: users by furthest funnel step reached,
+      // exact micro shares of the step-1 population
+      import s.implicits._
+      val f = Funnel.orderedFunnel(t(s, dir, "events"), "user_id",
+          "ts", "event_type", Seq("view", "click", "purchase"),
+          windowUs = 24L * 3600 * 1000000L)
+        .groupBy($"steps_reached").agg(count(lit(1)).as("n_users"))
+      f.withColumn("__tot", sum($"n_users")
+          .over(Window.partitionBy(lit(1))))
+        .withColumn("share_micro", expr("n_users * 1000000 div __tot"))
+        .drop("__tot")
+        .orderBy("steps_reached")
+    }),
     "q_rfm_segments" -> ((s, dir) => {
       // RFM segmentation: per-user recency (last active day),
       // frequency (events) and monetary (cents) quartiled via the
@@ -1222,6 +1242,33 @@ object QueriesRelational {
          | WHERE a.p - f.cohort_period <= 4
          | GROUP BY 1, 2 ORDER BY cohort_period, "offset"""".stripMargin,
     "q_event_funnel" -> eventFunnelSql,
+    "q_cohort_ltv" ->
+      """WITH f AS (SELECT user_id,
+        |     min(epoch_us(ts) // 604800000000) AS cohort_period
+        |   FROM events GROUP BY 1),
+        | c AS (SELECT e.user_id,
+        |     epoch_us(e.ts) // 604800000000 - f.cohort_period
+        |       AS "offset",
+        |     f.cohort_period,
+        |     CAST(round(e.value * 100, 0) AS BIGINT) AS cents
+        |   FROM events e JOIN f USING (user_id)),
+        | g AS (SELECT cohort_period, "offset",
+        |     CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |     CAST(sum(cents) AS BIGINT) AS cents
+        |   FROM c WHERE "offset" <= 4 GROUP BY 1, 2)
+        | SELECT cohort_period, "offset", n_users, cents,
+        |   CAST(sum(cents) OVER (PARTITION BY cohort_period
+        |     ORDER BY "offset" ROWS BETWEEN UNBOUNDED PRECEDING
+        |     AND CURRENT ROW) AS BIGINT) AS cum_cents
+        | FROM g ORDER BY cohort_period, "offset"""".stripMargin,
+    "q_funnel_dropoff" ->
+      s"""WITH f AS ($eventFunnelSql),
+         | g AS (SELECT steps_reached,
+         |     CAST(count(*) AS BIGINT) AS n_users FROM f GROUP BY 1)
+         | SELECT steps_reached, n_users,
+         |   CAST(n_users * 1000000 //
+         |     (SELECT sum(n_users) FROM g) AS BIGINT) AS share_micro
+         | FROM g ORDER BY steps_reached""".stripMargin,
     "q_rfm_segments" -> rfmSegmentsSql,
     "q_kaplan_meier" ->
       // recursive CTE replays the exact integer ladder in row order

@@ -244,6 +244,40 @@ object Funnel {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Cohort lifetime-value curve — [[cohortRetention]]'s monetary
+    * sibling: users cohort by first-active period, revenue lands at
+    * its (cohort, age-offset) cell in exact integer cents, and the
+    * running `cum_cents` per cohort answers "how much has a week-N
+    * cohort earned by age k" (the LTV payback readout). The
+    * cumulative window rides the AGGREGATED (cohort, offset) frame —
+    * cohorts × maxOffset rows, never events.
+    * Output: (cohort_period, offset, n_users, cents, cum_cents). */
+  def cohortLtv(events: DataFrame, userCol: String, tsCol: String,
+      valueCol: String, periodDays: Int = 7,
+      maxOffset: Int = 4): DataFrame = {
+    require(periodDays >= 1 && maxOffset >= 0, "bad cohort params")
+    import org.apache.spark.sql.expressions.Window
+    val periodUs = periodDays * 86400000000L
+    val p = expr(s"unix_micros($tsCol) div ${periodUs}L")
+    val first = events
+      .groupBy(col(userCol).as("user_id"))
+      .agg(min(p).as("cohort_period"))
+    val cells = events
+      .select(col(userCol).as("user_id"), p.as("__p"),
+        round(col(valueCol) * 100, 0).cast("long").as("__cents"))
+      .join(first, Seq("user_id"))
+      .withColumn("offset", col("__p") - col("cohort_period"))
+      .filter(col("offset") <= maxOffset)
+      .groupBy(col("cohort_period"), col("offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        sum(col("__cents")).as("cents"))
+    val w = Window.partitionBy(col("cohort_period"))
+      .orderBy(col("offset"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells.withColumn("cum_cents", sum(col("cents")).over(w))
+      .orderBy("cohort_period", "offset")
+  }
+
   /** CUSUM mean-shift detection (Page 1954) per event type over
     * bucketed counts, INTEGER-EXACT: the positive-side CUSUM
     * Sᵢ = max(0, Sᵢ₋₁ + (xᵢ − mean)) is computed non-recursively as
