@@ -123,6 +123,13 @@ object QueriesGraph {
       GraphOps.hyperBallDF(TradeGraph.vertices(s, dir),
         TradeGraph.edges(s, dir), rounds = 3)
     }),
+    "qg_hyperball_centrality" -> ((s, dir) => {
+      // approximate harmonic centrality for EVERY vertex from the
+      // HyperBall shell sizes — the whole-graph estimate the exact
+      // k-source qg_harmonic can't scale to; exact e4/e6 integers
+      GraphOps.hyperBallCentralityDF(TradeGraph.vertices(s, dir),
+        TradeGraph.edges(s, dir), rounds = 3)
+    }),
     "qg_harmonic" -> ((s, dir) => {
       // bounded-radius harmonic centrality from the same 4 focal
       // customers as qg_betweenness: Σ 1/dist in exact micro-units
@@ -542,7 +549,11 @@ object QueriesGraph {
     * the linear-counting table generated from Sketch.HllAlphaC /
     * HllLnMicro — the seeded-constants rule) summed as exact BIGINT
     * nf_e4. */
-  private def hyperballSql(rounds: Int): String = {
+  /** shared HyperBall CTE chain: register init + per-round max-merge
+    * states s0..sN + per-round PER-VERTEX e4 estimates pe0..peN
+    * (α·m²·2⁵⁵ and the ln table generated from the same Scala
+    * constants — seeded-constants rule). */
+  private def hyperballCtes(rounds: Int): String = {
     val lnRows = graft.ops.Sketch.HllLnMicro.zipWithIndex
       .map { case (m, i) => s"(${i + 1}, $m)" }.mkString(", ")
     val c = graft.ops.Sketch.HllAlphaC
@@ -554,23 +565,20 @@ object QueriesGraph {
          |   JOIN s${t - 1} s ON s.id = u.b)
          | GROUP BY 1, 2)""".stripMargin
     }.mkString(",\n ")
-    val closes = (0 to rounds).map { t =>
-      s"""n$t AS (SELECT $t AS t, CAST(sum(CAST(round(10000 * round(
+    val perVertex = (0 to rounds).map { t =>
+      s"""pe$t AS MATERIALIZED (SELECT id, CAST(round(10000 * round(
          |     CASE WHEN $c / stot <= 160.0 AND npres < 64
          |       THEN lnt.micro / 1e6 ELSE $c / stot END, 4))
-         |     AS BIGINT)) AS BIGINT) AS nf_e4
-         | FROM (SELECT vz, npres, stot FROM (SELECT id,
-         |       64 - npres AS vz, npres,
+         |     AS BIGINT) AS e$t
+         | FROM (SELECT id, 64 - npres AS vz, npres,
          |       CAST(sp + (64 - npres) * 36028797018963968 AS DOUBLE)
          |         AS stot
          |     FROM (SELECT id, CAST(count(*) AS BIGINT) AS npres,
          |         CAST(sum(1::BIGINT << (55 - mr)) AS BIGINT) AS sp
-         |       FROM s$t GROUP BY 1)))
+         |       FROM s$t GROUP BY 1))
          | LEFT JOIN lnt ON lnt.vv = vz)""".stripMargin
     }.mkString(",\n ")
-    val union = (0 to rounds).map(t => s"SELECT * FROM n$t")
-      .mkString(" UNION ALL ")
-    s"""WITH $edgesCte,
+    s"""$edgesCte,
        | und AS MATERIALIZED (SELECT src AS a, dst AS b FROM e
        |   UNION ALL SELECT dst, src FROM e),
        | s0 AS MATERIALIZED (SELECT id, CAST(h % 64 AS INT) AS reg,
@@ -581,12 +589,36 @@ object QueriesGraph {
        |     FROM v)),
        | $merges,
        | lnt(vv, micro) AS (VALUES $lnRows),
+       | $perVertex""".stripMargin
+  }
+
+  private def hyperballSql(rounds: Int): String = {
+    val closes = (0 to rounds).map(t =>
+      s"""n$t AS (SELECT $t AS t, CAST(sum(e$t) AS BIGINT) AS nf_e4
+         | FROM pe$t)""".stripMargin).mkString(",\n ")
+    val union = (0 to rounds).map(t => s"SELECT * FROM n$t")
+      .mkString(" UNION ALL ")
+    s"""WITH ${hyperballCtes(rounds)},
        | $closes,
        | allr AS ($union)
        | SELECT CAST(t AS INT) AS t, nf_e4,
        |   CAST(nf_e4 * 1000000 // (SELECT max(nf_e4) FROM allr)
        |     AS BIGINT) AS pct_micro
        | FROM allr ORDER BY t""".stripMargin
+  }
+
+  /** unrolled HyperBall harmonic centrality: per-vertex shell sizes
+    * from consecutive e4 estimates, each term (diff·100) div t. */
+  private def hyperballCentralitySql(rounds: Int): String = {
+    val joins = (1 to rounds).map(t => s"JOIN pe$t USING (id)")
+      .mkString(" ")
+    val harmonic = (1 to rounds).map(t =>
+      s"(greatest(pe$t.e$t - pe${t - 1}.e${t - 1}, 0) * 100) // $t")
+      .mkString(" + ")
+    s"""WITH ${hyperballCtes(rounds)}
+       | SELECT pe0.id, pe$rounds.e$rounds AS reach_e4,
+       |   CAST($harmonic AS BIGINT) AS harmonic_e6
+       | FROM pe0 $joins ORDER BY id""".stripMargin
   }
 
   /** unrolled temporal earliest-arrival reachability: the ssspSql
@@ -903,6 +935,7 @@ object QueriesGraph {
          | GROUP BY v ORDER BY id""".stripMargin
     },
     "qg_hyperball" -> hyperballSql(3),
+    "qg_hyperball_centrality" -> hyperballCentralitySql(3),
     "qg_node2vec" -> node2vecSql(Seq(1L, 2L, 3L), 2, 4),
     "qg_conductance" -> conductanceSql(3),
     "qg_pagerank_weighted" -> wPagerankSql(3),

@@ -580,6 +580,30 @@ class GraphSpec extends AnyFunSuite {
     assert(run(1) == run(5))
   }
 
+  test("hyperBallCentralityDF: path-graph harmonic estimates within " +
+      "the small-range band, invariance") {
+    import spark.implicits._
+    // path 1—2—3—4: exact harmonic H = [1+1/2+1/3, 1+1+1/2,
+    // 1+1+1/2, 1+1/2+1/3]; all sketches sit in the near-exact
+    // linear-counting regime, so estimates land within 5%
+    val v = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val got = GraphOps.hyperBallCentralityDF(v, e, rounds = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    val truth = Map(1L -> (1.0 + 0.5 + 1.0 / 3), 2L -> 2.5,
+      3L -> 2.5, 4L -> (1.0 + 0.5 + 1.0 / 3))
+    truth.foreach { case (id, h) =>
+      val est = got(id)._2 / 1e6
+      assert(math.abs(est - h) / h < 0.05, s"H($id): $est vs $h")
+      // reach at radius 3 covers the whole path
+      assert(math.abs(got(id)._1 / 1e4 - 4.0) < 0.2)
+    }
+    def run(p: Int) = GraphOps.hyperBallCentralityDF(v,
+      e.repartition(5), 3).orderBy("id").collect().toSeq
+    assert(run(1) == run(5))
+  }
+
   test("node2vecWalks: exact inverse-CDF draws, bias classes, " +
       "invariance") {
     import spark.implicits._
