@@ -164,6 +164,13 @@ object QueriesGraph {
           sourceIds = Seq(1L, 2L, 3L), nWalks = 3, steps = 4)
         .orderBy("start", "walk", "step")
     }),
+    "qg_robustness" -> ((s, dir) => {
+      // attack-tolerance probe: drop the 10 highest-degree vertices,
+      // report surviving component structure — exact integer counts,
+      // 12-round min-label budget shared with the oracle
+      GraphOps.robustnessDF(TradeGraph.vertices(s, dir),
+        TradeGraph.edges(s, dir), topK = 10, rounds = 12)
+    }),
     "qg_temporal_reach" -> ((s, dir) => {
       // time-respecting reachability from customer 1: walks only use
       // relations whose FIRST trade is at-or-after the arrival time —
@@ -621,6 +628,46 @@ object QueriesGraph {
        | FROM pe0 $joins ORDER BY id""".stripMargin
   }
 
+  /** unrolled hub-removal robustness: top-K degree hubs stripped,
+    * min-label propagation with the same round budget, component
+    * rollup. */
+  private def robustnessSql(topK: Int, rounds: Int): String = {
+    val steps = (1 to rounds).map { t =>
+      s"""l$t AS MATERIALIZED (SELECT id, min(lbl) AS lbl FROM (
+         |   SELECT id, lbl FROM l${t - 1}
+         |   UNION ALL
+         |   SELECT u2.b AS id, l${t - 1}.lbl FROM u2
+         |     JOIN l${t - 1} ON u2.a = l${t - 1}.id
+         | ) GROUP BY id)""".stripMargin
+    }.mkString(",\n ")
+    s"""WITH $edgesCte,
+       | deg AS (SELECT v.id,
+       |     coalesce(o.n, 0) + coalesce(i.n, 0) AS total
+       |   FROM v
+       |   LEFT JOIN (SELECT src, count(*) n FROM e GROUP BY src) o
+       |     ON o.src = v.id
+       |   LEFT JOIN (SELECT dst, count(*) n FROM e GROUP BY dst) i
+       |     ON i.dst = v.id),
+       | hubs AS (SELECT id FROM deg ORDER BY total DESC, id
+       |   LIMIT $topK),
+       | fe AS (SELECT src, dst FROM e
+       |   WHERE src NOT IN (SELECT id FROM hubs)
+       |     AND dst NOT IN (SELECT id FROM hubs)),
+       | u2 AS MATERIALIZED (SELECT src AS a, dst AS b FROM fe
+       |   UNION ALL SELECT dst, src FROM fe),
+       | l0 AS MATERIALIZED (SELECT id, id AS lbl FROM v
+       |   WHERE id NOT IN (SELECT id FROM hubs)),
+       | $steps,
+       | comp AS (SELECT lbl, CAST(count(*) AS BIGINT) AS sz
+       |   FROM l$rounds GROUP BY 1)
+       | SELECT CAST(sum(sz) AS BIGINT) AS n_kept,
+       |   CAST(count(*) AS BIGINT) AS n_components,
+       |   CAST(max(sz) AS BIGINT) AS giant_size,
+       |   CAST(max(sz) * 1000000 // sum(sz) AS BIGINT)
+       |     AS giant_share_micro
+       | FROM comp""".stripMargin
+  }
+
   /** unrolled temporal earliest-arrival reachability: the ssspSql
     * relaxation with the time-respecting edge condition. */
   private def temporalReachSql(source: Long, rounds: Int): String = {
@@ -940,6 +987,7 @@ object QueriesGraph {
     "qg_conductance" -> conductanceSql(3),
     "qg_pagerank_weighted" -> wPagerankSql(3),
     "qg_temporal_reach" -> temporalReachSql(1L, 4),
+    "qg_robustness" -> robustnessSql(10, 12),
     "qg_walk_skipgrams" -> walkSkipgramsSql(Seq(1L, 2L, 3L), 3, 4, 2),
     "qg_random_walks" -> randomWalksSql(Seq(1L, 2L, 3L), 3, 4),
     "qg_hits" -> hitsSql(3),

@@ -628,6 +628,52 @@ object GraphOps {
           .as("q_part"))
   }
 
+  /** Hub-removal robustness probe (Albert, Jeong & Barabási 2000 —
+    * "error and attack tolerance"): strip the `topK` highest-degree
+    * vertices, then measure what stays connected — n_kept,
+    * component count, giant-component size and its micro share. The
+    * capacity-planning "what if the biggest hubs disappear"
+    * answered without mutating the graph. Components come from a
+    * fixed-round min-label propagation with EXACTLY the oracle's
+    * update rule (both sides run the same round budget, so results
+    * match even before convergence — the ssspDF contract).
+    *
+    * Scale shape: hubs are a topK-row broadcast; per round one
+    * equi-join + idempotent partial-agg min, lineage truncated;
+    * the close aggregates the component-size frame. */
+  def robustnessDF(vertices: DataFrame, edges: DataFrame, topK: Int,
+      rounds: Int): DataFrame = {
+    require(topK >= 0 && rounds >= 1, "bad robustness params")
+    val hubs = degrees(vertices, edges)
+      .orderBy(col("total").desc, col("id")).limit(topK)
+      .select(col("id"))
+    val keep = vertices.select(col("id"))
+      .join(broadcast(hubs), Seq("id"), "left_anti")
+    val fe = edges.select(col("src"), col("dst"))
+      .join(broadcast(hubs.select(col("id").as("src"))), Seq("src"),
+        "left_anti")
+      .join(broadcast(hubs.select(col("id").as("dst"))), Seq("dst"),
+        "left_anti")
+    val und = fe.select(col("src").as("a"), col("dst").as("b"))
+      .unionByName(fe.select(col("dst").as("a"), col("src").as("b")))
+      .persist()
+    var lbl = keep.withColumn("lbl", col("id")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val msg = und.join(lbl, und("a") === lbl("id"))
+        .select(col("b").as("id"), col("lbl"))
+      lbl = lbl.unionByName(msg)
+        .groupBy("id").agg(min("lbl").as("lbl"))
+        .localCheckpoint()
+    }
+    und.unpersist()
+    lbl.groupBy("lbl").agg(count(lit(1)).as("__sz"))
+      .agg(sum(col("__sz")).as("n_kept"),
+        count(lit(1)).as("n_components"),
+        max(col("__sz")).as("giant_size"))
+      .select(col("n_kept"), col("n_components"), col("giant_size"),
+        expr("giant_size * 1000000 div n_kept").as("giant_share_micro"))
+  }
+
   /** Time-respecting (temporal) earliest-arrival reachability
     * (Kempe, Kleinberg & Kumar 2000; Wu et al. VLDB 2014's
     * earliest-arrival semantics): walks may only traverse an edge

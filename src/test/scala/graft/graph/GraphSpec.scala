@@ -501,6 +501,30 @@ class GraphSpec extends AnyFunSuite {
     assert(w2 == w1 ++ Map((10L, 30L) -> 1L, (30L, 10L) -> 1L))
   }
 
+  test("robustnessDF: removing a star's hub shatters it; exact " +
+      "component accounting") {
+    import spark.implicits._
+    // star: hub 1 connected to 2..6, plus a separate edge 7—8.
+    // removing the top-1 hub leaves 5 isolated leaves + the pair:
+    // 7 kept vertices, 6 components, giant = 2
+    val v = (1L to 8L).toDF("id")
+    val e = ((2L to 6L).map(l => (1L, l)) :+ (7L, 8L))
+      .toDF("src", "dst")
+    val r1 = GraphOps.robustnessDF(v, e, topK = 1, rounds = 5)
+      .collect().head
+    assert((r1.getLong(0), r1.getLong(1), r1.getLong(2),
+      r1.getLong(3)) == ((7L, 6L, 2L, 285714L)))
+    // removing nothing keeps two components, giant = 6
+    val r0 = GraphOps.robustnessDF(v, e, topK = 0, rounds = 5)
+      .collect().head
+    assert((r0.getLong(0), r0.getLong(1), r0.getLong(2)) ==
+      ((8L, 2L, 6L)))
+    // partitioning invariance
+    def run(p: Int) = GraphOps.robustnessDF(v, e.repartition(p), 1, 5)
+      .collect().map(_.toSeq).toSeq
+    assert(run(1) == run(5))
+  }
+
   test("temporalReachDF: time order gates reachability; earliest " +
       "arrival wins") {
     import spark.implicits._
