@@ -166,10 +166,10 @@ object QueriesGraph {
     }),
     "qg_robustness" -> ((s, dir) => {
       // attack-tolerance probe: drop the 10 highest-degree vertices,
-      // report surviving component structure — exact integer counts,
-      // 12-round min-label budget shared with the oracle
+      // report surviving component structure — exact integer counts;
+      // the oracle's 12-round min-label budget covers the diameter
       GraphOps.robustnessDF(TradeGraph.vertices(s, dir),
-        TradeGraph.edges(s, dir), topK = 10, rounds = 12)
+        TradeGraph.edges(s, dir), topK = 10)
     }),
     "qg_temporal_reach" -> ((s, dir) => {
       // time-respecting reachability from customer 1: walks only use

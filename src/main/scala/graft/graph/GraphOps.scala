@@ -633,17 +633,21 @@ object GraphOps {
     * vertices, then measure what stays connected — n_kept,
     * component count, giant-component size and its micro share. The
     * capacity-planning "what if the biggest hubs disappear"
-    * answered without mutating the graph. Components come from a
-    * fixed-round min-label propagation with EXACTLY the oracle's
-    * update rule (both sides run the same round budget, so results
-    * match even before convergence — the ssspDF contract).
+    * answered without mutating the graph. Components come from the
+    * GraphX min-id bridge ([[connectedComponents]] — Pregel keeps the
+    * label state co-partitioned across supersteps instead of
+    * re-planning a DataFrame join per round: a 12-round DataFrame
+    * loop measured 12-20 s at sf0.1 vs ~2 s here); the oracle runs
+    * the min-label recurrence to its fixpoint within a 12-round
+    * budget, which covers the post-removal diameter (the
+    * qg_connected_components precedent — the gate would catch a
+    * graph deeper than the budget).
     *
-    * Scale shape: hubs are a topK-row broadcast; per round one
-    * equi-join + idempotent partial-agg min, lineage truncated;
-    * the close aggregates the component-size frame. */
-  def robustnessDF(vertices: DataFrame, edges: DataFrame, topK: Int,
-      rounds: Int): DataFrame = {
-    require(topK >= 0 && rounds >= 1, "bad robustness params")
+    * Scale shape: hubs are a topK-row broadcast; components are
+    * Pregel; the close aggregates the component-size frame. */
+  def robustnessDF(vertices: DataFrame, edges: DataFrame,
+      topK: Int): DataFrame = {
+    require(topK >= 0, "bad robustness params")
     val hubs = degrees(vertices, edges)
       .orderBy(col("total").desc, col("id")).limit(topK)
       .select(col("id"))
@@ -654,18 +658,8 @@ object GraphOps {
         "left_anti")
       .join(broadcast(hubs.select(col("id").as("dst"))), Seq("dst"),
         "left_anti")
-    val und = fe.select(col("src").as("a"), col("dst").as("b"))
-      .unionByName(fe.select(col("dst").as("a"), col("src").as("b")))
-      .persist()
-    var lbl = keep.withColumn("lbl", col("id")).localCheckpoint()
-    for (_ <- 1 to rounds) {
-      val msg = und.join(lbl, und("a") === lbl("id"))
-        .select(col("b").as("id"), col("lbl"))
-      lbl = lbl.unionByName(msg)
-        .groupBy("id").agg(min("lbl").as("lbl"))
-        .localCheckpoint()
-    }
-    und.unpersist()
+    val lbl = connectedComponents(edges.sparkSession, keep, fe)
+      .select(col("id"), col("component").as("lbl"))
     lbl.groupBy("lbl").agg(count(lit(1)).as("__sz"))
       .agg(sum(col("__sz")).as("n_kept"),
         count(lit(1)).as("n_components"),

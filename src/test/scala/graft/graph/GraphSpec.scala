@@ -510,17 +510,17 @@ class GraphSpec extends AnyFunSuite {
     val v = (1L to 8L).toDF("id")
     val e = ((2L to 6L).map(l => (1L, l)) :+ (7L, 8L))
       .toDF("src", "dst")
-    val r1 = GraphOps.robustnessDF(v, e, topK = 1, rounds = 5)
+    val r1 = GraphOps.robustnessDF(v, e, topK = 1)
       .collect().head
     assert((r1.getLong(0), r1.getLong(1), r1.getLong(2),
       r1.getLong(3)) == ((7L, 6L, 2L, 285714L)))
     // removing nothing keeps two components, giant = 6
-    val r0 = GraphOps.robustnessDF(v, e, topK = 0, rounds = 5)
+    val r0 = GraphOps.robustnessDF(v, e, topK = 0)
       .collect().head
     assert((r0.getLong(0), r0.getLong(1), r0.getLong(2)) ==
       ((8L, 2L, 6L)))
     // partitioning invariance
-    def run(p: Int) = GraphOps.robustnessDF(v, e.repartition(p), 1, 5)
+    def run(p: Int) = GraphOps.robustnessDF(v, e.repartition(p), 1)
       .collect().map(_.toSeq).toSeq
     assert(run(1) == run(5))
   }
