@@ -368,6 +368,12 @@ object QueriesRelational {
       graft.ops.Analytics.decomposeDaily(t(s, dir, "events"), "ts")
         .orderBy("day")
     }),
+    "q_dau_mau" -> ((s, dir) => {
+      // stickiness dashboard: exact DAU, KMV-sketched trailing-28-day
+      // MAU (no sliding COUNT DISTINCT shuffle), micro ratio
+      graft.ops.Funnel.dauMau(t(s, dir, "events"), "user_id", "ts",
+        windowDays = 28, k = 256)
+    }),
     "q_cohort_ltv" -> ((s, dir) => {
       // weekly-cohort revenue curve: exact integer cents per
       // (cohort, age) cell, running payback per cohort
@@ -1242,6 +1248,32 @@ object QueriesRelational {
          | WHERE a.p - f.cohort_period <= 4
          | GROUP BY 1, 2 ORDER BY cohort_period, "offset"""".stripMargin,
     "q_event_funnel" -> eventFunnelSql,
+    "q_dau_mau" ->
+      // KMV estimator constant generated from the same Scala values
+      // (Sketch.HashSpace, k = 256) — the qp_kmv_distinct discipline
+      s"""WITH ud AS (SELECT epoch_us(ts) // 86400000000 AS day,
+         |     user_id AS u FROM events GROUP BY 1, 2),
+         | dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau
+         |   FROM ud GROUP BY 1),
+         | mx AS (SELECT max(day) AS mxd FROM ud),
+         | f AS (SELECT unnest(range(day, least(day + 27, mxd) + 1))
+         |     AS day, u
+         |   FROM ud CROSS JOIN mx),
+         | h AS (SELECT DISTINCT day,
+         |     ('0x' || substr(md5(CAST(u AS VARCHAR)), 1, 15))::BIGINT
+         |       AS hv FROM f),
+         | r AS (SELECT day, hv,
+         |     row_number() OVER (PARTITION BY day ORDER BY hv) AS rn,
+         |     count(*) OVER (PARTITION BY day) AS nd FROM h),
+         | m AS (SELECT day, CASE WHEN max(nd) < 256 THEN max(nd)
+         |     ELSE CAST(round(${255 * graft.ops.Sketch.HashSpace}
+         |       / max(CASE WHEN rn = 256 THEN hv END)) AS BIGINT)
+         |     END AS mau_est
+         |   FROM r GROUP BY day)
+         | SELECT dau.day, dau.dau, m.mau_est,
+         |   CAST(dau.dau * 1000000 // m.mau_est AS BIGINT)
+         |     AS stickiness_micro
+         | FROM dau JOIN m USING (day) ORDER BY day""".stripMargin,
     "q_cohort_ltv" ->
       """WITH f AS (SELECT user_id,
         |     min(epoch_us(ts) // 604800000000) AS cohort_period

@@ -244,6 +244,43 @@ object Funnel {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** DAU / MAU stickiness — the engagement ratio every product
+    * dashboard leads with: per day, exact daily-active-user count
+    * and the trailing-`windowDays` active-user count estimated by
+    * the KMV sketch (exact COUNT(DISTINCT) over a sliding window is
+    * the textbook scale-killer: it re-shuffles every distinct user
+    * per day; the bottom-k sketch makes the window a MERGE — here
+    * each (day, user) row fans out to the ≤`windowDays` window ends
+    * it belongs to, then ONE bounded-state pass per end; strata with
+    * < k distinct users report exactly, so small corpora hash like
+    * exact counts). Output: (day, dau, mau_est, stickiness_micro =
+    * dau·10⁶ div mau_est), day-ordered; the first windowDays−1 days
+    * carry partial windows (documented — the standard dashboard
+    * convention). */
+  def dauMau(events: DataFrame, userCol: String, tsCol: String,
+      windowDays: Int = 28, k: Int = 256,
+      bucketUs: Long = 86400000000L): DataFrame = {
+    require(windowDays >= 1 && k >= 1 && bucketUs > 0, "bad params")
+    val userDays = events
+      .groupBy(expr(s"unix_micros($tsCol) div ${bucketUs}L").as("day"),
+        col(userCol).as("__u"))
+      .agg(count(lit(1)).as("__n"))
+      .select(col("day"), col("__u"))
+    val dau = userDays.groupBy(col("day"))
+      .agg(count(lit(1)).as("dau"))
+    val maxDay = userDays.agg(max(col("day")).as("__mx"))
+    val fanned = userDays.crossJoin(broadcast(maxDay))
+      .select(explode(sequence(col("day"),
+        least(col("day") + (windowDays - 1), col("__mx")))).as("day"),
+        col("__u"))
+    val mau = graft.ops.Sketch.kmvDistinct(fanned, "day",
+        col("__u").cast("string"), k)
+      .withColumnRenamed("est_distinct", "mau_est")
+    dau.join(mau, "day")
+      .withColumn("stickiness_micro", expr("dau * 1000000 div mau_est"))
+      .orderBy("day")
+  }
+
   /** Cohort lifetime-value curve — [[cohortRetention]]'s monetary
     * sibling: users cohort by first-active period, revenue lands at
     * its (cohort, age-offset) cell in exact integer cents, and the
