@@ -27,6 +27,41 @@ object QueriesRelational {
     * feeds the engine call and the oracle (seeded-constants rule). */
   private val AttributionWindowUs = 24L * 3600 * 1000000L
 
+  /** Holt smoothing constants in micro-units — ONE pair of Scala
+    * values feeds the engine call and the generated oracle. */
+  private val HoltAlpha = 300000L
+  private val HoltBeta = 100000L
+
+  /** DuckDB replay of [[graft.ops.Analytics.holtLinear]]: the same
+    * integer ladder as a recursive CTE (`//` floors, matching the
+    * engine's explicit pmod floor). */
+  private def holtLinearSql: String = {
+    val a = HoltAlpha; val bm = HoltBeta
+    val lt = s"($a * idx.y + ${1000000 - a} * (rec.l + rec.b)) " +
+      "// 1000000"
+    s"""WITH RECURSIVE daily AS (SELECT
+       |     epoch_us(ts) // 86400000000 AS day,
+       |     CAST(count(*) * 100 AS BIGINT) AS y
+       |   FROM events GROUP BY 1),
+       | idx AS (SELECT row_number() OVER (ORDER BY day) AS k, day, y
+       |   FROM daily),
+       | rec(k, l, b) AS (
+       |   SELECT CAST(1 AS BIGINT),
+       |     (SELECT y FROM idx WHERE k = 1),
+       |     (SELECT y FROM idx WHERE k = 2) -
+       |       (SELECT y FROM idx WHERE k = 1)
+       |   UNION ALL
+       |   SELECT idx.k, $lt,
+       |     ($bm * (($lt) - rec.l) + ${1000000 - bm} * rec.b)
+       |       // 1000000
+       |   FROM rec JOIN idx ON idx.k = rec.k + 1)
+       | SELECT idx.day, idx.y // 100 AS y,
+       |   CAST(rec.l AS BIGINT) AS level_centi,
+       |   CAST(rec.b AS BIGINT) AS trend_centi,
+       |   CAST(rec.l + rec.b AS BIGINT) AS forecast_next_centi
+       | FROM idx JOIN rec USING (k) ORDER BY day""".stripMargin
+  }
+
   /** FD-audited orders columns — ONE Scala list feeds the engine call
     * and the generated oracle. */
   private val FdCols: Seq[String] =
@@ -367,6 +402,12 @@ object QueriesRelational {
       // seasonal index, one fixed double residual
       graft.ops.Analytics.decomposeDaily(t(s, dir, "events"), "ts")
         .orderBy("day")
+    }),
+    "q_holt_linear" -> ((s, dir) => {
+      // level+trend smoothing of the daily event counts (α=0.3,
+      // β=0.1 in micro): exact integer ladder with explicit floors
+      graft.ops.Analytics.holtLinear(t(s, dir, "events"), "ts",
+        alphaMicro = HoltAlpha, betaMicro = HoltBeta)
     }),
     "q_dau_mau" -> ((s, dir) => {
       // stickiness dashboard: exact DAU, KMV-sketched trailing-28-day
@@ -1248,6 +1289,7 @@ object QueriesRelational {
          | WHERE a.p - f.cohort_period <= 4
          | GROUP BY 1, 2 ORDER BY cohort_period, "offset"""".stripMargin,
     "q_event_funnel" -> eventFunnelSql,
+    "q_holt_linear" -> holtLinearSql,
     "q_dau_mau" ->
       // KMV estimator constant generated from the same Scala values
       // (Sketch.HashSpace, k = 256) — the qp_kmv_distinct discipline

@@ -464,6 +464,50 @@ object Analytics {
           .as("resid"))
   }
 
+  /** Holt linear-trend exponential smoothing (Holt 1957 — the
+    * level+trend forecasting staple between EWMA and Holt-Winters):
+    * lₜ = α·yₜ + (1−α)(lₜ₋₁+bₜ₋₁), bₜ = β(lₜ−lₜ₋₁) + (1−β)bₜ₋₁,
+    * initialized l₁ = y₁, b₁ = y₂−y₁, updates from t = 2. Computed as
+    * an exact INTEGER ladder: series values in centi-units, α/β in
+    * micro-units, every step one integer division — Spark's `div`
+    * and DuckDB's `//` BOTH truncate toward zero (verified: −7//2 =
+    * −3 in DuckDB), so negative trends on declining series divide
+    * identically. Envelope: α·y·100 < 2⁶³ → y < 9·10¹⁰/day.
+    *
+    * Scale shape: the corpus reduces to the calendar-bounded daily
+    * frame; the ladder folds ONE collected control-plane array
+    * (O(m²) prefix folds, m = days — bounded by the study length).
+    * Output: (day, y, level_centi, trend_centi,
+    * forecast_next_centi = l+b), day-ordered. */
+  def holtLinear(events: DataFrame, tsCol: String, alphaMicro: Long,
+      betaMicro: Long, bucketUs: Long = 86400000000L): DataFrame = {
+    require(alphaMicro > 0 && alphaMicro < 1000000 &&
+      betaMicro > 0 && betaMicro < 1000000, "alpha/beta in (0,1) micro")
+    val daily = events
+      .groupBy(expr(s"unix_micros($tsCol) div ${bucketUs}L").as("day"))
+      .agg((count(lit(1)) * 100).as("y"))
+    def fdiv(x: String) = s"(($x)) div 1000000"
+    val a = alphaMicro; val bm = betaMicro
+    val num1 = s"$a * x.y + ${1000000 - a} * (acc.l + acc.b)"
+    val lt = fdiv(num1)
+    val num2 = s"$bm * (($lt) - acc.l) + ${1000000 - bm} * acc.b"
+    val lambda = s"(acc, x) -> named_struct('l', $lt, 'b', ${fdiv(num2)})"
+    daily
+      .agg(sort_array(collect_list(struct(col("day"), col("y"))))
+        .as("__g"))
+      .select(explode(expr(
+        s"""transform(sequence(1, size(__g)), k -> named_struct(
+           |  'day', __g[k-1].day, 'y', __g[k-1].y div 100,
+           |  'st', aggregate(slice(__g, 2, k - 1),
+           |    named_struct('l', __g[0].y, 'b', __g[1].y - __g[0].y),
+           |    $lambda)))""".stripMargin)).as("__r"))
+      .select(col("__r.day").as("day"), col("__r.y").as("y"),
+        col("__r.st.l").as("level_centi"),
+        col("__r.st.b").as("trend_centi"),
+        (col("__r.st.l") + col("__r.st.b")).as("forecast_next_centi"))
+      .orderBy("day")
+  }
+
   /** Autocorrelation function of the daily event-count series at lags
     * 1..`maxLag` (Box & Jenkins): r_k = Σ(y_t−ȳ)(y_{t−k}−ȳ) / Σ(y_t−ȳ)².
     * The mean is eliminated EXACTLY by n-scaling — d_t = n·y_t − Σy is

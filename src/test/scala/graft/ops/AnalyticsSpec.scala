@@ -467,6 +467,35 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(run(1) == run(7))
   }
 
+  test("holtLinear tracks a perfectly linear series exactly") {
+    import java.sql.Timestamp
+    // y_t = 3 + 2t events on day t: l₁ = y₁, b₁ = y₂−y₁ = 2 ⇒ the
+    // ladder reproduces the line exactly (α·y + (1−α)(l+b) = 10⁶·y
+    // when the forecast is already right), so level = y·100,
+    // trend = 200, next forecast = (y+2)·100 on EVERY day
+    val ts = (0 until 10).flatMap(d => (0 until 3 + 2 * d).map(i =>
+      Timestamp.from(java.time.Instant.ofEpochSecond(d * 86400L + i))))
+    val df = ts.map(t => Tuple1(t)).toDF("ts")
+    val out = Analytics.holtLinear(df, "ts", 300000L, 100000L)
+      .orderBy("day").collect()
+    out.zipWithIndex.foreach { case (r, d) =>
+      val y = 3 + 2 * d
+      assert(r.getLong(1) == y && r.getLong(2) == y * 100L &&
+        r.getLong(3) == 200L && r.getLong(4) == (y + 2) * 100L,
+        s"day $d: ${r.toSeq}")
+    }
+    // constant series: zero trend, level = y
+    val cs = (0 until 6).flatMap(d => (0 until 4).map(i =>
+      Timestamp.from(java.time.Instant.ofEpochSecond(d * 86400L + i))))
+    val cout = Analytics.holtLinear(cs.map(t => Tuple1(t)).toDF("ts"),
+      "ts", 300000L, 100000L).collect()
+    assert(cout.forall(r => r.getLong(2) == 400L && r.getLong(3) == 0L))
+    // partitioning invariance (ladder folds one sorted array)
+    def run(p: Int) = Analytics.holtLinear(df.repartition(p), "ts",
+      300000L, 100000L).orderBy("day").collect().map(_.toSeq).toSeq
+    assert(run(1) == run(5))
+  }
+
   // --- Jaccard link prediction ----------------------------------------
 
   test("jaccardLinksDF computes exact shared/union micro-units") {
