@@ -247,7 +247,13 @@ object QueriesDialect {
     "qd_pipe_kaplan_meier" -> ((s, dir) => gq(s, dir,
       "select duration_days, n_risk, d_events, c_censored, " +
         "surv_micro from kaplan_meier(events, 'user_id', 'ts', 0) " +
-        "order by duration_days"))
+        "order by duration_days")),
+    "qd_pipe_holt" -> ((s, dir) => gq(s, dir,
+      "select day, y, level_centi, trend_centi, forecast_next_centi " +
+        "from holt_linear(events, 'ts', 300000, 100000) order by day")),
+    "qd_pipe_dau_mau" -> ((s, dir) => gq(s, dir,
+      "select day, dau, mau_est, stickiness_micro from " +
+        "dau_mau(events, 'user_id', 'ts', 28, 256) order by day"))
   )
 
   private def gq(s: SparkSession, dir: String, sql: String): DataFrame =
@@ -468,6 +474,8 @@ object QueriesDialect {
     "qd_pipe_histogram" -> QueriesRelational.oracleSql("q_histogram"),
     "qd_pipe_fd_audit" -> QueriesRelational.oracleSql("q_fd_discover"),
     "qd_pipe_kaplan_meier" ->
-      QueriesRelational.oracleSql("q_kaplan_meier")
+      QueriesRelational.oracleSql("q_kaplan_meier"),
+    "qd_pipe_holt" -> QueriesRelational.oracleSql("q_holt_linear"),
+    "qd_pipe_dau_mau" -> QueriesRelational.oracleSql("q_dau_mau")
   )
 }

@@ -27,7 +27,7 @@ object PipelineTables {
     Set("dedup_pairs", "exact_dups", "quality_gate", "c4_clean",
       "fingerprints", "chunk_docs", "bm25_topk", "frequent_pairs",
       "rake_phrases", "profile", "chi_square", "acf", "attribution",
-      "histogram", "fd_audit", "kaplan_meier")
+      "histogram", "fd_audit", "kaplan_meier", "holt_linear", "dau_mau")
 
   def resolve(catalog: Catalog, fn: String,
       args: Seq[SqlExpr]): DataFrame = {
@@ -120,6 +120,14 @@ object PipelineTables {
         arity(4)
         graft.ops.Funnel.kaplanMeier(classArg(0), strArg(1), strArg(2),
           intArg(3).toLong)
+      case "holt_linear" => // (class, tsF, alphaMicro, betaMicro)
+        arity(4)
+        graft.ops.Analytics.holtLinear(classArg(0), strArg(1),
+          intArg(2).toLong, intArg(3).toLong)
+      case "dau_mau" => // (class, userF, tsF, windowDays, k)
+        arity(5)
+        graft.ops.Funnel.dauMau(classArg(0), strArg(1), strArg(2),
+          intArg(3), intArg(4))
       case other =>
         // unknown function → parse error (§2.5 contract, same as
         // scalar functions)
