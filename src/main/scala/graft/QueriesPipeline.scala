@@ -1166,33 +1166,22 @@ object QueriesPipeline {
           "quality")
         .orderBy("doc_id")
     }),
-    "qp_text_langid" -> ((s, dir) => {
-      // per-lang marker hits via ONE explode + partial-agg groupBy;
-      // the per-row `langScore` HOF form ran 25 interpreted lambda
-      // passes per document (A/B at sf0.1: 1.3-2.1 -> 0.67 s), and
-      // explode + codegen'd conditional sums is the repo's convention
-      // for per-row heavy compute anyway
-      val scoreCols = langMarkers.map { case (l, ms) =>
-        sum(when(col("__t").isin(ms: _*), 1L).otherwise(0L))
-          .as(s"${l}_score")
-      }
-      val scored = graft.ops.Partitioning.spread(docs(s, dir))
-        .select(col("doc_id"), col("lang"),
-          explode_outer(tokensWs(col("text"))).as("__t"))
-        .groupBy(col("doc_id"), col("lang"))
-        .agg(scoreCols.head, scoreCols.tail: _*)
-      // argmax with deterministic first-wins tiebreak
-      val pred = langMarkers.map(_._1).foldRight(lit("und"): Column) {
-        case (l, els) =>
-          val isMax = langMarkers.map(_._1)
-            .map(o => col(s"${l}_score") >= col(s"${o}_score"))
-            .reduce(_ && _)
-          when(isMax, lit(l)).otherwise(els)
-      }
-      scored.withColumn("pred", pred)
-        .select("doc_id", "lang", "pred", "en_score", "de_score",
-          "fr_score", "es_score", "zh_score")
-        .orderBy("doc_id")
+    "qp_text_langid" -> ((s, dir) =>
+      langidScored(s, dir).orderBy("doc_id")),
+    "qp_langid_confusion" -> ((s, dir) => {
+      // classifier self-eval: predicted vs labeled language confusion
+      // counts with per-actual row shares — the accuracy readout the
+      // lang-ID gate feeds (row-domain groupBy over the scored frame).
+      // HONEST finding on the synthetic corpus: every label predicts
+      // 'en' — the driver's generated text does not vary by the lang
+      // column, which is exactly what a confusion matrix is for
+      import org.apache.spark.sql.expressions.Window
+      langidScored(s, dir)
+        .groupBy(col("lang").as("actual"), col("pred"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("row_share_micro", expr(
+          "n * 1000000 div sum(n) over (partition by actual)"))
+        .orderBy("actual", "pred")
     }),
     "qp_winnow_fp" -> ((s, dir) => {
       // MOSS winnowing over a 20-doc slice: rightmost window minima,
@@ -2029,6 +2018,59 @@ object QueriesPipeline {
 
   /** shared by qp_minhash_pairs and the qp_split_leakage audit (which
     * must report exactly the pairs the dedup operator reports). */
+  /** per-document language scores + argmax prediction (shared by the
+    * qp_text_langid gate and the confusion-matrix eval): per-lang
+    * marker hits via ONE explode + partial-agg groupBy; the per-row
+    * HOF form ran 25 interpreted lambda passes per document (A/B at
+    * sf0.1: 1.3-2.1 -> 0.67 s) — explode + codegen'd conditional sums
+    * is the repo convention for per-row heavy compute. */
+  private def langidScored(s: SparkSession, dir: String): DataFrame = {
+    val scoreCols = langMarkers.map { case (l, ms) =>
+      sum(when(col("__t").isin(ms: _*), 1L).otherwise(0L))
+        .as(s"${l}_score")
+    }
+    val scored = graft.ops.Partitioning.spread(docs(s, dir))
+      .select(col("doc_id"), col("lang"),
+        explode_outer(tokensWs(col("text"))).as("__t"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(scoreCols.head, scoreCols.tail: _*)
+    // argmax with deterministic first-wins tiebreak
+    val pred = langMarkers.map(_._1).foldRight(lit("und"): Column) {
+      case (l, els) =>
+        val isMax = langMarkers.map(_._1)
+          .map(o => col(s"${l}_score") >= col(s"${o}_score"))
+          .reduce(_ && _)
+        when(isMax, lit(l)).otherwise(els)
+    }
+    scored.withColumn("pred", pred)
+      .select("doc_id", "lang", "pred", "en_score", "de_score",
+        "fr_score", "es_score", "zh_score")
+  }
+
+  /** DuckDB replay of the language-ID scoring (shared by the gate and
+    * the confusion eval). */
+  private lazy val langidOracle: String = {
+    val scoreExprs = langMarkers.map { case (l, ms) =>
+      val terms = ms.map(m =>
+        s"len(list_filter(tok, x -> x = '$m'))").mkString(" + ")
+      s"($terms) AS ${l}_score"
+    }.mkString(",\n   ")
+    val langs = langMarkers.map(_._1)
+    val pred = langs.foldRight("'und'") { case (l, els) =>
+      val isMax = langs.map(o => s"${l}_score >= ${o}_score")
+        .mkString(" AND ")
+      s"CASE WHEN $isMax THEN '$l' ELSE $els END"
+    }
+    s"""WITH t AS (SELECT doc_id, lang, ${dTokens("text")} tok
+       |   FROM documents),
+       | s AS (SELECT doc_id, lang,
+       |   $scoreExprs
+       |  FROM t)
+       | SELECT doc_id, lang, $pred AS pred,
+       |   en_score, de_score, fr_score, es_score, zh_score
+       | FROM s ORDER BY doc_id""".stripMargin
+  }
+
   /** brute-force all-pairs exact Jaccard — deliberately NOT
     * prefix-filtered: it proves ppjoin's filters lost nothing, and
     * doubles as the ground truth for the LSH recall eval. */
@@ -3497,27 +3539,15 @@ object QueriesPipeline {
          |   round(least(n_ws / 100.0, 1.0) * 0.5 +
          |     (1.0 - least(stop_ratio * 2.0, 1.0)) * 0.5, 6) AS quality
          | FROM m ORDER BY doc_id""".stripMargin,
-    "qp_text_langid" -> {
-      val scoreExprs = langMarkers.map { case (l, ms) =>
-        val terms = ms.map(m =>
-          s"len(list_filter(tok, x -> x = '$m'))").mkString(" + ")
-        s"($terms) AS ${l}_score"
-      }.mkString(",\n   ")
-      val langs = langMarkers.map(_._1)
-      val pred = langs.foldRight("'und'") { case (l, els) =>
-        val isMax = langs.map(o => s"${l}_score >= ${o}_score")
-          .mkString(" AND ")
-        s"CASE WHEN $isMax THEN '$l' ELSE $els END"
-      }
-      s"""WITH t AS (SELECT doc_id, lang, ${dTokens("text")} tok
-         |   FROM documents),
-         | s AS (SELECT doc_id, lang,
-         |   $scoreExprs
-         |  FROM t)
-         | SELECT doc_id, lang, $pred AS pred,
-         |   en_score, de_score, fr_score, es_score, zh_score
-         | FROM s ORDER BY doc_id""".stripMargin
-    },
+    "qp_text_langid" -> langidOracle,
+    "qp_langid_confusion" ->
+      s"""WITH p AS (SELECT lang, pred FROM ($langidOracle))
+         | SELECT lang AS actual, pred, CAST(count(*) AS BIGINT) AS n,
+         |   CAST(count(*) * 1000000 //
+         |     sum(count(*)) OVER (PARTITION BY lang) AS BIGINT)
+         |     AS row_share_micro
+         | FROM p GROUP BY lang, pred
+         | ORDER BY actual, pred""".stripMargin,
     "qp_tfidf_top" ->
       s"""WITH toks AS (SELECT doc_id, unnest(${dTokens("text")}) AS term
          |   FROM documents),
