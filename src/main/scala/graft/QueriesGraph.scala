@@ -164,6 +164,22 @@ object QueriesGraph {
           sourceIds = Seq(1L, 2L, 3L), nWalks = 3, steps = 4)
         .orderBy("start", "walk", "step")
     }),
+    "qg_degree_dist" -> ((s, dir) => {
+      // degree distribution + CCDF: the first thing anyone plots on a
+      // new graph (hub-heaviness readout, the power-law eyeball);
+      // degree-domain frame, exact integers, suffix-sum window on it
+      import org.apache.spark.sql.expressions.Window
+      val d = GraphOps.degrees(TradeGraph.vertices(s, dir),
+          TradeGraph.edges(s, dir))
+        .groupBy(col("total").as("degree"))
+        .agg(count(lit(1)).as("n_vertices"))
+      val wSuf = Window.orderBy(col("degree"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      d.withColumn("n_at_least", sum(col("n_vertices")).over(wSuf))
+        .withColumn("ccdf_micro", expr(
+          "n_at_least * 1000000 div sum(n_vertices) over ()"))
+        .orderBy("degree")
+    }),
     "qg_robustness" -> ((s, dir) => {
       // attack-tolerance probe: drop the 10 highest-degree vertices,
       // report surviving component structure — exact integer counts;
@@ -988,6 +1004,27 @@ object QueriesGraph {
     "qg_pagerank_weighted" -> wPagerankSql(3),
     "qg_temporal_reach" -> temporalReachSql(1L, 4),
     "qg_robustness" -> robustnessSql(10, 12),
+    "qg_degree_dist" ->
+      s"""WITH $edgesCte,
+         | deg AS (SELECT v.id,
+         |     coalesce(o.n, 0) + coalesce(i.n, 0) AS total
+         |   FROM v
+         |   LEFT JOIN (SELECT src, count(*) n FROM e GROUP BY src) o
+         |     ON o.src = v.id
+         |   LEFT JOIN (SELECT dst, count(*) n FROM e GROUP BY dst) i
+         |     ON i.dst = v.id),
+         | dd AS (SELECT total AS degree,
+         |     CAST(count(*) AS BIGINT) AS n_vertices
+         |   FROM deg GROUP BY 1)
+         | SELECT degree, n_vertices,
+         |   CAST(sum(n_vertices) OVER (ORDER BY degree
+         |     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+         |     AS BIGINT) AS n_at_least,
+         |   CAST(sum(n_vertices) OVER (ORDER BY degree
+         |     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+         |     * 1000000 // sum(n_vertices) OVER () AS BIGINT)
+         |     AS ccdf_micro
+         | FROM dd ORDER BY degree""".stripMargin,
     "qg_walk_skipgrams" -> walkSkipgramsSql(Seq(1L, 2L, 3L), 3, 4, 2),
     "qg_random_walks" -> randomWalksSql(Seq(1L, 2L, 3L), 3, 4),
     "qg_hits" -> hitsSql(3),
