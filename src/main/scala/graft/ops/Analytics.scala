@@ -327,8 +327,12 @@ object Analytics {
       .select(col("__n").as("n"), col("n_cells"),
         ((col("__r") - 1) * (col("__c") - 1)).as("dof"),
         round(col("__chi9") / 1e9, 4).as("chi2"),
-        round(sqrt(col("__chi9") / 1e9 / (col("__n") *
-          least(col("__r") - 1, col("__c") - 1))), 6).as("cramers_v"))
+        // a single-category column has dof 0 — V is undefined, report
+        // null rather than a NaN that would poison downstream sorts
+        when(least(col("__r"), col("__c")) > 1,
+          round(sqrt(col("__chi9") / 1e9 / (col("__n") *
+            least(col("__r") - 1, col("__c") - 1))), 6))
+          .as("cramers_v"))
   }
 
   /** Mann–Whitney U rank-sum test (Mann & Whitney 1947) between two
@@ -375,9 +379,13 @@ object Analytics {
     val mu2 = naD * nbD
     val sigma = sqrt(naD * nbD / 12.0 *
       ((nD + 1) - col("ties").cast("double") / (nD * (nD - 1))))
+    // an empty group (or an all-tied degenerate sample, σ = 0) has
+    // no defined z — report null rather than NaN
     agg.select(col("na").as("n_a"), col("nb").as("n_b"),
       (u2 / 2.0).as("u_a"),
-      round((u2.cast("double") / 2.0 - mu2 / 2.0) / sigma, 4).as("z"))
+      when(col("na") > 0 && col("nb") > 0 && sigma > 0,
+        round((u2.cast("double") / 2.0 - mu2 / 2.0) / sigma, 4))
+        .as("z"))
   }
 
   /** Closed-form ordinary least squares on one integer-quantized
@@ -409,10 +417,14 @@ object Analytics {
     val cov = nD * sxy - sx * sy
     val varx = nD * sxx - sx * sx
     val vary = nD * syy - sy * sy
+    // a constant regressor (or response) has zero variance — the fit
+    // is undefined, report nulls rather than NaN
     agg.select(col("n"),
-      round(cov / varx, 6).as("slope"),
-      round((sy - cov / varx * sx) / nD, 4).as("intercept"),
-      round(cov * cov / (varx * vary), 6).as("r2"))
+      when(varx > 0, round(cov / varx, 6)).as("slope"),
+      when(varx > 0, round((sy - cov / varx * sx) / nD, 4))
+        .as("intercept"),
+      when(varx > 0 && vary > 0,
+        round(cov * cov / (varx * vary), 6)).as("r2"))
   }
 
   /** Classical multiplicative decomposition of the daily event-count

@@ -346,6 +346,27 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(run(1) == run(7))
   }
 
+  test("degenerate inputs report null statistics, never NaN") {
+    // single-category column: dof 0 → V undefined
+    val one = Seq(("a", "b1"), ("a", "b2")).toDF("x", "y")
+    val c = Analytics.chiSquare(one, "x", "y").collect().head
+    assert(c.getAs[Long]("dof") == 0L && c.isNullAt(4),
+      s"single-category V must be null: $c")
+    // one group empty: z undefined
+    val ml = Seq(("A", 1L), ("A", 2L)).toDF("g", "v")
+    val m = Analytics.mannWhitneyU(ml, "g", col("v"), "A", "B")
+      .collect().head
+    assert(m.getAs[Long]("n_b") == 0L && m.isNullAt(3))
+    // constant regressor: slope/intercept/r2 undefined
+    val cx = Seq((5L, 1L), (5L, 2L), (5L, 3L)).toDF("x", "y")
+    val o = Analytics.olsFit(cx, col("x"), col("y")).collect().head
+    assert(o.isNullAt(1) && o.isNullAt(2) && o.isNullAt(3))
+    // constant response: slope 0 defined, r2 undefined (0/0)
+    val cy = Seq((1L, 7L), (2L, 7L), (3L, 7L)).toDF("x", "y")
+    val o2 = Analytics.olsFit(cy, col("x"), col("y")).collect().head
+    assert(o2.getAs[Double]("slope") == 0.0 && o2.isNullAt(3))
+  }
+
   test("mannWhitneyU: textbook ranks with ties") {
     // A = {1, 2, 2}, B = {2, 3}: ranks 1, then three tied 2s share
     // (2+3+4)/3 = 3, value 3 gets rank 5. R_A = 1+3+3 = 7,
