@@ -280,6 +280,45 @@ class ScratchR8 extends AnyFunSuite {
     }
   }
 
+  /** sf0.1-shaped events: hash-derived user and timestamp over a
+    * 30-day window (10× adds users AND events — the crawl shape). */
+  private def genEvents(n: Long): DataFrame =
+    spark.range(n).select(col("id").as("event_id"))
+      .withColumn("user_id", h(col("event_id"), lit("u")) % (n / 7))
+      .withColumn("ts", timestamp_micros(
+        lit(1700000000000000L) +
+          h(col("event_id"), lit("t")) % (30L * 86400000000L)))
+
+  /** Late-r8 behavioral operators at 1× vs 10× events (100k → 1M
+    * rows): dauMau's 28-way window fan is the only super-constant
+    * stage — expected ~linear; kaplanMeier/holtLinear reduce to the
+    * calendar-bounded daily frame first — expected ~flat. Recorded
+    * 2026-08-15 (3-round medians, local[32]):
+    * dauMau 3.57 → 5.88 s (exp 0.22), kaplanMeier 0.94 → 1.26
+    * (0.13), holtLinear 0.25 → 0.33 (0.12) — all far below linear;
+    * the daily-frame reductions dominate and the 28-way fan stays
+    * bounded by the window, not the corpus. */
+  test("10x scale run: dau_mau / kaplan_meier / holt exponents") {
+    assume(scale10, "recorded run — set SPARK_GRAFT_SCALE10=1 to repeat")
+    Seq(1, 10).foreach { s =>
+      val ev = genEvents(100000L * s).localCheckpoint()
+      def t3(f: => Unit): Double = medianOf((1 to 3).map { _ =>
+        System.gc()
+        val t0 = System.nanoTime()
+        f
+        (System.nanoTime() - t0) / 1e9
+      })
+      val td = t3(noop(graft.ops.Funnel.dauMau(ev, "user_id", "ts",
+        28, 256)))
+      val tk = t3(noop(graft.ops.Funnel.kaplanMeier(ev, "user_id",
+        "ts", 0)))
+      val th = t3(noop(graft.ops.Analytics.holtLinear(ev, "ts",
+        300000L, 100000L)))
+      println(f"[r8b2] scale=${s}x dau_mau=$td%6.2f " +
+        f"kaplan_meier=$tk%6.2f holt=$th%6.2f")
+    }
+  }
+
   /** Late-r8 operators on the same hash graph (see the header table
     * addendum). hyperBall state is |V|·≤64 rows by construction —
     * expected ~linear in |V|; node2vec's frontier is constant-size —
