@@ -234,9 +234,12 @@ object QueriesDialect {
       "select lag, n_pairs, acf from acf(events, 'ts', 7) " +
         "order by lag")),
     "qd_pipe_attribution" -> ((s, dir) => gq(s, dir,
+      // window interpolated from the SAME Scala constant that
+      // generates the paired oracle (one-value-feeds-both-sides rule)
       "select channel, n_conversions, share_micro from " +
         "attribution(events, 'user_id', 'ts', 'event_id', " +
-        "'event_type', 'purchase', 86400000000) order by channel")),
+        s"'event_type', 'purchase', " +
+        s"${QueriesRelational.AttributionWindowUs}) order by channel")),
     "qd_pipe_histogram" -> ((s, dir) => gq(s, dir,
       "select bin, n, lo_cents, hi_cents from " +
         "histogram(orders, 'o_totalprice', 10) order by bin")),
@@ -249,8 +252,11 @@ object QueriesDialect {
         "surv_micro from kaplan_meier(events, 'user_id', 'ts', 0) " +
         "order by duration_days")),
     "qd_pipe_holt" -> ((s, dir) => gq(s, dir,
+      // alpha/beta interpolated from the SAME Scala constants that
+      // generate the paired oracle (one-value-feeds-both-sides rule)
       "select day, y, level_centi, trend_centi, forecast_next_centi " +
-        "from holt_linear(events, 'ts', 300000, 100000) order by day")),
+        s"from holt_linear(events, 'ts', ${QueriesRelational.HoltAlpha}," +
+        s" ${QueriesRelational.HoltBeta}) order by day")),
     "qd_pipe_dau_mau" -> ((s, dir) => gq(s, dir,
       "select day, dau, mau_est, stickiness_micro from " +
         "dau_mau(events, 'user_id', 'ts', 28, 256) order by day"))

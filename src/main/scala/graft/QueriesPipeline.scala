@@ -173,17 +173,24 @@ object QueriesPipeline {
       // near-dup pipeline must report before trusting probabilistic
       // banding at scale (composes two existing gates)
       val d = docs(s, dir)
+      // each pair frame feeds TWO closes (its own count + the
+      // semi-join) — localCheckpoint so the expensive generators run
+      // once, not twice (the qp_curation_report stage discipline)
       val exact = Dedup.ppjoinPairs(d, "doc_id", "text", threshold = 0.8)
-        .select(col("a_id"), col("b_id"))
+        .select(col("a_id"), col("b_id")).localCheckpoint()
       val approx = Dedup.minhashPairs(d, "doc_id", "text",
           threshold = 0.8)
-        .select(col("a_id"), col("b_id"))
+        .select(col("a_id"), col("b_id")).localCheckpoint()
       exact.agg(count(lit(1)).as("n_true"))
         .crossJoin(exact.join(approx, Seq("a_id", "b_id"), "left_semi")
           .agg(count(lit(1)).as("n_found")))
         .crossJoin(approx.agg(count(lit(1)).as("n_lsh")))
+        // n_true = 0 guard on BOTH sides: Spark's div yields NULL but
+        // DuckDB's // raises — make the degenerate corpus agree
         .select(col("n_true"), col("n_found"), col("n_lsh"),
-          expr("n_found * 1000000 div n_true").as("recall_micro"))
+          when(col("n_true") === 0, lit(null).cast("long"))
+            .otherwise(expr("n_found * 1000000 div n_true"))
+            .as("recall_micro"))
     }),
     "qp_ngram_jaccard" -> ((s, dir) => {
       // blocking = (lang, length-band): near-dups have near-equal
@@ -2868,8 +2875,9 @@ object QueriesPipeline {
          | app AS MATERIALIZED (SELECT a_id, b_id
          |   FROM ($minhashPairsOracle))
          | SELECT t.n_true, f.n_found, l.n_lsh,
-         |   CAST(f.n_found * 1000000 // t.n_true AS BIGINT)
-         |     AS recall_micro
+         |   CASE WHEN t.n_true = 0 THEN NULL
+         |     ELSE CAST(f.n_found * 1000000 // t.n_true AS BIGINT)
+         |   END AS recall_micro
          | FROM (SELECT CAST(count(*) AS BIGINT) AS n_true FROM tru) t
          | CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS n_found
          |   FROM tru JOIN app USING (a_id, b_id)) f

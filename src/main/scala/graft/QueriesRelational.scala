@@ -25,16 +25,18 @@ object QueriesRelational {
 
   /** attribution lookback window (24 h in micros) — ONE Scala value
     * feeds the engine call and the oracle (seeded-constants rule). */
-  private val AttributionWindowUs = 24L * 3600 * 1000000L
+  private[graft] val AttributionWindowUs = 24L * 3600 * 1000000L
 
   /** Holt smoothing constants in micro-units — ONE pair of Scala
     * values feeds the engine call and the generated oracle. */
-  private val HoltAlpha = 300000L
-  private val HoltBeta = 100000L
+  private[graft] val HoltAlpha = 300000L
+  private[graft] val HoltBeta = 100000L
 
   /** DuckDB replay of [[graft.ops.Analytics.holtLinear]]: the same
-    * integer ladder as a recursive CTE (`//` floors, matching the
-    * engine's explicit pmod floor). */
+    * integer ladder as a recursive CTE. Cross-engine contract: both
+    * Spark's `div` and DuckDB's `//` TRUNCATE toward zero (DuckDB
+    * verified: -7 // 2 = -3), so the two ladders agree on every
+    * intermediate, including negatives. */
   private def holtLinearSql: String = {
     val a = HoltAlpha; val bm = HoltBeta
     val lt = s"($a * idx.y + ${1000000 - a} * (rec.l + rec.b)) " +

@@ -369,8 +369,11 @@ object Analytics {
     val agg = ranked.agg(
       sum(col("__na")).as("na"), sum(col("__nb")).as("nb"),
       sum((col("__na") * col("__rank2")).cast("decimal(38,0)")).as("ra2"),
-      sum((col("__nv") * col("__nv") * col("__nv") - col("__nv"))
-        .cast("decimal(38,0)")).as("ties"))
+      // cube in decimal(38,0) from the first multiply: a LONG per-row
+      // cube would silently wrap once one distinct value holds more
+      // than ~2^21 rows (ANSI off), while the oracle's BIGINT raises
+      sum(col("__nv").cast("decimal(38,0)") * col("__nv") * col("__nv")
+        - col("__nv")).as("ties"))
     val naD = col("na").cast("double")
     val nbD = col("nb").cast("double")
     val nD = naD + nbD

@@ -83,6 +83,11 @@ object Density {
         (col("n_nbr") >= minPts).as("is_core"),
         coalesce(col("core_comp"), col("border_comp"), lit(-1L))
           .as("cluster"))
+      // materialize before releasing the shared caches (the
+      // qp_c4_rules release pattern) — unpersisted, the suite carries
+      // the pair frame as storage debris into every later query
+      .localCheckpoint()
+    pairs.unpersist(); cores.unpersist()
     out
   }
 }

@@ -249,8 +249,14 @@ object EventStream {
               .foreach { e =>
                 val t = tsUs(e.ts)
                 if (e.event_type == convType) {
+                  // t >= s.tUs guard: an out-of-order feed could leave a
+                  // touch in state whose event time is AFTER this
+                  // conversion — a pairing the batch operator can never
+                  // produce. Degrade to '(none)' instead of attributing
+                  // a future channel.
                   val ch = last match {
-                    case Some(s) if t - s.tUs <= windowUs => s.channel
+                    case Some(s) if t >= s.tUs && t - s.tUs <= windowUs =>
+                      s.channel
                     case _ => "(none)"
                   }
                   out ::= Attribution(uid, e.event_id, e.ts, ch)

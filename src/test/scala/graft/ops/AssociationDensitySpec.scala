@@ -100,6 +100,16 @@ class AssociationDensitySpec extends AnyFunSuite {
     assert(out(1L) == 3L) // self + 2 blob mates (point 4 is 13 away)
   }
 
+  test("dbscan leaves no cached frames behind") {
+    // pairs/cores are persisted for the multi-consumer stages; both
+    // must be released once the output materializes (qp_dbscan runs
+    // in every gate suite — a leak becomes suite-wide storage debris)
+    spark.catalog.clearCache()
+    Density.dbscan(pts, "id", "x", "y", eps = 10L, minPts = 3).count()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "dbscan must unpersist its pair and core caches")
+  }
+
   test("dbscan is partitioning-invariant") {
     def run(parts: Int) =
       Density.dbscan(pts.repartition(parts), "id", "x", "y", 10L, 3)
