@@ -121,29 +121,67 @@ object Bench {
     for (_ <- 1 to extraRounds; n <- heavy) timed(n)
     val med = names.map(n => n -> (if (ok(n)) median(times(n)) else -1.0))
     val total = med.collect { case (_, v) if v >= 0 => v }.sum
+    val madPct = names.map(n => n -> (
+      if (!ok(n)) -1L
+      else {
+        val m = median(times(n))
+        if (m <= 0) 0L else math.round(mad(times(n)) * 100 / m)
+      })).toMap
     // The driver records only the last ~2 KB of stdout and parses the
-    // tail (BENCH_r04/r05: "parsed": null — the single 2.3 KB JSON line
-    // was beheaded and the 32 relational timings fell outside the
-    // window). Tail-survivable layout, in print order:
-    //   1. full-precision name:sec line (complete logs only; no
-    //      "metric" key so a tail parser can't half-match it),
-    //   2. one compact `#B <group> ms ms ...` line per query group —
-    //      VALUES ONLY, integer milliseconds, in the group's
-    //      SORTED-QUERY-NAME order (names reconstruct from
-    //      CORRECTNESS_r{N}.json or SparkEntry.queries.keys.sorted;
-    //      -1 = query failed). 142 queries ≈ 0.9 KB — name=ms pairs
-    //      outgrew the window at this query count,
-    //   3. a small final parseable "metric" line with group subtotals.
-    val qs = med.map { case (k, v) => jstr(k) + ":" + v }
-      .mkString("{", ",", "}")
-    println(s"""{"full":"per-query-sec","queries":$qs,"sf":${jstr(sfDir)}}""")
+    // tail. This overflowed TWICE as the suite grew (r4/r5: the single
+    // full-precision JSON line beheaded; r8: 279 queries pushed the
+    // first `#B` line out of the window and 29 of 32 qg values were
+    // lost). The fix is two-sided:
+    //   a. the COMPLETE per-query record (median sec, MAD%, rounds,
+    //      subtotals) goes to BENCH_FULL.json in the repo root — the
+    //      self-sufficient artifact the judge reads directly; stdout
+    //      is only the driver's summary channel,
+    //   b. stdout prints ONLY a tail-sized block, least-critical
+    //      FIRST: `#V` (one base-36 char per query, 'z' = MAD >= 35%,
+    //      '!' = failed), then `#B` (integer ms, values only, sorted-
+    //      query-name order per group), then the parseable "metric"
+    //      line LAST so it can never be beheaded. The old full-
+    //      precision stdout line is gone — it lives in the file.
     val groups = Seq("qg", "qd", "qp") // relational catch-all goes last
     def groupOf(n: String): String =
       groups.find(g => n.startsWith(g + "_")).getOrElse("rel")
     val byGroup = med.groupBy { case (n, _) => groupOf(n) }
+    val subs = (groups :+ "rel").map { g =>
+      val t = byGroup.getOrElse(g, Seq())
+        .collect { case (_, v) if v >= 0 => v }.sum
+      jstr(g) + ":" + math.round(t * 1000) / 1000.0
+    }.mkString("{", ",", "}")
+    val fullJson = {
+      val rows = names.map { n =>
+        val v = med.toMap.apply(n)
+        s"${jstr(n)}:{" +
+          s""""sec":${if (v < 0) -1 else math.round(v * 10000) / 10000.0},""" +
+          s""""mad_pct":${madPct(n)},"rounds":${times(n).size}}"""
+      }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},""" +
+        s""""unit":"sec","queries":$subs,"sf":${jstr(sfDir)},""" +
+        s""""per_query":$rows}"""
+    }
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_FULL.json"), fullJson + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] BENCH_FULL.json write failed: $e") }
+    println("#F full per-query record in BENCH_FULL.json (repo root)")
+    def b36(p: Long): String =
+      if (p < 0) "!" else java.lang.Long.toString(math.min(p, 35L), 36)
     // values-only positions are keyed to the FULL sorted query list;
     // a name-prefix filter arg breaks that reconstruction, so filtered
-    // (local-timing) runs fall back to explicit name=ms pairs
+    // (local-timing) runs fall back to explicit name=value pairs
+    (groups :+ "rel").foreach { g =>
+      val line =
+        if (args.isEmpty)
+          byGroup.getOrElse(g, Seq()).map { case (n, _) => b36(madPct(n)) }
+            .mkString("")
+        else
+          byGroup.getOrElse(g, Seq()).map { case (n, _) =>
+            s"$n=${madPct(n)}" }.mkString(" ")
+      println(s"#V $g $line")
+    }
     (groups :+ "rel").foreach { g =>
       val line =
         if (args.isEmpty)
@@ -156,31 +194,6 @@ object Bench {
           }.mkString(" ")
       println(s"#B $g $line")
     }
-    // `#V` error bars, positionally mirroring `#B`: per-query MAD as
-    // an INTEGER PERCENT of the median (compact — every byte competes
-    // for the driver's ~2 KB stdout tail window). A #B delta inside
-    // ~2× the #V percentage is weather, not a regression.
-    val madPct = names.map(n => n -> (
-      if (!ok(n)) -1L
-      else {
-        val m = median(times(n))
-        if (m <= 0) 0L else math.round(mad(times(n)) * 100 / m)
-      })).toMap
-    (groups :+ "rel").foreach { g =>
-      val line =
-        if (args.isEmpty)
-          byGroup.getOrElse(g, Seq()).map { case (n, _) => s"${madPct(n)}" }
-            .mkString(" ")
-        else
-          byGroup.getOrElse(g, Seq()).map { case (n, _) =>
-            s"$n=${madPct(n)}" }.mkString(" ")
-      println(s"#V $g $line")
-    }
-    val subs = (groups :+ "rel").map { g =>
-      val t = byGroup.getOrElse(g, Seq())
-        .collect { case (_, v) if v >= 0 => v }.sum
-      jstr(g) + ":" + math.round(t * 1000) / 1000.0
-    }.mkString("{", ",", "}")
     // basename only: every byte of this line competes for the ~2 KB
     // stdout tail window the driver records
     val sfShort = sfDir.split('/').last
