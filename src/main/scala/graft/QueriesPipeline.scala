@@ -167,6 +167,17 @@ object QueriesPipeline {
           threshold = 0.8)
         .orderBy(col("a_id"), col("b_id"))
     }),
+    "qp_ppjoin_blocked" -> ((s, dir) => {
+      // the EXACT similarity join on a vocabulary-saturated corpus:
+      // run the rare-first prefix machinery INSIDE blocking keys
+      // (lang — the deployment contract that near-dups never cross
+      // blocks), so prefix collisions are bounded per block; the
+      // oracle is brute force WITHIN blocks, so any pair the blocked
+      // prefix filter dropped would fail the gate
+      Dedup.ppjoinPairsBlocked(docs(s, dir), "doc_id", "text",
+          blockCols = Seq("lang"), threshold = 0.8)
+        .orderBy(col("a_id"), col("b_id"))
+    }),
     "qp_lsh_recall" -> ((s, dir) => {
       // pair completeness of the banded-LSH generator against the
       // EXACT ppjoin truth at the same threshold — the number every
@@ -2867,6 +2878,22 @@ object QueriesPipeline {
          | WHERE bit_count(xor(a.sh, b.sh)) <= 4
          | ORDER BY a_id, b_id""".stripMargin,
     "qp_ppjoin_pairs" -> bruteForcePairsOracle,
+    "qp_ppjoin_blocked" ->
+      // brute force WITHIN blocks: the blocked join's exactness
+      // contract is no-false-negatives inside each lang block
+      s"""WITH t0 AS (SELECT doc_id, lang,
+         |   list_distinct(list_transform(${dShingles("text")},
+         |     x -> ${dH60("x")})) sh
+         |   FROM documents),
+         | t AS (SELECT doc_id, lang, sh, len(sh) n
+         |   FROM t0 WHERE len(sh) > 0)
+         | SELECT a_id, b_id, jac FROM (
+         |   SELECT a.doc_id a_id, b.doc_id b_id,
+         |     round(len(list_intersect(a.sh, b.sh))*1.0 /
+         |       (a.n + b.n - len(list_intersect(a.sh, b.sh))), 6) jac
+         |   FROM t a JOIN t b
+         |     ON a.lang = b.lang AND a.doc_id < b.doc_id)
+         | WHERE jac >= 0.8 ORDER BY a_id, b_id""".stripMargin,
     "qp_lsh_recall" ->
       // pair completeness of banded LSH against the brute-force
       // truth — both sides replayed from their own oracles

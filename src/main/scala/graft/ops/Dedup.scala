@@ -308,8 +308,41 @@ object Dedup {
     * shuffle join on the shingle hash (a 100 TB corpus' shingle
     * vocabulary is not broadcastable). Returns (a_id, b_id, jac). */
   def ppjoinPairs(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double, shingleN: Int = 4): DataFrame = {
+      threshold: Double, shingleN: Int = 4): DataFrame =
+    ppjoinImpl(df, idCol, textCol, threshold, shingleN, Nil)
+
+  /** [[ppjoinPairs]] run INSIDE caller-supplied blocking keys — the
+    * exact sub-quadratic escape for vocabulary-SATURATED corpora
+    * (ScratchR8's measured 2.27 exponent): candidates only form
+    * between docs agreeing on `blockCols`, so prefix-collision growth
+    * is bounded per block and the total is the SUM over blocks, not
+    * the corpus square. Same blocking contract as
+    * [[ngramJaccardPairs]]/[[simhashPairs]]/containmentPairs: the
+    * caller asserts near-dups never split across blocks (lang /
+    * source / domain are the deployment keys); WITHIN a block the
+    * join stays exact with no false negatives — the rarity order,
+    * prefix bound, positional/length filters and merge-scan verify
+    * are the unchanged [[ppjoinPairs]] machinery, with block-LOCAL
+    * shingle frequencies (rarity within the block is what prunes;
+    * global rarity would be diluted by other blocks' mass).
+    * Returns (a_id, b_id, jac). */
+  def ppjoinPairsBlocked(df: DataFrame, idCol: String, textCol: String,
+      blockCols: Seq[String], threshold: Double,
+      shingleN: Int = 4): DataFrame = {
+    require(blockCols.nonEmpty,
+      "blockCols must be non-empty — use ppjoinPairs for the unblocked join")
+    ppjoinImpl(df, idCol, textCol, threshold, shingleN, blockCols)
+  }
+
+  private def ppjoinImpl(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, shingleN: Int, blockCols: Seq[String]): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold in (0, 1]")
+    val blk = blockCols.nonEmpty
+    // one composite block column; every join/groupBy below keys on
+    // (__blk, __h) when blocked and plain __h when not — the unblocked
+    // plan is bit-identical to the pre-blocking operator
+    val blkCols: Seq[Column] = if (blk) Seq(col("__blk")) else Nil
+    val keyCols: Seq[String] = if (blk) Seq("__blk", "__h") else Seq("__h")
     // MEMORY_AND_DISK_SER, not the default: inside a query SUITE these
     // frames compete for storage memory with neighboring queries'
     // caches — an evicted default-level block is silently RECOMPUTED
@@ -318,12 +351,16 @@ object Dedup {
     // blocks shrink the footprint and evictions spill to local disk
     // instead of recomputing.
     val diskSer = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
-    val base = spread(df).select(col(idCol).as("__id"),
-        explode(charShingles(col(textCol), shingleN)).as("__s"))
-      .select(col("__id"), hash60(col("__s")).as("__h"))
+    val src = if (blk) spread(df)
+        .withColumn("__blk", struct(blockCols.map(col): _*))
+      else spread(df)
+    val base = src.select(col(idCol).as("__id") +: blkCols :+
+        explode(charShingles(col(textCol), shingleN)).as("__s"): _*)
+      .select(col("__id") +: blkCols :+ hash60(col("__s")).as("__h"): _*)
       .distinct()
       .persist(diskSer)
-    val freq = base.groupBy("__h").agg(count(lit(1)).as("__f"))
+    val freq = base.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__f"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("__id").orderBy(col("__f"), col("__h"))
     // the set-size count shares w's partitioning AND ordering (full
@@ -335,13 +372,13 @@ object Dedup {
     // shuffle_hash: SMJ would SORT both sides by __h; the hash join
     // pays the same exchange without the sorts (the __h key is a
     // near-uniform hash — no build-side skew by construction)
-    val prefix = base.join(freq.hint("shuffle_hash"), "__h")
+    val prefix = base.join(freq.hint("shuffle_hash"), keyCols)
       .withColumn("__r", row_number().over(w))
       .withColumn("__n", count(lit(1)).over(wAll))
       // prefix length n − ⌈t·n⌉ + 1; float ceil can only round UP,
       // which lengthens the prefix — always safe (superset)
       .filter(col("__r") <= col("__n") - ceil(lit(threshold) * col("__n")) + 1)
-      .select("__h", "__id", "__r", "__n")
+      .select(keyCols.map(col) ++ Seq(col("__id"), col("__r"), col("__n")): _*)
       // consumed by BOTH sides of the candidate self-join: exchange
       // reuse only covers the shuffle below the Window — unpersisted,
       // the window + freq join would recompute per side
@@ -367,10 +404,12 @@ object Dedup {
     // never drop a true pair.
     val alpha = ceil(lit(threshold / (1 + threshold)) *
       (col("__na") + col("__nb")) - lit(1e-6))
-    val candidates = prefix.select(col("__h"), col("__id").as("a_id"),
-        col("__r").as("__ra"), col("__n").as("__na"))
-      .join(prefix.select(col("__h"), col("__id").as("b_id"),
-        col("__r").as("__rb"), col("__n").as("__nb")), Seq("__h"))
+    val candidates = prefix.select(keyCols.map(col) ++ Seq(
+        col("__id").as("a_id"),
+        col("__r").as("__ra"), col("__n").as("__na")): _*)
+      .join(prefix.select(keyCols.map(col) ++ Seq(
+        col("__id").as("b_id"),
+        col("__r").as("__rb"), col("__n").as("__nb")): _*), keyCols)
       .filter(col("a_id") < col("b_id"))
       .filter(least(col("__na"), col("__nb")) >=
         lit(threshold) * greatest(col("__na"), col("__nb")) - lit(1e-6))

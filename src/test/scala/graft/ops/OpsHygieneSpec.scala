@@ -443,6 +443,48 @@ class OpsHygieneSpec extends AnyFunSuite {
       "ppjoinPairs must unpersist its shingle cache")
   }
 
+  test("ppjoinPairsBlocked equals brute-force Jaccard WITHIN blocks") {
+    val d = Tables.load(spark, sf, "documents")
+    val got = Dedup.ppjoinPairsBlocked(d, "doc_id", "text",
+        blockCols = Seq("lang"), threshold = 0.8)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    // brute-force model restricted to same-block pairs: the blocked
+    // join's exactness contract is no-false-negatives INSIDE blocks
+    val sets = d.select(col("doc_id"), col("lang"),
+        graft.ops.TextOps.charShingles(col("text"), 4).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), col("lang"),
+        array_distinct(transform(col("sh"),
+          s => graft.ops.TextOps.hash60(s))).as("sh"))
+    val a = sets.select(col("doc_id").as("a_id"), col("lang"),
+      col("sh").as("sa"))
+    val b = sets.select(col("doc_id").as("b_id"),
+      col("lang").as("__lb"), col("sh").as("sb"))
+    val brute = a.join(b, col("lang") === col("__lb") &&
+        col("a_id") < col("b_id"))
+      .withColumn("i", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jac", col("i").cast("double") /
+        (size(col("sa")) + size(col("sb")) - col("i")))
+      .filter(col("jac") >= 0.8)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(got == brute)
+    // and every blocked pair is an unblocked pair (restriction, never
+    // an addition): block-local rarity reorders prefixes but the
+    // verify stage computes the same exact Jaccard
+    val unblocked = Dedup.ppjoinPairs(d, "doc_id", "text", 0.8)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(got.subsetOf(unblocked))
+  }
+
+  test("ppjoinPairsBlocked leaves no cached frames behind") {
+    spark.catalog.clearCache()
+    val d = Tables.load(spark, sf, "documents")
+    Dedup.ppjoinPairsBlocked(d, "doc_id", "text", Seq("lang"), 0.8)
+      .count()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "ppjoinPairsBlocked must unpersist its shingle cache")
+  }
+
   test("rrfFuse: consensus beats a better single-system rank; ties break on id") {
     // q=1: doc 11 is rank 2+1 across both systems, doc 10 is a lone
     // rank-1 — RRF puts the consensus doc first (1/62+1/61 > 1/61)
