@@ -1188,13 +1188,35 @@ object QueriesPipeline {
       langidScored(s, dir).orderBy("doc_id")),
     "qp_langid_confusion" -> ((s, dir) => {
       // classifier self-eval: predicted vs labeled language confusion
-      // counts with per-actual row shares — the accuracy readout the
-      // lang-ID gate feeds (row-domain groupBy over the scored frame).
-      // HONEST finding on the synthetic corpus: every label predicts
-      // 'en' — the driver's generated text does not vary by the lang
-      // column, which is exactly what a confusion matrix is for
-      import org.apache.spark.sql.expressions.Window
-      langidScored(s, dir)
+      // counts with per-actual row shares. HONEST finding kept from
+      // r8: the synthetic corpus's RAW text does not vary by the lang
+      // column (qp_text_langid still gates that raw behavior — all
+      // 'en'), so scoring the raw text pins nothing here. The eval
+      // corpus is therefore AUGMENTED deterministically from doc_id
+      // (the qp_pii_redact injection convention, identical on both
+      // engines): each doc gets 40 + doc_id%7 copies of its TARGET
+      // lang's first marker token, target = labeled lang EXCEPT every
+      // 10th doc, which gets the NEXT lang in the marker cycle — a
+      // planted 10% systematic confusion. The gate now pins a
+      // dominant diagonal AND off-diagonal cells; any scoring/argmax
+      // regression flips them.
+      val langs = TextOps.langMarkers.map(_._1)
+      val firstMarker = TextOps.langMarkers.map { case (l, ms) =>
+        l -> ms.head }.toMap
+      val nextOf = langs.zip(langs.tail :+ langs.head).toMap
+      val target = when(col("doc_id") % 10 === 0,
+          langs.foldRight(col("lang")) { (l, els) =>
+            when(col("lang") === l, lit(nextOf(l))).otherwise(els) })
+        .otherwise(col("lang"))
+      val marker = langs.foldRight(lit(""): Column) { (l, els) =>
+        when(col("__target") === l, lit(firstMarker(l))).otherwise(els) }
+      val aug = docs(s, dir)
+        .withColumn("__target", target)
+        .withColumn("__mk", marker)
+        .withColumn("text", concat(col("text"),
+          expr("repeat(concat(' ', __mk), cast(40 + doc_id % 7 as int))")))
+        .drop("__target", "__mk")
+      langidScoredOn(aug)
         .groupBy(col("lang").as("actual"), col("pred"))
         .agg(count(lit(1)).as("n"))
         .withColumn("row_share_micro", expr(
@@ -2042,12 +2064,15 @@ object QueriesPipeline {
     * HOF form ran 25 interpreted lambda passes per document (A/B at
     * sf0.1: 1.3-2.1 -> 0.67 s) — explode + codegen'd conditional sums
     * is the repo convention for per-row heavy compute. */
-  private def langidScored(s: SparkSession, dir: String): DataFrame = {
+  private def langidScored(s: SparkSession, dir: String): DataFrame =
+    langidScoredOn(docs(s, dir))
+
+  private def langidScoredOn(d: DataFrame): DataFrame = {
     val scoreCols = langMarkers.map { case (l, ms) =>
       sum(when(col("__t").isin(ms: _*), 1L).otherwise(0L))
         .as(s"${l}_score")
     }
-    val scored = graft.ops.Partitioning.spread(docs(s, dir))
+    val scored = graft.ops.Partitioning.spread(d)
       .select(col("doc_id"), col("lang"),
         explode_outer(tokensWs(col("text"))).as("__t"))
       .groupBy(col("doc_id"), col("lang"))
@@ -2065,9 +2090,11 @@ object QueriesPipeline {
         "fr_score", "es_score", "zh_score")
   }
 
-  /** DuckDB replay of the language-ID scoring (shared by the gate and
-    * the confusion eval). */
-  private lazy val langidOracle: String = {
+  /** DuckDB replay of the language-ID scoring over any
+    * (doc_id, lang, text) source (shared by the gate, which scores
+    * the raw `documents`, and the confusion eval, which scores the
+    * marker-augmented corpus). */
+  private def langidOracleOn(src: String): String = {
     val scoreExprs = langMarkers.map { case (l, ms) =>
       val terms = ms.map(m =>
         s"len(list_filter(tok, x -> x = '$m'))").mkString(" + ")
@@ -2080,13 +2107,39 @@ object QueriesPipeline {
       s"CASE WHEN $isMax THEN '$l' ELSE $els END"
     }
     s"""WITH t AS (SELECT doc_id, lang, ${dTokens("text")} tok
-       |   FROM documents),
+       |   FROM ($src)),
        | s AS (SELECT doc_id, lang,
        |   $scoreExprs
        |  FROM t)
        | SELECT doc_id, lang, $pred AS pred,
        |   en_score, de_score, fr_score, es_score, zh_score
        | FROM s ORDER BY doc_id""".stripMargin
+  }
+
+  private lazy val langidOracle: String =
+    langidOracleOn("SELECT doc_id, lang, text FROM documents")
+
+  /** the confusion eval's marker-augmented corpus — generated from
+    * the SAME TextOps.langMarkers constants the engine scores with
+    * (seeded-constants rule): 40 + doc_id%7 copies of the target
+    * lang's first marker; target = lang except doc_id%10=0 rows take
+    * the next lang in the cycle. */
+  private lazy val langidAugSrc: String = {
+    val langs = langMarkers.map(_._1)
+    val firstMarker = langMarkers.map { case (l, ms) => l -> ms.head }
+      .toMap
+    val nextOf = langs.zip(langs.tail :+ langs.head).toMap
+    val nextCase = langs.map(l => s"WHEN '$l' THEN '${nextOf(l)}'")
+      .mkString(" ")
+    val mkCase = langs.map(l => s"WHEN '$l' THEN '${firstMarker(l)}'")
+      .mkString(" ")
+    s"""SELECT doc_id, lang, text || repeat(' ' ||
+       |   CASE (CASE WHEN doc_id % 10 = 0
+       |       THEN CASE lang $nextCase ELSE lang END
+       |       ELSE lang END)
+       |     $mkCase ELSE '' END,
+       |   CAST(40 + doc_id % 7 AS INT)) AS text
+       | FROM documents""".stripMargin
   }
 
   /** brute-force all-pairs exact Jaccard — deliberately NOT
@@ -3576,7 +3629,8 @@ object QueriesPipeline {
          | FROM m ORDER BY doc_id""".stripMargin,
     "qp_text_langid" -> langidOracle,
     "qp_langid_confusion" ->
-      s"""WITH p AS (SELECT lang, pred FROM ($langidOracle))
+      s"""WITH p AS (SELECT lang, pred
+         |   FROM (${langidOracleOn(langidAugSrc)}))
          | SELECT lang AS actual, pred, CAST(count(*) AS BIGINT) AS n,
          |   CAST(count(*) * 1000000 //
          |     sum(count(*)) OVER (PARTITION BY lang) AS BIGINT)
