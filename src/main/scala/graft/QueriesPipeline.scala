@@ -786,6 +786,47 @@ object QueriesPipeline {
           cents, "vec_id", "embedding", k = 5, nProbe = 2)
         .orderBy(col("q_id"), col("rnk"))
     }),
+    "qp_ivf_appended" -> ((s, dir) => {
+      // INCREMENTAL maintenance for the vector side (the
+      // qp_bm25_appended pattern): index the first half of the
+      // corpus, append the second half as an ingestion batch encoded
+      // with the FROZEN centroids (only the batch is assigned), then
+      // probe the merged cell directories — must reproduce the
+      // full-rebuild ranking exactly (shares qp_ivf_topk's oracle;
+      // that equality IS what this query verifies)
+      val e = embs(s, dir)
+      val cents = e.filter(col("vec_id") < 16)
+      val idxDir = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft-ivf-appended")
+        .toString
+      Similarity.writeIvfIndex(e.filter(col("vec_id") < 250), cents,
+        "vec_id", "embedding", idxDir)
+      Similarity.appendIvfIndex(e.filter(col("vec_id") >= 250), cents,
+        "vec_id", "embedding", idxDir)
+      Similarity.ivfTopKIndexed(s, idxDir,
+          e.filter(col("vec_id") >= 100 && col("vec_id") < 105),
+          cents, "vec_id", "embedding", k = 5, nProbe = 2)
+        .orderBy(col("q_id"), col("rnk"))
+    }),
+    "qp_ivfpq_appended" -> ((s, dir) => {
+      // the CODED index under the same incremental contract: build on
+      // the first half, append the PQ-encoded second half with frozen
+      // centroids AND codebooks, probe the union — shares
+      // qp_ivfpq_topk's oracle
+      val e = embs(s, dir)
+      val cents = e.filter(col("vec_id") < 16)
+      val idxDir = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft-ivfpq-appended")
+        .toString
+      Pq.writeIvfPqIndex(e.filter(col("vec_id") < 250), cents,
+        "vec_id", "embedding", pqCb, idxDir)
+      Pq.appendIvfPqIndex(e.filter(col("vec_id") >= 250), cents,
+        "vec_id", "embedding", pqCb, idxDir)
+      Pq.ivfPqTopKIndexed(s, idxDir,
+          e.filter(col("vec_id") >= 100 && col("vec_id") < 105),
+          cents, "vec_id", "embedding", pqCb, k = 5, nProbe = 2)
+        .orderBy(col("q_id"), col("rnk"))
+    }),
     "qp_zorder" -> ((s, dir) => {
       // Morton-key two-dimensional clustering: write the customer
       // table Z-ordered by (custkey, nationkey) to a fixed tmp layout,
@@ -3274,6 +3315,10 @@ object QueriesPipeline {
       // reproduce the in-memory IVFADC probe exactly — the
       // cell-partitioned layout + planning-time pruning is the delta
       ivfPqTopKOracle,
+    // build-half + append-half must reproduce the full rebuild
+    // exactly — that equality IS what the appended queries verify
+    "qp_ivf_appended" -> ivfTopKOracle,
+    "qp_ivfpq_appended" -> ivfPqTopKOracle,
     "qp_mmr_select" -> {
       // greedy MMR unrolled: pick1 = max λ·rel; each later step
       // penalizes by the max cosine to the already-selected set.

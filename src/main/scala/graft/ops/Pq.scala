@@ -252,6 +252,27 @@ object Pq {
     graft.sources.Bucketing.writePartitioned(coded, dir, Seq("cell"))
   }
 
+  /** Append an ingestion batch to an on-disk [[writeIvfPqIndex]]
+    * index: only the batch is cell-assigned and PQ-encoded, with the
+    * FROZEN centroids AND codebooks the index was built with (load
+    * both from the model registry; re-fitting either would make old
+    * and new codes incomparable), then appended into the same cell
+    * directories — writers repartitioned on the directory key (the
+    * appendDedupIndex discipline). Probe-after-append ≡ full rebuild
+    * over the union, for the same purity reason as
+    * [[Similarity.appendIvfIndex]]. Caller contract: batch ids are
+    * globally fresh. */
+  def appendIvfPqIndex(batch: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, cb: Codebooks,
+      dir: String): Unit = {
+    val cents = Similarity.collectCentroids(centroids, idCol, vecCol)
+    Similarity.cellAssignments(batch, cents, idCol, vecCol)
+      .select(col("n_id"), col("cell"),
+        PqEncode.column(col("__cv"), cb).as("codes"))
+      .repartition(col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(dir)
+  }
+
   /** Probe an on-disk [[writeIvfPqIndex]] index: probed cells are
     * resolved up front and pushed as a LITERAL `cell IN (...)`
     * predicate, so Catalyst prunes the non-probed directories at

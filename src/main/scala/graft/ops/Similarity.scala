@@ -365,6 +365,28 @@ object Similarity {
       cellAssignments(corpus, cents, idCol, vecCol), dir, Seq("cell"))
   }
 
+  /** Append an ingestion batch to an on-disk [[writeIvfIndex]] index —
+    * the live-corpus maintenance path the text side already has
+    * ([[graft.ops.TextOps.bm25AppendIndex]]): ONLY the batch is
+    * encoded, with the FROZEN centroids the index was built with
+    * (re-training would silently re-assign the already-indexed corpus
+    * — load them from the model registry, never re-fit per batch),
+    * and appended into the same cell directories. Writers repartition
+    * on the directory key (the appendDedupIndex discipline) so a
+    * batch adds one file per touched cell, not shufflePartitions ×
+    * cells micro-files. A probe after any append is row-identical to
+    * a full rebuild over (corpus ∪ batches): assignment is a pure
+    * function of (vector, frozen centroids) and the probe reads whole
+    * cell directories. Caller contract: batch ids are globally fresh
+    * (the bm25Append/dedup-index contract). */
+  def appendIvfIndex(batch: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, dir: String): Unit = {
+    val cents = collectCentroids(centroids, idCol, vecCol)
+    cellAssignments(batch, cents, idCol, vecCol)
+      .repartition(col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(dir)
+  }
+
   /** Probe an on-disk [[writeIvfIndex]] index. The probed cell set is
     * resolved up front (control-plane sized: ≤ queries × nProbe ints)
     * and pushed as a LITERAL `cell IN (...)` predicate, so Catalyst

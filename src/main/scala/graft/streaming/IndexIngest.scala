@@ -44,6 +44,38 @@ object IndexIngest {
     }
   }
 
+  /** foreachBatch sink completing VECTOR-side ingestion parity with
+    * [[bm25AndDedup]]: append each micro-batch of embedding rows to
+    * the on-disk IVF index and (optionally) the IVF-PQ coded index.
+    * Centroids and codebooks are FROZEN at sink construction — the
+    * deployment contract is "train once, load from the model
+    * registry, append forever" (re-fitting per batch would re-assign
+    * or re-code nothing but the batch and make the index internally
+    * inconsistent). `centroids` is collected here once (k×dim
+    * control-plane rows), not per trigger. After any batch, probing
+    * either index is row-identical to a full rebuild over
+    * (corpus ∪ batches so far) — spec-pinned. Caller contract: batch
+    * ids are globally fresh (use an id anti-join upstream for
+    * exactly-once, as with [[bm25AndDedup]]). */
+  def ivfAppend(ivfDir: String, centroids: DataFrame, idCol: String,
+      vecCol: String,
+      pq: Option[(String, graft.ops.Pq.Codebooks)] = None):
+      (DataFrame, Long) => Unit = {
+    // freeze the centroid table once: a lazy plan would re-read (and
+    // could re-derive) the registry table every trigger
+    val frozenCents = centroids.localCheckpoint(eager = true)
+    (batch, _) =>
+      if (!batch.isEmpty) {
+        val frozen = batch.localCheckpoint(eager = true)
+        graft.ops.Similarity.appendIvfIndex(frozen, frozenCents,
+          idCol, vecCol, ivfDir)
+        pq.foreach { case (pqDir, cb) =>
+          graft.ops.Pq.appendIvfPqIndex(frozen, frozenCents,
+            idCol, vecCol, cb, pqDir)
+        }
+      }
+  }
+
   /** foreachBatch sink for the association miner: fold each
     * micro-batch of (basket, item) rows into the additive
     * [[Association.AssocState]] (atomic swap for concurrent readers).

@@ -256,6 +256,72 @@ class EventStreamSpec extends AnyFunSuite {
     assert(ps == pb, "streamed index probe must equal batch-built probe")
   }
 
+  test("streaming ingestion keeps IVF + IVF-PQ indexes current " +
+      "(probe == batch rebuild on the union)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val all = graft.sources.Tables
+      .load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>")
+        .as("embedding"))
+      .localCheckpoint()
+    val corpus = all.filter(col("vec_id") < 300)
+    val b1 = all.filter(col("vec_id") >= 300 && col("vec_id") < 400)
+    val b2 = all.filter(col("vec_id") >= 400)
+    val cents = all.filter(col("vec_id") < 16).localCheckpoint()
+    val cb = graft.ops.Pq.codebooks(m = 4, ksub = 16, subDim = 16)
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toString
+    val ivfDir = tmp("graft-ingest-ivf")
+    val pqDir = tmp("graft-ingest-ivfpq")
+    // seed: index the existing corpus once (batch path)
+    graft.ops.Similarity.writeIvfIndex(corpus, cents,
+      "vec_id", "embedding", ivfDir)
+    graft.ops.Pq.writeIvfPqIndex(corpus, cents,
+      "vec_id", "embedding", cb, pqDir)
+    // stream two batches through the foreachBatch ingestion sink
+    val input = MemoryStream[(Long, Seq[Double])]
+    val q = input.toDF().toDF("vec_id", "embedding").writeStream
+      .foreachBatch(graft.streaming.IndexIngest.ivfAppend(ivfDir,
+        cents, "vec_id", "embedding", pq = Some((pqDir, cb))))
+      .start()
+    try {
+      Seq(b1, b2).foreach { b =>
+        input.addData(b.collect().map(r =>
+          (r.getLong(0), r.getSeq[Double](1))).toSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // probes of the streamed indexes must equal full rebuilds on the
+    // union — assignment/coding are pure functions of (vector, frozen
+    // centroids/codebooks), so append-only maintenance loses nothing
+    val queries = all.filter(col("vec_id") >= 100 && col("vec_id") < 105)
+    val freshIvf = tmp("graft-fresh-ivf")
+    val freshPq = tmp("graft-fresh-ivfpq")
+    graft.ops.Similarity.writeIvfIndex(all, cents,
+      "vec_id", "embedding", freshIvf)
+    graft.ops.Pq.writeIvfPqIndex(all, cents,
+      "vec_id", "embedding", cb, freshPq)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      df.orderBy("q_id", "rnk").collect().toSeq.map(_.toSeq)
+    val aIvf = rows(graft.ops.Similarity.ivfTopKIndexed(spark, ivfDir,
+      queries, cents, "vec_id", "embedding", k = 5, nProbe = 2))
+    val bIvf = rows(graft.ops.Similarity.ivfTopKIndexed(spark, freshIvf,
+      queries, cents, "vec_id", "embedding", k = 5, nProbe = 2))
+    assert(aIvf.nonEmpty && aIvf == bIvf,
+      "streamed IVF index probe must equal the batch rebuild")
+    // the streamed result must actually SEE streamed vectors: at
+    // least one neighbor id arrived via the stream
+    assert(aIvf.exists(r => r(1).asInstanceOf[Long] >= 300),
+      "expected a streamed vector among the neighbors")
+    val aPq = rows(graft.ops.Pq.ivfPqTopKIndexed(spark, pqDir,
+      queries, cents, "vec_id", "embedding", cb, k = 5, nProbe = 2))
+    val bPq = rows(graft.ops.Pq.ivfPqTopKIndexed(spark, freshPq,
+      queries, cents, "vec_id", "embedding", cb, k = 5, nProbe = 2))
+    assert(aPq.nonEmpty && aPq == bPq,
+      "streamed IVF-PQ index probe must equal the batch rebuild")
+  }
+
   test("stateful cross-batch signature dedup") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
