@@ -32,6 +32,39 @@ object QueriesRelational {
   private[graft] val HoltAlpha = 300000L
   private[graft] val HoltBeta = 100000L
 
+  /** DuckDB replay of [[graft.ops.Funnel.multiTouchAttribution]] for
+    * one credit rule over (i = touch position, k = touch count) —
+    * both telescoping rules use only non-negative terms, so DuckDB
+    * `//` (truncate) and Spark `div` (truncate) agree. The window
+    * and tie rules mirror the engine: touches at-or-before the
+    * conversion within the window, ordered (ts, event id); untouched
+    * conversions credit '(none)' in full. */
+  private def multiTouchOracle(creditRule: String): String =
+    s"""WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS tus
+       |   FROM events WHERE event_type = 'purchase'),
+       | t AS (SELECT event_id, user_id, epoch_us(ts) AS tus,
+       |     event_type
+       |   FROM events WHERE event_type <> 'purchase'),
+       | j AS (SELECT c.event_id AS cid, t.event_type AS ch,
+       |     row_number() OVER (PARTITION BY c.event_id
+       |       ORDER BY t.tus, t.event_id) AS i,
+       |     count(*) OVER (PARTITION BY c.event_id) AS k
+       |   FROM c JOIN t ON t.user_id = c.user_id AND t.tus <= c.tus
+       |     AND c.tus - t.tus <= $AttributionWindowUs),
+       | cr AS (SELECT cid, ch, CAST($creditRule AS BIGINT) AS cr
+       |     FROM j
+       |   UNION ALL
+       |   SELECT c.event_id, '(none)', CAST(1000000 AS BIGINT)
+       |     FROM c WHERE NOT EXISTS
+       |       (SELECT 1 FROM j WHERE j.cid = c.event_id)),
+       | g AS (SELECT ch AS channel, CAST(sum(cr) AS BIGINT)
+       |     AS credit_micro FROM cr GROUP BY 1)
+       | SELECT channel, credit_micro,
+       |   CAST(credit_micro * 1000000 //
+       |     (SELECT sum(credit_micro) FROM g) AS BIGINT)
+       |     AS share_micro
+       | FROM g ORDER BY channel""".stripMargin
+
   /** DuckDB replay of [[graft.ops.Analytics.holtLinear]]: the same
     * integer ladder as a recursive CTE. Cross-engine contract: both
     * Spark's `div` and DuckDB's `//` TRUNCATE toward zero (DuckDB
@@ -741,6 +774,22 @@ object QueriesRelational {
       graft.ops.Funnel.lastTouchAttribution(t(s, dir, "events"),
         "user_id", "ts", "event_id", "event_type", "purchase",
         windowUs = AttributionWindowUs)
+    }),
+    "q_attribution_linear" -> ((s, dir) => {
+      // linear multi-touch: every purchase splits exactly 10^6
+      // micro-units evenly (telescoped remainder) across ALL its
+      // within-window touches — the equal-credit model compared
+      // against last-touch
+      graft.ops.Funnel.multiTouchAttribution(t(s, dir, "events"),
+        "user_id", "ts", "event_id", "event_type", "purchase",
+        windowUs = AttributionWindowUs, model = "linear")
+    }),
+    "q_attribution_ushape" -> ((s, dir) => {
+      // position-based (U-shaped 40/40/20) multi-touch: first and
+      // last touch 400k each, middles telescope the remaining 200k
+      graft.ops.Funnel.multiTouchAttribution(t(s, dir, "events"),
+        "user_id", "ts", "event_id", "event_type", "purchase",
+        windowUs = AttributionWindowUs, model = "position")
     }),
     "q_chi_square" -> ((s, dir) => {
       // r×c independence test: is a document's language independent
@@ -1675,6 +1724,15 @@ object QueriesRelational {
          |     (SELECT sum(n_conversions) FROM g) AS BIGINT)
          |     AS share_micro
          | FROM g ORDER BY channel""".stripMargin,
+    "q_attribution_linear" ->
+      multiTouchOracle("i * 1000000 // k - (i - 1) * 1000000 // k"),
+    "q_attribution_ushape" ->
+      multiTouchOracle(
+        """CASE WHEN k = 1 THEN 1000000
+          |  WHEN k = 2 THEN 500000
+          |  WHEN i = 1 OR i = k THEN 400000
+          |  ELSE (i - 1) * 200000 // (k - 2)
+          |    - (i - 2) * 200000 // (k - 2) END""".stripMargin),
     "q_chi_square" ->
       // same fixed-point discipline as the engine: per-cell (o−e)²/e
       // made nano-integer BEFORE the sum, one closing division

@@ -502,4 +502,87 @@ object Funnel {
       .drop("__tot")
       .orderBy("channel")
   }
+
+  /** Multi-touch attribution — the two models marketing stacks
+    * compare against last-touch (reference has none of this; beyond-
+    * reference pipeline surface): each conversion distributes EXACTLY
+    * 1 000 000 micro-units of credit across ALL its qualifying
+    * touches (same-user, at-or-before, within `windowUs`; the
+    * [[lastTouchAttribution]] tie discipline — same-microsecond
+    * touches qualify, ordering is (ts, side, event id)).
+    *
+    *  - `"linear"`: touch i of k gets `i·10⁶ div k − (i−1)·10⁶ div k`
+    *    — the telescoping form sums to exactly 10⁶ with the remainder
+    *    spread deterministically over the sequence, no floats.
+    *  - `"position"` (U-shaped, the classic 40/40/20): k = 1 → 10⁶;
+    *    k = 2 → 500 000 each; k ≥ 3 → first and last 400 000 each,
+    *    middles telescope 200 000 · j div (k−2) over j = 1..k−2.
+    *
+    * Conversions with no qualifying touch credit `(none)` in full, so
+    * total credit = conversions · 10⁶ — exact integers end to end.
+    *
+    * Scale shape: ONE per-user running window (user-bounded
+    * partitions, the sessionize/funnel discipline) carrying the
+    * running touch list — bounded by a user's own event history, the
+    * same envelope the funnel/path operators ride; the credit close
+    * is per-conversion array arithmetic (HOF over the conversion's
+    * OWN window touches — output-sized, not corpus-sized) and a
+    * channel-domain groupBy.
+    * Output: (channel, credit_micro, share_micro), channel-ordered;
+    * share_micro = credit·10⁶ div total — exact integers. */
+  def multiTouchAttribution(events: DataFrame, userCol: String,
+      tsCol: String, idCol: String, typeCol: String, convType: String,
+      windowUs: Long, model: String): DataFrame = {
+    require(windowUs > 0, "attribution window must be positive")
+    require(model == "linear" || model == "position",
+      s"model must be 'linear' or 'position', got '$model'")
+    import org.apache.spark.sql.expressions.Window
+    val u = events.select(col(userCol).as("__u"),
+        unix_micros(col(tsCol)).as("__tus"), col(typeCol).as("__ty"),
+        col(idCol).as("__id"))
+      .withColumn("__side", when(col("__ty") === convType, 1).otherwise(0))
+      .withColumn("__touch", when(col("__side") === 0,
+        struct(col("__tus").as("t"), col("__id").as("id"),
+          col("__ty").as("ch"))))
+    val w = Window.partitionBy(col("__u"))
+      .orderBy(col("__tus"), col("__side"), col("__id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // credit for lambda position i (1-based) among __k touches —
+    // exact bigint arithmetic; div truncates toward zero (all terms
+    // non-negative here, so truncation = floor on both engines)
+    val credit = model match {
+      case "linear" =>
+        "cast(i as bigint) * 1000000 div __k" +
+          " - (cast(i as bigint) - 1) * 1000000 div __k"
+      case "position" =>
+        """case when __k = 1 then cast(1000000 as bigint)
+          |  when __k = 2 then cast(500000 as bigint)
+          |  when i = 1 or i = __k then cast(400000 as bigint)
+          |  else cast(i - 1 as bigint) * 200000 div (__k - 2)
+          |    - cast(i - 2 as bigint) * 200000 div (__k - 2)
+          |end""".stripMargin
+    }
+    val conv = u
+      .withColumn("__touches", collect_list(col("__touch")).over(w))
+      .filter(col("__side") === 1)
+      .withColumn("__tl",
+        expr(s"filter(__touches, x -> x.t >= __tus - ${windowUs}L)"))
+      .withColumn("__k", size(col("__tl")))
+      .withColumn("__credits", expr(
+        s"""case when __k = 0 then
+           |  array(named_struct('ch', '(none)',
+           |    'cr', cast(1000000 as bigint)))
+           |else transform(sequence(1, __k), i ->
+           |  named_struct('ch', __tl[i-1].ch, 'cr', $credit))
+           |end""".stripMargin))
+    conv.select(explode(col("__credits")).as("__c"))
+      .groupBy(col("__c.ch").as("channel"))
+      .agg(sum(col("__c.cr")).as("credit_micro"))
+      .withColumn("__tot", sum(col("credit_micro"))
+        .over(Window.partitionBy(lit(1))))
+      .withColumn("share_micro",
+        expr("credit_micro * 1000000 div __tot"))
+      .drop("__tot")
+      .orderBy("channel")
+  }
 }

@@ -833,6 +833,49 @@ class OpsHygieneSpec extends AnyFunSuite {
     assert(run(1) == run(13))
   }
 
+  test("multiTouchAttribution: hand credits for linear and U-shaped") {
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    val ev = Seq(
+      // user 1: THREE touches then a purchase — linear telescopes
+      // 10^6 into 333333/333334/333333 (positions 1/2/3); U-shape
+      // gives 400000/200000/400000
+      (10L, 1L, ts(0), "view"), (11L, 1L, ts(10), "click"),
+      (12L, 1L, ts(20), "view"), (13L, 1L, ts(30), "purchase"),
+      // user 2: one touch — full credit either model
+      (20L, 2L, ts(0), "click"), (21L, 2L, ts(5), "purchase"),
+      // user 3: untouched purchase → (none) in full
+      (30L, 3L, ts(0), "purchase"),
+      // user 4: two touches — 500000 each in both models
+      (40L, 4L, ts(0), "view"), (41L, 4L, ts(1), "click"),
+      (42L, 4L, ts(2), "purchase")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    def run(model: String) = Funnel.multiTouchAttribution(ev,
+        "user_id", "ts", "event_id", "event_type", "purchase",
+        24L * 3600000000L, model)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val lin = run("linear")
+    // user1 telescoping over k=3: pos1 = 333333, pos2 = 666666-333333
+    // = 333333, pos3 = 1000000-666666 = 333334 (the remainder lands
+    // on the LAST position); view holds pos1+pos3, click pos2;
+    // user4: view/click 500000 each; user2: click 10^6
+    assert(lin("view") == 333333L + 333334L + 500000L)
+    assert(lin("click") == 333333L + 1000000L + 500000L)
+    assert(lin("(none)") == 1000000L)
+    // every conversion distributes exactly 10^6
+    assert(lin.values.sum == 4L * 1000000L)
+    val u = run("position")
+    assert(u("view") == 400000L + 400000L + 500000L)
+    assert(u("click") == 200000L + 1000000L + 500000L)
+    assert(u("(none)") == 1000000L)
+    assert(u.values.sum == 4L * 1000000L)
+    // partitioning invariance on the real events table
+    def runReal(p: Int) = Funnel.multiTouchAttribution(
+        Tables.load(spark, sf, "events").repartition(p),
+        "user_id", "ts", "event_id", "event_type", "purchase",
+        86400000000L, "position").collect().map(_.toSeq).toSeq
+    assert(runReal(1) == runReal(13))
+  }
+
   test("kaplanMeier: textbook product-limit values with censoring") {
     def ts(day: Long) = new java.sql.Timestamp(day * 86400000L)
     // lifetimes: A,B churn at 3; C churns at 5; D survives to the end
