@@ -234,6 +234,24 @@ object QueriesGraph {
         window = 2)
         .orderBy("center", "context")
     }),
+    "qg_node_embeddings" -> ((s, dir) => {
+      // DeepWalk/node2vec's missing half, closed in-engine: the
+      // walkSkipgrams harvest → shifted-PPMI (shift 1 — walk
+      // co-occurrence concentrates on neighborhoods, so graph-close
+      // pairs carry positive PMI) → rank-2 symmetric factorization
+      // (Levy & Goldberg 2014, the shared Pca power iteration). The
+      // vertex set is walk-visited (sources × walks × steps bounded),
+      // so the driver matrix is control-plane sized by construction.
+      val sg = GraphOps.walkSkipgrams(
+        GraphOps.randomWalksDF(TradeGraph.edges(s, dir),
+          sourceIds = Seq(1L, 2L, 3L), nWalks = 3, steps = 4),
+        window = 2)
+      graft.ops.Embeddings.factorize(
+          graft.ops.Embeddings.sppmi(sg, "center", "context", "n",
+            shift = 1),
+          k = 2, iters = 100)
+        .orderBy("id")
+    }),
     "qg_hits" -> ((s, dir) => {
       // hubs (customers) & authorities (suppliers), 3 integer rounds:
       // unnormalized HITS keeps every score an exact integer sum —
@@ -1026,6 +1044,10 @@ object QueriesGraph {
          |     AS ccdf_micro
          | FROM dd ORDER BY degree""".stripMargin,
     "qg_walk_skipgrams" -> walkSkipgramsSql(Seq(1L, 2L, 3L), 3, 4, 2),
+    "qg_node_embeddings" -> QueriesPipeline.sppmiEmbedSql(
+      "SELECT center AS a, context AS b, n FROM (" +
+        walkSkipgramsSql(Seq(1L, 2L, 3L), 3, 4, 2) + ")",
+      shift = 1, iters = 100),
     "qg_random_walks" -> randomWalksSql(Seq(1L, 2L, 3L), 3, 4),
     "qg_hits" -> hitsSql(3),
     "qg_kcore" -> kcoreSql(3, 6),

@@ -1264,6 +1264,44 @@ object QueriesPipeline {
           "n * 1000000 div sum(n) over (partition by actual)"))
         .orderBy("actual", "pred")
     }),
+    "qp_word_embeddings" -> ((s, dir) => {
+      // TRAINED word vectors in-engine (Levy & Goldberg 2014): top-24
+      // vocabulary (count desc, term asc — deterministic), ±2
+      // skip-gram pairs over ORIGINAL token positions (non-vocab
+      // tokens hold their slots but pair with nothing), shifted-PPMI
+      // (shift 2), rank-2 symmetric factorization on the shared Pca
+      // power-iteration machinery. The synthetic corpus's tokens are
+      // hash-independent (PMI ≈ 0 everywhere — the langid-confusion
+      // finding again), so topic structure is INJECTED
+      // deterministically from doc_id (the qp_pii_redact convention):
+      // 8 repeats of a 3-token topic trio per doc, topic = doc_id%4 —
+      // within-trio PMI ≫ ln 2 survives the shift, cross-topic pairs
+      // drop, and the factorization has real block structure to find.
+      // EmbeddingsSpec pins same-topic cosine > cross-topic.
+      val aug = docs(s, dir).withColumn("text", concat(col("text"),
+        expr("repeat(concat(' ta', cast(doc_id % 4 as string), " +
+          "' tb', cast(doc_id % 4 as string), " +
+          "' tc', cast(doc_id % 4 as string)), 8)")))
+      val toks = graft.ops.Partitioning.spread(aug)
+        .select(col("doc_id"),
+          posexplode(tokensWs(col("text"))).as(Seq("pos", "term")))
+      val vocab = toks.groupBy("term").agg(count(lit(1)).as("__c"))
+        .orderBy(col("__c").desc, col("term")).limit(24)
+        .select("term")
+      val tv = toks.join(broadcast(vocab), "term").localCheckpoint()
+      val probe = tv.select(col("doc_id"), col("term").as("a"),
+          col("pos"),
+          explode(typedlit(Seq(-2, -1, 1, 2))).as("__o"))
+        .select(col("doc_id"), col("a"), (col("pos") + col("__o")).as("pos"))
+      val pairsDf = probe
+        .join(tv.select(col("doc_id"), col("pos"), col("term").as("b")),
+          Seq("doc_id", "pos"))
+        .groupBy("a", "b").agg(count(lit(1)).as("n"))
+      graft.ops.Embeddings.factorize(
+          graft.ops.Embeddings.sppmi(pairsDf, "a", "b", "n", shift = 2),
+          k = 2, iters = 100)
+        .orderBy("id")
+    }),
     "qp_winnow_fp" -> ((s, dir) => {
       // MOSS winnowing over a 20-doc slice: rightmost window minima,
       // guaranteed to catch any >= w + shingle - 1 char overlap
@@ -1998,6 +2036,111 @@ object QueriesPipeline {
        |     p -> c[p+1] - lam * v[(p // 64) + 1] * v[(p % 64) + 1]) AS c
        |   FROM c1, v1),
        |${dPowerIter("it2", "c2", "v2")}""".stripMargin
+
+  /** DuckDB replay of [[graft.ops.Embeddings]] — shifted-PPMI from a
+    * `(a, b, n)` pair source + rank-2 power-iteration factorization
+    * with DYNAMIC dimension (the vocabulary size is data-dependent,
+    * unlike [[dPowerIter]]'s fixed 64): the dense matrix is minted
+    * from the sparse positive-PPMI frame via a range(d·d) grid, each
+    * component runs `iters` recursive rounds with the [[dPowerIter]]
+    * normalize/sign/deflation conventions, and the close is the
+    * Levy–Goldberg `v·√λ` at 6 decimals. Shared by
+    * qp_word_embeddings and qg_node_embeddings (QueriesGraph). */
+  private[graft] def sppmiEmbedSql(pairSrc: String, shift: Int,
+      iters: Int): String = {
+    def pit(it: String, cMat: String, vOut: String): String =
+      s""" $it AS (
+         |   SELECT 0 AS t, d,
+         |     list_transform(range(d), x -> 1.0/sqrt(CAST(d AS DOUBLE)))
+         |       AS v,
+         |     CAST(0.0 AS DOUBLE) AS lam
+         |   FROM vn
+         |   UNION ALL
+         |   SELECT t + 1, d,
+         |     CASE WHEN nrm > 0 THEN list_transform(w, x -> x / nrm)
+         |          ELSE w END,
+         |     nrm
+         |   FROM (
+         |     SELECT t, d, w,
+         |       sqrt(list_sum(list_transform(w, x -> x * x))) AS nrm
+         |     FROM (
+         |       SELECT $it.t AS t, $it.d AS d,
+         |         list_transform(range($it.d), i -> list_sum(
+         |           list_transform(range($it.d),
+         |             j -> c[i*$it.d + j + 1] * v[j+1]))) AS w
+         |       FROM $it, $cMat WHERE $it.t < $iters))),
+         | $vOut AS (SELECT CASE WHEN v[am] < 0
+         |       THEN list_transform(v, x -> -x) ELSE v END AS v, lam
+         |   FROM (SELECT v, lam,
+         |     list_position(list_transform(v, x -> abs(x)),
+         |       list_max(list_transform(v, x -> abs(x)))) AS am
+         |     FROM $it WHERE t = $iters))""".stripMargin
+    s"""WITH RECURSIVE
+       | pc AS MATERIALIZED (SELECT a, b, n FROM ($pairSrc)),
+       | tot AS MATERIALIZED (SELECT CAST(sum(n) AS BIGINT) AS N
+       |   FROM pc),
+       | rsum AS MATERIALIZED (SELECT a, CAST(sum(n) AS BIGINT) AS ra
+       |   FROM pc GROUP BY 1),
+       | csum AS MATERIALIZED (SELECT b, CAST(sum(n) AS BIGINT) AS cb
+       |   FROM pc GROUP BY 1),
+       | spp AS MATERIALIZED (SELECT a, b, v FROM (
+       |   SELECT pc.a, pc.b,
+       |     round(ln((CAST(pc.n AS DOUBLE) * tot.N) /
+       |       (CAST(rsum.ra AS DOUBLE) * csum.cb))
+       |       - ln(CAST($shift AS DOUBLE)), 6) AS v
+       |   FROM pc JOIN rsum USING (a) JOIN csum USING (b)
+       |   CROSS JOIN tot)
+       |   WHERE v > 0),
+       | vocab AS MATERIALIZED (SELECT id,
+       |     row_number() OVER (ORDER BY id) - 1 AS ix
+       |   FROM (SELECT DISTINCT id FROM
+       |     (SELECT a AS id FROM spp UNION ALL SELECT b FROM spp))),
+       | vn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS d
+       |   FROM vocab),
+       | mm AS MATERIALIZED (SELECT va.ix AS i, vb.ix AS j, spp.v AS v
+       |   FROM spp JOIN vocab va ON va.id = spp.a
+       |     JOIN vocab vb ON vb.id = spp.b),
+       | grid AS MATERIALIZED (SELECT unnest(range(d*d)) AS p, d
+       |   FROM vn),
+       | c1 AS MATERIALIZED (SELECT list(coalesce(mm.v, 0.0)
+       |     ORDER BY grid.p) AS c
+       |   FROM grid LEFT JOIN mm
+       |     ON mm.i = grid.p // grid.d AND mm.j = grid.p % grid.d),
+       |${pit("it1", "c1", "v1")},
+       | c2 AS MATERIALIZED (SELECT list_transform(range(vn.d*vn.d),
+       |     p -> c[p+1] - lam * v[(p // vn.d) + 1] * v[(p % vn.d) + 1])
+       |     AS c
+       |   FROM c1, v1, vn),
+       |${pit("it2", "c2", "v2")}
+       | SELECT vocab.id AS id,
+       |   round(v1.v[vocab.ix+1] * sqrt(v1.lam), 6) + 0.0 AS e0,
+       |   round(v2.v[vocab.ix+1] * sqrt(v2.lam), 6) + 0.0 AS e1
+       | FROM vocab, v1, v2 ORDER BY id""".stripMargin
+  }
+
+  /** the (a, b, n) word skip-gram pair source replayed in SQL: top-24
+    * vocabulary (count desc, term asc), ±2 window over ORIGINAL token
+    * positions. */
+  private lazy val wordPairSrcSql: String =
+    s"""WITH aug AS (SELECT doc_id, text ||
+       |     repeat(' ta' || CAST(doc_id % 4 AS VARCHAR) ||
+       |       ' tb' || CAST(doc_id % 4 AS VARCHAR) ||
+       |       ' tc' || CAST(doc_id % 4 AS VARCHAR), 8) AS text
+       |   FROM documents),
+       | t AS (SELECT doc_id, ${dTokens("text")} AS tok
+       |   FROM aug),
+       | tk0 AS (SELECT doc_id, tok, unnest(range(len(tok))) AS pos
+       |   FROM t),
+       | tk AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+       |     tok[pos+1] AS term FROM tk0),
+       | vocab24 AS (SELECT term FROM (SELECT term, count(*) AS c
+       |   FROM tk GROUP BY 1 ORDER BY c DESC, term LIMIT 24)),
+       | tv AS (SELECT tk.doc_id, tk.pos, tk.term FROM tk
+       |   JOIN vocab24 USING (term))
+       | SELECT x.term AS a, y.term AS b, CAST(count(*) AS BIGINT) AS n
+       | FROM tv x JOIN tv y ON x.doc_id = y.doc_id
+       |   AND y.pos - x.pos IN (-2, -1, 1, 2)
+       | GROUP BY 1, 2""".stripMargin
 
   /** PQ constants shared by the Spark queries and the oracle SQL:
     * m=4 subspaces × 16 dims, 16 codes each, seeded codebooks. */
@@ -3766,6 +3909,8 @@ object QueriesPipeline {
          |   FROM q CROSS JOIN e WHERE q_id <> e.doc_id)
          | SELECT q_id, n_id, round(c, 6) AS cos, rnk FROM scored
          | WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    "qp_word_embeddings" -> sppmiEmbedSql(wordPairSrcSql, shift = 2,
+      iters = 100),
     "qp_winnow_fp" ->
       s"""WITH t AS (SELECT doc_id, p,
          |     ${dH60("substring(text, p + 1, 4)")} AS h FROM (

@@ -94,8 +94,11 @@ object Pca {
   }
 
   /** top-k eigenpairs of `cov` by power iteration + deflation
-    * (deterministic start/sign — see [[principalComponents]]). */
-  private def powerEigs(cov: Array[Array[Double]], dim: Int, k: Int,
+    * (deterministic start/sign — see [[principalComponents]]).
+    * Shared with [[Embeddings.factorize]] (the SPPMI matrix rides the
+    * identical sequential driver-side arithmetic, so the DuckDB
+    * recursive-CTE replay stays bit-identical). Mutates `cov`. */
+  private[ops] def powerEigs(cov: Array[Array[Double]], dim: Int, k: Int,
       iters: Int): Seq[(Double, Array[Double])] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[(Double, Array[Double])]
     for (_ <- 0 until k) {
