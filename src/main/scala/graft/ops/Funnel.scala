@@ -521,13 +521,14 @@ object Funnel {
     * Conversions with no qualifying touch credit `(none)` in full, so
     * total credit = conversions · 10⁶ — exact integers end to end.
     *
-    * Scale shape: ONE per-user running window (user-bounded
-    * partitions, the sessionize/funnel discipline) carrying the
-    * running touch list — bounded by a user's own event history, the
-    * same envelope the funnel/path operators ride; the credit close
-    * is per-conversion array arithmetic (HOF over the conversion's
-    * OWN window touches — output-sized, not corpus-sized) and a
-    * channel-domain groupBy.
+    * Scale shape: each user's touches are collected ONCE by a
+    * partial-combining aggregate (the [[nextEventSequences]] shape —
+    * never a per-row running window, which would copy the prefix list
+    * once per event and cost O(k²) list traffic for a k-event bot
+    * account in a single task); conversions explode against the
+    * bounded sorted array, so a user costs O(k log k) for the sort
+    * plus O(k) per conversion. The credit close is per-conversion
+    * array arithmetic and a channel-domain groupBy.
     * Output: (channel, credit_micro, share_micro), channel-ordered;
     * share_micro = credit·10⁶ div total — exact integers. */
   def multiTouchAttribution(events: DataFrame, userCol: String,
@@ -544,9 +545,6 @@ object Funnel {
       .withColumn("__touch", when(col("__side") === 0,
         struct(col("__tus").as("t"), col("__id").as("id"),
           col("__ty").as("ch"))))
-    val w = Window.partitionBy(col("__u"))
-      .orderBy(col("__tus"), col("__side"), col("__id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // credit for lambda position i (1-based) among __k touches —
     // exact bigint arithmetic; div truncates toward zero (all terms
     // non-negative here, so truncation = floor on both engines)
@@ -562,11 +560,20 @@ object Funnel {
           |    - cast(i - 2 as bigint) * 200000 div (__k - 2)
           |end""".stripMargin
     }
-    val conv = u
-      .withColumn("__touches", collect_list(col("__touch")).over(w))
-      .filter(col("__side") === 1)
-      .withColumn("__tl",
-        expr(s"filter(__touches, x -> x.t >= __tus - ${windowUs}L)"))
+    // one partial-combining collect per user; sort_array orders the
+    // touch structs (t, id, ch) — the same (ts, id) total order the
+    // old running window produced among side-0 rows. collect_list
+    // skips the null __touch on conversion rows and the null `when`
+    // on touch rows, so the two arrays separate the sides exactly.
+    val byUser = u.groupBy(col("__u")).agg(
+      sort_array(collect_list(col("__touch"))).as("__at"),
+      collect_list(when(col("__side") === 1, col("__tus"))).as("__cv"))
+    // explode drops users with no conversion; x.t <= __tus keeps the
+    // same-microsecond tie rule (touches ordered before conversions)
+    val conv = byUser
+      .select(col("__at"), explode(col("__cv")).as("__tus"))
+      .withColumn("__tl", expr(
+        s"filter(__at, x -> x.t <= __tus and x.t >= __tus - ${windowUs}L)"))
       .withColumn("__k", size(col("__tl")))
       .withColumn("__credits", expr(
         s"""case when __k = 0 then

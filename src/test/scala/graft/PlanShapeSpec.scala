@@ -105,6 +105,23 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
 
+  test("multi-touch attribution collects touches once per user, not per row") {
+    // a per-row prefix-list window (collect_list over
+    // unboundedPreceding..currentRow) copies the touch array once per
+    // event — O(k^2) list traffic for a k-event bot account in one
+    // task. The collect must be a partial-combining AGGREGATE; the
+    // only window left is the channel-domain share close.
+    for (q <- Seq("q_attribution_linear", "q_attribution_ushape")) {
+      val p = finalPlan(df(q))
+      val offending = p.linesIterator.filter(l =>
+        l.contains("windowspecdefinition") && l.contains("collect_list"))
+      assert(offending.isEmpty, s"$q: per-row collect_list window:\n$p")
+      assert(p.contains("partial_collect_list") ||
+        (p.contains("collect_list") && p.contains("ObjectHashAggregate")),
+        s"$q: touch collect must partial-combine:\n$p")
+    }
+  }
+
   test("bounded shallow TRAVERSE compiles to one static join plan") {
     // depth <= 3 must not pay the iterative loop's per-round eager
     // checkpoints: the whole traversal is a lazy join tree over fresh
