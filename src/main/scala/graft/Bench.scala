@@ -162,11 +162,19 @@ object Bench {
         s""""unit":"sec","queries":$subs,"sf":${jstr(sfDir)},""" +
         s""""per_query":$rows}"""
     }
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_FULL.json"), fullJson + "\n")
+    // anchor to the repo root (cwd validated to contain build.sbt) so a
+    // different sbt launch directory cannot silently drop the artifact
+    val benchOut = {
+      val cwd = java.nio.file.Paths.get(
+        System.getProperty("user.dir")).toAbsolutePath
+      if (java.nio.file.Files.exists(cwd.resolve("build.sbt")))
+        cwd.resolve("BENCH_FULL.json")
+      else java.nio.file.Paths.get("BENCH_FULL.json").toAbsolutePath
+    }
+    try java.nio.file.Files.writeString(benchOut, fullJson + "\n")
     catch { case e: Throwable =>
-      System.err.println(s"[bench] BENCH_FULL.json write failed: $e") }
-    println("#F full per-query record in BENCH_FULL.json (repo root)")
+      System.err.println(s"[bench] $benchOut write failed: $e") }
+    println(s"#F full per-query record in $benchOut")
     def b36(p: Long): String =
       if (p < 0) "!" else java.lang.Long.toString(math.min(p, 35L), 36)
     // values-only positions are keyed to the FULL sorted query list;

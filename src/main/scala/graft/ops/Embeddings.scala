@@ -23,6 +23,19 @@ import org.apache.spark.sql.types.{DoubleType, LongType, StringType,
   */
 object Embeddings {
 
+  /** strict UTF-8 byte-order comparison (DuckDB's binary collation). */
+  private def utf8Lt(x: String, y: String): Boolean = {
+    val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < a.length && i < b.length) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    a.length < b.length
+  }
+
   /** Shifted-PPMI entries from co-occurrence counts
     * `pairs(aCol, bCol, nCol)`:
     * `sppmi(a,b) = ln(n_ab·N / (r_a·c_b)) − ln(shift)`, rounded to 6
@@ -77,11 +90,21 @@ object Embeddings {
       .select(col("a"), col("b"), col("sppmi").cast("double"))
       .collect()
     val entries = rows.map(r => (r.get(0), r.get(1), r.getDouble(2)))
+    // fail fast on other id types: silently .toString-ing an integer
+    // id column would change the output schema to string AND the sort
+    // to lexicographic ('10' < '2'), desyncing a numeric oracle
+    require(idType == LongType || idType == StringType,
+      s"factorize id columns must be bigint or string, got $idType — " +
+        "cast the pair frame's keys first")
     val ids: Array[Any] = idType match {
       case LongType => entries.flatMap(e => Seq(e._1, e._2)).distinct
         .map(_.asInstanceOf[Long]).sorted.map(x => x: Any)
-      case _ => entries.flatMap(e => Seq(e._1, e._2)).distinct
-        .map(_.toString).sorted.map(x => x: Any)
+      case _ =>
+        // UTF-8 byte order, matching DuckDB's binary ORDER BY collation
+        // (Scala's default String sort is UTF-16 code-unit order, which
+        // diverges for supplementary-plane characters, e.g. emoji)
+        entries.flatMap(e => Seq(e._1, e._2)).distinct.map(_.toString)
+          .sortWith(utf8Lt).map(x => x: Any)
     }
     val v = ids.length
     require(v >= 1, "factorize needs a non-empty positive-SPPMI frame" +
