@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.{Bucketing, Tables}
-import graft.ops.{Classifier, Curation, Dedup, Density, Pca, Pq, Similarity, SubstringIndex, TextOps}
+import graft.ops.{Classifier, Curation, Dedup, Density, Multimodal, Pca, Pq, Similarity, SubstringIndex, TextOps}
 import graft.ops.TextOps._
 
 /** Training-data pipeline corpus: deduplication (exact, MinHash+LSH,
@@ -36,6 +36,50 @@ object QueriesPipeline {
     * SQL literal derive from the same numbers. */
   private val DbscanEps = 80L
   private val DbscanMinPts = 4
+
+  /** qp_image_phash constants — ONE set of Scala values drives both
+    * the synthetic-pixel generator and the interpolated oracle SQL
+    * (CLAUDE.md seeded-constants rule). */
+  private val PhGroups = 25L // near-dup group: doc_id % PhGroups
+  private val PhHi = 220 // bright level
+  private val PhLo = 30 // dark level
+  private val PhFlip = 250 // perturbed pixel = PhFlip − base
+  private val PhMaxDist = 3
+
+  /** deterministic 9×8 grayscale luma for doc `id` at grid (r, c) —
+    * the dbscanPoints augmentation convention: a per-GROUP two-level
+    * pattern (groups are near-dup families; cell brightness = the top
+    * bit of md5("ph:g:r:c"), a real PRF both engines compute, so
+    * cross-group hashes sit a binomial ~32 bits apart — an arithmetic
+    * mod-pattern here made shifted groups collide within the radius)
+    * plus, for every 5th within-group member, ONE flipped pixel (≤ 2
+    * dHash bits): same-group pairs sit within Hamming ≤ 3, cross-group
+    * pairs never. Replayed verbatim in the oracle. */
+  private def phashLuma(id: Long, r: Int, c: Int): Int = {
+    val g = id % PhGroups
+    val k = id / PhGroups
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"ph:$g:$r:$c".getBytes("UTF-8"))
+    val base = if ((digest(0) & 0x80) == 0) PhHi else PhLo
+    if (k % 5 == 0 && r == (k * 3) % 8 && c == (k * 5) % 9) PhFlip - base
+    else base
+  }
+
+  /** synthetic media table for the perceptual-hash gate: one REAL
+    * 24-bpp BMP payload per doc ([[Multimodal.encodeBmp24]] — the
+    * exact flavor `bmpPixels` decodes; gray pixels make luma the
+    * identity, so the oracle can regenerate the decoded integers). */
+  private def phashMedia(s: SparkSession, dir: String): DataFrame = {
+    val rdd = docs(s, dir).select(col("doc_id")).rdd.map { r =>
+      val id = r.getLong(0)
+      val gray = Array.tabulate(72)(i => phashLuma(id, i / 9, i % 9))
+      org.apache.spark.sql.Row(id, Multimodal.encodeBmp24(9, 8, gray))
+    }
+    import org.apache.spark.sql.types._
+    s.createDataFrame(rdd, StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType))))
+  }
 
   /** deterministic integer 2-D points for qp_dbscan, derived from
     * vec_id alone (the deterministic-augmentation convention, cf.
@@ -1704,6 +1748,16 @@ object QueriesPipeline {
           col("meta.n_bytes").as("n_bytes"),
           md5(col("payload")).as("content_hash"))
         .orderBy("media_id")
+    }),
+    "qp_image_phash" -> ((s, dir) => {
+      // image perceptual-hash near-dup — the multimodal dedup loop
+      // closed: synthetic BMP payloads (deterministic group pattern +
+      // per-member pixel flip) → REAL bmpPixels decode → dHash64 →
+      // banded Hamming pairs (pigeonhole-sound 4-band join + exact
+      // bit_count verify, never all-pairs)
+      val sigs = Multimodal.imagePhashes(phashMedia(s, dir))
+      Multimodal.phashPairs(sigs, "media_id", "phash", PhMaxDist)
+        .orderBy("a_id", "b_id")
     }),
     "qp_text_quality2" -> ((s, dir) => {
       // cleaning + repetition signals: normalized-text hash (exact
@@ -4802,6 +4856,37 @@ object QueriesPipeline {
         |   octet_length(encode(text)) AS n_bytes,
         |   md5(text) AS content_hash
         | FROM documents ORDER BY media_id""".stripMargin,
+    // the decoded luma integers regenerated from doc_id (gray BMP
+    // round trip is the identity), dHash bits compared per position,
+    // brute-force all-pairs truth — any pair the banding wrongly
+    // dropped fails the gate
+    "qp_image_phash" ->
+      s"""WITH grid AS (
+         |  SELECT doc_id, r.range AS r, c.range AS c,
+         |    doc_id % $PhGroups AS g, doc_id // $PhGroups AS k
+         |  FROM documents, range(8) r, range(9) c),
+         | cells AS (
+         |  SELECT doc_id, r, c,
+         |    CASE WHEN k % 5 = 0 AND r = (k * 3) % 8 AND c = (k * 5) % 9
+         |      THEN $PhFlip - base ELSE base END AS v
+         |  FROM (SELECT *,
+         |    CASE WHEN substr(md5('ph:' || g || ':' || r || ':' || c),
+         |          1, 1) BETWEEN '0' AND '7'
+         |      THEN $PhHi ELSE $PhLo END AS base FROM grid)),
+         | bits AS (
+         |  SELECT a.doc_id, a.r * 8 + a.c AS bit_idx,
+         |    CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS bit
+         |  FROM cells a JOIN cells b
+         |    ON b.doc_id = a.doc_id AND b.r = a.r AND b.c = a.c + 1
+         |  WHERE a.c < 8),
+         | dists AS (
+         |  SELECT x.doc_id AS a_id, y.doc_id AS b_id,
+         |    SUM(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END)::INT AS dist
+         |  FROM bits x JOIN bits y
+         |    ON x.bit_idx = y.bit_idx AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2)
+         | SELECT a_id, b_id, dist FROM dists
+         | WHERE dist <= $PhMaxDist ORDER BY a_id, b_id""".stripMargin,
     "qp_text_quality2" ->
       s"""WITH t AS (SELECT doc_id, text, ${dTokens("text")} tok
          |   FROM documents),

@@ -718,6 +718,139 @@ object Multimodal {
     spark.createDataFrame(out, decodedSchema)
   }
 
+  /** Encode a grayscale grid as a bottom-up 24-bpp BI_RGB BMP — the
+    * exact flavor [[bmpPixels]] decodes. R=G=B=v makes the integer
+    * Rec.601 luma the identity ((299+587+114)·v / 1000 = v), so
+    * `bmpPixels(encodeBmp24(w,h,g)) == g` exactly: the writer half of
+    * the media round trip, and the fixture generator the perceptual-
+    * hash gate rides. `gray` is top-down row-major, values 0-255. */
+  def encodeBmp24(w: Int, h: Int, gray: Array[Int]): Array[Byte] = {
+    require(w > 0 && h > 0 && gray.length == w * h,
+      "encodeBmp24 needs a w*h top-down gray grid")
+    val stride = ((w * 3 + 3) / 4) * 4
+    val dataSize = stride * h
+    val out = new Array[Byte](54 + dataSize)
+    def le16(i: Int, v: Int): Unit = {
+      out(i) = (v & 0xff).toByte; out(i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    def le32(i: Int, v: Int): Unit = {
+      le16(i, v & 0xffff); le16(i + 2, (v >>> 16) & 0xffff)
+    }
+    out(0) = 'B'; out(1) = 'M'
+    le32(2, 54 + dataSize) // file size
+    le32(10, 54) // pixel-data offset
+    le32(14, 40) // BITMAPINFOHEADER size
+    le32(18, w)
+    le32(22, h) // positive height = bottom-up row order
+    le16(26, 1) // planes
+    le16(28, 24) // bpp
+    le32(30, 0) // BI_RGB (uncompressed)
+    le32(34, dataSize)
+    var fy = 0
+    while (fy < h) {
+      val srcRow = h - 1 - fy // bottom-up: file row fy = image row h-1-fy
+      var x = 0
+      while (x < w) {
+        val v = (gray(srcRow * w + x) & 0xff).toByte
+        val o = 54 + fy * stride + x * 3
+        out(o) = v; out(o + 1) = v; out(o + 2) = v // B, G, R
+        x += 1
+      }
+      fy += 1
+    }
+    out
+  }
+
+  /** 64-bit difference hash (dHash — the standard image near-dup
+    * fingerprint: Krawetz 2013, the aHash/dHash/pHash family) over a
+    * decoded luma grid: nearest-neighbor sample to a 9×8 grid
+    * (`sx = c·w div 9`, `sy = r·h div 8` — exact integer sampling, so
+    * the hash replays bit-identically in SQL), bit `r·8+c` set iff
+    * the right neighbor is strictly brighter. Identity-sampled when
+    * the input is already 9×8. */
+  def dHash64(w: Int, h: Int, px: Array[Int]): Long = {
+    require(w > 0 && h > 0 && px.length == w * h, "dHash64 needs w*h luma")
+    var hash = 0L
+    var r = 0
+    while (r < 8) {
+      val sy = r * h / 8
+      var c = 0
+      while (c < 8) {
+        val v0 = px(sy * w + c * w / 9)
+        val v1 = px(sy * w + (c + 1) * w / 9)
+        if (v1 > v0) hash |= 1L << (r * 8 + c)
+        c += 1
+      }
+      r += 1
+    }
+    hash
+  }
+
+  val phashSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("phash", LongType, nullable = false)))
+
+  /** Perceptual-hash stage: decode every payload with the REAL pixel
+    * decoders ([[bmpPixels]] / [[pngPixels]] / [[gifPixels]]) and emit
+    * (media_id, [[dHash64]] fingerprint). Rows whose payload no
+    * decoder accepts are DROPPED (a fingerprint from header bytes
+    * would pair unrelated images). Batched per partition, no shuffle —
+    * the same stage shape as [[decode]]. */
+  def imagePhashes(media: DataFrame, idCol: String = "media_id",
+      payloadCol: String = "payload"): DataFrame = {
+    val spark = media.sparkSession
+    val out = media.select(col(idCol).cast("long"), col(payloadCol)).rdd
+      .flatMap { r =>
+        val payload =
+          if (r.isNullAt(1)) Array.empty[Byte]
+          else r.getAs[Array[Byte]](1)
+        bmpPixels(payload).orElse(pngPixels(payload))
+          .orElse(gifPixels(payload))
+          .map { case (w, h, px) => Row(r.getLong(0), dHash64(w, h, px)) }
+      }
+    spark.createDataFrame(out, phashSchema)
+  }
+
+  /** EXACT Hamming-distance pairs over a perceptual-hash frame —
+    * banded, never all-pairs: the hash splits into `maxDist + 1`
+    * bit-bands, and by pigeonhole two hashes within `maxDist` agree on
+    * at least one whole band, so the (band, value) equi-join is a
+    * SOUND candidate superset (the SimHash/LSH blocking discipline);
+    * `bit_count(a XOR b)` verifies candidates exactly. Same hot-bucket
+    * caveat as every LSH join: run exact dedup first so byte-identical
+    * images don't all share every band. Returns (a_id, b_id, dist),
+    * each pair once. */
+  def phashPairs(sigs: DataFrame, idCol: String, hashCol: String,
+      maxDist: Int): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 15,
+      "maxDist must be in [0, 15] — wider radii need more bands than " +
+        "64 bits usefully split into")
+    val nBands = maxDist + 1
+    val bandVals = (0 until nBands).map { b =>
+      val lo = b * 64 / nBands
+      val hi = (b + 1) * 64 / nBands
+      val mask = if (hi - lo == 64) -1L else (1L << (hi - lo)) - 1L
+      shiftright(col("__h"), lo).bitwiseAND(lit(mask))
+    }
+    // signature table: one (id, long) row per image — tiny next to the
+    // payload corpus; materialize once, both self-join sides read it
+    val s = sigs.select(col(idCol).as("__id"),
+      col(hashCol).cast("long").as("__h")).localCheckpoint()
+    val bands = s.select(col("__id"), col("__h"),
+      posexplode(array(bandVals: _*)).as(Seq("__band", "__bv")))
+    val a = bands.select(col("__id").as("a_id"), col("__h").as("__ha"),
+      col("__band"), col("__bv"))
+    val b = bands.select(col("__id").as("b_id"), col("__h").as("__hb"),
+      col("__band"), col("__bv"))
+    a.join(b, Seq("__band", "__bv")).filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "__ha", "__hb")
+      .distinct() // a close pair collides in several bands — pair once
+      .withColumn("dist",
+        bit_count(col("__ha").bitwiseXOR(col("__hb"))).cast("int"))
+      .filter(col("dist") <= maxDist)
+      .select("a_id", "b_id", "dist")
+  }
+
   /** "resize": recompute pseudo-dims at a target size — plumbing for
     * the transform-stage position of a real resize. */
   def resize(decoded: DataFrame, maxSide: Int): DataFrame =
