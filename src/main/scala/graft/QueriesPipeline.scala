@@ -228,14 +228,20 @@ object QueriesPipeline {
       // near-dup pipeline must report before trusting probabilistic
       // banding at scale (composes two existing gates)
       val d = docs(s, dir)
+      // BOTH generators ride ONE persisted signature/set table (the
+      // corpus explode + per-doc aggregation they would otherwise
+      // each redo; ppjoin's distinct hash base is the explode of the
+      // __sh sets, so the corpus-sized distinct exchange goes too)
+      val sig = Dedup.sigSets(d, "doc_id", "text").persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       // each pair frame feeds TWO closes (its own count + the
       // semi-join) — localCheckpoint so the expensive generators run
       // once, not twice (the qp_curation_report stage discipline)
-      val exact = Dedup.ppjoinPairs(d, "doc_id", "text", threshold = 0.8)
+      val exact = Dedup.ppjoinPairsOnSigSets(sig, threshold = 0.8)
         .select(col("a_id"), col("b_id")).localCheckpoint()
-      val approx = Dedup.minhashPairs(d, "doc_id", "text",
-          threshold = 0.8)
+      val approx = Dedup.minhashPairsOnSigSets(sig, threshold = 0.8)
         .select(col("a_id"), col("b_id")).localCheckpoint()
+      sig.unpersist()
       exact.agg(count(lit(1)).as("n_true"))
         .crossJoin(exact.join(approx, Seq("a_id", "b_id"), "left_semi")
           .agg(count(lit(1)).as("n_found")))

@@ -132,6 +132,28 @@ object Dedup {
     * exclusion: they can never verify, and their degenerate band keys
     * would send candidate generation quadratic (~10¹² pairs at
     * 100 TB). */
+  /** ONE shingle-exploded corpus pass `(__id, __s)` — the frame the
+    * signature/set builders start from. Spread is applied here. */
+  private def shingledCorpus(df: DataFrame, idCol: String,
+      textCol: String, shingleN: Int = 4): DataFrame =
+    spread(df).select(col(idCol).as("__id"),
+      explode(charShingles(col(textCol), shingleN)).as("__s"))
+
+  /** The per-doc signature + sorted-shingle-set table
+    * `(__id, s0..s{k-1}, __sh)` — ONE corpus explode + ONE
+    * partial-combining aggregation. Exposed so a caller composing the
+    * exact ppjoin and the banded MinHash generator over the SAME
+    * corpus (the lsh-recall eval shape) can build this once, persist
+    * it, and feed [[minhashPairsOnSigSets]] AND
+    * [[ppjoinPairsOnSigSets]]: separately the two generators re-scan,
+    * re-shingle and re-aggregate the corpus — and ppjoin's distinct
+    * (id, hash) base is exactly the EXPLODE of `__sh`, so sharing
+    * also deletes a corpus-sized distinct exchange. Caller persists
+    * (it feeds ≥ 4 join sides). */
+  def sigSets(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 4): DataFrame =
+    sigSetsBase(df, idCol, textCol, shingleN)
+
   /** fused signature + shingle-set base: ONE exploded corpus pass
     * feeding both the minhash min-aggregates and the exact-verify
     * shingle sets (see [[minhashPairs]] for why fused). Not persisted
@@ -141,9 +163,11 @@ object Dedup {
     * can run the compiled [[SortedOverlap]] merge-scan per pair
     * instead of an array_intersect hash build. */
   private def sigSetsBase(df: DataFrame, idCol: String,
-      textCol: String, shingleN: Int): DataFrame = {
-    val exploded = spread(df).select(col(idCol).as("__id"),
-        explode(charShingles(col(textCol), shingleN)).as("__s"))
+      textCol: String, shingleN: Int): DataFrame =
+    sigSetsFromShingles(shingledCorpus(df, idCol, textCol, shingleN))
+
+  private def sigSetsFromShingles(shingled: DataFrame): DataFrame = {
+    val exploded = shingled
       .withColumn("__h", hashMod(col("__s"), MinhashP))
     val aggs = minhashCoeffs.zipWithIndex.map { case ((a, b), i) =>
       min((lit(a) * col("__h") + lit(b)) % MinhashP).as(s"s$i")
@@ -153,9 +177,18 @@ object Dedup {
 
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleN: Int = 4, bands: Int = 4): DataFrame = {
+    val base = sigSetsBase(df, idCol, textCol, shingleN).persist()
+    val pairs = minhashPairsOnSigSets(base, threshold, bands)
+    base.unpersist()
+    pairs
+  }
+
+  /** [[minhashPairs]] over a pre-built (caller-persisted — it feeds
+    * four join sides) [[sigSets]] table. */
+  def minhashPairsOnSigSets(base: DataFrame, threshold: Double,
+      bands: Int = 4): DataFrame = {
     require(bands > 0 && MinhashK % bands == 0,
       s"bands must evenly divide MinhashK=$MinhashK, got $bands")
-    val base = sigSetsBase(df, idCol, textCol, shingleN).persist()
     val buckets = bandBucketsFromSigs(base, bands)
     val candidates = buckets.select(col("__band"), col("__id").as("a_id"))
       .join(buckets.select(col("__band"), col("__id").as("b_id")),
@@ -174,7 +207,6 @@ object Dedup {
         jacFromInter(col("__i"), col("__sha"), col("__shb")).as("jac"))
       .filter(col("jac") >= threshold)
       .localCheckpoint()
-    base.unpersist()
     pairs
   }
 
@@ -311,6 +343,20 @@ object Dedup {
       threshold: Double, shingleN: Int = 4): DataFrame =
     ppjoinImpl(df, idCol, textCol, threshold, shingleN, Nil)
 
+  /** [[ppjoinPairs]] over a pre-built (caller-persisted) [[sigSets]]
+    * table — unblocked only (the blocked variant derives its block
+    * key from the source rows). The distinct (id, hash) base is the
+    * EXPLODE of the `__sh` sets (narrow — sets are distinct by
+    * construction, so no distinct exchange), and the verify reads
+    * `__sh` directly instead of re-aggregating candidate sets: every
+    * row this produces is identical to [[ppjoinPairs]]' — same rarity
+    * order, same filters, same merge-scan verify. */
+  def ppjoinPairsOnSigSets(base: DataFrame, threshold: Double): DataFrame =
+    ppjoinCore(
+      base.select(col("__id"), explode(col("__sh")).as("__h")),
+      _ => base.select(col("__id"), col("__sh")),
+      threshold, blk = false)
+
   /** [[ppjoinPairs]] run INSIDE caller-supplied blocking keys — the
     * exact sub-quadratic escape for vocabulary-SATURATED corpora
     * (ScratchR8's measured 2.27 exponent): candidates only form
@@ -336,13 +382,18 @@ object Dedup {
 
   private def ppjoinImpl(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleN: Int, blockCols: Seq[String]): DataFrame = {
-    require(threshold > 0 && threshold <= 1, "threshold in (0, 1]")
     val blk = blockCols.nonEmpty
-    // one composite block column; every join/groupBy below keys on
-    // (__blk, __h) when blocked and plain __h when not — the unblocked
-    // plan is bit-identical to the pre-blocking operator
+    val src = if (blk) spread(df)
+        .withColumn("__blk", struct(blockCols.map(col): _*))
+      else spread(df)
     val blkCols: Seq[Column] = if (blk) Seq(col("__blk")) else Nil
-    val keyCols: Seq[String] = if (blk) Seq("__blk", "__h") else Seq("__h")
+    val exploded = src.select(col(idCol).as("__id") +: blkCols :+
+      explode(charShingles(col(textCol), shingleN)).as("__s"): _*)
+    ppjoinFromShingles(exploded, threshold, blk)
+  }
+
+  private def ppjoinFromShingles(exploded: DataFrame, threshold: Double,
+      blk: Boolean): DataFrame = {
     // MEMORY_AND_DISK_SER, not the default: inside a query SUITE these
     // frames compete for storage memory with neighboring queries'
     // caches — an evicted default-level block is silently RECOMPUTED
@@ -351,14 +402,40 @@ object Dedup {
     // blocks shrink the footprint and evictions spill to local disk
     // instead of recomputing.
     val diskSer = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
-    val src = if (blk) spread(df)
-        .withColumn("__blk", struct(blockCols.map(col): _*))
-      else spread(df)
-    val base = src.select(col(idCol).as("__id") +: blkCols :+
-        explode(charShingles(col(textCol), shingleN)).as("__s"): _*)
+    val blkCols: Seq[Column] = if (blk) Seq(col("__blk")) else Nil
+    val base = exploded
       .select(col("__id") +: blkCols :+ hash60(col("__s")).as("__h"): _*)
       .distinct()
       .persist(diskSer)
+    // verify sets ONLY for docs that survived candidate pruning: the
+    // semi-join runs BEFORE collect_set, so non-candidate docs (the
+    // overwhelming majority at corpus scale after rare-first pruning)
+    // never materialize a shingle array at all
+    val pairs = ppjoinCore(base,
+      candIds => base.join(candIds, Seq("__id"), "left_semi")
+        .groupBy("__id")
+        .agg(sort_array(collect_set(col("__h"))).as("__sh")),
+      threshold, blk)
+    base.unpersist()
+    pairs
+  }
+
+  /** shared middle of the ppjoin family: `base` = distinct
+    * (__id, [__blk], __h) rows (persisted by the caller when its plan
+    * is expensive to replay); `setsFor(candIds)` supplies the sorted
+    * shingle-set frame (__id, __sh) the verify joins — either built
+    * from `base` restricted to candidates, or a pre-aggregated
+    * [[sigSets]] table. */
+  private def ppjoinCore(base: DataFrame,
+      setsFor: DataFrame => DataFrame, threshold: Double,
+      blk: Boolean): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold in (0, 1]")
+    // one composite block column; every join/groupBy below keys on
+    // (__blk, __h) when blocked and plain __h when not — the unblocked
+    // plan is bit-identical to the pre-blocking operator
+    val blkCols: Seq[Column] = if (blk) Seq(col("__blk")) else Nil
+    val keyCols: Seq[String] = if (blk) Seq("__blk", "__h") else Seq("__h")
+    val diskSer = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
     val freq = base.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("__f"))
     val w = org.apache.spark.sql.expressions.Window
@@ -423,23 +500,18 @@ object Dedup {
       .filter(col("__c") + least(col("__na") - col("__xa"),
           col("__nb") - col("__xb")) >= alpha)
       .select("a_id", "b_id")
-    // verify sets ONLY for docs that survived candidate pruning: the
-    // semi-join runs BEFORE collect_set, so non-candidate docs (the
-    // overwhelming majority at corpus scale after rare-first pruning)
-    // never materialize a shingle array at all. candIds is derived
-    // once; candidates is persisted so the id projection and the
-    // verify join read one materialization, not two plan replays.
+    // candIds is derived once; candidates is persisted so the id
+    // projection and the verify join read one materialization, not
+    // two plan replays.
     val candMat = candidates.persist(diskSer)
     val candIds = candMat.select(col("a_id").as("__id"))
       .union(candMat.select(col("b_id").as("__id"))).distinct()
-    // sort ONCE at set build (per doc): the verify then runs the
-    // compiled SortedOverlap merge-scan per PAIR with a
+    // sets are sorted ONCE at set build (per doc): the verify then
+    // runs the compiled SortedOverlap merge-scan per PAIR with a
     // threshold-bound early exit — array_intersect would build a hash
     // set per pair, the dominant stage cost (ScratchR7 §1: verify was
     // 2.8-3.0 s of 7.5 s)
-    val sets = base.join(candIds, Seq("__id"), "left_semi")
-      .groupBy("__id")
-      .agg(sort_array(collect_set(col("__h"))).as("__sh"))
+    val sets = setsFor(candIds)
     // shuffle_hash on the sets side: the pair side carries the __sha
     // arrays after the first join — an SMJ would SORT those wide rows
     // by b_id; the hash join builds on the (one-row-per-doc, so
@@ -459,7 +531,6 @@ object Dedup {
         jacFromInter(col("__i"), col("__sha"), col("__shb")).as("jac"))
       .filter(col("jac") >= threshold)
       .localCheckpoint()
-    base.unpersist()
     prefix.unpersist()
     candMat.unpersist()
     pairs
