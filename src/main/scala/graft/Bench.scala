@@ -171,10 +171,14 @@ object Bench {
         cwd.resolve("BENCH_FULL.json")
       else java.nio.file.Paths.get("BENCH_FULL.json").toAbsolutePath
     }
-    try java.nio.file.Files.writeString(benchOut, fullJson + "\n")
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] $benchOut write failed: $e") }
-    println(s"#F full per-query record in $benchOut")
+    // filtered (local-timing) runs must not clobber the committed
+    // full-suite artifact with a partial record
+    if (args.isEmpty) {
+      try java.nio.file.Files.writeString(benchOut, fullJson + "\n")
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $benchOut write failed: $e") }
+      println(s"#F full per-query record in $benchOut")
+    }
     def b36(p: Long): String =
       if (p < 0) "!" else java.lang.Long.toString(math.min(p, 35L), 36)
     // values-only positions are keyed to the FULL sorted query list;

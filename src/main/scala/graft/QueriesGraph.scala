@@ -56,6 +56,17 @@ object QueriesGraph {
           TradeGraph.edges(s, dir))
         .orderBy(col("id"))
     }),
+    "qg_scc" -> ((s, dir) => {
+      // directed strongly-connected components over the directed
+      // trade graph (customer→supplier always; supplier→customer only
+      // on repeat relations): SCCs are the mutually-active trading
+      // communities that undirected CC overcounts (it merges one-way
+      // chains). Exact — the oracle is the SEMANTIC truth (recursive
+      // transitive closure, min mutual-reach partner), not a replay.
+      GraphOps.sccDF(TradeGraph.vertices(s, dir),
+          TradeGraph.directedEdges(s, dir))
+        .orderBy(col("id"))
+    }),
     "qg_triangles" -> ((s, dir) => {
       // per-vertex triangle counts over the co-purchaser projection of
       // 100 focal customers: an edge when two customers share >= 5
@@ -1071,6 +1082,29 @@ object QueriesGraph {
     "qg_pagerank10" -> pagerankSql(10),
     "qg_ppr" -> pprSql(5, Seq(1L, 2L, 3L)),
     "qg_connected_components" -> ccSql(12),
+    // SEMANTIC truth, not an algorithm replay: full recursive
+    // transitive closure over the directed trade graph, scc = min
+    // mutual-reach partner — any vertex the engine's refinement
+    // misclassifies fails the gate
+    "qg_scc" ->
+      s"""WITH RECURSIVE rel AS (
+         |  SELECT o_custkey AS c, l_suppkey + $Off AS sp,
+         |    count(DISTINCT o_orderkey) AS n
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |  GROUP BY 1, 2),
+         | de AS MATERIALIZED (
+         |  SELECT c AS src, sp AS dst FROM rel
+         |  UNION ALL
+         |  SELECT sp AS src, c AS dst FROM rel WHERE n >= 2),
+         | verts AS (SELECT c_custkey AS id FROM customer
+         |  UNION ALL SELECT s_suppkey + $Off FROM supplier),
+         | reach(a, b) AS (
+         |  SELECT id, id FROM verts
+         |  UNION
+         |  SELECT r.a, de.dst FROM reach r JOIN de ON de.src = r.b)
+         | SELECT r1.a AS id, min(r1.b) AS scc
+         | FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+         | GROUP BY r1.a ORDER BY id""".stripMargin,
     "qg_shortest_paths" ->
       // bounded recursive BFS; UNION (not ALL) dedups (id, dist) rows
       // per step so the path-count explosion never materializes

@@ -212,6 +212,144 @@ object GraphOps {
     reached
   }
 
+  /** Directed strongly-connected components — the directed companion
+    * to [[connectedComponents]], which treats edges as undirected and
+    * merges one-way chains (on a directed trade graph it overcounts
+    * every community). Iterated forward/backward min-label PARTITION
+    * REFINEMENT — the FW-BW reachability-intersection idea (Fleischer,
+    * Hendrickson & Pınar 2000) recast so every step is a join +
+    * partial-combining aggregation:
+    *
+    *  - within each current class, propagate the min vertex id to a
+    *    FIXPOINT along forward edges (f) and along reversed edges (b),
+    *    both restricted to same-class endpoints;
+    *  - re-class each vertex by its (class, f, b) triple, new label =
+    *    the triple-group's min member id; repeat until no class splits.
+    *
+    * Stable classes are EXACTLY the SCCs: refinement never splits an
+    * SCC (mutually-reachable vertices share every class-restricted f
+    * and b), and a stable class C with min-id member m forces
+    * f(v) = m and b(v) = m for all v ∈ C (f(m) = m because no smaller
+    * id exists in C; b(m) = m likewise) — so m reaches and is reached
+    * by every member within C, giving C ⊆ SCC(m) ⊆ C. Exact integer
+    * labels; partitioning-independent.
+    *
+    * Scale shape: per inner round ONE equi-join along the same-class
+    * edge frame + ONE partial-combining min groupBy (celebrity
+    * vertices pre-combine map-side — no windows); per outer round one
+    * (cls, f, b) min-groupBy re-class; the same-class edge frame is
+    * derived once per outer round; every loop frame localCheckpoints
+    * (lineage truncation, the iterative-operator discipline). Rounds
+    * are data-dependent (inner ≤ class diameter, outer ≤ refinement
+    * depth — small on real graphs); exceeding `maxRounds` RAISES
+    * instead of returning a wrong partition (the unbounded-TRAVERSE
+    * convention). Returns (id, scc), scc = min member id. */
+  def sccDF(vertices: DataFrame, edges: DataFrame,
+      maxRounds: Int = 50): DataFrame = {
+    val e0 = edges.select(col("src"), col("dst")).distinct().persist()
+    // finalized (id, scc) slices accumulate here and union ONCE at
+    // the end — each references a checkpointed frame, so no per-round
+    // materialization of the growing result is needed
+    val done = scala.collection.mutable.ListBuffer[DataFrame]()
+    var cls = vertices.select(col("id").cast("long").as("id"),
+        lit(0L).as("cls"))
+      .localCheckpoint(true)
+    var outer = 0
+    while (!cls.isEmpty) {
+      outer += 1
+      if (outer > maxRounds) throw new IllegalStateException(
+        s"SCC refinement exceeded $maxRounds rounds without " +
+          "converging — raise maxRounds")
+      // edges with both endpoints live and in the same class (round 1
+      // has one class covering everything — skip the two joins)
+      val eSame = (if (outer == 1) e0 else e0
+          .join(cls.select(col("id").as("src"), col("cls").as("__cs")),
+            "src")
+          .join(cls.select(col("id").as("dst"), col("cls").as("__cd")),
+            "dst")
+          .filter(col("__cs") === col("__cd"))
+          .select("src", "dst"))
+        .localCheckpoint(true)
+      val eRev = eSame.select(col("dst").as("src"), col("src").as("dst"))
+      // fused forward/backward min-label fixpoint: one loop frame
+      // carries (f, b); TWO propagation steps per materialization
+      // (lineage depth 2 halves the checkpoint/probe actions — round
+      // count is the class diameter, the job count is what dominates
+      // wall time on a 30-job iterative operator)
+      // `step` preserves the round-start labels (__of, __ob) so the
+      // change probe is a narrow filter over the MATERIALIZED frame —
+      // a per-round probe JOIN would pay a full shuffle job each round
+      def step(l: DataFrame): DataFrame = {
+        val fm = l.select(col("id").as("__u"), col("f").as("__fu"))
+          .join(eSame, col("__u") === eSame("src"))
+          .groupBy(col("dst").as("id")).agg(min(col("__fu")).as("__fm"))
+        val bm = l.select(col("id").as("__u"), col("b").as("__bu"))
+          .join(eRev, col("__u") === eRev("src"))
+          .groupBy(col("dst").as("id")).agg(min(col("__bu")).as("__bm"))
+        l.join(fm, Seq("id"), "left").join(bm, Seq("id"), "left")
+          .select(col("id"),
+            least(col("f"), coalesce(col("__fm"), col("f"))).as("f"),
+            least(col("b"), coalesce(col("__bm"), col("b"))).as("b"),
+            col("__of"), col("__ob"))
+      }
+      var lab = cls.select(col("id"), col("id").as("f"),
+        col("id").as("b")).localCheckpoint(true)
+      var changed = true
+      var inner = 0
+      while (changed) {
+        inner += 1
+        if (inner > maxRounds) throw new IllegalStateException(
+          s"SCC min-label propagation exceeded $maxRounds rounds — " +
+            "raise maxRounds")
+        val pre = lab.select(col("id"), col("f"), col("b"),
+          col("f").as("__of"), col("b").as("__ob"))
+        // TWO hops per materialization: lineage depth 2 halves the
+        // checkpoint + probe jobs (job scheduling, not data volume,
+        // dominates this loop locally); measured against 3 hops the
+        // wider plan costs more than the saved job (8.4 vs 9.5 s
+        // median-of-5 at sf0.1)
+        val next = step(step(pre)).localCheckpoint(true)
+        // labels only decrease — the strict-< probe is exact
+        changed = !next.filter(col("f") < col("__of") ||
+          col("b") < col("__ob")).isEmpty
+        lab = next.select(col("id"), col("f"), col("b"))
+        if (sys.env.contains("SPARK_GRAFT_SCC_DEBUG"))
+          System.err.println(s"[scc] outer=$outer inner=$inner " +
+            s"changed=$changed t=${System.nanoTime() / 1000000}")
+      }
+      // re-class by (cls, f, b). CERTIFICATION, both final same round:
+      //  - a group with f == b == m IS exactly SCC(m): members reach m
+      //    and are reached by m (⊆), and any v ∈ SCC(m) shares m's
+      //    class-restricted min ancestor/descendant — a smaller
+      //    ancestor x of v would be an ancestor of every member (=);
+      //  - a singleton group is a singleton SCC (a ≥2-member SCC never
+      //    splits across groups, so its members can't appear alone).
+      // Everything else strictly split (a stable class forces f == b,
+      // by the min-member argument above) — refine only those. On the
+      // trade graph this certifies the giant SCC in ROUND ONE, where
+      // the parts-per-class rule needed a full confirming fixpoint.
+      val joined = cls.join(lab, Seq("id"))
+      val groups = joined.groupBy(col("cls"), col("f"), col("b"))
+        .agg(min(col("id")).as("__new"), count(lit(1)).as("__gn"))
+      // ONE materialization per outer round; the done slice and the
+      // surviving classes are narrow filters over it (lazy reads of
+      // the checkpointed frame — re-materializing each would pay two
+      // more full jobs per round)
+      val next = joined.join(groups, Seq("cls", "f", "b"))
+        .select(col("id"), col("__new"), col("f"), col("b"), col("__gn"))
+        .localCheckpoint(true)
+      val isFinal = col("f") === col("b") || col("__gn") === 1
+      done += next.filter(isFinal)
+        .select(col("id"), col("__new").as("scc"))
+      cls = next.filter(!isFinal)
+        .select(col("id"), col("__new").as("cls"))
+    }
+    e0.unpersist()
+    if (done.isEmpty)
+      cls.select(col("id"), col("cls").as("scc")) // empty vertex set
+    else done.reduce(_ unionByName _)
+  }
+
   /** undirected triangle count per vertex via GraphX. */
   def triangleCounts(spark: SparkSession, vertices: DataFrame,
       edges: DataFrame): DataFrame = {
@@ -1310,6 +1448,28 @@ object TradeGraph {
         .groupBy(col("o_custkey").cast("long").as("src"),
           (col("l_suppkey") + SupplierOffset).cast("long").as("dst"))
         .agg(min(col("l_quantity").cast("long")).as("w"))
+    }
+
+  /** DIRECTED variant with return edges: money flows customer →
+    * supplier on EVERY trading relation; goods keep flowing back
+    * supplier → customer only on REPEAT relations (≥ 2 distinct
+    * orders — a one-shot purchase is a dead end, repeat business is a
+    * live two-way tie). The plain [[edges]] graph is bipartite
+    * one-way (every SCC a singleton); this is the graph where SCCs —
+    * mutually-active trading communities — are a meaningful readout.
+    * Same fact-fact join, the distinct replaced by an order-count
+    * groupBy (one shuffle). */
+  def directedEdges(s: SparkSession, dir: String): DataFrame =
+    cached(s, s"dedges:$dir") {
+      val o = graft.sources.Tables.load(s, dir, "orders")
+      val l = graft.sources.Tables.load(s, dir, "lineitem")
+      val rel = o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy(col("o_custkey").cast("long").as("c"),
+          (col("l_suppkey") + SupplierOffset).cast("long").as("sp"))
+        .agg(countDistinct(col("o_orderkey")).as("__n"))
+      rel.select(col("c").as("src"), col("sp").as("dst"))
+        .unionByName(rel.filter(col("__n") >= 2)
+          .select(col("sp").as("src"), col("c").as("dst")))
     }
 
   /** temporal variant: one edge per trading relation, activation `t` =

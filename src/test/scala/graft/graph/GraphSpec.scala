@@ -42,6 +42,38 @@ class GraphSpec extends AnyFunSuite {
     assert(supComponents == 1)
   }
 
+  test("SCC: cycles merge, chains and one-way links don't, invariance") {
+    import spark.implicits._
+    // 1→2→3→1 is a 3-cycle; 3→4→5 is a one-way tail; 6↔7 a 2-cycle;
+    // 8 is isolated. Undirected CC would merge {1..5} — SCC must not.
+    val v = (1L to 8L).toDF("id")
+    val e = Seq(
+      (1L, 2L), (2L, 3L), (3L, 1L), // 3-cycle
+      (3L, 4L), (4L, 5L), // one-way tail
+      (6L, 7L), (7L, 6L) // 2-cycle
+    ).toDF("src", "dst")
+    val got = GraphOps.sccDF(v, e).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 5L, 6L -> 6L, 7L -> 6L, 8L -> 8L))
+    // the counterexample that breaks plain one-shot (min-ancestor,
+    // min-descendant) pair equality: 1→3, 1→4, 3→2, 4→2 gives 3 and 4
+    // the same (F, B) = (1, 2) although they are separate SCCs — the
+    // refinement's second round must split them
+    val v2 = (1L to 4L).toDF("id")
+    val e2 = Seq((1L, 3L), (1L, 4L), (3L, 2L), (4L, 2L))
+      .toDF("src", "dst")
+    val got2 = GraphOps.sccDF(v2, e2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L))
+    // partitioning invariance on the real directed trade graph
+    def run(p: Int) = GraphOps.sccDF(
+        TradeGraph.vertices(spark, sf).repartition(p),
+        TradeGraph.directedEdges(spark, sf).repartition(p))
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(run(1) == run(13))
+  }
+
   test("triangle count on a known graph") {
     import spark.implicits._
     // triangle 1-2-3 plus a dangling edge 3-4
