@@ -82,7 +82,10 @@ object Traverse {
     // optimizes as a whole (exchange reuse dedups the repeated scans).
     // Deep/unbounded traversals keep the checkpointed BFS below, whose
     // per-round lineage truncation is what survives 10+ rounds.
-    val static = end <= 3
+    // The system property is a measurement-only escape (ScratchR10's
+    // static-vs-BFS A/B) — never set in production paths.
+    val static = end <= 3 &&
+      System.getProperty("graft.traverse.forceBfs") == null
 
     // per-class frontier/visited of (__origin, __node) pairs
     var frontier: Map[String, DataFrame] = {
