@@ -259,8 +259,29 @@ object QueriesDialect {
         s" ${QueriesRelational.HoltBeta}) order by day")),
     "qd_pipe_dau_mau" -> ((s, dir) => gq(s, dir,
       "select day, dau, mau_est, stickiness_micro from " +
-        "dau_mau(events, 'user_id', 'ts', 28, 256) order by day"))
+        "dau_mau(events, 'user_id', 'ts', 28, 256) order by day")),
+    "qd_pipe_attribution_multi" -> ((s, dir) => gq(s, dir,
+      // window interpolated from the SAME Scala constant that
+      // generates the paired oracle (one-value-feeds-both-sides rule)
+      "select channel, credit_micro, share_micro from " +
+        "attribution_multi(events, 'user_id', 'ts', 'event_id', " +
+        s"'event_type', 'purchase', " +
+        s"${QueriesRelational.AttributionWindowUs}, 'linear') " +
+        "order by channel")),
+    "qd_pipe_word_embeddings" -> ((s, dir) => gq(s, dir,
+      // params interpolated from the shared constants below
+      "select id, e0, e1 from word_embeddings(documents, 'doc_id', " +
+        s"'text', $WordEmbVocabK, $WordEmbShift, $WordEmbIters) " +
+        "order by id"))
   )
+
+  /** qd_pipe_word_embeddings parameters — one place feeds the SQL
+    * text above AND the oracle generator below (no augmentation here:
+    * shift 1 keeps the raw corpus' positive-PMI cells, exercising the
+    * generic pipeline the table function exposes). */
+  private[graft] val WordEmbVocabK = 16
+  private[graft] val WordEmbShift = 1
+  private[graft] val WordEmbIters = 100
 
   private def gq(s: SparkSession, dir: String, sql: String): DataFrame =
     g(s, dir).query(sql)
@@ -482,6 +503,14 @@ object QueriesDialect {
     "qd_pipe_kaplan_meier" ->
       QueriesRelational.oracleSql("q_kaplan_meier"),
     "qd_pipe_holt" -> QueriesRelational.oracleSql("q_holt_linear"),
-    "qd_pipe_dau_mau" -> QueriesRelational.oracleSql("q_dau_mau")
+    "qd_pipe_dau_mau" -> QueriesRelational.oracleSql("q_dau_mau"),
+    "qd_pipe_attribution_multi" ->
+      QueriesRelational.oracleSql("q_attribution_linear"),
+    // the generic (un-augmented) instantiation of the shared
+    // recursive-CTE factorization oracle, from the same constants as
+    // the query text
+    "qd_pipe_word_embeddings" -> QueriesPipeline.sppmiEmbedSql(
+      QueriesPipeline.wordPairSrc("SELECT doc_id, text FROM documents",
+        WordEmbVocabK), WordEmbShift, WordEmbIters)
   )
 }

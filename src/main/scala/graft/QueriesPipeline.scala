@@ -1332,24 +1332,8 @@ object QueriesPipeline {
         expr("repeat(concat(' ta', cast(doc_id % 4 as string), " +
           "' tb', cast(doc_id % 4 as string), " +
           "' tc', cast(doc_id % 4 as string)), 8)")))
-      val toks = graft.ops.Partitioning.spread(aug)
-        .select(col("doc_id"),
-          posexplode(tokensWs(col("text"))).as(Seq("pos", "term")))
-      val vocab = toks.groupBy("term").agg(count(lit(1)).as("__c"))
-        .orderBy(col("__c").desc, col("term")).limit(24)
-        .select("term")
-      val tv = toks.join(broadcast(vocab), "term").localCheckpoint()
-      val probe = tv.select(col("doc_id"), col("term").as("a"),
-          col("pos"),
-          explode(typedlit(Seq(-2, -1, 1, 2))).as("__o"))
-        .select(col("doc_id"), col("a"), (col("pos") + col("__o")).as("pos"))
-      val pairsDf = probe
-        .join(tv.select(col("doc_id"), col("pos"), col("term").as("b")),
-          Seq("doc_id", "pos"))
-        .groupBy("a", "b").agg(count(lit(1)).as("n"))
-      graft.ops.Embeddings.factorize(
-          graft.ops.Embeddings.sppmi(pairsDf, "a", "b", "n", shift = 2),
-          k = 2, iters = 100)
+      graft.ops.Embeddings.wordEmbeddings(aug, "doc_id", "text",
+          vocabK = 24, shift = 2, iters = 100)
         .orderBy("id")
     }),
     "qp_winnow_fp" -> ((s, dir) => {
@@ -2178,29 +2162,36 @@ object QueriesPipeline {
        | FROM vocab, v1, v2 ORDER BY id""".stripMargin
   }
 
-  /** the (a, b, n) word skip-gram pair source replayed in SQL: top-24
-    * vocabulary (count desc, term asc), ±2 window over ORIGINAL token
+  /** generic (a, b, n) word skip-gram pair source in SQL — mirrors
+    * [[graft.ops.Embeddings.wordEmbeddings]]'s harvest: `from` is a
+    * SQL relation producing (doc_id, text); top-`vocabK` vocabulary
+    * (count desc, term asc), ±2 window over ORIGINAL token
     * positions. */
-  private lazy val wordPairSrcSql: String =
-    s"""WITH aug AS (SELECT doc_id, text ||
-       |     repeat(' ta' || CAST(doc_id % 4 AS VARCHAR) ||
-       |       ' tb' || CAST(doc_id % 4 AS VARCHAR) ||
-       |       ' tc' || CAST(doc_id % 4 AS VARCHAR), 8) AS text
-       |   FROM documents),
+  private[graft] def wordPairSrc(from: String, vocabK: Int): String =
+    s"""WITH src AS ($from),
        | t AS (SELECT doc_id, ${dTokens("text")} AS tok
-       |   FROM aug),
+       |   FROM src),
        | tk0 AS (SELECT doc_id, tok, unnest(range(len(tok))) AS pos
        |   FROM t),
        | tk AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
        |     tok[pos+1] AS term FROM tk0),
-       | vocab24 AS (SELECT term FROM (SELECT term, count(*) AS c
-       |   FROM tk GROUP BY 1 ORDER BY c DESC, term LIMIT 24)),
+       | vocabk AS (SELECT term FROM (SELECT term, count(*) AS c
+       |   FROM tk GROUP BY 1 ORDER BY c DESC, term LIMIT $vocabK)),
        | tv AS (SELECT tk.doc_id, tk.pos, tk.term FROM tk
-       |   JOIN vocab24 USING (term))
+       |   JOIN vocabk USING (term))
        | SELECT x.term AS a, y.term AS b, CAST(count(*) AS BIGINT) AS n
        | FROM tv x JOIN tv y ON x.doc_id = y.doc_id
        |   AND y.pos - x.pos IN (-2, -1, 1, 2)
        | GROUP BY 1, 2""".stripMargin
+
+  /** the qp_word_embeddings instantiation: topic-augmented documents,
+    * vocab 24 (see the query comment for why augmentation). */
+  private lazy val wordPairSrcSql: String = wordPairSrc(
+    """SELECT doc_id, text ||
+      |     repeat(' ta' || CAST(doc_id % 4 AS VARCHAR) ||
+      |       ' tb' || CAST(doc_id % 4 AS VARCHAR) ||
+      |       ' tc' || CAST(doc_id % 4 AS VARCHAR), 8) AS text
+      |   FROM documents""".stripMargin, vocabK = 24)
 
   /** PQ constants shared by the Spark queries and the oracle SQL:
     * m=4 subspaces × 16 dims, 16 codes each, seeded codebooks. */

@@ -27,7 +27,8 @@ object PipelineTables {
     Set("dedup_pairs", "exact_dups", "quality_gate", "c4_clean",
       "fingerprints", "chunk_docs", "bm25_topk", "frequent_pairs",
       "rake_phrases", "profile", "chi_square", "acf", "attribution",
-      "histogram", "fd_audit", "kaplan_meier", "holt_linear", "dau_mau")
+      "histogram", "fd_audit", "kaplan_meier", "holt_linear", "dau_mau",
+      "attribution_multi", "word_embeddings")
 
   def resolve(catalog: Catalog, fn: String,
       args: Seq[SqlExpr]): DataFrame = {
@@ -107,6 +108,23 @@ object PipelineTables {
         graft.ops.Funnel.lastTouchAttribution(classArg(0), strArg(1),
           strArg(2), strArg(3), strArg(4), strArg(5),
           numArg(6).toLong)
+      case "attribution_multi" =>
+        // (class, userF, tsF, idF, typeF, convType, windowUs, model)
+        // model: 'linear' | 'position' (U-shaped 40/40/20)
+        arity(8)
+        val model = strArg(7)
+        if (model != "linear" && model != "position")
+          bad("argument 8 must be 'linear' or 'position'")
+        graft.ops.Funnel.multiTouchAttribution(classArg(0), strArg(1),
+          strArg(2), strArg(3), strArg(4), strArg(5),
+          numArg(6).toLong, model)
+      case "word_embeddings" =>
+        // (class, idF, textF, vocabK, shift, iters) — trained rank-2
+        // word vectors (top-K vocab, ±2 skip-grams, shifted PPMI,
+        // symmetric factorization); returns (id, e0, e1)
+        arity(6)
+        graft.ops.Embeddings.wordEmbeddings(classArg(0), strArg(1),
+          strArg(2), intArg(3), intArg(4), intArg(5))
       case "histogram" => // (class, numField, bins)
         arity(3)
         graft.ops.Profile.equiWidthHistogram(classArg(0),

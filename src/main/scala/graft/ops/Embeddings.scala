@@ -70,6 +70,40 @@ object Embeddings {
       .select(col("a"), col("b"), col("sppmi"))
   }
 
+  /** End-to-end word embeddings from a text column — the composed
+    * pipeline behind `qp_word_embeddings` and the `word_embeddings`
+    * SQL table function: top-`vocabK` vocabulary (count desc, term
+    * asc — deterministic), ±2 skip-gram pairs over ORIGINAL token
+    * positions (non-vocab tokens hold their slots but pair with
+    * nothing), [[sppmi]](shift), rank-2 [[factorize]] (rank fixed at
+    * 2 to match the recursive-CTE oracle generator's two deflation
+    * stages). Returns (id, e0, e1) — id = the vocabulary term.
+    *
+    * Scale shape: one posexplode corpus pass; the vocabulary is
+    * top-K (broadcastable by construction); the pair harvest is a
+    * (doc, position)-key equi-join of the vocab-filtered token frame
+    * with itself (fan-out bounded at 4 offsets/row); the SPPMI
+    * marginals partial-combine; only the V×V control-plane matrix
+    * reaches the driver. */
+  def wordEmbeddings(df: DataFrame, idCol: String, textCol: String,
+      vocabK: Int, shift: Int, iters: Int): DataFrame = {
+    require(vocabK >= 2, "need a vocabulary of at least 2 terms")
+    val toks = Partitioning.spread(df).select(col(idCol).as("__doc"),
+      posexplode(TextOps.tokensWs(col(textCol))).as(Seq("pos", "term")))
+    val vocab = toks.groupBy("term").agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("term")).limit(vocabK)
+      .select("term")
+    val tv = toks.join(broadcast(vocab), "term").localCheckpoint()
+    val probe = tv.select(col("__doc"), col("term").as("a"), col("pos"),
+        explode(typedlit(Seq(-2, -1, 1, 2))).as("__o"))
+      .select(col("__doc"), col("a"), (col("pos") + col("__o")).as("pos"))
+    val pairsDf = probe
+      .join(tv.select(col("__doc"), col("pos"), col("term").as("b")),
+        Seq("__doc", "pos"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n"))
+    factorize(sppmi(pairsDf, "a", "b", "n", shift), k = 2, iters = iters)
+  }
+
   /** Rank-k factorization of a [[sppmi]] frame into embeddings:
     * collect the sparse matrix (bounded-vocabulary contract — the
     * caller prunes to a top-V vocabulary or a walk-visited vertex

@@ -295,6 +295,11 @@ class DialectSpec extends AnyFunSuite {
       g.query("select from exact_dups(documents, 'doc_id', 42)"))
     intercept[Parser.ParseException](
       g.query("select from exact_dups('documents', 'doc_id', 'text')"))
+    // attribution_multi: a model outside {'linear','position'} is an
+    // argument-shape parse error, not an operator crash
+    intercept[Parser.ParseException](
+      g.query("select from attribution_multi(events, 'user_id', 'ts'," +
+        " 'event_id', 'event_type', 'purchase', 86400000000, 'bogus')"))
   }
 
   test("pipeline table functions READ-check their class arguments") {
