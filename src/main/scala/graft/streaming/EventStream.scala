@@ -277,4 +277,106 @@ object EventStream {
           }
       }
   }
+
+  final case class MtTouch(tUs: Long, id: Long, ch: String)
+  final case class MtState(touches: List[MtTouch])
+  final case class MtCredit(user_id: Long, event_id: Long,
+      ts: Timestamp, channel: String, credit_micro: Long)
+
+  /** Streaming MULTI-touch attribution —
+    * [[graft.ops.Funnel.multiTouchAttribution]]'s real-time shape,
+    * completing the attribution family: per user the state is a
+    * CAPPED in-window touch list (newest `maxTouches` kept), and each
+    * conversion emits one credit row per qualifying touch the moment
+    * it arrives, with the batch operator's EXACT integer credit rules
+    * (linear telescoping `i·10⁶ div k − (i−1)·10⁶ div k`; U-shaped
+    * 40/40/20 with telescoped middles) and the same (ts, id) touch
+    * order and same-microsecond tie discipline — so per-conversion
+    * credits sum to exactly 10⁶ and per-channel sums equal the batch
+    * close on the same feed.
+    *
+    * State-cap trade (the documented difference from batch): a user
+    * with MORE than `maxTouches` in-window touches loses the OLDEST
+    * ones — the bot/power-user account whose unbounded touch history
+    * is exactly what unbounded streaming state must never carry.
+    * Size the cap to the window's realistic human maximum (default
+    * 1000); under the cap and fed in order, streamed ≡ batch
+    * (spec-pinned). Touches whose window has passed the watermark are
+    * pruned every batch, and idle users evict by event-time timeout —
+    * state is bounded by (active users × cap). Out-of-order guard:
+    * a state touch with event time after the conversion never
+    * qualifies (x.t ≤ conv.t, the batch filter), and a touch arriving
+    * in a later batch cannot retro-credit an emitted conversion
+    * (append-mode contract, the [[streamingAttribution]] trade). */
+  def streamingMultiTouchAttribution(events: Dataset[Ev],
+      convType: String, windowUs: Long, model: String,
+      maxTouches: Int = 1000,
+      watermarkDelay: String = "10 minutes"): Dataset[MtCredit] = {
+    require(windowUs > 0, "attribution window must be positive")
+    require(model == "linear" || model == "position",
+      s"model must be 'linear' or 'position', got '$model'")
+    require(maxTouches >= 1, "maxTouches must be positive")
+    import events.sparkSession.implicits._
+    // the batch operator's credit expression in exact integer form —
+    // Long./ truncates toward zero ≡ SQL div on these non-negative
+    // operands
+    def credit(i: Int, k: Int): Long = model match {
+      case "linear" =>
+        i.toLong * 1000000L / k - (i - 1).toLong * 1000000L / k
+      case _ =>
+        if (k == 1) 1000000L
+        else if (k == 2) 500000L
+        else if (i == 1 || i == k) 400000L
+        else (i - 1).toLong * 200000L / (k - 2) -
+          (i - 2).toLong * 200000L / (k - 2)
+    }
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[MtState, MtCredit](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, evs: Iterator[Ev], state: GroupState[MtState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            // newest-first; trimmed to the cap on every insert
+            var touches = state.getOption.map(_.touches).getOrElse(Nil)
+            var out = List.empty[MtCredit]
+            evs.toSeq.sortBy(e => (tsUs(e.ts),
+                if (e.event_type == convType) 1 else 0, e.event_id))
+              .foreach { e =>
+                val t = tsUs(e.ts)
+                if (e.event_type == convType) {
+                  val tl = touches
+                    .filter(s => s.tUs <= t && s.tUs >= t - windowUs)
+                    .sortBy(s => (s.tUs, s.id))
+                  val k = tl.size
+                  if (k == 0)
+                    out ::= MtCredit(uid, e.event_id, e.ts, "(none)",
+                      1000000L)
+                  else tl.zipWithIndex.foreach { case (s, ix) =>
+                    out ::= MtCredit(uid, e.event_id, e.ts, s.ch,
+                      credit(ix + 1, k))
+                  }
+                } else {
+                  touches = (MtTouch(t, e.event_id, e.event_type) ::
+                    touches).sortBy(s => (-s.tUs, -s.id))
+                    .take(maxTouches)
+                }
+              }
+            // prune touches whose qualification window has passed the
+            // watermark — no future conversion can credit them
+            val wmUs = state.getCurrentWatermarkMs() * 1000L
+            touches = touches.filter(_.tUs + windowUs >= wmUs)
+            if (touches.nonEmpty) {
+              state.update(MtState(touches))
+              // ceil to ms (the funnel's boundary discipline)
+              state.setTimeoutTimestamp(math.max(
+                Math.floorDiv(touches.head.tUs + windowUs + 999L, 1000L),
+                state.getCurrentWatermarkMs() + 1))
+            } else if (state.exists) state.remove()
+            out.reverseIterator
+          }
+      }
+  }
 }

@@ -913,4 +913,67 @@ class EventStreamSpec extends AnyFunSuite {
       assert(lastRow.length == 1 && lastRow(0).getString(3) == "(none)")
     } finally q.stop()
   }
+
+  test("streaming multi-touch attribution: streamed credits equal " +
+      "batch; per-conversion sums are exactly 1e6; cap drops oldest") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val winUs = 60L * 60 * 1000000 // 1 h lookback
+    def e(id: Long, hm: String, u: Long, t: String) =
+      Ev(id, Timestamp.valueOf(s"2026-01-01 $hm:00"), u, t, 1.0)
+    // globally time-ordered, split at 10:10 so the second batch stays
+    // ahead of the first batch's watermark (the in-order feed contract)
+    val rows = Seq(
+      // user 1: three touches then a purchase — linear telescopes
+      // 333333/333333/333334 (remainder on the LAST position)
+      e(1, "10:00", 1, "view"), e(5, "10:05", 2, "click"),
+      e(2, "10:10", 1, "click"),
+      e(3, "10:20", 1, "view"), e(4, "10:30", 1, "purchase"),
+      // user 2: one touch — full credit; user 3: untouched → (none)
+      e(6, "10:35", 2, "purchase"), e(7, "10:40", 3, "purchase"))
+    val input = MemoryStream[Ev]
+    val q = EventStream.streamingMultiTouchAttribution(input.toDS(),
+        "purchase", winUs, model = "linear",
+        watermarkDelay = "1 minute")
+      .writeStream.format("memory").queryName("smt")
+      .outputMode("append").start()
+    try {
+      input.addData(rows.take(3): _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(3): _*)
+      q.processAllAvailable()
+      // every conversion distributes exactly 10^6 micro-units
+      val sums = spark.table("smt").groupBy("event_id")
+        .agg(sum("credit_micro").as("s")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(sums == Map(4L -> 1000000L, 6L -> 1000000L,
+        7L -> 1000000L))
+      // per-channel credit totals equal the batch operator's close
+      val batch = graft.ops.Funnel.multiTouchAttribution(rows.toDF(),
+          "user_id", "ts", "event_id", "event_type", "purchase",
+          winUs, "linear")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val streamed = spark.table("smt").groupBy("channel")
+        .agg(sum("credit_micro").as("s")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(streamed == batch)
+      assert(streamed("view") == 333333L + 333334L)
+    } finally q.stop()
+    // the documented state-cap trade: maxTouches = 2 keeps only the
+    // NEWEST two of user 1's three touches — the U-shaped k=2 rule
+    // splits 500k/500k over (click, view) instead of 400/200/400
+    val input2 = MemoryStream[Ev]
+    val q2 = EventStream.streamingMultiTouchAttribution(input2.toDS(),
+        "purchase", winUs, model = "position", maxTouches = 2,
+        watermarkDelay = "1 minute")
+      .writeStream.format("memory").queryName("smt2")
+      .outputMode("append").start()
+    try {
+      input2.addData(Seq(rows(0), rows(2), rows(3), rows(4)): _*)
+      q2.processAllAvailable()
+      val got = spark.table("smt2")
+        .collect().map(r => r.getString(3) -> r.getLong(4)).toMap
+      assert(got == Map("click" -> 500000L, "view" -> 500000L))
+    } finally q2.stop()
+  }
 }
