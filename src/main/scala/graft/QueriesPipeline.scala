@@ -1749,6 +1749,15 @@ object QueriesPipeline {
       Multimodal.phashPairs(sigs, "media_id", "phash", PhMaxDist)
         .orderBy("a_id", "b_id")
     }),
+    "qp_image_dedup" -> ((s, dir) => {
+      // the image dedup loop CLOSED end to end: decode → dHash →
+      // banded Hamming pairs → converged min-label clusters (the text
+      // nearDupClusters machinery riding the image pair frame)
+      val sigs = Multimodal.imagePhashes(phashMedia(s, dir))
+      val pairs = Multimodal.phashPairs(sigs, "media_id", "phash",
+        PhMaxDist)
+      Dedup.nearDupClusters(pairs, "a_id", "b_id").orderBy("cluster")
+    }),
     "qp_text_quality2" -> ((s, dir) => {
       // cleaning + repetition signals: normalized-text hash (exact
       // dedup key robust to case/punct noise) and duplicate-bigram
@@ -1876,8 +1885,44 @@ object QueriesPipeline {
     * COUPLING: OpsHygieneSpec "oracle horizon covers the gate corpus"
     * pins effective propagation depth ≤ 10 on the sf0.01 pairs —
     * raise both together if future data grows longer chains. */
-  private lazy val dClusterCtes: String = {
-    val rounds = (1 to 10).map { t =>
+  /** the qp_image_phash brute-force distance CTEs: decoded luma
+    * integers regenerated from doc_id (the gray-BMP encode/decode
+    * round trip is the identity), dHash bits compared per position —
+    * `dists` holds every pair's exact Hamming distance. Shared by the
+    * pair gate and the cluster gate. */
+  private lazy val phashDistCtes: String =
+    s"""grid AS (
+       |  SELECT doc_id, r.range AS r, c.range AS c,
+       |    doc_id % $PhGroups AS g, doc_id // $PhGroups AS k
+       |  FROM documents, range(8) r, range(9) c),
+       | cells AS (
+       |  SELECT doc_id, r, c,
+       |    CASE WHEN k % 5 = 0 AND r = (k * 3) % 8 AND c = (k * 5) % 9
+       |      THEN $PhFlip - base ELSE base END AS v
+       |  FROM (SELECT *,
+       |    CASE WHEN substr(md5('ph:' || g || ':' || r || ':' || c),
+       |          1, 1) BETWEEN '0' AND '7'
+       |      THEN $PhHi ELSE $PhLo END AS base FROM grid)),
+       | bits AS (
+       |  SELECT a.doc_id, a.r * 8 + a.c AS bit_idx,
+       |    CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS bit
+       |  FROM cells a JOIN cells b
+       |    ON b.doc_id = a.doc_id AND b.r = a.r AND b.c = a.c + 1
+       |  WHERE a.c < 8),
+       | dists AS (
+       |  SELECT x.doc_id AS a_id, y.doc_id AS b_id,
+       |    SUM(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END)::INT AS dist
+       |  FROM bits x JOIN bits y
+       |    ON x.bit_idx = y.bit_idx AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2)""".stripMargin
+
+  /** unrolled min-label propagation rounds over CTEs `u` (symmetric
+    * pair edges) and `l0` (identity labels) — the SQL replay of
+    * converged [[graft.ops.Dedup.nearDupClusters]]; shared by the
+    * text and image dedup-cluster oracles. 10 rounds cover any gate
+    * pair graph's diameter (the engine runs to convergence). */
+  private def minLabelRoundsSql(rounds: Int): String =
+    (1 to rounds).map { t =>
       s"""l$t AS MATERIALIZED (SELECT id, min(lbl) AS lbl FROM (
          |   SELECT id, lbl FROM l${t - 1}
          |   UNION ALL
@@ -1885,6 +1930,9 @@ object QueriesPipeline {
          |     JOIN l${t - 1} ON u.a = l${t - 1}.id
          | ) GROUP BY id)""".stripMargin
     }.mkString(",\n ")
+
+  private lazy val dClusterCtes: String = {
+    val rounds = minLabelRoundsSql(10)
     s"""t AS (SELECT doc_id, lang,
        |   CAST(floor(n_chars / 20) AS INT) lb,
        |   list_distinct(list_transform(${dShingles("text")},
@@ -4858,32 +4906,21 @@ object QueriesPipeline {
     // brute-force all-pairs truth — any pair the banding wrongly
     // dropped fails the gate
     "qp_image_phash" ->
-      s"""WITH grid AS (
-         |  SELECT doc_id, r.range AS r, c.range AS c,
-         |    doc_id % $PhGroups AS g, doc_id // $PhGroups AS k
-         |  FROM documents, range(8) r, range(9) c),
-         | cells AS (
-         |  SELECT doc_id, r, c,
-         |    CASE WHEN k % 5 = 0 AND r = (k * 3) % 8 AND c = (k * 5) % 9
-         |      THEN $PhFlip - base ELSE base END AS v
-         |  FROM (SELECT *,
-         |    CASE WHEN substr(md5('ph:' || g || ':' || r || ':' || c),
-         |          1, 1) BETWEEN '0' AND '7'
-         |      THEN $PhHi ELSE $PhLo END AS base FROM grid)),
-         | bits AS (
-         |  SELECT a.doc_id, a.r * 8 + a.c AS bit_idx,
-         |    CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS bit
-         |  FROM cells a JOIN cells b
-         |    ON b.doc_id = a.doc_id AND b.r = a.r AND b.c = a.c + 1
-         |  WHERE a.c < 8),
-         | dists AS (
-         |  SELECT x.doc_id AS a_id, y.doc_id AS b_id,
-         |    SUM(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END)::INT AS dist
-         |  FROM bits x JOIN bits y
-         |    ON x.bit_idx = y.bit_idx AND x.doc_id < y.doc_id
-         |  GROUP BY 1, 2)
+      s"""WITH $phashDistCtes
          | SELECT a_id, b_id, dist FROM dists
          | WHERE dist <= $PhMaxDist ORDER BY a_id, b_id""".stripMargin,
+    // the same brute-force distance truth fed through the shared
+    // converged min-label replay — end-to-end image dedup clusters
+    "qp_image_dedup" ->
+      s"""WITH $phashDistCtes,
+         | p AS MATERIALIZED (SELECT a_id AS a, b_id AS b FROM dists
+         |   WHERE dist <= $PhMaxDist),
+         | u AS MATERIALIZED (SELECT a, b FROM p
+         |   UNION ALL SELECT b, a FROM p),
+         | l0 AS (SELECT DISTINCT a AS id, a AS lbl FROM u),
+         | ${minLabelRoundsSql(10)}
+         | SELECT lbl AS cluster, count(*) AS n_members FROM l10
+         | GROUP BY lbl ORDER BY cluster""".stripMargin,
     "qp_text_quality2" ->
       s"""WITH t AS (SELECT doc_id, text, ${dTokens("text")} tok
          |   FROM documents),
