@@ -65,6 +65,40 @@ object QueriesPipeline {
     else base
   }
 
+  /** qp_audio_fingerprint constants (the image-gate convention, audio
+    * modality): per-group band amplitudes from the md5 PRF, one
+    * flipped band (≤ 2 fingerprint bits) per 5th group member. */
+  private val AuHi = 12000
+  private val AuLo = 2000
+
+  private def audioAmp(id: Long, j: Int): Int = {
+    val g = id % PhGroups
+    val k = id / PhGroups
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"au:$g:$j".getBytes("UTF-8"))
+    val base = if ((digest(0) & 0x80) == 0) AuHi else AuLo
+    if (k % 5 == 0 && j == (k * 7) % 65) AuHi + AuLo - base else base
+  }
+
+  /** synthetic media table for the audio-fingerprint gate: one REAL
+    * 16-bit PCM WAV per doc ([[Multimodal.encodeWavPcm16]] — the
+    * exact flavor `wavPcmSamples` decodes): 65 bands × 10 constant-
+    * amplitude samples, so band energy = 10·amp² and the energy
+    * comparison the engine computes from DECODED samples equals the
+    * amplitude comparison the oracle regenerates from doc_id. */
+  private def audioMedia(s: SparkSession, dir: String): DataFrame = {
+    val rdd = docs(s, dir).select(col("doc_id")).rdd.map { r =>
+      val id = r.getLong(0)
+      val samples = Array.tabulate(650)(i => audioAmp(id, i / 10))
+      org.apache.spark.sql.Row(id,
+        Multimodal.encodeWavPcm16(8000, 1, samples))
+    }
+    import org.apache.spark.sql.types._
+    s.createDataFrame(rdd, StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType))))
+  }
+
   /** synthetic media table for the perceptual-hash gate: one REAL
     * 24-bpp BMP payload per doc ([[Multimodal.encodeBmp24]] — the
     * exact flavor `bmpPixels` decodes; gray pixels make luma the
@@ -1746,6 +1780,15 @@ object QueriesPipeline {
       // banded Hamming pairs (pigeonhole-sound 4-band join + exact
       // bit_count verify, never all-pairs)
       val sigs = Multimodal.imagePhashes(phashMedia(s, dir))
+      Multimodal.phashPairs(sigs, "media_id", "phash", PhMaxDist)
+        .orderBy("a_id", "b_id")
+    }),
+    "qp_audio_fingerprint" -> ((s, dir) => {
+      // audio near-dup — the third modality of the dedup triangle:
+      // synthetic WAV payloads → REAL wavPcmSamples decode →
+      // energy-difference fingerprint (exact integer band energies)
+      // → the same banded Hamming pair join the image path rides
+      val sigs = Multimodal.audioFingerprints(audioMedia(s, dir))
       Multimodal.phashPairs(sigs, "media_id", "phash", PhMaxDist)
         .orderBy("a_id", "b_id")
     }),
@@ -4907,6 +4950,37 @@ object QueriesPipeline {
     // dropped fails the gate
     "qp_image_phash" ->
       s"""WITH $phashDistCtes
+         | SELECT a_id, b_id, dist FROM dists
+         | WHERE dist <= $PhMaxDist ORDER BY a_id, b_id""".stripMargin,
+    // band amplitudes regenerated from doc_id (constant-amplitude
+    // bands make the decoded-energy comparison equal the amplitude
+    // comparison), fingerprint bits compared per position,
+    // brute-force all-pairs truth
+    "qp_audio_fingerprint" ->
+      s"""WITH grid AS (
+         |  SELECT doc_id, j.range AS j,
+         |    doc_id % $PhGroups AS g, doc_id // $PhGroups AS k
+         |  FROM documents, range(65) j),
+         | amps AS (
+         |  SELECT doc_id, j,
+         |    CASE WHEN k % 5 = 0 AND j = (k * 7) % 65
+         |      THEN $AuHi + $AuLo - base ELSE base END AS amp
+         |  FROM (SELECT *,
+         |    CASE WHEN substr(md5('au:' || g || ':' || j), 1, 1)
+         |          BETWEEN '0' AND '7'
+         |      THEN $AuHi ELSE $AuLo END AS base FROM grid)),
+         | bits AS (
+         |  SELECT a.doc_id, a.j AS bit_idx,
+         |    CASE WHEN b.amp > a.amp THEN 1 ELSE 0 END AS bit
+         |  FROM amps a JOIN amps b
+         |    ON b.doc_id = a.doc_id AND b.j = a.j + 1
+         |  WHERE a.j < 64),
+         | dists AS (
+         |  SELECT x.doc_id AS a_id, y.doc_id AS b_id,
+         |    SUM(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END)::INT AS dist
+         |  FROM bits x JOIN bits y
+         |    ON x.bit_idx = y.bit_idx AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2)
          | SELECT a_id, b_id, dist FROM dists
          | WHERE dist <= $PhMaxDist ORDER BY a_id, b_id""".stripMargin,
     // the same brute-force distance truth fed through the shared

@@ -786,6 +786,97 @@ object Multimodal {
     hash
   }
 
+  /** Encode 16-bit signed PCM samples as a canonical RIFF/WAVE file —
+    * the exact flavor [[wavPcmSamples]] decodes; the writer half of
+    * the audio round trip (`wavPcmSamples(encodeWavPcm16(...)) ==
+    * samples` exactly), and the fixture generator the audio-
+    * fingerprint gate rides. */
+  def encodeWavPcm16(rate: Int, channels: Int,
+      samples: Array[Int]): Array[Byte] = {
+    require(rate > 0 && channels > 0, "bad WAV params")
+    val dataLen = samples.length * 2
+    val out = new Array[Byte](44 + dataLen)
+    def ascii(i: Int, s: String): Unit =
+      s.getBytes("US-ASCII").copyToArray(out, i)
+    def le16(i: Int, v: Int): Unit = {
+      out(i) = (v & 0xff).toByte; out(i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    def le32(i: Int, v: Int): Unit = {
+      le16(i, v & 0xffff); le16(i + 2, (v >>> 16) & 0xffff)
+    }
+    ascii(0, "RIFF"); le32(4, 36 + dataLen); ascii(8, "WAVE")
+    ascii(12, "fmt "); le32(16, 16)
+    le16(20, 1) // PCM
+    le16(22, channels)
+    le32(24, rate)
+    le32(28, rate * channels * 2) // byte rate
+    le16(32, channels * 2) // block align
+    le16(34, 16) // bits per sample
+    ascii(36, "data"); le32(40, dataLen)
+    var i = 0
+    while (i < samples.length) {
+      le16(44 + 2 * i, samples(i) & 0xffff)
+      i += 1
+    }
+    out
+  }
+
+  /** 64-bit audio energy-difference fingerprint — the audio analog of
+    * [[dHash64]] (energy-difference hashing, the simplified shape of
+    * the Haitsma-Kalker/Shazam family): the sample stream splits into
+    * 65 equal bands (`lo = j·n div 65` — exact integer sampling), each
+    * band's energy is the EXACT integer sum of squared samples, and
+    * bit j is set iff band j+1 carries more energy than band j.
+    * All-integer, so the fingerprint replays bit-identically in SQL;
+    * pair with [[phashPairs]] (the banded Hamming join is
+    * modality-agnostic). */
+  def audioEnergyHash64(samples: Array[Int]): Long = {
+    require(samples.nonEmpty, "audioEnergyHash64 needs samples")
+    val n = samples.length
+    def bandEnergy(j: Int): Long = {
+      val lo = j * n / 65
+      val hi = math.max(lo + 1, (j + 1) * n / 65)
+      var s = 0L
+      var i = lo
+      while (i < math.min(hi, n)) {
+        s += samples(i).toLong * samples(i)
+        i += 1
+      }
+      s
+    }
+    var hash = 0L
+    var prev = bandEnergy(0)
+    var j = 0
+    while (j < 64) {
+      val cur = bandEnergy(j + 1)
+      if (cur > prev) hash |= 1L << j
+      prev = cur
+      j += 1
+    }
+    hash
+  }
+
+  /** Audio-fingerprint stage: decode every payload with the REAL
+    * [[wavPcmSamples]] PCM decoder and emit (media_id,
+    * [[audioEnergyHash64]]). Undecodable or empty payloads are
+    * DROPPED (a fingerprint from header bytes would pair unrelated
+    * audio). Batched per partition, no shuffle. */
+  def audioFingerprints(media: DataFrame, idCol: String = "media_id",
+      payloadCol: String = "payload"): DataFrame = {
+    val spark = media.sparkSession
+    val out = media.select(col(idCol).cast("long"), col(payloadCol)).rdd
+      .flatMap { r =>
+        val payload =
+          if (r.isNullAt(1)) Array.empty[Byte]
+          else r.getAs[Array[Byte]](1)
+        wavPcmSamples(payload).collect {
+          case (_, _, samples) if samples.nonEmpty =>
+            Row(r.getLong(0), audioEnergyHash64(samples))
+        }
+      }
+    spark.createDataFrame(out, phashSchema)
+  }
+
   val phashSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("phash", LongType, nullable = false)))
