@@ -1826,6 +1826,12 @@ object QueriesPipeline {
       SubstringIndex.search(s, idxDir, d, "doc_id", "text", "spark data")
         .orderBy("doc_id")
     }),
+    "qp_zipf_fit" -> ((s, dir) => {
+      // corpus-health diagnostic: Zipf rank-frequency OLS over the
+      // top-100 vocabulary (natural text ⇒ slope ≈ −1; templated/
+      // synthetic corpora bend the line — a mix/boilerplate alarm)
+      TextOps.zipfFit(docs(s, dir), "text", topK = 100)
+    }),
     "qp_text_fingerprint" -> ((s, dir) => {
       TextOps.fingerprintTable(docs(s, dir), "doc_id", "text", k = 4)
         .orderBy("doc_id")
@@ -4944,6 +4950,26 @@ object QueriesPipeline {
         |   octet_length(encode(text)) AS n_bytes,
         |   md5(text) AS content_hash
         | FROM documents ORDER BY media_id""".stripMargin,
+    "qp_zipf_fit" ->
+      s"""WITH t AS (SELECT ${dTokens("text")} AS tok FROM documents),
+         | tt AS (SELECT unnest(tok) AS term FROM t),
+         | f AS (SELECT term, CAST(count(*) AS BIGINT) AS f FROM tt
+         |   GROUP BY term ORDER BY f DESC, term LIMIT 100),
+         | rk AS (SELECT f,
+         |   row_number() OVER (ORDER BY f DESC, term) AS r FROM f),
+         | xy AS (SELECT CAST(round(ln(r) * 1e6) AS BIGINT) AS x,
+         |     CAST(round(ln(f) * 1e6) AS BIGINT) AS y FROM rk),
+         | s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |   CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |   CAST(sum(x*y) AS BIGINT) AS sxy,
+         |   CAST(sum(x*x) AS BIGINT) AS sxx FROM xy),
+         | sl AS (SELECT n, sx, sy,
+         |   CAST(n * sxy - sx * sy AS DOUBLE) /
+         |     CAST(n * sxx - sx * sx AS DOUBLE) AS slope FROM s)
+         | SELECT n AS n_terms, round(slope, 6) AS slope,
+         |   round((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+         |     / CAST(n AS DOUBLE) / 1e6, 6) AS intercept
+         | FROM sl""".stripMargin,
     // the decoded luma integers regenerated from doc_id (gray BMP
     // round trip is the identity), dHash bits compared per position,
     // brute-force all-pairs truth — any pair the banding wrongly

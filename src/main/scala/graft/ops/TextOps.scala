@@ -1518,4 +1518,53 @@ object TextOps {
         round(col("__nll"), 6).as("nll"),
         round(exp(col("__nll")), 3).as("ppl"))
   }
+
+  /** Zipf rank-frequency fit — the standard corpus-health diagnostic
+    * (Zipf 1949: natural language has ln f ≈ a − s·ln r with s ≈ 1;
+    * synthetic/templated/boilerplate corpora bend the line): OLS of
+    * ln(frequency) on ln(rank) over the top-`topK` vocabulary.
+    *
+    * Determinism discipline: ln values are rounded to integer MICRO
+    * units per term (`round(ln·10⁶)` — integral doubles cast exactly
+    * on both engines), so every OLS sum is an EXACT integer and the
+    * two closing divisions convert identical integers to identical
+    * doubles. Equal-frequency rank ties don't matter: swapping tied
+    * terms permutes ranks among equal frequencies, leaving the
+    * (rank, freq) multiset — and every sum — unchanged, so the result
+    * is collation-independent.
+    *
+    * Scale shape: one explode + partial-combining term count; ranking
+    * is a window over the top-K frame ONLY (K rows, never the
+    * vocabulary); one closing aggregate. Returns one row
+    * (n_terms, slope, intercept). */
+  def zipfFit(df: org.apache.spark.sql.DataFrame, textCol: String,
+      topK: Int = 100): org.apache.spark.sql.DataFrame = {
+    require(topK >= 2, "need at least 2 ranks to fit a line")
+    val freqs = Partitioning.spread(df)
+      .select(explode(tokensWs(col(textCol))).as("__t"))
+      .groupBy("__t").agg(count(lit(1)).as("__f"))
+      .orderBy(col("__f").desc, col("__t")).limit(topK)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__f").desc, col("__t"))
+    val xy = freqs.withColumn("__r", row_number().over(w))
+      .select(
+        round(log(col("__r").cast("double")) * 1e6).cast("long").as("x"),
+        round(log(col("__f").cast("double")) * 1e6).cast("long").as("y"))
+    xy.agg(count(lit(1)).as("__n"), sum(col("x")).as("__sx"),
+        sum(col("y")).as("__sy"),
+        sum(col("x") * col("y")).as("__sxy"),
+        sum(col("x") * col("x")).as("__sxx"))
+      // integer numerator/denominator FIRST (exact), then one double
+      // division — both engines convert the same integers
+      .withColumn("__slope",
+        (col("__n") * col("__sxy") - col("__sx") * col("__sy"))
+          .cast("double") /
+          (col("__n") * col("__sxx") - col("__sx") * col("__sx"))
+            .cast("double"))
+      .select(col("__n").as("n_terms"),
+        round(col("__slope"), 6).as("slope"),
+        round((col("__sy").cast("double") -
+          col("__slope") * col("__sx").cast("double")) /
+          col("__n").cast("double") / 1e6, 6).as("intercept"))
+  }
 }

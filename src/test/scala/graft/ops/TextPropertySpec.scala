@@ -11,6 +11,23 @@ import graft.SparkTestSession
   * against the plain-Scala meaning they claim to have. */
 class TextPropertySpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
+
+  test("zipfFit: an exact power-law corpus fits slope -1; invariance") {
+    import spark.implicits._
+    // term w_r appears exactly 840/r times (840 divisible by 1..8),
+    // so ln f = ln 840 - ln r — a perfect slope -1, intercept ln 840
+    val words = (1 to 8).flatMap(r => Seq.fill(840 / r)(s"w$r"))
+    val docs = words.grouped(64).map(_.mkString(" ")).toSeq.toDF("text")
+    val got = TextOps.zipfFit(docs, "text", topK = 8).collect().head
+    assert(got.getLong(0) == 8)
+    assert(math.abs(got.getDouble(1) + 1.0) < 1e-4, s"slope ${got}")
+    assert(math.abs(got.getDouble(2) - math.log(840)) < 1e-4)
+    // partitioning invariance (exact integer sums close the fit)
+    val p7 = TextOps.zipfFit(docs.repartition(7), "text", 8)
+      .collect().head
+    assert(p7.getDouble(1) == got.getDouble(1) &&
+      p7.getDouble(2) == got.getDouble(2))
+  }
   import spark.implicits._
 
   // printable ascii plus extra whitespace/punct density so the
