@@ -162,14 +162,17 @@ object Bench {
         s""""unit":"sec","queries":$subs,"sf":${jstr(sfDir)},""" +
         s""""per_query":$rows}"""
     }
-    // anchor to the repo root (cwd validated to contain build.sbt) so a
-    // different sbt launch directory cannot silently drop the artifact
+    // anchor to the repo root: walk up from the launch cwd to the
+    // nearest directory containing build.sbt (sbt run from a
+    // subdirectory would otherwise silently drop the artifact there);
+    // no build.sbt anywhere above → fall back to the cwd
     val benchOut = {
       val cwd = java.nio.file.Paths.get(
         System.getProperty("user.dir")).toAbsolutePath
-      if (java.nio.file.Files.exists(cwd.resolve("build.sbt")))
-        cwd.resolve("BENCH_FULL.json")
-      else java.nio.file.Paths.get("BENCH_FULL.json").toAbsolutePath
+      Iterator.iterate(cwd)(_.getParent).takeWhile(_ != null).take(6)
+        .find(p => java.nio.file.Files.exists(p.resolve("build.sbt")))
+        .getOrElse(cwd)
+        .resolve("BENCH_FULL.json")
     }
     // filtered (local-timing) runs must not clobber the committed
     // full-suite artifact with a partial record

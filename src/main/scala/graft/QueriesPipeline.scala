@@ -4960,9 +4960,8 @@ object QueriesPipeline {
          | xy AS (SELECT CAST(round(ln(r) * 1e6) AS BIGINT) AS x,
          |     CAST(round(ln(f) * 1e6) AS BIGINT) AS y FROM rk),
          | s AS (SELECT CAST(count(*) AS BIGINT) AS n,
-         |   CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-         |   CAST(sum(x*y) AS BIGINT) AS sxy,
-         |   CAST(sum(x*x) AS BIGINT) AS sxx FROM xy),
+         |   sum(x) AS sx, sum(y) AS sy,
+         |   sum(x*y) AS sxy, sum(x*x) AS sxx FROM xy),
          | sl AS (SELECT n, sx, sy,
          |   CAST(n * sxy - sx * sy AS DOUBLE) /
          |     CAST(n * sxx - sx * sx AS DOUBLE) AS slope FROM s)

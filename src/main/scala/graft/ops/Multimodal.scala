@@ -834,8 +834,10 @@ object Multimodal {
     require(samples.nonEmpty, "audioEnergyHash64 needs samples")
     val n = samples.length
     def bandEnergy(j: Int): Long = {
-      val lo = j * n / 65
-      val hi = math.max(lo + 1, (j + 1) * n / 65)
+      // Long offsets: j * n overflows Int past ~33M samples (ordinary
+      // podcast-length audio)
+      val lo = (j.toLong * n / 65).toInt
+      val hi = math.max(lo + 1, ((j + 1).toLong * n / 65).toInt)
       var s = 0L
       var i = lo
       while (i < math.min(hi, n)) {
@@ -867,7 +869,7 @@ object Multimodal {
     val out = media.select(col(idCol).cast("long"), col(payloadCol)).rdd
       .flatMap { r =>
         val payload =
-          if (r.isNullAt(1)) Array.empty[Byte]
+          if (r.isNullAt(0) || r.isNullAt(1)) Array.empty[Byte]
           else r.getAs[Array[Byte]](1)
         wavPcmSamples(payload).collect {
           case (_, _, samples) if samples.nonEmpty =>
@@ -892,8 +894,9 @@ object Multimodal {
     val spark = media.sparkSession
     val out = media.select(col(idCol).cast("long"), col(payloadCol)).rdd
       .flatMap { r =>
+        // a null id or payload is dropped like an undecodable payload
         val payload =
-          if (r.isNullAt(1)) Array.empty[Byte]
+          if (r.isNullAt(0) || r.isNullAt(1)) Array.empty[Byte]
           else r.getAs[Array[Byte]](1)
         bmpPixels(payload).orElse(pngPixels(payload))
           .orElse(gifPixels(payload))

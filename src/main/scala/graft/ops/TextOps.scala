@@ -1555,11 +1555,16 @@ object TextOps {
         sum(col("x") * col("y")).as("__sxy"),
         sum(col("x") * col("x")).as("__sxx"))
       // integer numerator/denominator FIRST (exact), then one double
-      // division — both engines convert the same integers
+      // division — both engines convert the same integers. decimal
+      // (38,0) from the first multiply (the Mann-Whitney overflow
+      // discipline): n·Σxy wraps silently in Long past topK ≈ 2000
+      // under ansi=false, while DuckDB's HUGEINT keeps going
       .withColumn("__slope",
-        (col("__n") * col("__sxy") - col("__sx") * col("__sy"))
+        (col("__n").cast("decimal(38,0)") * col("__sxy") -
+          col("__sx").cast("decimal(38,0)") * col("__sy"))
           .cast("double") /
-          (col("__n") * col("__sxx") - col("__sx") * col("__sx"))
+          (col("__n").cast("decimal(38,0)") * col("__sxx") -
+            col("__sx").cast("decimal(38,0)") * col("__sx"))
             .cast("double"))
       .select(col("__n").as("n_terms"),
         round(col("__slope"), 6).as("slope"),

@@ -339,8 +339,29 @@ object EventStream {
             state.remove()
             Iterator.empty
           } else {
-            // newest-first; trimmed to the cap on every insert
+            // newest-first INVARIANT maintained by insertion position:
+            // batch events arrive in ascending (ts, id) order, so the
+            // common path is an O(1) head prepend; only a cross-batch
+            // out-of-order touch walks the list. A full re-sort per
+            // insert would pay O(cap log cap) per event on a bot
+            // account's 10k-touch batch.
+            def insertNewestFirst(l: List[MtTouch],
+                t: MtTouch): List[MtTouch] = {
+              if (l.isEmpty || t.tUs > l.head.tUs ||
+                  (t.tUs == l.head.tUs && t.id >= l.head.id)) t :: l
+              else {
+                val buf = scala.collection.mutable.ListBuffer[MtTouch]()
+                var rest = l
+                while (rest.nonEmpty && (rest.head.tUs > t.tUs ||
+                    (rest.head.tUs == t.tUs && rest.head.id > t.id))) {
+                  buf += rest.head
+                  rest = rest.tail
+                }
+                buf.toList ::: (t :: rest)
+              }
+            }
             var touches = state.getOption.map(_.touches).getOrElse(Nil)
+            var nTouches = touches.size
             var out = List.empty[MtCredit]
             evs.toSeq.sortBy(e => (tsUs(e.ts),
                 if (e.event_type == convType) 1 else 0, e.event_id))
@@ -359,9 +380,13 @@ object EventStream {
                       credit(ix + 1, k))
                   }
                 } else {
-                  touches = (MtTouch(t, e.event_id, e.event_type) ::
-                    touches).sortBy(s => (-s.tUs, -s.id))
-                    .take(maxTouches)
+                  touches = insertNewestFirst(touches,
+                    MtTouch(t, e.event_id, e.event_type))
+                  nTouches += 1
+                  if (nTouches > maxTouches) {
+                    touches = touches.take(maxTouches) // drop the oldest
+                    nTouches = maxTouches
+                  }
                 }
               }
             // prune touches whose qualification window has passed the
