@@ -268,6 +268,9 @@ object QueriesDialect {
         s"'event_type', 'purchase', " +
         s"${QueriesRelational.AttributionWindowUs}, 'linear') " +
         "order by channel")),
+    "qd_pipe_zipf" -> ((s, dir) => gq(s, dir,
+      "select n_terms, slope, intercept from " +
+        "zipf_fit(documents, 'text', 100)")),
     "qd_pipe_word_embeddings" -> ((s, dir) => gq(s, dir,
       // params interpolated from the shared constants below
       "select id, e0, e1 from word_embeddings(documents, 'doc_id', " +
@@ -506,6 +509,7 @@ object QueriesDialect {
     "qd_pipe_dau_mau" -> QueriesRelational.oracleSql("q_dau_mau"),
     "qd_pipe_attribution_multi" ->
       QueriesRelational.oracleSql("q_attribution_linear"),
+    "qd_pipe_zipf" -> QueriesPipeline.oracleSql("qp_zipf_fit"),
     // the generic (un-augmented) instantiation of the shared
     // recursive-CTE factorization oracle, from the same constants as
     // the query text

@@ -28,7 +28,7 @@ object PipelineTables {
       "fingerprints", "chunk_docs", "bm25_topk", "frequent_pairs",
       "rake_phrases", "profile", "chi_square", "acf", "attribution",
       "histogram", "fd_audit", "kaplan_meier", "holt_linear", "dau_mau",
-      "attribution_multi", "word_embeddings")
+      "attribution_multi", "word_embeddings", "zipf_fit")
 
   def resolve(catalog: Catalog, fn: String,
       args: Seq[SqlExpr]): DataFrame = {
@@ -118,6 +118,9 @@ object PipelineTables {
         graft.ops.Funnel.multiTouchAttribution(classArg(0), strArg(1),
           strArg(2), strArg(3), strArg(4), strArg(5),
           numArg(6).toLong, model)
+      case "zipf_fit" => // (class, textF, topK)
+        arity(3)
+        graft.ops.TextOps.zipfFit(classArg(0), strArg(1), intArg(2))
       case "word_embeddings" =>
         // (class, idF, textF, vocabK, shift, iters) — trained rank-2
         // word vectors (top-K vocab, ±2 skip-grams, shifted PPMI,
