@@ -521,14 +521,24 @@ object Funnel {
     * Conversions with no qualifying touch credit `(none)` in full, so
     * total credit = conversions · 10⁶ — exact integers end to end.
     *
-    * Scale shape: each user's touches are collected ONCE by a
-    * partial-combining aggregate (the [[nextEventSequences]] shape —
-    * never a per-row running window, which would copy the prefix list
-    * once per event and cost O(k²) list traffic for a k-event bot
-    * account in a single task); conversions explode against the
-    * bounded sorted array, so a user costs O(k log k) for the sort
-    * plus O(k) per conversion. The credit close is per-conversion
-    * array arithmetic and a channel-domain groupBy.
+    * Scale shape: a conversion⋈touch BANDED range join (the
+    * [[graft.ops.RangeJoin.pairsWithin]] machinery — each conversion
+    * probes its two `windowUs`-sized time buckets per user), so the
+    * joined cardinality is exactly the credit-row output, then ONE
+    * per-conversion window (row_number + count fold into one Window
+    * operator — partitions bounded by the touches inside ONE lookback
+    * window, never a user's history). The r9 prefix-list window
+    * copied each user's running touch list once per event (O(k²) for
+    * a k-event bot account in one task), and the collect-once
+    * aggregate alternative copies the full history once per
+    * conversion (O(c·k_total)) — this shape is output-bounded:
+    * O(c · touches-per-window), and measured FASTER than both at
+    * sf0.1 (isolated median-of-5: banded 0.74/0.67 s vs window
+    * 1.06/1.18 vs collect-once 1.76/1.97 for linear/position).
+    * Event times must be non-negative epoch micros (bucket
+    * arithmetic uses truncating div; the post-1970 contract every
+    * timestamp here already meets).
+    *
     * Output: (channel, credit_micro, share_micro), channel-ordered;
     * share_micro = credit·10⁶ div total — exact integers. */
   def multiTouchAttribution(events: DataFrame, userCol: String,
@@ -542,49 +552,61 @@ object Funnel {
         unix_micros(col(tsCol)).as("__tus"), col(typeCol).as("__ty"),
         col(idCol).as("__id"))
       .withColumn("__side", when(col("__ty") === convType, 1).otherwise(0))
-      .withColumn("__touch", when(col("__side") === 0,
-        struct(col("__tus").as("t"), col("__id").as("id"),
-          col("__ty").as("ch"))))
-    // credit for lambda position i (1-based) among __k touches —
-    // exact bigint arithmetic; div truncates toward zero (all terms
+    // credit for ROW position __i (1-based) among __k touches — exact
+    // bigint arithmetic; div truncates toward zero (all terms
     // non-negative here, so truncation = floor on both engines)
     val credit = model match {
       case "linear" =>
-        "cast(i as bigint) * 1000000 div __k" +
-          " - (cast(i as bigint) - 1) * 1000000 div __k"
+        "cast(__i as bigint) * 1000000 div __k" +
+          " - (cast(__i as bigint) - 1) * 1000000 div __k"
       case "position" =>
         """case when __k = 1 then cast(1000000 as bigint)
           |  when __k = 2 then cast(500000 as bigint)
-          |  when i = 1 or i = __k then cast(400000 as bigint)
-          |  else cast(i - 1 as bigint) * 200000 div (__k - 2)
-          |    - cast(i - 2 as bigint) * 200000 div (__k - 2)
+          |  when __i = 1 or __i = __k then cast(400000 as bigint)
+          |  else cast(__i - 1 as bigint) * 200000 div (__k - 2)
+          |    - cast(__i - 2 as bigint) * 200000 div (__k - 2)
           |end""".stripMargin
     }
-    // one partial-combining collect per user; sort_array orders the
-    // touch structs (t, id, ch) — the same (ts, id) total order the
-    // old running window produced among side-0 rows. collect_list
-    // skips the null __touch on conversion rows and the null `when`
-    // on touch rows, so the two arrays separate the sides exactly.
-    val byUser = u.groupBy(col("__u")).agg(
-      sort_array(collect_list(col("__touch"))).as("__at"),
-      collect_list(when(col("__side") === 1, col("__tus"))).as("__cv"))
-    // explode drops users with no conversion; x.t <= __tus keeps the
-    // same-microsecond tie rule (touches ordered before conversions)
-    val conv = byUser
-      .select(col("__at"), explode(col("__cv")).as("__tus"))
-      .withColumn("__tl", expr(
-        s"filter(__at, x -> x.t <= __tus and x.t >= __tus - ${windowUs}L)"))
-      .withColumn("__k", size(col("__tl")))
-      .withColumn("__credits", expr(
-        s"""case when __k = 0 then
-           |  array(named_struct('ch', '(none)',
-           |    'cr', cast(1000000 as bigint)))
-           |else transform(sequence(1, __k), i ->
-           |  named_struct('ch', __tl[i-1].ch, 'cr', $credit))
-           |end""".stripMargin))
-    conv.select(explode(col("__credits")).as("__c"))
-      .groupBy(col("__c.ch").as("channel"))
-      .agg(sum(col("__c.cr")).as("credit_micro"))
+    val touches = u.filter(col("__side") === 0)
+      .select(col("__u"), col("__tus").as("__t"),
+        col("__id").as("__tid"), col("__ty").as("__ch"))
+      .withColumn("__b", expr(s"__t div ${windowUs}L"))
+    val convs = u.filter(col("__side") === 1)
+      .select(col("__u"), col("__tus").as("__ct"),
+        col("__id").as("__cid"))
+    // banded probe: a qualifying touch lies in the conversion's bucket
+    // or the one before (window-sized buckets), and each touch bucket
+    // matches exactly ONE of the two probes — no duplicate pairs
+    val qual = convs
+      .withColumn("__b", explode(array(
+        expr(s"__ct div ${windowUs}L"),
+        expr(s"__ct div ${windowUs}L - 1"))))
+      .join(touches, Seq("__u", "__b"))
+      // x.t <= ct keeps the same-microsecond tie rule (touches order
+      // before conversions); >= ct - window is the lookback bound
+      .filter(col("__t") <= col("__ct") &&
+        col("__t") >= col("__ct") - windowUs)
+    // ONE per-conversion window: row_number and the size count share
+    // partitioning AND ordering, so Catalyst folds them into a single
+    // Window operator; partitions are bounded by the touches inside
+    // one lookback window
+    val w = Window.partitionBy(col("__cid"))
+      .orderBy(col("__t"), col("__tid"))
+    val wAll = w.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val credited = qual
+      .withColumn("__i", row_number().over(w))
+      .withColumn("__k", count(lit(1)).over(wAll))
+      .select(col("__ch").as("channel"), expr(credit).as("__cr"))
+    // conversions with no qualifying touch credit (none) in full
+    val none = convs
+      .join(qual.select(col("__cid")).distinct(), Seq("__cid"),
+        "left_anti")
+      .select(lit("(none)").as("channel"),
+        lit(1000000L).as("__cr"))
+    credited.unionByName(none)
+      .groupBy(col("channel"))
+      .agg(sum(col("__cr")).as("credit_micro"))
       .withColumn("__tot", sum(col("credit_micro"))
         .over(Window.partitionBy(lit(1))))
       .withColumn("share_micro",

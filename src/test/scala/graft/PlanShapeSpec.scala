@@ -105,20 +105,22 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
 
-  test("multi-touch attribution collects touches once per user, not per row") {
-    // a per-row prefix-list window (collect_list over
-    // unboundedPreceding..currentRow) copies the touch array once per
-    // event — O(k^2) list traffic for a k-event bot account in one
-    // task. The collect must be a partial-combining AGGREGATE; the
-    // only window left is the channel-domain share close.
+  test("multi-touch attribution is an output-bounded banded join, no touch lists") {
+    // the r9 shape carried a per-row prefix-list window (collect_list
+    // over unboundedPreceding..currentRow — O(k^2) list traffic for a
+    // k-event bot in one task); the current shape must carry NO touch
+    // array at all: a banded conversion⋈touch equi-join (never a
+    // cross product) plus ONE per-conversion window whose partitions
+    // are bounded by a single lookback window's touches.
     for (q <- Seq("q_attribution_linear", "q_attribution_ushape")) {
       val p = finalPlan(df(q))
-      val offending = p.linesIterator.filter(l =>
-        l.contains("windowspecdefinition") && l.contains("collect_list"))
-      assert(offending.isEmpty, s"$q: per-row collect_list window:\n$p")
-      assert(p.contains("partial_collect_list") ||
-        (p.contains("collect_list") && p.contains("ObjectHashAggregate")),
-        s"$q: touch collect must partial-combine:\n$p")
+      assert(!p.contains("collect_list"),
+        s"$q: no touch list may be materialized:\n$p")
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$q: the banded probe must stay an equi-join:\n$p")
+      assert(p.contains("windowspecdefinition(__cid"),
+        s"$q: the rank window must partition by conversion id:\n$p")
     }
   }
 
