@@ -279,6 +279,12 @@ object GraphOps {
       // `step` preserves the round-start labels (__of, __ob) so the
       // change probe is a narrow filter over the MATERIALIZED frame —
       // a per-round probe JOIN would pay a full shuffle job each round
+      // Measured alternative NOT taken: the ssspDF fold shape (self ∪
+      // fwd msgs ∪ bwd msgs → one min groupBy, no join-back) measured
+      // 11.4 s vs this join-back form's 8.4 at sf0.1 (median-of-5) —
+      // the union triples the closing aggregation's input while the
+      // per-direction groupBys here reduce messages BEFORE the
+      // join-back touches the (vertex-sized) label frame.
       def step(l: DataFrame): DataFrame = {
         val fm = l.select(col("id").as("__u"), col("f").as("__fu"))
           .join(eSame, col("__u") === eSame("src"))
