@@ -696,6 +696,19 @@ object QueriesPipeline {
         .select("a_id", "b_id", "a_split", "b_split", "jac")
         .orderBy("a_id", "b_id")
     }),
+    "qp_split_coassign" -> ((s, dir) => {
+      // leakage remediation: every near-dup cluster takes its min
+      // member's split, so no near-dup pair crosses a boundary —
+      // the fix for exactly the rows qp_split_leakage reports
+      val d = docs(s, dir)
+      Curation.coAssignSplits(
+          Curation.trainValTestSplit(d, "doc_id", "lang")
+            .select("doc_id", "split"),
+          "doc_id", "split",
+          Dedup.minhashPairs(d, "doc_id", "text", threshold = 0.8),
+          "a_id", "b_id")
+        .orderBy("doc_id")
+    }),
     "qp_exact_substring" -> ((s, dir) => {
       // span-level dedup signal (ExactSubstr-style): distinct 20-token
       // windows each doc shares verbatim with any other doc
@@ -3153,6 +3166,29 @@ object QueriesPipeline {
          | JOIN sp sb ON p.b_id = sb.doc_id
          | WHERE sa.split <> sb.split
          | ORDER BY a_id, b_id""".stripMargin,
+    // the split rule + the minhash-pair oracle + the SHARED unrolled
+    // min-label replay + the representative's split coalesced back
+    "qp_split_coassign" ->
+      s"""WITH sp AS (SELECT doc_id,
+         |   CASE WHEN bk < 90 THEN 'train'
+         |        WHEN bk < 95 THEN 'val' ELSE 'test' END AS split
+         |  FROM (SELECT doc_id,
+         |   ${dH60("'split:' || lang || ':' || CAST(doc_id AS VARCHAR)")}
+         |     % 100 AS bk FROM documents)),
+         | p AS MATERIALIZED (SELECT a_id AS a, b_id AS b
+         |   FROM ($minhashPairsOracle)),
+         | u AS MATERIALIZED (SELECT a, b FROM p
+         |   UNION ALL SELECT b, a FROM p),
+         | l0 AS (SELECT DISTINCT a AS id, a AS lbl FROM u),
+         | ${minLabelRoundsSql(10)},
+         | reps AS (SELECT l10.id, spr.split AS rs FROM l10
+         |   JOIN sp spr ON spr.doc_id = l10.lbl)
+         | SELECT d.doc_id AS doc_id,
+         |   coalesce(reps.rs, sp.split) AS split
+         | FROM documents d
+         | JOIN sp ON sp.doc_id = d.doc_id
+         | LEFT JOIN reps ON reps.id = d.doc_id
+         | ORDER BY d.doc_id""".stripMargin,
     "qp_exact_substring" ->
       // window key = pair of sums of two independent per-token hashes,
       // identical construction to Dedup.sharedWindowCounts

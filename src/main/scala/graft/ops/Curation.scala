@@ -166,6 +166,36 @@ object Curation {
         col(splitCol).as("b_split")), bCol)
       .filter(col("a_split") =!= col("b_split"))
 
+  /** Leakage REMEDIATION — the companion [[splitLeakage]] only
+    * reports: re-assign every near-dup CLUSTER to one split so no
+    * near-dup pair crosses a boundary (train/test contamination via
+    * content similarity the hash-stable split rule cannot see). Rule:
+    * every cluster member takes the split of the cluster's CANONICAL
+    * representative (the min member id — [[graft.ops.Dedup
+    * .nearDupClusters]]' survivor convention), so the fix is itself
+    * deterministic and corpus-rebuild-stable; docs in no pair keep
+    * their own split. Post-condition (spec-pinned): `splitLeakage`
+    * over the co-assigned frame is EMPTY for the pair frame used.
+    *
+    * Scale shape: cluster labels ride the converged pair-node frame
+    * (output-sized, tiny vs the corpus); ONE representative-split
+    * equi-join + ONE left join back on the doc key; no windows, no
+    * corpus rescan. Returns `split` with `splitCol` overwritten for
+    * moved docs. */
+  def coAssignSplits(split: DataFrame, idCol: String, splitCol: String,
+      pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    // (id, cluster) with cluster = min member id, converged
+    val labels = Dedup.nearDupLabels(pairs, aCol, bCol)
+    val reps = labels.select(col("cluster")).distinct()
+      .join(split.select(col(idCol).as("cluster"),
+        col(splitCol).as("__rs")), "cluster")
+    val moved = labels.join(reps, "cluster")
+      .select(col("id").as("__mid"), col("__rs"))
+    split.join(moved, col(idCol) === col("__mid"), "left")
+      .withColumn(splitCol, coalesce(col("__rs"), col(splitCol)))
+      .drop("__mid", "__rs")
+  }
+
   /** Temperature-scaled mixture sampling — the multinomial temperature
     * reweighting used to set training-data language/domain mixtures:
     * stratum weight w_i ∝ n_i^alpha (alpha < 1 flattens the mixture,

@@ -16,6 +16,37 @@ class OpsHygieneSpec extends AnyFunSuite {
   private val sf = "/root/testdata/sf0.001"
   import spark.implicits._
 
+  test("coAssignSplits: clusters unify on the min member's split; " +
+      "leakage empties; untouched docs keep their split") {
+    // hand case: pair (1,2) across splits; chain 3-4-5 spanning three
+    // splits collapses onto doc 3's; doc 9 untouched
+    val assigned = Seq((1L, "train"), (2L, "test"), (3L, "val"),
+      (4L, "train"), (5L, "test"), (9L, "test"))
+      .toDF("doc_id", "split")
+    val pairs = Seq((1L, 2L), (3L, 4L), (4L, 5L)).toDF("a_id", "b_id")
+    val got = Curation.coAssignSplits(assigned, "doc_id", "split",
+        pairs, "a_id", "b_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "train", 2L -> "train", 3L -> "val",
+      4L -> "val", 5L -> "val", 9L -> "test"))
+    // post-condition on the real corpus: after co-assignment the
+    // leakage audit reports NOTHING for the same pair frame
+    val d = Tables.load(spark, sf, "documents")
+    val p = Dedup.minhashPairs(d, "doc_id", "text", threshold = 0.8)
+      .localCheckpoint()
+    val fixed = Curation.coAssignSplits(
+      Curation.trainValTestSplit(d, "doc_id", "lang")
+        .select("doc_id", "split"),
+      "doc_id", "split", p, "a_id", "b_id").localCheckpoint()
+    assert(Curation.splitLeakage(fixed, "doc_id", "split", p,
+      "a_id", "b_id").isEmpty)
+    // partitioning invariance
+    val p7 = Curation.coAssignSplits(assigned.repartition(7),
+        "doc_id", "split", pairs.repartition(3), "a_id", "b_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(p7 == got)
+  }
+
   test("minhashPairs leaves no cached frames behind") {
     // the session is shared across specs (TradeGraph caches edges);
     // start from a clean slate so isEmpty is order-independent
