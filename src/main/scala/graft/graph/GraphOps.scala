@@ -241,12 +241,34 @@ object GraphOps {
     * derived once per outer round; every loop frame localCheckpoints
     * (lineage truncation, the iterative-operator discipline). Rounds
     * are data-dependent (inner ≤ class diameter, outer ≤ refinement
-    * depth — small on real graphs); exceeding `maxRounds` RAISES
-    * instead of returning a wrong partition (the unbounded-TRAVERSE
-    * convention). Returns (id, scc), scc = min member id. */
+    * depth — small on real graphs); the outer loop RAISES past
+    * `maxRounds` instead of returning a wrong partition (the
+    * unbounded-TRAVERSE convention), and the inner fixpoint's bound
+    * derives from the live vertex count (a true convergence bound —
+    * path-like graphs legitimately need more hops than a fixed knob
+    * allows).
+    *
+    * SEQUENTIAL BASE CASE (r11): when the live set fits under
+    * `localFinishThreshold` vertices (and a bounded same-class edge
+    * count), the remainder collects to the driver and finishes with
+    * iterative Tarjan — the standard tail of distributed SCC (the
+    * Multistep discipline: trim/FW-BW the bulk in parallel, finish
+    * the small remainder serially — Slota, Rajamanickam & Madduri
+    * 2014), because past that point every refinement ROUND costs more
+    * in per-job floors than the whole remaining problem. This is a
+    * size-gated control-plane collect (≤ threshold vertices, ≤ 16×
+    * threshold edges — the repo's bounded-collect convention), not a
+    * corpus materialization; pass `localFinishThreshold = 0` to force
+    * the all-distributed path (specs pin both paths result-identical).
+    * Returns (id, scc), scc = min member id. */
   def sccDF(vertices: DataFrame, edges: DataFrame,
-      maxRounds: Int = 50): DataFrame = {
+      maxRounds: Int = 50,
+      localFinishThreshold: Int = 100000): DataFrame = {
     val e0 = edges.select(col("src"), col("dst")).distinct().persist()
+    // test-only switch replaying the r10 probe shape (eager checkpoint
+    // + separate isEmpty job per inner round) so ScratchR11 can A/B
+    // both shapes in ONE session (the forceBfs convention)
+    val eagerProbe = sys.props.get("graft.scc.eagerProbe").contains("1")
     // finalized (id, scc) slices accumulate here and union ONCE at
     // the end — each references a checkpointed frame, so no per-round
     // materialization of the growing result is needed
@@ -255,7 +277,17 @@ object GraphOps {
         lit(0L).as("cls"))
       .localCheckpoint(true)
     var outer = 0
-    while (!cls.isEmpty) {
+    // live-vertex count doubles as the emptiness probe AND the inner
+    // fixpoint's derived bound (min-label propagation over a class of
+    // n vertices converges within n-1 hops = ceil((n-1)/2) two-hop
+    // rounds; +2 covers the confirming round) — the shared maxRounds
+    // knob was easy to hit on path-like graphs (a directed chain of a
+    // few hundred vertices needs >100 hops), and the derived bound
+    // keeps raise-don't-truncate semantics: exceeding it means a bug,
+    // not data.
+    var nLive = cls.count()
+    var finished = false
+    while (!finished && nLive > 0) {
       outer += 1
       if (outer > maxRounds) throw new IllegalStateException(
         s"SCC refinement exceeded $maxRounds rounds without " +
@@ -270,90 +302,247 @@ object GraphOps {
           .filter(col("__cs") === col("__cd"))
           .select("src", "dst"))
         .localCheckpoint(true)
-      val eRev = eSame.select(col("dst").as("src"), col("src").as("dst"))
-      // fused forward/backward min-label fixpoint: one loop frame
-      // carries (f, b); TWO propagation steps per materialization
-      // (lineage depth 2 halves the checkpoint/probe actions — round
-      // count is the class diameter, the job count is what dominates
-      // wall time on a 30-job iterative operator)
-      // `step` preserves the round-start labels (__of, __ob) so the
-      // change probe is a narrow filter over the MATERIALIZED frame —
-      // a per-round probe JOIN would pay a full shuffle job each round
-      // Measured alternative NOT taken: the ssspDF fold shape (self ∪
-      // fwd msgs ∪ bwd msgs → one min groupBy, no join-back) measured
-      // 11.4 s vs this join-back form's 8.4 at sf0.1 (median-of-5) —
-      // the union triples the closing aggregation's input while the
-      // per-direction groupBys here reduce messages BEFORE the
-      // join-back touches the (vertex-sized) label frame.
-      def step(l: DataFrame): DataFrame = {
-        val fm = l.select(col("id").as("__u"), col("f").as("__fu"))
-          .join(eSame, col("__u") === eSame("src"))
-          .groupBy(col("dst").as("id")).agg(min(col("__fu")).as("__fm"))
-        val bm = l.select(col("id").as("__u"), col("b").as("__bu"))
-          .join(eRev, col("__u") === eRev("src"))
-          .groupBy(col("dst").as("id")).agg(min(col("__bu")).as("__bm"))
-        l.join(fm, Seq("id"), "left").join(bm, Seq("id"), "left")
-          .select(col("id"),
-            least(col("f"), coalesce(col("__fm"), col("f"))).as("f"),
-            least(col("b"), coalesce(col("__bm"), col("b"))).as("b"),
-            col("__of"), col("__ob"))
+      // SEQUENTIAL BASE CASE: the live remainder fits on the driver —
+      // collect (bounded by the two guards) and finish with Tarjan.
+      // Same-class edges are sufficient: refinement never splits an
+      // SCC, so no SCC crosses classes and cross-class edges are never
+      // intra-SCC. One extra count job, paid only under the vertex
+      // gate, replaces every remaining refinement round.
+      if (nLive <= localFinishThreshold &&
+          eSame.count() <= 16L * math.max(1L, localFinishThreshold.toLong)) {
+        val vArr = cls.select(col("id")).collect().map(_.getLong(0))
+        val eArr = eSame.select(col("src").cast("long"),
+          col("dst").cast("long")).collect()
+        val labeled = tarjanLocal(vArr,
+          eArr.map(_.getLong(0)), eArr.map(_.getLong(1)))
+        val sp = vertices.sparkSession
+        import sp.implicits._
+        done += labeled.toSeq.toDF("id", "scc")
+        finished = true
+      } else {
+        val eRev = eSame.select(col("dst").as("src"), col("src").as("dst"))
+        // DIRECTION-TAGGED edge frame: f-messages flow src→dst, b-messages
+        // flow dst→src — one 2|E| frame lets one join + one groupBy carry
+        // BOTH propagation directions per hop (r11; the r10 shape ran the
+        // two directions as separate join+groupBy+join-back pipelines,
+        // doubling the hop's shuffle-stage count for the same message
+        // volume). Locally measured ~wash — per-JOB floors dominate,
+        // not stages (ScratchR11) — kept because every deleted shuffle
+        // stage is a cluster barrier at scale. Test-only switch replays
+        // the split shape for same-session A/B (the forceBfs
+        // convention).
+        val splitDirections =
+          sys.props.get("graft.scc.splitDirections").contains("1")
+        // NOT checkpointed: the union/projection over the checkpointed
+        // eSame is shuffle-free, and a checkpoint here would pay one
+        // extra materialization job per outer round — measured to cancel
+        // the step fusion's win
+        val eBoth = if (splitDirections) null
+          else eSame.select(col("src"), col("dst"), lit(true).as("__fwd"))
+            .unionByName(eRev.select(col("src"), col("dst"),
+              lit(false).as("__fwd")))
+        // fused forward/backward min-label fixpoint: one loop frame
+        // carries (f, b); TWO propagation steps per materialization
+        // (lineage depth 2 halves the checkpoint/probe actions — round
+        // count is the class diameter, the job count is what dominates
+        // wall time on a 30-job iterative operator)
+        // `step` preserves the round-start labels (__of, __ob) so the
+        // change probe is a narrow filter over the MATERIALIZED frame —
+        // a per-round probe JOIN would pay a full shuffle job each round
+        // Measured alternative NOT taken: the ssspDF fold shape (self ∪
+        // fwd msgs ∪ bwd msgs → one min groupBy, no join-back) measured
+        // 11.4 s vs the r10 join-back form's 8.4 at sf0.1 (median-of-5)
+        // — the union triples the closing aggregation's input while the
+        // message-side groupBy here reduces messages BEFORE the
+        // join-back touches the (vertex-sized) label frame.
+        def step(l: DataFrame): DataFrame = if (splitDirections) {
+          // r10 shape: per-direction join + groupBy + join-back
+          val fm = l.select(col("id").as("__u"), col("f").as("__fu"))
+            .join(eSame, col("__u") === eSame("src"))
+            .groupBy(col("dst").as("id")).agg(min(col("__fu")).as("__fm"))
+          val bm = l.select(col("id").as("__u"), col("b").as("__bu"))
+            .join(eRev, col("__u") === eRev("src"))
+            .groupBy(col("dst").as("id")).agg(min(col("__bu")).as("__bm"))
+          l.join(fm, Seq("id"), "left").join(bm, Seq("id"), "left")
+            .select(col("id"),
+              least(col("f"), coalesce(col("__fm"), col("f"))).as("f"),
+              least(col("b"), coalesce(col("__bm"), col("b"))).as("b"),
+              col("__of"), col("__ob"))
+        } else {
+          // r11 shape: ONE message join over the direction-tagged frame;
+          // min-ignores-nulls makes the per-direction mins one aggregate
+          val msgs = l.select(col("id").as("__u"), col("f").as("__fu"),
+              col("b").as("__bu"))
+            .join(eBoth, col("__u") === eBoth("src"))
+            .groupBy(col("dst").as("id"))
+            .agg(min(when(col("__fwd"), col("__fu"))).as("__fm"),
+              min(when(!col("__fwd"), col("__bu"))).as("__bm"))
+          l.join(msgs, Seq("id"), "left")
+            .select(col("id"),
+              least(col("f"), coalesce(col("__fm"), col("f"))).as("f"),
+              least(col("b"), coalesce(col("__bm"), col("b"))).as("b"),
+              col("__of"), col("__ob"))
+        }
+        // lazy: the first inner round's count materializes it (its
+        // parent cls is already checkpointed, so lineage stays depth-1)
+        var lab = cls.select(col("id"), col("id").as("f"),
+          col("id").as("b")).localCheckpoint(false)
+        // inner bound derived from the surviving vertex count (see
+        // nLive above) — never tighter than the caller's maxRounds
+        val innerMax = math.max(maxRounds.toLong, nLive / 2 + 2)
+        var changed = true
+        var inner = 0
+        while (changed) {
+          inner += 1
+          if (inner > innerMax) throw new IllegalStateException(
+            s"SCC min-label propagation exceeded $innerMax rounds over " +
+              s"$nLive live vertices — this is a bug, not a data shape")
+          val pre = lab.select(col("id"), col("f"), col("b"),
+            col("f").as("__of"), col("b").as("__ob"))
+          // TWO hops per materialization: lineage depth 2 halves the
+          // checkpoint + probe jobs (job scheduling, not data volume,
+          // dominates this loop locally); measured against 3 hops the
+          // wider plan costs more than the saved job (8.4 vs 9.5 s
+          // median-of-5 at sf0.1)
+          // ONE job per round (r11): the checkpoint is marked LAZY and
+          // the change-count probe's full scan materializes it — the
+          // count aggregates in the same job that computes and persists
+          // the frame, deleting the separate probe job the r10 shape
+          // paid after every eager checkpoint. Wall-neutral locally
+          // (the probes were take(1) reads of cached blocks — measured
+          // a wash, ScratchR11), kept because each deleted job is a
+          // scheduler round-trip at cluster scale. count(), not
+          // isEmpty: a take(1) short-circuit would leave partitions
+          // uncomputed at lineage-truncation time.
+          val stepped = step(step(pre))
+          val next = if (eagerProbe) stepped.localCheckpoint(true)
+            else stepped.localCheckpoint(false)
+          // labels only decrease — the strict-< probe is exact
+          val chg = next.filter(col("f") < col("__of") ||
+            col("b") < col("__ob"))
+          changed = if (eagerProbe) !chg.isEmpty else chg.count() > 0
+          lab = next.select(col("id"), col("f"), col("b"))
+          if (sys.env.contains("SPARK_GRAFT_SCC_DEBUG"))
+            System.err.println(s"[scc] outer=$outer inner=$inner " +
+              s"changed=$changed t=${System.nanoTime() / 1000000}")
+        }
+        // re-class by (cls, f, b). CERTIFICATION, both final same round:
+        //  - a group with f == b == m IS exactly SCC(m): members reach m
+        //    and are reached by m (⊆), and any v ∈ SCC(m) shares m's
+        //    class-restricted min ancestor/descendant — a smaller
+        //    ancestor x of v would be an ancestor of every member (=);
+        //  - a singleton group is a singleton SCC (a ≥2-member SCC never
+        //    splits across groups, so its members can't appear alone).
+        // Everything else strictly split (a stable class forces f == b,
+        // by the min-member argument above) — refine only those. On the
+        // trade graph this certifies the giant SCC in ROUND ONE, where
+        // the parts-per-class rule needed a full confirming fixpoint.
+        val joined = cls.join(lab, Seq("id"))
+        val groups = joined.groupBy(col("cls"), col("f"), col("b"))
+          .agg(min(col("id")).as("__new"), count(lit(1)).as("__gn"))
+        // ONE materialization per outer round; the done slice and the
+        // surviving classes are narrow filters over it (lazy reads of
+        // the checkpointed frame — re-materializing each would pay two
+        // more full jobs per round). r11: the checkpoint is lazy and the
+        // next-round live count materializes it — the survivor count IS
+        // the loop-top emptiness probe, so the round pays one job, not
+        // two (the same fusion as the inner loop).
+        val next = joined.join(groups, Seq("cls", "f", "b"))
+          .select(col("id"), col("__new"), col("f"), col("b"), col("__gn"))
+          .localCheckpoint(false)
+        val isFinal = col("f") === col("b") || col("__gn") === 1
+        done += next.filter(isFinal)
+          .select(col("id"), col("__new").as("scc"))
+        cls = next.filter(!isFinal)
+          .select(col("id"), col("__new").as("cls"))
+        nLive = cls.count()
       }
-      var lab = cls.select(col("id"), col("id").as("f"),
-        col("id").as("b")).localCheckpoint(true)
-      var changed = true
-      var inner = 0
-      while (changed) {
-        inner += 1
-        if (inner > maxRounds) throw new IllegalStateException(
-          s"SCC min-label propagation exceeded $maxRounds rounds — " +
-            "raise maxRounds")
-        val pre = lab.select(col("id"), col("f"), col("b"),
-          col("f").as("__of"), col("b").as("__ob"))
-        // TWO hops per materialization: lineage depth 2 halves the
-        // checkpoint + probe jobs (job scheduling, not data volume,
-        // dominates this loop locally); measured against 3 hops the
-        // wider plan costs more than the saved job (8.4 vs 9.5 s
-        // median-of-5 at sf0.1)
-        val next = step(step(pre)).localCheckpoint(true)
-        // labels only decrease — the strict-< probe is exact
-        changed = !next.filter(col("f") < col("__of") ||
-          col("b") < col("__ob")).isEmpty
-        lab = next.select(col("id"), col("f"), col("b"))
-        if (sys.env.contains("SPARK_GRAFT_SCC_DEBUG"))
-          System.err.println(s"[scc] outer=$outer inner=$inner " +
-            s"changed=$changed t=${System.nanoTime() / 1000000}")
-      }
-      // re-class by (cls, f, b). CERTIFICATION, both final same round:
-      //  - a group with f == b == m IS exactly SCC(m): members reach m
-      //    and are reached by m (⊆), and any v ∈ SCC(m) shares m's
-      //    class-restricted min ancestor/descendant — a smaller
-      //    ancestor x of v would be an ancestor of every member (=);
-      //  - a singleton group is a singleton SCC (a ≥2-member SCC never
-      //    splits across groups, so its members can't appear alone).
-      // Everything else strictly split (a stable class forces f == b,
-      // by the min-member argument above) — refine only those. On the
-      // trade graph this certifies the giant SCC in ROUND ONE, where
-      // the parts-per-class rule needed a full confirming fixpoint.
-      val joined = cls.join(lab, Seq("id"))
-      val groups = joined.groupBy(col("cls"), col("f"), col("b"))
-        .agg(min(col("id")).as("__new"), count(lit(1)).as("__gn"))
-      // ONE materialization per outer round; the done slice and the
-      // surviving classes are narrow filters over it (lazy reads of
-      // the checkpointed frame — re-materializing each would pay two
-      // more full jobs per round)
-      val next = joined.join(groups, Seq("cls", "f", "b"))
-        .select(col("id"), col("__new"), col("f"), col("b"), col("__gn"))
-        .localCheckpoint(true)
-      val isFinal = col("f") === col("b") || col("__gn") === 1
-      done += next.filter(isFinal)
-        .select(col("id"), col("__new").as("scc"))
-      cls = next.filter(!isFinal)
-        .select(col("id"), col("__new").as("cls"))
     }
     e0.unpersist()
     if (done.isEmpty)
       cls.select(col("id"), col("cls").as("scc")) // empty vertex set
     else done.reduce(_ unionByName _)
+  }
+
+  /** Iterative Tarjan over a COLLECTED subgraph — [[sccDF]]'s
+    * sequential base case (explicit stacks, no recursion; CSR
+    * adjacency). Input arrays are control-plane-bounded by the
+    * caller's threshold guards. Returns (id, min member id of its
+    * SCC) per vertex. */
+  private def tarjanLocal(ids: Array[Long], src: Array[Long],
+      dst: Array[Long]): Array[(Long, Long)] = {
+    val n = ids.length
+    val m = src.length
+    val idx = new java.util.HashMap[Long, Integer](n * 2)
+    var i = 0
+    while (i < n) { idx.put(ids(i), i); i += 1 }
+    val off = new Array[Int](n + 1)
+    i = 0
+    while (i < m) { off(idx.get(src(i)) + 1) += 1; i += 1 }
+    i = 0
+    while (i < n) { off(i + 1) += off(i); i += 1 }
+    val adj = new Array[Int](m)
+    val fill = java.util.Arrays.copyOf(off, n)
+    i = 0
+    while (i < m) {
+      val s: Int = idx.get(src(i))
+      adj(fill(s)) = idx.get(dst(i))
+      fill(s) += 1
+      i += 1
+    }
+    val index = Array.fill(n)(-1)
+    val low = new Array[Int](n)
+    val onStack = new Array[Boolean](n)
+    val stack = new Array[Int](n)
+    var sp = 0
+    val comp = new Array[Int](n) // component root index per vertex
+    val callV = new Array[Int](n)
+    val callE = new Array[Int](n)
+    var counter = 0
+    var v0 = 0
+    while (v0 < n) {
+      if (index(v0) == -1) {
+        var top = 0
+        callV(0) = v0; callE(0) = off(v0)
+        index(v0) = counter; low(v0) = counter; counter += 1
+        stack(sp) = v0; sp += 1; onStack(v0) = true
+        while (top >= 0) {
+          val v = callV(top)
+          if (callE(top) < off(v + 1)) {
+            val w = adj(callE(top))
+            callE(top) += 1
+            if (index(w) == -1) {
+              index(w) = counter; low(w) = counter; counter += 1
+              stack(sp) = w; sp += 1; onStack(w) = true
+              top += 1; callV(top) = w; callE(top) = off(w)
+            } else if (onStack(w) && index(w) < low(v)) low(v) = index(w)
+          } else {
+            if (low(v) == index(v)) { // v roots an SCC: pop it
+              var w = -1
+              while (w != v) {
+                sp -= 1
+                w = stack(sp)
+                onStack(w) = false
+                comp(w) = v
+              }
+            }
+            top -= 1
+            if (top >= 0 && low(v) < low(callV(top)))
+              low(callV(top)) = low(v)
+          }
+        }
+      }
+      v0 += 1
+    }
+    val minByRoot = new java.util.HashMap[Int, java.lang.Long](n)
+    i = 0
+    while (i < n) {
+      val r = comp(i)
+      val cur = minByRoot.get(r)
+      if (cur == null || ids(i) < cur) minByRoot.put(r, ids(i))
+      i += 1
+    }
+    Array.tabulate(n)(j => (ids(j), minByRoot.get(comp(j)).longValue))
   }
 
   /** undirected triangle count per vertex via GraphX. */

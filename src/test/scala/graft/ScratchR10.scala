@@ -221,7 +221,11 @@ class ScratchR10 extends AnyFunSuite {
       val vm = v.localCheckpoint(true)
       val em = e.localCheckpoint(true)
       val t = timed(3) {
-        noop(graft.graph.GraphOps.sccDF(vm, em))
+        // localFinishThreshold = 0: r11 added a sequential base case
+        // for sub-threshold live sets; this record pins the
+        // DISTRIBUTED refinement path's exponent, so force it
+        noop(graft.graph.GraphOps.sccDF(vm, em,
+          localFinishThreshold = 0))
       }
       vm.unpersist(); em.unpersist()
       t

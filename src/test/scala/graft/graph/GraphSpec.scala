@@ -52,10 +52,16 @@ class GraphSpec extends AnyFunSuite {
       (3L, 4L), (4L, 5L), // one-way tail
       (6L, 7L), (7L, 6L) // 2-cycle
     ).toDF("src", "dst")
-    val got = GraphOps.sccDF(v, e).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
-      5L -> 5L, 6L -> 6L, 7L -> 6L, 8L -> 8L))
+    // BOTH paths must agree: the default (which takes the r11
+    // sequential Tarjan base case on a graph this small) and the
+    // forced all-distributed refinement (localFinishThreshold = 0)
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 5L, 6L -> 6L, 7L -> 6L, 8L -> 8L)
+    for (thr <- Seq(100000, 0)) {
+      val got = GraphOps.sccDF(v, e, localFinishThreshold = thr)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"localFinishThreshold=$thr")
+    }
     // the counterexample that breaks plain one-shot (min-ancestor,
     // min-descendant) pair equality: 1→3, 1→4, 3→2, 4→2 gives 3 and 4
     // the same (F, B) = (1, 2) although they are separate SCCs — the
@@ -63,15 +69,42 @@ class GraphSpec extends AnyFunSuite {
     val v2 = (1L to 4L).toDF("id")
     val e2 = Seq((1L, 3L), (1L, 4L), (3L, 2L), (4L, 2L))
       .toDF("src", "dst")
-    val got2 = GraphOps.sccDF(v2, e2).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got2 == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L))
-    // partitioning invariance on the real directed trade graph
-    def run(p: Int) = GraphOps.sccDF(
+    for (thr <- Seq(100000, 0)) {
+      val got2 = GraphOps.sccDF(v2, e2, localFinishThreshold = thr)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got2 == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L),
+        s"localFinishThreshold=$thr")
+    }
+    // partitioning invariance on the real directed trade graph, and
+    // local-finish ≡ distributed on real data (run(13, 0) forces the
+    // all-distributed path)
+    def run(p: Int, thr: Int = 100000) = GraphOps.sccDF(
         TradeGraph.vertices(spark, sf).repartition(p),
-        TradeGraph.directedEdges(spark, sf).repartition(p))
+        TradeGraph.directedEdges(spark, sf).repartition(p),
+        localFinishThreshold = thr)
       .orderBy("id").collect().map(_.toSeq).toSeq
-    assert(run(1) == run(13))
+    val base = run(1)
+    assert(base == run(13))
+    assert(base == run(13, 0),
+      "sequential base case diverged from distributed refinement")
+  }
+
+  test("SCC: path-like graph deeper than the outer maxRounds knob") {
+    import spark.implicits._
+    // a directed chain of 150 vertices: min-label propagation needs
+    // 149 hops ≈ 75 two-hop rounds — past the shared maxRounds=50
+    // inner bound that raised on legitimate path-like data before the
+    // inner fixpoint's bound was derived from the live vertex count
+    // (r10 ADVICE). Every vertex is its own singleton SCC.
+    val n = 150
+    val v = (1L to n.toLong).toDF("id")
+    val e = (1L until n.toLong).map(i => (i, i + 1)).toDF("src", "dst")
+    // localFinishThreshold = 0: the derived inner bound is a property
+    // of the DISTRIBUTED refinement path — force it (the default
+    // would take the sequential base case on a graph this small)
+    val got = GraphOps.sccDF(v, e, localFinishThreshold = 0).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (1L to n.toLong).map(i => i -> i).toMap)
   }
 
   test("triangle count on a known graph") {
