@@ -12,6 +12,48 @@ object Bench {
   private def run(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
+  // DCE guard for the calibration probe's folded result
+  @volatile private var blackhole: Long = 0L
+
+  /** Deterministic single-thread CPU calibration probe (r11):
+    * fixed-seed splitmix64 fill + sort + xor-fold over ONE
+    * preallocated array (zero allocation inside the timed window),
+    * median of 5 with inter-run GC. Identical code + identical data
+    * every run, so the number measures the SESSION (CPU/GC/storage
+    * weather), not the suite — cross-round commons tables should be
+    * read both raw and normalized by the calibration ratio: a commons
+    * ratio ≈ the calibration ratio is weather, not regression (three
+    * rounds of cross-session flags resolved that way: unigram r9→r10,
+    * the 382-430 s r10 spread, sccDF 8.1 vs 10.1 s on identical
+    * code). Recorded as `calibration_sec` in BENCH_FULL.json and
+    * `calib` on the stdout metric line. */
+  private def calibrate(): Double = {
+    val n = 1 << 20
+    val arr = new Array[Long](n)
+    def once(): Double = {
+      System.gc()
+      val t0 = System.nanoTime()
+      var x = 0x9e3779b97f4a7c15L
+      var i = 0
+      while (i < n) {
+        x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+        x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+        x ^= x >>> 33
+        arr(i) = x
+        i += 1
+      }
+      java.util.Arrays.sort(arr)
+      var s = 0L
+      i = 0
+      while (i < n) { s ^= arr(i); i += 1 }
+      blackhole = s
+      (System.nanoTime() - t0) / 1e9
+    }
+    once() // JIT warm, unrecorded
+    val v = Vector.fill(5)(once()).sorted
+    v(2)
+  }
+
   private def jstr(s: String): String =
     "\"" + s.flatMap {
       case '"' => "\\\""
@@ -57,6 +99,8 @@ object Bench {
       .config("spark.sql.ui.retainedExecutions", 8)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // session-weather yardstick, measured BEFORE any Spark work
+    val calib = math.round(calibrate() * 10000) / 10000.0
     // optional args = query-name prefixes, for targeted local timing;
     // the driver passes none and times the full suite
     val names0 = SparkEntry.queries.keys.toSeq.sorted
@@ -160,7 +204,7 @@ object Bench {
       }.mkString("{", ",", "}")
       s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},""" +
         s""""unit":"sec","queries":$subs,"sf":${jstr(sfDir)},""" +
-        s""""per_query":$rows}"""
+        s""""calibration_sec":$calib,"per_query":$rows}"""
     }
     // anchor to the repo root: walk up from the launch cwd to the
     // nearest directory containing build.sbt (sbt run from a
@@ -212,7 +256,7 @@ object Bench {
     // basename only: every byte of this line competes for the ~2 KB
     // stdout tail window the driver records
     val sfShort = sfDir.split('/').last
-    println(s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","queries":$subs,"sf":${jstr(sfShort)}}""")
+    println(s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","queries":$subs,"sf":${jstr(sfShort)},"calib":$calib}""")
     spark.stop()
   }
 }

@@ -26,6 +26,16 @@ object QueriesDialect {
       val gs = GraftSession.forTestdata(s, dir)
       // registerFunction surface (OSQLEngine.registerFunction parity)
       gs.registerFunction("round3", as => round(as.head, 3))
+      // media classes for the multimodal table functions (r11): the
+      // same deterministic payload corpora the qp_* gates fingerprint,
+      // as first-class catalog classes — identical params → identical
+      // results → the operators' own oracles gate the SQL surface
+      gs.catalog.register(graft.engine.ClassDef("media_images",
+        sp => QueriesPipeline.jpegMedia(sp, dir),
+        clusterId = 90, ridPosCol = Some("media_id")))
+      gs.catalog.register(graft.engine.ClassDef("media_audio",
+        sp => QueriesPipeline.audioMedia(sp, dir),
+        clusterId = 91, ridPosCol = Some("media_id")))
       gs
     })
   }
@@ -275,7 +285,23 @@ object QueriesDialect {
       // params interpolated from the shared constants below
       "select id, e0, e1 from word_embeddings(documents, 'doc_id', " +
         s"'text', $WordEmbVocabK, $WordEmbShift, $WordEmbIters) " +
-        "order by id"))
+        "order by id")),
+    // multimodal dedup from SQL text (r11): the decode → fingerprint →
+    // banded-Hamming pipeline over binary-payload classes; maxDist
+    // interpolated from the SAME Scala constant that generates the
+    // paired oracles (one-value-feeds-both-sides rule)
+    "qd_pipe_image_pairs" -> ((s, dir) => gq(s, dir,
+      "select a_id, b_id, dist from image_dup_pairs(media_images, " +
+        s"'media_id', 'payload', ${QueriesPipeline.PhMaxDist}) " +
+        "order by a_id, b_id")),
+    "qd_pipe_image_clusters" -> ((s, dir) => gq(s, dir,
+      "select cluster, n_members from image_dup_clusters(media_images, " +
+        s"'media_id', 'payload', ${QueriesPipeline.PhMaxDist}) " +
+        "order by cluster")),
+    "qd_pipe_audio_pairs" -> ((s, dir) => gq(s, dir,
+      "select a_id, b_id, dist from audio_dup_pairs(media_audio, " +
+        s"'media_id', 'payload', ${QueriesPipeline.PhMaxDist}) " +
+        "order by a_id, b_id"))
   )
 
   /** qd_pipe_word_embeddings parameters — one place feeds the SQL
@@ -515,6 +541,13 @@ object QueriesDialect {
     // the query text
     "qd_pipe_word_embeddings" -> QueriesPipeline.sppmiEmbedSql(
       QueriesPipeline.wordPairSrc("SELECT doc_id, text FROM documents",
-        WordEmbVocabK), WordEmbShift, WordEmbIters)
+        WordEmbVocabK), WordEmbShift, WordEmbIters),
+    // the multimodal table functions run over the SAME payload corpora
+    // as the qp_* gates, so the ops' oracles transfer verbatim
+    "qd_pipe_image_pairs" -> QueriesPipeline.oracleSql("qp_jpeg_phash"),
+    "qd_pipe_image_clusters" ->
+      QueriesPipeline.oracleSql("qp_jpeg_dedup"),
+    "qd_pipe_audio_pairs" ->
+      QueriesPipeline.oracleSql("qp_audio_fingerprint")
   )
 }

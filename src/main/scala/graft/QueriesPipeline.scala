@@ -44,7 +44,7 @@ object QueriesPipeline {
   private val PhHi = 220 // bright level
   private val PhLo = 30 // dark level
   private val PhFlip = 250 // perturbed pixel = PhFlip − base
-  private val PhMaxDist = 3
+  private[graft] val PhMaxDist = 3
 
   /** deterministic 9×8 grayscale luma for doc `id` at grid (r, c) —
     * the dbscanPoints augmentation convention: a per-GROUP two-level
@@ -55,11 +55,11 @@ object QueriesPipeline {
     * plus, for every 5th within-group member, ONE flipped pixel (≤ 2
     * dHash bits): same-group pairs sit within Hamming ≤ 3, cross-group
     * pairs never. Replayed verbatim in the oracle. */
-  private def phashLuma(id: Long, r: Int, c: Int): Int = {
+  private def phashLuma(prefix: String, id: Long, r: Int, c: Int): Int = {
     val g = id % PhGroups
     val k = id / PhGroups
     val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"ph:$g:$r:$c".getBytes("UTF-8"))
+      .digest(s"$prefix:$g:$r:$c".getBytes("UTF-8"))
     val base = if ((digest(0) & 0x80) == 0) PhHi else PhLo
     if (k % 5 == 0 && r == (k * 3) % 8 && c == (k * 5) % 9) PhFlip - base
     else base
@@ -86,7 +86,7 @@ object QueriesPipeline {
     * amplitude samples, so band energy = 10·amp² and the energy
     * comparison the engine computes from DECODED samples equals the
     * amplitude comparison the oracle regenerates from doc_id. */
-  private def audioMedia(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def audioMedia(s: SparkSession, dir: String): DataFrame = {
     val rdd = docs(s, dir).select(col("doc_id")).rdd.map { r =>
       val id = r.getLong(0)
       val samples = Array.tabulate(650)(i => audioAmp(id, i / 10))
@@ -106,8 +106,44 @@ object QueriesPipeline {
   private def phashMedia(s: SparkSession, dir: String): DataFrame = {
     val rdd = docs(s, dir).select(col("doc_id")).rdd.map { r =>
       val id = r.getLong(0)
-      val gray = Array.tabulate(72)(i => phashLuma(id, i / 9, i % 9))
+      val gray = Array.tabulate(72)(i => phashLuma("ph", id, i / 9, i % 9))
       org.apache.spark.sql.Row(id, Multimodal.encodeBmp24(9, 8, gray))
+    }
+    import org.apache.spark.sql.types._
+    s.createDataFrame(rdd, StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType))))
+  }
+
+  /** synthetic media table for the JPEG perceptual-hash gate (r11 —
+    * the dominant-crawl-format decoder brought into the dedup
+    * triangle), MIXED-FORMAT by construction: the same 9×8 md5-PRF
+    * pattern ships as a 9×8 BMP (id % 3 = 0), a 72×64 block-upscaled
+    * DC-only grayscale JPEG (id % 3 = 1, with a restart interval —
+    * RSTn coverage on the gate path), or a 72×64 4:2:0 YCbCr JPEG
+    * (id % 3 = 2, chroma derived from the id and discarded by the
+    * luma-only decode). dHash samples block top-lefts (sy = 8r,
+    * sx = 8c on a 72×64 grid), so every format hashes identically to
+    * the 9×8 pattern and pairing is format-blind — which is exactly
+    * what the oracle (pattern replay) asserts. */
+  private[graft] def jpegMedia(s: SparkSession, dir: String): DataFrame = {
+    val rdd = docs(s, dir).select(col("doc_id")).rdd.map { r =>
+      val id = r.getLong(0)
+      val pat = Array.tabulate(72)(i => phashLuma("jph", id, i / 9, i % 9))
+      val payload = (id % 3) match {
+        case 0 => Multimodal.encodeBmp24(9, 8, pat)
+        case _ =>
+          val up = Array.tabulate(72 * 64) { i =>
+            val y = i / 72; val x = i % 72
+            pat((y / 8) * 9 + x / 8)
+          }
+          if (id % 3 == 1)
+            Multimodal.encodeJpegGray(72, 64, up,
+              restartInterval = 1 + (id % 7).toInt)
+          else Multimodal.encodeJpegYcc420(72, 64, up,
+            cb = (id % 256).toInt, cr = ((id * 7) % 256).toInt)
+      }
+      org.apache.spark.sql.Row(id, payload)
     }
     import org.apache.spark.sql.types._
     s.createDataFrame(rdd, StructType(Seq(
@@ -1805,11 +1841,39 @@ object QueriesPipeline {
       Multimodal.phashPairs(sigs, "media_id", "phash", PhMaxDist)
         .orderBy("a_id", "b_id")
     }),
+    "qp_jpeg_phash" -> ((s, dir) => {
+      // JPEG in the dedup triangle (r11): a MIXED-FORMAT corpus (BMP /
+      // grayscale JPEG with restarts / 4:2:0 YCbCr JPEG, same pattern
+      // space) → REAL baseline JPEG decode (Huffman + dequant +
+      // fixed-point IDCT luma) → dHash64 → the same banded Hamming
+      // pair join; pairing must be format-blind
+      val sigs = Multimodal.imagePhashes(jpegMedia(s, dir))
+      Multimodal.phashPairs(sigs, "media_id", "phash", PhMaxDist)
+        .orderBy("a_id", "b_id")
+    }),
     "qp_image_dedup" -> ((s, dir) => {
       // the image dedup loop CLOSED end to end: decode → dHash →
       // banded Hamming pairs → converged min-label clusters (the text
       // nearDupClusters machinery riding the image pair frame)
       val sigs = Multimodal.imagePhashes(phashMedia(s, dir))
+      val pairs = Multimodal.phashPairs(sigs, "media_id", "phash",
+        PhMaxDist)
+      Dedup.nearDupClusters(pairs, "a_id", "b_id").orderBy("cluster")
+    }),
+    "qp_jpeg_dedup" -> ((s, dir) => {
+      // the dedup loop over the MIXED-FORMAT corpus: JPEG/BMP payloads
+      // → format-blind pairs → converged min-label clusters (also the
+      // oracle behind the image_dup_clusters SQL table function)
+      val sigs = Multimodal.imagePhashes(jpegMedia(s, dir))
+      val pairs = Multimodal.phashPairs(sigs, "media_id", "phash",
+        PhMaxDist)
+      Dedup.nearDupClusters(pairs, "a_id", "b_id").orderBy("cluster")
+    }),
+    "qp_audio_dedup" -> ((s, dir) => {
+      // the audio dedup loop CLOSED end to end (r11 — image got this
+      // in r10): decode PCM → energy fingerprint → banded Hamming
+      // pairs → converged min-label clusters
+      val sigs = Multimodal.audioFingerprints(audioMedia(s, dir))
       val pairs = Multimodal.phashPairs(sigs, "media_id", "phash",
         PhMaxDist)
       Dedup.nearDupClusters(pairs, "a_id", "b_id").orderBy("cluster")
@@ -1947,12 +2011,15 @@ object QueriesPipeline {
     * COUPLING: OpsHygieneSpec "oracle horizon covers the gate corpus"
     * pins effective propagation depth ≤ 10 on the sf0.01 pairs —
     * raise both together if future data grows longer chains. */
-  /** the qp_image_phash brute-force distance CTEs: decoded luma
-    * integers regenerated from doc_id (the gray-BMP encode/decode
-    * round trip is the identity), dHash bits compared per position —
+  /** the qp_image_phash / qp_jpeg_phash brute-force distance CTEs:
+    * decoded luma integers regenerated from doc_id (the gray-BMP /
+    * block-constant-JPEG encode/decode round trips are the identity,
+    * and dHash samples block top-lefts, so every format collapses to
+    * the same 9×8 pattern), dHash bits compared per position —
     * `dists` holds every pair's exact Hamming distance. Shared by the
-    * pair gate and the cluster gate. */
-  private lazy val phashDistCtes: String =
+    * pair gates and the cluster gate; `prefix` selects the pattern
+    * space ("ph" = BMP gate, "jph" = mixed-format JPEG gate). */
+  private def phashDistCtes(prefix: String): String =
     s"""grid AS (
        |  SELECT doc_id, r.range AS r, c.range AS c,
        |    doc_id % $PhGroups AS g, doc_id // $PhGroups AS k
@@ -1962,7 +2029,7 @@ object QueriesPipeline {
        |    CASE WHEN k % 5 = 0 AND r = (k * 3) % 8 AND c = (k * 5) % 9
        |      THEN $PhFlip - base ELSE base END AS v
        |  FROM (SELECT *,
-       |    CASE WHEN substr(md5('ph:' || g || ':' || r || ':' || c),
+       |    CASE WHEN substr(md5('$prefix:' || g || ':' || r || ':' || c),
        |          1, 1) BETWEEN '0' AND '7'
        |      THEN $PhHi ELSE $PhLo END AS base FROM grid)),
        | bits AS (
@@ -1971,6 +2038,36 @@ object QueriesPipeline {
        |  FROM cells a JOIN cells b
        |    ON b.doc_id = a.doc_id AND b.r = a.r AND b.c = a.c + 1
        |  WHERE a.c < 8),
+       | dists AS (
+       |  SELECT x.doc_id AS a_id, y.doc_id AS b_id,
+       |    SUM(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END)::INT AS dist
+       |  FROM bits x JOIN bits y
+       |    ON x.bit_idx = y.bit_idx AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2)""".stripMargin
+
+  /** the qp_audio_fingerprint / qp_audio_dedup brute-force distance
+    * CTEs: band amplitudes regenerated from doc_id (constant-amplitude
+    * bands make the decoded-energy comparison equal the amplitude
+    * comparison), fingerprint bits compared per position. */
+  private lazy val audioDistCtes: String =
+    s"""grid AS (
+       |  SELECT doc_id, j.range AS j,
+       |    doc_id % $PhGroups AS g, doc_id // $PhGroups AS k
+       |  FROM documents, range(65) j),
+       | amps AS (
+       |  SELECT doc_id, j,
+       |    CASE WHEN k % 5 = 0 AND j = (k * 7) % 65
+       |      THEN $AuHi + $AuLo - base ELSE base END AS amp
+       |  FROM (SELECT *,
+       |    CASE WHEN substr(md5('au:' || g || ':' || j), 1, 1)
+       |          BETWEEN '0' AND '7'
+       |      THEN $AuHi ELSE $AuLo END AS base FROM grid)),
+       | bits AS (
+       |  SELECT a.doc_id, a.j AS bit_idx,
+       |    CASE WHEN b.amp > a.amp THEN 1 ELSE 0 END AS bit
+       |  FROM amps a JOIN amps b
+       |    ON b.doc_id = a.doc_id AND b.j = a.j + 1
+       |  WHERE a.j < 64),
        | dists AS (
        |  SELECT x.doc_id AS a_id, y.doc_id AS b_id,
        |    SUM(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END)::INT AS dist
@@ -5010,7 +5107,13 @@ object QueriesPipeline {
     // brute-force all-pairs truth — any pair the banding wrongly
     // dropped fails the gate
     "qp_image_phash" ->
-      s"""WITH $phashDistCtes
+      s"""WITH ${phashDistCtes("ph")}
+         | SELECT a_id, b_id, dist FROM dists
+         | WHERE dist <= $PhMaxDist ORDER BY a_id, b_id""".stripMargin,
+    // the JPEG gate replays the SAME pattern truth — the mixed BMP /
+    // grayscale-JPEG / 4:2:0-JPEG corpus must pair format-blind
+    "qp_jpeg_phash" ->
+      s"""WITH ${phashDistCtes("jph")}
          | SELECT a_id, b_id, dist FROM dists
          | WHERE dist <= $PhMaxDist ORDER BY a_id, b_id""".stripMargin,
     // band amplitudes regenerated from doc_id (constant-amplitude
@@ -5018,36 +5121,38 @@ object QueriesPipeline {
     // comparison), fingerprint bits compared per position,
     // brute-force all-pairs truth
     "qp_audio_fingerprint" ->
-      s"""WITH grid AS (
-         |  SELECT doc_id, j.range AS j,
-         |    doc_id % $PhGroups AS g, doc_id // $PhGroups AS k
-         |  FROM documents, range(65) j),
-         | amps AS (
-         |  SELECT doc_id, j,
-         |    CASE WHEN k % 5 = 0 AND j = (k * 7) % 65
-         |      THEN $AuHi + $AuLo - base ELSE base END AS amp
-         |  FROM (SELECT *,
-         |    CASE WHEN substr(md5('au:' || g || ':' || j), 1, 1)
-         |          BETWEEN '0' AND '7'
-         |      THEN $AuHi ELSE $AuLo END AS base FROM grid)),
-         | bits AS (
-         |  SELECT a.doc_id, a.j AS bit_idx,
-         |    CASE WHEN b.amp > a.amp THEN 1 ELSE 0 END AS bit
-         |  FROM amps a JOIN amps b
-         |    ON b.doc_id = a.doc_id AND b.j = a.j + 1
-         |  WHERE a.j < 64),
-         | dists AS (
-         |  SELECT x.doc_id AS a_id, y.doc_id AS b_id,
-         |    SUM(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END)::INT AS dist
-         |  FROM bits x JOIN bits y
-         |    ON x.bit_idx = y.bit_idx AND x.doc_id < y.doc_id
-         |  GROUP BY 1, 2)
+      s"""WITH $audioDistCtes
          | SELECT a_id, b_id, dist FROM dists
          | WHERE dist <= $PhMaxDist ORDER BY a_id, b_id""".stripMargin,
+    // the same brute-force audio distance truth fed through the
+    // shared converged min-label replay — end-to-end audio dedup
+    // clusters (r11, completing the image/audio parity)
+    "qp_audio_dedup" ->
+      s"""WITH $audioDistCtes,
+         | p AS MATERIALIZED (SELECT a_id AS a, b_id AS b FROM dists
+         |   WHERE dist <= $PhMaxDist),
+         | u AS MATERIALIZED (SELECT a, b FROM p
+         |   UNION ALL SELECT b, a FROM p),
+         | l0 AS (SELECT DISTINCT a AS id, a AS lbl FROM u),
+         | ${minLabelRoundsSql(10)}
+         | SELECT lbl AS cluster, count(*) AS n_members FROM l10
+         | GROUP BY lbl ORDER BY cluster""".stripMargin,
     // the same brute-force distance truth fed through the shared
     // converged min-label replay — end-to-end image dedup clusters
+    // the mixed-format (jph) pattern truth through the shared
+    // converged min-label replay — clusters must be format-blind
+    "qp_jpeg_dedup" ->
+      s"""WITH ${phashDistCtes("jph")},
+         | p AS MATERIALIZED (SELECT a_id AS a, b_id AS b FROM dists
+         |   WHERE dist <= $PhMaxDist),
+         | u AS MATERIALIZED (SELECT a, b FROM p
+         |   UNION ALL SELECT b, a FROM p),
+         | l0 AS (SELECT DISTINCT a AS id, a AS lbl FROM u),
+         | ${minLabelRoundsSql(10)}
+         | SELECT lbl AS cluster, count(*) AS n_members FROM l10
+         | GROUP BY lbl ORDER BY cluster""".stripMargin,
     "qp_image_dedup" ->
-      s"""WITH $phashDistCtes,
+      s"""WITH ${phashDistCtes("ph")},
          | p AS MATERIALIZED (SELECT a_id AS a, b_id AS b FROM dists
          |   WHERE dist <= $PhMaxDist),
          | u AS MATERIALIZED (SELECT a, b FROM p

@@ -28,7 +28,8 @@ object PipelineTables {
       "fingerprints", "chunk_docs", "bm25_topk", "frequent_pairs",
       "rake_phrases", "profile", "chi_square", "acf", "attribution",
       "histogram", "fd_audit", "kaplan_meier", "holt_linear", "dau_mau",
-      "attribution_multi", "word_embeddings", "zipf_fit")
+      "attribution_multi", "word_embeddings", "zipf_fit",
+      "image_dup_pairs", "image_dup_clusters", "audio_dup_pairs")
 
   def resolve(catalog: Catalog, fn: String,
       args: Seq[SqlExpr]): DataFrame = {
@@ -57,6 +58,15 @@ object PipelineTables {
     }
     def arity(n: Int): Unit =
       if (args.size != n) bad(s"expects $n arguments, got ${args.size}")
+    /** Hamming radius with the banding contract validated at PARSE
+      * time (phashPairs' own require would surface as a runtime
+      * error, not the §2.5 parse-error contract). */
+    def distArg(i: Int): Int = {
+      val d = intArg(i)
+      if (d < 0 || d > 15)
+        bad(s"argument ${i + 1} (maxDist) must be in [0, 15], got $d")
+      d
+    }
 
     fn match {
       case "dedup_pairs" => // (class, idField, textField, threshold)
@@ -149,6 +159,26 @@ object PipelineTables {
         arity(5)
         graft.ops.Funnel.dauMau(classArg(0), strArg(1), strArg(2),
           intArg(3), intArg(4))
+      // r11: the multimodal dedup operators reach SQL — a class whose
+      // payload field holds image/audio bytes runs the full decode →
+      // fingerprint → banded-Hamming pipeline from query text
+      case "image_dup_pairs" => // (class, idField, payloadField, maxDist)
+        arity(4)
+        graft.ops.Multimodal.phashPairs(
+          graft.ops.Multimodal.imagePhashes(classArg(0), strArg(1),
+            strArg(2)), "media_id", "phash", distArg(3))
+      case "image_dup_clusters" => // (class, idField, payloadField, maxDist)
+        arity(4)
+        Dedup.nearDupClusters(
+          graft.ops.Multimodal.phashPairs(
+            graft.ops.Multimodal.imagePhashes(classArg(0), strArg(1),
+              strArg(2)), "media_id", "phash", distArg(3)),
+          "a_id", "b_id")
+      case "audio_dup_pairs" => // (class, idField, payloadField, maxDist)
+        arity(4)
+        graft.ops.Multimodal.phashPairs(
+          graft.ops.Multimodal.audioFingerprints(classArg(0), strArg(1),
+            strArg(2)), "media_id", "phash", distArg(3))
       case other =>
         // unknown function → parse error (§2.5 contract, same as
         // scalar functions)

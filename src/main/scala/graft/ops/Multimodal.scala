@@ -428,6 +428,636 @@ object Multimodal {
     Some(out)
   }
 
+  // ---- REAL JPEG content decode (baseline sequential, ITU-T T.81) --
+  // The r10 verdict's top task: JPEG is the dominant crawl image
+  // format, and header-only decode dropped it from the dedup triangle.
+  // Everything below is implemented from the public spec (T.81 Annexes
+  // B/C/F): marker-segment parse, canonical Huffman decode (F.2.2.3),
+  // zigzag + dequant, and a DETERMINISTIC fixed-point IDCT (exact
+  // integer cosine table from StrictMath — bit-identical across JVMs,
+  // the wavSpectralFeatures precedent), so decoded luma is as
+  // engine-portable as the BMP/PNG/GIF integer paths.
+
+  /** zigzag scan position → natural (row-major) position, T.81 §A.3.6. */
+  private val JpegZigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** canonical JPEG Huffman table (T.81 C.2 code assignment, F.2.2.3
+    * min/max-code decode): `counts(l-1)` codes of length l, values in
+    * code order. */
+  private final class JpegHuff(counts: Array[Int], vals: Array[Int]) {
+    private val maxcode = Array.fill(17)(-1)
+    private val mincode = new Array[Int](17)
+    private val valptr = new Array[Int](17)
+    locally {
+      var code = 0
+      var k = 0
+      var l = 1
+      while (l <= 16) {
+        if (counts(l - 1) > 0) {
+          valptr(l) = k
+          mincode(l) = code
+          code += counts(l - 1)
+          k += counts(l - 1)
+          maxcode(l) = code - 1
+        }
+        code <<= 1
+        l += 1
+      }
+    }
+    /** next Huffman-coded value, or -1 on truncation/desync. */
+    def decode(b: JpegBits): Int = {
+      var code = b.bit()
+      if (code < 0) return -1
+      var l = 1
+      while (code > maxcode(l)) {
+        val nb = b.bit()
+        if (nb < 0 || l >= 16) return -1
+        code = (code << 1) | nb
+        l += 1
+      }
+      val p = valptr(l) + code - mincode(l)
+      if (p >= vals.length) -1 else vals(p)
+    }
+  }
+
+  /** entropy-coded-segment bit reader: MSB-first, 0xFF00 byte
+    * unstuffing, stops (bit() = -1) at any real marker. */
+  private final class JpegBits(data: Array[Byte], var pos: Int) {
+    private var buf = 0
+    private var cnt = 0
+    def bit(): Int = {
+      if (cnt == 0) {
+        if (pos >= data.length) return -1
+        var b = data(pos) & 0xff
+        pos += 1
+        if (b == 0xff) {
+          if (pos >= data.length) return -1
+          if ((data(pos) & 0xff) == 0x00) pos += 1 // stuffed 0xFF byte
+          else { pos -= 1; return -1 } // real marker: stop
+        }
+        buf = b
+        cnt = 8
+      }
+      cnt -= 1
+      (buf >> cnt) & 1
+    }
+    /** s raw bits MSB-first (the RECEIVE procedure), Int.MinValue on
+      * truncation. */
+    def receive(s: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < s) {
+        val b = bit()
+        if (b < 0) return Int.MinValue
+        v = (v << 1) | b
+        i += 1
+      }
+      v
+    }
+    /** byte-align and consume the expected RSTn marker. */
+    def restart(expected: Int): Boolean = {
+      cnt = 0
+      if (pos + 2 > data.length) return false
+      if ((data(pos) & 0xff) != 0xff ||
+        (data(pos + 1) & 0xff) != 0xd0 + expected) return false
+      pos += 2
+      true
+    }
+  }
+
+  /** the EXTEND procedure (T.81 F.2.2.1): map an s-bit magnitude code
+    * to its signed value. */
+  private def jpegExtend(v: Int, s: Int): Int =
+    if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+
+  /** fixed-point IDCT basis: K(u)(x) = round(2^18 · c(u)/2 ·
+    * cos((2x+1)uπ/16)), c(0)=1/√2 else 1 — StrictMath, so the table
+    * is bit-identical on every JVM. */
+  private lazy val jpegIdctK: Array[Array[Long]] = Array.tabulate(8, 8) {
+    (u, x) =>
+      val c = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+      math.round(262144.0 * c / 2.0 *
+        StrictMath.cos((2 * x + 1) * u * math.Pi / 16.0))
+  }
+
+  /** Deterministic fixed-point 8×8 IDCT + level shift + clamp:
+    * separable two-pass integer transform over [[jpegIdctK]] (final
+    * descale round-half-up by 2^36), with the EXACT DC shortcut —
+    * an AC-free block yields ((dc + 4) >> 3) + 128, which makes
+    * decode ∘ encode the IDENTITY on flat blocks (the gate-fixture
+    * convention, cf. encodeBmp24). Input natural order, dequantized
+    * (clamped to ±16384 — corrupt-stream guard); output 64 luma
+    * values 0-255. Accuracy vs the real-valued DCT is pinned ≤ 1
+    * in MultimodalSpec. */
+  private[ops] def jpegIdctBlock(coef: Array[Int]): Array[Int] = {
+    var acAllZero = true
+    var i = 1
+    while (i < 64 && acAllZero) { acAllZero = coef(i) == 0; i += 1 }
+    if (acAllZero) {
+      val v = ((coef(0) + 4) >> 3) + 128
+      return Array.fill(64)(if (v < 0) 0 else if (v > 255) 255 else v)
+    }
+    val tmp = new Array[Long](64) // (vertical freq j, spatial x)
+    var j = 0
+    while (j < 8) {
+      var x = 0
+      while (x < 8) {
+        var s = 0L
+        var u = 0
+        while (u < 8) {
+          s += jpegIdctK(u)(x) * coef(j * 8 + u)
+          u += 1
+        }
+        tmp(j * 8 + x) = s
+        x += 1
+      }
+      j += 1
+    }
+    val out = new Array[Int](64)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var s = 0L
+        var jj = 0
+        while (jj < 8) {
+          s += jpegIdctK(jj)(y) * tmp(jj * 8 + x)
+          jj += 1
+        }
+        val v = ((s + (1L << 35)) >> 36).toInt + 128
+        out(y * 8 + x) = if (v < 0) 0 else if (v > 255) 255 else v
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Pixel decode of a BASELINE SEQUENTIAL Huffman JPEG (SOF0/SOF1,
+    * 8-bit, one interleaved scan covering every frame component —
+    * the shape JFIF encoders emit) to the full-resolution LUMA plane:
+    * the Y channel IS integer Rec.601 luma (JFIF YCbCr), so only Y
+    * blocks run dequant + IDCT; chroma blocks are entropy-decoded
+    * (the stream must advance) and dropped. Handles grayscale and any
+    * sampling factors 1-4 (4:4:4 / 4:2:2 / 4:2:0 included), 8/16-bit
+    * DQT, multi-table DHT, restart intervals, and MCU-padding crop.
+    * None for progressive (SOF2)/arithmetic/12-bit/non-interleaved
+    * flavors and any corrupt or truncated stream — those keep the
+    * header-only (dims-correct) fallback in [[decodeMedia]].
+    * Reference behavior: the reference engine stores media as opaque
+    * binary records with no content decode at all (core record kinds,
+    * `ORecordBytes`) — this decoder is beyond-reference surface. */
+  def jpegPixels(payload: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    val n = payload.length
+    def u8(i: Int): Int = payload(i) & 0xff
+    def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    if (n < 4 || u8(0) != 0xff || u8(1) != 0xd8) return None
+    val quant = new Array[Array[Int]](4)
+    val huffDc = new Array[JpegHuff](4)
+    val huffAc = new Array[JpegHuff](4)
+    var restartInterval = 0
+    var w = 0
+    var h = 0
+    // per frame component: id, sampling h, sampling v, quant id
+    var cId: Array[Int] = null
+    var cH: Array[Int] = null
+    var cV: Array[Int] = null
+    var cQ: Array[Int] = null
+    var pos = 2
+    while (pos + 4 <= n) {
+      if (u8(pos) != 0xff) return None
+      val marker = u8(pos + 1)
+      if (marker == 0xd8 || marker == 0x01 ||
+        (marker >= 0xd0 && marker <= 0xd7)) {
+        pos += 2 // bare markers
+      } else if (marker == 0xd9) {
+        return None // EOI before any scan
+      } else {
+        val len = be16(pos + 2)
+        if (len < 2 || pos + 2 + len > n) return None
+        val end = pos + 2 + len
+        marker match {
+          case 0xdb => // DQT: one or more tables, zigzag order
+            var p = pos + 4
+            while (p < end) {
+              val pq = u8(p) >> 4
+              val tq = u8(p) & 15
+              if (tq > 3 || pq > 1) return None
+              val need = if (pq == 0) 65 else 129
+              if (p + need > end) return None
+              val tbl = new Array[Int](64)
+              var i = 0
+              while (i < 64) {
+                tbl(JpegZigzag(i)) =
+                  if (pq == 0) u8(p + 1 + i) else be16(p + 1 + 2 * i)
+                i += 1
+              }
+              quant(tq) = tbl
+              p += need
+            }
+          case 0xc4 => // DHT: one or more tables
+            var p = pos + 4
+            while (p + 17 <= end) {
+              val tc = u8(p) >> 4
+              val th = u8(p) & 15
+              if (tc > 1 || th > 3) return None
+              val counts = Array.tabulate(16)(i => u8(p + 1 + i))
+              val total = counts.sum
+              if (total == 0 || total > 256 || p + 17 + total > end)
+                return None
+              val vals = Array.tabulate(total)(i => u8(p + 17 + i))
+              if (tc == 0) huffDc(th) = new JpegHuff(counts, vals)
+              else huffAc(th) = new JpegHuff(counts, vals)
+              p += 17 + total
+            }
+          case 0xc0 | 0xc1 => // baseline / extended sequential Huffman
+            if (u8(pos + 4) != 8) return None // sample precision
+            h = be16(pos + 5)
+            w = be16(pos + 7)
+            val nc = u8(pos + 9)
+            if (w <= 0 || h <= 0 || nc < 1 || nc > 4 ||
+              pos + 10 + 3 * nc > end) return None
+            if (w.toLong * h > 100000000L) return None
+            cId = new Array[Int](nc); cH = new Array[Int](nc)
+            cV = new Array[Int](nc); cQ = new Array[Int](nc)
+            var i = 0
+            while (i < nc) {
+              val o = pos + 10 + 3 * i
+              cId(i) = u8(o)
+              cH(i) = u8(o + 1) >> 4
+              cV(i) = u8(o + 1) & 15
+              cQ(i) = u8(o + 2)
+              if (cH(i) < 1 || cH(i) > 4 || cV(i) < 1 || cV(i) > 4 ||
+                cQ(i) > 3) return None
+              i += 1
+            }
+          case m if m >= 0xc2 && m <= 0xcf && m != 0xc4 && m != 0xc8 =>
+            return None // progressive/arithmetic/lossless/hierarchical
+          case 0xdd =>
+            if (len < 4) return None
+            restartInterval = be16(pos + 4)
+          case 0xda => // SOS: the single interleaved scan we support
+            if (cId == null) return None
+            val nComp = cId.length
+            val ns = u8(pos + 4)
+            if (ns != nComp || pos + 5 + 2 * ns + 3 > end) return None
+            // scan component order must be resolvable to frame order
+            val scanDc = new Array[JpegHuff](nComp)
+            val scanAc = new Array[JpegHuff](nComp)
+            val order = new Array[Int](nComp)
+            var i = 0
+            while (i < ns) {
+              val cs = u8(pos + 5 + 2 * i)
+              val ci = cId.indexOf(cs)
+              if (ci < 0) return None
+              order(i) = ci
+              scanDc(i) = huffDc(u8(pos + 6 + 2 * i) >> 4)
+              scanAc(i) = huffAc(u8(pos + 6 + 2 * i) & 15)
+              if (scanDc(i) == null || scanAc(i) == null) return None
+              i += 1
+            }
+            i = 0
+            while (i < nComp) {
+              if (quant(cQ(i)) == null) return None
+              i += 1
+            }
+            return jpegDecodeScan(payload, end, w, h, order, cH, cV,
+              cQ.map(quant(_)), scanDc, scanAc, restartInterval)
+          case _ => () // APPn/COM/other: skip
+        }
+        pos = end
+      }
+    }
+    None
+  }
+
+  /** interleaved-scan MCU loop for [[jpegPixels]]: Huffman-decode
+    * every block, run dequant+IDCT only for the LUMA component, crop
+    * the MCU-padded plane (replicating when luma is itself subsampled
+    * — nonstandard but legal). */
+  private def jpegDecodeScan(data: Array[Byte], start: Int, w: Int,
+      h: Int, order: Array[Int], cH: Array[Int], cV: Array[Int],
+      q: Array[Array[Int]], dcT: Array[JpegHuff], acT: Array[JpegHuff],
+      restartInterval: Int): Option[(Int, Int, Array[Int])] = {
+    val nComp = order.length
+    var hmax = 1
+    var vmax = 1
+    var i = 0
+    while (i < nComp) {
+      if (cH(i) > hmax) hmax = cH(i)
+      if (cV(i) > vmax) vmax = cV(i)
+      i += 1
+    }
+    val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+    val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+    // LUMA = frame component 0 (Y leads in JFIF; the only component
+    // when grayscale) — the ci == 0 checks below keep only its blocks
+    val planeW = mcusX * cH(0) * 8
+    val planeH = mcusY * cV(0) * 8
+    if (planeW.toLong * planeH > 200000000L) return None
+    val plane = new Array[Int](planeW * planeH)
+    val bits = new JpegBits(data, start)
+    val pred = new Array[Int](nComp)
+    val coef = new Array[Int](64)
+    var mcu = 0
+    val total = mcusX * mcusY
+    while (mcu < total) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        if (!bits.restart(((mcu / restartInterval) - 1) & 7)) return None
+        java.util.Arrays.fill(pred, 0)
+      }
+      val my = mcu / mcusX
+      val mx = mcu % mcusX
+      var sc = 0
+      while (sc < nComp) {
+        val ci = order(sc)
+        val qt = q(ci)
+        var by = 0
+        while (by < cV(ci)) {
+          var bx = 0
+          while (bx < cH(ci)) {
+            // DC: category + extended diff against the predictor
+            val s = dcT(sc).decode(bits)
+            if (s < 0 || s > 15) return None
+            val diff = if (s == 0) 0 else {
+              val v = bits.receive(s)
+              if (v == Int.MinValue) return None
+              jpegExtend(v, s)
+            }
+            pred(ci) += diff
+            if (ci == 0) {
+              java.util.Arrays.fill(coef, 0)
+              coef(0) = clampCoef(pred(ci) * qt(0))
+            }
+            // AC: run-length (ZRL/EOB) over the zigzag sequence
+            var k = 1
+            var eob = false
+            while (k < 64 && !eob) {
+              val rs = acT(sc).decode(bits)
+              if (rs < 0) return None
+              val r = rs >> 4
+              val ss = rs & 15
+              if (ss == 0) {
+                if (r == 15) k += 16 else eob = true
+              } else {
+                k += r
+                if (k > 63) return None
+                val v = bits.receive(ss)
+                if (v == Int.MinValue) return None
+                if (ci == 0)
+                  coef(JpegZigzag(k)) =
+                    clampCoef(jpegExtend(v, ss) * qt(JpegZigzag(k)))
+                k += 1
+              }
+            }
+            if (ci == 0) {
+              val px = jpegIdctBlock(coef)
+              val ox = (mx * cH(0) + bx) * 8
+              val oy = (my * cV(0) + by) * 8
+              var yy = 0
+              while (yy < 8) {
+                var xx = 0
+                while (xx < 8) {
+                  plane((oy + yy) * planeW + ox + xx) = px(yy * 8 + xx)
+                  xx += 1
+                }
+                yy += 1
+              }
+            }
+            bx += 1
+          }
+          by += 1
+        }
+        sc += 1
+      }
+      mcu += 1
+    }
+    // crop (and, for subsampled luma, nearest-neighbor expand) to w×h
+    val out = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      val py = y * cV(0) / vmax
+      var x = 0
+      while (x < w) {
+        out(y * w + x) = plane(py * planeW + x * cH(0) / hmax)
+        x += 1
+      }
+      y += 1
+    }
+    Some((w, h, out))
+  }
+
+  /** dequantized-coefficient guard: 8-bit baseline coefficients are
+    * bounded ±~2040 by the DCT itself; anything past ±16384 is a
+    * corrupt stream — clamp so the fixed-point IDCT's 64-bit
+    * accumulators can never overflow. */
+  private def clampCoef(v: Int): Int =
+    if (v < -16384) -16384 else if (v > 16384) 16384 else v
+
+  /** canonical code assignment (T.81 C.2) for the encoder half:
+    * value → (code, length). */
+  private def jpegHuffCodes(counts: Array[Int],
+      vals: Array[Int]): Map[Int, (Int, Int)] = {
+    val m = scala.collection.mutable.Map[Int, (Int, Int)]()
+    var code = 0
+    var k = 0
+    var l = 1
+    while (l <= 16) {
+      var c = 0
+      while (c < counts(l - 1)) {
+        m(vals(k)) = (code, l)
+        code += 1
+        k += 1
+        c += 1
+      }
+      code <<= 1
+      l += 1
+    }
+    m.toMap
+  }
+
+  /** entropy-coded-segment bit writer: MSB-first, 0xFF byte stuffing,
+    * 1-padding on alignment (T.81 B.1.1.5 / F.1.2.3). */
+  private final class JpegBitWriter(out: java.io.ByteArrayOutputStream) {
+    private var buf = 0
+    private var cnt = 0
+    def put(v: Int, nBits: Int): Unit = {
+      var i = nBits - 1
+      while (i >= 0) {
+        buf = (buf << 1) | ((v >> i) & 1)
+        cnt += 1
+        if (cnt == 8) {
+          out.write(buf)
+          if (buf == 0xff) out.write(0) // byte stuffing
+          buf = 0
+          cnt = 0
+        }
+        i -= 1
+      }
+    }
+    def flushAlign(): Unit = while (cnt != 0) put(1, 1)
+  }
+
+  // encoder Huffman tables (custom minimal canonical tables — the
+  // decoder builds tables from whatever DHT declares, so nonstandard
+  // tables double as generality coverage): DC categories 0-9 as ten
+  // 4-bit codes; AC holds only EOB (DC-only blocks never emit AC).
+  private val JpegEncDcCounts: Array[Int] =
+    Array(0, 0, 0, 10, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+  private val JpegEncDcVals: Array[Int] = (0 to 9).toArray
+  private val JpegEncAcCounts: Array[Int] =
+    Array(1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+  private val JpegEncAcVals: Array[Int] = Array(0)
+
+  /** one DC-only block: category + extended-diff bits, then EOB. */
+  private def jpegPutDcOnlyBlock(bw: JpegBitWriter, diff: Int,
+      dc: Map[Int, (Int, Int)], ac: Map[Int, (Int, Int)]): Unit = {
+    val s = if (diff == 0) 0
+      else 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+    val (c, l) = dc(s)
+    bw.put(c, l)
+    if (s > 0) bw.put(if (diff >= 0) diff else diff + (1 << s) - 1, s)
+    val (ec, el) = ac(0)
+    bw.put(ec, el) // EOB
+  }
+
+  private def jpegPutSegment(out: java.io.ByteArrayOutputStream,
+      marker: Int, body: Array[Int]): Unit = {
+    out.write(0xff); out.write(marker)
+    val len = body.length + 2
+    out.write((len >> 8) & 0xff); out.write(len & 0xff)
+    body.foreach(b => out.write(b & 0xff))
+  }
+
+  private def jpegDhtBody(tc: Int, th: Int, counts: Array[Int],
+      vals: Array[Int]): Array[Int] =
+    Array((tc << 4) | th) ++ counts ++ vals
+
+  /** Encode a grayscale grid as a DC-ONLY baseline sequential JPEG
+    * (single component, quant table all-8s) — the exact flavor
+    * [[jpegPixels]] decodes, and the writer half of the JPEG identity
+    * round trip: each 8×8 block encodes its top-left sample as a flat
+    * block, and because q(0,0)=8 divides the flat-block DC exactly
+    * (FDCT of a flat block v is DC = 8·(v−128), AC = 0), decode ∘
+    * encode is the IDENTITY on block-constant images — the gate-
+    * fixture convention (cf. [[encodeBmp24]]; JPEG being lossy in
+    * general, the identity contract holds exactly on that fixture
+    * shape and degrades to an 8×8 mosaic elsewhere).
+    * `restartInterval` > 0 emits DRI + RSTn markers (decoder restart
+    * coverage). */
+  def encodeJpegGray(w: Int, h: Int, gray: Array[Int],
+      restartInterval: Int = 0): Array[Byte] = {
+    require(w > 0 && h > 0 && gray.length == w * h,
+      "encodeJpegGray needs a w*h top-down gray grid")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(0xff); out.write(0xd8) // SOI
+    jpegPutSegment(out, 0xdb, Array(0x00) ++ Array.fill(64)(8))
+    jpegPutSegment(out, 0xc0, Array(8, (h >> 8) & 0xff, h & 0xff,
+      (w >> 8) & 0xff, w & 0xff, 1, 1, 0x11, 0))
+    jpegPutSegment(out, 0xc4,
+      jpegDhtBody(0, 0, JpegEncDcCounts, JpegEncDcVals))
+    jpegPutSegment(out, 0xc4,
+      jpegDhtBody(1, 0, JpegEncAcCounts, JpegEncAcVals))
+    if (restartInterval > 0)
+      jpegPutSegment(out, 0xdd,
+        Array((restartInterval >> 8) & 0xff, restartInterval & 0xff))
+    jpegPutSegment(out, 0xda, Array(1, 1, 0x00, 0, 63, 0))
+    val dc = jpegHuffCodes(JpegEncDcCounts, JpegEncDcVals)
+    val ac = jpegHuffCodes(JpegEncAcCounts, JpegEncAcVals)
+    val bw = new JpegBitWriter(out)
+    val bX = (w + 7) / 8
+    val bY = (h + 7) / 8
+    var pred = 0
+    var rstCount = 0
+    var mcu = 0
+    var by = 0
+    while (by < bY) {
+      var bx = 0
+      while (bx < bX) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          bw.flushAlign()
+          out.write(0xff); out.write(0xd0 + (rstCount & 7))
+          rstCount += 1
+          pred = 0
+        }
+        val v = gray(by * 8 * w + bx * 8) & 0xff
+        val dq = v - 128 // quantized DC: 8(v-128)/8
+        jpegPutDcOnlyBlock(bw, dq - pred, dc, ac)
+        pred = dq
+        mcu += 1
+        bx += 1
+      }
+      by += 1
+    }
+    bw.flushAlign()
+    out.write(0xff); out.write(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Encode a 4:2:0 YCbCr baseline JPEG: Y = DC-only flat blocks from
+    * the gray grid (same identity contract as [[encodeJpegGray]] on
+    * block-constant input — the decoder keeps only luma), chroma =
+    * flat `cb`/`cr` planes. Exercises the decoder's interleaved-MCU
+    * path (4 Y + Cb + Cr per MCU) and chroma entropy-skipping. */
+  def encodeJpegYcc420(w: Int, h: Int, gray: Array[Int],
+      cb: Int = 128, cr: Int = 128): Array[Byte] = {
+    require(w > 0 && h > 0 && gray.length == w * h,
+      "encodeJpegYcc420 needs a w*h top-down gray grid")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(0xff); out.write(0xd8)
+    jpegPutSegment(out, 0xdb, Array(0x00) ++ Array.fill(64)(8))
+    jpegPutSegment(out, 0xc0, Array(8, (h >> 8) & 0xff, h & 0xff,
+      (w >> 8) & 0xff, w & 0xff, 3,
+      1, 0x22, 0, // Y: h=v=2
+      2, 0x11, 0, // Cb
+      3, 0x11, 0)) // Cr
+    jpegPutSegment(out, 0xc4,
+      jpegDhtBody(0, 0, JpegEncDcCounts, JpegEncDcVals))
+    jpegPutSegment(out, 0xc4,
+      jpegDhtBody(1, 0, JpegEncAcCounts, JpegEncAcVals))
+    jpegPutSegment(out, 0xda,
+      Array(3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0))
+    val dc = jpegHuffCodes(JpegEncDcCounts, JpegEncDcVals)
+    val ac = jpegHuffCodes(JpegEncAcCounts, JpegEncAcVals)
+    val bw = new JpegBitWriter(out)
+    val mX = (w + 15) / 16
+    val mY = (h + 15) / 16
+    val pred = new Array[Int](3)
+    var my = 0
+    while (my < mY) {
+      var mx = 0
+      while (mx < mX) {
+        var j = 0
+        while (j < 2) { // 4 luma blocks, raster order within the MCU
+          var i = 0
+          while (i < 2) {
+            // padded blocks replicate the nearest in-image sample
+            val sy = math.min((my * 2 + j) * 8, h - 1)
+            val sx = math.min((mx * 2 + i) * 8, w - 1)
+            val dq = (gray(sy * w + sx) & 0xff) - 128
+            jpegPutDcOnlyBlock(bw, dq - pred(0), dc, ac)
+            pred(0) = dq
+            i += 1
+          }
+          j += 1
+        }
+        jpegPutDcOnlyBlock(bw, (cb & 0xff) - 128 - pred(1), dc, ac)
+        pred(1) = (cb & 0xff) - 128
+        jpegPutDcOnlyBlock(bw, (cr & 0xff) - 128 - pred(2), dc, ac)
+        pred(2) = (cr & 0xff) - 128
+        mx += 1
+      }
+      my += 1
+    }
+    bw.flushAlign()
+    out.write(0xff); out.write(0xd9)
+    out.toByteArray
+  }
+
   /** number of image descriptors = ANIMATION frame count — a light
     * block walk counting 0x2C sections (sub-blocks skipped by their
     * length prefixes); desynced/imageless streams report 1 so the
@@ -666,11 +1296,20 @@ object Multimodal {
         gifLumaFeatures(payload, featureDim)
           .getOrElse(sampleFeature(payload, featureDim)))
     } else if (n >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
-      // JPEG (ITU-T T.81): walk marker segments from SOI to the first
-      // frame header SOF0-SOF15 (skipping the non-frame DHT/DAC/RST
-      // markers that share the 0xC0 nibble); the frame header carries
-      // height (BE16 at +5) then width (+7). Entropy-coded data never
-      // precedes the first SOF, so a plain segment walk suffices.
+      // JPEG (ITU-T T.81): baseline sequential payloads decode to
+      // REAL pixel features (r11 — Huffman + dequant + fixed-point
+      // IDCT luma via [[jpegPixels]]); other flavors (progressive,
+      // arithmetic, 12-bit) keep the header walk below: marker
+      // segments from SOI to the first frame header SOF0-SOF15
+      // (skipping the non-frame DHT/DAC/RST markers that share the
+      // 0xC0 nibble); the frame header carries height (BE16 at +5)
+      // then width (+7). Entropy-coded data never precedes the first
+      // SOF, so a plain segment walk suffices.
+      jpegPixels(payload) match {
+        case Some((w, h, px)) =>
+          return (w, h, 1, lumaBands(w, h, px, featureDim))
+        case None => ()
+      }
       def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
       var pos = 2
       var w = 0; var h = 0
@@ -884,8 +1523,9 @@ object Multimodal {
     StructField("phash", LongType, nullable = false)))
 
   /** Perceptual-hash stage: decode every payload with the REAL pixel
-    * decoders ([[bmpPixels]] / [[pngPixels]] / [[gifPixels]]) and emit
-    * (media_id, [[dHash64]] fingerprint). Rows whose payload no
+    * decoders ([[bmpPixels]] / [[pngPixels]] / [[gifPixels]] /
+    * [[jpegPixels]] — r11 closes the dominant-crawl-format gap) and
+    * emit (media_id, [[dHash64]] fingerprint). Rows whose payload no
     * decoder accepts are DROPPED (a fingerprint from header bytes
     * would pair unrelated images). Batched per partition, no shuffle —
     * the same stage shape as [[decode]]. */
@@ -899,7 +1539,7 @@ object Multimodal {
           if (r.isNullAt(0) || r.isNullAt(1)) Array.empty[Byte]
           else r.getAs[Array[Byte]](1)
         bmpPixels(payload).orElse(pngPixels(payload))
-          .orElse(gifPixels(payload))
+          .orElse(gifPixels(payload)).orElse(jpegPixels(payload))
           .map { case (w, h, px) => Row(r.getLong(0), dHash64(w, h, px)) }
       }
     spark.createDataFrame(out, phashSchema)

@@ -300,6 +300,14 @@ class DialectSpec extends AnyFunSuite {
     intercept[Parser.ParseException](
       g.query("select from attribution_multi(events, 'user_id', 'ts'," +
         " 'event_id', 'event_type', 'purchase', 86400000000, 'bogus')"))
+    // multimodal dedup functions (r11): maxDist outside the banding
+    // contract [0, 15] is a parse error, not an operator require-crash
+    intercept[Parser.ParseException](
+      g.query("select from image_dup_pairs(documents, 'doc_id', " +
+        "'text', 16)"))
+    intercept[Parser.ParseException](
+      g.query("select from audio_dup_pairs(documents, 'doc_id', " +
+        "'text', -1)"))
   }
 
   test("pipeline table functions READ-check their class arguments") {

@@ -600,6 +600,294 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  // ---- JPEG (r11): baseline sequential decode ----------------------
+
+  /** float-reference 2-D IDCT (the real-valued T.81 A.3.3 transform)
+    * — the independent accuracy pin for the fixed-point
+    * [[Multimodal.jpegIdctBlock]]. */
+  private def idctFloat(coef: Array[Int]): Array[Double] =
+    Array.tabulate(64) { p =>
+      val y = p / 8; val x = p % 8
+      var s = 0.0
+      for (v <- 0 until 8; u <- 0 until 8) {
+        val cu = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+        val cv = if (v == 0) 1.0 / math.sqrt(2.0) else 1.0
+        s += cu * cv / 4.0 * coef(v * 8 + u) *
+          math.cos((2 * x + 1) * u * math.Pi / 16.0) *
+          math.cos((2 * y + 1) * v * math.Pi / 16.0)
+      }
+      s + 128.0
+    }
+
+  test("JPEG fixed-point IDCT: exact DC shortcut, <=1 vs float reference") {
+    // DC-only: ((dc+4)>>3)+128 exactly — the identity-round-trip anchor
+    for (dc <- Seq(-1024, -513, -8, 0, 8, 63, 512, 1016)) {
+      val c = new Array[Int](64); c(0) = dc
+      val want = math.max(0, math.min(255, ((dc + 4) >> 3) + 128))
+      assert(Multimodal.jpegIdctBlock(c).toSeq == Seq.fill(64)(want),
+        s"dc=$dc")
+    }
+    // general blocks: within 1 of the real-valued transform
+    val rng = new scala.util.Random(4242)
+    for (trial <- 1 to 20) {
+      val c = new Array[Int](64)
+      for (_ <- 0 until 1 + rng.nextInt(12))
+        c(rng.nextInt(64)) = rng.nextInt(401) - 200
+      val fixed = Multimodal.jpegIdctBlock(c)
+      val ref = idctFloat(c)
+      for (i <- 0 until 64) {
+        val want = math.max(0.0, math.min(255.0, ref(i)))
+        assert(math.abs(fixed(i) - want) <= 1.0,
+          s"trial $trial pos $i: fixed=${fixed(i)} float=$want")
+      }
+    }
+  }
+
+  test("JPEG identity round trip: block-constant grids, partial blocks, " +
+      "restarts, 4:2:0") {
+    def blockGrid(w: Int, h: Int, f: (Int, Int) => Int): Array[Int] =
+      Array.tabulate(w * h)(i => f((i / w) / 8, (i % w) / 8))
+    val rng = new scala.util.Random(77)
+    // exact dims, partial blocks (crop), and restart intervals
+    for ((w, h, rst) <- Seq((72, 64, 0), (16, 16, 0), (20, 12, 0),
+        (9, 8, 0), (72, 64, 5), (24, 24, 1))) {
+      val vals = Array.fill(12, 12)(rng.nextInt(256))
+      val grid = blockGrid(w, h, (by, bx) => vals(by)(bx))
+      val jpg = Multimodal.encodeJpegGray(w, h, grid, rst)
+      val got = Multimodal.jpegPixels(jpg)
+      assert(got.isDefined, s"${w}x$h rst=$rst failed to decode")
+      val (gw, gh, px) = got.get
+      assert((gw, gh) == (w, h))
+      assert(px.toSeq == grid.toSeq, s"${w}x$h rst=$rst luma mismatch")
+      // decodeMedia rides the same decode: real luma features now
+      val viaMedia = Multimodal.decodeMedia(jpg, 4)
+      assert((viaMedia._1, viaMedia._2, viaMedia._3) == (w, h, 1))
+    }
+    // 4:2:0 color: the decoder keeps luma, entropy-skips chroma
+    val vals = Array.fill(6, 6)(rng.nextInt(256))
+    val grid = blockGrid(40, 40, (by, bx) => vals(by)(bx))
+    for ((cb, cr) <- Seq((128, 128), (20, 240))) {
+      val jpg = Multimodal.encodeJpegYcc420(40, 40, grid, cb, cr)
+      val (gw, gh, px) = Multimodal.jpegPixels(jpg).get
+      assert((gw, gh) == (40, 40))
+      assert(px.toSeq == grid.toSeq, s"4:2:0 cb=$cb cr=$cr")
+    }
+    // dims not multiples of the 16px MCU: padded blocks crop away
+    val g2 = blockGrid(20, 12, (by, bx) => vals(by)(bx))
+    val (pw, ph, ppx) =
+      Multimodal.jpegPixels(Multimodal.encodeJpegYcc420(20, 12, g2)).get
+    assert((pw, ph) == (20, 12) && ppx.toSeq == g2.toSeq)
+  }
+
+  /** test-side coefficient-level baseline encoder (the lzwEncode
+    * convention): emits one-component JPEGs from GIVEN quantized
+    * zigzag coefficients through richer custom Huffman tables, so the
+    * bitstream path (canonical DHT build, DC diff, AC run/size, ZRL,
+    * EOB, 16-bit DQT, dezigzag, dequant) is pinned independently of
+    * the IDCT (pinned against the float reference above). `blocks`:
+    * per block, (zigzagIndex → quantized value) with index 0 = DC
+    * (absolute, not diff — this encoder does the diffing). */
+  private def mkJpegFromCoefs(w: Int, h: Int, qZig: Array[Int],
+      blocks: Seq[Map[Int, Int]], wideDqt: Boolean): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def seg(marker: Int, body: Array[Int]): Unit = {
+      out.write(0xff); out.write(marker)
+      val len = body.length + 2
+      out.write((len >> 8) & 0xff); out.write(len & 0xff)
+      body.foreach(b => out.write(b & 0xff))
+    }
+    out.write(0xff); out.write(0xd8)
+    if (wideDqt) // pq=1: 16-bit table entries
+      seg(0xdb, Array(0x10) ++ qZig.flatMap(q =>
+        Array((q >> 8) & 0xff, q & 0xff)))
+    else seg(0xdb, Array(0x00) ++ qZig)
+    seg(0xc0, Array(8, (h >> 8) & 0xff, h & 0xff,
+      (w >> 8) & 0xff, w & 0xff, 1, 1, 0x11, 0))
+    // DC: categories 0-11, all 4-bit codes; AC: every (run,size) the
+    // blocks need plus EOB and ZRL, all 6-bit codes
+    val dcCounts = new Array[Int](16); dcCounts(3) = 12
+    val dcVals = (0 to 11).toArray
+    def cat(v: Int): Int =
+      if (v == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(v))
+    val acSyms = scala.collection.mutable.SortedSet[Int](0x00, 0xf0)
+    for (b <- blocks) {
+      val idxs = b.keys.filter(_ > 0).toSeq.sorted
+      var prev = 0
+      for (i <- idxs) {
+        var run = i - prev - 1
+        while (run >= 16) run -= 16
+        acSyms += (run << 4) | cat(b(i))
+        prev = i
+      }
+    }
+    val acCounts = new Array[Int](16); acCounts(5) = acSyms.size
+    val acVals = acSyms.toArray
+    seg(0xc4, Array(0x00) ++ dcCounts ++ dcVals)
+    seg(0xc4, Array(0x10) ++ acCounts ++ acVals)
+    seg(0xda, Array(1, 1, 0x00, 0, 63, 0))
+    def codes(counts: Array[Int], vals: Array[Int]): Map[Int, (Int, Int)] = {
+      var code = 0; var k = 0
+      val m = scala.collection.mutable.Map[Int, (Int, Int)]()
+      for (l <- 1 to 16) {
+        for (_ <- 0 until counts(l - 1)) {
+          m(vals(k)) = (code, l); code += 1; k += 1
+        }
+        code <<= 1
+      }
+      m.toMap
+    }
+    val dcC = codes(dcCounts, dcVals)
+    val acC = codes(acCounts, acVals)
+    var buf = 0; var cnt = 0
+    def put(v: Int, nBits: Int): Unit = {
+      var i = nBits - 1
+      while (i >= 0) {
+        buf = (buf << 1) | ((v >> i) & 1); cnt += 1
+        if (cnt == 8) {
+          out.write(buf); if (buf == 0xff) out.write(0)
+          buf = 0; cnt = 0
+        }
+        i -= 1
+      }
+    }
+    def putSigned(v: Int): Unit = {
+      val s = cat(v)
+      if (s > 0) put(if (v >= 0) v else v + (1 << s) - 1, s)
+    }
+    var pred = 0
+    for (b <- blocks) {
+      val dc = b.getOrElse(0, 0)
+      val diff = dc - pred
+      pred = dc
+      val (c, l) = dcC(cat(diff)); put(c, l); putSigned(diff)
+      val idxs = b.keys.filter(_ > 0).toSeq.sorted
+      var prev = 0
+      for (i <- idxs) {
+        var run = i - prev - 1
+        while (run >= 16) { val (zc, zl) = acC(0xf0); put(zc, zl); run -= 16 }
+        val (ac, al) = acC((run << 4) | cat(b(i))); put(ac, al)
+        putSigned(b(i))
+        prev = i
+      }
+      if (idxs.isEmpty || idxs.max < 63) {
+        val (ec, el) = acC(0x00); put(ec, el)
+      }
+    }
+    while (cnt != 0) put(1, 1)
+    out.write(0xff); out.write(0xd9)
+    out.toByteArray
+  }
+
+  test("JPEG bitstream decode: AC run-lengths, ZRL, 16-bit DQT, " +
+      "dequant — pinned via coefficient-level fixtures") {
+    val rng = new scala.util.Random(1313)
+    for (wide <- Seq(false, true)) {
+      // non-flat quant table in zigzag order (16-bit path uses values
+      // past 255 on the high-frequency tail)
+      val qZig = Array.tabulate(64)(i =>
+        1 + (i % 7) + (if (wide && i > 40) 300 else 0))
+      val blocks = (1 to 6).map { _ =>
+        val m = scala.collection.mutable.Map[Int, Int](
+          0 -> (rng.nextInt(240) - 120))
+        for (_ <- 0 until rng.nextInt(8)) {
+          val zi = 1 + rng.nextInt(63)
+          // AC values must be NONZERO (zero would need an illegal
+          // size-0 run symbol; real encoders express zeros as runs)
+          val v = rng.nextInt(40) - 20
+          m(zi) = if (v >= 0) v + 1 else v
+        }
+        // force a ZRL (run >= 16) case in some blocks
+        if (rng.nextBoolean()) m(40 max (m.keys.max + 17) min 63) = 5
+        m.toMap
+      }
+      // 48x8 = 6 blocks in one row
+      val jpg = mkJpegFromCoefs(48, 8, qZig, blocks, wide)
+      val got = Multimodal.jpegPixels(jpg)
+      assert(got.isDefined, s"wide=$wide failed to decode")
+      val (gw, gh, px) = got.get
+      assert((gw, gh) == (48, 8))
+      // expected: dezigzag + dequant (the bitstream semantics under
+      // test), then the SAME fixed-point IDCT pinned above
+      val zz = Array(
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+      for ((b, bi) <- blocks.zipWithIndex) {
+        val coefNat = new Array[Int](64)
+        for ((zi, v) <- b) coefNat(zz(zi)) = v * qZig(zi)
+        val want = Multimodal.jpegIdctBlock(coefNat)
+        val gotBlock = Array.tabulate(64)(p =>
+          px((p / 8) * 48 + bi * 8 + p % 8))
+        assert(gotBlock.toSeq == want.toSeq,
+          s"wide=$wide block $bi mismatch")
+      }
+    }
+  }
+
+  test("JPEG flavors the decoder must refuse (header fallback keeps dims)") {
+    val grid = Array.fill(64)(100)
+    val good = Multimodal.encodeJpegGray(8, 8, grid)
+    // progressive: rewrite SOF0 -> SOF2
+    val prog = good.clone()
+    val sofAt = (0 until prog.length - 1).find(i =>
+      (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xc0).get
+    prog(sofAt + 1) = 0xc2.toByte
+    assert(Multimodal.jpegPixels(prog).isEmpty)
+    assert(Multimodal.decodeMedia(prog, 2)._1 == 8) // dims still real
+    // truncated entropy stream
+    val trunc = java.util.Arrays.copyOf(good, good.length - 4)
+    assert(Multimodal.jpegPixels(trunc).isEmpty)
+    // junk
+    assert(Multimodal.jpegPixels("not a jpeg".getBytes).isEmpty)
+  }
+
+  test("imagePhashes picks up JPEG automatically, pairing across formats") {
+    import spark.implicits._
+    // the same 9x8 pattern as a BMP and as a block-upscaled 72x64 JPEG
+    // must hash identically (dHash samples block top-lefts), so the
+    // cross-format pair comes out at distance 0
+    val pattern = Array.tabulate(72)(i => if (i % 9 < 4) 30 else 220)
+    val up = Array.tabulate(72 * 64) { i =>
+      val y = i / 72; val x = i % 72
+      pattern((y / 8) * 9 + x / 8)
+    }
+    val m = Seq(
+      (1L, Multimodal.encodeBmp24(9, 8, pattern)),
+      (2L, Multimodal.encodeJpegGray(72, 64, up)),
+      (3L, Multimodal.encodeJpegYcc420(72, 64, up, 90, 200))
+    ).toDF("media_id", "payload")
+    val sigs = Multimodal.imagePhashes(m)
+    assert(sigs.count() == 3)
+    val pairs = Multimodal.phashPairs(sigs, "media_id", "phash", 3)
+      .orderBy("a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(pairs == Seq((1L, 2L, 0), (1L, 3L, 0), (2L, 3L, 0)))
+  }
+
+  test("audio dedup loop: near-dup WAVs cluster, distinct don't") {
+    import spark.implicits._
+    // three bands-of-amplitude shapes: base, near (one band nudged —
+    // flips ≤2 energy-difference bits), far (alternating loud/quiet)
+    def wav(amps: Array[Int]): Array[Byte] =
+      Multimodal.encodeWavPcm16(8000, 1,
+        Array.tabulate(650)(i => amps(i / 10)))
+    val base = Array.tabulate(65)(j => if (j < 30) 12000 else 2000)
+    val near = base.clone(); near(40) = 12000
+    val far = Array.tabulate(65)(j => if (j % 2 == 0) 12000 else 2000)
+    val m = Seq(
+      (1L, wav(base)), (2L, wav(near)), (3L, wav(far)),
+      (4L, wav(far.map(v => v + 1))) // far's near-dup
+    ).toDF("media_id", "payload")
+    val pairs = Multimodal.phashPairs(
+      Multimodal.audioFingerprints(m), "media_id", "phash", 3)
+    val clusters = Dedup.nearDupClusters(pairs, "a_id", "b_id")
+      .orderBy("cluster")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // two clusters: {1,2} labeled 1 and {3,4} labeled 3
+    assert(clusters == Seq((1L, 2L), (3L, 2L)))
+  }
+
   test("resize clamps the longest side") {
     val decoded = Multimodal.decode(media)
     val resized = Multimodal.resize(decoded, maxSide = 32)
