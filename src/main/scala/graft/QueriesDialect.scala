@@ -36,6 +36,9 @@ object QueriesDialect {
       gs.catalog.register(graft.engine.ClassDef("media_audio",
         sp => QueriesPipeline.audioMedia(sp, dir),
         clusterId = 91, ridPosCol = Some("media_id")))
+      gs.catalog.register(graft.engine.ClassDef("media_videos",
+        sp => QueriesPipeline.gifMedia(sp, dir),
+        clusterId = 92, ridPosCol = Some("media_id")))
       gs
     })
   }
@@ -286,6 +289,13 @@ object QueriesDialect {
       "select id, e0, e1 from word_embeddings(documents, 'doc_id', " +
         s"'text', $WordEmbVocabK, $WordEmbShift, $WordEmbIters) " +
         "order by id")),
+    // rank plumbed through (r11): the 7-arg form trains k=3; e0/e1
+    // must equal the k=2 gate's (deflation prefix stability) and e2
+    // must match the oracle's third deflation stage
+    "qd_pipe_word_embeddings_k3" -> ((s, dir) => gq(s, dir,
+      "select id, e0, e1, e2 from word_embeddings(documents, " +
+        s"'doc_id', 'text', $WordEmbVocabK, $WordEmbShift, " +
+        s"$WordEmbIters, 3) order by id")),
     // multimodal dedup from SQL text (r11): the decode → fingerprint →
     // banded-Hamming pipeline over binary-payload classes; maxDist
     // interpolated from the SAME Scala constant that generates the
@@ -301,7 +311,15 @@ object QueriesDialect {
     "qd_pipe_audio_pairs" -> ((s, dir) => gq(s, dir,
       "select a_id, b_id, dist from audio_dup_pairs(media_audio, " +
         s"'media_id', 'payload', ${QueriesPipeline.PhMaxDist}) " +
-        "order by a_id, b_id"))
+        "order by a_id, b_id")),
+    "qd_pipe_video_pairs" -> ((s, dir) => gq(s, dir,
+      "select a_id, b_id, dist from video_dup_pairs(media_videos, " +
+        s"'media_id', 'payload', ${QueriesPipeline.PhMaxDist}) " +
+        "order by a_id, b_id")),
+    "qd_pipe_video_fps" -> ((s, dir) => gq(s, dir,
+      "select media_id, n_frames, seq_fp from " +
+        "video_fingerprints(media_videos, 'media_id', 'payload') " +
+        "order by media_id"))
   )
 
   /** qd_pipe_word_embeddings parameters — one place feeds the SQL
@@ -542,12 +560,18 @@ object QueriesDialect {
     "qd_pipe_word_embeddings" -> QueriesPipeline.sppmiEmbedSql(
       QueriesPipeline.wordPairSrc("SELECT doc_id, text FROM documents",
         WordEmbVocabK), WordEmbShift, WordEmbIters),
+    // the k=3 instantiation of the SAME dynamic-rank generator
+    "qd_pipe_word_embeddings_k3" -> QueriesPipeline.sppmiEmbedSql(
+      QueriesPipeline.wordPairSrc("SELECT doc_id, text FROM documents",
+        WordEmbVocabK), WordEmbShift, WordEmbIters, k = 3),
     // the multimodal table functions run over the SAME payload corpora
     // as the qp_* gates, so the ops' oracles transfer verbatim
     "qd_pipe_image_pairs" -> QueriesPipeline.oracleSql("qp_jpeg_phash"),
     "qd_pipe_image_clusters" ->
       QueriesPipeline.oracleSql("qp_jpeg_dedup"),
     "qd_pipe_audio_pairs" ->
-      QueriesPipeline.oracleSql("qp_audio_fingerprint")
+      QueriesPipeline.oracleSql("qp_audio_fingerprint"),
+    "qd_pipe_video_pairs" -> QueriesPipeline.oracleSql("qp_gif_phash"),
+    "qd_pipe_video_fps" -> QueriesPipeline.oracleSql("qp_gif_sequence")
   )
 }

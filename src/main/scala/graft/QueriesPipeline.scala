@@ -40,7 +40,20 @@ object QueriesPipeline {
   /** qp_image_phash constants — ONE set of Scala values drives both
     * the synthetic-pixel generator and the interpolated oracle SQL
     * (CLAUDE.md seeded-constants rule). */
-  private val PhGroups = 25L // near-dup group: doc_id % PhGroups
+  /** corpus-scaled near-dup group count (r11, ADVICE): a FIXED group
+    * count saturates — candidate volume grows as occupancy² while the
+    * corpus grows linearly (the ScratchR9 fixed-block caveat). Groups
+    * grow with the corpus at CONSTANT occupancy ~20 (the crawl shape
+    * the 10× exponents were measured under); the 25 floor keeps
+    * sf0.01 (500 docs → 500/20 = 25) bit-identical to the historical
+    * fixed constant. The oracle computes the SAME formula in SQL
+    * (`greatest(25, count(*) // 20)` — one scalar CTE), so both
+    * engines derive the group key from one rule. */
+  private def phGroupsFor(nDocs: Long): Long = math.max(25L, nDocs / 20)
+  /** the shared scalar CTE both pattern oracles prepend. */
+  private val PhGroupsCte: String =
+    "phg AS (SELECT greatest(25, count(*) // 20) AS n FROM documents)"
+
   private val PhHi = 220 // bright level
   private val PhLo = 30 // dark level
   private val PhFlip = 250 // perturbed pixel = PhFlip − base
@@ -55,9 +68,10 @@ object QueriesPipeline {
     * plus, for every 5th within-group member, ONE flipped pixel (≤ 2
     * dHash bits): same-group pairs sit within Hamming ≤ 3, cross-group
     * pairs never. Replayed verbatim in the oracle. */
-  private def phashLuma(prefix: String, id: Long, r: Int, c: Int): Int = {
-    val g = id % PhGroups
-    val k = id / PhGroups
+  private def phashLuma(prefix: String, groups: Long, id: Long, r: Int,
+      c: Int): Int = {
+    val g = id % groups
+    val k = id / groups
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(s"$prefix:$g:$r:$c".getBytes("UTF-8"))
     val base = if ((digest(0) & 0x80) == 0) PhHi else PhLo
@@ -71,9 +85,9 @@ object QueriesPipeline {
   private val AuHi = 12000
   private val AuLo = 2000
 
-  private def audioAmp(id: Long, j: Int): Int = {
-    val g = id % PhGroups
-    val k = id / PhGroups
+  private def audioAmp(groups: Long, id: Long, j: Int): Int = {
+    val g = id % groups
+    val k = id / groups
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(s"au:$g:$j".getBytes("UTF-8"))
     val base = if ((digest(0) & 0x80) == 0) AuHi else AuLo
@@ -87,9 +101,10 @@ object QueriesPipeline {
     * comparison the engine computes from DECODED samples equals the
     * amplitude comparison the oracle regenerates from doc_id. */
   private[graft] def audioMedia(s: SparkSession, dir: String): DataFrame = {
+    val groups = phGroupsFor(docs(s, dir).count())
     val rdd = docs(s, dir).select(col("doc_id")).rdd.map { r =>
       val id = r.getLong(0)
-      val samples = Array.tabulate(650)(i => audioAmp(id, i / 10))
+      val samples = Array.tabulate(650)(i => audioAmp(groups, id, i / 10))
       org.apache.spark.sql.Row(id,
         Multimodal.encodeWavPcm16(8000, 1, samples))
     }
@@ -104,9 +119,11 @@ object QueriesPipeline {
     * exact flavor `bmpPixels` decodes; gray pixels make luma the
     * identity, so the oracle can regenerate the decoded integers). */
   private def phashMedia(s: SparkSession, dir: String): DataFrame = {
+    val groups = phGroupsFor(docs(s, dir).count())
     val rdd = docs(s, dir).select(col("doc_id")).rdd.map { r =>
       val id = r.getLong(0)
-      val gray = Array.tabulate(72)(i => phashLuma("ph", id, i / 9, i % 9))
+      val gray = Array.tabulate(72)(i =>
+        phashLuma("ph", groups, id, i / 9, i % 9))
       org.apache.spark.sql.Row(id, Multimodal.encodeBmp24(9, 8, gray))
     }
     import org.apache.spark.sql.types._
@@ -127,9 +144,11 @@ object QueriesPipeline {
     * the 9×8 pattern and pairing is format-blind — which is exactly
     * what the oracle (pattern replay) asserts. */
   private[graft] def jpegMedia(s: SparkSession, dir: String): DataFrame = {
+    val groups = phGroupsFor(docs(s, dir).count())
     val rdd = docs(s, dir).select(col("doc_id")).rdd.map { r =>
       val id = r.getLong(0)
-      val pat = Array.tabulate(72)(i => phashLuma("jph", id, i / 9, i % 9))
+      val pat = Array.tabulate(72)(i =>
+        phashLuma("jph", groups, id, i / 9, i % 9))
       val payload = (id % 3) match {
         case 0 => Multimodal.encodeBmp24(9, 8, pat)
         case _ =>
@@ -144,6 +163,41 @@ object QueriesPipeline {
             cb = (id % 256).toInt, cr = ((id * 7) % 256).toInt)
       }
       org.apache.spark.sql.Row(id, payload)
+    }
+    import org.apache.spark.sql.types._
+    s.createDataFrame(rdd, StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType))))
+  }
+
+  /** frame-f luma for the ANIMATED gate (r11): the phashLuma pattern
+    * with the frame index folded into the PRF seed — each member's
+    * three frames differ, near-dup members flip ONE pixel in ONE
+    * frame (frame k % 3), so same-group sequences sit within aligned
+    * Hamming ≤ 3 on every frame and cross-group never. */
+  private def gifLuma(groups: Long, id: Long, f: Int, r: Int,
+      c: Int): Int = {
+    val g = id % groups
+    val k = id / groups
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"gph:$g:$f:$r:$c".getBytes("UTF-8"))
+    val base = if ((digest(0) & 0x80) == 0) PhHi else PhLo
+    if (k % 5 == 0 && f == (k % 3).toInt && r == ((k * 3) % 8).toInt &&
+      c == ((k * 5) % 9).toInt) PhFlip - base
+    else base
+  }
+
+  /** synthetic media table for the animated-GIF gates: one REAL
+    * 3-frame 9×8 GIF89a per doc ([[Multimodal.encodeGifGray]] — gray
+    * palette makes luma the identity, so the oracle regenerates the
+    * decoded integers per frame). */
+  private[graft] def gifMedia(s: SparkSession, dir: String): DataFrame = {
+    val groups = phGroupsFor(docs(s, dir).count())
+    val rdd = docs(s, dir).select(col("doc_id")).rdd.map { r =>
+      val id = r.getLong(0)
+      val frames = (0 until 3).map(f =>
+        Array.tabulate(72)(i => gifLuma(groups, id, f, i / 9, i % 9)))
+      org.apache.spark.sql.Row(id, Multimodal.encodeGifGray(9, 8, frames))
     }
     import org.apache.spark.sql.types._
     s.createDataFrame(rdd, StructType(Seq(
@@ -1869,6 +1923,38 @@ object QueriesPipeline {
         PhMaxDist)
       Dedup.nearDupClusters(pairs, "a_id", "b_id").orderBy("cluster")
     }),
+    "qp_phash_index" -> ((s, dir) => {
+      // on-disk perceptual-hash index (r11 — image live-index parity):
+      // index nine tenths of the corpus, probe the held-out tenth
+      // (doc_id % 10 = 7); the bucket-pruned probe must equal the
+      // brute-force (index, batch) cross pairs the oracle regenerates
+      val media = phashMedia(s, dir)
+      val idxDir = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft-phash-idx").toString
+      val sigs = Multimodal.imagePhashes(media).localCheckpoint()
+      Multimodal.writePhashIndex(
+        sigs.filter(col("media_id") % 10 =!= 7), "media_id", "phash",
+        PhMaxDist, idxDir)
+      Multimodal.probePhashIndex(s, idxDir,
+          sigs.filter(col("media_id") % 10 === 7), "media_id", "phash",
+          PhMaxDist)
+        .orderBy("a_id", "b_id")
+    }),
+    "qp_gif_phash" -> ((s, dir) => {
+      // animated-sequence near-dup (r11 stretch): per-frame dHash over
+      // ALL decoded GIF frames (spec'd LZW, real pixels) → frame-0
+      // banded candidates → aligned all-frames verify; dist = the max
+      // aligned frame distance
+      Multimodal.videoPhashPairs(
+          Multimodal.videoPhashes(gifMedia(s, dir)), PhMaxDist)
+        .orderBy("a_id", "b_id")
+    }),
+    "qp_gif_sequence" -> ((s, dir) => {
+      // temporal EXACT-dedup key: order-aware rotate-XOR fold of the
+      // per-frame dHashes in 60-bit space — replayed bit-for-bit by
+      // the oracle's unrolled BIGINT fold
+      Multimodal.videoFingerprints(gifMedia(s, dir)).orderBy("media_id")
+    }),
     "qp_audio_dedup" -> ((s, dir) => {
       // the audio dedup loop CLOSED end to end (r11 — image got this
       // in r10): decode PCM → energy fingerprint → banded Hamming
@@ -2020,10 +2106,11 @@ object QueriesPipeline {
     * pair gates and the cluster gate; `prefix` selects the pattern
     * space ("ph" = BMP gate, "jph" = mixed-format JPEG gate). */
   private def phashDistCtes(prefix: String): String =
-    s"""grid AS (
+    s"""$PhGroupsCte,
+       | grid AS (
        |  SELECT doc_id, r.range AS r, c.range AS c,
-       |    doc_id % $PhGroups AS g, doc_id // $PhGroups AS k
-       |  FROM documents, range(8) r, range(9) c),
+       |    doc_id % phg.n AS g, doc_id // phg.n AS k
+       |  FROM documents, range(8) r, range(9) c, phg),
        | cells AS (
        |  SELECT doc_id, r, c,
        |    CASE WHEN k % 5 = 0 AND r = (k * 3) % 8 AND c = (k * 5) % 9
@@ -2050,10 +2137,11 @@ object QueriesPipeline {
     * bands make the decoded-energy comparison equal the amplitude
     * comparison), fingerprint bits compared per position. */
   private lazy val audioDistCtes: String =
-    s"""grid AS (
+    s"""$PhGroupsCte,
+       | grid AS (
        |  SELECT doc_id, j.range AS j,
-       |    doc_id % $PhGroups AS g, doc_id // $PhGroups AS k
-       |  FROM documents, range(65) j),
+       |    doc_id % phg.n AS g, doc_id // phg.n AS k
+       |  FROM documents, range(65) j, phg),
        | amps AS (
        |  SELECT doc_id, j,
        |    CASE WHEN k % 5 = 0 AND j = (k * 7) % 65
@@ -2074,6 +2162,33 @@ object QueriesPipeline {
        |  FROM bits x JOIN bits y
        |    ON x.bit_idx = y.bit_idx AND x.doc_id < y.doc_id
        |  GROUP BY 1, 2)""".stripMargin
+
+  /** the animated-gate shared CTEs (r11): per-(doc, frame) decoded
+    * luma regenerated from doc_id (the gray-palette GIF round trip is
+    * the identity), per-frame dHash bits compared by position. Ends
+    * at `gbits(doc_id, f, bit_idx, bit)`. */
+  private lazy val gifBitsCtes: String =
+    s"""$PhGroupsCte,
+       | grid AS (
+       |  SELECT doc_id, f.range AS f, r.range AS r, c.range AS c,
+       |    doc_id % phg.n AS g, doc_id // phg.n AS k
+       |  FROM documents, range(3) f, range(8) r, range(9) c, phg),
+       | cells AS (
+       |  SELECT doc_id, f, r, c,
+       |    CASE WHEN k % 5 = 0 AND f = k % 3 AND r = (k * 3) % 8
+       |        AND c = (k * 5) % 9
+       |      THEN $PhFlip - base ELSE base END AS v
+       |  FROM (SELECT *,
+       |    CASE WHEN substr(md5('gph:' || g || ':' || f || ':' ||
+       |        r || ':' || c), 1, 1) BETWEEN '0' AND '7'
+       |      THEN $PhHi ELSE $PhLo END AS base FROM grid)),
+       | gbits AS (
+       |  SELECT a.doc_id, a.f, a.r * 8 + a.c AS bit_idx,
+       |    CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS bit
+       |  FROM cells a JOIN cells b
+       |    ON b.doc_id = a.doc_id AND b.f = a.f AND b.r = a.r
+       |      AND b.c = a.c + 1
+       |  WHERE a.c < 8)""".stripMargin
 
   /** unrolled min-label propagation rounds over CTEs `u` (symmetric
     * pair edges) and `l0` (identity labels) — the SQL replay of
@@ -2298,7 +2413,7 @@ object QueriesPipeline {
     * Levy–Goldberg `v·√λ` at 6 decimals. Shared by
     * qp_word_embeddings and qg_node_embeddings (QueriesGraph). */
   private[graft] def sppmiEmbedSql(pairSrc: String, shift: Int,
-      iters: Int): String = {
+      iters: Int, k: Int = 2): String = {
     def pit(it: String, cMat: String, vOut: String): String =
       s""" $it AS (
          |   SELECT 0 AS t, d,
@@ -2357,17 +2472,32 @@ object QueriesPipeline {
        |     ORDER BY grid.p) AS c
        |   FROM grid LEFT JOIN mm
        |     ON mm.i = grid.p // grid.d AND mm.j = grid.p % grid.d),
-       |${pit("it1", "c1", "v1")},
-       | c2 AS MATERIALIZED (SELECT list_transform(range(vn.d*vn.d),
-       |     p -> c[p+1] - lam * v[(p // vn.d) + 1] * v[(p % vn.d) + 1])
-       |     AS c
-       |   FROM c1, v1, vn),
-       |${pit("it2", "c2", "v2")}
+       |${stages(pit, k)}
        | SELECT vocab.id AS id,
-       |   round(v1.v[vocab.ix+1] * sqrt(v1.lam), 6) + 0.0 AS e0,
-       |   round(v2.v[vocab.ix+1] * sqrt(v2.lam), 6) + 0.0 AS e1
-       | FROM vocab, v1, v2 ORDER BY id""".stripMargin
+       |   ${closeCols(k)}
+       | FROM vocab, ${(1 to k).map(c => s"v$c").mkString(", ")}
+       | ORDER BY id""".stripMargin
   }
+
+  /** the k deflation stages of [[sppmiEmbedSql]] (r11 — rank was
+    * fixed at 2 through r10): stage c factorizes c$c (the matrix
+    * after c-1 rank-1 deflations) and emits v$c. */
+  private def stages(pit: (String, String, String) => String,
+      k: Int): String =
+    (1 to k).map { c =>
+      val defl = if (c == 1) "" else
+        s""" c$c AS MATERIALIZED (SELECT list_transform(range(vn.d*vn.d),
+           |     p -> c[p+1] - lam * v[(p // vn.d) + 1] * v[(p % vn.d) + 1])
+           |     AS c
+           |   FROM c${c - 1}, v${c - 1}, vn),
+           |""".stripMargin
+      defl + pit(s"it$c", s"c$c", s"v$c")
+    }.mkString(",\n")
+
+  private def closeCols(k: Int): String =
+    (1 to k).map(c =>
+      s"round(v$c.v[vocab.ix+1] * sqrt(v$c.lam), 6) + 0.0 AS e${c - 1}")
+      .mkString(",\n |   ").stripMargin
 
   /** generic (a, b, n) word skip-gram pair source in SQL — mirrors
     * [[graft.ops.Embeddings.wordEmbeddings]]'s harvest: `from` is a
@@ -5084,14 +5214,21 @@ object QueriesPipeline {
         |   md5(text) AS content_hash
         | FROM documents ORDER BY media_id""".stripMargin,
     "qp_zipf_fit" ->
+      // ln(rank) micro-units INTERPOLATED from the same Scala values
+      // the engine uses (r11 ADVICE — the x side off both libms)
       s"""WITH t AS (SELECT ${dTokens("text")} AS tok FROM documents),
          | tt AS (SELECT unnest(tok) AS term FROM t),
          | f AS (SELECT term, CAST(count(*) AS BIGINT) AS f FROM tt
          |   GROUP BY term ORDER BY f DESC, term LIMIT 100),
          | rk AS (SELECT f,
          |   row_number() OVER (ORDER BY f DESC, term) AS r FROM f),
-         | xy AS (SELECT CAST(round(ln(r) * 1e6) AS BIGINT) AS x,
-         |     CAST(round(ln(f) * 1e6) AS BIGINT) AS y FROM rk),
+         | lnr AS (SELECT * FROM (VALUES ${
+            TextOps.zipfLnRankMicros(100).zipWithIndex.map { case (v, i) =>
+              s"(${i + 1}, ${v}::BIGINT)" }.mkString(", ")
+          }) AS v(r, lx)),
+         | xy AS (SELECT lnr.lx AS x,
+         |     CAST(round(ln(f) * 1e6) AS BIGINT) AS y
+         |   FROM rk JOIN lnr ON lnr.r = rk.r),
          | s AS (SELECT CAST(count(*) AS BIGINT) AS n,
          |   sum(x) AS sx, sum(y) AS sy,
          |   sum(x*y) AS sxy, sum(x*x) AS sxx FROM xy),
@@ -5137,8 +5274,62 @@ object QueriesPipeline {
          | ${minLabelRoundsSql(10)}
          | SELECT lbl AS cluster, count(*) AS n_members FROM l10
          | GROUP BY lbl ORDER BY cluster""".stripMargin,
-    // the same brute-force distance truth fed through the shared
-    // converged min-label replay — end-to-end image dedup clusters
+    // per-frame brute-force Hamming truth, pair dist = the MAX aligned
+    // frame distance (frame counts are all 3 by construction)
+    "qp_gif_phash" ->
+      s"""WITH $gifBitsCtes,
+         | fd AS (
+         |  SELECT x.doc_id AS a_id, y.doc_id AS b_id, x.f,
+         |    SUM(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) AS d
+         |  FROM gbits x JOIN gbits y
+         |    ON x.f = y.f AND x.bit_idx = y.bit_idx
+         |      AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2, 3),
+         | dists AS (
+         |  SELECT a_id, b_id, CAST(MAX(d) AS INT) AS dist
+         |  FROM fd GROUP BY 1, 2)
+         | SELECT a_id, b_id, dist FROM dists
+         | WHERE dist <= $PhMaxDist ORDER BY a_id, b_id""".stripMargin,
+    // the 60-bit rotate-XOR fold replayed with plain BIGINT arithmetic:
+    // p_f = the dHash's low 60 bits (bits 60-63 vanish mod 2^60), the
+    // three folds unrolled in frame order
+    "qp_gif_sequence" ->
+      s"""WITH $gifBitsCtes,
+         | hv AS (
+         |  SELECT doc_id, f,
+         |    CAST(SUM(CASE WHEN bit_idx < 60
+         |      THEN CAST(bit AS BIGINT) << bit_idx ELSE 0 END)
+         |      AS BIGINT) AS p
+         |  FROM gbits GROUP BY 1, 2),
+         | w AS (SELECT h0.doc_id, h0.p AS p0, h1.p AS p1, h2.p AS p2
+         |   FROM hv h0 JOIN hv h1 ON h1.doc_id = h0.doc_id
+         |     JOIN hv h2 ON h2.doc_id = h0.doc_id
+         |   WHERE h0.f = 0 AND h1.f = 1 AND h2.f = 2),
+         | s1 AS (SELECT doc_id, p1, p2, p0 AS fp FROM w),
+         | s2 AS (SELECT doc_id, p2,
+         |   xor((fp % 9007199254740992) * 128 + fp // 9007199254740992,
+         |     p1) AS fp FROM s1),
+         | s3 AS (SELECT doc_id,
+         |   xor((fp % 9007199254740992) * 128 + fp // 9007199254740992,
+         |     p2) AS fp FROM s2)
+         | SELECT doc_id AS media_id, CAST(3 AS INT) AS n_frames,
+         |   CAST(fp AS BIGINT) AS seq_fp
+         | FROM s3 ORDER BY media_id""".stripMargin,
+    // the (index, batch) cross slice of the same brute-force distance
+    // truth: pairs with EXACTLY one held-out-side member, oriented
+    // (index id, batch id) the way the probe reports them
+    "qp_phash_index" ->
+      s"""WITH ${phashDistCtes("ph")}
+         | SELECT
+         |   CASE WHEN dists.a_id % 10 = 7 THEN dists.b_id
+         |     ELSE dists.a_id END AS a_id,
+         |   CASE WHEN dists.a_id % 10 = 7 THEN dists.a_id
+         |     ELSE dists.b_id END AS b_id,
+         |   dist
+         | FROM dists
+         | WHERE dist <= $PhMaxDist
+         |   AND ((dists.a_id % 10 = 7) <> (dists.b_id % 10 = 7))
+         | ORDER BY a_id, b_id""".stripMargin,
     // the mixed-format (jph) pattern truth through the shared
     // converged min-label replay — clusters must be format-blind
     "qp_jpeg_dedup" ->

@@ -29,7 +29,8 @@ object PipelineTables {
       "rake_phrases", "profile", "chi_square", "acf", "attribution",
       "histogram", "fd_audit", "kaplan_meier", "holt_linear", "dau_mau",
       "attribution_multi", "word_embeddings", "zipf_fit",
-      "image_dup_pairs", "image_dup_clusters", "audio_dup_pairs")
+      "image_dup_pairs", "image_dup_clusters", "audio_dup_pairs",
+      "video_dup_pairs", "video_fingerprints")
 
   def resolve(catalog: Catalog, fn: String,
       args: Seq[SqlExpr]): DataFrame = {
@@ -132,12 +133,20 @@ object PipelineTables {
         arity(3)
         graft.ops.TextOps.zipfFit(classArg(0), strArg(1), intArg(2))
       case "word_embeddings" =>
-        // (class, idF, textF, vocabK, shift, iters) — trained rank-2
-        // word vectors (top-K vocab, ±2 skip-grams, shifted PPMI,
-        // symmetric factorization); returns (id, e0, e1)
-        arity(6)
+        // (class, idF, textF, vocabK, shift, iters[, k]) — trained
+        // rank-k word vectors (top-K vocab, ±2 skip-grams, shifted
+        // PPMI, symmetric factorization); k defaults to 2 (r11 plumbs
+        // it through; deflation makes components prefix-stable).
+        // Returns (id, e0..e{k-1}).
+        if (args.size < 6 || args.size > 7)
+          bad(s"expects 6 or 7 arguments, got ${args.size}")
+        val vocabK = intArg(3)
+        val k = if (args.size == 7) intArg(6) else 2
+        if (k < 1 || k > 16 || k > vocabK)
+          bad(s"argument 7 (rank k) must sit in [1, min(16, vocabK)], " +
+            s"got $k")
         graft.ops.Embeddings.wordEmbeddings(classArg(0), strArg(1),
-          strArg(2), intArg(3), intArg(4), intArg(5))
+          strArg(2), vocabK, intArg(4), intArg(5), k)
       case "histogram" => // (class, numField, bins)
         arity(3)
         graft.ops.Profile.equiWidthHistogram(classArg(0),
@@ -179,6 +188,19 @@ object PipelineTables {
         graft.ops.Multimodal.phashPairs(
           graft.ops.Multimodal.audioFingerprints(classArg(0), strArg(1),
             strArg(2)), "media_id", "phash", distArg(3))
+      case "video_dup_pairs" =>
+        // (class, idField, payloadField, maxDist) — aligned per-frame
+        // near-dup pairs over animated payloads (r11)
+        arity(4)
+        graft.ops.Multimodal.videoPhashPairs(
+          graft.ops.Multimodal.videoPhashes(classArg(0), strArg(1),
+            strArg(2)), distArg(3))
+      case "video_fingerprints" =>
+        // (class, idField, payloadField) — order-aware temporal
+        // exact-dedup keys (r11)
+        arity(3)
+        graft.ops.Multimodal.videoFingerprints(classArg(0), strArg(1),
+          strArg(2))
       case other =>
         // unknown function → parse error (§2.5 contract, same as
         // scalar functions)

@@ -75,9 +75,12 @@ object Embeddings {
     * SQL table function: top-`vocabK` vocabulary (count desc, term
     * asc — deterministic), ±2 skip-gram pairs over ORIGINAL token
     * positions (non-vocab tokens hold their slots but pair with
-    * nothing), [[sppmi]](shift), rank-2 [[factorize]] (rank fixed at
-    * 2 to match the recursive-CTE oracle generator's two deflation
-    * stages). Returns (id, e0, e1) — id = the vocabulary term.
+    * nothing), [[sppmi]](shift), rank-`k` [[factorize]] (k was fixed
+    * at 2 through r10; r11 plumbs it through — the recursive-CTE
+    * oracle generator emits one deflation stage per component, and
+    * deflation makes components PREFIX-STABLE: a rank-3 run's e0/e1
+    * equal the rank-2 run's, spec-pinned). Returns (id, e0..e{k-1})
+    * — id = the vocabulary term.
     *
     * Scale shape: one posexplode corpus pass; the vocabulary is
     * top-K (broadcastable by construction); the pair harvest is a
@@ -86,8 +89,10 @@ object Embeddings {
     * marginals partial-combine; only the V×V control-plane matrix
     * reaches the driver. */
   def wordEmbeddings(df: DataFrame, idCol: String, textCol: String,
-      vocabK: Int, shift: Int, iters: Int): DataFrame = {
+      vocabK: Int, shift: Int, iters: Int, k: Int = 2): DataFrame = {
     require(vocabK >= 2, "need a vocabulary of at least 2 terms")
+    require(k >= 1 && k <= vocabK,
+      s"rank k=$k must sit in [1, vocabK=$vocabK]")
     val toks = Partitioning.spread(df).select(col(idCol).as("__doc"),
       posexplode(TextOps.tokensWs(col(textCol))).as(Seq("pos", "term")))
     val vocab = toks.groupBy("term").agg(count(lit(1)).as("__c"))
@@ -101,7 +106,7 @@ object Embeddings {
       .join(tv.select(col("__doc"), col("pos"), col("term").as("b")),
         Seq("__doc", "pos"))
       .groupBy("a", "b").agg(count(lit(1)).as("n"))
-    factorize(sppmi(pairsDf, "a", "b", "n", shift), k = 2, iters = iters)
+    factorize(sppmi(pairsDf, "a", "b", "n", shift), k = k, iters = iters)
   }
 
   /** Rank-k factorization of a [[sppmi]] frame into embeddings:

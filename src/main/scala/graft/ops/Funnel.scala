@@ -567,10 +567,18 @@ object Funnel {
           |    - cast(__i - 2 as bigint) * 200000 div (__k - 2)
           |end""".stripMargin
     }
+    // FLOOR division for the window-sized buckets (r11, ADVICE): SQL
+    // `div` truncates toward zero, so a NEGATIVE epoch-micro timestamp
+    // (pre-1970 data) would land one bucket high and its credits would
+    // silently vanish; (t - pmod(t, w)) div w floors for any sign
+    // (pmod is non-negative) and equals plain div on the non-negative
+    // timestamps every existing gate feeds.
+    def floorBucket(c: String): String =
+      s"($c - pmod($c, ${windowUs}L)) div ${windowUs}L"
     val touches = u.filter(col("__side") === 0)
       .select(col("__u"), col("__tus").as("__t"),
         col("__id").as("__tid"), col("__ty").as("__ch"))
-      .withColumn("__b", expr(s"__t div ${windowUs}L"))
+      .withColumn("__b", expr(floorBucket("__t")))
     val convs = u.filter(col("__side") === 1)
       .select(col("__u"), col("__tus").as("__ct"),
         col("__id").as("__cid"))
@@ -579,8 +587,8 @@ object Funnel {
     // matches exactly ONE of the two probes — no duplicate pairs
     val qual = convs
       .withColumn("__b", explode(array(
-        expr(s"__ct div ${windowUs}L"),
-        expr(s"__ct div ${windowUs}L - 1"))))
+        expr(floorBucket("__ct")),
+        expr(s"${floorBucket("__ct")} - 1"))))
       .join(touches, Seq("__u", "__b"))
       // x.t <= ct keeps the same-microsecond tie rule (touches order
       // before conversions); >= ct - window is the lookback bound

@@ -269,7 +269,25 @@ object Multimodal {
     * [[bmpPixels]]/[[pngPixels]]. None for interlaced frames, a
     * missing color table, or any corrupt/truncated stream — those
     * keep the header-only fallback. */
-  def gifPixels(payload: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+  def gifPixels(payload: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    gifDecodeFrames(payload, maxFrames = 1).flatMap(_.headOption)
+
+  /** ALL frames of an animated (or single-frame) GIF — each frame's
+    * OWN pixel grid at its descriptor's dimensions (no inter-frame
+    * compositing: disposal/offset semantics matter for playback, not
+    * for per-frame fingerprinting, and the encoder half emits
+    * full-size frames). STRICT: None if any frame fails to decode —
+    * a sequence fingerprint over a partially-decoded animation would
+    * pair unrelated videos. */
+  def gifFrames(payload: Array[Byte]): Option[Vector[(Int, Int, Array[Int])]] =
+    gifDecodeFrames(payload, maxFrames = Int.MaxValue)
+      .filter(_.nonEmpty)
+
+  /** the shared descriptor walk behind [[gifPixels]] (maxFrames = 1 —
+    * blocks after the first image are never inspected, the historical
+    * contract) and [[gifFrames]]. */
+  private def gifDecodeFrames(payload: Array[Byte],
+      maxFrames: Int): Option[Vector[(Int, Int, Array[Int])]] = {
     def u8(i: Int): Int = payload(i) & 0xff
     def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
     val n = payload.length
@@ -284,26 +302,29 @@ object Multimodal {
       }
     val packed = u8(10)
     var pos = 13
-    var table: Array[Int] = null
+    var global: Array[Int] = null
     if ((packed & 0x80) != 0) { // global color table
       val entries = 1 << ((packed & 7) + 1)
       if (pos + 3 * entries > n) return None
-      table = lumaTable(pos, entries)
+      global = lumaTable(pos, entries)
       pos += 3 * entries
     }
-    while (pos < n) {
+    val frames = Vector.newBuilder[(Int, Int, Array[Int])]
+    var count = 0
+    while (pos < n && count < maxFrames) {
       u8(pos) match {
         case 0x21 => // extension: label byte + length-prefixed sub-blocks
           pos += 2
           while (pos < n && u8(pos) != 0) pos += 1 + u8(pos)
           pos += 1
-        case 0x2c => // image descriptor — decode this first frame
+        case 0x2c => // image descriptor — decode this frame
           if (pos + 10 > n) return None
           val w = le16(pos + 5)
           val h = le16(pos + 7)
           val ip = u8(pos + 9)
           pos += 10
-          if ((ip & 0x80) != 0) { // local color table wins
+          var table = global
+          if ((ip & 0x80) != 0) { // local color table wins for ITS frame
             val entries = 1 << ((ip & 7) + 1)
             if (pos + 3 * entries > n) return None
             table = lumaTable(pos, entries)
@@ -323,6 +344,7 @@ object Multimodal {
             data.write(payload, pos + 1, len)
             pos += 1 + len
           }
+          pos += 1 // the 0-length terminator sub-block
           val idx = gifLzw(data.toByteArray, minCode, w * h)
             .getOrElse(return None)
           val out = new Array[Int](w * h)
@@ -332,12 +354,15 @@ object Multimodal {
             out(i) = table(idx(i))
             i += 1
           }
-          return Some((w, h, out))
-        case 0x3b => return None // trailer before any image
+          frames += ((w, h, out))
+          count += 1
+        case 0x3b => // trailer
+          pos = n
         case _ => return None // desynced block stream
       }
     }
-    None
+    val v = frames.result()
+    if (v.isEmpty) None else Some(v)
   }
 
   /** GIF-variant LZW: variable code width minCode+1..12 bits, packed
@@ -1400,6 +1425,110 @@ object Multimodal {
     out
   }
 
+  /** Encode grayscale frames as a (possibly animated) GIF89a — the
+    * exact flavor [[gifFrames]] decodes, and the writer half of the
+    * GIF round trip: a 256-entry gray global palette (index i =
+    * (i,i,i), so palette luma is the IDENTITY and
+    * `gifFrames(encodeGifGray(frames)) == frames` exactly), every
+    * frame full-size non-interlaced at (0,0), LZW minCode 8. The
+    * fixture generator for the animated-fingerprint gate (the
+    * encodeBmp24/encodeWavPcm16/encodeJpegGray convention). */
+  def encodeGifGray(w: Int, h: Int,
+      frames: Seq[Array[Int]]): Array[Byte] = {
+    require(w > 0 && h > 0 && frames.nonEmpty &&
+      frames.forall(_.length == w * h),
+      "encodeGifGray needs >= 1 w*h top-down gray frames")
+    val out = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >> 8) & 0xff)
+    }
+    out.write("GIF89a".getBytes("US-ASCII"))
+    le16(w); le16(h)
+    out.write(0xf7) // global color table, 256 entries, 8-bit color
+    out.write(0) // background index
+    out.write(0) // aspect
+    var i = 0
+    while (i < 256) { out.write(i); out.write(i); out.write(i); i += 1 }
+    for (f <- frames) {
+      out.write(0x2c) // image descriptor
+      le16(0); le16(0); le16(w); le16(h)
+      out.write(0) // no local table, not interlaced
+      out.write(8) // LZW min code size
+      val lzw = gifLzwEncode(f, minCode = 8)
+      var p = 0
+      while (p < lzw.length) {
+        val len = math.min(255, lzw.length - p)
+        out.write(len)
+        out.write(lzw, p, len)
+        p += len
+      }
+      out.write(0) // sub-block terminator
+    }
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
+  /** GIF-variant LZW COMPRESSION (the [[gifLzw]] decoder's inverse):
+    * greedy longest-match against the growing string table, variable
+    * code width, CLEAR emitted first and on table overflow, EOI last
+    * (GIF89a Appendix F). Values must sit in [0, 2^minCode). */
+  private def gifLzwEncode(indices: Array[Int],
+      minCode: Int): Array[Byte] = {
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    val out = new java.io.ByteArrayOutputStream()
+    var buf = 0L
+    var nBits = 0
+    var codeSize = minCode + 1
+    def put(code: Int): Unit = {
+      buf |= code.toLong << nBits // LSB-first packing
+      nBits += codeSize
+      while (nBits >= 8) {
+        out.write((buf & 0xff).toInt)
+        buf >>>= 8
+        nBits -= 8
+      }
+    }
+    // string table: (prefix code, next value) → code
+    var dict = new java.util.HashMap[Long, Integer]()
+    var nextCode = eoi + 1
+    put(clear)
+    var prev = -1
+    var i = 0
+    while (i < indices.length) {
+      val v = indices(i)
+      require(v >= 0 && v < clear, s"palette index $v out of range")
+      if (prev < 0) prev = v
+      else {
+        val key = prev.toLong << 12 | v
+        val hit = dict.get(key)
+        if (hit != null) prev = hit
+        else {
+          put(prev)
+          // grow AFTER emitting: the decoder defines the same entry on
+          // receipt; widen when the next assignable code needs it
+          if (nextCode < 4096) {
+            dict.put(key, nextCode)
+            nextCode += 1
+            if (nextCode - 1 == (1 << codeSize) && codeSize < 12)
+              codeSize += 1
+          } else {
+            put(clear) // table full: reset both sides
+            dict = new java.util.HashMap[Long, Integer]()
+            nextCode = eoi + 1
+            codeSize = minCode + 1
+          }
+          prev = v
+        }
+      }
+      i += 1
+    }
+    if (prev >= 0) put(prev)
+    put(eoi)
+    if (nBits > 0) out.write((buf & 0xff).toInt)
+    out.toByteArray
+  }
+
   /** 64-bit difference hash (dHash — the standard image near-dup
     * fingerprint: Krawetz 2013, the aHash/dHash/pHash family) over a
     * decoded luma grid: nearest-neighbor sample to a 9×8 grid
@@ -1545,6 +1674,28 @@ object Multimodal {
     spark.createDataFrame(out, phashSchema)
   }
 
+  /** (id, hash, band, band-value) frame for the pigeonhole Hamming
+    * join: the hash splits into `maxDist + 1` bit-bands — shared by
+    * [[phashPairs]] and the on-disk [[writePhashIndex]] layout (both
+    * sides of an index probe MUST band identically). */
+  private def phashBands(sigs: DataFrame, idCol: String,
+      hashCol: String, maxDist: Int): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 15,
+      "maxDist must be in [0, 15] — wider radii need more bands than " +
+        "64 bits usefully split into")
+    val nBands = maxDist + 1
+    val bandVals = (0 until nBands).map { b =>
+      val lo = b * 64 / nBands
+      val hi = (b + 1) * 64 / nBands
+      val mask = if (hi - lo == 64) -1L else (1L << (hi - lo)) - 1L
+      shiftright(col("__h"), lo).bitwiseAND(lit(mask))
+    }
+    sigs.select(col(idCol).as("__id"),
+        col(hashCol).cast("long").as("__h"))
+      .select(col("__id"), col("__h"),
+        posexplode(array(bandVals: _*)).as(Seq("__band", "__bv")))
+  }
+
   /** EXACT Hamming-distance pairs over a perceptual-hash frame —
     * banded, never all-pairs: the hash splits into `maxDist + 1`
     * bit-bands, and by pigeonhole two hashes within `maxDist` agree on
@@ -1556,27 +1707,200 @@ object Multimodal {
     * each pair once. */
   def phashPairs(sigs: DataFrame, idCol: String, hashCol: String,
       maxDist: Int): DataFrame = {
-    require(maxDist >= 0 && maxDist <= 15,
-      "maxDist must be in [0, 15] — wider radii need more bands than " +
-        "64 bits usefully split into")
-    val nBands = maxDist + 1
-    val bandVals = (0 until nBands).map { b =>
-      val lo = b * 64 / nBands
-      val hi = (b + 1) * 64 / nBands
-      val mask = if (hi - lo == 64) -1L else (1L << (hi - lo)) - 1L
-      shiftright(col("__h"), lo).bitwiseAND(lit(mask))
-    }
     // signature table: one (id, long) row per image — tiny next to the
     // payload corpus; materialize once, both self-join sides read it
     val s = sigs.select(col(idCol).as("__id"),
       col(hashCol).cast("long").as("__h")).localCheckpoint()
-    val bands = s.select(col("__id"), col("__h"),
-      posexplode(array(bandVals: _*)).as(Seq("__band", "__bv")))
+    val bands = phashBands(s, "__id", "__h", maxDist)
     val a = bands.select(col("__id").as("a_id"), col("__h").as("__ha"),
       col("__band"), col("__bv"))
     val b = bands.select(col("__id").as("b_id"), col("__h").as("__hb"),
       col("__band"), col("__bv"))
     a.join(b, Seq("__band", "__bv")).filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "__ha", "__hb")
+      .distinct() // a close pair collides in several bands — pair once
+      .withColumn("dist",
+        bit_count(col("__ha").bitwiseXOR(col("__hb"))).cast("int"))
+      .filter(col("dist") <= maxDist)
+      .select("a_id", "b_id", "dist")
+  }
+
+  /** Order-aware 60-bit sequence fingerprint over per-frame hashes
+    * (rotate-7 + XOR fold — exact integer arithmetic that never
+    * leaves 60 bits, so the SQL oracle replays it with plain BIGINT
+    * ops; the cdcChunks bounded-arithmetic convention). Order-aware:
+    * the rotation makes frame transpositions change the fold — this
+    * is the exact-dedup KEY for animations/videos, the temporal
+    * analog of the exact-hash text key ([[dHash64]] + [[phashPairs]]
+    * over [[videoPhashes]] is the NEAR-dup path). */
+  def sequenceFingerprint(hashes: Seq[Long]): Long = {
+    val mask60 = (1L << 60) - 1
+    var fp = 0L
+    for (h <- hashes) {
+      val p = h & mask60 // = unsigned-h mod 2^60, both engines
+      val rot = ((fp & ((1L << 53) - 1)) << 7) | (fp >>> 53)
+      fp = rot ^ p
+    }
+    fp
+  }
+
+  val videoPhashSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("phash", LongType, nullable = false)))
+
+  /** Per-frame perceptual hashes of ANIMATED media (r11, the temporal
+    * leg the `sampleFrames` stage anticipated): decode every frame
+    * ([[gifFrames]] — strict), keep every `everyN`-th (the
+    * sampleFrames rule), [[dHash64]] each. Emits (media_id, n_frames
+    * = total decoded, frame_idx = sampled ordinal, phash); payloads
+    * that aren't strictly-decodable animations are DROPPED. Batched
+    * per partition, no shuffle. */
+  def videoPhashes(media: DataFrame, idCol: String = "media_id",
+      payloadCol: String = "payload", everyN: Int = 1): DataFrame = {
+    require(everyN >= 1, "everyN >= 1")
+    val spark = media.sparkSession
+    val out = media.select(col(idCol).cast("long"), col(payloadCol)).rdd
+      .flatMap { r =>
+        val payload =
+          if (r.isNullAt(0) || r.isNullAt(1)) Array.empty[Byte]
+          else r.getAs[Array[Byte]](1)
+        gifFrames(payload).toSeq.flatMap { fs =>
+          fs.indices.by(everyN).zipWithIndex.map { case (fi, ord) =>
+            val (w, h, px) = fs(fi)
+            Row(r.getLong(0), fs.size, ord, dHash64(w, h, px))
+          }
+        }
+      }
+    spark.createDataFrame(out, videoPhashSchema)
+  }
+
+  /** Sequence-fingerprint stage: (media_id, n_frames,
+    * [[sequenceFingerprint]] over the sampled per-frame dHashes) —
+    * equal fingerprints are exact temporal duplicates (same frames,
+    * same order). */
+  def videoFingerprints(media: DataFrame, idCol: String = "media_id",
+      payloadCol: String = "payload", everyN: Int = 1): DataFrame = {
+    require(everyN >= 1, "everyN >= 1")
+    val spark = media.sparkSession
+    val out = media.select(col(idCol).cast("long"), col(payloadCol)).rdd
+      .flatMap { r =>
+        val payload =
+          if (r.isNullAt(0) || r.isNullAt(1)) Array.empty[Byte]
+          else r.getAs[Array[Byte]](1)
+        gifFrames(payload).map { fs =>
+          val hs = fs.indices.by(everyN)
+            .map(i => dHash64(fs(i)._1, fs(i)._2, fs(i)._3))
+          Row(r.getLong(0), fs.size, sequenceFingerprint(hs))
+        }
+      }
+    spark.createDataFrame(out, StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("n_frames", IntegerType, nullable = false),
+      StructField("seq_fp", LongType, nullable = false))))
+  }
+
+  /** NEAR-dup pairs over animated sequences: two media pair when they
+    * sampled the SAME number of frames and EVERY aligned frame sits
+    * within `maxDist` — reported dist = the max aligned distance.
+    * Banded, never all-pairs: candidates come from the frame-0
+    * [[phashPairs]] band join (SOUND: all-aligned-within ⇒ frame 0
+    * within ⇒ a frame-0 band collides, pigeonhole), then ONE aligned
+    * equi-join verifies every frame. */
+  def videoPhashPairs(sigs: DataFrame, maxDist: Int): DataFrame = {
+    val s = sigs.select(col("media_id"), col("frame_idx"), col("phash"))
+      .localCheckpoint()
+    val counts = s.groupBy("media_id")
+      .agg(count(lit(1)).as("__n"))
+    val cand = phashPairs(s.filter(col("frame_idx") === 0),
+        "media_id", "phash", maxDist)
+      .select("a_id", "b_id")
+    val fa = s.select(col("media_id").as("a_id"), col("frame_idx"),
+      col("phash").as("__pa"))
+    val fb = s.select(col("media_id").as("b_id"), col("frame_idx"),
+      col("phash").as("__pb"))
+    val ca = counts.select(col("media_id").as("a_id"),
+      col("__n").as("__na"))
+    val cb = counts.select(col("media_id").as("b_id"),
+      col("__n").as("__nb"))
+    cand.join(fa, "a_id").join(fb, Seq("b_id", "frame_idx"))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("__aligned"),
+        max(bit_count(col("__pa").bitwiseXOR(col("__pb"))))
+          .cast("int").as("dist"))
+      .join(ca, "a_id").join(cb, "b_id")
+      .filter(col("__na") === col("__nb") &&
+        col("__aligned") === col("__na") &&
+        col("dist") <= maxDist)
+      .select("a_id", "b_id", "dist")
+  }
+
+  /** On-disk incremental perceptual-hash index (r11 — the live-index
+    * family's image member; BM25, dedup bands, IVF and IVF-PQ already
+    * had append parity): (band, value, id, hash) postings land in
+    * `hash60(band:value) mod nBuckets` directories — the
+    * [[graft.ops.Dedup.writeDedupIndex]] bucket-pruned layout — so a
+    * probe prunes to the directories its batch actually bands into at
+    * PLANNING time (literal partition filters); probe IO is
+    * proportional to min(batch buckets, nBuckets) directory slices,
+    * not the indexed corpus. The full hash rides in the posting row,
+    * so verification needs no second directory. `maxDist` is part of
+    * the LAYOUT (nBands = maxDist+1) — probe with the same value.
+    * [[appendPhashIndex]] folds a batch in (caller contract: batch
+    * ids are globally fresh, the family convention). */
+  def writePhashIndex(sigs: DataFrame, idCol: String, hashCol: String,
+      maxDist: Int, dir: String, nBuckets: Int = 64): Unit =
+    writePhashIndexMode(sigs, idCol, hashCol, maxDist, dir, nBuckets,
+      "overwrite")
+
+  def appendPhashIndex(sigs: DataFrame, idCol: String, hashCol: String,
+      maxDist: Int, dir: String, nBuckets: Int = 64): Unit =
+    writePhashIndexMode(sigs, idCol, hashCol, maxDist, dir, nBuckets,
+      "append")
+
+  private def bandBucket(nBuckets: Int) =
+    pmod(graft.ops.TextOps.hash60(concat_ws(":",
+      col("__band").cast("string"), col("__bv").cast("string"))),
+      lit(nBuckets.toLong))
+
+  private def writePhashIndexMode(sigs: DataFrame, idCol: String,
+      hashCol: String, maxDist: Int, dir: String, nBuckets: Int,
+      mode: String): Unit = {
+    require(nBuckets >= 1, "nBuckets >= 1")
+    // repartition ON the directory key: one writer per bucket slice
+    // (the writeDedupIndex discipline)
+    phashBands(sigs, idCol, hashCol, maxDist)
+      .withColumn("__bkt", bandBucket(nBuckets))
+      .repartition(col("__bkt"))
+      .write.mode(mode).partitionBy("__bkt").parquet(s"$dir/bands")
+  }
+
+  /** Probe a [[writePhashIndex]] index with a new batch of signatures:
+    * candidates from (band, value) collisions against the PRUNED
+    * posting directories, verified by the compiled `bit_count(xor)` —
+    * row-identical to the (index, batch) cross pairs [[phashPairs]]
+    * would report over the union (spec- and oracle-pinned). Returns
+    * (a_id, b_id, dist), a_id from the index, b_id from the batch. */
+  def probePhashIndex(spark: SparkSession, dir: String,
+      sigs: DataFrame, idCol: String, hashCol: String, maxDist: Int,
+      nBuckets: Int = 64): DataFrame = {
+    val nb = phashBands(sigs, idCol, hashCol, maxDist)
+      .withColumn("__bkt", bandBucket(nBuckets))
+      .localCheckpoint()
+    // control-plane bucket list (≤ nBuckets longs) → literal
+    // partition filters on the posting read
+    val hitBkts = nb.select("__bkt").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    graft.sources.Bucketing.requireCommitted(spark, s"$dir/bands")
+    val postings = spark.read.parquet(s"$dir/bands")
+      .filter(col("__bkt").isin(hitBkts: _*))
+    postings
+      .select(col("__band"), col("__bv"), col("__id").as("a_id"),
+        col("__h").as("__ha"))
+      .join(nb.select(col("__band"), col("__bv"), col("__id").as("b_id"),
+        col("__h").as("__hb")), Seq("__band", "__bv"))
+      .filter(col("a_id") =!= col("b_id"))
       .select("a_id", "b_id", "__ha", "__hb")
       .distinct() // a close pair collides in several bands — pair once
       .withColumn("dist",

@@ -1537,6 +1537,16 @@ object TextOps {
     * is a window over the top-K frame ONLY (K rows, never the
     * vocabulary); one closing aggregate. Returns one row
     * (n_terms, slope, intercept). */
+  /** ln(rank)·10⁶ for the FIXED ranks 1..topK, computed once in Scala
+    * (StrictMath.log — bit-identical across JVMs) and shared with the
+    * oracle as interpolated literals: the x side of the Zipf fit no
+    * longer touches either engine's libm (r10 ADVICE — a 1-ulp ln
+    * divergence landing on a .5 micro-unit boundary was the residual
+    * cross-engine flake channel; ln(f) over the data-dependent
+    * frequencies remains, risk documented on [[zipfFit]]). */
+  def zipfLnRankMicros(topK: Int): IndexedSeq[Long] =
+    (1 to topK).map(r => math.round(StrictMath.log(r.toDouble) * 1e6))
+
   def zipfFit(df: org.apache.spark.sql.DataFrame, textCol: String,
       topK: Int = 100): org.apache.spark.sql.DataFrame = {
     require(topK >= 2, "need at least 2 ranks to fit a line")
@@ -1548,7 +1558,7 @@ object TextOps {
       .orderBy(col("__f").desc, col("__t"))
     val xy = freqs.withColumn("__r", row_number().over(w))
       .select(
-        round(log(col("__r").cast("double")) * 1e6).cast("long").as("x"),
+        element_at(typedlit(zipfLnRankMicros(topK)), col("__r")).as("x"),
         round(log(col("__f").cast("double")) * 1e6).cast("long").as("y"))
     xy.agg(count(lit(1)).as("__n"), sum(col("x")).as("__sx"),
         sum(col("y")).as("__sy"),

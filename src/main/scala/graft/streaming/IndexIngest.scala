@@ -76,6 +76,27 @@ object IndexIngest {
       }
   }
 
+  /** foreachBatch sink completing IMAGE-side ingestion parity (r11):
+    * decode each micro-batch of media payloads with the REAL pixel
+    * decoders ([[graft.ops.Multimodal.imagePhashes]] — BMP/PNG/GIF/
+    * JPEG; undecodable payloads drop, never fingerprinted) and append
+    * the dHash postings to the on-disk perceptual-hash index. After
+    * any batch, probing the directory is row-identical to a full
+    * [[graft.ops.Multimodal.writePhashIndex]] rebuild over
+    * (corpus ∪ batches so far) — spec-pinned. Caller contract: batch
+    * ids are globally fresh (the family convention). `maxDist` is the
+    * index LAYOUT — probes must use the same value. */
+  def phashAppend(dir: String, idCol: String, payloadCol: String,
+      maxDist: Int, nBuckets: Int = 64): (DataFrame, Long) => Unit = {
+    (batch, _) =>
+      if (!batch.isEmpty) {
+        val frozen = batch.localCheckpoint(eager = true)
+        graft.ops.Multimodal.appendPhashIndex(
+          graft.ops.Multimodal.imagePhashes(frozen, idCol, payloadCol),
+          "media_id", "phash", maxDist, dir, nBuckets)
+      }
+  }
+
   /** foreachBatch sink for the association miner: fold each
     * micro-batch of (basket, item) rows into the additive
     * [[Association.AssocState]] (atomic swap for concurrent readers).

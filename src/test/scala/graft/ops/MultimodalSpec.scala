@@ -865,6 +865,75 @@ class MultimodalSpec extends AnyFunSuite {
     assert(pairs == Seq((1L, 2L, 0), (1L, 3L, 0), (2L, 3L, 0)))
   }
 
+  test("animated GIF: exact per-frame luma, sequence fingerprints, " +
+      "aligned near-dup pairs") {
+    import spark.implicits._
+    // writer-half identity: 3 distinct frames round-trip exactly
+    // (gray palette makes luma the identity), matching the
+    // test-side-encoder discipline the single-frame tests pin
+    val rng = new scala.util.Random(99)
+    val frames = Vector.fill(3)(Array.fill(72)(rng.nextInt(256)))
+    val gif = Multimodal.encodeGifGray(9, 8, frames)
+    val got = Multimodal.gifFrames(gif)
+    assert(got.isDefined && got.get.size == 3)
+    got.get.zip(frames).zipWithIndex.foreach { case (((w, h, px), want), i) =>
+      assert((w, h) == (9, 8) && px.toSeq == want.toSeq, s"frame $i")
+    }
+    // gifPixels (first frame) and decodeMedia frame count agree
+    assert(Multimodal.gifPixels(gif).get._3.toSeq == frames(0).toSeq)
+    assert(Multimodal.decodeMedia(gif, 2)._3 == 3)
+    // the test-side spliced animation (mkGif convention) also decodes
+    // ALL frames — the second frame is the reversed index pattern
+    val pal = Array((0, 0, 0), (255, 255, 255), (80, 80, 80), (200, 200, 200))
+    def lu(c: Int) = (299 * pal(c)._1 + 587 * pal(c)._2 + 114 * pal(c)._3) / 1000
+    val idx = Array.tabulate(16)(i => i % 4)
+    val f2 = mkGif(4, 4, pal, idx.reverse, minCode = 2)
+    val anim = mkGif(4, 4, pal, idx, minCode = 2).dropRight(1) ++
+      f2.drop(13 + 12)
+    val both = Multimodal.gifFrames(anim).get
+    assert(both.size == 2)
+    assert(both(0)._3.toSeq == idx.map(lu).toSeq)
+    assert(both(1)._3.toSeq == idx.reverse.map(lu).toSeq)
+    // LZW-encoder property: long runs + table growth round-trip on a
+    // larger grid (dictionary resets exercised by 4096-entry overflow
+    // are out of reach at this size; growth past several widths isn't)
+    val big = Array.tabulate(64 * 48) { i => (i / 37) % 256 }
+    val bigGif = Multimodal.encodeGifGray(64, 48, Seq(big, big.reverse))
+    val bigFrames = Multimodal.gifFrames(bigGif).get
+    assert(bigFrames(0)._3.toSeq == big.toSeq &&
+      bigFrames(1)._3.toSeq == big.reverse.toSeq)
+    // sequence fingerprint: order-aware (swapped frames differ),
+    // identical sequences collide
+    val fpA = Multimodal.sequenceFingerprint(Seq(1L, 2L, 3L))
+    assert(fpA != Multimodal.sequenceFingerprint(Seq(2L, 1L, 3L)))
+    assert(fpA == Multimodal.sequenceFingerprint(Seq(1L, 2L, 3L)))
+    // near-dup pairs: one flipped pixel in ONE frame pairs; a
+    // different sequence and a frame-count mismatch don't
+    def grid(seed: Int) = Array.tabulate(72)(i =>
+      if ((i * seed) % 7 < 3) 30 else 220)
+    val a = Vector(grid(1), grid(2), grid(3))
+    val b = Vector(grid(1), { val g = grid(2).clone(); g(40) = 250 - g(40); g },
+      grid(3))
+    val c = Vector(grid(5), grid(6), grid(7))
+    val d = Vector(grid(1), grid(2)) // 2 frames: count mismatch vs a
+    val m = Seq(
+      (1L, Multimodal.encodeGifGray(9, 8, a)),
+      (2L, Multimodal.encodeGifGray(9, 8, b)),
+      (3L, Multimodal.encodeGifGray(9, 8, c)),
+      (4L, Multimodal.encodeGifGray(9, 8, d)),
+      (5L, "junk".getBytes) // undecodable: dropped
+    ).toDF("media_id", "payload")
+    val sigs = Multimodal.videoPhashes(m)
+    assert(sigs.filter(col("media_id") === 5L).count() == 0)
+    val pairs = Multimodal.videoPhashPairs(sigs, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs == Seq((1L, 2L)), s"got $pairs")
+    // fingerprints: 1 and 2 differ (a flipped frame), each stable
+    val fps = Multimodal.videoFingerprints(m)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(fps.size == 4 && fps(1L) != fps(2L))
+  }
+
   test("audio dedup loop: near-dup WAVs cluster, distinct don't") {
     import spark.implicits._
     // three bands-of-amplitude shapes: base, near (one band nudged —

@@ -905,6 +905,20 @@ class OpsHygieneSpec extends AnyFunSuite {
         "user_id", "ts", "event_id", "event_type", "purchase",
         86400000000L, "position").collect().map(_.toSeq).toSeq
     assert(runReal(1) == runReal(13))
+    // NEGATIVE epoch micros (pre-1970 data, r11 ADVICE fix): the
+    // banded probe buckets with floor division, so a touch 10 minutes
+    // before a conversion still credits even when both timestamps are
+    // negative (truncating div put them one bucket apart and the
+    // credit silently vanished)
+    val evNeg = Seq(
+      (50L, 5L, ts(-120), "click"), (51L, 5L, ts(-110), "purchase")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val neg = Funnel.multiTouchAttribution(evNeg, "user_id", "ts",
+        "event_id", "event_type", "purchase", 24L * 3600000000L,
+        "linear")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(neg == Map("click" -> 1000000L),
+      s"pre-epoch touch must still credit, got $neg")
   }
 
   test("kaplanMeier: textbook product-limit values with censoring") {

@@ -102,6 +102,68 @@ class BucketingSpec extends AnyFunSuite {
       s"scan must read codes only, got ${scan.schema.fieldNames.toSeq}")
   }
 
+  test("bucket-partitioned phash index scans only the batch's buckets") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.Multimodal
+    import spark.implicits._
+    val dir = "/tmp/graft_phash_index"
+    // per-group two-level 9×8 patterns + per-member flips: near-dups
+    // within a group, ~32-bit gaps across groups (the gate convention)
+    def img(id: Long): Array[Byte] = {
+      val g = id % 5
+      val gray = Array.tabulate(72) { i =>
+        val r = i / 9; val c = i % 9
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"bpi:$g:$r:$c".getBytes("UTF-8"))
+        val base = if ((d(0) & 0x80) == 0) 220 else 30
+        if (id % 3 == 0 && r == (id % 8).toInt && c == (id % 9).toInt)
+          250 - base
+        else base
+      }
+      Multimodal.encodeBmp24(9, 8, gray)
+    }
+    val media = (0L until 60L).map(i => (i, img(i)))
+      .toDF("media_id", "payload")
+    val sigs = Multimodal.imagePhashes(media).localCheckpoint()
+    Multimodal.writePhashIndex(sigs.filter($"media_id" % 10 =!= 7),
+      "media_id", "phash", 3, dir)
+    val batch = sigs.filter($"media_id" % 10 === 7)
+    val idx = Multimodal.probePhashIndex(spark, dir, batch,
+      "media_id", "phash", 3)
+    // row-identical to the (index, batch) cross slice of the
+    // in-memory banded join over the union
+    val mem = Multimodal.phashPairs(sigs, "media_id", "phash", 3)
+      .filter(($"a_id" % 10 === 7) =!= ($"b_id" % 10 === 7))
+      .select(
+        when($"a_id" % 10 === 7, $"b_id").otherwise($"a_id").as("a_id"),
+        when($"a_id" % 10 === 7, $"a_id").otherwise($"b_id").as("b_id"),
+        $"dist")
+    val gotSet = idx.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val memSet = mem.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(gotSet.nonEmpty && gotSet == memSet,
+      "bucket-pruned probe must equal the in-memory cross pairs")
+    // the batch's bucket literals must land in PartitionFilters
+    // (planning-time directory pruning), reading a strict subset
+    val scan = idx.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.relation.location.rootPaths.exists(
+          _.toString.contains("graft_phash_index")) => f
+    }.head
+    assert(scan.partitionFilters.exists(
+      _.references.exists(_.name == "__bkt")),
+      "probe buckets must prune partitions, not filter rows")
+    val total = spark.read.parquet(s"$dir/bands").queryExecution
+      .sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.head.selectedPartitions.partitionCount
+    assert(scan.selectedPartitions.partitionCount <= 24 &&
+      scan.selectedPartitions.partitionCount < total,
+      s"probe must read ≤ its 24 band buckets of $total dirs, " +
+        s"read ${scan.selectedPartitions.partitionCount}")
+  }
+
   test("bucketed join runs without a shuffle exchange") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {

@@ -256,6 +256,73 @@ class EventStreamSpec extends AnyFunSuite {
     assert(ps == pb, "streamed index probe must equal batch-built probe")
   }
 
+  test("streaming ingestion keeps the phash index current " +
+      "(probe == batch rebuild on the union)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.Multimodal
+    def img(id: Long): Array[Byte] = {
+      val g = id % 5
+      val gray = Array.tabulate(72) { i =>
+        val r = i / 9; val c = i % 9
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"spi:$g:$r:$c".getBytes("UTF-8"))
+        val base = if ((d(0) & 0x80) == 0) 220 else 30
+        if (id % 3 == 0 && r == (id % 8).toInt && c == (id % 9).toInt)
+          250 - base
+        else base
+      }
+      Multimodal.encodeBmp24(9, 8, gray)
+    }
+    val streamDir = java.nio.file.Files
+      .createTempDirectory("graft-ingest-phash").toString
+    // seed: index the existing corpus once (batch path)
+    val corpus = (0L until 30L).map(i => (i, img(i)))
+      .toDF("media_id", "payload")
+    Multimodal.writePhashIndex(Multimodal.imagePhashes(corpus),
+      "media_id", "phash", 3, streamDir)
+    // stream two media batches through the foreachBatch sink (one
+    // junk payload rides along — dropped by decode, never indexed)
+    val input = MemoryStream[(Long, Array[Byte])]
+    val q = input.toDF().toDF("media_id", "payload").writeStream
+      .foreachBatch(graft.streaming.IndexIngest.phashAppend(
+        streamDir, "media_id", "payload", maxDist = 3))
+      .start()
+    try {
+      input.addData((30L until 45L).map(i => (i, img(i))): _*)
+      input.addData(Seq((999L, "not an image".getBytes)): _*)
+      q.processAllAvailable()
+      input.addData((45L until 60L).map(i => (i, img(i))): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // probing the streamed index ≡ probing a batch-built index over
+    // the union, and stream-arrived images ARE found
+    val batchDir = java.nio.file.Files
+      .createTempDirectory("graft-batch-phash").toString
+    val union = (0L until 60L).map(i => (i, img(i)))
+      .toDF("media_id", "payload")
+    Multimodal.writePhashIndex(Multimodal.imagePhashes(union),
+      "media_id", "phash", 3, batchDir)
+    // probe: a re-crawl of stream-arrived image 42 + unrelated noise
+    val probe = Multimodal.imagePhashes(Seq(
+      (9001L, img(42)),
+      (9002L, Multimodal.encodeBmp24(9, 8,
+        Array.tabulate(72)(i => (i * 53) % 256)))
+    ).toDF("media_id", "payload"))
+    def run(dir: String): Set[(Long, Long, Int)] =
+      Multimodal.probePhashIndex(spark, dir, probe,
+          "media_id", "phash", 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .toSet
+    val ps = run(streamDir)
+    val pb = run(batchDir)
+    assert(ps.contains((42L, 9001L, 0)),
+      s"streamed phash index must catch the re-crawl of image 42: $ps")
+    assert(ps == pb, "streamed index probe must equal batch-built probe")
+    assert(!ps.exists(p => p._1 == 999L || p._2 == 999L),
+      "the undecodable payload must never have been indexed")
+  }
+
   test("streaming ingestion keeps IVF + IVF-PQ indexes current " +
       "(probe == batch rebuild on the union)") {
     import spark.implicits._
