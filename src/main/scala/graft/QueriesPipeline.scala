@@ -79,6 +79,23 @@ object QueriesPipeline {
     else base
   }
 
+  // the synthetic media corpora are pure functions of (dir) but cost a
+  // corpus of md5 digests to mint (72-216 per doc); several gates and
+  // table functions each ride one, so cache the materialization per
+  // (session, dir) — the GraphOps.cached discipline (the moral
+  // equivalent of the media table a deployment stores at ingestion).
+  // Weak keys keep stopped sessions collectable.
+  private val mediaCache = new java.util.WeakHashMap[
+    SparkSession, scala.collection.mutable.Map[String, DataFrame]]()
+  private def cachedMedia(s: SparkSession, key: String)(
+      build: => DataFrame): DataFrame = synchronized {
+    val m = Option(mediaCache.get(s)).getOrElse {
+      val m0 = scala.collection.mutable.Map[String, DataFrame]()
+      mediaCache.put(s, m0); m0
+    }
+    m.getOrElseUpdate(key, build.persist())
+  }
+
   /** qp_audio_fingerprint constants (the image-gate convention, audio
     * modality): per-group band amplitudes from the md5 PRF, one
     * flipped band (≤ 2 fingerprint bits) per 5th group member. */
@@ -100,7 +117,8 @@ object QueriesPipeline {
     * amplitude samples, so band energy = 10·amp² and the energy
     * comparison the engine computes from DECODED samples equals the
     * amplitude comparison the oracle regenerates from doc_id. */
-  private[graft] def audioMedia(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def audioMedia(s: SparkSession, dir: String): DataFrame =
+      cachedMedia(s, s"au:$dir") {
     val groups = phGroupsFor(docs(s, dir).count())
     val rdd = docs(s, dir).select(col("doc_id")).rdd.map { r =>
       val id = r.getLong(0)
@@ -118,7 +136,8 @@ object QueriesPipeline {
     * 24-bpp BMP payload per doc ([[Multimodal.encodeBmp24]] — the
     * exact flavor `bmpPixels` decodes; gray pixels make luma the
     * identity, so the oracle can regenerate the decoded integers). */
-  private def phashMedia(s: SparkSession, dir: String): DataFrame = {
+  private def phashMedia(s: SparkSession, dir: String): DataFrame =
+      cachedMedia(s, s"ph:$dir") {
     val groups = phGroupsFor(docs(s, dir).count())
     val rdd = docs(s, dir).select(col("doc_id")).rdd.map { r =>
       val id = r.getLong(0)
@@ -143,7 +162,8 @@ object QueriesPipeline {
     * sx = 8c on a 72×64 grid), so every format hashes identically to
     * the 9×8 pattern and pairing is format-blind — which is exactly
     * what the oracle (pattern replay) asserts. */
-  private[graft] def jpegMedia(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def jpegMedia(s: SparkSession, dir: String): DataFrame =
+      cachedMedia(s, s"jph:$dir") {
     val groups = phGroupsFor(docs(s, dir).count())
     val rdd = docs(s, dir).select(col("doc_id")).rdd.map { r =>
       val id = r.getLong(0)
@@ -191,7 +211,8 @@ object QueriesPipeline {
     * 3-frame 9×8 GIF89a per doc ([[Multimodal.encodeGifGray]] — gray
     * palette makes luma the identity, so the oracle regenerates the
     * decoded integers per frame). */
-  private[graft] def gifMedia(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def gifMedia(s: SparkSession, dir: String): DataFrame =
+      cachedMedia(s, s"gph:$dir") {
     val groups = phGroupsFor(docs(s, dir).count())
     val rdd = docs(s, dir).select(col("doc_id")).rdd.map { r =>
       val id = r.getLong(0)

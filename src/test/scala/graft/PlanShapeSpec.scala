@@ -572,4 +572,21 @@ class PlanShapeSpec extends AnyFunSuite {
     idx.release()
     assert(served == scan && scan.nonEmpty)
   }
+
+  test("round-11 operators keep their scale shape") {
+    // aligned video near-dup: banded frame-0 candidates + ONE aligned
+    // equi-join — never a cross product, and no window (the per-pair
+    // verify is a partial-combining max aggregate)
+    val vp = finalPlan(df("qp_gif_phash"))
+    assert(!vp.contains("CartesianProduct") &&
+      !vp.contains("BroadcastNestedLoopJoin"), vp)
+    assert(!vp.contains("Window"), vp)
+    // the mixed-format JPEG pair gate rides the same banded join
+    val jp = finalPlan(df("qp_jpeg_phash"))
+    assert(!jp.contains("CartesianProduct") &&
+      !jp.contains("BroadcastNestedLoopJoin"), jp)
+    // sequence fingerprints: per-payload map, no join/shuffle at all
+    val sf2 = df("qp_gif_sequence").queryExecution.optimizedPlan.toString
+    assert(!sf2.contains("Join"), sf2)
+  }
 }
