@@ -154,14 +154,16 @@ object QueriesPipeline {
   /** synthetic media table for the JPEG perceptual-hash gate (r11 —
     * the dominant-crawl-format decoder brought into the dedup
     * triangle), MIXED-FORMAT by construction: the same 9×8 md5-PRF
-    * pattern ships as a 9×8 BMP (id % 3 = 0), a 72×64 block-upscaled
-    * DC-only grayscale JPEG (id % 3 = 1, with a restart interval —
-    * RSTn coverage on the gate path), or a 72×64 4:2:0 YCbCr JPEG
-    * (id % 3 = 2, chroma derived from the id and discarded by the
-    * luma-only decode). dHash samples block top-lefts (sy = 8r,
-    * sx = 8c on a 72×64 grid), so every format hashes identically to
-    * the 9×8 pattern and pairing is format-blind — which is exactly
-    * what the oracle (pattern replay) asserts. */
+    * pattern ships as a 9×8 BMP (id % 4 = 0), a 72×64 block-upscaled
+    * DC-only grayscale JPEG (id % 4 = 1, with a restart interval —
+    * RSTn coverage on the gate path), a 72×64 4:2:0 YCbCr JPEG
+    * (id % 4 = 2, chroma derived from the id and discarded by the
+    * luma-only decode), or a 9×8 palette PNG (id % 4 = 3, r11b —
+    * the PLTE decode path on the gate). dHash samples block top-lefts
+    * (sy = 8r, sx = 8c on a 72×64 grid; identity at 9×8), so every
+    * format hashes identically to the 9×8 pattern and pairing is
+    * format-blind — which is exactly what the oracle (pattern replay)
+    * asserts. */
   private[graft] def jpegMedia(s: SparkSession, dir: String): DataFrame =
       cachedMedia(s, s"jph:$dir") {
     val groups = phGroupsFor(docs(s, dir).count())
@@ -169,14 +171,15 @@ object QueriesPipeline {
       val id = r.getLong(0)
       val pat = Array.tabulate(72)(i =>
         phashLuma("jph", groups, id, i / 9, i % 9))
-      val payload = (id % 3) match {
+      val payload = (id % 4) match {
         case 0 => Multimodal.encodeBmp24(9, 8, pat)
+        case 3 => Multimodal.encodePngPal(9, 8, pat) // r11b: palette PNG
         case _ =>
           val up = Array.tabulate(72 * 64) { i =>
             val y = i / 72; val x = i % 72
             pat((y / 8) * 9 + x / 8)
           }
-          if (id % 3 == 1)
+          if (id % 4 == 1)
             Multimodal.encodeJpegGray(72, 64, up,
               restartInterval = 1 + (id % 7).toInt)
           else Multimodal.encodeJpegYcc420(72, 64, up,

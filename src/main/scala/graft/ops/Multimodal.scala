@@ -147,14 +147,17 @@ object Multimodal {
       lumaBands(w, h, px, featureDim)
     }
 
-  /** Pixel decode of a NON-INTERLACED 8-bit truecolor (color type 2,
-    * RGB) or truecolor-alpha (6, RGBA) PNG — the zlib half of the
-    * codec ships IN the JDK (`java.util.zip.Inflater`), so unlike
+  /** Pixel decode of a NON-INTERLACED 8-bit PNG in its truecolor
+    * (color type 2, RGB), truecolor-alpha (6, RGBA), grayscale (0 —
+    * the stored sample IS the luma: Rec.601 of (v,v,v) = v) or
+    * PALETTE (3 — indices through the PLTE chunk, r11; palette PNGs
+    * are a large share of crawl images) flavors — the zlib half of
+    * the codec ships IN the JDK (`java.util.zip.Inflater`), so unlike
     * JPEG's DCT this needs no external library: concatenate the IDAT
     * chunks, inflate, undo the per-scanline byte filters (None/Sub/
     * Up/Average/Paeth, RFC 2083 §6.2-6.6), then the same integer
     * Rec.601 luma as [[bmpPixels]]. Alpha bytes are skipped (luma of
-    * the stored RGB). None for palette/gray/16-bit/interlaced
+    * the stored RGB). None for 16-bit/sub-byte-depth/interlaced
     * flavors and any truncated or corrupt stream — those keep the
     * header-only (dims-correct) fallback. */
   def pngPixels(payload: Array[Byte]): Option[(Int, Int, Array[Int])] = {
@@ -169,12 +172,19 @@ object Multimodal {
     val w = be32(16); val h = be32(20)
     val bitDepth = u8(24); val colorType = u8(25); val interlace = u8(28)
     if (w <= 0 || h <= 0 || bitDepth != 8 ||
-      (colorType != 2 && colorType != 6) || interlace != 0) return None
+      !Set(0, 2, 3, 6).contains(colorType) || interlace != 0) return None
     if (w.toLong * h > 100000000L) return None // malformed-dims guard
-    val bpp = if (colorType == 2) 3 else 4
+    val bpp = colorType match {
+      case 0 | 3 => 1
+      case 2 => 3
+      case _ => 4
+    }
     // chunk walk: concatenate every IDAT payload (the zlib stream may
-    // be split across chunks at arbitrary byte boundaries)
+    // be split across chunks at arbitrary byte boundaries); capture
+    // the PLTE luma table for palette images (PLTE precedes IDAT,
+    // RFC 2083 §4.1.2)
     val idat = new java.io.ByteArrayOutputStream()
+    var palette: Array[Int] = null
     var pos = 8
     var done = false
     while (!done && pos + 8 <= n) {
@@ -182,10 +192,18 @@ object Multimodal {
       if (len < 0 || pos + 8 + len > n) return None
       val typ = ascii(pos + 4, 4)
       if (typ == "IDAT") idat.write(payload, pos + 8, len)
+      else if (typ == "PLTE") {
+        if (len % 3 != 0 || len > 768) return None
+        palette = Array.tabulate(len / 3) { i =>
+          val o = pos + 8 + 3 * i
+          (299 * u8(o) + 587 * u8(o + 1) + 114 * u8(o + 2)) / 1000
+        }
+      }
       if (typ == "IEND") done = true
       pos += 12 + len // len + type + data + CRC (CRC not validated)
     }
     if (idat.size() == 0) return None
+    if (colorType == 3 && palette == null) return None
     // inflate to exactly (1 filter byte + w*bpp) per scanline
     val stride = w * bpp
     val raw = new Array[Byte]((1 + stride) * h)
@@ -241,14 +259,73 @@ object Multimodal {
       var xx = 0
       while (xx < w) {
         val o = xx * bpp
-        px(y * w + xx) =
-          (299 * cur(o) + 587 * cur(o + 1) + 114 * cur(o + 2)) / 1000
+        px(y * w + xx) = colorType match {
+          case 0 => cur(o) // gray sample IS the Rec.601 luma
+          case 3 =>
+            if (cur(o) >= palette.length) return None
+            palette(cur(o))
+          case _ =>
+            (299 * cur(o) + 587 * cur(o + 1) + 114 * cur(o + 2)) / 1000
+        }
         xx += 1
       }
       System.arraycopy(cur, 0, prev, 0, stride)
       y += 1
     }
     Some((w, h, px))
+  }
+
+  /** Encode a grayscale grid as a PALETTE (color type 3) PNG — the
+    * exact flavor [[pngPixels]] decodes: 256-entry gray PLTE (index i
+    * = (i,i,i), so palette luma is the identity and decode ∘ encode
+    * = id), filter-0 scanlines, one JDK-deflate IDAT, real CRCs. The
+    * writer half of the palette-PNG round trip (the encodeBmp24
+    * convention) and the PNG branch of the mixed-format gate. */
+  def encodePngPal(w: Int, h: Int, gray: Array[Int]): Array[Byte] = {
+    require(w > 0 && h > 0 && gray.length == w * h,
+      "encodePngPal needs a w*h top-down gray grid")
+    val raw = new Array[Byte]((1 + w) * h)
+    var y = 0
+    while (y < h) {
+      // filter byte 0 then the scanline's palette indices (= gray)
+      var x = 0
+      while (x < w) {
+        raw(y * (1 + w) + 1 + x) = (gray(y * w + x) & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw)
+    defl.finish()
+    val comp = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](4096)
+    while (!defl.finished()) comp.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    val z = comp.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte))
+    def chunk(tag: String, data: Array[Byte]): Unit = {
+      def be32(v: Int): Array[Byte] = Array((v >>> 24).toByte,
+        (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+      out.write(be32(data.length))
+      val tb = tag.getBytes("US-ASCII")
+      out.write(tb)
+      out.write(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb)
+      crc.update(data)
+      out.write(be32(crc.getValue.toInt))
+    }
+    chunk("IHDR", Array[Byte](
+      (w >>> 24).toByte, (w >>> 16).toByte, (w >>> 8).toByte, w.toByte,
+      (h >>> 24).toByte, (h >>> 16).toByte, (h >>> 8).toByte, h.toByte,
+      8, 3, 0, 0, 0)) // depth 8, palette, deflate, adaptive, no interlace
+    chunk("PLTE", Array.tabulate(768)(i => (i / 3).toByte))
+    chunk("IDAT", z)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
   }
 
   /** REAL image features from decoded PNG pixels: [[lumaBands]] over

@@ -326,8 +326,13 @@ class MultimodalSpec extends AnyFunSuite {
     * the row's channel bytes (stride = w·bpp). */
   private def mkPng(w: Int, h: Int, colorType: Int,
       pixels: Array[Array[Int]], filters: Array[Int],
-      interlace: Int = 0, splitIdat: Boolean = false): Array[Byte] = {
-    val bpp = if (colorType == 2) 3 else 4
+      interlace: Int = 0, splitIdat: Boolean = false,
+      palette: Array[(Int, Int, Int)] = null): Array[Byte] = {
+    val bpp = colorType match {
+      case 0 | 3 => 1
+      case 2 => 3
+      case _ => 4
+    }
     val stride = w * bpp
     val raw = new java.io.ByteArrayOutputStream()
     val prev = new Array[Int](stride)
@@ -362,7 +367,8 @@ class MultimodalSpec extends AnyFunSuite {
     while (!defl.finished()) comp.write(buf, 0, defl.deflate(buf))
     defl.end()
     val z = comp.toByteArray
-    val out = java.nio.ByteBuffer.allocate(64 + z.length + 48)
+    val out = java.nio.ByteBuffer.allocate(64 + z.length + 48 +
+      (if (palette == null) 0 else 12 + 3 * palette.length))
     out.putInt(0x89504e47).putInt(0x0d0a1a0a)
     out.putInt(13).put("IHDR".getBytes("US-ASCII"))
     out.putInt(w).putInt(h).put(8.toByte).put(colorType.toByte)
@@ -371,6 +377,11 @@ class MultimodalSpec extends AnyFunSuite {
     def chunk(tag: String, data: Array[Byte], from: Int, len: Int): Unit = {
       out.putInt(len).put(tag.getBytes("US-ASCII"))
       out.put(data, from, len); out.putInt(0); ()
+    }
+    if (palette != null) {
+      val p = palette.flatMap(t => Seq(t._1, t._2, t._3))
+        .map(_.toByte).toArray
+      chunk("PLTE", p, 0, p.length)
     }
     if (splitIdat && z.length > 1) {
       chunk("IDAT", z, 0, z.length / 2)
@@ -511,6 +522,38 @@ class MultimodalSpec extends AnyFunSuite {
     body.write(0)
     body.write(0x3b)
     body.toByteArray
+  }
+
+  test("PNG grayscale and palette flavors decode to exact luma (r11b)") {
+    // grayscale (type 0): the stored sample IS the luma; Sub and Up
+    // filters exercised on 1-byte-per-pixel strides
+    val g = Array(Array(10, 250, 30), Array(40, 41, 200))
+    val gray = mkPng(3, 2, colorType = 0, g, filters = Array(1, 2))
+    val (gw, gh, gpx) = Multimodal.pngPixels(gray).get
+    assert((gw, gh) == (3, 2) && gpx.toSeq == g.flatten.toSeq)
+    // palette (type 3): indices map through PLTE Rec.601 luma
+    val pal = Array((255, 0, 0), (0, 255, 0), (0, 0, 255), (90, 90, 90))
+    def plu(c: Int) =
+      (299 * pal(c)._1 + 587 * pal(c)._2 + 114 * pal(c)._3) / 1000
+    val idx = Array(Array(0, 1, 2, 3), Array(3, 2, 1, 0))
+    val png3 = mkPng(4, 2, colorType = 3, idx, filters = Array(0, 4),
+      palette = pal)
+    val (pw, ph, ppx) = Multimodal.pngPixels(png3).get
+    assert((pw, ph) == (4, 2) && ppx.toSeq == idx.flatten.map(plu).toSeq)
+    // palette image with an out-of-range index is corrupt → None
+    val bad = mkPng(4, 2, colorType = 3, idx, filters = Array(0, 0),
+      palette = pal.take(3))
+    assert(Multimodal.pngPixels(bad).isEmpty)
+    // type 3 without PLTE is corrupt → None
+    assert(Multimodal.pngPixels(
+      mkPng(4, 2, colorType = 3, idx, filters = Array(0, 0))).isEmpty)
+    // main-code writer half: decode ∘ encode = identity, and the
+    // fixture feeds imagePhashes like any other format
+    val grid = Array.tabulate(72)(i => (i * 91) % 256)
+    val enc = Multimodal.encodePngPal(9, 8, grid)
+    val (ew, eh, epx) = Multimodal.pngPixels(enc).get
+    assert((ew, eh) == (9, 8) && epx.toSeq == grid.toSeq)
+    assert(Multimodal.dHash64(9, 8, epx) == Multimodal.dHash64(9, 8, grid))
   }
 
   test("GIF pixel decode: LZW expand, palette luma, KwKwK, sub-blocks") {
