@@ -15,6 +15,33 @@ import graft.ops.TextOps._
   * the full numeric pipeline is hash-checked, not just row counts.
   */
 object QueriesPipeline {
+  /** Per-SESSION scratch root for the on-disk index/model queries
+    * (r11 ADVICE): keyed by the Spark application id, so two
+    * concurrent sessions on one machine (Verify at sf0.01 while Bench
+    * runs sf0.1) can never overwrite each other's live directories
+    * mid-probe; every root self-registers for deletion at JVM exit so
+    * runs stop accreting under tmpdir. Within ONE session the per-name
+    * dir is still overwritten per run — the existing convention. */
+  private val scratchRoots =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private lazy val scratchHook: Unit = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      scratchRoots.forEach { r =>
+        val p = java.nio.file.Paths.get(r)
+        if (java.nio.file.Files.exists(p))
+          java.nio.file.Files.walk(p)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => { java.nio.file.Files.delete(f); () })
+      }))
+    ()
+  }
+  private def scratchDir(s: SparkSession, name: String): String = {
+    scratchHook
+    val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft-run-${s.sparkContext.applicationId}")
+    scratchRoots.add(root.toString)
+    new java.io.File(root, name).toString
+  }
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
@@ -473,8 +500,7 @@ object QueriesPipeline {
       // reads ~|terms|/64 of the index; fixed path, overwritten per
       // run. Same results as qp_bm25_topk through a third physical
       // path.
-      val idxDir = new java.io.File(
-        System.getProperty("java.io.tmpdir"), "graft-bm25-bucketed").toString
+      val idxDir = scratchDir(s, "bm25-bucketed")
       TextOps.bm25WriteIndex(docs(s, dir), "doc_id", "text", idxDir)
       TextOps.bm25TopKFromDisk(s, idxDir, "doc_id",
           terms = Seq("spark", "stream", "join"), k = 10)
@@ -596,8 +622,7 @@ object QueriesPipeline {
       // batch" against the index with planning-time-pruned reads —
       // row-identical to full-batch LSH pairs crossing the split
       val d = docs(s, dir)
-      val idxDir = new java.io.File(
-        System.getProperty("java.io.tmpdir"), "graft-dedup-idx").toString
+      val idxDir = scratchDir(s, "dedup-idx")
       Dedup.writeDedupIndex(d.filter(col("doc_id") < 250),
         "doc_id", "text", idxDir)
       Dedup.probeDedupIndex(s, idxDir, d.filter(col("doc_id") >= 250),
@@ -740,8 +765,7 @@ object QueriesPipeline {
       // exactly what the shared oracle asserts. One fixed root per
       // JVM, wiped each run (the qd_export_import convention).
       import graft.engine.GraftSession
-      val tmp = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"), "graft-models-qp")
+      val tmp = java.nio.file.Paths.get(scratchDir(s, "models-qp"))
       if (java.nio.file.Files.exists(tmp))
         java.nio.file.Files.walk(tmp).sorted(
           java.util.Comparator.reverseOrder())
@@ -989,8 +1013,7 @@ object QueriesPipeline {
       // different physical path (the 100 TB layout under the gate)
       val e = embs(s, dir)
       val cents = e.filter(col("vec_id") < 16)
-      val idxDir = new java.io.File(
-        System.getProperty("java.io.tmpdir"), "graft-ivf-bucketed").toString
+      val idxDir = scratchDir(s, "ivf-bucketed")
       Similarity.writeIvfIndex(e, cents, "vec_id", "embedding", idxDir)
       Similarity.ivfTopKIndexed(s, idxDir,
           e.filter(col("vec_id") >= 100 && col("vec_id") < 105),
@@ -1007,9 +1030,7 @@ object QueriesPipeline {
       // that equality IS what this query verifies)
       val e = embs(s, dir)
       val cents = e.filter(col("vec_id") < 16)
-      val idxDir = new java.io.File(
-        System.getProperty("java.io.tmpdir"), "graft-ivf-appended")
-        .toString
+      val idxDir = scratchDir(s, "ivf-appended")
       Similarity.writeIvfIndex(e.filter(col("vec_id") < 250), cents,
         "vec_id", "embedding", idxDir)
       Similarity.appendIvfIndex(e.filter(col("vec_id") >= 250), cents,
@@ -1026,9 +1047,7 @@ object QueriesPipeline {
       // qp_ivfpq_topk's oracle
       val e = embs(s, dir)
       val cents = e.filter(col("vec_id") < 16)
-      val idxDir = new java.io.File(
-        System.getProperty("java.io.tmpdir"), "graft-ivfpq-appended")
-        .toString
+      val idxDir = scratchDir(s, "ivfpq-appended")
       Pq.writeIvfPqIndex(e.filter(col("vec_id") < 250), cents,
         "vec_id", "embedding", pqCb, idxDir)
       Pq.appendIvfPqIndex(e.filter(col("vec_id") >= 250), cents,
@@ -1044,8 +1063,7 @@ object QueriesPipeline {
       // read it back, and hash-check the interleaved keys — the
       // write→read round trip under the gate; BucketingSpec proves
       // the files get bounded (custkey, nationkey) rectangles
-      val dirZ = new java.io.File(
-        System.getProperty("java.io.tmpdir"), "graft-zorder").toString
+      val dirZ = scratchDir(s, "zorder")
       Bucketing.writeZordered(Tables.load(s, dir, "customer"), dirZ,
         "c_custkey", "c_nationkey", bits = 16, numFiles = 8)
       s.read.parquet(dirZ)
@@ -1080,8 +1098,7 @@ object QueriesPipeline {
       // probe with the loaded table — must reproduce qp_ivf_trained
       // exactly (parquet round-trips the doubles bit-identically).
       import graft.engine.GraftSession
-      val tmp = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"), "graft-models-ivf")
+      val tmp = java.nio.file.Paths.get(scratchDir(s, "models-ivf"))
       if (java.nio.file.Files.exists(tmp))
         java.nio.file.Files.walk(tmp).sorted(
           java.util.Comparator.reverseOrder())
@@ -1204,8 +1221,7 @@ object QueriesPipeline {
       // and project with the loaded basis — must reproduce
       // qp_pca_project exactly (parquet round-trips doubles).
       import graft.engine.GraftSession
-      val tmp = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"), "graft-models-pca")
+      val tmp = java.nio.file.Paths.get(scratchDir(s, "models-pca"))
       if (java.nio.file.Files.exists(tmp))
         java.nio.file.Files.walk(tmp).sorted(
           java.util.Comparator.reverseOrder())
@@ -1340,8 +1356,7 @@ object QueriesPipeline {
       // registry round-trips the fitted doubles bit-identically and
       // the squared norms re-derive by the same fold)
       import graft.engine.GraftSession
-      val tmp = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"), "graft-models-pq")
+      val tmp = java.nio.file.Paths.get(scratchDir(s, "models-pq"))
       if (java.nio.file.Files.exists(tmp))
         java.nio.file.Files.walk(tmp).sorted(
           java.util.Comparator.reverseOrder())
@@ -1394,9 +1409,7 @@ object QueriesPipeline {
       // only what it read — same parameters/results as qp_ivfpq_topk
       val e = embs(s, dir)
       val cents = e.filter(col("vec_id") < 16)
-      val idxDir = new java.io.File(
-        System.getProperty("java.io.tmpdir"), "graft-ivfpq-bucketed")
-        .toString
+      val idxDir = scratchDir(s, "ivfpq-bucketed")
       Pq.writeIvfPqIndex(e, cents, "vec_id", "embedding", pqCb, idxDir)
       Pq.ivfPqTopKIndexed(s, idxDir,
           e.filter(col("vec_id") >= 100 && col("vec_id") < 105),
@@ -1953,8 +1966,7 @@ object QueriesPipeline {
       // (doc_id % 10 = 7); the bucket-pruned probe must equal the
       // brute-force (index, batch) cross pairs the oracle regenerates
       val media = phashMedia(s, dir)
-      val idxDir = new java.io.File(
-        System.getProperty("java.io.tmpdir"), "graft-phash-idx").toString
+      val idxDir = scratchDir(s, "phash-idx")
       val sigs = Multimodal.imagePhashes(media).localCheckpoint()
       Multimodal.writePhashIndex(
         sigs.filter(col("media_id") % 10 =!= 7), "media_id", "phash",
@@ -2007,8 +2019,7 @@ object QueriesPipeline {
       // verifies contains() over candidates only — must equal the
       // oracle's brute-force contains over the whole corpus
       val d = docs(s, dir)
-      val idxDir = new java.io.File(
-        System.getProperty("java.io.tmpdir"), "graft-substr-idx").toString
+      val idxDir = scratchDir(s, "substr-idx")
       SubstringIndex.write(d, "doc_id", "text", idxDir)
       SubstringIndex.search(s, idxDir, d, "doc_id", "text", "spark data")
         .orderBy("doc_id")
@@ -5250,9 +5261,16 @@ object QueriesPipeline {
             TextOps.zipfLnRankMicros(100).zipWithIndex.map { case (v, i) =>
               s"(${i + 1}, ${v}::BIGINT)" }.mkString(", ")
           }) AS v(r, lx)),
-         | xy AS (SELECT lnr.lx AS x,
-         |     CAST(round(ln(f) * 1e6) AS BIGINT) AS y
+         | ec AS (SELECT lnr.lx AS x, rk.f AS f,
+         |     ${TextOps.lnExp2Case("rk.f")} AS e,
+         |     ${TextOps.lnPow2Case("rk.f")} AS p2
          |   FROM rk JOIN lnr ON lnr.r = rk.r),
+         | mc AS (SELECT x, e,
+         |     CAST(f AS DOUBLE) / CAST(p2 AS DOUBLE) AS m FROM ec),
+         | zc AS (SELECT x, e, (m - 1.0) / (m + 1.0) AS z FROM mc),
+         | z2c AS (SELECT x, e, z, z * z AS z2 FROM zc),
+         | xy AS (SELECT x,
+         |     ${TextOps.lnMicrosExpr("e", "z", "z2")} AS y FROM z2c),
          | s AS (SELECT CAST(count(*) AS BIGINT) AS n,
          |   sum(x) AS sx, sum(y) AS sy,
          |   sum(x*y) AS sxy, sum(x*x) AS sxx FROM xy),

@@ -50,6 +50,15 @@ final class Dictionary(session: GraftSession,
     state.remove(name)
   }
 
+  /** registry coordinates (class, key) without dereferencing — the
+    * graph facade rebuilds a typed vertex handle from a root entry. */
+  def entry(name: String): Option[(String, Long)] = {
+    state.lookup(name).foreach { case (cls, _) =>
+      session.checkClassRead(cls)
+    }
+    state.lookup(name)
+  }
+
   def keys: Seq[String] = state.keys
 
   def size: Long = state.size

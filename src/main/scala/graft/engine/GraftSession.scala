@@ -324,6 +324,19 @@ final class GraftSession private (val spark: SparkSession,
       Commands.execute(this, other)
   }
 
+  /** programmatic statement entry — the SAME ACL + hook path as
+    * [[command]], minus the parser. The graph facade
+    * ([[graft.graph.GraphApi]]) builds Ast nodes directly so field
+    * values keep their exact runtime types instead of round-tripping
+    * through SQL literal text. */
+  private[graft] def execute(stmt: Ast.Stmt): DataFrame = stmt match {
+    case _: Ast.SelectStmt =>
+      throw new IllegalArgumentException("SELECT goes through query()")
+    case other =>
+      checkStmt(other)
+      Commands.execute(this, other)
+  }
+
   /** Begin an atomic multi-statement unit (the reference's optimistic
     * transaction, `core/.../tx/OTransactionOptimistic.java`; the remote
     * protocol ships the whole batch in one COMMIT op). Until [[commit]],

@@ -308,13 +308,24 @@ object GraphOps {
       // SCC, so no SCC crosses classes and cross-class edges are never
       // intra-SCC. One extra count job, paid only under the vertex
       // gate, replaces every remaining refinement round.
+      // edge bound scales with the LIVE remainder, not the threshold
+      // constant (r11 ADVICE: 16×threshold admitted a ~1.6M-Row
+      // collect regardless of how small the remainder was)
       if (nLive <= localFinishThreshold &&
-          eSame.count() <= 16L * math.max(1L, localFinishThreshold.toLong)) {
+          eSame.count() <= 16L * math.max(1L, nLive)) {
         val vArr = cls.select(col("id")).collect().map(_.getLong(0))
-        val eArr = eSame.select(col("src").cast("long"),
-          col("dst").cast("long")).collect()
+        // primitive per-partition arrays, not GenericRows — the boxed
+        // collect was a transient multi-hundred-MB driver allocation
+        val parts = eSame.select(col("src").cast("long"),
+            col("dst").cast("long")).rdd
+          .mapPartitions { it =>
+            val sb = new scala.collection.mutable.ArrayBuilder.ofLong
+            val db = new scala.collection.mutable.ArrayBuilder.ofLong
+            it.foreach { r => sb += r.getLong(0); db += r.getLong(1) }
+            Iterator.single((sb.result(), db.result()))
+          }.collect()
         val labeled = tarjanLocal(vArr,
-          eArr.map(_.getLong(0)), eArr.map(_.getLong(1)))
+          parts.flatMap(_._1), parts.flatMap(_._2))
         val sp = vertices.sparkSession
         import sp.implicits._
         done += labeled.toSeq.toDF("id", "scc")

@@ -106,7 +106,7 @@ object Analytics {
     require(bucketUs > 0, "bucketUs must be positive")
     val b = events
       .groupBy(col(grpCol).as("grp"),
-        expr(s"unix_micros($tsCol) div ${bucketUs}L").as("bucket"))
+        graft.ops.Funnel.floorBucketTs(tsCol, bucketUs).as("bucket"))
       .agg(count(lit(1)).as("n"))
       .persist()
     val i = b.select(col("grp"), col("bucket").as("bi"), col("n").as("ni"))
@@ -269,7 +269,7 @@ object Analytics {
     require(bucketUs > 0, "bucketUs must be positive")
     val daily = events
       .groupBy(col(grpCol).as("grp"),
-        expr(s"unix_micros($tsCol) div ${bucketUs}L").as("bucket"))
+        graft.ops.Funnel.floorBucketTs(tsCol, bucketUs).as("bucket"))
       .agg(count(lit(1)).as("n"))
     val dow = daily
       .groupBy(col("grp"), (col("bucket") % 7).as("dow"))
@@ -452,7 +452,7 @@ object Analytics {
       bucketUs: Long = 86400000000L): DataFrame = {
     require(bucketUs > 0, "bucketUs must be positive")
     val daily = events
-      .groupBy(expr(s"unix_micros($tsCol) div ${bucketUs}L").as("day"))
+      .groupBy(graft.ops.Funnel.floorBucketTs(tsCol, bucketUs).as("day"))
       .agg(count(lit(1)).as("y"))
       .withColumn("dow", col("day") % 7)
     val wMa = Window.orderBy(col("day")).rowsBetween(-3, 3)
@@ -499,7 +499,7 @@ object Analytics {
     require(alphaMicro > 0 && alphaMicro < 1000000 &&
       betaMicro > 0 && betaMicro < 1000000, "alpha/beta in (0,1) micro")
     val daily = events
-      .groupBy(expr(s"unix_micros($tsCol) div ${bucketUs}L").as("day"))
+      .groupBy(graft.ops.Funnel.floorBucketTs(tsCol, bucketUs).as("day"))
       .agg((count(lit(1)) * 100).as("y"))
     def fdiv(x: String) = s"(($x)) div 1000000"
     val a = alphaMicro; val bm = betaMicro
@@ -540,7 +540,7 @@ object Analytics {
       bucketUs: Long = 86400000000L): DataFrame = {
     require(maxLag >= 1, "maxLag must be >= 1")
     val daily = events
-      .groupBy(expr(s"unix_micros($tsCol) div ${bucketUs}L").as("__day"))
+      .groupBy(graft.ops.Funnel.floorBucketTs(tsCol, bucketUs).as("__day"))
       .agg(count(lit(1)).as("__y"))
     val tot = daily.agg(count(lit(1)).as("__n"), sum("__y").as("__s"))
     val d = daily.crossJoin(broadcast(tot))

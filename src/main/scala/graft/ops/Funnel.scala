@@ -23,6 +23,19 @@ import org.apache.spark.sql.functions._
   * frame stays one row per user throughout. Returns
   * (user_id, t1..tn micros, steps_reached). */
 object Funnel {
+  /** FLOOR-division time bucket shared by every bucketed operator in
+    * this file (r11 ADVICE fix, swept file-wide r12): SQL `div`
+    * truncates toward zero, so a NEGATIVE epoch-micro timestamp
+    * (pre-1970 data) would land one bucket high and its rows silently
+    * shift; `(t − pmod(t, w)) div w` floors for ANY sign (pmod is
+    * non-negative) and is bit-identical to plain div on non-negative
+    * timestamps — every existing oracle is unchanged by construction. */
+  private[graft] def floorBucketUs(usExpr: String, bucketUs: Long) =
+    expr(s"(($usExpr) - pmod($usExpr, ${bucketUs}L)) div ${bucketUs}L")
+
+  private[graft] def floorBucketTs(tsCol: String, bucketUs: Long) =
+    floorBucketUs(s"unix_micros($tsCol)", bucketUs)
+
   def orderedFunnel(events: DataFrame, userCol: String, tsCol: String,
       typeCol: String, steps: Seq[String], windowUs: Long): DataFrame = {
     require(steps.size >= 2, "a funnel needs at least two steps")
@@ -65,7 +78,7 @@ object Funnel {
     require(bucketUs > 0, "bucketUs must be positive")
     val b = events
       .groupBy(col(typeCol).as("event_type"),
-        expr(s"unix_micros($tsCol) div ${bucketUs}L").as("bucket"))
+        floorBucketTs(tsCol, bucketUs).as("bucket"))
       .agg(count(lit(1)).as("n"))
     rateSpikesFromCounts(b, z)
   }
@@ -153,7 +166,7 @@ object Funnel {
       bucketUs: Long = 21600000000L): DataFrame = {
     require(bucketUs > 0, "bucketUs must be positive")
     events.groupBy(col(userCol).as("user_id"),
-        expr(s"unix_micros($tsCol) div ${bucketUs}L").as("b"))
+        floorBucketTs(tsCol, bucketUs).as("b"))
       .agg(sum(round(col(valueCol) * 1e6, 0).cast("long")).as("vm"),
         count(lit(1)).as("n"))
   }
@@ -229,7 +242,7 @@ object Funnel {
       periodDays: Int = 7, maxOffset: Int = 4): DataFrame = {
     require(periodDays >= 1 && maxOffset >= 0, "bad cohort params")
     val periodUs = periodDays * 86400000000L
-    val p = expr(s"unix_micros($tsCol) div ${periodUs}L")
+    val p = floorBucketTs(tsCol, periodUs)
     val first = events
       .groupBy(col(userCol).as("user_id"))
       .agg(min(p).as("cohort_period"))
@@ -262,7 +275,7 @@ object Funnel {
       bucketUs: Long = 86400000000L): DataFrame = {
     require(windowDays >= 1 && k >= 1 && bucketUs > 0, "bad params")
     val userDays = events
-      .groupBy(expr(s"unix_micros($tsCol) div ${bucketUs}L").as("day"),
+      .groupBy(floorBucketTs(tsCol, bucketUs).as("day"),
         col(userCol).as("__u"))
       .agg(count(lit(1)).as("__n"))
       .select(col("day"), col("__u"))
@@ -295,7 +308,7 @@ object Funnel {
     require(periodDays >= 1 && maxOffset >= 0, "bad cohort params")
     import org.apache.spark.sql.expressions.Window
     val periodUs = periodDays * 86400000000L
-    val p = expr(s"unix_micros($tsCol) div ${periodUs}L")
+    val p = floorBucketTs(tsCol, periodUs)
     val first = events
       .groupBy(col(userCol).as("user_id"))
       .agg(min(p).as("cohort_period"))
@@ -334,7 +347,7 @@ object Funnel {
     import org.apache.spark.sql.expressions.Window
     val b = events
       .groupBy(col(typeCol).as("event_type"),
-        expr(s"unix_micros($tsCol) div ${bucketUs}L").as("bucket"))
+        floorBucketTs(tsCol, bucketUs).as("bucket"))
       .agg(count(lit(1)).as("n"))
     val st = b.groupBy(col("event_type").as("__et"))
       .agg(count(lit(1)).as("__d"), sum(col("n")).as("__s"))
@@ -383,7 +396,7 @@ object Funnel {
     val wTab = ewmaWeightsMicro(alpha, maxBuckets)
     val daily = events
       .groupBy(col(typeCol).as("event_type"),
-        expr(s"unix_micros($tsCol) div ${bucketUs}L").as("bucket"))
+        floorBucketTs(tsCol, bucketUs).as("bucket"))
       .agg(sum(round(col(valueCol) * 100, 0).cast("long")).as("cents"))
     val newest = daily.groupBy(col("event_type").as("__et"))
       .agg(max(col("bucket")).as("__maxb"))
@@ -424,8 +437,8 @@ object Funnel {
     import org.apache.spark.sql.expressions.Window
     val users = events
       .groupBy(col(userCol).as("__u"))
-      .agg(min(expr(s"unix_micros($tsCol) div ${bucketUs}L")).as("__f"),
-        max(expr(s"unix_micros($tsCol) div ${bucketUs}L")).as("__l"))
+      .agg(min(floorBucketTs(tsCol, bucketUs)).as("__f"),
+        max(floorBucketTs(tsCol, bucketUs)).as("__l"))
     val end = users.agg(max(col("__l")).as("__end"))
     val durs = users.crossJoin(broadcast(end))
       .select((col("__l") - col("__f")).as("__dur"),
@@ -567,18 +580,12 @@ object Funnel {
           |    - cast(__i - 2 as bigint) * 200000 div (__k - 2)
           |end""".stripMargin
     }
-    // FLOOR division for the window-sized buckets (r11, ADVICE): SQL
-    // `div` truncates toward zero, so a NEGATIVE epoch-micro timestamp
-    // (pre-1970 data) would land one bucket high and its credits would
-    // silently vanish; (t - pmod(t, w)) div w floors for any sign
-    // (pmod is non-negative) and equals plain div on the non-negative
-    // timestamps every existing gate feeds.
-    def floorBucket(c: String): String =
-      s"($c - pmod($c, ${windowUs}L)) div ${windowUs}L"
+    // FLOOR division for the window-sized buckets (r11 ADVICE; the
+    // shared [[floorBucketUs]] rule since the r12 sweep).
     val touches = u.filter(col("__side") === 0)
       .select(col("__u"), col("__tus").as("__t"),
         col("__id").as("__tid"), col("__ty").as("__ch"))
-      .withColumn("__b", expr(floorBucket("__t")))
+      .withColumn("__b", floorBucketUs("__t", windowUs))
     val convs = u.filter(col("__side") === 1)
       .select(col("__u"), col("__tus").as("__ct"),
         col("__id").as("__cid"))
@@ -587,8 +594,8 @@ object Funnel {
     // matches exactly ONE of the two probes — no duplicate pairs
     val qual = convs
       .withColumn("__b", explode(array(
-        expr(floorBucket("__ct")),
-        expr(s"${floorBucket("__ct")} - 1"))))
+        floorBucketUs("__ct", windowUs),
+        floorBucketUs("__ct", windowUs) - 1)))
       .join(touches, Seq("__u", "__b"))
       // x.t <= ct keeps the same-microsecond tie rule (touches order
       // before conversions); >= ct - window is the lookback bound

@@ -620,9 +620,12 @@ object Multimodal {
       }
       v
     }
-    /** byte-align and consume the expected RSTn marker. */
+    /** byte-align and consume the expected RSTn marker (skipping the
+      * 0xFF fill-byte padding T.81 B.1.1.2 allows before any marker). */
     def restart(expected: Int): Boolean = {
       cnt = 0
+      while (pos + 2 < data.length && (data(pos) & 0xff) == 0xff &&
+        (data(pos + 1) & 0xff) == 0xff) pos += 1
       if (pos + 2 > data.length) return false
       if ((data(pos) & 0xff) != 0xff ||
         (data(pos + 1) & 0xff) != 0xd0 + expected) return false
@@ -732,6 +735,11 @@ object Multimodal {
     var pos = 2
     while (pos + 4 <= n) {
       if (u8(pos) != 0xff) return None
+      // T.81 B.1.1.2: any run of 0xFF FILL bytes may pad before the
+      // marker byte — skip them instead of parsing a bogus 0xFFFF
+      // segment (real crawl encoders pad to block boundaries this way)
+      while (pos + 4 <= n && u8(pos + 1) == 0xff) pos += 1
+      if (pos + 4 > n) return None
       val marker = u8(pos + 1)
       if (marker == 0xd8 || marker == 0x01 ||
         (marker >= 0xd0 && marker <= 0xd7)) {
@@ -882,9 +890,13 @@ object Multimodal {
         while (by < cV(ci)) {
           var bx = 0
           while (bx < cH(ci)) {
-            // DC: category + extended diff against the predictor
+            // DC: category + extended diff against the predictor.
+            // Baseline 8-bit DC categories max at 11 (T.81 table F.1)
+            // — a larger category means a corrupt stream; reject it
+            // back to the header-only path instead of EXTENDing a
+            // 15-bit garbage diff into the predictor
             val s = dcT(sc).decode(bits)
-            if (s < 0 || s > 15) return None
+            if (s < 0 || s > 11) return None
             val diff = if (s == 0) 0 else {
               val v = bits.receive(s)
               if (v == Int.MinValue) return None

@@ -1547,6 +1547,39 @@ object TextOps {
   def zipfLnRankMicros(topK: Int): IndexedSeq[Long] =
     (1 to topK).map(r => math.round(StrictMath.log(r.toDouble) * 1e6))
 
+  private def dbl(x: Double): String = java.lang.Double.toString(x)
+
+  /** Engine-neutral ln(f)·10⁶ — SQL expression strings shared VERBATIM
+    * by the Spark query and the DuckDB oracle so both engines run the
+    * IDENTICAL IEEE-754 +,−,×,÷ sequence, closing the last query-time
+    * libm call in a hash-gated oracle (the ln(rank) half was closed in
+    * r10 via [[zipfLnRankMicros]]; ln over the data-dependent
+    * frequencies could not ride a precomputed table, so the FORMULA is
+    * the shared constant instead). Decomposition: f = 2ᵉ·m with
+    * m ∈ [1,2) — e and 2ᵉ come from exact integer CASE chains — and
+    * ln m = 2·atanh(z), z = (m−1)/(m+1) ≤ 1/3, via a fixed 10-term odd
+    * series in Horner form (truncation < 5·10⁻¹², invisible at
+    * micro-unit rounding). Constants are Scala-printed
+    * shortest-roundtrip doubles, so both SQL parsers recover identical
+    * bits; identical text ⇒ identical operation order ⇒ identical
+    * doubles ⇒ identical rounded integers on any data. */
+  def lnExp2Case(f: String): String =
+    (62 to 1 by -1).map(e => s"WHEN $f >= ${1L << e} THEN $e")
+      .mkString("CASE ", " ", " ELSE 0 END")
+
+  def lnPow2Case(f: String): String =
+    (62 to 1 by -1).map(e => s"WHEN $f >= ${1L << e} THEN ${1L << e}")
+      .mkString("CASE ", " ", " ELSE 1 END")
+
+  def lnMicrosExpr(e: String, z: String, z2: String): String = {
+    val cs = (0 to 9).map(k => 1.0 / (2 * k + 1))
+    val poly = cs.init.reverse.foldLeft(dbl(cs.last))(
+      (acc, c) => s"($acc * $z2 + ${dbl(c)})")
+    val ln2 = dbl(StrictMath.log(2.0))
+    s"CAST(round((CAST($e AS DOUBLE) * $ln2 + (2.0 * $z) * $poly)" +
+      " * 1e6) AS BIGINT)"
+  }
+
   def zipfFit(df: org.apache.spark.sql.DataFrame, textCol: String,
       topK: Int = 100): org.apache.spark.sql.DataFrame = {
     require(topK >= 2, "need at least 2 ranks to fit a line")
@@ -1557,9 +1590,14 @@ object TextOps {
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("__f").desc, col("__t"))
     val xy = freqs.withColumn("__r", row_number().over(w))
+      .withColumn("__e", expr(lnExp2Case("__f")))
+      .withColumn("__p2", expr(lnPow2Case("__f")))
+      .withColumn("__m", expr("CAST(__f AS DOUBLE) / CAST(__p2 AS DOUBLE)"))
+      .withColumn("__z", expr("(__m - 1.0) / (__m + 1.0)"))
+      .withColumn("__z2", expr("__z * __z"))
       .select(
         element_at(typedlit(zipfLnRankMicros(topK)), col("__r")).as("x"),
-        round(log(col("__f").cast("double")) * 1e6).cast("long").as("y"))
+        expr(lnMicrosExpr("__e", "__z", "__z2")).as("y"))
     xy.agg(count(lit(1)).as("__n"), sum(col("x")).as("__sx"),
         sum(col("y")).as("__sy"),
         sum(col("x") * col("y")).as("__sxy"),
