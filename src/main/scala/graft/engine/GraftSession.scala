@@ -350,6 +350,18 @@ final class GraftSession private (val spark: SparkSession,
   def commit(): Unit = catalog.commitTx()
   def rollback(): Unit = catalog.rollbackTx()
 
+  /** opt-in RECORD-level optimistic concurrency (default is class-
+    * granular, the documented deviation): with this on, a commit into
+    * a class another session changed since [[begin]] succeeds when the
+    * two transactions touched DISJOINT keys (this tx's row changes
+    * rebase onto the new version) and throws
+    * `ConcurrentModificationException` when any touched key collides —
+    * the reference's per-record MVCC behavior
+    * (`core/.../tx/OTransactionOptimistic.java`;
+    * `TransactionOptimisticTest.java:79-104`). */
+  def setRecordLevelConflicts(on: Boolean): Unit =
+    catalog.recordLevelTx = on
+
   /** run `stmts` as one atomic unit: all committed, or none (any
     * failure rolls the batch back and rethrows). */
   def transaction(stmts: Seq[String]): Unit = {

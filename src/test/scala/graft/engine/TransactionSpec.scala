@@ -178,6 +178,87 @@ class TransactionSpec extends AnyFunSuite {
     assert(fresh.query("select from R").count() == 2)
   }
 
+  test("record-level opt-in: disjoint rows of ONE class both commit") {
+    // reference per-record MVCC (OTransactionOptimistic;
+    // TransactionOptimisticTest.java:79-104): transactions touching
+    // different records of the same class must BOTH land — the loser
+    // rebases its row changes onto the winner's version
+    val root = tmpRoot("reclevel")
+    val setup = GraftSession.openDurable(spark, root)
+    setup.command("create class Acc")
+    setup.command("insert into Acc (id, bal) values (1, 100)")
+    setup.command("insert into Acc (id, bal) values (2, 200)")
+    setup.catalog.setRidPosCol("Acc", "id")
+    val g1 = GraftSession.openDurable(spark, root)
+    val g2 = GraftSession.openDurable(spark, root)
+    g1.setRecordLevelConflicts(true); g2.setRecordLevelConflicts(true)
+    g1.begin(); g2.begin()
+    g1.command("update Acc set bal = 150 where id = 1")
+    g2.command("update Acc set bal = 999 where id = 2")
+    g1.commit()
+    g2.commit() // disjoint keys: rebases, no exception
+    val fresh = GraftSession.openDurable(spark, root)
+    assert(fresh.query("select bal from Acc order by id").collect()
+      .map(_.getLong(0)).toSeq == Seq(150L, 999L))
+  }
+
+  test("record-level opt-in: same row still conflicts loudly") {
+    val root = tmpRoot("recsame")
+    val setup = GraftSession.openDurable(spark, root)
+    setup.command("create class Acc")
+    setup.command("insert into Acc (id, bal) values (1, 100)")
+    setup.catalog.setRidPosCol("Acc", "id")
+    val g1 = GraftSession.openDurable(spark, root)
+    val g2 = GraftSession.openDurable(spark, root)
+    g1.setRecordLevelConflicts(true); g2.setRecordLevelConflicts(true)
+    g1.begin(); g2.begin()
+    g1.command("update Acc set bal = 150 where id = 1")
+    g2.command("update Acc set bal = 999 where id = 1")
+    g1.commit()
+    intercept[java.util.ConcurrentModificationException](g2.commit())
+    g2.rollback()
+    val fresh = GraftSession.openDurable(spark, root)
+    assert(fresh.query("select bal from Acc").collect()
+      .map(_.getLong(0)).toSeq == Seq(150L))
+  }
+
+  test("record-level opt-in: concurrent delete and insert both land") {
+    val root = tmpRoot("recmix")
+    val setup = GraftSession.openDurable(spark, root)
+    setup.command("create class Acc")
+    setup.command("insert into Acc (id, bal) values (1, 100)")
+    setup.command("insert into Acc (id, bal) values (2, 200)")
+    setup.catalog.setRidPosCol("Acc", "id")
+    val g1 = GraftSession.openDurable(spark, root)
+    val g2 = GraftSession.openDurable(spark, root)
+    g1.setRecordLevelConflicts(true); g2.setRecordLevelConflicts(true)
+    g1.begin(); g2.begin()
+    g1.command("delete from Acc where id = 1")
+    g2.command("insert into Acc (id, bal) values (3, 300)")
+    g1.commit()
+    g2.commit() // rebase keeps g1's delete AND adds g2's row
+    val fresh = GraftSession.openDurable(spark, root)
+    assert(fresh.query("select id from Acc order by id").collect()
+      .map(_.getLong(0)).toSeq == Seq(2L, 3L))
+  }
+
+  test("record-level opt-in: unkeyed class keeps class-granular check") {
+    val root = tmpRoot("reckeyless")
+    val setup = GraftSession.openDurable(spark, root)
+    setup.command("create class NoKey")
+    setup.command("insert into NoKey (a) values (1)")
+    val g1 = GraftSession.openDurable(spark, root)
+    val g2 = GraftSession.openDurable(spark, root)
+    g1.setRecordLevelConflicts(true); g2.setRecordLevelConflicts(true)
+    g1.begin(); g2.begin()
+    g1.command("insert into NoKey (a) values (2)")
+    g2.command("insert into NoKey (a) values (3)")
+    g1.commit()
+    // no key column → merge impossible → loud refusal, as before
+    intercept[java.util.ConcurrentModificationException](g2.commit())
+    g2.rollback()
+  }
+
   test("manifest round-trips control characters in persisted strings") {
     val root = tmpRoot("esc")
     val g1 = GraftSession.openDurable(spark, root)

@@ -1,0 +1,139 @@
+package graft.graph
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.engine.{Catalog, GraftSession, Hooks}
+
+/** Programmatic graph-facade behaviors, porting the shape of the
+  * reference's graph tests: `GraphTest.java` (vertex subclass hierarchy
+  * + polymorphic select), `ODatabaseGraphTx.java:63-141` (createVertex /
+  * roots / browseVertexes), `OGraphVertex.java:96-161,404-465`
+  * (link maintains BOTH endpoint edge lists; unlink is directional and
+  * loud on a missing edge; outIterator). */
+class GraphApiSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def fresh(): GraftSession =
+    new GraftSession(spark, new Catalog(spark))
+
+  test("vertex subclass hierarchy + polymorphic select (GraphTest.java)") {
+    val g = fresh()
+    val api = new GraphApi(g)
+    g.command(s"create class GraphVehicle extends ${GraphApi.VertexClass}")
+    g.command("create class GraphCar extends GraphVehicle")
+    g.command("create class GraphMotocycle extends GraphVehicle")
+    api.createVertex("GraphCar",
+      Map("brand" -> "Hyundai", "model" -> "Coupe", "year" -> 2003))
+    api.createVertex("GraphMotocycle",
+      Map("brand" -> "Yamaha", "model" -> "X-City 250", "year" -> 2009))
+    val result = g.query("select from GraphVehicle").collect()
+    assert(result.length == 2)
+    // polymorphic browse from the base vertex class sees them too
+    assert(api.browseVertexes().filter(col("id").isNotNull).count() == 2)
+    assert(api.browseVertexes(polymorphic = false).count() == 0)
+  }
+
+  test("link appends the edge to BOTH endpoints; edge carries fields") {
+    val api = new GraphApi(fresh())
+    val tom = api.createVertex(GraphApi.VertexClass, Map("name" -> "Tom"))
+    val ferrari = api.createVertex("GraphCar", Map("brand" -> "Ferrari"))
+    val maserati = api.createVertex("GraphCar", Map("brand" -> "Maserati"))
+    val owns = tom.link(ferrari, fields = Map("since" -> 2020L))
+    tom.link(maserati)
+    // source's outEdges and target's inEdges both carry the edge key
+    assert(tom.outEdges.map(_.id).contains(owns.id))
+    assert(ferrari.inEdges.map(_.id) == Seq(owns.id))
+    assert(tom.inEdges.isEmpty && ferrari.outEdges.isEmpty)
+    // edge document: out = source, in = destination, own properties
+    assert(owns.out.map(_.id).contains(tom.id))
+    assert(owns.in.map(_.id).contains(ferrari.id))
+    assert(owns.field("since").contains(2020L))
+    // outIterator walks linked vertices in insertion order
+    assert(tom.outIterator.map(_.id).toSeq ==
+      Seq(ferrari.id, maserati.id))
+    // dialect link-navigation works over the facade-built graph
+    val brands = api.session.query(
+      s"select out.name as owner from ${GraphApi.EdgeClass}").collect()
+    assert(brands.forall(_.getString(0) == "Tom"))
+  }
+
+  test("unlink is directional, removes the edge doc, loud when absent") {
+    val api = new GraphApi(fresh())
+    val a = api.createVertex()
+    val b = api.createVertex()
+    a.link(b)
+    // directional: no b→a edge exists
+    intercept[IllegalStateException] { b.unlink(a) }
+    a.unlink(b)
+    assert(a.outEdges.isEmpty && b.inEdges.isEmpty)
+    assert(api.session.browseClass(GraphApi.EdgeClass).count() == 0)
+    intercept[IllegalStateException] { a.unlink(b) }
+  }
+
+  test("set/field round trip (declared column and _extra overflow)") {
+    val api = new GraphApi(fresh())
+    val v = api.createVertex(GraphApi.VertexClass, Map("name" -> "n0"))
+    v.set("name", "n1")
+    assert(v.field("name").contains("n1"))
+    val w = api.createVertex()
+    w.set("adhoc", "x") // second record's new field → overflow map
+    assert(w.field("adhoc").contains("x"))
+    assert(v.field("absent").isEmpty)
+  }
+
+  test("deleteVertex detaches edges from neighbors") {
+    val api = new GraphApi(fresh())
+    val hub = api.createVertex()
+    val x = api.createVertex()
+    val y = api.createVertex()
+    x.link(hub); hub.link(y)
+    hub.delete()
+    assert(x.outEdges.isEmpty && y.inEdges.isEmpty)
+    assert(api.vertex(hub.id).isEmpty)
+    assert(api.session.browseClass(GraphApi.EdgeClass).count() == 0)
+  }
+
+  test("graph roots ride the dictionary (getRoot/setRoot)") {
+    val api = new GraphApi(fresh())
+    val root = api.createVertex(GraphApi.VertexClass,
+      Map("name" -> "root"))
+    api.setRoot("graph", root)
+    val got = api.getRoot("graph")
+    assert(got.contains(root))
+    assert(api.getRoot("missing").isEmpty)
+  }
+
+  test("hooks and ACL fire through the facade") {
+    val g = fresh()
+    val api = new GraphApi(g)
+    var created = 0
+    g.hooks.register(Hooks.AfterCreate, (cls, df) => {
+      if (cls.equalsIgnoreCase(GraphApi.VertexClass)) created += 1
+      df
+    })
+    api.createVertex()
+    assert(created == 1)
+    // a principal without CREATE on the edge class cannot link
+    g.command("create class SecretEdge extends " + GraphApi.EdgeClass)
+    g.createUser("reader", "pw", Seq("readers"))
+    g.command("grant READ on database.class.* to readers")
+    val bound = g.authenticate("reader", "pw")
+    val boundApi = new GraphApi(bound)
+    val a = api.createVertex(); val b = api.createVertex()
+    intercept[SecurityException] {
+      boundApi.createEdge(api.vertex(a.id).get.copy(api = boundApi),
+        api.vertex(b.id).get.copy(api = boundApi), "SecretEdge")
+    }
+  }
+
+  test("facade keys continue past existing ids on reopen") {
+    val g = fresh()
+    val api1 = new GraphApi(g)
+    val v1 = api1.createVertex()
+    val api2 = new GraphApi(g) // second facade over the same catalog
+    val v2 = api2.createVertex()
+    assert(v2.id > v1.id, "key allocator must seed past existing ids")
+  }
+}
