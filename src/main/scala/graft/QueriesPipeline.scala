@@ -209,6 +209,8 @@ object QueriesPipeline {
           if (id % 4 == 1)
             Multimodal.encodeJpegGray(72, 64, up,
               restartInterval = 1 + (id % 7).toInt)
+          else if (id % 8 == 6) // r12: PROGRESSIVE member, same pattern
+            Multimodal.encodeJpegProgGray(72, 64, up)
           else Multimodal.encodeJpegYcc420(72, 64, up,
             cb = (id % 256).toInt, cr = ((id * 7) % 256).toInt)
       }
@@ -247,6 +249,28 @@ object QueriesPipeline {
     val rdd = docs(s, dir).select(col("doc_id")).rdd.map { r =>
       val id = r.getLong(0)
       val frames = (0 until 3).map(f =>
+        Array.tabulate(72)(i => gifLuma(groups, id, f, i / 9, i % 9)))
+      org.apache.spark.sql.Row(id, Multimodal.encodeGifGray(9, 8, frames))
+    }
+    import org.apache.spark.sql.types._
+    s.createDataFrame(rdd, StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType))))
+  }
+
+  /** synthetic media for the frame-OFFSET gate (r12): the same 3-frame
+    * pattern space as [[gifMedia]], but every ODD member (k % 2 == 1)
+    * ships a TRIMMED re-encode — frame 0 dropped — so same-group
+    * (even, odd) pairs align only at |δ| = 1 and the r11 equal-length
+    * rule cannot see them; (even, even) and (odd, odd) pairs still
+    * align at δ = 0. */
+  private[graft] def gifOffsetMedia(s: SparkSession,
+      dir: String): DataFrame = cachedMedia(s, s"goff:$dir") {
+    val groups = phGroupsFor(docs(s, dir).count())
+    val rdd = docs(s, dir).select(col("doc_id")).rdd.map { r =>
+      val id = r.getLong(0)
+      val t = ((id / groups) % 2).toInt
+      val frames = (t until 3).map(f =>
         Array.tabulate(72)(i => gifLuma(groups, id, f, i / 9, i % 9)))
       org.apache.spark.sql.Row(id, Multimodal.encodeGifGray(9, 8, frames))
     }
@@ -1983,6 +2007,15 @@ object QueriesPipeline {
       // aligned frame distance
       Multimodal.videoPhashPairs(
           Multimodal.videoPhashes(gifMedia(s, dir)), PhMaxDist)
+        .orderBy("a_id", "b_id")
+    }),
+    "qp_video_offset" -> ((s, dir) => {
+      // offset-tolerant video near-dup (r12): the trimmed-re-encode
+      // corpus — odd members drop frame 0 — must pair across lengths
+      // at |δ| = 1, with the best (dist, |δ|, δ) alignment reported
+      Multimodal.videoPhashPairsOffset(
+          Multimodal.videoPhashes(gifOffsetMedia(s, dir)), PhMaxDist,
+          maxOffset = 1)
         .orderBy("a_id", "b_id")
     }),
     "qp_gif_sequence" -> ((s, dir) => {
@@ -5332,6 +5365,47 @@ object QueriesPipeline {
          |  FROM fd GROUP BY 1, 2)
          | SELECT a_id, b_id, dist FROM dists
          | WHERE dist <= $PhMaxDist ORDER BY a_id, b_id""".stripMargin,
+    // brute-force truth over the offset window: per doc the trimmed
+    // sequence (odd members drop frame 0 → positions renumber from
+    // the next frame), EVERY pair × EVERY δ ∈ {−1,0,1} scored over
+    // the complete overlap, best (dist, |δ|, δ) alignment kept
+    "qp_video_offset" ->
+      s"""WITH $gifBitsCtes,
+         | vk AS (SELECT doc_id, CAST((doc_id // phg.n) % 2 AS INT) AS t
+         |   FROM documents, phg),
+         | vseq AS (SELECT g.doc_id, g.f - vk.t AS pos, g.bit_idx, g.bit
+         |   FROM gbits g JOIN vk ON vk.doc_id = g.doc_id
+         |   WHERE g.f >= vk.t),
+         | vn AS (SELECT doc_id, 3 - t AS n FROM vk),
+         | offs AS (SELECT * FROM (VALUES (-1), (0), (1)) o(d)),
+         | fd AS (
+         |  SELECT x.doc_id AS a_id, y.doc_id AS b_id, o.d AS delta,
+         |    x.pos,
+         |    SUM(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) AS fdist
+         |  FROM (vseq x CROSS JOIN offs o) JOIN vseq y
+         |    ON y.bit_idx = x.bit_idx AND y.pos = x.pos + o.d
+         |      AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2, 3, 4),
+         | pd AS (
+         |  SELECT a_id, b_id, delta, COUNT(*) AS aligned,
+         |    MAX(fdist) AS dist
+         |  FROM fd GROUP BY 1, 2, 3),
+         | ok AS (
+         |  SELECT pd.a_id, pd.b_id, pd.delta, pd.dist
+         |  FROM pd JOIN vn na ON na.doc_id = pd.a_id
+         |    JOIN vn nb ON nb.doc_id = pd.b_id
+         |  WHERE abs(na.n - nb.n) <= 1
+         |    AND pd.aligned = least(na.n, nb.n - pd.delta)
+         |      - greatest(0, -pd.delta)
+         |    AND pd.dist <= $PhMaxDist),
+         | best AS (
+         |  SELECT a_id, b_id, delta, dist,
+         |    row_number() OVER (PARTITION BY a_id, b_id
+         |      ORDER BY dist, abs(delta), delta) AS rn
+         |  FROM ok)
+         | SELECT a_id, b_id, CAST(delta AS INT) AS delta,
+         |   CAST(dist AS INT) AS dist
+         | FROM best WHERE rn = 1 ORDER BY a_id, b_id""".stripMargin,
     // the 60-bit rotate-XOR fold replayed with plain BIGINT arithmetic:
     // p_f = the dHash's low 60 bits (bits 60-63 vanish mod 2^60), the
     // three folds unrolled in frame order

@@ -725,6 +725,7 @@ object Multimodal {
     val huffDc = new Array[JpegHuff](4)
     val huffAc = new Array[JpegHuff](4)
     var restartInterval = 0
+    var progressive = false
     var w = 0
     var h = 0
     // per frame component: id, sampling h, sampling v, quant id
@@ -751,47 +752,23 @@ object Multimodal {
         if (len < 2 || pos + 2 + len > n) return None
         val end = pos + 2 + len
         marker match {
-          case 0xdb => // DQT: one or more tables, zigzag order
-            var p = pos + 4
-            while (p < end) {
-              val pq = u8(p) >> 4
-              val tq = u8(p) & 15
-              if (tq > 3 || pq > 1) return None
-              val need = if (pq == 0) 65 else 129
-              if (p + need > end) return None
-              val tbl = new Array[Int](64)
-              var i = 0
-              while (i < 64) {
-                tbl(JpegZigzag(i)) =
-                  if (pq == 0) u8(p + 1 + i) else be16(p + 1 + 2 * i)
-                i += 1
-              }
-              quant(tq) = tbl
-              p += need
-            }
-          case 0xc4 => // DHT: one or more tables
-            var p = pos + 4
-            while (p + 17 <= end) {
-              val tc = u8(p) >> 4
-              val th = u8(p) & 15
-              if (tc > 1 || th > 3) return None
-              val counts = Array.tabulate(16)(i => u8(p + 1 + i))
-              val total = counts.sum
-              if (total == 0 || total > 256 || p + 17 + total > end)
-                return None
-              val vals = Array.tabulate(total)(i => u8(p + 17 + i))
-              if (tc == 0) huffDc(th) = new JpegHuff(counts, vals)
-              else huffAc(th) = new JpegHuff(counts, vals)
-              p += 17 + total
-            }
-          case 0xc0 | 0xc1 => // baseline / extended sequential Huffman
+          case 0xdb =>
+            if (!jpegParseDqt(payload, pos + 4, end, quant)) return None
+          case 0xc4 =>
+            if (!jpegParseDht(payload, pos + 4, end, huffDc, huffAc))
+              return None
+          case 0xc0 | 0xc1 | 0xc2 => // sequential Huffman / progressive
             if (u8(pos + 4) != 8) return None // sample precision
+            progressive = marker == 0xc2
             h = be16(pos + 5)
             w = be16(pos + 7)
             val nc = u8(pos + 9)
             if (w <= 0 || h <= 0 || nc < 1 || nc > 4 ||
               pos + 10 + 3 * nc > end) return None
             if (w.toLong * h > 100000000L) return None
+            // progressive buffers the whole luma COEFFICIENT plane
+            // (scans accumulate across the file) — tighter pixel cap
+            if (progressive && w.toLong * h > 25000000L) return None
             cId = new Array[Int](nc); cH = new Array[Int](nc)
             cV = new Array[Int](nc); cQ = new Array[Int](nc)
             var i = 0
@@ -805,11 +782,17 @@ object Multimodal {
                 cQ(i) > 3) return None
               i += 1
             }
-          case m if m >= 0xc2 && m <= 0xcf && m != 0xc4 && m != 0xc8 =>
-            return None // progressive/arithmetic/lossless/hierarchical
+          case m if m >= 0xc3 && m <= 0xcf && m != 0xc4 && m != 0xc8 =>
+            return None // arithmetic/lossless/hierarchical
           case 0xdd =>
             if (len < 4) return None
             restartInterval = be16(pos + 4)
+          case 0xda if progressive =>
+            // progressive: the scan sequence (and any interleaved
+            // DHT/DQT/DRI updates) is owned by the dedicated decoder
+            if (cId == null || cQ.exists(quant(_) == null)) return None
+            return jpegDecodeProgressive(payload, pos, w, h, cId, cH,
+              cV, cQ, quant, huffDc, huffAc, restartInterval)
           case 0xda => // SOS: the single interleaved scan we support
             if (cId == null) return None
             val nComp = cId.length
@@ -843,6 +826,54 @@ object Multimodal {
       }
     }
     None
+  }
+
+  /** DQT body: one or more tables, zigzag order on the wire, stored
+    * natural (shared by the baseline walk and the progressive
+    * between-scan updates). */
+  private def jpegParseDqt(payload: Array[Byte], from: Int, end: Int,
+      quant: Array[Array[Int]]): Boolean = {
+    def u8(i: Int) = payload(i) & 0xff
+    def be16(i: Int) = (u8(i) << 8) | u8(i + 1)
+    var p = from
+    while (p < end) {
+      val pq = u8(p) >> 4
+      val tq = u8(p) & 15
+      if (tq > 3 || pq > 1) return false
+      val need = if (pq == 0) 65 else 129
+      if (p + need > end) return false
+      val tbl = new Array[Int](64)
+      var i = 0
+      while (i < 64) {
+        tbl(JpegZigzag(i)) =
+          if (pq == 0) u8(p + 1 + i) else be16(p + 1 + 2 * i)
+        i += 1
+      }
+      quant(tq) = tbl
+      p += need
+    }
+    true
+  }
+
+  /** DHT body: one or more tables (shared like [[jpegParseDqt]]). */
+  private def jpegParseDht(payload: Array[Byte], from: Int, end: Int,
+      huffDc: Array[JpegHuff], huffAc: Array[JpegHuff]): Boolean = {
+    def u8(i: Int) = payload(i) & 0xff
+    var p = from
+    while (p + 17 <= end) {
+      val tc = u8(p) >> 4
+      val th = u8(p) & 15
+      if (tc > 1 || th > 3) return false
+      val counts = Array.tabulate(16)(i => u8(p + 1 + i))
+      val total = counts.sum
+      if (total == 0 || total > 256 || p + 17 + total > end)
+        return false
+      val vals = Array.tabulate(total)(i => u8(p + 17 + i))
+      if (tc == 0) huffDc(th) = new JpegHuff(counts, vals)
+      else huffAc(th) = new JpegHuff(counts, vals)
+      p += 17 + total
+    }
+    true
   }
 
   /** interleaved-scan MCU loop for [[jpegPixels]]: Huffman-decode
@@ -971,6 +1002,407 @@ object Multimodal {
     * accumulators can never overflow. */
   private def clampCoef(v: Int): Int =
     if (v < -16384) -16384 else if (v > 16384) 16384 else v
+
+  /** next marker at or after `from`: skips entropy bytes, stuffed
+    * 0xFF00, fill bytes and RSTn — returns the position of the 0xFF
+    * that starts a REAL marker, or -1. Used by the progressive walk to
+    * skip chroma scans without decoding them (their entropy segments
+    * are self-delimited; luma-only decode never needs their bits). */
+  private def jpegNextMarker(payload: Array[Byte], from: Int): Int = {
+    var p = from
+    val n = payload.length
+    while (p + 1 < n) {
+      if ((payload(p) & 0xff) == 0xff) {
+        val m = payload(p + 1) & 0xff
+        if (m != 0x00 && m != 0xff && !(m >= 0xd0 && m <= 0xd7))
+          return p
+        p += (if (m == 0xff) 1 else 2)
+      } else p += 1
+    }
+    -1
+  }
+
+  /** PROGRESSIVE JPEG decode (SOF2, T.81 annex G — the dominant
+    * crawl-share format the r11 decoder fell back to header-only on):
+    * scans accumulate spectral-selection bands and successive-
+    * approximation bit layers into a per-block LUMA coefficient plane;
+    * dequant + the existing fixed-point IDCT run once at EOI.
+    * Luma-only by the established contract: interleaved DC scans
+    * decode every component (the bitstream interleaves them), chroma
+    * AC/DC-only scans are SKIPPED whole via [[jpegNextMarker]] — their
+    * entropy segments are self-delimited, so luma decode never pays
+    * for chroma bits. Undecodable structure returns None (header-only
+    * fallback upstream), like every decoder in this file. */
+  private def jpegDecodeProgressive(payload: Array[Byte], sosPos: Int,
+      w: Int, h: Int, cId: Array[Int], cH: Array[Int], cV: Array[Int],
+      cQ: Array[Int], quant: Array[Array[Int]],
+      huffDc: Array[JpegHuff], huffAc: Array[JpegHuff],
+      ri0: Int): Option[(Int, Int, Array[Int])] = {
+    val n = payload.length
+    def u8(i: Int): Int = payload(i) & 0xff
+    def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    val nComp = cId.length
+    var hmax = 1
+    var vmax = 1
+    var i = 0
+    while (i < nComp) {
+      if (cH(i) > hmax) hmax = cH(i)
+      if (cV(i) > vmax) vmax = cV(i)
+      i += 1
+    }
+    val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+    val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+    // luma coefficient grid, MCU-padded (interleaved DC scans visit
+    // the padded grid; non-interleaved scans visit the ≤-sized
+    // component grid in raster order)
+    val bW = mcusX * cH(0)
+    val bH = mcusY * cV(0)
+    if (bW.toLong * bH * 64 > 100000000L) return None
+    val coefs = new Array[Short](bW * bH * 64) // zigzag order per block
+    // non-interleaved grids per component: ceil(ceil(dim·ci/cmax)/8)
+    def nbX(ci: Int): Int = ((w * cH(ci) + hmax - 1) / hmax + 7) / 8
+    def nbY(ci: Int): Int = ((h * cV(ci) + vmax - 1) / vmax + 7) / 8
+    var restartIv = ri0
+    var sawScan = false
+    var pos = sosPos
+    while (pos + 2 <= n) {
+      if (u8(pos) != 0xff) return None
+      while (pos + 2 <= n && u8(pos + 1) == 0xff) pos += 1
+      if (pos + 2 > n) return None
+      val marker = u8(pos + 1)
+      if (marker == 0xd9) {
+        // EOI: dequantize + IDCT the accumulated luma plane
+        if (!sawScan) return None
+        return Some(jpegFinishPlane(coefs, bW, bH, quant(cQ(0)), w, h,
+          cH(0), cV(0), hmax, vmax))
+      } else if (marker == 0x01 ||
+          (marker >= 0xd0 && marker <= 0xd7)) {
+        pos += 2
+      } else {
+        if (pos + 4 > n) return None
+        val len = be16(pos + 2)
+        if (len < 2 || pos + 2 + len > n) return None
+        val end = pos + 2 + len
+        marker match {
+          case 0xdb =>
+            if (!jpegParseDqt(payload, pos + 4, end, quant)) return None
+            pos = end
+          case 0xc4 =>
+            if (!jpegParseDht(payload, pos + 4, end, huffDc, huffAc))
+              return None
+            pos = end
+          case 0xdd =>
+            if (len < 4) return None
+            restartIv = be16(pos + 4)
+            pos = end
+          case m if m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 =>
+            return None // a second frame: out of contract
+          case 0xda =>
+            val ns = u8(pos + 4)
+            if (ns < 1 || ns > nComp || pos + 5 + 2 * ns + 3 > end)
+              return None
+            val comps = new Array[Int](ns)
+            val tsel = new Array[Int](ns)
+            var j = 0
+            while (j < ns) {
+              comps(j) = cId.indexOf(u8(pos + 5 + 2 * j))
+              if (comps(j) < 0) return None
+              tsel(j) = u8(pos + 6 + 2 * j)
+              j += 1
+            }
+            val ss = u8(pos + 5 + 2 * ns)
+            val se = u8(pos + 6 + 2 * ns)
+            val ahal = u8(pos + 7 + 2 * ns)
+            val ah = ahal >> 4
+            val al = ahal & 15
+            if (se > 63 || ss > se || al > 13 ||
+              (ah != 0 && ah != al + 1)) return None
+            if (ss == 0 && se != 0) return None // DC scan is DC-only
+            if (ss > 0 && ns != 1) return None // AC scans: 1 component
+            sawScan = true
+            val nxt =
+              if (ss > 0 && comps(0) != 0)
+                jpegNextMarker(payload, end) // chroma AC: skip whole
+              else if (ss == 0)
+                jpegProgDcScan(payload, end, comps, tsel, ah, al,
+                  huffDc, cH, cV, mcusX, mcusY, bW, coefs, restartIv,
+                  nbX(comps(0)), nbY(comps(0)), ns)
+              else
+                jpegProgAcScan(payload, end, tsel(0), ss, se, ah, al,
+                  huffAc, bW, coefs, restartIv, nbX(0), nbY(0))
+            if (nxt < 0) return None
+            pos = nxt
+          case _ => pos = end // APPn/COM
+        }
+      }
+    }
+    None
+  }
+
+  /** progressive DC scan (first pass shifts the diff left by `al`,
+    * refinement appends one raw bit per block); interleaved scans
+    * decode every component to keep bit position, storing luma only.
+    * Returns the next marker position, or -1 on a malformed scan. */
+  private def jpegProgDcScan(payload: Array[Byte], start: Int,
+      comps: Array[Int], tsel: Array[Int], ah: Int, al: Int,
+      huffDc: Array[JpegHuff], cH: Array[Int], cV: Array[Int],
+      mcusX: Int, mcusY: Int, bW: Int, coefs: Array[Short],
+      restartIv: Int, nbX0: Int, nbY0: Int, ns: Int): Int = {
+    val bits = new JpegBits(payload, start)
+    val pred = new Array[Int](comps.length)
+    val tables = new Array[JpegHuff](comps.length)
+    if (ah == 0) {
+      var j = 0
+      while (j < comps.length) {
+        tables(j) = huffDc(tsel(j) >> 4)
+        if (tables(j) == null) return -1
+        j += 1
+      }
+    }
+    // one unit = one MCU (interleaved) or one block (single component)
+    def decodeBlock(sc: Int, blockIdx: Int): Boolean = {
+      val luma = comps(sc) == 0 && blockIdx >= 0
+      if (ah == 0) {
+        val s = tables(sc).decode(bits)
+        if (s < 0 || s > 11) return false
+        val diff = if (s == 0) 0 else {
+          val v = bits.receive(s)
+          if (v == Int.MinValue) return false
+          jpegExtend(v, s)
+        }
+        pred(sc) += diff
+        if (luma) coefs(blockIdx * 64) = (pred(sc) << al).toShort
+      } else {
+        val b = bits.bit()
+        if (b < 0) return false
+        if (luma && b == 1)
+          coefs(blockIdx * 64) =
+            (coefs(blockIdx * 64) | (1 << al)).toShort
+      }
+      true
+    }
+    if (ns > 1) {
+      val total = mcusX * mcusY
+      var mcu = 0
+      while (mcu < total) {
+        if (restartIv > 0 && mcu > 0 && mcu % restartIv == 0) {
+          if (!bits.restart(((mcu / restartIv) - 1) & 7)) return -1
+          java.util.Arrays.fill(pred, 0)
+        }
+        val my = mcu / mcusX
+        val mx = mcu % mcusX
+        var sc = 0
+        while (sc < comps.length) {
+          val ci = comps(sc)
+          var by = 0
+          while (by < cV(ci)) {
+            var bx = 0
+            while (bx < cH(ci)) {
+              val idx = if (ci == 0)
+                (my * cV(0) + by) * bW + mx * cH(0) + bx else -1
+              if (!decodeBlock(sc, idx)) return -1
+              bx += 1
+            }
+            by += 1
+          }
+          sc += 1
+        }
+        mcu += 1
+      }
+    } else {
+      // single-component DC scan over the component's own block grid
+      val ci = comps(0)
+      val cols = if (ci == 0) nbX0 else 0
+      val rows = if (ci == 0) nbY0 else 0
+      if (ci != 0) return jpegNextMarker(payload, start) // chroma: skip
+      val total = cols * rows
+      var b = 0
+      while (b < total) {
+        if (restartIv > 0 && b > 0 && b % restartIv == 0) {
+          if (!bits.restart(((b / restartIv) - 1) & 7)) return -1
+          java.util.Arrays.fill(pred, 0)
+        }
+        if (!decodeBlock(0, (b / cols) * bW + b % cols)) return -1
+        b += 1
+      }
+    }
+    jpegNextMarker(payload, bits.pos)
+  }
+
+  /** progressive AC scan over the LUMA block grid (chroma AC scans are
+    * skipped whole by the caller). First scans (Ah=0) decode the
+    * (Ss..Se) band with EOB-run coding, values entering at bit
+    * position Al; refinement scans (Ah=Al+1) add one magnitude bit —
+    * correction bits for already-nonzero coefficients, sign+position
+    * codes for newly significant ones (T.81 G.1.2.2-G.1.2.3). Returns
+    * the next marker position, or -1. */
+  private def jpegProgAcScan(payload: Array[Byte], start: Int,
+      tsel: Int, ss: Int, se: Int, ah: Int, al: Int,
+      huffAc: Array[JpegHuff], bW: Int, coefs: Array[Short],
+      restartIv: Int, cols: Int, rows: Int): Int = {
+    val ac = huffAc(tsel & 15)
+    if (ac == null) return -1
+    val bits = new JpegBits(payload, start)
+    var eobrun = 0
+    val bitAl = 1 << al
+    def refineNonzero(idx: Int): Boolean = {
+      val b = bits.bit()
+      if (b < 0) return false
+      if (b == 1 && (coefs(idx) & bitAl) == 0)
+        coefs(idx) =
+          (coefs(idx) + (if (coefs(idx) > 0) bitAl else -bitAl)).toShort
+      true
+    }
+    val total = cols * rows
+    var blk = 0
+    while (blk < total) {
+      if (restartIv > 0 && blk > 0 && blk % restartIv == 0) {
+        if (!bits.restart(((blk / restartIv) - 1) & 7)) return -1
+        eobrun = 0
+      }
+      val base = ((blk / cols) * bW + blk % cols) * 64
+      if (ah == 0) {
+        // first pass for this band
+        if (eobrun > 0) eobrun -= 1
+        else {
+          var k = ss
+          while (k <= se) {
+            val rs = ac.decode(bits)
+            if (rs < 0) return -1
+            val r = rs >> 4
+            val s = rs & 15
+            if (s == 0) {
+              if (r == 15) k += 16 // ZRL
+              else {
+                eobrun = (1 << r) - 1
+                if (r > 0) {
+                  val v = bits.receive(r)
+                  if (v == Int.MinValue) return -1
+                  eobrun += v
+                }
+                k = se + 1 // EOB for this block
+              }
+            } else {
+              // 8-bit AC categories max at 10 (T.81 F.2) — larger
+              // means corruption; fail to the header-only path
+              if (s > 10) return -1
+              k += r
+              if (k > se) return -1
+              val v = bits.receive(s)
+              if (v == Int.MinValue) return -1
+              coefs(base + k) = (jpegExtend(v, s) << al).toShort
+              k += 1
+            }
+          }
+        }
+      } else {
+        // refinement pass
+        var k = ss
+        if (eobrun > 0) {
+          eobrun -= 1
+          while (k <= se) {
+            if (coefs(base + k) != 0 && !refineNonzero(base + k))
+              return -1
+            k += 1
+          }
+        } else {
+          while (k <= se) {
+            val rs = ac.decode(bits)
+            if (rs < 0) return -1
+            var r = rs >> 4
+            val s = rs & 15
+            var newVal = 0
+            if (s == 0) {
+              if (r < 15) {
+                eobrun = (1 << r) - 1
+                if (r > 0) {
+                  val v = bits.receive(r)
+                  if (v == Int.MinValue) return -1
+                  eobrun += v
+                }
+                r = 64 // no placement: sweep correction bits to Se
+              }
+              // r == 15 (ZRL): skip 16 zero-history coefficients
+            } else {
+              if (s != 1) return -1
+              val b = bits.bit()
+              if (b < 0) return -1
+              newVal = if (b == 1) bitAl else -bitAl
+            }
+            var placed = false
+            while (k <= se && !placed) {
+              if (coefs(base + k) != 0) {
+                if (!refineNonzero(base + k)) return -1
+              } else {
+                if (r == 0) {
+                  if (newVal != 0) coefs(base + k) = newVal.toShort
+                  placed = true
+                } else r -= 1
+              }
+              k += 1
+            }
+            if (eobrun > 0 && k > se) {
+              // EOB entered within THIS block: its own sweep is done,
+              // the counted run covers the FOLLOWING blocks
+              k = se + 1
+            }
+          }
+        }
+      }
+      blk += 1
+    }
+    jpegNextMarker(payload, bits.pos)
+  }
+
+  /** dequantize + fixed-point IDCT the accumulated progressive luma
+    * plane, then the shared crop/replicate to w×h. */
+  private def jpegFinishPlane(coefs: Array[Short], bW: Int, bH: Int,
+      qt: Array[Int], w: Int, h: Int, ch0: Int, cv0: Int,
+      hmax: Int, vmax: Int): (Int, Int, Array[Int]) = {
+    val planeW = bW * 8
+    val planeH = bH * 8
+    val plane = new Array[Int](planeW * planeH)
+    val nat = new Array[Int](64)
+    var br = 0
+    while (br < bH) {
+      var bc = 0
+      while (bc < bW) {
+        val base = (br * bW + bc) * 64
+        var k = 0
+        while (k < 64) {
+          val natIdx = JpegZigzag(k)
+          nat(natIdx) = clampCoef(coefs(base + k) * qt(natIdx))
+          k += 1
+        }
+        val px = jpegIdctBlock(nat)
+        val ox = bc * 8
+        val oy = br * 8
+        var yy = 0
+        while (yy < 8) {
+          var xx = 0
+          while (xx < 8) {
+            plane((oy + yy) * planeW + ox + xx) = px(yy * 8 + xx)
+            xx += 1
+          }
+          yy += 1
+        }
+        bc += 1
+      }
+      br += 1
+    }
+    val out = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      val py = y * cv0 / vmax
+      var x = 0
+      while (x < w) {
+        out(y * w + x) = plane(py * planeW + x * ch0 / hmax)
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, out)
+  }
 
   /** canonical code assignment (T.81 C.2) for the encoder half:
     * value → (code, length). */
@@ -1168,6 +1600,287 @@ object Multimodal {
       my += 1
     }
     bw.flushAlign()
+    out.write(0xff); out.write(0xd9)
+    out.toByteArray
+  }
+
+  // full encoder tables for the coefficient-level encoders: DC
+  // categories 0-11 at length 4, every AC (run, size) pair (s ≤ 10)
+  // plus EOB/ZRL at length 9 — valid canonical tables, deliberately
+  // nonstandard (the decoder builds from DHT, so this doubles as
+  // generality coverage, like the DC-only tables above)
+  private val JpegEncDcCountsFull: Array[Int] =
+    Array(0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+  private val JpegEncDcValsFull: Array[Int] = (0 to 11).toArray
+  private val JpegEncAcValsFull: Array[Int] =
+    ((0 to 14).map(r => (r << 4) | 0) ++ Seq(0xf0) ++ // EOBn + ZRL
+      (for (r <- 0 to 15; s <- 1 to 10) yield (r << 4) | s)).toArray
+  private val JpegEncAcCountsFull: Array[Int] =
+    Array(0, 0, 0, 0, 0, 0, 0, 0, JpegEncAcValsFull.length,
+      0, 0, 0, 0, 0, 0, 0)
+
+  private def jpegMag(v: Int): Int =
+    if (v == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(v))
+
+  private def jpegPutExtend(bw: JpegBitWriter, v: Int, s: Int): Unit =
+    if (s > 0) bw.put(if (v >= 0) v else v + (1 << s) - 1, s)
+
+  /** Encode a grayscale grid as a PROGRESSIVE (SOF2) DC-only JPEG —
+    * the progressive twin of [[encodeJpegGray]], same flat-block
+    * identity contract: three scans (DC first at Al=1, DC refinement,
+    * then an all-EOB AC scan so the band coverage is complete and the
+    * decoder's EOB-run path runs). */
+  def encodeJpegProgGray(w: Int, h: Int,
+      gray: Array[Int]): Array[Byte] = {
+    require(w > 0 && h > 0 && gray.length == w * h,
+      "encodeJpegProgGray needs a w*h top-down gray grid")
+    val bX = (w + 7) / 8
+    val bY = (h + 7) / 8
+    val blocks = Array.tabulate(bX * bY) { b =>
+      val c = new Array[Int](64)
+      c(0) = (gray((b / bX) * 8 * w + (b % bX) * 8) & 0xff) - 128
+      c
+    }
+    encodeJpegProgGrayCoefs(w, h, blocks)
+  }
+
+  /** Baseline encoder over explicit per-block QUANTIZED coefficients
+    * (zigzag order, raster blocks, quant table all-8s) — the
+    * general-coefficient sibling of [[encodeJpegGray]], and the
+    * reference half of the baseline ≡ progressive decode-equality pin
+    * in the spec. */
+  def encodeJpegGrayCoefs(w: Int, h: Int,
+      blocks: Array[Array[Int]]): Array[Byte] = {
+    val bX = (w + 7) / 8
+    val bY = (h + 7) / 8
+    require(blocks.length == bX * bY && blocks.forall(_.length == 64),
+      "need ceil(w/8)*ceil(h/8) blocks of 64 zigzag coefficients")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(0xff); out.write(0xd8)
+    jpegPutSegment(out, 0xdb, Array(0x00) ++ Array.fill(64)(8))
+    jpegPutSegment(out, 0xc0, Array(8, (h >> 8) & 0xff, h & 0xff,
+      (w >> 8) & 0xff, w & 0xff, 1, 1, 0x11, 0))
+    jpegPutSegment(out, 0xc4,
+      jpegDhtBody(0, 0, JpegEncDcCountsFull, JpegEncDcValsFull))
+    jpegPutSegment(out, 0xc4,
+      jpegDhtBody(1, 0, JpegEncAcCountsFull, JpegEncAcValsFull))
+    jpegPutSegment(out, 0xda, Array(1, 1, 0x00, 0, 63, 0))
+    val dc = jpegHuffCodes(JpegEncDcCountsFull, JpegEncDcValsFull)
+    val ac = jpegHuffCodes(JpegEncAcCountsFull, JpegEncAcValsFull)
+    val bw = new JpegBitWriter(out)
+    var pred = 0
+    blocks.foreach { c =>
+      val diff = c(0) - pred
+      pred = c(0)
+      val s = jpegMag(diff)
+      val (dcc, dcl) = dc(s)
+      bw.put(dcc, dcl)
+      jpegPutExtend(bw, diff, s)
+      var k = 1
+      var lastNz = 63
+      while (lastNz >= 1 && c(lastNz) == 0) lastNz -= 1
+      while (k <= lastNz) {
+        var r = 0
+        while (c(k) == 0) { r += 1; k += 1 }
+        while (r >= 16) {
+          val (zc, zl) = ac(0xf0); bw.put(zc, zl); r -= 16
+        }
+        val s2 = jpegMag(c(k))
+        val (acc, acl) = ac((r << 4) | s2)
+        bw.put(acc, acl)
+        jpegPutExtend(bw, c(k), s2)
+        k += 1
+      }
+      if (lastNz < 63) { val (ec, el) = ac(0x00); bw.put(ec, el) }
+    }
+    bw.flushAlign()
+    out.write(0xff); out.write(0xd9)
+    out.toByteArray
+  }
+
+  /** Progressive (SOF2) encoder over the same explicit coefficient
+    * blocks as [[encodeJpegGrayCoefs]] — five scans exercising every
+    * decoder path: DC first (Al=1) + DC refinement, AC spectral split
+    * (1-5, then 6-63) first passes at Al=1 with EOB-run coding, then
+    * one AC refinement (Ah=1→Al=0) over the full band with correction
+    * bits and newly-significant placement (T.81 G.1.2.2-3). Decoding
+    * this MUST equal decoding the baseline encoding of the same
+    * blocks — the spec pins it. */
+  def encodeJpegProgGrayCoefs(w: Int, h: Int,
+      blocks: Array[Array[Int]]): Array[Byte] = {
+    val bX = (w + 7) / 8
+    val bY = (h + 7) / 8
+    require(blocks.length == bX * bY && blocks.forall(_.length == 64),
+      "need ceil(w/8)*ceil(h/8) blocks of 64 zigzag coefficients")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(0xff); out.write(0xd8)
+    jpegPutSegment(out, 0xdb, Array(0x00) ++ Array.fill(64)(8))
+    jpegPutSegment(out, 0xc2, Array(8, (h >> 8) & 0xff, h & 0xff,
+      (w >> 8) & 0xff, w & 0xff, 1, 1, 0x11, 0))
+    jpegPutSegment(out, 0xc4,
+      jpegDhtBody(0, 0, JpegEncDcCountsFull, JpegEncDcValsFull))
+    jpegPutSegment(out, 0xc4,
+      jpegDhtBody(1, 0, JpegEncAcCountsFull, JpegEncAcValsFull))
+    val dc = jpegHuffCodes(JpegEncDcCountsFull, JpegEncDcValsFull)
+    val ac = jpegHuffCodes(JpegEncAcCountsFull, JpegEncAcValsFull)
+
+    // ---- scan 1: DC first, Al = 1 (diffs of coef>>1) ----
+    jpegPutSegment(out, 0xda, Array(1, 1, 0x00, 0, 0, 0x01))
+    var bw = new JpegBitWriter(out)
+    var pred = 0
+    blocks.foreach { c =>
+      val v = c(0) >> 1
+      val diff = v - pred
+      pred = v
+      val s = jpegMag(diff)
+      val (dcc, dcl) = dc(s)
+      bw.put(dcc, dcl)
+      jpegPutExtend(bw, diff, s)
+    }
+    bw.flushAlign()
+
+    // ---- scan 2: DC refinement, Ah=1 Al=0 (one raw bit per block) --
+    jpegPutSegment(out, 0xda, Array(1, 1, 0x00, 0, 0, 0x10))
+    bw = new JpegBitWriter(out)
+    blocks.foreach(c => bw.put(c(0) & 1, 1))
+    bw.flushAlign()
+
+    // ---- scans 3+4: AC first passes at Al=1, bands 1-5 and 6-63 ----
+    // AC point transform is signed division toward zero (T.81 A.4),
+    // NOT an arithmetic shift — refinement rebuilds MAGNITUDE bits
+    def acFirst(ss: Int, se: Int, al: Int): Unit = {
+      jpegPutSegment(out, 0xda, Array(1, 1, 0x00, ss, se, al))
+      val w2 = new JpegBitWriter(out)
+      def pt(v: Int): Int = v / (1 << al)
+      // pendingEob = blocks one EOB code covers: the block the code
+      // appears in (a fully-zero block, or the tail of a coded block)
+      // plus following fully-zero blocks; run m decodes as m−1
+      // FOLLOWING blocks after the current block terminates
+      var eob = 0
+      def flushEob(): Unit = while (eob > 0) {
+        val m = math.min(eob, 32767)
+        var r = 0
+        while ((2 << r) <= m) r += 1
+        val (ec, el) = ac((r << 4) | 0)
+        w2.put(ec, el)
+        if (r > 0) w2.put(m - (1 << r), r)
+        eob -= m
+      }
+      blocks.foreach { c =>
+        var lastNz = se
+        while (lastNz >= ss && pt(c(lastNz)) == 0) lastNz -= 1
+        if (lastNz < ss) eob += 1 // fully-zero band
+        else {
+          flushEob()
+          var k = ss
+          while (k <= lastNz) {
+            var r = 0
+            while (pt(c(k)) == 0) { r += 1; k += 1 }
+            while (r >= 16) {
+              val (zc, zl) = ac(0xf0); w2.put(zc, zl); r -= 16
+            }
+            val v = pt(c(k))
+            val s = jpegMag(v)
+            val (acc, acl) = ac((r << 4) | s)
+            w2.put(acc, acl)
+            jpegPutExtend(w2, v, s)
+            k += 1
+          }
+          if (lastNz < se) eob += 1 // EOB terminates this block's tail
+        }
+      }
+      flushEob()
+      w2.flushAlign()
+    }
+    acFirst(1, 5, 1)
+    acFirst(6, 63, 1)
+
+    // ---- scan 5: AC refinement 1-63, Ah=1 → Al=0 ----
+    // (fixture encoder: one EOB code per run — merged runs stay under
+    // the 32767 single-code ceiling because fixture grids are small)
+    require(blocks.length <= 32767, "fixture encoder: ≤ 32767 blocks")
+    jpegPutSegment(out, 0xda, Array(1, 1, 0x00, 1, 63, 0x10))
+    val w3 = new JpegBitWriter(out)
+    var eobRun = 0
+    val eobCorr = scala.collection.mutable.ArrayBuffer[Int]()
+    def histNz(v: Int) = (math.abs(v) >> 1) != 0
+    def newSig(v: Int) = !histNz(v) && (math.abs(v) & 1) == 1
+    def corrBit(v: Int) = math.abs(v) & 1
+    def flushEobRun(): Unit = if (eobRun > 0) {
+      var r = 0
+      while ((2 << r) <= eobRun) r += 1
+      val (ec, el) = ac((r << 4) | 0)
+      w3.put(ec, el)
+      if (r > 0) w3.put(eobRun - (1 << r), r)
+      eobCorr.foreach(b => w3.put(b, 1))
+      eobCorr.clear()
+      eobRun = 0
+    }
+    blocks.foreach { c =>
+      val hasNew = (1 to 63).exists(k => newSig(c(k)))
+      if (!hasNew) {
+        // pure-EOB block: queue its correction bits behind the run
+        eobRun += 1
+        (1 to 63).foreach(k => if (histNz(c(k))) eobCorr += corrBit(c(k)))
+      } else {
+        flushEobRun()
+        var k = 1
+        while (k <= 63) {
+          // next newly-significant position at or after k
+          var p = k
+          while (p <= 63 && !newSig(c(p))) p += 1
+          if (p > 63) {
+            // tail has no new significants: EOB terminates the block,
+            // correction bits for the remaining history-nonzero coefs
+            // follow the EOB code immediately (decoder's r=64 sweep)
+            eobRun = 1
+            (k to 63).foreach(j =>
+              if (histNz(c(j))) eobCorr += corrBit(c(j)))
+            flushEobRun()
+            k = 64
+          } else {
+            // zero-history zeros strictly before p
+            var r = 0
+            var j = k
+            while (j < p) {
+              if (!histNz(c(j))) r += 1
+              j += 1
+            }
+            // ZRL chunks of 16 zero-history zeros; each carries the
+            // correction bits of the history-nonzero coefs crossed
+            // while the decoder consumes its 16 zeros. Emitting all
+            // queued bits after each code preserves decoder order
+            // because the decoder interleaves reads positionally and
+            // we queue them positionally.
+            while (r >= 16) {
+              val (zc, zl) = ac(0xf0)
+              w3.put(zc, zl)
+              // bits for coefs crossed within this ZRL's span
+              var consumed = 0
+              var q = k
+              while (consumed < 16 && q < p) {
+                if (histNz(c(q))) w3.put(corrBit(c(q)), 1)
+                else consumed += 1
+                q += 1
+              }
+              k = q
+              r -= 16
+            }
+            val (sc2, sl2) = ac((r << 4) | 1)
+            w3.put(sc2, sl2)
+            w3.put(if (c(p) > 0) 1 else 0, 1)
+            var q = k
+            while (q < p) {
+              if (histNz(c(q))) w3.put(corrBit(c(q)), 1)
+              q += 1
+            }
+            k = p + 1
+          }
+        }
+      }
+    }
+    flushEobRun()
+    w3.flushAlign()
     out.write(0xff); out.write(0xd9)
     out.toByteArray
   }
@@ -1923,6 +2636,80 @@ object Multimodal {
         col("__aligned") === col("__na") &&
         col("dist") <= maxDist)
       .select("a_id", "b_id", "dist")
+  }
+
+  /** Offset-tolerant NEAR-dup pairs over animated sequences (r12 —
+    * [[videoPhashPairs]] pairs only equal-frame-count, index-aligned
+    * sequences, so the COMMON video near-dup — a re-encode that trims
+    * or prepends a frame — was invisible to it). Two media pair when
+    * some frame offset δ, |δ| ≤ `maxOffset`, aligns them such that
+    * EVERY overlapping frame pair (i, i+δ) sits within `maxDist`, the
+    * frame counts differ by at most `maxOffset`, and the overlap is
+    * COMPLETE (= the maximal window the two lengths allow at that δ).
+    * Reported per pair: the best alignment by (dist, |δ|, δ) —
+    * deterministic. Returns (a_id, b_id, delta, dist).
+    *
+    * Scale shape: candidates come from the Hamming-band join over
+    * EVERY sampled frame, restricted to |index delta| ≤ maxOffset and
+    * tagged with the delta (SOUND: a full alignment at δ puts every
+    * aligned pair within maxDist, so in particular some aligned frame
+    * pair collides in a band — pigeonhole); then ONE aligned equi-join
+    * per surviving (pair, δ) verifies the whole window. Never
+    * all-pairs, never all-offsets. Same hot-bucket caveat as every
+    * LSH join, amplified by temporally-still footage (consecutive
+    * near-identical frames inflate per-pair candidates by ≤ the still
+    * run length × maxOffset — bounded by the tag filter). */
+  def videoPhashPairsOffset(sigs: DataFrame, maxDist: Int,
+      maxOffset: Int): DataFrame = {
+    require(maxOffset >= 0, "maxOffset >= 0")
+    import org.apache.spark.sql.expressions.Window
+    val s = sigs.select(col("media_id"), col("frame_idx"), col("phash"))
+      .localCheckpoint()
+    val counts = s.groupBy("media_id").agg(count(lit(1)).as("__n"))
+    // band every frame; the (media, frame) key rides packed through
+    // the band explode
+    val packed = s.select(
+      struct(col("media_id"), col("frame_idx")).as("__k"), col("phash"))
+    val bands = phashBands(packed, "__k", "phash", maxDist)
+    val a = bands.select(col("__id.media_id").as("a_id"),
+      col("__id.frame_idx").as("__ia"), col("__band"), col("__bv"))
+    val b = bands.select(col("__id.media_id").as("b_id"),
+      col("__id.frame_idx").as("__ib"), col("__band"), col("__bv"))
+    val cand = a.join(b, Seq("__band", "__bv"))
+      .filter(col("a_id") < col("b_id") &&
+        abs(col("__ib") - col("__ia")) <= maxOffset)
+      .select(col("a_id"), col("b_id"),
+        (col("__ib") - col("__ia")).as("__d"))
+      .distinct()
+    val fa = s.select(col("media_id").as("a_id"),
+      col("frame_idx").as("__i"), col("phash").as("__pa"))
+    val fb = s.select(col("media_id").as("b_id"),
+      col("frame_idx").as("__j"), col("phash").as("__pb"))
+    val ca = counts.select(col("media_id").as("a_id"),
+      col("__n").as("__na"))
+    val cb = counts.select(col("media_id").as("b_id"),
+      col("__n").as("__nb"))
+    val verified = cand
+      .join(fa, "a_id")
+      .withColumn("__j", col("__i") + col("__d"))
+      .join(fb, Seq("b_id", "__j"))
+      .groupBy("a_id", "b_id", "__d")
+      .agg(count(lit(1)).as("__aligned"),
+        max(bit_count(col("__pa").bitwiseXOR(col("__pb"))))
+          .cast("int").as("dist"))
+      .join(ca, "a_id").join(cb, "b_id")
+      // complete-overlap length at δ: [max(0,−δ), min(na, nb−δ))
+      .filter(abs(col("__na") - col("__nb")) <= maxOffset &&
+        col("__aligned") ===
+          least(col("__na"), col("__nb") - col("__d")) -
+            greatest(lit(0), -col("__d")) &&
+        col("dist") <= maxDist)
+    val w = Window.partitionBy(col("a_id"), col("b_id"))
+      .orderBy(col("dist"), abs(col("__d")), col("__d"))
+    verified.withColumn("__r", row_number().over(w))
+      .filter(col("__r") === 1)
+      .select(col("a_id"), col("b_id"),
+        col("__d").cast("int").as("delta"), col("dist"))
   }
 
   /** On-disk incremental perceptual-hash index (r11 — the live-index

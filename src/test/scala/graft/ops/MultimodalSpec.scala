@@ -871,7 +871,9 @@ class MultimodalSpec extends AnyFunSuite {
   test("JPEG flavors the decoder must refuse (header fallback keeps dims)") {
     val grid = Array.fill(64)(100)
     val good = Multimodal.encodeJpegGray(8, 8, grid)
-    // progressive: rewrite SOF0 -> SOF2
+    // a baseline stream mislabeled SOF2: its Ss=0,Se=63 scan header is
+    // an illegal progressive DC scan (r12 — SOF2 itself now decodes;
+    // malformed scan structure still falls back)
     val prog = good.clone()
     val sofAt = (0 until prog.length - 1).find(i =>
       (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xc0).get
@@ -883,6 +885,66 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.jpegPixels(trunc).isEmpty)
     // junk
     assert(Multimodal.jpegPixels("not a jpeg".getBytes).isEmpty)
+  }
+
+  test("progressive JPEG: flat-block identity and baseline equivalence") {
+    // flat blocks: DC first + refinement reassemble the exact DC, the
+    // all-EOB AC scans leave AC zero — decode ∘ encode is the identity
+    // on block-constant grids, exactly like the baseline encoder
+    val g = Array.tabulate(24 * 16) { i =>
+      val b = (i / 24 / 8) * 3 + (i % 24) / 8
+      40 + 23 * b
+    }
+    val got = Multimodal.jpegPixels(Multimodal.encodeJpegProgGray(24, 16, g))
+    assert(got.isDefined, "progressive flat decode failed")
+    assert(got.get._3.toSeq == g.toSeq)
+    // general coefficients: decoding the PROGRESSIVE encoding (DC
+    // first/refine, spectral split 1-5/6-63 at Al=1, AC refinement
+    // with EOB runs, ZRL and newly-significant placement) must equal
+    // decoding the BASELINE encoding of the SAME blocks — both end in
+    // the same dequant+IDCT, so this pins the whole scan machinery
+    val rng = new scala.util.Random(4242)
+    val bX = 6; val bY = 2
+    val blocks = Array.tabulate(bX * bY) { bi =>
+      val c = new Array[Int](64)
+      c(0) = rng.nextInt(240) - 120
+      // low-band values (exercise scan 3), incl. ±1 (newly significant
+      // only in the refinement) and even values (first-pass visible)
+      for (_ <- 0 until rng.nextInt(4)) {
+        val zi = 1 + rng.nextInt(5)
+        c(zi) = rng.nextInt(9) - 4
+      }
+      // high-band values (scan 4) with a forced long zero run (ZRL)
+      if (bi % 3 == 0) c(40 + rng.nextInt(20)) = rng.nextInt(7) - 3
+      if (bi % 4 == 1) c(63) = 1 // newly-significant at the band edge
+      c
+    }
+    // some fully-empty blocks stress EOB-run merging
+    java.util.Arrays.fill(blocks(3), 0)
+    java.util.Arrays.fill(blocks(4), 0)
+    val base = Multimodal.jpegPixels(
+      Multimodal.encodeJpegGrayCoefs(bX * 8, bY * 8, blocks))
+    val prog = Multimodal.jpegPixels(
+      Multimodal.encodeJpegProgGrayCoefs(bX * 8, bY * 8, blocks))
+    assert(base.isDefined && prog.isDefined,
+      s"decode failed: base=${base.isDefined} prog=${prog.isDefined}")
+    assert(prog.get._3.toSeq == base.get._3.toSeq,
+      "progressive and baseline decodes of the same coefficients differ")
+  }
+
+  test("baseline JPEG: 0xFF fill bytes before markers decode (T.81 B.1.1.2)") {
+    val g = Array.tabulate(16 * 8)(i => if ((i / 8) % 2 == 0) 50 else 200)
+    val good = Multimodal.encodeJpegGray(16, 8, g)
+    // inject fill bytes before the SOS marker
+    val sosAt = (0 until good.length - 1).find(i =>
+      (good(i) & 0xff) == 0xff && (good(i + 1) & 0xff) == 0xda).get
+    val padded = good.take(sosAt) ++
+      Array(0xff.toByte, 0xff.toByte, 0xff.toByte) ++ good.drop(sosAt + 1)
+    // (keep the leading 0xFF of the marker: fills then marker byte)
+    val got = Multimodal.jpegPixels(padded)
+    assert(got.isDefined, "fill-byte padded JPEG must decode")
+    assert(got.get._3.toSeq ==
+      Multimodal.jpegPixels(good).get._3.toSeq)
   }
 
   test("imagePhashes picks up JPEG automatically, pairing across formats") {
@@ -975,6 +1037,44 @@ class MultimodalSpec extends AnyFunSuite {
     val fps = Multimodal.videoFingerprints(m)
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(fps.size == 4 && fps(1L) != fps(2L))
+  }
+
+  test("offset-tolerant video near-dup: a trimmed re-encode pairs") {
+    import spark.implicits._
+    def grid(seed: Int) = Array.tabulate(72)(i =>
+      if ((i * seed) % 7 < 3) 30 else 220)
+    val full = Vector(grid(1), grid(2), grid(3))
+    val trimmed = Vector(grid(2), grid(3)) // frame 0 dropped
+    val near = Vector(grid(1),
+      { val g = grid(2).clone(); g(40) = 250 - g(40); g }, grid(3))
+    val other = Vector(grid(5), grid(6))
+    val m = Seq(
+      (1L, Multimodal.encodeGifGray(9, 8, full)),
+      (2L, Multimodal.encodeGifGray(9, 8, trimmed)),
+      (3L, Multimodal.encodeGifGray(9, 8, other)),
+      (4L, Multimodal.encodeGifGray(9, 8, near))
+    ).toDF("media_id", "payload")
+    val sigs = Multimodal.videoPhashes(m)
+    // the equal-length rule cannot see the trimmed re-encode…
+    val aligned = Multimodal.videoPhashPairs(sigs, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(aligned == Seq((1L, 4L)), s"got $aligned")
+    // …the offset mode pairs it at δ = −1 with dist 0, keeps the
+    // aligned near-dup at δ = 0, and never pairs the unrelated clip
+    val got = Multimodal.videoPhashPairsOffset(sigs, 3, maxOffset = 1)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(got.map(t => (t._1, t._2)).contains((1L, 2L)),
+      s"trimmed re-encode must pair: $got")
+    val t12 = got.find(t => t._1 == 1L && t._2 == 2L).get
+    assert(t12._3 == -1 && t12._4 == 0, s"best alignment: $t12")
+    assert(got.map(t => (t._1, t._2)).contains((1L, 4L)))
+    assert(got.find(t => t._1 == 1L && t._2 == 4L).get._3 == 0)
+    assert(!got.exists(t => t._2 == 3L || t._1 == 3L),
+      s"unrelated clip must not pair: $got")
+    // trimmed vs near: frames differ by the single flip at δ = −1
+    assert(got.map(t => (t._1, t._2)).contains((2L, 4L)))
   }
 
   test("audio dedup loop: near-dup WAVs cluster, distinct don't") {
