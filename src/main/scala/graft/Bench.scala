@@ -27,7 +27,7 @@ object Bench {
     * the 382-430 s r10 spread, sccDF 8.1 vs 10.1 s on identical
     * code). Recorded as `calibration_sec` in BENCH_FULL.json and
     * `calib` on the stdout metric line. */
-  private def calibrate(): Double = {
+  private[graft] def calibrate(): Double = {
     val n = 1 << 20
     val arr = new Array[Long](n)
     def once(): Double = {

@@ -39,6 +39,9 @@ object QueriesDialect {
       gs.catalog.register(graft.engine.ClassDef("media_videos",
         sp => QueriesPipeline.gifMedia(sp, dir),
         clusterId = 92, ridPosCol = Some("media_id")))
+      gs.catalog.register(graft.engine.ClassDef("media_videos_trimmed",
+        sp => QueriesPipeline.gifOffsetMedia(sp, dir),
+        clusterId = 93, ridPosCol = Some("media_id")))
       gs
     })
   }
@@ -319,7 +322,12 @@ object QueriesDialect {
     "qd_pipe_video_fps" -> ((s, dir) => gq(s, dir,
       "select media_id, n_frames, seq_fp from " +
         "video_fingerprints(media_videos, 'media_id', 'payload') " +
-        "order by media_id"))
+        "order by media_id")),
+    "qd_pipe_video_offset" -> ((s, dir) => gq(s, dir,
+      "select a_id, b_id, delta, dist from video_dup_pairs_offset(" +
+        "media_videos_trimmed, 'media_id', 'payload', " +
+        s"${QueriesPipeline.PhMaxDist}, 1) " +
+        "order by a_id, b_id"))
   )
 
   /** qd_pipe_word_embeddings parameters — one place feeds the SQL
@@ -572,6 +580,7 @@ object QueriesDialect {
     "qd_pipe_audio_pairs" ->
       QueriesPipeline.oracleSql("qp_audio_fingerprint"),
     "qd_pipe_video_pairs" -> QueriesPipeline.oracleSql("qp_gif_phash"),
-    "qd_pipe_video_fps" -> QueriesPipeline.oracleSql("qp_gif_sequence")
+    "qd_pipe_video_fps" -> QueriesPipeline.oracleSql("qp_gif_sequence"),
+    "qd_pipe_video_offset" -> QueriesPipeline.oracleSql("qp_video_offset")
   )
 }

@@ -30,7 +30,8 @@ object PipelineTables {
       "histogram", "fd_audit", "kaplan_meier", "holt_linear", "dau_mau",
       "attribution_multi", "word_embeddings", "zipf_fit",
       "image_dup_pairs", "image_dup_clusters", "audio_dup_pairs",
-      "video_dup_pairs", "video_fingerprints")
+      "video_dup_pairs", "video_fingerprints",
+      "video_dup_pairs_offset")
 
   def resolve(catalog: Catalog, fn: String,
       args: Seq[SqlExpr]): DataFrame = {
@@ -201,6 +202,17 @@ object PipelineTables {
         arity(3)
         graft.ops.Multimodal.videoFingerprints(classArg(0), strArg(1),
           strArg(2))
+      case "video_dup_pairs_offset" =>
+        // (class, idField, payloadField, maxDist, maxOffset) — the
+        // offset-tolerant near-dup join (r12): trimmed/prepended
+        // re-encodes pair at the best |delta| <= maxOffset alignment
+        arity(5)
+        val off = intArg(4)
+        if (off < 0 || off > 16) throw Parser.ParseException(
+          s"maxOffset must be in [0, 16], got $off")
+        graft.ops.Multimodal.videoPhashPairsOffset(
+          graft.ops.Multimodal.videoPhashes(classArg(0), strArg(1),
+            strArg(2)), distArg(3), off)
       case other =>
         // unknown function → parse error (§2.5 contract, same as
         // scalar functions)

@@ -308,11 +308,17 @@ object GraphOps {
       // SCC, so no SCC crosses classes and cross-class edges are never
       // intra-SCC. One extra count job, paid only under the vertex
       // gate, replaces every remaining refinement round.
-      // edge bound scales with the LIVE remainder, not the threshold
-      // constant (r11 ADVICE: 16×threshold admitted a ~1.6M-Row
-      // collect regardless of how small the remainder was)
+      // The edge bound stays an ABSOLUTE budget (16×threshold ≈ 1.6M
+      // edges = ~26 MB as primitive arrays): r12 briefly scaled it
+      // with the live remainder (16×nLive) per the r11 ADVICE, which
+      // silently disabled the base case on DENSE small graphs — the
+      // sf0.1 trade graph is 16k vertices × 599k edges (avg degree
+      // 37), exactly the shape where finishing locally pays most, and
+      // qg_scc measured 7.4-7.9 s distributed vs 0.9-1.4 s local. The
+      // ADVICE's real concern (a multi-hundred-MB boxed-Row transient)
+      // is solved below by collecting primitive per-partition arrays.
       if (nLive <= localFinishThreshold &&
-          eSame.count() <= 16L * math.max(1L, nLive)) {
+          eSame.count() <= 16L * math.max(1L, localFinishThreshold.toLong)) {
         val vArr = cls.select(col("id")).collect().map(_.getLong(0))
         // primitive per-partition arrays, not GenericRows — the boxed
         // collect was a transient multi-hundred-MB driver allocation
