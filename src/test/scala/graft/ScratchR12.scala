@@ -66,8 +66,20 @@ import org.scalatest.funsuite.AnyFunSuite
   * `videoPhashPairsOffset` bands EVERY sampled frame (vs frame-0 for
   * the aligned mode) and verifies per (pair, δ) — the candidate frame
   * is nFrames× the aligned mode's but the delta tag caps the
-  * per-pair explosion at (2·maxOffset+1); on constant-occupancy
-  * groups the exponent should track the aligned mode's 0.48.
+  * per-pair explosion at (2·maxOffset+1). Measured t1=1.53 s,
+  * t10=14.48 s, exponent 0.98 — i.e. exactly LINEAR (14.5/1.5 =
+  * 9.5× at 10×), which is the CORRECT asymptotic for a
+  * constant-occupancy corpus whose true pair count itself grows
+  * linearly; the aligned mode's 0.48 reads lower only because fixed
+  * session overheads dominated its t1 (its t10/t1 was 3.0 on a 3×
+  * cheaper pipeline). No quadratic term: banding caps candidates at
+  * colliding (pair, δ) triples, never all-pairs.
+  *
+  * A/B note on §2's suspects: the same-session timeQ re-reads gave
+  * qp_target_mix 1.22 s / qg_triangles 0.72 s at calib 0.0928 —
+  * different harness path than the filtered-bench isolation (0.83 /
+  * 1.25 at calib 0.082-0.089), both comfortably inside the weather
+  * band and far from the r11 2× flags.
   *
   * Reproduce: SPARK_GRAFT_SCALE10=1 SPARK_GRAFT_CPUS=32 \
   *   sbt -batch "testOnly graft.ScratchR12"
