@@ -14,21 +14,33 @@ import org.scalatest.funsuite.AnyFunSuite
   * and regression finally separate. Measured (mid-round full bench,
   * 308 queries, vs the r11 judge artifact):
   *
-  * | metric                      | r11    | r12    | ratio |
-  * |-----------------------------|--------|--------|-------|
-  * | calibration_sec             | 0.0997 | 0.1183 | 1.187 |
-  * | commons total raw (n=307)   | 527.9  | 510.0  | 0.966 |
-  * | commons median raw          |        |        | 0.947 |
-  * | commons total NORMALIZED    |        |        | 0.814 |
-  * | commons median NORMALIZED   |        |        | 0.798 |
+  * TWO full r12 benches ran the same day (A mid-round, B final — B
+  * includes the §2b qg_scc fix, which moves B's commons total by
+  * under 0.2%, so the weather comparison stands):
   *
-  * Reading: in a session measuring 19% SLOWER on identical
-  * single-thread code, the suite ran 3% faster raw — i.e. ~19%
-  * faster normalized. The r11 1.28× raw flag resolves as weather,
-  * exactly the probe's purpose. Same-day drift WITHIN r12 measured
-  * 0.0818-0.1183 (±20% before lunch) — single-session raw deltas
-  * under ~1.4× carry no signal here, which is why every remaining
-  * flag below got an isolated same-session A/B.
+  * | metric                    | r11    | r12 A  | r12 B  |
+  * |---------------------------|--------|--------|--------|
+  * | calibration_sec           | 0.0997 | 0.1183 | 0.0868 |
+  * | commons total raw (n=307) | 527.9  | 510.0  | 488.9  |
+  * | commons median raw ratio  |   —    | 0.947  | 0.935  |
+  * | commons median NORMALIZED |   —    | 0.798  | 1.074  |
+  *
+  * Two findings. (1) The r11 1.28× raw flag was WEATHER: r12 runs
+  * FASTER than r11 raw in both same-day sessions (0.947 / 0.935
+  * median), and the r10→r12 raw commons reads 1.085 total / 1.131
+  * median — most of the r10→r11 1.28× gap evaporated on identical
+  * operator code. (2) The probe itself has a noise band: sessions A
+  * and B differ 1.36× on the probe but only 1.04× on the suite —
+  * single-thread CPU weather and whole-stack suite weather are
+  * correlated but not proportional, so probe normalization
+  * OVER-corrects across sessions with very different calib (B's
+  * normalized median 1.074 vs A's 0.798 on near-identical raw
+  * suites). Operating rule going forward: the probe separates
+  * >1.4× claims into weather vs regression (its designed job); for
+  * anything inside that band, same-session isolated A/Bs are the
+  * only signal — which is how every flag below was settled. Same-day
+  * calib drift measured 0.0818-0.1183 (±20%) across this round's
+  * sessions.
   *
   * == 2. The two r11 >2× suspects — both CLEARED as weather ==
   *
