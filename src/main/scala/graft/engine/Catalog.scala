@@ -168,6 +168,11 @@ final class Catalog(spark: SparkSession) {
   // ---- durability (parquet-committed DML, §2.9 Delta mapping) -----
   private var durableRoot: Option[String] = None
 
+  /** the durable directory this catalog commits to, if any — exposed so
+    * facades (e.g. [[graft.graph.GraphApi]]) can coordinate per-store
+    * state (id allocators) across sessions opened on the same root. */
+  private[graft] def durableRootDir: Option[String] = durableRoot
+
   private def hadoopFs(path: String) = new org.apache.hadoop.fs.Path(path)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -404,6 +409,14 @@ final class Catalog(spark: SparkSession) {
       if base.columns.sorted.toSeq == cols &&
         theirs.columns.sorted.toSeq == cols &&
         cols.exists(_.equalsIgnoreCase(rk))
+      // a non-castable or null key would make every __k null: the
+      // full_outer change-detection and collision join never match on
+      // null, `collide` is vacuously false and the merge silently
+      // resolves to `theirs` — the exact lost update this machinery
+      // exists to prevent. Any null key ⇒ refuse the rebase (None):
+      // the caller falls through to the loud conflict path.
+      if !Seq(base, ours, theirs).exists(
+        _.filter(col(rk).cast("long").isNull).limit(1).count() > 0)
       merged <- {
         def keyed(df: DataFrame) = df.select(
           col(rk).cast("long").as("__k"),

@@ -40,9 +40,9 @@ final class Console(spark: org.apache.spark.sql.SparkSession,
     val header = df.columns.toSeq
     val cells = shown.map(_.toSeq.map {
       case null => "null"
+      case b: Array[Byte] => s"<${b.length} bytes>"
       case a: Array[_] => a.mkString("[", ",", "]")
       case s: Seq[_] => s.mkString("[", ",", "]")
-      case b: Array[Byte] @unchecked => s"<${b.length} bytes>"
       case v => v.toString
     })
     val widths = header.indices.map(i =>

@@ -78,7 +78,11 @@ final class GraphApi(val session: GraftSession) {
 
   /** monotone key allocator, seeded past any ids already present (a
     * facade can open an existing graph); one bounded max() per graph
-    * class at construction — control-plane only. */
+    * class at construction — control-plane only. Durable stores share
+    * ONE JVM-wide counter keyed on the root directory, so two facades
+    * over different sessions on the same store (the supported pattern
+    * per the transaction tests) never allocate colliding ids; the seed
+    * probe only ever ADVANCES a live counter (`accumulateAndGet` max). */
   private val nextId = {
     val cat = session.catalog
     val maxes = cat.all.filter(d => isGraphClass(d.name)).flatMap { d =>
@@ -87,7 +91,16 @@ final class GraphApi(val session: GraftSession) {
       else Option(t.agg(max(col("id").cast("long"))).head().get(0))
         .map(_.asInstanceOf[Long])
     }
-    new java.util.concurrent.atomic.AtomicLong((maxes :+ 0L).max + 1)
+    val seed = (maxes :+ 0L).max + 1
+    cat.durableRootDir match {
+      case Some(root) =>
+        val key = new java.io.File(root).getCanonicalPath
+        val c = sharedCounters.computeIfAbsent(key,
+          _ => new java.util.concurrent.atomic.AtomicLong(seed))
+        c.accumulateAndGet(seed, math.max(_, _))
+        c
+      case None => new java.util.concurrent.atomic.AtomicLong(seed)
+    }
   }
 
   private def isGraphClass(name: String): Boolean =
@@ -98,6 +111,10 @@ final class GraphApi(val session: GraftSession) {
   private def isVertexClass(name: String): Boolean =
     session.catalog.superChain(name).exists(
       _.name.equalsIgnoreCase(VertexClass))
+
+  private def isEdgeClass(name: String): Boolean =
+    session.catalog.superChain(name).exists(
+      _.name.equalsIgnoreCase(EdgeClass))
 
   private[graph] def fieldLits(fields: Seq[(String, Any)])
       : (Seq[String], Seq[SqlExpr]) =
@@ -129,6 +146,7 @@ final class GraphApi(val session: GraftSession) {
       fields: Map[String, Any] = Map.empty): EdgeRef = {
     if (!session.catalog.contains(cls))
       ensureClass(cls, Some(EdgeClass), vertex = false)
+    else require(isEdgeClass(cls), s"'$cls' is not an edge class")
     val id = nextId.getAndIncrement()
     val (fs, vs) = fieldLits(fields.toSeq)
     session.execute(InsertStmt(cls,
@@ -230,6 +248,12 @@ object GraphApi {
   /** base class names (`OGraphVertex.java:38-40`, `OGraphEdge.java`). */
   val VertexClass = "OGraphVertex"
   val EdgeClass = "OGraphEdge"
+
+  /** per-durable-root id allocators shared by every facade in the JVM
+    * (keyed on the canonical root path; in-memory sessions get a
+    * private counter). */
+  private val sharedCounters = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.atomic.AtomicLong]()
 }
 
 /** handle to one vertex document — the `OGraphVertex` shape. */

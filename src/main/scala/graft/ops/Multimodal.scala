@@ -808,8 +808,12 @@ object Multimodal {
               val ci = cId.indexOf(cs)
               if (ci < 0) return None
               order(i) = ci
-              scanDc(i) = huffDc(u8(pos + 6 + 2 * i) >> 4)
-              scanAc(i) = huffAc(u8(pos + 6 + 2 * i) & 15)
+              // Td/Ta selectors are 2-bit (T.81 B.2.3): 4..15 is a
+              // corrupt stream — undecodable, not an executor throw
+              val tdta = u8(pos + 6 + 2 * i)
+              if ((tdta >> 4) > 3 || (tdta & 15) > 3) return None
+              scanDc(i) = huffDc(tdta >> 4)
+              scanAc(i) = huffAc(tdta & 15)
               if (scanDc(i) == null || scanAc(i) == null) return None
               i += 1
             }
@@ -1108,6 +1112,10 @@ object Multimodal {
               comps(j) = cId.indexOf(u8(pos + 5 + 2 * j))
               if (comps(j) < 0) return None
               tsel(j) = u8(pos + 6 + 2 * j)
+              // 2-bit Td/Ta selectors (T.81 B.2.3); out-of-range means
+              // a corrupt stream — return None, never index past the
+              // size-4 table arrays in an executor
+              if ((tsel(j) >> 4) > 3 || (tsel(j) & 15) > 3) return None
               j += 1
             }
             val ss = u8(pos + 5 + 2 * ns)

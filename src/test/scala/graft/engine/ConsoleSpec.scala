@@ -55,6 +55,23 @@ class ConsoleSpec extends AnyFunSuite {
     assert(got.contains("Ok") || got.contains("count"))
   }
 
+  test("binary cells print a size placeholder, not the byte list") {
+    val root = tmpRoot()
+    val setup = GraftSession.openDurable(spark, root)
+    setup.command("create class Blob")
+    import spark.implicits._
+    setup.appendData("Blob",
+      Seq((1L, Array.fill[Byte](5)(42))).toDF("id", "payload"))
+    val got = run(
+      s"""connect $root
+         |select id, payload from Blob
+         |quit
+         |""".stripMargin)
+    assert(got.contains("<5 bytes>"),
+      s"expected byte-size placeholder, got:\n$got")
+    assert(!got.contains("42,42"))
+  }
+
   test("statements without a connection ask for connect") {
     val got = run("select from X\nquit\n")
     assert(got.contains("no database open"))

@@ -1,0 +1,177 @@
+package graft.engine
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+/** Byte-format compatibility with the REFERENCE exporter's whole-DB
+  * JSON dump (`ODatabaseExport.java:77-103` section layout,
+  * `ORecordSerializerJSON` record shape, the `DbImportExportTest.java`
+  * flow): a dump written by the 2010-era engine loads directly, with
+  * schema, constraints, links (navigation working), dictionary and
+  * record identity mapped onto the Spark-first model. */
+class RefDumpImportSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def fresh(): GraftSession =
+    new GraftSession(spark, new Catalog(spark))
+
+  private def write(body: String): String = {
+    val f = java.nio.file.Files.createTempFile("refdump", ".json")
+    java.nio.file.Files.write(f, body.getBytes("UTF-8"))
+    f.toString
+  }
+
+  /** the DbImportExportTest.java shape: info + clusters + schema +
+    * records (with @type/@rid/@version/@class, link fields as rid
+    * strings) + dictionary (repeated key/value attribute pairs). */
+  private val dump =
+    """{
+      | "info": {"name": "demo", "default-cluster-id": 2},
+      | "clusters": [
+      |   {"name": "internal", "id": 0, "type": "PHYSICAL"},
+      |   {"name": "city", "id": 9, "type": "PHYSICAL"},
+      |   {"name": "person", "id": 10, "type": "PHYSICAL"}
+      | ],
+      | "schema": {
+      |   "version": 4,
+      |   "classes": [
+      |     {"name": "City", "id": 0, "default-cluster-id": 9,
+      |      "cluster-ids": [9],
+      |      "properties": [
+      |        {"name": "name", "id": 0, "type": "STRING"}
+      |      ]},
+      |     {"name": "Person", "id": 1, "default-cluster-id": 10,
+      |      "cluster-ids": [10],
+      |      "properties": [
+      |        {"name": "name", "id": 0, "type": "STRING",
+      |         "min": "1", "max": "50", "index-type": "NOTUNIQUE"},
+      |        {"name": "city", "id": 1, "type": "LINK",
+      |         "linked-class": "City"},
+      |        {"name": "friends", "id": 2, "type": "LINKLIST"}
+      |      ]}
+      |   ]
+      | },
+      | "records": [
+      |  {"@type": "d", "@rid": "#9:0", "@version": 0, "@class": "City",
+      |   "name": "Rome"},
+      |  {"@type": "d", "@rid": "#9:1", "@version": 2, "@class": "City",
+      |   "name": "London"},
+      |  {"@type": "d", "@rid": "#10:0", "@version": 0,
+      |   "@class": "Person", "name": "Luca", "city": "#9:0",
+      |   "friends": ["#10:1"], "age": 33, "score": 1.5, "active": true,
+      |   "birth": "1979-09-29 10:00:00:000", "tags": {"a": 1}},
+      |  {"@type": "d", "@rid": "#10:1", "@version": 1,
+      |   "@class": "Person", "name": "Marko", "city": "#9:1",
+      |   "friends": []}
+      | ],
+      | "dictionary": {"key": "boss", "value": "#10:0",
+      |                "key": "hq", "value": "#9:0"}
+      |}""".stripMargin
+
+  test("schema, records and link navigation survive a reference dump") {
+    val g = fresh()
+    RefDumpImport.importDatabase(g, write(dump))
+
+    assert(g.query("select name from City order by name").collect()
+      .map(_.getString(0)).toSeq == Seq("London", "Rome"))
+
+    // declared LINK → dot navigation works post-import
+    assert(g.query("select city.name as cn from Person where name = 'Luca'")
+      .collect().map(_.getString(0)).toSeq == Seq("Rome"))
+
+    // undeclared LINKLIST (target inferred from the rids' cluster) →
+    // CONTAINS(condition) navigation
+    assert(g.query("select name from Person where friends contains " +
+      "(name = 'Marko')").collect().map(_.getString(0)).toSeq ==
+      Seq("Luca"))
+
+    // record identity: @rid reconstructs the dump's cluster:pos and
+    // @version carries through
+    val attrs = g.query(
+      "select @rid as r, @version as v from Person where name = 'Marko'")
+      .collect().head
+    // Marko was #10:1 in the dump: cluster 10 (Person's default
+    // cluster), position 1
+    assert(attrs.getStruct(0).toSeq.map(_.toString) == Seq("10", "1"))
+    assert(attrs.get(1).toString == "1")
+  }
+
+  test("undeclared fields infer types; embedded docs keep JSON form") {
+    val g = fresh()
+    RefDumpImport.importDatabase(g, write(dump))
+    val luca = g.query("select age, score, active, birth, tags " +
+      "from Person where name = 'Luca'").collect().head
+    assert(luca.getLong(0) == 33L)
+    assert(luca.getDouble(1) == 1.5)
+    assert(luca.getBoolean(2))
+    // DEF_DATE_FORMAT (yyyy-MM-dd HH:mm:ss:SSS) parsed as timestamp
+    assert(luca.getTimestamp(3).toInstant.toString
+      .startsWith("1979-09-29T10:00:00"))
+    assert(luca.getString(4) == "{\"a\":1}")
+  }
+
+  test("constraints, indexes and the dictionary import") {
+    val g = fresh()
+    RefDumpImport.importDatabase(g, write(dump))
+    // min/max constraint enforced on subsequent writes
+    intercept[ValidationException] {
+      g.command("insert into Person (name) values ('')")
+    }
+    assert(g.catalog.indexes.get(("person", "name")).isDefined)
+    // the registry stores class names lower-cased (same convention as
+    // graph roots — GraphApi.getRoot re-canonicalizes via the catalog)
+    assert(g.dictionary.entry("boss")
+      .exists { case (c, k) => c.equalsIgnoreCase("Person") && k == 0L })
+    assert(g.dictionary.entry("hq")
+      .exists { case (c, k) => c.equalsIgnoreCase("City") && k == 0L })
+    // dictionary dereference reaches the record
+    assert(g.dictionary.get("boss").get.collect()
+      .head.getAs[String]("name") == "Luca")
+  }
+
+  test("rid without '#' (ORecordId.generateString form) also accepted") {
+    val g = fresh()
+    val noHash = dump.replace("\"@rid\": \"#", "\"@rid\": \"")
+    RefDumpImport.importDatabase(g, write(noHash))
+    assert(g.query("select from Person").count() == 2)
+    assert(g.query("select city.name as cn from Person where name = 'Luca'")
+      .collect().map(_.getString(0)).toSeq == Seq("Rome"))
+  }
+
+  test("colliding positions across clusters of one class refuse loudly") {
+    val g = fresh()
+    val bad =
+      """{
+        | "schema": {"version": 1, "classes": [
+        |   {"name": "Multi", "id": 0, "default-cluster-id": 5,
+        |    "cluster-ids": [5, 6], "properties": [
+        |      {"name": "x", "id": 0, "type": "STRING"}]}
+        | ]},
+        | "records": [
+        |  {"@type": "d", "@rid": "#5:0", "@version": 0,
+        |   "@class": "Multi", "x": "a"},
+        |  {"@type": "d", "@rid": "#6:0", "@version": 0,
+        |   "@class": "Multi", "x": "b"}
+        | ]
+        |}""".stripMargin
+    val e = intercept[IllegalArgumentException] {
+      RefDumpImport.importDatabase(g, write(bad))
+    }
+    assert(e.getMessage.contains("colliding record positions"))
+  }
+
+  test("own-format export/import round trip is unchanged") {
+    // regression guard: the reference-format path must not disturb the
+    // existing manifest-based pipeline (gate qd_export_import)
+    val g = fresh()
+    g.command("create class T")
+    g.command("insert into T (a) values (7)")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-own-export").toString
+    JsonTools.exportDatabase(g, dir)
+    val g2 = fresh()
+    JsonTools.importDatabase(g2, dir)
+    assert(g2.query("select a from T").collect()
+      .map(_.getLong(0)).toSeq == Seq(7L))
+  }
+}

@@ -242,6 +242,32 @@ class TransactionSpec extends AnyFunSuite {
       .map(_.getLong(0)).toSeq == Seq(2L, 3L))
   }
 
+  test("record-level opt-in: non-numeric key refuses rebase loudly") {
+    // a key that casts to null would null-out every __k in the rebase's
+    // change detection: joins never match on null, collide is vacuously
+    // false and the merge resolves to the WINNER's frame — this tx's
+    // writes silently dropped. The rebase must detect the null keys and
+    // fall through to the loud conflict path instead.
+    val root = tmpRoot("recnullkey")
+    val setup = GraftSession.openDurable(spark, root)
+    setup.command("create class Acc")
+    setup.command("insert into Acc (code, bal) values ('a', 100)")
+    setup.command("insert into Acc (code, bal) values ('b', 200)")
+    setup.catalog.setRidPosCol("Acc", "code")
+    val g1 = GraftSession.openDurable(spark, root)
+    val g2 = GraftSession.openDurable(spark, root)
+    g1.setRecordLevelConflicts(true); g2.setRecordLevelConflicts(true)
+    g1.begin(); g2.begin()
+    g1.command("update Acc set bal = 150 where code = 'a'")
+    g2.command("update Acc set bal = 999 where code = 'b'")
+    g1.commit()
+    intercept[java.util.ConcurrentModificationException](g2.commit())
+    g2.rollback()
+    val fresh = GraftSession.openDurable(spark, root)
+    assert(fresh.query("select bal from Acc order by code").collect()
+      .map(_.getLong(0)).toSeq == Seq(150L, 200L))
+  }
+
   test("record-level opt-in: unkeyed class keeps class-granular check") {
     val root = tmpRoot("reckeyless")
     val setup = GraftSession.openDurable(spark, root)

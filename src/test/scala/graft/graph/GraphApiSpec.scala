@@ -128,6 +128,31 @@ class GraphApiSpec extends AnyFunSuite {
     }
   }
 
+  test("two facades on one durable root never allocate colliding ids") {
+    // r12 ADVICE: a per-facade allocator seeded once collides across
+    // sessions on the same store — durable roots must share a counter
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-graphapi").toString
+    val api1 = new GraphApi(GraftSession.openDurable(spark, root))
+    val api2 = new GraphApi(GraftSession.openDurable(spark, root))
+    val ids = (1 to 4).flatMap(_ =>
+      Seq(api1.createVertex().id, api2.createVertex().id))
+    assert(ids.distinct.length == ids.length,
+      s"colliding ids across facades: $ids")
+  }
+
+  test("createEdge rejects a vertex class (and vice versa)") {
+    val g = fresh()
+    val api = new GraphApi(g)
+    g.command(s"create class VKind extends ${GraphApi.VertexClass}")
+    g.command(s"create class EKind extends ${GraphApi.EdgeClass}")
+    val a = api.createVertex(); val b = api.createVertex()
+    intercept[IllegalArgumentException] {
+      api.createEdge(a, b, "VKind")
+    }
+    intercept[IllegalArgumentException] { api.createVertex("EKind") }
+  }
+
   test("facade keys continue past existing ids on reopen") {
     val g = fresh()
     val api1 = new GraphApi(g)

@@ -887,6 +887,31 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.jpegPixels("not a jpeg".getBytes).isEmpty)
   }
 
+  test("corrupt Huffman selectors (Td/Ta 4-15) return None, never throw") {
+    // T.81 B.2.3: table selectors are 2-bit. A corrupt/adversarial
+    // stream with 4-15 must be UNDECODABLE (None), not an
+    // ArrayIndexOutOfBounds that kills the executor job (r12 ADVICE)
+    val g = Array.fill(64)(100)
+    def patchSos(b: Array[Byte], sel: Int, last: Boolean = false) = {
+      val out = b.clone()
+      val hits = (0 until out.length - 1).filter(i =>
+        (out(i) & 0xff) == 0xff && (out(i + 1) & 0xff) == 0xda)
+      val sosAt = if (last) hits.last else hits.head
+      out(sosAt + 6) = sel.toByte // first scan component's Td/Ta byte
+      out
+    }
+    val base = Multimodal.encodeJpegGray(8, 8, g)
+    assert(Multimodal.jpegPixels(patchSos(base, 0x44)).isEmpty)
+    assert(Multimodal.jpegPixels(patchSos(base, 0x04)).isEmpty)
+    val prog = Multimodal.encodeJpegProgGray(8, 8, g)
+    assert(Multimodal.jpegPixels(patchSos(prog, 0x40)).isEmpty) // DC sel 4
+    assert(Multimodal.jpegPixels(
+      patchSos(prog, 0x0f, last = true)).isEmpty) // AC scan, Ta=15
+    // unpatched controls still decode
+    assert(Multimodal.jpegPixels(base).isDefined)
+    assert(Multimodal.jpegPixels(prog).isDefined)
+  }
+
   test("progressive JPEG: flat-block identity and baseline equivalence") {
     // flat blocks: DC first + refinement reassemble the exact DC, the
     // all-EOB AC scans leave AC zero — decode ∘ encode is the identity
