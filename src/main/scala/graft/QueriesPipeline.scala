@@ -185,12 +185,69 @@ object QueriesPipeline {
     * DC-only grayscale JPEG (id % 4 = 1, with a restart interval —
     * RSTn coverage on the gate path), a 72×64 4:2:0 YCbCr JPEG
     * (id % 4 = 2, chroma derived from the id and discarded by the
-    * luma-only decode), or a 9×8 palette PNG (id % 4 = 3, r11b —
-    * the PLTE decode path on the gate). dHash samples block top-lefts
+    * luma-only decode), a 9×8 palette PNG (id % 4 = 3, r11b —
+    * the PLTE decode path on the gate), an ImageIO-encoded baseline
+    * gray JPEG (id % 16 = 2, r13 — the JDK's INDEPENDENT encoder, so
+    * a matched bug in the repo's own writer halves cannot hide;
+    * block-constant cells decode to per-cell-value constants, so the
+    * strict-> dHash replays the pattern exactly), or an ImageIO
+    * Adam7-INTERLACED gray PNG (id % 8 = 7, r13 — lossless, exact).
+    * dHash samples block top-lefts
     * (sy = 8r, sx = 8c on a 72×64 grid; identity at 9×8), so every
     * format hashes identically to the 9×8 pattern and pairing is
     * format-blind — which is exactly what the oracle (pattern replay)
     * asserts. */
+  /** ImageIO (the JDK's independent codec implementation) writer
+    * halves for the r13 gate members — a SECOND encoder so the gates
+    * stop being self-referential (r12 VERDICT "what's wrong" #1).
+    * Gray images go through raw raster samples: TYPE_BYTE_GRAY's
+    * setRGB would gamma-convert through sRGB. */
+  private def imageIoGray(w: Int, h: Int,
+      gray: Array[Int]): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var i = 0
+    while (i < gray.length) {
+      raster.setSample(i % w, i / w, 0, gray(i))
+      i += 1
+    }
+    img
+  }
+
+  private[graft] def imageIoJpegGray(w: Int, h: Int,
+      gray: Array[Int]): Array[Byte] = {
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("jpeg").next()
+    val params = writer.getDefaultWriteParam
+    params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    params.setCompressionQuality(0.95f)
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    writer.setOutput(out)
+    writer.write(null,
+      new javax.imageio.IIOImage(imageIoGray(w, h, gray), null, null),
+      params)
+    out.flush(); writer.dispose()
+    bos.toByteArray
+  }
+
+  private[graft] def imageIoPngAdam7Gray(w: Int, h: Int,
+      gray: Array[Int]): Array[Byte] = {
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("png").next()
+    val params = writer.getDefaultWriteParam
+    params.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    writer.setOutput(out)
+    writer.write(null,
+      new javax.imageio.IIOImage(imageIoGray(w, h, gray), null, null),
+      params)
+    out.flush(); writer.dispose()
+    bos.toByteArray
+  }
+
   private[graft] def jpegMedia(s: SparkSession, dir: String): DataFrame =
       cachedMedia(s, s"jph:$dir") {
     val groups = phGroupsFor(docs(s, dir).count())
@@ -200,7 +257,10 @@ object QueriesPipeline {
         phashLuma("jph", groups, id, i / 9, i % 9))
       val payload = (id % 4) match {
         case 0 => Multimodal.encodeBmp24(9, 8, pat)
-        case 3 => Multimodal.encodePngPal(9, 8, pat) // r11b: palette PNG
+        case 3 =>
+          if (id % 8 == 7) // r13: INTERLACED member — ImageIO Adam7 PNG
+            imageIoPngAdam7Gray(9, 8, pat)
+          else Multimodal.encodePngPal(9, 8, pat) // r11b: palette PNG
         case _ =>
           val up = Array.tabulate(72 * 64) { i =>
             val y = i / 72; val x = i % 72
@@ -211,6 +271,13 @@ object QueriesPipeline {
               restartInterval = 1 + (id % 7).toInt)
           else if (id % 8 == 6) // r12: PROGRESSIVE member, same pattern
             Multimodal.encodeJpegProgGray(72, 64, up)
+          else if (id % 16 == 2) // r13: INDEPENDENT-ENCODER member —
+            // ImageIO baseline JPEG. Block-constant cells decode to a
+            // per-cell-value constant (JPEG is block-local), so dHash's
+            // strict > comparisons replay the pattern exactly and the
+            // oracle stays format-blind; a decoder bug that shifts
+            // blocks breaks the gate, which is the point.
+            imageIoJpegGray(72, 64, up)
           else Multimodal.encodeJpegYcc420(72, 64, up,
             cb = (id % 256).toInt, cr = ((id * 7) % 256).toInt)
       }

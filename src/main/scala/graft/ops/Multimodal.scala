@@ -157,9 +157,11 @@ object Multimodal {
     * chunks, inflate, undo the per-scanline byte filters (None/Sub/
     * Up/Average/Paeth, RFC 2083 §6.2-6.6), then the same integer
     * Rec.601 luma as [[bmpPixels]]. Alpha bytes are skipped (luma of
-    * the stored RGB). None for 16-bit/sub-byte-depth/interlaced
-    * flavors and any truncated or corrupt stream — those keep the
-    * header-only (dims-correct) fallback. */
+    * the stored RGB). Adam7-interlaced streams decode too (r13 — the
+    * seven reduced images of RFC 2083 §8.2, each independently
+    * filtered, merged by pass geometry). None for 16-bit/sub-byte-
+    * depth flavors and any truncated or corrupt stream — those keep
+    * the header-only (dims-correct) fallback. */
   def pngPixels(payload: Array[Byte]): Option[(Int, Int, Array[Int])] = {
     def u8(i: Int): Int = payload(i) & 0xff
     def be32(i: Int): Int =
@@ -172,7 +174,8 @@ object Multimodal {
     val w = be32(16); val h = be32(20)
     val bitDepth = u8(24); val colorType = u8(25); val interlace = u8(28)
     if (w <= 0 || h <= 0 || bitDepth != 8 ||
-      !Set(0, 2, 3, 6).contains(colorType) || interlace != 0) return None
+      !Set(0, 2, 3, 6).contains(colorType) ||
+      (interlace != 0 && interlace != 1)) return None
     if (w.toLong * h > 100000000L) return None // malformed-dims guard
     val bpp = colorType match {
       case 0 | 3 => 1
@@ -204,9 +207,25 @@ object Multimodal {
     }
     if (idat.size() == 0) return None
     if (colorType == 3 && palette == null) return None
-    // inflate to exactly (1 filter byte + w*bpp) per scanline
-    val stride = w * bpp
-    val raw = new Array[Byte]((1 + stride) * h)
+    // passes: sequential (one full-size pass) or Adam7 (RFC 2083 §8.2
+    // — seven reduced images, EACH independently filtered; empty
+    // reduced images contribute no bytes). Each tuple is
+    // (xStart, yStart, xStep, yStep, passW, passH).
+    val passes: Seq[(Int, Int, Int, Int, Int, Int)] =
+      (if (interlace == 0) Seq((0, 0, 1, 1))
+       else Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+         (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)))
+        .map { case (xs, ys, xStep, yStep) =>
+          val pw = if (w > xs) (w - xs + xStep - 1) / xStep else 0
+          val ph = if (h > ys) (h - ys + yStep - 1) / yStep else 0
+          (xs, ys, xStep, yStep, pw, ph)
+        }
+        .filter { case (_, _, _, _, pw, ph) => pw > 0 && ph > 0 }
+    val rawLen = passes.map { case (_, _, _, _, pw, ph) =>
+      (1L + pw.toLong * bpp) * ph
+    }.sum
+    if (rawLen > Int.MaxValue / 2) return None
+    val raw = new Array[Byte](rawLen.toInt)
     val inf = new java.util.zip.Inflater()
     inf.setInput(idat.toByteArray)
     var off = 0
@@ -222,55 +241,60 @@ object Multimodal {
     } finally inf.end()
     if (off < raw.length) return None
     // per-scanline unfilter (RFC 2083 §6): a,b,c are the RECONSTRUCTED
-    // left / up / up-left bytes at the same sample offset
+    // left / up / up-left bytes at the same sample offset, WITHIN the
+    // current (reduced) image
     val px = new Array[Int](w * h)
-    val prev = new Array[Int](stride)
-    val cur = new Array[Int](stride)
     var p = 0
-    var y = 0
-    while (y < h) {
-      val ft = raw(p) & 0xff
-      p += 1
-      var x = 0
-      while (x < stride) {
-        val rv = raw(p + x) & 0xff
-        val a = if (x >= bpp) cur(x - bpp) else 0
-        val b = prev(x)
-        val rec = ft match {
-          case 0 => rv
-          case 1 => (rv + a) & 0xff
-          case 2 => (rv + b) & 0xff
-          case 3 => (rv + ((a + b) >> 1)) & 0xff
-          case 4 =>
-            val c = if (x >= bpp) prev(x - bpp) else 0
-            val pp = a + b - c
-            val pa = math.abs(pp - a)
-            val pb = math.abs(pp - b)
-            val pc = math.abs(pp - c)
-            val pred = if (pa <= pb && pa <= pc) a
-              else if (pb <= pc) b else c
-            (rv + pred) & 0xff
-          case _ => return None
+    passes.foreach { case (xs, ys, xStep, yStep, pw, ph) =>
+      val stride = pw * bpp
+      val prev = new Array[Int](stride)
+      val cur = new Array[Int](stride)
+      java.util.Arrays.fill(prev, 0)
+      var y = 0
+      while (y < ph) {
+        val ft = raw(p) & 0xff
+        p += 1
+        var x = 0
+        while (x < stride) {
+          val rv = raw(p + x) & 0xff
+          val a = if (x >= bpp) cur(x - bpp) else 0
+          val b = prev(x)
+          val rec = ft match {
+            case 0 => rv
+            case 1 => (rv + a) & 0xff
+            case 2 => (rv + b) & 0xff
+            case 3 => (rv + ((a + b) >> 1)) & 0xff
+            case 4 =>
+              val c = if (x >= bpp) prev(x - bpp) else 0
+              val pp = a + b - c
+              val pa = math.abs(pp - a)
+              val pb = math.abs(pp - b)
+              val pc = math.abs(pp - c)
+              val pred = if (pa <= pb && pa <= pc) a
+                else if (pb <= pc) b else c
+              (rv + pred) & 0xff
+            case _ => return None
+          }
+          cur(x) = rec
+          x += 1
         }
-        cur(x) = rec
-        x += 1
-      }
-      p += stride
-      var xx = 0
-      while (xx < w) {
-        val o = xx * bpp
-        px(y * w + xx) = colorType match {
-          case 0 => cur(o) // gray sample IS the Rec.601 luma
-          case 3 =>
-            if (cur(o) >= palette.length) return None
-            palette(cur(o))
-          case _ =>
-            (299 * cur(o) + 587 * cur(o + 1) + 114 * cur(o + 2)) / 1000
+        p += stride
+        var xx = 0
+        while (xx < pw) {
+          val o = xx * bpp
+          px((ys + y * yStep) * w + xs + xx * xStep) = colorType match {
+            case 0 => cur(o) // gray sample IS the Rec.601 luma
+            case 3 =>
+              if (cur(o) >= palette.length) return None
+              palette(cur(o))
+            case _ =>
+              (299 * cur(o) + 587 * cur(o + 1) + 114 * cur(o + 2)) / 1000
+          }
+          xx += 1
         }
-        xx += 1
+        System.arraycopy(cur, 0, prev, 0, stride)
+        y += 1
       }
-      System.arraycopy(cur, 0, prev, 0, stride)
-      y += 1
     }
     Some((w, h, px))
   }
@@ -407,8 +431,8 @@ object Multimodal {
             table = lumaTable(pos, entries)
             pos += 3 * entries
           }
-          if (table == null || w <= 0 || h <= 0 || (ip & 0x40) != 0)
-            return None // no palette / empty / interlaced
+          if (table == null || w <= 0 || h <= 0)
+            return None // no palette / empty
           if (w.toLong * h > 100000000L) return None
           if (pos >= n) return None
           val minCode = u8(pos)
@@ -431,7 +455,29 @@ object Multimodal {
             out(i) = table(idx(i))
             i += 1
           }
-          frames += ((w, h, out))
+          // interlaced frame (r13): the stream stores rows in the four
+          // GIF89a Appendix-E passes (0+8, 4+8, 2+4, 1+2) — reorder to
+          // top-down. ImageIO's GIF writer interlaces by default, so
+          // this is a mainstream decode path, not an exotic one.
+          val rows =
+            if ((ip & 0x40) == 0) out
+            else {
+              val deint = new Array[Int](w * h)
+              var src = 0
+              var p = 0
+              val passes = Array((0, 8), (4, 8), (2, 4), (1, 2))
+              while (p < 4) {
+                var row = passes(p)._1
+                while (row < h) {
+                  System.arraycopy(out, src * w, deint, row * w, w)
+                  src += 1
+                  row += passes(p)._2
+                }
+                p += 1
+              }
+              deint
+            }
+          frames += ((w, h, rows))
           count += 1
         case 0x3b => // trailer
           pos = n

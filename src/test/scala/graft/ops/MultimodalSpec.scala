@@ -595,10 +595,16 @@ class MultimodalSpec extends AnyFunSuite {
     // GIF87a signature decodes too
     val g87 = gif.clone(); g87(4) = '7'.toByte
     assert(Multimodal.gifPixels(g87).get._3.toSeq == idx.map(lu).toSeq)
-    // interlaced and truncated flavors fall back to header-only
-    val inter = mkGif(4, 4, pal, idx, minCode = 2, interlace = true)
-    assert(Multimodal.gifPixels(inter).isEmpty)
-    assert(Multimodal.decodeMedia(inter, 2)._1 == 4) // dims still real
+    // interlaced frames decode (r13): a genuinely pass-ordered stream
+    // (GIF89a Appendix E; for h=4 the passes store rows 0, 2, 1, 3)
+    // must come back TOP-DOWN
+    val passOrdered = Array(0, 2, 1, 3).flatMap(r =>
+      idx.slice(r * 4, r * 4 + 4))
+    val inter = mkGif(4, 4, pal, passOrdered, minCode = 2,
+      interlace = true)
+    assert(Multimodal.gifPixels(inter).get._3.toSeq == idx.map(lu).toSeq,
+      "interlaced rows must be reordered to top-down")
+    assert(Multimodal.decodeMedia(inter, 2)._1 == 4)
     val trunc = java.util.Arrays.copyOf(gif, gif.length - 6)
     assert(Multimodal.gifPixels(trunc).isEmpty)
     // ANIMATED: two image descriptors spliced into one stream —
