@@ -1,0 +1,315 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+/** SEMANTIC DIFFERENTIAL FUZZING of the dialect (r12 VERDICT task #3):
+  * the 309 driver gates are hand-written, so they only cover the
+  * operator combinations someone thought to write. This spec GENERATES
+  * seeded random well-typed dialect queries over the sf0.001 fixture
+  * schema — WHERE trees (comparisons / IN / LIKE / MATCHES / NOT /
+  * AND / OR) with bounded depth, plain and computed projections
+  * (chains), ORDER BY + LIMIT, aggregates — together with their
+  * ANSI-SQL translations, and checks the dialect engine against Spark
+  * SQL running the translation over temp views of the SAME tables.
+  *
+  * The two paths share only the execution backend: the dialect goes
+  * through this repo's hand-written `Parser` + `Translator` (AST →
+  * Column trees), the reference result through Spark's own SQL parser
+  * and analyzer — an independent front-end, which is what makes the
+  * differential meaningful (the DuckDB oracle only sees the queries a
+  * human wrote; this sees ~200 nobody did). Any divergence found gets
+  * SHRUNK (subtree replacement) to a minimal failing query before the
+  * assertion fires, and should then be pinned as a regression gate.
+  *
+  * Dialect semantics deliberately NOT fuzzed (documented deviations
+  * where the dialect differs from ANSI by design): LIKE's `_` is a
+  * literal in the dialect (patterns here use `%` only, where both
+  * agree); MATCHES anchors the whole string (translated to an
+  * anchored rlike).
+  */
+class DialectDifferentialSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val g = GraftSession.forTestdata(spark, dir)
+
+  // ------------------------------------------------- fixture schema
+  private sealed trait Kind
+  private case object Num extends Kind
+  private case object Str extends Kind
+
+  private case class Table(name: String, pk: String,
+      fields: Seq[(String, Kind)])
+
+  private val tables = Seq(
+    Table("customer", "c_custkey", Seq(
+      "c_custkey" -> Num, "c_name" -> Str, "c_nationkey" -> Num,
+      "c_acctbal" -> Num, "c_mktsegment" -> Str)),
+    Table("orders", "o_orderkey", Seq(
+      "o_orderkey" -> Num, "o_custkey" -> Num, "o_orderstatus" -> Str,
+      "o_totalprice" -> Num, "o_orderpriority" -> Str)),
+    Table("part", "p_partkey", Seq(
+      "p_partkey" -> Num, "p_name" -> Str, "p_brand" -> Str,
+      "p_type" -> Str, "p_size" -> Num, "p_retailprice" -> Num)))
+
+  /** per-column literal pools sampled once from the REAL data (so
+    * comparisons hit rows); deterministic: distinct + sorted + take. */
+  private lazy val pools: Map[(String, String), Seq[String]] = {
+    tables.flatMap { t =>
+      val df = spark.read.parquet(s"$dir/${t.name}.parquet")
+      df.createOrReplaceTempView(t.name) // the Spark-SQL side's view
+      t.fields.map { case (f, kind) =>
+        val vs = df.select(f).distinct().limit(500).collect()
+          .map(_.get(0)).filter(_ != null).map(_.toString).sorted.take(24)
+        (t.name, f) -> (kind match {
+          case Str => vs.toSeq
+          case Num => vs.toSeq // numeric strings round-trip as text
+        })
+      }
+    }.toMap
+  }
+
+  // -------------------------------------------- condition generator
+  /** a generated condition, rendered for both engines. */
+  private case class Cond(dialect: String, sql: String,
+      children: Seq[Cond] = Nil, op: String = "leaf")
+
+  private def lit(kind: Kind, v: String): String = kind match {
+    case Num => v
+    case Str => "'" + v + "'"
+  }
+
+  private def leaf(rng: scala.util.Random, t: Table): Cond = {
+    val (f, kind) = t.fields(rng.nextInt(t.fields.length))
+    val pool = pools((t.name, f))
+    def pick() = pool(rng.nextInt(pool.length))
+    rng.nextInt(10) match {
+      case 0 | 1 | 2 => // comparison
+        val cmp = Seq("=", "<>", ">", ">=", "<", "<=")(rng.nextInt(6))
+        val v = lit(kind, pick())
+        Cond(s"$f $cmp $v", s"$f $cmp $v")
+      case 3 | 4 => // IN — the dialect's collection literal is the
+        // reference's `[...]` (OStringSerializerHelper.COLLECTION_BEGIN
+        // = '['; `in (...)` is NOT reference syntax), ANSI wants `(…)`
+        val vs = Seq.fill(1 + rng.nextInt(3))(pick()).distinct
+          .map(lit(kind, _)).mkString(", ")
+        Cond(s"$f in [$vs]", s"$f IN ($vs)")
+      case 5 if kind == Str => // LIKE, %-only (dialect `_` is literal)
+        val v = pick()
+        val pat =
+          if (rng.nextBoolean()) v.take(1 + rng.nextInt(
+            math.max(1, v.length))) + "%"
+          else "%" + v.slice(1, 1 + rng.nextInt(math.max(1, v.length)))
+        Cond(s"$f like '$pat'", s"$f LIKE '$pat'")
+      case 6 if kind == Str => // MATCHES (whole-string anchors)
+        val v = pick()
+        val prefix = v.takeWhile(_.isLetterOrDigit)
+          .take(1 + rng.nextInt(4))
+        Cond(s"$f matches '$prefix.*'",
+          s"$f RLIKE '^(?:$prefix.*)$$'")
+      case 7 => // IS [NOT] NULL (fixture has no nulls — trivial legs
+        // still check the translation doesn't invert)
+        if (rng.nextBoolean()) Cond(s"$f is null", s"$f IS NULL")
+        else Cond(s"$f is not null", s"$f IS NOT NULL")
+      case _ if kind == Str => // chain method in WHERE
+        val n = 1 + rng.nextInt(9)
+        Cond(s"$f.length() > $n", s"length($f) > $n")
+      case _ =>
+        val cmp = Seq(">", "<=")(rng.nextInt(2))
+        val v = lit(kind, pick())
+        Cond(s"$f $cmp $v", s"$f $cmp $v")
+    }
+  }
+
+  private def genCond(rng: scala.util.Random, t: Table,
+      depth: Int): Cond = {
+    if (depth == 0 || rng.nextInt(3) == 0) leaf(rng, t)
+    else rng.nextInt(5) match {
+      case 0 =>
+        val c = genCond(rng, t, depth - 1)
+        Cond(s"not (${c.dialect})", s"NOT (${c.sql})", Seq(c), "not")
+      case 1 | 2 =>
+        val l = genCond(rng, t, depth - 1)
+        val r = genCond(rng, t, depth - 1)
+        Cond(s"(${l.dialect}) and (${r.dialect})",
+          s"(${l.sql}) AND (${r.sql})", Seq(l, r), "and")
+      case _ =>
+        val l = genCond(rng, t, depth - 1)
+        val r = genCond(rng, t, depth - 1)
+        Cond(s"(${l.dialect}) or (${r.dialect})",
+          s"(${l.sql}) OR (${r.sql})", Seq(l, r), "or")
+    }
+  }
+
+  // ------------------------------------------------------- queries
+  private case class GenQuery(dialect: String, sql: String,
+      ordered: Boolean, cond: Option[Cond], rebuild: Option[Cond] => (String, String))
+
+  /** random projections EXCLUDING the pk (the ordered-query shape
+    * prepends it; a duplicate column would hit the dialect's
+    * documented auto-`name2` numbering, which diverges from ANSI by
+    * design — DialectSpec pins that behavior separately). */
+  private def projections(rng: scala.util.Random,
+      t: Table): (String, String) = {
+    val base = rng.shuffle(t.fields.filterNot(_._1 == t.pk))
+      .take(1 + rng.nextInt(3)).map(_._1)
+    val strCol = t.fields.collect { case (f, Str) => f }
+    val computed: Seq[(String, String)] =
+      if (strCol.nonEmpty && rng.nextBoolean()) {
+        val f = strCol(rng.nextInt(strCol.length))
+        rng.nextInt(3) match {
+          case 0 => Seq((s"$f.toUpperCase() as up_c", s"upper($f) AS up_c"))
+          case 1 => Seq((s"$f.length() as len_c", s"length($f) AS len_c"))
+          case _ => Seq((s"$f.left(3) as l3_c", s"substring($f, 1, 3) AS l3_c"))
+        }
+      } else Nil
+    ((base ++ computed.map(_._1)).mkString(", "),
+      (base ++ computed.map(_._2)).mkString(", "))
+  }
+
+  private def genQuery(rng: scala.util.Random): GenQuery = {
+    val t = tables(rng.nextInt(tables.length))
+    rng.nextInt(10) match {
+      case 0 | 1 => // aggregate over a filtered scan
+        val numF = {
+          val nums = t.fields.collect { case (f, Num) => f }
+          nums(rng.nextInt(nums.length))
+        }
+        val c = genCond(rng, t, 2)
+        def build(co: Option[Cond]) = {
+          val wd = co.map(x => s" where ${x.dialect}").getOrElse("")
+          val ws = co.map(x => s" WHERE ${x.sql}").getOrElse("")
+          (s"select count() as n, max($numF) as mx, min($numF) as mn " +
+            s"from ${t.name}$wd",
+            s"SELECT count(*) AS n, max($numF) AS mx, min($numF) AS mn " +
+              s"FROM ${t.name}$ws")
+        }
+        val (d, s) = build(Some(c))
+        GenQuery(d, s, ordered = false, Some(c), build)
+      case 2 | 3 => // ORDER BY pk + LIMIT (deterministic total order)
+        val (pd, ps) = projections(rng, t)
+        val dirn = if (rng.nextBoolean()) "asc" else "desc"
+        val k = 1 + rng.nextInt(12)
+        val c = genCond(rng, t, 2)
+        def build(co: Option[Cond]) = {
+          val wd = co.map(x => s" where ${x.dialect}").getOrElse("")
+          val ws = co.map(x => s" WHERE ${x.sql}").getOrElse("")
+          (s"select ${t.pk}, $pd from ${t.name}$wd " +
+            s"order by ${t.pk} $dirn limit $k",
+            s"SELECT ${t.pk}, $ps FROM ${t.name}$ws " +
+              s"ORDER BY ${t.pk} $dirn LIMIT $k")
+        }
+        val (d, s) = build(Some(c))
+        GenQuery(d, s, ordered = true, Some(c), build)
+      case _ => // plain filtered projection (multiset compare)
+        val (pd, ps) = projections(rng, t)
+        val c = genCond(rng, t, 3)
+        def build(co: Option[Cond]) = {
+          val wd = co.map(x => s" where ${x.dialect}").getOrElse("")
+          val ws = co.map(x => s" WHERE ${x.sql}").getOrElse("")
+          (s"select $pd from ${t.name}$wd",
+            s"SELECT $ps FROM ${t.name}$ws")
+        }
+        val (d, s) = build(Some(c))
+        GenQuery(d, s, ordered = false, Some(c), build)
+    }
+  }
+
+  // ------------------------------------------------------ compare
+  /** canonical cell: numbers compared with relative tolerance (double
+    * aggregation order may differ), everything else as text. */
+  private def cellsEqual(a: Any, b: Any): Boolean = (a, b) match {
+    case (null, null) => true
+    case (null, _) | (_, null) => false
+    case (x: java.lang.Number, y: java.lang.Number) =>
+      val (dx, dy) = (x.doubleValue, y.doubleValue)
+      dx == dy || math.abs(dx - dy) <=
+        1e-9 * math.max(1.0, math.max(math.abs(dx), math.abs(dy)))
+    case (x, y) => x.toString == y.toString
+  }
+
+  private def sortKey(r: Row): String = r.toSeq.map {
+    case null => " "
+    case d: java.lang.Double => f"${d.doubleValue}%.6f"
+    case f: java.lang.Float => f"${f.doubleValue}%.6f"
+    case v => v.toString
+  }.mkString("|")
+
+  /** None when equal, Some(description) when diverging. */
+  private def diff(mine: DataFrame, ref: DataFrame,
+      ordered: Boolean): Option[String] = {
+    val mCols = mine.columns.toSeq
+    val rCols = ref.columns.toSeq
+    if (mCols.map(_.toLowerCase) != rCols.map(_.toLowerCase))
+      return Some(s"schema: $mCols vs $rCols")
+    // align column ORDER by name for the compare
+    val order = rCols.sortBy(_.toLowerCase)
+    val m0 = mine.select(order.head, order.tail: _*).collect().toSeq
+    val r0 = ref.select(order.head, order.tail: _*).collect().toSeq
+    if (m0.length != r0.length)
+      return Some(s"rows: ${m0.length} vs ${r0.length}")
+    val (ms, rs) =
+      if (ordered) (m0, r0)
+      else (m0.sortBy(sortKey), r0.sortBy(sortKey))
+    ms.zip(rs).zipWithIndex.collectFirst {
+      case ((mr, rr), i)
+          if !mr.toSeq.zip(rr.toSeq).forall((cellsEqual _).tupled) =>
+        s"row $i: $mr vs $rr"
+    }
+  }
+
+  private def check(d: String, s: String,
+      ordered: Boolean): Option[String] =
+    try diff(g.query(d), spark.sql(s), ordered)
+    catch {
+      case e: Exception =>
+        Some(s"exception: ${e.getClass.getSimpleName}: ${e.getMessage}")
+    }
+
+  /** shrink a failing WHERE tree: try each subtree replacement that
+    * still fails, recurse; returns the minimal failing (dialect, sql,
+    * reason). Bounded by the tree size (each step strictly shrinks). */
+  private def shrink(q: GenQuery, reason: String): (String, String, String) = {
+    var cur = q.cond
+    var best = (q.dialect, q.sql, reason)
+    var progress = true
+    var budget = 40
+    while (progress && budget > 0) {
+      progress = false
+      val candidates: Seq[Option[Cond]] =
+        cur.toSeq.flatMap(_.children.map(Some(_))) :+ None
+      candidates.foreach { cand =>
+        if (!progress && budget > 0 && cand != cur) {
+          val (d, s) = q.rebuild(cand)
+          budget -= 1
+          check(d, s, q.ordered).foreach { r =>
+            cur = cand
+            best = (d, s, r)
+            progress = true
+          }
+        }
+      }
+    }
+    best
+  }
+
+  test("~200 seeded random dialect queries match Spark SQL") {
+    pools // force view registration
+    val rng = new scala.util.Random(20260816L)
+    val failures = scala.collection.mutable.ListBuffer[String]()
+    var run = 0
+    while (run < 200 && failures.length < 3) {
+      val q = genQuery(rng)
+      check(q.dialect, q.sql, q.ordered).foreach { reason =>
+        val (md, ms, mr) = shrink(q, reason)
+        failures += s"[$run] MINIMAL dialect: $md\n      sql: $ms\n      $mr" +
+          s"\n      (original: ${q.dialect})"
+      }
+      run += 1
+    }
+    assert(failures.isEmpty,
+      s"\n${failures.length} divergence(s) after $run queries:\n" +
+        failures.mkString("\n\n"))
+  }
+}
