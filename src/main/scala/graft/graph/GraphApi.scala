@@ -206,6 +206,77 @@ final class GraphApi(val session: GraftSession) {
     session.execute(DeleteStmt(v.cls, Some(idEq(v.id))))
   }
 
+  /** BULK graph load (r13): build facade-compatible vertex/edge
+    * classes from plain DataFrames in THREE distributed steps (one
+    * aggregation + two appendData calls), so ported reference code
+    * gets a large graph without 2·|E| per-call catalog rewrites.
+    *
+    *  - `vertices` needs an `id` column (long-castable) + any property
+    *    columns; `edges` needs `out` and `in` (source/destination
+    *    vertex ids) + properties, with an optional `id` (synthesized
+    *    collision-free when absent — ids are then unique but not
+    *    consecutive, the standard distributed-assignment contract).
+    *  - inEdges/outEdges arrays come from ONE set-oriented aggregation
+    *    per direction (sort_array(collect_list) grouped by endpoint —
+    *    deterministic order by edge id, never a per-vertex loop).
+    *  - the loaded graph serves `outIterator` / dot-navigation /
+    *    TRAVERSE identically to a call-built one: same document shape,
+    *    same LinkSpecs (registered by [[ensureClass]]).
+    *
+    * Scale posture: everything is DataFrame-level (the aggregation
+    * shuffles on the endpoint key once per direction); the facade's
+    * id allocator is advanced past the loaded ids at the end. */
+  def loadGraph(vertices: DataFrame, edges: DataFrame,
+      vertexCls: String = VertexClass,
+      edgeCls: String = EdgeClass): GraphApi = {
+    require(vertices.columns.exists(_.equalsIgnoreCase("id")),
+      "vertices need an `id` column")
+    require(edges.columns.exists(_.equalsIgnoreCase("out")) &&
+      edges.columns.exists(_.equalsIgnoreCase("in")),
+      "edges need `out` and `in` columns")
+    if (!session.catalog.contains(vertexCls))
+      ensureClass(vertexCls, Some(VertexClass).filterNot(
+        _.equalsIgnoreCase(vertexCls)), vertex = true)
+    else require(isVertexClass(vertexCls),
+      s"'$vertexCls' is not a vertex class")
+    if (!session.catalog.contains(edgeCls))
+      ensureClass(edgeCls, Some(EdgeClass).filterNot(
+        _.equalsIgnoreCase(edgeCls)), vertex = false)
+    else require(isEdgeClass(edgeCls), s"'$edgeCls' is not an edge class")
+
+    val base = nextId.get()
+    val e0 =
+      if (edges.columns.exists(_.equalsIgnoreCase("id")))
+        edges.withColumn("id", col("id").cast("long"))
+      else edges.withColumn("id",
+        monotonically_increasing_id() + lit(base))
+    val e = e0.withColumn("out", col("out").cast("long"))
+      .withColumn("in", col("in").cast("long"))
+      .localCheckpoint() // synthesized ids must not re-derive per read
+    val outLists = e.groupBy(col("out").as("__vid"))
+      .agg(sort_array(collect_list(struct(col("id"), col("id")
+        .as("__e")))).getField("__e").as("outEdges"))
+    val inLists = e.groupBy(col("in").as("__vid"))
+      .agg(sort_array(collect_list(struct(col("id"), col("id")
+        .as("__e")))).getField("__e").as("inEdges"))
+    val v = vertices.withColumn("id", col("id").cast("long"))
+      .join(outLists, col("id") === outLists("__vid"), "left")
+      .drop("__vid")
+      .join(inLists, col("id") === inLists("__vid"), "left")
+      .drop("__vid")
+      .withColumn("outEdges",
+        coalesce(col("outEdges"), lit(Array.empty[Long])))
+      .withColumn("inEdges",
+        coalesce(col("inEdges"), lit(Array.empty[Long])))
+    session.appendData(vertexCls, v)
+    session.appendData(edgeCls, e)
+    // advance the allocator past everything just loaded
+    val loadedMax = v.agg(max(col("id"))).head().getLong(0)
+      .max(e.agg(max(col("id"))).head().getLong(0))
+    nextId.accumulateAndGet(loadedMax + 1, math.max(_, _))
+    this
+  }
+
   /** all vertex documents; `polymorphic` includes vertex subclasses
     * (`ODatabaseGraphTx.browseVertexes`). */
   def browseVertexes(polymorphic: Boolean = true): DataFrame =

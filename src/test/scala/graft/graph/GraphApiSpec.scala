@@ -153,6 +153,57 @@ class GraphApiSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { api.createVertex("EKind") }
   }
 
+  test("loadGraph: bulk frames serve the same API as call-built graphs") {
+    val g = fresh()
+    val api = new GraphApi(g)
+    import spark.implicits._
+    // a 10^4-edge ring + chords, loaded as two DataFrames
+    val nV = 2000
+    val vertices = (0L until nV.toLong)
+      .map(i => (i, s"v$i")).toDF("id", "name")
+    val edges = (0L until nV.toLong).flatMap { i =>
+      Seq((10000L + 2 * i, i, (i + 1) % nV), // ring
+        (10001L + 2 * i, i, (i * 7 + 3) % nV)) // chord
+    }.toDF("id", "out", "in")
+    val t0 = System.nanoTime()
+    api.loadGraph(vertices, edges)
+    val loadSec = (System.nanoTime() - t0) / 1e9
+    assert(loadSec < 60, f"bulk load took $loadSec%.1f s — not bulk")
+    assert(api.browseVertexes().count() == nV)
+    assert(g.browseClass(GraphApi.EdgeClass).count() == 2L * nV)
+    // outIterator walks the ring+chord in edge-id order
+    val v0 = api.vertex(0L).get
+    assert(v0.outIterator.map(_.id).toSeq == Seq(1L, 3L))
+    assert(v0.outEdges.map(_.id) == Seq(10000L, 10001L))
+    assert(api.vertex(1L).get.inEdges.nonEmpty)
+    // dialect dot-navigation over the loaded LinkSpecs
+    val nav = g.query(s"select out.name as src from ${GraphApi.EdgeClass} " +
+      "where in.name = 'v1'").collect()
+    assert(nav.map(_.getString(0)).contains("v0"))
+    // record-at-a-time calls keep working on top: ids never collide
+    val extra = api.createVertex(GraphApi.VertexClass,
+      Map("name" -> "post-bulk"))
+    assert(extra.id > 10001L + 2 * (nV - 1))
+    val e = extra.link(v0)
+    assert(extra.outIterator.map(_.id).toSeq == Seq(0L))
+    assert(e.out.map(_.id).contains(extra.id))
+  }
+
+  test("loadGraph synthesizes edge ids when absent") {
+    val g = fresh()
+    val api = new GraphApi(g)
+    import spark.implicits._
+    val vertices = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("out", "in")
+    api.loadGraph(vertices, edges)
+    val ids = g.browseClass(GraphApi.EdgeClass)
+      .select(col("id").cast("long")).collect().map(_.getLong(0))
+    assert(ids.distinct.length == 2, "synthesized ids must be unique")
+    assert(api.vertex(1L).get.outIterator.map(_.id).toSeq == Seq(2L))
+    // allocator moved past the synthesized ids
+    assert(api.createVertex().id > ids.max)
+  }
+
   test("facade keys continue past existing ids on reopen") {
     val g = fresh()
     val api1 = new GraphApi(g)
