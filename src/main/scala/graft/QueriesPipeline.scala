@@ -458,6 +458,25 @@ object QueriesPipeline {
       Dedup.minhashPairs(docs(s, dir), "doc_id", "text", threshold = 0.8)
         .orderBy(col("a_id"), col("b_id"))
     }),
+    "qp_minhash_blocked" -> ((s, dir) => {
+      // the blocked banding (r13): band keys carry the lang block, so
+      // candidates only form within a language — the measured escape
+      // for vocabulary-saturated corpora where unblocked bucket
+      // occupancy grows with n (ScratchR13: unblocked e30 = 2.09)
+      Dedup.minhashPairsBlocked(docs(s, dir), "doc_id", "text",
+          blockCols = Seq("lang"), threshold = 0.8)
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+    "qp_minhash_capped" -> ((s, dir) => {
+      // hot-bucket cap (r13): band buckets above maxBucket members are
+      // dropped before the candidate self-join — the saturation escape
+      // for mega-buckets blocking alone can't break (written recall
+      // trade in Dedup.minhashPairsCore); the oracle replays the cap
+      // from the same band counts
+      Dedup.minhashPairsBlocked(docs(s, dir), "doc_id", "text",
+          blockCols = Seq("lang"), threshold = 0.8, maxBucket = 20)
+        .orderBy(col("a_id"), col("b_id"))
+    }),
     "qp_simhash" -> ((s, dir) => {
       Dedup.simhashSigs(docs(s, dir).filter(col("doc_id") < 100),
           "doc_id", "text")
@@ -3261,6 +3280,64 @@ object QueriesPipeline {
               .map(i => s"${dMinhashSig(i)} AS s$i").mkString(", ")}
          | FROM hashed ORDER BY doc_id""".stripMargin,
     "qp_minhash_pairs" -> minhashPairsOracle,
+    "qp_minhash_blocked" -> {
+      // the block prefix on the band key only restricts candidates to
+      // same-block pairs; within a block, collisions equal the
+      // unprefixed ones — so the replay is the qp_minhash_pairs CTE
+      // chain with a lang-agreement join on the documents table
+      val bandRows = (0 until 4).map { b =>
+        val ks = (b * 4 until b * 4 + 4).map(i => s"s$i").mkString(", ")
+        s"SELECT doc_id, sh, concat_ws('_', $b, $ks) AS band FROM sigs"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH $sigsCte,
+         | bands AS (
+         |  $bandRows
+         | )
+         | SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+         |   round(len(list_intersect(a.sh, b.sh))*1.0 /
+         |     (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
+         |   AS jac
+         | FROM bands a JOIN bands b
+         |   ON a.band = b.band AND a.doc_id < b.doc_id
+         | JOIN documents da ON da.doc_id = a.doc_id
+         | JOIN documents db ON db.doc_id = b.doc_id
+         |   AND da.lang = db.lang
+         | WHERE round(len(list_intersect(a.sh, b.sh))*1.0 /
+         |     (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
+         |   >= 0.8
+         | ORDER BY a_id, b_id""".stripMargin
+    },
+    "qp_minhash_capped" -> {
+      // the blocked replay + the hot-bucket cap: bucket identity is
+      // (lang, band); buckets with more than 20 members are dropped
+      // before the candidate join, exactly the engine's maxBucket rule
+      val bandRows = (0 until 4).map { b =>
+        val ks = (b * 4 until b * 4 + 4).map(i => s"s$i").mkString(", ")
+        s"""SELECT s.doc_id, s.sh, d.lang,
+           |    concat_ws('_', $b, $ks) AS band
+           |  FROM sigs s JOIN documents d ON d.doc_id = s.doc_id"""
+          .stripMargin
+      }.mkString("\n  UNION ALL ")
+      s"""WITH $sigsCte,
+         | bands AS (
+         |  $bandRows
+         | ),
+         | kept AS (
+         |  SELECT * FROM bands QUALIFY
+         |    count(*) OVER (PARTITION BY lang, band) <= 20
+         | )
+         | SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+         |   round(len(list_intersect(a.sh, b.sh))*1.0 /
+         |     (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
+         |   AS jac
+         | FROM kept a JOIN kept b
+         |   ON a.band = b.band AND a.lang = b.lang
+         |     AND a.doc_id < b.doc_id
+         | WHERE round(len(list_intersect(a.sh, b.sh))*1.0 /
+         |     (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
+         |   >= 0.8
+         | ORDER BY a_id, b_id""".stripMargin
+    },
     "qp_dedup_incremental" -> {
       // the batch-vs-index probe must equal full-batch LSH pairs
       // restricted to the split: same signature/band CTEs as

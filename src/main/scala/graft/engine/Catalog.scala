@@ -393,7 +393,14 @@ final class Catalog(spark: SparkSession) {
     * keeps class-granular semantics). Row change detection is a full
     * content hash over name-sorted columns (`_version` rides along, so
     * an UPDATE is always a change even when it writes equal values).
-    * One commit-time probe job per conflicted class — control-plane. */
+    * One commit-time probe job per conflicted class, conflict-path
+    * only — measured at 1M×21 in ScratchR13 §1. The hash is
+    * xxhash64(to_json(...)): codegen'd, ~half the md5 probe cost; a
+    * key+`_version` fast path was measured and REJECTED — it silently
+    * loses a DELETE + re-INSERT of the same key (both land at
+    * `_version` 0, equal to an untouched base row), the counterexample
+    * `TransactionSpec` pins. to_json keeps the digest null- and
+    * type-faithful (raw multi-column hashes skip nulls). */
   private def recordLevelRebase(root: String, key: String,
       cur: Option[Long]): Option[DataFrame] = {
     val snapClasses = txSnapshot.classes.toMap
@@ -420,7 +427,7 @@ final class Catalog(spark: SparkSession) {
       merged <- {
         def keyed(df: DataFrame) = df.select(
           col(rk).cast("long").as("__k"),
-          md5(to_json(struct(cols.map(col): _*))).as("__h"))
+          xxhash64(to_json(struct(cols.map(col): _*))).as("__h"))
         // keys whose row changed on one side (updated, inserted or
         // deleted vs the begin-time frame)
         def changed(side: DataFrame) = keyed(base).as("b")

@@ -101,11 +101,14 @@ object Dedup {
     * the shared core of [[bandBuckets]] and [[minhashPairs]]. Band key
     * = band index + concatenated sig slice; explode to (bandKey, id):
     * candidate generation shuffles ONLY small keys. */
-  private def bandBucketsFromSigs(sigs: DataFrame, bands: Int): DataFrame = {
+  private def bandBucketsFromSigs(sigs: DataFrame, bands: Int,
+      blkPrefix: Option[Column] = None): DataFrame = {
     val rowsPerBand = MinhashK / bands
     val bandKeys = (0 until bands).map { b =>
       val ks = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"s$i"))
-      concat_ws("_", (lit(b) +: ks): _*)
+      // a block prefix (the blocked variant) confines every bucket —
+      // and therefore every candidate pair — to one block
+      concat_ws("_", blkPrefix.toSeq ++ (lit(b) +: ks): _*)
     }
     sigs.filter(col("s0").isNotNull)
       .select(col("__id"), explode(array(bandKeys: _*)).as("__band"))
@@ -189,9 +192,66 @@ object Dedup {
       bands: Int = 4): DataFrame = {
     require(bands > 0 && MinhashK % bands == 0,
       s"bands must evenly divide MinhashK=$MinhashK, got $bands")
-    val buckets = bandBucketsFromSigs(base, bands)
-    val candidates = buckets.select(col("__band"), col("__id").as("a_id"))
-      .join(buckets.select(col("__band"), col("__id").as("b_id")),
+    minhashPairsCore(base, bandBucketsFromSigs(base, bands), threshold)
+  }
+
+  /** [[minhashPairs]] run INSIDE caller-supplied blocking keys — the
+    * banded analog of [[ppjoinPairsBlocked]], and the shipped escape
+    * for vocabulary-SATURATED corpora: ScratchR13 measured the
+    * unblocked banding going QUADRATIC past one decade on the fixed-
+    * vocabulary shape (e30 = 2.09 — a fixed signature space means
+    * bucket occupancy grows ∝ n, so collisions grow ∝ n²). A block
+    * prefix on every band key bounds occupancy per block; the total is
+    * the sum over blocks, not the corpus square. Same caller contract
+    * as the rest of the blocked family: near-dups never split across
+    * blocks (lang / source / length-band are the deployment keys);
+    * WITHIN a block the candidate generation and the exact-Jaccard
+    * verify are the unchanged [[minhashPairs]] machinery. */
+  def minhashPairsBlocked(df: DataFrame, idCol: String, textCol: String,
+      blockCols: Seq[String], threshold: Double,
+      shingleN: Int = 4, bands: Int = 4, maxBucket: Int = 0): DataFrame = {
+    require(blockCols.nonEmpty,
+      "blockCols must be non-empty — use minhashPairs for the unblocked join")
+    require(bands > 0 && MinhashK % bands == 0,
+      s"bands must evenly divide MinhashK=$MinhashK, got $bands")
+    val blocks = spread(df).select(col(idCol).as("__id"),
+      struct(blockCols.map(col): _*).cast("string").as("__blk"))
+    val base = sigSetsBase(df, idCol, textCol, shingleN)
+      .join(blocks, Seq("__id")).persist()
+    val pairs = minhashPairsCore(base,
+      bandBucketsFromSigs(base, bands, Some(col("__blk"))), threshold,
+      maxBucket)
+    base.unpersist()
+    pairs
+  }
+
+  /** candidate self-join + exact-Jaccard verify shared by the
+    * unblocked and blocked banded modes. `maxBucket > 0` drops band
+    * buckets with more members than the cap BEFORE the self-join —
+    * the standard production escape for SATURATED signature spaces
+    * (ScratchR13: on a fixed-vocabulary corpus most documents share
+    * the globally-minimal shingle hashes, so one mega-bucket holds
+    * ~the whole corpus and candidates go n² even inside blocks). A
+    * hot bucket is a degenerate signature, not a near-dup signal; the
+    * WRITTEN recall trade: a true pair whose every agreeing band is
+    * hot is lost — callers bound that risk by keeping the cap well
+    * above the expected duplicate-group size (pigeonhole still
+    * guarantees each true pair shares ≥1 band; only saturation-scale
+    * buckets are dropped). */
+  private def minhashPairsCore(base: DataFrame, buckets: DataFrame,
+      threshold: Double, maxBucket: Int = 0): DataFrame = {
+    val kept =
+      if (maxBucket <= 0) buckets
+      else {
+        // two passes over the SMALL (id, band) frame: count, then an
+        // anti-join against the hot keys — never a window sort
+        val hot = buckets.groupBy("__band")
+          .agg(count(lit(1)).as("__n"))
+          .filter(col("__n") > maxBucket).select("__band")
+        buckets.join(hot, Seq("__band"), "left_anti")
+      }
+    val candidates = kept.select(col("__band"), col("__id").as("a_id"))
+      .join(kept.select(col("__band"), col("__id").as("b_id")),
         Seq("__band"))
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()

@@ -294,6 +294,67 @@ class DialectDifferentialSpec extends AnyFunSuite {
     best
   }
 
+  test("60 seeded link-navigation queries match explicit SQL joins") {
+    // dialect dot-navigation (customer.nation.region, single-valued
+    // FK links where every key resolves — TPC-H referential
+    // integrity, so inner joins reproduce nav multiplicity exactly)
+    // against Spark SQL's OWN join planning — the Translator's
+    // link-compilation path differentialy checked
+    pools
+    val nation = spark.read.parquet(s"$dir/nation.parquet")
+    val region = spark.read.parquet(s"$dir/region.parquet")
+    nation.createOrReplaceTempView("nation")
+    region.createOrReplaceTempView("region")
+    val nNames = nation.select("n_name").collect()
+      .map(_.getString(0)).sorted.toSeq
+    val rNames = region.select("r_name").collect()
+      .map(_.getString(0)).sorted.toSeq
+    val rng = new scala.util.Random(13L)
+    val failures = scala.collection.mutable.ListBuffer[String]()
+    val cust = tables.find(_.name == "customer").get
+    (0 until 60).foreach { run =>
+      if (failures.length < 3) {
+        val linkLeaf = rng.nextInt(3) match {
+          case 0 =>
+            val v = nNames(rng.nextInt(nNames.length))
+            Cond(s"nation.n_name = '$v'", s"n.n_name = '$v'")
+          case 1 =>
+            val v = rNames(rng.nextInt(rNames.length))
+            Cond(s"nation.region.r_name = '$v'", s"r.r_name = '$v'")
+          case _ =>
+            val vs = Seq.fill(2)(rNames(rng.nextInt(rNames.length)))
+              .distinct.map("'" + _ + "'")
+            Cond(s"nation.region.r_name in [${vs.mkString(", ")}]",
+              s"r.r_name IN (${vs.mkString(", ")})")
+        }
+        val local = leaf(rng, cust)
+        val (wd, ws) =
+          if (rng.nextBoolean())
+            (s"(${linkLeaf.dialect}) and (${local.dialect})",
+              s"(${linkLeaf.sql}) AND (${local.sql})")
+          else (linkLeaf.dialect, linkLeaf.sql)
+        val proj = rng.nextInt(3) match {
+          case 0 => ("nation.n_name as nn", "n.n_name AS nn")
+          case 1 => ("nation.region.r_name as rn", "r.r_name AS rn")
+          case _ => ("c_acctbal, nation.n_name as nn",
+            "c_acctbal, n.n_name AS nn")
+        }
+        val d = s"select c_custkey, ${proj._1} from customer " +
+          s"where $wd order by c_custkey limit ${5 + rng.nextInt(20)}"
+        val s = s"SELECT c_custkey, ${proj._2} FROM customer " +
+          "JOIN nation n ON c_nationkey = n.n_nationkey " +
+          "JOIN region r ON n.n_regionkey = r.r_regionkey " +
+          s"WHERE $ws ORDER BY c_custkey " +
+          s"LIMIT ${d.split("limit ").last}"
+        check(d, s, ordered = true).foreach(reason =>
+          failures += s"[$run] dialect: $d\n      sql: $s\n      $reason")
+      }
+    }
+    assert(failures.isEmpty,
+      s"\n${failures.length} link-nav divergence(s):\n" +
+        failures.mkString("\n\n"))
+  }
+
   test("~200 seeded random dialect queries match Spark SQL") {
     pools // force view registration
     val rng = new scala.util.Random(20260816L)

@@ -242,6 +242,32 @@ class TransactionSpec extends AnyFunSuite {
       .map(_.getLong(0)).toSeq == Seq(2L, 3L))
   }
 
+  test("record-level opt-in: delete + re-insert of the SAME key rebases") {
+    // the counterexample that kills any (key, _version)-only change
+    // detection: the re-inserted row lands at _version 0, equal to the
+    // untouched base row — only CONTENT hashing sees the change. A
+    // fast path that misses it would silently resolve this key to the
+    // winner's (stale) row.
+    val root = tmpRoot("recreins")
+    val setup = GraftSession.openDurable(spark, root)
+    setup.command("create class Acc")
+    setup.command("insert into Acc (id, bal) values (1, 100)")
+    setup.command("insert into Acc (id, bal) values (2, 200)")
+    setup.catalog.setRidPosCol("Acc", "id")
+    val g1 = GraftSession.openDurable(spark, root)
+    val g2 = GraftSession.openDurable(spark, root)
+    g1.setRecordLevelConflicts(true); g2.setRecordLevelConflicts(true)
+    g1.begin(); g2.begin()
+    g1.command("update Acc set bal = 250 where id = 2")
+    g2.command("delete from Acc where id = 1")
+    g2.command("insert into Acc (id, bal) values (1, 777)")
+    g1.commit()
+    g2.commit() // disjoint keys: the re-insert must survive the rebase
+    val fresh = GraftSession.openDurable(spark, root)
+    assert(fresh.query("select bal from Acc order by id").collect()
+      .map(_.getLong(0)).toSeq == Seq(777L, 250L))
+  }
+
   test("record-level opt-in: non-numeric key refuses rebase loudly") {
     // a key that casts to null would null-out every __k in the rebase's
     // change detection: joins never match on null, collide is vacuously
