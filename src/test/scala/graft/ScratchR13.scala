@@ -87,6 +87,36 @@ import org.scalatest.funsuite.AnyFunSuite
   * adversarial corner, and it now has two shipped, oracle-gated
   * escapes (`qp_minhash_blocked`, `qp_minhash_capped`).
   *
+  * == 3. Round-close commons table (r12 → r13, the r12 methodology) ==
+  *
+  * Full bench 2026-08-16 (committed BENCH_FULL.json): 547.4 s over
+  * 311 queries (calib 0.0992); r12 artifact: 509.0 s over 309 (calib
+  * 0.1027). The 309-query commons reads **total 1.066 / median
+  * 1.070** raw with the calibration ratio at 0.966 — a ~7% suite-wide
+  * drift on a session whose CPU probe is 3% FASTER, i.e. non-CPU
+  * weather (this session also generated/held ~10 GB of x30 scale
+  * corpora + spill on the same disk). Every >1.4× mover sits in the
+  * 0.2-1.7 s job-floor band; ZERO queries above 2 s moved >1.4×. The
+  * watch item cleared: qp_split_leakage 1.97 → 1.59 (0.81×).
+  *
+  * The flags were settled with a SAME-SESSION code A/B (git worktree
+  * of the r12 close, identical env, median-of-5, back-to-back runs —
+  * calib 0.087/0.086):
+  *
+  * | query                 | r12 code | r13 code | verdict |
+  * |-----------------------|----------|----------|---------|
+  * | qd_export_import      | 0.805    | 0.822    | weather |
+  * | qd_multilink_contains | 1.049    | 1.070    | weather |
+  * | qd_pipe_attribution   | 0.686    | 0.689    | weather |
+  * | qd_pipe_video_fps     | 0.862    | 0.874    | weather |
+  * | qd_not_operator       | 0.274    | 0.307    | weather |
+  *
+  * r13 code ≡ r12 code within 2-4% on every flagged query — the
+  * r12→r13 diff is performance-neutral on the bench surface (the new
+  * decode branches add no work to non-interlaced payloads, and the
+  * engine changes are conflict-path/facade-only). New queries land at
+  * qp_minhash_blocked 2.26 s / qp_minhash_capped 2.70 s.
+  *
   * Reproduce: SPARK_GRAFT_SCALE10=1 SPARK_GRAFT_CPUS=32 \
   *   sbt -batch "testOnly graft.ScratchR13"   (~15 min; the quadratic
   *   d30 points are deliberately NOT re-run — see the footnotes)
