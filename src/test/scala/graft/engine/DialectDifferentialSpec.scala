@@ -357,7 +357,7 @@ class DialectDifferentialSpec extends AnyFunSuite {
 
   test("~200 seeded random dialect queries match Spark SQL") {
     pools // force view registration
-    val rng = new scala.util.Random(20260816L)
+    val rng = new scala.util.Random(sys.env.get("GRAFT_FUZZ_SEED").map(_.toLong).getOrElse(20260816L))
     val failures = scala.collection.mutable.ListBuffer[String]()
     var run = 0
     while (run < 200 && failures.length < 3) {
