@@ -309,7 +309,15 @@ object QueriesPipeline {
   /** synthetic media table for the animated-GIF gates: one REAL
     * 3-frame 9×8 GIF89a per doc ([[Multimodal.encodeGifGray]] — gray
     * palette makes luma the identity, so the oracle regenerates the
-    * decoded integers per frame). */
+    * decoded integers per frame). r14: every id%8==5 member is a
+    * DELTA-OPTIMIZED re-encode ([[Multimodal.encodeGifGrayDelta]] —
+    * changed-rect frames with GCE transparency at descriptor offsets,
+    * the mainstream LZW-optimizer shape); the composited decode is
+    * exactly the same frames, so the member pairs with its group's
+    * full-frame encodes and the oracle stays unchanged — a decoder
+    * that fingerprints the delta rect instead of the composited
+    * canvas breaks the gate, which is the point. transparentIdx 255
+    * is free: the pattern only uses gray levels {30, 220}. */
   private[graft] def gifMedia(s: SparkSession, dir: String): DataFrame =
       cachedMedia(s, s"gph:$dir") {
     val groups = phGroupsFor(docs(s, dir).count())
@@ -317,7 +325,10 @@ object QueriesPipeline {
       val id = r.getLong(0)
       val frames = (0 until 3).map(f =>
         Array.tabulate(72)(i => gifLuma(groups, id, f, i / 9, i % 9)))
-      org.apache.spark.sql.Row(id, Multimodal.encodeGifGray(9, 8, frames))
+      val payload =
+        if (id % 8 == 5) Multimodal.encodeGifGrayDelta(9, 8, frames)
+        else Multimodal.encodeGifGray(9, 8, frames)
+      org.apache.spark.sql.Row(id, payload)
     }
     import org.apache.spark.sql.types._
     s.createDataFrame(rdd, StructType(Seq(
@@ -339,7 +350,11 @@ object QueriesPipeline {
       val t = ((id / groups) % 2).toInt
       val frames = (t until 3).map(f =>
         Array.tabulate(72)(i => gifLuma(groups, id, f, i / 9, i % 9)))
-      org.apache.spark.sql.Row(id, Multimodal.encodeGifGray(9, 8, frames))
+      // r14: id%8==5 delta-optimized member, same rule as [[gifMedia]]
+      val payload =
+        if (id % 8 == 5) Multimodal.encodeGifGrayDelta(9, 8, frames)
+        else Multimodal.encodeGifGray(9, 8, frames)
+      org.apache.spark.sql.Row(id, payload)
     }
     import org.apache.spark.sql.types._
     s.createDataFrame(rdd, StructType(Seq(

@@ -360,26 +360,38 @@ object Multimodal {
       lumaBands(w, h, px, featureDim)
     }
 
-  /** Pixel decode of a NON-INTERLACED GIF87a/89a first frame — LZW is
-    * fully specified in the public GIF89a spec (§22, Appendix F) and
-    * needs no library: walk extension blocks to the first image
-    * descriptor, concatenate its data sub-blocks, decode the
-    * variable-width LSB-first LZW code stream against the growing
-    * string table, then map color indices through the (local, else
+  /** Pixel decode of a GIF87a/89a first frame, COMPOSITED onto the
+    * logical-screen canvas — LZW is fully specified in the public
+    * GIF89a spec (§22, Appendix F) and needs no library: walk
+    * extension blocks (parsing the Graphic Control Extension, §23) to
+    * the first image descriptor, concatenate its data sub-blocks,
+    * decode the variable-width LSB-first LZW code stream against the
+    * growing string table (interlaced streams reordered per Appendix
+    * E), then draw the frame's rect at its descriptor offset onto a
+    * background-color canvas — GCE-transparent indices keep the
+    * canvas pixel — and map color indices through the (local, else
     * global) color table to the same integer Rec.601 luma as
-    * [[bmpPixels]]/[[pngPixels]]. None for interlaced frames, a
-    * missing color table, or any corrupt/truncated stream — those
-    * keep the header-only fallback. */
+    * [[bmpPixels]]/[[pngPixels]]. Returned dims are the LOGICAL
+    * SCREEN's (identical to the frame's for the mainstream
+    * full-frame-at-origin shape). None for a missing color table, an
+    * out-of-canvas rect, or any corrupt/truncated stream — those keep
+    * the header-only fallback. */
   def gifPixels(payload: Array[Byte]): Option[(Int, Int, Array[Int])] =
     gifDecodeFrames(payload, maxFrames = 1).flatMap(_.headOption)
 
-  /** ALL frames of an animated (or single-frame) GIF — each frame's
-    * OWN pixel grid at its descriptor's dimensions (no inter-frame
-    * compositing: disposal/offset semantics matter for playback, not
-    * for per-frame fingerprinting, and the encoder half emits
-    * full-size frames). STRICT: None if any frame fails to decode —
-    * a sequence fingerprint over a partially-decoded animation would
-    * pair unrelated videos. */
+  /** ALL frames of an animated (or single-frame) GIF, each COMPOSITED
+    * onto the logical-screen canvas per GIF89a §23 (r14): delta-
+    * optimized animations store only a changed sub-rect per frame
+    * with a GCE transparent index against the previous canvas, so
+    * fingerprinting each frame's own rect (the pre-r14 behavior)
+    * mis-hashed exactly the optimized-re-encode shape real crawls
+    * contain. Every emitted frame is the full logical-screen grid
+    * after drawing the frame (transparent pixels keep the canvas)
+    * and BEFORE its disposal is applied; disposal 0/1 leave the
+    * canvas, 2 restores the frame rect to the background color, 3
+    * restores the pre-frame canvas. STRICT: None if any frame fails
+    * to decode — a sequence fingerprint over a partially-decoded
+    * animation would pair unrelated videos. */
   def gifFrames(payload: Array[Byte]): Option[Vector[(Int, Int, Array[Int])]] =
     gifDecodeFrames(payload, maxFrames = Int.MaxValue)
       .filter(_.nonEmpty)
@@ -395,6 +407,10 @@ object Multimodal {
     if (n < 14) return None
     val sig = new String(payload, 0, 6, "US-ASCII")
     if (sig != "GIF87a" && sig != "GIF89a") return None
+    val screenW = le16(6)
+    val screenH = le16(8)
+    if (screenW <= 0 || screenH <= 0) return None
+    if (screenW.toLong * screenH > 100000000L) return None
     // color table → per-index luma, decoded once (≤256 entries)
     def lumaTable(off: Int, entries: Int): Array[Int] =
       Array.tabulate(entries) { i =>
@@ -404,22 +420,40 @@ object Multimodal {
     val packed = u8(10)
     var pos = 13
     var global: Array[Int] = null
+    var bgLuma = 0 // canvas fill; black when there is no global table
     if ((packed & 0x80) != 0) { // global color table
       val entries = 1 << ((packed & 7) + 1)
       if (pos + 3 * entries > n) return None
       global = lumaTable(pos, entries)
+      val bg = u8(11) // background color index (header byte 11)
+      if (bg < entries) bgLuma = global(bg)
       pos += 3 * entries
     }
+    var canvas = Array.fill(screenW * screenH)(bgLuma)
+    // Graphic Control Extension state (GIF89a §23) — applies to the
+    // NEXT image only, reset after it renders
+    var disposal = 0
+    var transparent = -1
     val frames = Vector.newBuilder[(Int, Int, Array[Int])]
     var count = 0
     while (pos < n && count < maxFrames) {
       u8(pos) match {
         case 0x21 => // extension: label byte + length-prefixed sub-blocks
+          // GCE (label 0xf9, block size 4): packed byte carries the
+          // disposal method (bits 2-4) and transparency flag (bit 0);
+          // data = [packed, delayLo, delayHi, transparentIndex]
+          if (pos + 6 < n && u8(pos + 1) == 0xf9 && u8(pos + 2) == 4) {
+            val gp = u8(pos + 3)
+            disposal = (gp >> 2) & 7
+            transparent = if ((gp & 1) != 0) u8(pos + 6) else -1
+          }
           pos += 2
           while (pos < n && u8(pos) != 0) pos += 1 + u8(pos)
           pos += 1
         case 0x2c => // image descriptor — decode this frame
           if (pos + 10 > n) return None
+          val left = le16(pos + 1)
+          val top = le16(pos + 3)
           val w = le16(pos + 5)
           val h = le16(pos + 7)
           val ip = u8(pos + 9)
@@ -433,7 +467,8 @@ object Multimodal {
           }
           if (table == null || w <= 0 || h <= 0)
             return None // no palette / empty
-          if (w.toLong * h > 100000000L) return None
+          if (left + w > screenW || top + h > screenH)
+            return None // rect off the logical screen: corrupt
           if (pos >= n) return None
           val minCode = u8(pos)
           pos += 1
@@ -446,21 +481,16 @@ object Multimodal {
             pos += 1 + len
           }
           pos += 1 // the 0-length terminator sub-block
-          val idx = gifLzw(data.toByteArray, minCode, w * h)
+          val raw = gifLzw(data.toByteArray, minCode, w * h)
             .getOrElse(return None)
-          val out = new Array[Int](w * h)
-          var i = 0
-          while (i < out.length) {
-            if (idx(i) >= table.length) return None
-            out(i) = table(idx(i))
-            i += 1
-          }
           // interlaced frame (r13): the stream stores rows in the four
           // GIF89a Appendix-E passes (0+8, 4+8, 2+4, 1+2) — reorder to
           // top-down. ImageIO's GIF writer interlaces by default, so
           // this is a mainstream decode path, not an exotic one.
-          val rows =
-            if ((ip & 0x40) == 0) out
+          // Reordered as INDICES (not luma) so transparency composits
+          // against the canvas per spec.
+          val idx =
+            if ((ip & 0x40) == 0) raw
             else {
               val deint = new Array[Int](w * h)
               var src = 0
@@ -469,7 +499,7 @@ object Multimodal {
               while (p < 4) {
                 var row = passes(p)._1
                 while (row < h) {
-                  System.arraycopy(out, src * w, deint, row * w, w)
+                  System.arraycopy(raw, src * w, deint, row * w, w)
                   src += 1
                   row += passes(p)._2
                 }
@@ -477,8 +507,39 @@ object Multimodal {
               }
               deint
             }
-          frames += ((w, h, rows))
+          // composite the rect onto the canvas (r14, GIF89a §23):
+          // transparent indices keep the previous canvas pixel — the
+          // delta-optimized-animation shape; disposal 3 needs the
+          // pre-render canvas back afterwards
+          val saved = if (disposal == 3) canvas.clone() else null
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val ix = idx(y * w + x)
+              if (ix != transparent) {
+                if (ix >= table.length) return None
+                canvas((top + y) * screenW + left + x) = table(ix)
+              }
+              x += 1
+            }
+            y += 1
+          }
+          frames += ((screenW, screenH, canvas.clone()))
           count += 1
+          disposal match {
+            case 2 => // restore the frame's rect to the background
+              var yy = 0
+              while (yy < h) {
+                val o = (top + yy) * screenW + left
+                java.util.Arrays.fill(canvas, o, o + w, bgLuma)
+                yy += 1
+              }
+            case 3 => canvas = saved // restore the pre-frame canvas
+            case _ => () // 0/1: leave the canvas as drawn
+          }
+          disposal = 0
+          transparent = -1
         case 0x3b => // trailer
           pos = n
         case _ => return None // desynced block stream
@@ -2319,6 +2380,117 @@ object Multimodal {
         p += len
       }
       out.write(0) // sub-block terminator
+    }
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
+  /** Delta-optimized animated GIF89a writer (r14) — the
+    * LZW-optimizer shape mainstream crawls contain and the decoder's
+    * compositing path exists for: frame 0 is stored full-size; every
+    * later frame stores ONLY the bounding rect of pixels that changed
+    * against the previous frame, at its descriptor offset, with a
+    * Graphic Control Extension (GIF89a §23) declaring `transparentIdx`
+    * transparent and disposal 1 (do not dispose) — unchanged pixels
+    * inside the rect are written as `transparentIdx` so the decoder
+    * keeps the previous canvas there. Same 256-entry identity gray
+    * palette as [[encodeGifGray]], so the composited round trip is
+    * exact: `gifFrames(encodeGifGrayDelta(w, h, frames)) == frames`.
+    * An unchanged frame is stored as a 1×1 fully-transparent rect
+    * (descriptors require w,h ≥ 1). Changed pixels may not take the
+    * value `transparentIdx` (it is unrepresentable in a delta frame —
+    * callers pick an unused gray level; the gate corpora use only a
+    * handful of levels). */
+  def encodeGifGrayDelta(w: Int, h: Int, frames: Seq[Array[Int]],
+      transparentIdx: Int = 255): Array[Byte] = {
+    require(w > 0 && h > 0 && frames.nonEmpty &&
+      frames.forall(_.length == w * h),
+      "encodeGifGrayDelta needs >= 1 w*h top-down gray frames")
+    require(transparentIdx >= 0 && transparentIdx <= 255,
+      "transparentIdx must be a palette index (0..255)")
+    val out = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >> 8) & 0xff)
+    }
+    def writeLzwBlocks(indices: Array[Int]): Unit = {
+      out.write(8) // LZW min code size
+      val lzw = gifLzwEncode(indices, minCode = 8)
+      var p = 0
+      while (p < lzw.length) {
+        val len = math.min(255, lzw.length - p)
+        out.write(len)
+        out.write(lzw, p, len)
+        p += len
+      }
+      out.write(0) // sub-block terminator
+    }
+    out.write("GIF89a".getBytes("US-ASCII"))
+    le16(w); le16(h)
+    out.write(0xf7) // global color table, 256 entries, 8-bit color
+    out.write(0) // background index
+    out.write(0) // aspect
+    var i = 0
+    while (i < 256) { out.write(i); out.write(i); out.write(i); i += 1 }
+    var prev: Array[Int] = null
+    for (f <- frames) {
+      if (prev == null) {
+        // first frame: full rect, no transparency, disposal 1
+        out.write(0x21); out.write(0xf9); out.write(4)
+        out.write(0x04); le16(0); out.write(0); out.write(0)
+        out.write(0x2c)
+        le16(0); le16(0); le16(w); le16(h)
+        out.write(0) // no local table, not interlaced
+        writeLzwBlocks(f)
+      } else {
+        // bounding rect of changed pixels vs the previous frame
+        var x0 = w; var y0 = h; var x1 = -1; var y1 = -1
+        var p = 0
+        while (p < f.length) {
+          if (f(p) != prev(p)) {
+            val x = p % w; val y = p / w
+            if (x < x0) x0 = x
+            if (x > x1) x1 = x
+            if (y < y0) y0 = y
+            if (y > y1) y1 = y
+          }
+          p += 1
+        }
+        val (left, top, rw, rh, body) =
+          if (x1 < 0) // identical frame: 1×1 fully-transparent rect
+            (0, 0, 1, 1, Array(transparentIdx))
+          else {
+            val rw0 = x1 - x0 + 1
+            val rh0 = y1 - y0 + 1
+            val b = new Array[Int](rw0 * rh0)
+            var y = 0
+            while (y < rh0) {
+              var x = 0
+              while (x < rw0) {
+                val v = f((y0 + y) * w + x0 + x)
+                b(y * rw0 + x) =
+                  if (v == prev((y0 + y) * w + x0 + x)) transparentIdx
+                  else {
+                    require(v != transparentIdx,
+                      s"changed pixel value $v collides with " +
+                        s"transparentIdx $transparentIdx")
+                    v
+                  }
+                x += 1
+              }
+              y += 1
+            }
+            (x0, y0, rw0, rh0, b)
+          }
+        // GCE: disposal 1 + transparency flag, the transparent index
+        out.write(0x21); out.write(0xf9); out.write(4)
+        out.write(0x04 | 0x01); le16(0); out.write(transparentIdx)
+        out.write(0)
+        out.write(0x2c)
+        le16(left); le16(top); le16(rw); le16(rh)
+        out.write(0)
+        writeLzwBlocks(body)
+      }
+      prev = f
     }
     out.write(0x3b) // trailer
     out.toByteArray

@@ -1148,4 +1148,137 @@ class MultimodalSpec extends AnyFunSuite {
     val r = frames.filter(col("n_frames") >= 3).limit(1).collect()
     r.foreach(row => assert(row.getAs[Int]("frame_idx") % 2 == 0))
   }
+
+  /** assemble a multi-frame GIF89a with explicit per-frame GCE +
+    * descriptor geometry — the r14 compositing fixtures. Each frame
+    * is (left, top, w, h, indices, disposal, transparentIdx or -1). */
+  private def mkGifAnim(screenW: Int, screenH: Int,
+      palette: Array[(Int, Int, Int)], bgIndex: Int,
+      frames: Seq[(Int, Int, Int, Int, Array[Int], Int, Int)],
+      minCode: Int): Array[Byte] = {
+    val body = new java.io.ByteArrayOutputStream()
+    def b16(v: Int): Unit = {
+      body.write(v & 0xff); body.write((v >> 8) & 0xff)
+    }
+    body.write("GIF89a".getBytes("US-ASCII"), 0, 6)
+    b16(screenW); b16(screenH)
+    var bits = 1
+    while ((1 << (bits + 1)) < palette.length) bits += 1
+    val entries = 1 << (bits + 1)
+    body.write(0x80 | bits); body.write(bgIndex); body.write(0)
+    (palette ++ Array.fill(entries - palette.length)((0, 0, 0))).foreach {
+      case (r, g, b) => body.write(r); body.write(g); body.write(b)
+    }
+    for ((left, top, w, h, idx, disposal, trans) <- frames) {
+      body.write(0x21); body.write(0xf9); body.write(4)
+      body.write((disposal << 2) | (if (trans >= 0) 1 else 0))
+      b16(0); body.write(math.max(trans, 0)); body.write(0)
+      body.write(0x2c); b16(left); b16(top); b16(w); b16(h); body.write(0)
+      body.write(minCode)
+      val z = lzwEncode(idx, minCode)
+      var off = 0
+      while (off < z.length) {
+        val len = math.min(255, z.length - off)
+        body.write(len); body.write(z, off, len); off += len
+      }
+      body.write(0)
+    }
+    body.write(0x3b)
+    body.toByteArray
+  }
+
+  test("animated GIF compositing: GCE transparency, disposal methods, " +
+      "descriptor offsets (r14)") {
+    val pal = Array((0, 0, 0), (255, 255, 255), (80, 80, 80), (200, 200, 200))
+    def lu(c: Int) = (299 * pal(c)._1 + 587 * pal(c)._2 + 114 * pal(c)._3) / 1000
+    val full = Array.tabulate(16)(i => i % 4) // the 4×4 base pattern
+    // 1. delta frame at an offset with a transparent keep-index:
+    //    rect (1,1,2,2) writes [(1,1)=3, (2,1)=T, (1,2)=T, (2,2)=0] —
+    //    transparent cells must keep frame 0's canvas
+    val t1 = mkGifAnim(4, 4, pal, 0, Seq(
+      (0, 0, 4, 4, full, 1, -1),
+      (1, 1, 2, 2, Array(3, 1, 1, 0), 1, 1)), minCode = 2)
+    val fs1 = Multimodal.gifFrames(t1).get
+    assert(fs1.size == 2 && fs1.forall(f => (f._1, f._2) == (4, 4)))
+    assert(fs1(0)._3.toSeq == full.map(lu).toSeq)
+    val want1 = full.map(lu)
+    want1(5) = lu(3) // (1,1) written
+    want1(10) = lu(0) // (2,2) written; (2,1) and (1,2) kept
+    assert(fs1(1)._3.toSeq == want1.toSeq,
+      "transparent delta cells must keep the previous canvas")
+    // 2. background canvas: a single 2×2 frame at (1,1) on a 4×4
+    //    screen — uncovered pixels are the background color's luma
+    val t2 = mkGifAnim(4, 4, pal, 1, Seq(
+      (1, 1, 2, 2, Array(0, 3, 3, 0), 0, -1)), minCode = 2)
+    val (w2, h2, px2) = Multimodal.gifPixels(t2).get
+    assert((w2, h2) == (4, 4))
+    val want2 = Array.fill(16)(lu(1))
+    want2(5) = lu(0); want2(6) = lu(3); want2(9) = lu(3); want2(10) = lu(0)
+    assert(px2.toSeq == want2.toSeq,
+      "uncovered canvas must be the background color")
+    // 3. disposal 2 (restore to background): frame 1's rect is
+    //    bg-filled AFTER it displays; frame 2 (1×1 transparent) then
+    //    shows frame 0 with the rect restored — frame 1 itself shows
+    //    the drawn rect
+    val t3 = mkGifAnim(4, 4, pal, 2, Seq(
+      (0, 0, 4, 4, full, 1, -1),
+      (0, 0, 2, 2, Array(1, 1, 1, 1), 2, -1),
+      (0, 0, 1, 1, Array(0), 1, 0)), minCode = 2)
+    val fs3 = Multimodal.gifFrames(t3).get
+    assert(fs3.size == 3)
+    val want3mid = full.map(lu)
+    want3mid(0) = lu(1); want3mid(1) = lu(1)
+    want3mid(4) = lu(1); want3mid(5) = lu(1)
+    assert(fs3(1)._3.toSeq == want3mid.toSeq)
+    val want3end = full.map(lu)
+    want3end(0) = lu(2); want3end(1) = lu(2)
+    want3end(4) = lu(2); want3end(5) = lu(2)
+    assert(fs3(2)._3.toSeq == want3end.toSeq,
+      "disposal 2 must restore the frame's rect to the background")
+    // 4. disposal 3 (restore previous): a full different frame 1 with
+    //    disposal 3 — frame 2 (1×1 transparent) sees frame 0's canvas
+    val t4 = mkGifAnim(4, 4, pal, 0, Seq(
+      (0, 0, 4, 4, full, 1, -1),
+      (0, 0, 4, 4, full.map(c => 3 - c), 3, -1),
+      (0, 0, 1, 1, Array(0), 1, 0)), minCode = 2)
+    val fs4 = Multimodal.gifFrames(t4).get
+    assert(fs4.size == 3)
+    assert(fs4(1)._3.toSeq == full.map(c => lu(3 - c)).toSeq)
+    assert(fs4(2)._3.toSeq == full.map(lu).toSeq,
+      "disposal 3 must restore the pre-frame canvas")
+    // 5. an off-screen rect is corrupt, not clipped
+    val t5 = mkGifAnim(4, 4, pal, 0, Seq(
+      (3, 3, 2, 2, Array(0, 1, 2, 3), 0, -1)), minCode = 2)
+    assert(Multimodal.gifFrames(t5).isEmpty)
+    // 6. encodeGifGrayDelta round trip: composited decode is exactly
+    //    the input frames (identity gray palette), including an
+    //    UNCHANGED frame (the 1×1 fully-transparent rect path), and
+    //    the delta stream is smaller than the full re-encode
+    val f0 = Array.tabulate(72)(i => if (i % 9 < 4) 30 else 220)
+    val f1 = f0.clone(); f1(20) = 220; f1(33) = 30
+    val f2 = f1.clone() // identical frame
+    val f3 = f1.clone(); f3(70) = 30
+    val frames = Seq(f0, f1, f2, f3)
+    val delta = Multimodal.encodeGifGrayDelta(9, 8, frames)
+    val got = Multimodal.gifFrames(delta).get
+    assert(got.size == 4)
+    got.zip(frames).zipWithIndex.foreach { case (((w, h, px), want), i) =>
+      assert((w, h) == (9, 8) && px.toSeq == want.toSeq, s"delta frame $i")
+    }
+    assert(delta.length < Multimodal.encodeGifGray(9, 8, frames).length,
+      "the delta encoding must actually store sub-rects")
+    assert(Multimodal.decodeMedia(delta, 2)._3 == 4)
+    // per-frame dHash equality with the full-frame re-encode — the
+    // exact property the qp_gif_phash delta member relies on
+    val fullGif = Multimodal.encodeGifGray(9, 8, frames)
+    val hd = got.map(f => Multimodal.dHash64(f._1, f._2, f._3))
+    val hf = Multimodal.gifFrames(fullGif).get
+      .map(f => Multimodal.dHash64(f._1, f._2, f._3))
+    assert(hd == hf)
+    // a changed pixel colliding with the transparent index refuses
+    val bad = Seq(f0, { val b = f0.clone(); b(0) = 255; b })
+    intercept[IllegalArgumentException] {
+      Multimodal.encodeGifGrayDelta(9, 8, bad)
+    }
+  }
 }
