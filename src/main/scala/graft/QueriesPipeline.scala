@@ -3299,7 +3299,10 @@ object QueriesPipeline {
       // the block prefix on the band key only restricts candidates to
       // same-block pairs; within a block, collisions equal the
       // unprefixed ones — so the replay is the qp_minhash_pairs CTE
-      // chain with a lang-agreement join on the documents table
+      // chain with a lang-agreement join on the documents table.
+      // IS NOT DISTINCT FROM (r14, ADVICE): the engine's block key is
+      // struct(lang).cast("string"), which groups NULL langs into ONE
+      // block — a plain equality join would silently drop them
       val bandRows = (0 until 4).map { b =>
         val ks = (b * 4 until b * 4 + 4).map(i => s"s$i").mkString(", ")
         s"SELECT doc_id, sh, concat_ws('_', $b, $ks) AS band FROM sigs"
@@ -3316,7 +3319,7 @@ object QueriesPipeline {
          |   ON a.band = b.band AND a.doc_id < b.doc_id
          | JOIN documents da ON da.doc_id = a.doc_id
          | JOIN documents db ON db.doc_id = b.doc_id
-         |   AND da.lang = db.lang
+         |   AND da.lang IS NOT DISTINCT FROM db.lang
          | WHERE round(len(list_intersect(a.sh, b.sh))*1.0 /
          |     (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
          |   >= 0.8
@@ -3346,7 +3349,8 @@ object QueriesPipeline {
          |     (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
          |   AS jac
          | FROM kept a JOIN kept b
-         |   ON a.band = b.band AND a.lang = b.lang
+         |   ON a.band = b.band
+         |     AND a.lang IS NOT DISTINCT FROM b.lang
          |     AND a.doc_id < b.doc_id
          | WHERE round(len(list_intersect(a.sh, b.sh))*1.0 /
          |     (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)

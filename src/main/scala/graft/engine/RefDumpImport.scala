@@ -78,12 +78,12 @@ object RefDumpImport {
     val byClass = records.groupBy(_.cls.toLowerCase)
 
     // register classes in dump order so superclasses usually precede
-    // subclasses; links are attached after all classes exist
-    val linkSpecs = mutable.Map[String, Seq[LinkSpec]]()
+    // subclasses; each class carries its LinkSpecs on its own ClassDef
+    // (link TARGETS may register later — navigation resolves by name
+    // at query time, so forward references are fine)
     classes.foreach { rc =>
       val recs = byClass.getOrElse(rc.name.toLowerCase, Nil)
       val (schema, rows, links) = shape(rc, recs, clusterOwner)
-      linkSpecs(rc.name.toLowerCase) = links
       val df = session.spark.createDataFrame(
         new java.util.ArrayList[Row](rows.asJava), schema)
         .localCheckpoint(true) // materialize: the dump text is gone
@@ -192,23 +192,43 @@ object RefDumpImport {
           ArrayType(StringType)
         case Some("EMBEDDED") | Some("EMBEDDEDMAP") => StringType
         case _ => // undeclared: infer from observed values
+          // r14 (ADVICE): classify ALL observed values, not just the
+          // first — a schemaless dump can mix types within one field,
+          // and typing from record one silently nulled later
+          // mismatched values. Disagreement widens: Long+Double →
+          // DoubleType, anything else → StringType (coerce stringifies
+          // losslessly).
+          def kindOf(v: Any): Int = v match {
+            case _: java.lang.Long => 1
+            case _: java.lang.Double => 2
+            case _: java.lang.Boolean => 3
+            case _: Seq[_] => 4
+            case s: String if looksLikeDate(s) => 5
+            case _ => 6
+          }
           if (vs.isEmpty) StringType
           else if (ridTarget(vs).isDefined) {
             links += LinkSpec(f, ridTarget(vs).get, f, "_ridpos")
             LongType
-          } else vs.head match {
-            case _: java.lang.Long => LongType
-            case _: java.lang.Double => DoubleType
-            case _: java.lang.Boolean => BooleanType
-            case _: Seq[_] =>
-              val flat = vs.collect { case x: Seq[_] => x }.flatten
-              if (ridTarget(flat).isDefined) {
-                links += LinkSpec(f, ridTarget(flat).get, f, "_ridpos",
-                  multi = true, srcIsArray = true)
-                ArrayType(LongType)
-              } else ArrayType(StringType)
-            case s: String if looksLikeDate(s) => TimestampType
-            case _ => StringType
+          } else {
+            val kinds = vs.map(kindOf).distinct
+            if (kinds.length > 1) {
+              if (kinds.forall(k => k == 1 || k == 2)) DoubleType
+              else StringType
+            } else kinds.head match {
+              case 1 => LongType
+              case 2 => DoubleType
+              case 3 => BooleanType
+              case 4 =>
+                val flat = vs.collect { case x: Seq[_] => x }.flatten
+                if (ridTarget(flat).isDefined) {
+                  links += LinkSpec(f, ridTarget(flat).get, f, "_ridpos",
+                    multi = true, srcIsArray = true)
+                  ArrayType(LongType)
+                } else ArrayType(StringType)
+              case 5 => TimestampType
+              case _ => StringType
+            }
           }
       }
       f -> tpe

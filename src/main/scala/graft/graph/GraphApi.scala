@@ -245,11 +245,23 @@ final class GraphApi(val session: GraftSession) {
     else require(isEdgeClass(edgeCls), s"'$edgeCls' is not an edge class")
 
     val base = nextId.get()
+    // null-safe max over a possibly-empty frame (agg(max) of zero rows
+    // is a single NULL row, not zero rows)
+    def maxIdOr(df: DataFrame, empty: Long): Long =
+      Option(df.agg(max(col("id").cast("long"))).head().get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(empty)
     val e0 =
       if (edges.columns.exists(_.equalsIgnoreCase("id")))
         edges.withColumn("id", col("id").cast("long"))
-      else edges.withColumn("id",
-        monotonically_increasing_id() + lit(base))
+      else {
+        // synthesized ids start past BOTH the allocator and every
+        // loaded vertex id, preserving the call-built invariant that
+        // the shared allocator keeps vertex and edge ids disjoint
+        // (r14: a user vertex id >= base previously could collide)
+        val start = math.max(base, maxIdOr(vertices, -1L) + 1)
+        edges.withColumn("id",
+          monotonically_increasing_id() + lit(start))
+      }
     val e = e0.withColumn("out", col("out").cast("long"))
       .withColumn("in", col("in").cast("long"))
       .localCheckpoint() // synthesized ids must not re-derive per read
@@ -270,9 +282,10 @@ final class GraphApi(val session: GraftSession) {
         coalesce(col("inEdges"), lit(Array.empty[Long])))
     session.appendData(vertexCls, v)
     session.appendData(edgeCls, e)
-    // advance the allocator past everything just loaded
-    val loadedMax = v.agg(max(col("id"))).head().getLong(0)
-      .max(e.agg(max(col("id"))).head().getLong(0))
+    // advance the allocator past everything just loaded — null-safe on
+    // empty frames (r14: max(id) of zero rows is NULL; the old getLong
+    // NPE'd AFTER the appends, leaving the allocator behind loaded ids)
+    val loadedMax = maxIdOr(v, base - 1).max(maxIdOr(e, base - 1))
     nextId.accumulateAndGet(loadedMax + 1, math.max(_, _))
     this
   }

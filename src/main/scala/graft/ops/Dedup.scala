@@ -26,6 +26,41 @@ object Dedup {
 
   private def spread(df: DataFrame): DataFrame = Partitioning.spread(df)
 
+  /** Default pairwise-candidate budget for the saturation pre-flight
+    * (r14): ScratchR13 measured a vocabulary-saturated corpus driving
+    * lang-blocked ppjoin past 8 minutes at 30× with NO early signal —
+    * the candidate self-join is the only unbounded stage in the dedup
+    * family. Before launching it, the generators now aggregate the
+    * bucket/prefix occupancy they already computed into a predicted
+    * candidate count (Σ n·(n−1)/2 — the join's exact pre-distinct
+    * output size) and refuse with guidance when it exceeds the
+    * budget. 2e9 is ~100× the sf0.1 gate workloads (28.9M raw ppjoin
+    * collisions) and well past any healthy corpus at any scale —
+    * blocked occupancy is corpus-size-free; only saturation reaches
+    * it. Pass `candidateBudget <= 0` to disable. */
+  val DefaultCandidateBudget: Long = 2000000000L
+
+  /** estimate-only occupancy pass shared by the minhash and ppjoin
+    * generators: ONE aggregation over the small (id, key) frame the
+    * self-join would key on. Raises IllegalStateException with
+    * actionable guidance instead of grinding an n² stage. */
+  private def preflightCandidates(keyed: DataFrame, keyCols: Seq[String],
+      budget: Long, op: String, guidance: String): Unit = {
+    if (budget <= 0) return
+    val r = keyed.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .agg(sum(col("__n") * (col("__n") - 1)).as("__pairs2"),
+        max(col("__n")).as("__hot"), count(lit(1)).as("__k"))
+      .head()
+    val pred = (if (r.isNullAt(0)) 0L else r.getLong(0)) / 2
+    if (pred > budget)
+      throw new IllegalStateException(
+        s"$op pre-flight: predicted $pred candidate pairs across " +
+          s"${r.getLong(2)} buckets (hottest holds ${r.getLong(1)} " +
+          s"docs) exceeds candidateBudget=$budget — the key space is " +
+          s"saturated. $guidance")
+  }
+
   /** exact duplicate groups by content hash: (hash, n, keep_id).
     * `keep` = smallest id — the canonical survivor. */
   def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -179,9 +214,11 @@ object Dedup {
   }
 
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double, shingleN: Int = 4, bands: Int = 4): DataFrame = {
+      threshold: Double, shingleN: Int = 4, bands: Int = 4,
+      candidateBudget: Long = DefaultCandidateBudget): DataFrame = {
     val base = sigSetsBase(df, idCol, textCol, shingleN).persist()
-    val pairs = minhashPairsOnSigSets(base, threshold, bands)
+    val pairs = minhashPairsOnSigSets(base, threshold, bands,
+      candidateBudget)
     base.unpersist()
     pairs
   }
@@ -189,10 +226,12 @@ object Dedup {
   /** [[minhashPairs]] over a pre-built (caller-persisted — it feeds
     * four join sides) [[sigSets]] table. */
   def minhashPairsOnSigSets(base: DataFrame, threshold: Double,
-      bands: Int = 4): DataFrame = {
+      bands: Int = 4,
+      candidateBudget: Long = DefaultCandidateBudget): DataFrame = {
     require(bands > 0 && MinhashK % bands == 0,
       s"bands must evenly divide MinhashK=$MinhashK, got $bands")
-    minhashPairsCore(base, bandBucketsFromSigs(base, bands), threshold)
+    minhashPairsCore(base, bandBucketsFromSigs(base, bands), threshold,
+      candidateBudget = candidateBudget)
   }
 
   /** [[minhashPairs]] run INSIDE caller-supplied blocking keys — the
@@ -206,10 +245,14 @@ object Dedup {
     * as the rest of the blocked family: near-dups never split across
     * blocks (lang / source / length-band are the deployment keys);
     * WITHIN a block the candidate generation and the exact-Jaccard
-    * verify are the unchanged [[minhashPairs]] machinery. */
+    * verify are the unchanged [[minhashPairs]] machinery. NULL block
+    * values form ONE block of their own (the key is
+    * struct(blockCols).cast("string"), so nulls compare equal — r14:
+    * the oracles replay this with IS NOT DISTINCT FROM). */
   def minhashPairsBlocked(df: DataFrame, idCol: String, textCol: String,
       blockCols: Seq[String], threshold: Double,
-      shingleN: Int = 4, bands: Int = 4, maxBucket: Int = 0): DataFrame = {
+      shingleN: Int = 4, bands: Int = 4, maxBucket: Int = 0,
+      candidateBudget: Long = DefaultCandidateBudget): DataFrame = {
     require(blockCols.nonEmpty,
       "blockCols must be non-empty — use minhashPairs for the unblocked join")
     require(bands > 0 && MinhashK % bands == 0,
@@ -220,7 +263,7 @@ object Dedup {
       .join(blocks, Seq("__id")).persist()
     val pairs = minhashPairsCore(base,
       bandBucketsFromSigs(base, bands, Some(col("__blk"))), threshold,
-      maxBucket)
+      maxBucket, candidateBudget)
     base.unpersist()
     pairs
   }
@@ -239,7 +282,8 @@ object Dedup {
     * guarantees each true pair shares ≥1 band; only saturation-scale
     * buckets are dropped). */
   private def minhashPairsCore(base: DataFrame, buckets: DataFrame,
-      threshold: Double, maxBucket: Int = 0): DataFrame = {
+      threshold: Double, maxBucket: Int = 0,
+      candidateBudget: Long = DefaultCandidateBudget): DataFrame = {
     val kept =
       if (maxBucket <= 0) buckets
       else {
@@ -250,6 +294,15 @@ object Dedup {
           .filter(col("__n") > maxBucket).select("__band")
         buckets.join(hot, Seq("__band"), "left_anti")
       }
+    // saturation pre-flight (r14): refuse before the self-join, not
+    // 8 minutes into it — runs AFTER the cap so a capped call is
+    // judged on what it would actually join
+    preflightCandidates(kept, Seq("__band"), candidateBudget,
+      "minhash banding",
+      "Block finer (minhashPairsBlocked with more selective " +
+        "blockCols), set maxBucket to drop saturation-scale buckets " +
+        "(ScratchR13: the cap held the saturated 30x point at 23 s), " +
+        "or raise candidateBudget if the join size is intended.")
     val candidates = kept.select(col("__band"), col("__id").as("a_id"))
       .join(kept.select(col("__band"), col("__id").as("b_id")),
         Seq("__band"))
@@ -400,8 +453,10 @@ object Dedup {
     * shuffle join on the shingle hash (a 100 TB corpus' shingle
     * vocabulary is not broadcastable). Returns (a_id, b_id, jac). */
   def ppjoinPairs(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double, shingleN: Int = 4): DataFrame =
-    ppjoinImpl(df, idCol, textCol, threshold, shingleN, Nil)
+      threshold: Double, shingleN: Int = 4,
+      candidateBudget: Long = DefaultCandidateBudget): DataFrame =
+    ppjoinImpl(df, idCol, textCol, threshold, shingleN, Nil,
+      candidateBudget)
 
   /** [[ppjoinPairs]] over a pre-built (caller-persisted) [[sigSets]]
     * table — unblocked only (the blocked variant derives its block
@@ -411,11 +466,12 @@ object Dedup {
     * `__sh` directly instead of re-aggregating candidate sets: every
     * row this produces is identical to [[ppjoinPairs]]' — same rarity
     * order, same filters, same merge-scan verify. */
-  def ppjoinPairsOnSigSets(base: DataFrame, threshold: Double): DataFrame =
+  def ppjoinPairsOnSigSets(base: DataFrame, threshold: Double,
+      candidateBudget: Long = DefaultCandidateBudget): DataFrame =
     ppjoinCore(
       base.select(col("__id"), explode(col("__sh")).as("__h")),
       _ => base.select(col("__id"), col("__sh")),
-      threshold, blk = false)
+      threshold, blk = false, candidateBudget)
 
   /** [[ppjoinPairs]] run INSIDE caller-supplied blocking keys — the
     * exact sub-quadratic escape for vocabulary-SATURATED corpora
@@ -434,14 +490,17 @@ object Dedup {
     * Returns (a_id, b_id, jac). */
   def ppjoinPairsBlocked(df: DataFrame, idCol: String, textCol: String,
       blockCols: Seq[String], threshold: Double,
-      shingleN: Int = 4): DataFrame = {
+      shingleN: Int = 4,
+      candidateBudget: Long = DefaultCandidateBudget): DataFrame = {
     require(blockCols.nonEmpty,
       "blockCols must be non-empty — use ppjoinPairs for the unblocked join")
-    ppjoinImpl(df, idCol, textCol, threshold, shingleN, blockCols)
+    ppjoinImpl(df, idCol, textCol, threshold, shingleN, blockCols,
+      candidateBudget)
   }
 
   private def ppjoinImpl(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double, shingleN: Int, blockCols: Seq[String]): DataFrame = {
+      threshold: Double, shingleN: Int, blockCols: Seq[String],
+      candidateBudget: Long = DefaultCandidateBudget): DataFrame = {
     val blk = blockCols.nonEmpty
     val src = if (blk) spread(df)
         .withColumn("__blk", struct(blockCols.map(col): _*))
@@ -449,11 +508,12 @@ object Dedup {
     val blkCols: Seq[Column] = if (blk) Seq(col("__blk")) else Nil
     val exploded = src.select(col(idCol).as("__id") +: blkCols :+
       explode(charShingles(col(textCol), shingleN)).as("__s"): _*)
-    ppjoinFromShingles(exploded, threshold, blk)
+    ppjoinFromShingles(exploded, threshold, blk, candidateBudget)
   }
 
   private def ppjoinFromShingles(exploded: DataFrame, threshold: Double,
-      blk: Boolean): DataFrame = {
+      blk: Boolean,
+      candidateBudget: Long = DefaultCandidateBudget): DataFrame = {
     // MEMORY_AND_DISK_SER, not the default: inside a query SUITE these
     // frames compete for storage memory with neighboring queries'
     // caches — an evicted default-level block is silently RECOMPUTED
@@ -475,7 +535,7 @@ object Dedup {
       candIds => base.join(candIds, Seq("__id"), "left_semi")
         .groupBy("__id")
         .agg(sort_array(collect_set(col("__h"))).as("__sh")),
-      threshold, blk)
+      threshold, blk, candidateBudget)
     base.unpersist()
     pairs
   }
@@ -488,7 +548,8 @@ object Dedup {
     * [[sigSets]] table. */
   private def ppjoinCore(base: DataFrame,
       setsFor: DataFrame => DataFrame, threshold: Double,
-      blk: Boolean): DataFrame = {
+      blk: Boolean,
+      candidateBudget: Long = DefaultCandidateBudget): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold in (0, 1]")
     // one composite block column; every join/groupBy below keys on
     // (__blk, __h) when blocked and plain __h when not — the unblocked
@@ -539,6 +600,19 @@ object Dedup {
     // The 1e-6 slack keeps float ceil/multiply from ever rounding a
     // bound UP past its exact real value — filters may only weaken,
     // never drop a true pair.
+    // saturation pre-flight (r14): the prefix self-join below is the
+    // stage ScratchR13 measured grinding >8 min at 30× on a
+    // vocabulary-saturated corpus — predict its raw collision count
+    // from the (already-persisted) prefix occupancy and refuse with
+    // guidance instead
+    preflightCandidates(prefix, keyCols, candidateBudget,
+      "ppjoin prefix index",
+      "The corpus is vocabulary-saturated: block finer " +
+        "(ppjoinPairsBlocked with more selective blockCols), or " +
+        "prefer minhashPairsBlocked with maxBucket for this shape " +
+        "(ScratchR13: measured exponent 0.42 at 30x where blocked " +
+        "ppjoin did not complete); raise candidateBudget only if the " +
+        "join size is intended.")
     val alpha = ceil(lit(threshold / (1 + threshold)) *
       (col("__na") + col("__nb")) - lit(1e-6))
     val candidates = prefix.select(keyCols.map(col) ++ Seq(

@@ -110,6 +110,36 @@ class RefDumpImportSpec extends AnyFunSuite {
     assert(luca.getString(4) == "{\"a\":1}")
   }
 
+  test("undeclared fields mixing types widen instead of nulling (r14)") {
+    val g = fresh()
+    // a schemaless field whose values disagree on type: record one is
+    // numeric, record two a string — typing from record one (pre-r14)
+    // silently coerced "large" to null; Long+Double mixes widen to
+    // double, not string
+    val mixed =
+      """{
+        | "info": {"name": "mix", "default-cluster-id": 2},
+        | "clusters": [{"name": "item", "id": 9, "type": "PHYSICAL"}],
+        | "schema": {"version": 1, "classes": [
+        |   {"name": "Item", "id": 0, "default-cluster-id": 9,
+        |    "cluster-ids": [9], "properties": []}
+        | ]},
+        | "records": [
+        |  {"@type": "d", "@rid": "#9:0", "@version": 0,
+        |   "@class": "Item", "size": 12, "ratio": 1},
+        |  {"@type": "d", "@rid": "#9:1", "@version": 0,
+        |   "@class": "Item", "size": "large", "ratio": 2.5}
+        | ]
+        |}""".stripMargin
+    RefDumpImport.importDatabase(g, write(mixed))
+    val rows = g.query("select size, ratio from Item order by size")
+      .collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("12", "large"),
+      "mixed Long/String field must widen to string, losing nothing")
+    assert(rows.map(_.getDouble(1)).sorted.toSeq == Seq(1.0, 2.5),
+      "mixed Long/Double field must widen to double")
+  }
+
   test("constraints, indexes and the dictionary import") {
     val g = fresh()
     RefDumpImport.importDatabase(g, write(dump))

@@ -204,6 +204,38 @@ class GraphApiSpec extends AnyFunSuite {
     assert(api.createVertex().id > ids.max)
   }
 
+  test("loadGraph: empty edge frame loads and still advances the " +
+      "allocator (r14)") {
+    val g = fresh()
+    val api = new GraphApi(g)
+    import spark.implicits._
+    val vertices = Seq((10L, "a"), (20L, "b")).toDF("id", "name")
+    val edges = Seq.empty[(Long, Long, Long)].toDF("id", "out", "in")
+    api.loadGraph(vertices, edges) // r13 NPE'd on max(id) of zero rows
+    assert(api.browseVertexes().count() == 2)
+    assert(api.createVertex().id > 20L,
+      "allocator must advance past loaded vertex ids even when the " +
+        "edge frame is empty")
+  }
+
+  test("loadGraph: synthesized edge ids stay disjoint from loaded " +
+      "vertex ids (r14)") {
+    val g = fresh()
+    val api = new GraphApi(g)
+    import spark.implicits._
+    // vertex ids far past the fresh allocator's base — synthesized
+    // edge ids must start beyond them, not at the base
+    val vertices = Seq((100000L, "a"), (100001L, "b")).toDF("id", "name")
+    val edges = Seq((100000L, 100001L), (100001L, 100000L))
+      .toDF("out", "in")
+    api.loadGraph(vertices, edges)
+    val eIds = g.browseClass(GraphApi.EdgeClass)
+      .select(col("id").cast("long")).collect().map(_.getLong(0)).toSet
+    assert(eIds.size == 2 && eIds.forall(_ > 100001L),
+      s"synthesized edge ids $eIds must not collide with vertex ids")
+    assert(api.createVertex().id > eIds.max)
+  }
+
   test("facade keys continue past existing ids on reopen") {
     val g = fresh()
     val api1 = new GraphApi(g)

@@ -1578,6 +1578,47 @@ class OpsHygieneSpec extends AnyFunSuite {
     assert(a == b && a.nonEmpty)
   }
 
+  test("saturation pre-flight: minhash and ppjoin refuse a saturated " +
+      "corpus BEFORE the candidate self-join (r14)") {
+    // a saturated key space in miniature: every doc identical, so all
+    // band buckets / prefix tokens hold the whole corpus and the
+    // self-join output is n² — the ScratchR13 shape that ground
+    // lang-blocked ppjoin past 8 minutes at 30× with no early signal
+    val n = 120
+    val sat = (0L until n.toLong)
+      .map(i => (i, "the same saturated document text, repeated " * 3))
+      .toDF("doc_id", "text")
+    // minhash: 4 bands × C(120,2) = 28 560 predicted pairs > 1000
+    val eM = intercept[IllegalStateException] {
+      Dedup.minhashPairs(sat, "doc_id", "text", threshold = 0.8,
+        candidateBudget = 1000)
+    }
+    assert(eM.getMessage.contains("pre-flight") &&
+      eM.getMessage.contains("minhashPairsBlocked"),
+      s"guidance missing: ${eM.getMessage}")
+    // ppjoin: every prefix token collides across all 120 docs
+    val eP = intercept[IllegalStateException] {
+      Dedup.ppjoinPairs(sat, "doc_id", "text", threshold = 0.8,
+        candidateBudget = 1000)
+    }
+    assert(eP.getMessage.contains("pre-flight") &&
+      eP.getMessage.contains("minhashPairsBlocked"),
+      s"guidance missing: ${eP.getMessage}")
+    // the capped escape passes the SAME budget: maxBucket drops the
+    // mega-buckets before the estimate, so the pre-flight judges what
+    // would actually join
+    val capped = Dedup.minhashPairsBlocked(sat.withColumn("lang", lit("en")),
+      "doc_id", "text", blockCols = Seq("lang"), threshold = 0.8,
+      maxBucket = 10, candidateBudget = 1000)
+    assert(capped.count() >= 0) // runs, no raise
+    // a healthy (distinct-text) corpus sails through the DEFAULT budget
+    val d = Tables.load(spark, sf, "documents").limit(200)
+    assert(Dedup.minhashPairs(d, "doc_id", "text", 0.9).count() >= 0)
+    // budget <= 0 disables the guard entirely
+    assert(Dedup.minhashPairs(sat, "doc_id", "text", threshold = 0.8,
+      candidateBudget = 0).count() > 0)
+  }
+
   test("time buckets FLOOR for pre-epoch timestamps (r12 sweep)") {
     // −1 µs is 1969-12-31T23:59:59.999999 — one µs before the epoch.
     // Truncating `div` folds it into bucket 0 with the epoch day;
