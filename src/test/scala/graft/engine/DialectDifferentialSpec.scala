@@ -53,10 +53,23 @@ class DialectDifferentialSpec extends AnyFunSuite {
       "p_partkey" -> Num, "p_name" -> Str, "p_brand" -> Str,
       "p_type" -> Str, "p_size" -> Num, "p_retailprice" -> Num)))
 
+  /** inner-condition tables for the r14 dialect-only fuzz (multi-link
+    * CONTAINS targets + traverse hop classes) — kept OUT of `tables`
+    * so the pre-r14 generators' seeded sequences are unchanged. */
+  private val innerTables = Seq(
+    Table("nation", "n_nationkey", Seq(
+      "n_nationkey" -> Num, "n_name" -> Str, "n_regionkey" -> Num)),
+    Table("region", "r_regionkey", Seq(
+      "r_regionkey" -> Num, "r_name" -> Str)),
+    Table("lineitem", "l_orderkey", Seq(
+      "l_quantity" -> Num, "l_extendedprice" -> Num,
+      "l_discount" -> Num, "l_returnflag" -> Str,
+      "l_linestatus" -> Str)))
+
   /** per-column literal pools sampled once from the REAL data (so
     * comparisons hit rows); deterministic: distinct + sorted + take. */
   private lazy val pools: Map[(String, String), Seq[String]] = {
-    tables.flatMap { t =>
+    (tables ++ innerTables).flatMap { t =>
       val df = spark.read.parquet(s"$dir/${t.name}.parquet")
       df.createOrReplaceTempView(t.name) // the Spark-SQL side's view
       t.fields.map { case (f, kind) =>
@@ -101,7 +114,11 @@ class DialectDifferentialSpec extends AnyFunSuite {
           if (rng.nextBoolean()) v.take(1 + rng.nextInt(
             math.max(1, v.length))) + "%"
           else "%" + v.slice(1, 1 + rng.nextInt(math.max(1, v.length)))
-        Cond(s"$f like '$pat'", s"$f LIKE '$pat'")
+        // r14: values may carry literal '_' (nation names) — the
+        // dialect treats it literally, ANSI as a wildcard: escape it
+        // on the SQL side so both mean the same pattern
+        val patEsc = pat.replace("_", "!_")
+        Cond(s"$f like '$pat'", s"$f LIKE '$patEsc' ESCAPE '!'")
       case 6 if kind == Str => // MATCHES (whole-string anchors)
         val v = pick()
         val prefix = v.takeWhile(_.isLetterOrDigit)
@@ -355,22 +372,300 @@ class DialectDifferentialSpec extends AnyFunSuite {
         failures.mkString("\n\n"))
   }
 
-  test("~200 seeded random dialect queries match Spark SQL") {
+  test("~200 seeded random dialect queries match Spark SQL " +
+      "(pinned + HEAD-derived seed)") {
     pools // force view registration
-    val rng = new scala.util.Random(sys.env.get("GRAFT_FUZZ_SEED").map(_.toLong).getOrElse(20260816L))
-    val failures = scala.collection.mutable.ListBuffer[String]()
-    var run = 0
-    while (run < 200 && failures.length < 3) {
-      val q = genQuery(rng)
-      check(q.dialect, q.sql, q.ordered).foreach { reason =>
-        val (md, ms, mr) = shrink(q, reason)
-        failures += s"[$run] MINIMAL dialect: $md\n      sql: $ms\n      $mr" +
-          s"\n      (original: ${q.dialect})"
+    graft.FuzzSeeds.all.foreach { seed =>
+      val rng = new scala.util.Random(seed)
+      val failures = scala.collection.mutable.ListBuffer[String]()
+      var run = 0
+      while (run < 200 && failures.length < 3) {
+        val q = genQuery(rng)
+        check(q.dialect, q.sql, q.ordered).foreach { reason =>
+          val (md, ms, mr) = shrink(q, reason)
+          failures += s"[$run] MINIMAL dialect: $md\n      sql: $ms\n      $mr" +
+            s"\n      (original: ${q.dialect})"
+        }
+        run += 1
       }
-      run += 1
+      assert(failures.isEmpty,
+        s"\n[repro: GRAFT_FUZZ_SEED=$seed] ${failures.length} " +
+          s"divergence(s) after $run queries:\n" +
+          failures.mkString("\n\n"))
     }
-    assert(failures.isEmpty,
-      s"\n${failures.length} divergence(s) after $run queries:\n" +
-        failures.mkString("\n\n"))
+  }
+
+  // ================================================================
+  // r14 (VERDICT task #3): the constructs Spark SQL cannot express
+  // directly — CONTAINS(cond), CONTAINSALL(cond), any()/all(),
+  // field-method chains, bounded TRAVERSE — fuzzed against an
+  // INDEPENDENT second implementation: correlated EXISTS subqueries /
+  // per-field expansions / per-depth join chains rendered through
+  // Spark SQL's own front-end. Previously these were gated only by
+  // hand-written oracles.
+  // ================================================================
+
+  /** multi-link hosts for CONTAINS fuzz: host class, its pk, the
+    * LINKLIST field, join keys, and the target's Table (for inner
+    * condition generation). */
+  private case class MultiHost(host: String, pk: String, field: String,
+      srcKey: String, target: String, dstKey: String, inner: Table)
+
+  private lazy val multiHosts = Seq(
+    MultiHost("customer", "c_custkey", "orders", "c_custkey",
+      "orders", "o_custkey", tables.find(_.name == "orders").get),
+    MultiHost("orders", "o_orderkey", "lineitems", "o_orderkey",
+      "lineitem", "l_orderkey",
+      innerTables.find(_.name == "lineitem").get),
+    MultiHost("region", "r_regionkey", "nations", "r_regionkey",
+      "nation", "n_regionkey", innerTables.find(_.name == "nation").get))
+
+  test("50 seeded CONTAINS/CONTAINSALL inner-condition queries match " +
+      "correlated EXISTS subqueries (r14)") {
+    pools
+    graft.FuzzSeeds.all.foreach { seed =>
+      val rng = new scala.util.Random(seed)
+      val failures = scala.collection.mutable.ListBuffer[String]()
+      (0 until 50).foreach { run =>
+        if (failures.length < 3) {
+          val mh = multiHosts(rng.nextInt(multiHosts.length))
+          val inner = genCond(rng, mh.inner, 1 + rng.nextInt(2))
+          val all = rng.nextBoolean()
+          val opD = if (all) "containsall" else "contains"
+          // dialect CONTAINSALL over a host with NO children: the
+          // multi-link left join yields a null array, forall(null) =
+          // null → dropped (qd_containsall's pinned semantics) — the
+          // SQL replay therefore requires EXISTS(any child) too
+          val sqlCond =
+            if (!all)
+              s"EXISTS (SELECT 1 FROM ${mh.target} WHERE " +
+                s"${mh.dstKey} = ${mh.srcKey} AND (${inner.sql}))"
+            else
+              s"EXISTS (SELECT 1 FROM ${mh.target} WHERE " +
+                s"${mh.dstKey} = ${mh.srcKey}) AND NOT EXISTS " +
+                s"(SELECT 1 FROM ${mh.target} WHERE " +
+                s"${mh.dstKey} = ${mh.srcKey} AND NOT (${inner.sql}))"
+          // optionally AND a local host condition (hosts present in
+          // `tables` only — region has no pool-backed Table)
+          val local = tables.find(_.name == mh.host)
+            .filter(_ => rng.nextBoolean()).map(t => leaf(rng, t))
+          val wd = local.map(l => s"(${l.dialect}) and ").getOrElse("") +
+            s"${mh.field} $opD (${inner.dialect})"
+          val ws = local.map(l => s"(${l.sql}) AND ").getOrElse("") +
+            sqlCond
+          val d = s"select ${mh.pk} from ${mh.host} where $wd " +
+            s"order by ${mh.pk}"
+          val s = s"SELECT ${mh.pk} FROM ${mh.host} WHERE $ws " +
+            s"ORDER BY ${mh.pk}"
+          check(d, s, ordered = true).foreach(reason =>
+            failures += s"[$run] dialect: $d\n      sql: $s\n      $reason")
+        }
+      }
+      assert(failures.isEmpty,
+        s"\n[repro: GRAFT_FUZZ_SEED=$seed] ${failures.length} " +
+          s"CONTAINS divergence(s):\n" + failures.mkString("\n\n"))
+    }
+  }
+
+  test("30 seeded any()/all() queries match per-field OR/AND " +
+      "expansions (r14)") {
+    pools
+    // the dialect's any()/all() string-compare runs across the class's
+    // base columns — expand the same predicate per column through
+    // Spark SQL (CAST ... AS STRING mirrors the reference's
+    // toString-based multi-value compare, SURVEY §2.3)
+    val hosts = Seq("customer", "part")
+    val hostCols: Map[String, Seq[String]] = hosts.map(h =>
+      h -> graft.sources.Tables.load(spark, dir, h).columns.toSeq).toMap
+    graft.FuzzSeeds.all.foreach { seed =>
+      val rng = new scala.util.Random(seed)
+      val failures = scala.collection.mutable.ListBuffer[String]()
+      (0 until 30).foreach { run =>
+        if (failures.length < 3) {
+          val host = hosts(rng.nextInt(hosts.length))
+          val t = tables.find(_.name == host).get
+          val cols = hostCols(host)
+          val (f, _) = t.fields(rng.nextInt(t.fields.length))
+          val v = pools((host, f))(rng.nextInt(pools((host, f)).length))
+            .replace("'", "") // defensive: no quote breakage
+          val all = rng.nextBoolean()
+          val fn = if (all) "all()" else "any()"
+          val joiner = if (all) " AND " else " OR "
+          val (dCond, sCond) = rng.nextInt(3) match {
+            case 0 => // plain comparison, string semantics
+              val cmp = Seq("=", ">", "<", ">=", "<=")(rng.nextInt(5))
+              (s"$fn $cmp '$v'",
+                cols.map(c => s"CAST($c AS STRING) $cmp '$v'")
+                  .mkString("(", joiner, ")"))
+            case 1 => // chained: length of the string form
+              val n = 1 + rng.nextInt(12)
+              (s"$fn.length() > $n",
+                cols.map(c => s"length(CAST($c AS STRING)) > $n")
+                  .mkString("(", joiner, ")"))
+            case _ => // chained: uppercase prefix compare
+              (s"$fn.toUpperCase() >= '${v.toUpperCase}'",
+                cols.map(c =>
+                  s"upper(CAST($c AS STRING)) >= '${v.toUpperCase}'")
+                  .mkString("(", joiner, ")"))
+          }
+          val d = s"select ${t.pk} from $host where $dCond " +
+            s"order by ${t.pk} limit 40"
+          val s = s"SELECT ${t.pk} FROM $host WHERE $sCond " +
+            s"ORDER BY ${t.pk} LIMIT 40"
+          check(d, s, ordered = true).foreach(reason =>
+            failures += s"[$run] dialect: $d\n      sql: $s\n      $reason")
+        }
+      }
+      assert(failures.isEmpty,
+        s"\n[repro: GRAFT_FUZZ_SEED=$seed] ${failures.length} " +
+          s"any()/all() divergence(s):\n" + failures.mkString("\n\n"))
+    }
+  }
+
+  test("40 seeded random field-method chains match Spark SQL " +
+      "renderings (r14)") {
+    pools
+    // string→string methods with the dialect's PINNED argument
+    // semantics (0-based offsets; right() = suffix from min(k, len−1);
+    // substring(a[,b]) = Java begin/end) — each rendered for Spark
+    // SQL's front-end. Chains compose 1..3 of these plus an optional
+    // length() terminal.
+    case class M(d: String, sql: String => String)
+    def mkMethods(rng: scala.util.Random): Seq[M] = Seq(
+      M(".toUpperCase()", x => s"upper($x)"),
+      M(".toLowerCase()", x => s"lower($x)"),
+      M(".trim()", x => s"trim($x)"),
+      { val k = 1 + rng.nextInt(8)
+        M(s".left($k)", x => s"substring($x, 1, $k)") },
+      { val k = 1 + rng.nextInt(8)
+        M(s".right($k)",
+          x => s"substring($x, LEAST($k, length($x) - 1) + 1)") },
+      { val a = rng.nextInt(4)
+        M(s".substring($a)", x => s"substring($x, ${a + 1})") },
+      { val a = rng.nextInt(3); val b = a + 1 + rng.nextInt(5)
+        M(s".substring($a, $b)", x => s"substring($x, ${a + 1}, ${b - a})") },
+      { val i = rng.nextInt(3)
+        M(s".charAt($i)", x => s"substring($x, ${i + 1}, 1)") },
+      { val s = Seq("x", "_t", "9")(rng.nextInt(3))
+        M(s".append('$s')", x => s"concat($x, '$s')") },
+      { val s = Seq("p", "0_")(rng.nextInt(2))
+        M(s".prefix('$s')", x => s"concat('$s', $x)") })
+    val hosts = Seq(("customer", "c_custkey", "c_name"),
+      ("customer", "c_custkey", "c_mktsegment"),
+      ("part", "p_partkey", "p_type"),
+      ("part", "p_partkey", "p_brand"))
+    graft.FuzzSeeds.all.foreach { seed =>
+      val rng = new scala.util.Random(seed)
+      val failures = scala.collection.mutable.ListBuffer[String]()
+      (0 until 40).foreach { run =>
+        if (failures.length < 3) {
+          val (host, pk, f) = hosts(rng.nextInt(hosts.length))
+          val picked = Seq.fill(1 + rng.nextInt(3))({
+            val ms = mkMethods(rng); ms(rng.nextInt(ms.length))
+          })
+          val terminal = rng.nextInt(3) == 0
+          val dChain = f + picked.map(_.d).mkString +
+            (if (terminal) ".length()" else "")
+          val sChain0 = picked.foldLeft(f)((x, m) => m.sql(x))
+          val sChain = if (terminal) s"length($sChain0)" else sChain0
+          val d = s"select $pk, $dChain as v from $host " +
+            s"order by $pk limit 50"
+          val s = s"SELECT $pk, $sChain AS v FROM $host " +
+            s"ORDER BY $pk LIMIT 50"
+          check(d, s, ordered = true).foreach(reason =>
+            failures += s"[$run] dialect: $d\n      sql: $s\n      $reason")
+        }
+      }
+      assert(failures.isEmpty,
+        s"\n[repro: GRAFT_FUZZ_SEED=$seed] ${failures.length} " +
+          s"chain divergence(s):\n" + failures.mkString("\n\n"))
+    }
+  }
+
+  test("40 seeded bounded TRAVERSE queries match explicit per-depth " +
+      "join chains (r14)") {
+    pools
+    val nationT = innerTables.find(_.name == "nation").get
+    val regionT = innerTables.find(_.name == "region").get
+    // traverse condition leaves: plain comparisons/IN/LIKE only — a
+    // field absent from a hop class evaluates null → false, so an
+    // n_* leaf can only match nation docs (depth 1) and an r_* leaf
+    // only region docs (depth 2). IS NULL is deliberately excluded:
+    // it would flip missing-field null to TRUE and the replay would
+    // need per-class field knowledge.
+    def travLeaf(rng: scala.util.Random, t: Table): Cond = {
+      val (f, kind) = t.fields(rng.nextInt(t.fields.length))
+      val pool = pools((t.name, f))
+      def pick() = pool(rng.nextInt(pool.length))
+      rng.nextInt(4) match {
+        case 0 =>
+          val v = lit(kind, pick())
+          Cond(s"$f = $v", s"$f = $v")
+        case 1 =>
+          val cmp = Seq(">", "<", ">=", "<=")(rng.nextInt(4))
+          val v = lit(kind, pick())
+          Cond(s"$f $cmp $v", s"$f $cmp $v")
+        case 2 =>
+          val vs = Seq.fill(1 + rng.nextInt(2))(pick()).distinct
+            .map(lit(kind, _)).mkString(", ")
+          Cond(s"$f in [$vs]", s"$f IN ($vs)")
+        case _ if kind == Str =>
+          val v = pick()
+          val pat = v.take(1 + rng.nextInt(math.max(1, v.length))) + "%"
+          val patEsc = pat.replace("_", "!_")
+          Cond(s"$f like '$pat'", s"$f LIKE '$patEsc' ESCAPE '!'")
+        case _ =>
+          val v = lit(kind, pick())
+          Cond(s"$f <> $v", s"$f <> $v")
+      }
+    }
+    graft.FuzzSeeds.all.foreach { seed =>
+      val rng = new scala.util.Random(seed)
+      val failures = scala.collection.mutable.ListBuffer[String]()
+      (0 until 40).foreach { run =>
+        if (failures.length < 3) {
+          val (minD, maxD) = Seq((0, 1), (1, 1), (1, 2), (2, 2), (0, 2))(
+            rng.nextInt(5))
+          // hop spec: restrict the walk to the nation→region chain so
+          // the replay is two join depths (the any() unrestricted form
+          // is pinned separately by qd_traverse — its orders branch
+          // can never satisfy n_*/r_* leaves, but restricting keeps
+          // the fuzz's ground truth independent of that argument)
+          val nLeaf = travLeaf(rng, nationT)
+          val rLeaf = travLeaf(rng, regionT)
+          val (condD, d1Sql, d2Sql) = rng.nextInt(3) match {
+            case 0 => (nLeaf.dialect, Some(nLeaf.sql), None)
+            case 1 => (rLeaf.dialect, None, Some(rLeaf.sql))
+            case _ => (s"(${nLeaf.dialect}) or (${rLeaf.dialect})",
+              Some(nLeaf.sql), Some(rLeaf.sql))
+          }
+          val depth1 = d1Sql.filter(_ => minD <= 1 && 1 <= maxD).map(c =>
+            "EXISTS (SELECT 1 FROM nation WHERE " +
+              s"n_nationkey = c_nationkey AND ($c))")
+          val depth2 = d2Sql.filter(_ => minD <= 2 && 2 <= maxD).map(c =>
+            "EXISTS (SELECT 1 FROM nation JOIN region ON " +
+              "n_regionkey = r_regionkey WHERE " +
+              s"n_nationkey = c_nationkey AND ($c))")
+          val legs = depth1.toSeq ++ depth2.toSeq
+          val sqlCond =
+            if (legs.isEmpty) "FALSE" else legs.mkString("(", " OR ", ")")
+          val local = tables.find(_.name == "customer")
+            .filter(_ => rng.nextInt(3) == 0).map(t => leaf(rng, t))
+          val wd = local.map(l => s"(${l.dialect}) and ").getOrElse("") +
+            s"nation traverse($minD,$maxD,'nation,region') ($condD)"
+          val ws = local.map(l => s"(${l.sql}) AND ").getOrElse("") +
+            sqlCond
+          val d = s"select c_custkey from customer where $wd " +
+            "order by c_custkey"
+          val s = s"SELECT c_custkey FROM customer WHERE $ws " +
+            "ORDER BY c_custkey"
+          check(d, s, ordered = true).foreach(reason =>
+            failures += s"[$run] dialect: $d\n      sql: $s\n      $reason")
+        }
+      }
+      assert(failures.isEmpty,
+        s"\n[repro: GRAFT_FUZZ_SEED=$seed] ${failures.length} " +
+          s"TRAVERSE divergence(s):\n" + failures.mkString("\n\n"))
+    }
   }
 }
