@@ -190,6 +190,63 @@ class RefDumpImportSpec extends AnyFunSuite {
     assert(e.getMessage.contains("colliding record positions"))
   }
 
+  test("reference-format EXPORT: import ∘ export reproduces rows, " +
+      "links and the dictionary (r14)") {
+    // the reverse direction VERDICT r13 listed as missing: emit the
+    // ODatabaseExport.java layout from this engine's catalog, then
+    // load it through RefDumpImport into a FRESH session and compare
+    val spark = graft.SparkTestSession.spark
+    val g1 = GraftSession.forTestdata(spark, "/root/testdata/sf0.001")
+    g1.dictionary.put("boss", "customer", 7L)
+    val out = java.nio.file.Files
+      .createTempFile("refdump-export", ".json").toString
+    RefDumpExport.exportDatabase(g1, out,
+      Some(Seq("region", "nation", "customer", "orders")))
+    val g2 = fresh()
+    RefDumpImport.importDatabase(g2, out)
+    // plain rows: values and order identical
+    def rows(g: GraftSession, q: String): Seq[Seq[Any]] =
+      g.query(q).collect().toSeq.map(_.toSeq)
+    val q1 = "select c_custkey, c_name, c_acctbal, c_mktsegment " +
+      "from customer order by c_custkey"
+    assert(rows(g2, q1) == rows(g1, q1),
+      "customer rows must survive the reference-format round trip")
+    val q2 = "select o_orderkey, o_totalprice from orders " +
+      "where o_totalprice > 400000 order by o_orderkey"
+    assert(rows(g2, q2) == rows(g1, q2))
+    // single-link navigation: the exported LINK fields re-import as
+    // LinkSpecs and navigate by the SAME names
+    val q3 = "select c_custkey, nation.n_name as nn from customer " +
+      "where nation.region.r_name = 'ASIA' order by c_custkey"
+    assert(rows(g2, q3) == rows(g1, q3) && rows(g2, q3).nonEmpty,
+      "link navigation must survive the round trip")
+    // multi-link: the LINKLIST rid arrays re-import as srcIsArray
+    // specs and CONTAINS(cond) works (the physical model differs —
+    // rid array vs key join — the RESULTS may not)
+    val q4 = "select r_regionkey from region where nations contains " +
+      "(n_name like 'NATION_1%') order by r_regionkey"
+    assert(rows(g2, q4) == rows(g1, q4) && rows(g2, q4).nonEmpty,
+      "multi-link CONTAINS must survive the round trip")
+    val q5 = "select c_custkey from customer where orders contains " +
+      "(o_totalprice > 400000) order by c_custkey"
+    assert(rows(g2, q5) == rows(g1, q5) && rows(g2, q5).nonEmpty)
+    // dictionary: the exported repeated key/value pairs resolve to
+    // the same record
+    val boss = g2.dictionary.get("boss")
+    assert(boss.isDefined &&
+      boss.get.select("c_custkey").collect().head.getLong(0) == 7L,
+      "dictionary entries must survive the round trip")
+    // the emitted stream IS the reference layout: spot-check the
+    // section skeleton + record annotations the reference's importer
+    // (ODatabaseImport.java) walks
+    val text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(out)), "UTF-8")
+    Seq("\"info\"", "\"clusters\"", "\"schema\"", "\"records\"",
+      "\"dictionary\"", "\"@rid\"", "\"@class\"", "\"@version\"",
+      "\"@type\": \"d\"").foreach(tok =>
+      assert(text.contains(tok), s"dump must carry $tok"))
+  }
+
   test("own-format export/import round trip is unchanged") {
     // regression guard: the reference-format path must not disturb the
     // existing manifest-based pipeline (gate qd_export_import)
