@@ -1005,7 +1005,8 @@ object Dedup {
   /** simhash near-dup pairs within blocking keys: hamming ≤ maxDist.
     * Blocking bounds the quadratic comparison to each block. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      blockCols: Seq[String], maxDist: Int): DataFrame = {
+      blockCols: Seq[String], maxDist: Int,
+      candidateBudget: Long = DefaultCandidateBudget): DataFrame = {
     // both self-join sides consume the signature table; materialize it
     // once (a row per doc: id + one long + block keys — the standard
     // LSH signature table, tiny next to the corpus) so the token
@@ -1014,6 +1015,15 @@ object Dedup {
       .select((Seq(col(idCol).as("__id"), col("simhash")) ++
         blockCols.map(col)): _*)
       .localCheckpoint()
+    // saturation pre-flight (r14): the per-block comparison is
+    // exact-quadratic BY DESIGN — refuse a block whose occupancy
+    // predicts a candidate count past the budget before the self-join
+    preflightCandidates(s, blockCols, candidateBudget,
+      "simhash blocking",
+      "The comparison is exact-quadratic per block by design: block " +
+        "finer (more selective blockCols) or pre-filter with " +
+        "minhashPairsBlocked; raise candidateBudget only if the join " +
+        "size is intended.")
     val a = s.select((Seq(col("__id").as("a_id"),
       col("simhash").as("__sa")) ++ blockCols.map(col)): _*)
     val b = s.select((Seq(col("__id").as("b_id"),
@@ -1143,7 +1153,8 @@ object Dedup {
     * Returns (a_id, b_id, containment) with a_id < b_id. */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
       blockCols: Seq[String], threshold: Double,
-      shingleN: Int = 4): DataFrame = {
+      shingleN: Int = 4,
+      candidateBudget: Long = DefaultCandidateBudget): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold in (0, 1]")
     val s = spread(df).select((Seq(col(idCol).as("__id"),
         explode(charShingles(col(textCol), shingleN)).as("__g")) ++
@@ -1152,6 +1163,14 @@ object Dedup {
       .groupBy((col("__id") +: blockCols.map(col)): _*)
       .agg(sort_array(collect_set(col("__h"))).as("__sh"))
       .persist()
+    // saturation pre-flight (r14): exact-quadratic per block — see
+    // [[simhashPairs]]
+    preflightCandidates(s, blockCols, candidateBudget,
+      "containment blocking",
+      "The comparison is exact-quadratic per block by design: block " +
+        "finer (more selective blockCols) or pre-filter with " +
+        "minhashPairsBlocked; raise candidateBudget only if the join " +
+        "size is intended.")
     val a = s.select((Seq(col("__id").as("a_id"),
       col("__sh").as("__sha")) ++ blockCols.map(col)): _*)
     val b = s.select((Seq(col("__id").as("b_id"),
@@ -1176,7 +1195,8 @@ object Dedup {
     * output is localCheckpoint'd so the cache releases on return. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       blockCols: Seq[String], threshold: Double,
-      shingleN: Int = 4): DataFrame = {
+      shingleN: Int = 4,
+      candidateBudget: Long = DefaultCandidateBudget): DataFrame = {
     // hash shingles AFTER explode (md5 runs inside whole-stage codegen,
     // not an interpreted array lambda), then collect the distinct set
     val s = spread(df).select((Seq(col(idCol).as("__id"),
@@ -1186,6 +1206,14 @@ object Dedup {
       .groupBy((col("__id") +: blockCols.map(col)): _*)
       .agg(sort_array(collect_set(col("__h"))).as("__sh"))
       .persist()
+    // saturation pre-flight (r14): exact-quadratic per block — see
+    // [[simhashPairs]]
+    preflightCandidates(s, blockCols, candidateBudget,
+      "ngram-jaccard blocking",
+      "The comparison is exact-quadratic per block by design: block " +
+        "finer (more selective blockCols) or pre-filter with " +
+        "minhashPairsBlocked; raise candidateBudget only if the join " +
+        "size is intended.")
     val a = s.select((Seq(col("__id").as("a_id"),
       col("__sh").as("__sha")) ++ blockCols.map(col)): _*)
     val b = s.select((Seq(col("__id").as("b_id"),

@@ -1604,6 +1604,21 @@ class OpsHygieneSpec extends AnyFunSuite {
     assert(eP.getMessage.contains("pre-flight") &&
       eP.getMessage.contains("minhashPairsBlocked"),
       s"guidance missing: ${eP.getMessage}")
+    // the explicitly-quadratic blocked fallbacks refuse the same way
+    // when a BLOCK saturates (r14: guard extended for consistency)
+    val satB = sat.withColumn("lang", lit("en"))
+    Seq[(String, () => org.apache.spark.sql.DataFrame)](
+      ("simhash", () => Dedup.simhashPairs(satB, "doc_id", "text",
+        Seq("lang"), maxDist = 3, candidateBudget = 1000)),
+      ("ngram", () => Dedup.ngramJaccardPairs(satB, "doc_id", "text",
+        Seq("lang"), 0.8, candidateBudget = 1000)),
+      ("containment", () => Dedup.containmentPairs(satB, "doc_id",
+        "text", Seq("lang"), 0.8, candidateBudget = 1000))
+    ).foreach { case (name, run) =>
+      val e = intercept[IllegalStateException](run())
+      assert(e.getMessage.contains("pre-flight"),
+        s"$name guidance missing: ${e.getMessage}")
+    }
     // the capped escape passes the SAME budget: maxBucket drops the
     // mega-buckets before the estimate, so the pre-flight judges what
     // would actually join
