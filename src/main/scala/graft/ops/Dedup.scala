@@ -47,8 +47,16 @@ object Dedup {
   private def preflightCandidates(keyed: DataFrame, keyCols: Seq[String],
       budget: Long, op: String, guidance: String): Unit = {
     if (budget <= 0) return
-    val r = keyed.groupBy(keyCols.map(col): _*)
-      .agg(count(lit(1)).as("__n"))
+    checkOccupancy(keyed.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__n")), budget, op, guidance)
+  }
+
+  /** the raise half of [[preflightCandidates]], callable on an
+    * already-computed `(…, __n)` occupancy frame (the capped minhash
+    * path reuses the cap's own counts — no second counting job). */
+  private def checkOccupancy(counts: DataFrame, budget: Long,
+      op: String, guidance: String): Unit = {
+    val r = counts
       .agg(sum(col("__n") * (col("__n") - 1)).as("__pairs2"),
         max(col("__n")).as("__hot"), count(lit(1)).as("__k"))
       .head()
@@ -284,25 +292,35 @@ object Dedup {
   private def minhashPairsCore(base: DataFrame, buckets: DataFrame,
       threshold: Double, maxBucket: Int = 0,
       candidateBudget: Long = DefaultCandidateBudget): DataFrame = {
-    val kept =
-      if (maxBucket <= 0) buckets
-      else {
-        // two passes over the SMALL (id, band) frame: count, then an
-        // anti-join against the hot keys — never a window sort
-        val hot = buckets.groupBy("__band")
-          .agg(count(lit(1)).as("__n"))
-          .filter(col("__n") > maxBucket).select("__band")
-        buckets.join(hot, Seq("__band"), "left_anti")
-      }
-    // saturation pre-flight (r14): refuse before the self-join, not
-    // 8 minutes into it — runs AFTER the cap so a capped call is
-    // judged on what it would actually join
-    preflightCandidates(kept, Seq("__band"), candidateBudget,
-      "minhash banding",
+    val guidance =
       "Block finer (minhashPairsBlocked with more selective " +
         "blockCols), set maxBucket to drop saturation-scale buckets " +
         "(ScratchR13: the cap held the saturated 30x point at 23 s), " +
-        "or raise candidateBudget if the join size is intended.")
+        "or raise candidateBudget if the join size is intended."
+    // saturation pre-flight (r14): refuse before the self-join, not
+    // 8 minutes into it — judged AFTER the cap on what would actually
+    // join; the capped path reads its estimate off the cap's own
+    // persisted counts frame, so the guard adds one trivial agg, not
+    // a second counting pass (measured: the naive double-count read
+    // 1.21x on qp_minhash_capped in the r14 close A/B)
+    var capCounts: Option[DataFrame] = None
+    val kept =
+      if (maxBucket <= 0) {
+        preflightCandidates(buckets, Seq("__band"), candidateBudget,
+          "minhash banding", guidance)
+        buckets
+      } else {
+        // two passes over the SMALL (id, band) frame: count, then an
+        // anti-join against the hot keys — never a window sort
+        val counts = buckets.groupBy("__band")
+          .agg(count(lit(1)).as("__n")).persist()
+        capCounts = Some(counts)
+        if (candidateBudget > 0)
+          checkOccupancy(counts.filter(col("__n") <= maxBucket),
+            candidateBudget, "minhash banding", guidance)
+        val hot = counts.filter(col("__n") > maxBucket).select("__band")
+        buckets.join(hot, Seq("__band"), "left_anti")
+      }
     val candidates = kept.select(col("__band"), col("__id").as("a_id"))
       .join(kept.select(col("__band"), col("__id").as("b_id")),
         Seq("__band"))
@@ -320,6 +338,7 @@ object Dedup {
         jacFromInter(col("__i"), col("__sha"), col("__shb")).as("jac"))
       .filter(col("jac") >= threshold)
       .localCheckpoint()
+    capCounts.foreach(_.unpersist())
     pairs
   }
 
