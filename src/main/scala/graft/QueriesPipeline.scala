@@ -698,15 +698,24 @@ object QueriesPipeline {
         isTarget = col("lang") === "en", dim = 32).persist()
       val wts = Classifier.lrTrain(feats, dim = 32, iters = 3)
       feats.unpersist()
-      // stateless scoring of the SCRUBBED text (score what you keep);
-      // zero-token docs score null and drop, like the feature frame.
+      // batch scoring of the SCRUBBED text (score what you keep) via
+      // the codegen'd explode+aggregate feature path (r14: lrScoreRow
+      // here paid dim=32 INTERPRETED higher-order filter lambdas per
+      // row, each rescanning the token array — the guide §4.1 shape;
+      // lrFeatures+lrMargin is spec-pinned bit-identical, and its
+      // zero-token exclusion IS the old isNotNull filter, so the kept
+      // set cannot move). The join keys on the cached clean frame.
       // Keep rule = margin at-or-above the slice MEAN margin: exact
       // integer cross-multiply (decimal vs overflow), no global
       // window/sort — the scale-safe version of "keep the most
       // target-like fraction"
-      val scored = clean.withColumn("__score",
-          Classifier.lrScoreRow(col("text"), wts, 32))
-        .filter(col("__score").isNotNull).persist()
+      val scored = clean.join(
+          Classifier.lrFeatures(clean, "doc_id", "text",
+            isTarget = lit(false), dim = 32)
+            .select(col("__id").as("doc_id"),
+              Classifier.lrMargin(wts, 32).as("__score")),
+          "doc_id")
+        .persist()
       // coalesce: an all-filtered slice sums to null — report zero
       // kept instead of NPE-ing on the driver read
       val st = scored.agg(coalesce(sum(col("__score")), lit(0L)),

@@ -911,23 +911,44 @@ object GraphOps {
   def labelPropDF(vertices: DataFrame, edges: DataFrame,
       rounds: Int): DataFrame = {
     require(rounds >= 1, "label propagation needs at least one round")
+    // r14 optimization: vertex ids ride INSIDE the adjacency as
+    // tagged self-rows (the prCore/hits trick), deleting the
+    // per-round keep-own-label JOIN-BACK: each round is now ONE
+    // message join + the two partial-combining aggregations, not
+    // three shuffles plus a join. Self-rows deliver the vertex's OWN
+    // label to itself; the per-(id, label) count EXCLUDES them (a
+    // vertex's own label is not a neighbor vote — multi-edge counts
+    // are untouched), so the own-label group scores __c = its real
+    // neighbor votes (possibly 0). In the argmax a 0-vote own-label
+    // row loses to every real neighbor label (count ≥ 1) and wins
+    // only when the vertex has no neighbors — exactly the old
+    // coalesce(pick, own) semantics, bit-identical labels.
+    // Edges touching undeclared vertices are semi-filtered up front:
+    // the groupBy would otherwise mint label rows for phantom ids
+    // (the old join-back against the vertex frame dropped them).
+    val ids = vertices.select(col("id")).persist()
     val und = edges.select(col("src").as("a"), col("dst").as("b"))
       .unionByName(edges.select(col("dst").as("a"), col("src").as("b")))
+      .join(ids.select(col("id").as("a")), Seq("a"), "left_semi")
+      .join(ids.select(col("id").as("b")), Seq("b"), "left_semi")
+      .withColumn("__self", lit(false))
+      .unionByName(ids.select(col("id").as("a"), col("id").as("b"))
+        .withColumn("__self", lit(true)))
       .persist()
-    var lbl = vertices.select(col("id"), col("id").as("lbl"))
+    var lbl = ids.withColumn("lbl", col("id"))
       .localCheckpoint(true)
     for (_ <- 1 to rounds) {
-      val nbr = und.join(lbl, und("a") === lbl("id"))
-        .select(und("b").as("id"), col("lbl"))
-      val pick = nbr.groupBy("id", "lbl").agg(count(lit(1)).as("__c"))
+      lbl = und.join(lbl, und("a") === lbl("id"))
+        .select(und("b").as("id"), col("lbl"), col("__self"))
+        .groupBy("id", "lbl")
+        .agg(count(when(!col("__self"), lit(1))).as("__c"))
         .groupBy("id")
         .agg(max_by(col("lbl"),
-          struct(col("__c"), (-col("lbl")).as("__t"))).as("__new"))
-      lbl = lbl.join(pick, Seq("id"), "left")
-        .select(col("id"), coalesce(col("__new"), col("lbl")).as("lbl"))
+          struct(col("__c"), (-col("lbl")).as("__t"))).as("lbl"))
         .localCheckpoint(true)
     }
     und.unpersist()
+    ids.unpersist()
     lbl.select(col("id"), col("lbl").as("community"))
   }
 
@@ -1547,26 +1568,33 @@ object GraphOps {
     states.toSeq
   }
 
-  /** per-vertex 4-decimal ball-size estimates of one packed state,
-    * as exact e4 integers (round·10⁴). */
-  private def hyperBallEstE4(st: DataFrame, outCol: String): DataFrame =
-    graft.ops.Sketch.hllFromRegisters(
-        st.select(col("id"), posexplode(col("__regs")))
+  /** per-(round, vertex) 4-decimal ball-size estimates over ALL
+    * packed states at once, as exact e4 integers (round·10⁴) — ONE
+    * tagged union + ONE explode+estimate aggregation (r14: the old
+    * per-state close paid a separate explode/estimate/agg job per
+    * radius; per-(t, id) arithmetic is unchanged, so every estimate
+    * is bit-identical). States are localCheckpointed, so the union
+    * re-reads materialized blocks, not the propagation lineage. */
+  private def hyperBallEstAllE4(states: Seq[DataFrame],
+      outCol: String): DataFrame =
+    graft.ops.Sketch.hllFromRegistersKeys(
+        states.zipWithIndex.map { case (st, t) =>
+            st.select(lit(t).as("__t"), col("id"), col("__regs")) }
+          .reduce(_ unionByName _)
+          .select(col("__t"), col("id"), posexplode(col("__regs")))
           .withColumnRenamed("pos", "__reg")
           .withColumnRenamed("col", "__mr")
           .filter(col("__mr") > 0),
-        "id")
-      .select(col("id"),
+        Seq("__t", "id"))
+      .select(col("__t"), col("id"),
         round(col("est_distinct") * 10000).cast("long").as(outCol))
 
   def hyperBallDF(vertices: DataFrame, edges: DataFrame,
       rounds: Int): DataFrame = {
     val states = hyperBallStates(vertices, edges, rounds)
-    def close(t: Int): DataFrame =
-      hyperBallEstE4(states(t), "__e")
-        .agg(sum(col("__e")).as("nf_e4"))
-        .select(lit(t).as("t"), col("nf_e4"))
-    val out = (0 to rounds).map(close).reduce(_ unionByName _)
+    val out = hyperBallEstAllE4(states, "__e")
+      .groupBy(col("__t").as("t"))
+      .agg(sum(col("__e")).as("nf_e4"))
     // rounds+1-row close: the whole-frame max here is over ≤ rounds+1
     // rows, not data-sized
     out.withColumn("__mx",
@@ -1594,8 +1622,16 @@ object GraphOps {
   def hyperBallCentralityDF(vertices: DataFrame, edges: DataFrame,
       rounds: Int): DataFrame = {
     val states = hyperBallStates(vertices, edges, rounds)
-    val ests = (0 to rounds).map(t => hyperBallEstE4(states(t), s"__e$t"))
-    val joined = ests.reduce(_.join(_, "id"))
+    // r14: pivot the single fused estimate pass by radius instead of
+    // joining rounds+1 per-state estimate frames on id (the old shape
+    // paid rounds joins of vertex-sized frames). Every (t, id) exists
+    // — a vertex's own element keeps ≥ 1 register > 0 from round 0 —
+    // so the conditional max is total and estimates are bit-identical.
+    val estCols = (0 to rounds).map(t =>
+      max(when(col("__t") === t, col("__e"))).as(s"__e$t"))
+    val joined = hyperBallEstAllE4(states, "__e")
+      .groupBy(col("id"))
+      .agg(estCols.head, estCols.tail: _*)
     val harmonic = (1 to rounds).map(t =>
         s"(greatest(__e$t - __e${t - 1}, 0) * 100) div $t")
       .mkString(" + ")

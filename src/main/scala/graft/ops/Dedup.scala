@@ -37,8 +37,13 @@ object Dedup {
     * budget. 2e9 is ~100× the sf0.1 gate workloads (28.9M raw ppjoin
     * collisions) and well past any healthy corpus at any scale —
     * blocked occupancy is corpus-size-free; only saturation reaches
-    * it. Pass `candidateBudget <= 0` to disable. */
-  val DefaultCandidateBudget: Long = 2000000000L
+    * it. Pass `candidateBudget <= 0` to disable. Deployments can
+    * retune without a rebuild via `GRAFT_CANDIDATE_BUDGET` (also the
+    * optimization-round A/B switch for measuring the guard's cost —
+    * 0 disables, unset keeps the default). */
+  val DefaultCandidateBudget: Long =
+    sys.env.get("GRAFT_CANDIDATE_BUDGET").map(_.toLong)
+      .getOrElse(2000000000L)
 
   /** estimate-only occupancy pass shared by the minhash and ppjoin
     * generators: ONE aggregation over the small (id, key) frame the

@@ -103,19 +103,28 @@ object Sketch {
 
   /** close a (stratum, __reg, __mr) register table into the estimate
     * (see [[hllDistinct]] for the arithmetic discipline). */
-  def hllFromRegisters(regs: DataFrame, strataCol: String): DataFrame = {
+  def hllFromRegisters(regs: DataFrame, strataCol: String): DataFrame =
+    hllFromRegistersKeys(regs, Seq(strataCol))
+
+  /** [[hllFromRegisters]] grouped by a COMPOSITE key — the close for
+    * callers estimating per (round, vertex) or any multi-column
+    * stratum in one pass (r14: the HyperBall closes union their
+    * per-round states and close once instead of one explode+estimate
+    * job per round). Arithmetic identical per group. */
+  def hllFromRegistersKeys(regs: DataFrame, keys: Seq[String]): DataFrame = {
     val twoPow55 = 36028797018963968L
-    val s = regs.groupBy(col(strataCol))
+    val s = regs.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("__npres"),
         sum(expr("shiftleft(cast(1 as bigint), 55 - __mr)")).as("__sp"))
     val stot = (col("__sp") +
       (lit(64L) - col("__npres")) * lit(twoPow55)).cast("double")
     val eraw = lit(HllAlphaC) / stot
-    s.select(col(strataCol), (lit(64L) - col("__npres")).as("v_zero"),
+    s.select(keys.map(col) ++ Seq(
+      (lit(64L) - col("__npres")).as("v_zero"),
       round(when(eraw <= 160.0 && col("__npres") < 64,
         element_at(lit(HllLnMicro.toArray),
           (lit(64L) - col("__npres")).cast("int")) / 1e6)
-        .otherwise(eraw), 4).as("est_distinct"))
+        .otherwise(eraw), 4).as("est_distinct")): _*)
   }
 
   /** [[kmvDistinct]] over `ROLLUP(strata)`: per-stratum estimates AND
