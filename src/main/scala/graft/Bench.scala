@@ -106,15 +106,30 @@ object Bench {
     val names0 = SparkEntry.queries.keys.toSeq.sorted
     val names = if (args.isEmpty) names0
       else names0.filter(n => args.exists(n.startsWith))
-    // warmup pass: compiles plans/codegen once, surfaces failures
-    val ok = names.filter { n =>
-      try { run(SparkEntry.queries(n)(spark, sfDir)); true }
+    // warmup pass: compiles plans/codegen once, surfaces failures.
+    // r15 (VERDICT #1b: the driver's 32-core run died on its wall
+    // budget): warm up against the SMALLEST sibling scale factor when
+    // one exists — plan structure and codegen are data-independent, so
+    // the compile cost is paid identically while the warmup pass stops
+    // costing one full extra suite run (~500 s at sf0.1/32 cores).
+    // Timed runs are now individually fault-tolerant below, so a
+    // query that only fails at the target scale degrades to -1
+    // instead of being masked by the small-sf warmup.
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR", {
+      val p = java.nio.file.Paths.get(sfDir)
+      val sib = Option(p.getParent).map(_.resolve("sf0.001"))
+      sib.filter(s => java.nio.file.Files.isDirectory(s) &&
+          !s.equals(p.toAbsolutePath) && s.toString != sfDir)
+        .map(_.toString).getOrElse(sfDir)
+    })
+    val ok = scala.collection.mutable.Set[String]()
+    names.foreach { n =>
+      try { run(SparkEntry.queries(n)(spark, warmDir)); ok += n }
       catch {
         case e: Throwable =>
           System.err.println(s"[bench] $n failed: ${e.getMessage}")
-          false
       }
-    }.toSet
+    }
     // SPARK_GRAFT_STORAGE_LOG=1: after each timed query, print the
     // persistent-RDD count and total cached memory — the diagnostic
     // for suite-level storage debris (blocks a query leaves behind
@@ -137,8 +152,17 @@ object Bench {
       // each operator, not the round-robin's accumulated debt.
       System.gc()
       val t0 = System.nanoTime()
-      run(SparkEntry.queries(n)(spark, sfDir))
-      times(n) = times(n) :+ (System.nanoTime() - t0) / 1e9
+      try {
+        run(SparkEntry.queries(n)(spark, sfDir))
+        times(n) = times(n) :+ (System.nanoTime() - t0) / 1e9
+      } catch {
+        // a target-scale-only failure (small-sf warmup can't see it):
+        // drop the query to -1 like a warmup failure, keep the suite
+        case e: Throwable =>
+          System.err.println(s"[bench] $n failed at $sfDir: ${e.getMessage}")
+          ok -= n
+          times.remove(n)
+      }
       storageLine(n)
     }
     for (_ <- 1 to rounds; n <- names if ok(n)) timed(n)
@@ -158,9 +182,11 @@ object Bench {
     // ADAPTIVE rounds: queries whose base-round median exceeds 2 s get
     // extra rounds — exactly the queries whose round-over-round deltas
     // the judge reads, and where 3 samples can't separate a real
-    // regression from weather. Cost: ~45 heavy queries × 2 rounds.
+    // regression from weather. Default capped at 1 in r15 (VERDICT
+    // #1b): the suite outgrew the driver's wall budget at 32 cores;
+    // 4 samples still give a usable median+MAD for the heavy tail.
     val extraRounds = math.max(0,
-      sys.env.getOrElse("SPARK_GRAFT_EXTRA_ROUNDS", "2").toInt)
+      sys.env.getOrElse("SPARK_GRAFT_EXTRA_ROUNDS", "1").toInt)
     val heavy = names.filter(n => ok(n) && median(times(n)) > 2.0)
     for (_ <- 1 to extraRounds; n <- heavy) timed(n)
     val med = names.map(n => n -> (if (ok(n)) median(times(n)) else -1.0))
@@ -171,21 +197,18 @@ object Bench {
         val m = median(times(n))
         if (m <= 0) 0L else math.round(mad(times(n)) * 100 / m)
       })).toMap
-    // The driver records only the last ~2 KB of stdout and parses the
-    // tail. This overflowed TWICE as the suite grew (r4/r5: the single
-    // full-precision JSON line beheaded; r8: 279 queries pushed the
-    // first `#B` line out of the window and 29 of 32 qg values were
-    // lost). The fix is two-sided:
-    //   a. the COMPLETE per-query record (median sec, MAD%, rounds,
-    //      subtotals) goes to BENCH_FULL.json in the repo root — the
-    //      self-sufficient artifact the judge reads directly; stdout
-    //      is only the driver's summary channel,
-    //   b. stdout prints ONLY a tail-sized block, least-critical
-    //      FIRST: `#V` (one base-36 char per query, 'z' = MAD >= 35%,
-    //      '!' = failed), then `#B` (integer ms, values only, sorted-
-    //      query-name order per group), then the parseable "metric"
-    //      line LAST so it can never be beheaded. The old full-
-    //      precision stdout line is gone — it lives in the file.
+    // Output contract (r15 — VERDICT #1a). The driver parses the LAST
+    // JSON-parseable stdout line and needs the per-query map; the
+    // short calib-only line shipped since r12 read `parsed: false` in
+    // BOTH completed driver runs (r13, r14_c8), leaving PERF_r14 with
+    // zero per-query signal. Restored order, least critical first:
+    //   1. `#V`/`#B` compact diagnostics (MAD flags, integer ms),
+    //   2. the short subtotal line (human-scannable fallback),
+    //   3. the FULL record LAST: `queries` = per-query name -> median
+    //      sec (the contract's `{"name": sec, ...}` shape, as r1-r5
+    //      printed), plus `groups` subtotals, `calibration_sec`, and
+    //      `per_query` detail (sec/MAD%/rounds). The same record is
+    //      written to BENCH_FULL.json for the judge.
     val groups = Seq("qg", "qd", "qp") // relational catch-all goes last
     def groupOf(n: String): String =
       groups.find(g => n.startsWith(g + "_")).getOrElse("rel")
@@ -195,6 +218,9 @@ object Bench {
         .collect { case (_, v) if v >= 0 => v }.sum
       jstr(g) + ":" + math.round(t * 1000) / 1000.0
     }.mkString("{", ",", "}")
+    val perQuerySecs = med.map { case (n, v) =>
+      s"${jstr(n)}:${if (v < 0) -1 else math.round(v * 10000) / 10000.0}"
+    }.mkString("{", ",", "}")
     val fullJson = {
       val rows = names.map { n =>
         val v = med.toMap.apply(n)
@@ -203,8 +229,8 @@ object Bench {
           s""""mad_pct":${madPct(n)},"rounds":${times(n).size}}"""
       }.mkString("{", ",", "}")
       s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},""" +
-        s""""unit":"sec","queries":$subs,"sf":${jstr(sfDir)},""" +
-        s""""calibration_sec":$calib,"per_query":$rows}"""
+        s""""unit":"sec","queries":$perQuerySecs,"sf":${jstr(sfDir)},""" +
+        s""""calibration_sec":$calib,"groups":$subs,"per_query":$rows}"""
     }
     // anchor to the repo root: walk up from the launch cwd to the
     // nearest directory containing build.sbt (sbt run from a
@@ -253,10 +279,13 @@ object Bench {
           }.mkString(" ")
       println(s"#B $g $line")
     }
-    // basename only: every byte of this line competes for the ~2 KB
-    // stdout tail window the driver records
+    // short subtotal line second-to-last (human fallback; the r6-r14
+    // format), then the FULL per-query record as the very last line —
+    // the driver's parse takes the last JSON-parseable line, and only
+    // this one carries the per-query map it needs (VERDICT #1a)
     val sfShort = sfDir.split('/').last
     println(s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","queries":$subs,"sf":${jstr(sfShort)},"calib":$calib}""")
+    println(fullJson)
     spark.stop()
   }
 }
